@@ -1,0 +1,153 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale design: every variant avoids the naive O(n²) cross join at 100 TB —
+  * exact dedup is a hash aggregate; Jaccard/MinHash candidates come from
+  * equi-joins on shingle/band keys (shuffle on key, broadcast-free);
+  * SimHash candidates come from pigeonhole chunk buckets. Only the final
+  * verification runs on the (small) candidate set.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical key. Pure hash
+    * aggregate — one shuffle on the dedup key, map-side partial min. */
+  def exact(df: DataFrame, id: Column, key: Column): DataFrame =
+    df.groupBy(key.as("_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
+      .drop("_key")
+
+  /** Pairs `(a_id, b_id, jaccard)` with n-gram-shingle Jaccard >= threshold.
+    *
+    * Plan: explode distinct shingles → self equi-join on shingle (candidate
+    * generation; only docs sharing >=1 shingle ever meet) → count common
+    * shingles per pair → exact Jaccard via |A∩B| / (|A|+|B|-|A∩B|).
+    * The jaccard double is a ratio of exact ints, so it is bit-identical
+    * across engines — threshold comparison is deterministic. */
+  def jaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
+                   threshold: Double): DataFrame = {
+    val sh = docs.select(id.as("doc_id"),
+      TextAnalysis.shingles(text, n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val exploded = sh.select(col("doc_id"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val a = exploded.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"),
+      col("shingle"))
+    val b = exploded.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"),
+      col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"),
+        count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common") / (col("a_n") + col("b_n") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature columns. Universal-hash family over a 64-bit base
+    * hash: h_i(s) = (a_i * xxhash64(s) + b_i) mod p, fully deterministic
+    * (fixed xxhash64 seed 42, arithmetic a_i/b_i derived from i). */
+  // Universal hash family mod the Mersenne prime 2^31-1: the base hash and
+  // multiplier both live in [0, p), so a*h+b < 2^62 (no ANSI long overflow)
+  // and the mod genuinely wraps — each h_i is an independent permutation.
+  // (An earlier mod-2^61 variant never wrapped, making every h_i
+  // order-preserving in h and collapsing MinHash to a single hash.)
+  private val P31 = 2147483647L
+  private def minhashCol(sh: Column, i: Int): Column = {
+    val a = Math.floorMod(2862933555777941757L * (i + 1) + 3037000493L, P31 - 1) + 1
+    val b = Math.floorMod(4354685564936845319L * (i + 1) + 32452843L, P31)
+    array_min(transform(sh,
+      s => pmod(pmod(xxhash64(s), lit(P31)) * a + b, lit(P31))))
+  }
+
+  /** MinHash + LSH near-dup pairs: k=`numHashes` minhashes split into
+    * `bands` bands; docs sharing any band bucket become candidates; exact
+    * shingle-Jaccard verifies candidates >= threshold. With the default
+    * k=32, b=16 (r=2), P[miss | j=0.7] ≈ 2e-5 per pair.
+    *
+    * Scale: candidate generation is an equi-join on (band, bucket-hash) —
+    * shuffle by bucket, no cross join; the verify join re-joins shingle sets
+    * only for candidate pairs. */
+  def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
+                      n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                      threshold: Double = 0.7): DataFrame = {
+    val rows = numHashes / bands
+    val sh = docs.select(id.as("doc_id"),
+        TextAnalysis.shingles(text, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("n_sh", size(col("sh")))
+    val sig = sh.withColumn("sig",
+      array((0 until numHashes).map(i => minhashCol(col("sh"), i)): _*))
+    // band key = (bandIndex, hash of the band's slice of the signature)
+    val banded = sig.select(col("doc_id"), col("sh"), col("n_sh"),
+      posexplode(array((0 until bands).map(bnd =>
+        hash(slice(col("sig"), bnd * rows + 1, rows))): _*))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("n_sh").as("a_n"), col("band"), col("bucket"))
+    val r = banded.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("n_sh").as("b_n"), col("band"), col("bucket"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh", "a_n", "b_n")
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard",
+        col("common") / (col("a_n") + col("b_n") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over token xxhash64 values: per bit, sum +1/-1 across
+    * tokens, bit set where the sum is positive. Bits statically unrolled so
+    * everything stays in codegen'd array expressions — no explode, no
+    * shuffle, one pass per row. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t))
+    (0 until 64).map { b =>
+      val bitSum = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidate
+    * generation by pigeonhole: split the 64-bit hash into `maxDist+1`
+    * chunks — any pair within maxDist agrees on at least one chunk, so an
+    * equi-join on (chunkIndex, chunkValue) finds all candidates without a
+    * cross join. */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column,
+                   maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val h = docs.select(id.as("doc_id"), simhash(text).as("sh"))
+    val chunked = h.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("sh"), c * bitsPer)
+          .bitwiseAND((1L << bitsPer) - 1)): _*)).as(Seq("chunk", "v")))
+    val l = chunked.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("chunk"), col("v"))
+    val r = chunked.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("chunk"), col("v"))
+    l.join(r, Seq("chunk", "v"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Embedding-cosine near-dup pairs (delegates to Similarity). */
+  def embeddingNearDups(emb: DataFrame, id: Column, vec: Column,
+                        threshold: Double): DataFrame =
+    Similarity.cosinePairs(emb, id, vec).filter(col("sim") >= threshold)
+}

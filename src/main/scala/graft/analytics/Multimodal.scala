@@ -1,0 +1,70 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque `binary` payloads
+  * with typed metadata. The Spark-side plumbing (schema, batch shape,
+  * partition-parallel extraction via `mapPartitions`) is real and tested;
+  * the codec step is a clearly-marked deterministic STUB because no
+  * image/audio libraries ship in this container — swap `decodeStub` for a
+  * real decoder (e.g. javacv / a Python `mapInPandas` stage) in production.
+  */
+object Multimodal {
+
+  final case class MediaRecord(id: Long, mediaType: String,
+                               payload: Array[Byte])
+  final case class MediaFeatures(id: Long, mediaType: String, nBytes: Long,
+                                 fingerprint: String, width: Int, height: Int,
+                                 durationMs: Long)
+  final case class Frame(id: Long, frameIndex: Int, frameBytes: Array[Byte])
+
+  /** STUB decode: derives deterministic pseudo-metadata from the payload
+    * bytes (md5 fingerprint, dims/duration from the hash). Replace with a
+    * real codec; the signature — bytes in, typed features out, executed
+    * batch-wise per partition — is the production shape. */
+  private[analytics] def decodeStub(r: MediaRecord): MediaFeatures = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(r.payload)
+    val hex = digest.map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    MediaFeatures(r.id, r.mediaType, r.payload.length.toLong, hex,
+      width = (h % 1920).toInt + 1, height = (h % 1080).toInt + 1,
+      durationMs = h % 600000)
+  }
+
+  /** Feature extraction over a media Dataset: partition-parallel, batch-wise
+    * (the decoder amortizes any per-batch init — model load, codec context —
+    * across the partition's rows, the same shape `mapInPandas` gives a
+    * Python decoder). */
+  def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it => it.map(decodeStub) }
+  }
+
+  /** Frame sampling STUB for video payloads: emits every `stride`-th slice
+    * of the payload as a pseudo-frame. Real implementation replaces the
+    * slicing with codec frame extraction; the explode-shaped output (one row
+    * per frame, partitioned by media id) is the production schema. */
+  def sampleFrames(ds: Dataset[MediaRecord], stride: Int): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val n = math.max(1, r.payload.length / math.max(1, stride))
+      (0 until math.min(n, 8)).map { i =>
+        val from = i * stride
+        val until = math.min(r.payload.length, from + stride)
+        Frame(r.id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }
+  }
+
+  /** Wrap any DataFrame with a binary column into the media schema. */
+  def asMedia(df: DataFrame, id: String, payload: String,
+              mediaType: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(id).cast("long").as("id"),
+        lit(mediaType).as("mediaType"),
+        col(payload).cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ingest
+
+/** Typed configuration tree mirroring the reference's throughput/layout knobs
+  * (SURVEY §7.1; reference config surface `S3SinkConnectorConfig.java`).
+  * No Connect APIs — this is the whole "connector config" re-expressed.
+  */
+sealed abstract class OutputFormat(val sparkFormat: String, val baseExt: String)
+object OutputFormat {
+  /** W2 Parquet (format/parquet/ParquetRecordWriterProvider.java:49-192).
+    * Codec-prefixed extension contract `:62-65` (e.g. `.snappy.parquet`). */
+  case object Parquet extends OutputFormat("parquet", ".parquet")
+  /** W1 Avro (format/avro/AvroRecordWriterProvider.java:61-121). */
+  case object Avro extends OutputFormat("avro", ".avro")
+  /** W3 JSON lines (format/json/JsonRecordWriterProvider.java:44-123). */
+  case object Json extends OutputFormat("json", ".json")
+  /** W4 raw bytes with line separator
+    * (format/bytearray/ByteArrayRecordWriterProvider.java:38-92). */
+  case object ByteArray extends OutputFormat("text", ".bin")
+}
+
+final case class IngestConfig(
+    topic: String,
+    format: OutputFormat = OutputFormat.Parquet,
+    /** R1 `flush.size`: records per output file. */
+    flushSize: Int = 1000,
+    /** W13 `filename.offset.zero.pad.width`. */
+    padWidth: Int = FileNaming.DefaultPadWidth,
+    /** `topics.dir` path prefix. */
+    topicsDir: String = "topics",
+    /** W5 gzip for Json/ByteArray, or the columnar codec for
+      * Parquet/Avro (`parquet.codec` / `avro.codec`). */
+    compression: Option[String] = None,
+    /** R2 `rotate.interval.ms` (None = disabled, the reference default). */
+    rotateIntervalMs: Option[Long] = None,
+    /** F1–F3 `behavior.on.null.values`. */
+    nullBehavior: RecordViews.NullBehavior = RecordViews.IgnoreNulls,
+    /** P4 `store.kafka.keys` / `store.kafka.headers`. */
+    writeKeys: Boolean = false,
+    writeHeaders: Boolean = false) {
+
+  /** Extension contract: gzip suffixes Json/ByteArray (CompressionType.java),
+    * Parquet prefixes the codec (ParquetRecordWriterProvider.java:62-65). */
+  def extension: String = (format, compression) match {
+    case (OutputFormat.Parquet, Some(c)) if c != "none" => s".$c${format.baseExt}"
+    case (OutputFormat.Json | OutputFormat.ByteArray, Some("gzip")) =>
+      s"${format.baseExt}.gz"
+    case _ => format.baseExt
+  }
+}

@@ -1,0 +1,140 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The sink pipeline (SURVEY §3.1 mapped to Spark): derive the encoded
+  * partition → assign deterministic file groups (rotation §2.5) → write one
+  * object per group under the reference's layout contract:
+  *
+  *   `<out>/<topics.dir>/<topic>/<encodedPartition>/<topic>+<kafkaPartition>+<paddedStartOffset>.<ext>`
+  *
+  * (TopicPartitionWriter.java:868-883.)
+  *
+  * Execution shape (scale-audited): ONE hash shuffle on
+  * `(kafkaPartition, encodedPartition, extraGroups)` feeds both window
+  * functions (row_number + min-offset share partitioning) and the write —
+  * each file group lives wholly inside one task, so the dynamic-partition
+  * write emits exactly one part file per `(encodedPartition, fileName)` dir
+  * with no second exchange. The commit is a per-file rename, the same cost
+  * class as Hadoop's FileOutputCommitter v1 / S3A committers. Deterministic
+  * names make replay idempotent (X1).
+  */
+object IngestWriter {
+
+  final case class FileInfo(encodedPartition: String, fileName: String,
+                            path: String)
+
+  private val EpartCol = "__epart"
+  private val FnameCol = "__fname"
+
+  /** Write `df` (must carry `kafkaPartition` and `offset` columns) as the
+    * reference layout. `payloadCols` are the columns stored inside each file.
+    * Returns the manifest of written objects. */
+  def write(df: DataFrame, cfg: IngestConfig, encodedPartition: Column,
+            outDir: String,
+            kafkaPartition: Column, offset: Column,
+            payloadCols: Seq[Column],
+            extraFileGroups: Seq[Column] = Nil,
+            extSuffix: String = ""): Seq[FileInfo] = {
+    val spark = df.sparkSession
+    val ext = extSuffix + cfg.extension
+
+    val groupKey = Seq(kafkaPartition, encodedPartition) ++ extraFileGroups
+    val grouped = Rotation.assignSizeFiles(
+      df.withColumn(EpartCol, encodedPartition),
+      struct(groupKey: _*), offset, cfg.flushSize)
+
+    val named = grouped.withColumn(
+      FnameCol,
+      FileNaming.fileName(lit(cfg.topic), kafkaPartition,
+        col(Rotation.StartOffsetCol), ext, cfg.padWidth))
+
+    val staging = s"$outDir/_staging_${cfg.topic}${extSuffix.replace(".", "_")}"
+    val writer = named
+      .select((payloadCols :+ col(EpartCol) :+ col(FnameCol)): _*)
+      .write.mode("overwrite")
+      .partitionBy(EpartCol, FnameCol)
+      .format(cfg.format.sparkFormat)
+    val withCompression = cfg.format match {
+      case OutputFormat.Json | OutputFormat.ByteArray =>
+        cfg.compression.fold(writer)(c => writer.option("compression", c))
+      case OutputFormat.Parquet | OutputFormat.Avro =>
+        cfg.compression.fold(writer)(c => writer.option("compression", c))
+    }
+    withCompression.save(staging)
+
+    promote(spark.sparkContext.hadoopConfiguration, staging,
+      s"$outDir/${cfg.topicsDir}/${cfg.topic}")
+  }
+
+  /** P4 K/V/H composite write
+    * (format/KeyValueHeaderRecordWriterProvider.java:63-144): value, `.keys`
+    * and `.headers` files share the same basename per file group; key
+    * non-null is enforced when keys are written (Utils.java:31-40 name
+    * contract). */
+  def writeKVH(df: DataFrame, cfg: IngestConfig, encodedPartition: Column,
+               outDir: String, kafkaPartition: Column, offset: Column,
+               valueCols: Seq[Column]): Seq[FileInfo] = {
+    val value = write(df, cfg, encodedPartition, outDir, kafkaPartition,
+      offset, valueCols)
+    val keys =
+      if (!cfg.writeKeys) Nil
+      else write(
+        df.withColumn("key", when(col("key").isNull,
+            raise_error(lit("store.kafka.keys requires non-null keys")))
+          .otherwise(col("key"))),
+        cfg, encodedPartition, outDir, kafkaPartition, offset,
+        Seq(struct(col("key")).as("RecordKey")), extSuffix = ".keys")
+    val headers =
+      if (!cfg.writeHeaders) Nil
+      else write(df, cfg, encodedPartition, outDir, kafkaPartition, offset,
+        Seq(col("headers")), extSuffix = ".headers")
+    value ++ keys ++ headers
+  }
+
+  /** Move staged `__epart=E/__fname=F/part-*` files to their contract names.
+    * Percent-decodes Spark's partition-path escaping (e.g. the `/` inside
+    * hourly paths arrives as `%2F` and must become real subdirectories). */
+  private def promote(hadoopConf: org.apache.hadoop.conf.Configuration,
+                      stagingDir: String, topicDir: String): Seq[FileInfo] = {
+    val fs = FileSystem.get(new java.net.URI(stagingDir), hadoopConf)
+    val staging = new Path(stagingDir)
+    if (!fs.exists(staging)) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[FileInfo]
+    for (epartStatus <- fs.listStatus(staging) if epartStatus.isDirectory) {
+      val epart = unescape(epartStatus.getPath.getName.stripPrefix(s"$EpartCol="))
+      for (fnameStatus <- fs.listStatus(epartStatus.getPath)
+           if fnameStatus.isDirectory) {
+        val fname = unescape(fnameStatus.getPath.getName.stripPrefix(s"$FnameCol="))
+        val parts = fs.listStatus(fnameStatus.getPath)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+            && !s.getPath.getName.startsWith("."))
+        require(parts.length == 1,
+          s"expected exactly 1 part file per group, got ${parts.length} in ${fnameStatus.getPath}")
+        val dest = new Path(s"$topicDir/$epart/$fname")
+        fs.mkdirs(dest.getParent)
+        if (fs.exists(dest)) fs.delete(dest, false) // X1: idempotent replay
+        fs.rename(parts.head.getPath, dest)
+        out += FileInfo(epart, fname, dest.toString)
+      }
+    }
+    fs.delete(staging, true)
+    out.sortBy(f => (f.encodedPartition, f.fileName)).toSeq
+  }
+
+  /** Inverse of Spark's `escapePathName` for the characters we can emit. */
+  private[ingest] def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.Tables
+import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents` and `embeddings`:
+  * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), text analysis
+  * (lang-ID, quality, tokens, fingerprints), similarity search, and the
+  * multimodal feature-extraction plumbing.
+  */
+object ContentQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  private def stopList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val queries: Map[String, Q] = Map(
+    "text_tokens" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).cast("long")
+          .as("total_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))),
+
+    "text_langid" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("pred", TextAnalysis.langId(col("text")))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("pred"))),
+
+    "text_quality" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+
+    "text_fingerprint" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // Exact dedup on the order-insensitive fingerprint: shuffled hash
+    // aggregate, map-side partial min.
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d), col("doc_id"),
+        TextAnalysis.fingerprint(col("text")))
+        .orderBy(col("keep_id"))),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(docs(s, d), col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // MinHash-LSH candidates + exact-Jaccard verification; the oracle is the
+    // exhaustive pair set, so this also asserts 100% recall at this SF.
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(docs(s, d), col("doc_id"), col("text"),
+        n = 3, numHashes = 32, bands = 16, threshold = 0.7)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // SimHash near-dups (rows-only: the 64-bit hash mixes engine-specific
+    // xxhash64, not expressible in the oracle SQL dialect).
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), col("doc_id"), col("text"), maxDist = 3)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDups(emb(s, d), col("vec_id"), col("embedding"),
+        threshold = 0.95)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    "sim_topk_bruteforce" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // IVF approximate top-k (rows-only; recall vs brute force asserted in
+    // SimilaritySpec).
+    "sim_topk_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10, nLists = 16, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Multimodal plumbing: documents' text bytes as opaque payloads through
+    // the mapPartitions feature extractor (decode step is a deterministic
+    // stub; schema/partitioning/batch shape are the real pipeline).
+    "mm_features" -> ((s, d) => {
+      val media = Multimodal.asMedia(docs(s, d), "doc_id", "text", "text/plain")
+      Multimodal.extractFeatures(media)
+        .select(col("id"), col("nBytes").as("n_bytes"),
+          col("fingerprint").as("fp"))
+        .orderBy(col("id"))
+    })
+  )
+
+  private val dims = Seq(
+    "en" -> TextAnalysis.EnStop, "fr" -> TextAnalysis.FrStop,
+    "de" -> TextAnalysis.DeStop, "es" -> TextAnalysis.EsStop)
+
+  private val langHits = dims.map { case (l, ws) =>
+    s"len(list_filter(string_split(text, ' '), x -> x IN ${stopList(ws)})) AS $l"
+  }.mkString(",\n    ")
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT source,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH h AS (SELECT doc_id, lang, text,
+         |    $langHits
+         |  FROM documents),
+         |p AS (SELECT lang, CASE
+         |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |    WHEN greatest(en, fr, de, es) = 0 THEN 'und'
+         |    WHEN en = greatest(en, fr, de, es) THEN 'en'
+         |    WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+         |    WHEN de = greatest(en, fr, de, es) THEN 'de'
+         |    ELSE 'es' END AS pred
+         |  FROM h)
+         |SELECT lang, pred, count(*) AS n_docs
+         |FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+         |    / greatest(length(text), 1), 6) AS punct_ratio,
+         |  round(len(list_filter(string_split(text, ' '),
+         |      x -> x IN ${stopList(TextAnalysis.EnStop)}))
+         |    / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 6)
+         |    AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    string_split(lower(text), ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents
+        |GROUP BY md5(array_to_string(list_sort(list_distinct(
+        |  string_split(lower(text), ' '))), ' '))
+        |ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" -> jaccardOracle(0.5),
+    "dedup_minhash_lsh" -> jaccardOracle(0.7),
+
+    "dedup_embedding" ->
+      s"""$simCte
+         |SELECT a_id, b_id, round(sim, 4) AS sim FROM p
+         |WHERE round(sim, 4) >= 0.95 ORDER BY a_id, b_id""".stripMargin,
+
+    "sim_topk_bruteforce" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id % 100 = 0),
+        |sc AS (SELECT q_id, c.vec_id AS n_id,
+        |    round(list_sum(list_transform(range(1, 65), i -> qe[i] * c.e[i]))
+        |      / (qn * c.nrm), 4) AS sim
+        |  FROM q JOIN n c ON c.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |  FROM sc)
+        |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "mm_features" ->
+      """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS fp
+        |FROM documents ORDER BY id""".stripMargin
+  )
+
+  /** Exhaustive 3-gram-shingle Jaccard pairs >= threshold; the jaccard
+    * double is a ratio of exact ints so it is bit-identical across engines. */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH sh AS (SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+       |      i -> array_to_string(list_slice(
+       |        string_split(lower(text), ' '), i, i + 2), ' '))) AS s
+       |  FROM documents),
+       |e AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.n_sh AS a_n, b.n_sh AS b_n, count(*) AS common
+       |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT a_id, b_id,
+       |  round(common / (a_n + b_n - common), 6) AS jaccard
+       |FROM p WHERE common / (a_n + b_n - common) >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+
+  private def simCte: String =
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e,
+      |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+      |      / (a.nrm * b.nrm) AS sim
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)""".stripMargin
+}

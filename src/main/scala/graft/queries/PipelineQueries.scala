@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.Tables
+import graft.ingest.{FileNaming, Partitioners, Rotation, SchemaCompat}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The ingest pipeline's operators (SURVEY §2.2–§2.5) exercised as
+  * relational queries over the `events` table standing in for a Kafka topic:
+  * `user_id % 8` plays the kafka partition, `event_id` the offset, `props`
+  * the value payload (tombstones injected at `event_id % 97 = 0`).
+  * Each query runs the actual library code (Partitioners/Rotation/
+  * FileNaming/SchemaCompat) and is verified against a DuckDB oracle that
+  * restates the reference's path/naming contracts.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .withColumn("kafka_partition", pmod(col("user_id"), lit(8)))
+      .withColumn("value_payload",
+        when(col("event_id") % 97 === 0, lit(null).cast("string"))
+          .otherwise(col("props")))
+
+  val queries: Map[String, Q] = Map(
+    // K1 DefaultPartitioner path contract: partition=<kafkaPartition>.
+    "ingest_partition_default" -> ((s, d) =>
+      events(s, d)
+        .groupBy(Partitioners.defaultPartition(col("kafka_partition"))
+          .as("encoded_partition"))
+        .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_offset"),
+          max(col("event_id")).as("max_offset"))
+        .orderBy(col("encoded_partition"))),
+
+    // K2 FieldPartitioner: <field>=<value>.
+    "ingest_partition_field" -> ((s, d) =>
+      events(s, d)
+        .groupBy(Partitioners.fieldPartition("event_type" -> col("event_type"))
+          .as("encoded_partition"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("encoded_partition"))),
+
+    // K5/K6 TimeBasedPartitioner default path format (hourly).
+    "ingest_partition_hourly" -> ((s, d) =>
+      events(s, d)
+        .groupBy(Partitioners.hourlyPartition(col("ts").cast("timestamp"))
+          .as("encoded_partition"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("encoded_partition"))),
+
+    // K7 DailyPartitioner.
+    "ingest_partition_daily" -> ((s, d) =>
+      events(s, d)
+        .groupBy(Partitioners.dailyPartition(col("ts").cast("timestamp"))
+          .as("encoded_partition"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("encoded_partition"))),
+
+    // K8 SchemaPartitioner prefix affix over a field partition.
+    "ingest_schema_affix" -> ((s, d) =>
+      events(s, d)
+        .groupBy(Partitioners.schemaNameAffix(
+          Partitioners.fieldPartition("event_type" -> col("event_type")),
+          lit("events_v1")).as("encoded_partition"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("encoded_partition"))),
+
+    // K9 tombstone-aware wrapper: null values route to `tombstone`.
+    "ingest_tombstone_partition" -> ((s, d) =>
+      events(s, d)
+        .groupBy(Partitioners.tombstoneAware(col("value_payload"),
+          Partitioners.fieldPartition("event_type" -> col("event_type")))
+          .as("encoded_partition"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("encoded_partition"))),
+
+    // F1 behavior.on.null.values=ignore.
+    "ingest_null_filter" -> ((s, d) =>
+      graft.ingest.RecordViews.applyNullBehavior(
+        events(s, d), graft.ingest.RecordViews.IgnoreNulls, "value_payload")
+        .agg(count(lit(1)).as("n_kept"))),
+
+    // R1+W13+X1: flush.size=100 file assignment + deterministic names.
+    "ingest_size_rotation" -> ((s, d) => {
+      val assigned = Rotation.assignSizeFiles(events(s, d),
+        col("kafka_partition"), col("event_id"), flushSize = 100)
+      assigned
+        .groupBy(col("kafka_partition"), col(Rotation.FileIndexCol).as("file_index"))
+        .agg(min(col("event_id")).as("start_offset"),
+          max(col("event_id")).as("end_offset"),
+          count(lit(1)).as("n_records"))
+        .withColumn("filename", FileNaming.fileName(lit("events"),
+          col("kafka_partition"), col("start_offset"), ".parquet"))
+        .orderBy(col("kafka_partition"), col("file_index"))
+    }),
+
+    // R2 event-time rotation buckets (rotate.interval.ms = 1h).
+    "ingest_time_rotation" -> ((s, d) =>
+      events(s, d)
+        .groupBy(
+          Partitioners.fieldPartition("event_type" -> col("event_type"))
+            .as("encoded_partition"),
+          Rotation.timeFileGroup(col("ts").cast("timestamp"), 3600000L)
+            .as("file_bucket"))
+        .agg(count(lit(1)).as("n_records"), min(col("event_id")).as("start_offset"))
+        .orderBy(col("encoded_partition"), col("file_bucket"))),
+
+    // P5 schema-compatibility projection onto a wider v2 schema.
+    "ingest_schema_projection" -> ((s, d) => {
+      val target = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("annotation", StringType)))
+      SchemaCompat.project(
+        events(s, d).select(col("event_id"), col("event_type"), col("value")),
+        target).orderBy(col("event_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ingest_partition_default" ->
+      """SELECT concat('partition=', CAST(user_id % 8 AS VARCHAR)) AS encoded_partition,
+        |  count(*) AS cnt, min(event_id) AS min_offset, max(event_id) AS max_offset
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ingest_partition_field" ->
+      """SELECT concat('event_type=', event_type) AS encoded_partition,
+        |  count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ingest_partition_hourly" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP),
+        |    'year=%Y/month=%m/day=%d/hour=%H') AS encoded_partition,
+        |  count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ingest_partition_daily" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP),
+        |    'year=%Y/month=%m/day=%d') AS encoded_partition,
+        |  count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ingest_schema_affix" ->
+      """SELECT concat('schema_name=events_v1/event_type=', event_type)
+        |    AS encoded_partition,
+        |  count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ingest_tombstone_partition" ->
+      """SELECT CASE WHEN event_id % 97 = 0 THEN 'tombstone'
+        |    ELSE concat('event_type=', event_type) END AS encoded_partition,
+        |  count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ingest_null_filter" ->
+      """SELECT count(*) AS n_kept FROM events
+        |WHERE NOT (event_id % 97 = 0)""".stripMargin,
+
+    "ingest_size_rotation" ->
+      """WITH numbered AS (
+        |  SELECT user_id % 8 AS kafka_partition, event_id,
+        |    row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS rn
+        |  FROM events)
+        |SELECT kafka_partition,
+        |  CAST(floor(rn / 100) AS BIGINT) AS file_index,
+        |  min(event_id) AS start_offset, max(event_id) AS end_offset,
+        |  count(*) AS n_records,
+        |  concat('events+', CAST(kafka_partition AS VARCHAR), '+',
+        |    lpad(CAST(min(event_id) AS VARCHAR), 10, '0'), '.parquet') AS filename
+        |FROM numbered GROUP BY kafka_partition, floor(rn / 100)
+        |ORDER BY kafka_partition, file_index""".stripMargin,
+
+    "ingest_time_rotation" ->
+      """SELECT concat('event_type=', event_type) AS encoded_partition,
+        |  CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 3600000) AS BIGINT)
+        |    AS file_bucket,
+        |  count(*) AS n_records, min(event_id) AS start_offset
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ingest_schema_projection" ->
+      """SELECT event_id, event_type, value,
+        |  CAST(NULL AS VARCHAR) AS annotation
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

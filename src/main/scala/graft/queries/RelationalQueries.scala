@@ -1,0 +1,440 @@
+package graft.queries
+
+import graft.Tables
+import graft.analytics.AsOf
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational/analytical query surface (SURVEY §2.8): the operators the
+  * reference's downstream consumers (Athena/Hive/Spark over the S3 layout)
+  * supply, exposed here as first-class engine capabilities. Every query has
+  * a DuckDB oracle; computed doubles are rounded and integer outputs are
+  * int64 on both sides so value hashes compare exactly.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Map[String, Q] = Map(
+    // Hash aggregate with partial (map-side) combine; single shuffle on the
+    // two low-cardinality group keys.
+    "q01_pricing_summary" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .filter(col("l_shipdate") <= "2000-12-01")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Predicate pushdown + column pruning: both filters and the 4-column
+    // ReadSchema reach the parquet scan.
+    "q02_filter_pushdown" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .filter(col("l_shipdate") >= "1998-01-01" && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // 3-way join + agg + top-k (TPC-H Q3 shape). customer is broadcast.
+    "q03_shipping_priority" -> ((s, d) => {
+      val c = T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = T(s, d, "orders").filter(col("o_orderdate") < "1998-01-01")
+      val l = T(s, d, "lineitem").filter(col("l_shipdate") > "1998-01-01")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Broadcast join: the 2k-row part dim never shuffles the fact table.
+    "q04_broadcast_join" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .join(broadcast(T(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // 5-way star join; all dims broadcast, one shuffle for the final agg.
+    "q05_star_join" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(T(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_rows"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q06_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Pre-aggregate to a unique (orderkey, linenumber) key so the running
+    // sum has a total order — deterministic across engines.
+    "q07_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, d, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sum(col("qty")).over(w), 2).as("running_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Top-k: TakeOrderedAndProject — no global sort of 600k rows.
+    "q08_topk" -> ((s, d) =>
+      T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)),
+
+    "q09_except" -> ((s, d) =>
+      T(s, d, "customer").select(col("c_custkey"))
+        .except(T(s, d, "orders").select(col("o_custkey").as("c_custkey")))
+        .orderBy(col("c_custkey"))),
+
+    "q10_intersect" -> ((s, d) => {
+      val o = T(s, d, "orders")
+      o.filter(col("o_orderdate") < "1998-01-01").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderdate") >= "1998-01-01")
+          .select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q11_semi_join" -> ((s, d) =>
+      T(s, d, "customer")
+        .join(T(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "q12_anti_join" -> ((s, d) =>
+      T(s, d, "part")
+        .join(T(s, d, "lineitem"),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))),
+
+    "q13_rollup" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // GROUPING SETS through the SQL surface (Catalyst Expand operator).
+    "q14_grouping_sets" -> ((s, d) => {
+      T(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    "q15_cube" -> ((s, d) =>
+      T(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Equi-key + range predicate join.
+    "q16_range_join" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .join(T(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("interval 90 days"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_late"))
+        .orderBy(col("l_orderkey"))),
+
+    // As-of join: for each purchase, the latest preceding click of the same
+    // user (composed equi-join + window dedup, AsOf.asofJoin).
+    "q17_asof_join" -> ((s, d) => {
+      val e = T(s, d, "events").withColumn("ts", col("ts").cast("timestamp"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_event"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_event"))
+      AsOf.asofJoin(p, c, key = "user_id", leftTs = "p_ts", rightTs = "c_ts",
+        rightTieBreak = "c_event",
+        leftCols = Seq("p_event"), rightCols = Seq("c_event"))
+        .orderBy(col("p_event"))
+    }),
+
+    "q18_scalar_string" -> ((s, d) =>
+      T(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))),
+
+    "q19_date_extract" -> ((s, d) =>
+      T(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("yr"), col("mo"))),
+
+    "q20_distinct_count" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"))
+        .orderBy(col("l_returnflag"))),
+
+    "q21_union_all" -> ((s, d) =>
+      T(s, d, "customer").agg(count(lit(1)).as("cnt"))
+        .select(lit("customer").as("src"), col("cnt"))
+        .unionAll(T(s, d, "supplier").agg(count(lit(1)).as("cnt"))
+          .select(lit("supplier").as("src"), col("cnt")))
+        .orderBy(col("src"))),
+
+    "q22_conditional_agg" -> ((s, d) =>
+      T(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(when(col("o_totalprice") > 100000, 1).otherwise(0))
+          .cast("long").as("big_orders"),
+          count(lit(1)).as("total"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Gap-based sessionization (30-min), the batch shape of
+    // streaming/Sessionize: lag → break flag → running sum.
+    "q23_sessionize" -> ((s, d) => {
+      val ms = unix_millis(col("ts").cast("timestamp"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val e = T(s, d, "events")
+        .select(col("user_id"), col("event_id"), ms.as("ms"))
+        .withColumn("prev", lag(col("ms"), 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev").isNull || col("ms") - col("prev") > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("brk"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      e.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Event-time tumbling window agg (batch shape of the streaming path).
+    "q24_window_hourly" -> ((s, d) =>
+      T(s, d, "events")
+        .groupBy(window(col("ts").cast("timestamp"), "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= '1998-01-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < '1998-01-01' AND l_shipdate > '1998-01-01'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q04_broadcast_join" ->
+      """SELECT p_brand, round(sum(l_extendedprice), 2) AS sum_price,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q05_star_join" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q06_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q07_window_running" ->
+      """WITH g AS (SELECT l_orderkey, l_linenumber, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(sum(qty) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q08_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q09_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderdate < '1998-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q11_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q14_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q15_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q16_range_join" ->
+      """SELECT l_orderkey, count(*) AS n_late
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q17_asof_join" ->
+      """WITH p AS (SELECT event_id AS p_event, user_id,
+        |    CAST(ts AS TIMESTAMP) AS p_ts FROM events
+        |    WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_event, user_id,
+        |    CAST(ts AS TIMESTAMP) AS c_ts FROM events
+        |    WHERE event_type = 'click'),
+        |j AS (SELECT p_event, c_event,
+        |    row_number() OVER (PARTITION BY p_event
+        |      ORDER BY c_ts DESC, c_event DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c_ts <= p_ts)
+        |SELECT p_event, c_event FROM j WHERE rn = 1 ORDER BY p_event""".stripMargin,
+
+    "q18_scalar_string" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  length(p_name) AS name_len, substr(p_type, 1, 5) AS type5,
+        |  concat(p_brand, ':', p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q19_date_extract" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q20_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+        |  count(DISTINCT l_suppkey) AS nd_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q21_union_all" ->
+      """SELECT 'customer' AS src, count(*) AS cnt FROM customer
+        |UNION ALL
+        |SELECT 'supplier' AS src, count(*) AS cnt FROM supplier
+        |ORDER BY src""".stripMargin,
+
+    "q22_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS big_orders,
+        |  count(*) AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q23_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+        |g AS (SELECT user_id, event_id, ms,
+        |    CASE WHEN lag(ms) OVER w IS NULL
+        |      OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |s AS (SELECT user_id,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q24_window_hourly" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:00') AS hour_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
