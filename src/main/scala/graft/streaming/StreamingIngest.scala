@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.ingest.{IngestConfig, IngestWriter}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming face of the engine (SURVEY §3 mapping):
+  *  - micro-batch ingest via foreachBatch → IngestWriter (deterministic
+  *    names + checkpoint replay = the reference's exactly-once X1/X2: the
+  *    checkpoint WAL is the offset store, object-key determinism makes
+  *    replays overwrite idempotently);
+  *  - R4 wall-clock rotation maps to the trigger interval;
+  *  - watermarked event-time aggregation and stateful sessionization are
+  *    the extension operators the reference lacks (SURVEY §2.8 watermarks).
+  */
+object StreamingIngest {
+
+  /** Start the sink pipeline on any streaming frame (Kafka source in
+    * production: `spark.readStream.format("kafka")...` yields the same
+    * 7-tuple; file streams in tests). */
+  def start(frame: DataFrame, cfg: IngestConfig, encodedPartition: Column,
+            outDir: String, checkpointDir: String,
+            kafkaPartition: Column, offset: Column,
+            payloadCols: Seq[Column],
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    frame.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IngestWriter.write(batch, cfg, encodedPartition, outDir,
+          kafkaPartition, offset, payloadCols)
+        ()
+      }
+      .start()
+
+  /** Watermarked tumbling-window aggregation — late data beyond the
+    * watermark is dropped, the semantics the reference explicitly lacks
+    * (out-of-order records silently land in old partitions,
+    * TopicPartitionWriterTest.java:655-709). */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowDuration: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+
+  final case class SessionEvent(user_id: Long, event_id: Long, ts_ms: Long)
+  final case class SessionState(sessionId: Long, lastTsMs: Long, nEvents: Long)
+  final case class SessionUpdate(user_id: Long, session_id: Long,
+                                 n_events: Long)
+
+  /** Gap-based sessionization with explicit keyed state
+    * (mapGroupsWithState) — the streaming twin of the batch q23_sessionize
+    * query. Emits the running summary of each user's current session. */
+  def sessionize(events: Dataset[SessionEvent],
+                 gapMs: Long): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          it.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+            st =
+              if (st.lastTsMs == Long.MinValue || e.ts_ms - st.lastTsMs > gapMs)
+                SessionState(st.sessionId + 1, e.ts_ms, 1L)
+              else SessionState(st.sessionId, e.ts_ms, st.nEvents + 1L)
+          }
+          state.update(st)
+          SessionUpdate(user, st.sessionId, st.nEvents)
+      }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.analytics
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf0001, "documents").cache()
+
+  test("exact dedup keeps the min id per key") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "t")
+    val r = Dedup.exact(df, col("id"), col("t"))
+      .orderBy("keep_id").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccard pairs: identical docs score 1.0, disjoint docs absent") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "the quick brown fox jumps over the dog"),
+      (3L, "entirely different words here nothing shared at all"))
+      .toDF("id", "t")
+    val r = Dedup.jaccardPairs(df, col("id"), col("t"), 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical text → distance 0; small edit → small distance") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"))
+      .toDF("id", "t")
+    val h = df.select(col("id"), Dedup.simhash(col("t")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) <= 16)
+  }
+
+  test("simhash pigeonhole bucketing finds all pairs within maxDist " +
+    "(vs brute force on sf0.001 documents)") {
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over collected hashes
+    val hs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(pairs == brute)
+  }
+
+  test("minhash-LSH pairs equal exhaustive jaccard pairs at sf0.001 " +
+    "(full recall at threshold 0.7)") {
+    val lsh = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.7)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("embedding near-dups are symmetric-free (a_id < b_id) and above " +
+    "threshold") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val r = Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"), 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(r.forall { case (a, b, s) => a < b && s >= 0.9 })
+  }
+}

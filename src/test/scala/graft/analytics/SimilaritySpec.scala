@@ -1,0 +1,55 @@
+package graft.analytics
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf0001, "embeddings").cache()
+  private lazy val queries = emb.filter(col("vec_id") % 50 === 0)
+
+  test("cosine of a vector with itself is 1") {
+    val self = Similarity.cosinePairs(
+      emb.limit(1).union(emb.limit(1))
+        .withColumn("vec_id", monotonically_increasing_id()),
+      col("vec_id"), col("embedding"))
+    val sims = self.as[(Long, Long, Double)].collect()
+    assert(sims.length == 1 && math.abs(sims.head._3 - 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val r = Similarity.bruteForceTopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k = 5)
+    val byQ = r.as[(Long, Long, Double, Int)].collect().groupBy(_._1)
+    assert(byQ.values.forall(_.length == 5))
+    // ranks are 1..5 with non-increasing sim
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to 5))
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    }
+  }
+
+  test("IVF probing all lists equals brute force; partial probe trades " +
+    "recall for a 4/16 scan fraction") {
+    val k = 10
+    val bf = Similarity.bruteForceTopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // nProbe = nLists covers every inverted list → must be exact
+    val full = Similarity.ivfTopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k,
+      nLists = 16, nProbe = 16)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(full == bf)
+    // partial probe: recall floor on sf0.001's near-isotropic vectors
+    // (scans ~1/4 of the corpus; measured ~0.44 here — real ANN tradeoff)
+    val ivf = Similarity.ivfTopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k,
+      nLists = 16, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.analytics
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def langOf(s: String): String =
+    Seq(s).toDF("t").select(TextAnalysis.langId(col("t")).as("l"))
+      .head.getString(0)
+
+  test("language ID: stopword argmax with fixed tie order") {
+    assert(langOf("the cat sat on a mat full of cream") == "en")
+    assert(langOf("le chat est dans la maison et il dort") == "fr")
+    assert(langOf("der hund ist nicht ein kleines tier und") == "de")
+    assert(langOf("los gatos y el perro es por la casa") == "es")
+    assert(langOf("这 是 中文 文本") == "zh")
+    assert(langOf("zxcv qwer asdf") == "und")
+  }
+
+  test("fingerprint is order-insensitive and duplicate-insensitive") {
+    val df = Seq("b a c", "c b a", "a b c c").toDF("t")
+    val fps = df.select(TextAnalysis.fingerprint(col("t")).as("f"))
+      .as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+
+  test("token count uses the single-space contract") {
+    val r = Seq("a b  c").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("n")).head.getInt(0)
+    assert(r == 4) // "a","b","","c" — empty token preserved, same as oracle
+  }
+
+  test("shingles: distinct word trigrams; short docs yield one shingle") {
+    val r = Seq("a b c d").toDF("t")
+      .select(TextAnalysis.shingles(col("t"), 3).as("s"))
+      .head.getSeq[String](0)
+    assert(r.toSet == Set("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextAnalysis.shingles(col("t"), 3).as("s"))
+      .head.getSeq[String](0)
+    assert(short.toSeq == Seq("a b"))
+  }
+
+  test("quality gate rejects too-short and over-punctuated docs") {
+    val df = Seq(
+      ("good long document with plenty of reasonable words inside it", true),
+      ("tiny", false),
+      ("!!! ??? ... !!! ??? ... !!!", false)).toDF("t", "expect")
+    val r = df.select(col("expect"),
+      TextAnalysis.qualityKeep(col("t")).as("keep")).as[(Boolean, Boolean)]
+      .collect()
+    r.foreach { case (expect, keep) => assert(keep == expect) }
+  }
+
+  test("token estimate counts words and punctuation") {
+    val r = Seq("hello, world! this is fine").toDF("t")
+      .select(TextAnalysis.tokenEstimate(col("t")).as("n")).head.getInt(0)
+    assert(r >= 7) // 5 words + 2 punct (+ length/16 term)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ingest
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Path-string contracts from the reference's tests
+  * (TopicPartitionWriterTest.java:287, :357-359, :749-789, :2242-2347). */
+class PartitionersSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): String =
+    Seq(1).toDF("x").select(c.as("r")).head.getString(0)
+
+  test("K1 default partitioner: partition=<kafkaPartition>") {
+    val r = Seq((0, "v")).toDF("partition", "v")
+      .select(Partitioners.defaultPartition(col("partition")).as("e"))
+      .head.getString(0)
+    assert(r == "partition=0")
+  }
+
+  test("K2 field partitioner single field: int=16") {
+    val r = Seq(16).toDF("int")
+      .select(Partitioners.fieldPartition("int" -> col("int")).as("e"))
+      .head.getString(0)
+    assert(r == "int=16")
+  }
+
+  test("K3 multi-field partitioner: f1=v1/f2=v2") {
+    val r = Seq(("a", 2)).toDF("f1", "f2")
+      .select(Partitioners.fieldPartition(
+        "f1" -> col("f1"), "f2" -> col("f2")).as("e"))
+      .head.getString(0)
+    assert(r == "f1=a/f2=2")
+  }
+
+  test("K5/K6 hourly partitioner default path format") {
+    val r = Seq("2017-03-02 10:15:00").toDF("s")
+      .select(Partitioners.hourlyPartition(col("s").cast("timestamp")).as("e"))
+      .head.getString(0)
+    assert(r == "year=2017/month=03/day=02/hour=10")
+  }
+
+  test("K7 daily partitioner") {
+    val r = Seq("2017-03-02 10:15:00").toDF("s")
+      .select(Partitioners.dailyPartition(col("s").cast("timestamp")).as("e"))
+      .head.getString(0)
+    assert(r == "year=2017/month=03/day=02")
+  }
+
+  test("K8 schema affix: prefix and suffix, null schema name") {
+    assert(one(Partitioners.schemaNameAffix(lit("partition=0"), lit("s1")))
+      == "schema_name=s1/partition=0")
+    assert(one(Partitioners.schemaNameAffix(lit("partition=0"), lit("s1"),
+      prefix = false)) == "partition=0/schema_name=s1")
+    assert(one(Partitioners.schemaNameAffix(lit("partition=0"),
+      lit(null).cast("string"))) == "schema_name=null/partition=0")
+  }
+
+  test("K9 tombstone-aware: null value routes to tombstone") {
+    val df = Seq((Some("v"), 3), (None, 4)).toDF("value", "p")
+    val r = df.select(Partitioners.tombstoneAware(col("value"),
+      Partitioners.defaultPartition(col("p"))).as("e"))
+      .collect.map(_.getString(0))
+    assert(r.toSeq == Seq("partition=3", "tombstone"))
+  }
+
+  test("K12 record-field extractor falls back to record ts for tombstones") {
+    val df = Seq((Some("2020-01-01 00:00:00"), "2021-06-01 12:00:00"),
+      (None, "2021-06-01 12:00:00")).toDF("field_ts", "record_ts")
+    val r = df.select(Partitioners.recordFieldTimestamp(
+      col("field_ts").cast("timestamp"),
+      col("record_ts").cast("timestamp")).cast("string").as("e"))
+      .collect.map(_.getString(0))
+    assert(r.toSeq == Seq("2020-01-01 00:00:00", "2021-06-01 12:00:00"))
+  }
+
+  test("K13 partitioned path assembly") {
+    assert(one(Partitioners.partitionedPath("topics", lit("t"),
+      lit("partition=0"))) == "topics/t/partition=0")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ingest
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class RotationSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("R1 flush.size=3 produces files at start offsets 0,3,6 " +
+    "(reference quickstart contract, TopicPartitionWriterTest.java:288-292)") {
+    val df = (0L to 8L).map(o => (0, o)).toDF("part", "offset")
+    val assigned = Rotation.assignSizeFiles(df, col("part"), col("offset"), 3)
+    val starts = assigned.select(col(Rotation.StartOffsetCol)).distinct()
+      .as[Long].collect().sorted
+    assert(starts.toSeq == Seq(0L, 3L, 6L))
+    val counts = assigned.groupBy(col(Rotation.FileIndexCol)).count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(0L -> 3L, 1L -> 3L, 2L -> 3L))
+  }
+
+  test("R1 file assignment is per-partition and offset-ordered") {
+    val df = Seq((0, 10L), (1, 5L), (0, 11L), (1, 6L), (0, 12L), (0, 13L))
+      .toDF("part", "offset")
+    val assigned = Rotation.assignSizeFiles(df, col("part"), col("offset"), 3)
+    val r = assigned.select(col("part"), col("offset"),
+      col(Rotation.FileIndexCol), col(Rotation.StartOffsetCol))
+      .as[(Int, Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(r.toSeq == Seq(
+      (0, 10L, 0L, 10L), (0, 11L, 0L, 10L), (0, 12L, 0L, 10L),
+      (0, 13L, 1L, 13L),
+      (1, 5L, 0L, 5L), (1, 6L, 0L, 5L)))
+  }
+
+  test("R2 time buckets: epoch-aligned floor(ts/interval)") {
+    val df = Seq("2024-01-01 00:10:00", "2024-01-01 00:59:59",
+      "2024-01-01 01:00:00").toDF("s")
+    val r = df.select(Rotation.timeFileGroup(col("s").cast("timestamp"),
+      3600000L).as("b")).as[Long].collect()
+    assert(r(0) == r(1) && r(2) == r(0) + 1)
+  }
+
+  test("R4 next scheduled rotation is day-aligned in the given timezone " +
+    "(reference DateTimeUtils.getNextTimeAdjustedByDay)") {
+    val tz = java.time.ZoneId.of("America/Los_Angeles")
+    // 2017-03-02 10:17 PST; hourly schedule → next fire 11:00 PST
+    val now = java.time.ZonedDateTime.of(2017, 3, 2, 10, 17, 0, 0, tz)
+      .toInstant.toEpochMilli
+    val next = Rotation.nextScheduledRotation(now, 3600000L, tz)
+    val expect = java.time.ZonedDateTime.of(2017, 3, 2, 11, 0, 0, 0, tz)
+      .toInstant.toEpochMilli
+    assert(next == expect)
+  }
+
+  test("R4 day alignment across the spring-forward DST boundary") {
+    val tz = java.time.ZoneId.of("America/Los_Angeles")
+    // 2017-03-12: 02:00 PST jumps to 03:00 PDT. At 01:30 PST with a 1h
+    // schedule, day-start+floor model fires at the next whole interval
+    // after 1.5h-since-day-start = 2h → 02:00 PST wall = 03:00 PDT.
+    val now = java.time.ZonedDateTime.of(2017, 3, 12, 1, 30, 0, 0, tz)
+      .toInstant.toEpochMilli
+    val next = Rotation.nextScheduledRotation(now, 3600000L, tz)
+    assert(next - now == 1800000L)
+  }
+
+  test("R6 tombstone file grouping separates null and non-null values") {
+    val df = Seq(Some("a"), None, Some("b")).toDF("value")
+    val groups = df.select(Rotation.tombstoneFileGroup(col("value")).as("g"))
+      .as[Boolean].collect()
+    assert(groups.toSeq == Seq(false, true, false))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.ingest.{IngestConfig, Partitioners}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class StreamingIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("kafka_partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  test("streaming ingest via foreachBatch writes the reference layout with " +
+    "checkpointed exactly-once") {
+    val src = Files.createTempDirectory("stream_src").toString
+    val out = Files.createTempDirectory("stream_out").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+
+    (0 until 2).foreach { batch =>
+      (0L until 10L).map(i => (0, batch * 10 + i, s"t${i % 2}", i * 1.0))
+        .toDF("kafka_partition", "offset", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = StreamingIngest.start(stream,
+      IngestConfig(topic = "st", flushSize = 100),
+      Partitioners.fieldPartition("event_type" -> col("event_type")),
+      out, ckpt, col("kafka_partition"), col("offset"),
+      payloadCols = Seq(col("offset"), col("event_type"), col("value")))
+    q.awaitTermination(60000)
+
+    val back = spark.read.parquet(s"$out/topics/st/*")
+    assert(back.count() == 20)
+    val dirs = new java.io.File(s"$out/topics/st").listFiles().map(_.getName).sorted
+    assert(dirs.toSeq == Seq("event_type=t0", "event_type=t1"))
+    val names = new java.io.File(s"$out/topics/st/event_type=t0")
+      .listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(names.forall(_.matches("st\\+0\\+\\d{10}\\.parquet")))
+  }
+
+  test("watermarked windowed counts aggregate by event-time hour") {
+    val src = Files.createTempDirectory("wm_src").toString
+    Seq(
+      (1L, "2024-01-01 00:10:00", "click"),
+      (2L, "2024-01-01 00:50:00", "click"),
+      (3L, "2024-01-01 01:10:00", "view"))
+      .toDF("id", "s", "event_type")
+      .withColumn("ts", col("s").cast("timestamp"))
+      .drop("s").coalesce(1).write.mode("append").parquet(src)
+
+    val sschema = StructType(Seq(StructField("id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(sschema).parquet(src)
+    val agg = StreamingIngest.windowedCounts(stream, "ts", "event_type")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("wm_counts").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val r = spark.table("wm_counts")
+      .select(date_format(col("window_start"), "HH:mm").as("h"),
+        col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(r == Set(("00:00", "click", 2L), ("01:00", "view", 1L)))
+  }
+
+  test("stateful sessionization groups by gap") {
+    import StreamingIngest._
+    val src = Files.createTempDirectory("sess_src").toString
+    Seq(
+      SessionEvent(1L, 1L, 1000L), SessionEvent(1L, 2L, 2000L),
+      SessionEvent(1L, 3L, 100000L), // > 30s gap → new session
+      SessionEvent(2L, 4L, 500L))
+      .toDF().coalesce(1).write.mode("append").parquet(src)
+
+    val sschema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts_ms", LongType)))
+    val stream = spark.readStream.schema(sschema).parquet(src)
+      .as[SessionEvent]
+    val q = sessionize(stream, gapMs = 30000L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sessions").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val r = spark.table("sessions").as[SessionUpdate].collect()
+      .map(u => u.user_id -> (u.session_id, u.n_events)).toMap
+    // user 1 ends in session 2 with 1 event; user 2 in session 1 with 1
+    assert(r(1L) == (2L, 1L))
+    assert(r(2L) == (1L, 1L))
+  }
+}
