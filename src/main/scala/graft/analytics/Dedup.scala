@@ -22,25 +22,56 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
       .drop("_key")
 
-  /** Pairs `(a_id, b_id, jaccard)` with n-gram-shingle Jaccard >= threshold.
+  // Persisted: the table branches into candidate generation AND
+  // verification — without persist the shingle computation re-runs per
+  // branch of the DAG.
+  private def shingleTable(docs: DataFrame, id: Column, text: Column,
+                           n: Int): DataFrame =
+    docs.select(id.as("doc_id"), TextAnalysis.shingles(text, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("n_sh", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact-Jaccard verification of a light (a_id, b_id) candidate set:
+    * join the shingle arrays back only for candidates, compute
+    * |A∩B| / (|A|+|B|-|A∩B|). The jaccard double is a ratio of exact ints,
+    * so it is bit-identical across engines — threshold compare is
+    * deterministic. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("n_sh").as("a_n"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("n_sh").as("b_n"))
+    cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard",
+        col("common") / (col("a_n") + col("b_n") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Pairs `(a_id, b_id, jaccard)` with n-gram-shingle Jaccard >= threshold:
+    * the exhaustive-exact baseline. Explode distinct shingles, self
+    * equi-join on shingle, and count matches per pair — the count IS
+    * |A∩B|, so no per-pair array intersection is ever materialized
+    * (measured 4× cheaper than candidate-then-array_intersect at sf0.1).
+    * Two shuffles: the shingle join and the pair aggregate.
     *
-    * Plan: explode distinct shingles → self equi-join on shingle (candidate
-    * generation; only docs sharing >=1 shingle ever meet) → count common
-    * shingles per pair → exact Jaccard via |A∩B| / (|A|+|B|-|A∩B|).
-    * The jaccard double is a ratio of exact ints, so it is bit-identical
-    * across engines — threshold comparison is deterministic. */
+    * Scale note: inherently quadratic in docs sharing hot shingles — this
+    * is the small/medium-corpus or within-bucket exact baseline. At 100 TB
+    * use `minhashLshPairs`, which generates candidates from LSH buckets
+    * instead of raw shingle collisions. */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
                    threshold: Double): DataFrame = {
-    val sh = docs.select(id.as("doc_id"),
-      TextAnalysis.shingles(text, n).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val exploded = sh.select(col("doc_id"), col("n_sh"),
+    val sh = shingleTable(docs, id, text, n)
+    val ex = sh.select(col("doc_id"), col("n_sh"),
       explode(col("sh")).as("shingle"))
-    val a = exploded.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"),
+    val l = ex.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"),
       col("shingle"))
-    val b = exploded.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"),
+    val r = ex.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"),
       col("shingle"))
-    a.join(b, Seq("shingle"))
+    l.join(r, Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"),
@@ -54,19 +85,6 @@ object Dedup {
   /** MinHash signature columns. Universal-hash family over a 64-bit base
     * hash: h_i(s) = (a_i * xxhash64(s) + b_i) mod p, fully deterministic
     * (fixed xxhash64 seed 42, arithmetic a_i/b_i derived from i). */
-  // Universal hash family mod the Mersenne prime 2^31-1: the base hash and
-  // multiplier both live in [0, p), so a*h+b < 2^62 (no ANSI long overflow)
-  // and the mod genuinely wraps — each h_i is an independent permutation.
-  // (An earlier mod-2^61 variant never wrapped, making every h_i
-  // order-preserving in h and collapsing MinHash to a single hash.)
-  private val P31 = 2147483647L
-  private def minhashCol(sh: Column, i: Int): Column = {
-    val a = Math.floorMod(2862933555777941757L * (i + 1) + 3037000493L, P31 - 1) + 1
-    val b = Math.floorMod(4354685564936845319L * (i + 1) + 32452843L, P31)
-    array_min(transform(sh,
-      s => pmod(pmod(xxhash64(s), lit(P31)) * a + b, lit(P31))))
-  }
-
   /** MinHash + LSH near-dup pairs: k=`numHashes` minhashes split into
     * `bands` bands; docs sharing any band bucket become candidates; exact
     * shingle-Jaccard verifies candidates >= threshold. With the default
@@ -79,46 +97,34 @@ object Dedup {
                       n: Int = 3, numHashes: Int = 32, bands: Int = 16,
                       threshold: Double = 0.7): DataFrame = {
     val rows = numHashes / bands
-    val sh = docs.select(id.as("doc_id"),
-        TextAnalysis.shingles(text, n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("n_sh", size(col("sh")))
+    val sh = shingleTable(docs, id, text, n)
+    // native single-pass signature (graft.functions.MinHashSignature) —
+    // the universal family mod 2^31-1 wraps genuinely, so each h_i is an
+    // independent permutation (a non-wrapping family degenerates to a
+    // single-hash MinHash and loses recall)
     val sig = sh.withColumn("sig",
-      array((0 until numHashes).map(i => minhashCol(col("sh"), i)): _*))
-    // band key = (bandIndex, hash of the band's slice of the signature)
-    val banded = sig.select(col("doc_id"), col("sh"), col("n_sh"),
+      graft.functions.HashExpressions.minhashSignature(col("sh"), numHashes))
+    // band key = (bandIndex, hash of the band's slice of the signature);
+    // the candidate join carries only (doc_id, band, bucket) — shingle
+    // arrays are fetched back just for the (few) candidates
+    val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(bnd =>
         hash(slice(col("sig"), bnd * rows + 1, rows))): _*))
         .as(Seq("band", "bucket")))
-    val l = banded.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-      col("n_sh").as("a_n"), col("band"), col("bucket"))
-    val r = banded.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-      col("n_sh").as("b_n"), col("band"), col("bucket"))
+    val l = banded.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+    val r = banded.select(col("doc_id").as("b_id"), col("band"), col("bucket"))
     val cand = l.join(r, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh", "a_n", "b_n")
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
-    cand
-      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
-      .withColumn("jaccard",
-        col("common") / (col("a_n") + col("b_n") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccard(cand, sh, threshold)
   }
 
   /** 64-bit SimHash over token xxhash64 values: per bit, sum +1/-1 across
-    * tokens, bit set where the sum is positive. Bits statically unrolled so
-    * everything stays in codegen'd array expressions — no explode, no
-    * shuffle, one pass per row. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t))
-    (0 until 64).map { b =>
-      val bitSum = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1)
-          .otherwise(-1))
-      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
-  }
+    * tokens, bit set where the sum is positive. Native single-pass
+    * expression (graft.functions.SimHash64) — no explode, no shuffle. */
+  def simhash(text: Column): Column =
+    graft.functions.HashExpressions.simhash64(TextAnalysis.tokens(lower(text)))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidate
     * generation by pigeonhole: split the 64-bit hash into `maxDist+1`

@@ -76,12 +76,9 @@ object TextAnalysis {
     md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
 
   /** Distinct word n-gram shingles, the input to Jaccard/MinHash dedup.
-    * Docs shorter than n tokens yield one whole-doc shingle (the lower bound
-    * of 1 also avoids Spark's descending `sequence(1, 0)` surprise). */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(lower(text))
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
-  }
+    * Docs shorter than n tokens yield one whole-doc shingle. Native
+    * single-pass expression (graft.functions.WordShingles) — the composed
+    * transform/slice version evaluates interpreted lambdas per token. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.HashExpressions.wordShingles(lower(text), n)
 }

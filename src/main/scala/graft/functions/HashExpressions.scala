@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hash-sketch hot paths.
+  *
+  * The composed higher-order-function versions (64 `aggregate` lambdas for
+  * SimHash, 32 `transform` lambdas for MinHash) evaluate interpreted, one
+  * lambda invocation per element per hash — measured 8-11s each at sf0.1.
+  * These single-pass native loops do the same arithmetic in one traversal
+  * of the token array per row. Both reuse Spark's XxHash64Function so
+  * results are bit-identical to the `xxhash64()` builtin.
+  */
+
+/** 64-bit SimHash over an array<string> of tokens: per bit, +1/-1 vote from
+  * each token's xxhash64(seed=42); bit set where the vote sum is positive. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<string>, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** MinHash signature over an array<string> of shingles: `numHashes`
+  * independent permutations h_i(s) = (a_i * base(s) + b_i) mod (2^31-1)
+  * with base(s) = xxhash64(s) mod (2^31-1); returns array<long> of minima.
+  * Single pass: base hash computed once per shingle, k affine transforms
+  * in a native inner loop. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature requires array<string>, got $other")
+    }
+  }
+
+  @transient private lazy val (as, bs) = {
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      a(i) = Math.floorMod(2862933555777941757L * (i + 1) + 3037000493L,
+        HashExpressions.P31 - 1) + 1
+      b(i) = Math.floorMod(4354685564936845319L * (i + 1) + 32452843L,
+        HashExpressions.P31)
+      i += 1
+    }
+    (a, b)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = Math.floorMod(
+          XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L),
+          HashExpressions.P31)
+        var k = 0
+        while (k < numHashes) {
+          val v = Math.floorMod(as(k) * base + bs(k), HashExpressions.P31)
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** Distinct word n-gram shingles of a space-tokenized string, single native
+  * pass. Semantics identical to
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ', slice(split(text,' '), i, n))))`
+  * (and the DuckDB oracle): empty tokens from runs of spaces are preserved,
+  * docs shorter than n tokens yield one whole-doc shingle, first-occurrence
+  * order. The composed version evaluates interpreted lambdas per element —
+  * this is the hot path of shingle dedup at scale. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles requires string, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.split(" ", -1)
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]
+    if (tokens.length <= n) {
+      out.add(org.apache.spark.unsafe.types.UTF8String
+        .fromString(tokens.mkString(" ")))
+    } else {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      val last = tokens.length - n
+      while (i <= last) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(i + j))
+          j += 1
+        }
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
+object HashExpressions {
+  val P31: Long = 2147483647L // Mersenne prime 2^31-1
+
+  import org.apache.spark.sql.graft.bridge
+
+  def simhash64(tokens: Column): Column =
+    bridge.column(SimHash64(bridge.expression(tokens)))
+
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    bridge.column(MinHashSignature(bridge.expression(shingles), numHashes))
+
+  def wordShingles(text: Column, n: Int): Column =
+    bridge.column(WordShingles(bridge.expression(text), n))
+}
