@@ -51,6 +51,20 @@ object IngestWriter {
       FileNaming.fileName(lit(cfg.topic), kafkaPartition,
         col(Rotation.StartOffsetCol), ext, cfg.padWidth))
 
+    // Avro has no native DataFrameWriter in this environment — its groups
+    // stream through AvroGroupWriter directly to the final object keys.
+    if (cfg.format == OutputFormat.Avro) {
+      val data = named.select(
+        (payloadCols :+ col(EpartCol) :+ col(FnameCol) :+
+          offset.as("__offset")): _*)
+      val payloadSchema = org.apache.spark.sql.types.StructType(
+        data.schema.fields.filterNot(f =>
+          Set(EpartCol, FnameCol, "__offset").contains(f.name)))
+      return AvroGroupWriter.write(data, EpartCol, FnameCol, "__offset",
+        payloadSchema, s"$outDir/${cfg.topicsDir}/${cfg.topic}",
+        cfg.compression)
+    }
+
     val staging = s"$outDir/_staging_${cfg.topic}${extSuffix.replace(".", "_")}"
     val writer = named
       .select((payloadCols :+ col(EpartCol) :+ col(FnameCol)): _*)

@@ -101,6 +101,31 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // BPE-ish token estimate (word/punct regex + length term).
+    "text_token_estimate" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenEstimate(col("text")).cast("long").as("est_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // Context-window packing for training pipelines: assign docs to
+    // fixed-token-budget bins per source via a running token count —
+    // deterministic, one window shuffle, no driver loop.
+    "pack_context_windows" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin_id", floor((col("cum") - col("n_tokens")) / 2048))
+        .groupBy(col("source"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy(col("source"), col("bin_id"))
+    }),
+
     // Multimodal plumbing: documents' text bytes as opaque payloads through
     // the mapPartitions feature extractor (decode step is a deterministic
     // stub; schema/partitioning/batch shape are the real pipeline).
@@ -191,6 +216,22 @@ object ContentQueries {
         |  FROM sc)
         |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    "text_token_estimate" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
+        |    + CAST(floor(length(text) / 16) AS INT) AS BIGINT) AS est_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pack_context_windows" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT source, CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,

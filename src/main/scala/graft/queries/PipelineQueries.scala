@@ -107,6 +107,24 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_records"), min(col("event_id")).as("start_offset"))
         .orderBy(col("encoded_partition"), col("file_bucket"))),
 
+    // F4 errant-record routing: malformed JSON values divert to the DLQ
+    // with a reason, clean records continue — one pass, no driver loop.
+    "ingest_dlq_routing" -> ((s, d) => {
+      val withCorrupt = events(s, d).withColumn("value_json",
+        when(col("event_id") % 101 === 0, lit("corrupt"))
+          .otherwise(col("props")))
+      val routed = graft.ingest.Dlq.route(withCorrupt, Seq(
+        "malformed_json" ->
+          graft.ingest.Dlq.malformedJson(col("value_json"), "k INT"),
+        "missing_partition_field" ->
+          graft.ingest.Dlq.missingPartitionField(col("event_type"))))
+      routed.ok.agg(count(lit(1)).as("cnt"))
+        .select(lit("ok").as("route"), col("cnt"))
+        .unionAll(routed.deadLetter.groupBy(col("dlq_reason").as("route"))
+          .agg(count(lit(1)).as("cnt")))
+        .orderBy(col("route"))
+    }),
+
     // P5 schema-compatibility projection onto a wider v2 schema.
     "ingest_schema_projection" -> ((s, d) => {
       val target = StructType(Seq(
@@ -174,6 +192,14 @@ object PipelineQueries {
         |    AS file_bucket,
         |  count(*) AS n_records, min(event_id) AS start_offset
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ingest_dlq_routing" ->
+      """SELECT 'malformed_json' AS route, count(*) AS cnt FROM events
+        |WHERE event_id % 101 = 0
+        |UNION ALL
+        |SELECT 'ok' AS route, count(*) AS cnt FROM events
+        |WHERE NOT (event_id % 101 = 0)
+        |ORDER BY route""".stripMargin,
 
     "ingest_schema_projection" ->
       """SELECT event_id, event_type, value,

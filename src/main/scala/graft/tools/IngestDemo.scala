@@ -62,6 +62,27 @@ object IngestDemo {
     println(s"== json+gzip hourly: ${jfiles.length} objects")
     jfiles.take(4).foreach(f => println(s"   ${f.path}"))
 
+    // W1 Avro container files (direct path, no spark-avro module needed)
+    val cfgAvro = IngestConfig(topic = "events_avro",
+      format = OutputFormat.Avro, flushSize = 500,
+      compression = Some("deflate"))
+    val afiles = IngestWriter.write(frame, cfgAvro, epart, outDir,
+      kafkaPartition = col("kafka_partition"), offset = col("offset"),
+      payloadCols = Seq(col("offset"), col("ts"), col("event_type"),
+        col("value")))
+    println(s"== avro+deflate: ${afiles.length} objects")
+    afiles.take(4).foreach(f => println(s"   ${f.path}"))
+    val reader = new org.apache.avro.file.DataFileReader[
+      org.apache.avro.generic.GenericRecord](
+      new java.io.File(afiles.head.path),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    var n = 0
+    var first: String = null
+    while (reader.hasNext) { val r = reader.next(); if (n == 0) first = r.toString; n += 1 }
+    reader.close()
+    println(s"== avro decode-back: $n records in ${afiles.head.fileName}; first=$first")
+
     spark.stop()
   }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: the properties that make these queries survive a
+  * 100x scale-up are asserted here so a regression (lost pushdown, a
+  * broadcast silently becoming a shuffle join, top-k degrading to a global
+  * sort) fails CI rather than surfacing as a slow cluster job. */
+class PlanAuditSpec extends SparkSuite {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filters reach the parquet scan and columns are pruned") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("l_discount"), p)
+    // untouched columns must not be read at all
+    assert(!p.contains("l_tax") && !p.contains("l_returnflag"), p)
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q04: the part dimension joins as a broadcast, not a shuffle") {
+    val p = plan("q04_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q05: star join broadcasts all three small dims") {
+    val p = plan("q05_star_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts\n$p")
+  }
+
+  test("q08: top-k runs as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q08_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q11/q12: semi and anti joins keep their specialized join types") {
+    assert(plan("q11_semi_join").contains("LeftSemi"), "semi join lost")
+    assert(plan("q12_anti_join").contains("LeftAnti"), "anti join lost")
+  }
+
+  test("ingest_size_rotation: both window functions share one shuffle") {
+    val p = plan("ingest_size_rotation")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges\n$p")
+  }
+}

@@ -103,6 +103,40 @@ class IngestWriterSpec extends SparkSuite {
     assert(e.getMessage != null)
   }
 
+  test("W1 Avro container files: contract names, codec, decode-and-compare " +
+    "(AvroRecordWriterProvider.java:61-121)") {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "t", format = OutputFormat.Avro,
+      flushSize = 4, compression = Some("deflate"))
+    val files = IngestWriter.write(frame(), cfg,
+      Partitioners.defaultPartition(col("kafka_partition")), out,
+      col("kafka_partition"), col("offset"),
+      payloadCols = Seq(col("offset"), col("payload")))
+    assert(files.map(_.fileName) == Seq(
+      "t+0+0000000000.avro", "t+0+0000000004.avro", "t+0+0000000008.avro"))
+    val reader = new DataFileReader[GenericRecord](
+      new java.io.File(files.head.path),
+      new GenericDatumReader[GenericRecord]())
+    val recs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    while (reader.hasNext) {
+      val r = reader.next()
+      recs += ((r.get("offset").asInstanceOf[Long], r.get("payload").toString))
+    }
+    reader.close()
+    assert(recs.toSeq == (0L until 4L).map(o => (o, s"v$o")))
+  }
+
+  test("W1 Avro replay is idempotent (direct-path overwrite)") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "t", format = OutputFormat.Avro, flushSize = 100)
+    def go() = IngestWriter.write(frame(), cfg,
+      Partitioners.defaultPartition(col("kafka_partition")), out,
+      col("kafka_partition"), col("offset"), payloadCols = Seq(col("offset")))
+    assert(go().map(_.path) == go().map(_.path))
+  }
+
   test("R2 composition: extra time file-group splits files within a " +
     "partition and names stay offset-deterministic") {
     val out = freshDir()
