@@ -126,6 +126,50 @@ object ContentQueries {
         .orderBy(col("source"), col("bin_id"))
     }),
 
+    // Corpus-level similarity without joining shingles: aggregate per-doc
+    // MinHash signatures to one signature per source (map-side partial,
+    // k longs per group), estimate pairwise Jaccard from position agreement.
+    // Rows-only: the signature mixes engine-specific xxhash64.
+    "corpus_similarity" -> ((s, d) => {
+      val k = 32
+      val sigs = docs(s, d)
+        .select(col("source"),
+          graft.functions.HashExpressions.minhashSignature(
+            TextAnalysis.shingles(col("text"), 3), k).as("sig"))
+        .groupBy(col("source"))
+        .agg(graft.functions.CorpusMinHash.corpusSignature(col("sig"), k)
+          .as("csig"))
+      val a = sigs.select(col("source").as("a_src"), col("csig").as("a_sig"))
+      val b = sigs.select(col("source").as("b_src"), col("csig").as("b_sig"))
+      a.join(b, col("a_src") < col("b_src"))
+        .select(col("a_src"), col("b_src"),
+          round(aggregate(
+            zip_with(col("a_sig"), col("b_sig"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v) / (1.0 * k), 4).as("est_jaccard"))
+        .orderBy(col("a_src"), col("b_src"))
+    }),
+
+    // Deterministic per-group sampling (training-data subsampling):
+    // hash-ranked top-3 docs per source — stable across runs and replays.
+    "sample_per_source" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(xxhash64(col("doc_id")), col("doc_id"))
+      docs(s, d).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // HLL++ sketch surface (rows-only: approx result is engine-specific).
+    "sketch_approx_distinct" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(col("l_returnflag"))),
+
     // Multimodal plumbing: documents' text bytes as opaque payloads through
     // the mapPartitions feature extractor (decode step is a deterministic
     // stub; schema/partitioning/batch shape are the real pipeline).
