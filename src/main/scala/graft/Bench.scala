@@ -15,10 +15,11 @@ object Bench {
     "q04_broadcast_join", "q05_star_join", "q07_window_running",
     "q08_topk", "q13_rollup", "q16_range_join", "q17_asof_join",
     "q23_sessionize", "q24_window_hourly",
-    "ingest_size_rotation", "ingest_partition_hourly",
+    "ingest_size_rotation", "ingest_partition_hourly", "ingest_dlq_routing",
     "text_quality", "text_fingerprint",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "sim_topk_bruteforce", "sim_topk_ivf", "mm_features")
+    "sim_topk_bruteforce", "sim_topk_ivf", "mm_features",
+    "pack_context_windows", "corpus_similarity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
