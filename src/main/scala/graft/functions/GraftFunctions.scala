@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** SQL registration of the engine's custom expressions so `spark.sql`
+  * users get them too: `simhash64(tokens)`, `minhash_signature(shingles,
+  * k)`, `word_shingles(text, n)`.
+  *
+  * Two entry points: `GraftFunctions.register(spark)` for an existing
+  * session, or `.withExtensions(new GraftExtensions)` at build time.
+  */
+object GraftFunctions {
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> { exprs => SimHash64(exprs.head) },
+    "minhash_signature" -> { exprs =>
+      MinHashSignature(exprs.head, intArg(exprs, 1, "minhash_signature"))
+    },
+    "word_shingles" -> { exprs =>
+      WordShingles(exprs.head, intArg(exprs, 1, "word_shingles"))
+    })
+
+  private def intArg(exprs: Seq[Expression], i: Int, fn: String): Int =
+    exprs.lift(i) match {
+      case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn requires a literal int argument at position ${i + 1}, got $other")
+    }
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** Session-builder extension: `SparkSession.builder()
+  * .withExtensions(new GraftExtensions).getOrCreate()`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head,
+        exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int])))
+  }
+}

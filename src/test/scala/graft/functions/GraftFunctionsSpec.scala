@@ -1,0 +1,46 @@
+package graft.functions
+
+import graft.SparkSuite
+import graft.analytics.{Dedup, Skew, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class GraftFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    Seq(("a b c d e"), ("x y z")).toDF("text").createOrReplaceTempView("t")
+    val r = spark.sql(
+      """SELECT simhash64(split(text, ' ')) AS sh,
+        |  word_shingles(text, 3) AS ws,
+        |  minhash_signature(word_shingles(text, 3), 8) AS sig
+        |FROM t""".stripMargin).collect()
+    assert(r.length == 2)
+    assert(r.forall(_.getAs[Long]("sh") != 0L))
+    assert(r.head.getSeq[String](1).contains("a b c"))
+    assert(r.forall(_.getSeq[Long](2).length == 8))
+  }
+
+  test("SQL word_shingles agrees with the Column API") {
+    GraftFunctions.register(spark)
+    Seq("the quick brown fox jumps").toDF("text").createOrReplaceTempView("t2")
+    val sql = spark.sql("SELECT word_shingles(lower(text), 3) AS s FROM t2")
+      .head.getSeq[String](0)
+    val api = Seq("the quick brown fox jumps").toDF("text")
+      .select(TextAnalysis.shingles(col("text"), 3).as("s"))
+      .head.getSeq[String](0)
+    assert(sql == api)
+  }
+
+  test("salted join produces the same rows as a plain join, spread across " +
+    "salts") {
+    val large = (0L until 1000L).map(i => (if (i < 900) "hot" else s"k$i", i))
+      .toDF("key", "v")
+    val small = Seq(("hot", "H"), ("k950", "X")).toDF("key", "tag")
+    val plain = large.join(small, Seq("key")).select("key", "v", "tag")
+      .collect().toSet
+    val salted = Skew.saltedJoin(large, small, "key", saltFactor = 8)
+      .select("key", "v", "tag").collect().toSet
+    assert(salted == plain)
+  }
+}

@@ -103,6 +103,22 @@ class IngestWriterSpec extends SparkSuite {
     assert(e.getMessage != null)
   }
 
+  test("written Hive-style layout partition-prunes on read back " +
+    "(the property that makes the lake queryable at 100 TB)") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "pp", flushSize = 100)
+    IngestWriter.write(frame(), cfg,
+      Partitioners.fieldPartition("bucket" -> col("bucket")), out,
+      col("kafka_partition"), col("offset"),
+      payloadCols = Seq(col("offset"), col("payload")))
+    val back = spark.read.parquet(s"$out/topics/pp")
+      .filter(col("bucket") === 1)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("bucket"), plan)
+    assert(back.count() == 3) // offsets 1,4,7
+  }
+
   test("W1 Avro container files: contract names, codec, decode-and-compare " +
     "(AvroRecordWriterProvider.java:61-121)") {
     import org.apache.avro.file.DataFileReader
