@@ -17,6 +17,14 @@ object RelationalQueries {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Register tables as temp views and run SQL through Catalyst's parser —
+    * the `spark.sql` face of the engine. */
+  private def sql(s: SparkSession, dir: String, tables: Seq[String],
+                  query: String): DataFrame = {
+    tables.foreach(t => T(s, dir, t).createOrReplaceTempView(t))
+    s.sql(query)
+  }
+
   val queries: Map[String, Q] = Map(
     // Hash aggregate with partial (map-side) combine; single shuffle on the
     // two low-cardinality group keys.
@@ -257,6 +265,36 @@ object RelationalQueries {
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
         .orderBy(col("l_returnflag"))),
 
+    // SQL-parser surface: same text runs in Catalyst and (mostly) DuckDB.
+    "q26_in_subquery" -> ((s, d) => sql(s, d, Seq("customer", "orders"),
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    "q27_scalar_subquery" -> ((s, d) => sql(s, d, Seq("orders"),
+      """SELECT o_orderkey,
+        |  round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 2)
+        |    AS diff
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    "q28_cte_having" -> ((s, d) => sql(s, d, Seq("customer", "orders"),
+      """WITH big AS (SELECT o_custkey, count(*) AS n FROM orders
+        |  GROUP BY o_custkey HAVING count(*) >= 15)
+        |SELECT c_mktsegment, count(*) AS n_cust
+        |FROM customer JOIN big ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Ordered string aggregation (listagg / string_agg dialects differ).
+    "q29_listagg" -> ((s, d) => sql(s, d, Seq("nation"),
+      """SELECT n_regionkey,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    "q30_regexp" -> ((s, d) => sql(s, d, Seq("part"),
+      """SELECT p_partkey, regexp_extract(p_type, '([a-z]+)', 1) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // Event-time tumbling window agg (batch shape of the streaming path).
     "q24_window_hourly" -> ((s, d) =>
       T(s, d, "events")
@@ -450,6 +488,34 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q26_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q27_scalar_subquery" ->
+      """SELECT o_orderkey,
+        |  round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 2)
+        |    AS diff
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q28_cte_having" ->
+      """WITH big AS (SELECT o_custkey, count(*) AS n FROM orders
+        |  GROUP BY o_custkey HAVING count(*) >= 15)
+        |SELECT c_mktsegment, count(*) AS n_cust
+        |FROM customer JOIN big ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q29_listagg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q30_regexp" ->
+      """SELECT p_partkey, regexp_extract(p_type, '([a-z]+)', 1) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin
   )
 }
