@@ -139,7 +139,7 @@ object IngestWriter {
   }
 
   /** Inverse of Spark's `escapePathName` for the characters we can emit. */
-  private[ingest] def unescape(s: String): String = {
+  private[graft] def unescape(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

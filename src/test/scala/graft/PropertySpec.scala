@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.CorpusMinHash
+import graft.ingest.{IngestWriter, Rotation, SchemaCompat}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests (FIXTURES.md: partition-encoding round-trips + engine
+  * invariants). Pure-JVM ScalaCheck at full volume; Spark expression
+  * equivalence is batch-checked in SparkPropertySpec. */
+object EngineProperties extends Properties("graft") {
+
+  property("unescape inverts Spark's partition-path escaping") = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val strGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf('/', '%', '=', ':', ' ', 'é', '中'))).map(_.mkString)
+    forAll(strGen) { s =>
+      IngestWriter.unescape(ExternalCatalogUtils.escapePathName(s)) == s
+    }
+  }
+
+  property("scheduled rotation fires interval-aligned from local day start," +
+    " strictly in the future, within one interval") = {
+    val tzs = Seq("UTC", "America/Los_Angeles", "Asia/Tokyo",
+      "Australia/Adelaide").map(java.time.ZoneId.of)
+    val gen = for {
+      now <- Gen.choose(946684800000L, 1893456000000L) // 2000..2030
+      interval <- Gen.oneOf(60000L, 600000L, 3600000L, 21600000L, 86400000L)
+      tz <- Gen.oneOf(tzs)
+    } yield (now, interval, tz)
+    forAll(gen) { case (now, interval, tz) =>
+      val next = Rotation.nextScheduledRotation(now, interval, tz)
+      val dayStart = java.time.Instant.ofEpochMilli(now).atZone(tz)
+        .toLocalDate.atStartOfDay(tz).toInstant.toEpochMilli
+      next > now && (next - dayStart) % interval == 0 &&
+        next - now <= interval
+    }
+  }
+
+  property("schema-compat decisions are total and mode-consistent") = {
+    import SchemaCompat._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", IntegerType)))
+    val gen = for { v1 <- Gen.choose(1, 50); v2 <- Gen.choose(1, 50) }
+      yield (VersionedSchema("rec", Some(v1), schema),
+        VersionedSchema("rec", Some(v2), schema))
+    forAll(gen) { case (cur, inc) =>
+      val b = decide(Backward, cur, inc)
+      val f = decide(Forward, cur, inc)
+      val consistent =
+        if (cur.version == inc.version) b == Identical && f == Identical
+        else if (inc.version.get > cur.version.get)
+          b == Rotate(DifferentVersion) && f == Project(cur)
+        else b == Project(cur) && f == Rotate(DifferentVersion)
+      consistent && decide(Full, cur, inc) == b
+    }
+  }
+
+  property("estimated corpus Jaccard is bounded, symmetric, reflexive") = {
+    val sigGen = Gen.listOfN(16, Gen.choose(0L, 1000L))
+    forAll(sigGen, sigGen) { (a, b) =>
+      val ab = CorpusMinHash.estimatedJaccard(a, b)
+      ab >= 0.0 && ab <= 1.0 &&
+        ab == CorpusMinHash.estimatedJaccard(b, a) &&
+        CorpusMinHash.estimatedJaccard(a, a) == 1.0
+    }
+  }
+}
+
+/** Spark-evaluated equivalence: the native WordShingles expression agrees
+  * with a pure-Scala reference on ScalaCheck-generated inputs (one Spark
+  * job for the whole generated batch). */
+class SparkPropertySpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def referenceShingles(text: String, n: Int): Seq[String] = {
+    val tokens = text.toLowerCase.split(" ", -1).toSeq
+    if (tokens.length <= n) Seq(tokens.mkString(" "))
+    else tokens.sliding(n).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  test("native WordShingles equals the pure reference on generated inputs") {
+    val wordGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(6)), Gen.const(""), Gen.const("the")))
+      .map(_.mkString(" "))
+    val inputs = (1 to 200).flatMap(_ => wordGen.sample).distinct
+    val df = inputs.toDF("text")
+      .select(col("text"),
+        graft.functions.HashExpressions.wordShingles(lower(col("text")), 3)
+          .as("sh"))
+    df.collect().foreach { row =>
+      val text = row.getString(0)
+      val native = row.getSeq[String](1)
+      assert(native == referenceShingles(text, 3),
+        s"mismatch for input '$text'")
+    }
+  }
+}
