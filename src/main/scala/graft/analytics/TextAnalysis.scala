@@ -70,10 +70,12 @@ object TextAnalysis {
 
   /** Document fingerprint: md5 over the sorted distinct lowercase token set —
     * an order-insensitive content signature for exact-ish dedup across
-    * reorderings. Matches `md5(array_to_string(list_sort(list_distinct(...))))`
-    * in DuckDB bit-for-bit. */
+    * reorderings. Native single-pass expression
+    * (graft.functions.TokenSetFingerprint); matches
+    * `md5(array_to_string(list_sort(list_distinct(...))))` in DuckDB
+    * bit-for-bit. */
   def fingerprint(text: Column): Column =
-    md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
+    graft.functions.HashExpressions.tokenSetFingerprint(lower(text))
 
   /** Distinct word n-gram shingles, the input to Jaccard/MinHash dedup.
     * Docs shorter than n tokens yield one whole-doc shingle. Native

@@ -172,6 +172,51 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Order-insensitive document fingerprint: md5 over the sorted distinct
+  * space-tokens of the input, single native pass. Byte-identical to
+  * `md5(array_join(array_sort(array_distinct(split(text, ' '))), ' '))`
+  * (and the DuckDB oracle): distinct keeps first occurrence, sort is
+  * UTF8-binary order, join with single spaces, lowercase applied by the
+  * caller. */
+case class TokenSetFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_set_fingerprint requires string, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokens = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val set = new java.util.TreeSet[UTF8String]() // UTF8 binary order
+    var i = 0
+    while (i < tokens.length) {
+      set.add(UTF8String.fromString(tokens(i))); i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val it = set.iterator()
+    var first = true
+    while (it.hasNext) {
+      if (!first) md.update(' '.toByte)
+      md.update(it.next().getBytes)
+      first = false
+    }
+    val hex = md.digest().map("%02x".format(_)).mkString
+    UTF8String.fromString(hex)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenSetFingerprint =
+    copy(child = c)
+  override def prettyName: String = "token_set_fingerprint"
+}
+
 object HashExpressions {
   val P31: Long = 2147483647L // Mersenne prime 2^31-1
 
@@ -185,4 +230,7 @@ object HashExpressions {
 
   def wordShingles(text: Column, n: Int): Column =
     bridge.column(WordShingles(bridge.expression(text), n))
+
+  def tokenSetFingerprint(text: Column): Column =
+    bridge.column(TokenSetFingerprint(bridge.expression(text)))
 }
