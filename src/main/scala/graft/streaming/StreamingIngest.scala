@@ -47,6 +47,17 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col(keyCol), col("n"))
 
+  /** Streaming exact dedup: drops records whose `idCols` were already seen,
+    * with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`) — the streaming twin of
+    * `Dedup.exact`, and the guard that makes at-least-once upstreams
+    * exactly-once downstream without unbounded state. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           watermark: String,
+                           idCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   final case class SessionEvent(user_id: Long, event_id: Long, ts_ms: Long)
   final case class SessionState(sessionId: Long, lastTsMs: Long, nEvents: Long)
   final case class SessionUpdate(user_id: Long, session_id: Long,

@@ -70,6 +70,34 @@ class StreamingIngestSpec extends SparkSuite {
     assert(r == Set(("00:00", "click", 2L), ("01:00", "view", 1L)))
   }
 
+  test("streaming dedup within watermark drops replayed ids across batches") {
+    val src = Files.createTempDirectory("dedup_src").toString
+    // two files = two micro-batches under AvailableNow; ids 2,3 repeat
+    Seq((1L, "2024-01-01 00:00:01"), (2L, "2024-01-01 00:00:02"),
+      (3L, "2024-01-01 00:00:03"))
+      .toDF("id", "s").withColumn("ts", col("s").cast("timestamp")).drop("s")
+      .coalesce(1).write.mode("append").parquet(src)
+    Seq((2L, "2024-01-01 00:00:02"), (3L, "2024-01-01 00:00:03"),
+      (4L, "2024-01-01 00:00:04"))
+      .toDF("id", "s").withColumn("ts", col("s").cast("timestamp")).drop("s")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    val sschema = StructType(Seq(StructField("id", LongType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(sschema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamingIngest.dedupWithinWatermark(stream, "ts", "10 minutes",
+      Seq("id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val ids = spark.table("dedup_stream").select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L), s"got $ids")
+  }
+
   test("stateful sessionization groups by gap") {
     import StreamingIngest._
     val src = Files.createTempDirectory("sess_src").toString
