@@ -66,7 +66,7 @@ object Ingest {
     }
     val encoded = PartitionerSpec.compile(partitioner, kafkaPartition)
     val extraGroups = cfg.rotateIntervalMs.toSeq.map(iv =>
-      Rotation.timeFileGroup(col("ts").cast("timestamp"), iv))
+      Rotation.timeFileGroup(col(cfg.timestampColumn).cast("timestamp"), iv))
     val files =
       if (cfg.writeKeys || cfg.writeHeaders)
         IngestWriter.writeKVH(cleaned, cfg, encoded, outDir, kafkaPartition,

@@ -32,6 +32,8 @@ final case class IngestConfig(
     compression: Option[String] = None,
     /** R2 `rotate.interval.ms` (None = disabled, the reference default). */
     rotateIntervalMs: Option[Long] = None,
+    /** K12 extractor column driving R2 rotation (`timestamp.field`). */
+    timestampColumn: String = "ts",
     /** F1–F3 `behavior.on.null.values`. */
     nullBehavior: RecordViews.NullBehavior = RecordViews.IgnoreNulls,
     /** P4 `store.kafka.keys` / `store.kafka.headers`. */
