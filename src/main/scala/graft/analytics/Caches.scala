@@ -1,0 +1,29 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Registry for DataFrames persisted inside operators (shingle tables, SRP
+  * signature tables) whose lineage branches within one returned plan. The
+  * operator cannot unpersist them itself — the returned DataFrame is lazy —
+  * so long-lived sessions call `Caches.clear()` between logical runs
+  * (Verify and Bench do, per query) to stop cached blocks accumulating
+  * until eviction pressure. */
+object Caches {
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private[graft] def persist(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    live.add(p)
+    p
+  }
+
+  /** Unpersist every operator-cached frame registered since the last clear. */
+  def clear(): Unit = {
+    var df = live.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = live.poll()
+    }
+  }
+}

@@ -22,15 +22,15 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
       .drop("_key")
 
-  // Persisted: the table branches into candidate generation AND
-  // verification — without persist the shingle computation re-runs per
-  // branch of the DAG.
+  // Persisted via Caches (long-lived sessions call Caches.clear() between
+  // runs): the table branches into candidate generation AND verification —
+  // without persist the shingle computation re-runs per branch of the DAG.
   private def shingleTable(docs: DataFrame, id: Column, text: Column,
                            n: Int): DataFrame =
-    docs.select(id.as("doc_id"), TextAnalysis.shingles(text, n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("n_sh", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Caches.persist(
+      docs.select(id.as("doc_id"), TextAnalysis.shingles(text, n).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("n_sh", size(col("sh"))))
 
   /** Exact-Jaccard verification of a light (a_id, b_id) candidate set:
     * join the shingle arrays back only for candidates, compute
@@ -152,8 +152,10 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Embedding-cosine near-dup pairs (delegates to Similarity). */
+  /** Embedding-cosine near-dup pairs: SRP-LSH banded candidates + exact
+    * cosine verification (Similarity.srpLshPairs) — bucketed equi-join,
+    * never an all-pairs cross join. */
   def embeddingNearDups(emb: DataFrame, id: Column, vec: Column,
                         threshold: Double): DataFrame =
-    Similarity.cosinePairs(emb, id, vec).filter(col("sim") >= threshold)
+    Similarity.srpLshPairs(emb, id, vec, threshold)
 }

@@ -28,9 +28,10 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** All pairs (a_id < b_id) with cosine similarity — candidate layer for
-    * near-dup filtering. Quadratic: intended for within-bucket use or small
-    * corpora; large-scale callers go through `ivfTopK`/LSH buckets. */
+  /** All pairs (a_id < b_id) with cosine similarity — the exhaustive-exact
+    * baseline used to validate `srpLshPairs` recall in SimilaritySpec.
+    * Quadratic by definition; production near-dup goes through
+    * `srpLshPairs` (bucketed, no cross join). */
   def cosinePairs(emb: DataFrame, id: Column, vec: Column): DataFrame = {
     val n = emb.select(id.as("id"), asDouble(vec).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -42,6 +43,50 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         round(dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), 4)
           .as("sim"))
+  }
+
+  /** SRP-LSH near-dup pairs `(a_id, b_id, sim)` with cosine >= threshold:
+    * the bucketed scale path for embedding dedup. Signed-random-projection
+    * signatures (`graft.functions.SrpBandBuckets`: bit i = sign(v·r_i),
+    * deterministic Gaussian hyperplanes) are banded exactly like
+    * `Dedup.minhashLshPairs` — docs sharing any (band, bucket) become
+    * candidates via an equi-join, and exact cosine verifies candidates, so
+    * precision is exact and only recall is probabilistic.
+    *
+    * With defaults b=24 bands × r=16 bits: P[pair ≥ 0.97 cosine missed]
+    * ≈ 5e-4, ≥ 0.99 ≈ 2e-7; bucket space per band is 2^16, so on spread
+    * data candidates ≈ true near-dups (no all-pairs blowup). At larger
+    * corpus sizes raise `bitsPerBand` toward log2(n) to keep buckets
+    * sparse — recall is then recovered by raising `bands`.
+    *
+    * Scale: one equi-join shuffle on (band, bucket) + one candidate-only
+    * verify join; the corpus is never cross-joined (plan audited:
+    * no BroadcastNestedLoopJoin/CartesianProduct). */
+  def srpLshPairs(emb: DataFrame, id: Column, vec: Column, threshold: Double,
+                  bands: Int = 24, bitsPerBand: Int = 16): DataFrame = {
+    // Persisted: branches into candidate generation AND verification.
+    val n = Caches.persist(
+      emb.select(id.as("id"), asDouble(vec).as("v"))
+        .withColumn("nrm", norm(col("v")))
+        .withColumn("bkts", graft.functions.HashExpressions
+          .srpBandBuckets(col("v"), bands, bitsPerBand)))
+    val banded = n.select(col("id"),
+      posexplode(col("bkts")).as(Seq("band", "bucket")))
+    val l = banded.select(col("id").as("a_id"), col("band"), col("bucket"))
+    val r = banded.select(col("id").as("b_id"), col("band"), col("bucket"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    val a = n.select(col("id").as("a_id"), col("v").as("a_v"),
+      col("nrm").as("a_n"))
+    val b = n.select(col("id").as("b_id"), col("v").as("b_v"),
+      col("nrm").as("b_n"))
+    cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), 4)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
   }
 
   /** Exact brute-force top-k: broadcast the (small) query set against the
@@ -74,38 +119,56 @@ object Similarity {
     * Centroids here are a deterministic sample of the corpus itself
     * (k-means init without the iterations — recall tested in
     * SimilaritySpec); swap in `spark.ml` KMeans offline for production
-    * centroids without changing the query path. */
+    * centroids without changing the query path.
+    *
+    * Plan shape (audited in PlanAuditSpec — no Exchange+Sort on the
+    * corpus side): centroid sampling is a hash filter (~1/16 of the
+    * corpus) + per-partition top-k merge, never a global corpus sort;
+    * centroid assignment is a `max_by` hash aggregate with map-side
+    * partial — no window/sort over the unique corpus key; probe selection
+    * is a `collect_list`+`array_sort` aggregate over |Q|×nLists rows. The
+    * only ranking window left is the final top-k over the pruned scan,
+    * which is the query result itself. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
               qVec: Column, cId: Column, cVec: Column, k: Int,
               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
       .withColumn("c_n", norm(col("c_v")))
+    // Deterministic hash-sampled centroids: the filter prunes the corpus
+    // ~16× before the top-nLists merge; at larger corpora tighten the
+    // filter so the sample stays ~100×nLists.
     val centroids = c.withColumn("r", pmod(xxhash64(col("n_id")), lit(997)))
+      .filter(col("r") < 64)
       .orderBy(col("r"), col("n_id")).limit(nLists)
       .select(col("n_id").as("list_id"), col("c_v").as("cent_v"),
         col("c_n").as("cent_n"))
-    // assign: argmax cosine(corpus, centroid) — broadcast centroids
-    val wAssign = Window.partitionBy(col("n_id"))
-      .orderBy(col("csim").desc, col("list_id"))
+    // assign: argmax cosine(corpus, centroid) — broadcast centroids, then
+    // max_by hash aggregate (ties: higher csim, then lower list_id)
     val assigned = c.join(broadcast(centroids))
       .select(col("n_id"), col("c_v"), col("c_n"), col("list_id"),
         (dot(col("c_v"), col("cent_v")) / (col("c_n") * col("cent_n")))
           .as("csim"))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") === 1)
-      .select(col("n_id"), col("c_v"), col("c_n"), col("list_id"))
-    // probe: each query picks nProbe nearest lists
+      .groupBy(col("n_id"))
+      .agg(max_by(
+        struct(col("c_v"), col("c_n"), col("list_id")),
+        struct(col("csim"), (-col("list_id")).as("tb"))).as("best"))
+      .select(col("n_id"), col("best.c_v").as("c_v"),
+        col("best.c_n").as("c_n"), col("best.list_id").as("list_id"))
+    // probe: each query picks nProbe nearest lists — top-n via a
+    // collect_list aggregate over the (tiny) |Q|×nLists score set
     val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
       .withColumn("q_n", norm(col("q_v")))
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("qsim").desc, col("list_id"))
     val probes = q.join(broadcast(centroids))
       .select(col("q_id"), col("q_v"), col("q_n"), col("list_id"),
         (dot(col("q_v"), col("cent_v")) / (col("q_n") * col("cent_n")))
           .as("qsim"))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nProbe)
-      .select(col("q_id"), col("q_v"), col("q_n"), col("list_id"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_v")).as("q_v"), first(col("q_n")).as("q_n"),
+        slice(array_sort(collect_list(
+          struct((-col("qsim")).as("ns"), col("list_id")))), 1, nProbe)
+          .as("top"))
+      .select(col("q_id"), col("q_v"), col("q_n"),
+        explode(col("top.list_id")).as("list_id"))
     // scan only probed lists
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))

@@ -19,6 +19,10 @@ object GraftFunctions {
     },
     "word_shingles" -> { exprs =>
       WordShingles(exprs.head, intArg(exprs, 1, "word_shingles"))
+    },
+    "srp_band_buckets" -> { exprs =>
+      SrpBandBuckets(exprs.head, intArg(exprs, 1, "srp_band_buckets"),
+        intArg(exprs, 2, "srp_band_buckets"))
     })
 
   private def intArg(exprs: Seq[Expression], i: Int, fn: String): Int =

@@ -53,4 +53,42 @@ class PlanAuditSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges\n$p")
   }
+
+  test("dedup_embedding: SRP-LSH candidates join on buckets — no " +
+    "all-pairs nested-loop or cartesian join anywhere in the plan") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_topk_ivf: centroid assignment is a partial max_by aggregate, " +
+    "not a window/sort over the unique corpus key") {
+    val p = plan("sim_topk_ivf")
+    assert(p.contains("partial_max_by"), p)
+    // exactly one Window node remains: the final per-query top-k ranking
+    // (count detail-section headers "(N) Window" — each node appears once)
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).length
+    assert(windows <= 1, s"expected <=1 Window (final top-k), got $windows\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup/text stage with native expressions stays inside " +
+    "WholeStageCodegen (no CodegenFallback fracture)") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.tokenSetFingerprint(
+          lower(col("text"))).as("fp"),
+        graft.functions.HashExpressions.simhash64(
+          graft.analytics.TextAnalysis.tokens(lower(col("text")))).as("sh"))
+      .filter(col("fp").isNotNull)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // formatted explain stars every operator fused into a WholeStageCodegen
+    // stage; the Project over our expressions must be starred, i.e. not
+    // ejected from the fused stage by a CodegenFallback expression
+    val projectLine = p.linesIterator
+      .find(l => l.contains("Project") && !l.startsWith("(")).getOrElse("")
+    assert(projectLine.trim.startsWith("* Project"),
+      s"Project not codegen'd: '$projectLine'\n$p")
+  }
 }

@@ -52,4 +52,46 @@ class SimilaritySpec extends SparkSuite {
     val recall = (bf intersect ivf).size.toDouble / bf.size
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
+
+  test("SRP-LSH pairs equal the exhaustive cosinePairs result on planted " +
+    "near-dups (full recall, exact precision)") {
+    // 40 base vectors each with a planted near-dup (cosine ~0.97-0.995)
+    // plus 200 random fillers; fixed seed => deterministic.
+    val rnd = new scala.util.Random(42)
+    def gauss(dim: Int): Array[Double] = Array.fill(dim)(rnd.nextGaussian())
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+    var id = 0L
+    (0 until 40).foreach { i =>
+      val base = gauss(64)
+      val eps = 0.12 + 0.015 * (i % 10) // cosine ≈ 0.95..0.99
+      val noise = gauss(64)
+      val dup = base.zip(noise).map { case (b, n) => b + eps * n }
+      rows += ((id, base)); rows += ((id + 1, dup)); id += 2
+    }
+    (0 until 200).foreach { _ => rows += ((id, gauss(64))); id += 1 }
+    val df = spark.createDataFrame(rows.toSeq.map { case (i, v) =>
+      (i, v.map(_.toFloat))
+    }).toDF("vec_id", "embedding")
+
+    val exact = Similarity.cosinePairs(df, col("vec_id"), col("embedding"))
+      .filter(col("sim") >= 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.srpLshPairs(df, col("vec_id"), col("embedding"),
+      threshold = 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "test data planted no pairs — raise eps range")
+    assert(lsh == exact,
+      s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size} of ${exact.size}")
+    graft.analytics.Caches.clear()
+  }
+
+  test("SRP-LSH on the real embeddings table matches the exhaustive " +
+    "result (empty at this SF — zero false positives)") {
+    val exact = Similarity.cosinePairs(emb, col("vec_id"), col("embedding"))
+      .filter(col("sim") >= 0.95).count()
+    val lsh = Similarity.srpLshPairs(emb, col("vec_id"), col("embedding"),
+      threshold = 0.95).count()
+    assert(exact == 0 && lsh == 0)
+    graft.analytics.Caches.clear()
+  }
 }
