@@ -26,6 +26,7 @@ trait RefEvalCodegen { self: UnaryExpression =>
           s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c)"
         case StringType =>
           s"(org.apache.spark.unsafe.types.UTF8String) $ref.compute($c)"
+        case BinaryType => s"(byte[]) $ref.compute($c)"
         case other => throw new IllegalStateException(
           s"RefEvalCodegen: unsupported dataType $other")
       }

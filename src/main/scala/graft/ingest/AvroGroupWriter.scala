@@ -31,8 +31,18 @@ object AvroGroupWriter {
     case BinaryType => Schema.create(Schema.Type.BYTES)
     case TimestampType | TimestampNTZType =>
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
-    case d: DecimalType => Schema.create(Schema.Type.STRING) // lossless text
+    // Avro decimal logical type: unscaled big-endian bytes + the
+    // precision/scale carried in the schema (the reference's Connect
+    // Decimal mapping, format/parquet/ParquetRecordWriterProvider.java:150)
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
     case ArrayType(et, _) => Schema.createArray(nullable(sparkToAvro(et, name + "_item")))
+    // Avro maps are string-keyed (SURVEY §1.2 MAP)
+    case MapType(StringType, vt, _) =>
+      Schema.createMap(nullable(sparkToAvro(vt, name + "_value")))
+    case MapType(kt, _, _) => throw new IllegalArgumentException(
+      s"Avro maps require string keys, got $kt")
     case st: StructType => structToAvro(st, name)
     case other => throw new IllegalArgumentException(s"unsupported Avro type: $other")
   }
@@ -40,9 +50,27 @@ object AvroGroupWriter {
   private def nullable(s: Schema): Schema =
     Schema.createUnion(java.util.Arrays.asList(Schema.create(Schema.Type.NULL), s))
 
+  /** Field-level Avro schema. A `StringType` field whose metadata carries
+    * `avro.enum.symbols` (comma-separated) becomes an Avro ENUM — the
+    * Connect-enum analogue (DataWriterAvroTest.java:157-189); Spark has no
+    * enum type, so the hint rides in column metadata. Every field is a
+    * `[null, T]` union (Connect optional semantics); wider mixed-type
+    * unions have no Spark-type equivalent and are rejected upstream as
+    * unsupported types — the documented divergence. */
+  private def fieldSchema(f: StructField, name: String): Schema =
+    if (f.dataType == StringType && f.metadata.contains("avro.enum.symbols")) {
+      val symbols = f.metadata.getString("avro.enum.symbols")
+        .split(",").map(_.trim).toList
+      val ename =
+        if (f.metadata.contains("avro.enum.name"))
+          f.metadata.getString("avro.enum.name")
+        else s"${name}_${f.name}_enum"
+      Schema.createEnum(ename, null, "graft.ingest", symbols.asJava)
+    } else sparkToAvro(f.dataType, name + "_" + f.name)
+
   def structToAvro(st: StructType, name: String): Schema = {
     val fields = st.fields.map { f =>
-      new Schema.Field(f.name, nullable(sparkToAvro(f.dataType, name + "_" + f.name)),
+      new Schema.Field(f.name, nullable(fieldSchema(f, name)),
         null, Schema.Field.NULL_DEFAULT_VALUE)
     }
     Schema.createRecord(name, null, "graft.ingest", false, fields.toList.asJava)
@@ -59,13 +87,24 @@ object AvroGroupWriter {
     case (x: java.time.LocalDateTime, _) =>
       x.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
         x.getNano / 1000
-    case (x: java.math.BigDecimal, _) => x.toPlainString
+    case (x: java.math.BigDecimal, d: DecimalType) =>
+      // decimal logical type: unscaled big-endian bytes at the declared scale
+      java.nio.ByteBuffer.wrap(
+        x.setScale(d.scale).unscaledValue().toByteArray)
     case (x: Array[Byte], _) => java.nio.ByteBuffer.wrap(x)
+    case (x: String, StringType)
+      if resolveNonNull(schema).getType == Schema.Type.ENUM =>
+      new GenericData.EnumSymbol(resolveNonNull(schema), x)
     case (x: Row, st: StructType) =>
       rowToRecord(x, st, resolveNonNull(schema))
     case (x: scala.collection.Seq[_], ArrayType(et, _)) =>
       val elemSchema = resolveNonNull(schema).getElementType
       x.map(e => toAvroValue(e, et, elemSchema)).asJava
+    case (x: scala.collection.Map[_, _], MapType(_, vt, _)) =>
+      val valueSchema = resolveNonNull(schema).getValueType
+      val m = new java.util.LinkedHashMap[String, Any]
+      x.foreach { case (k, v) => m.put(k.toString, toAvroValue(v, vt, valueSchema)) }
+      m
     case (x, _) => x
   }
 

@@ -34,10 +34,22 @@ object Dlq {
   }
 
   /** Common check: a JSON value column that does not parse (format-
-    * conversion failure class). `try_parse_json` yields null on invalid
-    * JSON, unlike PERMISSIVE `from_json` which yields a row of nulls. */
+    * conversion failure class). Without a schema, `try_parse_json` flags
+    * syntactically invalid JSON (unlike PERMISSIVE `from_json`, which
+    * yields a row of nulls). With `schemaDdl` (e.g. `"k INT"`) the check
+    * also enforces conformance: a value none of whose declared fields
+    * parses to a non-null under the schema is routed as malformed, so
+    * `{"k":"not-an-int"}` fails `"k INT"` even though it is valid JSON. */
   def malformedJson(valueCol: Column, schemaDdl: String = ""): Column =
-    valueCol.isNotNull && try_parse_json(valueCol).isNull
+    if (schemaDdl.isEmpty) valueCol.isNotNull && try_parse_json(valueCol).isNull
+    else {
+      val parsed = from_json(valueCol, schemaDdl, Map.empty[String, String])
+      val allDeclaredNull = org.apache.spark.sql.types.StructType
+        .fromDDL(schemaDdl).fieldNames
+        .map(f => parsed.getField(f).cast("string").isNull)
+        .reduce(_ && _)
+      valueCol.isNotNull && allDeclaredNull
+    }
 
   /** Common check: missing partition field (PartitionException class). */
   def missingPartitionField(field: Column): Column = field.isNull

@@ -53,28 +53,43 @@ object Ingest {
   final case class Result(files: Seq[IngestWriter.FileInfo],
                           stats: RotationStats)
 
+  /** `extraCauseGroups` are additional labeled file-group columns (e.g.
+    * `"schema_change:version" -> versionCol`, `"tombstone" -> value.isNull`)
+    * — each becomes part of the rotation group key AND the label used when
+    * per-cause diagnostics attribute a file boundary to it.
+    * `causeStats` opts in to the per-cause classification job (R10). */
   def run(frame: DataFrame, cfg: IngestConfig, partitioner: PartitionerSpec,
           outDir: String,
           kafkaPartition: Column = col("kafka_partition"),
           offset: Column = col("offset"),
           payloadCols: Seq[Column],
           valueColumnForNulls: Option[String] = None,
-          writeManifest: Boolean = false): Result = {
+          writeManifest: Boolean = false,
+          extraCauseGroups: Seq[(String, Column)] = Nil,
+          causeStats: Boolean = false): Result = {
     val cleaned = valueColumnForNulls match {
       case Some(v) => RecordViews.applyNullBehavior(frame, cfg.nullBehavior, v)
       case None => frame
     }
     val encoded = PartitionerSpec.compile(partitioner, kafkaPartition)
-    val extraGroups = cfg.rotateIntervalMs.toSeq.map(iv =>
-      Rotation.timeFileGroup(col(cfg.timestampColumn).cast("timestamp"), iv))
+    val labeledGroups = cfg.rotateIntervalMs.toSeq.map(iv =>
+      "rotate_interval" ->
+        Rotation.timeFileGroup(col(cfg.timestampColumn).cast("timestamp"), iv)
+    ) ++ extraCauseGroups
+    val extraGroups = labeledGroups.map(_._2)
     val files =
       if (cfg.writeKeys || cfg.writeHeaders)
         IngestWriter.writeKVH(cleaned, cfg, encoded, outDir, kafkaPartition,
-          offset, payloadCols)
+          offset, payloadCols, extraFileGroups = extraGroups)
       else
         IngestWriter.write(cleaned, cfg, encoded, outDir, kafkaPartition,
           offset, payloadCols, extraFileGroups = extraGroups)
-    val stats = RotationStats.of(files)
+    val byCause =
+      if (causeStats)
+        RotationStats.causes(cleaned, cfg, encoded, kafkaPartition, offset,
+          labeledGroups)
+      else Map.empty[String, Long]
+    val stats = RotationStats.of(files).copy(byCause = byCause)
     if (writeManifest)
       CommitManifest.write(cleaned, cfg, encoded, outDir, kafkaPartition,
         offset, extraGroups)
@@ -83,20 +98,68 @@ object Ingest {
 }
 
 /** R10 rotation diagnostics (util/FileRotationTracker.java:22-171): the
-  * reference counts rotations by cause per partition and logs a 5-minute
-  * diagnostic. Here the write is declarative, so the diagnostics derive
-  * from the commit manifest: objects per encoded partition and total. */
+  * reference counts rotations by cause per partition (flush size, rotate
+  * interval, scheduled, schema-change subtypes, …). Here the write is
+  * declarative, so causes derive from the same group assignment the writer
+  * used: a full file rotated by `flush_size`; a short file whose successor
+  * differs in a labeled group column rotated for that label's cause
+  * (`rotate_interval`, `schema_change:*`, `tombstone`, …); a short file
+  * with no successor closed at `batch_end` — the micro-batch commit, i.e.
+  * the slot the reference's scheduled rotation occupies. */
 final case class RotationStats(totalFiles: Int,
-                               filesPerPartition: Map[String, Int]) {
+                               filesPerPartition: Map[String, Int],
+                               byCause: Map[String, Long] = Map.empty) {
   def diagnostic: String =
     s"rotations: $totalFiles files across ${filesPerPartition.size} " +
       s"partitions; top=" + filesPerPartition.toSeq.sortBy(-_._2).take(5)
-      .map { case (p, n) => s"$p:$n" }.mkString(",")
+      .map { case (p, n) => s"$p:$n" }.mkString(",") +
+      (if (byCause.isEmpty) ""
+       else "; causes=" + byCause.toSeq.sorted
+         .map { case (c, n) => s"$c:$n" }.mkString(","))
 }
 object RotationStats {
   def of(files: Seq[IngestWriter.FileInfo]): RotationStats =
     RotationStats(files.size,
       files.groupBy(_.encodedPartition).map { case (p, fs) => p -> fs.size })
+
+  /** Classify every file boundary by cause. One aggregation to one row per
+    * file plus one window over the (small) per-file frame — diagnostic
+    * metadata volume is #files, never #records. */
+  def causes(df: DataFrame, cfg: IngestConfig, encodedPartition: Column,
+             kafkaPartition: Column, offset: Column,
+             labeledGroups: Seq[(String, Column)]): Map[String, Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val groupKey = Seq(kafkaPartition, encodedPartition) ++
+      labeledGroups.map(_._2)
+    val grouped = Rotation.assignSizeFiles(
+      df.withColumn("__epart", encodedPartition), struct(groupKey: _*),
+      offset, cfg.flushSize)
+    val gCols = labeledGroups.zipWithIndex.map { case ((_, c), i) =>
+      first(c).as(s"__g$i")
+    }
+    val perFile = grouped
+      .groupBy(kafkaPartition.as("__kp"), col("__epart"),
+        col(Rotation.StartOffsetCol))
+      .agg(count(lit(1)).as("__rc"), gCols: _*)
+    val w = Window.partitionBy(col("__kp"), col("__epart"))
+      .orderBy(col(Rotation.StartOffsetCol))
+    val withNext = labeledGroups.indices.foldLeft(
+      perFile.withColumn("__has_next",
+        lead(col(Rotation.StartOffsetCol), 1).over(w).isNotNull)) {
+      case (acc, i) =>
+        acc.withColumn(s"__n$i", lead(col(s"__g$i"), 1).over(w))
+    }
+    val groupCause = labeledGroups.zipWithIndex.foldRight(
+      lit("partition_end"): Column) { case (((label, _), i), rest) =>
+      when(col("__has_next") &&
+        !(col(s"__n$i") <=> col(s"__g$i")), lit(label)).otherwise(rest)
+    }
+    val cause = when(col("__rc") === cfg.flushSize, lit("flush_size"))
+      .otherwise(when(col("__has_next"), groupCause).otherwise(lit("batch_end")))
+    withNext.select(cause.as("cause"))
+      .groupBy("cause").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 }
 
 /** W10 object tagging (TopicPartitionWriter.java:955-1102): the reference
@@ -122,8 +185,16 @@ object CommitManifest {
         FileNaming.fileName(lit(cfg.topic), col("kafka_partition"),
           col("start_offset"), cfg.extension, cfg.padWidth)))
       .orderBy(col("object_key"))
+    // object_key carries arbitrary partition-field values — escape quote/
+    // backslash/control chars so one odd value can't corrupt the manifest
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val rows = stats.collect().map { r =>
-      s"""{"object_key":"${r.getAs[String]("object_key")}",""" +
+      s"""{"object_key":"${esc(r.getAs[String]("object_key"))}",""" +
         s""""start_offset":${r.getAs[Long]("start_offset")},""" +
         s""""end_offset":${r.getAs[Long]("end_offset")},""" +
         s""""record_count":${r.getAs[Long]("record_count")}}"""

@@ -18,6 +18,15 @@ object OutputFormat {
   case object ByteArray extends OutputFormat("text", ".bin")
 }
 
+/** `json.decimal.format` (S3SinkConnectorConfig.java:214-219): how the JSON
+  * writer serializes decimals — BASE64 (reference default; base64 of the
+  * unscaled value at the declared scale) or NUMERIC (plain number). */
+sealed trait JsonDecimalFormat
+object JsonDecimalFormat {
+  case object Base64 extends JsonDecimalFormat
+  case object Numeric extends JsonDecimalFormat
+}
+
 final case class IngestConfig(
     topic: String,
     format: OutputFormat = OutputFormat.Parquet,
@@ -38,7 +47,9 @@ final case class IngestConfig(
     nullBehavior: RecordViews.NullBehavior = RecordViews.IgnoreNulls,
     /** P4 `store.kafka.keys` / `store.kafka.headers`. */
     writeKeys: Boolean = false,
-    writeHeaders: Boolean = false) {
+    writeHeaders: Boolean = false,
+    /** `json.decimal.format` — BASE64 is the reference default. */
+    jsonDecimalFormat: JsonDecimalFormat = JsonDecimalFormat.Base64) {
 
   /** Extension contract: gzip suffixes Json/ByteArray (CompressionType.java),
     * Parquet prefixes the codec (ParquetRecordWriterProvider.java:62-65). */

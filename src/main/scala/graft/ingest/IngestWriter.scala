@@ -66,8 +66,22 @@ object IngestWriter {
     }
 
     val staging = s"$outDir/_staging_${cfg.topic}${extSuffix.replace(".", "_")}"
-    val writer = named
+    val selected = named
       .select((payloadCols :+ col(EpartCol) :+ col(FnameCol)): _*)
+    // json.decimal.format=BASE64: decimals serialize as base64 of the
+    // unscaled value — project through binary (Spark's JSON writer emits
+    // binary as base64); NUMERIC leaves the decimal as a plain number.
+    val jsonReady =
+      if (cfg.format == OutputFormat.Json &&
+        cfg.jsonDecimalFormat == JsonDecimalFormat.Base64)
+        selected.schema.fields
+          .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+          .foldLeft(selected) { (acc, f) =>
+            acc.withColumn(f.name,
+              graft.functions.FormatExpressions.decimalUnscaledBytes(col(f.name)))
+          }
+      else selected
+    val writer = jsonReady
       .write.mode("overwrite")
       .partitionBy(EpartCol, FnameCol)
       .format(cfg.format.sparkFormat)
@@ -79,8 +93,7 @@ object IngestWriter {
     }
     withCompression.save(staging)
 
-    promote(spark.sparkContext.hadoopConfiguration, staging,
-      s"$outDir/${cfg.topicsDir}/${cfg.topic}")
+    promote(spark, staging, s"$outDir/${cfg.topicsDir}/${cfg.topic}")
   }
 
   /** P4 K/V/H composite write
@@ -90,9 +103,13 @@ object IngestWriter {
     * contract). */
   def writeKVH(df: DataFrame, cfg: IngestConfig, encodedPartition: Column,
                outDir: String, kafkaPartition: Column, offset: Column,
-               valueCols: Seq[Column]): Seq[FileInfo] = {
+               valueCols: Seq[Column],
+               extraFileGroups: Seq[Column] = Nil): Seq[FileInfo] = {
+    // extraFileGroups (e.g. R2 time-rotation buckets) must thread through
+    // all three views so .keys/.headers stay in lockstep with the value
+    // files AND agree with the CommitManifest grouping
     val value = write(df, cfg, encodedPartition, outDir, kafkaPartition,
-      offset, valueCols)
+      offset, valueCols, extraFileGroups = extraFileGroups)
     val keys =
       if (!cfg.writeKeys) Nil
       else write(
@@ -100,42 +117,69 @@ object IngestWriter {
             raise_error(lit("store.kafka.keys requires non-null keys")))
           .otherwise(col("key"))),
         cfg, encodedPartition, outDir, kafkaPartition, offset,
-        Seq(struct(col("key")).as("RecordKey")), extSuffix = ".keys")
+        Seq(struct(col("key")).as("RecordKey")),
+        extraFileGroups = extraFileGroups, extSuffix = ".keys")
     val headers =
       if (!cfg.writeHeaders) Nil
       else write(df, cfg, encodedPartition, outDir, kafkaPartition, offset,
-        Seq(col("headers")), extSuffix = ".headers")
+        Seq(col("headers")), extraFileGroups = extraFileGroups,
+        extSuffix = ".headers")
     value ++ keys ++ headers
   }
 
   /** Move staged `__epart=E/__fname=F/part-*` files to their contract names.
     * Percent-decodes Spark's partition-path escaping (e.g. the `/` inside
-    * hourly paths arrives as `%2F` and must become real subdirectories). */
-  private def promote(hadoopConf: org.apache.hadoop.conf.Configuration,
+    * hourly paths arrives as `%2F` and must become real subdirectories).
+    *
+    * The commit itself is a Spark job: the driver lists only the
+    * encoded-partition directories (bounded by partition count) and tasks
+    * do the per-file listing + renames in parallel — at millions of objects
+    * per batch the driver never loops over files, it only collects the
+    * per-object FileInfo metadata. Rename results are asserted so a silent
+    * rename failure fails the commit instead of corrupting the manifest.
+    * Task retries are safe: a group whose part file is gone but whose dest
+    * exists was promoted by a prior attempt and is reported as-is. */
+  private def promote(spark: org.apache.spark.sql.SparkSession,
                       stagingDir: String, topicDir: String): Seq[FileInfo] = {
-    val fs = FileSystem.get(new java.net.URI(stagingDir), hadoopConf)
+    val driverFs = FileSystem.get(new java.net.URI(stagingDir),
+      spark.sparkContext.hadoopConfiguration)
     val staging = new Path(stagingDir)
-    if (!fs.exists(staging)) return Nil
-    val out = scala.collection.mutable.ArrayBuffer.empty[FileInfo]
-    for (epartStatus <- fs.listStatus(staging) if epartStatus.isDirectory) {
-      val epart = unescape(epartStatus.getPath.getName.stripPrefix(s"$EpartCol="))
-      for (fnameStatus <- fs.listStatus(epartStatus.getPath)
-           if fnameStatus.isDirectory) {
-        val fname = unescape(fnameStatus.getPath.getName.stripPrefix(s"$FnameCol="))
-        val parts = fs.listStatus(fnameStatus.getPath)
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-            && !s.getPath.getName.startsWith("."))
-        require(parts.length == 1,
-          s"expected exactly 1 part file per group, got ${parts.length} in ${fnameStatus.getPath}")
-        val dest = new Path(s"$topicDir/$epart/$fname")
-        fs.mkdirs(dest.getParent)
-        if (fs.exists(dest)) fs.delete(dest, false) // X1: idempotent replay
-        fs.rename(parts.head.getPath, dest)
-        out += FileInfo(epart, fname, dest.toString)
-      }
-    }
-    fs.delete(staging, true)
-    out.sortBy(f => (f.encodedPartition, f.fileName)).toSeq
+    if (!driverFs.exists(staging)) return Nil
+    val epartDirs = driverFs.listStatus(staging)
+      .filter(_.isDirectory).map(_.getPath.toString).toSeq
+    if (epartDirs.isEmpty) { driverFs.delete(staging, true); return Nil }
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val parallelism =
+      math.min(epartDirs.length, spark.sparkContext.defaultParallelism)
+    val infos = spark.sparkContext.parallelize(epartDirs, parallelism)
+      .flatMap { dirStr =>
+        val dir = new Path(dirStr)
+        val fs = FileSystem.get(dir.toUri, hadoopConf.value)
+        val epart = unescape(dir.getName.stripPrefix(s"$EpartCol="))
+        fs.listStatus(dir).filter(_.isDirectory).map { fnameStatus =>
+          val fname =
+            unescape(fnameStatus.getPath.getName.stripPrefix(s"$FnameCol="))
+          val dest = new Path(s"$topicDir/$epart/$fname")
+          val parts = fs.listStatus(fnameStatus.getPath)
+            .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+              && !s.getPath.getName.startsWith("."))
+          if (parts.isEmpty && fs.exists(dest)) {
+            // already promoted by a previous attempt of this task
+            FileInfo(epart, fname, dest.toString)
+          } else {
+            require(parts.length == 1,
+              s"expected exactly 1 part file per group, got ${parts.length} in ${fnameStatus.getPath}")
+            fs.mkdirs(dest.getParent)
+            if (fs.exists(dest)) fs.delete(dest, false) // X1: idempotent replay
+            require(fs.rename(parts.head.getPath, dest),
+              s"rename to $dest failed")
+            FileInfo(epart, fname, dest.toString)
+          }
+        }
+      }.collect().toSeq
+    driverFs.delete(staging, true)
+    infos.sortBy(f => (f.encodedPartition, f.fileName))
   }
 
   /** Inverse of Spark's `escapePathName` for the characters we can emit. */

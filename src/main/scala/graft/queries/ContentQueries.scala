@@ -152,10 +152,11 @@ object ContentQueries {
 
     // Deterministic per-group sampling (training-data subsampling):
     // hash-ranked top-3 docs per source — stable across runs and replays.
+    // Ranked by md5 (engine-portable) so the DuckDB oracle checks it.
     "sample_per_source" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source"))
-        .orderBy(xxhash64(col("doc_id")), col("doc_id"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
       docs(s, d).withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("source"), col("doc_id"))
@@ -280,7 +281,15 @@ object ContentQueries {
     "mm_features" ->
       """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  md5(text) AS fp
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+
+    "sample_per_source" ->
+      """WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id FROM r WHERE rn <= 3
+        |ORDER BY source, doc_id""".stripMargin
   )
 
   /** Exhaustive 3-gram-shingle Jaccard pairs >= threshold; the jaccard

@@ -65,24 +65,52 @@ object StreamingIngest {
 
   /** Gap-based sessionization with explicit keyed state
     * (mapGroupsWithState) — the streaming twin of the batch q23_sessionize
-    * query. Emits the running summary of each user's current session. */
-  def sessionize(events: Dataset[SessionEvent],
-                 gapMs: Long): Dataset[SessionUpdate] = {
+    * query. Emits the running summary of each user's current session.
+    *
+    * State is bounded: `EventTimeTimeout` with the timeout set to
+    * `lastEventTs + gap` means a key whose session gap has passed the
+    * watermark gets one final emit and its state removed — on an unbounded
+    * stream the state store holds only users active within (gap +
+    * watermark), not every user ever seen. Eviction is observable: the
+    * user's next session restarts at id 1 (StreamingIngestSpec). */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+                 watermark: String = "10 minutes"): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .withColumn("event_ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, SessionUpdate](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[SessionEvent],
          state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-          it.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
-            st =
-              if (st.lastTsMs == Long.MinValue || e.ts_ms - st.lastTsMs > gapMs)
-                SessionState(st.sessionId + 1, e.ts_ms, 1L)
-              else SessionState(st.sessionId, e.ts_ms, st.nEvents + 1L)
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: close the session, free state
+            val st = state.get
+            state.remove()
+            SessionUpdate(user, st.sessionId, st.nEvents)
+          } else {
+            var st = state.getOption
+              .getOrElse(SessionState(0L, Long.MinValue, 0L))
+            // buffers one key's micro-batch slice — bounded by per-trigger
+            // input (maxOffsetsPerTrigger/maxFilesPerTrigger), not stream
+            // history
+            it.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+              st =
+                if (st.lastTsMs == Long.MinValue ||
+                  e.ts_ms - st.lastTsMs > gapMs)
+                  SessionState(st.sessionId + 1, e.ts_ms, 1L)
+                else SessionState(st.sessionId, e.ts_ms, st.nEvents + 1L)
+            }
+            state.update(st)
+            // Spark requires the timeout to sit strictly beyond the current
+            // watermark; a session already older than the watermark expires
+            // at the next watermark advance
+            state.setTimeoutTimestamp(math.max(st.lastTsMs + gapMs,
+              state.getCurrentWatermarkMs() + 1))
+            SessionUpdate(user, st.sessionId, st.nEvents)
           }
-          state.update(st)
-          SessionUpdate(user, st.sessionId, st.nEvents)
       }
   }
 }

@@ -73,6 +73,43 @@ class IngestSpec extends SparkSuite {
     assert(lines.sorted == Seq("payload-0", "payload-1", "payload-2"))
   }
 
+  test("R10 per-cause rotation diagnostics on a mixed-cause batch " +
+    "(util/FileRotationTracker.java:48-67)") {
+    val out = freshDir()
+    // partition p=a: offsets 0-5 in interval bucket 0 with flushSize=3 →
+    //   one full file (flush_size) + one full file whose successor changes
+    //   interval bucket... build precisely:
+    //   a: off 0,1,2 (bucket 0, full file → flush_size)
+    //      off 3,4   (bucket 0, short, next differs in bucket → BUT
+    //                 bucket is the labeled group → rotate_interval)
+    //      off 5     (bucket 1, short, schema v1→v2 next → schema_change)
+    //      off 6     (bucket 1, schema v2, last → batch_end)
+    val rows = Seq(
+      (0, 0L, "2024-01-01 00:00:01", 1, "a"),
+      (0, 1L, "2024-01-01 00:00:02", 1, "a"),
+      (0, 2L, "2024-01-01 00:00:03", 1, "a"),
+      (0, 3L, "2024-01-01 00:00:04", 1, "a"),
+      (0, 4L, "2024-01-01 00:00:05", 1, "a"),
+      (0, 5L, "2024-01-01 01:00:01", 1, "a"),
+      (0, 6L, "2024-01-01 01:00:02", 2, "a"))
+      .toDF("kafka_partition", "offset", "ts", "schema_version", "f")
+    val cfg = IngestConfig(topic = "causes", flushSize = 3,
+      rotateIntervalMs = Some(3600 * 1000L), timestampColumn = "ts")
+    val result = Ingest.run(rows, cfg, PartitionerSpec.Fields(Seq("f")), out,
+      payloadCols = Seq(col("offset"), col("ts"), col("schema_version")),
+      extraCauseGroups =
+        Seq("schema_change:version" -> col("schema_version")),
+      causeStats = true)
+    // files: [0,1,2] full; [3,4] short→interval boundary; [5] short→schema
+    // boundary; [6] last → batch_end
+    assert(result.files.size == 4, result.files.map(_.fileName))
+    assert(result.stats.byCause == Map(
+      "flush_size" -> 1L, "rotate_interval" -> 1L,
+      "schema_change:version" -> 1L, "batch_end" -> 1L),
+      result.stats.byCause.toString)
+    assert(result.stats.diagnostic.contains("causes="))
+  }
+
   test("hourly PartitionerSpec compiles to the reference path format") {
     val df = Seq((0, 0L, "2024-03-01 13:00:00"))
       .toDF("kafka_partition", "offset", "ts")

@@ -144,6 +144,69 @@ class IngestWriterSpec extends SparkSuite {
     assert(recs.toSeq == (0L until 4L).map(o => (o, s"v$o")))
   }
 
+  test("W1 Avro type fidelity: map, decimal logical type, enum " +
+    "round-trip (ParquetRecordWriterProvider.java:150-151, " +
+    "DataWriterAvroTest.java:157-189)") {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.spark.sql.types._
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "ty", format = OutputFormat.Avro,
+      flushSize = 100)
+    val enumMeta = new MetadataBuilder()
+      .putString("avro.enum.symbols", "RED,GREEN,BLUE")
+      .putString("avro.enum.name", "Color").build()
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(0, 0L,
+          Map("a" -> 1L, "b" -> 2L), new java.math.BigDecimal("12345.67"),
+          "GREEN"),
+        org.apache.spark.sql.Row(0, 1L,
+          Map("c" -> 3L), new java.math.BigDecimal("-0.05"), "BLUE")),
+      StructType(Seq(
+        StructField("kafka_partition", IntegerType),
+        StructField("offset", LongType),
+        StructField("m", MapType(StringType, LongType)),
+        StructField("dec", DecimalType(10, 2)),
+        StructField("color", StringType, nullable = true, enumMeta))))
+    val files = IngestWriter.write(df, cfg,
+      Partitioners.defaultPartition(col("kafka_partition")), out,
+      col("kafka_partition"), col("offset"),
+      payloadCols = Seq(col("offset"), col("m"), col("dec"), col("color")))
+    val reader = new DataFileReader[GenericRecord](
+      new java.io.File(files.head.path),
+      new GenericDatumReader[GenericRecord]())
+    val r0 = reader.next(); val r1 = reader.next()
+    assert(!reader.hasNext); reader.close()
+
+    // schema: decimal logical type with precision/scale; enum symbols
+    val schema = r0.getSchema
+    def resolved(f: String) = schema.getField(f).schema().getTypes.get(1)
+    val decSchema = resolved("dec")
+    assert(decSchema.getType == org.apache.avro.Schema.Type.BYTES)
+    val lt = decSchema.getLogicalType
+      .asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+    assert(lt.getPrecision == 10 && lt.getScale == 2)
+    assert(resolved("color").getType == org.apache.avro.Schema.Type.ENUM)
+    assert(resolved("color").getEnumSymbols.toString ==
+      "[RED, GREEN, BLUE]")
+    assert(resolved("m").getType == org.apache.avro.Schema.Type.MAP)
+
+    // values: unscaled bytes at declared scale; map entries; enum symbol
+    def dec(r: GenericRecord) = new java.math.BigDecimal(
+      new java.math.BigInteger({
+        val bb = r.get("dec").asInstanceOf[java.nio.ByteBuffer]
+        val a = new Array[Byte](bb.remaining()); bb.get(a); a
+      }), 2)
+    assert(dec(r0) == new java.math.BigDecimal("12345.67"))
+    assert(dec(r1) == new java.math.BigDecimal("-0.05"))
+    val m0 = r0.get("m").asInstanceOf[java.util.Map[_, _]]
+    assert(m0.size() == 2 &&
+      m0.toString.contains("a") && m0.toString.contains("1"))
+    assert(r0.get("color").toString == "GREEN")
+    assert(r1.get("color").toString == "BLUE")
+  }
+
   test("W1 Avro replay is idempotent (direct-path overwrite)") {
     val out = freshDir()
     val cfg = IngestConfig(topic = "t", format = OutputFormat.Avro, flushSize = 100)
@@ -151,6 +214,33 @@ class IngestWriterSpec extends SparkSuite {
       Partitioners.defaultPartition(col("kafka_partition")), out,
       col("kafka_partition"), col("offset"), payloadCols = Seq(col("offset")))
     assert(go().map(_.path) == go().map(_.path))
+  }
+
+  test("json.decimal.format: BASE64 writes base64 unscaled bytes, " +
+    "NUMERIC writes the plain number (S3SinkConnectorConfig.java:214-219)") {
+    import org.apache.spark.sql.types._
+    def jsonLines(mode: JsonDecimalFormat): Seq[String] = {
+      val out = freshDir()
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(0, 0L, new java.math.BigDecimal("10.20"))),
+        StructType(Seq(
+          StructField("kafka_partition", IntegerType),
+          StructField("offset", LongType),
+          StructField("dec", DecimalType(10, 2)))))
+      val files = IngestWriter.write(df,
+        IngestConfig(topic = "jd", format = OutputFormat.Json,
+          jsonDecimalFormat = mode),
+        Partitioners.defaultPartition(col("kafka_partition")), out,
+        col("kafka_partition"), col("offset"),
+        payloadCols = Seq(col("offset"), col("dec")))
+      scala.io.Source.fromFile(files.head.path).getLines().toSeq
+    }
+    // unscaled(10.20, scale 2) = 1020 = 0x03FC → base64 "A/w="
+    assert(jsonLines(JsonDecimalFormat.Base64) ==
+      Seq("""{"offset":0,"dec":"A/w="}"""))
+    assert(jsonLines(JsonDecimalFormat.Numeric) ==
+      Seq("""{"offset":0,"dec":10.20}"""))
   }
 
   test("R2 composition: extra time file-group splits files within a " +

@@ -123,4 +123,45 @@ class StreamingIngestSpec extends SparkSuite {
     assert(r(1L) == (2L, 1L))
     assert(r(2L) == (1L, 1L))
   }
+
+  test("sessionize evicts state once the watermark passes the gap " +
+    "(EventTimeTimeout): the user's next session restarts at id 1") {
+    import StreamingIngest._
+    val src = Files.createTempDirectory("sess_to_src").toString
+    def writeFile(evts: Seq[SessionEvent]): Unit = {
+      evts.toDF().coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(60) // distinct mod-times → stable batch order
+    }
+    // batch 1: user 1 session of 2 events ending at t=2s
+    writeFile(Seq(SessionEvent(1L, 1L, 1000L), SessionEvent(1L, 2L, 2000L)))
+    // batch 2: user 9 at t=2h advances the watermark far past 2s+gap
+    writeFile(Seq(SessionEvent(9L, 3L, 7200000L)))
+    // batch 3: watermark from batch 2 now applies → user 1 times out
+    // (final emit + state removed) while user 9 continues
+    writeFile(Seq(SessionEvent(9L, 4L, 7210000L)))
+    // batch 4: user 1 returns — with state evicted the session id restarts
+    // at 1; surviving state would have yielded session id 2
+    writeFile(Seq(SessionEvent(1L, 5L, 7220000L)))
+
+    val sschema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts_ms", LongType)))
+    val stream = spark.readStream.schema(sschema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[SessionEvent]
+    val q = sessionize(stream, gapMs = 30000L, watermark = "10 minutes")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sessions_evict").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val u1 = spark.table("sessions_evict").as[SessionUpdate].collect()
+      .filter(_.user_id == 1L).map(u => (u.session_id, u.n_events)).toSeq
+    // (1,2) running + (1,2) timeout final emit + (1,1) post-eviction restart
+    assert(u1.contains((1L, 1L)),
+      s"expected post-eviction restart (1,1); got $u1")
+    assert(!u1.contains((2L, 1L)),
+      s"state survived eviction (session id 2 seen): $u1")
+    assert(u1.count(_ == (1L, 2L)) == 2,
+      s"expected running + final-emit rows for session 1: $u1")
+  }
 }
