@@ -89,6 +89,43 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** SRP-LSH approximate top-k: the bucketed alternative to `ivfTopK` —
+    * no centroid pass at all. Queries and corpus share the same SRP band
+    * signatures (coarser than dedup's: fewer bits per band, so moderate-
+    * cosine neighbors still collide); a corpus vector is scored for a
+    * query only when they share at least one (band, bucket). One equi-join
+    * on the banded keys (query side broadcast — it is the small side by
+    * definition), exact cosine on candidates, per-query top-k. Recall
+    * rises with `bands`, scan fraction falls with `bitsPerBand` — both
+    * per-query knobs, no index rebuild. */
+  def srpTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
+              qVec: Column, cId: Column, cVec: Column, k: Int,
+              bands: Int = 24, bitsPerBand: Int = 6): DataFrame = {
+    def banded(df: DataFrame, id: Column, vec: Column, p: String) = {
+      df.select(id.as(s"${p}_id"), asDouble(vec).as(s"${p}_v"))
+        .withColumn(s"${p}_n", norm(col(s"${p}_v")))
+        .withColumn("bkts", graft.functions.HashExpressions
+          .srpBandBuckets(col(s"${p}_v"), bands, bitsPerBand))
+        .select(col(s"${p}_id"), col(s"${p}_v"), col(s"${p}_n"),
+          posexplode(col("bkts")).as(Seq("band", "bucket")))
+    }
+    val c = banded(corpus, cId, cVec, "c")
+    val q = banded(queries, qId, qVec, "q")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    c.join(broadcast(q), Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id").as("n_id"), col("q_v"), col("q_n"),
+        col("c_v"), col("c_n"))
+      .dropDuplicates("q_id", "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")), 4)
+          .as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+  }
+
   /** Exact brute-force top-k: broadcast the (small) query set against the
     * corpus, rank per query. Tie-break on rounded sim then id →
     * deterministic. */

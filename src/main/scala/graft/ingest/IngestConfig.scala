@@ -49,7 +49,10 @@ final case class IngestConfig(
     writeKeys: Boolean = false,
     writeHeaders: Boolean = false,
     /** `json.decimal.format` — BASE64 is the reference default. */
-    jsonDecimalFormat: JsonDecimalFormat = JsonDecimalFormat.Base64) {
+    jsonDecimalFormat: JsonDecimalFormat = JsonDecimalFormat.Base64,
+    /** W4 `format.bytearray.separator` (reference default: line separator,
+      * ByteArrayRecordWriterProvider.java:38-50). */
+    byteArraySeparator: String = "\n") {
 
   /** Extension contract: gzip suffixes Json/ByteArray (CompressionType.java),
     * Parquet prefixes the codec (ParquetRecordWriterProvider.java:62-65). */

@@ -51,6 +51,18 @@ object IngestWriter {
       FileNaming.fileName(lit(cfg.topic), kafkaPartition,
         col(Rotation.StartOffsetCol), ext, cfg.padWidth))
 
+    // W4 raw bytes stream task-side to the final keys (true binary
+    // payloads + configurable separator; no staging rename).
+    if (cfg.format == OutputFormat.ByteArray) {
+      require(payloadCols.length == 1,
+        "ByteArray format serializes exactly one value column")
+      val data = named.select(payloadCols.head.as("__value"),
+        col(EpartCol), col(FnameCol), offset.as("__offset"))
+      return RawGroupWriter.write(data, EpartCol, FnameCol, "__offset",
+        "__value", s"$outDir/${cfg.topicsDir}/${cfg.topic}",
+        cfg.compression, cfg.byteArraySeparator)
+    }
+
     // Avro has no native DataFrameWriter in this environment — its groups
     // stream through AvroGroupWriter directly to the final object keys.
     if (cfg.format == OutputFormat.Avro) {

@@ -101,6 +101,18 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // SRP-LSH bucketed ANN (rows-only; recall vs brute force asserted in
+    // SimilaritySpec) — the centroid-free scale path beside sim_topk_ivf.
+    "sim_topk_srp" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.srpTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // BPE-ish token estimate (word/punct regex + length term).
     "text_token_estimate" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),

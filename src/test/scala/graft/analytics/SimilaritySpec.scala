@@ -53,6 +53,18 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("SRP top-k recall vs brute force on near-isotropic vectors") {
+    val k = 10
+    val bf = Similarity.bruteForceTopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val srp = Similarity.srpTopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect srp).size.toDouble / bf.size
+    assert(recall >= 0.5, s"SRP top-k recall $recall too low")
+  }
+
   test("SRP-LSH pairs equal the exhaustive cosinePairs result on planted " +
     "near-dups (full recall, exact precision)") {
     // 40 base vectors each with a planted near-dup (cosine ~0.97-0.995)

@@ -243,6 +243,31 @@ class IngestWriterSpec extends SparkSuite {
       Seq("""{"offset":0,"dec":10.20}"""))
   }
 
+  test("W4 ByteArray binary payloads round-trip byte-exact with a custom " +
+    "separator (ByteArrayRecordWriterProvider.java:38-92)") {
+    import org.apache.spark.sql.types._
+    val out = freshDir()
+    val payloads = Seq(Array[Byte](0, 1, -1, 127, -128), Array[Byte](42))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(0, 0L, payloads(0)),
+        org.apache.spark.sql.Row(0, 1L, payloads(1))),
+      StructType(Seq(
+        StructField("kafka_partition", IntegerType),
+        StructField("offset", LongType),
+        StructField("value", BinaryType))))
+    val cfg = IngestConfig(topic = "bin", format = OutputFormat.ByteArray,
+      byteArraySeparator = "|")
+    val files = IngestWriter.write(df, cfg,
+      Partitioners.defaultPartition(col("kafka_partition")), out,
+      col("kafka_partition"), col("offset"), payloadCols = Seq(col("value")))
+    assert(files.map(_.fileName) == Seq("bin+0+0000000000.bin"))
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(files.head.path))
+    val expected = payloads(0) ++ "|".getBytes ++ payloads(1) ++ "|".getBytes
+    assert(bytes.toSeq == expected.toSeq)
+  }
+
   test("R2 composition: extra time file-group splits files within a " +
     "partition and names stay offset-deterministic") {
     val out = freshDir()
