@@ -18,6 +18,9 @@ object Caches {
     p
   }
 
+  /** Register an already-persisted frame for the next clear(). */
+  private[graft] def track(df: DataFrame): DataFrame = { live.add(df); df }
+
   /** Unpersist every operator-cached frame registered since the last clear. */
   def clear(): Unit = {
     var df = live.poll()

@@ -158,4 +158,51 @@ object Dedup {
   def embeddingNearDups(emb: DataFrame, id: Column, vec: Column,
                         threshold: Double): DataFrame =
     Similarity.srpLshPairs(emb, id, vec, threshold)
+
+  /** Collapse near-dup pairs into clusters: every doc labeled with the
+    * smallest id in its connected component of the pair graph —
+    * the step that turns pairwise dedup output into keep/drop decisions
+    * (keep the representative, drop the rest).
+    *
+    * Min-label propagation: each round joins labels across edges and takes
+    * the per-node min; converges in O(component diameter) rounds. Near-dup
+    * components are near-cliques (LSH candidates share buckets), so the
+    * practical round count is 2-4; `maxIters` caps pathological chains and
+    * each round is two shuffles (join + aggregate) over the PAIRS, whose
+    * volume is near-dup count, not corpus size. Iterations persist and
+    * unpersist per round so lineage stays flat.
+    *
+    * Output: `(doc_id, cluster_rep)` for every doc appearing in a pair. */
+  def dedupClusters(pairs: DataFrame, a: Column, b: Column,
+                    maxIters: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    val half = pairs.select(a.as("src"), b.as("dst"))
+    val edges = Caches.persist(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count() // materialize before the loop mutates the variable
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(prop)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      val prev = labels
+      labels = next
+      prev.unpersist(blocking = false)
+      converged = changed // isEmpty == true ⇒ no label moved
+      i += 1
+    }
+    Caches.track(labels)
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+  }
 }

@@ -79,6 +79,16 @@ object ContentQueries {
         threshold = 0.95)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Pairs → keep/drop decisions: connected components over the near-dup
+    // graph, each doc labeled with its cluster's smallest id. Oracle is a
+    // recursive CTE computing min reachable id over the same pair set.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(docs(s, d), col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)
+      Dedup.dedupClusters(pairs, col("a_id"), col("b_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sim_topk_bruteforce" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopK(
@@ -251,6 +261,19 @@ object ContentQueries {
     "dedup_ngram_jaccard" -> jaccardOracle(0.5),
     "dedup_minhash_lsh" -> jaccardOracle(0.7),
 
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |jp AS (SELECT a_id, b_id FROM p
+         |  WHERE common / (a_n + b_n - common) >= 0.5),
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |  UNION SELECT b_id, a_id FROM jp),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM ed
+         |  UNION
+         |  SELECT e2.src, reach.r FROM ed e2 JOIN reach ON e2.dst = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_rep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
     "dedup_embedding" ->
       s"""$simCte
          |SELECT a_id, b_id, round(sim, 4) AS sim FROM p
@@ -304,20 +327,25 @@ object ContentQueries {
         |ORDER BY source, doc_id""".stripMargin
   )
 
+  /** Shared CTE chain: docs → distinct 3-gram shingles → exploded →
+    * exhaustive pair intersection counts. */
+  private def jaccardCtes: String =
+    """sh AS (SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+      |      i -> array_to_string(list_slice(
+      |        string_split(lower(text), ' '), i, i + 2), ' '))) AS s
+      |  FROM documents),
+      |e AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.n_sh AS a_n, b.n_sh AS b_n, count(*) AS common
+      |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
   /** Exhaustive 3-gram-shingle Jaccard pairs >= threshold; the jaccard
     * double is a ratio of exact ints so it is bit-identical across engines. */
   private def jaccardOracle(threshold: Double): String =
-    s"""WITH sh AS (SELECT doc_id,
-       |    list_distinct(list_transform(
-       |      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
-       |      i -> array_to_string(list_slice(
-       |        string_split(lower(text), ' '), i, i + 2), ' '))) AS s
-       |  FROM documents),
-       |e AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
-       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |    a.n_sh AS a_n, b.n_sh AS b_n, count(*) AS common
-       |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2, 3, 4)
+    s"""WITH $jaccardCtes
        |SELECT a_id, b_id,
        |  round(common / (a_n + b_n - common), 6) AS jaccard
        |FROM p WHERE common / (a_n + b_n - common) >= $threshold

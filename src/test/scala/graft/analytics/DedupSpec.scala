@@ -68,4 +68,21 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long, Double)].collect()
     assert(r.forall { case (a, b, s) => a < b && s >= 0.9 })
   }
+
+  test("dedupClusters: a chain collapses to one component (multi-round " +
+    "propagation) and disjoint cliques stay separate") {
+    // chain 1-2-3-4-5 (diameter 4 forces several propagation rounds) plus
+    // clique {10,11,12} and isolated pair (20,21)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("a_id", "b_id")
+    val r = Dedup.dedupClusters(pairs, col("a_id"), col("b_id"))
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(r(_) == 1L), r)
+    assert(Seq(10L, 11L, 12L).forall(r(_) == 10L), r)
+    assert(r(20L) == 20L && r(21L) == 20L, r)
+    assert(r.size == 10)
+    graft.analytics.Caches.clear()
+  }
 }
