@@ -66,7 +66,12 @@ object Ingest {
           valueColumnForNulls: Option[String] = None,
           writeManifest: Boolean = false,
           extraCauseGroups: Seq[(String, Column)] = Nil,
-          causeStats: Boolean = false): Result = {
+          causeStats: Boolean = false,
+          fence: Option[(EpochFence, Long)] = None): Result = {
+    // W8/X4: verify this writer generation still holds the newest epoch —
+    // once before doing work and again at the commit point (claim-then-
+    // verify; see EpochFence for the guarantee)
+    fence.foreach { case (f, e) => f.check(e) }
     val cleaned = valueColumnForNulls match {
       case Some(v) => RecordViews.applyNullBehavior(frame, cfg.nullBehavior, v)
       case None => frame
@@ -90,6 +95,7 @@ object Ingest {
           labeledGroups)
       else Map.empty[String, Long]
     val stats = RotationStats.of(files).copy(byCause = byCause)
+    fence.foreach { case (f, e) => f.check(e) }
     if (writeManifest)
       CommitManifest.write(cleaned, cfg, encoded, outDir, kafkaPartition,
         offset, extraGroups)
