@@ -101,23 +101,30 @@ object Similarity {
   def srpTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
               qVec: Column, cId: Column, cVec: Column, k: Int,
               bands: Int = 24, bitsPerBand: Int = 6): DataFrame = {
-    def banded(df: DataFrame, id: Column, vec: Column, p: String) = {
+    // The (band, bucket) join and the (q_id, n_id) dedup carry ONLY ids —
+    // vectors re-join after dedup, so no shuffle ever moves a vector twice.
+    def prepared(df: DataFrame, id: Column, vec: Column, p: String) =
       df.select(id.as(s"${p}_id"), asDouble(vec).as(s"${p}_v"))
         .withColumn(s"${p}_n", norm(col(s"${p}_v")))
         .withColumn("bkts", graft.functions.HashExpressions
           .srpBandBuckets(col(s"${p}_v"), bands, bitsPerBand))
-        .select(col(s"${p}_id"), col(s"${p}_v"), col(s"${p}_n"),
-          posexplode(col("bkts")).as(Seq("band", "bucket")))
-    }
-    val c = banded(corpus, cId, cVec, "c")
-    val q = banded(queries, qId, qVec, "q")
+    val c = prepared(corpus, cId, cVec, "c")
+    val q = prepared(queries, qId, qVec, "q")
+    val cBanded = c.select(col("c_id"),
+      posexplode(col("bkts")).as(Seq("band", "bucket")))
+    val qBanded = q.select(col("q_id"),
+      posexplode(col("bkts")).as(Seq("band", "bucket")))
+    val cand = cBanded.join(broadcast(qBanded), Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id").as("n_id"))
+      .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
-    c.join(broadcast(q), Seq("band", "bucket"))
-      .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id").as("n_id"), col("q_v"), col("q_n"),
-        col("c_v"), col("c_n"))
-      .dropDuplicates("q_id", "n_id")
+    cand
+      .join(c.select(col("c_id").as("n_id"), col("c_v"), col("c_n")),
+        Seq("n_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_v"), col("q_n"))),
+        Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         round(dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")), 4)
           .as("sim"))

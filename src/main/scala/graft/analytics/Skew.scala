@@ -14,12 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The salt derives from a stable hash of the large side's whole row —
+    * deterministic across replays and task retries (a
+    * `monotonically_increasing_id` salt re-deals rows on every retry,
+    * breaking replay determinism), while still spreading a hot key evenly
+    * as long as its rows differ in any other column. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 1)
     val salted = large.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
-        .cast("int"))
+      pmod(xxhash64(struct(large.columns.map(col).toIndexedSeq: _*)),
+        lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")

@@ -191,26 +191,24 @@ object CommitManifest {
         FileNaming.fileName(lit(cfg.topic), col("kafka_partition"),
           col("start_offset"), cfg.extension, cfg.padWidth)))
       .orderBy(col("object_key"))
-    // object_key carries arbitrary partition-field values — escape quote/
-    // backslash/control chars so one odd value can't corrupt the manifest
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    val rows = stats.collect().map { r =>
-      s"""{"object_key":"${esc(r.getAs[String]("object_key"))}",""" +
-        s""""start_offset":${r.getAs[Long]("start_offset")},""" +
-        s""""end_offset":${r.getAs[Long]("end_offset")},""" +
-        s""""record_count":${r.getAs[Long]("record_count")}}"""
-    }
-    val dest = new org.apache.hadoop.fs.Path(
-      s"$outDir/${cfg.topicsDir}/${cfg.topic}/_graft_manifest/commit.json")
+    // Serialized task-side via to_json (proper escaping of arbitrary
+    // partition-field values in object_key) and streamed to one file —
+    // the driver never collects or loops over per-object rows, so the
+    // manifest write scales with object count like the data write does.
+    val jsonLines = stats.select(to_json(struct(
+      col("object_key"), col("start_offset"), col("end_offset"),
+      col("record_count"))).as("value"))
+    val manifestDir = s"$outDir/${cfg.topicsDir}/${cfg.topic}/_graft_manifest"
+    val tmp = s"$manifestDir/_tmp"
+    jsonLines.coalesce(1).write.mode("overwrite").text(tmp)
+    val dest = new org.apache.hadoop.fs.Path(s"$manifestDir/commit.json")
     val fs = dest.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(dest, true)
-    out.write((rows.mkString("\n") + "\n").getBytes("UTF-8"))
-    out.close()
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    require(part.length == 1, s"expected 1 manifest part, got ${part.length}")
+    if (fs.exists(dest)) fs.delete(dest, false)
+    require(fs.rename(part.head.getPath, dest), s"manifest rename failed: $dest")
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     dest.toString
   }
 }
