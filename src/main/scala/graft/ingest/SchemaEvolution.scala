@@ -20,6 +20,27 @@ object SchemaEvolution {
 
   final case class VersionedBatch(schema: SchemaCompat.VersionedSchema,
                                   frame: DataFrame)
+
+  /** Version churn WITHIN one physical frame: rows tagged with a schema
+    * version (the schema-registry id that deserialized them) split into one
+    * VersionedBatch per distinct version, each projected onto its declared
+    * struct — feed the result to `resolve`. The distinct-version list is
+    * collected to the driver (it is bounded by registry churn, a handful,
+    * never row count); the row data itself splits lazily via filters over
+    * the one superset-schema frame. */
+  def splitByVersion(frame: DataFrame, versionCol: String,
+                     catalog: Map[Int, SchemaCompat.VersionedSchema])
+      : Seq[VersionedBatch] = {
+    import org.apache.spark.sql.functions.col
+    val versions = frame.select(versionCol).distinct()
+      .collect().map(_.getInt(0)).sorted
+    versions.toSeq.map { v =>
+      val vs = catalog.getOrElse(v, throw new IllegalArgumentException(
+        s"row carries schema version $v absent from the catalog"))
+      VersionedBatch(vs, SchemaCompat.project(
+        frame.filter(col(versionCol) === v).drop(versionCol), vs.struct))
+    }
+  }
   /** One write group per surviving schema: the schema it is written as and
     * the (possibly unioned+projected) data. */
   final case class WriteGroup(as: SchemaCompat.VersionedSchema,

@@ -50,4 +50,26 @@ class SchemaEvolutionSpec extends SparkSuite {
     // third batch re-adopts v1 and lands in its existing group
     assert(groups.head.frame.count() == 4)
   }
+
+  test("splitByVersion: version churn WITHIN one frame splits per registry " +
+    "id, projects each onto its declared struct, and feeds resolve") {
+    // superset physical schema; v1 rows have c = null
+    val mixed = Seq(
+      (1, "x", Option.empty[Double], 1),
+      (2, "y", Option.empty[Double], 1),
+      (3, "z", Some(1.5), 2)).toDF("a", "b", "c", "ver")
+    val batches = SchemaEvolution.splitByVersion(mixed, "ver",
+      Map(1 -> v1, 2 -> v2))
+    assert(batches.map(_.schema) == Seq(v1, v2))
+    assert(batches.head.frame.schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(batches(1).frame.schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    // end-to-end under BACKWARD: one write group on v2, all rows aligned
+    val groups = resolve(Backward, batches.reverse)
+    assert(groups.map(_.as) == Seq(v2))
+    assert(groups.head.frame.count() == 3)
+    val ex = intercept[IllegalArgumentException] {
+      SchemaEvolution.splitByVersion(mixed, "ver", Map(1 -> v1))
+    }
+    assert(ex.getMessage.contains("version 2"))
+  }
 }
