@@ -180,18 +180,24 @@ object Similarity {
       .withColumn("c_n", norm(col("c_v")))
     // Deterministic hash-sampled centroids: the filter prunes the corpus
     // ~16× before the top-nLists merge; at larger corpora tighten the
-    // filter so the sample stays ~100×nLists.
-    val centroids = c.withColumn("r", pmod(xxhash64(col("n_id")), lit(997)))
+    // filter so the sample stays ~100×nLists. The hash is md5-derived
+    // (engine-portable) so the whole IVF pipeline is DuckDB-expressible
+    // and oracle-checked.
+    val centroids = c.withColumn("r",
+      pmod(conv(substring(md5(col("n_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(997)))
       .filter(col("r") < 64)
       .orderBy(col("r"), col("n_id")).limit(nLists)
       .select(col("n_id").as("list_id"), col("c_v").as("cent_v"),
         col("c_n").as("cent_n"))
     // assign: argmax cosine(corpus, centroid) — broadcast centroids, then
-    // max_by hash aggregate (ties: higher csim, then lower list_id)
+    // max_by hash aggregate (ties: higher csim, then lower list_id).
+    // Scores round to 6 decimals before ranking so cross-engine FP-sum
+    // ordering can't flip an argmax.
     val assigned = c.join(broadcast(centroids))
       .select(col("n_id"), col("c_v"), col("c_n"), col("list_id"),
-        (dot(col("c_v"), col("cent_v")) / (col("c_n") * col("cent_n")))
-          .as("csim"))
+        round(dot(col("c_v"), col("cent_v")) / (col("c_n") * col("cent_n")),
+          6).as("csim"))
       .groupBy(col("n_id"))
       .agg(max_by(
         struct(col("c_v"), col("c_n"), col("list_id")),
@@ -204,8 +210,8 @@ object Similarity {
       .withColumn("q_n", norm(col("q_v")))
     val probes = q.join(broadcast(centroids))
       .select(col("q_id"), col("q_v"), col("q_n"), col("list_id"),
-        (dot(col("q_v"), col("cent_v")) / (col("q_n") * col("cent_n")))
-          .as("qsim"))
+        round(dot(col("q_v"), col("cent_v")) / (col("q_n") * col("cent_n")),
+          6).as("qsim"))
       .groupBy(col("q_id"))
       .agg(first(col("q_v")).as("q_v"), first(col("q_n")).as("q_n"),
         slice(array_sort(collect_list(

@@ -99,8 +99,9 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // IVF approximate top-k (rows-only; recall vs brute force asserted in
-    // SimilaritySpec).
+    // IVF approximate top-k — fully oracle-checked: centroid sampling is
+    // md5-hash-derived and all ranking scores round before ordering, so
+    // DuckDB reproduces the identical index and scan.
     "sim_topk_ivf" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.ivfTopK(
@@ -317,6 +318,44 @@ object ContentQueries {
       """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  md5(text) AS fp
         |FROM documents ORDER BY id""".stripMargin,
+
+    "sim_topk_ivf" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |cent AS (SELECT vec_id AS list_id, e AS ce, nrm AS cn FROM (
+        |    SELECT vec_id, e, nrm,
+        |      CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 997 AS r
+        |    FROM n) WHERE r < 64 ORDER BY r, vec_id LIMIT 16),
+        |asg AS (SELECT n.vec_id AS n_id, n.e AS av, n.nrm AS an,
+        |    cent.list_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
+        |      cent.list_id) AS arn
+        |  FROM n CROSS JOIN cent),
+        |assigned AS (SELECT n_id, av, an, list_id FROM asg WHERE arn = 1),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id % 100 = 0),
+        |prb AS (SELECT q.q_id, q.qe, q.qn, cent.list_id,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> q.qe[i] * cent.ce[i])) / (q.qn * cent.cn), 6) DESC,
+        |      cent.list_id) AS prn
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT q_id, qe, qn, list_id FROM prb WHERE prn <= 4),
+        |sc AS (SELECT p.q_id, a.n_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> p.qe[i] * a.av[i])) / (p.qn * a.an), 4) AS sim
+        |  FROM probes p JOIN assigned a
+        |    ON a.list_id = p.list_id AND a.n_id <> p.q_id),
+        |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, n_id) AS rank FROM sc)
+        |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
 
     "sample_per_source" ->
       """WITH r AS (SELECT source, doc_id,
