@@ -120,22 +120,24 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
-  /** 64-bit SimHash over token xxhash64 values: per bit, sum +1/-1 across
-    * tokens, bit set where the sum is positive. Native single-pass
-    * expression (graft.functions.SimHash64) — no explode, no shuffle. */
-  def simhash(text: Column): Column =
-    graft.functions.HashExpressions.simhash64(TextAnalysis.tokens(lower(text)))
+  /** SimHash over lowercased tokens: per bit, sum +1/-1 across tokens, bit
+    * set where the sum is positive. Native single-pass expression
+    * (graft.functions.SimHash64) — no explode, no shuffle. Default base hash
+    * is the md5-derived 60-bit value (engine-portable, DuckDB-oracle-checked);
+    * `md5Base = false` switches to 64-bit xxhash64. */
+  def simhash(text: Column, md5Base: Boolean = true): Column =
+    graft.functions.HashExpressions.simhash64(
+      TextAnalysis.tokens(lower(text)), md5Base)
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidate
-    * generation by pigeonhole: split the 64-bit hash into `maxDist+1`
-    * chunks — any pair within maxDist agrees on at least one chunk, so an
-    * equi-join on (chunkIndex, chunkValue) finds all candidates without a
-    * cross join. */
+    * generation by pigeonhole: split the hash into `maxDist+1` chunks — any
+    * pair within maxDist agrees on at least one chunk, so an equi-join on
+    * (chunkIndex, chunkValue) finds all candidates without a cross join. */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, md5Base: Boolean = true): DataFrame = {
     val chunks = maxDist + 1
-    val bitsPer = 64 / chunks
-    val h = docs.select(id.as("doc_id"), simhash(text).as("sh"))
+    val bitsPer = (if (md5Base) 60 else 64) / chunks
+    val h = docs.select(id.as("doc_id"), simhash(text, md5Base).as("sh"))
     val chunked = h.select(col("doc_id"), col("sh"),
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("sh"), c * bitsPer)
@@ -147,7 +149,8 @@ object Dedup {
     l.join(r, Seq("chunk", "v"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long")
+          .as("hamming"))
       .dropDuplicates("a_id", "b_id")
       .filter(col("hamming") <= maxDist)
   }

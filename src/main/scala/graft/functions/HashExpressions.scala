@@ -45,9 +45,14 @@ trait RefEvalCodegen { self: UnaryExpression =>
   * results are bit-identical to the `xxhash64()` builtin.
   */
 
-/** 64-bit SimHash over an array<string> of tokens: per bit, +1/-1 vote from
-  * each token's xxhash64(seed=42); bit set where the vote sum is positive. */
-case class SimHash64(child: Expression)
+/** SimHash over an array<string> of tokens: per bit, +1/-1 vote from each
+  * token's hash; bit set where the vote sum is positive.
+  *
+  * Two base-hash modes: xxhash64(seed=42) gives 64 bits (fastest); md5
+  * (`md5Base=true`) gives 60 bits — the first 15 hex digits of the digest,
+  * exactly `CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT)` in DuckDB —
+  * making the whole SimHash pipeline engine-portable and oracle-checkable. */
+case class SimHash64(child: Expression, md5Base: Boolean = false)
     extends UnaryExpression with RefEvalCodegen {
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
@@ -61,16 +66,21 @@ case class SimHash64(child: Expression)
     }
   }
 
+  private val nBits = if (md5Base) 60 else 64
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](nBits)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val s = arr.getUTF8String(i)
+        val h =
+          if (md5Base) HashExpressions.md5Base60(s.getBytes)
+          else XxHash64Function.hash(s, StringType, 42L)
         var b = 0
-        while (b < 64) {
+        while (b < nBits) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
@@ -79,7 +89,7 @@ case class SimHash64(child: Expression)
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    while (b < nBits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     java.lang.Long.valueOf(out)
   }
 
@@ -92,8 +102,17 @@ case class SimHash64(child: Expression)
   * independent permutations h_i(s) = (a_i * base(s) + b_i) mod (2^31-1)
   * with base(s) = xxhash64(s) mod (2^31-1); returns array<long> of minima.
   * Single pass: base hash computed once per shingle, k affine transforms
-  * in a native inner loop. */
-case class MinHashSignature(child: Expression, numHashes: Int)
+  * in a native inner loop.
+  *
+  * With `md5Base=true` the base hash is the md5-derived 60-bit value
+  * (`HashExpressions.md5Base60`) mod 2^31-1 instead of xxhash64 — identical
+  * recall properties, but reproducible in any engine with an md5 function,
+  * so signature-valued outputs (e.g. corpus-level similarity) get full
+  * DuckDB oracles. The affine constants are in the companion
+  * (`MinHashSignature.affineConstants`) so oracle SQL embeds the exact
+  * same family. */
+case class MinHashSignature(child: Expression, numHashes: Int,
+                            md5Base: Boolean = false)
     extends UnaryExpression with RefEvalCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes()
@@ -107,19 +126,8 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     }
   }
 
-  @transient private lazy val (as, bs) = {
-    val a = new Array[Long](numHashes)
-    val b = new Array[Long](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      a(i) = Math.floorMod(2862933555777941757L * (i + 1) + 3037000493L,
-        HashExpressions.P31 - 1) + 1
-      b(i) = Math.floorMod(4354685564936845319L * (i + 1) + 32452843L,
-        HashExpressions.P31)
-      i += 1
-    }
-    (a, b)
-  }
+  @transient private lazy val (as, bs) =
+    MinHashSignature.affineConstants(numHashes)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -128,9 +136,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val base = Math.floorMod(
-          XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L),
-          HashExpressions.P31)
+        val s = arr.getUTF8String(i)
+        val raw =
+          if (md5Base) HashExpressions.md5Base60(s.getBytes)
+          else XxHash64Function.hash(s, StringType, 42L)
+        val base = Math.floorMod(raw, HashExpressions.P31)
         var k = 0
         while (k < numHashes) {
           val v = Math.floorMod(as(k) * base + bs(k), HashExpressions.P31)
@@ -146,6 +156,28 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
     copy(child = c)
   override def prettyName: String = "minhash_signature"
+}
+
+object MinHashSignature {
+  /** The universal-hash family constants, shared verbatim with the DuckDB
+    * oracle SQL (which embeds them as literals): a_i ∈ [1, p-1],
+    * b_i ∈ [0, p-1] from a fixed 64-bit LCG mix of the index. The wrapping
+    * 64-bit multiply is intentional — Java long overflow wraps, and the
+    * oracle side never recomputes it (it interpolates the resulting
+    * constants). */
+  def affineConstants(numHashes: Int): (Array[Long], Array[Long]) = {
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      a(i) = Math.floorMod(2862933555777941757L * (i + 1) + 3037000493L,
+        HashExpressions.P31 - 1) + 1
+      b(i) = Math.floorMod(4354685564936845319L * (i + 1) + 32452843L,
+        HashExpressions.P31)
+      i += 1
+    }
+    (a, b)
+  }
 }
 
 /** Distinct word n-gram shingles of a space-tokenized string, single native
@@ -255,10 +287,16 @@ case class TokenSetFingerprint(child: Expression)
   * similarity — the candidate layer is an equi-join on (band, bucket),
   * never an all-pairs cross join.
   *
-  * Hyperplanes are derived from splitmix64 streams keyed by (bit, dim) and
-  * Box-Muller'd through StrictMath — bit-reproducible across JVMs, tasks,
-  * and replays; no fit/state to ship. Plane matrices are cached per
-  * (nBits, dim) process-wide.
+  * Hyperplanes are Rademacher (±1) with the sign drawn from the md5-derived
+  * 60-bit hash of "bit_dim" — bit-reproducible across JVMs, tasks, replays,
+  * AND other engines (DuckDB rebuilds the identical planes from its own md5,
+  * so SRP-signature outputs are fully oracle-checkable). ±1 entries also
+  * keep the projection exact in floating point: each product is ±v_k with no
+  * rounding, so the sign of the left-to-right sum is engine-invariant.
+  * Sign-projection quality matches Gaussian planes for moderate dimensions
+  * (Achlioptas 2003-style database-friendly projections; same 1 - θ/π bit
+  * collision law to first order). Plane matrices are cached per (nBits, dim)
+  * process-wide.
   */
 case class SrpBandBuckets(child: Expression, bands: Int, bitsPerBand: Int)
     extends UnaryExpression with RefEvalCodegen {
@@ -315,19 +353,12 @@ object SrpBandBuckets {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]
 
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  /** (0,1) uniform from the top 53 bits of a splitmix64 stream. */
-  private def unit(seed: Long): Double =
-    ((splitmix64(seed) >>> 11) + 0.5) * 1.1102230246251565e-16
-
-  /** Flattened nBits×dim Gaussian plane matrix, deterministic in (bit, dim)
-    * so adding bands extends rather than reshuffles existing planes. */
+  /** Flattened nBits×dim Rademacher plane matrix: entry (i, j) is +1.0 when
+    * the md5-derived 60-bit hash of "i_j" is odd, else -1.0 — exactly
+    * `CASE WHEN CAST(CONCAT('0x', substr(md5(i || '_' || j), 1, 15))
+    * AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END` in the DuckDB oracles.
+    * Deterministic in (bit, dim) so adding bands extends rather than
+    * reshuffles existing planes. */
   private[functions] def planes(nBits: Int, dim: Int): Array[Double] =
     cache.computeIfAbsent((nBits, dim), { _ =>
       val m = new Array[Double](nBits * dim)
@@ -335,11 +366,9 @@ object SrpBandBuckets {
       while (i < nBits) {
         var j = 0
         while (j < dim) {
-          val s = i.toLong * 0x100000001L + j
-          val u1 = unit(2L * s)
-          val u2 = unit(2L * s + 1L)
-          m(i * dim + j) = StrictMath.sqrt(-2.0 * StrictMath.log(u1)) *
-            StrictMath.cos(2.0 * StrictMath.PI * u2)
+          val h = HashExpressions.md5Base60(
+            s"${i}_$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          m(i * dim + j) = if ((h & 1L) == 1L) 1.0 else -1.0
           j += 1
         }
         i += 1
@@ -351,13 +380,34 @@ object SrpBandBuckets {
 object HashExpressions {
   val P31: Long = 2147483647L // Mersenne prime 2^31-1
 
+  /** First 15 hex digits of md5 as a non-negative 60-bit long — the
+    * engine-portable base hash, equal to DuckDB's
+    * `CAST(CONCAT('0x', substr(md5(x), 1, 15)) AS BIGINT)`. Computed
+    * without hex-string round-tripping: 16 hex digits are the first 8
+    * digest bytes big-endian; dropping the 16th digit is `>>> 4`. */
+  // digest(bytes) resets the instance, so a per-thread digest is safe and
+  // avoids a getInstance allocation per token in the hot dedup loops
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def md5Base60(bytes: Array[Byte]): Long = {
+    val d = md5Local.get().digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   import org.apache.spark.sql.graft.bridge
 
-  def simhash64(tokens: Column): Column =
-    bridge.column(SimHash64(bridge.expression(tokens)))
+  def simhash64(tokens: Column, md5Base: Boolean = false): Column =
+    bridge.column(SimHash64(bridge.expression(tokens), md5Base))
 
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    bridge.column(MinHashSignature(bridge.expression(shingles), numHashes))
+  def minhashSignature(shingles: Column, numHashes: Int,
+                       md5Base: Boolean = false): Column =
+    bridge.column(MinHashSignature(bridge.expression(shingles), numHashes,
+      md5Base))
 
   def wordShingles(text: Column, n: Int): Column =
     bridge.column(WordShingles(bridge.expression(text), n))

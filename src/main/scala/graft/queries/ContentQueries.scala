@@ -68,8 +68,9 @@ object ContentQueries {
         n = 3, numHashes = 32, bands = 16, threshold = 0.7)
         .orderBy(col("a_id"), col("b_id"))),
 
-    // SimHash near-dups (rows-only: the 64-bit hash mixes engine-specific
-    // xxhash64, not expressible in the oracle SQL dialect).
+    // SimHash near-dups — fully oracle-checked: the 60-bit md5-derived base
+    // hash lets DuckDB rebuild bit-identical simhashes, so the exact pair
+    // set (pigeonhole candidates + hamming <= 3) is verified end-to-end.
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), col("doc_id"), col("text"), maxDist = 3)
         .orderBy(col("a_id"), col("b_id"))),
@@ -112,8 +113,11 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // SRP-LSH bucketed ANN (rows-only; recall vs brute force asserted in
-    // SimilaritySpec) — the centroid-free scale path beside sim_topk_ivf.
+    // SRP-LSH bucketed ANN — the centroid-free scale path beside
+    // sim_topk_ivf. Fully oracle-checked: the Rademacher hyperplanes are
+    // md5-derived, so DuckDB rebuilds bit-identical band signatures and
+    // replays the identical bucketed scan (recall vs brute force is
+    // additionally asserted in SimilaritySpec).
     "sim_topk_srp" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.srpTopK(
@@ -152,13 +156,14 @@ object ContentQueries {
     // Corpus-level similarity without joining shingles: aggregate per-doc
     // MinHash signatures to one signature per source (map-side partial,
     // k longs per group), estimate pairwise Jaccard from position agreement.
-    // Rows-only: the signature mixes engine-specific xxhash64.
+    // Fully oracle-checked: the md5-derived base hash plus literal affine
+    // constants let DuckDB recompute the identical 32-position signature.
     "corpus_similarity" -> ((s, d) => {
       val k = 32
       val sigs = docs(s, d)
         .select(col("source"),
           graft.functions.HashExpressions.minhashSignature(
-            TextAnalysis.shingles(col("text"), 3), k).as("sig"))
+            TextAnalysis.shingles(col("text"), 3), k, md5Base = true).as("sig"))
         .groupBy(col("source"))
         .agg(graft.functions.CorpusMinHash.corpusSignature(col("sig"), k)
           .as("csig"))
@@ -209,6 +214,31 @@ object ContentQueries {
   private val dims = Seq(
     "en" -> TextAnalysis.EnStop, "fr" -> TextAnalysis.FrStop,
     "de" -> TextAnalysis.DeStop, "es" -> TextAnalysis.EsStop)
+
+  /** The md5-derived 60-bit base hash, shared by the simhash / minhash /
+    * SRP oracles — the SQL twin of `HashExpressions.md5Base60`. */
+  private def md5b60(expr: String): String =
+    s"CAST(CONCAT('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  // dedup_simhash: 60 per-bit vote sums and the packed hash, generated to
+  // mirror SimHash64's md5Base loop exactly (bit b set iff 2*set_count > n).
+  private val simhashSums = (0 until 60)
+    .map(b => s"sum((h >> $b) & 1) AS s$b").mkString(",\n    ")
+  private val simhashPack = (0 until 60)
+    .map(b => s"(CASE WHEN 2 * s$b > n THEN 1::BIGINT ELSE 0::BIGINT END << $b)")
+    .mkString(" +\n    ")
+
+  // corpus_similarity: the exact affine family constants the native
+  // MinHashSignature uses, embedded as literals (the 64-bit wrapping
+  // multiply that derives them never needs to run in SQL).
+  private val (mhA, mhB) =
+    graft.functions.MinHashSignature.affineConstants(32)
+  private val mhMins = (0 until 32)
+    .map(i => s"min((${mhA(i)} * h + ${mhB(i)}) % 2147483647) AS m$i")
+    .mkString(",\n    ")
+  private val mhAgree = (0 until 32)
+    .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+    .mkString(" +\n      ")
 
   private val langHits = dims.map { case (l, ws) =>
     s"len(list_filter(string_split(text, ' '), x -> x IN ${stopList(ws)})) AS $l"
@@ -363,7 +393,74 @@ object ContentQueries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |SELECT source, doc_id FROM r WHERE rn <= 3
-        |ORDER BY source, doc_id""".stripMargin
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    unnest(string_split(lower(text), ' ')) AS t FROM documents),
+         |hh AS (SELECT doc_id, ${md5b60("t")} AS h FROM tk),
+         |vt AS (SELECT doc_id, count(*) AS n,
+         |    $simhashSums
+         |  FROM hh GROUP BY doc_id),
+         |sh AS (SELECT doc_id,
+         |    $simhashPack AS sh
+         |  FROM vt),
+         |ck AS (SELECT doc_id, sh, c AS chunk, (sh >> (c * 15)) & 32767 AS v
+         |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) cs),
+         |pr AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |  FROM ck a JOIN ck b
+         |    ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, hamming FROM pr WHERE hamming <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "corpus_similarity" ->
+      s"""WITH sh AS (SELECT doc_id, source,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+         |      i -> array_to_string(list_slice(
+         |        string_split(lower(text), ' '), i, i + 2), ' '))) AS s
+         |  FROM documents),
+         |ex AS (SELECT source, unnest(s) AS shingle FROM sh),
+         |hh AS (SELECT source, ${md5b60("shingle")} % 2147483647 AS h FROM ex),
+         |mins AS (SELECT source,
+         |    $mhMins
+         |  FROM hh GROUP BY source)
+         |SELECT a.source AS a_src, b.source AS b_src,
+         |  round(($mhAgree) / 32.0, 4) AS est_jaccard
+         |FROM mins a JOIN mins b ON a.source < b.source
+         |ORDER BY a_src, b_src""".stripMargin,
+
+    "sim_topk_srp" ->
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+         |pl AS (SELECT b.i AS bit,
+         |    list(CASE WHEN ${md5b60("CONCAT(b.i, '_', d.j)")} % 2 = 1
+         |      THEN 1.0 ELSE -1.0 END ORDER BY d.j) AS w
+         |  FROM range(144) b(i) CROSS JOIN range(64) d(j) GROUP BY b.i),
+         |sg AS (SELECT n.vec_id, pl.bit,
+         |    CASE WHEN list_sum(list_transform(range(1, 65),
+         |      k -> n.e[k] * pl.w[k])) > 0
+         |    THEN 1::BIGINT ELSE 0::BIGINT END AS bv
+         |  FROM n CROSS JOIN pl),
+         |bk AS (SELECT vec_id, bit // 6 AS band,
+         |    CAST(sum(bv << (5 - (bit % 6))) AS BIGINT) AS bucket
+         |  FROM sg GROUP BY vec_id, bit // 6),
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+         |  FROM bk c JOIN bk q ON c.band = q.band AND c.bucket = q.bucket
+         |  WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+         |sc AS (SELECT cand.q_id, cand.n_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      k -> qn.e[k] * cn.e[k])) / (qn.nrm * cn.nrm), 4) AS sim
+         |  FROM cand JOIN n qn ON qn.vec_id = cand.q_id
+         |    JOIN n cn ON cn.vec_id = cand.n_id),
+         |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id) AS rank FROM sc)
+         |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin
   )
 
   /** Shared CTE chain: docs → distinct 3-gram shingles → exploded →
