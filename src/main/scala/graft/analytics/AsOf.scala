@@ -25,10 +25,13 @@ object AsOf {
                leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
     val rightPayload = struct((rightTs +: rightTieBreak +: rightCols)
       .distinct.map(col): _*)
-    val l = left.select(
+    // null keys / null timestamps never satisfy the SQL join predicate
+    // (k = k AND rTs <= lTs) — filter them so the window's null-grouping
+    // can't fabricate null-key matches (same contract as AsOfJoinExec)
+    val l = left.filter(col(key).isNotNull && col(leftTs).isNotNull).select(
       col(key).as("_k"), col(leftTs).as("_ts"), lit(1).as("_side"),
       struct(leftCols.distinct.map(col): _*).as("_l"))
-    val r = right.select(
+    val r = right.filter(col(key).isNotNull && col(rightTs).isNotNull).select(
       col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
       rightPayload.as("_r"))
     // order: ts asc, right-before-left at equal ts (<= semantics), then
@@ -48,4 +51,38 @@ object AsOf {
                 leftTs: Column, rightTs: Column, before: Column): DataFrame =
     left.join(right, left(key) === right(key) &&
       rightTs > leftTs - before && rightTs <= leftTs)
+
+  /** As-of join through the native physical operator
+    * (`graft.plans.AsOfJoinExec`): same contract as `asofJoin`, but planned
+    * as one clustered-merge pass — both sides shuffle on the key, sort, and
+    * stream; no union row-padding and no window-frame buffering. Prefer
+    * this form; `asofJoin` remains the pure-DataFrame formulation (and the
+    * differential test partner). */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+                     leftTs: String, rightTs: String, rightTieBreak: String,
+                     leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val spark = left.sparkSession
+    graft.plans.GraftExtensions.install(spark)
+    // narrow each side to what the operator consumes, RE-ALIASING every
+    // column: the fresh exprIds guarantee the two children's outputs are
+    // disjoint even when both derive from the same relation (self-join),
+    // so the analyzer's relation-deduplication never rewrites the right
+    // subtree underneath the node's resolved attribute references
+    val l = left.select(
+      (key +: leftTs +: leftCols).distinct.map(c => col(c).as(c)): _*)
+    val r = right.select((key +: rightTs +: rightTieBreak +: rightCols)
+      .distinct.map(c => col(c).as(c)): _*)
+    val lPlan = bridge.analyzed(l)
+    val rPlan = bridge.analyzed(r)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found"))
+    val node = graft.plans.AsOfJoinPlan(lPlan, rPlan,
+      Seq(attr(lPlan, key)), Seq(attr(rPlan, key)),
+      attr(lPlan, leftTs), attr(rPlan, rightTs), attr(rPlan, rightTieBreak))
+    bridge.ofRows(spark, node).select(
+      leftCols.map(c => bridge.column(attr(lPlan, c)).as(c)) ++
+        rightCols.map(c => bridge.column(attr(rPlan, c)).as(c)): _*)
+  }
 }

@@ -184,15 +184,18 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"))),
 
     // As-of join: for each purchase, the latest preceding click of the same
-    // user (composed equi-join + window dedup, AsOf.asofJoin).
+    // user — planned through the native operator (graft.plans.AsOfJoinExec:
+    // cluster both sides on the key, sort, one streaming merge pass); the
+    // composed union+window formulation stays as AsOf.asofJoin and is
+    // differentially tested against this one in AsOfJoinSpec.
     "q17_asof_join" -> ((s, d) => {
       val e = T(s, d, "events").withColumn("ts", col("ts").cast("timestamp"))
       val p = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_event"))
       val c = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_event"))
-      AsOf.asofJoin(p, c, key = "user_id", leftTs = "p_ts", rightTs = "c_ts",
-        rightTieBreak = "c_event",
+      AsOf.asofJoinNative(p, c, key = "user_id", leftTs = "p_ts",
+        rightTs = "c_ts", rightTieBreak = "c_event",
         leftCols = Seq("p_event"), rightCols = Seq("c_event"))
         .orderBy(col("p_event"))
     }),

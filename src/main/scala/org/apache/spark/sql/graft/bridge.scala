@@ -1,14 +1,23 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Minimal bridge into Spark's `private[sql]` Column↔Expression conversion
-  * (org.apache.spark.sql.classic.ExpressionUtils), needed to expose our
-  * custom Catalyst expressions as user-facing `Column`s. Keep this file as
-  * the only code inside Spark's namespace. */
+/** Minimal bridge into Spark's `private[sql]` surface: Column↔Expression
+  * conversion (org.apache.spark.sql.classic.ExpressionUtils) for exposing
+  * custom Catalyst expressions as user-facing `Column`s, and
+  * `Dataset.ofRows` for wrapping custom `LogicalPlan` nodes as DataFrames.
+  * Keep this file as the only code inside Spark's namespace. */
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 }

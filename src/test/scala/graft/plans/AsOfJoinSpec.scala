@@ -1,0 +1,80 @@
+package graft.plans
+
+import graft.{SparkSuite, Tables}
+import graft.analytics.AsOf
+import org.apache.spark.sql.functions._
+
+/** Pins the native as-of operator (AsOfJoinPlan → AsOfJoinStrategy →
+  * AsOfJoinExec) to the pure-DataFrame formulation's semantics, including
+  * the edge cases the merge loop must get right: equal-timestamp ties,
+  * tieBreak ordering, unmatched left rows, null keys, null timestamps,
+  * and multi-row key groups spanning the right cursor. */
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def native(l: org.apache.spark.sql.DataFrame,
+                     r: org.apache.spark.sql.DataFrame) =
+    AsOf.asofJoinNative(l, r, key = "k", leftTs = "lts", rightTs = "rts",
+      rightTieBreak = "tb", leftCols = Seq("l_id"), rightCols = Seq("tb"))
+
+  private def composed(l: org.apache.spark.sql.DataFrame,
+                       r: org.apache.spark.sql.DataFrame) =
+    AsOf.asofJoin(l, r, key = "k", leftTs = "lts", rightTs = "rts",
+      rightTieBreak = "tb", leftCols = Seq("l_id"), rightCols = Seq("tb"))
+
+  test("crafted edges: ties, tieBreak, no-match, null key, null ts") {
+    val left = Seq(
+      (Some("a"), Some(10L), 1L),  // matches rts=10 (<=, tie on ts)
+      (Some("a"), Some(5L), 2L),   // matches rts=3
+      (Some("a"), Some(2L), 3L),   // no right row <= 2 → dropped
+      (Some("b"), Some(7L), 4L),   // matches the max-tb row at rts=7
+      (Some("c"), Some(9L), 5L),   // key with no right rows → dropped
+      (None, Some(9L), 6L),        // null key → dropped
+      (Some("a"), None, 7L)        // null left ts → dropped
+    ).toDF("k", "lts", "l_id")
+    val right = Seq(
+      (Some("a"), Some(3L), 30L),
+      (Some("a"), Some(10L), 100L),
+      (Some("a"), Some(12L), 120L), // future row, never matches
+      (Some("b"), Some(7L), 71L),
+      (Some("b"), Some(7L), 72L),   // same ts: tb=72 wins
+      (Some("b"), None, 999L),      // null right ts never matches
+      (None, Some(1L), 50L)         // null key never matches
+    ).toDF("k", "rts", "tb")
+
+    val got = native(left, right).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (2L, 30L), (4L, 72L)))
+    val ref = composed(left, right).as[(Long, Long)].collect().toSet
+    assert(got == ref)
+  }
+
+  test("differential vs the composed formulation on events at sf0.001") {
+    val e = Tables.load(spark, sf0001, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("ts").as("lts"),
+        col("event_id").as("l_id"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("k"), col("ts").as("rts"),
+        col("event_id").as("tb"))
+    val got = native(p, c).as[(Long, Long)].collect().toSet
+    val ref = composed(p, c).as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty && got == ref)
+  }
+
+  test("plan: AsOfJoinExec with clustered children, no union/window") {
+    val e = Tables.load(spark, sf0001, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("ts").as("lts"),
+        col("event_id").as("l_id"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("k"), col("ts").as("rts"),
+        col("event_id").as("tb"))
+    val df = native(p, c)
+    df.collect() // force AQE to finalize the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Window"), "window formulation leaked in")
+    assert(!plan.contains("Union"), "union formulation leaked in")
+  }
+}
