@@ -63,7 +63,7 @@ object AsOf {
                      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graft.bridge
     val spark = left.sparkSession
-    graft.plans.GraftExtensions.install(spark)
+    graft.plans.AsOfJoinStrategy.install(spark)
     // narrow each side to what the operator consumes, RE-ALIASING every
     // column: the fresh exprIds guarantee the two children's outputs are
     // disjoint even when both derive from the same relation (self-join),

@@ -39,8 +39,11 @@ object GraftFunctions {
     }
 }
 
-/** Session-builder extension: `SparkSession.builder()
-  * .withExtensions(new GraftExtensions).getOrCreate()`. */
+/** Session-builder extension — the single registration entry point for
+  * everything the engine adds to a session: the custom SQL functions AND
+  * the custom planner strategies (`graft.plans.AsOfJoinStrategy`).
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -53,5 +56,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => WordShingles(exprs.head,
         exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
           .value.asInstanceOf[Int])))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

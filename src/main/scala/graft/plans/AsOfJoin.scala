@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
@@ -12,9 +11,9 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
 
 /** The as-of join as a first-class Catalyst operator: logical node →
   * planner strategy → physical sort-merge execution, registered through
-  * `SparkSessionExtensions` (`GraftExtensions`) — the whole-operator
-  * extension tier for semantics the built-in operators can't express as a
-  * single primitive.
+  * `SparkSessionExtensions` (`graft.functions.GraftExtensions`) or
+  * `AsOfJoinStrategy.install` — the whole-operator extension tier for
+  * semantics the built-in operators can't express as a single primitive.
   *
   * Semantics (same contract as `graft.analytics.AsOf.asofJoin` and the
   * DuckDB oracle): for each left row, the single right row with the
@@ -51,6 +50,13 @@ object AsOfJoinStrategy extends SparkStrategy {
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tb) :: Nil
     case _ => Nil
   }
+
+  /** Idempotent live-session registration (the config-time path is
+    * `graft.functions.GraftExtensions`, which injects this strategy). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
 }
 
 /** Streaming sort-merge as-of join. Children arrive clustered on the key
@@ -172,17 +178,3 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   }
 }
 
-/** `spark.sql.extensions=graft.plans.GraftExtensions` registers the graft
-  * planner strategies at session build time; `GraftExtensions.install`
-  * does the same on a live session (idempotent) for notebook/test use. */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
-}
-
-object GraftExtensions {
-  def install(spark: SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
-}
