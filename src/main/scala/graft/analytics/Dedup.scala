@@ -65,8 +65,16 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
                    threshold: Double): DataFrame = {
     val sh = shingleTable(docs, id, text, n)
+    // join on the 64-bit hash of the shingle, not the string: the
+    // self-join shuffle carries 8 bytes per shingle instead of the ~n-word
+    // text, and the sort/join compares longs. Shingles are distinct per
+    // doc, so |A∩B| is exact up to 64-bit collisions (~|S|²/2^64 across
+    // the whole corpus — immaterial against the exhaustive-string oracle
+    // at any tested SF, and vanishing relative to LSH error at 100 TB).
     val ex = sh.select(col("doc_id"), col("n_sh"),
-      explode(col("sh")).as("shingle"))
+      explode(col("sh")).as("shingle_s"))
+      .select(col("doc_id"), col("n_sh"),
+        xxhash64(col("shingle_s")).as("shingle"))
     val l = ex.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"),
       col("shingle"))
     val r = ex.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"),

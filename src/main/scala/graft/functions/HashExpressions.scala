@@ -261,7 +261,7 @@ case class TokenSetFingerprint(child: Expression)
     while (i < tokens.length) {
       set.add(UTF8String.fromString(tokens(i))); i += 1
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = HashExpressions.md5()
     val it = set.iterator()
     var first = true
     while (it.hasNext) {
@@ -269,8 +269,7 @@ case class TokenSetFingerprint(child: Expression)
       md.update(it.next().getBytes)
       first = false
     }
-    val hex = md.digest().map("%02x".format(_)).mkString
-    UTF8String.fromString(hex)
+    UTF8String.fromString(HashExpressions.toHex(md.digest()))
   }
 
   override protected def withNewChildInternal(c: Expression): TokenSetFingerprint =
@@ -390,6 +389,21 @@ object HashExpressions {
   private val md5Local =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
+
+  private[functions] def md5(): java.security.MessageDigest = md5Local.get()
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private[functions] def toHex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   def md5Base60(bytes: Array[Byte]): Long = {
     val d = md5Local.get().digest(bytes)
