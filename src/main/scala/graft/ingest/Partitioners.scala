@@ -46,6 +46,27 @@ object Partitioners {
   def timeBucket(ts: Column, durationMs: Long): Column =
     floor(unix_millis(ts) / durationMs)
 
+  /** K5 fully-configurable TimeBasedPartitioner: the reference's
+    * `path.format` (Joda pattern, e.g. `'year'=YYYY/'month'=MM/'day'=dd`)
+    * and `timezone` keys (S3SinkConnectorConfig PARTITIONER group;
+    * TopicPartitionWriterTest.java:357-359 exercises custom formats).
+    * Rendering happens in the configured zone: the UTC instant shifts via
+    * `from_utc_timestamp`, then `date_format` writes the wall-clock fields.
+    * The Joda tokens the reference's configs use translate 1:1 to
+    * java.time except `YYYY` (Joda year-of-era vs java.time week-year) —
+    * mapped to `yyyy` here. `locale` stays at the JVM/session default, a
+    * documented divergence (only affects text month/day names, which the
+    * reference's own default formats never use). */
+  def timePartition(ts: Column, pathFormat: String,
+                    timezone: String = "UTC"): Column =
+    date_format(from_utc_timestamp(ts, timezone), jodaToJavaTime(pathFormat))
+
+  /** The Joda→java.time pattern translation for the token subset that
+    * appears in reference configs: YYYY→yyyy; quoted literals, MM, dd, HH,
+    * mm, ss, M, d, H are identical in both syntaxes. */
+  private[ingest] def jodaToJavaTime(pattern: String): String =
+    pattern.replace("YYYY", "yyyy")
+
   /** K8 SchemaPartitioner affix wrapper (util/SchemaPartitioner.java:47-67):
     * prefixes or suffixes `schema_name=<valueSchema.name>`; `null` when
     * schemaless (behavior: TopicPartitionWriterTest.java:2242-2347). */

@@ -58,6 +58,17 @@ object PipelineQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("encoded_partition"))),
 
+    // K5 with explicit path.format (Joda pattern) + timezone keys: the
+    // reference's fully-configured TimeBasedPartitioner, rendered in
+    // America/New_York wall time.
+    "ingest_partition_path_format" -> ((s, d) =>
+      events(s, d)
+        .groupBy(Partitioners.timePartition(col("ts").cast("timestamp"),
+          "'dt'=YYYY-MM-dd/'hr'=HH", "America/New_York")
+          .as("encoded_partition"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("encoded_partition"))),
+
     // K8 SchemaPartitioner prefix affix over a field partition.
     "ingest_schema_affix" -> ((s, d) =>
       events(s, d)
@@ -156,6 +167,14 @@ object PipelineQueries {
     "ingest_partition_daily" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP),
         |    'year=%Y/month=%m/day=%d') AS encoded_partition,
+        |  count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // timezone(tz, timezone('UTC', naive)) is session-timezone-independent:
+    // the inner call pins the naive UTC instant, the outer renders NY wall.
+    "ingest_partition_path_format" ->
+      """SELECT strftime(timezone('America/New_York',
+        |    timezone('UTC', CAST(ts AS TIMESTAMP))),
+        |    'dt=%Y-%m-%d/hr=%H') AS encoded_partition,
         |  count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ingest_schema_affix" ->

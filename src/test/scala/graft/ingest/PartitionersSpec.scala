@@ -25,6 +25,18 @@ class PartitionersSpec extends SparkSuite {
     assert(r == "int=16")
   }
 
+  test("K5 path.format + timezone: Joda pattern renders in the configured " +
+    "zone, correct across the DST jump") {
+    def fmt(utc: String): String =
+      one(Partitioners.timePartition(
+        to_timestamp(lit(utc)), "'dt'=YYYY-MM-dd/'hr'=HH", "America/New_York"))
+    assert(fmt("2024-01-01 05:30:00") == "dt=2024-01-01/hr=00") // EST -5
+    assert(fmt("2024-01-01 03:30:00") == "dt=2023-12-31/hr=22") // date rolls
+    assert(fmt("2024-03-10 06:30:00") == "dt=2024-03-10/hr=01") // pre-jump
+    assert(fmt("2024-03-10 07:30:00") == "dt=2024-03-10/hr=03") // 02:xx skipped
+    assert(fmt("2024-07-01 12:00:00") == "dt=2024-07-01/hr=08") // EDT -4
+  }
+
   test("K3 multi-field partitioner: f1=v1/f2=v2") {
     val r = Seq(("a", 2)).toDF("f1", "f2")
       .select(Partitioners.fieldPartition(
