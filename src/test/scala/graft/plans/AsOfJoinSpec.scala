@@ -62,6 +62,34 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got.nonEmpty && got == ref)
   }
 
+  test("randomized 3-way: native == composed == pure-Scala ground truth " +
+    "(small key space forces ties, shared buckets, null edges)") {
+    val rnd = new scala.util.Random(42)
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      val k = if (rnd.nextInt(20) == 0) None else Some("k" + rnd.nextInt(8))
+      val ts = if (rnd.nextInt(25) == 0) None else Some(rnd.nextInt(50).toLong)
+      (k, ts, idBase + i)
+    }
+    val lRows = mk(1500, 0L)
+    val rRows = mk(1500, 100000L)
+    val left = lRows.toDF("k", "lts", "l_id")
+    val right = rRows.toDF("k", "rts", "tb")
+
+    // ground truth: greatest (rts, tb) with rts <= lts in the same key
+    val truth = (for {
+      (Some(lk), Some(lts), lId) <- lRows
+      matches = rRows.collect {
+        case (Some(rk), Some(rts), tb) if rk == lk && rts <= lts => (rts, tb)
+      }
+      if matches.nonEmpty
+    } yield (lId, matches.max._2)).toSet
+
+    val got = native(left, right).as[(Long, Long)].collect().toSet
+    val ref = composed(left, right).as[(Long, Long)].collect().toSet
+    assert(got == truth)
+    assert(ref == truth)
+  }
+
   test("plan: AsOfJoinExec with clustered children, no union/window") {
     val e = Tables.load(spark, sf0001, "events")
     val p = e.filter(col("event_type") === "purchase")
