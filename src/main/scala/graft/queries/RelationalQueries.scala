@@ -107,7 +107,14 @@ object RelationalQueries {
     "q07_window_running" -> ((s, d) => {
       val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // One exchange feeds BOTH the aggregate and the window:
+      // HashPartitioning(l_orderkey) satisfies the aggregate's clustering on
+      // (l_orderkey, l_linenumber) AND the window's partitionBy — and since
+      // (orderkey, linenumber) is essentially lineitem's key, a map-side
+      // partial aggregate would not shrink the shuffle anyway (audited in
+      // PlanAuditSpec: exactly one exchange before the output sort).
       T(s, d, "lineitem")
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("l_linenumber"))
         .agg(sum(col("l_quantity")).as("qty"))
         .select(col("l_orderkey"), col("l_linenumber"),

@@ -48,10 +48,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan("q12_anti_join").contains("LeftAnti"), "anti join lost")
   }
 
+  // formatted explain prints each exchange's partitioning in its detail
+  // section ("Arguments: hashpartitioning(...)"), one per Exchange node
+  private def hashExchanges(p: String): Int =
+    "Arguments: hashpartitioning".r.findAllIn(p).length
+
   test("ingest_size_rotation: both window functions share one shuffle") {
     val p = plan("ingest_size_rotation")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges\n$p")
+    val exchanges = hashExchanges(p)
+    assert(exchanges >= 1 && exchanges <= 2,
+      s"expected 1-2 hash exchanges, got $exchanges\n$p")
+  }
+
+  test("q07: the aggregate and the running window share one exchange " +
+    "(repartition on the window key satisfies both clusterings)") {
+    val p = plan("q07_window_running")
+    // one REPARTITION_BY_COL exchange + the output-contract range exchange;
+    // no ENSURE_REQUIREMENTS hash exchange may appear between agg and window
+    val hashEx = hashExchanges(p)
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n$p")
   }
 
   test("dedup_embedding: SRP-LSH candidates join on buckets — no " +
