@@ -170,6 +170,23 @@ object Dedup {
                         threshold: Double): DataFrame =
     Similarity.srpLshPairs(emb, id, vec, threshold)
 
+  /** Incremental dedup: which of the `incoming` batch's rows are genuinely
+    * new against an already-deduplicated `history` corpus — the daily
+    * append workflow (dedupe the increment, not the lake). Two stages, no
+    * scan of history beyond the join: (1) within-batch exact dedup keeps
+    * the lowest id per key; (2) a left-anti join drops keys the history
+    * already contains. At 100 TB the history side enters pre-bucketed or
+    * partition-pruned by the same key; the shuffle carries the (small)
+    * increment plus one row per historical key — never the corpus rows. */
+  def newAgainst(history: DataFrame, incoming: DataFrame, id: Column,
+                 key: Column): DataFrame = {
+    val inc = incoming.select(id.as("new_id"), key.as("_key"))
+      .groupBy(col("_key")).agg(min(col("new_id")).as("new_id"))
+    inc.join(history.select(key.as("_key")).distinct(),
+        Seq("_key"), "left_anti")
+      .select(col("new_id"))
+  }
+
   /** Collapse near-dup pairs into clusters: every doc labeled with the
     * smallest id in its connected component of the pair graph —
     * the step that turns pairwise dedup output into keep/drop decisions

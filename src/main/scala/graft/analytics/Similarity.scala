@@ -133,6 +133,44 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
   }
 
+  /** Scalar int8 quantization (the SQ8 class of ANN index): per-vector
+    * scale = max|x|, q_i = floor(x_i·127/scale + 0.5) ∈ [-127, 127].
+    * Per-vector scaling cancels in cosine, so similarity runs directly on
+    * the quantized ints — the scan reads 1/4 the bytes of float32 and the
+    * dot products are exact integer arithmetic (portable: the DuckDB
+    * oracle reproduces them bit-for-bit; floor(+0.5) sidesteps
+    * round-half-mode differences between engines). The epsilon guard
+    * makes the all-zero vector quantize to zeros instead of dividing by
+    * zero — same literal on both engines. */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = greatest(array_max(transform(vec, x => abs(x))), lit(1e-30))
+    transform(vec, x => floor(x * 127.0 / scale + 0.5).cast("long"))
+  }
+
+  /** Brute-force cosine top-k over int8-quantized vectors: same plan shape
+    * as `bruteForceTopK` (broadcast queries, corpus never shuffles), but
+    * the per-pair work is an integer dot product — the quantized exact
+    * baseline a PQ/IVF-SQ8 pipeline verifies against. Quantization is
+    * index-build cost, amortized in production by writing `q` once. */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, qId: Column,
+               qVec: Column, cId: Column, cVec: Column, k: Int): DataFrame = {
+    val q = queries.select(qId.as("q_id"),
+      quantizeInt8(asDouble(qVec)).as("q_q"))
+      .withColumn("q_n", sqrt(dot(col("q_q"), col("q_q"))))
+    val c = corpus.select(cId.as("n_id"),
+      quantizeInt8(asDouble(cVec)).as("c_q"))
+      .withColumn("c_n", sqrt(dot(col("c_q"), col("c_q"))))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("q_q"), col("c_q")) / (col("q_n") * col("c_n")), 4)
+          .as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+  }
+
   /** Exact brute-force top-k: broadcast the (small) query set against the
     * corpus, rank per query. Tie-break on rounded sim then id →
     * deterministic. */

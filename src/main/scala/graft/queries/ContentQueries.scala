@@ -128,6 +128,32 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // SQ8-class quantized ANN: brute-force cosine over per-vector-scaled
+    // int8 vectors — exact integer dot products, oracle-checked (the
+    // DuckDB side requantizes with the identical floor(+0.5) formula).
+    "sim_topk_int8" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.int8TopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Incremental dedup: the docs of the doc_id%7==0 "daily batch" that
+    // are genuinely new against the rest of the corpus as history —
+    // within-batch exact dedup + anti join on the fingerprint.
+    "dedup_incremental" -> ((s, d) => {
+      val all = docs(s, d).withColumn("fp",
+        TextAnalysis.fingerprint(col("text")))
+      Dedup.newAgainst(
+        all.filter(col("doc_id") % 7 =!= 0),
+        all.filter(col("doc_id") % 7 === 0),
+        col("doc_id"), col("fp"))
+        .orderBy(col("new_id"))
+    }),
+
     // BPE-ish token estimate (word/punct regex + length term).
     "text_token_estimate" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -394,6 +420,38 @@ object ContentQueries {
         |  FROM documents)
         |SELECT source, doc_id FROM r WHERE rn <= 3
         |ORDER BY source, doc_id""".stripMargin,
+
+    "sim_topk_int8" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |q8 AS (SELECT vec_id, list_transform(e, x ->
+        |      CAST(floor(x * 127.0 / greatest(list_max(list_transform(e,
+        |        y -> abs(y))), 1e-30) + 0.5) AS BIGINT)) AS q
+        |  FROM v),
+        |n AS (SELECT vec_id, q,
+        |    sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE))
+        |      AS nrm FROM q8),
+        |qs AS (SELECT vec_id AS q_id, q AS qq, nrm AS qn FROM n
+        |  WHERE vec_id % 100 = 0),
+        |sc AS (SELECT q_id, c.vec_id AS n_id,
+        |    round(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> qq[i] * c.q[i])) AS DOUBLE) / (qn * c.nrm), 4) AS sim
+        |  FROM qs JOIN n c ON c.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, n_id) AS rank FROM sc)
+        |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(
+        |    list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+        |  FROM documents),
+        |inc AS (SELECT fp, min(doc_id) AS new_id FROM f
+        |  WHERE doc_id % 7 = 0 GROUP BY fp),
+        |hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 7 <> 0)
+        |SELECT new_id FROM inc ANTI JOIN hist USING (fp)
+        |ORDER BY new_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH tk AS (SELECT doc_id,

@@ -15,6 +15,19 @@ class DedupSpec extends SparkSuite {
     assert(r == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("newAgainst: in-batch min-id survives, history keys drop, " +
+    "fresh keys pass") {
+    val history = Seq((10L, "a"), (11L, "b")).toDF("id", "t")
+    val incoming = Seq(
+      (20L, "a"),  // in history → dropped
+      (21L, "c"), (22L, "c"), // in-batch dup → 21 kept
+      (23L, "d")   // fresh → kept
+    ).toDF("id", "t")
+    val r = Dedup.newAgainst(history, incoming, col("id"), col("t"))
+      .orderBy("new_id").as[Long].collect().toSeq
+    assert(r == Seq(21L, 23L))
+  }
+
   test("jaccard pairs: identical docs score 1.0, disjoint docs absent") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the dog"),

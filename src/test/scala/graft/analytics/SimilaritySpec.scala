@@ -65,6 +65,24 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"SRP top-k recall $recall too low")
   }
 
+  test("int8-quantized top-k: high recall vs the float baseline, and " +
+    "quantized values stay in [-127, 127]") {
+    val k = 10
+    val bf = Similarity.bruteForceTopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val q8 = Similarity.int8TopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect q8).size.toDouble / bf.size
+    assert(recall >= 0.9, s"int8 top-k recall $recall too low")
+    val bounds = emb.select(Similarity.quantizeInt8(
+      col("embedding").cast("array<double>")).as("q"))
+      .select(explode(col("q")).as("v"))
+      .agg(min(col("v")), max(col("v"))).as[(Long, Long)].head()
+    assert(bounds._1 >= -127 && bounds._2 <= 127, bounds)
+  }
+
   test("SRP-LSH pairs equal the exhaustive cosinePairs result on planted " +
     "near-dups (full recall, exact precision)") {
     // 40 base vectors each with a planted near-dup (cosine ~0.97-0.995)
