@@ -52,6 +52,30 @@ object AsOf {
     left.join(right, left(key) === right(key) &&
       rightTs > leftTs - before && rightTs <= leftTs)
 
+  /** Band (interval) join with NO equi key: all (l, r) with
+    * |leftTs - rightTs| <= delta. Spark plans a bare interval predicate as
+    * a BroadcastNestedLoopJoin — O(|L|·|R|) at any scale. This is the
+    * classic bucketing rewrite: quantize each timestamp to delta-width
+    * buckets, join the left row's bucket and its two neighbors by
+    * equi-join (every within-delta pair shares one of those three bucket
+    * pairs), then filter exactly. Shuffle cost is 3 rows per left row on
+    * an equi key; per-bucket load is bounded by data density per delta
+    * window, so the plan survives 100×. Timestamps are compared in
+    * microseconds (`unix_micros`), delta in micros. */
+  def bandJoin(left: DataFrame, right: DataFrame, leftTs: Column,
+               rightTs: Column, deltaMicros: Long): DataFrame = {
+    val l = left.withColumn("_lb", unix_micros(leftTs))
+      .withColumn("_bucket",
+        explode(array(floor(col("_lb") / deltaMicros) - 1,
+          floor(col("_lb") / deltaMicros),
+          floor(col("_lb") / deltaMicros) + 1)))
+    val r = right.withColumn("_rb", unix_micros(rightTs))
+      .withColumn("_bucket", floor(col("_rb") / deltaMicros))
+    l.join(r, Seq("_bucket"))
+      .filter(abs(col("_lb") - col("_rb")) <= deltaMicros)
+      .drop("_bucket", "_lb", "_rb")
+  }
+
   /** As-of join through the native physical operator
     * (`graft.plans.AsOfJoinExec`): same contract as `asofJoin`, but planned
     * as one clustered-merge pass — both sides shuffle on the key, sort, and

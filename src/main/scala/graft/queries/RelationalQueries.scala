@@ -207,6 +207,24 @@ object RelationalQueries {
         .orderBy(col("p_event"))
     }),
 
+    // Band join with no equi key: purchase-click pairs within ±5s across
+    // ALL users — the bucketed rewrite (AsOf.bandJoin) keeps it an
+    // equi-join on delta-width buckets; the naive predicate would plan as
+    // a BroadcastNestedLoopJoin (audited against in PlanAuditSpec).
+    "q31_band_join" -> ((s, d) => {
+      val e = T(s, d, "events").withColumn("ts", col("ts").cast("timestamp"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("ts").as("p_ts"), col("event_id").as("p_event"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("ts").as("c_ts"), col("event_id").as("c_event"))
+      AsOf.bandJoin(p, c, col("p_ts"), col("c_ts"), 5000000L)
+        .select(col("p_event"),
+          col("c_event"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+            .as("diff_us"))
+        .orderBy(col("p_event"), col("c_event"))
+    }),
+
     "q18_scalar_string" -> ((s, d) =>
       T(s, d, "part").select(
         col("p_partkey"),
@@ -443,6 +461,18 @@ object RelationalQueries {
         |      ORDER BY c_ts DESC, c_event DESC) AS rn
         |  FROM p JOIN c ON p.user_id = c.user_id AND c_ts <= p_ts)
         |SELECT p_event, c_event FROM j WHERE rn = 1 ORDER BY p_event""".stripMargin,
+
+    "q31_band_join" ->
+      """WITH p AS (SELECT event_id AS p_event,
+        |    CAST(ts AS TIMESTAMP) AS p_ts FROM events
+        |    WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_event,
+        |    CAST(ts AS TIMESTAMP) AS c_ts FROM events
+        |    WHERE event_type = 'click')
+        |SELECT p_event, c_event,
+        |  epoch_us(p_ts) - epoch_us(c_ts) AS diff_us
+        |FROM p JOIN c ON abs(epoch_us(p_ts) - epoch_us(c_ts)) <= 5000000
+        |ORDER BY p_event, c_event""".stripMargin,
 
     "q18_scalar_string" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,

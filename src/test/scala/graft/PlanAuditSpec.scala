@@ -76,6 +76,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q31: the no-equi-key band join runs as a bucket equi-join, " +
+    "never a nested-loop/cartesian plan") {
+    val p = plan("q31_band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sim_topk_ivf: centroid assignment is a partial max_by aggregate, " +
     "not a window/sort over the unique corpus key") {
     val p = plan("sim_topk_ivf")
