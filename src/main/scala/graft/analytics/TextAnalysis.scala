@@ -77,6 +77,38 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.functions.HashExpressions.tokenSetFingerprint(lower(text))
 
+  /** BM25 relevance of a document against literal query `terms`
+    * (k1=1.2, b=0.75): the standard keyword scorer a training pipeline
+    * uses for topical filtering / relevance-weighted sampling. Needs the
+    * corpus stats as columns: `df` per term (documents containing it),
+    * `nDocs`, `avgdl` — computed once per corpus by the caller and
+    * broadcast-joined (see the `text_bm25` query). All inputs are exact
+    * ints plus one exact ratio, so the score is engine-portable. */
+  def bm25Term(tokens: Column, term: String, df: Column, nDocs: Column,
+               avgdl: Column, k1: Double = 1.2, b: Double = 0.75): Column = {
+    val tf = size(filter(tokens, t => t === term)).cast("double")
+    val idf = log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+    idf * tf * (k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * size(tokens) / avgdl))
+  }
+
+  /** Overlapping token-window chunking (context-window preparation for
+    * training): windows of `size` tokens every `stride` tokens, the last
+    * window truncating at the document end. Chunk count =
+    * 1 + ceil(max(n-size, 0) / stride) with integer arithmetic, so both
+    * engines enumerate identical windows. Returns an array of
+    * (chunk_id, chunk_text) structs the caller explodes. */
+  def tokenChunks(tokens: Column, size: Int, stride: Int): Column = {
+    require(size >= 1 && stride >= 1 && stride <= size)
+    val n = org.apache.spark.sql.functions.size(tokens)
+    val nChunks = lit(1) +
+      floor((greatest(n - size, lit(0)) + stride - 1) / stride).cast("int")
+    transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.cast("long").as("chunk_id"),
+        concat_ws(" ", slice(tokens, i * stride + 1, lit(size)))
+          .as("chunk_text")))
+  }
+
   /** Distinct word n-gram shingles, the input to Jaccard/MinHash dedup.
     * Docs shorter than n tokens yield one whole-doc shingle. Native
     * single-pass expression (graft.functions.WordShingles) — the composed

@@ -128,6 +128,38 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // BM25 keyword relevance (k1=1.2, b=0.75) against a literal query —
+    // topical filtering / relevance-weighted sampling. Corpus stats (df
+    // per term, N, avgdl) aggregate once and broadcast; exact-int inputs
+    // make the score engine-portable.
+    "text_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "vector", "stream")
+      val t = docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      val aggs = count(lit(1)).cast("double").as("n_docs") +:
+        avg(size(col("toks"))).as("avgdl") +:
+        terms.map(tm => sum(when(array_contains(col("toks"), tm), 1)
+          .otherwise(0)).cast("double").as(s"df_$tm"))
+      val stats = t.agg(aggs.head, aggs.tail: _*)
+      t.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(terms.map(tm => TextAnalysis.bm25Term(col("toks"), tm,
+            col(s"df_$tm"), col("n_docs"), col("avgdl"))).reduce(_ + _), 4)
+            .as("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Overlapping token-window chunking: 32-token windows every 24 tokens
+    // (8-token overlap) — context-window preparation for training.
+    "pack_chunks_overlap" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        explode(TextAnalysis.tokenChunks(
+          TextAnalysis.tokens(lower(col("text"))), 32, 24)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          md5(col("c.chunk_text")).as("chunk_fp"),
+          size(split(col("c.chunk_text"), " ")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // SQ8-class quantized ANN: brute-force cosine over per-vector-scaled
     // int8 vectors — exact integer dot products, oracle-checked (the
     // DuckDB side requantizes with the identical floor(+0.5) formula).
@@ -420,6 +452,48 @@ object ContentQueries {
         |  FROM documents)
         |SELECT source, doc_id FROM r WHERE rn <= 3
         |ORDER BY source, doc_id""".stripMargin,
+
+    "text_bm25" -> {
+      def term(t: String) =
+        s"""ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0)
+           |    * tf_$t * (1.2 + 1.0)
+           |    / (tf_$t + 1.2 * (1.0 - 0.75 + 0.75 * len(toks) / avgdl))"""
+          .stripMargin
+      def tf(t: String) =
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$t"
+      def df(t: String) =
+        s"""CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)
+           |      AS DOUBLE) AS df_$t""".stripMargin
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split(lower(text), ' ') AS toks FROM documents),
+         |tfs AS (SELECT doc_id, toks, ${tf("spark")},
+         |    ${tf("vector")}, ${tf("stream")} FROM t),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    avg(len(toks)) AS avgdl,
+         |    ${df("spark")},
+         |    ${df("vector")},
+         |    ${df("stream")}
+         |  FROM t)
+         |SELECT doc_id, round(${term("spark")}
+         |  + ${term("vector")}
+         |  + ${term("stream")}, 4) AS bm25
+         |FROM tfs CROSS JOIN s ORDER BY doc_id""".stripMargin
+    },
+
+    "pack_chunks_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split(lower(text), ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |    1 + CAST(floor((greatest(len(toks) - 32, 0) + 23) / 24.0)
+        |      AS INT) AS n_chunks FROM t),
+        |c AS (SELECT doc_id, toks,
+        |    unnest(range(0, n_chunks)) AS chunk_id FROM n)
+        |SELECT doc_id, chunk_id,
+        |  md5(array_to_string(list_slice(toks,
+        |    chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')) AS chunk_fp,
+        |  CAST(len(list_slice(toks,
+        |    chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "sim_topk_int8" ->
       """WITH v AS (SELECT vec_id,
