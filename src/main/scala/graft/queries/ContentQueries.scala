@@ -249,6 +249,24 @@ object ContentQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // Deterministic WEIGHTED sampling (Efraimidis-Spirakis A-ES): rank by
+    // ln(u)/w descending with u an md5-derived uniform in (0,1) and
+    // w = token count — longer docs proportionally likelier, yet the
+    // sample is a pure function of doc_id (replay/retry stable, and the
+    // DuckDB oracle draws the identical sample). One window shuffle.
+    "sample_weighted" -> ((s, d) => {
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long") + 1.0) / 1.152921504606847e18
+      val w = TextAnalysis.tokenCount(col("text")).cast("double")
+      val key = log(u) / w
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(key.desc, col("doc_id"))
+      docs(s, d).withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // HLL++ sketch surface (rows-only: approx result is engine-specific).
     "sketch_approx_distinct" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
@@ -452,6 +470,19 @@ object ContentQueries {
         |  FROM documents)
         |SELECT source, doc_id FROM r WHERE rn <= 3
         |ORDER BY source, doc_id""".stripMargin,
+
+    "sample_weighted" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |    (${md5b60("CAST(doc_id AS VARCHAR)")} + 1.0)
+         |      / 1.152921504606847e18 AS u,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS w
+         |  FROM documents),
+         |r AS (SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ln(u) / w DESC, doc_id) AS rn
+         |  FROM t)
+         |SELECT source, doc_id FROM r WHERE rn <= 3
+         |ORDER BY source, doc_id""".stripMargin,
 
     "text_bm25" -> {
       def term(t: String) =

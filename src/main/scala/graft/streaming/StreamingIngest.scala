@@ -58,6 +58,26 @@ object StreamingIngest {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream temporal enrichment: join two live streams on a key
+    * with the right event constrained to (leftTs - before, leftTs] — the
+    * streaming twin of the batch range join (q16) and the pattern behind
+    * "attach the click that preceded this purchase" enrichment. Both
+    * sides carry watermarks, and the inequality bound is what lets Spark
+    * evict buffered state: a right row older than
+    * (left watermark - before) can never match again and is dropped.
+    * Without the time bound the state store grows with the full history
+    * of both streams. */
+  def enrichWithin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, before: String,
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(key) === r(key) &&
+      col(rightTs) <= col(leftTs) &&
+      col(rightTs) >= col(leftTs) - expr(s"interval $before"))
+      .drop(r(key))
+  }
+
   final case class SessionEvent(user_id: Long, event_id: Long, ts_ms: Long)
   final case class SessionState(sessionId: Long, lastTsMs: Long, nEvents: Long)
   final case class SessionUpdate(user_id: Long, session_id: Long,

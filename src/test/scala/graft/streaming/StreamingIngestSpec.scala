@@ -98,6 +98,42 @@ class StreamingIngestSpec extends SparkSuite {
     assert(ids == Seq(1L, 2L, 3L, 4L), s"got $ids")
   }
 
+  test("stream-stream temporal enrichment joins within the time bound " +
+    "and drops out-of-window pairs") {
+    val pSrc = Files.createTempDirectory("ss_p").toString
+    val cSrc = Files.createTempDirectory("ss_c").toString
+    Seq((10L, 1L, "2024-01-01 00:01:00"), (11L, 2L, "2024-01-01 00:10:00"))
+      .toDF("p_event", "user_id", "s")
+      .withColumn("p_ts", col("s").cast("timestamp")).drop("s")
+      .coalesce(1).write.mode("append").parquet(pSrc)
+    Seq(
+      (20L, 1L, "2024-01-01 00:00:30"), // 30s before purchase 10 → match
+      (21L, 1L, "2024-01-01 00:00:10"), // 50s before → also in 2m window
+      (22L, 2L, "2024-01-01 00:05:00"), // 5m before purchase 11 → outside
+      (23L, 3L, "2024-01-01 00:01:00")) // no purchase for user 3
+      .toDF("c_event", "user_id", "s")
+      .withColumn("c_ts", col("s").cast("timestamp")).drop("s")
+      .coalesce(1).write.mode("append").parquet(cSrc)
+
+    val pSchema = StructType(Seq(StructField("p_event", LongType),
+      StructField("user_id", LongType), StructField("p_ts", TimestampType)))
+    val cSchema = StructType(Seq(StructField("c_event", LongType),
+      StructField("user_id", LongType), StructField("c_ts", TimestampType)))
+    val joined = StreamingIngest.enrichWithin(
+      spark.readStream.schema(pSchema).parquet(pSrc),
+      spark.readStream.schema(cSchema).parquet(cSrc),
+      key = "user_id", leftTs = "p_ts", rightTs = "c_ts",
+      before = "2 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_join").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val r = spark.table("ss_join").select("p_event", "c_event")
+      .as[(Long, Long)].collect().toSet
+    assert(r == Set((10L, 20L), (10L, 21L)), s"got $r")
+  }
+
   test("stateful sessionization groups by gap") {
     import StreamingIngest._
     val src = Files.createTempDirectory("sess_src").toString
