@@ -57,5 +57,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
           .value.asInstanceOf[Int])))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }
