@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns via a sequential fold. */
+  /** Dot product of two array<double> columns: native single-pass
+    * sequential fold (graft.functions.DotProduct) — bit-identical to the
+    * composed `aggregate(zip_with(...))` form (same left-to-right order)
+    * but without the two interpreted lambda dispatches per dimension that
+    * dominate the similarity scans. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.HashExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -154,11 +158,14 @@ object Similarity {
     * index-build cost, amortized in production by writing `q` once. */
   def int8TopK(queries: DataFrame, corpus: DataFrame, qId: Column,
                qVec: Column, cId: Column, cVec: Column, k: Int): DataFrame = {
+    // quantized ints ride as exact doubles: products <= 127^2 and sums
+    // <= 64*127^2 stay integer-exact in the double fold, matching the
+    // oracle's BIGINT arithmetic bit-for-bit
     val q = queries.select(qId.as("q_id"),
-      quantizeInt8(asDouble(qVec)).as("q_q"))
+      quantizeInt8(asDouble(qVec)).cast("array<double>").as("q_q"))
       .withColumn("q_n", sqrt(dot(col("q_q"), col("q_q"))))
     val c = corpus.select(cId.as("n_id"),
-      quantizeInt8(asDouble(cVec)).as("c_q"))
+      quantizeInt8(asDouble(cVec)).cast("array<double>").as("c_q"))
       .withColumn("c_n", sqrt(dot(col("c_q"), col("c_q"))))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -297,6 +297,63 @@ case class TokenSetFingerprint(child: Expression)
   * collision law to first order). Plane matrices are cached per (nBits, dim)
   * process-wide.
   */
+/** Native dot product over two `array<double>` columns: the exact same
+  * left-to-right fold as the composed
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — bit-identical results, so
+  * every DuckDB `list_sum(list_transform(...))` oracle still matches —
+  * minus the per-element interpreted-lambda dispatch, which dominates the
+  * similarity scans (two lambda invocations per dimension per pair).
+  * Mismatched lengths or null elements yield null, mirroring zip_with's
+  * null padding flowing through the sum. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product requires two array<double>, got $other")
+    }
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** Public bridge for generated code (nullSafeEval is protected). */
+  def compute(a: Any, b: Any): Any = nullSafeEval(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftDot", this, classOf[DotProduct].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""Object graftDotR = $ref.compute($a, $b);
+         |if (graftDotR == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) graftDotR).doubleValue(); }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotProduct = copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
 case class SrpBandBuckets(child: Expression, bands: Int, bitsPerBand: Int)
     extends UnaryExpression with RefEvalCodegen {
   require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 62,
@@ -431,4 +488,7 @@ object HashExpressions {
 
   def srpBandBuckets(vec: Column, bands: Int, bitsPerBand: Int): Column =
     bridge.column(SrpBandBuckets(bridge.expression(vec), bands, bitsPerBand))
+
+  def dotProduct(a: Column, b: Column): Column =
+    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
 }
