@@ -79,7 +79,11 @@ object Dedup {
       col("shingle"))
     val r = ex.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"),
       col("shingle"))
-    l.join(r, Seq("shingle"))
+    // SHUFFLE_HASH: build a per-partition map instead of sort-merge — the
+    // exploded table is uniform (hash keys) and per-partition builds are
+    // |shingles|/numPartitions rows, so the two 7.5M-row sorts SMJ would
+    // run disappear
+    l.join(r.hint("SHUFFLE_HASH"), Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"),

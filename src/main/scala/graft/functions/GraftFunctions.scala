@@ -23,7 +23,8 @@ object GraftFunctions {
     "srp_band_buckets" -> { exprs =>
       SrpBandBuckets(exprs.head, intArg(exprs, 1, "srp_band_buckets"),
         intArg(exprs, 2, "srp_band_buckets"))
-    })
+    },
+    "dot_product" -> { exprs => DotProduct(exprs.head, exprs(1)) })
 
   private def intArg(exprs: Seq[Expression], i: Int, fn: String): Int =
     exprs.lift(i) match {

@@ -32,6 +32,30 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(sql == api)
   }
 
+  test("native dot_product is bit-identical to the composed " +
+    "aggregate(zip_with) fold, and null-safe on length mismatch") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map(_ =>
+      (Seq.fill(64)(rnd.nextDouble()), Seq.fill(64)(rnd.nextDouble())))
+    val df = rows.toDF("a", "b")
+    val native = df.select(
+      HashExpressions.dotProduct(col("a"), col("b")).as("d"))
+      .as[Double].collect()
+    val composed = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+      .as[Double].collect()
+    assert(native.zip(composed).forall { case (n, c) =>
+      java.lang.Double.doubleToLongBits(n) ==
+        java.lang.Double.doubleToLongBits(c)
+    })
+    val mismatch = Seq((Seq(1.0, 2.0), Seq(1.0)))
+      .toDF("a", "b")
+      .select(HashExpressions.dotProduct(col("a"), col("b")).as("d"))
+      .collect()
+    assert(mismatch.head.isNullAt(0))
+  }
+
   test("salted join produces the same rows as a plain join, spread across " +
     "salts") {
     val large = (0L until 1000L).map(i => (if (i < 900) "hot" else s"k$i", i))
