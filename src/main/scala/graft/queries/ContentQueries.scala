@@ -267,6 +267,38 @@ object ContentQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // Vocabulary building: global token frequencies, top 50 — partial
+    // aggregate then TakeOrdered (50 rows per task cross the wire, never
+    // a global sort of the vocabulary).
+    "text_vocab_topk" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)),
+
+    // End-to-end pipeline composition: quality gate → exact dedup (keep
+    // min id per fingerprint) → chunk statistics per source. The shape a
+    // real corpus-preparation job takes, as ONE declarative plan.
+    "pipeline_clean_pack" -> ((s, d) => {
+      val kept = docs(s, d)
+        .filter(TextAnalysis.qualityKeep(col("text"), minTokens = 10,
+          maxPunctRatio = 0.2))
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      kept.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("doc_id"),
+          explode(TextAnalysis.tokenChunks(
+            TextAnalysis.tokens(lower(col("text"))), 32, 24)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // HLL++ sketch surface (rows-only: approx result is engine-specific).
     "sketch_approx_distinct" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
@@ -470,6 +502,33 @@ object ContentQueries {
         |  FROM documents)
         |SELECT source, doc_id FROM r WHERE rn <= 3
         |ORDER BY source, doc_id""".stripMargin,
+
+    "text_vocab_topk" ->
+      """SELECT t AS token, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+        |      FROM documents)
+        |GROUP BY t ORDER BY n DESC, t LIMIT 50""".stripMargin,
+
+    "pipeline_clean_pack" ->
+      """WITH kept AS (SELECT source, doc_id,
+        |    string_split(lower(text), ' ') AS toks,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(lower(text), ' '))), ' ')) AS fp
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) BETWEEN 10 AND 100000
+        |    AND round((length(text) - length(regexp_replace(text,
+        |        '[.,;:!?]', '', 'g'))) / greatest(length(text), 1), 6)
+        |      <= 0.2),
+        |dd AS (SELECT source, doc_id, toks,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM kept),
+        |ch AS (SELECT source, doc_id,
+        |    1 + CAST(floor((greatest(len(toks) - 32, 0) + 23) / 24.0)
+        |      AS INT) AS n_chunks
+        |  FROM dd WHERE rn = 1)
+        |SELECT source, CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+        |  count(*) AS n_docs
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
 
     "sample_weighted" ->
       s"""WITH t AS (SELECT source, doc_id,
