@@ -125,7 +125,8 @@ object Dedup {
         .as(Seq("band", "bucket")))
     val l = banded.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
     val r = banded.select(col("doc_id").as("b_id"), col("band"), col("bucket"))
-    val cand = l.join(r, Seq("band", "bucket"))
+    // hash join: band buckets are hash-uniform, per-partition builds tiny
+    val cand = l.join(r.hint("SHUFFLE_HASH"), Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
@@ -158,7 +159,7 @@ object Dedup {
       col("chunk"), col("v"))
     val r = chunked.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
       col("chunk"), col("v"))
-    l.join(r, Seq("chunk", "v"))
+    l.join(r.hint("SHUFFLE_HASH"), Seq("chunk", "v"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long")

@@ -225,6 +225,32 @@ object RelationalQueries {
         .orderBy(col("p_event"), col("c_event"))
     }),
 
+    // lead/lag navigation per user (event-sequence feature extraction).
+    "q32_lead_lag" -> ((s, d) => {
+      val e = T(s, d, "events").withColumn("ts", col("ts").cast("timestamp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.select(col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_event"),
+        lead(col("event_id"), 1).over(w).as("next_event"),
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // RANGE-frame window: events in the trailing hour per user — the frame
+    // is value-based (micros), not row-based; counts are exact ints so the
+    // frame aggregation is engine-portable.
+    "q33_range_frame" -> ((s, d) => {
+      val e = T(s, d, "events").withColumn("ts", col("ts").cast("timestamp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      e.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_last_hour"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "q18_scalar_string" -> ((s, d) =>
       T(s, d, "part").select(
         col("p_partkey"),
@@ -473,6 +499,26 @@ object RelationalQueries {
         |  epoch_us(p_ts) - epoch_us(c_ts) AS diff_us
         |FROM p JOIN c ON abs(epoch_us(p_ts) - epoch_us(c_ts)) <= 5000000
         |ORDER BY p_event, c_event""".stripMargin,
+
+    "q32_lead_lag" ->
+      """SELECT user_id, event_id,
+        |  lag(event_id) OVER w AS prev_event,
+        |  lead(event_id) OVER w AS next_event,
+        |  epoch_us(CAST(ts AS TIMESTAMP))
+        |    - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q33_range_frame" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |    AS n_last_hour
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q18_scalar_string" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,

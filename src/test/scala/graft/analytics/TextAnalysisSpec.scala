@@ -43,6 +43,30 @@ class TextAnalysisSpec extends SparkSuite {
     assert(short.toSeq == Seq("a b"))
   }
 
+  test("tokenChunks: window boundaries at every edge length " +
+    "(short doc, exact window, one-past, last-stride, one-past-stride)") {
+    def chunksOf(n: Int): Seq[(Long, Int)] = {
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      Seq(text).toDF("text")
+        .select(explode(TextAnalysis.tokenChunks(
+          TextAnalysis.tokens(col("text")), 32, 24)).as("c"))
+        .select(col("c.chunk_id"), size(split(col("c.chunk_text"), " ")))
+        .as[(Long, Int)].collect().toSeq.sortBy(_._1)
+    }
+    assert(chunksOf(1) == Seq((0L, 1)))
+    assert(chunksOf(32) == Seq((0L, 32)))
+    // 33 tokens: second window starts at 24, holds 9
+    assert(chunksOf(33) == Seq((0L, 32), (1L, 9)))
+    // 56 = 24 + 32: second window exactly full
+    assert(chunksOf(56) == Seq((0L, 32), (1L, 32)))
+    // 57: third window starts at 48, holds 9
+    assert(chunksOf(57) == Seq((0L, 32), (1L, 32), (2L, 9)))
+    // every token index is covered by at least one window (57 tokens:
+    // starts 0/24/48 cover 0..56 contiguously with 8-token overlaps)
+    val covered = Seq(0, 24, 48).flatMap(s => s until math.min(s + 32, 57))
+    assert(covered.toSet == (0 until 57).toSet)
+  }
+
   test("quality gate rejects too-short and over-punctuated docs") {
     val df = Seq(
       ("good long document with plenty of reasonable words inside it", true),
