@@ -256,18 +256,26 @@ case class TokenSetFingerprint(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     import org.apache.spark.unsafe.types.UTF8String
     val tokens = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val set = new java.util.TreeSet[UTF8String]() // UTF8 binary order
+    // sort-then-skip-adjacent-duplicates beats a TreeSet (one array, no
+    // node allocations); UTF8String compares in binary order, identical
+    // to the TreeSet ordering and DuckDB's list_sort
+    val arr = new Array[UTF8String](tokens.length)
     var i = 0
     while (i < tokens.length) {
-      set.add(UTF8String.fromString(tokens(i))); i += 1
+      arr(i) = UTF8String.fromString(tokens(i)); i += 1
     }
+    java.util.Arrays.sort(arr,
+      java.util.Comparator.naturalOrder[UTF8String]())
     val md = HashExpressions.md5()
-    val it = set.iterator()
     var first = true
-    while (it.hasNext) {
-      if (!first) md.update(' '.toByte)
-      md.update(it.next().getBytes)
-      first = false
+    i = 0
+    while (i < arr.length) {
+      if (i == 0 || arr(i) != arr(i - 1)) {
+        if (!first) md.update(' '.toByte)
+        md.update(arr(i).getBytes)
+        first = false
+      }
+      i += 1
     }
     UTF8String.fromString(HashExpressions.toHex(md.digest()))
   }

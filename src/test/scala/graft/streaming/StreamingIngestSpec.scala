@@ -98,6 +98,27 @@ class StreamingIngestSpec extends SparkSuite {
     assert(ids == Seq(1L, 2L, 3L, 4L), s"got $ids")
   }
 
+  test("stream-static dimension enrichment: the static side broadcasts " +
+    "into every micro-batch") {
+    val src = Files.createTempDirectory("enrich_src").toString
+    Seq((1L, "click"), (2L, "purchase"), (3L, "view"))
+      .toDF("id", "event_type")
+      .coalesce(1).write.mode("append").parquet(src)
+    val dim = Seq(("click", 1.0), ("purchase", 5.0))
+      .toDF("event_type", "weight")
+    val sschema = StructType(Seq(StructField("id", LongType),
+      StructField("event_type", StringType)))
+    val joined = spark.readStream.schema(sschema).parquet(src)
+      .join(broadcast(dim), Seq("event_type"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("enrich_stream").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val r = spark.table("enrich_stream").select("id", "weight")
+      .as[(Long, Double)].collect().toSet
+    assert(r == Set((1L, 1.0), (2L, 5.0)))
+  }
+
   test("stream-stream temporal enrichment joins within the time bound " +
     "and drops out-of-window pairs") {
     val pSrc = Files.createTempDirectory("ss_p").toString
