@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ingest.{IngestConfig, IngestWriter}
+import graft.ingest.{Ingest, IngestConfig, IngestWriter, PartitionerSpec}
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -31,6 +31,34 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         IngestWriter.write(batch, cfg, encodedPartition, outDir,
           kafkaPartition, offset, payloadCols)
+        ()
+      }
+      .start()
+
+  /** Full config-driven connector as a streaming sink: every micro-batch
+    * runs the complete `Ingest.run` pipeline — null behaviors, declarative
+    * partitioner spec, rotation grouping with per-cause diagnostics, K/V/H
+    * lockstep views, commit manifest, epoch fencing — under the streaming
+    * checkpoint's exactly-once replay. This is the call a reference user
+    * points their existing connector config at. */
+  def startPipeline(frame: DataFrame, cfg: IngestConfig,
+                    partitioner: PartitionerSpec, outDir: String,
+                    checkpointDir: String,
+                    kafkaPartition: Column, offset: Column,
+                    payloadCols: Seq[Column],
+                    valueColumnForNulls: Option[String] = None,
+                    writeManifest: Boolean = false,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    frame.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Ingest.run(batch, cfg, partitioner, outDir,
+          kafkaPartition = kafkaPartition, offset = offset,
+          payloadCols = payloadCols,
+          valueColumnForNulls = valueColumnForNulls,
+          writeManifest = writeManifest)
         ()
       }
       .start()

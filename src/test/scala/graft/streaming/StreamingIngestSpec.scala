@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkSuite
-import graft.ingest.{IngestConfig, Partitioners}
+import graft.ingest.{IngestConfig, Partitioners, PartitionerSpec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.Files
@@ -42,6 +42,45 @@ class StreamingIngestSpec extends SparkSuite {
     val names = new java.io.File(s"$out/topics/st/event_type=t0")
       .listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted
     assert(names.forall(_.matches("st\\+0\\+\\d{10}\\.parquet")))
+  }
+
+  test("streaming full pipeline: K/V/H lockstep + manifest under the " +
+    "checkpoint, per micro-batch") {
+    val src = Files.createTempDirectory("pipe_src").toString
+    val out = Files.createTempDirectory("pipe_out").toString
+    val ckpt = Files.createTempDirectory("pipe_ckpt").toString
+    (0L until 6L).map(i => (0, i, s"k$i", s"t${i % 2}", i * 1.0))
+      .toDF("kafka_partition", "offset", "key", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    val sschema = StructType(Seq(
+      StructField("kafka_partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("key", StringType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(sschema).parquet(src)
+    val q = StreamingIngest.startPipeline(stream,
+      IngestConfig(topic = "sp", flushSize = 100, writeKeys = true),
+      PartitionerSpec.Fields(Seq("event_type")), out, ckpt,
+      col("kafka_partition"), col("offset"),
+      payloadCols = Seq(col("offset"), col("event_type"), col("value")),
+      writeManifest = true)
+    q.awaitTermination(60000)
+
+    // deterministic names: t0 holds offsets 0,2,4 → start offset 0; t1
+    // holds 1,3,5 → start offset 1 (schemas differ between value and
+    // .keys files, so read the contract paths, not a glob)
+    assert(spark.read.parquet(
+      s"$out/topics/sp/event_type=t0/sp+0+0000000000.parquet").count() == 3)
+    assert(spark.read.parquet(
+      s"$out/topics/sp/event_type=t1/sp+0+0000000001.parquet").count() == 3)
+    val keyFiles = new java.io.File(s"$out/topics/sp/event_type=t0")
+      .listFiles().map(_.getName).filter(_.endsWith(".keys.parquet"))
+    assert(keyFiles.toSeq == Seq("sp+0+0000000000.keys.parquet"),
+      s"K/V/H lockstep key files wrong: ${keyFiles.toSeq}")
+    assert(new java.io.File(s"$out/topics/sp/_graft_manifest").exists(),
+      "commit manifest missing")
   }
 
   test("watermarked windowed counts aggregate by event-time hour") {
