@@ -49,7 +49,9 @@ object IngestDemo {
     println("== replay produced byte-identical object keys (X1 ok)")
 
     // read back through the Hive-style layout and count per partition dir
-    val back = spark.read.parquet(s"$outDir/topics/events/*")
+    // (partition discovery on the directory — a trailing glob works too but
+    // logs a noisy recovered FileNotFoundException inside DataFrameReader)
+    val back = spark.read.parquet(s"$outDir/topics/events")
     println(s"== read back ${back.count()} records (input ${frame.count()})")
 
     // hourly time-partitioned JSON+gzip variant exercises nested dirs + W5
