@@ -58,6 +58,12 @@ object TextAnalysis {
   def stopwordRatio(text: Column): Column =
     round(hits(text, EnStop) / greatest(tokenCount(text), lit(1)).cast("double"), 6)
 
+  /** Distinct-token fraction — low values flag repetitive/boilerplate docs
+    * (the Gopher-style repetition signal). */
+  def repetitionRatio(text: Column): Column =
+    round(size(array_distinct(tokens(text))) /
+      greatest(tokenCount(text), lit(1)).cast("double"), 6)
+
   def meanTokenLen(text: Column): Column =
     round((length(text) - tokenCount(text) + 1) /
       greatest(tokenCount(text), lit(1)).cast("double"), 6)

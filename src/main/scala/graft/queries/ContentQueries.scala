@@ -41,7 +41,8 @@ object ContentQueries {
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"))
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.repetitionRatio(col("text")).as("repetition_ratio"))
         .orderBy(col("doc_id"))),
 
     "text_fingerprint" -> ((s, d) =>
@@ -382,7 +383,10 @@ object ContentQueries {
          |  round(len(list_filter(string_split(text, ' '),
          |      x -> x IN ${stopList(TextAnalysis.EnStop)}))
          |    / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 6)
-         |    AS stopword_ratio
+         |    AS stopword_ratio,
+         |  round(len(list_distinct(string_split(text, ' ')))
+         |    / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 6)
+         |    AS repetition_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
