@@ -146,10 +146,17 @@ object Similarity {
     * round-half-mode differences between engines). The epsilon guard
     * makes the all-zero vector quantize to zeros instead of dividing by
     * zero — same literal on both engines. */
-  def quantizeInt8(vec: Column): Column = {
-    val scale = greatest(array_max(transform(vec, x => abs(x))), lit(1e-30))
+  def quantizeInt8(vec: Column): Column =
+    quantizeInt8(vec, int8Scale(vec))
+
+  /** The per-vector scale (max|x|, epsilon-guarded). Callers on hot paths
+    * hoist this into its own column first — embedding it inside the
+    * transform lambda would re-scan the vector per element (O(d²)). */
+  def int8Scale(vec: Column): Column =
+    greatest(array_max(transform(vec, x => abs(x))), lit(1e-30))
+
+  def quantizeInt8(vec: Column, scale: Column): Column =
     transform(vec, x => floor(x * 127.0 / scale + 0.5).cast("long"))
-  }
 
   /** Brute-force cosine top-k over int8-quantized vectors: same plan shape
     * as `bruteForceTopK` (broadcast queries, corpus never shuffles), but
@@ -160,13 +167,18 @@ object Similarity {
                qVec: Column, cId: Column, cVec: Column, k: Int): DataFrame = {
     // quantized ints ride as exact doubles: products <= 127^2 and sums
     // <= 64*127^2 stay integer-exact in the double fold, matching the
-    // oracle's BIGINT arithmetic bit-for-bit
-    val q = queries.select(qId.as("q_id"),
-      quantizeInt8(asDouble(qVec)).cast("array<double>").as("q_q"))
-      .withColumn("q_n", sqrt(dot(col("q_q"), col("q_q"))))
-    val c = corpus.select(cId.as("n_id"),
-      quantizeInt8(asDouble(cVec)).cast("array<double>").as("c_q"))
-      .withColumn("c_n", sqrt(dot(col("c_q"), col("c_q"))))
+    // oracle's BIGINT arithmetic bit-for-bit. The scale hoists into its
+    // own column so quantization stays O(d) per vector.
+    def prep(df: DataFrame, id: Column, vec: Column, p: String) =
+      df.select(id.as(s"${p}_id"), asDouble(vec).as("_v"))
+        .withColumn("_s", int8Scale(col("_v")))
+        .withColumn(s"${p}_q",
+          quantizeInt8(col("_v"), col("_s")).cast("array<double>"))
+        .withColumn(s"${p}_n", sqrt(dot(col(s"${p}_q"), col(s"${p}_q"))))
+        .drop("_v", "_s")
+    val q = prep(queries, qId, qVec, "q")
+    val c = prep(corpus, cId, cVec, "c")
+      .withColumnRenamed("c_id", "n_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     c.join(broadcast(q), col("q_id") =!= col("n_id"))

@@ -13,9 +13,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftFunctions {
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "simhash64" -> { exprs => SimHash64(exprs.head) },
+    // optional trailing boolean selects the md5 (engine-portable) base
+    // hash, defaulting to the same mode the Scala pipeline defaults use so
+    // SQL users cross-checking dedup output get matching hashes
+    "simhash64" -> { exprs =>
+      SimHash64(exprs.head, boolArg(exprs, 1, "simhash64", default = true))
+    },
     "minhash_signature" -> { exprs =>
-      MinHashSignature(exprs.head, intArg(exprs, 1, "minhash_signature"))
+      MinHashSignature(exprs.head, intArg(exprs, 1, "minhash_signature"),
+        boolArg(exprs, 2, "minhash_signature", default = false))
     },
     "word_shingles" -> { exprs =>
       WordShingles(exprs.head, intArg(exprs, 1, "word_shingles"))
@@ -24,13 +30,29 @@ object GraftFunctions {
       SrpBandBuckets(exprs.head, intArg(exprs, 1, "srp_band_buckets"),
         intArg(exprs, 2, "srp_band_buckets"))
     },
-    "dot_product" -> { exprs => DotProduct(exprs.head, exprs(1)) })
+    "dot_product" -> { exprs =>
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val b = exprs.lift(1).getOrElse(throw new IllegalArgumentException(
+        "dot_product requires two array arguments"))
+      DotProduct(Cast(exprs.head, ArrayType(DoubleType)),
+        Cast(b, ArrayType(DoubleType)))
+    })
 
   private def intArg(exprs: Seq[Expression], i: Int, fn: String): Int =
     exprs.lift(i) match {
       case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
       case other => throw new IllegalArgumentException(
         s"$fn requires a literal int argument at position ${i + 1}, got $other")
+    }
+
+  private def boolArg(exprs: Seq[Expression], i: Int, fn: String,
+                      default: Boolean): Boolean =
+    exprs.lift(i) match {
+      case None => default
+      case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _)) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn position ${i + 1} must be a literal boolean, got $other")
     }
 
   def register(spark: SparkSession): Unit =
@@ -51,7 +73,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     e.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => SimHash64(exprs.head, md5Base = true)))
     e.injectFunction((FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head,

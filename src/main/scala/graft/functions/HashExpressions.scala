@@ -455,7 +455,14 @@ object HashExpressions {
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
-  private[functions] def md5(): java.security.MessageDigest = md5Local.get()
+  /** reset() on acquisition: if a previous eval on this pooled thread
+    * aborted between update() calls (task kill, OOM), the digest would
+    * otherwise carry that partial input into the next hash. */
+  private[functions] def md5(): java.security.MessageDigest = {
+    val md = md5Local.get()
+    md.reset()
+    md
+  }
 
   private val HEX = "0123456789abcdef".toCharArray
 
@@ -471,7 +478,7 @@ object HashExpressions {
   }
 
   def md5Base60(bytes: Array[Byte]): Long = {
-    val d = md5Local.get().digest(bytes)
+    val d = md5().digest(bytes)
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
@@ -497,6 +504,15 @@ object HashExpressions {
   def srpBandBuckets(vec: Column, bands: Int, bitsPerBand: Int): Column =
     bridge.column(SrpBandBuckets(bridge.expression(vec), bands, bitsPerBand))
 
+  /** Inputs pass through a Cast to array<double> so float embeddings (the
+    * storage type) and other numeric arrays keep working, exactly like the
+    * composed zip_with fold's implicit lift; the optimizer strips the cast
+    * when the input is already array<double>. (AbstractDataType is
+    * private[sql], so ImplicitCastInputTypes is not an option here.) */
   def dotProduct(a: Column, b: Column): Column =
-    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+    bridge.column(DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Cast(bridge.expression(a),
+        ArrayType(DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Cast(bridge.expression(b),
+        ArrayType(DoubleType))))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule: rewrite the naive band-join predicate
   * `|leftExpr - rightExpr| <= delta` (which Spark can only plan as a
@@ -54,11 +54,17 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       if (delta <= 0 || oriented.isEmpty) j
       else {
         val (lTs, rTs) = oriented.get
-        // bucket = floor(ts / delta) in double space: |ts| < 2^53 for any
-        // realistic epoch value, so the division and floor are exact
-        def bucket(e: Expression): Expression =
-          Cast(Floor(Divide(Cast(e, DoubleType),
-            Literal(delta.toDouble, DoubleType))), LongType)
+        // bucket = floor-division in EXACT integer arithmetic (truncating
+        // divide, corrected for negative remainders): double-space floor
+        // would round operands above 2^53 — e.g. epoch-nanosecond longs —
+        // and silently drop boundary pairs
+        def bucket(e: Expression): Expression = {
+          val el = Cast(e, LongType)
+          val d = Literal(delta)
+          val q = IntegralDivide(el, d)
+          val r = Remainder(el, d)
+          If(LessThan(r, Literal(0L)), Subtract(q, Literal(1L)), q)
+        }
         val lb = bucket(lTs)
         val lBucket = AttributeReference("_graft_band_bucket", LongType)()
         val gen = Generate(

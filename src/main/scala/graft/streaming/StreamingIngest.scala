@@ -48,6 +48,9 @@ object StreamingIngest {
                     payloadCols: Seq[Column],
                     valueColumnForNulls: Option[String] = None,
                     writeManifest: Boolean = false,
+                    extraCauseGroups: Seq[(String, Column)] = Nil,
+                    causeStats: Boolean = false,
+                    fence: Option[(graft.ingest.EpochFence, Long)] = None,
                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     frame.writeStream
       .outputMode(OutputMode.Append)
@@ -58,7 +61,10 @@ object StreamingIngest {
           kafkaPartition = kafkaPartition, offset = offset,
           payloadCols = payloadCols,
           valueColumnForNulls = valueColumnForNulls,
-          writeManifest = writeManifest)
+          writeManifest = writeManifest,
+          extraCauseGroups = extraCauseGroups,
+          causeStats = causeStats,
+          fence = fence)
         ()
       }
       .start()
@@ -100,9 +106,11 @@ object StreamingIngest {
                    watermark: String = "10 minutes"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
+    // qualify through the frames, not bare col(): both streams may name
+    // their event-time column identically (leftTs == rightTs == "ts")
     l.join(r, l(key) === r(key) &&
-      col(rightTs) <= col(leftTs) &&
-      col(rightTs) >= col(leftTs) - expr(s"interval $before"))
+      r(rightTs) <= l(leftTs) &&
+      r(rightTs) >= l(leftTs) - expr(s"interval $before"))
       .drop(r(key))
   }
 

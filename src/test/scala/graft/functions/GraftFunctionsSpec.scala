@@ -54,6 +54,12 @@ class GraftFunctionsSpec extends SparkSuite {
       .select(HashExpressions.dotProduct(col("a"), col("b")).as("d"))
       .collect()
     assert(mismatch.head.isNullAt(0))
+    // float arrays (the embedding storage type) implicit-cast like the
+    // composed fold did
+    val f = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+      .select(HashExpressions.dotProduct(col("a"), col("b")).as("d"))
+      .as[Double].head()
+    assert(f == 11.0)
   }
 
   test("salted join produces the same rows as a plain join, spread across " +

@@ -43,6 +43,21 @@ class BandJoinRewriteSpec extends SparkSuite {
     assert(got.nonEmpty && got == ref)
   }
 
+  test("exact above 2^53: nano-epoch longs keep boundary pairs the old " +
+    "double-space floor would round away") {
+    BandJoinRewrite.install(spark)
+    // 1.7e18-scale values; the pair at exactly |a-b| = d must survive
+    val base = 1700000000000000000L
+    val d = 5000000000L // 5s in nanos
+    val p = Seq((1L, base), (2L, base + 7 * d))
+      .toDF("p_event", "p_ns")
+    val c = Seq((10L, base + d), (11L, base - d), (12L, base + 2 * d + 1))
+      .toDF("c_event", "c_ns")
+    val got = p.join(c, abs(col("p_ns") - col("c_ns")) <= lit(d))
+      .select("p_event", "c_event").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (1L, 11L)), s"got $got")
+  }
+
   test("non-matching joins are untouched (equi-join keeps its plan)") {
     val (p, c) = sides
     val equi = p.join(c, unix_micros(col("p_ts")) === unix_micros(col("c_ts")))

@@ -162,9 +162,12 @@ class StreamingIngestSpec extends SparkSuite {
     "and drops out-of-window pairs") {
     val pSrc = Files.createTempDirectory("ss_p").toString
     val cSrc = Files.createTempDirectory("ss_c").toString
+    // both streams name their event-time column identically ("ts") — the
+    // common shape, which forces the join bounds to qualify through the
+    // frames rather than bare col()
     Seq((10L, 1L, "2024-01-01 00:01:00"), (11L, 2L, "2024-01-01 00:10:00"))
       .toDF("p_event", "user_id", "s")
-      .withColumn("p_ts", col("s").cast("timestamp")).drop("s")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
       .coalesce(1).write.mode("append").parquet(pSrc)
     Seq(
       (20L, 1L, "2024-01-01 00:00:30"), // 30s before purchase 10 → match
@@ -172,17 +175,17 @@ class StreamingIngestSpec extends SparkSuite {
       (22L, 2L, "2024-01-01 00:05:00"), // 5m before purchase 11 → outside
       (23L, 3L, "2024-01-01 00:01:00")) // no purchase for user 3
       .toDF("c_event", "user_id", "s")
-      .withColumn("c_ts", col("s").cast("timestamp")).drop("s")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
       .coalesce(1).write.mode("append").parquet(cSrc)
 
     val pSchema = StructType(Seq(StructField("p_event", LongType),
-      StructField("user_id", LongType), StructField("p_ts", TimestampType)))
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
     val cSchema = StructType(Seq(StructField("c_event", LongType),
-      StructField("user_id", LongType), StructField("c_ts", TimestampType)))
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
     val joined = StreamingIngest.enrichWithin(
       spark.readStream.schema(pSchema).parquet(pSrc),
       spark.readStream.schema(cSchema).parquet(cSrc),
-      key = "user_id", leftTs = "p_ts", rightTs = "c_ts",
+      key = "user_id", leftTs = "ts", rightTs = "ts",
       before = "2 minutes")
     val q = joined.writeStream.outputMode("append").format("memory")
       .queryName("ss_join").trigger(
