@@ -225,6 +225,19 @@ object RelationalQueries {
         .orderBy(col("p_event"), col("c_event"))
     }),
 
+    // Pivot (long→wide reshaping): per-user counts by event type with an
+    // explicit value list, so the plan is a single hash aggregate with
+    // pivot columns — no second shuffle and no value-discovery pass.
+    "q34_pivot" -> ((s, d) =>
+      T(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").as("n_click"),
+          col("view").as("n_view"), col("purchase").as("n_purchase"))
+        .orderBy(col("user_id"))),
+
     // lead/lag navigation per user (event-sequence feature extraction).
     "q32_lead_lag" -> ((s, d) => {
       val e = T(s, d, "events").withColumn("ts", col("ts").cast("timestamp"))
@@ -499,6 +512,16 @@ object RelationalQueries {
         |  epoch_us(p_ts) - epoch_us(c_ts) AS diff_us
         |FROM p JOIN c ON abs(epoch_us(p_ts) - epoch_us(c_ts)) <= 5000000
         |ORDER BY p_event, c_event""".stripMargin,
+
+    "q34_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q32_lead_lag" ->
       """SELECT user_id, event_id,
