@@ -192,6 +192,41 @@ object Dedup {
       .select(col("new_id"))
   }
 
+  /** CCNet-style boilerplate statistics: split each doc into consecutive
+    * `segTokens`-token segments, count per segment how many DISTINCT docs
+    * contain it corpus-wide, and report per doc how many of its segments
+    * are boilerplate (appear in >= `minDocs` docs). Downstream, a pipeline
+    * drops the boilerplate segments (nav bars, cookie banners, repeated
+    * headers) and keeps the rest — the standard line/paragraph-level dedup
+    * pass that document-level dedup cannot express.
+    *
+    * Scale: segments join on their 64-bit hash, not the text — the
+    * frequency aggregate and the join back both shuffle 8-byte keys, and
+    * segment frequency is a map-side-partial `count(distinct)` collapsed
+    * to exact by the per-(seg, doc) pre-aggregate. No driver loop, no
+    * cross join; volume is O(total segments) = O(corpus tokens /
+    * segTokens). */
+  def boilerplateStats(docs: DataFrame, id: Column, text: Column,
+                       segTokens: Int = 12, minDocs: Int = 2): DataFrame = {
+    // persisted: the segment frame branches into the frequency aggregate
+    // AND the join back (Caches.clear() between runs in long sessions)
+    val segs = Caches.persist(
+      docs.select(id.as("doc_id"),
+          explode(TextAnalysis.tokenChunks(
+            TextAnalysis.tokens(text), segTokens, segTokens)).as("c"))
+        .select(col("doc_id"), xxhash64(col("c.chunk_text")).as("seg_h")))
+    // distinct (seg, doc) first so the frequency agg is a plain count —
+    // partial-aggregatable, unlike a straight count(distinct doc_id)
+    val freq = segs.dropDuplicates("seg_h", "doc_id")
+      .groupBy(col("seg_h"))
+      .agg(count(lit(1)).as("df_docs"))
+    segs.join(freq.hint("SHUFFLE_HASH"), Seq("seg_h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("df_docs") >= minDocs, 1L).otherwise(0L))
+          .as("n_boilerplate"))
+  }
+
   /** Collapse near-dup pairs into clusters: every doc labeled with the
     * smallest id in its connected component of the pair graph —
     * the step that turns pairwise dedup output into keep/drop decisions

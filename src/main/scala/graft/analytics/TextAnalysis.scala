@@ -115,6 +115,38 @@ object TextAnalysis {
           .as("chunk_text")))
   }
 
+  /** Canonical text normalization for corpus preparation: Unicode NFC
+    * (native expression — Spark has no builtin), lowercase, collapse
+    * whitespace runs, trim. Run this before fingerprinting/dedup so
+    * composed-vs-decomposed encodings of the same text hash identically.
+    * Every step mirrors one DuckDB function (`nfc_normalize`, `lower`,
+    * `regexp_replace(..., 'g')`, `trim`), so normalized pipelines stay
+    * oracle-checkable end-to-end. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      lower(graft.functions.FormatExpressions.unicodeNormalize(text, "NFC")),
+      "\\s+", " "))
+
+  // PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+  // backreferences or lookaround) so the DuckDB oracle replays them exactly.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{8,15}"
+
+  /** PII redaction (emails, IPv4s, E.164-ish phone numbers → fixed tags) —
+    * the scrub pass a training pipeline runs before anything else retains
+    * text. Pure codegen'd `regexp_replace` chain, no UDFs. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of PII matches for `pattern` — audit metric alongside the scrub. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Distinct word n-gram shingles, the input to Jaccard/MinHash dedup.
     * Docs shorter than n tokens yield one whole-doc shingle. Native
     * single-pass expression (graft.functions.WordShingles) — the composed

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) interleaving for multi-dimensional data layout.
+  *
+  * At 100 TB the dominant cost is the scan, and the scan is only prunable
+  * along the physical sort order. A single-column sort clusters one
+  * predicate dimension; `zorder2(x, y)` interleaves the bits of two
+  * dimensions so that `repartitionByRange(zkey) + sortWithinPartitions
+  * (zkey)` before the write yields files whose min/max ranges are tight in
+  * BOTH dimensions — parquet footer stats then prune on either predicate.
+  *
+  * Pure `Column` bit arithmetic (5 shift-mask rounds per dimension, the
+  * standard Morton spread) — whole-stage codegen'd, no UDF, no custom
+  * expression needed, and exactly reproducible in any engine with 64-bit
+  * integer ops (the DuckDB oracle replays it literally).
+  *
+  * Inputs are masked to their low 31 bits (callers pre-scale: subtract the
+  * domain min, divide to a coarse grid if wider), so the interleaved key
+  * occupies bits 0..61 and is always non-negative — the long ordering IS
+  * the unsigned Morton ordering.
+  */
+object ZOrder {
+
+  /** Spread the low 31 bits of `x` to even bit positions 0,2,4,..,60. */
+  def spread31(x: Column): Column = {
+    val v0 = x.bitwiseAND(lit(0x7FFFFFFFL))
+    val v1 = v0.bitwiseOR(shiftleft(v0, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val v2 = v1.bitwiseOR(shiftleft(v1, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val v3 = v2.bitwiseOR(shiftleft(v2, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val v4 = v3.bitwiseOR(shiftleft(v3, 2)).bitwiseAND(lit(0x3333333333333333L))
+    v4.bitwiseOR(shiftleft(v4, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Morton key of two dimensions: x on even bits, y on odd bits. */
+  def zorder2(x: Column, y: Column): Column =
+    spread31(x).bitwiseOR(shiftleft(spread31(y), 1))
+
+  /** Reference (row-at-a-time) spread for property tests. */
+  def spread31Ref(x: Long): Long = {
+    var v = x & 0x7FFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    (v | (v << 1)) & 0x5555555555555555L
+  }
+
+  def zorder2Ref(x: Long, y: Long): Long =
+    spread31Ref(x) | (spread31Ref(y) << 1)
+}
