@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.analytics.{Caches, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -300,13 +300,101 @@ object ContentQueries {
         .orderBy(col("source"))
     }),
 
-    // HLL++ sketch surface (rows-only: approx result is engine-specific).
+    // HLL++ sketch surface. The estimate itself is engine-specific, so the
+    // oracle-checkable output is the exact count plus a tolerance flag:
+    // each engine asserts ITS OWN sketch lands within 5% of the exact
+    // answer (Spark HLL++ at rsd=0.02 vs DuckDB's HLL) — a genuine
+    // cross-engine accuracy invariant, hash-compared.
     "sketch_approx_distinct" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("_approx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("_approx") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("parts_ok"))
         .orderBy(col("l_returnflag"))),
+
+    // CCNet-style line/paragraph-level dedup statistics: per doc, how many
+    // of its 8-token segments are corpus-wide boilerplate (appear in >= 2
+    // distinct docs). Segment frequency is a hash aggregate on 64-bit
+    // segment hashes; no cross join (Dedup.boilerplateStats).
+    "dedup_boilerplate" -> ((s, d) =>
+      Dedup.boilerplateStats(docs(s, d), col("doc_id"), col("text"),
+        segTokens = 8, minDocs = 2)
+        .orderBy(col("doc_id"))),
+
+    // Benchmark-contamination check: which non-benchmark docs share a
+    // 6-gram shingle with the benchmark set (source = src0), and how many
+    // distinct shingles they share. Equi-join on the 64-bit shingle hash —
+    // shuffle by shingle, never an all-pairs comparison.
+    "text_contamination" -> ((s, d) => {
+      val sh = Caches.persist(docs(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(TextAnalysis.shingles(col("text"), 6)).as("shingle_s"))
+        .select(col("doc_id"), col("source"),
+          xxhash64(col("shingle_s")).as("shingle")))
+      val bench = sh.filter(col("source") === "src0")
+        .select(col("shingle")).distinct()
+      sh.filter(col("source") =!= "src0")
+        .join(bench.hint("SHUFFLE_HASH"), Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Canonical normalization (Unicode NFC + lowercase + whitespace
+    // collapse + trim) ahead of fingerprinting. The appended literal is
+    // DECOMPOSED ("Cafe" + U+0301, "NAI" + U+0308 + "VE" with a doubled
+    // space), so NFC composition and run-collapsing both do real work and
+    // the oracle hash proves both engines normalize identically.
+    "text_normalize" -> ((s, d) => {
+      val norm = TextAnalysis.normalize(
+        concat(col("text"), lit(" Cafe\u0301  NAI\u0308VE")))
+      docs(s, d).select(col("doc_id"),
+          md5(norm).as("norm_fp"),
+          length(norm).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub audit: the corpus is synthetic and PII-free, so each doc is
+    // augmented with a deterministic email / IPv4 / E.164 phone derived
+    // from doc_id — both engines build the identical augmented text, redact
+    // it with the same regex chain, and hash-compare the redacted output
+    // plus per-kind match counts. Pure codegen'd regexp chain, no UDFs.
+    "text_pii_scrub" -> ((s, d) => {
+      val aug = concat(col("text"),
+        lit(" user"), col("doc_id"), lit("@example.com 10.0.0."),
+        pmod(col("doc_id"), lit(256)), lit(" +4915200"),
+        lpad(col("doc_id").cast("string"), 6, "0"))
+      docs(s, d).select(col("doc_id"),
+          md5(TextAnalysis.redactPii(aug)).as("redacted_fp"),
+          TextAnalysis.piiCount(aug, TextAnalysis.EmailRe).as("n_emails"),
+          TextAnalysis.piiCount(aug, TextAnalysis.Ipv4Re).as("n_ips"),
+          TextAnalysis.piiCount(aug, TextAnalysis.PhoneRe).as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-label centroid quality: element-wise mean embedding per label
+    // (posexplode -> (label, pos) hash aggregate, map-side partial avg),
+    // then every vector's cosine to its own label centroid via a broadcast
+    // join — the centroid table is #labels rows, the corpus never
+    // reshuffles. The cluster-cohesion report an embedding pipeline runs
+    // after labeling/clustering.
+    "emb_centroid_stats" -> ((s, d) => {
+      val v = emb(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      val cent = v.select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
+        .select(col("label"),
+          transform(col("pc"), p => p.getField("cx")).as("ce"))
+      v.join(broadcast(cent), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          round(Similarity.cosine(col("e"), col("ce")), 4).as("centroid_sim"))
+        .orderBy(col("vec_id"))
+    }),
 
     // Multimodal plumbing: documents' text bytes as opaque payloads through
     // the mapPartitions feature extractor (decode step is a deterministic
@@ -686,7 +774,96 @@ object ContentQueries {
          |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
          |    ORDER BY sim DESC, n_id) AS rank FROM sc)
          |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
-         |ORDER BY q_id, rank""".stripMargin
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // Each engine checks ITS OWN HLL sketch against the exact distinct
+    // count — the boolean lands in the hash compare, so a sketch drifting
+    // past 5% error in either engine fails the oracle.
+    "sketch_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |    <= count(DISTINCT l_partkey) * 0.05 AS parts_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |    1 + CAST(floor((greatest(len(toks) - 8, 0) + 7) / 8.0) AS INT)
+        |      AS n_chunks FROM t),
+        |c AS (SELECT doc_id, array_to_string(list_slice(toks,
+        |      chunk_id * 8 + 1, chunk_id * 8 + 8), ' ') AS seg
+        |  FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id
+        |        FROM n)),
+        |f AS (SELECT seg, count(DISTINCT doc_id) AS df FROM c GROUP BY seg)
+        |SELECT c.doc_id, count(*) AS n_segments,
+        |  CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boilerplate
+        |FROM c JOIN f USING (seg)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "text_contamination" ->
+      """WITH sh AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(lower(text), ' ')) - 5, 1) + 1),
+        |      i -> array_to_string(list_slice(
+        |        string_split(lower(text), ' '), i, i + 5), ' '))) AS s
+        |  FROM documents),
+        |e AS (SELECT doc_id, source, unnest(s) AS shingle FROM sh),
+        |b AS (SELECT DISTINCT shingle FROM e WHERE source = 'src0')
+        |SELECT e.doc_id, count(*) AS n_shared
+        |FROM e JOIN b USING (shingle)
+        |WHERE e.source <> 'src0'
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    "text_normalize" ->
+      """WITH nn AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(nfc_normalize(
+        |      text || ' Cafe' || chr(769) || '  NAI' || chr(776) || 'VE')),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_fp,
+        |  CAST(length(norm) AS BIGINT) AS n_chars
+        |FROM nn ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scrub" -> {
+      val em = graft.analytics.TextAnalysis.EmailRe
+      val ip = graft.analytics.TextAnalysis.Ipv4Re
+      val ph = graft.analytics.TextAnalysis.PhoneRe
+      s"""WITH a AS (SELECT doc_id,
+         |    text || ' user' || doc_id || '@example.com 10.0.0.'
+         |      || (doc_id % 256) || ' +4915200'
+         |      || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS aug
+         |  FROM documents),
+         |r AS (SELECT doc_id, aug,
+         |    regexp_replace(regexp_replace(regexp_replace(aug,
+         |      '$em', '<EMAIL>', 'g'),
+         |      '$ip', '<IP>', 'g'),
+         |      '$ph', '<PHONE>', 'g') AS red
+         |  FROM a)
+         |SELECT doc_id, md5(red) AS redacted_fp,
+         |  CAST(len(regexp_extract_all(aug, '$em')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(aug, '$ip')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(aug, '$ph')) AS BIGINT) AS n_phones
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "emb_centroid_stats" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |ex AS (SELECT label, unnest(range(1, 65)) AS pos, unnest(e) AS x
+        |  FROM v),
+        |c1 AS (SELECT label, pos, avg(x) AS cx FROM ex GROUP BY 1, 2),
+        |cent AS (SELECT label, list(cx ORDER BY pos) AS ce
+        |  FROM c1 GROUP BY label)
+        |SELECT vec_id, label,
+        |  round(list_sum(list_transform(range(1, 65), i -> e[i] * ce[i]))
+        |    / (sqrt(list_sum(list_transform(e, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(ce, x -> x * x)))), 4)
+        |    AS centroid_sim
+        |FROM v JOIN cent USING (label) ORDER BY vec_id""".stripMargin
   )
 
   /** Shared CTE chain: docs → distinct 3-gram shingles → exploded →
