@@ -113,4 +113,45 @@ class PlanAuditSpec extends SparkSuite {
     assert(projectLine.trim.startsWith("* Project"),
       s"Project not codegen'd: '$projectLine'\n$p")
   }
+
+  test("text_contamination: benchmark overlap is a shingle equi-join — " +
+    "no nested-loop/cartesian plan, aggregation is partial") {
+    val p = plan("text_contamination")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("dedup_boilerplate: segment frequency joins on the 64-bit hash — " +
+    "no nested-loop/cartesian plan, partial aggregation before shuffles") {
+    val p = plan("dedup_boilerplate")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("emb_centroid_stats: the centroid table joins as a broadcast — the " +
+    "corpus never reshuffles for the join") {
+    val p = plan("emb_centroid_stats")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_normalize / text_pii_scrub: pure codegen'd projections — no " +
+    "hash shuffle at all, only the output-order range exchange") {
+    for (q <- Seq("text_normalize", "text_pii_scrub")) {
+      val p = plan(q)
+      assert(hashExchanges(p) == 0, s"$q grew a hash shuffle\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"),
+        s"$q left codegen\n$p")
+    }
+  }
+
+  test("sketch_approx_distinct: HLL and exact-distinct aggregate with " +
+    "map-side partials") {
+    val p = plan("sketch_approx_distinct")
+    assert(p.contains("partial_approx_count_distinct") ||
+      p.contains("partial_count"), p)
+  }
 }
