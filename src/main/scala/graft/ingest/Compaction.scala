@@ -1,0 +1,125 @@
+package graft.ingest
+
+import java.util.regex.Pattern
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the maintenance pass a `flush.size`-driven lake
+  * needs at scale. The reference has no compaction at all (its file size is
+  * whatever `flush.size`/rotation produced, SURVEY §2.5); at 100 TB a
+  * low-latency `flush.size` leaves millions of KB-sized objects per day,
+  * and every downstream scan pays the per-object open cost. Compaction
+  * re-runs the ordinary ingest write with a larger `flush.size` over the
+  * read-back lake — same grouping, naming (W13) and replay (X1) contracts,
+  * so a compacted lake is byte-indistinguishable from one ingested with the
+  * larger `flush.size` in the first place.
+  *
+  * Execution shape: one distributed read (path-parsed partition/file
+  * columns, no driver loop over records), one `dropDuplicates` shuffle on
+  * the record identity `(kafkaPartition, encodedPartition, offset)`, then
+  * the standard `IngestWriter.write` single-shuffle group/name/write. The
+  * swap is write-then-delete: the new generation lands first (same-named
+  * objects overwrite idempotently), stale objects are deleted after, and a
+  * crash anywhere in between replays to the identical converged state —
+  * the identity dedup makes a mixed-generation read re-derive the same new
+  * generation, after which the stale list is recomputed and removed. (The
+  * transient mixed window is visible to concurrent readers; the reference
+  * offers no stronger story — it has no rewrite path at all.)
+  */
+object Compaction {
+
+  final case class Result(files: Seq[IngestWriter.FileInfo],
+                          filesBefore: Int, filesRemoved: Int)
+
+  /** Read a written lake back with `__epart` / `__fname` / `__kpart`
+    * parsed from each object's path (works for ANY partitioner — nested
+    * time paths included — because the encoded partition is by definition
+    * the directory between the topic dir and the object name). Only
+    * schema-bearing formats are rewritable; ByteArray lakes have no
+    * record boundaries Spark can re-group. */
+  def readLake(spark: SparkSession, topicDir: String,
+               cfg: IngestConfig): DataFrame = {
+    require(cfg.format == OutputFormat.Parquet ||
+      cfg.format == OutputFormat.Json,
+      s"compaction rewrites Parquet/Json lakes, not ${cfg.format}")
+    val topicPath = new Path(topicDir).toUri.getPath
+    val df = spark.read.format(cfg.format.sparkFormat)
+      // manifests and other sidecars are not data objects
+      .option("pathGlobFilter", s"*${cfg.extension}")
+      .option("recursiveFileLookup", "true")
+      .load(topicDir)
+    val rel = regexp_extract(input_file_name(),
+      Pattern.quote(topicPath) + "/(.*)$", 1)
+    df.withColumn("__fname", regexp_extract(rel, "([^/]+)$", 1))
+      .withColumn("__epart", regexp_replace(rel, "/?[^/]+$", ""))
+      .withColumn("__kpart",
+        element_at(split(col("__fname"), Pattern.quote("+")), 2).cast("int"))
+  }
+
+  /** Compact the `cfg` lake under `outDir` to ~`targetRecords`-record
+    * objects. Records must carry the Kafka offset (`offsetCol`) — the same
+    * identity the reference encodes in its file names. Idempotent: replays
+    * (including after a mid-swap crash) converge to the same file set. */
+  def compact(spark: SparkSession, outDir: String, cfg: IngestConfig,
+              targetRecords: Int, offsetCol: String = "offset"): Result = {
+    val topicDir = s"$outDir/${cfg.topicsDir}/${cfg.topic}"
+    val fs = FileSystem.get(new java.net.URI(topicDir),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(topicDir))) return Result(Nil, 0, 0)
+
+    // current object inventory (metadata-only listing, no data scan)
+    val before = {
+      val it = fs.listFiles(new Path(topicDir), true)
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val rel = f.toUri.getPath
+          .stripPrefix(new Path(topicDir).toUri.getPath).stripPrefix("/")
+        // skip sidecars the readers skip too: any _/. -prefixed component
+        // (manifests, Spark markers) is metadata, never a data object
+        val hidden = rel.split('/')
+          .exists(c => c.startsWith("_") || c.startsWith("."))
+        if (f.getName.endsWith(cfg.extension) && !hidden) {
+          val slash = rel.lastIndexOf('/')
+          b += ((if (slash < 0) "" else rel.substring(0, slash),
+            rel.substring(slash + 1)))
+        }
+      }
+      b.result()
+    }
+    if (before.isEmpty) return Result(Nil, 0, 0)
+
+    val lake = readLake(spark, topicDir, cfg)
+    require(lake.columns.contains(offsetCol),
+      s"compaction needs the record offset column '$offsetCol' in the lake")
+    val payload = lake.columns
+      .filterNot(Set("__epart", "__fname", "__kpart").contains).map(col)
+    // record identity (X1): makes a mixed-generation replay self-healing
+    val records = lake
+      .dropDuplicates("__kpart", "__epart", offsetCol)
+
+    val files = IngestWriter.write(records, cfg.copy(flushSize = targetRecords),
+      col("__epart"), outDir, col("__kpart"), col(offsetCol),
+      payloadCols = payload.toSeq)
+
+    // delete stale objects of the old generation (tasks do the I/O)
+    val newSet = files.map(f => (f.encodedPartition, f.fileName)).toSet
+    val stale = before.filterNot(newSet.contains)
+    if (stale.nonEmpty) {
+      val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val parallelism =
+        math.min(stale.length, spark.sparkContext.defaultParallelism)
+      spark.sparkContext.parallelize(stale, parallelism)
+        .foreach { case (epart, fname) =>
+          val p = new Path(
+            s"$topicDir${if (epart.isEmpty) "" else s"/$epart"}/$fname")
+          val tfs = FileSystem.get(p.toUri, hadoopConf.value)
+          tfs.delete(p, false)
+        }
+    }
+    Result(files, before.size, stale.size)
+  }
+}

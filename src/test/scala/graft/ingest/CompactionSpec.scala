@@ -1,0 +1,88 @@
+package graft.ingest
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Small-file compaction: bin-packs a flush.size-fragmented lake into
+  * larger objects while preserving the record set, the W13 naming
+  * contract, and X1 idempotent replay (including mid-swap crashes). */
+class CompactionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshDir() = Files.createTempDirectory("compact").toString
+
+  private def ingestFragmented(out: String, cfg: IngestConfig) = {
+    val df = (0L until 60L).map { o =>
+      (0, o, s"v$o", s"t${o % 2}")
+    }.toDF("kafka_partition", "offset", "value", "event_type")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("value"), col("event_type")))
+  }
+
+  test("compaction merges small files into ~target-record objects, keeps " +
+    "the record set, and names merged files by their min start offset") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "cmp", flushSize = 5)
+    val r0 = ingestFragmented(out, cfg)
+    assert(r0.files.size == 12, "fixture: 30 records/partition at flush 5")
+
+    val r = Compaction.compact(spark, out, cfg, targetRecords = 30)
+    assert(r.filesBefore == 12 && r.files.size == 2, r)
+    assert(r.filesRemoved == 10, "both +0 files overwrite in place")
+    // naming contract: each partition's single file starts at its min offset
+    assert(r.files.map(f => (f.encodedPartition, f.fileName)).sorted == Seq(
+      ("event_type=t0", "cmp+0+0000000000.parquet"),
+      ("event_type=t1", "cmp+0+0000000001.parquet")))
+    // record set unchanged
+    val back = spark.read.parquet(s"$out/topics/cmp")
+    assert(back.count() == 60)
+    assert(back.agg(sum("offset")).as[Long].head == (0L until 60L).sum)
+    // stale small files really are gone
+    val remaining = new java.io.File(s"$out/topics/cmp/event_type=t0")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    assert(remaining == Seq("cmp+0+0000000000.parquet"))
+  }
+
+  test("compaction replays idempotently, including over a simulated " +
+    "mid-swap crash (new generation written, stale not yet deleted)") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "crash", flushSize = 5)
+    ingestFragmented(out, cfg)
+    val r1 = Compaction.compact(spark, out, cfg, targetRecords = 30)
+
+    // simulate the crash window: re-create a stale old-generation file that
+    // duplicates records already inside the compacted objects
+    val dupSrc = (5L until 10L).map(o => (o, s"v$o", s"t${o % 2}"))
+      .toDF("offset", "value", "event_type").filter(col("offset") % 2 === 1)
+    dupSrc.coalesce(1).write.parquet(s"$out/_tmp_dup")
+    val tmp = new java.io.File(s"$out/_tmp_dup").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val staleName = s"$out/topics/crash/event_type=t1/crash+0+0000000005.parquet"
+    java.nio.file.Files.copy(tmp.toPath, new java.io.File(staleName).toPath)
+
+    val r2 = Compaction.compact(spark, out, cfg, targetRecords = 30)
+    // identity dedup healed the duplicates; converged to the same file set
+    assert(r2.files.map(_.fileName).sorted == r1.files.map(_.fileName).sorted)
+    assert(!new java.io.File(staleName).exists(),
+      "stale injected file must be removed")
+    val back = spark.read.parquet(s"$out/topics/crash")
+    assert(back.count() == 60 &&
+      back.select("offset").distinct().count() == 60)
+  }
+
+  test("json lakes compact too, and sidecar manifests are ignored") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "cj", format = OutputFormat.Json,
+      flushSize = 4)
+    val df = (0L until 24L).map(o => (0, o, s"v$o", s"t${o % 2}"))
+      .toDF("kafka_partition", "offset", "value", "event_type")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("value"), col("event_type")),
+      writeManifest = true)
+    val r = Compaction.compact(spark, out, cfg, targetRecords = 12)
+    assert(r.files.size == 2 && r.filesBefore == 6, r)
+    val back = spark.read.json(s"$out/topics/cj")
+    assert(back.where(col("offset").isNotNull).count() == 24)
+  }
+}
