@@ -396,6 +396,20 @@ object ContentQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Frame-sampling plumbing: every 64-byte slice of the payload as a
+    // pseudo-frame (stub for codec frame extraction — the explode-shaped
+    // one-row-per-frame output is the production schema). The corpus is
+    // ASCII so byte offsets == char offsets and DuckDB replays the exact
+    // slicing with substr.
+    "mm_frames" -> ((s, d) => {
+      val media = Multimodal.asMedia(docs(s, d), "doc_id", "text", "video/fake")
+      Multimodal.sampleFrames(media, stride = 64).toDF()
+        .select(col("id"), col("frameIndex").cast("long").as("frame_index"),
+          md5(col("frameBytes")).as("frame_fp"),
+          length(col("frameBytes")).cast("long").as("n_bytes"))
+        .orderBy(col("id"), col("frame_index"))
+    }),
+
     // Multimodal plumbing: documents' text bytes as opaque payloads through
     // the mapPartitions feature extractor (decode step is a deterministic
     // stub; schema/partitioning/batch shape are the real pipeline).
@@ -548,6 +562,18 @@ object ContentQueries {
       """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  md5(text) AS fp
         |FROM documents ORDER BY id""".stripMargin,
+
+    "mm_frames" ->
+      """WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+        |f AS (SELECT doc_id, text, n,
+        |    unnest(range(0, least(greatest(n // 64, 1), 8))) AS frame_index
+        |  FROM t)
+        |SELECT doc_id AS id, frame_index,
+        |  md5(substr(text, CAST(frame_index * 64 + 1 AS INT), 64))
+        |    AS frame_fp,
+        |  CAST(strlen(substr(text, CAST(frame_index * 64 + 1 AS INT), 64))
+        |    AS BIGINT) AS n_bytes
+        |FROM f ORDER BY id, frame_index""".stripMargin,
 
     "sim_topk_ivf" ->
       """WITH v AS (SELECT vec_id,

@@ -238,6 +238,22 @@ object RelationalQueries {
           col("view").as("n_view"), col("purchase").as("n_purchase"))
         .orderBy(col("user_id"))),
 
+    // Statistical aggregates (correlation / covariance / regression):
+    // single-pass partial-aggregatable moments, one shuffle. Rounded at 4
+    // decimals — the moment sums differ across engines only at ~1e-10.
+    "q35_corr_stats" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qty_price"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope_price_qty"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("icept_price_qty"))
+        .orderBy(col("l_returnflag"))),
+
     // lead/lag navigation per user (event-sequence feature extraction).
     "q32_lead_lag" -> ((s, d) => {
       val e = T(s, d, "events").withColumn("ts", col("ts").cast("timestamp"))
@@ -625,6 +641,16 @@ object RelationalQueries {
 
     "q30_regexp" ->
       """SELECT p_partkey, regexp_extract(p_type, '([a-z]+)', 1) AS first_word
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q35_corr_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4)
+        |    AS slope_price_qty,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4)
+        |    AS icept_price_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
