@@ -82,27 +82,37 @@ object Ingest {
       case None => frame
     }
     val encoded = PartitionerSpec.compile(partitioner, kafkaPartition)
-    val labeledGroups = cfg.rotateIntervalMs.toSeq.map(iv =>
-      "rotate_interval" ->
-        Rotation.timeFileGroup(col(cfg.timestampColumn).cast("timestamp"), iv)
-    ) ++ extraCauseGroups
+    // R2: epoch-aligned buckets by default; the reference's sequential
+    // file-base-reset rule on request (materializes the fold's group col)
+    val (framed, timeGroup) = cfg.rotateIntervalMs match {
+      case Some(iv) if cfg.rotateFileBase =>
+        val withG = Rotation.assignFileBaseTimeGroups(cleaned,
+          struct(kafkaPartition, encoded), offset,
+          col(cfg.timestampColumn).cast("timestamp"), iv)
+        (withG, Seq("rotate_interval" -> col(Rotation.TimeGroupCol)))
+      case Some(iv) =>
+        (cleaned, Seq("rotate_interval" -> Rotation.timeFileGroup(
+          col(cfg.timestampColumn).cast("timestamp"), iv)))
+      case None => (cleaned, Nil)
+    }
+    val labeledGroups = timeGroup ++ extraCauseGroups
     val extraGroups = labeledGroups.map(_._2)
     val files =
       if (cfg.writeKeys || cfg.writeHeaders)
-        IngestWriter.writeKVH(cleaned, cfg, encoded, outDir, kafkaPartition,
+        IngestWriter.writeKVH(framed, cfg, encoded, outDir, kafkaPartition,
           offset, payloadCols, extraFileGroups = extraGroups)
       else
-        IngestWriter.write(cleaned, cfg, encoded, outDir, kafkaPartition,
+        IngestWriter.write(framed, cfg, encoded, outDir, kafkaPartition,
           offset, payloadCols, extraFileGroups = extraGroups)
     val byCause =
       if (causeStats)
-        RotationStats.causes(cleaned, cfg, encoded, kafkaPartition, offset,
+        RotationStats.causes(framed, cfg, encoded, kafkaPartition, offset,
           labeledGroups)
       else Map.empty[String, Long]
     val stats = RotationStats.of(files).copy(byCause = byCause)
     fence.foreach { case (f, e) => f.check(e) }
     if (writeManifest)
-      CommitManifest.write(cleaned, cfg, encoded, outDir, kafkaPartition,
+      CommitManifest.write(framed, cfg, encoded, outDir, kafkaPartition,
         offset, extraGroups)
     Result(files, stats)
   }

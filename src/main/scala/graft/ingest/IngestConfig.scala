@@ -41,6 +41,11 @@ final case class IngestConfig(
     compression: Option[String] = None,
     /** R2 `rotate.interval.ms` (None = disabled, the reference default). */
     rotateIntervalMs: Option[Long] = None,
+    /** R2 semantics choice: false (default) = deterministic epoch-aligned
+      * buckets; true = the reference's exact sequential rule (file base
+      * resets on rotation, TopicPartitionWriter.java:663-665) via a
+      * task-side fold — one extra shuffle. */
+    rotateFileBase: Boolean = false,
     /** K12 extractor column driving R2 rotation (`timestamp.field`). */
     timestampColumn: String = "ts",
     /** F1–F3 `behavior.on.null.values`. */

@@ -49,6 +49,50 @@ object Rotation {
   def timeFileGroup(ts: Column, intervalMs: Long): Column =
     floor(unix_millis(ts) / intervalMs)
 
+  val TimeGroupCol = "_time_group"
+
+  /** R2 with the reference's EXACT sequential semantics
+    * (TopicPartitionWriter.java:663-665): rotate when
+    * `recordTs - firstRecordTsOfCurrentFile >= interval`, and the rotating
+    * record's timestamp becomes the new file's base. The base resets on
+    * every rotation, so the rule is a per-partition recursion no window
+    * function expresses — each partition's record stream folds task-side
+    * instead: repartition by the group key, sort within partitions by
+    * offset, one linear pass assigns `_time_group`.
+    *
+    * Determinism: the fold is a pure function of (key, offset order, ts),
+    * so replays regenerate identical groups (X1 holds). Scale: one extra
+    * hash shuffle + an O(1)-state streaming pass per task — the price of
+    * arrival-order semantics; the epoch-aligned `timeFileGroup` remains
+    * the default because it needs no extra exchange and is order-free. */
+  def assignFileBaseTimeGroups(df: DataFrame, groupKey: Column,
+                               offsetCol: Column, ts: Column,
+                               intervalMs: Long): DataFrame = {
+    require(intervalMs > 0, "rotate.interval.ms must be positive")
+    val KeyCol = "__tg_key"
+    val TsCol = "__tg_ts"
+    val keyed = df
+      .withColumn(KeyCol, groupKey.cast("string"))
+      .withColumn(TsCol, unix_millis(ts))
+      .repartition(col(KeyCol))
+      .sortWithinPartitions(col(KeyCol), offsetCol)
+    val outSchema = keyed.schema
+      .add(TimeGroupCol, org.apache.spark.sql.types.LongType, nullable = false)
+    val folded = keyed.mapPartitions { it =>
+      var curKey: String = null
+      var base = 0L
+      var group = 0L
+      it.map { r =>
+        val k = r.getAs[String](KeyCol)
+        val t = r.getAs[Long](TsCol)
+        if (k != curKey) { curKey = k; base = t; group = 0L }
+        else if (t - base >= intervalMs) { base = t; group += 1L }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ group)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    folded.drop(KeyCol, TsCol)
+  }
+
   /** R4 wall-clock scheduled rotation maps to streaming trigger cadence
     * (`Trigger.ProcessingTime`); within a batch there is nothing to assign.
     * Exposed for completeness: the next day-aligned fire time in `tz`

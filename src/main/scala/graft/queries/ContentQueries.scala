@@ -315,6 +315,22 @@ object ContentQueries {
             col("exact_parts") * 0.05).as("parts_ok"))
         .orderBy(col("l_returnflag"))),
 
+    // Quantile-sketch surface, same cross-engine invariant shape as
+    // sketch_approx_distinct: the exact median is the hash-compared value,
+    // and each engine asserts its own approximate quantile lands within 5%
+    // of it (Spark approx_percentile vs DuckDB approx_quantile).
+    "sketch_quantiles" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("_approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("_exact"))
+        .select(col("l_returnflag"),
+          round(col("_exact"), 2).as("exact_median"),
+          (abs(col("_approx") - col("_exact")) <=
+            col("_exact") * 0.05).as("median_ok"))
+        .orderBy(col("l_returnflag"))),
+
     // CCNet-style line/paragraph-level dedup statistics: per doc, how many
     // of its 8-token segments are corpus-wide boilerplate (appear in >= 2
     // distinct docs). Segment frequency is a hash aggregate on 64-bit
@@ -810,6 +826,14 @@ object ContentQueries {
         |  count(DISTINCT l_partkey) AS exact_parts,
         |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
         |    <= count(DISTINCT l_partkey) * 0.05 AS parts_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sketch_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
+        |  abs(approx_quantile(l_extendedprice, 0.5)
+        |      - quantile_cont(l_extendedprice, 0.5))
+        |    <= quantile_cont(l_extendedprice, 0.5) * 0.05 AS median_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_boilerplate" ->

@@ -68,4 +68,54 @@ class RotationSpec extends SparkSuite {
       .as[Boolean].collect()
     assert(groups.toSeq == Seq(false, true, false))
   }
+
+  test("R2 file-base reset matches the reference's sequential rule where " +
+    "epoch-aligned buckets differ (TopicPartitionWriter.java:663-665)") {
+    // interval 100ms; ts per offset: 90,120,185,210.
+    // file-base: base=90 -> 120,185 stay (<100 from base), 210 rotates
+    //   (210-90=120): groups 0,0,0,1.
+    // epoch-aligned floor(ts/100) would give 0,1,1,2 — the divergence.
+    val df = Seq((0, 0L, 90L), (0, 1L, 120L), (0, 2L, 185L), (0, 3L, 210L))
+      .toDF("part", "offset", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val folded = Rotation.assignFileBaseTimeGroups(df, col("part"),
+      col("offset"), col("ts"), 100L)
+    val groups = folded.select(col("offset"), col(Rotation.TimeGroupCol))
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(groups.toSeq == Seq(0L, 0L, 0L, 1L))
+    val epochGroups = df.select(
+      Rotation.timeFileGroup(col("ts"), 100L).as("g")).as[Long].collect()
+    assert(epochGroups.toSeq == Seq(0L, 1L, 1L, 2L))
+  }
+
+  test("R2 file-base fold is per-key and keys never bleed state") {
+    val df = Seq(
+      (0, 0L, 0L), (0, 1L, 150L), // key 0 rotates at 150
+      (1, 0L, 140L), (1, 1L, 160L)) // key 1's base is 140 — no rotation
+      .toDF("part", "offset", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val folded = Rotation.assignFileBaseTimeGroups(df, col("part"),
+      col("offset"), col("ts"), 100L)
+    val r = folded.select(col("part"), col("offset"),
+      col(Rotation.TimeGroupCol))
+      .as[(Int, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(r.toSeq == Seq((0, 0L, 0L), (0, 1L, 1L), (1, 0L, 0L), (1, 1L, 0L)))
+  }
+
+  test("R2 file-base mode end-to-end: Ingest.run rotates on the " +
+    "sequential rule and names files by each group's min offset") {
+    val out = java.nio.file.Files.createTempDirectory("rot_fb").toString
+    val df = Seq((0, 0L, 90L, "a"), (0, 1L, 120L, "b"), (0, 2L, 185L, "c"),
+      (0, 3L, 210L, "d"))
+      .toDF("kafka_partition", "offset", "ms", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val cfg = IngestConfig(topic = "fb", flushSize = 100,
+      rotateIntervalMs = Some(100L), rotateFileBase = true)
+    val r = Ingest.run(df, cfg, PartitionerSpec.Default, out,
+      payloadCols = Seq(col("offset"), col("value")), causeStats = true)
+    assert(r.files.map(_.fileName).sorted == Seq(
+      "fb+0+0000000000.parquet", "fb+0+0000000003.parquet"))
+    assert(r.stats.byCause.getOrElse("rotate_interval", 0L) == 1L,
+      r.stats.byCause)
+  }
 }
