@@ -83,4 +83,43 @@ class TextAnalysisSpec extends SparkSuite {
       .select(TextAnalysis.tokenEstimate(col("t")).as("n")).head.getInt(0)
     assert(r >= 7) // 5 words + 2 punct (+ length/16 term)
   }
+
+  test("normalize is idempotent and conflates composed/decomposed forms") {
+    val composed = "Caf\u00e9  NA\u00cfVE test"
+    val decomposed = "Cafe\u0301  NAI\u0308VE test"
+    val df = Seq((composed, decomposed)).toDF("c", "d")
+    val r = df.select(
+      TextAnalysis.normalize(col("c")).as("nc"),
+      TextAnalysis.normalize(col("d")).as("nd"),
+      TextAnalysis.normalize(TextAnalysis.normalize(col("c"))).as("nn"))
+      .head
+    assert(r.getString(0) == r.getString(1),
+      "NFC must conflate composed and decomposed input")
+    assert(r.getString(0) == r.getString(2), "normalize must be idempotent")
+    assert(!r.getString(0).contains("  "), "whitespace runs must collapse")
+  }
+
+  test("redactPii leaves no residual matches and is idempotent") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      val bits = Seq(
+        s"user$i.x+tag@mail$i-host.example.co",
+        s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}",
+        s"+${8 to 15 map (_ => rnd.nextInt(10)) mkString ""}",
+        s"plain words ${rnd.alphanumeric.take(8).mkString}")
+      new scala.util.Random(i).shuffle(bits).mkString(" ")
+    }
+    val df = rows.toDF("t")
+    val red = df.select(TextAnalysis.redactPii(col("t")).as("r"))
+    val residual = red.select(
+      (TextAnalysis.piiCount(col("r"), TextAnalysis.EmailRe) +
+        TextAnalysis.piiCount(col("r"), TextAnalysis.Ipv4Re) +
+        TextAnalysis.piiCount(col("r"), TextAnalysis.PhoneRe)).as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(residual == 0L, "redacted text must contain no residual PII")
+    val stable = red.select(
+      (TextAnalysis.redactPii(col("r")) === col("r")).as("ok"))
+      .agg(min(col("ok"))).head.getBoolean(0)
+    assert(stable, "redaction must be idempotent")
+  }
 }

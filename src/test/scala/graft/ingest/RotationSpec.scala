@@ -102,6 +102,34 @@ class RotationSpec extends SparkSuite {
     assert(r.toSeq == Seq((0, 0L, 0L), (0, 1L, 1L), (1, 0L, 0L), (1, 1L, 0L)))
   }
 
+  test("R2 file-base fold matches a brute-force sequential reference on " +
+    "randomized multi-key timestamp streams") {
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      key <- 0 until 5
+      off <- 0 until 80
+    } yield (key, off.toLong,
+      // jittery, occasionally-backward event times
+      off * 40L + rnd.nextInt(120) - 30L)
+    val df = rows.toDF("part", "offset", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val interval = 100L
+    val got = Rotation.assignFileBaseTimeGroups(df, col("part"),
+      col("offset"), col("ts"), interval)
+      .select(col("part"), col("offset"), col(Rotation.TimeGroupCol))
+      .as[(Int, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // brute-force per-key sequential fold (the reference's state machine)
+    rows.groupBy(_._1).foreach { case (key, rs) =>
+      var base = Long.MinValue
+      var group = -1L
+      rs.sortBy(_._2).foreach { case (_, off, ms) =>
+        if (group < 0 || ms - base >= interval) { base = ms; group += 1 }
+        assert(got((key, off)) == group,
+          s"key=$key off=$off ms=$ms: got ${got((key, off))}, want $group")
+      }
+    }
+  }
+
   test("R2 file-base mode end-to-end: Ingest.run rotates on the " +
     "sequential rule and names files by each group's min offset") {
     val out = java.nio.file.Files.createTempDirectory("rot_fb").toString
