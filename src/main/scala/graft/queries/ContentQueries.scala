@@ -412,6 +412,44 @@ object ContentQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Round-4 capstone: the full corpus-preparation pipeline as ONE
+    // declarative plan — boilerplate gate (integer ratio, engine-exact) →
+    // benchmark-contamination filter → normalize → exact dedup on the
+    // normalized fingerprint → per-source token report. Every stage is the
+    // oracle-checked operator above; composition stays a single DAG with
+    // only equi-joins and hash aggregates.
+    "pipeline_corpus_prep" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bpKeep = Dedup.boilerplateStats(dd, col("doc_id"), col("text"),
+        segTokens = 8, minDocs = 2)
+        .filter(col("n_boilerplate") * 2 <= col("n_segments"))
+        .select("doc_id")
+      val sh = Caches.persist(dd
+        .select(col("doc_id"), col("source"),
+          explode(TextAnalysis.shingles(col("text"), 6)).as("shingle_s"))
+        .select(col("doc_id"), col("source"),
+          xxhash64(col("shingle_s")).as("shingle")))
+      val contaminated = sh.filter(col("source") =!= "src0")
+        .join(sh.filter(col("source") === "src0")
+          .select(col("shingle")).distinct().hint("SHUFFLE_HASH"),
+          Seq("shingle"))
+        .select("doc_id").distinct()
+      val kept = dd
+        .join(bpKeep, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("norm", TextAnalysis.normalize(col("text")))
+        .withColumn("fp", TextAnalysis.fingerprint(col("norm")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      kept.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("norm"))).cast("long")
+            .as("total_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Frame-sampling plumbing: every 64-byte slice of the payload as a
     // pseudo-frame (stub for codec frame extraction — the explode-shaped
     // one-row-per-frame output is the production schema). The corpus is
@@ -578,6 +616,49 @@ object ContentQueries {
       """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  md5(text) AS fp
         |FROM documents ORDER BY id""".stripMargin,
+
+    "pipeline_corpus_prep" ->
+      """WITH segt AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |segn AS (SELECT doc_id, toks,
+        |    1 + CAST(floor((greatest(len(toks) - 8, 0) + 7) / 8.0) AS INT)
+        |      AS n_chunks FROM segt),
+        |segc AS (SELECT doc_id, array_to_string(list_slice(toks,
+        |      chunk_id * 8 + 1, chunk_id * 8 + 8), ' ') AS seg
+        |  FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id
+        |        FROM segn)),
+        |segf AS (SELECT seg, count(DISTINCT doc_id) AS df
+        |  FROM segc GROUP BY seg),
+        |bp AS (SELECT segc.doc_id, count(*) AS n_segments,
+        |    sum(CASE WHEN segf.df >= 2 THEN 1 ELSE 0 END) AS n_boilerplate
+        |  FROM segc JOIN segf USING (seg) GROUP BY segc.doc_id),
+        |bpkeep AS (SELECT doc_id FROM bp
+        |  WHERE n_boilerplate * 2 <= n_segments),
+        |shs AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(lower(text), ' ')) - 5, 1) + 1),
+        |      i -> array_to_string(list_slice(
+        |        string_split(lower(text), ' '), i, i + 5), ' '))) AS s
+        |  FROM documents),
+        |she AS (SELECT doc_id, source, unnest(s) AS shingle FROM shs),
+        |bench AS (SELECT DISTINCT shingle FROM she WHERE source = 'src0'),
+        |contam AS (SELECT DISTINCT she.doc_id FROM she
+        |  JOIN bench USING (shingle) WHERE she.source <> 'src0'),
+        |kept AS (SELECT d.doc_id, d.source,
+        |    trim(regexp_replace(lower(nfc_normalize(d.text)),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents d
+        |  JOIN bpkeep USING (doc_id)
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)),
+        |fp AS (SELECT doc_id, source, norm,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(lower(norm), ' '))), ' ')) AS f
+        |  FROM kept),
+        |reps AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(norm, ' '))) AS BIGINT) AS total_tokens
+        |FROM fp JOIN reps USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "mm_frames" ->
       """WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents),

@@ -148,6 +148,16 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("pipeline_corpus_prep: the composed pipeline keeps specialized " +
+    "join types (semi for the gate, anti for contamination) and never " +
+    "degrades to a nested-loop/cartesian plan") {
+    val p = plan("pipeline_corpus_prep")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sketch_approx_distinct: HLL and exact-distinct aggregate with " +
     "map-side partials") {
     val p = plan("sketch_approx_distinct")
