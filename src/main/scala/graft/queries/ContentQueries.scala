@@ -350,10 +350,12 @@ object ContentQueries {
           explode(TextAnalysis.shingles(col("text"), 6)).as("shingle_s"))
         .select(col("doc_id"), col("source"),
           xxhash64(col("shingle_s")).as("shingle")))
+      // the benchmark shingle set is tiny relative to the corpus —
+      // broadcast it so the corpus side joins with NO exchange at all
       val bench = sh.filter(col("source") === "src0")
         .select(col("shingle")).distinct()
       sh.filter(col("source") =!= "src0")
-        .join(bench.hint("SHUFFLE_HASH"), Seq("shingle"))
+        .join(broadcast(bench), Seq("shingle"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("doc_id"))
@@ -430,8 +432,8 @@ object ContentQueries {
         .select(col("doc_id"), col("source"),
           xxhash64(col("shingle_s")).as("shingle")))
       val contaminated = sh.filter(col("source") =!= "src0")
-        .join(sh.filter(col("source") === "src0")
-          .select(col("shingle")).distinct().hint("SHUFFLE_HASH"),
+        .join(broadcast(sh.filter(col("source") === "src0")
+          .select(col("shingle")).distinct()),
           Seq("shingle"))
         .select("doc_id").distinct()
       val kept = dd

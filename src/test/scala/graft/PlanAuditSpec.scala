@@ -114,9 +114,10 @@ class PlanAuditSpec extends SparkSuite {
       s"Project not codegen'd: '$projectLine'\n$p")
   }
 
-  test("text_contamination: benchmark overlap is a shingle equi-join — " +
-    "no nested-loop/cartesian plan, aggregation is partial") {
+  test("text_contamination: the benchmark shingle set joins as a " +
+    "broadcast — the corpus side pays no exchange for the join") {
     val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_count"), p)
