@@ -85,4 +85,37 @@ class CompactionSpec extends SparkSuite {
     val back = spark.read.json(s"$out/topics/cj")
     assert(back.where(col("offset").isNotNull).count() == 24)
   }
+
+  test("streaming ingest then compaction: micro-batch small files merge " +
+    "into one object per partition and the record set survives") {
+    import org.apache.spark.sql.types._
+    val src = Files.createTempDirectory("sc_src").toString
+    val out = Files.createTempDirectory("sc_out").toString
+    val ckpt = Files.createTempDirectory("sc_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("kafka_partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("event_type", StringType)))
+    (0 until 3).foreach { b =>
+      (0L until 8L).map(i => (0, b * 8 + i, s"t${i % 2}"))
+        .toDF("kafka_partition", "offset", "event_type")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val cfg = IngestConfig(topic = "sc", flushSize = 2)
+    val q = graft.streaming.StreamingIngest.start(
+      spark.readStream.schema(schema).parquet(src), cfg,
+      Partitioners.fieldPartition("event_type" -> col("event_type")),
+      out, ckpt, col("kafka_partition"), col("offset"),
+      payloadCols = Seq(col("offset"), col("event_type")))
+    q.awaitTermination(60000)
+    val frag = new java.io.File(s"$out/topics/sc/event_type=t0")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(frag >= 6, s"fixture should fragment, got $frag files")
+
+    val r = Compaction.compact(spark, out, cfg, targetRecords = 100)
+    assert(r.files.size == 2, r)
+    val back = spark.read.parquet(s"$out/topics/sc")
+    assert(back.count() == 24 &&
+      back.select("offset").distinct().count() == 24)
+  }
 }
