@@ -288,4 +288,81 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
   }
+
+  /** Product-quantization (PQ) approximate top-k with asymmetric distance
+    * computation (ADC): vectors split into `m` subvectors, each encoded as
+    * the id of its nearest codeword; a query precomputes its
+    * subspace-distance table once, and every corpus distance is m table
+    * lookups summed — the classic 32× byte-compression scan
+    * (m bytes of codes vs 4·dim bytes of floats).
+    *
+    * Codebooks are a deterministic md5-hash sample of the corpus (k-means
+    * init without the iterations, same construction as `ivfTopK`
+    * centroids) shared across subspaces — engine-portable, so the whole
+    * encode/ADC pipeline is DuckDB-expressible and oracle-checked; swap
+    * in per-subspace trained centroids offline without changing the query
+    * path. All distances round to 6 decimals before any argmin/ranking
+    * (ties break on the lower codeword/neighbor id), so FP-sum ordering
+    * can never flip a code assignment across engines.
+    *
+    * Plan shape: codebook and the per-query distance table are broadcast
+    * (ks·m and |Q|·ks·m rows); the corpus is read once, encodes via a
+    * map-side-partial `min_by` aggregate, and the ADC scan is one hash
+    * aggregate over (q, n) partials — no window/sort anywhere on the
+    * corpus, no cross join of raw vectors. At 100 TB compose with the IVF
+    * list pruning (IVF-PQ) so the ADC scan touches only probed lists. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
+             qVec: Column, cId: Column, cVec: Column, k: Int,
+             dim: Int = 64, m: Int = 8, ks: Int = 16): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    def subSlices(v: Column): Column =
+      array((0 until m).map(s =>
+        struct(lit(s).as("sub"), slice(v, s * sub + 1, sub).as("sv"))): _*)
+    // squared L2 via dots: |a-b|^2 = a·a + b·b - 2·a·b (native DotProduct)
+    def d2(a: Column, b: Column): Column =
+      round(dot(a, a) + dot(b, b) - lit(2) * dot(a, b), 6)
+
+    val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
+    // ks hash-sampled codebook vectors; j = 1..ks (codeword id)
+    val cbBase = c.withColumn("r",
+      pmod(conv(substring(md5(col("n_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(997)))
+      .filter(col("r") < 64)
+      .orderBy(col("r"), col("n_id")).limit(ks)
+      .withColumn("j",
+        row_number().over(Window.orderBy(col("r"), col("n_id"))))
+    val cb = cbBase
+      .select(col("j"), explode(subSlices(col("c_v"))).as("e"))
+      .select(col("e.sub").as("sub"), col("j"), col("e.sv").as("cw"))
+
+    // encode: nearest codeword per (vector, subspace) — min_by aggregate
+    val cSub = c.select(col("n_id"), explode(subSlices(col("c_v"))).as("e"))
+      .select(col("n_id"), col("e.sub").as("sub"), col("e.sv").as("cs"))
+    val codes = cSub.join(broadcast(cb), Seq("sub"))
+      .select(col("n_id"), col("sub"), col("j"),
+        d2(col("cs"), col("cw")).as("d"))
+      .groupBy(col("n_id"), col("sub"))
+      .agg(min_by(col("j"), struct(col("d"), col("j"))).as("code"))
+
+    // per-query subspace distance table (broadcast: |Q| x m x ks rows)
+    val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
+    val qTab = q.select(col("q_id"), explode(subSlices(col("q_v"))).as("e"))
+      .select(col("q_id"), col("e.sub").as("sub"), col("e.sv").as("qs"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("j"),
+        d2(col("qs"), col("cw")).as("qd"))
+
+    // ADC: sum the m looked-up partials per (query, neighbor)
+    val adc = codes.join(broadcast(qTab),
+        codes("sub") === qTab("sub") && codes("code") === qTab("j"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(round(sum(col("qd")), 4).as("adist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("n_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("adist"), col("rank"))
+  }
 }

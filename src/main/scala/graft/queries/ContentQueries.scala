@@ -129,6 +129,22 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Product-quantization ADC top-k — the 32x byte-compression scan
+    // (m=8 one-byte codes per vector vs 256 bytes of floats). Fully
+    // oracle-checked: codebooks are md5-hash-sampled and every distance
+    // rounds before argmin/ranking, so DuckDB rebuilds the identical
+    // codes and lookup tables. Recall floor vs brute force is asserted
+    // in SimilaritySpec.
+    "sim_topk_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.pqTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // BM25 keyword relevance (k1=1.2, b=0.75) against a literal query —
     // topical filtering / relevance-weighted sampling. Corpus stats (df
     // per term, N, avgdl) aggregate once and broadcast; exact-int inputs
@@ -618,6 +634,52 @@ object ContentQueries {
       """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  md5(text) AS fp
         |FROM documents ORDER BY id""".stripMargin,
+
+    "sim_topk_pq" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |cbb AS (SELECT e, row_number() OVER (ORDER BY r, vec_id) AS j
+        |  FROM (SELECT vec_id, e,
+        |      CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 997 AS r
+        |    FROM v) WHERE r < 64 ORDER BY r, vec_id LIMIT 16),
+        |subs AS (SELECT unnest(range(0, 8)) AS sub),
+        |cb AS (SELECT subs.sub, cbb.j,
+        |    list_slice(cbb.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS cw
+        |  FROM cbb CROSS JOIN subs),
+        |cs AS (SELECT v.vec_id AS n_id, subs.sub,
+        |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
+        |  FROM v CROSS JOIN subs),
+        |enc0 AS (SELECT cs.n_id, cs.sub, cb.j,
+        |    round(list_sum(list_transform(range(1, 9),
+        |        i -> cs.sv[i] * cs.sv[i]))
+        |      + list_sum(list_transform(range(1, 9),
+        |        i -> cb.cw[i] * cb.cw[i]))
+        |      - 2 * list_sum(list_transform(range(1, 9),
+        |        i -> cs.sv[i] * cb.cw[i])), 6) AS d
+        |  FROM cs JOIN cb USING (sub)),
+        |enc AS (SELECT n_id, sub, j AS code FROM (SELECT n_id, sub, j,
+        |    row_number() OVER (PARTITION BY n_id, sub ORDER BY d, j) AS rn
+        |  FROM enc0) WHERE rn = 1),
+        |qs AS (SELECT v.vec_id AS q_id, subs.sub,
+        |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
+        |  FROM v CROSS JOIN subs WHERE v.vec_id % 100 = 0),
+        |qt AS (SELECT qs.q_id, qs.sub, cb.j,
+        |    round(list_sum(list_transform(range(1, 9),
+        |        i -> qs.sv[i] * qs.sv[i]))
+        |      + list_sum(list_transform(range(1, 9),
+        |        i -> cb.cw[i] * cb.cw[i]))
+        |      - 2 * list_sum(list_transform(range(1, 9),
+        |        i -> qs.sv[i] * cb.cw[i])), 6) AS qd
+        |  FROM qs JOIN cb USING (sub)),
+        |adc AS (SELECT qt.q_id, enc.n_id, round(sum(qt.qd), 4) AS adist
+        |  FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.j
+        |  WHERE qt.q_id <> enc.n_id GROUP BY 1, 2),
+        |r AS (SELECT q_id, n_id, adist, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adist, n_id) AS rank FROM adc)
+        |SELECT q_id, n_id, adist, rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
 
     "pipeline_corpus_prep" ->
       """WITH segt AS (SELECT doc_id, string_split(text, ' ') AS toks

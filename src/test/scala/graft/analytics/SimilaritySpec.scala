@@ -124,4 +124,30 @@ class SimilaritySpec extends SparkSuite {
     assert(exact == 0 && lsh == 0)
     graft.analytics.Caches.clear()
   }
+
+  test("PQ-ADC top-k: k ranked neighbors per query, nonnegative " +
+    "non-decreasing approximate distances, and recall above the floor a " +
+    "16-codeword shared codebook can honestly deliver") {
+    val k = 10
+    val pq = Similarity.pqTopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k)
+    val rows = pq.as[(Long, Long, Double, Int)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.values.forall(_.length == k))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to k))
+      assert(sorted.map(_._3).forall(_ >= 0.0), "squared ADC distance")
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head <= p.last))
+    }
+    // L2-ADC vs cosine ranking agree only loosely on near-isotropic
+    // vectors with an untrained codebook — assert a modest floor; the
+    // exactness story is the DuckDB oracle, not recall
+    val bf = Similarity.bruteForceTopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect
+      rows.map(r => (r._1, r._2)).toSet).size.toDouble / bf.size
+    assert(recall >= 0.05, s"PQ recall $recall collapsed to noise")
+  }
 }
