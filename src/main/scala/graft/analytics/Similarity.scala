@@ -324,16 +324,20 @@ object Similarity {
       round(dot(a, a) + dot(b, b) - lit(2) * dot(a, b), 6)
 
     val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
-    // ks hash-sampled codebook vectors; j = 1..ks (codeword id)
-    val cbBase = c.withColumn("r",
+    // ks hash-sampled codebook vectors; j = 1..ks (codeword id). The
+    // sample is a distributed TakeOrdered (never a global sort) and the
+    // id assignment is a collect+posexplode over the 16 post-limit rows —
+    // no Window node anywhere in the codebook subtree.
+    val cb = c.withColumn("r",
       pmod(conv(substring(md5(col("n_id").cast("string")), 1, 15), 16, 10)
         .cast("long"), lit(997)))
       .filter(col("r") < 64)
       .orderBy(col("r"), col("n_id")).limit(ks)
-      .withColumn("j",
-        row_number().over(Window.orderBy(col("r"), col("n_id"))))
-    val cb = cbBase
-      .select(col("j"), explode(subSlices(col("c_v"))).as("e"))
+      .select(struct(col("r"), col("n_id"), col("c_v")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("p", "s")))
+      .select((col("p") + 1).as("j"),
+        explode(subSlices(col("s").getField("c_v"))).as("e"))
       .select(col("e.sub").as("sub"), col("j"), col("e.sv").as("cw"))
 
     // encode: nearest codeword per (vector, subspace) — min_by aggregate
@@ -357,6 +361,102 @@ object Similarity {
     val adc = codes.join(broadcast(qTab),
         codes("sub") === qTab("sub") && codes("code") === qTab("j"))
       .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(round(sum(col("qd")), 4).as("adist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("n_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("adist"), col("rank"))
+  }
+
+  /** IVF-PQ: the production composition — IVF list pruning picks WHICH
+    * vectors each query compares against (`nProbe`/`nLists` of the
+    * corpus), PQ-ADC decides HOW each comparison is paid for (m code
+    * lookups instead of a dim-float dot). The two index structures are the
+    * same deterministic md5-derived constructions as `ivfTopK` and
+    * `pqTopK`, so the composition stays fully oracle-checked.
+    *
+    * Plan shape: both index builds are broadcast-join + map-side-partial
+    * aggregates over ONE corpus read each; the candidate set is an
+    * equi-join on list_id (probes are |Q|·nProbe rows, broadcast), and
+    * the ADC sum is one hash aggregate over candidates×m rows. The corpus
+    * is never sorted, never windowed, never self-joined on raw vectors —
+    * at 100 TB the scan reads nProbe/nLists of the rows and 1/32 of the
+    * bytes per row. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
+                qVec: Column, cId: Column, cVec: Column, k: Int,
+                nLists: Int = 16, nProbe: Int = 4,
+                dim: Int = 64, m: Int = 8, ks: Int = 16): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    def subSlices(v: Column): Column =
+      array((0 until m).map(s =>
+        struct(lit(s).as("sub"), slice(v, s * sub + 1, sub).as("sv"))): _*)
+    def d2(a: Column, b: Column): Column =
+      round(dot(a, a) + dot(b, b) - lit(2) * dot(a, b), 6)
+    def hashR(id: Column): Column =
+      pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(997))
+
+    val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
+      .withColumn("c_n", norm(col("c_v")))
+    // --- IVF side: centroids + list assignment (as ivfTopK) ---
+    val centroids = c.withColumn("r", hashR(col("n_id")))
+      .filter(col("r") < 64)
+      .orderBy(col("r"), col("n_id")).limit(nLists)
+      .select(col("n_id").as("list_id"), col("c_v").as("cent_v"),
+        col("c_n").as("cent_n"))
+    val assigned = c.join(broadcast(centroids))
+      .select(col("n_id"), col("list_id"),
+        round(dot(col("c_v"), col("cent_v")) / (col("c_n") * col("cent_n")),
+          6).as("csim"))
+      .groupBy(col("n_id"))
+      .agg(max_by(col("list_id"),
+        struct(col("csim"), (-col("list_id")).as("tb"))).as("list_id"))
+    val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
+      .withColumn("q_n", norm(col("q_v")))
+    val probes = q.join(broadcast(centroids))
+      .select(col("q_id"), col("list_id"),
+        round(dot(col("q_v"), col("cent_v")) / (col("q_n") * col("cent_n")),
+          6).as("qsim"))
+      .groupBy(col("q_id"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("qsim")).as("ns"), col("list_id")))), 1, nProbe)
+        .as("top"))
+      .select(col("q_id"), explode(col("top.list_id")).as("list_id"))
+
+    // --- PQ side: shared codebook, corpus codes, query tables (as pqTopK;
+    // windowless codeword-id assignment over the 16 post-limit rows)
+    val cb = c.withColumn("r", hashR(col("n_id")))
+      .filter(col("r") < 64)
+      .orderBy(col("r"), col("n_id")).limit(ks)
+      .select(struct(col("r"), col("n_id"), col("c_v")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("p", "s")))
+      .select((col("p") + 1).as("j"),
+        explode(subSlices(col("s").getField("c_v"))).as("e"))
+      .select(col("e.sub").as("sub"), col("j"), col("e.sv").as("cw"))
+    val codes = c.select(col("n_id"), explode(subSlices(col("c_v"))).as("e"))
+      .select(col("n_id"), col("e.sub").as("sub"), col("e.sv").as("cs"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("n_id"), col("sub"), col("j"),
+        d2(col("cs"), col("cw")).as("d"))
+      .groupBy(col("n_id"), col("sub"))
+      .agg(min_by(col("j"), struct(col("d"), col("j"))).as("code"))
+    val qTab = q.select(col("q_id"), explode(subSlices(col("q_v"))).as("e"))
+      .select(col("q_id"), col("e.sub").as("sub"), col("e.sv").as("qs"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("j"),
+        d2(col("qs"), col("cw")).as("qd"))
+
+    // --- compose: prune candidates by probed list, then ADC over codes
+    val cand = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+    val adc = cand.join(codes, Seq("n_id"))
+      .join(broadcast(qTab.withColumnRenamed("j", "code")),
+        Seq("q_id", "sub", "code"))
       .groupBy(col("q_id"), col("n_id"))
       .agg(round(sum(col("qd")), 4).as("adist"))
     val w = Window.partitionBy(col("q_id"))

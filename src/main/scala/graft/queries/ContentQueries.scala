@@ -145,6 +145,21 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // IVF-PQ: list pruning decides WHICH vectors to compare (nProbe/nLists
+    // of the corpus), PQ-ADC decides HOW each comparison is paid for
+    // (m byte-code lookups, 1/32 of the scan bytes). Same deterministic
+    // constructions as sim_topk_ivf and sim_topk_pq, so the composed
+    // index is still rebuilt bit-identically by DuckDB.
+    "sim_topk_ivfpq" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // BM25 keyword relevance (k1=1.2, b=0.75) against a literal query —
     // topical filtering / relevance-weighted sampling. Corpus stats (df
     // per term, N, avgdl) aggregate once and broadcast; exact-int inputs
@@ -634,6 +649,79 @@ object ContentQueries {
       """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  md5(text) AS fp
         |FROM documents ORDER BY id""".stripMargin,
+
+    "sim_topk_ivfpq" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |hashed AS (SELECT vec_id, e, nrm,
+        |    CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 997 AS r
+        |  FROM n),
+        |cent AS (SELECT vec_id AS list_id, e AS ce, nrm AS cn FROM hashed
+        |  WHERE r < 64 ORDER BY r, vec_id LIMIT 16),
+        |asg AS (SELECT n.vec_id AS n_id, cent.list_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
+        |      cent.list_id) AS arn
+        |  FROM n CROSS JOIN cent),
+        |assigned AS (SELECT n_id, list_id FROM asg WHERE arn = 1),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id % 100 = 0),
+        |prb AS (SELECT q.q_id, cent.list_id,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> q.qe[i] * cent.ce[i])) / (q.qn * cent.cn), 6) DESC,
+        |      cent.list_id) AS prn
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT q_id, list_id FROM prb WHERE prn <= 4),
+        |cbb AS (SELECT e, row_number() OVER (ORDER BY r, vec_id) AS j
+        |  FROM hashed WHERE r < 64 ORDER BY r, vec_id LIMIT 16),
+        |subs AS (SELECT unnest(range(0, 8)) AS sub),
+        |cb AS (SELECT subs.sub, cbb.j,
+        |    list_slice(cbb.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS cw
+        |  FROM cbb CROSS JOIN subs),
+        |cs AS (SELECT v.vec_id AS n_id, subs.sub,
+        |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
+        |  FROM v CROSS JOIN subs),
+        |enc0 AS (SELECT cs.n_id, cs.sub, cb.j,
+        |    round(list_sum(list_transform(range(1, 9),
+        |        i -> cs.sv[i] * cs.sv[i]))
+        |      + list_sum(list_transform(range(1, 9),
+        |        i -> cb.cw[i] * cb.cw[i]))
+        |      - 2 * list_sum(list_transform(range(1, 9),
+        |        i -> cs.sv[i] * cb.cw[i])), 6) AS d
+        |  FROM cs JOIN cb USING (sub)),
+        |enc AS (SELECT n_id, sub, j AS code FROM (SELECT n_id, sub, j,
+        |    row_number() OVER (PARTITION BY n_id, sub ORDER BY d, j) AS rn
+        |  FROM enc0) WHERE rn = 1),
+        |qsv AS (SELECT v.vec_id AS q_id, subs.sub,
+        |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
+        |  FROM v CROSS JOIN subs WHERE v.vec_id % 100 = 0),
+        |qt AS (SELECT qsv.q_id, qsv.sub, cb.j,
+        |    round(list_sum(list_transform(range(1, 9),
+        |        i -> qsv.sv[i] * qsv.sv[i]))
+        |      + list_sum(list_transform(range(1, 9),
+        |        i -> cb.cw[i] * cb.cw[i]))
+        |      - 2 * list_sum(list_transform(range(1, 9),
+        |        i -> qsv.sv[i] * cb.cw[i])), 6) AS qd
+        |  FROM qsv JOIN cb USING (sub)),
+        |cand AS (SELECT probes.q_id, assigned.n_id
+        |  FROM assigned JOIN probes USING (list_id)
+        |  WHERE probes.q_id <> assigned.n_id),
+        |adc AS (SELECT cand.q_id, cand.n_id, round(sum(qt.qd), 4) AS adist
+        |  FROM cand
+        |  JOIN enc ON enc.n_id = cand.n_id
+        |  JOIN qt ON qt.q_id = cand.q_id AND qt.sub = enc.sub
+        |    AND qt.j = enc.code
+        |  GROUP BY 1, 2),
+        |r AS (SELECT q_id, n_id, adist, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adist, n_id) AS rank FROM adc)
+        |SELECT q_id, n_id, adist, rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
 
     "sim_topk_pq" ->
       """WITH v AS (SELECT vec_id,

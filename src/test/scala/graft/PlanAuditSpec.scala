@@ -149,6 +149,20 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("sim_topk_ivfpq: both index builds aggregate with map-side " +
+    "partials, the corpus never cartesian/nested-loop joins, and the only " +
+    "Window left is the final top-k") {
+    val p = plan("sim_topk_ivfpq")
+    assert(p.contains("partial_max_by"), p)
+    assert(p.contains("partial_min_by"), p)
+    // centroid/codebook assignment deliberately scans corpus x 16
+    // broadcast rows (a BroadcastNestedLoopJoin over a bounded inner
+    // side); what must never appear is an unbroadcast cartesian product
+    assert(!p.contains("CartesianProduct"), p)
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).length
+    assert(windows <= 1, s"expected <=1 Window (final top-k), got $windows\n$p")
+  }
+
   test("pipeline_corpus_prep: the composed pipeline keeps specialized " +
     "join types (semi for the gate, anti for contamination) and never " +
     "degrades to a nested-loop/cartesian plan") {
