@@ -346,6 +346,32 @@ object ContentQueries {
             col("exact_parts") * 0.05).as("parts_ok"))
         .orderBy(col("l_returnflag"))),
 
+    // Per-doc TF-IDF top terms (keyword extraction): term frequencies and
+    // document frequencies are two hash aggregates over the exploded
+    // tokens; N and df are exact ints, the score rounds before ranking so
+    // the per-doc top-3 is engine-stable.
+    "text_tfidf_topterms" -> ((s, d) => {
+      val toks = Caches.persist(docs(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("term")))
+      val nDocs = docs(s, d).count().toDouble
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.dropDuplicates("doc_id", "term")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(df.hint("SHUFFLE_HASH"), Seq("term"))
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(nDocs) / col("df")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn").cast("long").as("rank"),
+          col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // Quantile-sketch surface, same cross-engine invariant shape as
     // sketch_approx_distinct: the exact median is the hash-compared value,
     // and each engine asserts its own approximate quantile lands within 5%
@@ -1060,6 +1086,23 @@ object ContentQueries {
         |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
         |    <= count(DISTINCT l_partkey) * 0.05 AS parts_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df
+        |  FROM toks GROUP BY term),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df), 4) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN nd),
+        |r AS (SELECT doc_id, term, tfidf, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "sketch_quantiles" ->
       """SELECT l_returnflag,

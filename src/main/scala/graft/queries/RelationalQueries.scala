@@ -238,6 +238,52 @@ object RelationalQueries {
           col("view").as("n_view"), col("purchase").as("n_purchase"))
         .orderBy(col("user_id"))),
 
+    // Funnel analysis: users progressing click → later view → later
+    // purchase. Each stage is a conditional-min aggregate over ONE shuffle
+    // on user_id; stage timestamps compare in integer micros, so the
+    // funnel is engine-exact.
+    "q36_funnel" -> ((s, d) => {
+      val e = T(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val stages = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "click", col("us")))
+          .as("first_click"))
+        .join(e.filter(col("event_type") === "view")
+            .select(col("user_id"), col("us").as("view_us")),
+          Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("first_click"))
+        .agg(min(when(col("view_us") > col("first_click"), col("view_us")))
+          .as("first_view"))
+        .join(e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("us").as("p_us")),
+          Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("first_click"), col("first_view"))
+        .agg(min(when(col("p_us") > col("first_view"), col("p_us")))
+          .as("first_purchase"))
+      stages.agg(
+        count(when(col("first_click").isNotNull, 1)).as("n_click"),
+        count(when(col("first_view").isNotNull, 1)).as("n_click_view"),
+        count(when(col("first_purchase").isNotNull, 1))
+          .as("n_click_view_purchase"))
+    }),
+
+    // Cohort retention: of the users active in hour h, how many are also
+    // active in hour h+1 — distinct (user, hour) self-join, shuffled once
+    // on user_id via the join key.
+    "q37_retention" -> ((s, d) => {
+      val a = T(s, d, "events")
+        .select(col("user_id"),
+          floor(unix_micros(col("ts").cast("timestamp")) / 3600000000L)
+            .as("hr")).distinct()
+      val nxt = a.select(col("user_id"), (col("hr") - 1).as("hr"),
+        lit(1).as("nx"))
+      a.join(nxt, Seq("user_id", "hr"), "left")
+        .groupBy(col("hr"))
+        .agg(count(lit(1)).as("active"), count(col("nx")).as("retained"))
+        .orderBy(col("hr"))
+    }),
+
     // Statistical aggregates (correlation / covariance / regression):
     // single-pass partial-aggregatable moments, one shuffle. Rounded at 4
     // decimals — the moment sums differ across engines only at ~1e-10.
@@ -642,6 +688,41 @@ object RelationalQueries {
     "q30_regexp" ->
       """SELECT p_partkey, regexp_extract(p_type, '([a-z]+)', 1) AS first_word
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q36_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |fc AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'click' THEN us END) AS first_click
+        |  FROM e GROUP BY user_id),
+        |fv AS (SELECT fc.user_id, fc.first_click,
+        |    min(CASE WHEN v.us > fc.first_click THEN v.us END) AS first_view
+        |  FROM fc LEFT JOIN (SELECT user_id, us FROM e
+        |    WHERE event_type = 'view') v ON v.user_id = fc.user_id
+        |  GROUP BY fc.user_id, fc.first_click),
+        |fp AS (SELECT fv.user_id, fv.first_click, fv.first_view,
+        |    min(CASE WHEN p.us > fv.first_view THEN p.us END)
+        |      AS first_purchase
+        |  FROM fv LEFT JOIN (SELECT user_id, us FROM e
+        |    WHERE event_type = 'purchase') p ON p.user_id = fv.user_id
+        |  GROUP BY fv.user_id, fv.first_click, fv.first_view)
+        |SELECT count(CASE WHEN first_click IS NOT NULL THEN 1 END)
+        |    AS n_click,
+        |  count(CASE WHEN first_view IS NOT NULL THEN 1 END)
+        |    AS n_click_view,
+        |  count(CASE WHEN first_purchase IS NOT NULL THEN 1 END)
+        |    AS n_click_view_purchase
+        |FROM fp""".stripMargin,
+
+    "q37_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000)
+        |      AS BIGINT) AS hr
+        |  FROM events),
+        |nxt AS (SELECT user_id, hr - 1 AS hr, 1 AS nx FROM a)
+        |SELECT a.hr, count(*) AS active, count(nxt.nx) AS retained
+        |FROM a LEFT JOIN nxt ON nxt.user_id = a.user_id AND nxt.hr = a.hr
+        |GROUP BY a.hr ORDER BY a.hr""".stripMargin,
 
     "q35_corr_stats" ->
       """SELECT l_returnflag,
