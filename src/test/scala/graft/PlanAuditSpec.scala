@@ -163,6 +163,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(windows <= 1, s"expected <=1 Window (final top-k), got $windows\n$p")
   }
 
+  test("q36/q37/tfidf: the analytics additions aggregate with map-side " +
+    "partials and never plan a cartesian or nested loop") {
+    for (q <- Seq("q36_funnel", "q37_retention", "text_tfidf_topterms")) {
+      val p = plan(q)
+      assert(p.contains("partial_count") || p.contains("partial_min"), s"$q\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q\n$p")
+    }
+  }
+
   test("pipeline_corpus_prep: the composed pipeline keeps specialized " +
     "join types (semi for the gate, anti for contamination) and never " +
     "degrades to a nested-loop/cartesian plan") {

@@ -150,4 +150,32 @@ class SimilaritySpec extends SparkSuite {
       rows.map(r => (r._1, r._2)).toSet).size.toDouble / bf.size
     assert(recall >= 0.05, s"PQ recall $recall collapsed to noise")
   }
+
+  test("IVF-PQ returns k ranked candidates per query drawn from probed " +
+    "lists, and its candidate sets are a subset of plain PQ's universe") {
+    val k = 5
+    val ivfpq = Similarity.ivfPqTopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k)
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = ivfpq.groupBy(_._1)
+    // every query answered with k ranked rows, distances non-decreasing
+    assert(byQ.values.forall(_.length == k))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to k))
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head <= p.last))
+    }
+    // pruning consistency: IVF-PQ's (q, n, adist) agree with the
+    // unpruned PQ ADC distance for the same pair — the composition
+    // changes WHICH pairs are scanned, never the score of a pair
+    val pq = Similarity.pqTopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k = 1000)
+      .select("q_id", "n_id", "adist")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, d) => (q, n) -> d }.toMap
+    ivfpq.foreach { case (q, n, d, _) =>
+      assert(pq.get((q, n)).forall(_ == d),
+        s"ADC distance mismatch for ($q,$n): ivfpq=$d pq=${pq.get((q, n))}")
+    }
+  }
 }
