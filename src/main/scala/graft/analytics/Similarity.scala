@@ -322,6 +322,9 @@ object Similarity {
     // squared L2 via dots: |a-b|^2 = a·a + b·b - 2·a·b (native DotProduct)
     def d2(a: Column, b: Column): Column =
       round(dot(a, a) + dot(b, b) - lit(2) * dot(a, b), 6)
+    def d2i(a: Column, b: Column): Column =
+      round((dot(a, a) + dot(b, b) - lit(2) * dot(a, b)) * 1e6, 0)
+        .cast("long")
 
     val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
     // ks hash-sampled codebook vectors; j = 1..ks (codeword id). The
@@ -351,18 +354,21 @@ object Similarity {
 
     // per-query subspace distance table (broadcast: |Q| x m x ks rows)
     val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
+    // per-subspace query distances snap to INTEGER micros so the ADC sum
+    // is exact integer arithmetic — float-addition order (Spark partial
+    // aggregation vs DuckDB sequential) can never flip a rounded distance
     val qTab = q.select(col("q_id"), explode(subSlices(col("q_v"))).as("e"))
       .select(col("q_id"), col("e.sub").as("sub"), col("e.sv").as("qs"))
       .join(broadcast(cb), Seq("sub"))
       .select(col("q_id"), col("sub"), col("j"),
-        d2(col("qs"), col("cw")).as("qd"))
+        d2i(col("qs"), col("cw")).as("qdi"))
 
     // ADC: sum the m looked-up partials per (query, neighbor)
     val adc = codes.join(broadcast(qTab),
         codes("sub") === qTab("sub") && codes("code") === qTab("j"))
       .filter(col("q_id") =!= col("n_id"))
       .groupBy(col("q_id"), col("n_id"))
-      .agg(round(sum(col("qd")), 4).as("adist"))
+      .agg(round(sum(col("qdi")) / 1e6, 4).as("adist"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adist").asc, col("n_id"))
     adc.withColumn("rank", row_number().over(w))
@@ -395,6 +401,9 @@ object Similarity {
         struct(lit(s).as("sub"), slice(v, s * sub + 1, sub).as("sv"))): _*)
     def d2(a: Column, b: Column): Column =
       round(dot(a, a) + dot(b, b) - lit(2) * dot(a, b), 6)
+    def d2i(a: Column, b: Column): Column =
+      round((dot(a, a) + dot(b, b) - lit(2) * dot(a, b)) * 1e6, 0)
+        .cast("long")
     def hashR(id: Column): Column =
       pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
         .cast("long"), lit(997))
@@ -448,9 +457,10 @@ object Similarity {
       .select(col("q_id"), col("e.sub").as("sub"), col("e.sv").as("qs"))
       .join(broadcast(cb), Seq("sub"))
       .select(col("q_id"), col("sub"), col("j"),
-        d2(col("qs"), col("cw")).as("qd"))
+        d2i(col("qs"), col("cw")).as("qdi"))
 
     // --- compose: prune candidates by probed list, then ADC over codes
+    // (integer-micro partials: the sum is order-free, see pqTopK)
     val cand = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
@@ -458,7 +468,7 @@ object Similarity {
       .join(broadcast(qTab.withColumnRenamed("j", "code")),
         Seq("q_id", "sub", "code"))
       .groupBy(col("q_id"), col("n_id"))
-      .agg(round(sum(col("qd")), 4).as("adist"))
+      .agg(round(sum(col("qdi")) / 1e6, 4).as("adist"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adist").asc, col("n_id"))
     adc.withColumn("rank", row_number().over(w))

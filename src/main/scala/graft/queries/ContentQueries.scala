@@ -343,7 +343,7 @@ object ContentQueries {
           approx_count_distinct(col("l_partkey"), 0.02).as("_approx"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("_approx") - col("exact_parts")) <=
-            col("exact_parts") * 0.05).as("parts_ok"))
+            col("exact_parts") * 0.05).cast("long").as("parts_ok"))
         .orderBy(col("l_returnflag"))),
 
     // Per-doc TF-IDF top terms (keyword extraction): term frequencies and
@@ -385,7 +385,7 @@ object ContentQueries {
         .select(col("l_returnflag"),
           round(col("_exact"), 2).as("exact_median"),
           (abs(col("_approx") - col("_exact")) <=
-            col("_exact") * 0.05).as("median_ok"))
+            col("_exact") * 0.05).cast("long").as("median_ok"))
         .orderBy(col("l_returnflag"))),
 
     // CCNet-style line/paragraph-level dedup statistics: per doc, how many
@@ -728,17 +728,19 @@ object ContentQueries {
         |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
         |  FROM v CROSS JOIN subs WHERE v.vec_id % 100 = 0),
         |qt AS (SELECT qsv.q_id, qsv.sub, cb.j,
-        |    round(list_sum(list_transform(range(1, 9),
+        |    CAST(round((list_sum(list_transform(range(1, 9),
         |        i -> qsv.sv[i] * qsv.sv[i]))
         |      + list_sum(list_transform(range(1, 9),
         |        i -> cb.cw[i] * cb.cw[i]))
         |      - 2 * list_sum(list_transform(range(1, 9),
-        |        i -> qsv.sv[i] * cb.cw[i])), 6) AS qd
+        |        i -> qsv.sv[i] * cb.cw[i]))) * 1000000, 0) AS BIGINT)
+        |      AS qdi
         |  FROM qsv JOIN cb USING (sub)),
         |cand AS (SELECT probes.q_id, assigned.n_id
         |  FROM assigned JOIN probes USING (list_id)
         |  WHERE probes.q_id <> assigned.n_id),
-        |adc AS (SELECT cand.q_id, cand.n_id, round(sum(qt.qd), 4) AS adist
+        |adc AS (SELECT cand.q_id, cand.n_id,
+        |    round(CAST(sum(qt.qdi) AS DOUBLE) / 1000000, 4) AS adist
         |  FROM cand
         |  JOIN enc ON enc.n_id = cand.n_id
         |  JOIN qt ON qt.q_id = cand.q_id AND qt.sub = enc.sub
@@ -780,14 +782,15 @@ object ContentQueries {
         |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
         |  FROM v CROSS JOIN subs WHERE v.vec_id % 100 = 0),
         |qt AS (SELECT qs.q_id, qs.sub, cb.j,
-        |    round(list_sum(list_transform(range(1, 9),
+        |    CAST(round((list_sum(list_transform(range(1, 9),
         |        i -> qs.sv[i] * qs.sv[i]))
         |      + list_sum(list_transform(range(1, 9),
         |        i -> cb.cw[i] * cb.cw[i]))
         |      - 2 * list_sum(list_transform(range(1, 9),
-        |        i -> qs.sv[i] * cb.cw[i])), 6) AS qd
+        |        i -> qs.sv[i] * cb.cw[i]))) * 1000000, 0) AS BIGINT) AS qdi
         |  FROM qs JOIN cb USING (sub)),
-        |adc AS (SELECT qt.q_id, enc.n_id, round(sum(qt.qd), 4) AS adist
+        |adc AS (SELECT qt.q_id, enc.n_id,
+        |    round(CAST(sum(qt.qdi) AS DOUBLE) / 1000000, 4) AS adist
         |  FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.j
         |  WHERE qt.q_id <> enc.n_id GROUP BY 1, 2),
         |r AS (SELECT q_id, n_id, adist, row_number() OVER (PARTITION BY q_id
@@ -1083,8 +1086,9 @@ object ContentQueries {
     "sketch_approx_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,
-        |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
-        |    <= count(DISTINCT l_partkey) * 0.05 AS parts_ok
+        |  CAST(abs(approx_count_distinct(l_partkey)
+        |        - count(DISTINCT l_partkey))
+        |    <= count(DISTINCT l_partkey) * 0.05 AS BIGINT) AS parts_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_tfidf_topterms" ->
@@ -1107,9 +1111,10 @@ object ContentQueries {
     "sketch_quantiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
-        |  abs(approx_quantile(l_extendedprice, 0.5)
+        |  CAST(abs(approx_quantile(l_extendedprice, 0.5)
         |      - quantile_cont(l_extendedprice, 0.5))
-        |    <= quantile_cont(l_extendedprice, 0.5) * 0.05 AS median_ok
+        |    <= quantile_cont(l_extendedprice, 0.5) * 0.05 AS BIGINT)
+        |    AS median_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_boilerplate" ->
