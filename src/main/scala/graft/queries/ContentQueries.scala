@@ -459,8 +459,12 @@ object ContentQueries {
     "emb_centroid_stats" -> ((s, d) => {
       val v = emb(s, d).select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
+      // centroid components snap to 6 decimals: the per-(label,pos) avg is
+      // a cross-row float sum whose addition order differs between
+      // engines; rounding BEFORE the cosine makes the downstream
+      // arithmetic bit-identical on both sides
       val cent = v.select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("label"), col("pos")).agg(round(avg(col("x")), 6).as("cx"))
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
         .select(col("label"),
@@ -1186,7 +1190,8 @@ object ContentQueries {
         |  FROM embeddings),
         |ex AS (SELECT label, unnest(range(1, 65)) AS pos, unnest(e) AS x
         |  FROM v),
-        |c1 AS (SELECT label, pos, avg(x) AS cx FROM ex GROUP BY 1, 2),
+        |c1 AS (SELECT label, pos, round(avg(x), 6) AS cx
+        |  FROM ex GROUP BY 1, 2),
         |cent AS (SELECT label, list(cx ORDER BY pos) AS ce
         |  FROM c1 GROUP BY label)
         |SELECT vec_id, label,
