@@ -397,6 +397,33 @@ object ContentQueries {
         segTokens = 8, minDocs = 2)
         .orderBy(col("doc_id"))),
 
+    // The boilerplate PASS itself (dedup_boilerplate reports, this one
+    // rewrites): drop every corpus-wide boilerplate segment and reassemble
+    // each doc from its surviving segments in chunk order. Segment
+    // frequency joins on the 64-bit hash; reassembly is an array_sort of
+    // (chunk_id, seg) structs — deterministic, no collect_list ordering
+    // dependence. Docs that are 100% boilerplate drop out entirely.
+    "dedup_boilerplate_clean" -> ((s, d) => {
+      val segs = Caches.persist(docs(s, d)
+        .select(col("doc_id"), explode(TextAnalysis.tokenChunks(
+          TextAnalysis.tokens(col("text")), 8, 8)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          col("c.chunk_text").as("seg"),
+          xxhash64(col("c.chunk_text")).as("seg_h")))
+      val freq = segs.dropDuplicates("seg_h", "doc_id")
+        .groupBy(col("seg_h")).agg(count(lit(1)).as("df"))
+      segs.join(freq.hint("SHUFFLE_HASH"), Seq("seg_h"))
+        .filter(col("df") < 2)
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(
+          struct(col("chunk_id"), col("seg")))).as("arr"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            transform(col("arr"), x => x.getField("seg")))).as("clean_fp"),
+          size(col("arr")).cast("long").as("n_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark-contamination check: which non-benchmark docs share a
     // 6-gram shingle with the benchmark set (source = src0), and how many
     // distinct shingles they share. Equi-join on the 64-bit shingle hash —
@@ -1136,6 +1163,23 @@ object ContentQueries {
         |  CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_boilerplate
         |FROM c JOIN f USING (seg)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "dedup_boilerplate_clean" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |    1 + CAST(floor((greatest(len(toks) - 8, 0) + 7) / 8.0) AS INT)
+        |      AS n_chunks FROM t),
+        |c AS (SELECT doc_id, chunk_id, array_to_string(list_slice(toks,
+        |      chunk_id * 8 + 1, chunk_id * 8 + 8), ' ') AS seg
+        |  FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id
+        |        FROM n)),
+        |f AS (SELECT seg, count(DISTINCT doc_id) AS df FROM c GROUP BY seg)
+        |SELECT c.doc_id,
+        |  md5(string_agg(c.seg, ' ' ORDER BY c.chunk_id)) AS clean_fp,
+        |  count(*) AS n_kept
+        |FROM c JOIN f USING (seg) WHERE f.df < 2
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "text_contamination" ->
