@@ -299,6 +299,24 @@ object ContentQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // Deterministic stratified train/val/test split (80/10/10): the md5
+    // bucket is a pure function of doc_id, so the split is stable across
+    // runs, replays, and engines — no sampling state anywhere. One hash
+    // aggregate; at 100 TB the split column computes in the scan stage.
+    "sample_split" -> ((s, d) => {
+      val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 15), 16, 10).cast("long"), lit(10))
+      docs(s, d)
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val")
+            .otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).cast("long")
+            .as("total_tokens"))
+        .orderBy(col("source"), col("split"))
+    }),
+
     // Vocabulary building: global token frequencies, top 50 — partial
     // aggregate then TakeOrdered (50 rows per task cross the wire, never
     // a global sort of the vocabulary).
@@ -929,6 +947,18 @@ object ContentQueries {
         |  FROM documents)
         |SELECT source, doc_id FROM r WHERE rn <= 3
         |ORDER BY source, doc_id""".stripMargin,
+
+    "sample_split" ->
+      """WITH b AS (SELECT source, text,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 10 AS bucket
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bucket < 8 THEN 'train'
+        |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_vocab_topk" ->
       """SELECT t AS token, count(*) AS n
