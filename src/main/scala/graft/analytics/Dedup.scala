@@ -108,21 +108,15 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
                       n: Int = 3, numHashes: Int = 32, bands: Int = 16,
                       threshold: Double = 0.7): DataFrame = {
-    val rows = numHashes / bands
     val sh = shingleTable(docs, id, text, n)
     // native single-pass signature (graft.functions.MinHashSignature) —
     // the universal family mod 2^31-1 wraps genuinely, so each h_i is an
     // independent permutation (a non-wrapping family degenerates to a
-    // single-hash MinHash and loses recall)
-    val sig = sh.withColumn("sig",
-      graft.functions.HashExpressions.minhashSignature(col("sh"), numHashes))
-    // band key = (bandIndex, hash of the band's slice of the signature);
-    // the candidate join carries only (doc_id, band, bucket) — shingle
-    // arrays are fetched back just for the (few) candidates
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map(bnd =>
-        hash(slice(col("sig"), bnd * rows + 1, rows))): _*))
-        .as(Seq("band", "bucket")))
+    // single-hash MinHash and loses recall). Band key = (bandIndex, hash
+    // of the band's signature slice); the candidate join carries only
+    // (doc_id, band, bucket) — shingle arrays are fetched back just for
+    // the (few) candidates.
+    val banded = bandedBuckets(sh, numHashes, bands)
     val l = banded.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
     val r = banded.select(col("doc_id").as("b_id"), col("band"), col("bucket"))
     // hash join: band buckets are hash-uniform, per-partition builds tiny
@@ -174,6 +168,57 @@ object Dedup {
   def embeddingNearDups(emb: DataFrame, id: Column, vec: Column,
                         threshold: Double): DataFrame =
     Similarity.srpLshPairs(emb, id, vec, threshold)
+
+  /** MinHash band buckets for a shingle table: one row per (doc, band)
+    * with the band's bucket hash — the shared candidate-generation key for
+    * within-corpus pairs (`minhashLshPairs`) and incremental
+    * (`nearDupAgainst`) dedup. */
+  private def bandedBuckets(sh: DataFrame, numHashes: Int,
+                            bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sh.withColumn("sig",
+        graft.functions.HashExpressions.minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(bnd =>
+          hash(slice(col("sig"), bnd * rows + 1, rows))): _*))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** Near-dup filter for the append workflow: which `incoming` rows are
+    * near-duplicates (shingle-Jaccard >= threshold) of the already-clean
+    * `history` — `newAgainst`'s LSH counterpart for the 99% of real dups
+    * that are not byte-identical. Returns `(new_id, dup_of, jaccard)`.
+    *
+    * Scale: candidates come from an equi-join of the increment's band
+    * buckets against the history's — shuffle keyed by (band, bucket),
+    * volume O(increment + matching history buckets), never a history
+    * self-join; at 100 TB the history bucket table is precomputed once
+    * and reused across daily increments. Exact Jaccard verifies only the
+    * candidates. */
+  def nearDupAgainst(history: DataFrame, incoming: DataFrame, id: Column,
+                     text: Column, n: Int = 3, numHashes: Int = 32,
+                     bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val hs = shingleTable(history, id, text, n)
+    val is = shingleTable(incoming, id, text, n)
+    val hb = bandedBuckets(hs, numHashes, bands)
+      .withColumnRenamed("doc_id", "dup_of")
+    val ib = bandedBuckets(is, numHashes, bands)
+      .withColumnRenamed("doc_id", "new_id")
+    val cand = ib.join(hb.hint("SHUFFLE_HASH"), Seq("band", "bucket"))
+      .select("new_id", "dup_of")
+      .dropDuplicates("new_id", "dup_of")
+    val a = is.select(col("doc_id").as("new_id"), col("sh").as("a_sh"),
+      col("n_sh").as("a_n"))
+    val b = hs.select(col("doc_id").as("dup_of"), col("sh").as("b_sh"),
+      col("n_sh").as("b_n"))
+    cand.join(a, Seq("new_id")).join(b, Seq("dup_of"))
+      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard",
+        col("common") / (col("a_n") + col("b_n") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("dup_of"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
 
   /** Incremental dedup: which of the `incoming` batch's rows are genuinely
     * new against an already-deduplicated `history` corpus — the daily

@@ -520,6 +520,20 @@ object ContentQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Incremental NEAR-dup dedup: the doc_id%7==0 "daily batch" checked
+    // against the rest of the corpus as clean history — newAgainst's LSH
+    // counterpart for dups that are not byte-identical. Oracle is the
+    // exhaustive cross-set Jaccard pair set, so full recall at this SF is
+    // asserted too.
+    "dedup_incremental_near" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.nearDupAgainst(
+        dd.filter(col("doc_id") % 7 =!= 0),
+        dd.filter(col("doc_id") % 7 === 0),
+        col("doc_id"), col("text"), n = 3, threshold = 0.7)
+        .orderBy(col("new_id"), col("dup_of"))
+    }),
+
     // Round-4 capstone: the full corpus-preparation pipeline as ONE
     // declarative plan — boilerplate gate (integer ratio, engine-exact) →
     // benchmark-contamination filter → normalize → exact dedup on the
@@ -667,6 +681,24 @@ object ContentQueries {
 
     "dedup_ngram_jaccard" -> jaccardOracle(0.5),
     "dedup_minhash_lsh" -> jaccardOracle(0.7),
+
+    "dedup_incremental_near" ->
+      """WITH sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(
+        |        string_split(lower(text), ' '), i, i + 2), ' '))) AS s
+        |  FROM documents),
+        |e AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+        |p AS (SELECT i.doc_id AS new_id, h.doc_id AS dup_of,
+        |    i.n_sh AS a_n, h.n_sh AS b_n, count(*) AS common
+        |  FROM e i JOIN e h ON i.shingle = h.shingle
+        |  WHERE i.doc_id % 7 = 0 AND h.doc_id % 7 <> 0
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT new_id, dup_of,
+        |  round(common / (a_n + b_n - common), 6) AS jaccard
+        |FROM p WHERE common / (a_n + b_n - common) >= 0.7
+        |ORDER BY new_id, dup_of""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $jaccardCtes,

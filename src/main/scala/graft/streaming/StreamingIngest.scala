@@ -169,4 +169,34 @@ object StreamingIngest {
           }
       }
   }
+
+  /** Streaming near-dup gate: every micro-batch drops rows whose shingle
+    * Jaccard against the static `history` corpus reaches the threshold
+    * (Dedup.nearDupAgainst — banded MinHash candidates + exact verify),
+    * and appends the survivors. The history side's bucket table is
+    * recomputed per batch here; a production deployment precomputes and
+    * refreshes it outside the stream (the operator only needs (doc, band,
+    * bucket) + shingle rows, both incrementally maintainable). */
+  def startNearDupGate(frame: DataFrame, history: DataFrame,
+                       idCol: String, textCol: String,
+                       outDir: String, checkpointDir: String,
+                       threshold: Double = 0.7,
+                       trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    frame.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dups = graft.analytics.Dedup.nearDupAgainst(history, batch,
+            org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col(textCol),
+            threshold = threshold)
+          .select(org.apache.spark.sql.functions.col("new_id").as(idCol))
+          .distinct()
+        batch.join(dups, Seq(idCol), "left_anti")
+          .write.mode("append").parquet(outDir)
+        graft.analytics.Caches.clear()
+      }
+      .start()
 }

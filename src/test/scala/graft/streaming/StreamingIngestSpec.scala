@@ -263,4 +263,33 @@ class StreamingIngestSpec extends SparkSuite {
     assert(u1.count(_ == (1L, 2L)) == 2,
       s"expected running + final-emit rows for session 1: $u1")
   }
+
+  test("streaming near-dup gate drops micro-batch rows that near-dup the " +
+    "static history and appends the survivors") {
+    val src = Files.createTempDirectory("nd_src").toString
+    val out = Files.createTempDirectory("nd_out").toString
+    val ckpt = Files.createTempDirectory("nd_ckpt").toString
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different historical content about spark engines"))
+      .toDF("doc_id", "text")
+    // near-dup of doc 1 (one token changed) + a genuinely novel doc
+    Seq((10L, "the quick brown fox jumps over the lazy cat again and again"),
+      (11L, "entirely novel text that matches nothing in the history"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = StreamingIngest.startNearDupGate(
+      spark.readStream.schema(schema).parquet(src), history,
+      "doc_id", "text", out, ckpt, threshold = 0.5)
+    q.awaitTermination(60000)
+    val kept = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(11L),
+      s"near-dup 10 must be dropped, novel 11 kept; got ${kept.toSeq}")
+  }
 }
