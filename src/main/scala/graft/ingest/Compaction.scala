@@ -90,6 +90,16 @@ object Compaction {
       b.result()
     }
     if (before.isEmpty) return Result(Nil, 0, 0)
+    // K/V/H lakes (P4): key/header sidecars share each value file's
+    // basename; rewriting only the value files would break the lockstep
+    // contract, and rewriting all three coherently needs a joint pass
+    // this operator doesn't implement — refuse loudly instead of
+    // corrupting the layout.
+    require(!before.exists { case (_, f) =>
+      f.contains(".keys.") || f.contains(".headers.") },
+      "cannot compact a K/V/H lake: key/header sidecars must stay in " +
+        "lockstep with value basenames (compact before enabling " +
+        "writeKeys/writeHeaders, or rebuild the lake)")
 
     val lake = readLake(spark, topicDir, cfg)
     require(lake.columns.contains(offsetCol),

@@ -131,6 +131,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("dedup_boilerplate_clean: reassembly aggregates with map-side " +
+    "partials on the hash key — no cartesian/nested-loop plan") {
+    val p = plan("dedup_boilerplate_clean")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("emb_centroid_stats: the centroid table joins as a broadcast — the " +
     "corpus never reshuffles for the join") {
     val p = plan("emb_centroid_stats")

@@ -118,4 +118,18 @@ class CompactionSpec extends SparkSuite {
     assert(back.count() == 24 &&
       back.select("offset").distinct().count() == 24)
   }
+
+  test("compaction refuses K/V/H lakes instead of breaking basename " +
+    "lockstep") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "kvh", flushSize = 3, writeKeys = true)
+    val df = (0L until 9L).map(o => (0, o, s"k$o", s"v$o", "a"))
+      .toDF("kafka_partition", "offset", "key", "value", "f")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("f")), out,
+      payloadCols = Seq(col("offset"), col("value")))
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, out, cfg, targetRecords = 100)
+    }
+    assert(e.getMessage.contains("K/V/H"))
+  }
 }
