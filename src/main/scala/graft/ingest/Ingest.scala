@@ -116,6 +116,33 @@ object Ingest {
         offset, extraGroups)
     Result(files, stats)
   }
+
+  /** Multi-topic ingest — the reference's `topics` list
+    * (S3SinkTask.java:229-276 routes each record by `record.topic` to its
+    * own TopicPartitionWriter tree): records partition by their topic
+    * column and each topic runs the standard pipeline under its own
+    * `<topics.dir>/<topic>/` subtree, with a per-topic config (same knobs,
+    * different topic — or genuinely different formats/flush sizes, which
+    * the reference cannot express). Driver-side work is one `distinct()`
+    * over topic VALUES — bounded by the subscription size, never record
+    * count; each topic's job reads only its slice (predicate pushed to the
+    * scan). */
+  def runMulti(frame: DataFrame, topicCol: Column,
+               cfgFor: String => IngestConfig,
+               partitioner: PartitionerSpec, outDir: String,
+               kafkaPartition: Column = col("kafka_partition"),
+               offset: Column = col("offset"),
+               payloadCols: Seq[Column],
+               valueColumnForNulls: Option[String] = None,
+               writeManifest: Boolean = false): Map[String, Result] = {
+    val topics = frame.select(topicCol.cast("string").as("t"))
+      .distinct().collect().map(_.getString(0)).sorted
+    topics.map { t =>
+      t -> run(frame.filter(topicCol === t), cfgFor(t), partitioner, outDir,
+        kafkaPartition, offset, payloadCols, valueColumnForNulls,
+        writeManifest)
+    }.toMap
+  }
 }
 
 /** R10 rotation diagnostics (util/FileRotationTracker.java:22-171): the

@@ -119,4 +119,24 @@ class IngestSpec extends SparkSuite {
     assert(df.select(e).head.getString(0) ==
       "schema_name=s1/year=2024/month=03/day=01/hour=13")
   }
+
+  test("multi-topic ingest routes records by topic column into separate " +
+    "lake subtrees with per-topic configs (S3SinkTask.java:229-276)") {
+    val out = freshDir()
+    val df = (0L until 12L).map { o =>
+      (if (o % 2 == 0) "orders" else "clicks", 0, o, s"v$o", s"t${o % 3}")
+    }.toDF("topic", "kafka_partition", "offset", "value", "event_type")
+    val results = Ingest.runMulti(df, col("topic"),
+      t => IngestConfig(topic = t,
+        flushSize = if (t == "orders") 1 else 100),
+      PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("value")))
+    assert(results.keySet == Set("orders", "clicks"))
+    // per-topic flush.size honored: orders fragments, clicks does not
+    assert(results("orders").files.size > results("clicks").files.size)
+    val ordersBack = spark.read.parquet(s"$out/topics/orders")
+    val clicksBack = spark.read.parquet(s"$out/topics/clicks")
+    assert(ordersBack.count() == 6 && clicksBack.count() == 6)
+    assert(ordersBack.select("offset").as[Long].collect().forall(_ % 2 == 0))
+  }
 }
