@@ -284,6 +284,21 @@ object RelationalQueries {
         .orderBy(col("hr"))
     }),
 
+    // Semi-structured extraction: events.props is a JSON string; pull the
+    // numeric field out in the scan stage (codegen'd get_json_object, no
+    // UDF) and aggregate — the schema-on-read path a lake of raw payloads
+    // needs before anything relational can run.
+    "q38_json_extract" -> ((s, d) =>
+      T(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     // Statistical aggregates (correlation / covariance / regression):
     // single-pass partial-aggregatable moments, one shuffle. Rounded at 4
     // decimals — the moment sums differ across engines only at ~1e-10.
@@ -688,6 +703,15 @@ object RelationalQueries {
     "q30_regexp" ->
       """SELECT p_partkey, regexp_extract(p_type, '([a-z]+)', 1) AS first_word
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q38_json_extract" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q36_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
