@@ -82,11 +82,20 @@ object Rotation {
       var curKey: String = null
       var base = 0L
       var group = 0L
+      val tsIdx = -1 // resolved from the first row (schema is stable)
+      var tsPos = tsIdx
       it.map { r =>
+        if (tsPos < 0) tsPos = r.fieldIndex(TsCol)
         val k = r.getAs[String](KeyCol)
-        val t = r.getAs[Long](TsCol)
+        // null event time (e.g. a tombstone without K12 fallback applied):
+        // the reference skips time-rotation for records its extractor
+        // can't time (TopicPartitionWriter.java:658-665 guards on the
+        // extractor) — mirror that by keeping the record in the current
+        // file without advancing the base
+        val tNull = r.isNullAt(tsPos)
+        val t = if (tNull) base else r.getLong(tsPos)
         if (k != curKey) { curKey = k; base = t; group = 0L }
-        else if (t - base >= intervalMs) { base = t; group += 1L }
+        else if (!tNull && t - base >= intervalMs) { base = t; group += 1L }
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ group)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))

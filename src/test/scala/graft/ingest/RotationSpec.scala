@@ -146,4 +146,18 @@ class RotationSpec extends SparkSuite {
     assert(r.stats.byCause.getOrElse("rotate_interval", 0L) == 1L,
       r.stats.byCause)
   }
+
+  test("R2 file-base fold: null event times stay in the current file and " +
+    "never advance the base (extractor-guard behavior)") {
+    val df = Seq((0, 0L, Some(0L)), (0, 1L, None), (0, 2L, Some(50L)),
+      (0, 3L, Some(150L)))
+      .toDF("part", "offset", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val folded = Rotation.assignFileBaseTimeGroups(df, col("part"),
+      col("offset"), col("ts"), 100L)
+    val groups = folded.select(col("offset"), col(Rotation.TimeGroupCol))
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    // base=0; null stays; 50 stays; 150 rotates
+    assert(groups.toSeq == Seq(0L, 0L, 0L, 1L))
+  }
 }
