@@ -29,4 +29,24 @@ object Caches {
       df = live.poll()
     }
   }
+
+  /** Run `f`, then unpersist ONLY the frames persisted during it — for
+    * operators embedded in long-lived applications (e.g. a streaming
+    * foreachBatch) where the global `clear()` would also evict caches
+    * co-resident pipelines still depend on. */
+  def scoped[T](f: => T): T = {
+    val before = new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]
+    live.forEach(df => before.put(df, java.lang.Boolean.TRUE))
+    try f
+    finally {
+      val it = live.iterator()
+      while (it.hasNext) {
+        val df = it.next()
+        if (!before.containsKey(df)) {
+          df.unpersist(blocking = false)
+          it.remove()
+        }
+      }
+    }
+  }
 }

@@ -32,24 +32,30 @@ object Dedup {
         .filter(size(col("sh")) > 0)
         .withColumn("n_sh", size(col("sh"))))
 
-  /** Exact-Jaccard verification of a light (a_id, b_id) candidate set:
-    * join the shingle arrays back only for candidates, compute
+  /** Exact-Jaccard verification of a light candidate pair set: join the
+    * shingle arrays back only for candidates, compute
     * |A∩B| / (|A|+|B|-|A∩B|). The jaccard double is a ratio of exact ints,
     * so it is bit-identical across engines — threshold compare is
-    * deterministic. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame = {
-    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+    * deterministic. The two sides may be the same shingle table (self
+    * near-dup pairs) or different ones (increment vs history). */
+  private def verifyJaccardAcross(cand: DataFrame, aSh: DataFrame,
+                                  bSh: DataFrame, threshold: Double,
+                                  aName: String, bName: String): DataFrame = {
+    val a = aSh.select(col("doc_id").as(aName), col("sh").as("a_sh"),
       col("n_sh").as("a_n"))
-    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+    val b = bSh.select(col("doc_id").as(bName), col("sh").as("b_sh"),
       col("n_sh").as("b_n"))
-    cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+    cand.join(a, Seq(aName)).join(b, Seq(bName))
       .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("jaccard",
         col("common") / (col("a_n") + col("b_n") - col("common")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col(aName), col(bName), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame =
+    verifyJaccardAcross(cand, sh, sh, threshold, "a_id", "b_id")
 
   /** Pairs `(a_id, b_id, jaccard)` with n-gram-shingle Jaccard >= threshold:
     * the exhaustive-exact baseline. Explode distinct shingles, self
@@ -207,17 +213,7 @@ object Dedup {
     val cand = ib.join(hb.hint("SHUFFLE_HASH"), Seq("band", "bucket"))
       .select("new_id", "dup_of")
       .dropDuplicates("new_id", "dup_of")
-    val a = is.select(col("doc_id").as("new_id"), col("sh").as("a_sh"),
-      col("n_sh").as("a_n"))
-    val b = hs.select(col("doc_id").as("dup_of"), col("sh").as("b_sh"),
-      col("n_sh").as("b_n"))
-    cand.join(a, Seq("new_id")).join(b, Seq("dup_of"))
-      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
-      .withColumn("jaccard",
-        col("common") / (col("a_n") + col("b_n") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("dup_of"),
-        round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccardAcross(cand, is, hs, threshold, "new_id", "dup_of")
   }
 
   /** Incremental dedup: which of the `incoming` batch's rows are genuinely

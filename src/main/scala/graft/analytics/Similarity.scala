@@ -240,9 +240,7 @@ object Similarity {
     // filter so the sample stays ~100×nLists. The hash is md5-derived
     // (engine-portable) so the whole IVF pipeline is DuckDB-expressible
     // and oracle-checked.
-    val centroids = c.withColumn("r",
-      pmod(conv(substring(md5(col("n_id").cast("string")), 1, 15), 16, 10)
-        .cast("long"), lit(997)))
+    val centroids = c.withColumn("r", hashRank(col("n_id")))
       .filter(col("r") < 64)
       .orderBy(col("r"), col("n_id")).limit(nLists)
       .select(col("n_id").as("list_id"), col("c_v").as("cent_v"),
@@ -289,86 +287,70 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
   }
 
-  /** Product-quantization (PQ) approximate top-k with asymmetric distance
-    * computation (ADC): vectors split into `m` subvectors, each encoded as
-    * the id of its nearest codeword; a query precomputes its
-    * subspace-distance table once, and every corpus distance is m table
-    * lookups summed — the classic 32× byte-compression scan
-    * (m bytes of codes vs 4·dim bytes of floats).
-    *
-    * Codebooks are a deterministic md5-hash sample of the corpus (k-means
-    * init without the iterations, same construction as `ivfTopK`
-    * centroids) shared across subspaces — engine-portable, so the whole
-    * encode/ADC pipeline is DuckDB-expressible and oracle-checked; swap
-    * in per-subspace trained centroids offline without changing the query
-    * path. All distances round to 6 decimals before any argmin/ranking
-    * (ties break on the lower codeword/neighbor id), so FP-sum ordering
-    * can never flip a code assignment across engines.
-    *
-    * Plan shape: codebook and the per-query distance table are broadcast
-    * (ks·m and |Q|·ks·m rows); the corpus is read once, encodes via a
-    * map-side-partial `min_by` aggregate, and the ADC scan is one hash
-    * aggregate over (q, n) partials — no window/sort anywhere on the
-    * corpus, no cross join of raw vectors. At 100 TB compose with the IVF
-    * list pruning (IVF-PQ) so the ADC scan touches only probed lists. */
-  def pqTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
-             qVec: Column, cId: Column, cVec: Column, k: Int,
-             dim: Int = 64, m: Int = 8, ks: Int = 16): DataFrame = {
-    require(dim % m == 0, "m must divide dim")
-    val sub = dim / m
-    def subSlices(v: Column): Column =
-      array((0 until m).map(s =>
-        struct(lit(s).as("sub"), slice(v, s * sub + 1, sub).as("sv"))): _*)
-    // squared L2 via dots: |a-b|^2 = a·a + b·b - 2·a·b (native DotProduct)
-    def d2(a: Column, b: Column): Column =
-      round(dot(a, a) + dot(b, b) - lit(2) * dot(a, b), 6)
-    def d2i(a: Column, b: Column): Column =
-      round((dot(a, a) + dot(b, b) - lit(2) * dot(a, b)) * 1e6, 0)
-        .cast("long")
+  // ---- shared PQ machinery (pqTopK + ivfPqTopK) ----
 
-    val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
-    // ks hash-sampled codebook vectors; j = 1..ks (codeword id). The
-    // sample is a distributed TakeOrdered (never a global sort) and the
-    // id assignment is a collect+posexplode over the 16 post-limit rows —
-    // no Window node anywhere in the codebook subtree.
-    val cb = c.withColumn("r",
-      pmod(conv(substring(md5(col("n_id").cast("string")), 1, 15), 16, 10)
-        .cast("long"), lit(997)))
+  /** md5-derived deterministic rank in [0, 997): the engine-portable
+    * sampling hash shared by IVF centroids and PQ codebooks (and replayed
+    * literally by the DuckDB oracles — change it NOWHERE in isolation). */
+  private def hashRank(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(997))
+
+  /** One struct per subspace: (sub, dim/m-wide slice). */
+  private def pqSubSlices(v: Column, m: Int, sub: Int): Column =
+    array((0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(v, s * sub + 1, sub).as("sv"))): _*)
+
+  // squared L2 via dots: |a-b|^2 = a.a + b.b - 2*a.b (native DotProduct),
+  // rounded for an engine-stable argmin...
+  private def pqD2(a: Column, b: Column): Column =
+    round(dot(a, a) + dot(b, b) - lit(2) * dot(a, b), 6)
+
+  // ...and snapped to INTEGER micros where values get SUMMED: the ADC sum
+  // becomes exact integer arithmetic, so float-addition order (Spark
+  // partial aggregation vs DuckDB sequential) can never flip a rounded
+  // distance.
+  private def pqD2i(a: Column, b: Column): Column =
+    round((dot(a, a) + dot(b, b) - lit(2) * dot(a, b)) * 1e6, 0).cast("long")
+
+  /** ks hash-sampled codebook rows (sub, j, cw): a distributed TakeOrdered
+    * sample, then codeword-id assignment via collect+posexplode over the
+    * ks post-limit rows — no Window node anywhere in the subtree. */
+  private def pqCodebook(c: DataFrame, m: Int, sub: Int, ks: Int): DataFrame =
+    c.withColumn("r", hashRank(col("n_id")))
       .filter(col("r") < 64)
       .orderBy(col("r"), col("n_id")).limit(ks)
       .select(struct(col("r"), col("n_id"), col("c_v")).as("s"))
       .agg(array_sort(collect_list(col("s"))).as("arr"))
       .select(posexplode(col("arr")).as(Seq("p", "s")))
       .select((col("p") + 1).as("j"),
-        explode(subSlices(col("s").getField("c_v"))).as("e"))
+        explode(pqSubSlices(col("s").getField("c_v"), m, sub)).as("e"))
       .select(col("e.sub").as("sub"), col("j"), col("e.sv").as("cw"))
 
-    // encode: nearest codeword per (vector, subspace) — min_by aggregate
-    val cSub = c.select(col("n_id"), explode(subSlices(col("c_v"))).as("e"))
+  /** Corpus codes (n_id, sub, code): nearest codeword per subspace via a
+    * map-side-partial min_by (ties: lower codeword id). */
+  private def pqEncode(c: DataFrame, cb: DataFrame, m: Int,
+                       sub: Int): DataFrame =
+    c.select(col("n_id"), explode(pqSubSlices(col("c_v"), m, sub)).as("e"))
       .select(col("n_id"), col("e.sub").as("sub"), col("e.sv").as("cs"))
-    val codes = cSub.join(broadcast(cb), Seq("sub"))
+      .join(broadcast(cb), Seq("sub"))
       .select(col("n_id"), col("sub"), col("j"),
-        d2(col("cs"), col("cw")).as("d"))
+        pqD2(col("cs"), col("cw")).as("d"))
       .groupBy(col("n_id"), col("sub"))
       .agg(min_by(col("j"), struct(col("d"), col("j"))).as("code"))
 
-    // per-query subspace distance table (broadcast: |Q| x m x ks rows)
-    val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
-    // per-subspace query distances snap to INTEGER micros so the ADC sum
-    // is exact integer arithmetic — float-addition order (Spark partial
-    // aggregation vs DuckDB sequential) can never flip a rounded distance
-    val qTab = q.select(col("q_id"), explode(subSlices(col("q_v"))).as("e"))
+  /** Per-query subspace distance table (q_id, sub, j, qdi) in integer
+    * micros — broadcastable (|Q|*m*ks rows), summed exactly by the ADC. */
+  private def pqQueryTable(q: DataFrame, cb: DataFrame, m: Int,
+                           sub: Int): DataFrame =
+    q.select(col("q_id"), explode(pqSubSlices(col("q_v"), m, sub)).as("e"))
       .select(col("q_id"), col("e.sub").as("sub"), col("e.sv").as("qs"))
       .join(broadcast(cb), Seq("sub"))
       .select(col("q_id"), col("sub"), col("j"),
-        d2i(col("qs"), col("cw")).as("qdi"))
+        pqD2i(col("qs"), col("cw")).as("qdi"))
 
-    // ADC: sum the m looked-up partials per (query, neighbor)
-    val adc = codes.join(broadcast(qTab),
-        codes("sub") === qTab("sub") && codes("code") === qTab("j"))
-      .filter(col("q_id") =!= col("n_id"))
-      .groupBy(col("q_id"), col("n_id"))
-      .agg(round(sum(col("qdi")) / 1e6, 4).as("adist"))
+  /** Final per-query ranking over summed ADC distances. */
+  private def pqRank(adc: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adist").asc, col("n_id"))
     adc.withColumn("rank", row_number().over(w))
@@ -376,17 +358,57 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("adist"), col("rank"))
   }
 
+  /** Product-quantization (PQ) approximate top-k with asymmetric distance
+    * computation (ADC): vectors split into `m` subvectors, each encoded as
+    * the id of its nearest codeword; a query precomputes its
+    * subspace-distance table once, and every corpus distance is m table
+    * lookups summed — the classic 32x byte-compression scan
+    * (m bytes of codes vs 4*dim bytes of floats).
+    *
+    * Codebooks are a deterministic md5-hash sample of the corpus (k-means
+    * init without the iterations, same construction as `ivfTopK`
+    * centroids) shared across subspaces — engine-portable, so the whole
+    * encode/ADC pipeline is DuckDB-expressible and oracle-checked; swap
+    * in per-subspace trained centroids offline without changing the query
+    * path. All distances round before any argmin/ranking (ties break on
+    * the lower codeword/neighbor id) and the summed partials are integer
+    * micros, so FP-sum ordering can never flip a result across engines.
+    *
+    * Plan shape: codebook and the per-query distance table are broadcast;
+    * the corpus is read once, encodes via a map-side-partial `min_by`
+    * aggregate, and the ADC scan is one hash aggregate over (q, n)
+    * partials — no window/sort anywhere on the corpus, no cross join of
+    * raw vectors. At 100 TB compose with IVF list pruning (`ivfPqTopK`)
+    * so the ADC scan touches only probed lists. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
+             qVec: Column, cId: Column, cVec: Column, k: Int,
+             dim: Int = 64, m: Int = 8, ks: Int = 16): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
+    val cb = pqCodebook(c, m, sub, ks)
+    val codes = pqEncode(c, cb, m, sub)
+    val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
+    val qTab = pqQueryTable(q, cb, m, sub)
+    val adc = codes.join(broadcast(qTab),
+        codes("sub") === qTab("sub") && codes("code") === qTab("j"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(round(sum(col("qdi")) / 1e6, 4).as("adist"))
+    pqRank(adc, k)
+  }
+
   /** IVF-PQ: the production composition — IVF list pruning picks WHICH
     * vectors each query compares against (`nProbe`/`nLists` of the
     * corpus), PQ-ADC decides HOW each comparison is paid for (m code
-    * lookups instead of a dim-float dot). The two index structures are the
-    * same deterministic md5-derived constructions as `ivfTopK` and
-    * `pqTopK`, so the composition stays fully oracle-checked.
+    * lookups instead of a dim-float dot). Both index structures are the
+    * shared deterministic constructions above, so the composition stays
+    * fully oracle-checked.
     *
     * Plan shape: both index builds are broadcast-join + map-side-partial
     * aggregates over ONE corpus read each; the candidate set is an
-    * equi-join on list_id (probes are |Q|·nProbe rows, broadcast), and
-    * the ADC sum is one hash aggregate over candidates×m rows. The corpus
+    * equi-join on list_id (probes are |Q|*nProbe rows, broadcast), and
+    * the ADC sum is one hash aggregate over candidates*m rows. The corpus
     * is never sorted, never windowed, never self-joined on raw vectors —
     * at 100 TB the scan reads nProbe/nLists of the rows and 1/32 of the
     * bytes per row. */
@@ -396,22 +418,10 @@ object Similarity {
                 dim: Int = 64, m: Int = 8, ks: Int = 16): DataFrame = {
     require(dim % m == 0, "m must divide dim")
     val sub = dim / m
-    def subSlices(v: Column): Column =
-      array((0 until m).map(s =>
-        struct(lit(s).as("sub"), slice(v, s * sub + 1, sub).as("sv"))): _*)
-    def d2(a: Column, b: Column): Column =
-      round(dot(a, a) + dot(b, b) - lit(2) * dot(a, b), 6)
-    def d2i(a: Column, b: Column): Column =
-      round((dot(a, a) + dot(b, b) - lit(2) * dot(a, b)) * 1e6, 0)
-        .cast("long")
-    def hashR(id: Column): Column =
-      pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
-        .cast("long"), lit(997))
-
     val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
       .withColumn("c_n", norm(col("c_v")))
     // --- IVF side: centroids + list assignment (as ivfTopK) ---
-    val centroids = c.withColumn("r", hashR(col("n_id")))
+    val centroids = c.withColumn("r", hashRank(col("n_id")))
       .filter(col("r") < 64)
       .orderBy(col("r"), col("n_id")).limit(nLists)
       .select(col("n_id").as("list_id"), col("c_v").as("cent_v"),
@@ -435,32 +445,12 @@ object Similarity {
         .as("top"))
       .select(col("q_id"), explode(col("top.list_id")).as("list_id"))
 
-    // --- PQ side: shared codebook, corpus codes, query tables (as pqTopK;
-    // windowless codeword-id assignment over the 16 post-limit rows)
-    val cb = c.withColumn("r", hashR(col("n_id")))
-      .filter(col("r") < 64)
-      .orderBy(col("r"), col("n_id")).limit(ks)
-      .select(struct(col("r"), col("n_id"), col("c_v")).as("s"))
-      .agg(array_sort(collect_list(col("s"))).as("arr"))
-      .select(posexplode(col("arr")).as(Seq("p", "s")))
-      .select((col("p") + 1).as("j"),
-        explode(subSlices(col("s").getField("c_v"))).as("e"))
-      .select(col("e.sub").as("sub"), col("j"), col("e.sv").as("cw"))
-    val codes = c.select(col("n_id"), explode(subSlices(col("c_v"))).as("e"))
-      .select(col("n_id"), col("e.sub").as("sub"), col("e.sv").as("cs"))
-      .join(broadcast(cb), Seq("sub"))
-      .select(col("n_id"), col("sub"), col("j"),
-        d2(col("cs"), col("cw")).as("d"))
-      .groupBy(col("n_id"), col("sub"))
-      .agg(min_by(col("j"), struct(col("d"), col("j"))).as("code"))
-    val qTab = q.select(col("q_id"), explode(subSlices(col("q_v"))).as("e"))
-      .select(col("q_id"), col("e.sub").as("sub"), col("e.sv").as("qs"))
-      .join(broadcast(cb), Seq("sub"))
-      .select(col("q_id"), col("sub"), col("j"),
-        d2i(col("qs"), col("cw")).as("qdi"))
+    // --- PQ side: shared codebook / corpus codes / query tables ---
+    val cb = pqCodebook(c, m, sub, ks)
+    val codes = pqEncode(c, cb, m, sub)
+    val qTab = pqQueryTable(q.select(col("q_id"), col("q_v")), cb, m, sub)
 
     // --- compose: prune candidates by probed list, then ADC over codes
-    // (integer-micro partials: the sum is order-free, see pqTopK)
     val cand = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
@@ -469,10 +459,6 @@ object Similarity {
         Seq("q_id", "sub", "code"))
       .groupBy(col("q_id"), col("n_id"))
       .agg(round(sum(col("qdi")) / 1e6, 4).as("adist"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist").asc, col("n_id"))
-    adc.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("adist"), col("rank"))
+    pqRank(adc, k)
   }
 }

@@ -50,7 +50,16 @@ object Compaction {
       .option("pathGlobFilter", s"*${cfg.extension}")
       .option("recursiveFileLookup", "true")
       .load(topicDir)
-    val rel = regexp_extract(input_file_name(),
+    // input_file_name() is a percent-ENCODED URI; URI.getPath decodes it
+    // (incl. UTF-8 multibyte), so partition values with spaces/specials
+    // compare equal to the decoded directory names the writer created —
+    // otherwise compaction would relocate `a b` to a literal `a%20b` dir
+    // and delete the originals. (URLDecoder is wrong here: it also turns
+    // the '+' every file name contains into a space.)
+    val decodePath = udf { s: String =>
+      try new java.net.URI(s).getPath catch { case _: Exception => s }
+    }
+    val rel = regexp_extract(decodePath(input_file_name()),
       Pattern.quote(topicPath) + "/(.*)$", 1)
     df.withColumn("__fname", regexp_extract(rel, "([^/]+)$", 1))
       .withColumn("__epart", regexp_replace(rel, "/?[^/]+$", ""))
@@ -104,6 +113,22 @@ object Compaction {
     val lake = readLake(spark, topicDir, cfg)
     require(lake.columns.contains(offsetCol),
       s"compaction needs the record offset column '$offsetCol' in the lake")
+    // R2 lakes: re-apply the epoch-aligned time grouping so compacted
+    // boundaries still respect rotation edges (the result stays
+    // indistinguishable from ingesting with the larger flush.size).
+    // The sequential file-base rule re-folds over arbitrary history —
+    // out of scope for a maintenance pass; refuse rather than regroup
+    // under different semantics.
+    require(!(cfg.rotateIntervalMs.isDefined && cfg.rotateFileBase),
+      "cannot compact a rotateFileBase lake: the sequential file-base " +
+        "grouping is arrival-order state, not a function of the stored " +
+        "records")
+    val timeGroups = cfg.rotateIntervalMs.toSeq.map { iv =>
+      require(lake.columns.contains(cfg.timestampColumn),
+        s"rotate.interval.ms lake needs '${cfg.timestampColumn}' stored " +
+          "to preserve rotation boundaries under compaction")
+      Rotation.timeFileGroup(col(cfg.timestampColumn).cast("timestamp"), iv)
+    }
     val payload = lake.columns
       .filterNot(Set("__epart", "__fname", "__kpart").contains).map(col)
     // record identity (X1): makes a mixed-generation replay self-healing
@@ -112,7 +137,7 @@ object Compaction {
 
     val files = IngestWriter.write(records, cfg.copy(flushSize = targetRecords),
       col("__epart"), outDir, col("__kpart"), col(offsetCol),
-      payloadCols = payload.toSeq)
+      payloadCols = payload.toSeq, extraFileGroups = timeGroups)
 
     // delete stale objects of the old generation (tasks do the I/O)
     val newSet = files.map(f => (f.encodedPartition, f.fileName)).toSet

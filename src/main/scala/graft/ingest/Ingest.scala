@@ -135,8 +135,14 @@ object Ingest {
                payloadCols: Seq[Column],
                valueColumnForNulls: Option[String] = None,
                writeManifest: Boolean = false): Map[String, Result] = {
-    val topics = frame.select(topicCol.cast("string").as("t"))
-      .distinct().collect().map(_.getString(0)).sorted
+    val topicVals = frame.select(topicCol.cast("string").as("t"))
+      .distinct().collect().map(_.getString(0))
+    // Kafka guarantees every record a topic; a null here means the routing
+    // column is wrong — fail loudly rather than NPE in the sort or
+    // silently drop the records (topicCol === null matches nothing)
+    require(!topicVals.contains(null),
+      "runMulti: null topic value — check the topic routing column")
+    val topics = topicVals.sorted
     topics.map { t =>
       t -> run(frame.filter(topicCol === t), cfgFor(t), partitioner, outDir,
         kafkaPartition, offset, payloadCols, valueColumnForNulls,

@@ -80,22 +80,25 @@ object Rotation {
       .add(TimeGroupCol, org.apache.spark.sql.types.LongType, nullable = false)
     val folded = keyed.mapPartitions { it =>
       var curKey: String = null
+      var haveBase = false
       var base = 0L
       var group = 0L
-      val tsIdx = -1 // resolved from the first row (schema is stable)
-      var tsPos = tsIdx
+      var tsPos = -1 // resolved from the first row (schema is stable)
       it.map { r =>
         if (tsPos < 0) tsPos = r.fieldIndex(TsCol)
         val k = r.getAs[String](KeyCol)
+        if (k != curKey) { curKey = k; haveBase = false; group = 0L }
         // null event time (e.g. a tombstone without K12 fallback applied):
         // the reference skips time-rotation for records its extractor
         // can't time (TopicPartitionWriter.java:658-665 guards on the
-        // extractor) — mirror that by keeping the record in the current
-        // file without advancing the base
-        val tNull = r.isNullAt(tsPos)
-        val t = if (tNull) base else r.getLong(tsPos)
-        if (k != curKey) { curKey = k; base = t; group = 0L }
-        else if (!tNull && t - base >= intervalMs) { base = t; group += 1L }
+        // extractor) — such records stay in the current file and never
+        // seed or advance the base; the key's FIRST timed record becomes
+        // the file base (never a previous key's leftover state)
+        if (!r.isNullAt(tsPos)) {
+          val t = r.getLong(tsPos)
+          if (!haveBase) { haveBase = true; base = t }
+          else if (t - base >= intervalMs) { base = t; group += 1L }
+        }
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ group)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))

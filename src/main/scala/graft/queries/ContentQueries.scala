@@ -372,7 +372,9 @@ object ContentQueries {
       val toks = Caches.persist(docs(s, d)
         .select(col("doc_id"),
           explode(TextAnalysis.tokens(lower(col("text")))).as("term")))
-      val nDocs = docs(s, d).count().toDouble
+      // N as a broadcast 1-row aggregate: keeps the registry entry lazy
+      // (no Spark job at plan-construction time) and the corpus single-pass
+      val nDocs = docs(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
       val tf = toks.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val df = toks.dropDuplicates("doc_id", "term")
@@ -381,8 +383,9 @@ object ContentQueries {
         .partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
       tf.join(df.hint("SHUFFLE_HASH"), Seq("term"))
+        .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
-          round(col("tf") * log(lit(nDocs) / col("df")), 4))
+          round(col("tf") * log(col("n_docs") / col("df")), 4))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("rn").cast("long").as("rank"),

@@ -187,16 +187,25 @@ object StreamingIngest {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val dups = graft.analytics.Dedup.nearDupAgainst(history, batch,
-            org.apache.spark.sql.functions.col(idCol),
-            org.apache.spark.sql.functions.col(textCol),
-            threshold = threshold)
-          .select(org.apache.spark.sql.functions.col("new_id").as(idCol))
-          .distinct()
-        batch.join(dups, Seq(idCol), "left_anti")
-          .write.mode("append").parquet(outDir)
-        graft.analytics.Caches.clear()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // survivors land in a DETERMINISTIC per-batch directory with
+        // overwrite semantics: foreachBatch is at-least-once, so a replay
+        // of the same batchId rewrites the identical objects instead of
+        // appending duplicates (the X1 discipline, batch-granular).
+        // Caches.scoped unpersists only this operator's shingle frames —
+        // a global clear would evict co-resident pipelines' caches (e.g.
+        // a precomputed history bucket table) every trigger.
+        graft.analytics.Caches.scoped {
+          val dups = graft.analytics.Dedup.nearDupAgainst(history, batch,
+              org.apache.spark.sql.functions.col(idCol),
+              org.apache.spark.sql.functions.col(textCol),
+              threshold = threshold)
+            .select(org.apache.spark.sql.functions.col("new_id").as(idCol))
+            .distinct()
+          batch.join(dups, Seq(idCol), "left_anti")
+            .write.mode("overwrite")
+            .parquet(s"$outDir/batch_id=$batchId")
+        }
       }
       .start()
 }
