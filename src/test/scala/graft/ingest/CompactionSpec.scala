@@ -132,4 +132,23 @@ class CompactionSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("K/V/H"))
   }
+
+  test("partition values with spaces survive compaction (URI decode): no " +
+    "relocation, no data loss") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "sp", flushSize = 2)
+    val df = (0L until 8L).map(o => (0, o, s"v$o", "a b"))
+      .toDF("kafka_partition", "offset", "value", "event_type")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("value"), col("event_type")))
+    val dir = new java.io.File(s"$out/topics/sp/event_type=a b")
+    assert(dir.exists(), "fixture: decoded space dir must exist")
+    val r = Compaction.compact(spark, out, cfg, targetRecords = 100)
+    assert(r.files.size == 1 &&
+      r.files.head.encodedPartition == "event_type=a b", r)
+    // originals replaced in place, nothing relocated to a %20 directory
+    assert(!new java.io.File(s"$out/topics/sp/event_type=a%20b").exists())
+    val back = spark.read.parquet(s"$out/topics/sp")
+    assert(back.count() == 8)
+  }
 }
