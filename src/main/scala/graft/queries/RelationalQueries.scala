@@ -284,6 +284,39 @@ object RelationalQueries {
         .orderBy(col("hr"))
     }),
 
+    // Distribution-rank window functions: ntile buckets + the two rational
+    // rank statistics. percent_rank = (rank-1)/(n-1) and cume_dist = k/n
+    // are exact int ratios — engine-portable without rounding tricks.
+    "q39_ntile_dist" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      T(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // Null-safe equality join (<=>): match rows where both sides are equal
+    // OR both are null — the join SQL's IS NOT DISTINCT FROM. The nullable
+    // key keeps nulls rare (~1%) so the null group's self-join stays
+    // bounded while still genuinely matching null-to-null.
+    "q40_null_safe_join" -> ((s, d) => {
+      val e = T(s, d, "events").select(col("event_id"),
+        when(col("value") >= 1, col("event_type")).as("k"))
+      val l = e.select(col("k"), col("event_id").as("l_id"))
+      val r = e.select(col("k").as("rk"), col("event_id").as("r_id"))
+      l.join(r, col("k") <=> col("rk"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("l_id")).as("n_left"))
+        // explicit null placement: Spark default is NULLS FIRST, DuckDB's
+        // is NULLS LAST — the order-sensitive oracle compare needs one
+        .orderBy(col("k").asc_nulls_last)
+    }),
+
     // Semi-structured extraction: events.props is a JSON string; pull the
     // numeric field out in the scan stage (codegen'd get_json_object, no
     // UDF) and aggregate — the schema-on-read path a lake of raw payloads
@@ -703,6 +736,25 @@ object RelationalQueries {
     "q30_regexp" ->
       """SELECT p_partkey, regexp_extract(p_type, '([a-z]+)', 1) AS first_word
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q39_ntile_dist" ->
+      """SELECT event_type, event_id,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "q40_null_safe_join" ->
+      """WITH e AS (SELECT event_id,
+        |    CASE WHEN value >= 1 THEN event_type END AS k FROM events),
+        |l AS (SELECT k, event_id AS l_id FROM e),
+        |r AS (SELECT k AS rk, event_id AS r_id FROM e)
+        |SELECT l.k, count(*) AS n_pairs,
+        |  count(DISTINCT l.l_id) AS n_left
+        |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.rk
+        |GROUP BY l.k ORDER BY l.k""".stripMargin,
 
     "q38_json_extract" ->
       """SELECT event_type,
