@@ -12,16 +12,34 @@ import org.apache.spark.storage.StorageLevel
 object Caches {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
+  /** Innermost active `scoped` registry for THIS thread (a stack, so
+    * scopes nest). Scope-tracked frames never touch the global queue, so
+    * concurrent pipelines on other threads (e.g. two streaming queries
+    * each persisting inside their own foreachBatch) cannot have their
+    * fresh caches evicted by this scope's exit — the exact hazard of
+    * diffing a shared registry. */
+  private val scopes =
+    new scala.util.DynamicVariable[List[
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]](Nil)
+
+  private def register(df: DataFrame): Unit = scopes.value match {
+    case head :: _ => head.add(df)
+    case Nil => live.add(df)
+  }
+
   private[graft] def persist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    live.add(p)
+    register(p)
     p
   }
 
-  /** Register an already-persisted frame for the next clear(). */
-  private[graft] def track(df: DataFrame): DataFrame = { live.add(df); df }
+  /** Register an already-persisted frame for its scope's exit (or the
+    * next clear() when no scope is active). */
+  private[graft] def track(df: DataFrame): DataFrame = { register(df); df }
 
-  /** Unpersist every operator-cached frame registered since the last clear. */
+  /** Unpersist every operator-cached frame registered OUTSIDE any scope
+    * since the last clear. Frames inside an active `scoped` belong to
+    * that scope and are untouched. */
   def clear(): Unit = {
     var df = live.poll()
     while (df != null) {
@@ -33,19 +51,17 @@ object Caches {
   /** Run `f`, then unpersist ONLY the frames persisted during it — for
     * operators embedded in long-lived applications (e.g. a streaming
     * foreachBatch) where the global `clear()` would also evict caches
-    * co-resident pipelines still depend on. */
+    * co-resident pipelines still depend on. Registration is per-scope and
+    * thread-confined (operators build their plans on the calling thread),
+    * so parallel pipelines each see only their own caches. */
   def scoped[T](f: => T): T = {
-    val before = new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]
-    live.forEach(df => before.put(df, java.lang.Boolean.TRUE))
-    try f
+    val mine = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+    try scopes.withValue(mine :: scopes.value)(f)
     finally {
-      val it = live.iterator()
-      while (it.hasNext) {
-        val df = it.next()
-        if (!before.containsKey(df)) {
-          df.unpersist(blocking = false)
-          it.remove()
-        }
+      var df = mine.poll()
+      while (df != null) {
+        df.unpersist(blocking = false)
+        df = mine.poll()
       }
     }
   }

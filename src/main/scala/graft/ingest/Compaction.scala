@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   * the identity dedup makes a mixed-generation read re-derive the same new
   * generation, after which the stale list is recomputed and removed. (The
   * transient mixed window is visible to concurrent readers; the reference
-  * offers no stronger story — it has no rewrite path at all.)
+  * offers no stronger story — it has no rewrite path at all.) Concurrent
+  * ingest is safe: the pass reads EXACTLY the objects of its one listing,
+  * so a file landing mid-compaction is simply not part of this generation
+  * — never compacted-and-left, never deleted-unread.
   */
 object Compaction {
 
@@ -38,18 +41,28 @@ object Compaction {
     * time paths included — because the encoded partition is by definition
     * the directory between the topic dir and the object name). Only
     * schema-bearing formats are rewritable; ByteArray lakes have no
-    * record boundaries Spark can re-group. */
+    * record boundaries Spark can re-group.
+    *
+    * When `paths` is given, EXACTLY those objects are read (no fresh
+    * listing) — `compact` passes its inventory so the read set and the
+    * delete-candidate set are one snapshot: a file landed by a concurrent
+    * ingest after the listing is neither compacted nor deleted, instead of
+    * having its records duplicated into the new generation while the
+    * object itself survives. */
   def readLake(spark: SparkSession, topicDir: String,
-               cfg: IngestConfig): DataFrame = {
+               cfg: IngestConfig, paths: Seq[String] = Nil): DataFrame = {
     require(cfg.format == OutputFormat.Parquet ||
       cfg.format == OutputFormat.Json,
       s"compaction rewrites Parquet/Json lakes, not ${cfg.format}")
     val topicPath = new Path(topicDir).toUri.getPath
-    val df = spark.read.format(cfg.format.sparkFormat)
-      // manifests and other sidecars are not data objects
-      .option("pathGlobFilter", s"*${cfg.extension}")
-      .option("recursiveFileLookup", "true")
-      .load(topicDir)
+    val reader = spark.read.format(cfg.format.sparkFormat)
+    val df =
+      if (paths.nonEmpty) reader.load(paths: _*)
+      else reader
+        // manifests and other sidecars are not data objects
+        .option("pathGlobFilter", s"*${cfg.extension}")
+        .option("recursiveFileLookup", "true")
+        .load(topicDir)
     // input_file_name() is a percent-ENCODED URI; URI.getPath decodes it
     // (incl. UTF-8 multibyte), so partition values with spaces/specials
     // compare equal to the decoded directory names the writer created —
@@ -110,7 +123,14 @@ object Compaction {
         "lockstep with value basenames (compact before enabling " +
         "writeKeys/writeHeaders, or rebuild the lake)")
 
-    val lake = readLake(spark, topicDir, cfg)
+    // read EXACTLY the inventory just listed — not a second listing — so
+    // an object written by a concurrent ingest between the two cannot be
+    // compacted-but-not-deleted (which would persist its records twice
+    // until a later compact healed it)
+    val beforePaths = before.map { case (epart, fname) =>
+      s"$topicDir${if (epart.isEmpty) "" else s"/$epart"}/$fname"
+    }
+    val lake = readLake(spark, topicDir, cfg, beforePaths)
     require(lake.columns.contains(offsetCol),
       s"compaction needs the record offset column '$offsetCol' in the lake")
     // R2 lakes: re-apply the epoch-aligned time grouping so compacted

@@ -83,11 +83,17 @@ object Ingest {
     }
     val encoded = PartitionerSpec.compile(partitioner, kafkaPartition)
     // R2: epoch-aligned buckets by default; the reference's sequential
-    // file-base-reset rule on request (materializes the fold's group col)
+    // file-base-reset rule on request (materializes the fold's group col).
+    // The fold keys by kafkaPartition ALONE: the reference keeps ONE
+    // baseRecordTimestamp per TopicPartitionWriter (TopicPartitionWriter
+    // .java:103, seeded 358-359), and a time rotation commits ALL of that
+    // partition's encoded-partition files and nulls the shared base (984)
+    // — so with a field/time partitioner a rotation triggered by one
+    // encoded partition's record also closes every sibling's open file.
     val (framed, timeGroup) = cfg.rotateIntervalMs match {
       case Some(iv) if cfg.rotateFileBase =>
         val withG = Rotation.assignFileBaseTimeGroups(cleaned,
-          struct(kafkaPartition, encoded), offset,
+          kafkaPartition, offset,
           col(cfg.timestampColumn).cast("timestamp"), iv)
         (withG, Seq("rotate_interval" -> col(Rotation.TimeGroupCol)))
       case Some(iv) =>

@@ -60,6 +60,16 @@ object Rotation {
     * instead: repartition by the group key, sort within partitions by
     * offset, one linear pass assigns `_time_group`.
     *
+    * `groupKey` must be the scope that owns ONE base timestamp. The
+    * reference scopes it per TopicPartitionWriter — ONE
+    * `baseRecordTimestamp` per KAFKA partition shared by all of its
+    * encoded partitions (TopicPartitionWriter.java:103, seeded 358-359,
+    * nulled for the whole writer by commitFiles at 984) — so `Ingest.run`
+    * passes the kafka-partition column alone, and one record's rotation
+    * advances the group for every encoded partition of that writer. Pass
+    * a (kafkaPartition, encodedPartition) struct only if you explicitly
+    * want per-encoded-partition bases, which the reference does NOT do.
+    *
     * Determinism: the fold is a pure function of (key, offset order, ts),
     * so replays regenerate identical groups (X1 holds). Scale: one extra
     * hash shuffle + an O(1)-state streaming pass per task — the price of

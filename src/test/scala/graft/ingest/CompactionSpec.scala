@@ -133,6 +133,32 @@ class CompactionSpec extends SparkSuite {
     assert(e.getMessage.contains("K/V/H"))
   }
 
+  test("readLake with an explicit inventory reads EXACTLY those objects — " +
+    "a file landed after the listing is neither compacted nor deleted") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "race", flushSize = 2)
+    val df = (0L until 8L).map(o => (0, o, s"v$o", "a"))
+      .toDF("kafka_partition", "offset", "value", "event_type")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("value"), col("event_type")))
+    val topicDir = s"$out/topics/race"
+    val inventory = new java.io.File(s"$topicDir/event_type=a")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).sorted
+    // a concurrent ingest lands AFTER the listing
+    val late = (8L until 10L).map(o => (0, o, s"v$o", "a"))
+      .toDF("kafka_partition", "offset", "value", "event_type")
+    Ingest.run(late, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("value"), col("event_type")))
+    val snapshot = Compaction.readLake(spark, topicDir, cfg,
+      inventory.map(f => s"$topicDir/event_type=a/$f").toSeq)
+    // the snapshot read sees only the listed generation, so compaction's
+    // delete-candidate math never orphans-but-duplicates the late file
+    assert(snapshot.count() == 8 &&
+      snapshot.agg(max("offset")).as[Long].head == 7L)
+    assert(new java.io.File(
+      s"$topicDir/event_type=a/race+0+0000000008.parquet").exists())
+  }
+
   test("partition values with spaces survive compaction (URI decode): no " +
     "relocation, no data loss") {
     val out = freshDir()

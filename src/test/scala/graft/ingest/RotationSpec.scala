@@ -147,6 +147,31 @@ class RotationSpec extends SparkSuite {
       r.stats.byCause)
   }
 
+  test("R2 file-base rotation shares ONE base per kafka partition: a " +
+    "rotation closes every encoded partition's file (TopicPartitionWriter" +
+    ".java:103,984 — commitFiles resets the writer-wide base)") {
+    val out = java.nio.file.Files.createTempDirectory("rot_fb_multi").toString
+    // One kafka partition fanning out to two encoded partitions (field
+    // partitioner). Offset order: x@0 seeds base=0; y@90 shares the file
+    // era (90-0<100); x@150 rotates the WRITER (150-0>=100, base:=150);
+    // y@170 lands in the new era (170-150<100). Per-(kpart,epart) bases
+    // would give y a base of 90 and never rotate it (170-90<100) — the
+    // divergence this test pins against.
+    val df = Seq((0, 0L, 0L, "x"), (0, 1L, 90L, "y"), (0, 2L, 150L, "x"),
+      (0, 3L, 170L, "y"))
+      .toDF("kafka_partition", "offset", "ms", "cat")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val cfg = IngestConfig(topic = "fbm", flushSize = 100,
+      rotateIntervalMs = Some(100L), rotateFileBase = true)
+    val r = Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("cat")), out,
+      payloadCols = Seq(col("offset"), col("cat")))
+    assert(r.files.map(f => (f.encodedPartition, f.fileName)).sorted == Seq(
+      ("cat=x", "fbm+0+0000000000.parquet"),
+      ("cat=x", "fbm+0+0000000002.parquet"),
+      ("cat=y", "fbm+0+0000000001.parquet"),
+      ("cat=y", "fbm+0+0000000003.parquet")))
+  }
+
   test("R2 file-base fold: null event times stay in the current file and " +
     "never advance the base (extractor-guard behavior)") {
     val df = Seq((0, 0L, Some(0L)), (0, 1L, None), (0, 2L, Some(50L)),
