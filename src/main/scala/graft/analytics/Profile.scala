@@ -1,0 +1,43 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the data-quality summary pass a training pipeline
+  * runs before ingesting a new corpus drop (the Deequ/dbt-test class of
+  * check): per column null count, exact distinct count, min/max.
+  *
+  * Scale shape: ONE aggregate over ONE scan. The per-column distinct
+  * counts expand inside a single aggregate (Spark plans multi-distinct
+  * via Expand — rows × #distinct-cols intermediate, each slice partially
+  * aggregated map-side), and min/max/null-counts ride the same pass; the
+  * row-per-column layout then explodes the single result row driver-free.
+  * No per-column jobs, no driver loop — profiling 100 TB costs one scan.
+  */
+object Profile {
+
+  /** One row per profiled column: (column_name, null_count, n_distinct,
+    * min_value, max_value) with min/max rendered as strings so columns of
+    * any type share one schema (cast AFTER the typed min/max, so numeric
+    * columns order numerically, not lexicographically). */
+  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, lit(1))).as(s"__${c}_nulls"),
+        countDistinct(col(c)).cast("long").as(s"__${c}_distinct"),
+        min(col(c)).cast("string").as(s"__${c}_min"),
+        max(col(c)).cast("string").as(s"__${c}_max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("column_name"),
+        col(s"__${c}_nulls").as("null_count"),
+        col(s"__${c}_distinct").as("n_distinct"),
+        col(s"__${c}_min").as("min_value"),
+        col(s"__${c}_max").as("max_value"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+      .orderBy("column_name")
+  }
+}

@@ -147,6 +147,18 @@ object TextAnalysis {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
+  /** Non-distinct word n-grams in document order — repetition metrics need
+    * multiplicity, unlike `shingles`' distinct set. Docs shorter than n
+    * tokens yield one truncated gram (same edge contract as the shingle
+    * oracles). Pure array builder: no shuffle until the caller aggregates. */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1)
+    val toks = tokens(lower(text))
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
   /** Distinct word n-gram shingles, the input to Jaccard/MinHash dedup.
     * Docs shorter than n tokens yield one whole-doc shingle. Native
     * single-pass expression (graft.functions.WordShingles) — the composed

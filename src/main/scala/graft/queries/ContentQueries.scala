@@ -328,6 +328,34 @@ object ContentQueries {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
+    // Gopher-style intra-document repetition signals: what fraction of a
+    // doc's 2-gram occurrences are repeats, and what share the single most
+    // frequent 2-gram holds. Non-distinct n-grams explode once, then two
+    // hash aggregates both keyed by doc_id — map-side partial, no hot key
+    // (a doc's gram count is bounded by its length), scan-stage gram build.
+    "text_repetition" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.ngrams(col("text"), 2)).as("gram"))
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).cast("long").as("total"),
+          count(lit(1)).as("n_distinct"),
+          max(col("cnt")).as("top"))
+        .select(col("doc_id"),
+          round(lit(1) - col("n_distinct") / col("total").cast("double"), 6)
+            .as("dup_2gram_frac"),
+          round(col("top") / col("total").cast("double"), 6)
+            .as("top_2gram_frac"))
+        .orderBy(col("doc_id"))),
+
+    // Column profiling (data-quality gate before a corpus drop ships):
+    // null/distinct/min/max per column in ONE aggregate over ONE scan.
+    "profile_docs" -> ((s, d) =>
+      graft.analytics.Profile.summarize(docs(s, d),
+        Seq("doc_id", "lang", "n_chars", "source", "text"))),
+
     // End-to-end pipeline composition: quality gate → exact dedup (keep
     // min id per fingerprint) → chunk statistics per source. The shape a
     // real corpus-preparation job takes, as ONE declarative plan.
@@ -1000,6 +1028,46 @@ object ContentQueries {
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
         |      FROM documents)
         |GROUP BY t ORDER BY n DESC, t LIMIT 50""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(t) - 1, 1) + 1),
+        |    i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS gram
+        |  FROM toks),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total,
+        |    count(*) AS n_distinct, CAST(max(cnt) AS BIGINT) AS top
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id,
+        |  round(1 - n_distinct / CAST(total AS DOUBLE), 6) AS dup_2gram_frac,
+        |  round(top / CAST(total AS DOUBLE), 6) AS top_2gram_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "profile_docs" ->
+      """SELECT 'doc_id' AS column_name,
+        |  count(*) FILTER (WHERE doc_id IS NULL) AS null_count,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |  CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+        |UNION ALL SELECT 'lang',
+        |  count(*) FILTER (WHERE lang IS NULL), count(DISTINCT lang),
+        |  CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        |  FROM documents
+        |UNION ALL SELECT 'n_chars',
+        |  count(*) FILTER (WHERE n_chars IS NULL), count(DISTINCT n_chars),
+        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents
+        |UNION ALL SELECT 'source',
+        |  count(*) FILTER (WHERE source IS NULL), count(DISTINCT source),
+        |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |  FROM documents
+        |UNION ALL SELECT 'text',
+        |  count(*) FILTER (WHERE text IS NULL), count(DISTINCT text),
+        |  CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+        |  FROM documents
+        |ORDER BY column_name""".stripMargin,
 
     "pipeline_clean_pack" ->
       """WITH kept AS (SELECT source, doc_id,

@@ -317,6 +317,23 @@ object RelationalQueries {
         .orderBy(col("k").asc_nulls_last)
     }),
 
+    // Skew-salted join, oracle-checked: Skew.saltedJoin spreads each key
+    // across 8 salted sub-keys (stable row-hash salt, replay-safe) and
+    // must produce EXACTLY the rows of the plain join — the oracle runs
+    // the unsalted equivalent. At 100 TB this is the declarative fix when
+    // one hot user serializes a stage and AQE's runtime splitting isn't
+    // available (e.g. a broadcast-ineligible dim under a known hot key).
+    "q41_skew_salted_join" -> ((s, d) => {
+      val e = T(s, d, "events").select(col("user_id"), col("value"))
+      val dim = e.select(col("user_id")).distinct()
+        .withColumn("tier", pmod(col("user_id"), lit(5)))
+      graft.analytics.Skew.saltedJoin(e, dim, "user_id", saltFactor = 8)
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("tier"))
+    }),
+
     // Semi-structured extraction: events.props is a JSON string; pull the
     // numeric field out in the scan stage (codegen'd get_json_object, no
     // UDF) and aggregate — the schema-on-read path a lake of raw payloads
@@ -755,6 +772,14 @@ object RelationalQueries {
         |  count(DISTINCT l.l_id) AS n_left
         |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.rk
         |GROUP BY l.k ORDER BY l.k""".stripMargin,
+
+    "q41_skew_salted_join" ->
+      """WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS tier
+        |  FROM events)
+        |SELECT tier, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events e JOIN dim USING (user_id)
+        |GROUP BY tier ORDER BY tier""".stripMargin,
 
     "q38_json_extract" ->
       """SELECT event_type,

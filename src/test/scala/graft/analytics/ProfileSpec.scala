@@ -1,0 +1,39 @@
+package graft.analytics
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("summarize profiles nulls, distincts, and typed min/max per column") {
+    val df = Seq(
+      (Some(3), Some("b")), (None, Some("a")), (Some(100), None),
+      (Some(3), Some("c")))
+      .toDF("n", "s")
+    val p = Profile.summarize(df, Seq("n", "s"))
+      .as[(String, Long, Long, String, String)].collect().toSeq
+    // numeric min/max order numerically BEFORE the string cast: max is
+    // 100, not lexicographic "3"
+    assert(p == Seq(
+      ("n", 1L, 2L, "3", "100"),
+      ("s", 1L, 3L, "a", "c")))
+  }
+
+  test("summarize is one job over one scan (no per-column actions)") {
+    val df = Seq((1, "a"), (2, "b")).toDF("n", "s")
+    val plan = Profile.summarize(df, Seq("n", "s"))
+      .queryExecution.executedPlan.toString
+    // a single aggregate subtree: the multi-distinct rewrites to Expand,
+    // never to N separate scans unioned together
+    assert(!plan.contains("Union"), plan)
+  }
+
+  test("ngrams keep multiplicity and truncate short docs to one gram") {
+    val df = Seq("a b a b", "solo", "x y").toDF("text")
+    val r = df.select(TextAnalysis.ngrams(col("text"), 2).as("g"))
+      .as[Seq[String]].collect().toSeq
+    assert(r == Seq(
+      Seq("a b", "b a", "a b"), Seq("solo"), Seq("x y")))
+  }
+}
