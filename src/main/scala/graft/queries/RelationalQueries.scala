@@ -317,6 +317,26 @@ object RelationalQueries {
         .orderBy(col("k").asc_nulls_last)
     }),
 
+    // Z-order layout key, oracle-checked: Morton-interleave a 1024×1024
+    // (user, hour) grid and bucket rows by the key's top bits. Every
+    // bucket bounds BOTH dimensions at once (≤128-wide spans out of 1024)
+    // — the property that makes parquet footer stats prune on EITHER
+    // predicate after a `repartitionByRange(zkey)` write. Pure codegen'd
+    // bit arithmetic (ZOrder.zorder2), bit-identical in DuckDB.
+    "q42_zorder_layout" -> ((s, d) => {
+      val e = T(s, d, "events").select(
+        pmod(col("user_id"), lit(1024)).as("x"),
+        pmod(floor(unix_micros(col("ts").cast("timestamp")) / 3600000000L),
+          lit(1024)).as("y"))
+      e.withColumn("zbucket",
+          shiftright(graft.functions.ZOrder.zorder2(col("x"), col("y")), 14))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("zbucket"))
+    }),
+
     // Skew-salted join, oracle-checked: Skew.saltedJoin spreads each key
     // across 8 salted sub-keys (stable row-hash salt, replay-safe) and
     // must produce EXACTLY the rows of the plain join — the oracle runs
@@ -772,6 +792,36 @@ object RelationalQueries {
         |  count(DISTINCT l.l_id) AS n_left
         |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.rk
         |GROUP BY l.k ORDER BY l.k""".stripMargin,
+
+    // The Morton spread replays literally: 5 shift-mask rounds per
+    // dimension over BIGINT bit ops, then interleave and take top bits.
+    "q42_zorder_layout" ->
+      """WITH g AS (SELECT user_id % 1024 AS x,
+        |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000)
+        |      AS BIGINT) % 1024 AS y
+        |  FROM events),
+        |s0 AS (SELECT x, y, x & 2147483647 AS vx,
+        |    y & 2147483647 AS vy FROM g),
+        |s1 AS (SELECT x, y,
+        |    (vx | (vx << 16)) & 281470681808895 AS vx,
+        |    (vy | (vy << 16)) & 281470681808895 AS vy FROM s0),
+        |s2 AS (SELECT x, y,
+        |    (vx | (vx << 8)) & 71777214294589695 AS vx,
+        |    (vy | (vy << 8)) & 71777214294589695 AS vy FROM s1),
+        |s3 AS (SELECT x, y,
+        |    (vx | (vx << 4)) & 1085102592571150095 AS vx,
+        |    (vy | (vy << 4)) & 1085102592571150095 AS vy FROM s2),
+        |s4 AS (SELECT x, y,
+        |    (vx | (vx << 2)) & 3689348814741910323 AS vx,
+        |    (vy | (vy << 2)) & 3689348814741910323 AS vy FROM s3),
+        |s5 AS (SELECT x, y,
+        |    (vx | (vx << 1)) & 6148914691236517205 AS vx,
+        |    (vy | (vy << 1)) & 6148914691236517205 AS vy FROM s4),
+        |z AS (SELECT x, y, (vx | (vy << 1)) >> 14 AS zbucket FROM s5)
+        |SELECT zbucket, count(*) AS n,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
 
     "q41_skew_salted_join" ->
       """WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS tier
