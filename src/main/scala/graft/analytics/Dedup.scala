@@ -175,6 +175,15 @@ object Dedup {
                         threshold: Double): DataFrame =
     Similarity.srpLshPairs(emb, id, vec, threshold)
 
+  /** Incremental embedding near-dup filter: which `incoming` vectors are
+    * near-duplicates of the already-clean `history` — `nearDupAgainst`'s
+    * embedding counterpart (SRP band buckets joined increment-vs-history,
+    * exact-cosine verify; see Similarity.srpLshPairsAgainst). */
+  def embeddingNearDupsAgainst(history: DataFrame, incoming: DataFrame,
+                               id: Column, vec: Column,
+                               threshold: Double): DataFrame =
+    Similarity.srpLshPairsAgainst(history, incoming, id, vec, threshold)
+
   /** MinHash band buckets for a shingle table: one row per (doc, band)
     * with the band's bucket hash — the shared candidate-generation key for
     * within-corpus pairs (`minhashLshPairs`) and incremental

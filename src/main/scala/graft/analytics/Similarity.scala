@@ -93,6 +93,44 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Incremental SRP-LSH near-dup filter: which `incoming` vectors are
+    * near-duplicates (cosine >= threshold) of the already-clean `history`
+    * — `Dedup.nearDupAgainst`'s embedding counterpart for the daily
+    * append workflow. Returns `(new_id, dup_of, sim)`.
+    *
+    * Scale: the increment's band buckets equi-join against the history's
+    * — shuffle keyed by (band, bucket), volume O(increment + matching
+    * history buckets), never a history self-join; at 100 TB the history
+    * bucket table is computed once and reused across increments. Exact
+    * cosine verifies only the candidates, so precision is exact and only
+    * recall is probabilistic (same b×r trade-off as `srpLshPairs`). */
+  def srpLshPairsAgainst(history: DataFrame, incoming: DataFrame,
+                         id: Column, vec: Column, threshold: Double,
+                         bands: Int = 24, bitsPerBand: Int = 16): DataFrame = {
+    def prep(df: DataFrame): DataFrame = Caches.persist(
+      df.select(id.as("id"), asDouble(vec).as("v"))
+        .withColumn("nrm", norm(col("v")))
+        .withColumn("bkts", graft.functions.HashExpressions
+          .srpBandBuckets(col("v"), bands, bitsPerBand)))
+    val h = prep(history)
+    val i = prep(incoming)
+    def banded(n: DataFrame, name: String) = n.select(col("id").as(name),
+      posexplode(col("bkts")).as(Seq("band", "bucket")))
+    val cand = banded(i, "new_id")
+      .join(banded(h, "dup_of").hint("SHUFFLE_HASH"), Seq("band", "bucket"))
+      .select("new_id", "dup_of")
+      .dropDuplicates("new_id", "dup_of")
+    val iv = i.select(col("id").as("new_id"), col("v").as("i_v"),
+      col("nrm").as("i_n"))
+    val hv = h.select(col("id").as("dup_of"), col("v").as("h_v"),
+      col("nrm").as("h_n"))
+    cand.join(iv, Seq("new_id")).join(hv, Seq("dup_of"))
+      .select(col("new_id"), col("dup_of"),
+        round(dot(col("i_v"), col("h_v")) / (col("i_n") * col("h_n")), 4)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** SRP-LSH approximate top-k: the bucketed alternative to `ivfTopK` —
     * no centroid pass at all. Queries and corpus share the same SRP band
     * signatures (coarser than dedup's: fewer bits per band, so moderate-

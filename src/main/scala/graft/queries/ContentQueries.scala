@@ -565,6 +565,20 @@ object ContentQueries {
         .orderBy(col("new_id"), col("dup_of"))
     }),
 
+    // Incremental EMBEDDING dedup: the arriving batch's vectors checked
+    // against the clean history via SRP band buckets (increment-vs-history
+    // equi-join, exact-cosine verify — never a history self-join). Oracle
+    // is the exhaustive cross-set cosine pair set, so recall is asserted;
+    // planted-dup recall is additionally pinned in SimilaritySpec.
+    "dedup_incremental_emb" -> ((s, d) => {
+      val e = emb(s, d)
+      Dedup.embeddingNearDupsAgainst(
+        e.filter(col("vec_id") % 7 =!= 0),
+        e.filter(col("vec_id") % 7 === 0),
+        col("vec_id"), col("embedding"), threshold = 0.9)
+        .orderBy(col("new_id"), col("dup_of"))
+    }),
+
     // Round-4 capstone: the full corpus-preparation pipeline as ONE
     // declarative plan — boilerplate gate (integer ratio, engine-exact) →
     // benchmark-contamination filter → normalize → exact dedup on the
@@ -748,6 +762,19 @@ object ContentQueries {
       s"""$simCte
          |SELECT a_id, b_id, round(sim, 4) AS sim FROM p
          |WHERE round(sim, 4) >= 0.95 ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_incremental_emb" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |p AS (SELECT i.vec_id AS new_id, h.vec_id AS dup_of,
+        |    list_sum(list_transform(range(1, 65), k -> i.e[k] * h.e[k]))
+        |      / (i.nrm * h.nrm) AS sim
+        |  FROM n i JOIN n h ON i.vec_id % 7 = 0 AND h.vec_id % 7 <> 0)
+        |SELECT new_id, dup_of, round(sim, 4) AS sim FROM p
+        |WHERE round(sim, 4) >= 0.9 ORDER BY new_id, dup_of""".stripMargin,
 
     "sim_topk_bruteforce" ->
       """WITH v AS (SELECT vec_id,

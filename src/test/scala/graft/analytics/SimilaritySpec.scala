@@ -115,6 +115,51 @@ class SimilaritySpec extends SparkSuite {
     graft.analytics.Caches.clear()
   }
 
+  test("incremental SRP-LSH (srpLshPairsAgainst) finds every planted dup " +
+    "of the history in the incoming batch — full recall, exact precision, " +
+    "no history self-pairs") {
+    val rnd = new scala.util.Random(7)
+    def gauss(dim: Int): Array[Double] = Array.fill(dim)(rnd.nextGaussian())
+    // history: 30 bases + 150 fillers; incoming: a near-dup per base
+    // (cosine ~0.95-0.99) + 50 genuinely new vectors
+    val hist = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+    val inc = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+    (0 until 30).foreach { i =>
+      val base = gauss(64)
+      hist += ((i.toLong, base))
+      val eps = 0.12 + 0.015 * (i % 10)
+      inc += ((1000L + i, base.zip(gauss(64)).map { case (b, n) => b + eps * n }))
+    }
+    (0 until 150).foreach(i => hist += ((100L + i, gauss(64))))
+    (0 until 50).foreach(i => inc += ((2000L + i, gauss(64))))
+    def toDf(rows: Seq[(Long, Array[Double])]) =
+      spark.createDataFrame(rows.map { case (i, v) => (i, v.map(_.toFloat)) })
+        .toDF("vec_id", "embedding")
+    val h = toDf(hist.toSeq)
+    val in = toDf(inc.toSeq)
+
+    // exhaustive cross-set reference
+    val hv = h.select(col("vec_id").as("dup_of"),
+      col("embedding").cast("array<double>").as("h_v"))
+    val iv = in.select(col("vec_id").as("new_id"),
+      col("embedding").cast("array<double>").as("i_v"))
+    val exact = iv.crossJoin(hv)
+      .select(col("new_id"), col("dup_of"),
+        round(Similarity.cosine(col("i_v"), col("h_v")), 4).as("sim"))
+      .filter(col("sim") >= 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+
+    val got = Similarity.srpLshPairsAgainst(h, in, col("vec_id"),
+      col("embedding"), threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.size >= 25, s"planted too few pairs: ${exact.size}")
+    assert(got == exact,
+      s"missed=${(exact -- got).size} extra=${(got -- exact).size} of ${exact.size}")
+    // direction contract: every pair is (incoming, history)
+    assert(got.forall { case (n, d, _) => n >= 1000L && d < 1000L })
+    graft.analytics.Caches.clear()
+  }
+
   test("SRP-LSH on the real embeddings table matches the exhaustive " +
     "result (empty at this SF — zero false positives)") {
     val exact = Similarity.cosinePairs(emb, col("vec_id"), col("embedding"))
