@@ -201,4 +201,41 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("partial_approx_count_distinct") ||
       p.contains("partial_count"), p)
   }
+
+  test("dedup_incremental_emb: increment-vs-history SRP buckets join as " +
+    "an equi-join — never a nested-loop/cartesian plan") {
+    val p = plan("dedup_incremental_emb")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q41: the salted join keys on (user_id, _salt) so a hot key " +
+    "spreads across saltFactor partitions") {
+    val p = plan("q41_skew_salted_join")
+    assert(p.contains("_salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q42: the z-order bucket aggregate combines map-side — the Morton " +
+    "key computes in the scan stage, not after a shuffle") {
+    val p = plan("q42_zorder_layout")
+    assert(p.contains("partial_min") && p.contains("partial_max"), p)
+  }
+
+  test("text_repetition: both doc-keyed aggregates combine map-side and " +
+    "the gram build stays in the scan stage (<=2 hash exchanges)") {
+    val p = plan("text_repetition")
+    assert(p.contains("partial_count"), p)
+    val hashEx = hashExchanges(p)
+    assert(hashEx <= 2, s"expected <=2 hash exchanges, got $hashEx\n$p")
+  }
+
+  test("profile_docs: one scan feeds the whole profile — the " +
+    "multi-distinct rewrites to Expand, never per-column scans") {
+    val p = plan("profile_docs")
+    assert(p.contains("Expand"), p)
+    // one file index = one scan (each scan prints one Location: line)
+    val scans = "Location: InMemoryFileIndex".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans\n$p")
+  }
 }
