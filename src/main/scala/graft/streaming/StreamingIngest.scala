@@ -208,4 +208,37 @@ object StreamingIngest {
         }
       }
       .start()
+
+  /** Streaming EMBEDDING dedup gate: every micro-batch drops vectors whose
+    * cosine against the static `history` reaches the threshold
+    * (Similarity.srpLshPairsAgainst — SRP band candidates + exact-cosine
+    * verify, never a history self-join), and appends the survivors. Same
+    * at-least-once discipline as `startNearDupGate`: deterministic
+    * per-batch output directories with overwrite semantics, and
+    * scope-local caches so co-resident pipelines keep theirs. */
+  def startEmbeddingDedupGate(frame: DataFrame, history: DataFrame,
+                              idCol: String, vecCol: String,
+                              outDir: String, checkpointDir: String,
+                              threshold: Double = 0.95,
+                              trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    frame.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.analytics.Caches.scoped {
+          val dups = graft.analytics.Dedup.embeddingNearDupsAgainst(
+              history, batch,
+              org.apache.spark.sql.functions.col(idCol),
+              org.apache.spark.sql.functions.col(vecCol),
+              threshold = threshold)
+            .select(org.apache.spark.sql.functions.col("new_id").as(idCol))
+            .distinct()
+          batch.join(dups, Seq(idCol), "left_anti")
+            .write.mode("overwrite")
+            .parquet(s"$outDir/batch_id=$batchId")
+        }
+      }
+      .start()
 }

@@ -292,4 +292,36 @@ class StreamingIngestSpec extends SparkSuite {
     assert(kept.toSeq == Seq(11L),
       s"near-dup 10 must be dropped, novel 11 kept; got ${kept.toSeq}")
   }
+
+  test("streaming embedding dedup gate drops micro-batch vectors that " +
+    "near-dup the static history by cosine and appends the survivors") {
+    val src = Files.createTempDirectory("eg_src").toString
+    val out = Files.createTempDirectory("eg_out").toString
+    val ckpt = Files.createTempDirectory("eg_ckpt").toString
+    val rnd = new scala.util.Random(11)
+    def gauss() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = gauss()
+    // arriving vector 10 is a tiny perturbation of history vector 1
+    // (cosine ~0.999); vector 11 is independent (cosine ~0)
+    val nearDup = base.map(v => v + 0.02f * rnd.nextGaussian().toFloat)
+    val history = Seq((1L, base), (2L, gauss()))
+      .toDF("vec_id", "embedding")
+    Seq((10L, nearDup), (11L, gauss()))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val q = StreamingIngest.startEmbeddingDedupGate(
+      spark.readStream.schema(schema).parquet(src), history,
+      "vec_id", "embedding", out, ckpt, threshold = 0.95)
+    q.awaitTermination(60000)
+    val kept = spark.read.parquet(out).select("vec_id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(11L),
+      s"near-dup 10 must be dropped, novel 11 kept; got ${kept.toSeq}")
+  }
 }
