@@ -579,6 +579,24 @@ object ContentQueries {
         .orderBy(col("new_id"), col("dup_of"))
     }),
 
+    // Retrieve-then-read: ANN top-5 per query vector, then fetch each
+    // hit's document row (vec_id ↔ doc_id) — the retrieval composition a
+    // RAG/curation pipeline runs. The hit set (queries × k rows) is tiny,
+    // so it BROADCASTS into the documents join: the corpus table never
+    // shuffles, and only the three projected columns are read.
+    "pipeline_retrieval" -> ((s, d) => {
+      val e = emb(s, d)
+      val hits = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5)
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .join(broadcast(hits), col("doc_id") === col("n_id"))
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("source"), col("n_chars"), col("sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Round-4 capstone: the full corpus-preparation pipeline as ONE
     // declarative plan — boilerplate gate (integer ratio, engine-exact) →
     // benchmark-contamination filter → normalize → exact dedup on the
@@ -762,6 +780,27 @@ object ContentQueries {
       s"""$simCte
          |SELECT a_id, b_id, round(sim, 4) AS sim FROM p
          |WHERE round(sim, 4) >= 0.95 ORDER BY a_id, b_id""".stripMargin,
+
+    "pipeline_retrieval" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id % 100 = 0),
+        |sc AS (SELECT q_id, c.vec_id AS n_id,
+        |    round(list_sum(list_transform(range(1, 65), i -> qe[i] * c.e[i]))
+        |      / (qn * c.nrm), 4) AS sim
+        |  FROM q JOIN n c ON c.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+        |      AS rank
+        |  FROM sc)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, d.doc_id, d.source,
+        |  d.n_chars, sim
+        |FROM r JOIN documents d ON d.doc_id = r.n_id
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "dedup_incremental_emb" ->
       """WITH v AS (SELECT vec_id,

@@ -202,6 +202,15 @@ class PlanAuditSpec extends SparkSuite {
       p.contains("partial_count"), p)
   }
 
+  test("pipeline_retrieval: the tiny hit set broadcasts into the " +
+    "documents join and only the projected document columns are read") {
+    val p = plan("pipeline_retrieval")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // documents scan pruned to the three projected columns
+    assert(!p.contains("text:string"), p)
+  }
+
   test("dedup_incremental_emb: increment-vs-history SRP buckets join as " +
     "an equi-join — never a nested-loop/cartesian plan") {
     val p = plan("dedup_incremental_emb")
