@@ -281,6 +281,25 @@ object ContentQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // Output sharding: the deterministic assignment before training
+    // shards are written. Each doc lands in shard md5(doc_id) % 32 — a
+    // pure hash, replay- and engine-stable, needing NO global sort (a
+    // "shuffle the corpus" pass is an orderBy(rand) anti-pattern; hash
+    // assignment gives the same statistical mixing for free). The
+    // manifest is one hash aggregate; the production write is
+    // repartition(n, shard) so each task streams exactly one shard.
+    "shard_manifest" -> ((s, d) => {
+      val shard = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 15), 16, 10).cast("long"), lit(32))
+      docs(s, d).withColumn("shard", shard)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).cast("long")
+            .as("total_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
+    }),
+
     // Deterministic WEIGHTED sampling (Efraimidis-Spirakis A-ES): rank by
     // ln(u)/w descending with u an md5-derived uniform in (0,1) and
     // w = token count — longer docs proportionally likelier, yet the
@@ -1076,6 +1095,16 @@ object ContentQueries {
         |  FROM documents)
         |SELECT source, doc_id FROM r WHERE rn <= 3
         |ORDER BY source, doc_id""".stripMargin,
+
+    "shard_manifest" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 32 AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
 
     "sample_split" ->
       """WITH b AS (SELECT source, text,
