@@ -8,8 +8,10 @@ import org.apache.spark.sql.execution.ExplainMode
   * sort) fails CI rather than surfacing as a slow cluster job. */
 class PlanAuditSpec extends SparkSuite {
 
-  private def plan(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, sf0001)
+  private def plan(name: String): String = planAt(sf0001, name)
+
+  private def planAt(dir: String, name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
@@ -204,7 +206,10 @@ class PlanAuditSpec extends SparkSuite {
 
   test("pipeline_retrieval: the tiny hit set broadcasts into the " +
     "documents join and only the projected document columns are read") {
-    val p = plan("pipeline_retrieval")
+    // sf0.01: other suites .cache() the sf0.001 documents/embeddings
+    // tables, and the cache manager would substitute the (unpruned)
+    // InMemoryRelation into this plan when they run first
+    val p = planAt(sf001, "pipeline_retrieval")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     // documents scan pruned to the three projected columns
