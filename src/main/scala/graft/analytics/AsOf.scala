@@ -22,7 +22,26 @@ object AsOf {
     * quadratic per key at scale. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, rightTieBreak: String,
-               leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+               leftCols: Seq[String], rightCols: Seq[String]): DataFrame =
+    asofJoinDirected(left, right, key, leftTs, rightTs, rightTieBreak,
+      leftCols, rightCols)
+
+  /** `asofJoin` with the pandas `merge_asof` knobs: `forward = true`
+    * matches the single right row with the SMALLEST `rightTs >= leftTs`
+    * (ties on `rightTs` still break by the greatest `rightTieBreak`);
+    * `tolerance` drops matches whose gap exceeds it — compared on
+    * `cast("double")` of the ts columns, i.e. SECONDS for timestamp
+    * columns and plain units for numeric ones. The tolerance filters the
+    * chosen nearest match (merge_asof semantics), it does not fall back
+    * to the next-nearest row.
+    *
+    * Same linear plan as the backward form: one shuffle + one sort over
+    * |L|+|R| tagged rows; `forward` only flips the traversal order. */
+  def asofJoinDirected(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String, rightTieBreak: String,
+                       leftCols: Seq[String], rightCols: Seq[String],
+                       forward: Boolean = false,
+                       tolerance: Option[Double] = None): DataFrame = {
     val rightPayload = struct((rightTs +: rightTieBreak +: rightCols)
       .distinct.map(col): _*)
     // null keys / null timestamps never satisfy the SQL join predicate
@@ -34,16 +53,26 @@ object AsOf {
     val r = right.filter(col(key).isNotNull && col(rightTs).isNotNull).select(
       col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
       rightPayload.as("_r"))
-    // order: ts asc, right-before-left at equal ts (<= semantics), then
-    // tiebreak asc so `last` picks the greatest
+    // backward: ts asc — `last` right seen = greatest rightTs <= leftTs.
+    // forward: ts DESC — `last` right seen = smallest rightTs >= leftTs.
+    // Either way right rows order before left at equal ts (inclusive
+    // bound) and tiebreak asc makes `last` pick the greatest tiebreak.
+    val tsOrd = if (forward) col("_ts").desc else col("_ts").asc
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_ts"), col("_side"), col("_r").getField(rightTieBreak))
+      .orderBy(tsOrd, col("_side"), col("_r").getField(rightTieBreak))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r, allowMissingColumns = true)
+    val matched = l.unionByName(r, allowMissingColumns = true)
       .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1 && col("_match").isNotNull)
-      .select(leftCols.map(c => col("_l." + c).as(c)) ++
-        rightCols.map(c => col("_match." + c).as(c)): _*)
+    val gated = tolerance match {
+      case Some(tol) =>
+        val mTs = col("_match").getField(rightTs).cast("double")
+        val lTs = col("_ts").cast("double")
+        matched.filter((if (forward) mTs - lTs else lTs - mTs) <= tol)
+      case None => matched
+    }
+    gated.select(leftCols.map(c => col("_l." + c).as(c)) ++
+      rightCols.map(c => col("_match." + c).as(c)): _*)
   }
 
   /** Range join: equi-key plus `rightTs` in (leftTs - before, leftTs]. */

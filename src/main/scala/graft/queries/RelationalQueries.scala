@@ -317,6 +317,30 @@ object RelationalQueries {
         .orderBy(col("k").asc_nulls_last)
     }),
 
+    // Forward as-of with tolerance (pandas merge_asof parity): each click
+    // joins the NEXT purchase by the same user within one hour — the
+    // attribution query. Same linear union-formulation plan as q17, just
+    // traversed in reverse; the tolerance gates the chosen match.
+    "q43_asof_forward" -> ((s, d) => {
+      val e = T(s, d, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), col("value"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("us").as("p_us"), col("value"))
+      graft.analytics.AsOf.asofJoinDirected(clicks, purchases, "user_id",
+        "us", "p_us", "p_id",
+        leftCols = Seq("event_id", "us"),
+        rightCols = Seq("p_id", "p_us", "value"),
+        forward = true, tolerance = Some(3600000000.0)) // 1h in micros
+        .select(col("event_id"), col("p_id"),
+          (col("p_us") - col("us")).as("gap_us"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Z-order layout key, oracle-checked: Morton-interleave a 1024×1024
     // (user, hour) grid and bucket rows by the key's top bits. Every
     // bucket bounds BOTH dimensions at once (≤128-wide spans out of 1024)
@@ -792,6 +816,23 @@ object RelationalQueries {
         |  count(DISTINCT l.l_id) AS n_left
         |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.rk
         |GROUP BY l.k ORDER BY l.k""".stripMargin,
+
+    // Nearest-forward selection first (rn = 1 without the tolerance),
+    // THEN the gap gate — merge_asof semantics, no next-nearest fallback.
+    "q43_asof_forward" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT user_id, event_id, us FROM e
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS p_id, us AS p_us, value FROM e
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT c.event_id, p.p_id, p.p_us - c.us AS gap_us, p.value,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.p_us, p.p_id DESC) AS rn
+        |  FROM c JOIN p ON p.user_id = c.user_id AND p.p_us >= c.us)
+        |SELECT event_id, p_id, gap_us, round(value, 2) AS value
+        |FROM j WHERE rn = 1 AND gap_us <= 3600000000
+        |ORDER BY event_id""".stripMargin,
 
     // The Morton spread replays literally: 5 shift-mask rounds per
     // dimension over BIGINT bit ops, then interleave and take top bits.

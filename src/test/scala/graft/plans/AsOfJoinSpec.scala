@@ -48,6 +48,33 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got == ref)
   }
 
+  test("forward direction + tolerance (merge_asof knobs): nearest-next " +
+    "match, greatest tiebreak on ties, tolerance gates the chosen match") {
+    val left = Seq(
+      (Some("a"), Some(10L), 1L),  // matches rts=10 (>=, tie on ts)
+      (Some("a"), Some(4L), 2L),   // nearest next is rts=10; gap 6 > 5 → dropped by tolerance
+      (Some("a"), Some(11L), 3L),  // matches rts=12
+      (Some("b"), Some(6L), 4L),   // matches the max-tb row at rts=7
+      (Some("a"), Some(13L), 5L)   // no right row >= 13 → dropped
+    ).toDF("k", "lts", "l_id")
+    val right = Seq(
+      (Some("a"), Some(3L), 30L),   // past row, never matches forward
+      (Some("a"), Some(10L), 100L),
+      (Some("a"), Some(12L), 120L),
+      (Some("b"), Some(7L), 71L),
+      (Some("b"), Some(7L), 72L)    // same ts: tb=72 wins
+    ).toDF("k", "rts", "tb")
+    val got = AsOf.asofJoinDirected(left, right, "k", "lts", "rts", "tb",
+      Seq("l_id"), Seq("tb"), forward = true, tolerance = Some(5.0))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (3L, 120L), (4L, 72L)))
+    // no tolerance: the gap-6 match for l_id=2 comes back
+    val untol = AsOf.asofJoinDirected(left, right, "k", "lts", "rts", "tb",
+      Seq("l_id"), Seq("tb"), forward = true)
+      .as[(Long, Long)].collect().toSet
+    assert(untol == Set((1L, 100L), (2L, 100L), (3L, 120L), (4L, 72L)))
+  }
+
   test("differential vs the composed formulation on events at sf0.001") {
     val e = Tables.load(spark, sf0001, "events")
       .withColumn("ts", col("ts").cast("timestamp"))
