@@ -91,6 +91,44 @@ object ContentQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Apply the dedup decision: keep each cluster's representative
+    // (smallest id) plus every unclustered doc, and report the kept
+    // corpus per source — the step that turns pair/cluster output into
+    // the actual training corpus. The label table is near-dup docs only
+    // (tiny vs the corpus), so it broadcasts into the keep filter.
+    "dedup_keep" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.jaccardPairs(dd, col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)
+      val clusters = Dedup.dedupClusters(pairs, col("a_id"), col("b_id"))
+      dd.join(broadcast(clusters), Seq("doc_id"), "left")
+        .filter(col("cluster_rep").isNull ||
+          col("cluster_rep") === col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextAnalysis.tokenCount(col("text"))).cast("long")
+            .as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // Token-budget mixture sampling: per source, take docs in
+    // deterministic md5 order until the running token total hits the
+    // budget — how a training mix caps each source's contribution. One
+    // window over one shuffle; per-source weights = per-source budgets.
+    "sample_token_budget" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, d)
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .filter(col("cum") <= 3000)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("cum")).cast("long").as("used_tokens"))
+        .orderBy(col("source"))
+    }),
+
     "sim_topk_bruteforce" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopK(
@@ -794,6 +832,37 @@ object ContentQueries {
          |  SELECT e2.src, reach.r FROM ed e2 JOIN reach ON e2.dst = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |jp AS (SELECT a_id, b_id FROM p
+         |  WHERE common / (a_n + b_n - common) >= 0.5),
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |  UNION SELECT b_id, a_id FROM jp),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM ed
+         |  UNION
+         |  SELECT e2.src, reach.r FROM ed e2 JOIN reach ON e2.dst = reach.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_rep
+         |  FROM reach GROUP BY id)
+         |SELECT d.source, count(*) AS n_kept,
+         |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+         |    AS kept_tokens
+         |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |WHERE cl.cluster_rep IS NULL OR cl.cluster_rep = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "sample_token_budget" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(max(cum) AS BIGINT) AS used_tokens
+        |FROM c WHERE cum <= 3000 GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_embedding" ->
       s"""$simCte
