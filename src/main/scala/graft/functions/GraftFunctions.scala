@@ -37,6 +37,13 @@ object GraftFunctions {
         "dot_product requires two array arguments"))
       DotProduct(Cast(exprs.head, ArrayType(DoubleType)),
         Cast(b, ArrayType(DoubleType)))
+    },
+    // Morton interleave as SQL: `zorder2(x, y)` — the same codegen'd bit
+    // arithmetic as the Column API, built as a resolved expression tree
+    "zorder2" -> { exprs =>
+      val b = exprs.lift(1).getOrElse(throw new IllegalArgumentException(
+        "zorder2 requires two integer arguments"))
+      ZOrder.zorder2Expr(exprs.head, b)
     })
 
   private def intArg(exprs: Seq[Expression], i: Int, fn: String): Int =

@@ -38,6 +38,28 @@ object ZOrder {
   def zorder2(x: Column, y: Column): Column =
     spread31(x).bitwiseOR(shiftleft(spread31(y), 1))
 
+  /** `zorder2` as a resolved Catalyst expression tree — the shape the SQL
+    * function registry needs (a Column composition converts to unresolved
+    * function nodes there). Identical math; same codegen'd bit ops. */
+  def zorder2Expr(x: org.apache.spark.sql.catalyst.expressions.Expression,
+                  y: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    def and(a: Expression, m: Long) = BitwiseAnd(a, Literal(m))
+    def step(v: Expression, s: Int, m: Long) =
+      and(BitwiseOr(v, ShiftLeft(v, Literal(s))), m)
+    def spread(e: Expression): Expression = {
+      val v0 = and(Cast(e, LongType), 0x7FFFFFFFL)
+      val v1 = step(v0, 16, 0x0000FFFF0000FFFFL)
+      val v2 = step(v1, 8, 0x00FF00FF00FF00FFL)
+      val v3 = step(v2, 4, 0x0F0F0F0F0F0F0F0FL)
+      val v4 = step(v3, 2, 0x3333333333333333L)
+      and(BitwiseOr(v4, ShiftLeft(v4, Literal(1))), 0x5555555555555555L)
+    }
+    BitwiseOr(spread(x), ShiftLeft(spread(y), Literal(1)))
+  }
+
   /** Reference (row-at-a-time) spread for property tests. */
   def spread31Ref(x: Long): Long = {
     var v = x & 0x7FFFFFFFL

@@ -21,6 +21,17 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(r.forall(_.getSeq[Long](2).length == 8))
   }
 
+  test("SQL zorder2 agrees with the row-at-a-time reference") {
+    GraftFunctions.register(spark)
+    Seq((3L, 5L), (1023L, 0L), (0L, 1023L)).toDF("x", "y")
+      .createOrReplaceTempView("tz")
+    val got = spark.sql("SELECT x, y, zorder2(x, y) AS z FROM tz")
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == ZOrder.zorder2Ref(x, y), s"x=$x y=$y")
+    }
+  }
+
   test("SQL word_shingles agrees with the Column API") {
     GraftFunctions.register(spark)
     Seq("the quick brown fox jumps").toDF("text").createOrReplaceTempView("t2")
