@@ -19,13 +19,23 @@ object Profile {
   /** One row per profiled column: (column_name, null_count, n_distinct,
     * min_value, max_value) with min/max rendered as strings so columns of
     * any type share one schema (cast AFTER the typed min/max, so numeric
-    * columns order numerically, not lexicographically). */
-  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * columns order numerically, not lexicographically).
+    *
+    * `approx = true` swaps the exact distinct counts for HLL++ sketches
+    * (rsd 2%): the exact mode's Expand materializes rows × (#distinct
+    * columns + 1) before aggregating — fine into the billions, but at
+    * 100 TB × many columns the sketch path profiles in ONE non-expanded
+    * pass with fixed-size partial state per column. */
+  def summarize(df: DataFrame, cols: Seq[String],
+                approx: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
     val aggs = cols.flatMap { c =>
+      val distinct =
+        if (approx) approx_count_distinct(col(c), 0.02).cast("long")
+        else countDistinct(col(c)).cast("long")
       Seq(
         count(when(col(c).isNull, lit(1))).as(s"__${c}_nulls"),
-        countDistinct(col(c)).cast("long").as(s"__${c}_distinct"),
+        distinct.as(s"__${c}_distinct"),
         min(col(c)).cast("string").as(s"__${c}_min"),
         max(col(c)).cast("string").as(s"__${c}_max"))
     }

@@ -29,6 +29,20 @@ class ProfileSpec extends SparkSuite {
     assert(!plan.contains("Union"), plan)
   }
 
+  test("approx mode profiles without the Expand (the 100 TB path) and " +
+    "its distinct estimates land within HLL tolerance of exact") {
+    val df = (0 until 2000).map(i => (i.toLong, s"s${i % 37}"))
+      .toDF("n", "s")
+    val plan = Profile.summarize(df, Seq("n", "s"), approx = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    val got = Profile.summarize(df, Seq("n", "s"), approx = true)
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(math.abs(got("n") - 2000L) <= 100, got)
+    assert(math.abs(got("s") - 37L) <= 3, got)
+  }
+
   test("ngrams keep multiplicity and truncate short docs to one gram") {
     val df = Seq("a b a b", "solo", "x y").toDF("text")
     val r = df.select(TextAnalysis.ngrams(col("text"), 2).as("g"))
