@@ -17,12 +17,22 @@ object Caches {
     * concurrent pipelines on other threads (e.g. two streaming queries
     * each persisting inside their own foreachBatch) cannot have their
     * fresh caches evicted by this scope's exit — the exact hazard of
-    * diffing a shared registry. */
-  private val scopes =
-    new scala.util.DynamicVariable[List[
-      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]](Nil)
+    * diffing a shared registry.
+    *
+    * Deliberately a plain ThreadLocal, NOT scala.util.DynamicVariable:
+    * DynamicVariable inherits through InheritableThreadLocal, so a
+    * thread SPAWNED inside a scope (e.g. a streaming query started
+    * there) would keep registering into the scope's queue after the
+    * scope exited and drained it — an orphaned registry no clear() ever
+    * unpersists. With a non-inheriting ThreadLocal, child threads fall
+    * through to the global queue. */
+  private val scopes = new ThreadLocal[List[
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]] {
+    override def initialValue(): List[
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]] = Nil
+  }
 
-  private def register(df: DataFrame): Unit = scopes.value match {
+  private def register(df: DataFrame): Unit = scopes.get() match {
     case head :: _ => head.add(df)
     case Nil => live.add(df)
   }
@@ -56,8 +66,10 @@ object Caches {
     * so parallel pipelines each see only their own caches. */
   def scoped[T](f: => T): T = {
     val mine = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
-    try scopes.withValue(mine :: scopes.value)(f)
+    scopes.set(mine :: scopes.get())
+    try f
     finally {
+      scopes.set(scopes.get().tail)
       var df = mine.poll()
       while (df != null) {
         df.unpersist(blocking = false)

@@ -29,23 +29,27 @@ object Profile {
   def summarize(df: DataFrame, cols: Seq[String],
                 approx: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
+    // every name backtick-quoted: profiled columns are TOP-LEVEL names
+    // (a name containing dots would otherwise parse as struct access,
+    // both for the input column and for the generated aliases)
+    def q(n: String) = col(s"`$n`")
     val aggs = cols.flatMap { c =>
       val distinct =
-        if (approx) approx_count_distinct(col(c), 0.02).cast("long")
-        else countDistinct(col(c)).cast("long")
+        if (approx) approx_count_distinct(q(c), 0.02).cast("long")
+        else countDistinct(q(c)).cast("long")
       Seq(
-        count(when(col(c).isNull, lit(1))).as(s"__${c}_nulls"),
+        count(when(q(c).isNull, lit(1))).as(s"__${c}_nulls"),
         distinct.as(s"__${c}_distinct"),
-        min(col(c)).cast("string").as(s"__${c}_min"),
-        max(col(c)).cast("string").as(s"__${c}_max"))
+        min(q(c)).cast("string").as(s"__${c}_min"),
+        max(q(c)).cast("string").as(s"__${c}_max"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val entries = cols.map { c =>
       struct(lit(c).as("column_name"),
-        col(s"__${c}_nulls").as("null_count"),
-        col(s"__${c}_distinct").as("n_distinct"),
-        col(s"__${c}_min").as("min_value"),
-        col(s"__${c}_max").as("max_value"))
+        q(s"__${c}_nulls").as("null_count"),
+        q(s"__${c}_distinct").as("n_distinct"),
+        q(s"__${c}_min").as("min_value"),
+        q(s"__${c}_max").as("max_value"))
     }
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
       .orderBy("column_name")

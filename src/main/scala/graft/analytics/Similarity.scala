@@ -106,14 +106,32 @@ object Similarity {
     * recall is probabilistic (same b×r trade-off as `srpLshPairs`). */
   def srpLshPairsAgainst(history: DataFrame, incoming: DataFrame,
                          id: Column, vec: Column, threshold: Double,
-                         bands: Int = 24, bitsPerBand: Int = 16): DataFrame = {
-    def prep(df: DataFrame): DataFrame = Caches.persist(
-      df.select(id.as("id"), asDouble(vec).as("v"))
+                         bands: Int = 24, bitsPerBand: Int = 16): DataFrame =
+    srpLshPairsAgainstPrepped(srpPrep(history, id, vec, bands, bitsPerBand),
+      incoming, id, vec, threshold, bands, bitsPerBand)
+
+  /** Precompute (and persist) one side's tables for
+    * `srpLshPairsAgainstPrepped`: normed double vectors + SRP band
+    * buckets. Compute the HISTORY side once and reuse it across
+    * increments/micro-batches — rebuilding it per batch re-scans the
+    * whole history corpus (the streaming gate does exactly this hoist). */
+  def srpPrep(emb: DataFrame, id: Column, vec: Column,
+              bands: Int = 24, bitsPerBand: Int = 16): DataFrame =
+    Caches.persist(
+      emb.select(id.as("id"), asDouble(vec).as("v"))
         .withColumn("nrm", norm(col("v")))
         .withColumn("bkts", graft.functions.HashExpressions
           .srpBandBuckets(col("v"), bands, bitsPerBand)))
-    val h = prep(history)
-    val i = prep(incoming)
+
+  /** `srpLshPairsAgainst` with the history side already prepared by
+    * `srpPrep` (with the SAME bands/bitsPerBand). Only the incoming side
+    * is prepped per call. */
+  def srpLshPairsAgainstPrepped(historyPrep: DataFrame, incoming: DataFrame,
+                                id: Column, vec: Column, threshold: Double,
+                                bands: Int = 24,
+                                bitsPerBand: Int = 16): DataFrame = {
+    val h = historyPrep
+    val i = srpPrep(incoming, id, vec, bands, bitsPerBand)
     def banded(n: DataFrame, name: String) = n.select(col("id").as(name),
       posexplode(col("bkts")).as(Seq("band", "bucket")))
     val cand = banded(i, "new_id")

@@ -149,14 +149,18 @@ object TextAnalysis {
 
   /** Non-distinct word n-grams in document order — repetition metrics need
     * multiplicity, unlike `shingles`' distinct set. Docs shorter than n
-    * tokens yield one truncated gram (same edge contract as the shingle
-    * oracles). Pure array builder: no shuffle until the caller aggregates. */
+    * tokens yield one truncated gram; NULL text null-propagates (same
+    * edge contract as the shingle oracles — without the explicit guard,
+    * `greatest(null - 1, 1)` skips the null and the doc would fabricate
+    * one empty gram where DuckDB's unnest emits no row). Pure array
+    * builder: no shuffle until the caller aggregates. */
   def ngrams(text: Column, n: Int): Column = {
     require(n >= 1)
     val toks = tokens(lower(text))
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(text.isNull, lit(null).cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
   /** Distinct word n-gram shingles, the input to Jaccard/MinHash dedup.

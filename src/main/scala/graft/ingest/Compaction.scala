@@ -43,26 +43,28 @@ object Compaction {
     * schema-bearing formats are rewritable; ByteArray lakes have no
     * record boundaries Spark can re-group.
     *
-    * When `paths` is given, EXACTLY those objects are read (no fresh
-    * listing) — `compact` passes its inventory so the read set and the
-    * delete-candidate set are one snapshot: a file landed by a concurrent
-    * ingest after the listing is neither compacted nor deleted, instead of
-    * having its records duplicated into the new generation while the
-    * object itself survives. */
-  def readLake(spark: SparkSession, topicDir: String,
-               cfg: IngestConfig, paths: Seq[String] = Nil): DataFrame = {
+    * When `inventory` is given, the result is restricted to EXACTLY those
+    * (encodedPartition, fileName) objects — `compact` passes its listing
+    * so the read set and the delete-candidate set are one snapshot: a
+    * file landed by a concurrent ingest after the listing is neither
+    * compacted nor deleted, instead of having its records duplicated into
+    * the new generation while the object itself survives. The restriction
+    * is a broadcast semi-join on the path-derived columns, NOT a
+    * `load(paths)` call: Spark glob-expands load() paths, so a partition
+    * value containing glob metachars (`[`, `{`, `*`) would mis-resolve —
+    * and the writer explicitly supports special characters in partition
+    * values. */
+  def readLake(spark: SparkSession, topicDir: String, cfg: IngestConfig,
+               inventory: Seq[(String, String)] = Nil): DataFrame = {
     require(cfg.format == OutputFormat.Parquet ||
       cfg.format == OutputFormat.Json,
       s"compaction rewrites Parquet/Json lakes, not ${cfg.format}")
     val topicPath = new Path(topicDir).toUri.getPath
-    val reader = spark.read.format(cfg.format.sparkFormat)
-    val df =
-      if (paths.nonEmpty) reader.load(paths: _*)
-      else reader
-        // manifests and other sidecars are not data objects
-        .option("pathGlobFilter", s"*${cfg.extension}")
-        .option("recursiveFileLookup", "true")
-        .load(topicDir)
+    val df = spark.read.format(cfg.format.sparkFormat)
+      // manifests and other sidecars are not data objects
+      .option("pathGlobFilter", s"*${cfg.extension}")
+      .option("recursiveFileLookup", "true")
+      .load(topicDir)
     // input_file_name() is a percent-ENCODED URI; URI.getPath decodes it
     // (incl. UTF-8 multibyte), so partition values with spaces/specials
     // compare equal to the decoded directory names the writer created —
@@ -74,10 +76,17 @@ object Compaction {
     }
     val rel = regexp_extract(decodePath(input_file_name()),
       Pattern.quote(topicPath) + "/(.*)$", 1)
-    df.withColumn("__fname", regexp_extract(rel, "([^/]+)$", 1))
+    val parsed = df
+      .withColumn("__fname", regexp_extract(rel, "([^/]+)$", 1))
       .withColumn("__epart", regexp_replace(rel, "/?[^/]+$", ""))
       .withColumn("__kpart",
         element_at(split(col("__fname"), Pattern.quote("+")), 2).cast("int"))
+    if (inventory.isEmpty) parsed
+    else {
+      val inv = spark.createDataFrame(inventory)
+        .toDF("__epart", "__fname")
+      parsed.join(broadcast(inv), Seq("__epart", "__fname"), "left_semi")
+    }
   }
 
   /** Compact the `cfg` lake under `outDir` to ~`targetRecords`-record
@@ -123,14 +132,11 @@ object Compaction {
         "lockstep with value basenames (compact before enabling " +
         "writeKeys/writeHeaders, or rebuild the lake)")
 
-    // read EXACTLY the inventory just listed — not a second listing — so
-    // an object written by a concurrent ingest between the two cannot be
+    // read EXACTLY the inventory just listed — an object written by a
+    // concurrent ingest between the listing and the read cannot be
     // compacted-but-not-deleted (which would persist its records twice
     // until a later compact healed it)
-    val beforePaths = before.map { case (epart, fname) =>
-      s"$topicDir${if (epart.isEmpty) "" else s"/$epart"}/$fname"
-    }
-    val lake = readLake(spark, topicDir, cfg, beforePaths)
+    val lake = readLake(spark, topicDir, cfg, before)
     require(lake.columns.contains(offsetCol),
       s"compaction needs the record offset column '$offsetCol' in the lake")
     // R2 lakes: re-apply the epoch-aligned time grouping so compacted

@@ -183,56 +183,56 @@ object StreamingIngest {
                        threshold: Double = 0.7,
                        trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery =
-    frame.writeStream
-      .outputMode(OutputMode.Append)
-      .trigger(trigger)
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // survivors land in a DETERMINISTIC per-batch directory with
-        // overwrite semantics: foreachBatch is at-least-once, so a replay
-        // of the same batchId rewrites the identical objects instead of
-        // appending duplicates (the X1 discipline, batch-granular).
-        // Caches.scoped unpersists only this operator's shingle frames —
-        // a global clear would evict co-resident pipelines' caches (e.g.
-        // a precomputed history bucket table) every trigger.
-        graft.analytics.Caches.scoped {
-          val dups = graft.analytics.Dedup.nearDupAgainst(history, batch,
-              org.apache.spark.sql.functions.col(idCol),
-              org.apache.spark.sql.functions.col(textCol),
-              threshold = threshold)
-            .select(org.apache.spark.sql.functions.col("new_id").as(idCol))
-            .distinct()
-          batch.join(dups, Seq(idCol), "left_anti")
-            .write.mode("overwrite")
-            .parquet(s"$outDir/batch_id=$batchId")
-        }
-      }
-      .start()
+    startGate(frame, idCol, outDir, checkpointDir, trigger) { batch =>
+      graft.analytics.Dedup.nearDupAgainst(history, batch,
+        org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(textCol),
+        threshold = threshold)
+    }
 
   /** Streaming EMBEDDING dedup gate: every micro-batch drops vectors whose
     * cosine against the static `history` reaches the threshold
-    * (Similarity.srpLshPairsAgainst — SRP band candidates + exact-cosine
-    * verify, never a history self-join), and appends the survivors. Same
-    * at-least-once discipline as `startNearDupGate`: deterministic
-    * per-batch output directories with overwrite semantics, and
-    * scope-local caches so co-resident pipelines keep theirs. */
+    * (SRP band candidates + exact-cosine verify, never a history
+    * self-join), and appends the survivors. The history's SRP tables
+    * (norms + band buckets) are prepared ONCE here, outside the
+    * per-batch scope, and reused by every trigger — rebuilding them per
+    * batch would re-scan the whole history corpus each time. */
   def startEmbeddingDedupGate(frame: DataFrame, history: DataFrame,
                               idCol: String, vecCol: String,
                               outDir: String, checkpointDir: String,
                               threshold: Double = 0.95,
                               trigger: Trigger = Trigger.AvailableNow())
-      : StreamingQuery =
+      : StreamingQuery = {
+    val hPrep = graft.analytics.Similarity.srpPrep(history,
+      org.apache.spark.sql.functions.col(idCol),
+      org.apache.spark.sql.functions.col(vecCol))
+    startGate(frame, idCol, outDir, checkpointDir, trigger) { batch =>
+      graft.analytics.Similarity.srpLshPairsAgainstPrepped(hPrep, batch,
+        org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(vecCol),
+        threshold = threshold)
+    }
+  }
+
+  /** Shared gate scaffolding: per micro-batch, `dupPairs(batch)` names the
+    * batch rows (`new_id` column) that duplicate the history; survivors
+    * anti-join out and land in a DETERMINISTIC per-batch directory with
+    * overwrite semantics — foreachBatch is at-least-once, so a replay of
+    * the same batchId rewrites the identical objects instead of appending
+    * duplicates (the X1 discipline, batch-granular). `Caches.scoped`
+    * unpersists only the per-batch frames — a global clear would evict
+    * co-resident pipelines' caches (e.g. the precomputed history tables)
+    * every trigger. */
+  private def startGate(frame: DataFrame, idCol: String, outDir: String,
+                        checkpointDir: String, trigger: Trigger)
+                       (dupPairs: DataFrame => DataFrame): StreamingQuery =
     frame.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.analytics.Caches.scoped {
-          val dups = graft.analytics.Dedup.embeddingNearDupsAgainst(
-              history, batch,
-              org.apache.spark.sql.functions.col(idCol),
-              org.apache.spark.sql.functions.col(vecCol),
-              threshold = threshold)
+          val dups = dupPairs(batch)
             .select(org.apache.spark.sql.functions.col("new_id").as(idCol))
             .distinct()
           batch.join(dups, Seq(idCol), "left_anti")

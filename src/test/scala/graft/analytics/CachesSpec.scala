@@ -56,6 +56,36 @@ class CachesSpec extends SparkSuite {
     assert(other.storageLevel == StorageLevel.NONE)
   }
 
+  test("a thread SPAWNED inside a scope does not inherit it: its persists " +
+    "register globally and the next clear() releases them (no orphaned " +
+    "registry after the scope exits)") {
+    Caches.clear()
+    val go = new CountDownLatch(1)
+    val done = new CountDownLatch(1)
+    @volatile var child: org.apache.spark.sql.DataFrame = null
+    var t: Thread = null
+    Caches.scoped {
+      // the streaming-query pattern: a long-lived worker thread created
+      // INSIDE the scope that keeps persisting after the scope is gone
+      t = new Thread(() => {
+        go.await()
+        child = Caches.persist(freshDf(500))
+        child.count()
+        done.countDown()
+      })
+      t.start()
+    }
+    // scope has exited and drained; the child persists only now
+    go.countDown()
+    done.await()
+    t.join()
+    assert(child.storageLevel != StorageLevel.NONE)
+    Caches.clear()
+    assert(child.storageLevel == StorageLevel.NONE,
+      "child-thread persist must land in the global registry, not the " +
+        "dead scope's queue")
+  }
+
   test("scopes nest: the inner scope releases only its own frames") {
     Caches.clear()
     var outerDf: org.apache.spark.sql.DataFrame = null

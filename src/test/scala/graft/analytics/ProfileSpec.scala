@@ -20,6 +20,17 @@ class ProfileSpec extends SparkSuite {
       ("s", 1L, 3L, "a", "c")))
   }
 
+  test("summarize handles column names containing dots (top-level names, " +
+    "not struct paths)") {
+    val df = Seq((1, "x"), (2, "y"), (2, null))
+      .toDF("meta.n", "meta.s")
+    val p = Profile.summarize(df, Seq("meta.n", "meta.s"))
+      .as[(String, Long, Long, String, String)].collect().toSeq
+    assert(p == Seq(
+      ("meta.n", 0L, 2L, "1", "2"),
+      ("meta.s", 1L, 2L, "x", "y")))
+  }
+
   test("summarize is one job over one scan (no per-column actions)") {
     val df = Seq((1, "a"), (2, "b")).toDF("n", "s")
     val plan = Profile.summarize(df, Seq("n", "s"))
@@ -43,11 +54,15 @@ class ProfileSpec extends SparkSuite {
     assert(math.abs(got("s") - 37L) <= 3, got)
   }
 
-  test("ngrams keep multiplicity and truncate short docs to one gram") {
-    val df = Seq("a b a b", "solo", "x y").toDF("text")
+  test("ngrams keep multiplicity, truncate short docs to one gram, and " +
+    "null-propagate on null text (explode then emits no rows, matching " +
+    "the oracle's unnest)") {
+    val df = Seq(Some("a b a b"), Some("solo"), Some("x y"), None)
+      .toDF("text")
     val r = df.select(TextAnalysis.ngrams(col("text"), 2).as("g"))
-      .as[Seq[String]].collect().toSeq
+      .as[Option[Seq[String]]].collect().toSeq
     assert(r == Seq(
-      Seq("a b", "b a", "a b"), Seq("solo"), Seq("x y")))
+      Some(Seq("a b", "b a", "a b")), Some(Seq("solo")), Some(Seq("x y")),
+      None))
   }
 }

@@ -134,29 +134,35 @@ class CompactionSpec extends SparkSuite {
   }
 
   test("readLake with an explicit inventory reads EXACTLY those objects — " +
-    "a file landed after the listing is neither compacted nor deleted") {
+    "a file landed after the listing is neither compacted nor deleted, " +
+    "and glob metachars in partition values stay literal") {
     val out = freshDir()
     val cfg = IngestConfig(topic = "race", flushSize = 2)
-    val df = (0L until 8L).map(o => (0, o, s"v$o", "a"))
+    // partition value with glob metachars: a load(paths) formulation
+    // would glob-expand `[1]`/`*` and mis-resolve; the semi-join keeps
+    // the path literal
+    val part = "a[1]"
+    val df = (0L until 8L).map(o => (0, o, s"v$o", part))
       .toDF("kafka_partition", "offset", "value", "event_type")
     Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
       payloadCols = Seq(col("offset"), col("value"), col("event_type")))
     val topicDir = s"$out/topics/race"
-    val inventory = new java.io.File(s"$topicDir/event_type=a")
+    val epart = s"event_type=$part"
+    val inventory = new java.io.File(s"$topicDir/$epart")
       .listFiles().map(_.getName).filter(_.endsWith(".parquet")).sorted
+      .map(f => (epart, f)).toSeq
     // a concurrent ingest lands AFTER the listing
-    val late = (8L until 10L).map(o => (0, o, s"v$o", "a"))
+    val late = (8L until 10L).map(o => (0, o, s"v$o", part))
       .toDF("kafka_partition", "offset", "value", "event_type")
     Ingest.run(late, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
       payloadCols = Seq(col("offset"), col("value"), col("event_type")))
-    val snapshot = Compaction.readLake(spark, topicDir, cfg,
-      inventory.map(f => s"$topicDir/event_type=a/$f").toSeq)
+    val snapshot = Compaction.readLake(spark, topicDir, cfg, inventory)
     // the snapshot read sees only the listed generation, so compaction's
     // delete-candidate math never orphans-but-duplicates the late file
     assert(snapshot.count() == 8 &&
       snapshot.agg(max("offset")).as[Long].head == 7L)
     assert(new java.io.File(
-      s"$topicDir/event_type=a/race+0+0000000008.parquet").exists())
+      s"$topicDir/$epart/race+0+0000000008.parquet").exists())
   }
 
   test("partition values with spaces survive compaction (URI decode): no " +
