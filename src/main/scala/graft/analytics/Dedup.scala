@@ -323,4 +323,55 @@ object Dedup {
     Caches.track(labels)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    * algorithm): hash every word `n`-gram in document order, slide a
+    * `window`-wide frame over the hash sequence, and keep each frame's
+    * minimum. The selected set is position-robust: any shared substring of
+    * at least `window + n - 1` tokens between two documents is GUARANTEED
+    * to contribute at least one common fingerprint — the coverage guarantee
+    * exact shingle sampling (`0 mod p` selection) lacks. The standard
+    * substring-level contamination / clone-detection signature.
+    *
+    * Returns one row per doc: `(doc_id, n_fp, fp_sig)` — the distinct
+    * fingerprint count and an md5 over the sorted fingerprint set (compact,
+    * hash-comparable; join two corpora on exploded fingerprints for overlap
+    * detection, as `text_contamination` does with raw shingles). Docs with
+    * fewer than `window` n-grams emit no row (no complete frame).
+    *
+    * Scale: grams hash to 60-bit md5-derived longs (8-byte keys, engine-
+    * portable), the frame minimum is ONE bounded-following window over ONE
+    * shuffle keyed by doc — state per row is a `window`-element heap, and
+    * docs are small so partitions hold many whole docs. No self-join, no
+    * cross-doc work at all until a caller joins fingerprint sets. */
+  def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
+                         n: Int = 3, window: Int = 4): DataFrame =
+    winnowFingerprintSets(docs, id, text, n, window)
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        md5(concat_ws(" ", transform(col("fps"), x => x.cast("string"))))
+          .as("fp_sig"))
+
+  /** The raw winnowing selection: `(doc_id, fps)` with the sorted distinct
+    * fingerprint array — explode and equi-join two corpora's sets for
+    * substring-overlap detection (the same join shape as
+    * `text_contamination`). */
+  def winnowFingerprintSets(docs: DataFrame, id: Column, text: Column,
+                            n: Int = 3, window: Int = 4): DataFrame = {
+    val grams = docs.select(id.as("doc_id"),
+        posexplode(TextAnalysis.ngrams(text, n)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    val nG = Window.partitionBy(col("doc_id"))
+    grams
+      .withColumn("fp", min(col("h")).over(w))
+      .withColumn("n_grams", count(lit(1)).over(nG))
+      // only complete frames select a fingerprint (frame start must have
+      // window-1 grams after it) — same cut the oracle applies
+      .filter(col("pos") <= col("n_grams") - window)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("fp"))).as("fps"))
+  }
 }

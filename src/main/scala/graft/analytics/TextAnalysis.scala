@@ -169,4 +169,68 @@ object TextAnalysis {
     * transform/slice version evaluates interpreted lambdas per token. */
   def shingles(text: Column, n: Int): Column =
     graft.functions.HashExpressions.wordShingles(lower(text), n)
+
+  /** Hashed bag-of-words linear classifier score — the fastText-style
+    * quality-classifier pattern (token → hash bucket → weight, summed over
+    * the doc): how a pipeline applies a trained quality/toxicity filter
+    * model at corpus scale. Buckets come from the engine-portable
+    * md5-derived hash; `weights(b)` maps each of `buckets` buckets to an
+    * INTEGER centi-weight, so the document sum is exact integer arithmetic
+    * — FP addition order can never flip a score — and only the final
+    * normalized logit divides. Swap `weights` for a trained table (a
+    * broadcast map literal) without changing the plan.
+    *
+    * ZERO-shuffle scoring: tokens never explode — bucket/weight/sum run
+    * inside `transform`+`aggregate` over the token array, one codegen'd
+    * pass per document. Returns the mean centi-weight logit rounded to 6
+    * (apply `sigmoid` downstream for a probability; the logit itself is
+    * the engine-portable comparable). */
+  def classifierLogit(text: Column, buckets: Int = 64): Column = {
+    val toks = tokens(lower(text))
+    val s = aggregate(
+      transform(toks, t =>
+        pmod(pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+          lit(buckets)) * 37, lit(101)) - 50),
+      lit(0L), (acc, x) => acc + x)
+    round(s / (lit(100.0) * greatest(size(toks), lit(1))), 6)
+  }
+
+  /** Unigram language-model quality scoring: fit the corpus's own unigram
+    * distribution (add-one smoothing), then score every document by its
+    * mean per-token negative log2 probability — bits per token, the KenLM-
+    * class perplexity filter (high bits/token ⇒ unusual/garbled text;
+    * CCNet buckets the corpus by exactly this). Returns
+    * `(doc_id, n_tokens, bits_per_token)`.
+    *
+    * Cross-engine determinism: each token's bit cost rounds to integer
+    * MICRO-bits before the per-doc sum, so the aggregate is exact integer
+    * arithmetic — Spark's partial-aggregation order vs the oracle's
+    * sequential sum cannot diverge. Only the final mean divides.
+    *
+    * Scale: two hash aggregates over one exploded scan (token counts +
+    * corpus totals) and one equi-join of tokens against the count table —
+    * all shuffles key on the token string; the count table is corpus
+    * vocabulary, which a 100 TB run keys-salts only if a token is
+    * pathologically hot (the join is a plain equi-join, AQE skew-split
+    * handles Zipf heads). No driver-side model object: the "model" stays
+    * a distributed table. */
+  def unigramBits(docs: org.apache.spark.sql.DataFrame, id: Column,
+                  text: Column): org.apache.spark.sql.DataFrame = {
+    val tok = Caches.persist(
+      docs.select(id.as("doc_id"),
+        explode(tokens(lower(text))).as("token")))
+    val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val totals = tok.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("token")).as("vocab"))
+    tok.join(counts.hint("SHUFFLE_HASH"), Seq("token"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round(-log2((col("c") + 1).cast("double") /
+          (col("n_total") + col("vocab"))) * 1e6, 0).cast("long")
+          .as("micro_bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("micro_bits")) / count(lit(1)) / 1e6, 4)
+          .as("bits_per_token"))
+  }
 }

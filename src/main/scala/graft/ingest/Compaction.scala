@@ -183,4 +183,34 @@ object Compaction {
     }
     Result(files, before.size, stale.size)
   }
+
+  /** Key-based upsert merge (the MERGE INTO / last-write-wins primitive a
+    * curated-corpus lake needs: re-scored documents, corrected records,
+    * late-arriving fixes): for every key, keep the single row with the
+    * highest (version, isUpdate) — updates win ties against the base at
+    * the same version. Pure relational core: ONE union + ONE map-side-
+    * partial `max_by` hash aggregate on the key; no sort, no window, no
+    * join. Column sets must match (`unionByName`).
+    *
+    * At lake scale the physical write composes with partition overwrite:
+    * join the update set's distinct partition values against the lake to
+    * select affected partitions, merge only those, and write back with
+    * `partitionOverwriteMode=dynamic` — untouched partitions are never
+    * read. The relational merge below is that inner per-partition step,
+    * and is what the `lake_upsert` oracle checks. */
+  def upsert(base: org.apache.spark.sql.DataFrame,
+             updates: org.apache.spark.sql.DataFrame,
+             keyCols: Seq[String],
+             versionCol: String): org.apache.spark.sql.DataFrame = {
+    require(base.columns.sorted.sameElements(updates.columns.sorted),
+      "upsert sides must share a column set")
+    val payload = base.columns.filterNot(keyCols.contains)
+    val tagged = base.withColumn("__upd", lit(0))
+      .unionByName(updates.withColumn("__upd", lit(1)))
+    tagged.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(col(versionCol), col("__upd"))).as("__row"))
+      .select(keyCols.map(col) ++
+        payload.map(c => col(s"__row.$c").as(c)): _*)
+  }
 }

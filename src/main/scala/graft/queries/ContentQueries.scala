@@ -715,7 +715,58 @@ object ContentQueries {
         .select(col("id"), col("nBytes").as("n_bytes"),
           col("fingerprint").as("fp"))
         .orderBy(col("id"))
-    })
+    }),
+
+    // Lloyd's k-means over the embedding corpus (k=8, 2 iterations,
+    // deterministic md5-sampled init) — fully oracle-checked: DuckDB
+    // unrolls the identical assign/update rounds, so the iterated
+    // clustering itself is verified, not just one assignment. Every
+    // iteration is a broadcast join + two hash aggregates; the corpus is
+    // never sorted or windowed.
+    "emb_kmeans" -> ((s, d) =>
+      graft.analytics.Clustering.kmeansAssign(
+        emb(s, d), col("vec_id"), col("embedding"), k = 8, iters = 2)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))),
+
+    // SemDeDup (Abbas et al. 2023): semantic near-dup pairs found only
+    // WITHIN k-means clusters — cluster id as the blocking key bounds the
+    // quadratic search (plan-audited: no nested-loop join). Oracle replays
+    // the clustering and the within-cluster pair scan end-to-end. The
+    // synthetic corpus has no true near-dups (max pairwise cosine ≈ 0.51
+    // at sf0.01), so the threshold sits in the "semantically close" band
+    // to keep the check non-trivial.
+    "dedup_semantic" -> ((s, d) =>
+      graft.analytics.Clustering.semDedupPairs(
+        emb(s, d), col("vec_id"), col("embedding"),
+        threshold = 0.4, k = 8, iters = 2)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // Unigram-LM quality scoring (the KenLM/CCNet perplexity-filter
+    // class): corpus-fit add-one-smoothed unigram model, per-doc mean
+    // -log2 p in bits/token. Integer micro-bit sums make the aggregate
+    // engine-exact.
+    "text_perplexity" -> ((s, d) =>
+      TextAnalysis.unigramBits(docs(s, d), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+
+    // Winnowing fingerprints (MOSS): windowed-minimum selection over
+    // ordered 3-gram hashes — guarantees any >=6-token shared substring
+    // yields a common fingerprint. One bounded window over one shuffle.
+    "text_winnow" -> ((s, d) =>
+      Dedup.winnowFingerprints(docs(s, d), col("doc_id"), col("text"),
+        n = 3, window = 4)
+        .orderBy(col("doc_id"))),
+
+    // Hashed bag-of-words linear classifier (the fastText-style quality/
+    // toxicity filter application pattern): ZERO-shuffle scoring — bucket,
+    // weight and sum run inside one codegen'd array fold per doc; the
+    // integer centi-weight sum is engine-exact.
+    "text_classifier" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          TextAnalysis.classifierLogit(col("text")).as("logit"))
+        .withColumn("keep", (col("logit") > 0).cast("int"))
+        .orderBy(col("doc_id")))
   )
 
   private val dims = Seq(
@@ -1540,8 +1591,117 @@ object ContentQueries {
         |    / (sqrt(list_sum(list_transform(e, x -> x * x)))
         |       * sqrt(list_sum(list_transform(ce, x -> x * x)))), 4)
         |    AS centroid_sim
-        |FROM v JOIN cent USING (label) ORDER BY vec_id""".stripMargin
+        |FROM v JOIN cent USING (label) ORDER BY vec_id""".stripMargin,
+
+    "emb_kmeans" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cluster, csim FROM af ORDER BY vec_id""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH $kmeansCtes
+         |SELECT a_id, b_id, sim FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS sim
+         |  FROM af a JOIN af b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |WHERE sim >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+
+    "text_perplexity" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+        |g AS (SELECT count(*) AS nt, count(DISTINCT token) AS vv FROM t),
+        |b AS (SELECT doc_id,
+        |    CAST(round(-log2((c.c + 1) / CAST(g.nt + g.vv AS DOUBLE)) * 1e6,
+        |      0) AS BIGINT) AS mb
+        |  FROM t JOIN c USING (token) CROSS JOIN g)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(mb) / count(*) / 1e6, 4) AS bits_per_token
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_winnow" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         |      AS grams
+         |  FROM tk),
+         |e AS (SELECT doc_id, len(grams) AS n_grams,
+         |    unnest(range(0, len(grams))) AS pos, unnest(grams) AS gram
+         |  FROM g),
+         |h AS (SELECT doc_id, pos, n_grams,
+         |    ${md5b60("gram")} AS hv FROM e),
+         |wm AS (SELECT doc_id, pos, n_grams,
+         |    min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM h),
+         |agg AS (SELECT doc_id, list_sort(list(DISTINCT fp)) AS fps
+         |  FROM wm WHERE pos <= n_grams - 4 GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+         |  md5(array_to_string(
+         |    list_transform(fps, x -> CAST(x AS VARCHAR)), ' ')) AS fp_sig
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "text_classifier" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |sc AS (SELECT doc_id,
+         |    round(list_sum(list_transform(toks, tk ->
+         |      ((${md5b60("tk")} % 64) * 37) % 101 - 50))
+         |      / (100.0 * greatest(len(toks), 1)), 6) AS logit
+         |  FROM t)
+         |SELECT doc_id, logit, CAST(logit > 0 AS INT) AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin
   )
+
+  /** One Lloyd round in SQL: assign every vector to its max-cosine centroid
+    * in `cent` (scores round to 6 before the argmax; ties → lower centroid
+    * id — the `Clustering.assign` contract), then recompute centroids as
+    * the member mean with components snapped to 6 decimals. */
+  private def kmRound(cent: String, idx: Int): String =
+    s"""a${idx}r AS (SELECT n.vec_id, n.e, n.nrm, $cent.cl,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      round(list_sum(list_transform(range(1, 65),
+       |        i -> n.e[i] * $cent.ce[i])) / (n.nrm * $cent.cn), 6) DESC,
+       |      $cent.cl) AS rn
+       |  FROM n CROSS JOIN $cent),
+       |a$idx AS (SELECT vec_id, e, cl FROM a${idx}r WHERE rn = 1),
+       |x$idx AS (SELECT cl, unnest(range(1, 65)) AS pos, unnest(e) AS x
+       |  FROM a$idx),
+       |m$idx AS (SELECT cl, pos, round(avg(x), 6) AS cx FROM x$idx
+       |  GROUP BY 1, 2),
+       |c$idx AS (SELECT cl, ce,
+       |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM (
+       |    SELECT cl, list(cx ORDER BY pos) AS ce FROM m$idx
+       |    GROUP BY cl))""".stripMargin
+
+  /** Shared k-means replay (k=8, 2 Lloyd rounds, md5-sampled init — the
+    * literal unroll of `Clustering.kmeansAssign(k = 8, iters = 2)`): ends
+    * at `af` = final assignment with (vec_id, cluster, csim, e, nrm). */
+  private def kmeansCtes: String =
+    s"""v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+       |c0 AS (SELECT vec_id AS cl, e AS ce, nrm AS cn FROM (
+       |    SELECT vec_id, e, nrm,
+       |      ${md5b60("CAST(vec_id AS VARCHAR)")} % 997 AS r
+       |    FROM n) WHERE r < 64 ORDER BY r, vec_id LIMIT 8),
+       |${kmRound("c0", 1)},
+       |${kmRound("c1", 2)},
+       |afr AS (SELECT n.vec_id, n.e, n.nrm, c2.cl,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> n.e[i] * c2.ce[i])) / (n.nrm * c2.cn), 6) AS csim,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      round(list_sum(list_transform(range(1, 65),
+       |        i -> n.e[i] * c2.ce[i])) / (n.nrm * c2.cn), 6) DESC,
+       |      c2.cl) AS rn
+       |  FROM n CROSS JOIN c2),
+       |af AS (SELECT vec_id, cl AS cluster, csim, e, nrm
+       |  FROM afr WHERE rn = 1)""".stripMargin
 
   /** Shared CTE chain: docs → distinct 3-gram shingles → exploded →
     * exhaustive pair intersection counts. */

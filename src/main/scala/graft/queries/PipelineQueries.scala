@@ -146,6 +146,27 @@ object PipelineQueries {
       SchemaCompat.project(
         events(s, d).select(col("event_id"), col("event_type"), col("value")),
         target).orderBy(col("event_id"))
+    }),
+
+    // MERGE INTO / last-write-wins upsert: a re-priced update batch (every
+    // 5th order, version 2) merged into the base lake by key — one union +
+    // one map-side-partial max_by, no sort/window/join
+    // (Compaction.upsert; composes with dynamic partition overwrite at
+    // lake scale). Output samples the merged result.
+    "lake_upsert" -> ((s, d) => {
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .withColumn("version", lit(1L))
+      val updates = base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+        .withColumn("version", lit(2L))
+      graft.ingest.Compaction.upsert(base, updates,
+          Seq("o_orderkey"), "version")
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), col("version"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -223,6 +244,15 @@ object PipelineQueries {
     "ingest_schema_projection" ->
       """SELECT event_id, event_type, value,
         |  CAST(NULL AS VARCHAR) AS annotation
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "lake_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS version,
+        |  CASE WHEN o_orderkey % 5 = 0
+        |    THEN round(round(o_totalprice * 1.1, 2), 2)
+        |    ELSE round(o_totalprice, 2) END AS price
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -252,4 +252,59 @@ class PlanAuditSpec extends SparkSuite {
     val scans = "Location: InMemoryFileIndex".r.findAllIn(p).length
     assert(scans == 1, s"expected 1 scan, got $scans\n$p")
   }
+
+  test("dedup_semantic: the pair search is an equi-join on the cluster " +
+    "blocking key — never an unbroadcast cartesian; k-means assignment " +
+    "aggregates with map-side partial max_by") {
+    val p = plan("dedup_semantic")
+    // centroid scoring deliberately scans corpus x k broadcast rows (a
+    // BroadcastNestedLoopJoin over a bounded 8-row inner side, as in
+    // ivfTopK); an unbroadcast CartesianProduct must never appear — that
+    // would mean the PAIR join lost its cluster key
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_max_by"), p)
+  }
+
+  test("emb_kmeans: every Lloyd round is broadcast-join + hash " +
+    "aggregates — the corpus is never sorted and the only window-free " +
+    "plan survives (no Window node at all)") {
+    val p = plan("emb_kmeans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_max_by"), p)
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).length
+    assert(windows == 0, s"kmeans must not plan a Window, got $windows\n$p")
+  }
+
+  test("text_perplexity: the unigram model joins tokens on an equi-key " +
+    "with partial counts; the doc aggregate combines map-side") {
+    val p = plan("text_perplexity")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p) // token join is SHUFFLE_HASH
+  }
+
+  test("text_classifier: zero-shuffle scoring — the whole model " +
+    "application is one codegen'd projection") {
+    val p = plan("text_classifier")
+    assert(hashExchanges(p) == 0, s"classifier grew a hash shuffle\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"),
+      p)
+  }
+
+  test("text_winnow: fingerprint selection is ONE bounded window over " +
+    "ONE doc-keyed shuffle") {
+    val p = plan("text_winnow")
+    val hashEx = hashExchanges(p)
+    assert(hashEx <= 2, s"expected <=2 hash exchanges, got $hashEx\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("lake_upsert: the merge is one map-side-partial max_by hash " +
+    "aggregate — no join, no window, no sort before the output order") {
+    val p = plan("lake_upsert")
+    assert(p.contains("partial_max_by"), p)
+    assert(!"\\bJoin\\b".r.findFirstIn(p).isDefined, p)
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).length
+    assert(windows == 0, s"upsert must not plan a Window, got $windows\n$p")
+  }
 }

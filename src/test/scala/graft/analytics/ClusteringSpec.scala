@@ -1,0 +1,97 @@
+package graft.analytics
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf0001, "embeddings").cache()
+
+  test("kmeans assigns every vector to one of <= k clusters, " +
+    "deterministically") {
+    val a = Clustering.kmeansAssign(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 2)
+    val rows = a.as[(Long, Long, Double)].collect()
+    assert(rows.length == emb.count())
+    assert(rows.map(_._1).distinct.length == rows.length) // one row per id
+    assert(rows.map(_._2).distinct.length <= 4)
+    val b = Clustering.kmeansAssign(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 2).as[(Long, Long, Double)].collect()
+    assert(rows.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq) // replay-stable
+    Caches.clear()
+  }
+
+  test("Lloyd iterations do not decrease mean cosine-to-centroid " +
+    "(inertia improves or holds on this data)") {
+    def meanSim(iters: Int): Double =
+      Clustering.kmeansAssign(emb, col("vec_id"), col("embedding"),
+        k = 4, iters = iters)
+        .agg(avg(col("csim"))).as[Double].head()
+    val s0 = meanSim(0) // raw seed assignment
+    val s2 = meanSim(2)
+    assert(s2 >= s0 - 1e-9, s"mean csim degraded: $s0 -> $s2")
+    Caches.clear()
+  }
+
+  test("semDedup pairs are a subset of exhaustive cosine pairs at the " +
+    "same threshold (exact precision), with full recall within clusters") {
+    val t = 0.3
+    val sem = Clustering.semDedupPairs(emb, col("vec_id"), col("embedding"),
+      threshold = t, k = 4, iters = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.cosinePairs(emb, col("vec_id"), col("embedding"))
+      .filter(col("sim") >= t)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(exact), "semDedup must never fabricate a pair")
+    // recall within blocks is exact: every exhaustive pair whose two ids
+    // share a cluster must be found
+    val assign = Clustering.kmeansAssign(emb, col("vec_id"),
+      col("embedding"), k = 4, iters = 1)
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    val inBlock = exact.filter { case (a, b) => assign(a) == assign(b) }
+    assert(sem == inBlock,
+      s"within-cluster recall must be exact: ${inBlock.size} in-block, " +
+        s"${sem.size} found")
+    Caches.clear()
+  }
+
+  test("winnowing guarantees a shared fingerprint for a long shared " +
+    "substring and none for disjoint vocabularies") {
+    // two docs sharing a 10-token run (>= window + n - 1 = 6 tokens), one
+    // doc with a disjoint vocabulary
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"intro words then $shared and a tail"),
+      (2L, s"$shared completely different ending here"),
+      (3L, "unrelated content with zero overlapping vocabulary tokens")
+    ).toDF("doc_id", "text")
+    val sets = Dedup.winnowFingerprintSets(docs, col("doc_id"), col("text"),
+      n = 3, window = 4)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sets.size == 3)
+    // the winnowing guarantee: a shared substring of >= window + n - 1
+    // tokens MUST contribute at least one common fingerprint
+    assert(sets(1L).toSet.intersect(sets(2L).toSet).nonEmpty,
+      "docs sharing a 10-token run must share a fingerprint")
+    // disjoint vocabulary -> no shared grams -> no shared fingerprints
+    assert(sets(1L).toSet.intersect(sets(3L).toSet).isEmpty)
+    assert(sets(2L).toSet.intersect(sets(3L).toSet).isEmpty)
+  }
+
+  test("upsert: updates win on version, base rows survive untouched keys") {
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("k", "v", "version")
+    val upd = Seq((2L, "B", 2L), (4L, "D", 2L)).toDF("k", "v", "version")
+    val m = graft.ingest.Compaction.upsert(base, upd, Seq("k"), "version")
+      .select("k", "v", "version").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(m == Seq((1L, "a", 1L), (2L, "B", 2L), (3L, "c", 1L),
+      (4L, "D", 2L)))
+    // same-version tie: the update side wins
+    val tie = graft.ingest.Compaction.upsert(base,
+      Seq((1L, "A", 1L)).toDF("k", "v", "version"), Seq("k"), "version")
+      .filter(col("k") === 1).select("v").as[String].head()
+    assert(tie == "A")
+  }
+}
