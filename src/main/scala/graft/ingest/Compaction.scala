@@ -184,20 +184,24 @@ object Compaction {
     Result(files, before.size, stale.size)
   }
 
-  /** Key-based upsert merge (the MERGE INTO / last-write-wins primitive a
+  /** Key-based upsert merge — MERGE INTO semantics (the primitive a
     * curated-corpus lake needs: re-scored documents, corrected records,
-    * late-arriving fixes): for every key, keep the single row with the
-    * highest (version, isUpdate) — updates win ties against the base at
-    * the same version. Pure relational core: ONE union + ONE map-side-
-    * partial `max_by` hash aggregate on the key; no sort, no window, no
-    * join. Column sets must match (`unionByName`).
+    * late-arriving fixes): an update row REPLACES the base row with its
+    * key; base rows with untouched keys pass through; `versionCol`
+    * resolves conflicts WITHIN the update batch (highest version wins).
+    * Column sets must match (`unionByName`).
     *
-    * At lake scale the physical write composes with partition overwrite:
-    * join the update set's distinct partition values against the lake to
-    * select affected partitions, merge only those, and write back with
-    * `partitionOverwriteMode=dynamic` — untouched partitions are never
-    * read. The relational merge below is that inner per-partition step,
-    * and is what the `lake_upsert` oracle checks. */
+    * Scale shape: the lake side is never aggregated, sorted or windowed —
+    * it pays exactly one LEFT ANTI equi-join against the update batch's
+    * key set (update batches are increments: AQE broadcasts the key set
+    * when it is small, which is the common case, making the lake scan
+    * shuffle-free) — and the deduped updates union on top. The only
+    * aggregate runs over the (small) update side. At lake scale the
+    * physical write composes with partition overwrite: restrict `base` to
+    * the update keys' partitions and write back with
+    * `partitionOverwriteMode=dynamic`, so untouched partitions are
+    * neither read nor rewritten. The relational merge below is that inner
+    * step, and is what the `lake_upsert` oracle checks. */
   def upsert(base: org.apache.spark.sql.DataFrame,
              updates: org.apache.spark.sql.DataFrame,
              keyCols: Seq[String],
@@ -205,12 +209,15 @@ object Compaction {
     require(base.columns.sorted.sameElements(updates.columns.sorted),
       "upsert sides must share a column set")
     val payload = base.columns.filterNot(keyCols.contains)
-    val tagged = base.withColumn("__upd", lit(0))
-      .unionByName(updates.withColumn("__upd", lit(1)))
-    tagged.groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*),
-        struct(col(versionCol), col("__upd"))).as("__row"))
+    // within-batch conflicts: keep the highest version per key (the
+    // sort-based aggregate this struct max_by plans is confined to the
+    // increment, never the lake)
+    val latest = updates.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(versionCol))
+        .as("__row"))
       .select(keyCols.map(col) ++
         payload.map(c => col(s"__row.$c").as(c)): _*)
+    base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(latest)
   }
 }

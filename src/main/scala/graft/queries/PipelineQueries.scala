@@ -148,11 +148,11 @@ object PipelineQueries {
         target).orderBy(col("event_id"))
     }),
 
-    // MERGE INTO / last-write-wins upsert: a re-priced update batch (every
-    // 5th order, version 2) merged into the base lake by key — one union +
-    // one map-side-partial max_by, no sort/window/join
-    // (Compaction.upsert; composes with dynamic partition overwrite at
-    // lake scale). Output samples the merged result.
+    // MERGE INTO upsert: a re-priced update batch (every 5th order,
+    // version 2) merged into the base lake by key — the lake pays ONE
+    // left-anti equi-join (never aggregated/sorted) and the deduped
+    // increment unions on top (Compaction.upsert; composes with dynamic
+    // partition overwrite at lake scale). Output samples the merged rows.
     "lake_upsert" -> ((s, d) => {
       val base = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"),

@@ -253,24 +253,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(scans == 1, s"expected 1 scan, got $scans\n$p")
   }
 
-  test("dedup_semantic: the pair search is an equi-join on the cluster " +
-    "blocking key — never an unbroadcast cartesian; k-means assignment " +
-    "aggregates with map-side partial max_by") {
+  test("dedup_semantic: the pair search is a shuffle-hash equi-join on " +
+    "the cluster blocking key — never a nested-loop/cartesian plan") {
     val p = plan("dedup_semantic")
-    // centroid scoring deliberately scans corpus x k broadcast rows (a
-    // BroadcastNestedLoopJoin over a bounded 8-row inner side, as in
-    // ivfTopK); an unbroadcast CartesianProduct must never appear — that
-    // would mean the PAIR join lost its cluster key
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("partial_max_by"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
   }
 
-  test("emb_kmeans: every Lloyd round is broadcast-join + hash " +
-    "aggregates — the corpus is never sorted and the only window-free " +
-    "plan survives (no Window node at all)") {
+  test("emb_kmeans: assignment is a pure projection over the cached " +
+    "corpus (centroids ride as a literal) — zero hash exchanges, no " +
+    "join, no window, no sort-aggregate in the returned plan") {
     val p = plan("emb_kmeans")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("partial_max_by"), p)
+    assert(hashExchanges(p) == 0, s"kmeans assignment grew a shuffle\n$p")
+    assert(!"\\bJoin\\b".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("SortAggregate"), p)
     val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).length
     assert(windows == 0, s"kmeans must not plan a Window, got $windows\n$p")
   }
@@ -299,11 +296,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("lake_upsert: the merge is one map-side-partial max_by hash " +
-    "aggregate — no join, no window, no sort before the output order") {
+  test("lake_upsert: the lake side pays one LEFT ANTI equi-join and is " +
+    "never aggregated/sorted/windowed; the only aggregate runs over the " +
+    "update increment") {
     val p = plan("lake_upsert")
-    assert(p.contains("partial_max_by"), p)
-    assert(!"\\bJoin\\b".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).length
     assert(windows == 0, s"upsert must not plan a Window, got $windows\n$p")
   }
