@@ -20,7 +20,7 @@ object ContentQueries {
   private def stopList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ",", ")")
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     "text_tokens" -> ((s, d) =>
       docs(s, d)
         .groupBy(col("source"))
@@ -767,6 +767,31 @@ object ContentQueries {
           TextAnalysis.classifierLogit(col("text")).as("logit"))
         .withColumn("keep", (col("logit") > 0).cast("int"))
         .orderBy(col("doc_id")))
+  ) ++ Map[String, Q](
+
+    // Heavy-hitter tokens via the DataSketches frequent-items sketch
+    // (approx_top_k): ONE pass, fixed memory, mergeable across 100 TB of
+    // shards — the sketch answer to "top vocabulary" where the exact
+    // two-aggregate text_vocab_topk needs the full count table. Oracle
+    // contract mirrors sketch_approx_distinct: the exact top-10 terms and
+    // counts are the hash-compared values, and each engine asserts its own
+    // estimate lands within 2% (the sketch is exact here — vocab fits the
+    // tracked-item budget — so the flag is deterministically 1).
+    "sketch_topk" -> ((s, d) => {
+      val toks = Caches.persist(docs(s, d)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term")))
+      val exactTop = toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(10)
+      val est = toks.agg(expr("approx_top_k(term, 50, 10000)").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("term"), col("e.count").as("est_cnt"))
+      exactTop.join(est, Seq("term"), "left")
+        .select(col("term"), col("exact_cnt"),
+          (abs(coalesce(col("est_cnt"), lit(0L)) - col("exact_cnt")) <=
+            col("exact_cnt") * 0.02).cast("long").as("topk_ok"))
+        .orderBy(col("exact_cnt").desc, col("term"))
+    })
   )
 
   private val dims = Seq(
@@ -1653,7 +1678,17 @@ object ContentQueries {
          |      / (100.0 * greatest(len(toks), 1)), 6) AS logit
          |  FROM t)
          |SELECT doc_id, logit, CAST(logit > 0 AS INT) AS keep
-         |FROM sc ORDER BY doc_id""".stripMargin
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // exact top-10 replay; the tolerance flag is 1 by the same invariant
+    // the Spark side asserts against its own sketch
+    "sketch_topk" ->
+      """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS exact_cnt FROM t GROUP BY term
+        |  ORDER BY exact_cnt DESC, term LIMIT 10)
+        |SELECT term, exact_cnt, CAST(1 AS BIGINT) AS topk_ok
+        |FROM c ORDER BY exact_cnt DESC, term""".stripMargin
   )
 
   /** One Lloyd round in SQL: assign every vector to its max-cosine centroid

@@ -296,6 +296,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sketch_topk: the frequent-items sketch aggregates in one pass " +
+    "with a map-side partial (ObjectHashAggregate), no cartesian") {
+    val p = plan("sketch_topk")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_approx_top_k"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("lake_upsert: the lake side pays one LEFT ANTI equi-join and is " +
     "never aggregated/sorted/windowed; the only aggregate runs over the " +
     "update increment") {
