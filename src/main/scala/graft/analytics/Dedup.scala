@@ -351,17 +351,20 @@ object Dedup {
         md5(concat_ws(" ", transform(col("fps"), x => x.cast("string"))))
           .as("fp_sig"))
 
-  /** The raw winnowing selection: `(doc_id, fps)` with the sorted distinct
-    * fingerprint array — explode and equi-join two corpora's sets for
-    * substring-overlap detection (the same join shape as
-    * `text_contamination`). */
-  def winnowFingerprintSets(docs: DataFrame, id: Column, text: Column,
-                            n: Int = 3, window: Int = 4): DataFrame = {
-    val grams = docs.select(id.as("doc_id"),
-        posexplode(TextAnalysis.ngrams(text, n)).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
-          .as("h"))
+  /** The winnowing selection core: one row per selected frame (a (doc,
+    * fp) pair may repeat when several frames pick the same minimum —
+    * callers dedup inside their aggregate, which costs no extra shuffle),
+    * with `carry` columns (constant per doc) riding along. Both window
+    * functions — the per-doc gram count and the frame min — share ONE
+    * doc-keyed shuffle. */
+  private def winnowSelect(docs: DataFrame, id: Column, text: Column,
+                           carry: Seq[(String, Column)], n: Int,
+                           window: Int): DataFrame = {
+    val cols = Seq(id.as("doc_id")) ++ carry.map { case (nm, c) => c.as(nm) } :+
+      posexplode(TextAnalysis.ngrams(text, n)).as(Seq("pos", "gram"))
+    val grams = docs.select(cols: _*)
+      .withColumn("h",
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, window - 1)
     val nG = Window.partitionBy(col("doc_id"))
@@ -371,7 +374,41 @@ object Dedup {
       // only complete frames select a fingerprint (frame start must have
       // window-1 grams after it) — same cut the oracle applies
       .filter(col("pos") <= col("n_grams") - window)
+      .select((Seq(col("doc_id")) ++ carry.map(c => col(c._1)) :+
+        col("fp")): _*)
+  }
+
+  /** The raw winnowing selection: `(doc_id, fps)` with the sorted distinct
+    * fingerprint array — explode and equi-join two corpora's sets for
+    * substring-overlap detection (the same join shape as
+    * `text_contamination`). */
+  def winnowFingerprintSets(docs: DataFrame, id: Column, text: Column,
+                            n: Int = 3, window: Int = 4): DataFrame =
+    winnowSelect(docs, id, text, Nil, n, window)
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("fp"))).as("fps"))
+
+  /** Substring-level contamination via winnowing fingerprints: for every
+    * non-benchmark doc, how many selected fingerprints it shares with the
+    * benchmark slice (`source == benchValue`). Winnowing's coverage
+    * guarantee makes this STRONGER than fixed n-gram contamination
+    * (`text_contamination`): any shared run of >= window + n - 1 tokens is
+    * caught, while storing only ~1/window of the gram hashes.
+    *
+    * Scale: the benchmark fingerprint set is tiny — it broadcasts, so the
+    * corpus side pays no exchange for the join (the same shape as
+    * `text_contamination`); the winnowing itself is one doc-keyed shuffle.
+    */
+  def winnowContamination(docs: DataFrame, id: Column, text: Column,
+                          source: Column, benchValue: String,
+                          n: Int = 3, window: Int = 4): DataFrame = {
+    val sel = Caches.persist(winnowSelect(docs, id, text,
+      Seq("src" -> source), n, window))
+    val bench = sel.filter(col("src") === benchValue)
+      .select(col("fp")).distinct()
+    sel.filter(col("src") =!= benchValue)
+      .join(broadcast(bench), Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp")).as("n_shared"))
   }
 }

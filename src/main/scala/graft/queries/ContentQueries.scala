@@ -758,6 +758,15 @@ object ContentQueries {
         n = 3, window = 4)
         .orderBy(col("doc_id"))),
 
+    // Substring-level contamination via the winnowing fingerprints:
+    // stronger than fixed-n-gram overlap (any >=6-token shared run is
+    // caught at ~1/4 the stored hashes). Benchmark fingerprint set
+    // broadcasts; corpus side pays no join exchange.
+    "text_winnow_contam" -> ((s, d) =>
+      Dedup.winnowContamination(docs(s, d), col("doc_id"), col("text"),
+        col("source"), benchValue = "src0", n = 3, window = 4)
+        .orderBy(col("doc_id"))),
+
     // Hashed bag-of-words linear classifier (the fastText-style quality/
     // toxicity filter application pattern): ZERO-shuffle scoring — bucket,
     // weight and sum run inside one codegen'd array fold per doc; the
@@ -1646,28 +1655,21 @@ object ContentQueries {
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_winnow" ->
-      s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
-         |  FROM documents),
-         |g AS (SELECT doc_id,
-         |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-         |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-         |      AS grams
-         |  FROM tk),
-         |e AS (SELECT doc_id, len(grams) AS n_grams,
-         |    unnest(range(0, len(grams))) AS pos, unnest(grams) AS gram
-         |  FROM g),
-         |h AS (SELECT doc_id, pos, n_grams,
-         |    ${md5b60("gram")} AS hv FROM e),
-         |wm AS (SELECT doc_id, pos, n_grams,
-         |    min(hv) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-         |  FROM h),
+      s"""WITH $winnowCtes,
          |agg AS (SELECT doc_id, list_sort(list(DISTINCT fp)) AS fps
-         |  FROM wm WHERE pos <= n_grams - 4 GROUP BY doc_id)
+         |  FROM sel GROUP BY doc_id)
          |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
          |  md5(array_to_string(
          |    list_transform(fps, x -> CAST(x AS VARCHAR)), ' ')) AS fp_sig
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "text_winnow_contam" ->
+      s"""WITH $winnowCtes,
+         |b AS (SELECT DISTINCT fp FROM sel WHERE source = 'src0')
+         |SELECT sel.doc_id, count(DISTINCT sel.fp) AS n_shared
+         |FROM sel JOIN b USING (fp)
+         |WHERE sel.source <> 'src0'
+         |GROUP BY sel.doc_id ORDER BY sel.doc_id""".stripMargin,
 
     "text_classifier" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
@@ -1737,6 +1739,30 @@ object ContentQueries {
        |  FROM n CROSS JOIN c2),
        |af AS (SELECT vec_id, cl AS cluster, csim, e, nrm
        |  FROM afr WHERE rn = 1)""".stripMargin
+
+  /** Shared winnowing replay (n=3 grams, window=4): ends at `sel` — one
+    * row per selected frame (doc_id, source, fp), duplicates included,
+    * mirroring `Dedup.winnowSelect`. */
+  private def winnowCtes: String =
+    s"""tk AS (SELECT doc_id, source,
+       |    string_split(lower(text), ' ') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, source,
+       |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+       |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+       |      AS grams
+       |  FROM tk),
+       |e AS (SELECT doc_id, source, len(grams) AS n_grams,
+       |    unnest(range(0, len(grams))) AS pos, unnest(grams) AS gram
+       |  FROM g),
+       |h AS (SELECT doc_id, source, pos, n_grams,
+       |    ${md5b60("gram")} AS hv FROM e),
+       |wm AS (SELECT doc_id, source, pos, n_grams,
+       |    min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |  FROM h),
+       |sel AS (SELECT doc_id, source, fp FROM wm
+       |  WHERE pos <= n_grams - 4)""".stripMargin
 
   /** Shared CTE chain: docs → distinct 3-gram shingles → exploded →
     * exhaustive pair intersection counts. */

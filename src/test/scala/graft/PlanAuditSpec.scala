@@ -296,6 +296,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_winnow_contam: the benchmark fingerprint set broadcasts — " +
+    "the corpus side pays no exchange for the contamination join") {
+    val p = plan("text_winnow_contam")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sketch_topk: the frequent-items sketch aggregates in one pass " +
     "with a map-side partial (ObjectHashAggregate), no cartesian") {
     val p = plan("sketch_topk")
