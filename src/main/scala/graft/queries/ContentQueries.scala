@@ -750,6 +750,33 @@ object ContentQueries {
       TextAnalysis.unigramBits(docs(s, d), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))),
 
+    // CCNet's head/middle/tail split: per source, docs rank by
+    // bits/token (ascending — the head is the most-fluent third) and
+    // bucket into tertiles; a pipeline keeps head+middle and drops or
+    // down-weights the tail. Both ranking windows share one
+    // source-keyed shuffle; bucket stats are order-free (min/max/sum).
+    "text_ppl_buckets" -> ((s, d) => {
+      val bits = TextAnalysis.unigramBits(docs(s, d), col("doc_id"),
+        col("text"))
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      val bySrc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      val w = bySrc.orderBy(col("bits_per_token"), col("doc_id"))
+      bits.join(src, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_src", count(lit(1)).over(bySrc))
+        .withColumn("bucket",
+          when(col("rn") * 3 <= col("n_src"), "head")
+            .when(col("rn") * 3 <= col("n_src") * 2, "middle")
+            .otherwise("tail"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          min(col("bits_per_token")).as("min_bits"),
+          max(col("bits_per_token")).as("max_bits"))
+        .orderBy(col("source"), col("bucket"))
+    }),
+
     // Winnowing fingerprints (MOSS): windowed-minimum selection over
     // ordered 3-gram hashes — guarantees any >=6-token shared substring
     // yields a common fingerprint. One bounded window over one shuffle.
@@ -1642,17 +1669,28 @@ object ContentQueries {
          |WHERE sim >= 0.4 ORDER BY a_id, b_id""".stripMargin,
 
     "text_perplexity" ->
-      """WITH t AS (SELECT doc_id,
-        |    unnest(string_split(lower(text), ' ')) AS token FROM documents),
-        |c AS (SELECT token, count(*) AS c FROM t GROUP BY token),
-        |g AS (SELECT count(*) AS nt, count(DISTINCT token) AS vv FROM t),
-        |b AS (SELECT doc_id,
-        |    CAST(round(-log2((c.c + 1) / CAST(g.nt + g.vv AS DOUBLE)) * 1e6,
-        |      0) AS BIGINT) AS mb
-        |  FROM t JOIN c USING (token) CROSS JOIN g)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  round(sum(mb) / count(*) / 1e6, 4) AS bits_per_token
-        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $perplexityCtes
+         |SELECT doc_id, n_tokens, bits_per_token
+         |FROM pp ORDER BY doc_id""".stripMargin,
+
+    "text_ppl_buckets" ->
+      s"""WITH $perplexityCtes,
+         |j AS (SELECT pp.doc_id, d.source, pp.n_tokens, pp.bits_per_token
+         |  FROM pp JOIN documents d USING (doc_id)),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY bits_per_token, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n_src
+         |  FROM j)
+         |SELECT source,
+         |  CASE WHEN rn * 3 <= n_src THEN 'head'
+         |       WHEN rn * 3 <= n_src * 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  min(bits_per_token) AS min_bits,
+         |  max(bits_per_token) AS max_bits
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_winnow" ->
       s"""WITH $winnowCtes,
@@ -1739,6 +1777,22 @@ object ContentQueries {
        |  FROM n CROSS JOIN c2),
        |af AS (SELECT vec_id, cl AS cluster, csim, e, nrm
        |  FROM afr WHERE rn = 1)""".stripMargin
+
+  /** Shared unigram-LM replay: add-one-smoothed corpus model, per-token
+    * micro-bits, per-doc mean — ends at `pp` (doc_id, n_tokens,
+    * bits_per_token), mirroring `TextAnalysis.unigramBits`. */
+  private def perplexityCtes: String =
+    """t AS (SELECT doc_id,
+      |    unnest(string_split(lower(text), ' ')) AS token FROM documents),
+      |c AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+      |g AS (SELECT count(*) AS nt, count(DISTINCT token) AS vv FROM t),
+      |b AS (SELECT doc_id,
+      |    CAST(round(-log2((c.c + 1) / CAST(g.nt + g.vv AS DOUBLE)) * 1e6,
+      |      0) AS BIGINT) AS mb
+      |  FROM t JOIN c USING (token) CROSS JOIN g),
+      |pp AS (SELECT doc_id, count(*) AS n_tokens,
+      |    round(sum(mb) / count(*) / 1e6, 4) AS bits_per_token
+      |  FROM b GROUP BY doc_id)""".stripMargin
 
   /** Shared winnowing replay (n=3 grams, window=4): ends at `sel` — one
     * row per selected frame (doc_id, source, fp), duplicates included,

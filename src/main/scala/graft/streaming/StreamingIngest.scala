@@ -214,6 +214,63 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming CDC upsert sink (MERGE INTO applied per micro-batch): the
+    * lake holds the CURRENT row per key, hash-bucketed on the key into
+    * `nBuckets` partition directories; each batch version-dedups itself,
+    * reads ONLY its affected buckets back (partition-pruned scan), merges
+    * via `Compaction.upsert` (lake side pays one left-anti join), and
+    * dynamically overwrites just those buckets. Replays of a batchId are
+    * idempotent — the merge of the same rows into the same buckets
+    * produces byte-identical bucket contents (the X1 discipline at bucket
+    * granularity).
+    *
+    * Scale: per trigger the work is proportional to the AFFECTED buckets'
+    * data, not the lake — raise `nBuckets` so a bucket is a few files.
+    * The merged frame is `localCheckpoint`ed before the write: it breaks
+    * the read-from-overwritten-path cycle and bounds executor memory by
+    * the affected buckets only. Like every file-lake in-place overwrite
+    * (the reference's W8 conditional-write class), the commit window
+    * between delete and move is not transactional — a table format or the
+    * `EpochFence` claim pattern closes it in production; the checkpointed
+    * frame plus deterministic replay covers task/executor loss, which is
+    * the common failure. */
+  def startUpsertSink(frame: DataFrame, keyCol: String, versionCol: String,
+                      lakeDir: String, checkpointDir: String,
+                      nBuckets: Int = 64,
+                      trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    frame.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.analytics.Caches.scoped {
+          val spark = batch.sparkSession
+          val keyed = batch.withColumn("__bucket",
+            pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
+          val affected = keyed.select("__bucket").distinct()
+            .collect().map(_.getLong(0)).toSeq // bounded by nBuckets
+          val existing =
+            try spark.read.option("basePath", lakeDir).parquet(lakeDir)
+              .withColumn("__bucket", col("__bucket").cast("long"))
+              .filter(col("__bucket").isin(affected: _*))
+            catch {
+              case _: org.apache.spark.sql.AnalysisException =>
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  keyed.schema)
+            }
+          graft.ingest.Compaction
+            .upsert(existing, keyed, Seq(keyCol, "__bucket"), versionCol)
+            .localCheckpoint(true)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(lakeDir)
+        }
+      }
+      .start()
+
   /** Shared gate scaffolding: per micro-batch, `dupPairs(batch)` names the
     * batch rows (`new_id` column) that duplicate the history; survivors
     * anti-join out and land in a DETERMINISTIC per-batch directory with

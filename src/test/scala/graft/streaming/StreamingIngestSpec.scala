@@ -324,4 +324,43 @@ class StreamingIngestSpec extends SparkSuite {
     assert(kept.toSeq == Seq(11L),
       s"near-dup 10 must be dropped, novel 11 kept; got ${kept.toSeq}")
   }
+
+  test("streaming CDC upsert sink: each micro-batch merges by key into " +
+    "the bucketed lake — updates replace, untouched keys survive, and " +
+    "only affected buckets rewrite") {
+    val src = Files.createTempDirectory("up_src").toString
+    val lake = Files.createTempDirectory("up_lake").toString
+    val ckpt = Files.createTempDirectory("up_ckpt").toString
+    val uschema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("version", LongType)))
+    def run(): Unit = {
+      val q = StreamingIngest.startUpsertSink(
+        spark.readStream.schema(uschema).parquet(src),
+        "k", "version", lake, ckpt, nBuckets = 8)
+      q.awaitTermination(60000)
+    }
+    // batch 1: initial state (includes a within-batch conflict on k=3:
+    // version 2 must win)
+    Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c0", 1L), (3L, "c", 2L))
+      .toDF("k", "v", "version").coalesce(1)
+      .write.mode("append").parquet(src)
+    run()
+    val s1 = spark.read.parquet(lake).select("k", "v", "version")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(s1 == Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L)), s1)
+    // batch 2: update k=2, insert k=4; k=1 and k=3 untouched
+    Seq((2L, "B", 2L), (4L, "d", 1L))
+      .toDF("k", "v", "version").coalesce(1)
+      .write.mode("append").parquet(src)
+    run()
+    val s2 = spark.read.parquet(lake).select("k", "v", "version")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(s2 == Seq((1L, "a", 1L), (2L, "B", 2L), (3L, "c", 2L),
+      (4L, "d", 1L)), s2)
+    // bucket layout: partition dirs exist and only key-hash buckets appear
+    val dirs = new java.io.File(lake).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__bucket="))
+    assert(dirs.nonEmpty && dirs.length <= 8, dirs.toSeq)
+  }
 }
