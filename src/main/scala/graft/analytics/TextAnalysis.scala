@@ -233,4 +233,52 @@ object TextAnalysis {
         round(sum(col("micro_bits")) / count(lit(1)) / 1e6, 4)
           .as("bits_per_token"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the log-likelihood ratio of a TARGET-domain hashed unigram model
+    * against the full-corpus model — documents that look like the target
+    * slice get high weights, and a pipeline resamples by them to tilt the
+    * training mix toward the domain. Features are md5-hashed token
+    * buckets (the paper's hashed-n-gram generative model: fixed `buckets`
+    * cardinality regardless of vocabulary), both models use add-one
+    * smoothing, and the per-bucket log2 ratio precomputes ONCE into the
+    * bucket table as integer micro-bits — each doc's weight is then an
+    * exact integer sum, engine-portable.
+    *
+    * Returns `(doc_id, n_tokens, dsir_logw)` (total log2 ratio, NOT
+    * per-token — resampling weights length-weighted documents, as the
+    * paper does).
+    *
+    * Scale: the bucket-ratio table is `buckets` rows — it broadcasts, so
+    * scoring is one exploded scan + one broadcast join + one doc-keyed
+    * aggregate; the model "training" is two hash aggregates over the
+    * same scan. No driver-side model object. */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame, id: Column,
+                  text: Column, isTarget: Column,
+                  buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val tok = Caches.persist(
+      docs.select(id.as("doc_id"), isTarget.as("is_t"),
+        explode(tokens(lower(text))).as("token"))
+        .withColumn("b",
+          pmod(conv(substring(md5(col("token")), 1, 15), 16, 10)
+            .cast("long"), lit(buckets.toLong))))
+    val perBucket = tok.groupBy(col("b"))
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val totals = tok.agg(count(lit(1)).as("n_all"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"))
+    // per-bucket micro-bit ratio: log2 p_target(b) - log2 p_all(b)
+    val ratio = perBucket.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round((log2((col("c_t") + 1).cast("double") /
+            (col("n_t") + buckets)) -
+          log2((col("c_all") + 1).cast("double") /
+            (col("n_all") + buckets))) * 1e6, 0).cast("long")
+          .as("micro_lr"))
+    tok.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("micro_lr")) / 1e6, 4).as("dsir_logw"))
+  }
 }

@@ -750,6 +750,15 @@ object ContentQueries {
       TextAnalysis.unigramBits(docs(s, d), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))),
 
+    // DSIR importance weights toward the src0 "target domain": hashed
+    // unigram log-likelihood ratio of the target model vs the corpus
+    // model. The 1024-row bucket-ratio table broadcasts; per-doc weights
+    // are exact integer micro-bit sums.
+    "text_dsir" -> ((s, d) =>
+      TextAnalysis.dsirWeights(docs(s, d), col("doc_id"), col("text"),
+        col("source") === "src0")
+        .orderBy(col("doc_id"))),
+
     // CCNet's head/middle/tail split: per source, docs rank by
     // bits/token (ascending — the head is the most-fluent third) and
     // bucket into tertiles; a pipeline keeps head+middle and drops or
@@ -1672,6 +1681,26 @@ object ContentQueries {
       s"""WITH $perplexityCtes
          |SELECT doc_id, n_tokens, bits_per_token
          |FROM pp ORDER BY doc_id""".stripMargin,
+
+    "text_dsir" ->
+      s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_t,
+         |    ${md5b60("unnest(string_split(lower(text), ' '))")}
+         |      % 1024 AS b
+         |  FROM documents),
+         |pb AS (SELECT b, count(*) AS c_all,
+         |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+         |  FROM t GROUP BY b),
+         |g AS (SELECT count(*) AS n_all,
+         |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t FROM t),
+         |r AS (SELECT b,
+         |    CAST(round((log2((c_t + 1) / CAST(n_t + 1024 AS DOUBLE))
+         |      - log2((c_all + 1) / CAST(n_all + 1024 AS DOUBLE))) * 1e6,
+         |      0) AS BIGINT) AS micro_lr
+         |  FROM pb CROSS JOIN g)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(sum(micro_lr) / 1e6, 4) AS dsir_logw
+         |FROM t JOIN r USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_ppl_buckets" ->
       s"""WITH $perplexityCtes,

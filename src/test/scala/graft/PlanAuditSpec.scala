@@ -312,6 +312,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_dsir: the bucket-ratio model broadcasts — the scoring scan " +
+    "pays only the doc-keyed aggregate shuffle, never a sort-merge join") {
+    val p = plan("text_dsir")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("text_ppl_buckets: both ranking windows share ONE source-keyed " +
+    "sort (windows collapse into one Window node)") {
+    val p = plan("text_ppl_buckets")
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).length
+    assert(windows <= 2, s"expected the windows to share shuffles\n$p")
+    // the 1-row corpus-totals broadcast (inside the perplexity subtree)
+    // is the only permitted nested loop; an unbroadcast cartesian never
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("lake_upsert: the lake side pays one LEFT ANTI equi-join and is " +
     "never aggregated/sorted/windowed; the only aggregate runs over the " +
     "update increment") {

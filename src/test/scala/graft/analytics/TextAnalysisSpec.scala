@@ -122,4 +122,48 @@ class TextAnalysisSpec extends SparkSuite {
       .agg(min(col("ok"))).head.getBoolean(0)
     assert(stable, "redaction must be idempotent")
   }
+
+  test("classifierLogit is bounded by the weight range and " +
+    "length-invariant for repeated tokens") {
+    // weights are centi-units in [-50, 50] -> mean logit in [-0.5, 0.5]
+    val df = Seq("alpha beta gamma", "x", "alpha alpha alpha alpha",
+      "the quick brown fox", "").toDF("t")
+    val r = df.select(TextAnalysis.classifierLogit(col("t")).as("l"))
+      .as[Double].collect()
+    assert(r.forall(l => l >= -0.5 && l <= 0.5), r.toSeq)
+    // a doc of one repeated token scores exactly that token's weight
+    val one = Seq("alpha", "alpha alpha alpha").toDF("t")
+      .select(TextAnalysis.classifierLogit(col("t")).as("l"))
+      .as[Double].collect()
+    assert(one(0) == one(1), "mean logit must not depend on repetition")
+  }
+
+  test("unigramBits: every score is positive and rare-token docs cost " +
+    "more bits than common-token docs") {
+    val docs = (1 to 20).map(i => (i.toLong, "common words repeated")) ++
+      Seq((100L, "zzyzx qwxyz vexing"))
+    val df = docs.toDF("doc_id", "text")
+    val bits = TextAnalysis.unigramBits(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(bits.values.forall(_ > 0), bits)
+    assert(bits(100L) > bits(1L),
+      s"rare-token doc must cost more bits: ${bits(100L)} vs ${bits(1L)}")
+    Caches.clear()
+  }
+
+  test("dsirWeights: documents matching the target vocabulary weigh " +
+    "more than off-target documents") {
+    val target = (1 to 10).map(i => (i.toLong, "solar panel inverter grid", true))
+    val other = (11 to 30).map(i => (i.toLong, "recipe flour butter sugar", false))
+    val probeA = Seq((100L, "solar panel grid output", false))
+    val probeB = Seq((101L, "butter sugar flour bowl", false))
+    val df = (target ++ other ++ probeA ++ probeB)
+      .toDF("doc_id", "text", "is_t")
+    val w = TextAnalysis.dsirWeights(df, col("doc_id"), col("text"),
+      col("is_t"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(w(100L) > w(101L),
+      s"target-like doc must outweigh off-target: ${w(100L)} vs ${w(101L)}")
+    Caches.clear()
+  }
 }
