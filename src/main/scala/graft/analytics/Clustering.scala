@@ -39,20 +39,11 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  import Similarity.norm
-
-  private def asDouble(c: Column): Column = c.cast("array<double>")
+  import Similarity.{asDouble, hashRank, norm}
 
   /** A centroid as plain driver-side data: (cluster label, components,
     * norm). The label is the seed vector's id — stable across rounds. */
   private type Centroid = (Long, Seq[Double], Double)
-
-  /** md5-derived deterministic rank in [0, 997) — the same engine-portable
-    * sampling hash as `Similarity.hashRank` (IVF centroids / PQ codebooks);
-    * the DuckDB oracles replay it literally. */
-  private def hashRank(id: Column): Column =
-    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
-      .cast("long"), lit(997))
 
   /** Deterministic k-seed init: hash-filter the corpus (~1/16 survives the
     * `r < 64` cut) then take the k lowest (r, id) — a distributed

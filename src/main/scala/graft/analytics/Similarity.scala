@@ -30,7 +30,8 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  private def asDouble(c: Column): Column = c.cast("array<double>")
+  private[analytics] def asDouble(c: Column): Column =
+    c.cast("array<double>")
 
   /** All pairs (a_id < b_id) with cosine similarity — the exhaustive-exact
     * baseline used to validate `srpLshPairs` recall in SimilaritySpec.
@@ -348,7 +349,7 @@ object Similarity {
   /** md5-derived deterministic rank in [0, 997): the engine-portable
     * sampling hash shared by IVF centroids and PQ codebooks (and replayed
     * literally by the DuckDB oracles — change it NOWHERE in isolation). */
-  private def hashRank(id: Column): Column =
+  private[analytics] def hashRank(id: Column): Column =
     pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
       .cast("long"), lit(997))
 

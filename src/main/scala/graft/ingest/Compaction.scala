@@ -211,13 +211,48 @@ object Compaction {
     val payload = base.columns.filterNot(keyCols.contains)
     // within-batch conflicts: keep the highest version per key (the
     // sort-based aggregate this struct max_by plans is confined to the
-    // increment, never the lake)
+    // increment, never the lake). The payload struct joins the ordering
+    // as a deterministic tiebreak — two update rows sharing key AND
+    // version would otherwise leave the winner to partial-aggregation
+    // order, breaking replay idempotency. getField (not col("a.b"))
+    // keeps dotted payload column names literal.
+    val payloadStruct = struct(payload.map(col): _*)
     val latest = updates.groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), col(versionCol))
-        .as("__row"))
+      .agg(max_by(payloadStruct,
+        struct(col(versionCol), payloadStruct)).as("__row"))
       .select(keyCols.map(col) ++
-        payload.map(c => col(s"__row.$c").as(c)): _*)
+        payload.map(c => col("__row").getField(c).as(c)): _*)
     base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(latest)
+  }
+
+  /** Version-resolving upsert for OUT-OF-ORDER delivery (the CDC case:
+    * the upstream stream is not totally ordered per key, so a later
+    * micro-batch may carry an OLDER version): every key keeps the row
+    * with the highest (version, isUpdate, payload) across BOTH sides —
+    * an update loses against a newer row already in the base, wins ties
+    * at the same version, and the payload tiebreak keeps exact-duplicate
+    * conflicts deterministic (replay-idempotent).
+    *
+    * Costs one union + one max_by aggregate over base+updates — use it
+    * where the base side is already bounded (e.g. the affected-bucket
+    * slice inside `StreamingIngest.startUpsertSink`); for ordered
+    * replace-by-key merges over a whole lake, `upsert`'s anti-join shape
+    * never aggregates the lake. */
+  def upsertVersioned(base: org.apache.spark.sql.DataFrame,
+                      updates: org.apache.spark.sql.DataFrame,
+                      keyCols: Seq[String],
+                      versionCol: String): org.apache.spark.sql.DataFrame = {
+    require(base.columns.sorted.sameElements(updates.columns.sorted),
+      "upsert sides must share a column set")
+    val payload = base.columns.filterNot(keyCols.contains)
+    val payloadStruct = struct(payload.map(col): _*)
+    base.withColumn("__upd", lit(0))
+      .unionByName(updates.withColumn("__upd", lit(1)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(payloadStruct,
+        struct(col(versionCol), col("__upd"), payloadStruct)).as("__row"))
+      .select(keyCols.map(col) ++
+        payload.map(c => col("__row").getField(c).as(c)): _*)
   }
 }

@@ -154,18 +154,24 @@ object PipelineQueries {
     // increment unions on top (Compaction.upsert; composes with dynamic
     // partition overwrite at lake scale). Output samples the merged rows.
     "lake_upsert" -> ((s, d) => {
+      // prices ride as integer cents (floor(x*100+0.5) — the same
+      // half-mode-free snap as quantizeInt8), so the whole merge is
+      // FP-rounding-free on both engines
       val base = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice"))
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("price_cents"))
         .withColumn("version", lit(1L))
       val updates = base.filter(col("o_orderkey") % 5 === 0)
-        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+        .withColumn("price_cents", col("price_cents") + 10000L)
         .withColumn("version", lit(2L))
+      // the %7 sample is coprime with the %5 update set, so BOTH merge
+      // branches (replaced rows and untouched pass-through rows) land in
+      // the compared output
       graft.ingest.Compaction.upsert(base, updates,
           Seq("o_orderkey"), "version")
-        .filter(col("o_orderkey") % 20 === 0)
-        .select(col("o_orderkey"), col("version"),
-          round(col("o_totalprice"), 2).as("price"))
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("version"), col("price_cents"))
         .orderBy(col("o_orderkey"))
     })
   )
@@ -248,11 +254,12 @@ object PipelineQueries {
 
     "lake_upsert" ->
       """SELECT o_orderkey,
-        |  CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS version,
-        |  CASE WHEN o_orderkey % 5 = 0
-        |    THEN round(round(o_totalprice * 1.1, 2), 2)
-        |    ELSE round(o_totalprice, 2) END AS price
-        |FROM orders WHERE o_orderkey % 20 = 0
+        |  CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS version,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 5 = 0 THEN 10000 ELSE 0 END
+        |    AS price_cents
+        |FROM orders WHERE o_orderkey % 7 = 0
         |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -214,26 +214,31 @@ object StreamingIngest {
     }
   }
 
-  /** Streaming CDC upsert sink (MERGE INTO applied per micro-batch): the
-    * lake holds the CURRENT row per key, hash-bucketed on the key into
-    * `nBuckets` partition directories; each batch version-dedups itself,
-    * reads ONLY its affected buckets back (partition-pruned scan), merges
-    * via `Compaction.upsert` (lake side pays one left-anti join), and
+  /** Streaming CDC upsert sink: the lake holds the CURRENT row per key,
+    * hash-bucketed on the key into `nBuckets` partition directories; each
+    * batch reads ONLY its affected buckets back (partition-pruned scan),
+    * merges via `Compaction.upsertVersioned` — the highest version wins
+    * ACROSS the lake and the batch, so out-of-order delivery (a later
+    * trigger carrying an older version, normal when the upstream topic is
+    * not totally ordered per key) can never regress a row — and
     * dynamically overwrites just those buckets. Replays of a batchId are
-    * idempotent — the merge of the same rows into the same buckets
-    * produces byte-identical bucket contents (the X1 discipline at bucket
-    * granularity).
+    * idempotent: the versioned merge of the same rows into the same
+    * buckets is deterministic down to payload tiebreaks, so a replay
+    * rewrites byte-identical bucket contents (the X1 discipline at
+    * bucket granularity).
     *
     * Scale: per trigger the work is proportional to the AFFECTED buckets'
     * data, not the lake — raise `nBuckets` so a bucket is a few files.
-    * The merged frame is `localCheckpoint`ed before the write: it breaks
-    * the read-from-overwritten-path cycle and bounds executor memory by
-    * the affected buckets only. Like every file-lake in-place overwrite
-    * (the reference's W8 conditional-write class), the commit window
-    * between delete and move is not transactional — a table format or the
-    * `EpochFence` claim pattern closes it in production; the checkpointed
-    * frame plus deterministic replay covers task/executor loss, which is
-    * the common failure. */
+    * The merged result stages to a scratch dir under the checkpoint
+    * location and is read back for the lake overwrite: two task-side
+    * writes of the affected buckets, but no executor-storage retention
+    * (a localCheckpoint would pin blocks until driver GC) and no
+    * read-from-overwritten-path cycle. Like every file-lake in-place
+    * overwrite (the reference's W8 conditional-write class), the commit
+    * window between delete and move is not transactional — a table
+    * format or the `EpochFence` claim pattern closes it in production;
+    * the staged copy plus deterministic replay covers task/executor
+    * loss, which is the common failure. */
   def startUpsertSink(frame: DataFrame, keyCol: String, versionCol: String,
                       lakeDir: String, checkpointDir: String,
                       nBuckets: Int = 64,
@@ -260,9 +265,15 @@ object StreamingIngest {
                   spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                   keyed.schema)
             }
+          // stage → read back → overwrite: breaks the self-read cycle
+          // without pinning executor storage; the stage dir is scratch
+          // (overwritten per batch, deterministic per batchId)
+          val stage = s"$checkpointDir/upsert_stage"
           graft.ingest.Compaction
-            .upsert(existing, keyed, Seq(keyCol, "__bucket"), versionCol)
-            .localCheckpoint(true)
+            .upsertVersioned(existing, keyed,
+              Seq(keyCol, "__bucket"), versionCol)
+            .write.mode("overwrite").parquet(stage)
+          spark.read.parquet(stage)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__bucket")

@@ -94,4 +94,29 @@ class ClusteringSpec extends SparkSuite {
       .filter(col("k") === 1).select("v").as[String].head()
     assert(tie == "A")
   }
+
+  test("upsertVersioned: the highest version wins across BOTH sides — a " +
+    "late old-version update cannot regress the base row") {
+    val base = Seq((1L, "new", 5L), (2L, "b", 1L)).toDF("k", "v", "version")
+    val upd = Seq((1L, "stale", 2L), (2L, "B", 1L), (3L, "c", 1L))
+      .toDF("k", "v", "version")
+    val m = graft.ingest.Compaction
+      .upsertVersioned(base, upd, Seq("k"), "version")
+      .select("k", "v", "version").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    // k=1 keeps the base (5 > 2); k=2 same version -> update wins;
+    // k=3 inserts
+    assert(m == Seq((1L, "new", 5L), (2L, "B", 1L), (3L, "c", 1L)), m)
+    // exact-duplicate conflict (same key, same version, different
+    // payload) resolves deterministically via the payload tiebreak
+    val dup = Seq((9L, "x", 1L), (9L, "y", 1L)).toDF("k", "v", "version")
+    val empty = base.filter(lit(false))
+    val r1 = graft.ingest.Compaction
+      .upsertVersioned(empty, dup, Seq("k"), "version")
+      .select("v").as[String].head()
+    val r2 = graft.ingest.Compaction
+      .upsertVersioned(empty, dup.repartition(7), Seq("k"), "version")
+      .select("v").as[String].head()
+    assert(r1 == "y" && r2 == "y", s"$r1/$r2") // max payload, any layout
+  }
 }

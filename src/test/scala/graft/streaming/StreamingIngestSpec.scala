@@ -349,8 +349,10 @@ class StreamingIngestSpec extends SparkSuite {
     val s1 = spark.read.parquet(lake).select("k", "v", "version")
       .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
     assert(s1 == Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L)), s1)
-    // batch 2: update k=2, insert k=4; k=1 and k=3 untouched
-    Seq((2L, "B", 2L), (4L, "d", 1L))
+    // batch 2: update k=2, insert k=4; k=1 and k=3 untouched; a LATE
+    // out-of-order event for k=3 (version 1 < the lake's version 2) must
+    // NOT regress the current row
+    Seq((2L, "B", 2L), (4L, "d", 1L), (3L, "cStale", 1L))
       .toDF("k", "v", "version").coalesce(1)
       .write.mode("append").parquet(src)
     run()
