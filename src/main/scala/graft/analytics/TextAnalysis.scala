@@ -174,18 +174,29 @@ object TextAnalysis {
     * quality-classifier pattern (token → hash bucket → weight, summed over
     * the doc): how a pipeline applies a trained quality/toxicity filter
     * model at corpus scale. Buckets come from the engine-portable
-    * md5-derived hash; `weights(b)` maps each of `buckets` buckets to an
-    * INTEGER centi-weight, so the document sum is exact integer arithmetic
-    * — FP addition order can never flip a score — and only the final
-    * normalized logit divides. Swap `weights` for a trained table (a
-    * broadcast map literal) without changing the plan.
+    * md5-derived hash; each of `buckets` buckets maps to an INTEGER
+    * centi-weight, so the document sum is exact integer arithmetic — FP
+    * addition order can never flip a score — and only the final
+    * normalized logit divides. Swap the derived weights for a trained
+    * table (a broadcast map literal) without changing the plan.
     *
-    * ZERO-shuffle scoring: tokens never explode — bucket/weight/sum run
-    * inside `transform`+`aggregate` over the token array, one codegen'd
-    * pass per document. Returns the mean centi-weight logit rounded to 6
-    * (apply `sigmoid` downstream for a probability; the logit itself is
+    * ZERO-shuffle scoring: tokens never explode — the native
+    * `HashedBowLogit` expression (one pass per doc, RefEvalCodegen so the
+    * stage stays fused) tokenizes/hashes/sums in a single traversal; the
+    * composed `aggregate(transform(...))` equivalent evaluates two
+    * interpreted lambdas per token (bit-identity pinned in
+    * GraftFunctionsSpec). Returns the mean centi-weight logit rounded to
+    * 6 (apply `sigmoid` downstream for a probability; the logit itself is
     * the engine-portable comparable). */
-  def classifierLogit(text: Column, buckets: Int = 64): Column = {
+  def classifierLogit(text: Column, buckets: Int = 64): Column =
+    round(graft.functions.HashExpressions
+      .hashedBowLogit(lower(text), buckets), 6)
+
+  /** The composed Column-API form of `classifierLogit` (interpreted
+    * lambdas) — kept as the differential-testing reference for the native
+    * expression. */
+  private[graft] def classifierLogitComposed(text: Column,
+                                             buckets: Int = 64): Column = {
     val toks = tokens(lower(text))
     val s = aggregate(
       transform(toks, t =>

@@ -22,6 +22,8 @@ trait RefEvalCodegen { self: UnaryExpression =>
     nullSafeCodeGen(ctx, ev, c => {
       val call = dataType match {
         case LongType => s"((java.lang.Long) $ref.compute($c)).longValue()"
+        case DoubleType =>
+          s"((java.lang.Double) $ref.compute($c)).doubleValue()"
         case _: ArrayType =>
           s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c)"
         case StringType =>
@@ -239,6 +241,49 @@ case class WordShingles(child: Expression, n: Int)
   * (and the DuckDB oracle): distinct keeps first occurrence, sort is
   * UTF8-binary order, join with single spaces, lowercase applied by the
   * caller. */
+/** Hashed bag-of-words linear-model logit over a (pre-lowered) text
+  * string: tokenize on single spaces, md5-hash each token into one of
+  * `buckets` buckets, sum the integer centi-weights `(b*37) % 101 - 50`,
+  * and return `sum / (100.0 * max(nTokens, 1))` — the mean logit, still
+  * UNROUNDED (callers snap with `round(..., 6)` so the engine-portable
+  * decimal rounding stays in one place). One native pass per document;
+  * the composed `aggregate(transform(...))` form evaluates two
+  * interpreted lambdas per token and md5's through the Column API.
+  * Bit-identical to the composed form by construction (same md5-derived
+  * bucket, same integer arithmetic, one double division). */
+case class HashedBowLogit(child: Expression, buckets: Int)
+    extends UnaryExpression with RefEvalCodegen {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hashed_bow_logit requires string, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokens = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    var sum = 0L
+    var i = 0
+    while (i < tokens.length) {
+      val b = HashExpressions.md5Base60(
+        tokens(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)) % buckets
+      sum += (b * 37) % 101 - 50
+      i += 1
+    }
+    sum / (100.0 * math.max(tokens.length, 1))
+  }
+
+  override protected def withNewChildInternal(c: Expression): HashedBowLogit =
+    copy(child = c)
+  override def prettyName: String = "hashed_bow_logit"
+}
+
 case class TokenSetFingerprint(child: Expression)
     extends UnaryExpression with RefEvalCodegen {
   override def dataType: DataType = StringType
@@ -500,6 +545,9 @@ object HashExpressions {
 
   def tokenSetFingerprint(text: Column): Column =
     bridge.column(TokenSetFingerprint(bridge.expression(text)))
+
+  def hashedBowLogit(text: Column, buckets: Int): Column =
+    bridge.column(HashedBowLogit(bridge.expression(text), buckets))
 
   def srpBandBuckets(vec: Column, bands: Int, bitsPerBand: Int): Column =
     bridge.column(SrpBandBuckets(bridge.expression(vec), bands, bitsPerBand))

@@ -750,6 +750,55 @@ object ContentQueries {
       TextAnalysis.unigramBits(docs(s, d), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))),
 
+    // Bigram-LM perplexity (the KenLM upgrade of text_perplexity):
+    // P(t|prev) with add-one smoothing — corpus bigram counts over
+    // corpus previous-token counts. Same integer micro-bit discipline;
+    // all joins key on the gram strings.
+    "text_perplexity2" -> ((s, d) => {
+      val dd = docs(s, d)
+      val toks = Caches.persist(dd.select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token")))
+      val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+      val vocab = toks.agg(countDistinct(col("token")).as("vocab"))
+      val bi = Caches.persist(dd.select(col("doc_id"),
+          explode(TextAnalysis.ngrams(col("text"), 2)).as("bg"))
+        .withColumn("tok1", element_at(split(col("bg"), " "), 1)))
+      val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      bi.join(biCounts.hint("SHUFFLE_HASH"), Seq("bg"))
+        .join(uni.hint("SHUFFLE_HASH").withColumnRenamed("token", "tok1"),
+          Seq("tok1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          round(-log2((col("c2") + 1).cast("double") /
+            (col("c1") + col("vocab"))) * 1e6, 0).cast("long").as("mb"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("mb")) / count(lit(1)) / 1e6, 4)
+            .as("bits_per_bigram"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-source duplication matrix: how many near-dup pairs (and how
+    // strong) connect each pair of sources — the report that decides
+    // which sources to dedup against each other before mixing. Stats are
+    // order-free (count/max), the pair set is the bucketed jaccard join.
+    "dedup_source_matrix" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.jaccardPairs(dd, col("doc_id"), col("text"),
+        n = 3, threshold = 0.3)
+      val src = dd.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a_id"),
+          col("source").as("a_src")), Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"),
+          col("source").as("b_src")), Seq("b_id"))
+        .groupBy(least(col("a_src"), col("b_src")).as("source_lo"),
+          greatest(col("a_src"), col("b_src")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("jaccard")).as("max_jaccard"))
+        .orderBy(col("source_lo"), col("source_hi"))
+    }),
+
     // DSIR importance weights toward the src0 "target domain": hashed
     // unigram log-likelihood ratio of the target model vs the corpus
     // model. The 1024-row bucket-ratio table broadcasts; per-doc weights
@@ -1681,6 +1730,40 @@ object ContentQueries {
       s"""WITH $perplexityCtes
          |SELECT doc_id, n_tokens, bits_per_token
          |FROM pp ORDER BY doc_id""".stripMargin,
+
+    "text_perplexity2" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+        |uni AS (SELECT token, count(*) AS c1 FROM t GROUP BY token),
+        |vv AS (SELECT count(DISTINCT token) AS vocab FROM t),
+        |bgt AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(toks) - 1, 1) + 1),
+        |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bg
+        |  FROM tk),
+        |bc AS (SELECT bg, count(*) AS c2 FROM bgt GROUP BY bg),
+        |j AS (SELECT b.doc_id,
+        |    CAST(round(-log2((bc.c2 + 1) /
+        |      CAST(uni.c1 + vv.vocab AS DOUBLE)) * 1e6, 0) AS BIGINT) AS mb
+        |  FROM bgt b JOIN bc USING (bg)
+        |  JOIN uni ON uni.token = string_split(b.bg, ' ')[1]
+        |  CROSS JOIN vv)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(mb) / count(*) / 1e6, 4) AS bits_per_bigram
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_source_matrix" ->
+      s"""WITH $jaccardCtes,
+         |jp AS (SELECT a_id, b_id,
+         |    round(common / (a_n + b_n - common), 6) AS jaccard
+         |  FROM p WHERE common / (a_n + b_n - common) >= 0.3),
+         |ds AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_lo,
+         |  greatest(a.source, b.source) AS source_hi,
+         |  count(*) AS n_pairs, max(jaccard) AS max_jaccard
+         |FROM jp JOIN ds a ON jp.a_id = a.doc_id
+         |JOIN ds b ON jp.b_id = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_dsir" ->
       s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_t,

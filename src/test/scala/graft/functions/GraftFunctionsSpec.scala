@@ -73,6 +73,30 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(f == 11.0)
   }
 
+  test("native hashed_bow_logit is bit-identical to the composed " +
+    "aggregate(transform) form on corpus text and edge strings") {
+    val corpus = graft.Tables.load(spark, sf0001, "documents")
+      .select(col("text"))
+      .unionAll(Seq("", "one", "a  b", " x ", "ümläut 中文 tok")
+        .toDF("text"))
+    val both = corpus.select(
+      graft.analytics.TextAnalysis.classifierLogit(col("text")).as("n"),
+      graft.analytics.TextAnalysis.classifierLogitComposed(col("text"))
+        .as("c"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    assert(both.forall { case (n, c) =>
+      java.lang.Double.doubleToLongBits(n) ==
+        java.lang.Double.doubleToLongBits(c)
+    })
+    // null text null-propagates in both forms
+    val nulls = Seq[Option[String]](None).toDF("text").select(
+      graft.analytics.TextAnalysis.classifierLogit(col("text")).as("n"),
+      graft.analytics.TextAnalysis.classifierLogitComposed(col("text"))
+        .as("c")).collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("salted join produces the same rows as a plain join, spread across " +
     "salts") {
     val large = (0L until 1000L).map(i => (if (i < 900) "hot" else s"k$i", i))
