@@ -44,6 +44,12 @@ object GraftFunctions {
       val b = exprs.lift(1).getOrElse(throw new IllegalArgumentException(
         "zorder2 requires two integer arguments"))
       ZOrder.zorder2Expr(exprs.head, b)
+    },
+    // `hashed_bow_logit(text[, buckets])` — the classifier scorer; pass
+    // pre-lowered text (the Scala API lowers for you)
+    "hashed_bow_logit" -> { exprs =>
+      HashedBowLogit(exprs.head,
+        if (exprs.length > 1) intArg(exprs, 1, "hashed_bow_logit") else 64)
     })
 
   private def intArg(exprs: Seq[Expression], i: Int, fn: String): Int =

@@ -13,12 +13,14 @@ class GraftFunctionsSpec extends SparkSuite {
     val r = spark.sql(
       """SELECT simhash64(split(text, ' ')) AS sh,
         |  word_shingles(text, 3) AS ws,
-        |  minhash_signature(word_shingles(text, 3), 8) AS sig
+        |  minhash_signature(word_shingles(text, 3), 8) AS sig,
+        |  hashed_bow_logit(text) AS logit
         |FROM t""".stripMargin).collect()
     assert(r.length == 2)
     assert(r.forall(_.getAs[Long]("sh") != 0L))
     assert(r.head.getSeq[String](1).contains("a b c"))
     assert(r.forall(_.getSeq[Long](2).length == 8))
+    assert(r.forall(row => math.abs(row.getAs[Double]("logit")) <= 0.5))
   }
 
   test("SQL zorder2 agrees with the row-at-a-time reference") {
