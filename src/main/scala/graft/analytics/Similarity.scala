@@ -455,6 +455,74 @@ object Similarity {
     pqRank(adc, k)
   }
 
+  /** IVF-SQ8: IVF list pruning × int8-quantized scan — the other standard
+    * composition next to `ivfPqTopK` (FAISS's IVF,SQ8 index class).
+    * Per-vector int8 quantization keeps exact integer dot products (the
+    * per-vector scale cancels in cosine), so unlike PQ-ADC the scan loses
+    * NO ranking fidelity beyond the quantization itself, reads 1/4 of the
+    * float bytes, and still prunes to nProbe/nLists of the rows.
+    *
+    * Plan shape: identical to ivfPqTopK's IVF side (broadcast centroids,
+    * map-side-partial max_by assignment, collect_list probe selection);
+    * the scan side ranks quantized integer dots over only the probed
+    * lists. Everything is the shared deterministic construction, so the
+    * composition stays fully oracle-checked. */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, qId: Column,
+                 qVec: Column, cId: Column, cVec: Column, k: Int,
+                 nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
+      .withColumn("c_n", norm(col("c_v")))
+    val centroids = c.withColumn("r", hashRank(col("n_id")))
+      .filter(col("r") < 64)
+      .orderBy(col("r"), col("n_id")).limit(nLists)
+      .select(col("n_id").as("list_id"), col("c_v").as("cent_v"),
+        col("c_n").as("cent_n"))
+    val assigned = c.join(broadcast(centroids))
+      .select(col("n_id"), col("c_v"), col("list_id"),
+        round(dot(col("c_v"), col("cent_v")) / (col("c_n") * col("cent_n")),
+          6).as("csim"))
+      .groupBy(col("n_id"))
+      .agg(max_by(struct(col("c_v"), col("list_id")),
+        struct(col("csim"), (-col("list_id")).as("tb"))).as("best"))
+      .select(col("n_id"), col("best.c_v").as("_v"),
+        col("best.list_id").as("list_id"))
+      // quantize the stored vectors once (index-build cost): the scan
+      // below reads ints only
+      .withColumn("_s", int8Scale(col("_v")))
+      .withColumn("c_q", quantizeInt8(col("_v"), col("_s"))
+        .cast("array<double>"))
+      .withColumn("cq_n", sqrt(dot(col("c_q"), col("c_q"))))
+      .drop("_v", "_s")
+    val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
+      .withColumn("q_n", norm(col("q_v")))
+    val probes = q.join(broadcast(centroids))
+      .select(col("q_id"), col("q_v"), col("list_id"),
+        round(dot(col("q_v"), col("cent_v")) / (col("q_n") * col("cent_n")),
+          6).as("qsim"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_v")).as("q_v"),
+        slice(array_sort(collect_list(
+          struct((-col("qsim")).as("ns"), col("list_id")))), 1, nProbe)
+          .as("top"))
+      .select(col("q_id"), col("q_v"),
+        explode(col("top.list_id")).as("list_id"))
+      .withColumn("_s", int8Scale(col("q_v")))
+      .withColumn("q_q", quantizeInt8(col("q_v"), col("_s"))
+        .cast("array<double>"))
+      .withColumn("qq_n", sqrt(dot(col("q_q"), col("q_q"))))
+      .drop("q_v", "_s")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("q_q"), col("c_q")) / (col("qq_n") * col("cq_n")), 4)
+          .as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+  }
+
   /** IVF-PQ: the production composition — IVF list pruning picks WHICH
     * vectors each query compares against (`nProbe`/`nLists` of the
     * corpus), PQ-ADC decides HOW each comparison is paid for (m code

@@ -198,6 +198,21 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // IVF-SQ8: list pruning × int8-quantized scan (FAISS's IVF,SQ8
+    // class) — nProbe/nLists of the rows at 1/4 the scan bytes, with
+    // exact integer dot products (per-vector scale cancels in cosine),
+    // so no ADC approximation. Same deterministic constructions; DuckDB
+    // rebuilds the composed index bit-identically.
+    "sim_topk_ivfsq" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfSq8TopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // BM25 keyword relevance (k1=1.2, b=0.75) against a literal query —
     // topical filtering / relevance-weighted sampling. Corpus stats (df
     // per term, N, avgdl) aggregate once and broadcast; exact-int inputs
@@ -1321,6 +1336,58 @@ object ContentQueries {
         |    round(list_sum(list_transform(range(1, 65),
         |      i -> p.qe[i] * a.av[i])) / (p.qn * a.an), 4) AS sim
         |  FROM probes p JOIN assigned a
+        |    ON a.list_id = p.list_id AND a.n_id <> p.q_id),
+        |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, n_id) AS rank FROM sc)
+        |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_topk_ivfsq" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |cent AS (SELECT vec_id AS list_id, e AS ce, nrm AS cn FROM (
+        |    SELECT vec_id, e, nrm,
+        |      CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 997 AS r
+        |    FROM n) WHERE r < 64 ORDER BY r, vec_id LIMIT 16),
+        |asg AS (SELECT n.vec_id AS n_id, n.e AS av, cent.list_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
+        |      cent.list_id) AS arn
+        |  FROM n CROSS JOIN cent),
+        |assigned AS (SELECT n_id, av, list_id FROM asg WHERE arn = 1),
+        |aq AS (SELECT n_id, list_id, list_transform(av, x ->
+        |      CAST(floor(x * 127.0 / greatest(list_max(list_transform(av,
+        |        y -> abs(y))), 1e-30) + 0.5) AS BIGINT)) AS cq
+        |  FROM assigned),
+        |aqn AS (SELECT n_id, list_id, cq,
+        |    sqrt(CAST(list_sum(list_transform(cq, x -> x * x)) AS DOUBLE))
+        |      AS cqn FROM aq),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id % 100 = 0),
+        |prb AS (SELECT q.q_id, q.qe, cent.list_id,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> q.qe[i] * cent.ce[i])) / (q.qn * cent.cn), 6) DESC,
+        |      cent.list_id) AS prn
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT q_id, qe, list_id FROM prb WHERE prn <= 4),
+        |pq8 AS (SELECT q_id, list_id, list_transform(qe, x ->
+        |      CAST(floor(x * 127.0 / greatest(list_max(list_transform(qe,
+        |        y -> abs(y))), 1e-30) + 0.5) AS BIGINT)) AS qq
+        |  FROM probes),
+        |pqn AS (SELECT q_id, list_id, qq,
+        |    sqrt(CAST(list_sum(list_transform(qq, x -> x * x)) AS DOUBLE))
+        |      AS qqn FROM pq8),
+        |sc AS (SELECT p.q_id, a.n_id,
+        |    round(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> p.qq[i] * a.cq[i])) AS DOUBLE) / (p.qqn * a.cqn), 4)
+        |      AS sim
+        |  FROM pqn p JOIN aqn a
         |    ON a.list_id = p.list_id AND a.n_id <> p.q_id),
         |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
         |    ORDER BY sim DESC, n_id) AS rank FROM sc)

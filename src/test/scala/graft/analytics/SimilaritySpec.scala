@@ -31,6 +31,19 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF-SQ8 probing all lists equals the int8 brute force — list " +
+    "pruning composes with quantization losslessly") {
+    val k = 10
+    val bf = Similarity.int8TopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfSq8TopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k,
+      nLists = 16, nProbe = 16)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(full == bf)
+  }
+
   test("IVF probing all lists equals brute force; partial probe trades " +
     "recall for a 4/16 scan fraction") {
     val k = 10
