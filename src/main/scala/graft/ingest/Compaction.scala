@@ -101,25 +101,7 @@ object Compaction {
     if (!fs.exists(new Path(topicDir))) return Result(Nil, 0, 0)
 
     // current object inventory (metadata-only listing, no data scan)
-    val before = {
-      val it = fs.listFiles(new Path(topicDir), true)
-      val b = Seq.newBuilder[(String, String)]
-      while (it.hasNext) {
-        val f = it.next().getPath
-        val rel = f.toUri.getPath
-          .stripPrefix(new Path(topicDir).toUri.getPath).stripPrefix("/")
-        // skip sidecars the readers skip too: any _/. -prefixed component
-        // (manifests, Spark markers) is metadata, never a data object
-        val hidden = rel.split('/')
-          .exists(c => c.startsWith("_") || c.startsWith("."))
-        if (f.getName.endsWith(cfg.extension) && !hidden) {
-          val slash = rel.lastIndexOf('/')
-          b += ((if (slash < 0) "" else rel.substring(0, slash),
-            rel.substring(slash + 1)))
-        }
-      }
-      b.result()
-    }
+    val before = listObjects(fs, topicDir, cfg.extension)
     if (before.isEmpty) return Result(Nil, 0, 0)
     // K/V/H lakes (P4): key/header sidecars share each value file's
     // basename; rewriting only the value files would break the lockstep
@@ -168,12 +150,42 @@ object Compaction {
     // delete stale objects of the old generation (tasks do the I/O)
     val newSet = files.map(f => (f.encodedPartition, f.fileName)).toSet
     val stale = before.filterNot(newSet.contains)
-    if (stale.nonEmpty) {
+    deleteObjects(spark, topicDir, stale)
+    Result(files, before.size, stale.size)
+  }
+
+  /** Metadata-only recursive object listing as (encodedPartition,
+    * fileName) pairs; sidecars (any `_`/`.`-prefixed path component —
+    * manifests, Spark markers) are never data objects. */
+  private def listObjects(fs: FileSystem, topicDir: String,
+                          extension: String): Seq[(String, String)] = {
+    val it = fs.listFiles(new Path(topicDir), true)
+    val b = Seq.newBuilder[(String, String)]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = f.toUri.getPath
+        .stripPrefix(new Path(topicDir).toUri.getPath).stripPrefix("/")
+      val hidden = rel.split('/')
+        .exists(c => c.startsWith("_") || c.startsWith("."))
+      if (f.getName.endsWith(extension) && !hidden) {
+        val slash = rel.lastIndexOf('/')
+        b += ((if (slash < 0) "" else rel.substring(0, slash),
+          rel.substring(slash + 1)))
+      }
+    }
+    b.result()
+  }
+
+  /** Task-side parallel delete of (encodedPartition, fileName) objects —
+    * the driver never performs per-object I/O. */
+  private def deleteObjects(spark: SparkSession, topicDir: String,
+                            objs: Seq[(String, String)]): Unit =
+    if (objs.nonEmpty) {
       val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
       val parallelism =
-        math.min(stale.length, spark.sparkContext.defaultParallelism)
-      spark.sparkContext.parallelize(stale, parallelism)
+        math.min(objs.length, spark.sparkContext.defaultParallelism)
+      spark.sparkContext.parallelize(objs, parallelism)
         .foreach { case (epart, fname) =>
           val p = new Path(
             s"$topicDir${if (epart.isEmpty) "" else s"/$epart"}/$fname")
@@ -181,7 +193,44 @@ object Compaction {
           tfs.delete(p, false)
         }
     }
-    Result(files, before.size, stale.size)
+
+  final case class VacuumResult(objectsListed: Int,
+                                orphans: Seq[(String, String)],
+                                deleted: Boolean)
+
+  /** Orphan-object cleanup against the commit manifest — the OFFLINE
+    * analogue of the reference's zombie-file scan (X4,
+    * `TopicPartitionWriter.java:1011-1053`): any data object under the
+    * topic dir whose key the manifest does not vouch for was written by
+    * a superseded/crashed run and never committed (the fenced runtime
+    * path makes such writes possible but harmless — see `EpochFence`).
+    * `vacuum` lists the lake (metadata only), diffs against the
+    * manifest's `object_key` set, and deletes the difference task-side;
+    * `dryRun` reports without deleting. Run it like compaction — as a
+    * maintenance pass, not inline with ingest; a concurrent
+    * not-yet-manifested write would look like an orphan, so quiesce the
+    * topic first (same contract the reference's scan has within a
+    * partition). */
+  def vacuum(spark: SparkSession, outDir: String, cfg: IngestConfig,
+             dryRun: Boolean = false): VacuumResult = {
+    val topicDir = s"$outDir/${cfg.topicsDir}/${cfg.topic}"
+    val fs = FileSystem.get(new java.net.URI(topicDir),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(topicDir))) return VacuumResult(0, Nil, false)
+    val manifest = new Path(s"$topicDir/_graft_manifest/commit.json")
+    require(fs.exists(manifest),
+      s"vacuum needs a commit manifest at $manifest (enable manifests in " +
+        "Ingest.run); without one, live and orphan objects are " +
+        "indistinguishable")
+    val committed = spark.read.schema("object_key STRING")
+      .json(manifest.toString)
+      .collect().map(_.getString(0)).toSet
+    val listing = listObjects(fs, topicDir, cfg.extension)
+    val orphans = listing.filterNot { case (e, f) =>
+      committed.contains(if (e.isEmpty) f else s"$e/$f")
+    }
+    if (!dryRun) deleteObjects(spark, topicDir, orphans)
+    VacuumResult(listing.size, orphans, !dryRun)
   }
 
   /** Key-based upsert merge — MERGE INTO semantics (the primitive a

@@ -183,4 +183,40 @@ class CompactionSpec extends SparkSuite {
     val back = spark.read.parquet(s"$out/topics/sp")
     assert(back.count() == 8)
   }
+
+  test("vacuum deletes objects the commit manifest does not vouch for " +
+    "(X4 zombie cleanup) and leaves committed data intact") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "vac", flushSize = 30)
+    val df = (0L until 60L).map(o => (0, o, s"v$o", s"t${o % 2}"))
+      .toDF("kafka_partition", "offset", "value", "event_type")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("value"), col("event_type")),
+      writeManifest = true)
+    // plant a zombie: a stale-generation object no manifest line covers
+    val zombieDir = new java.io.File(s"$out/topics/vac/event_type=t0")
+    Seq((0, 999L, "stale", "t0")).toDF(
+      "kafka_partition", "offset", "value", "event_type")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$out/_zstage")
+    val part = new java.io.File(s"$out/_zstage").listFiles()
+      .filter(f => f.getName.startsWith("part-")).head
+    val zombie = new java.io.File(zombieDir, "vac+9+0000000999.parquet")
+    java.nio.file.Files.copy(part.toPath, zombie.toPath)
+    assert(zombie.exists())
+
+    val dry = Compaction.vacuum(spark, out, cfg, dryRun = true)
+    assert(dry.orphans == Seq(("event_type=t0", "vac+9+0000000999.parquet")),
+      dry)
+    assert(zombie.exists(), "dryRun must not delete")
+
+    val real = Compaction.vacuum(spark, out, cfg)
+    assert(real.orphans == dry.orphans && real.deleted)
+    assert(!zombie.exists(), "orphan must be deleted")
+    // committed data untouched
+    val back = spark.read.parquet(s"$out/topics/vac")
+    assert(back.count() == 60)
+    // second vacuum: nothing left to remove
+    assert(Compaction.vacuum(spark, out, cfg).orphans.isEmpty)
+  }
 }
