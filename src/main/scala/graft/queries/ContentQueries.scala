@@ -732,6 +732,37 @@ object ContentQueries {
         .orderBy(col("id"))
     }),
 
+    // Round-5 capstone: the QUALITY-prep pipeline over the round-5
+    // operators as one declarative DAG — CCNet perplexity tertile cut
+    // (drop the tail third per source) → classifier gate (logit above
+    // -0.15, the corpus median band) → SemDeDup keep-list (drop the higher id of every semantic
+    // pair) → per-source corpus report. Every stage is the
+    // oracle-checked operator above; the composition adds only
+    // equi-joins, one source-keyed window, and an anti join.
+    "pipeline_quality_prep" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bits = TextAnalysis.unigramBits(dd, col("doc_id"), col("text"))
+      val withSrc = bits.join(
+        dd.select(col("doc_id"), col("source"), col("text")), Seq("doc_id"))
+      val bySrc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      val w = bySrc.orderBy(col("bits_per_token"), col("doc_id"))
+      val gated = withSrc
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_src", count(lit(1)).over(bySrc))
+        .filter(col("rn") * 3 <= col("n_src") * 2) // keep head+middle
+        .filter(TextAnalysis.classifierLogit(col("text")) > -0.15)
+      val drops = graft.analytics.Clustering.semDedupPairs(
+        emb(s, d), col("vec_id"), col("embedding"),
+        threshold = 0.4, k = 8, iters = 2)
+        .select(col("b_id").as("doc_id")).distinct()
+      gated.join(drops, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Lloyd's k-means over the embedding corpus (k=8, 2 iterations,
     // deterministic md5-sampled init) — fully oracle-checked: DuckDB
     // unrolls the identical assign/update rounds, so the iterated
@@ -1782,6 +1813,34 @@ object ContentQueries {
     "emb_kmeans" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id, cluster, csim FROM af ORDER BY vec_id""".stripMargin,
+
+    "pipeline_quality_prep" ->
+      s"""WITH $perplexityCtes,
+         |$kmeansCtes,
+         |j2 AS (SELECT pp.doc_id, d.source, d.text, pp.n_tokens,
+         |    pp.bits_per_token
+         |  FROM pp JOIN documents d USING (doc_id)),
+         |r2 AS (SELECT *,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY bits_per_token, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n_src
+         |  FROM j2),
+         |g2 AS (SELECT doc_id, source, n_tokens FROM r2
+         |  WHERE rn * 3 <= n_src * 2
+         |    AND round(list_sum(list_transform(
+         |        string_split(lower(text), ' '), tk ->
+         |        ((${md5b60("tk")} % 64) * 37) % 101 - 50))
+         |      / (100.0 * greatest(len(string_split(lower(text), ' ')), 1)),
+         |      6) > -0.15),
+         |drp AS (SELECT DISTINCT b.vec_id AS doc_id
+         |  FROM af a JOIN af b ON a.cluster = b.cluster
+         |    AND a.vec_id < b.vec_id
+         |    AND round(list_sum(list_transform(range(1, 65),
+         |      i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) >= 0.4)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM g2 ANTI JOIN drp USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_semantic" ->
       s"""WITH $kmeansCtes
