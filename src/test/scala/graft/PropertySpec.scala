@@ -80,6 +80,37 @@ class SparkPropertySpec extends SparkSuite {
     else tokens.sliding(n).map(_.mkString(" ")).toSeq.distinct
   }
 
+  test("upsertVersioned equals the per-key max-(version, side, payload) " +
+    "reference model on generated merge inputs") {
+    val rnd = new scala.util.Random(7)
+    def rows(n: Int): Seq[(Long, String, Long)] =
+      (0 until n).map(_ => (rnd.nextInt(12).toLong,
+        s"p${rnd.nextInt(4)}", rnd.nextInt(5).toLong))
+    for (_ <- 1 to 5) {
+      val base = rows(30)
+      // base itself may carry key duplicates in a raw lake; model resolves
+      // them the same way the aggregate does (side 0)
+      val upd = rows(20)
+      val got = graft.ingest.Compaction.upsertVersioned(
+        base.toDF("k", "v", "version"), upd.toDF("k", "v", "version"),
+        Seq("k"), "version")
+        .select("k", "v", "version").as[(Long, String, Long)]
+        .collect().sortBy(_._1).toSeq
+      val model = (base.map(r => (r, 0)) ++ upd.map(r => (r, 1)))
+        .groupBy(_._1._1)
+        .map { case (k, rs) =>
+          // max by (version, side, payload-struct (v, version)) — the
+          // aggregate's ordering struct is (version, __upd, (v, version))
+          val best = rs.maxBy { case ((_, v, ver), side) =>
+            (ver, side, v, ver)
+          }
+          (k, best._1._2, best._1._3)
+        }
+        .toSeq.sortBy(_._1)
+      assert(got == model, s"merge mismatch:\n got=$got\n mod=$model")
+    }
+  }
+
   test("native WordShingles equals the pure reference on generated inputs") {
     val wordGen = Gen.listOf(Gen.oneOf(
       Gen.alphaLowerStr.map(_.take(6)), Gen.const(""), Gen.const("the")))
