@@ -756,7 +756,9 @@ object ContentQueries {
         emb(s, d), col("vec_id"), col("embedding"),
         threshold = 0.4, k = 8, iters = 2)
         .select(col("b_id").as("doc_id")).distinct()
-      gated.join(drops, Seq("doc_id"), "left_anti")
+      // the drop set is near-dup ids only (tiny vs the corpus) —
+      // broadcast it so the anti join never shuffles the gated corpus
+      gated.join(broadcast(drops), Seq("doc_id"), "left_anti")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("total_tokens"))
