@@ -292,45 +292,11 @@ object Similarity {
               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
       .withColumn("c_n", norm(col("c_v")))
-    // Deterministic hash-sampled centroids: the filter prunes the corpus
-    // ~16× before the top-nLists merge; at larger corpora tighten the
-    // filter so the sample stays ~100×nLists. The hash is md5-derived
-    // (engine-portable) so the whole IVF pipeline is DuckDB-expressible
-    // and oracle-checked.
-    val centroids = c.withColumn("r", hashRank(col("n_id")))
-      .filter(col("r") < 64)
-      .orderBy(col("r"), col("n_id")).limit(nLists)
-      .select(col("n_id").as("list_id"), col("c_v").as("cent_v"),
-        col("c_n").as("cent_n"))
-    // assign: argmax cosine(corpus, centroid) — broadcast centroids, then
-    // max_by hash aggregate (ties: higher csim, then lower list_id).
-    // Scores round to 6 decimals before ranking so cross-engine FP-sum
-    // ordering can't flip an argmax.
-    val assigned = c.join(broadcast(centroids))
-      .select(col("n_id"), col("c_v"), col("c_n"), col("list_id"),
-        round(dot(col("c_v"), col("cent_v")) / (col("c_n") * col("cent_n")),
-          6).as("csim"))
-      .groupBy(col("n_id"))
-      .agg(max_by(
-        struct(col("c_v"), col("c_n"), col("list_id")),
-        struct(col("csim"), (-col("list_id")).as("tb"))).as("best"))
-      .select(col("n_id"), col("best.c_v").as("c_v"),
-        col("best.c_n").as("c_n"), col("best.list_id").as("list_id"))
-    // probe: each query picks nProbe nearest lists — top-n via a
-    // collect_list aggregate over the (tiny) |Q|×nLists score set
+    val centroids = ivfCentroids(c, nLists)
+    val assigned = ivfAssign(c, centroids, Seq("c_v", "c_n"))
     val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
       .withColumn("q_n", norm(col("q_v")))
-    val probes = q.join(broadcast(centroids))
-      .select(col("q_id"), col("q_v"), col("q_n"), col("list_id"),
-        round(dot(col("q_v"), col("cent_v")) / (col("q_n") * col("cent_n")),
-          6).as("qsim"))
-      .groupBy(col("q_id"))
-      .agg(first(col("q_v")).as("q_v"), first(col("q_n")).as("q_n"),
-        slice(array_sort(collect_list(
-          struct((-col("qsim")).as("ns"), col("list_id")))), 1, nProbe)
-          .as("top"))
-      .select(col("q_id"), col("q_v"), col("q_n"),
-        explode(col("top.list_id")).as("list_id"))
+    val probes = ivfProbes(q, centroids, nProbe, Seq("q_v", "q_n"))
     // scan only probed lists
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
@@ -455,6 +421,58 @@ object Similarity {
     pqRank(adc, k)
   }
 
+  // ---- shared IVF machinery (ivfTopK + ivfPqTopK + ivfSq8TopK) ----
+  // One construction, three consumers: the hashRank centroid sample, the
+  // (csim, -list_id) max_by assignment and the collect_list probe
+  // selection are replayed literally by the DuckDB oracles — change them
+  // NOWHERE in isolation.
+
+  /** Deterministic hash-sampled centroids from a corpus frame with
+    * (n_id, c_v, c_n): the filter prunes the corpus ~16× before the
+    * top-nLists merge, never a global corpus sort. */
+  private def ivfCentroids(c: DataFrame, nLists: Int): DataFrame =
+    c.withColumn("r", hashRank(col("n_id")))
+      .filter(col("r") < 64)
+      .orderBy(col("r"), col("n_id")).limit(nLists)
+      .select(col("n_id").as("list_id"), col("c_v").as("cent_v"),
+        col("c_n").as("cent_n"))
+
+  /** Assign every corpus vector to its max-cosine list: broadcast
+    * centroids + map-side-partial max_by (ties: higher csim, then lower
+    * list_id; scores round to 6 so cross-engine FP-sum ordering can't
+    * flip an argmax). `carried` columns of the corpus frame ride through
+    * the aggregate into the result alongside (n_id, list_id). */
+  private def ivfAssign(c: DataFrame, centroids: DataFrame,
+                        carried: Seq[String]): DataFrame =
+    c.join(broadcast(centroids))
+      .select(col("n_id") +: col("list_id") +:
+        round(dot(col("c_v"), col("cent_v")) / (col("c_n") * col("cent_n")),
+          6).as("csim") +: carried.map(col): _*)
+      .groupBy(col("n_id"))
+      .agg(max_by(struct(col("list_id") +: carried.map(col): _*),
+        struct(col("csim"), (-col("list_id")).as("tb"))).as("best"))
+      .select(col("n_id") +: col("best.list_id").as("list_id") +:
+        carried.map(f => col(s"best.$f").as(f)): _*)
+
+  /** Each query's nProbe nearest lists — a collect_list aggregate over
+    * the (tiny) |Q|×nLists score set, exploded to (q_id, carried...,
+    * list_id) rows. */
+  private def ivfProbes(q: DataFrame, centroids: DataFrame, nProbe: Int,
+                        carried: Seq[String]): DataFrame = {
+    val aggs = carried.map(f => first(col(f)).as(f)) :+
+      slice(array_sort(collect_list(
+        struct((-col("qsim")).as("ns"), col("list_id")))), 1, nProbe)
+        .as("top")
+    q.join(broadcast(centroids))
+      .select(col("q_id") +: col("list_id") +:
+        round(dot(col("q_v"), col("cent_v")) / (col("q_n") * col("cent_n")),
+          6).as("qsim") +: carried.map(col): _*)
+      .groupBy(col("q_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("q_id") +: carried.map(col) :+
+        explode(col("top.list_id")).as("list_id"): _*)
+  }
+
   /** IVF-SQ8: IVF list pruning × int8-quantized scan — the other standard
     * composition next to `ivfPqTopK` (FAISS's IVF,SQ8 index class).
     * Per-vector int8 quantization keeps exact integer dot products (the
@@ -465,52 +483,33 @@ object Similarity {
     * Plan shape: identical to ivfPqTopK's IVF side (broadcast centroids,
     * map-side-partial max_by assignment, collect_list probe selection);
     * the scan side ranks quantized integer dots over only the probed
-    * lists. Everything is the shared deterministic construction, so the
-    * composition stays fully oracle-checked. */
+    * lists. Quantization happens ONCE per vector on both sides — before
+    * the probe explode on the query side. Everything is the shared
+    * deterministic construction, so the composition stays fully
+    * oracle-checked. */
   def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, qId: Column,
                  qVec: Column, cId: Column, cVec: Column, k: Int,
                  nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
       .withColumn("c_n", norm(col("c_v")))
-    val centroids = c.withColumn("r", hashRank(col("n_id")))
-      .filter(col("r") < 64)
-      .orderBy(col("r"), col("n_id")).limit(nLists)
-      .select(col("n_id").as("list_id"), col("c_v").as("cent_v"),
-        col("c_n").as("cent_n"))
-    val assigned = c.join(broadcast(centroids))
-      .select(col("n_id"), col("c_v"), col("list_id"),
-        round(dot(col("c_v"), col("cent_v")) / (col("c_n") * col("cent_n")),
-          6).as("csim"))
-      .groupBy(col("n_id"))
-      .agg(max_by(struct(col("c_v"), col("list_id")),
-        struct(col("csim"), (-col("list_id")).as("tb"))).as("best"))
-      .select(col("n_id"), col("best.c_v").as("_v"),
-        col("best.list_id").as("list_id"))
-      // quantize the stored vectors once (index-build cost): the scan
-      // below reads ints only
-      .withColumn("_s", int8Scale(col("_v")))
-      .withColumn("c_q", quantizeInt8(col("_v"), col("_s"))
+    val centroids = ivfCentroids(c, nLists)
+    // quantize the stored vectors once (index-build cost): the scan
+    // below reads ints only
+    val assigned = ivfAssign(c, centroids, Seq("c_v"))
+      .withColumn("_s", int8Scale(col("c_v")))
+      .withColumn("c_q", quantizeInt8(col("c_v"), col("_s"))
         .cast("array<double>"))
       .withColumn("cq_n", sqrt(dot(col("c_q"), col("c_q"))))
-      .drop("_v", "_s")
+      .drop("c_v", "_s")
+    // query side quantizes BEFORE probe selection explodes it ×nProbe
     val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
       .withColumn("q_n", norm(col("q_v")))
-    val probes = q.join(broadcast(centroids))
-      .select(col("q_id"), col("q_v"), col("list_id"),
-        round(dot(col("q_v"), col("cent_v")) / (col("q_n") * col("cent_n")),
-          6).as("qsim"))
-      .groupBy(col("q_id"))
-      .agg(first(col("q_v")).as("q_v"),
-        slice(array_sort(collect_list(
-          struct((-col("qsim")).as("ns"), col("list_id")))), 1, nProbe)
-          .as("top"))
-      .select(col("q_id"), col("q_v"),
-        explode(col("top.list_id")).as("list_id"))
       .withColumn("_s", int8Scale(col("q_v")))
       .withColumn("q_q", quantizeInt8(col("q_v"), col("_s"))
         .cast("array<double>"))
       .withColumn("qq_n", sqrt(dot(col("q_q"), col("q_q"))))
-      .drop("q_v", "_s")
+      .drop("_s")
+    val probes = ivfProbes(q, centroids, nProbe, Seq("q_q", "qq_n"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     assigned.join(broadcast(probes), Seq("list_id"))
@@ -545,30 +544,12 @@ object Similarity {
     val sub = dim / m
     val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
       .withColumn("c_n", norm(col("c_v")))
-    // --- IVF side: centroids + list assignment (as ivfTopK) ---
-    val centroids = c.withColumn("r", hashRank(col("n_id")))
-      .filter(col("r") < 64)
-      .orderBy(col("r"), col("n_id")).limit(nLists)
-      .select(col("n_id").as("list_id"), col("c_v").as("cent_v"),
-        col("c_n").as("cent_n"))
-    val assigned = c.join(broadcast(centroids))
-      .select(col("n_id"), col("list_id"),
-        round(dot(col("c_v"), col("cent_v")) / (col("c_n") * col("cent_n")),
-          6).as("csim"))
-      .groupBy(col("n_id"))
-      .agg(max_by(col("list_id"),
-        struct(col("csim"), (-col("list_id")).as("tb"))).as("list_id"))
+    // --- IVF side: centroids + list assignment (shared construction) ---
+    val centroids = ivfCentroids(c, nLists)
+    val assigned = ivfAssign(c, centroids, Nil)
     val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
       .withColumn("q_n", norm(col("q_v")))
-    val probes = q.join(broadcast(centroids))
-      .select(col("q_id"), col("list_id"),
-        round(dot(col("q_v"), col("cent_v")) / (col("q_n") * col("cent_n")),
-          6).as("qsim"))
-      .groupBy(col("q_id"))
-      .agg(slice(array_sort(collect_list(
-        struct((-col("qsim")).as("ns"), col("list_id")))), 1, nProbe)
-        .as("top"))
-      .select(col("q_id"), explode(col("top.list_id")).as("list_id"))
+    val probes = ivfProbes(q, centroids, nProbe, Nil)
 
     // --- PQ side: shared codebook / corpus codes / query tables ---
     val cb = pqCodebook(c, m, sub, ks)

@@ -151,6 +151,33 @@ object Compaction {
     val newSet = files.map(f => (f.encodedPartition, f.fileName)).toSet
     val stale = before.filterNot(newSet.contains)
     deleteObjects(spark, topicDir, stale)
+    // a W10 manifest vouches for object names compaction just renamed —
+    // rebuild it from the NEW generation (one column-pruned scan of the
+    // compacted lake), then drop the old generations' manifest files.
+    // Replay-safe order: the rebuilt manifest lands (idempotent name from
+    // the lake's offset range) before old ones disappear, so a crash in
+    // between leaves a superset of vouched keys, never a deficit.
+    val oldManifests = CommitManifest.manifestFiles(spark, topicDir)
+    if (oldManifests.nonEmpty) {
+      val fresh = readLake(spark, topicDir, cfg,
+        files.map(f => (f.encodedPartition, f.fileName)))
+      val stats = fresh.groupBy(col("__epart").as("encoded_partition"),
+          col("__fname").as("fname"))
+        .agg(min(col(offsetCol)).as("start_offset"),
+          max(col(offsetCol)).as("end_offset"),
+          count(lit(1)).as("record_count"))
+        .withColumn("object_key",
+          CommitManifest.objectKey(col("encoded_partition"), col("fname")))
+      val written = CommitManifest.writeStats(stats, topicDir)
+      val mfs = new Path(topicDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // compare by file name — listStatus paths carry a scheme, the
+      // written path may not, and the rebuilt manifest often REUSES an
+      // old generation's name (same offset range)
+      val writtenName = new Path(written).getName
+      oldManifests.filter(_.getName != writtenName)
+        .foreach(p => mfs.delete(p, false))
+    }
     Result(files, before.size, stale.size)
   }
 
@@ -217,17 +244,26 @@ object Compaction {
     val fs = FileSystem.get(new java.net.URI(topicDir),
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(topicDir))) return VacuumResult(0, Nil, false)
-    val manifest = new Path(s"$topicDir/_graft_manifest/commit.json")
-    require(fs.exists(manifest),
-      s"vacuum needs a commit manifest at $manifest (enable manifests in " +
-        "Ingest.run); without one, live and orphan objects are " +
-        "indistinguishable")
-    val committed = spark.read.schema("object_key STRING")
-      .json(manifest.toString)
-      .collect().map(_.getString(0)).toSet
+    // the UNION of all manifest generations — a single batch's manifest
+    // must never be mistaken for full-lake coverage
+    val committed = CommitManifest.committedKeys(spark, topicDir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"vacuum needs commit manifests under $topicDir/_graft_manifest " +
+          "(enable writeManifest in Ingest.run); without them, live and " +
+          "orphan objects are indistinguishable"))
     val listing = listObjects(fs, topicDir, cfg.extension)
+    // K/V/H sidecars (P4) share their value file's basename and are
+    // vouched for transitively: a sidecar is live iff its VALUE name is
+    // manifested (manifests carry value names only)
+    def valueName(f: String): String = {
+      val base = f.stripSuffix(cfg.extension)
+      (if (base.endsWith(".keys")) base.stripSuffix(".keys")
+       else if (base.endsWith(".headers")) base.stripSuffix(".headers")
+       else base) + cfg.extension
+    }
     val orphans = listing.filterNot { case (e, f) =>
-      committed.contains(if (e.isEmpty) f else s"$e/$f")
+      val vn = valueName(f)
+      committed.contains(if (e.isEmpty) vn else s"$e/$vn")
     }
     if (!dryRun) deleteObjects(spark, topicDir, orphans)
     VacuumResult(listing.size, orphans, !dryRun)
@@ -260,19 +296,35 @@ object Compaction {
     val payload = base.columns.filterNot(keyCols.contains)
     // within-batch conflicts: keep the highest version per key (the
     // sort-based aggregate this struct max_by plans is confined to the
-    // increment, never the lake). The payload struct joins the ordering
-    // as a deterministic tiebreak — two update rows sharing key AND
-    // version would otherwise leave the winner to partial-aggregation
+    // increment, never the lake). The ORDERABLE payload columns join the
+    // ordering as a deterministic tiebreak — two update rows sharing key
+    // AND version would otherwise leave the winner to partial-aggregation
     // order, breaking replay idempotency. getField (not col("a.b"))
     // keeps dotted payload column names literal.
     val payloadStruct = struct(payload.map(col): _*)
     val latest = updates.groupBy(keyCols.map(col): _*)
       .agg(max_by(payloadStruct,
-        struct(col(versionCol), payloadStruct)).as("__row"))
+        struct(col(versionCol) +: orderableTiebreak(updates, payload): _*))
+        .as("__row"))
       .select(keyCols.map(col) ++
         payload.map(c => col("__row").getField(c).as(c)): _*)
     base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(latest)
+  }
+
+  /** The payload columns usable as a deterministic ordering tiebreak —
+    * map-typed (and other unorderable) columns are excluded rather than
+    * failing the whole merge at analysis; a conflict differing ONLY in an
+    * unorderable column then resolves by the orderable remainder (and is
+    * genuinely ambiguous only when every orderable column ties too). */
+  private def orderableTiebreak(
+      df: org.apache.spark.sql.DataFrame,
+      payload: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+    val orderable = payload.filter { c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        df.schema(c).dataType)
+    }
+    if (orderable.isEmpty) Nil else Seq(struct(orderable.map(col): _*))
   }
 
   /** Version-resolving upsert for OUT-OF-ORDER delivery (the CDC case:
@@ -296,11 +348,13 @@ object Compaction {
       "upsert sides must share a column set")
     val payload = base.columns.filterNot(keyCols.contains)
     val payloadStruct = struct(payload.map(col): _*)
-    base.withColumn("__upd", lit(0))
+    val merged = base.withColumn("__upd", lit(0))
       .unionByName(updates.withColumn("__upd", lit(1)))
+    merged
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(payloadStruct,
-        struct(col(versionCol), col("__upd"), payloadStruct)).as("__row"))
+        struct(Seq(col(versionCol), col("__upd")) ++
+          orderableTiebreak(merged, payload): _*)).as("__row"))
       .select(keyCols.map(col) ++
         payload.map(c => col("__row").getField(c).as(c)): _*)
   }

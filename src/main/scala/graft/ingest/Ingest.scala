@@ -227,7 +227,15 @@ object RotationStats {
   * object tags are an S3-API feature; the engine-level equivalent is a
   * commit manifest — one JSON line per object with the same fields —
   * written next to the data under `_graft_manifest/`. Downstream consumers
-  * get the exactly-once audit trail without re-listing objects. */
+  * get the exactly-once audit trail without re-listing objects.
+  *
+  * Manifests are PER-BATCH generations, `commit-<minOffset>-<maxOffset>
+  * .json`: the name derives from the batch's offset range, so a replay of
+  * the same batch overwrites its own manifest (X1 discipline) while
+  * successive batches ACCUMULATE — the union of all `commit-*.json` files
+  * vouches for the whole lake (a single overwritten `commit.json` would
+  * only ever cover the LAST batch, and a vacuum diffing against it would
+  * delete all earlier committed history). */
 object CommitManifest {
   def write(df: DataFrame, cfg: IngestConfig, encodedPartition: Column,
             outDir: String, kafkaPartition: Column, offset: Column,
@@ -241,22 +249,39 @@ object CommitManifest {
         kafkaPartition.as("kafka_partition"),
         col(Rotation.StartOffsetCol).as("start_offset"))
       .agg(max(offset).as("end_offset"), count(lit(1)).as("record_count"))
-      .withColumn("object_key", concat(col("encoded_partition"), lit("/"),
+      .withColumn("object_key", objectKey(col("encoded_partition"),
         FileNaming.fileName(lit(cfg.topic), col("kafka_partition"),
           col("start_offset"), cfg.extension, cfg.padWidth)))
-      .orderBy(col("object_key"))
-    // Serialized task-side via to_json (proper escaping of arbitrary
-    // partition-field values in object_key) and streamed to one file —
-    // the driver never collects or loops over per-object rows, so the
-    // manifest write scales with object count like the data write does.
-    val jsonLines = stats.select(to_json(struct(
+    writeStats(stats, s"$outDir/${cfg.topicsDir}/${cfg.topic}")
+  }
+
+  /** Root-level objects key as the bare file name (no leading slash) —
+    * the same relative key a recursive listing produces. */
+  private[ingest] def objectKey(epart: Column, fname: Column): Column =
+    when(epart === "", fname).otherwise(concat(epart, lit("/"), fname))
+
+  /** Stream a stats frame (encoded_partition, start_offset, end_offset,
+    * record_count, object_key) to `commit-<min>-<max>.json` under the
+    * topic's manifest dir. Serialized task-side via to_json (proper
+    * escaping of arbitrary partition-field values in object_key) and
+    * streamed to one file — the driver never collects or loops over
+    * per-object rows, so the manifest write scales with object count like
+    * the data write does. */
+  private[ingest] def writeStats(stats: DataFrame,
+                                 topicDir: String): String = {
+    val ordered = stats.orderBy(col("object_key"))
+    val jsonLines = ordered.select(to_json(struct(
       col("object_key"), col("start_offset"), col("end_offset"),
       col("record_count"))).as("value"))
-    val manifestDir = s"$outDir/${cfg.topicsDir}/${cfg.topic}/_graft_manifest"
+    val manifestDir = s"$topicDir/_graft_manifest"
     val tmp = s"$manifestDir/_tmp"
     jsonLines.coalesce(1).write.mode("overwrite").text(tmp)
-    val dest = new org.apache.hadoop.fs.Path(s"$manifestDir/commit.json")
-    val fs = dest.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val range = stats.agg(min(col("start_offset")), max(col("end_offset")))
+      .head // 1-row metadata aggregate
+    val dest = new org.apache.hadoop.fs.Path(
+      s"$manifestDir/commit-${range.getLong(0)}-${range.getLong(1)}.json")
+    val fs = dest.getFileSystem(
+      stats.sparkSession.sparkContext.hadoopConfiguration)
     val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
     require(part.length == 1, s"expected 1 manifest part, got ${part.length}")
@@ -264,5 +289,34 @@ object CommitManifest {
     require(fs.rename(part.head.getPath, dest), s"manifest rename failed: $dest")
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     dest.toString
+  }
+
+  /** The union of every manifest generation's object keys — what the lake
+    * as a whole is vouched for. Returns None when no manifest exists. */
+  private[ingest] def committedKeys(
+      spark: org.apache.spark.sql.SparkSession,
+      topicDir: String): Option[Set[String]] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$topicDir/_graft_manifest")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("commit-") &&
+        p.getName.endsWith(".json"))
+    if (parts.isEmpty) None
+    else Some(spark.read.schema("object_key STRING")
+      .json(parts.map(_.toString): _*)
+      .collect().map(_.getString(0)).toSet)
+  }
+
+  /** Paths of all current manifest generation files. */
+  private[ingest] def manifestFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      topicDir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$topicDir/_graft_manifest")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("commit-") &&
+        p.getName.endsWith(".json")).toSeq
   }
 }

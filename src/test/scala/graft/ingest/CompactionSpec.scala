@@ -185,15 +185,22 @@ class CompactionSpec extends SparkSuite {
   }
 
   test("vacuum deletes objects the commit manifest does not vouch for " +
-    "(X4 zombie cleanup) and leaves committed data intact") {
+    "(X4 zombie cleanup) and leaves committed data intact — across " +
+    "MULTIPLE batch manifests, sparing K/V/H sidecars of live values") {
     val out = freshDir()
     val cfg = IngestConfig(topic = "vac", flushSize = 30)
-    val df = (0L until 60L).map(o => (0, o, s"v$o", s"t${o % 2}"))
-      .toDF("kafka_partition", "offset", "value", "event_type")
-    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
-      payloadCols = Seq(col("offset"), col("value"), col("event_type")),
-      writeManifest = true)
-    // plant a zombie: a stale-generation object no manifest line covers
+    def batch(lo: Long, hi: Long) = {
+      val df = (lo until hi).map(o => (0, o, s"v$o", s"t${o % 2}"))
+        .toDF("kafka_partition", "offset", "value", "event_type")
+      Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+        payloadCols = Seq(col("offset"), col("value"), col("event_type")),
+        writeManifest = true)
+    }
+    batch(0L, 60L)
+    batch(60L, 120L) // second generation: manifests must ACCUMULATE
+    assert(new java.io.File(s"$out/topics/vac/_graft_manifest")
+      .listFiles().count(_.getName.startsWith("commit-")) == 2)
+    // plant a zombie value object + a sidecar of a LIVE value object
     val zombieDir = new java.io.File(s"$out/topics/vac/event_type=t0")
     Seq((0, 999L, "stale", "t0")).toDF(
       "kafka_partition", "offset", "value", "event_type")
@@ -203,7 +210,11 @@ class CompactionSpec extends SparkSuite {
       .filter(f => f.getName.startsWith("part-")).head
     val zombie = new java.io.File(zombieDir, "vac+9+0000000999.parquet")
     java.nio.file.Files.copy(part.toPath, zombie.toPath)
-    assert(zombie.exists())
+    val liveValue = zombieDir.listFiles()
+      .filter(f => f.getName.matches("vac\\+0\\+\\d+\\.parquet")).head
+    val sidecar = new java.io.File(zombieDir,
+      liveValue.getName.stripSuffix(".parquet") + ".keys.parquet")
+    java.nio.file.Files.copy(part.toPath, sidecar.toPath)
 
     val dry = Compaction.vacuum(spark, out, cfg, dryRun = true)
     assert(dry.orphans == Seq(("event_type=t0", "vac+9+0000000999.parquet")),
@@ -213,10 +224,37 @@ class CompactionSpec extends SparkSuite {
     val real = Compaction.vacuum(spark, out, cfg)
     assert(real.orphans == dry.orphans && real.deleted)
     assert(!zombie.exists(), "orphan must be deleted")
-    // committed data untouched
+    assert(sidecar.exists(), "live value's sidecar must survive")
+    // BOTH batches' committed data untouched (the single-manifest bug
+    // would have classified batch 1 as orphans); the surviving sidecar is
+    // not a value file, so exclude it from the value-row count
     val back = spark.read.parquet(s"$out/topics/vac")
-    assert(back.count() == 60)
+      .withColumn("__f", input_file_name())
+      .filter(!col("__f").contains(".keys."))
+    assert(back.count() == 120)
     // second vacuum: nothing left to remove
     assert(Compaction.vacuum(spark, out, cfg).orphans.isEmpty)
+  }
+
+  test("compaction rebuilds the manifest for the new generation — " +
+    "vacuum after compact keeps the whole compacted lake") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "cmv", flushSize = 5)
+    val df = (0L until 60L).map(o => (0, o, s"v$o", s"t${o % 2}"))
+      .toDF("kafka_partition", "offset", "value", "event_type")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("value"), col("event_type")),
+      writeManifest = true)
+    val r = Compaction.compact(spark, out, cfg, targetRecords = 30)
+    assert(r.files.size == 2)
+    // the rebuilt manifest vouches for exactly the new generation...
+    val keys = spark.read.schema("object_key STRING")
+      .json(s"$out/topics/cmv/_graft_manifest/commit-*.json")
+      .collect().map(_.getString(0)).toSet
+    assert(keys == r.files.map(f =>
+      s"${f.encodedPartition}/${f.fileName}").toSet, keys)
+    // ...so vacuum finds nothing to delete and the lake stays whole
+    assert(Compaction.vacuum(spark, out, cfg).orphans.isEmpty)
+    assert(spark.read.parquet(s"$out/topics/cmv").count() == 60)
   }
 }

@@ -28,9 +28,14 @@ class IngestSpec extends SparkSuite {
       Seq("event_type=t0", "event_type=t1", "tombstone"))
     assert(result.stats.totalFiles == result.files.size)
     assert(result.stats.diagnostic.contains("partitions"))
-    // W10: manifest rows carry offsets + counts per object key
+    // W10: manifest rows carry offsets + counts per object key; the file
+    // name encodes the batch's offset range (generations accumulate)
+    val mFiles = new java.io.File(s"$out/topics/cfg/_graft_manifest")
+      .listFiles().map(_.getName)
+      .filter(n => n.startsWith("commit-") && n.endsWith(".json"))
+    assert(mFiles.length == 1, mFiles.toSeq)
     val manifest = scala.io.Source.fromFile(
-      s"$out/topics/cfg/_graft_manifest/commit.json").getLines().toSeq
+      s"$out/topics/cfg/_graft_manifest/${mFiles.head}").getLines().toSeq
     assert(manifest.size == result.files.size)
     assert(manifest.forall(l => l.contains("\"record_count\":") &&
       l.contains("\"start_offset\":")))
