@@ -221,6 +221,28 @@ object Compaction {
         }
     }
 
+  /** Manifest-snapshot read: ONLY the objects the commit manifests vouch
+    * for — a consistent committed view that ignores in-flight writes,
+    * half-landed batches, and zombies (the read-side complement of
+    * `vacuum`: vacuum deletes what the manifest disowns, this simply
+    * doesn't read it). The committed key set restricts `readLake` via the
+    * same broadcast semi-join inventory path, so partition values with
+    * special characters stay safe. */
+  def readCommitted(spark: SparkSession, outDir: String,
+                    cfg: IngestConfig): DataFrame = {
+    val topicDir = s"$outDir/${cfg.topicsDir}/${cfg.topic}"
+    val committed = CommitManifest.committedKeys(spark, topicDir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"readCommitted needs commit manifests under " +
+          s"$topicDir/_graft_manifest (enable writeManifest in Ingest.run)"))
+    val inventory = committed.toSeq.map { key =>
+      val slash = key.lastIndexOf('/')
+      (if (slash < 0) "" else key.substring(0, slash),
+        key.substring(slash + 1))
+    }
+    readLake(spark, topicDir, cfg, inventory)
+  }
+
   final case class VacuumResult(objectsListed: Int,
                                 orphans: Seq[(String, String)],
                                 deleted: Boolean)

@@ -236,6 +236,30 @@ class CompactionSpec extends SparkSuite {
     assert(Compaction.vacuum(spark, out, cfg).orphans.isEmpty)
   }
 
+  test("readCommitted sees only manifested objects — a zombie write is " +
+    "invisible to the snapshot read even before vacuum removes it") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "rc", flushSize = 30)
+    val df = (0L until 60L).map(o => (0, o, s"v$o", s"t${o % 2}"))
+      .toDF("kafka_partition", "offset", "value", "event_type")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("value"), col("event_type")),
+      writeManifest = true)
+    // zombie: same schema, unmanifested object
+    Seq((0, 999L, "stale", "t0")).toDF(
+      "kafka_partition", "offset", "value", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/_zs")
+    val part = new java.io.File(s"$out/_zs").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.copy(part.toPath, new java.io.File(
+      s"$out/topics/rc/event_type=t0/rc+9+0000000999.parquet").toPath)
+    // the raw read sees 61 rows, the committed snapshot exactly 60
+    assert(spark.read.parquet(s"$out/topics/rc").count() == 61)
+    val snap = Compaction.readCommitted(spark, out, cfg)
+    assert(snap.count() == 60)
+    assert(snap.agg(sum("offset")).head.getLong(0) == (0L until 60L).sum)
+  }
+
   test("compaction rebuilds the manifest for the new generation — " +
     "vacuum after compact keeps the whole compacted lake") {
     val out = freshDir()
