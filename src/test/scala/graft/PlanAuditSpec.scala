@@ -312,6 +312,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sim_topk_ivfsq: the composed index keeps the IVF discipline — " +
+    "map-side-partial max_by assignment, no cartesian, only the final " +
+    "top-k window") {
+    val p = plan("sim_topk_ivfsq")
+    assert(p.contains("partial_max_by"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).length
+    assert(windows <= 1, s"expected <=1 Window (final top-k), got $windows\n$p")
+  }
+
   test("text_dsir: the bucket-ratio model broadcasts — the scoring scan " +
     "pays only the doc-keyed aggregate shuffle, never a sort-merge join") {
     val p = plan("text_dsir")

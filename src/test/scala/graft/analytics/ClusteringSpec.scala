@@ -22,6 +22,17 @@ class ClusteringSpec extends SparkSuite {
     Caches.clear()
   }
 
+  test("k larger than the surviving seed sample degrades gracefully: " +
+    "every vector still assigned, cluster count bounded by the sample") {
+    val a = Clustering.kmeansAssign(emb, col("vec_id"), col("embedding"),
+      k = 50, iters = 1) // sf0.001 has ~31 ids with hashRank < 64
+    val rows = a.as[(Long, Long, Double)].collect()
+    assert(rows.length == emb.count())
+    val k = rows.map(_._2).distinct.length
+    assert(k > 1 && k <= 50, s"clusters: $k")
+    Caches.clear()
+  }
+
   test("Lloyd iterations do not decrease mean cosine-to-centroid " +
     "(inertia improves or holds on this data)") {
     def meanSim(iters: Int): Double =
