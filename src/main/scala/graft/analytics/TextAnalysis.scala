@@ -240,9 +240,14 @@ object TextAnalysis {
           (col("n_total") + col("vocab"))) * 1e6, 0).cast("long")
           .as("micro_bits"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("micro_bits")) / count(lit(1)) / 1e6, 4)
-          .as("bits_per_token"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("micro_bits")).as("_s"))
+      // integer floor-division to micro-bits-per-token, THEN the 6-decimal
+      // display divide: every step is exact integer arithmetic or an
+      // exactly-representable 6-decimal value, so no rounding boundary
+      // can flip between engines at any scale (a round(sum/n/1e6, 4)
+      // double-rounds and did flip dsir by one ulp at sf0.1)
+      .select(col("doc_id"), col("n_tokens"),
+        round(expr("_s div n_tokens") / 1e6, 6).as("bits_per_token"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
@@ -287,9 +292,13 @@ object TextAnalysis {
           log2((col("c_all") + 1).cast("double") /
             (col("n_all") + buckets))) * 1e6, 0).cast("long")
           .as("micro_lr"))
+    // round to 6, not fewer: sum/1e6 has AT MOST 6 decimals, so the
+    // 6-decimal round never sits on a half boundary — a coarser round
+    // would double-round and flip by one ulp between engines on exact
+    // x.xxxx5 sums (observed at sf0.1)
     tok.join(broadcast(ratio), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("micro_lr")) / 1e6, 4).as("dsir_logw"))
+        round(sum(col("micro_lr")) / 1e6, 6).as("dsir_logw"))
   }
 }

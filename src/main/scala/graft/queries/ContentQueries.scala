@@ -820,9 +820,9 @@ object ContentQueries {
           round(-log2((col("c2") + 1).cast("double") /
             (col("c1") + col("vocab"))) * 1e6, 0).cast("long").as("mb"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("mb")) / count(lit(1)) / 1e6, 4)
-            .as("bits_per_bigram"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("mb")).as("_s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(expr("_s div n_bigrams") / 1e6, 6).as("bits_per_bigram"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1877,7 +1877,7 @@ object ContentQueries {
         |  JOIN uni ON uni.token = string_split(b.bg, ' ')[1]
         |  CROSS JOIN vv)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(sum(mb) / count(*) / 1e6, 4) AS bits_per_bigram
+        |  round((sum(mb) // count(*)) / 1e6, 6) AS bits_per_bigram
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_source_matrix" ->
@@ -1909,7 +1909,7 @@ object ContentQueries {
          |      0) AS BIGINT) AS micro_lr
          |  FROM pb CROSS JOIN g)
          |SELECT doc_id, count(*) AS n_tokens,
-         |  round(sum(micro_lr) / 1e6, 4) AS dsir_logw
+         |  round(sum(micro_lr) / 1e6, 6) AS dsir_logw
          |FROM t JOIN r USING (b)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -2031,7 +2031,7 @@ object ContentQueries {
       |      0) AS BIGINT) AS mb
       |  FROM t JOIN c USING (token) CROSS JOIN g),
       |pp AS (SELECT doc_id, count(*) AS n_tokens,
-      |    round(sum(mb) / count(*) / 1e6, 4) AS bits_per_token
+      |    round((sum(mb) // count(*)) / 1e6, 6) AS bits_per_token
       |  FROM b GROUP BY doc_id)""".stripMargin
 
   /** Shared winnowing replay (n=3 grams, window=4): ends at `sel` — one
