@@ -111,6 +111,30 @@ class SparkPropertySpec extends SparkSuite {
     }
   }
 
+  test("winnowing guarantee holds on generated doc pairs: any shared " +
+    ">= 6-token run yields a common fingerprint") {
+    val rnd = new scala.util.Random(13)
+    def words(n: Int, tag: String): Seq[String] =
+      (0 until n).map(_ => s"$tag${rnd.nextInt(50)}")
+    val cases = (0 until 40).map { i =>
+      val shared = words(6 + rnd.nextInt(6), "s") // 6..11 shared tokens
+      val a = (words(rnd.nextInt(8), "a") ++ shared ++
+        words(rnd.nextInt(8), "x")).mkString(" ")
+      val b = (words(rnd.nextInt(8), "b") ++ shared ++
+        words(rnd.nextInt(8), "y")).mkString(" ")
+      (i.toLong * 2, a, i.toLong * 2 + 1, b)
+    }
+    val docs = cases.flatMap { case (ia, a, ib, b) =>
+      Seq((ia, a), (ib, b)) }.toDF("doc_id", "text")
+    val sets = graft.analytics.Dedup.winnowFingerprintSets(
+      docs, col("doc_id"), col("text"), n = 3, window = 4)
+      .as[(Long, Seq[Long])].collect().toMap
+    cases.foreach { case (ia, a, ib, b) =>
+      assert(sets(ia).toSet.intersect(sets(ib).toSet).nonEmpty,
+        s"no shared fingerprint for pair $ia/$ib:\n a=$a\n b=$b")
+    }
+  }
+
   test("native WordShingles equals the pure reference on generated inputs") {
     val wordGen = Gen.listOf(Gen.oneOf(
       Gen.alphaLowerStr.map(_.take(6)), Gen.const(""), Gen.const("the")))
