@@ -790,6 +790,30 @@ object ContentQueries {
         threshold = 0.4, k = 8, iters = 2)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // SemDeDup's representative selection: collapse semantic pairs into
+    // clusters (min-label propagation) and keep each cluster's member
+    // CLOSEST to its k-means centroid (quality-aware keep policy — the
+    // paper's alternative to keep-lowest-id), ties to the lower id.
+    // Composes three oracle-checked operators; adds only equi-joins and
+    // one max_by per cluster.
+    "dedup_semantic_keep" -> ((s, d) => {
+      val e = emb(s, d)
+      val pairs = graft.analytics.Clustering.semDedupPairs(
+        e, col("vec_id"), col("embedding"), threshold = 0.4, k = 8,
+        iters = 2)
+      val clusters = Dedup.dedupClusters(pairs, col("a_id"), col("b_id"))
+      val assign = graft.analytics.Clustering.kmeansAssign(
+        e, col("vec_id"), col("embedding"), k = 8, iters = 2)
+      clusters
+        .join(assign.select(col("id").as("doc_id"), col("csim")),
+          Seq("doc_id"))
+        .groupBy(col("cluster_rep"))
+        .agg(max_by(col("doc_id"),
+            struct(col("csim"), (-col("doc_id")).as("tb"))).as("keep_id"),
+          count(lit(1)).as("n_members"))
+        .orderBy(col("cluster_rep"))
+    }),
+
     // Unigram-LM quality scoring (the KenLM/CCNet perplexity-filter
     // class): corpus-fit add-one-smoothed unigram model, per-doc mean
     // -log2 p in bits/token. Integer micro-bit sums make the aggregate
@@ -1858,6 +1882,31 @@ object ContentQueries {
       s"""WITH $perplexityCtes
          |SELECT doc_id, n_tokens, bits_per_token
          |FROM pp ORDER BY doc_id""".stripMargin,
+
+    "dedup_semantic_keep" ->
+      s"""WITH RECURSIVE $kmeansCtes,
+         |sp AS (SELECT a_id, b_id FROM (
+         |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |      round(list_sum(list_transform(range(1, 65),
+         |        i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS sim
+         |    FROM af a JOIN af b
+         |      ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |  WHERE sim >= 0.4),
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM sp
+         |  UNION SELECT b_id, a_id FROM sp),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM ed
+         |  UNION
+         |  SELECT e2.src, reach.r FROM ed e2 JOIN reach ON e2.dst = reach.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_rep
+         |  FROM reach GROUP BY id),
+         |rk AS (SELECT cl.cluster_rep, cl.doc_id, af.csim,
+         |    row_number() OVER (PARTITION BY cl.cluster_rep
+         |      ORDER BY af.csim DESC, cl.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cl.cluster_rep) AS n_members
+         |  FROM cl JOIN af ON af.vec_id = cl.doc_id)
+         |SELECT cluster_rep, doc_id AS keep_id, n_members
+         |FROM rk WHERE rn = 1 ORDER BY cluster_rep""".stripMargin,
 
     "text_perplexity2" ->
       """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
