@@ -142,10 +142,11 @@ object Clustering {
     * recall. */
   def semDedupPairs(emb: DataFrame, id: Column, vec: Column,
                     threshold: Double, k: Int = 8,
-                    iters: Int = 2): DataFrame = {
-    val m = Caches.persist(
-      assignedFrame(emb, id, vec, k, iters)
-        .select(col("cluster"), col("id"), col("v"), col("nrm")))
+                    iters: Int = 2): DataFrame =
+    pairsFrom(Caches.persist(assignedFrame(emb, id, vec, k, iters)),
+      threshold)
+
+  private def pairsFrom(m: DataFrame, threshold: Double): DataFrame = {
     val l = m.select(col("cluster"), col("id").as("a_id"),
       col("v").as("a_v"), col("nrm").as("a_n"))
     val r = m.select(col("cluster"), col("id").as("b_id"),
@@ -156,5 +157,26 @@ object Clustering {
         round(Similarity.dot(col("a_v"), col("b_v")) /
           (col("a_n") * col("b_n")), 4).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  /** SemDeDup's keep policy in one clustering run: semantic pairs collapse
+    * into connected components (`Dedup.dedupClusters` min-label
+    * propagation) and each component keeps its member CLOSEST to the
+    * k-means centroid (ties → lower id) — the paper's quality-aware
+    * representative selection. Returns `(cluster_rep, keep_id,
+    * n_members)`. The Lloyd pipeline runs ONCE; pairs and per-member csim
+    * both derive from the same persisted assignment frame. */
+  def semDedupKeep(emb: DataFrame, id: Column, vec: Column,
+                   threshold: Double, k: Int = 8,
+                   iters: Int = 2): DataFrame = {
+    val m = Caches.persist(assignedFrame(emb, id, vec, k, iters))
+    val pairs = pairsFrom(m, threshold)
+    val clusters = Dedup.dedupClusters(pairs, col("a_id"), col("b_id"))
+    clusters
+      .join(m.select(col("id").as("doc_id"), col("csim")), Seq("doc_id"))
+      .groupBy(col("cluster_rep"))
+      .agg(max_by(col("doc_id"),
+          struct(col("csim"), (-col("doc_id")).as("tb"))).as("keep_id"),
+        count(lit(1)).as("n_members"))
   }
 }

@@ -417,7 +417,7 @@ object Similarity {
         codes("sub") === qTab("sub") && codes("code") === qTab("j"))
       .filter(col("q_id") =!= col("n_id"))
       .groupBy(col("q_id"), col("n_id"))
-      .agg(round(sum(col("qdi")) / 1e6, 4).as("adist"))
+      .agg(round(sum(col("qdi")) / 1e6, 6).as("adist"))
     pqRank(adc, k)
   }
 
@@ -564,7 +564,7 @@ object Similarity {
       .join(broadcast(qTab.withColumnRenamed("j", "code")),
         Seq("q_id", "sub", "code"))
       .groupBy(col("q_id"), col("n_id"))
-      .agg(round(sum(col("qdi")) / 1e6, 4).as("adist"))
+      .agg(round(sum(col("qdi")) / 1e6, 6).as("adist"))
     pqRank(adc, k)
   }
 }

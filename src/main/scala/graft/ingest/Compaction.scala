@@ -222,12 +222,17 @@ object Compaction {
     }
 
   /** Manifest-snapshot read: ONLY the objects the commit manifests vouch
-    * for — a consistent committed view that ignores in-flight writes,
-    * half-landed batches, and zombies (the read-side complement of
-    * `vacuum`: vacuum deletes what the manifest disowns, this simply
-    * doesn't read it). The committed key set restricts `readLake` via the
-    * same broadcast semi-join inventory path, so partition values with
-    * special characters stay safe. */
+    * for — a consistent committed view that never LISTS, PLANS or reads
+    * anything else (the read-side complement of `vacuum`: vacuum deletes
+    * what the manifest disowns, this simply doesn't touch it). Loads the
+    * committed keys as explicit file paths — an in-flight, corrupt or
+    * schema-evolved zombie object can neither fail the snapshot read nor
+    * poison its schema, which a scan-then-filter semi-join could not
+    * guarantee. The physical layout uses the LITERAL key names
+    * (IngestWriter renames its staged escaped dirs to the raw values), so
+    * only glob metacharacters need escaping for load() to treat each
+    * path verbatim; `basePath` keeps Hive-style partition columns
+    * inferable exactly like a raw `spark.read` of the topic dir. */
   def readCommitted(spark: SparkSession, outDir: String,
                     cfg: IngestConfig): DataFrame = {
     val topicDir = s"$outDir/${cfg.topicsDir}/${cfg.topic}"
@@ -235,13 +240,21 @@ object Compaction {
       .getOrElse(throw new IllegalArgumentException(
         s"readCommitted needs commit manifests under " +
           s"$topicDir/_graft_manifest (enable writeManifest in Ingest.run)"))
-    val inventory = committed.toSeq.map { key =>
-      val slash = key.lastIndexOf('/')
-      (if (slash < 0) "" else key.substring(0, slash),
-        key.substring(slash + 1))
-    }
-    readLake(spark, topicDir, cfg, inventory)
+    // fail CLOSED: an empty committed set must not degrade into an
+    // unfiltered full-lake read
+    require(committed.nonEmpty,
+      s"manifests under $topicDir/_graft_manifest vouch for no objects")
+    val paths = committed.toSeq.sorted.map(k => s"$topicDir/${escapeGlob(k)}")
+    spark.read.format(cfg.format.sparkFormat)
+      .option("basePath", topicDir)
+      .load(paths: _*)
   }
+
+  /** Backslash-escape Hadoop glob metacharacters so a literal path (the
+    * writer supports special characters in partition values) cannot
+    * glob-expand inside `load()`. */
+  private def escapeGlob(p: String): String =
+    p.replaceAll("([\\\\*?\\[\\]\\{\\}])", "\\\\$1")
 
   final case class VacuumResult(objectsListed: Int,
                                 orphans: Seq[(String, String)],

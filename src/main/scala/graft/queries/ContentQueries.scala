@@ -796,23 +796,11 @@ object ContentQueries {
     // paper's alternative to keep-lowest-id), ties to the lower id.
     // Composes three oracle-checked operators; adds only equi-joins and
     // one max_by per cluster.
-    "dedup_semantic_keep" -> ((s, d) => {
-      val e = emb(s, d)
-      val pairs = graft.analytics.Clustering.semDedupPairs(
-        e, col("vec_id"), col("embedding"), threshold = 0.4, k = 8,
-        iters = 2)
-      val clusters = Dedup.dedupClusters(pairs, col("a_id"), col("b_id"))
-      val assign = graft.analytics.Clustering.kmeansAssign(
-        e, col("vec_id"), col("embedding"), k = 8, iters = 2)
-      clusters
-        .join(assign.select(col("id").as("doc_id"), col("csim")),
-          Seq("doc_id"))
-        .groupBy(col("cluster_rep"))
-        .agg(max_by(col("doc_id"),
-            struct(col("csim"), (-col("doc_id")).as("tb"))).as("keep_id"),
-          count(lit(1)).as("n_members"))
-        .orderBy(col("cluster_rep"))
-    }),
+    "dedup_semantic_keep" -> ((s, d) =>
+      graft.analytics.Clustering.semDedupKeep(
+        emb(s, d), col("vec_id"), col("embedding"),
+        threshold = 0.4, k = 8, iters = 2)
+        .orderBy(col("cluster_rep"))),
 
     // Unigram-LM quality scoring (the KenLM/CCNet perplexity-filter
     // class): corpus-fit add-one-smoothed unigram model, per-doc mean
@@ -1248,7 +1236,7 @@ object ContentQueries {
         |  FROM assigned JOIN probes USING (list_id)
         |  WHERE probes.q_id <> assigned.n_id),
         |adc AS (SELECT cand.q_id, cand.n_id,
-        |    round(CAST(sum(qt.qdi) AS DOUBLE) / 1000000, 4) AS adist
+        |    round(CAST(sum(qt.qdi) AS DOUBLE) / 1000000, 6) AS adist
         |  FROM cand
         |  JOIN enc ON enc.n_id = cand.n_id
         |  JOIN qt ON qt.q_id = cand.q_id AND qt.sub = enc.sub
@@ -1298,7 +1286,7 @@ object ContentQueries {
         |        i -> qs.sv[i] * cb.cw[i]))) * 1000000, 0) AS BIGINT) AS qdi
         |  FROM qs JOIN cb USING (sub)),
         |adc AS (SELECT qt.q_id, enc.n_id,
-        |    round(CAST(sum(qt.qdi) AS DOUBLE) / 1000000, 4) AS adist
+        |    round(CAST(sum(qt.qdi) AS DOUBLE) / 1000000, 6) AS adist
         |  FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.j
         |  WHERE qt.q_id <> enc.n_id GROUP BY 1, 2),
         |r AS (SELECT q_id, n_id, adist, row_number() OVER (PARTITION BY q_id

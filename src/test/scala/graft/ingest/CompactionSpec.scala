@@ -253,11 +253,32 @@ class CompactionSpec extends SparkSuite {
       .filter(_.getName.startsWith("part-")).head
     java.nio.file.Files.copy(part.toPath, new java.io.File(
       s"$out/topics/rc/event_type=t0/rc+9+0000000999.parquet").toPath)
-    // the raw read sees 61 rows, the committed snapshot exactly 60
-    assert(spark.read.parquet(s"$out/topics/rc").count() == 61)
+    // ...and a CORRUPT zombie (0-byte object a crashed writer left):
+    // explicit-path loading means the snapshot never even plans it
+    java.nio.file.Files.createFile(new java.io.File(
+      s"$out/topics/rc/event_type=t1/rc+8+0000000888.parquet").toPath)
+    // the raw read sees the extra committed rows; the committed snapshot
+    // exactly 60 and it is immune to the corrupt object that would fail
+    // a whole-dir scan
     val snap = Compaction.readCommitted(spark, out, cfg)
     assert(snap.count() == 60)
     assert(snap.agg(sum("offset")).head.getLong(0) == (0L until 60L).sum)
+  }
+
+  test("readCommitted loads glob-metachar partition values literally") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "gm", flushSize = 30)
+    val df = (0L until 6L).map(o => (0, o, s"v$o", "a[1] {b}*?"))
+      .toDF("kafka_partition", "offset", "value", "event_type")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("value")),
+      writeManifest = true)
+    val snap = Compaction.readCommitted(spark, out, cfg)
+    assert(snap.count() == 6)
+    // Hive-style partition column comes back via basePath inference even
+    // though the payload does not store it
+    assert(snap.select("event_type").distinct().as[String].collect()
+      .toSeq == Seq("a[1] {b}*?"))
   }
 
   test("compaction rebuilds the manifest for the new generation — " +
