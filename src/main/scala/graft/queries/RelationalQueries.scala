@@ -238,6 +238,21 @@ object RelationalQueries {
           col("view").as("n_view"), col("purchase").as("n_purchase"))
         .orderBy(col("user_id"))),
 
+    // UNPIVOT (the inverse of q34): wide per-type counts melt back to
+    // (user_id, event_type, n) rows via stack() — a Generate (codegen'd
+    // row expansion), no shuffle beyond the pivot's own aggregate.
+    "q44_unpivot" -> ((s, d) =>
+      T(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), expr(
+          "stack(3, 'click', click, 'view', view, 'purchase', purchase)" +
+            " AS (event_type, n)"))
+        .filter(col("n") > 0)
+        .orderBy(col("user_id"), col("event_type"))),
+
     // Funnel analysis: users progressing click → later view → later
     // purchase. Each stage is a conditional-min aggregate over ONE shuffle
     // on user_id; stage timestamps compare in integer micros, so the
@@ -693,6 +708,13 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_purchase
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q44_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events
+        |WHERE event_type IN ('click', 'view', 'purchase')
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q32_lead_lag" ->
       """SELECT user_id, event_id,
