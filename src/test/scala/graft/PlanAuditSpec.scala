@@ -312,6 +312,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q44: the unpivot is a Generate over the pivot aggregate — one " +
+    "codegen'd row expansion, no join, no second shuffle") {
+    val p = plan("q44_unpivot")
+    assert(p.contains("Generate"), p)
+    assert(!"\\bJoin\\b".r.findFirstIn(p).isDefined, p)
+    // the pivot itself is two aggregates (per-cell, then per-row); the
+    // unpivot adds NO exchange of its own
+    val hashEx = hashExchanges(p)
+    assert(hashEx <= 2, s"unpivot must not add a shuffle, got $hashEx\n$p")
+  }
+
   test("sim_topk_ivfsq: the composed index keeps the IVF discipline — " +
     "map-side-partial max_by assignment, no cartesian, only the final " +
     "top-k window") {
