@@ -238,6 +238,27 @@ object RelationalQueries {
           col("view").as("n_view"), col("purchase").as("n_purchase"))
         .orderBy(col("user_id"))),
 
+    // SCD2 interval build: change events become [valid_from, valid_to)
+    // dimension rows per key — valid_to = the NEXT change's timestamp
+    // (null = current row). One lead() window over one user-keyed
+    // shuffle; timestamps compare in integer micros (engine-exact).
+    "q45_scd2_intervals" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      T(s, d, "events")
+        .filter(col("event_type") === "signup" || col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+        .withColumn("is_current",
+          (col("valid_to_us").isNull).cast("int"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("us").as("valid_from_us"), col("valid_to_us"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+    }),
+
     // UNPIVOT (the inverse of q34): wide per-type counts melt back to
     // (user_id, event_type, n) rows via stack() — a Generate (codegen'd
     // row expansion), no shuffle beyond the pivot's own aggregate.
@@ -708,6 +729,18 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_purchase
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q45_scd2_intervals" ->
+      """SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+        |  lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS valid_to_us,
+        |  CAST(lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+        |    AS INT) AS is_current
+        |FROM events
+        |WHERE event_type IN ('signup', 'purchase')
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
 
     "q44_unpivot" ->
       """SELECT user_id, event_type, count(*) AS n
