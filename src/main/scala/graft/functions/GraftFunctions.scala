@@ -92,6 +92,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => WordShingles(exprs.head,
         exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
           .value.asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("hashed_bow_logit"),
+      new ExpressionInfo(classOf[HashedBowLogit].getName, "hashed_bow_logit"),
+      (exprs: Seq[Expression]) => HashedBowLogit(exprs.head,
+        if (exprs.length > 1)
+          exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+            .value.asInstanceOf[Int]
+        else 64)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
