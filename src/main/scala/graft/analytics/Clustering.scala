@@ -41,9 +41,12 @@ object Clustering {
 
   import Similarity.{asDouble, hashRank, norm}
 
-  /** A centroid as plain driver-side data: (cluster label, components,
-    * norm). The label is the seed vector's id — stable across rounds. */
-  private type Centroid = (Long, Seq[Double], Double)
+  /** A centroid as plain driver-side data: cluster label (the seed
+    * vector's id — stable across rounds), components, norm. Public so a
+    * fitted model can be held, shipped, and re-applied (`fit` → `apply`
+    * — the offline-train / online-serve split). */
+  final case class Centroid(cluster: Long, components: Seq[Double],
+                            norm: Double)
 
   /** Deterministic k-seed init: hash-filter the corpus (~1/16 survives the
     * `r < 64` cut) then take the k lowest (r, id) — a distributed
@@ -54,14 +57,14 @@ object Clustering {
       .orderBy(col("r"), col("id")).limit(k)
       .select(col("id"), col("v"), col("nrm"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .toSeq
 
   /** The centroid set as one array-of-structs literal (k·dim doubles). */
   private def centLiteral(cent: Seq[Centroid]): Column =
-    array(cent.map { case (cl, cv, cn) =>
-      struct(lit(cl).as("cluster"), lit(cn).as("cn"),
-        array(cv.map(lit): _*).as("cv"))
+    array(cent.map { c =>
+      struct(lit(c.cluster).as("cluster"), lit(c.norm).as("cn"),
+        array(c.components.map(lit): _*).as("cv"))
     }: _*)
 
   /** Zero-shuffle assignment: per row, score every centroid inside a
@@ -94,9 +97,9 @@ object Clustering {
       .groupBy(_._1)
       .map { case (cl, rows) =>
         val cv = rows.sortBy(_._2).map(_._3).toSeq
-        (cl, cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
+        Centroid(cl, cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
       }
-      .toSeq.sortBy(_._1)
+      .toSeq.sortBy(_.cluster)
 
   /** The corpus frame with final-round assignment columns appended:
     * `(id, v, nrm, cluster, csim)` — shared by `kmeansAssign` (which
@@ -108,10 +111,45 @@ object Clustering {
     val v = Caches.persist(
       emb.select(id.as("id"), asDouble(vec).as("v"))
         .withColumn("nrm", norm(col("v"))))
+    withAssignment(v, fitOn(v, k, iters))
+  }
+
+  private def fitOn(v: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
     var cent = initCentroids(v, k)
     for (_ <- 1 to iters)
       cent = updateCentroids(withAssignment(v, cent))
-    withAssignment(v, cent)
+    cent
+  }
+
+  /** Fit the k-means model and return it as driver-side data — the
+    * offline-train half of the train/serve split. The model is k·dim
+    * doubles; persist it however you like and re-apply with `classify`. */
+  def fit(emb: DataFrame, id: Column, vec: Column, k: Int = 8,
+          iters: Int = 2): Seq[Centroid] = {
+    val v = Caches.persist(
+      emb.select(id.as("id"), asDouble(vec).as("v"))
+        .withColumn("nrm", norm(col("v"))))
+    fitOn(v, k, iters)
+  }
+
+  /** Apply a fitted model to ANY frame — batch or STREAMING — as a pure
+    * zero-shuffle projection (the centroid literal rides inside the
+    * expression, so this composes with readStream/foreachBatch with no
+    * state and no extra plan nodes): appends `cluster` and `csim` next to
+    * the input columns. The online-serve half of the split. */
+  def classify(df: DataFrame, vec: Column,
+               model: Seq[Centroid]): DataFrame = {
+    require(model.nonEmpty, "empty centroid model")
+    val tagged = df.withColumn("__v", asDouble(vec))
+      .withColumn("__nrm", norm(col("__v")))
+    val best = array_max(transform(centLiteral(model), c =>
+      struct(
+        round(Similarity.dot(col("__v"), c.getField("cv")) /
+          (col("__nrm") * c.getField("cn")), 6).as("csim"),
+        (-c.getField("cluster")).as("tb"))))
+    tagged.withColumn("cluster", -best.getField("tb"))
+      .withColumn("csim", best.getField("csim"))
+      .drop("__v", "__nrm")
   }
 
   /** Lloyd's k-means over an embedding column: `iters` rounds of

@@ -45,6 +45,39 @@ class ClusteringSpec extends SparkSuite {
     Caches.clear()
   }
 
+  test("fit + classify equals kmeansAssign, and classify applies to a " +
+    "STREAMING frame (pure projection — no state, no shuffle)") {
+    val model = Clustering.fit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 2)
+    assert(model.nonEmpty && model.size <= 4)
+    val served = Clustering.classify(emb, col("embedding"), model)
+      .select(col("vec_id"), col("cluster"), col("csim"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val direct = Clustering.kmeansAssign(emb, col("vec_id"),
+      col("embedding"), k = 4, iters = 2)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(served == direct, "fit+classify must equal the one-shot path")
+    // streaming application: the same projection rides a file stream
+    val src = java.nio.file.Files.createTempDirectory("cls_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cls_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("cls_out").toString
+    emb.limit(20).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(emb.schema).parquet(src)
+    val q = Clustering.classify(stream, col("embedding"), model)
+      .select("vec_id", "cluster")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(out)
+      .as[(Long, Long)].collect().toMap
+    val expect = direct.map(r => r._1 -> r._2).toMap
+    assert(streamed.nonEmpty &&
+      streamed.forall { case (id, cl) => expect(id) == cl })
+    Caches.clear()
+  }
+
   test("semDedup pairs are a subset of exhaustive cosine pairs at the " +
     "same threshold (exact precision), with full recall within clusters") {
     val t = 0.3
