@@ -55,8 +55,13 @@ object PartitionerSpec {
   * Streaming callers wrap this in foreachBatch (StreamingIngest.start). */
 object Ingest {
 
+  /** `reportedNulls`: under IgnoreNulls + `report.null.values.to.dlq`,
+    * the tombstones this run dropped — lazy, route to a DLQ sink or
+    * count; None when nothing is reportable. */
   final case class Result(files: Seq[IngestWriter.FileInfo],
-                          stats: RotationStats)
+                          stats: RotationStats,
+                          reportedNulls: Option[
+                            org.apache.spark.sql.DataFrame] = None)
 
   /** `extraCauseGroups` are additional labeled file-group columns (e.g.
     * `"schema_change:version" -> versionCol`, `"tombstone" -> value.isNull`)
@@ -80,6 +85,14 @@ object Ingest {
     val cleaned = valueColumnForNulls match {
       case Some(v) => RecordViews.applyNullBehavior(frame, cfg.nullBehavior, v)
       case None => frame
+    }
+    // report.null.values.to.dlq: under IgnoreNulls the dropped tombstones
+    // surface on the Result for DLQ routing (reference default true)
+    val reportedNulls = valueColumnForNulls.collect {
+      case v if cfg.nullBehavior == RecordViews.IgnoreNulls &&
+        cfg.reportNullsToDlq =>
+        frame.filter(col(v).isNull)
+          .withColumn("dlq_reason", lit("null_value"))
     }
     val encoded = PartitionerSpec.compile(partitioner, kafkaPartition)
     // R2: epoch-aligned buckets by default; the reference's sequential
@@ -120,7 +133,7 @@ object Ingest {
     if (writeManifest)
       CommitManifest.write(framed, cfg, encoded, outDir, kafkaPartition,
         offset, extraGroups)
-    Result(files, stats)
+    Result(files, stats, reportedNulls)
   }
 
   /** Multi-topic ingest — the reference's `topics` list

@@ -57,14 +57,27 @@ final case class IngestConfig(
     jsonDecimalFormat: JsonDecimalFormat = JsonDecimalFormat.Base64,
     /** W4 `format.bytearray.separator` (reference default: line separator,
       * ByteArrayRecordWriterProvider.java:38-50). */
-    byteArraySeparator: String = "\n") {
+    byteArraySeparator: String = "\n",
+    /** W4 `format.bytearray.extension` (reference default ".bin",
+      * S3SinkConnectorConfig.java) — only ByteArray lakes honor it. */
+    byteArrayExtension: String = ".bin",
+    /** `report.null.values.to.dlq` (reference default TRUE,
+      * S3SinkConnectorConfig.java:181-186): under IgnoreNulls, dropped
+      * tombstones surface on `Ingest.Result.reportedNulls` for DLQ
+      * routing instead of vanishing silently. */
+    reportNullsToDlq: Boolean = true) {
+
+  private def baseExt: String = format match {
+    case OutputFormat.ByteArray => byteArrayExtension
+    case f => f.baseExt
+  }
 
   /** Extension contract: gzip suffixes Json/ByteArray (CompressionType.java),
     * Parquet prefixes the codec (ParquetRecordWriterProvider.java:62-65). */
   def extension: String = (format, compression) match {
-    case (OutputFormat.Parquet, Some(c)) if c != "none" => s".$c${format.baseExt}"
+    case (OutputFormat.Parquet, Some(c)) if c != "none" => s".$c$baseExt"
     case (OutputFormat.Json | OutputFormat.ByteArray, Some("gzip")) =>
-      s"${format.baseExt}.gz"
-    case _ => format.baseExt
+      s"$baseExt.gz"
+    case _ => baseExt
   }
 }

@@ -41,7 +41,8 @@ class IngestSpec extends SparkSuite {
       l.contains("\"start_offset\":")))
   }
 
-  test("config-driven ignore-nulls drops tombstones before partitioning") {
+  test("config-driven ignore-nulls drops tombstones before partitioning " +
+    "and reports them for DLQ routing (report.null.values.to.dlq)") {
     val out = freshDir()
     val df = Seq((0, 0L, null.asInstanceOf[String], "a"),
       (0, 1L, "v1", "a")).toDF("kafka_partition", "offset", "value", "f")
@@ -51,6 +52,27 @@ class IngestSpec extends SparkSuite {
       valueColumnForNulls = Some("value"))
     val back = spark.read.parquet(result.files.head.path)
     assert(back.count() == 1)
+    // the dropped tombstone surfaces on the result (reference default)
+    val nulls = result.reportedNulls.get
+      .select("offset", "dlq_reason").collect()
+    assert(nulls.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "null_value")))
+    // ...and the knob disables it
+    val quiet = Ingest.run(df, cfg.copy(reportNullsToDlq = false),
+      PartitionerSpec.Fields(Seq("f")), out,
+      payloadCols = Seq(col("offset"), col("value")),
+      valueColumnForNulls = Some("value"))
+    assert(quiet.reportedNulls.isEmpty)
+  }
+
+  test("format.bytearray.extension renames ByteArray objects") {
+    val cfg = IngestConfig(topic = "bx", format = OutputFormat.ByteArray,
+      byteArrayExtension = ".customext")
+    assert(cfg.extension == ".customext")
+    assert(cfg.copy(compression = Some("gzip")).extension ==
+      ".customext.gz")
+    // other formats ignore the knob
+    assert(cfg.copy(format = OutputFormat.Json).extension == ".json")
   }
 
   test("K4 nested-field partitioner: dotted path resolves into the struct " +
