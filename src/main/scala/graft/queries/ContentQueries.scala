@@ -504,7 +504,12 @@ object ContentQueries {
             .as("_approx"),
           expr("percentile(l_extendedprice, 0.5)").as("_exact"))
         .select(col("l_returnflag"),
-          round(col("_exact"), 2).as("exact_median"),
+          // floor(x*100+0.5)/100, not round(x, 2): even-count medians of
+          // 2-decimal prices interpolate to EXACT .xx5 values where
+          // Spark's decimal-string HALF_UP and DuckDB's binary rounding
+          // split (surfaced at sf0.001); the floor snap is the same
+          // double arithmetic on both engines
+          (floor(col("_exact") * 100 + 0.5) / 100).as("exact_median"),
           (abs(col("_approx") - col("_exact")) <=
             col("_exact") * 0.05).cast("long").as("median_ok"))
         .orderBy(col("l_returnflag"))),
@@ -1720,7 +1725,8 @@ object ContentQueries {
 
     "sketch_quantiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
+        |  floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100
+        |    AS exact_median,
         |  CAST(abs(approx_quantile(l_extendedprice, 0.5)
         |      - quantile_cont(l_extendedprice, 0.5))
         |    <= quantile_cont(l_extendedprice, 0.5) * 0.05 AS BIGINT)
