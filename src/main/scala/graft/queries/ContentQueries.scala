@@ -111,6 +111,31 @@ object ContentQueries {
         .orderBy(col("source"))
     }),
 
+    // Temperature-scaled mixture design (the T5/multilingual alpha-
+    // smoothing): per source, the raw token share and the alpha=0.5
+    // share p^alpha / sum(p^alpha) — the table that sets sampling rates
+    // so small sources are up-weighted. Two tiny aggregates over one
+    // scan; the cross-row share denominators are sums over #sources
+    // values (20 here), snapped at 6 decimals.
+    "sample_temperature" -> ((s, d) => {
+      // p^alpha rides as integer micro-units so the cross-source
+      // denominator sums are exact integer arithmetic (a raw double sum
+      // of sqrts would be addition-order-sensitive across engines)
+      val perSrc = docs(s, d)
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+        .withColumn("alpha_micro",
+          round(sqrt(col("n_tokens").cast("double")) * 1e6, 0)
+            .cast("long"))
+      val totals = perSrc.agg(sum(col("n_tokens")).as("all_toks"),
+        sum(col("alpha_micro")).as("all_alpha"))
+      perSrc.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+          round(col("n_tokens") / col("all_toks"), 6).as("raw_share"),
+          round(col("alpha_micro") / col("all_alpha"), 6).as("temp_share"))
+        .orderBy(col("source"))
+    }),
+
     // Token-budget mixture sampling: per source, take docs in
     // deterministic md5 order until the running token total hits the
     // budget — how a training mix caps each source's contribution. One
@@ -1443,6 +1468,21 @@ object ContentQueries {
         |    ORDER BY sim DESC, n_id) AS rank FROM sc)
         |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH s AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |a AS (SELECT source, n_tokens,
+        |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |      AS alpha_micro
+        |  FROM s),
+        |g AS (SELECT sum(n_tokens) AS all_toks,
+        |    sum(alpha_micro) AS all_alpha FROM a)
+        |SELECT source, n_tokens,
+        |  round(n_tokens / CAST(all_toks AS DOUBLE), 6) AS raw_share,
+        |  round(alpha_micro / CAST(all_alpha AS DOUBLE), 6) AS temp_share
+        |FROM a CROSS JOIN g ORDER BY source""".stripMargin,
 
     "sample_per_source" ->
       """WITH r AS (SELECT source, doc_id,
