@@ -58,6 +58,42 @@ object Multimodal {
     }
   }
 
+  final case class Resized(id: Long, targetW: Int, targetH: Int,
+                           nBytesIn: Long, nBytesOut: Long,
+                           resizedFp: String)
+
+  /** Resize STUB: "scales" each payload to the target dimensions by
+    * deterministic byte subsampling (payload stride = in/out byte ratio)
+    * — the real implementation swaps the sampler for a codec resize; the
+    * signature (payload + target dims in, resized payload metadata out,
+    * batch-wise per partition so a real decoder amortizes init) and the
+    * output schema are the production shape. Output size model:
+    * out = ceil(in · (targetW·targetH) / (1920·1080)) bytes, capped at
+    * the input. */
+  def resize(ds: Dataset[MediaRecord], targetW: Int,
+             targetH: Int): Dataset[Resized] = {
+    import ds.sparkSession.implicits._
+    require(targetW > 0 && targetH > 0)
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val in = r.payload.length.toLong
+        val outLen = math.max(1L, math.min(in,
+          (in * targetW.toLong * targetH + 1920L * 1080 - 1) /
+            (1920L * 1080))).toInt
+        val out = new Array[Byte](if (in == 0) 0 else outLen)
+        var i = 0
+        while (i < out.length) { // stride-subsample the payload
+          out(i) = r.payload(((i.toLong * in) / out.length).toInt)
+          i += 1
+        }
+        md.reset()
+        val fp = md.digest(out).map("%02x".format(_)).mkString
+        Resized(r.id, targetW, targetH, in, out.length.toLong, fp)
+      }
+    }
+  }
+
   /** Wrap any DataFrame with a binary column into the media schema. */
   def asMedia(df: DataFrame, id: String, payload: String,
               mediaType: String): Dataset[MediaRecord] = {

@@ -751,6 +751,22 @@ object ContentQueries {
         .orderBy(col("id"), col("frame_index"))
     }),
 
+    // Resize plumbing (stub codec): every payload "scales" to 640x480 by
+    // deterministic byte subsampling — the signature, batch shape and
+    // output schema are the production resize stage; DuckDB replays the
+    // exact subsample (ASCII corpus ⇒ byte == char).
+    "mm_resize" -> ((s, d) => {
+      val media = Multimodal.asMedia(docs(s, d), "doc_id", "text",
+        "image/fake")
+      Multimodal.resize(media, targetW = 640, targetH = 480).toDF()
+        .select(col("id").as("doc_id"),
+          col("targetW").as("target_w"), col("targetH").as("target_h"),
+          col("nBytesIn").as("n_bytes_in"),
+          col("nBytesOut").as("n_bytes_out"),
+          col("resizedFp").as("resized_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal plumbing: documents' text bytes as opaque payloads through
     // the mapPartitions feature extractor (decode step is a deterministic
     // stub; schema/partitioning/batch shape are the real pipeline).
@@ -1378,6 +1394,21 @@ object ContentQueries {
         |  CAST(strlen(substr(text, CAST(frame_index * 64 + 1 AS INT), 64))
         |    AS BIGINT) AS n_bytes
         |FROM f ORDER BY id, frame_index""".stripMargin,
+
+    "mm_resize" ->
+      """WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+        |r AS (SELECT doc_id, text, n,
+        |    CASE WHEN n = 0 THEN 0 ELSE
+        |      greatest(1, least(n,
+        |        (n * 307200 + 2073599) // 2073600)) END AS out_len
+        |  FROM t)
+        |SELECT doc_id, 640 AS target_w, 480 AS target_h,
+        |  CAST(n AS BIGINT) AS n_bytes_in,
+        |  CAST(out_len AS BIGINT) AS n_bytes_out,
+        |  md5(array_to_string(list_transform(range(0, out_len),
+        |    i -> substr(text, CAST((i * n) // out_len AS INT) + 1, 1)),
+        |    '')) AS resized_fp
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "sim_topk_ivf" ->
       """WITH v AS (SELECT vec_id,
