@@ -3,7 +3,7 @@ package graft.ingest
 import java.util.regex.Pattern
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Small-file compaction — the maintenance pass a `flush.size`-driven lake
@@ -147,16 +147,21 @@ object Compaction {
       col("__epart"), outDir, col("__kpart"), col(offsetCol),
       payloadCols = payload.toSeq, extraFileGroups = timeGroups)
 
-    // delete stale objects of the old generation (tasks do the I/O)
     val newSet = files.map(f => (f.encodedPartition, f.fileName)).toSet
     val stale = before.filterNot(newSet.contains)
-    deleteObjects(spark, topicDir, stale)
     // a W10 manifest vouches for object names compaction just renamed —
     // rebuild it from the NEW generation (one column-pruned scan of the
-    // compacted lake), then drop the old generations' manifest files.
-    // Replay-safe order: the rebuilt manifest lands (idempotent name from
-    // the lake's offset range) before old ones disappear, so a crash in
-    // between leaves a superset of vouched keys, never a deficit.
+    // compacted lake), then drop the old generations' manifest files, and
+    // ONLY THEN delete the stale data objects. This ordering makes every
+    // crash point safe: before the rebuilt manifest lands, the old
+    // manifests vouch objects that all still exist; after it lands, the
+    // union vouches a superset (both generations present — duplicate rows
+    // in a mid-window snapshot read, healed by re-running compact), and
+    // once old manifests are gone the new manifest exactly matches the
+    // new generation while the not-yet-deleted stale objects are mere
+    // vacuum-able orphans. Deleting data FIRST (the old order) could
+    // leave manifests vouching deleted objects: readCommitted would fail
+    // on missing paths and vacuum would delete the new generation.
     val oldManifests = CommitManifest.manifestFiles(spark, topicDir)
     if (oldManifests.nonEmpty) {
       val fresh = readLake(spark, topicDir, cfg,
@@ -172,12 +177,14 @@ object Compaction {
       val mfs = new Path(topicDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       // compare by file name — listStatus paths carry a scheme, the
-      // written path may not, and the rebuilt manifest often REUSES an
-      // old generation's name (same offset range)
+      // written path may not, and a replayed compact REUSES its own name
+      // (same offset range and key set)
       val writtenName = new Path(written).getName
       oldManifests.filter(_.getName != writtenName)
         .foreach(p => mfs.delete(p, false))
     }
+    // delete stale objects of the old generation last (tasks do the I/O)
+    deleteObjects(spark, topicDir, stale)
     Result(files, before.size, stale.size)
   }
 
@@ -222,32 +229,76 @@ object Compaction {
     }
 
   /** Manifest-snapshot read: ONLY the objects the commit manifests vouch
-    * for — a consistent committed view that never LISTS, PLANS or reads
-    * anything else (the read-side complement of `vacuum`: vacuum deletes
-    * what the manifest disowns, this simply doesn't touch it). Loads the
-    * committed keys as explicit file paths — an in-flight, corrupt or
-    * schema-evolved zombie object can neither fail the snapshot read nor
-    * poison its schema, which a scan-then-filter semi-join could not
-    * guarantee. The physical layout uses the LITERAL key names
-    * (IngestWriter renames its staged escaped dirs to the raw values), so
-    * only glob metacharacters need escaping for load() to treat each
-    * path verbatim; `basePath` keeps Hive-style partition columns
-    * inferable exactly like a raw `spark.read` of the topic dir. */
-  def readCommitted(spark: SparkSession, outDir: String,
-                    cfg: IngestConfig): DataFrame = {
+    * for — a consistent committed view (the read-side complement of
+    * `vacuum`: vacuum deletes what the manifest disowns, this simply
+    * doesn't touch it).
+    *
+    * The committed-key set stays a DataFrame throughout; the driver never
+    * holds an O(#objects) structure. `partitionPredicate` (over the
+    * derived `encoded_partition` column) prunes the manifest BEFORE any
+    * path materializes — a partition-scoped snapshot of a 4M-object lake
+    * costs only that partition's keys. Two physical modes:
+    *
+    *  - **Explicit paths** (pruned key count ≤ `maxExplicitPaths`): loads
+    *    the literal key names — an in-flight, corrupt or schema-evolved
+    *    zombie object can neither fail the read nor poison its schema,
+    *    which a scan-then-filter could not guarantee. Only glob
+    *    metacharacters need escaping for load() to treat each path
+    *    verbatim; `basePath` keeps Hive-style partition columns
+    *    inferable. The collected path list is bounded by the threshold,
+    *    never by lake size.
+    *  - **Scan + semi-join** (above the threshold): one recursive scan of
+    *    the topic dir (sidecar `_`-dirs excluded by Spark's listing)
+    *    semi-joined on the path-derived relative key against the manifest
+    *    DataFrame — fully distributed at any object count. Uncommitted
+    *    rows are still invisible; the tradeoff vs explicit paths is that
+    *    a physically corrupt zombie OBJECT could fail the scan itself
+    *    (run `vacuum` first on lakes where crashed writers are common).
+    */
+  def readCommitted(spark: SparkSession, outDir: String, cfg: IngestConfig,
+                    partitionPredicate: Option[Column] = None,
+                    maxExplicitPaths: Int = 100000): DataFrame = {
     val topicDir = s"$outDir/${cfg.topicsDir}/${cfg.topic}"
-    val committed = CommitManifest.committedKeys(spark, topicDir)
+    val committedAll = CommitManifest.committedDf(spark, topicDir)
       .getOrElse(throw new IllegalArgumentException(
         s"readCommitted needs commit manifests under " +
           s"$topicDir/_graft_manifest (enable writeManifest in Ingest.run)"))
+    val keys = committedAll.select(col("object_key")).distinct()
+      .withColumn("encoded_partition",
+        when(col("object_key").contains("/"),
+          regexp_replace(col("object_key"), "/[^/]+$", ""))
+          .otherwise(lit("")))
+    val pruned = partitionPredicate.fold(keys)(keys.filter)
+    val n = pruned.count() // ONE scalar to the driver
     // fail CLOSED: an empty committed set must not degrade into an
     // unfiltered full-lake read
-    require(committed.nonEmpty,
-      s"manifests under $topicDir/_graft_manifest vouch for no objects")
-    val paths = committed.toSeq.sorted.map(k => s"$topicDir/${escapeGlob(k)}")
-    spark.read.format(cfg.format.sparkFormat)
-      .option("basePath", topicDir)
-      .load(paths: _*)
+    require(n > 0,
+      s"manifests under $topicDir/_graft_manifest vouch for no objects" +
+        (if (partitionPredicate.isDefined) " under the partition predicate"
+         else ""))
+    if (n <= maxExplicitPaths) {
+      val paths = pruned.select("object_key").collect()
+        .map(_.getString(0)).sorted
+        .map(k => s"$topicDir/${escapeGlob(k)}")
+      spark.read.format(cfg.format.sparkFormat)
+        .option("basePath", topicDir)
+        .load(paths.toIndexedSeq: _*)
+    } else {
+      val topicPath = new Path(topicDir).toUri.getPath
+      val scan = spark.read.format(cfg.format.sparkFormat)
+        .option("pathGlobFilter", s"*${cfg.extension}")
+        .load(topicDir)
+      val decodePath = udf { s: String =>
+        try new java.net.URI(s).getPath catch { case _: Exception => s }
+      }
+      val rel = regexp_extract(decodePath(input_file_name()),
+        Pattern.quote(topicPath) + "/(.*)$", 1)
+      // the semi-join right side is the PRUNED manifest, so the partition
+      // predicate filters scan rows too — no path outside it survives
+      scan.withColumn("__key", rel).join(
+        pruned.select(col("object_key").as("__key")),
+        Seq("__key"), "left_semi").drop("__key")
+    }
   }
 
   /** Backslash-escape Hadoop glob metacharacters so a literal path (the
@@ -266,13 +317,17 @@ object Compaction {
     * topic dir whose key the manifest does not vouch for was written by
     * a superseded/crashed run and never committed (the fenced runtime
     * path makes such writes possible but harmless — see `EpochFence`).
-    * `vacuum` lists the lake (metadata only), diffs against the
-    * manifest's `object_key` set, and deletes the difference task-side;
-    * `dryRun` reports without deleting. Run it like compaction — as a
-    * maintenance pass, not inline with ingest; a concurrent
-    * not-yet-manifested write would look like an orphan, so quiesce the
-    * topic first (same contract the reference's scan has within a
-    * partition). */
+    *
+    * Scale shape: the lake listing runs TASK-SIDE (`listingDf` — the
+    * driver enumerates only the top-level partition directories), the
+    * diff is an anti-join between the listing and the manifest DataFrames
+    * (never a driver-resident key Set), and deletion is task-parallel.
+    * Only the ORPHANS collect to the driver — bounded by crashed-writer
+    * volume, not lake size. `dryRun` reports without deleting. Run it
+    * like compaction — as a maintenance pass, not inline with ingest; a
+    * concurrent not-yet-manifested write would look like an orphan, so
+    * quiesce the topic first (same contract the reference's scan has
+    * within a partition). */
   def vacuum(spark: SparkSession, outDir: String, cfg: IngestConfig,
              dryRun: Boolean = false): VacuumResult = {
     val topicDir = s"$outDir/${cfg.topicsDir}/${cfg.topic}"
@@ -281,27 +336,85 @@ object Compaction {
     if (!fs.exists(new Path(topicDir))) return VacuumResult(0, Nil, false)
     // the UNION of all manifest generations — a single batch's manifest
     // must never be mistaken for full-lake coverage
-    val committed = CommitManifest.committedKeys(spark, topicDir)
+    val committed = CommitManifest.committedDf(spark, topicDir)
       .getOrElse(throw new IllegalArgumentException(
         s"vacuum needs commit manifests under $topicDir/_graft_manifest " +
           "(enable writeManifest in Ingest.run); without them, live and " +
           "orphan objects are indistinguishable"))
-    val listing = listObjects(fs, topicDir, cfg.extension)
-    // K/V/H sidecars (P4) share their value file's basename and are
-    // vouched for transitively: a sidecar is live iff its VALUE name is
-    // manifested (manifests carry value names only)
-    def valueName(f: String): String = {
-      val base = f.stripSuffix(cfg.extension)
-      (if (base.endsWith(".keys")) base.stripSuffix(".keys")
-       else if (base.endsWith(".headers")) base.stripSuffix(".headers")
-       else base) + cfg.extension
-    }
-    val orphans = listing.filterNot { case (e, f) =>
-      val vn = valueName(f)
-      committed.contains(if (e.isEmpty) vn else s"$e/$vn")
-    }
-    if (!dryRun) deleteObjects(spark, topicDir, orphans)
-    VacuumResult(listing.size, orphans, !dryRun)
+      .select(col("object_key")).distinct()
+    val listing = listingDf(spark, topicDir, cfg.extension).persist()
+    try {
+      // K/V/H sidecars (P4) share their value file's basename and are
+      // vouched for transitively: a sidecar is live iff its VALUE name is
+      // manifested (manifests carry value names only)
+      val ext = cfg.extension
+      val base = regexp_replace(col("__fname"),
+        Pattern.quote(ext) + "$", "")
+      val valueBase = regexp_replace(base, "\\.(keys|headers)$", "")
+      val valueKey = when(col("__epart") === "",
+        concat(valueBase, lit(ext)))
+        .otherwise(concat(col("__epart"), lit("/"), valueBase, lit(ext)))
+      val total = listing.count()
+      val orphans = listing.withColumn("__vkey", valueKey)
+        .join(committed.select(col("object_key").as("__vkey")),
+          Seq("__vkey"), "left_anti")
+        .select("__epart", "__fname").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      if (!dryRun) deleteObjects(spark, topicDir, orphans)
+      VacuumResult(total.toInt, orphans, !dryRun)
+    } finally listing.unpersist()
+  }
+
+  /** Distributed recursive object listing as a DataFrame of
+    * `(__epart, __fname)`: the driver lists only the IMMEDIATE children
+    * of the topic dir (bounded by top-level partition-value count) and
+    * tasks recurse below in parallel — no O(#objects) driver structure.
+    * Sidecar paths (any `_`/`.`-prefixed component) are never data
+    * objects; root-level files (unpartitioned lakes) come from the same
+    * driver listing that found the directories. */
+  private def listingDf(spark: SparkSession, topicDir: String,
+                        extension: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(topicDir)
+    val fs = FileSystem.get(root.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val rootPathStr = root.toUri.getPath
+    val children = fs.listStatus(root)
+    val (dirs, rootFiles) = children.partition(_.isDirectory)
+    val visibleDirs = dirs.map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .map(_.toString).toSeq
+    val rootRows = rootFiles.map(_.getPath.getName)
+      .filter(n => n.endsWith(extension) &&
+        !n.startsWith("_") && !n.startsWith("."))
+      .map(("", _)).toSeq
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fromDirs =
+      if (visibleDirs.isEmpty) spark.emptyDataset[(String, String)]
+      else spark.sparkContext.parallelize(visibleDirs,
+        math.min(visibleDirs.length, spark.sparkContext.defaultParallelism))
+        .flatMap { dirStr =>
+          val dir = new Path(dirStr)
+          val tfs = FileSystem.get(dir.toUri, hadoopConf.value)
+          val it = tfs.listFiles(dir, true)
+          val b = Seq.newBuilder[(String, String)]
+          while (it.hasNext) {
+            val f = it.next().getPath
+            val rel = f.toUri.getPath
+              .stripPrefix(rootPathStr).stripPrefix("/")
+            val hidden = rel.split('/')
+              .exists(c => c.startsWith("_") || c.startsWith("."))
+            if (f.getName.endsWith(extension) && !hidden) {
+              val slash = rel.lastIndexOf('/')
+              b += ((if (slash < 0) "" else rel.substring(0, slash),
+                rel.substring(slash + 1)))
+            }
+          }
+          b.result()
+        }.toDS()
+    (if (rootRows.isEmpty) fromDirs
+     else fromDirs.union(rootRows.toDS())).toDF("__epart", "__fname")
   }
 
   /** Key-based upsert merge — MERGE INTO semantics (the primitive a

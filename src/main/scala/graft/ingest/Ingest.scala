@@ -242,13 +242,17 @@ object RotationStats {
   * written next to the data under `_graft_manifest/`. Downstream consumers
   * get the exactly-once audit trail without re-listing objects.
   *
-  * Manifests are PER-BATCH generations, `commit-<minOffset>-<maxOffset>
-  * .json`: the name derives from the batch's offset range, so a replay of
-  * the same batch overwrites its own manifest (X1 discipline) while
-  * successive batches ACCUMULATE — the union of all `commit-*.json` files
-  * vouches for the whole lake (a single overwritten `commit.json` would
-  * only ever cover the LAST batch, and a vacuum diffing against it would
-  * delete all earlier committed history). */
+  * Manifests are PER-BATCH generations,
+  * `commit-<minOffset>-<maxOffset>-<keySetHash>.json`: the name derives
+  * from the batch's offset range AND a hash of its object-key set, so a
+  * replay of the same batch regenerates the identical name and overwrites
+  * its own manifest (X1 discipline) while DISTINCT batches always
+  * accumulate — Kafka offsets are per-partition, so two different batches
+  * can carry coincident offset ranges (per-partition backfills, sparse
+  * micro-batches); a range-only name would let the second silently
+  * un-vouch the first, and a later vacuum would delete the first batch's
+  * committed objects as orphans. The union of all `commit-*.json` files
+  * vouches for the whole lake. */
 object CommitManifest {
   def write(df: DataFrame, cfg: IngestConfig, encodedPartition: Column,
             outDir: String, kafkaPartition: Column, offset: Column,
@@ -273,15 +277,27 @@ object CommitManifest {
   private[ingest] def objectKey(epart: Column, fname: Column): Column =
     when(epart === "", fname).otherwise(concat(epart, lit("/"), fname))
 
+  private[ingest] val ManifestSchema =
+    "object_key STRING, start_offset LONG, end_offset LONG, record_count LONG"
+
   /** Stream a stats frame (encoded_partition, start_offset, end_offset,
-    * record_count, object_key) to `commit-<min>-<max>.json` under the
-    * topic's manifest dir. Serialized task-side via to_json (proper
-    * escaping of arbitrary partition-field values in object_key) and
-    * streamed to one file — the driver never collects or loops over
+    * record_count, object_key) to `commit-<min>-<max>-<keyhash>.json`
+    * under the topic's manifest dir. Serialized task-side via to_json
+    * (proper escaping of arbitrary partition-field values in object_key)
+    * and streamed to one file — the driver never collects or loops over
     * per-object rows, so the manifest write scales with object count like
-    * the data write does. */
+    * the data write does.
+    *
+    * The stats plan executes exactly ONCE (the text write); the offset
+    * range and the order-independent key-set hash that name the file come
+    * from reading back the single written part file — a metadata-scale
+    * read, not a second pass over the lake. The final placement is an
+    * ATOMIC overwrite rename (FileContext + Rename.OVERWRITE): there is no
+    * delete-then-rename window during which `committedDf` would see no
+    * manifest for a replayed batch. */
   private[ingest] def writeStats(stats: DataFrame,
                                  topicDir: String): String = {
+    val spark = stats.sparkSession
     val ordered = stats.orderBy(col("object_key"))
     val jsonLines = ordered.select(to_json(struct(
       col("object_key"), col("start_offset"), col("end_offset"),
@@ -289,36 +305,79 @@ object CommitManifest {
     val manifestDir = s"$topicDir/_graft_manifest"
     val tmp = s"$manifestDir/_tmp"
     jsonLines.coalesce(1).write.mode("overwrite").text(tmp)
-    val range = stats.agg(min(col("start_offset")), max(col("end_offset")))
-      .head // 1-row metadata aggregate
-    val dest = new org.apache.hadoop.fs.Path(
-      s"$manifestDir/commit-${range.getLong(0)}-${range.getLong(1)}.json")
-    val fs = dest.getFileSystem(
-      stats.sparkSession.sparkContext.hadoopConfiguration)
-    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpPath.getFileSystem(conf)
+    val part = fs.listStatus(tmpPath)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
     require(part.length == 1, s"expected 1 manifest part, got ${part.length}")
-    if (fs.exists(dest)) fs.delete(dest, false)
-    require(fs.rename(part.head.getPath, dest), s"manifest rename failed: $dest")
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // name ingredients from the written file (one small read; the batch
+    // plan above is not re-executed). bit_xor(xxhash64) is an
+    // order-independent, overflow-free 64-bit digest of the key set
+    // (keys are unique per batch, so no XOR self-cancellation) — two
+    // batches share a name iff they vouch the same objects, which is
+    // exactly the replay case.
+    val row = spark.read.schema(ManifestSchema)
+      .json(part.head.getPath.toString)
+      .agg(min(col("start_offset")), max(col("end_offset")),
+        bit_xor(xxhash64(col("object_key")))).head
+    require(!row.isNullAt(0), "manifest stats are empty")
+    val keyHash = java.lang.Long.toHexString(row.getLong(2))
+    val dest = new org.apache.hadoop.fs.Path(
+      s"$manifestDir/commit-${row.getLong(0)}-${row.getLong(1)}-$keyHash.json")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf)
+    fc.rename(part.head.getPath, dest,
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.delete(tmpPath, true)
     dest.toString
   }
 
-  /** The union of every manifest generation's object keys — what the lake
-    * as a whole is vouched for. Returns None when no manifest exists. */
-  private[ingest] def committedKeys(
+  /** The union of every manifest generation as a DataFrame
+    * (`object_key, start_offset, end_offset, record_count`) — what the
+    * lake as a whole is vouched for. The key set stays DISTRIBUTED: no
+    * driver-resident Set of object keys, so the committed view scales to
+    * millions of objects (the caller prunes/joins/counts it as a plan).
+    * Duplicate keys across generations (manifest-compaction crash residue)
+    * are possible; key-level consumers must de-duplicate. Returns None
+    * when no manifest exists. */
+  private[ingest] def committedDf(
       spark: org.apache.spark.sql.SparkSession,
-      topicDir: String): Option[Set[String]] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$topicDir/_graft_manifest")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return None
-    val parts = fs.listStatus(dir).map(_.getPath)
-      .filter(p => p.getName.startsWith("commit-") &&
-        p.getName.endsWith(".json"))
+      topicDir: String): Option[DataFrame] = {
+    val parts = manifestFiles(spark, topicDir)
     if (parts.isEmpty) None
-    else Some(spark.read.schema("object_key STRING")
-      .json(parts.map(_.toString): _*)
-      .collect().map(_.getString(0)).toSet)
+    else Some(spark.read.schema(ManifestSchema)
+      .json(parts.map(_.toString): _*))
+  }
+
+  /** Merge every manifest generation into ONE file (the maintenance pass
+    * for long-lived lakes: generations accumulate per batch and each
+    * committed-view read opens all of them). Duplicate keys keep the row
+    * with the highest (end_offset, record_count) — replay residue carries
+    * identical stats, so the choice only matters for crash leftovers.
+    * Crash-safe order: the merged generation lands first (atomic rename),
+    * old generations are deleted after — an interruption leaves duplicate
+    * vouching (harmless; consumers distinct), never a vouching deficit.
+    * Returns the number of old generation files removed. */
+  def compactManifests(spark: org.apache.spark.sql.SparkSession,
+                       topicDir: String): Int = {
+    val files = manifestFiles(spark, topicDir)
+    if (files.lengthCompare(1) <= 0) return 0
+    val merged = spark.read.schema(ManifestSchema)
+      .json(files.map(_.toString): _*)
+      .groupBy(col("object_key"))
+      .agg(max_by(
+        struct(col("start_offset"), col("end_offset"), col("record_count")),
+        struct(col("end_offset"), col("record_count"), col("start_offset")))
+        .as("__r"))
+      .select(col("object_key"), col("__r.start_offset"),
+        col("__r.end_offset"), col("__r.record_count"))
+    val written = writeStats(merged, topicDir)
+    val writtenName = new org.apache.hadoop.fs.Path(written).getName
+    val fs = new org.apache.hadoop.fs.Path(topicDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = files.filter(_.getName != writtenName)
+    stale.foreach(p => fs.delete(p, false))
+    stale.size
   }
 
   /** Paths of all current manifest generation files. */

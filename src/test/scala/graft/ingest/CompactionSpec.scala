@@ -281,6 +281,104 @@ class CompactionSpec extends SparkSuite {
       .toSeq == Seq("a[1] {b}*?"))
   }
 
+  test("manifest names are unique per batch: coincident offset ranges on " +
+    "different kafka partitions accumulate instead of silently replacing " +
+    "each other — vacuum keeps BOTH batches") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "uniq", flushSize = 30)
+    // two distinct batches with the SAME offset range 0..9 (offsets are
+    // per-partition in Kafka) — a range-only manifest name would collide
+    def batch(kp: Int) = {
+      val df = (0L until 10L).map(o => (kp, o, s"p$kp-v$o", s"t$kp"))
+        .toDF("kafka_partition", "offset", "value", "event_type")
+      Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+        payloadCols = Seq(col("offset"), col("value"), col("event_type")),
+        writeManifest = true)
+    }
+    batch(0); batch(1)
+    val manifests = new java.io.File(s"$out/topics/uniq/_graft_manifest")
+      .listFiles().map(_.getName).filter(_.startsWith("commit-")).toSeq
+    assert(manifests.size == 2,
+      s"coincident ranges must yield distinct manifests, got $manifests")
+    // a replay of batch 1 regenerates the SAME name (idempotent overwrite)
+    batch(1)
+    assert(new java.io.File(s"$out/topics/uniq/_graft_manifest")
+      .listFiles().count(_.getName.startsWith("commit-")) == 2)
+    // both batches stay vouched: vacuum removes nothing, snapshot = 20
+    assert(Compaction.vacuum(spark, out, cfg).orphans.isEmpty)
+    assert(Compaction.readCommitted(spark, out, cfg).count() == 20)
+  }
+
+  test("compactManifests merges N generations into one and the committed " +
+    "view is unchanged") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "cm", flushSize = 10)
+    (0 until 3).foreach { b =>
+      val df = (b * 20L until (b + 1) * 20L)
+        .map(o => (0, o, s"v$o", s"t${o % 2}"))
+        .toDF("kafka_partition", "offset", "value", "event_type")
+      Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+        payloadCols = Seq(col("offset"), col("value"), col("event_type")),
+        writeManifest = true)
+    }
+    val mdir = new java.io.File(s"$out/topics/cm/_graft_manifest")
+    assert(mdir.listFiles().count(_.getName.startsWith("commit-")) == 3)
+    val removed = CommitManifest.compactManifests(spark, s"$out/topics/cm")
+    assert(removed == 3, s"all 3 old generations replaced, got $removed")
+    assert(mdir.listFiles().count(_.getName.startsWith("commit-")) == 1)
+    // committed view identical: every object still vouched exactly once
+    val snap = Compaction.readCommitted(spark, out, cfg)
+    assert(snap.count() == 60 &&
+      snap.agg(sum("offset")).as[Long].head == (0L until 60L).sum)
+    assert(Compaction.vacuum(spark, out, cfg).orphans.isEmpty)
+    // idempotent: nothing left to merge
+    assert(CommitManifest.compactManifests(spark, s"$out/topics/cm") == 0)
+  }
+
+  test("readCommitted above maxExplicitPaths switches to the distributed " +
+    "scan + semi-join and an unmanifested zombie stays invisible") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "big", flushSize = 10)
+    val df = (0L until 40L).map(o => (0, o, s"v$o", s"t${o % 2}"))
+      .toDF("kafka_partition", "offset", "value", "event_type")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("value"), col("event_type")),
+      writeManifest = true)
+    // plant an unmanifested zombie with valid parquet content
+    Seq((0, 999L, "stale")).toDF("kafka_partition", "offset", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/_zs2")
+    val part = new java.io.File(s"$out/_zs2").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.copy(part.toPath, new java.io.File(
+      s"$out/topics/big/event_type=t0/big+9+0000000999.parquet").toPath)
+    // force the semi-join path (4 committed objects > threshold 1)
+    val snap = Compaction.readCommitted(spark, out, cfg,
+      maxExplicitPaths = 1)
+    assert(snap.count() == 40)
+    assert(snap.agg(sum("offset")).head.getLong(0) == (0L until 40L).sum)
+  }
+
+  test("readCommitted partitionPredicate prunes the manifest before any " +
+    "path materializes — only that partition is read, in both modes") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "pp", flushSize = 10)
+    val df = (0L until 40L).map(o => (0, o, s"v$o", s"t${o % 2}"))
+      .toDF("kafka_partition", "offset", "value", "event_type")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("value"), col("event_type")),
+      writeManifest = true)
+    val pred = Some(col("encoded_partition") === "event_type=t1")
+    val explicit = Compaction.readCommitted(spark, out, cfg, pred)
+    assert(explicit.count() == 20 &&
+      explicit.select("event_type").distinct().as[String].collect()
+        .toSeq == Seq("t1"))
+    val scanned = Compaction.readCommitted(spark, out, cfg, pred,
+      maxExplicitPaths = 1)
+    assert(scanned.count() == 20 &&
+      scanned.agg(sum("offset")).head.getLong(0) ==
+        (0L until 40L).filter(_ % 2 == 1).sum)
+  }
+
   test("compaction rebuilds the manifest for the new generation — " +
     "vacuum after compact keeps the whole compacted lake") {
     val out = freshDir()
