@@ -100,16 +100,22 @@ object Compaction {
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(topicDir))) return Result(Nil, 0, 0)
 
-    // current object inventory (metadata-only listing, no data scan)
-    val before = listObjects(fs, topicDir, cfg.extension)
+    // current object inventory (metadata-only listing, no data scan) —
+    // include the sidecar views' OWN extensions (keys.format.class may
+    // differ from the value format) so a K/V/H lake is always detected
+    val allObjs = listObjects(fs, topicDir,
+      Seq(cfg.extension, cfg.keyExtension, cfg.headerExtension).distinct)
+    val (sidecars, before) = allObjs.partition { case (_, f) =>
+      f.endsWith(cfg.keyExtension) || f.endsWith(cfg.headerExtension) ||
+        f.contains(".keys.") || f.contains(".headers.")
+    }
     if (before.isEmpty) return Result(Nil, 0, 0)
     // K/V/H lakes (P4): key/header sidecars share each value file's
     // basename; rewriting only the value files would break the lockstep
     // contract, and rewriting all three coherently needs a joint pass
     // this operator doesn't implement — refuse loudly instead of
     // corrupting the layout.
-    require(!before.exists { case (_, f) =>
-      f.contains(".keys.") || f.contains(".headers.") },
+    require(sidecars.isEmpty,
       "cannot compact a K/V/H lake: key/header sidecars must stay in " +
         "lockstep with value basenames (compact before enabling " +
         "writeKeys/writeHeaders, or rebuild the lake)")
@@ -192,7 +198,7 @@ object Compaction {
     * fileName) pairs; sidecars (any `_`/`.`-prefixed path component —
     * manifests, Spark markers) are never data objects. */
   private def listObjects(fs: FileSystem, topicDir: String,
-                          extension: String): Seq[(String, String)] = {
+                          extensions: Seq[String]): Seq[(String, String)] = {
     val it = fs.listFiles(new Path(topicDir), true)
     val b = Seq.newBuilder[(String, String)]
     while (it.hasNext) {
@@ -201,7 +207,7 @@ object Compaction {
         .stripPrefix(new Path(topicDir).toUri.getPath).stripPrefix("/")
       val hidden = rel.split('/')
         .exists(c => c.startsWith("_") || c.startsWith("."))
-      if (f.getName.endsWith(extension) && !hidden) {
+      if (extensions.exists(f.getName.endsWith) && !hidden) {
         val slash = rel.lastIndexOf('/')
         b += ((if (slash < 0) "" else rel.substring(0, slash),
           rel.substring(slash + 1)))
@@ -342,18 +348,26 @@ object Compaction {
           "(enable writeManifest in Ingest.run); without them, live and " +
           "orphan objects are indistinguishable"))
       .select(col("object_key")).distinct()
-    val listing = listingDf(spark, topicDir, cfg.extension).persist()
+    val listing = listingDf(spark, topicDir,
+      Seq(cfg.extension, cfg.keyExtension, cfg.headerExtension).distinct)
+      .persist()
     try {
       // K/V/H sidecars (P4) share their value file's basename and are
       // vouched for transitively: a sidecar is live iff its VALUE name is
-      // manifested (manifests carry value names only)
+      // manifested (manifests carry value names only). Sidecar branches
+      // come FIRST: when the view format equals the value format, the
+      // sidecar extension also ends with the value extension.
       val ext = cfg.extension
-      val base = regexp_replace(col("__fname"),
-        Pattern.quote(ext) + "$", "")
-      val valueBase = regexp_replace(base, "\\.(keys|headers)$", "")
-      val valueKey = when(col("__epart") === "",
-        concat(valueBase, lit(ext)))
-        .otherwise(concat(col("__epart"), lit("/"), valueBase, lit(ext)))
+      def swapExt(sidecarExt: String) = concat(
+        regexp_replace(col("__fname"),
+          Pattern.quote(sidecarExt) + "$", ""), lit(ext))
+      val valueName = when(col("__fname").endsWith(cfg.keyExtension),
+        swapExt(cfg.keyExtension))
+        .when(col("__fname").endsWith(cfg.headerExtension),
+          swapExt(cfg.headerExtension))
+        .otherwise(col("__fname"))
+      val valueKey = when(col("__epart") === "", valueName)
+        .otherwise(concat(col("__epart"), lit("/"), valueName))
       val total = listing.count()
       val orphans = listing.withColumn("__vkey", valueKey)
         .join(committed.select(col("object_key").as("__vkey")),
@@ -373,7 +387,7 @@ object Compaction {
     * objects; root-level files (unpartitioned lakes) come from the same
     * driver listing that found the directories. */
   private def listingDf(spark: SparkSession, topicDir: String,
-                        extension: String): DataFrame = {
+                        extensions: Seq[String]): DataFrame = {
     import spark.implicits._
     val root = new Path(topicDir)
     val fs = FileSystem.get(root.toUri,
@@ -385,7 +399,7 @@ object Compaction {
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
       .map(_.toString).toSeq
     val rootRows = rootFiles.map(_.getPath.getName)
-      .filter(n => n.endsWith(extension) &&
+      .filter(n => extensions.exists(n.endsWith) &&
         !n.startsWith("_") && !n.startsWith("."))
       .map(("", _)).toSeq
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
@@ -405,7 +419,7 @@ object Compaction {
               .stripPrefix(rootPathStr).stripPrefix("/")
             val hidden = rel.split('/')
               .exists(c => c.startsWith("_") || c.startsWith("."))
-            if (f.getName.endsWith(extension) && !hidden) {
+            if (extensions.exists(f.getName.endsWith) && !hidden) {
               val slash = rel.lastIndexOf('/')
               b += ((if (slash < 0) "" else rel.substring(0, slash),
                 rel.substring(slash + 1)))

@@ -53,6 +53,13 @@ final case class IngestConfig(
     /** P4 `store.kafka.keys` / `store.kafka.headers`. */
     writeKeys: Boolean = false,
     writeHeaders: Boolean = false,
+    /** `keys.format.class` / `headers.format.class`
+      * (S3SinkConnectorConfig.java:223-226, 280-287): each sidecar view
+      * carries its OWN format — the reference default is AVRO even when
+      * the value format is Parquet, so a default K/V/H lake is
+      * `t+0+0.parquet` + `t+0+0.keys.avro` + `t+0+0.headers.avro`. */
+    keyFormat: OutputFormat = OutputFormat.Avro,
+    headerFormat: OutputFormat = OutputFormat.Avro,
     /** `json.decimal.format` — BASE64 is the reference default. */
     jsonDecimalFormat: JsonDecimalFormat = JsonDecimalFormat.Base64,
     /** W4 `format.bytearray.separator` (reference default: line separator,
@@ -80,4 +87,11 @@ final case class IngestConfig(
       s"$baseExt.gz"
     case _ => baseExt
   }
+
+  /** Sidecar view extensions (Utils.java:31-40): the view infix is
+    * inserted before the VIEW format's own extension — `file1.keys.avro`
+    * for the default Avro keys next to Parquet values. */
+  def keyExtension: String = ".keys" + copy(format = keyFormat).extension
+  def headerExtension: String =
+    ".headers" + copy(format = headerFormat).extension
 }

@@ -112,7 +112,10 @@ object IngestWriter {
     * (format/KeyValueHeaderRecordWriterProvider.java:63-144): value, `.keys`
     * and `.headers` files share the same basename per file group; key
     * non-null is enforced when keys are written (Utils.java:31-40 name
-    * contract). */
+    * contract). Each sidecar view is written in its OWN configured format
+    * (`keys.format.class` / `headers.format.class`, default Avro) — the
+    * view's file group assignment is identical to the value view's (same
+    * group key, same flush.size), so lockstep holds across formats. */
   def writeKVH(df: DataFrame, cfg: IngestConfig, encodedPartition: Column,
                outDir: String, kafkaPartition: Column, offset: Column,
                valueCols: Seq[Column],
@@ -128,12 +131,14 @@ object IngestWriter {
         df.withColumn("key", when(col("key").isNull,
             raise_error(lit("store.kafka.keys requires non-null keys")))
           .otherwise(col("key"))),
-        cfg, encodedPartition, outDir, kafkaPartition, offset,
+        cfg.copy(format = cfg.keyFormat), encodedPartition, outDir,
+        kafkaPartition, offset,
         Seq(struct(col("key")).as("RecordKey")),
         extraFileGroups = extraFileGroups, extSuffix = ".keys")
     val headers =
       if (!cfg.writeHeaders) Nil
-      else write(df, cfg, encodedPartition, outDir, kafkaPartition, offset,
+      else write(df, cfg.copy(format = cfg.headerFormat), encodedPartition,
+        outDir, kafkaPartition, offset,
         Seq(col("headers")), extraFileGroups = extraFileGroups,
         extSuffix = ".headers")
     value ++ keys ++ headers

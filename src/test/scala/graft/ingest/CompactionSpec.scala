@@ -212,8 +212,11 @@ class CompactionSpec extends SparkSuite {
     java.nio.file.Files.copy(part.toPath, zombie.toPath)
     val liveValue = zombieDir.listFiles()
       .filter(f => f.getName.matches("vac\\+0\\+\\d+\\.parquet")).head
+    // sidecar in the DEFAULT keys format (Avro): its name ends with
+    // .keys.avro, not the value extension — vacuum must still map it to
+    // its value basename (content is irrelevant to vacuum)
     val sidecar = new java.io.File(zombieDir,
-      liveValue.getName.stripSuffix(".parquet") + ".keys.parquet")
+      liveValue.getName.stripSuffix(".parquet") + ".keys.avro")
     java.nio.file.Files.copy(part.toPath, sidecar.toPath)
 
     val dry = Compaction.vacuum(spark, out, cfg, dryRun = true)

@@ -70,7 +70,11 @@ class IngestWriterSpec extends SparkSuite {
   }
 
   test("P4 K/V/H lockstep: .keys and .headers files share the basename " +
-    "(Utils.java:31-40 contract)") {
+    "(Utils.java:31-40 contract) and sidecars default to AVRO even for " +
+    "Parquet values (keys.format.class/headers.format.class, " +
+    "S3SinkConnectorConfig.java:223-226) — decode-and-compare") {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
     val out = freshDir()
     val df = (0L until 4L)
       .map(o => (0, o, s"k$o", s"v$o",
@@ -83,11 +87,46 @@ class IngestWriterSpec extends SparkSuite {
       col("kafka_partition"), col("offset"),
       valueCols = Seq(col("offset"), col("value")))
     assert(files.map(_.fileName).sorted == Seq(
-      "t+0+0000000000.headers.parquet",
-      "t+0+0000000000.keys.parquet",
+      "t+0+0000000000.headers.avro",
+      "t+0+0000000000.keys.avro",
       "t+0+0000000000.parquet"))
-    val keys = spark.read.parquet(s"$out/topics/t/partition=0/t+0+0000000000.keys.parquet")
+    // decode-and-compare: the Avro keys sidecar carries exactly the keys
+    // of the Parquet value file's records, in the same (offset) order
+    val values = spark.read
+      .parquet(s"$out/topics/t/partition=0/t+0+0000000000.parquet")
+      .orderBy("offset").select("value").as[String].collect().toSeq
+    val reader = new DataFileReader[GenericRecord](
+      new java.io.File(s"$out/topics/t/partition=0/t+0+0000000000.keys.avro"),
+      new GenericDatumReader[GenericRecord]())
+    val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (reader.hasNext) {
+      keys += reader.next().get("RecordKey")
+        .asInstanceOf[GenericRecord].get("key").toString
+    }
+    reader.close()
+    assert(values == (0L until 4L).map(o => s"v$o"))
+    assert(keys.toSeq == (0L until 4L).map(o => s"k$o"),
+      "keys sidecar must pair 1:1 with value records in offset order")
+  }
+
+  test("P4 keys.format.class override: explicit Parquet sidecars keep the " +
+    "pre-override layout (.keys.parquet) and read back relationally") {
+    val out = freshDir()
+    val df = (0L until 4L).map(o => (0, o, s"k$o", s"v$o"))
+      .toDF("kafka_partition", "offset", "key", "value")
+    val cfg = IngestConfig(topic = "tp", flushSize = 10, writeKeys = true,
+      keyFormat = OutputFormat.Parquet)
+    val files = IngestWriter.writeKVH(df, cfg,
+      Partitioners.defaultPartition(col("kafka_partition")), out,
+      col("kafka_partition"), col("offset"),
+      valueCols = Seq(col("offset"), col("value")))
+    assert(files.map(_.fileName).sorted == Seq(
+      "tp+0+0000000000.keys.parquet", "tp+0+0000000000.parquet"))
+    val keys = spark.read
+      .parquet(s"$out/topics/tp/partition=0/tp+0+0000000000.keys.parquet")
     assert(keys.columns.toSeq == Seq("RecordKey"))
+    assert(keys.select("RecordKey.key").as[String].collect().sorted.toSeq ==
+      (0L until 4L).map(o => s"k$o"))
   }
 
   test("F2 fail-on-null keys raises when keys are stored") {

@@ -76,9 +76,11 @@ class StreamingIngestSpec extends SparkSuite {
     assert(spark.read.parquet(
       s"$out/topics/sp/event_type=t1/sp+0+0000000001.parquet").count() == 3)
     val keyFiles = new java.io.File(s"$out/topics/sp/event_type=t0")
-      .listFiles().map(_.getName).filter(_.endsWith(".keys.parquet"))
-    assert(keyFiles.toSeq == Seq("sp+0+0000000000.keys.parquet"),
-      s"K/V/H lockstep key files wrong: ${keyFiles.toSeq}")
+      .listFiles().map(_.getName)
+      .filter(n => n.contains(".keys.") && !n.startsWith("."))
+    assert(keyFiles.toSeq == Seq("sp+0+0000000000.keys.avro"),
+      s"K/V/H lockstep key files wrong (default keys.format is Avro): " +
+        s"${keyFiles.toSeq}")
     assert(new java.io.File(s"$out/topics/sp/_graft_manifest").exists(),
       "commit manifest missing")
   }
