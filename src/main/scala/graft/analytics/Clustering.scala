@@ -50,15 +50,25 @@ object Clustering {
 
   /** Deterministic k-seed init: hash-filter the corpus (~1/16 survives the
     * `r < 64` cut) then take the k lowest (r, id) — a distributed
-    * TakeOrdered over the pruned sample, never a global corpus sort. */
-  private def initCentroids(v: DataFrame, k: Int): Seq[Centroid] =
-    v.withColumn("r", hashRank(col("id")))
-      .filter(col("r") < 64)
-      .orderBy(col("r"), col("id")).limit(k)
-      .select(col("id"), col("v"), col("nrm"))
-      .collect()
-      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      .toSeq
+    * TakeOrdered over the pruned sample, never a global corpus sort.
+    * A tiny corpus can leave the hash prune with ZERO survivors; rather
+    * than silently fitting an empty model (null assignments downstream),
+    * fall back to ranking the unpruned corpus — the ordering is identical,
+    * so whenever the pruned path yields seeds at all the two agree — and
+    * fail loudly only when the corpus itself is empty. */
+  private def initCentroids(v: DataFrame, k: Int): Seq[Centroid] = {
+    def seeds(src: DataFrame): Seq[Centroid] =
+      src.orderBy(col("r"), col("id")).limit(k)
+        .select(col("id"), col("v"), col("nrm"))
+        .collect()
+        .map(r => Centroid(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .toSeq
+    val ranked = v.withColumn("r", hashRank(col("id")))
+    val pruned = seeds(ranked.filter(col("r") < 64))
+    val cent = if (pruned.nonEmpty) pruned else seeds(ranked)
+    require(cent.nonEmpty, "k-means needs a non-empty corpus to seed from")
+    cent
+  }
 
   /** The centroid set as one array-of-structs literal (k·dim doubles). */
   private def centLiteral(cent: Seq[Centroid]): Column =

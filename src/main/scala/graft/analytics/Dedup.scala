@@ -308,25 +308,36 @@ object Dedup {
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     labels.count() // materialize before the loop mutates the variable
+    // the handle that actually holds this round's cache — `labels` becomes
+    // a PROJECTION of it after round 1, and unpersisting a projection is a
+    // no-op (the cached plan is the aggregate underneath)
+    var cached = labels
+    val labelType = labels.schema("label").dataType
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // ONE action per round: each node's OLD label rides through the
+      // propagation aggregate (max ignores the prop rows' nulls; every
+      // node has exactly one labels row), so the convergence check is a
+      // filter+count over the same aggregate output — no second join
+      // against the previous labels and no separate job for it.
       val prop = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(prop)
-        .groupBy("id").agg(min(col("label")).as("label"))
+        .select(edges("src").as("id"), col("label"),
+          lit(null).cast(labelType).as("old"))
+      val next = labels.select(col("id"), col("label"),
+          col("label").as("old"))
+        .union(prop)
+        .groupBy("id").agg(min(col("label")).as("label"),
+          max(col("old")).as("old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .isEmpty
-      val prev = labels
-      labels = next
-      prev.unpersist(blocking = false)
-      converged = changed // isEmpty == true ⇒ no label moved
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("id"), col("label"))
+      cached.unpersist(blocking = false)
+      cached = next
+      converged = changed == 0L
       i += 1
     }
-    Caches.track(labels)
+    Caches.track(cached)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 

@@ -754,9 +754,18 @@ object ContentQueries {
     // Resize plumbing (stub codec): every payload "scales" to 640x480 by
     // deterministic byte subsampling — the signature, batch shape and
     // output schema are the production resize stage; DuckDB replays the
-    // exact subsample (ASCII corpus ⇒ byte == char).
+    // exact subsample. The oracle samples CHARACTERS (substr) while the
+    // stub samples BYTES, which agree ONLY for single-byte text — so the
+    // query asserts the ASCII precondition loudly: a future non-ASCII
+    // corpus fails with this message instead of a silent hash mismatch
+    // (or worse, an "expected" mismatch hiding a real regression).
     "mm_resize" -> ((s, d) => {
-      val media = Multimodal.asMedia(docs(s, d), "doc_id", "text",
+      val asciiChecked = docs(s, d).withColumn("text",
+        when(octet_length(col("text")) =!= length(col("text")),
+          raise_error(lit("mm_resize stub/oracle equivalence requires " +
+            "ASCII text: byte-stride sampling != char-stride sampling " +
+            "on multibyte input"))).otherwise(col("text")))
+      val media = Multimodal.asMedia(asciiChecked, "doc_id", "text",
         "image/fake")
       Multimodal.resize(media, targetW = 640, targetH = 480).toDF()
         .select(col("id").as("doc_id"),
