@@ -194,6 +194,55 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
   }
 
+  /** Multi-probe SRP top-k (the standard multi-probe LSH recall upgrade,
+    * Lv et al. VLDB 2007): identical corpus index to `srpTopK` — plain
+    * band buckets, NO reindexing — but each query probes, per band, its
+    * base bucket PLUS `flips` neighbor buckets obtained by flipping the
+    * band's lowest-|margin| bits (the projections closest to their
+    * hyperplane, i.e. the bits most likely to differ on a true near
+    * neighbor). Lifts recall at FIXED bands/bits for (flips+1)× the probe
+    * rows — query-side cost only, the corpus scan fraction per probe is
+    * unchanged. Candidates are exact-cosine verified and ranked exactly
+    * like `srpTopK`; since probe 0 is the base bucket, the candidate set
+    * is a SUPERSET of single-probe's — recall can only rise. */
+  def srpMultiProbeTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
+                        qVec: Column, cId: Column, cVec: Column, k: Int,
+                        bands: Int = 24, bitsPerBand: Int = 6,
+                        flips: Int = 1): DataFrame = {
+    val c = corpus.select(cId.as("c_id"), asDouble(cVec).as("c_v"))
+      .withColumn("c_n", norm(col("c_v")))
+      .withColumn("bkts", graft.functions.HashExpressions
+        .srpBandBuckets(col("c_v"), bands, bitsPerBand))
+    val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
+      .withColumn("q_n", norm(col("q_v")))
+      .withColumn("bkts", graft.functions.HashExpressions
+        .srpProbeBuckets(col("q_v"), bands, bitsPerBand, flips))
+    val cBanded = c.select(col("c_id"),
+      posexplode(col("bkts")).as(Seq("band", "bucket")))
+    // probe i of the flat array belongs to band i/(flips+1)
+    val qBanded = q.select(col("q_id"),
+      posexplode(col("bkts")).as(Seq("idx", "bucket")))
+      .withColumn("band", (col("idx") / (flips + 1)).cast("int"))
+      .drop("idx")
+    val cand = cBanded.join(broadcast(qBanded), Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id").as("n_id"))
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    cand
+      .join(c.select(col("c_id").as("n_id"), col("c_v"), col("c_n")),
+        Seq("n_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_v"), col("q_n"))),
+        Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")), 4)
+          .as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+  }
+
   /** Scalar int8 quantization (the SQ8 class of ANN index): per-vector
     * scale = max|x|, q_i = floor(x_i·127/scale + 0.5) ∈ [-127, 127].
     * Per-vector scaling cancels in cosine, so similarity runs directly on

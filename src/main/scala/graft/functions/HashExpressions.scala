@@ -458,6 +458,97 @@ case class SrpBandBuckets(child: Expression, bands: Int, bitsPerBand: Int)
   override def prettyName: String = "srp_band_buckets"
 }
 
+/** Multi-probe SRP buckets (Lv et al., VLDB 2007 applied to sign-random-
+  * projection): per band, the base bucket followed by `flips` probe
+  * buckets, each obtained by flipping ONE of the band's lowest-|margin|
+  * bits (the projections closest to their hyperplane — the bits most
+  * likely to differ on a true near neighbor). Output is a flat
+  * array<long> of length bands*(flips+1); element i belongs to band
+  * i/(flips+1). Margin ties break on bit index, so the probe set is
+  * deterministic and the DuckDB oracle rebuilds it bit-identically
+  * (row_number OVER (ORDER BY abs(s), bit)).
+  *
+  * Same plane matrix as SrpBandBuckets: a corpus indexed with plain
+  * band buckets is probed by this expression's output with NO reindexing
+  * — multi-probe is a query-side-only recall knob. */
+case class SrpProbeBuckets(child: Expression, bands: Int, bitsPerBand: Int,
+                           flips: Int)
+    extends UnaryExpression with RefEvalCodegen {
+  require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 62,
+    "bands >= 1 and 1 <= bitsPerBand <= 62")
+  require(flips >= 0 && flips < bitsPerBand,
+    "0 <= flips < bitsPerBand (each probe flips one distinct bit)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"srp_probe_buckets requires array<double>, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val nBits = bands * bitsPerBand
+    val planes = SrpBandBuckets.planes(nBits, dim)
+    val v = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (!arr.isNullAt(j)) v(j) = arr.getDouble(j)
+      j += 1
+    }
+    val perBand = flips + 1
+    val out = new Array[Long](bands * perBand)
+    val margin = new Array[Double](bitsPerBand)
+    val order = new Array[Int](bitsPerBand)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var r = 0
+      while (r < bitsPerBand) {
+        val row = (b * bitsPerBand + r) * dim
+        var s = 0.0
+        var k = 0
+        while (k < dim) { s += v(k) * planes(row + k); k += 1 }
+        bucket = (bucket << 1) | (if (s > 0) 1L else 0L)
+        margin(r) = math.abs(s)
+        order(r) = r
+        r += 1
+      }
+      out(b * perBand) = bucket
+      // selection of the `flips` lowest (|margin|, bit) — bitsPerBand is
+      // tiny (<= 62), so an insertion sort of indices is the whole cost
+      var i = 1
+      while (i < bitsPerBand) {
+        val oi = order(i)
+        var p = i - 1
+        while (p >= 0 && (margin(order(p)) > margin(oi) ||
+          (margin(order(p)) == margin(oi) && order(p) > oi))) {
+          order(p + 1) = order(p); p -= 1
+        }
+        order(p + 1) = oi
+        i += 1
+      }
+      var t = 0
+      while (t < flips) {
+        out(b * perBand + t + 1) =
+          bucket ^ (1L << (bitsPerBand - 1 - order(t)))
+        t += 1
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SrpProbeBuckets =
+    copy(child = c)
+  override def prettyName: String = "srp_probe_buckets"
+}
+
 object SrpBandBuckets {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]
@@ -551,6 +642,11 @@ object HashExpressions {
 
   def srpBandBuckets(vec: Column, bands: Int, bitsPerBand: Int): Column =
     bridge.column(SrpBandBuckets(bridge.expression(vec), bands, bitsPerBand))
+
+  def srpProbeBuckets(vec: Column, bands: Int, bitsPerBand: Int,
+                      flips: Int): Column =
+    bridge.column(SrpProbeBuckets(bridge.expression(vec), bands, bitsPerBand,
+      flips))
 
   /** Inputs pass through a Cast to array<double> so float embeddings (the
     * storage type) and other numeric arrays keep working, exactly like the

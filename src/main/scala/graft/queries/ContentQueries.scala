@@ -192,6 +192,21 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Multi-probe SRP (Lv et al. 2007): corpus index unchanged from
+    // sim_topk_srp; each query additionally probes the lowest-|margin|
+    // single-bit flip per band (flips=1) — the query-side recall knob.
+    // Margin ranking (abs of the signed projection, ties on bit) is
+    // replayed exactly by the oracle's row_number.
+    "sim_topk_srp_mp" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.srpMultiProbeTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Product-quantization ADC top-k — the 32x byte-compression scan
     // (m=8 one-byte codes per vector vs 256 bytes of floats). Fully
     // oracle-checked: codebooks are md5-hash-sampled and every distance
@@ -1765,6 +1780,51 @@ object ContentQueries {
          |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
          |  FROM bk c JOIN bk q ON c.band = q.band AND c.bucket = q.bucket
          |  WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+         |sc AS (SELECT cand.q_id, cand.n_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      k -> qn.e[k] * cn.e[k])) / (qn.nrm * cn.nrm), 4) AS sim
+         |  FROM cand JOIN n qn ON qn.vec_id = cand.q_id
+         |    JOIN n cn ON cn.vec_id = cand.n_id),
+         |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id) AS rank FROM sc)
+         |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_topk_srp_mp" ->
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+         |pl AS (SELECT b.i AS bit,
+         |    list(CASE WHEN ${md5b60("CONCAT(b.i, '_', d.j)")} % 2 = 1
+         |      THEN 1.0 ELSE -1.0 END ORDER BY d.j) AS w
+         |  FROM range(144) b(i) CROSS JOIN range(64) d(j) GROUP BY b.i),
+         |sg AS (SELECT n.vec_id, pl.bit,
+         |    list_sum(list_transform(range(1, 65),
+         |      k -> n.e[k] * pl.w[k])) AS s
+         |  FROM n CROSS JOIN pl),
+         |sb AS (SELECT vec_id, bit,
+         |    CASE WHEN s > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bv,
+         |    abs(s) AS m FROM sg),
+         |bk AS (SELECT vec_id, bit // 6 AS band,
+         |    CAST(sum(bv << (5 - (bit % 6))) AS BIGINT) AS bucket
+         |  FROM sb GROUP BY vec_id, bit // 6),
+         |fl AS (SELECT vec_id, band, bit FROM (
+         |    SELECT vec_id, bit // 6 AS band, bit,
+         |      row_number() OVER (PARTITION BY vec_id, bit // 6
+         |        ORDER BY m, bit) AS rn
+         |    FROM sb) WHERE rn = 1),
+         |qp AS (SELECT vec_id, band, bucket FROM bk WHERE vec_id % 100 = 0
+         |  UNION ALL
+         |  SELECT bk.vec_id, bk.band,
+         |    xor(bk.bucket, CAST(1 << (5 - (fl.bit % 6)) AS BIGINT))
+         |      AS bucket
+         |  FROM bk JOIN fl ON bk.vec_id = fl.vec_id AND bk.band = fl.band
+         |  WHERE bk.vec_id % 100 = 0),
+         |cand AS (SELECT DISTINCT qp.vec_id AS q_id, c.vec_id AS n_id
+         |  FROM bk c JOIN qp ON c.band = qp.band AND c.bucket = qp.bucket
+         |  WHERE c.vec_id <> qp.vec_id),
          |sc AS (SELECT cand.q_id, cand.n_id,
          |    round(list_sum(list_transform(range(1, 65),
          |      k -> qn.e[k] * cn.e[k])) / (qn.nrm * cn.nrm), 4) AS sim

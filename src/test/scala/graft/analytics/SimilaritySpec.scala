@@ -78,6 +78,34 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"SRP top-k recall $recall too low")
   }
 
+  test("multi-probe SRP: recall >= single-probe at identical bands/bits " +
+    "(probe 0 is the base bucket, so candidates are a superset) and " +
+    "flips=0 degenerates to exactly srpTopK") {
+    val k = 10
+    val bf = Similarity.bruteForceTopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val s = df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (bf intersect s).size.toDouble / bf.size
+    }
+    val single = Similarity.srpTopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k)
+    val multi = Similarity.srpMultiProbeTopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k, flips = 2)
+    val (rs, rm) = (recallOf(single), recallOf(multi))
+    assert(rm >= rs,
+      s"multi-probe recall $rm must not drop below single-probe $rs")
+    // flips=0 emits only the base bucket per band — identical result set
+    val zero = Similarity.srpMultiProbeTopK(queries, emb, col("vec_id"),
+      col("embedding"), col("vec_id"), col("embedding"), k, flips = 0)
+      .select("q_id", "n_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val base = single.select("q_id", "n_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(zero == base, "flips=0 must equal srpTopK exactly")
+  }
+
   test("int8-quantized top-k: high recall vs the float baseline, and " +
     "quantized values stay in [-127, 127]") {
     val k = 10
