@@ -272,13 +272,46 @@ object TextAnalysis {
     * same scan. No driver-side model object. */
   def dsirWeights(docs: org.apache.spark.sql.DataFrame, id: Column,
                   text: Column, isTarget: Column,
-                  buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
-    val tok = Caches.persist(
+                  buckets: Int = 1024): org.apache.spark.sql.DataFrame =
+    dsirScore(
       docs.select(id.as("doc_id"), isTarget.as("is_t"),
-        explode(tokens(lower(text))).as("token"))
-        .withColumn("b",
-          pmod(conv(substring(md5(col("token")), 1, 15), 16, 10)
-            .cast("long"), lit(buckets.toLong))))
+        explode(tokens(lower(text))).as("feat")),
+      buckets, countName = "n_tokens")
+
+  /** DSIR with the paper's ACTUAL feature space — hashed n-grams, i.e.
+    * unigrams AND bigrams of the token stream (Xie et al. 2023 §2.2 use
+    * hashed uni+bi-gram counts; `dsirWeights` above is the unigram-only
+    * simplification). Feature volume roughly doubles (n unigrams + n-1
+    * bigrams per doc); the model stays a `buckets`-row broadcast table
+    * and the plan shape is unchanged — explode, broadcast join, one
+    * doc-keyed aggregate. Returns `(doc_id, n_feats, dsir_logw)`. */
+  def dsirWeightsNgram(docs: org.apache.spark.sql.DataFrame, id: Column,
+                       text: Column, isTarget: Column,
+                       buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(id.as("doc_id"), isTarget.as("is_t"),
+      tokens(lower(text)).as("ts"))
+    val uni = base.select(col("doc_id"), col("is_t"),
+      explode(col("ts")).as("feat"))
+    // bigrams: pairwise zip of the token list against itself shifted by
+    // one — empty for single-token docs (greatest guards slice length)
+    val nBi = greatest(size(col("ts")) - 1, lit(0))
+    val bi = base.select(col("doc_id"), col("is_t"),
+      explode(zip_with(
+        slice(col("ts"), lit(1), nBi), slice(col("ts"), lit(2), nBi),
+        (a, b) => concat(a, lit(" "), b))).as("feat"))
+    dsirScore(uni.union(bi), buckets, countName = "n_feats")
+  }
+
+  /** The shared DSIR model+score pass over a `(doc_id, is_t, feat)`
+    * feature stream: hash features into `buckets`, fit the smoothed
+    * target-vs-corpus bucket ratio table (broadcast, `buckets` rows),
+    * and sum each doc's micro-bit log-likelihood ratios exactly. */
+  private def dsirScore(feats: org.apache.spark.sql.DataFrame, buckets: Int,
+                        countName: String): org.apache.spark.sql.DataFrame = {
+    val tok = Caches.persist(feats
+      .withColumn("b",
+        pmod(conv(substring(md5(col("feat")), 1, 15), 16, 10)
+          .cast("long"), lit(buckets.toLong))))
     val perBucket = tok.groupBy(col("b"))
       .agg(count(lit(1)).as("c_all"),
         sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
@@ -298,7 +331,7 @@ object TextAnalysis {
     // x.xxxx5 sums (observed at sf0.1)
     tok.join(broadcast(ratio), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
+      .agg(count(lit(1)).as(countName),
         round(sum(col("micro_lr")) / 1e6, 6).as("dsir_logw"))
   }
 }

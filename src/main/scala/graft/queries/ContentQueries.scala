@@ -938,6 +938,14 @@ object ContentQueries {
         col("source") === "src0")
         .orderBy(col("doc_id"))),
 
+    // DSIR with the paper's full hashed n-gram feature space (unigrams +
+    // bigrams, Xie et al. 2023 §2.2) — same broadcast model shape as
+    // text_dsir, roughly 2x the feature volume.
+    "text_dsir2" -> ((s, d) =>
+      TextAnalysis.dsirWeightsNgram(docs(s, d), col("doc_id"), col("text"),
+        col("source") === "src0")
+        .orderBy(col("doc_id"))),
+
     // CCNet's head/middle/tail split: per source, docs rank by
     // bits/token (ascending — the head is the most-fluent third) and
     // bucket into tertiles; a pipeline keeps head+middle and drops or
@@ -2092,6 +2100,30 @@ object ContentQueries {
          |      0) AS BIGINT) AS micro_lr
          |  FROM pb CROSS JOIN g)
          |SELECT doc_id, count(*) AS n_tokens,
+         |  round(sum(micro_lr) / 1e6, 6) AS dsir_logw
+         |FROM t JOIN r USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_dsir2" ->
+      s"""WITH tk AS (SELECT doc_id, source = 'src0' AS is_t,
+         |    string_split(lower(text), ' ') AS ts FROM documents),
+         |f AS (SELECT doc_id, is_t, unnest(ts) AS feat FROM tk
+         |  UNION ALL
+         |  SELECT doc_id, is_t, unnest(list_transform(range(1, len(ts)),
+         |    i -> ts[i] || ' ' || ts[i + 1])) AS feat FROM tk),
+         |t AS (SELECT doc_id, is_t,
+         |    ${md5b60("feat")} % 1024 AS b FROM f),
+         |pb AS (SELECT b, count(*) AS c_all,
+         |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+         |  FROM t GROUP BY b),
+         |g AS (SELECT count(*) AS n_all,
+         |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t FROM t),
+         |r AS (SELECT b,
+         |    CAST(round((log2((c_t + 1) / CAST(n_t + 1024 AS DOUBLE))
+         |      - log2((c_all + 1) / CAST(n_all + 1024 AS DOUBLE))) * 1e6,
+         |      0) AS BIGINT) AS micro_lr
+         |  FROM pb CROSS JOIN g)
+         |SELECT doc_id, count(*) AS n_feats,
          |  round(sum(micro_lr) / 1e6, 6) AS dsir_logw
          |FROM t JOIN r USING (b)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -166,4 +166,29 @@ class TextAnalysisSpec extends SparkSuite {
       s"target-like doc must outweigh off-target: ${w(100L)} vs ${w(101L)}")
     Caches.clear()
   }
+
+  test("dsirWeightsNgram: feature count is 2n-1 (unigrams + bigrams) and " +
+    "word ORDER now matters — a scrambled doc scores differently") {
+    val target = (1 to 10).map(i => (i.toLong, "solar panel inverter grid", true))
+    val other = (11 to 30).map(i => (i.toLong, "recipe flour butter sugar", false))
+    // same bag of words, different order: unigram DSIR cannot tell these
+    // apart; bigram features can
+    val probeA = Seq((100L, "solar panel inverter grid", false))
+    val probeB = Seq((101L, "grid inverter panel solar", false))
+    val df = (target ++ other ++ probeA ++ probeB)
+      .toDF("doc_id", "text", "is_t")
+    val w = TextAnalysis.dsirWeightsNgram(df, col("doc_id"), col("text"),
+      col("is_t"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w(100L)._1 == 7L, s"4 unigrams + 3 bigrams, got ${w(100L)._1}")
+    assert(w(100L)._2 > w(101L)._2,
+      "in-order target phrase must outweigh the scrambled bag: " +
+        s"${w(100L)._2} vs ${w(101L)._2}")
+    val uni = TextAnalysis.dsirWeights(df, col("doc_id"), col("text"),
+      col("is_t"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(uni(100L) == uni(101L),
+      "unigram DSIR is order-blind on identical bags by construction")
+    Caches.clear()
+  }
 }
