@@ -250,6 +250,52 @@ object TextAnalysis {
         round(expr("_s div n_tokens") / 1e6, 6).as("bits_per_token"))
   }
 
+  /** A frozen unigram LM: the smoothed per-token bit-cost table (a
+    * distributed, vocabulary-sized DataFrame — never a driver object) and
+    * the out-of-vocabulary cost (the add-one smoothing floor). The
+    * offline-train half of the `unigramBits` train/serve split — fit once
+    * on a reference corpus, score every micro-batch against it. */
+  final case class UnigramModel(costs: org.apache.spark.sql.DataFrame,
+                                oovMicroBits: Long)
+
+  /** Fit a `UnigramModel` on a reference corpus — same smoothing and
+    * micro-bit rounding as `unigramBits`, but the model FREEZES: scoring
+    * a new document does not shift the distribution (the property a
+    * streaming gate needs for batch/stream equivalence). The only driver
+    * transfer is the 1-row totals aggregate. */
+  def fitUnigramModel(docs: org.apache.spark.sql.DataFrame,
+                      text: Column): UnigramModel = {
+    val tok = Caches.persist(
+      docs.select(explode(tokens(lower(text))).as("token")))
+    val t = tok.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("token")).as("vocab")).head
+    val (nTotal, vocab) = (t.getLong(0), t.getLong(1))
+    val costs = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .select(col("token"),
+        round(-log2((col("c") + 1).cast("double") / (nTotal + vocab))
+          * 1e6, 0).cast("long").as("micro_bits"))
+    UnigramModel(Caches.persist(costs),
+      math.round(-math.log(1.0 / (nTotal + vocab)) / math.log(2.0) * 1e6))
+  }
+
+  /** Score a frame against a frozen `UnigramModel`: mean bits/token with
+    * unseen tokens at the OOV cost. Same exact-integer-arithmetic
+    * contract as `unigramBits` (micro-bit longs sum, one floor-divide,
+    * one display divide). One exploded scan + one LEFT equi-join against
+    * the cost table per call — the per-micro-batch serve cost. */
+  def unigramBitsAgainst(docs: org.apache.spark.sql.DataFrame, id: Column,
+                         text: Column,
+                         model: UnigramModel): org.apache.spark.sql.DataFrame =
+    docs.select(id.as("doc_id"), explode(tokens(lower(text))).as("token"))
+      .join(model.costs, Seq("token"), "left")
+      .select(col("doc_id"),
+        coalesce(col("micro_bits"), lit(model.oovMicroBits))
+          .as("micro_bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("micro_bits")).as("_s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(expr("_s div n_tokens") / 1e6, 6).as("bits_per_token"))
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * the log-likelihood ratio of a TARGET-domain hashed unigram model

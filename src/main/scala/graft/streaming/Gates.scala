@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.analytics.{Clustering, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composable per-micro-batch filters for the streaming ingest pipeline.
+  *
+  * A gate is a plain `DataFrame => DataFrame` mapping a batch to the rows
+  * that SURVIVE it, so any batch operator lifts into the stream without a
+  * dedicated sink; `StreamingIngest.startPipeline(gates = ...)` folds the
+  * stack over every micro-batch before the write. All standard gates are
+  * stateless projections/joins against FROZEN models (fitted offline on a
+  * reference corpus), which is what makes the streamed composition equal
+  * the batch pipeline run over the same rows — a gate that re-fit per
+  * batch would score early batches against a different model than late
+  * ones.
+  *
+  * Schema contract: every gate returns the batch's own columns (filter
+  * semantics), so gates compose in any order and the ingest write below
+  * them sees the original payload.
+  */
+object Gates {
+
+  type Gate = DataFrame => DataFrame
+
+  /** Fold a stack into one gate (applied left to right). */
+  def all(gates: Gate*): Gate =
+    batch => gates.foldLeft(batch)((acc, g) => g(acc))
+
+  /** Gopher-style heuristic quality gate (`TextAnalysis.qualityKeep`):
+    * token-count bounds + punctuation-ratio cap. Pure row filter. */
+  def quality(textCol: String, minTokens: Int = 5, maxTokens: Int = 100000,
+              maxPunctRatio: Double = 0.3): Gate =
+    batch => batch.filter(TextAnalysis.qualityKeep(col(textCol), minTokens,
+      maxTokens, maxPunctRatio))
+
+  /** Hashed-BoW classifier gate: keep documents whose logit reaches
+    * `minLogit` (this corpus's logits skew negative — gate near the
+    * corpus median, not 0). Native expression, pure row filter. */
+  def classifier(textCol: String, minLogit: Double,
+                 buckets: Int = 64): Gate =
+    batch => batch.filter(
+      TextAnalysis.classifierLogit(col(textCol), buckets) >= minLogit)
+
+  /** k-means cluster gate: classify each row against a FITTED model
+    * (`Clustering.fit` offline; the centroid literal rides inside the
+    * expression — zero shuffle, zero state) and keep rows landing in the
+    * `keep` clusters. The transient cluster/csim columns are dropped so
+    * the batch schema passes through unchanged. */
+  def cluster(vecCol: String, model: Seq[Clustering.Centroid],
+              keep: Set[Long]): Gate = {
+    require(keep.nonEmpty, "cluster gate with an empty keep set drops " +
+      "everything — almost certainly a bug")
+    batch => Clustering.classify(batch, col(vecCol), model)
+      .filter(col("cluster").isin(keep.toSeq: _*))
+      .drop("cluster", "csim")
+  }
+
+  /** Perplexity gate against a FROZEN unigram LM
+    * (`TextAnalysis.fitUnigramModel` on the reference corpus): keep
+    * documents at or under `maxBitsPerToken`. The survivors semi-join
+    * back so the batch keeps its own columns. */
+  def perplexity(idCol: String, textCol: String,
+                 model: TextAnalysis.UnigramModel,
+                 maxBitsPerToken: Double): Gate = batch => {
+    val keep = TextAnalysis.unigramBitsAgainst(batch, col(idCol),
+      col(textCol), model)
+      .filter(col("bits_per_token") <= maxBitsPerToken)
+      .select(col("doc_id").as(idCol))
+    batch.join(keep, Seq(idCol), "left_semi")
+  }
+}

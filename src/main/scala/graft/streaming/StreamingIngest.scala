@@ -40,7 +40,14 @@ object StreamingIngest {
     * partitioner spec, rotation grouping with per-cause diagnostics, K/V/H
     * lockstep views, commit manifest, epoch fencing — under the streaming
     * checkpoint's exactly-once replay. This is the call a reference user
-    * points their existing connector config at. */
+    * points their existing connector config at.
+    *
+    * `gates` is a composable content-filter stack (`Gates`: quality,
+    * classifier, k-means cluster, frozen-LM perplexity, or any
+    * DataFrame => DataFrame) folded over each micro-batch BEFORE the
+    * write. Because the standard gates score against frozen models, the
+    * streamed composition keeps exactly the rows the batch pipeline
+    * would keep over the same input (pinned by StreamingIngestSpec). */
   def startPipeline(frame: DataFrame, cfg: IngestConfig,
                     partitioner: PartitionerSpec, outDir: String,
                     checkpointDir: String,
@@ -51,20 +58,26 @@ object StreamingIngest {
                     extraCauseGroups: Seq[(String, Column)] = Nil,
                     causeStats: Boolean = false,
                     fence: Option[(graft.ingest.EpochFence, Long)] = None,
+                    gates: Seq[Gates.Gate] = Nil,
                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     frame.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Ingest.run(batch, cfg, partitioner, outDir,
-          kafkaPartition = kafkaPartition, offset = offset,
-          payloadCols = payloadCols,
-          valueColumnForNulls = valueColumnForNulls,
-          writeManifest = writeManifest,
-          extraCauseGroups = extraCauseGroups,
-          causeStats = causeStats,
-          fence = fence)
+        // scoped: a gate may persist per-batch frames; the scope
+        // unpersists only those, never co-resident models/history tables
+        graft.analytics.Caches.scoped {
+          val gated = gates.foldLeft(batch)((acc, g) => g(acc))
+          Ingest.run(gated, cfg, partitioner, outDir,
+            kafkaPartition = kafkaPartition, offset = offset,
+            payloadCols = payloadCols,
+            valueColumnForNulls = valueColumnForNulls,
+            writeManifest = writeManifest,
+            extraCauseGroups = extraCauseGroups,
+            causeStats = causeStats,
+            fence = fence)
+        }
         ()
       }
       .start()

@@ -151,6 +151,31 @@ class TextAnalysisSpec extends SparkSuite {
     Caches.clear()
   }
 
+  test("fitUnigramModel + unigramBitsAgainst: the frozen-model serve path " +
+    "scores the training corpus identically to unigramBits, and unseen " +
+    "tokens cost the OOV smoothing floor (the most-expensive cost)") {
+    val df = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha alpha alpha"),
+      (3L, "beta gamma delta epsilon")).toDF("doc_id", "text")
+    val self = TextAnalysis.unigramBits(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val model = TextAnalysis.fitUnigramModel(df, col("text"))
+    val served = TextAnalysis.unigramBitsAgainst(df, col("doc_id"),
+      col("text"), model)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(served == self,
+      s"frozen-model serve must equal self-trained scoring: $served vs $self")
+    // a fully-OOV doc costs exactly the smoothing floor per token
+    val oov = TextAnalysis.unigramBitsAgainst(
+      Seq((9L, "zzz qqq")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), model)
+      .as[(Long, Long, Double)].head()
+    assert(oov._3 == model.oovMicroBits / 1e6,
+      s"OOV doc must cost the floor: ${oov._3} vs ${model.oovMicroBits / 1e6}")
+    Caches.clear()
+  }
+
   test("dsirWeights: documents matching the target vocabulary weigh " +
     "more than off-target documents") {
     val target = (1 to 10).map(i => (i.toLong, "solar panel inverter grid", true))

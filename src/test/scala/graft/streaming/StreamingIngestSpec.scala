@@ -85,6 +85,66 @@ class StreamingIngestSpec extends SparkSuite {
       "commit manifest missing")
   }
 
+  test("composable gate stack (k-means cluster + classifier + quality) " +
+    "over micro-batches keeps EXACTLY the batch pipeline's rows — frozen " +
+    "models make stream == batch") {
+    import graft.analytics.{Caches, Clustering, TextAnalysis}
+    val src = Files.createTempDirectory("gate_src").toString
+    val out = Files.createTempDirectory("gate_out").toString
+    val ckpt = Files.createTempDirectory("gate_ckpt").toString
+    // 3 micro-batches of docs carrying text + an embedding; two obvious
+    // vector clusters, half the texts garbage (punctuation floods)
+    (0 until 3).foreach { b =>
+      (0L until 8L).map { j =>
+        val i = b * 8 + j
+        val text =
+          if (i % 2 == 0) s"the quick brown fox jumps over log number $i"
+          else s"!!! ### @@@ $i"
+        val vec =
+          if (i % 3 == 0) Seq(1.0, 0.1 * (i % 5), 0.0, 0.0)
+          else Seq(0.0, 0.0, 1.0, 0.1 * (i % 7))
+        (0, i, i, text, vec)
+      }.toDF("kafka_partition", "offset", "doc_id", "text", "vec")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val full = spark.read.parquet(src)
+    // frozen models, fitted on the full reference corpus OFFLINE
+    val model = Clustering.fit(full, col("doc_id"), col("vec"), k = 2,
+      iters = 2)
+    val keepCluster = Clustering.classify(
+      full.filter(col("doc_id") === 0), col("vec"), model)
+      .select("cluster").head.getLong(0)
+    // classifier threshold = median logit of the docs surviving the other
+    // two gates — guarantees a non-trivial, non-empty final keep set
+    val preStack = Seq(
+      Gates.cluster("vec", model, Set(keepCluster)),
+      Gates.quality("text", minTokens = 3))
+    val survivors = preStack.foldLeft(full)((a, g) => g(a))
+    val logits = survivors
+      .select(TextAnalysis.classifierLogit(col("text"), 64).as("l"))
+      .as[Double].collect().sorted
+    val minLogit = logits(logits.length / 2)
+    val stack = preStack :+ Gates.classifier("text", minLogit)
+    val expect = stack.foldLeft(full)((a, g) => g(a))
+      .select("doc_id").as[Long].collect().toSet
+    assert(expect.nonEmpty && expect.size < 24,
+      s"fixture must gate non-trivially, kept $expect")
+
+    val q = StreamingIngest.startPipeline(
+      spark.readStream.schema(full.schema).parquet(src),
+      IngestConfig(topic = "gate", flushSize = 100),
+      PartitionerSpec.Default, out, ckpt,
+      col("kafka_partition"), col("offset"),
+      payloadCols = Seq(col("offset"), col("doc_id"), col("text")),
+      gates = stack)
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(s"$out/topics/gate")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect,
+      s"stream keep set must equal batch keep set: $got vs $expect")
+    Caches.clear()
+  }
+
   test("watermarked windowed counts aggregate by event-time hour") {
     val src = Files.createTempDirectory("wm_src").toString
     Seq(
