@@ -520,4 +520,44 @@ object Compaction {
       .select(keyCols.map(col) ++
         payload.map(c => col("__row").getField(c).as(c)): _*)
   }
+
+  /** `upsertVersioned` with DELETE retraction — the full CDC merge: the
+    * update side carries a boolean `deleteCol`, and a delete row COMPETES
+    * at its version like any other change. Per key, the highest
+    * (version, delete-over-upsert, update-over-base, payload) row wins;
+    * a winning delete removes the key from the result, a LOSING delete
+    * (an out-of-order tombstone older than the base row — normal when
+    * the upstream topic is not totally ordered per key) changes nothing.
+    * At equal version a tombstone dominates an upsert — the deterministic
+    * convention replays need; document upstream if the source guarantees
+    * otherwise. Delete rows may carry null payloads (a tombstone is key +
+    * version); their payload never surfaces.
+    *
+    * Same cost shape as `upsertVersioned`: one union + one max_by
+    * aggregate, base never re-sorted — use inside the bucketed streaming
+    * sink where the base side is the affected-bucket slice. */
+  def upsertVersionedCdc(base: org.apache.spark.sql.DataFrame,
+                         updates: org.apache.spark.sql.DataFrame,
+                         keyCols: Seq[String], versionCol: String,
+                         deleteCol: String): org.apache.spark.sql.DataFrame = {
+    require(base.columns.sorted
+      .sameElements(updates.columns.filterNot(_ == deleteCol).sorted),
+      s"update side must be base columns + $deleteCol")
+    val payload = base.columns.filterNot(keyCols.contains)
+    val merged = base
+      .withColumn("__del", lit(false)).withColumn("__upd", lit(0))
+      .unionByName(updates
+        .withColumn("__del", coalesce(col(deleteCol), lit(false)))
+        .drop(deleteCol)
+        .withColumn("__upd", lit(1)))
+    val valueStruct = struct(col("__del") +: payload.map(col): _*)
+    merged
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(valueStruct,
+        struct(Seq(col(versionCol), col("__del"), col("__upd")) ++
+          orderableTiebreak(merged, payload): _*)).as("__row"))
+      .filter(!col("__row.__del"))
+      .select(keyCols.map(col) ++
+        payload.map(c => col("__row").getField(c).as(c)): _*)
+  }
 }

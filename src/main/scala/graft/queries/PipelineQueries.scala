@@ -173,6 +173,40 @@ object PipelineQueries {
         .filter(col("o_orderkey") % 7 === 0)
         .select(col("o_orderkey"), col("version"), col("price_cents"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Full CDC merge with delete retraction (upsertVersionedCdc): v2
+    // repriced upserts (%5), v3 delete tombstones (%3 — null payload,
+    // key+version only), and STALE v0 deletes (%11) that must lose to
+    // the v1 base rows. Overlaps exercise every rule: %15 keys see both
+    // an upsert and a newer delete (delete wins), %33/%55 keys see a
+    // stale delete plus live rows (stale tombstone is a no-op).
+    "lake_cdc_merge" -> ((s, d) => {
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("price_cents"))
+        .withColumn("version", lit(1L))
+      val upd5 = base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("price_cents", col("price_cents") + 10000L)
+        .withColumn("version", lit(2L))
+        .withColumn("is_delete", lit(false))
+      val del3 = base.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderstatus", lit(null).cast("string"))
+        .withColumn("price_cents", lit(null).cast("long"))
+        .withColumn("version", lit(3L))
+        .withColumn("is_delete", lit(true))
+      val staleDel11 = base.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderstatus", lit(null).cast("string"))
+        .withColumn("price_cents", lit(null).cast("long"))
+        .withColumn("version", lit(0L))
+        .withColumn("is_delete", lit(true))
+      graft.ingest.Compaction.upsertVersionedCdc(base,
+          upd5.unionByName(del3).unionByName(staleDel11),
+          Seq("o_orderkey"), "version", "is_delete")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("version"), col("price_cents"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -260,6 +294,18 @@ object PipelineQueries {
         |    + CASE WHEN o_orderkey % 5 = 0 THEN 10000 ELSE 0 END
         |    AS price_cents
         |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // keys hit by the v3 tombstone vanish; the v2 upsert survives only
+    // where no newer delete follows; the stale v0 delete never shows
+    "lake_cdc_merge" ->
+      """SELECT o_orderkey,
+        |  CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS version,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 5 = 0 THEN 10000 ELSE 0 END
+        |    AS price_cents
+        |FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
         |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -111,6 +111,45 @@ class SparkPropertySpec extends SparkSuite {
     }
   }
 
+  test("upsertVersionedCdc equals the per-key max-(version, delete, side, " +
+    "payload)-then-retract reference model on generated merge inputs") {
+    val rnd = new scala.util.Random(11)
+    def baseRows(n: Int): Seq[(Long, String, Long)] =
+      (0 until n).map(_ => (rnd.nextInt(12).toLong,
+        s"p${rnd.nextInt(4)}", rnd.nextInt(5).toLong))
+    def updRows(n: Int): Seq[(Long, String, Long, Boolean)] =
+      (0 until n).map { _ =>
+        val del = rnd.nextInt(3) == 0
+        (rnd.nextInt(12).toLong,
+          if (del) null else s"p${rnd.nextInt(4)}",
+          rnd.nextInt(5).toLong, del)
+      }
+    for (_ <- 1 to 5) {
+      val base = baseRows(30)
+      val upd = updRows(20)
+      val got = graft.ingest.Compaction.upsertVersionedCdc(
+        base.toDF("k", "v", "version"),
+        upd.toDF("k", "v", "version", "is_delete"),
+        Seq("k"), "version", "is_delete")
+        .select("k", "v", "version").as[(Long, String, Long)]
+        .collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+      // model: winner by (version, del, side, (del, v, version)); winner
+      // delete ⇒ key retracted. The payload tiebreak struct leads with
+      // __del, mirroring the aggregate's valueStruct field order.
+      val model = (base.map(r => (r._1, r._2, r._3, false, 0)) ++
+        upd.map(r => (r._1, r._2, r._3, r._4, 1)))
+        .groupBy(_._1)
+        .flatMap { case (k, rs) =>
+          val best = rs.maxBy { case (_, v, ver, del, side) =>
+            (ver, del, side, del, Option(v).getOrElse(""), ver)
+          }
+          if (best._4) None else Some((k, best._2, best._3))
+        }
+        .toSeq.sortBy(r => (r._1, r._2, r._3))
+      assert(got == model, s"cdc merge mismatch:\n got=$got\n mod=$model")
+    }
+  }
+
   test("winnowing guarantee holds on generated doc pairs: any shared " +
     ">= 6-token run yields a common fingerprint") {
     val rnd = new scala.util.Random(13)
