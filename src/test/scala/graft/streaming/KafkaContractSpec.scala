@@ -1,0 +1,116 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.ingest.{Dlq, IngestConfig, PartitionerSpec, RecordViews, Ingest}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Schema contract against the REAL Kafka source: `spark-sql-kafka`'s
+  * output schema is fixed and documented — `key binary, value binary,
+  * topic string, partition int, offset long, timestamp timestamp,
+  * timestampType int` (Spark Structured Streaming Kafka guide). No Kafka
+  * jar ships in this environment (zero-egress; documented as a permanent
+  * env limit in COVERAGE.md), so these tests pin the next-best thing:
+  * the ENTIRE pipeline — deserialization, DLQ routing, null behavior,
+  * partitioning, rotation, layout — consumes a frame of EXACTLY that
+  * schema with no renames or casts outside the pipeline's own config,
+  * proving `readStream.format("kafka")` is genuinely a one-line swap.
+  */
+class KafkaContractSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** The verbatim spark-sql-kafka source schema. */
+  private val kafkaSchema = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  private def kafkaFrame(rows: Seq[(Array[Byte], Array[Byte], String, Int,
+      Long, java.sql.Timestamp, Int)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4, r._5, r._6, r._7))),
+      kafkaSchema)
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("the batch pipeline consumes the verbatim 7-tuple: binary value " +
+    "deserialization -> DLQ -> tombstone-aware field partitioning -> " +
+    "reference layout, with no pre-pipeline reshaping") {
+    val out = Files.createTempDirectory("kafka_contract").toString
+    val base = 1704067200000L
+    val rows = (0L until 12L).map { o =>
+      val json = if (o == 7L) "{broken" // malformed → DLQ
+        else s"""{"event_type":"t${o % 2}","v":$o}"""
+      (s"k$o".getBytes("UTF-8"),
+        if (o == 5L) null else json.getBytes("UTF-8"), // offset 5: tombstone
+        "events", (o % 2).toInt, o, ts(base + o * 1000), 0)
+    }
+    val frame = kafkaFrame(rows)
+    assert(frame.schema == kafkaSchema)
+
+    // deserialization happens INSIDE the pipeline surface: value bytes →
+    // string → parsed struct; the DLQ check runs on the raw value
+    val decoded = frame
+      .withColumn("json", col("value").cast("string"))
+      .withColumn("parsed",
+        from_json(col("json"),
+          StructType.fromDDL("event_type STRING, v LONG")))
+    val routed = Dlq.route(decoded, Seq(
+      "malformed_json" -> Dlq.malformedJson(col("json"))))
+    assert(routed.deadLetter.count() == 1 &&
+      routed.deadLetter.head.getAs[Long]("offset") == 7L)
+
+    val cfg = IngestConfig(topic = "events", flushSize = 100,
+      nullBehavior = RecordViews.IgnoreNulls)
+    val r = Ingest.run(routed.ok, cfg,
+      PartitionerSpec.TombstoneAware(
+        PartitionerSpec.Custom(graft.ingest.Partitioners.fieldPartition(
+          "etype" -> col("parsed.event_type"))), "value"),
+      out,
+      kafkaPartition = col("partition"), offset = col("offset"),
+      payloadCols = Seq(col("offset"), col("parsed.v").as("v")),
+      valueColumnForNulls = Some("value"))
+    // IgnoreNulls drops the tombstone BEFORE partitioning; the DLQ row is
+    // already routed out: 12 - 1 dlq - 1 tombstone = 10 records
+    val back = spark.read.parquet(s"$out/topics/events/*")
+    assert(back.count() == 10)
+    assert(r.reportedNulls.exists(_.count() == 1),
+      "the dropped tombstone must surface for DLQ reporting")
+    val dirs = new java.io.File(s"$out/topics/events")
+      .listFiles().map(_.getName).sorted.toSeq
+    assert(dirs == Seq("etype=t0", "etype=t1"))
+  }
+
+  test("the STREAMING pipeline consumes the verbatim 7-tuple via " +
+    "foreachBatch with kafka-named columns end to end") {
+    val src = Files.createTempDirectory("kc_src").toString
+    val out = Files.createTempDirectory("kc_out").toString
+    val ckpt = Files.createTempDirectory("kc_ckpt").toString
+    val base = 1704067200000L
+    kafkaFrame((0L until 8L).map { o =>
+      (s"k$o".getBytes("UTF-8"),
+        s"""{"event_type":"t${o % 2}"}""".getBytes("UTF-8"),
+        "events", 0, o, ts(base + o * 1000), 0)
+    }).coalesce(1).write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(kafkaSchema).parquet(src)
+      .withColumn("parsed",
+        from_json(col("value").cast("string"),
+          StructType.fromDDL("event_type STRING")))
+    val q = StreamingIngest.startPipeline(stream,
+      IngestConfig(topic = "events", flushSize = 100),
+      PartitionerSpec.Fields(Seq("parsed.event_type")), out, ckpt,
+      kafkaPartition = col("partition"), offset = col("offset"),
+      payloadCols = Seq(col("offset"), col("timestamp")))
+    q.awaitTermination(60000)
+    val back = spark.read
+      .parquet(s"$out/topics/events/parsed.event_type=t0/events+0+0000000000.parquet")
+    assert(back.count() == 4)
+  }
+}
