@@ -89,6 +89,18 @@ object Compaction {
     }
   }
 
+  /** `readLake` restricted to a DISTRIBUTED `(__epart, __fname)`
+    * inventory frame — `compact`'s path, where the inventory is the
+    * task-side lake listing and may be millions of rows: no broadcast
+    * hint (AQE broadcasts small listings on its own; large ones
+    * shuffle), no driver materialization. */
+  private def readLakeInv(spark: SparkSession, topicDir: String,
+                          cfg: IngestConfig,
+                          inventory: DataFrame): DataFrame =
+    readLake(spark, topicDir, cfg)
+      .join(inventory.select(col("__epart"), col("__fname")),
+        Seq("__epart", "__fname"), "left_semi")
+
   /** Compact the `cfg` lake under `outDir` to ~`targetRecords`-record
     * objects. Records must carry the Kafka offset (`offsetCol`) — the same
     * identity the reference encodes in its file names. Idempotent: replays
@@ -100,31 +112,45 @@ object Compaction {
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(topicDir))) return Result(Nil, 0, 0)
 
-    // current object inventory (metadata-only listing, no data scan) —
-    // include the sidecar views' OWN extensions (keys.format.class may
-    // differ from the value format) so a K/V/H lake is always detected
-    val allObjs = listObjects(fs, topicDir,
+    // current object inventory: a DISTRIBUTED task-side listing (the
+    // driver holds no O(#objects) structure), persisted so the read
+    // restriction, the stale diff and the counts all see ONE snapshot.
+    // Sidecar views' OWN extensions are listed too (keys.format.class
+    // may differ from the value format) so a K/V/H lake is always
+    // detected.
+    val inv = listingDf(spark, topicDir,
       Seq(cfg.extension, cfg.keyExtension, cfg.headerExtension).distinct)
-    val (sidecars, before) = allObjs.partition { case (_, f) =>
-      f.endsWith(cfg.keyExtension) || f.endsWith(cfg.headerExtension) ||
-        f.contains(".keys.") || f.contains(".headers.")
-    }
-    if (before.isEmpty) return Result(Nil, 0, 0)
-    // K/V/H lakes (P4): key/header sidecars share each value file's
-    // basename; rewriting only the value files would break the lockstep
-    // contract, and rewriting all three coherently needs a joint pass
-    // this operator doesn't implement — refuse loudly instead of
-    // corrupting the layout.
-    require(sidecars.isEmpty,
-      "cannot compact a K/V/H lake: key/header sidecars must stay in " +
-        "lockstep with value basenames (compact before enabling " +
-        "writeKeys/writeHeaders, or rebuild the lake)")
+      .persist()
+    val sidecarCond = col("__fname").endsWith(cfg.keyExtension) ||
+      col("__fname").endsWith(cfg.headerExtension) ||
+      col("__fname").contains(".keys.") || col("__fname").contains(".headers.")
+    try {
+      // K/V/H lakes (P4): key/header sidecars share each value file's
+      // basename; rewriting only the value files would break the lockstep
+      // contract, and rewriting all three coherently needs a joint pass
+      // this operator doesn't implement — refuse loudly instead of
+      // corrupting the layout.
+      require(inv.filter(sidecarCond).isEmpty,
+        "cannot compact a K/V/H lake: key/header sidecars must stay in " +
+          "lockstep with value basenames (compact before enabling " +
+          "writeKeys/writeHeaders, or rebuild the lake)")
+      val before = inv.filter(!sidecarCond)
+      val beforeCount = before.count()
+      if (beforeCount == 0L) return Result(Nil, 0, 0)
+      compactInner(spark, outDir, topicDir, cfg, targetRecords, offsetCol,
+        before, beforeCount)
+    } finally inv.unpersist()
+  }
 
+  private def compactInner(spark: SparkSession, outDir: String,
+                           topicDir: String, cfg: IngestConfig,
+                           targetRecords: Int, offsetCol: String,
+                           before: DataFrame, beforeCount: Long): Result = {
     // read EXACTLY the inventory just listed — an object written by a
     // concurrent ingest between the listing and the read cannot be
     // compacted-but-not-deleted (which would persist its records twice
     // until a later compact healed it)
-    val lake = readLake(spark, topicDir, cfg, before)
+    val lake = readLakeInv(spark, topicDir, cfg, before)
     require(lake.columns.contains(offsetCol),
       s"compaction needs the record offset column '$offsetCol' in the lake")
     // R2 lakes: re-apply the epoch-aligned time grouping so compacted
@@ -153,8 +179,15 @@ object Compaction {
       col("__epart"), outDir, col("__kpart"), col(offsetCol),
       payloadCols = payload.toSeq, extraFileGroups = timeGroups)
 
-    val newSet = files.map(f => (f.encodedPartition, f.fileName)).toSet
-    val stale = before.filterNot(newSet.contains)
+    // stale = listed-before minus new-generation names: a distributed
+    // anti-join against the (small, broadcast) new file set — the stale
+    // frame itself never materializes on the driver
+    val newDf = spark.createDataFrame(
+      files.map(f => (f.encodedPartition, f.fileName)))
+      .toDF("__epart", "__fname")
+    val stale = before.join(broadcast(newDf), Seq("__epart", "__fname"),
+      "left_anti").persist()
+    val staleCount = stale.count()
     // a W10 manifest vouches for object names compaction just renamed —
     // rebuild it from the NEW generation (one column-pruned scan of the
     // compacted lake), then drop the old generations' manifest files, and
@@ -190,30 +223,25 @@ object Compaction {
         .foreach(p => mfs.delete(p, false))
     }
     // delete stale objects of the old generation last (tasks do the I/O)
-    deleteObjects(spark, topicDir, stale)
-    Result(files, before.size, stale.size)
+    deleteObjectsDf(topicDir, stale)
+    stale.unpersist(blocking = false)
+    Result(files, beforeCount.toInt, staleCount.toInt)
   }
 
-  /** Metadata-only recursive object listing as (encodedPartition,
-    * fileName) pairs; sidecars (any `_`/`.`-prefixed path component —
-    * manifests, Spark markers) are never data objects. */
-  private def listObjects(fs: FileSystem, topicDir: String,
-                          extensions: Seq[String]): Seq[(String, String)] = {
-    val it = fs.listFiles(new Path(topicDir), true)
-    val b = Seq.newBuilder[(String, String)]
-    while (it.hasNext) {
-      val f = it.next().getPath
-      val rel = f.toUri.getPath
-        .stripPrefix(new Path(topicDir).toUri.getPath).stripPrefix("/")
-      val hidden = rel.split('/')
-        .exists(c => c.startsWith("_") || c.startsWith("."))
-      if (extensions.exists(f.getName.endsWith) && !hidden) {
-        val slash = rel.lastIndexOf('/')
-        b += ((if (slash < 0) "" else rel.substring(0, slash),
-          rel.substring(slash + 1)))
+  /** Task-side delete of a distributed `(__epart, __fname)` frame — the
+    * driver never sees the object list. */
+  private def deleteObjectsDf(topicDir: String, objs: DataFrame): Unit = {
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      objs.sparkSession.sparkContext.hadoopConfiguration)
+    objs.select(col("__epart"), col("__fname"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val (epart, fname) = (r.getString(0), r.getString(1))
+          val p = new Path(
+            s"$topicDir${if (epart.isEmpty) "" else s"/$epart"}/$fname")
+          FileSystem.get(p.toUri, hadoopConf.value).delete(p, false)
+        }
       }
-    }
-    b.result()
   }
 
   /** Task-side parallel delete of (encodedPartition, fileName) objects —

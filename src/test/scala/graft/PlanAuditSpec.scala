@@ -362,4 +362,35 @@ class PlanAuditSpec extends SparkSuite {
     val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).length
     assert(windows == 0, s"upsert must not plan a Window, got $windows\n$p")
   }
+
+  test("sim_topk_srp_mp: multi-probe keeps the SRP discipline — " +
+    "candidates come from a (band, bucket) equi-join with the probe side " +
+    "broadcast, never a nested-loop/cartesian; one final top-k window") {
+    val p = plan("sim_topk_srp_mp")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).length
+    assert(windows == 1, s"expected exactly the top-k window, got $windows\n$p")
+  }
+
+  test("text_dsir2: the n-gram feature union still scores against a " +
+    "broadcast model — no sort-merge join, map-side-partial doc aggregate") {
+    val p = plan("text_dsir2")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("lake_cdc_merge: the CDC merge is ONE max_by aggregate over the " +
+    "union — no join at all, no window, map-side partial") {
+    val p = plan("lake_cdc_merge")
+    assert(p.contains("partial_max_by"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).length
+    assert(windows == 0, s"cdc merge must not plan a Window, got $windows\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"cdc merge must not join, plan:\n$p")
+  }
 }
