@@ -116,22 +116,31 @@ object Ingest {
     }
     val labeledGroups = timeGroup ++ extraCauseGroups
     val extraGroups = labeledGroups.map(_._2)
+    // manifest stats and per-cause diagnostics re-traverse the batch after
+    // the write; without a persist each extra pass re-reads the SOURCE
+    // (in foreachBatch the batch is a plan over source files, not
+    // materialized data) — at 100 TB that doubles micro-batch input I/O.
+    // Registered with Caches so streaming callers' per-batch scope (or a
+    // batch caller's Caches.clear()) releases it.
+    val cached =
+      if (writeManifest || causeStats) graft.analytics.Caches.persist(framed)
+      else framed
     val files =
       if (cfg.writeKeys || cfg.writeHeaders)
-        IngestWriter.writeKVH(framed, cfg, encoded, outDir, kafkaPartition,
+        IngestWriter.writeKVH(cached, cfg, encoded, outDir, kafkaPartition,
           offset, payloadCols, extraFileGroups = extraGroups)
       else
-        IngestWriter.write(framed, cfg, encoded, outDir, kafkaPartition,
+        IngestWriter.write(cached, cfg, encoded, outDir, kafkaPartition,
           offset, payloadCols, extraFileGroups = extraGroups)
     val byCause =
       if (causeStats)
-        RotationStats.causes(framed, cfg, encoded, kafkaPartition, offset,
+        RotationStats.causes(cached, cfg, encoded, kafkaPartition, offset,
           labeledGroups)
       else Map.empty[String, Long]
     val stats = RotationStats.of(files).copy(byCause = byCause)
     fence.foreach { case (f, e) => f.check(e) }
     if (writeManifest)
-      CommitManifest.write(framed, cfg, encoded, outDir, kafkaPartition,
+      CommitManifest.write(cached, cfg, encoded, outDir, kafkaPartition,
         offset, extraGroups)
     Result(files, stats, reportedNulls)
   }

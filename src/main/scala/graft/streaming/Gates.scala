@@ -70,4 +70,31 @@ object Gates {
       .select(col("doc_id").as(idCol))
     batch.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Near-dup gate against a static clean corpus (the gate-stack form of
+    * `StreamingIngest.startNearDupGate`): drop batch rows whose shingle
+    * Jaccard against `history` reaches `threshold` — banded MinHash
+    * candidates, exact verify, anti-join back. Compose it with the other
+    * gates in one `startPipeline` stack instead of a dedicated sink. */
+  def nearDup(history: DataFrame, idCol: String, textCol: String,
+              threshold: Double = 0.7): Gate = batch => {
+    val dups = graft.analytics.Dedup.nearDupAgainst(history, batch,
+      col(idCol), col(textCol), threshold = threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    batch.join(dups, Seq(idCol), "left_anti")
+  }
+
+  /** Embedding near-dup gate against a PREPPED history
+    * (`Similarity.srpPrep(history, ...)` once, outside the stream —
+    * rebuilding per batch would re-scan the whole history corpus): drop
+    * batch vectors whose cosine against history reaches `threshold`.
+    * SRP band candidates + exact-cosine verify, never a history
+    * self-join. */
+  def embeddingDedup(historyPrep: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95): Gate = batch => {
+    val dups = graft.analytics.Similarity.srpLshPairsAgainstPrepped(
+      historyPrep, batch, col(idCol), col(vecCol), threshold = threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    batch.join(dups, Seq(idCol), "left_anti")
+  }
 }

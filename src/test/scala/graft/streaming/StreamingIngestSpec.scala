@@ -326,6 +326,44 @@ class StreamingIngestSpec extends SparkSuite {
       s"expected running + final-emit rows for session 1: $u1")
   }
 
+  test("Gates.nearDup composes into the startPipeline stack: duplicates " +
+    "of the static history never reach the ingest write") {
+    val src = Files.createTempDirectory("ndg_src").toString
+    val out = Files.createTempDirectory("ndg_out").toString
+    val ckpt = Files.createTempDirectory("ndg_ckpt").toString
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    Seq(
+      (0, 0L, 10L,
+        "the quick brown fox jumps over the lazy cat again and again"),
+      (0, 1L, 11L, "entirely novel text that matches nothing before"))
+      .toDF("kafka_partition", "offset", "doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("kafka_partition",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("offset",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = StreamingIngest.startPipeline(
+      spark.readStream.schema(schema).parquet(src),
+      IngestConfig(topic = "ndg", flushSize = 100),
+      PartitionerSpec.Default, out, ckpt,
+      col("kafka_partition"), col("offset"),
+      payloadCols = Seq(col("offset"), col("doc_id"), col("text")),
+      gates = Seq(Gates.nearDup(history, "doc_id", "text",
+        threshold = 0.5)))
+    q.awaitTermination(60000)
+    val kept = spark.read.parquet(s"$out/topics/ndg")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(11L),
+      s"near-dup 10 must be dropped inside the stack; got ${kept.toSeq}")
+  }
+
   test("streaming near-dup gate drops micro-batch rows that near-dup the " +
     "static history and appends the survivors") {
     val src = Files.createTempDirectory("nd_src").toString
