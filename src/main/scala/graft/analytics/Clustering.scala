@@ -55,7 +55,14 @@ object Clustering {
     * than silently fitting an empty model (null assignments downstream),
     * fall back to ranking the unpruned corpus — the ordering is identical,
     * so whenever the pruned path yields seeds at all the two agree — and
-    * fail loudly only when the corpus itself is empty. */
+    * fail loudly only when the corpus itself is empty.
+    *
+    * CONTRACT: with 1..k-1 survivors the model is deliberately fitted
+    * UNDERSIZED (that many centroids), NOT topped up from the unpruned
+    * corpus — the DuckDB oracles replay exactly `r < 64 ORDER BY r, id
+    * LIMIT k`, so a Spark-side top-up would diverge from them whenever
+    * the prune undershoots. Callers that need exactly k clusters on tiny
+    * corpora should lower k or check `fit(...).size`. */
   private def initCentroids(v: DataFrame, k: Int): Seq[Centroid] = {
     def seeds(src: DataFrame): Seq[Centroid] =
       src.orderBy(col("r"), col("id")).limit(k)

@@ -161,38 +161,12 @@ object Similarity {
     * per-query knobs, no index rebuild. */
   def srpTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
               qVec: Column, cId: Column, cVec: Column, k: Int,
-              bands: Int = 24, bitsPerBand: Int = 6): DataFrame = {
-    // The (band, bucket) join and the (q_id, n_id) dedup carry ONLY ids —
-    // vectors re-join after dedup, so no shuffle ever moves a vector twice.
-    def prepared(df: DataFrame, id: Column, vec: Column, p: String) =
-      df.select(id.as(s"${p}_id"), asDouble(vec).as(s"${p}_v"))
-        .withColumn(s"${p}_n", norm(col(s"${p}_v")))
-        .withColumn("bkts", graft.functions.HashExpressions
-          .srpBandBuckets(col(s"${p}_v"), bands, bitsPerBand))
-    val c = prepared(corpus, cId, cVec, "c")
-    val q = prepared(queries, qId, qVec, "q")
-    val cBanded = c.select(col("c_id"),
-      posexplode(col("bkts")).as(Seq("band", "bucket")))
-    val qBanded = q.select(col("q_id"),
-      posexplode(col("bkts")).as(Seq("band", "bucket")))
-    val cand = cBanded.join(broadcast(qBanded), Seq("band", "bucket"))
-      .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id").as("n_id"))
-      .dropDuplicates("q_id", "n_id")
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id"))
-    cand
-      .join(c.select(col("c_id").as("n_id"), col("c_v"), col("c_n")),
-        Seq("n_id"))
-      .join(broadcast(q.select(col("q_id"), col("q_v"), col("q_n"))),
-        Seq("q_id"))
-      .select(col("q_id"), col("n_id"),
-        round(dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")), 4)
-          .as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
-  }
+              bands: Int = 24, bitsPerBand: Int = 6): DataFrame =
+    // single-probe IS the flips=0 multi-probe (SrpProbeBuckets emits
+    // exactly the base bucket per band) — one implementation of the
+    // candidate/verify/rank pipeline, pinned equal in SimilaritySpec
+    srpMultiProbeTopK(queries, corpus, qId, qVec, cId, cVec, k,
+      bands, bitsPerBand, flips = 0)
 
   /** Multi-probe SRP top-k (the standard multi-probe LSH recall upgrade,
     * Lv et al. VLDB 2007): identical corpus index to `srpTopK` — plain

@@ -36,6 +36,16 @@ object Compaction {
   final case class Result(files: Seq[IngestWriter.FileInfo],
                           filesBefore: Int, filesRemoved: Int)
 
+  /** A file name is a K/V/H sidecar iff `.keys.`/`.headers.` is followed
+    * by a pure extension tail. The tail of a sidecar never contains `+`
+    * (it is `<view ext>` only, e.g. `.keys.avro`, `.keys.snappy.parquet`),
+    * while a TOPIC name containing those infixes (Kafka allows dots, e.g.
+    * topic `orders.keys.v2`) is always followed by `+partition+offset` in
+    * every object name — so the regex separates the two without knowing
+    * the configured view formats, covering sidecars written under OLDER
+    * configs (e.g. same-format `.keys.parquet`) as well. */
+  private val SidecarTailRe = ".*\\.(keys|headers)\\.[^+]+$"
+
   /** Read a written lake back with `__epart` / `__fname` / `__kpart`
     * parsed from each object's path (works for ANY partitioner — nested
     * time paths included — because the encoded partition is by definition
@@ -59,23 +69,12 @@ object Compaction {
     require(cfg.format == OutputFormat.Parquet ||
       cfg.format == OutputFormat.Json,
       s"compaction rewrites Parquet/Json lakes, not ${cfg.format}")
-    val topicPath = new Path(topicDir).toUri.getPath
     val df = spark.read.format(cfg.format.sparkFormat)
       // manifests and other sidecars are not data objects
       .option("pathGlobFilter", s"*${cfg.extension}")
       .option("recursiveFileLookup", "true")
       .load(topicDir)
-    // input_file_name() is a percent-ENCODED URI; URI.getPath decodes it
-    // (incl. UTF-8 multibyte), so partition values with spaces/specials
-    // compare equal to the decoded directory names the writer created —
-    // otherwise compaction would relocate `a b` to a literal `a%20b` dir
-    // and delete the originals. (URLDecoder is wrong here: it also turns
-    // the '+' every file name contains into a space.)
-    val decodePath = udf { s: String =>
-      try new java.net.URI(s).getPath catch { case _: Exception => s }
-    }
-    val rel = regexp_extract(decodePath(input_file_name()),
-      Pattern.quote(topicPath) + "/(.*)$", 1)
+    val rel = relativeKeyCol(topicDir)
     val parsed = df
       .withColumn("__fname", regexp_extract(rel, "([^/]+)$", 1))
       .withColumn("__epart", regexp_replace(rel, "/?[^/]+$", ""))
@@ -87,6 +86,24 @@ object Compaction {
         .toDF("__epart", "__fname")
       parsed.join(broadcast(inv), Seq("__epart", "__fname"), "left_semi")
     }
+  }
+
+  /** Each scanned row's object key relative to `topicDir`, derived from
+    * `input_file_name()`. The raw value is a percent-ENCODED URI;
+    * URI.getPath decodes it (incl. UTF-8 multibyte), so partition values
+    * with spaces/specials compare equal to the decoded directory names
+    * the writer created — otherwise compaction would relocate `a b` to a
+    * literal `a%20b` dir and delete the originals. (URLDecoder is wrong
+    * here: it also turns the '+' every file name contains into a space.)
+    * Shared by `readLake` and `readCommitted`'s scan mode so the subtle
+    * decode logic exists exactly once. */
+  private def relativeKeyCol(topicDir: String): Column = {
+    val topicPath = new Path(topicDir).toUri.getPath
+    val decodePath = udf { s: String =>
+      try new java.net.URI(s).getPath catch { case _: Exception => s }
+    }
+    regexp_extract(decodePath(input_file_name()),
+      Pattern.quote(topicPath) + "/(.*)$", 1)
   }
 
   /** `readLake` restricted to a DISTRIBUTED `(__epart, __fname)`
@@ -121,9 +138,10 @@ object Compaction {
     val inv = listingDf(spark, topicDir,
       Seq(cfg.extension, cfg.keyExtension, cfg.headerExtension).distinct)
       .persist()
-    val sidecarCond = col("__fname").endsWith(cfg.keyExtension) ||
-      col("__fname").endsWith(cfg.headerExtension) ||
-      col("__fname").contains(".keys.") || col("__fname").contains(".headers.")
+    // structural sidecar rule (SidecarTailRe): catches sidecars of ANY
+    // view format — configured, legacy same-format, or misconfigured —
+    // without false-positives on dotted topic names
+    val sidecarCond = col("__fname").rlike(SidecarTailRe)
     try {
       // K/V/H lakes (P4): key/header sidecars share each value file's
       // basename; rewriting only the value files would break the lockstep
@@ -318,18 +336,26 @@ object Compaction {
         .option("basePath", topicDir)
         .load(paths.toIndexedSeq: _*)
     } else {
-      val topicPath = new Path(topicDir).toUri.getPath
-      val scan = spark.read.format(cfg.format.sparkFormat)
+      // pin the scan schema from ONE committed value object (smallest key
+      // — deterministic; a 1-row collect): the glob also matches
+      // same-format K/V/H sidecars (`.keys.parquet`), and without an
+      // explicit schema Spark would infer from an arbitrary footer — a
+      // sidecar footer would erase every value column from the snapshot.
+      // With the pinned schema, sidecar rows surface as all-null and the
+      // semi-join (their key is never manifested) drops them.
+      val probeKey = pruned.select(col("object_key"))
+        .orderBy(col("object_key")).limit(1).head.getString(0)
+      val schema = spark.read.format(cfg.format.sparkFormat)
+        .option("basePath", topicDir)
+        .load(s"$topicDir/${escapeGlob(probeKey)}").schema
+      val scan = spark.read.schema(schema).format(cfg.format.sparkFormat)
         .option("pathGlobFilter", s"*${cfg.extension}")
+        .option("basePath", topicDir)
         .load(topicDir)
-      val decodePath = udf { s: String =>
-        try new java.net.URI(s).getPath catch { case _: Exception => s }
-      }
-      val rel = regexp_extract(decodePath(input_file_name()),
-        Pattern.quote(topicPath) + "/(.*)$", 1)
       // the semi-join right side is the PRUNED manifest, so the partition
-      // predicate filters scan rows too — no path outside it survives
-      scan.withColumn("__key", rel).join(
+      // predicate filters scan rows too — no path outside it survives;
+      // the key derivation is readLake's (shared `relativeKeyCol`)
+      scan.withColumn("__key", relativeKeyCol(topicDir)).join(
         pruned.select(col("object_key").as("__key")),
         Seq("__key"), "left_semi").drop("__key")
     }
@@ -382,17 +408,18 @@ object Compaction {
     try {
       // K/V/H sidecars (P4) share their value file's basename and are
       // vouched for transitively: a sidecar is live iff its VALUE name is
-      // manifested (manifests carry value names only). Sidecar branches
-      // come FIRST: when the view format equals the value format, the
-      // sidecar extension also ends with the value extension.
-      val ext = cfg.extension
-      def swapExt(sidecarExt: String) = concat(
-        regexp_replace(col("__fname"),
-          Pattern.quote(sidecarExt) + "$", ""), lit(ext))
-      val valueName = when(col("__fname").endsWith(cfg.keyExtension),
-        swapExt(cfg.keyExtension))
-        .when(col("__fname").endsWith(cfg.headerExtension),
-          swapExt(cfg.headerExtension))
+      // manifested (manifests carry value names only). Sidecars are
+      // recognized STRUCTURALLY (`SidecarTailRe`), not by the configured
+      // view extensions alone — a lake written under a different
+      // keys.format.class (e.g. same-format `.keys.parquet` sidecars from
+      // an older config) must map to its value basename too, or vacuum
+      // would delete live sidecars as orphans. The file-name contract
+      // makes the rule unambiguous: after `.keys.`/`.headers.` a sidecar
+      // carries only its extension, while a topic NAME containing those
+      // infixes is always followed by `+partition+offset`.
+      val valueName = when(col("__fname").rlike(SidecarTailRe),
+        concat(regexp_replace(col("__fname"),
+          "\\.(keys|headers)\\.[^+]+$", ""), lit(cfg.extension)))
         .otherwise(col("__fname"))
       val valueKey = when(col("__epart") === "", valueName)
         .otherwise(concat(col("__epart"), lit("/"), valueName))

@@ -120,28 +120,33 @@ object Ingest {
     // the write; without a persist each extra pass re-reads the SOURCE
     // (in foreachBatch the batch is a plan over source files, not
     // materialized data) — at 100 TB that doubles micro-batch input I/O.
-    // Registered with Caches so streaming callers' per-batch scope (or a
-    // batch caller's Caches.clear()) releases it.
-    val cached =
-      if (writeManifest || causeStats) graft.analytics.Caches.persist(framed)
-      else framed
-    val files =
-      if (cfg.writeKeys || cfg.writeHeaders)
-        IngestWriter.writeKVH(cached, cfg, encoded, outDir, kafkaPartition,
-          offset, payloadCols, extraFileGroups = extraGroups)
-      else
-        IngestWriter.write(cached, cfg, encoded, outDir, kafkaPartition,
-          offset, payloadCols, extraFileGroups = extraGroups)
-    val byCause =
-      if (causeStats)
-        RotationStats.causes(cached, cfg, encoded, kafkaPartition, offset,
-          labeledGroups)
-      else Map.empty[String, Long]
+    // Scoped: the cache lives exactly as long as the passes that share it
+    // — every action over it runs inside this block, so BATCH callers
+    // looping Ingest.run leak nothing and need no Caches.clear().
+    val (files, byCause) = graft.analytics.Caches.scoped {
+      val cached =
+        if (writeManifest || causeStats)
+          graft.analytics.Caches.persist(framed)
+        else framed
+      val written =
+        if (cfg.writeKeys || cfg.writeHeaders)
+          IngestWriter.writeKVH(cached, cfg, encoded, outDir, kafkaPartition,
+            offset, payloadCols, extraFileGroups = extraGroups)
+        else
+          IngestWriter.write(cached, cfg, encoded, outDir, kafkaPartition,
+            offset, payloadCols, extraFileGroups = extraGroups)
+      val causes =
+        if (causeStats)
+          RotationStats.causes(cached, cfg, encoded, kafkaPartition, offset,
+            labeledGroups)
+        else Map.empty[String, Long]
+      fence.foreach { case (f, e) => f.check(e) }
+      if (writeManifest)
+        CommitManifest.write(cached, cfg, encoded, outDir, kafkaPartition,
+          offset, extraGroups)
+      (written, causes)
+    }
     val stats = RotationStats.of(files).copy(byCause = byCause)
-    fence.foreach { case (f, e) => f.check(e) }
-    if (writeManifest)
-      CommitManifest.write(cached, cfg, encoded, outDir, kafkaPartition,
-        offset, extraGroups)
     Result(files, stats, reportedNulls)
   }
 

@@ -60,7 +60,10 @@ object Gates {
   /** Perplexity gate against a FROZEN unigram LM
     * (`TextAnalysis.fitUnigramModel` on the reference corpus): keep
     * documents at or under `maxBitsPerToken`. The survivors semi-join
-    * back so the batch keeps its own columns. */
+    * back so the batch keeps its own columns. Documents with ZERO tokens
+    * (empty/whitespace-only text) have no perplexity and are DROPPED
+    * regardless of the threshold — stack `quality(minTokens = 1)` ahead
+    * of this gate if you want that drop to be explicit/configurable. */
   def perplexity(idCol: String, textCol: String,
                  model: TextAnalysis.UnigramModel,
                  maxBitsPerToken: Double): Gate = batch => {

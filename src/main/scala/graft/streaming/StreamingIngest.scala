@@ -68,7 +68,7 @@ object StreamingIngest {
         // scoped: a gate may persist per-batch frames; the scope
         // unpersists only those, never co-resident models/history tables
         graft.analytics.Caches.scoped {
-          val gated = gates.foldLeft(batch)((acc, g) => g(acc))
+          val gated = Gates.all(gates: _*)(batch)
           Ingest.run(gated, cfg, partitioner, outDir,
             kafkaPartition = kafkaPartition, offset = offset,
             payloadCols = payloadCols,

@@ -219,6 +219,14 @@ class CompactionSpec extends SparkSuite {
       liveValue.getName.stripSuffix(".parquet") + ".keys.avro")
     java.nio.file.Files.copy(part.toPath, sidecar.toPath)
 
+    // ...and a LEGACY same-format sidecar (.keys.parquet — written under
+    // an older keys.format.class config): the structural sidecar rule
+    // must map it to its value basename even though the CONFIGURED key
+    // extension is now .keys.avro
+    val legacySidecar = new java.io.File(zombieDir,
+      liveValue.getName.stripSuffix(".parquet") + ".keys.parquet")
+    java.nio.file.Files.copy(part.toPath, legacySidecar.toPath)
+
     val dry = Compaction.vacuum(spark, out, cfg, dryRun = true)
     assert(dry.orphans == Seq(("event_type=t0", "vac+9+0000000999.parquet")),
       dry)
@@ -228,6 +236,8 @@ class CompactionSpec extends SparkSuite {
     assert(real.orphans == dry.orphans && real.deleted)
     assert(!zombie.exists(), "orphan must be deleted")
     assert(sidecar.exists(), "live value's sidecar must survive")
+    assert(legacySidecar.exists(),
+      "legacy same-format sidecar of a live value must survive too")
     // BOTH batches' committed data untouched (the single-manifest bug
     // would have classified batch 1 as orphans); the surviving sidecar is
     // not a value file, so exclude it from the value-row count
@@ -380,6 +390,43 @@ class CompactionSpec extends SparkSuite {
     assert(scanned.count() == 20 &&
       scanned.agg(sum("offset")).head.getLong(0) ==
         (0L until 40L).filter(_ % 2 == 1).sum)
+  }
+
+  test("a dotted topic name containing '.keys.' is NOT mistaken for a " +
+    "K/V/H sidecar — compaction proceeds (Kafka allows dots in topics)") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "orders.keys.v2", flushSize = 2)
+    val df = (0L until 8L).map(o => (0, o, s"v$o", s"t${o % 2}"))
+      .toDF("kafka_partition", "offset", "value", "event_type")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("value"), col("event_type")))
+    // every object is named 'orders.keys.v2+0+<offset>.parquet' — the
+    // '+partition+offset' after the infix is what separates a topic name
+    // from a genuine sidecar tail
+    val r = Compaction.compact(spark, out, cfg, targetRecords = 100)
+    assert(r.filesBefore == 4 && r.files.size == 2, r)
+    assert(spark.read.parquet(s"$out/topics/orders.keys.v2").count() == 8)
+  }
+
+  test("readCommitted scan mode pins the schema from a committed value " +
+    "object — same-format K/V/H sidecars cannot poison the snapshot") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "kp", flushSize = 20, writeKeys = true,
+      keyFormat = OutputFormat.Parquet)
+    val df = (0L until 40L).map(o => (0, o, s"k$o", s"v$o", s"t${o % 2}"))
+      .toDF("kafka_partition", "offset", "key", "value", "event_type")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("value"), col("event_type")),
+      writeManifest = true)
+    // the lake now holds .keys.parquet sidecars (schema: RecordKey) next
+    // to value files; the scan glob matches both. Explicit mode is
+    // immune by construction; force the scan+semi-join mode.
+    val snap = Compaction.readCommitted(spark, out, cfg,
+      maxExplicitPaths = 1)
+    assert(snap.columns.contains("value") && snap.columns.contains("offset"),
+      s"value schema must survive sidecar footers: ${snap.columns.toSeq}")
+    assert(snap.count() == 40)
+    assert(snap.agg(sum("offset")).head.getLong(0) == (0L until 40L).sum)
   }
 
   test("compaction rebuilds the manifest for the new generation — " +
