@@ -293,25 +293,27 @@ object Dedup {
     * components are near-cliques (LSH candidates share buckets), so the
     * practical round count is 2-4; `maxIters` caps pathological chains and
     * each round is two shuffles (join + aggregate) over the PAIRS, whose
-    * volume is near-dup count, not corpus size. Iterations persist and
-    * unpersist per round so lineage stays flat.
+    * volume is near-dup count, not corpus size.
+    *
+    * Each round is `localCheckpoint`ed, not persisted: `labels` is
+    * referenced TWICE per round (join side + union side), so a persisted
+    * plan's `InMemoryRelation` tree doubles every round — by ~round 12
+    * just RENDERING the plan string for the AQE UI callback overwhelms
+    * the driver heap. The checkpoint flattens the plan to a `LogicalRDD`
+    * each round; superseded rounds' blocks are freed by the
+    * ContextCleaner. See `dedupClustersAlternating` for the fault-
+    * tolerance trade-off note.
     *
     * Output: `(doc_id, cluster_rep)` for every doc appearing in a pair. */
   def dedupClusters(pairs: DataFrame, a: Column, b: Column,
                     maxIters: Int = 25): DataFrame = {
-    val spark = pairs.sparkSession
     val half = pairs.select(a.as("src"), b.as("dst"))
     val edges = Caches.persist(
       half.union(half.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labels.count() // materialize before the loop mutates the variable
-    // the handle that actually holds this round's cache — `labels` becomes
-    // a PROJECTION of it after round 1, and unpersisting a projection is a
-    // no-op (the cached plan is the aggregate underneath)
-    var cached = labels
+      .localCheckpoint(false)
     val labelType = labels.schema("label").dataType
     var converged = false
     var i = 0
@@ -320,7 +322,9 @@ object Dedup {
       // propagation aggregate (max ignores the prop rows' nulls; every
       // node has exactly one labels row), so the convergence check is a
       // filter+count over the same aggregate output — no second join
-      // against the previous labels and no separate job for it.
+      // against the previous labels and no separate job for it. The
+      // count is also the round's one materializing action (the
+      // checkpoint is non-eager).
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"),
           lit(null).cast(labelType).as("old"))
@@ -329,16 +333,92 @@ object Dedup {
         .union(prop)
         .groupBy("id").agg(min(col("label")).as("label"),
           max(col("old")).as("old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       val changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("id"), col("label"))
-      cached.unpersist(blocking = false)
-      cached = next
       converged = changed == 0L
       i += 1
     }
-    Caches.track(cached)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
+  /** Connected components by ALTERNATING large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the same `(doc_id, cluster_rep = component min)`
+    * contract as `dedupClusters`, converging in O(log n) rounds instead
+    * of O(component diameter). Min-label propagation moves a label ONE
+    * hop per round, so a transitive near-dup CHAIN (A~B~C~… with the
+    * ends dissimilar — common under loose thresholds) longer than its
+    * `maxIters` silently returns unconverged labels; the star operations
+    * instead contract whole subtrees toward the component minimum each
+    * round, so the default cap here covers astronomically large
+    * components (2^20-diameter chains).
+    *
+    * Per round: large-star connects every node's LARGER neighbors to its
+    * adjacent minimum, small-star re-points the smaller neighbors — each
+    * one `groupBy`-min plus one self-equi-join over the CURRENT edge set
+    * (whose volume only contracts toward the star forest, never grows
+    * beyond 2|E|). Convergence = (edge count, order-independent edge-set
+    * hash) fixpoint: ONE action per round. At the fixpoint the edge set
+    * IS the star forest `(component min, member)`.
+    *
+    * Each round's result is `localCheckpoint`ed, NOT persisted: the
+    * two-join-two-aggregate round plan compounds, and by ~round 8 the
+    * accumulated lineage is big enough that merely RENDERING the explain
+    * string for the UI overwhelms the driver (persist caches data but
+    * keeps the full logical plan). The checkpoint replaces the plan with
+    * a flat `LogicalRDD`; the blocks are freed by the ContextCleaner
+    * when the superseded round's RDD is unreferenced. On a cluster where
+    * executor loss matters, swap in reliable `checkpoint()` (same
+    * truncation, HDFS-backed) — localCheckpoint trades that fault
+    * tolerance for zero extra I/O, the right default for a loop whose
+    * input is re-derivable near-dup pairs. */
+  def dedupClustersAlternating(pairs: DataFrame, a: Column, b: Column,
+                               maxIters: Int = 20): DataFrame = {
+    var edges = pairs
+      .select(least(a, b).as("lo"), greatest(a, b).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint(false)
+    var prevSig: (Long, Long) = (-1L, 0L)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star: for each node u (both directions), m = min(u, N(u));
+      // every neighbor v > u re-points to m. Output stays canonical
+      // (m <= u < v).
+      val adjL = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val minsL = adjL.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = adjL.join(minsL, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct()
+      // small-star: for each node u, its SMALLER neighbors (plus u) all
+      // re-point to their minimum mv (< u by construction).
+      val adjS = ls.select(col("hi").as("u"), col("lo").as("v"))
+      val minsS = adjS.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      val ss = adjS.join(minsS, Seq("u"))
+        .filter(col("v") =!= col("mv"))
+        .select(col("mv").as("lo"), col("v").as("hi"))
+        .union(minsS.select(col("mv").as("lo"), col("u").as("hi")))
+        .distinct()
+        .localCheckpoint(false) // non-eager: the sig agg below is the
+                                // round's ONE materializing action
+      val sigRow = ss.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("lo"), col("hi"))), lit(0L))).head
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      edges = ss
+      converged = sig == prevSig
+      prevSig = sig
+      i += 1
+    }
+    // the converged edge set is the star forest (lo = component min):
+    // members from the edges, roots label themselves
+    edges.select(col("hi").as("doc_id"), col("lo").as("cluster_rep"))
+      .unionByName(edges.select(col("lo").as("doc_id"),
+        col("lo").as("cluster_rep")).distinct())
   }
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS

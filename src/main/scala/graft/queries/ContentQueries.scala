@@ -91,6 +91,16 @@ object ContentQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The O(log n)-round alternating large-star/small-star variant over
+    // the SAME near-dup graph — identical result contract (component
+    // min), so it shares dedup_clusters' recursive-CTE oracle shape.
+    "dedup_clusters_alt" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(docs(s, d), col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)
+      Dedup.dedupClustersAlternating(pairs, col("a_id"), col("b_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Apply the dedup decision: keep each cluster's representative
     // (smallest id) plus every unclustered doc, and report the kept
     // corpus per source — the step that turns pair/cluster output into
@@ -1129,6 +1139,21 @@ object ContentQueries {
         |ORDER BY new_id, dup_of""".stripMargin,
 
     "dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |jp AS (SELECT a_id, b_id FROM p
+         |  WHERE common / (a_n + b_n - common) >= 0.5),
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |  UNION SELECT b_id, a_id FROM jp),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM ed
+         |  UNION
+         |  SELECT e2.src, reach.r FROM ed e2 JOIN reach ON e2.dst = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_rep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // identical result contract to dedup_clusters (component minimum) —
+    // the alternating-star implementation must land on the same fixpoint
+    "dedup_clusters_alt" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |jp AS (SELECT a_id, b_id FROM p
          |  WHERE common / (a_n + b_n - common) >= 0.5),

@@ -98,4 +98,40 @@ class DedupSpec extends SparkSuite {
     assert(r.size == 10)
     graft.analytics.Caches.clear()
   }
+
+  test("dedupClustersAlternating equals dedupClusters on mixed graphs and " +
+    "handles a 120-deep chain the propagation default cap cannot") {
+    // mixed: chain + clique + pair (same fixture as above)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("a_id", "b_id")
+    val alt = Dedup.dedupClustersAlternating(pairs, col("a_id"), col("b_id"))
+      .as[(Long, Long)].collect().toMap
+    val prop = Dedup.dedupClusters(pairs, col("a_id"), col("b_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(alt == prop, s"alternating vs propagation: $alt vs $prop")
+
+    // random graph equality (fixed seed): 60 nodes, 80 random edges
+    val rnd = new scala.util.Random(5)
+    val rpairs = (0 until 80)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).toDF("a_id", "b_id")
+    val altR = Dedup.dedupClustersAlternating(rpairs, col("a_id"),
+      col("b_id")).as[(Long, Long)].collect().toMap
+    val propR = Dedup.dedupClusters(rpairs, col("a_id"), col("b_id"),
+      maxIters = 60).as[(Long, Long)].collect().toMap
+    assert(altR == propR, s"random graph mismatch")
+
+    // a 120-edge chain has diameter 120: min-label propagation moves one
+    // hop per round, so the default 25-round cap CANNOT converge it —
+    // the O(log n) star contraction labels every node 0 well inside its
+    // default cap
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val deep = Dedup.dedupClustersAlternating(chain, col("a_id"),
+      col("b_id")).as[(Long, Long)].collect().toMap
+    assert(deep.size == 121 && deep.values.forall(_ == 0L),
+      s"chain must collapse to component 0: ${deep.toSeq.sortBy(_._1).take(8)}")
+    graft.analytics.Caches.clear()
+  }
 }
