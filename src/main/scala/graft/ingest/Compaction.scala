@@ -264,22 +264,6 @@ object Compaction {
 
   /** Task-side parallel delete of (encodedPartition, fileName) objects —
     * the driver never performs per-object I/O. */
-  private def deleteObjects(spark: SparkSession, topicDir: String,
-                            objs: Seq[(String, String)]): Unit =
-    if (objs.nonEmpty) {
-      val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration)
-      val parallelism =
-        math.min(objs.length, spark.sparkContext.defaultParallelism)
-      spark.sparkContext.parallelize(objs, parallelism)
-        .foreach { case (epart, fname) =>
-          val p = new Path(
-            s"$topicDir${if (epart.isEmpty) "" else s"/$epart"}/$fname")
-          val tfs = FileSystem.get(p.toUri, hadoopConf.value)
-          tfs.delete(p, false)
-        }
-    }
-
   /** Manifest-snapshot read: ONLY the objects the commit manifests vouch
     * for — a consistent committed view (the read-side complement of
     * `vacuum`: vacuum deletes what the manifest disowns, this simply
@@ -367,7 +351,12 @@ object Compaction {
   private def escapeGlob(p: String): String =
     p.replaceAll("([\\\\*?\\[\\]\\{\\}])", "\\\\$1")
 
+  /** `orphans` is a SORTED, `maxReport`-capped sample for logs/review;
+    * `orphanCount` is the true total (they differ only when the cap
+    * bites — e.g. a lake whose manifests were lost, where everything
+    * looks orphaned). */
   final case class VacuumResult(objectsListed: Int,
+                                orphanCount: Long,
                                 orphans: Seq[(String, String)],
                                 deleted: Boolean)
 
@@ -381,19 +370,22 @@ object Compaction {
     * Scale shape: the lake listing runs TASK-SIDE (`listingDf` — the
     * driver enumerates only the top-level partition directories), the
     * diff is an anti-join between the listing and the manifest DataFrames
-    * (never a driver-resident key Set), and deletion is task-parallel.
-    * Only the ORPHANS collect to the driver — bounded by crashed-writer
-    * volume, not lake size. `dryRun` reports without deleting. Run it
+    * (never a driver-resident key Set), and deletion runs task-side FROM
+    * the orphan DataFrame. The driver receives only two scalars plus a
+    * sorted first-`maxReport` orphan sample (TakeOrdered — bounded even
+    * in the pathological case where lost manifests make the ENTIRE lake
+    * look orphaned). `dryRun` reports without deleting. Run it
     * like compaction — as a maintenance pass, not inline with ingest; a
     * concurrent not-yet-manifested write would look like an orphan, so
     * quiesce the topic first (same contract the reference's scan has
     * within a partition). */
   def vacuum(spark: SparkSession, outDir: String, cfg: IngestConfig,
-             dryRun: Boolean = false): VacuumResult = {
+             dryRun: Boolean = false, maxReport: Int = 10000): VacuumResult = {
     val topicDir = s"$outDir/${cfg.topicsDir}/${cfg.topic}"
     val fs = FileSystem.get(new java.net.URI(topicDir),
       spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(topicDir))) return VacuumResult(0, Nil, false)
+    if (!fs.exists(new Path(topicDir)))
+      return VacuumResult(0, 0L, Nil, false)
     // the UNION of all manifest generations — a single batch's manifest
     // must never be mistaken for full-lake coverage
     val committed = CommitManifest.committedDf(spark, topicDir)
@@ -424,13 +416,18 @@ object Compaction {
       val valueKey = when(col("__epart") === "", valueName)
         .otherwise(concat(col("__epart"), lit("/"), valueName))
       val total = listing.count()
-      val orphans = listing.withColumn("__vkey", valueKey)
+      val orphansDf = listing.withColumn("__vkey", valueKey)
         .join(committed.select(col("object_key").as("__vkey")),
           Seq("__vkey"), "left_anti")
-        .select("__epart", "__fname").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
-      if (!dryRun) deleteObjects(spark, topicDir, orphans)
-      VacuumResult(total.toInt, orphans, !dryRun)
+        .select("__epart", "__fname").persist()
+      try {
+        val orphanCount = orphansDf.count()
+        val sample = orphansDf.orderBy("__epart", "__fname")
+          .limit(maxReport).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        if (!dryRun && orphanCount > 0) deleteObjectsDf(topicDir, orphansDf)
+        VacuumResult(total.toInt, orphanCount, sample, !dryRun)
+      } finally orphansDf.unpersist()
     } finally listing.unpersist()
   }
 

@@ -245,8 +245,21 @@ class CompactionSpec extends SparkSuite {
       .withColumn("__f", input_file_name())
       .filter(!col("__f").contains(".keys."))
     assert(back.count() == 120)
+    // maxReport caps the driver-side SAMPLE, never the deletion: plant
+    // two fresh zombies, cap the report at 1 — the count is still 2, the
+    // sample is the sorted first name, and BOTH objects are removed
+    val z2 = new java.io.File(zombieDir, "vac+8+0000000888.parquet")
+    val z3 = new java.io.File(zombieDir, "vac+9+0000000999.parquet")
+    java.nio.file.Files.copy(part.toPath, z2.toPath)
+    java.nio.file.Files.copy(part.toPath, z3.toPath)
+    val capped = Compaction.vacuum(spark, out, cfg, maxReport = 1)
+    assert(capped.orphanCount == 2L && capped.orphans ==
+      Seq(("event_type=t0", "vac+8+0000000888.parquet")), capped)
+    assert(!z2.exists() && !z3.exists(),
+      "cap limits the report, not the deletion")
     // second vacuum: nothing left to remove
-    assert(Compaction.vacuum(spark, out, cfg).orphans.isEmpty)
+    val again = Compaction.vacuum(spark, out, cfg)
+    assert(again.orphans.isEmpty && again.orphanCount == 0L)
   }
 
   test("readCommitted sees only manifested objects — a zombie write is " +
