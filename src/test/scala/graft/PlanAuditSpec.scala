@@ -78,6 +78,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedup_clusters / dedup_clusters_alt: converged output reads the " +
+    "checkpointed round, not replayed per-round lineage") {
+    // both iterative loops localCheckpoint each round — losing that
+    // truncation re-grows the plan (doubling per round) until merely
+    // rendering it exhausts the driver. The converged result must be a
+    // flat scan over the final round's RDD with NO joins left in it.
+    for (name <- Seq("dedup_clusters", "dedup_clusters_alt")) {
+      val p = plan(name)
+      assert(p.contains("Scan ExistingRDD"), s"$name: $p")
+      assert(!p.contains("Join"), s"$name: $p")
+    }
+  }
+
   test("q31: the no-equi-key band join runs as a bucket equi-join, " +
     "never a nested-loop/cartesian plan") {
     val p = plan("q31_band_join")
