@@ -439,6 +439,29 @@ object ContentQueries {
         .orderBy(col("source"), col("split"))
     }),
 
+    // Leakage-free split: assign train/val/test by the md5 bucket of each
+    // doc's near-dup CLUSTER REPRESENTATIVE (its own id when unclustered),
+    // so a near-dup pair can never straddle the train/test boundary — the
+    // eval-contamination failure mode of naive per-doc splits. Composes
+    // the clustering engine with sample_split's deterministic bucket; the
+    // label join is an equi-join on doc_id (cluster volume is near-dup
+    // count, which at corpus scale is NOT broadcast-safe).
+    "sample_split_leakfree" -> ((s, d) => {
+      val base = docs(s, d)
+      val pairs = Dedup.jaccardPairs(base, col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)
+      val clusters = Dedup.dedupClustersAlternating(pairs,
+        col("a_id"), col("b_id"))
+      val key = coalesce(col("cluster_rep"), col("doc_id"))
+      val bucket = pmod(conv(substring(md5(key.cast("string")),
+        1, 15), 16, 10).cast("long"), lit(10))
+      base.join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(bucket < 8, "train").when(bucket === 8, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Vocabulary building: global token frequencies, top 50 — partial
     // aggregate then TakeOrdered (50 rows per task cross the wire, never
     // a global sort of the vocabulary).
@@ -1601,6 +1624,29 @@ object ContentQueries {
         |  count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same component fixpoint as dedup_clusters, then sample_split's
+    // bucket arithmetic over coalesce(rep, doc_id)
+    "sample_split_leakfree" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |jp AS (SELECT a_id, b_id FROM p
+         |  WHERE common / (a_n + b_n - common) >= 0.5),
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |  UNION SELECT b_id, a_id FROM jp),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM ed
+         |  UNION
+         |  SELECT e2.src, reach.r FROM ed e2 JOIN reach ON e2.dst = reach.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+         |b AS (SELECT d.doc_id,
+         |    CAST(CONCAT('0x', substr(md5(CAST(
+         |      coalesce(cl.rep, d.doc_id) AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 10 AS bucket
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN bucket < 8 THEN 'train'
+         |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "text_vocab_topk" ->
       """SELECT t AS token, count(*) AS n

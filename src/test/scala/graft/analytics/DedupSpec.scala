@@ -134,4 +134,30 @@ class DedupSpec extends SparkSuite {
       s"chain must collapse to component 0: ${deep.toSeq.sortBy(_._1).take(8)}")
     graft.analytics.Caches.clear()
   }
+
+  test("sample_split_leakfree: no near-dup pair straddles a split " +
+    "boundary, and unclustered docs keep sample_split's assignment") {
+    val splits = graft.SparkEntry.queries("sample_split_leakfree")(spark, sf0001)
+      .as[(Long, String)].collect().toMap
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    for ((a, b) <- pairs)
+      assert(splits(a) == splits(b),
+        s"near-dup pair ($a, $b) split across ${splits(a)}/${splits(b)}")
+    // a doc in no pair must bucket exactly like the naive split would
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val naive = docs.select(col("doc_id"),
+        when(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long"), lit(10)) < 8, "train")
+          .when(pmod(conv(substring(md5(col("doc_id").cast("string")), 1,
+            15), 16, 10).cast("long"), lit(10)) === 8, "val")
+          .otherwise("test").as("split"))
+      .as[(Long, String)].collect().toMap
+    for ((id, sp) <- splits if !clustered.contains(id))
+      assert(naive(id) == sp, s"unclustered doc $id moved: $sp vs ${naive(id)}")
+    graft.analytics.Caches.clear()
+  }
 }
