@@ -508,4 +508,72 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("fp")).as("n_shared"))
   }
+
+  /** Exact-substring span dedup (the ExactSubstr operation of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022): drop from every document each token span of length >= `k`
+    * that occurs more than once ANYWHERE in the corpus (including twice
+    * in one document), keeping the rest of the document intact —
+    * document-level dedup misses exactly these embedded boilerplate
+    * passages. The paper builds a corpus-wide suffix array; the
+    * equivalent-by-definition relational form used here: a token is
+    * dropped iff some duplicated k-shingle covers it, because every
+    * duplicated span of length >= k is a union of duplicated k-shingles
+    * and every duplicated k-shingle IS a duplicated span.
+    *
+    * Scale shape (all corpus-size structures stay distributed):
+    *  1. positional k-shingle table — built in the scan stage from one
+    *     `transform(sequence(...))` per doc, exploded; 8-byte xxhash64
+    *     keys, never shingle text, cross the wire;
+    *  2. corpus-wide occurrence counts = one hash aggregate on the
+    *     shingle hash, map-side partial; joined back SHUFFLE_HASH on the
+    *     same 8-byte key (uniform hash keys — no skew, no sort);
+    *  3. per-token coverage NEVER JOINS the duplicated-start set against
+    *     the token table (that set is ~dup-fraction × corpus tokens —
+    *     not broadcast-safe, and an equi-join would cost its own
+    *     exchange): flag rows UNION with token rows and ONE doc-keyed
+    *     window with a bounded RANGE frame `[-(k-1), 0]` over the
+    *     position takes the max flag — range, not rows, so interleaved
+    *     flag rows cannot shift the frame;
+    *  4. cleaned-text reassembly = a doc-keyed aggregate that reuses the
+    *     window's hash partitioning — no extra exchange; `collect_list`
+    *     skips the nulls the covered tokens become, so only KEPT tokens
+    *     are buffered.
+    *
+    * Output: `(doc_id, n_tokens, n_kept, clean_text)` — `clean_text` is
+    * the document with every duplicated span removed (empty string when
+    * nothing survives). Tokenization = lowercase whitespace split, the
+    * same contract as the other text operators. */
+  def substringDedup(docs: DataFrame, id: Column, text: Column,
+                     k: Int = 15): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      split(lower(text), " ").as("t"))
+    val sh = toks.filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("t")) - k),
+        i => struct(i.as("s"),
+          xxhash64(concat_ws(" ", slice(col("t"), i + 1, lit(k)))).as("h"))))
+        .as("sh"))
+      .select(col("doc_id"), col("sh.s").as("s"), col("sh.h").as("h"))
+    val occ = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val dupStarts = sh.join(occ.hint("SHUFFLE_HASH"), Seq("h"))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("s").as("p"),
+        lit(null).cast("string").as("tok"), lit(1).as("dup"))
+    val tok = toks.select(col("doc_id"), posexplode(col("t")))
+      .toDF("doc_id", "p", "tok")
+      .withColumn("dup", lit(0))
+    val frame = Window.partitionBy("doc_id").orderBy("p")
+      .rangeBetween(-(k - 1), 0)
+    val cov = tok.unionByName(dupStarts)
+      .withColumn("covered", max(col("dup")).over(frame))
+      .filter(col("tok").isNotNull) // drop the flag rows
+    cov.groupBy(col("doc_id")).agg(
+      count(lit(1)).cast("long").as("n_tokens"),
+      sum(when(col("covered") === 0, 1L).otherwise(0L)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(
+          when(col("covered") === 0, struct(col("p"), col("tok"))))),
+        x => x.getField("tok"))).as("clean_text"))
+  }
 }

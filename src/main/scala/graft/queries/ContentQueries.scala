@@ -439,6 +439,16 @@ object ContentQueries {
         .orderBy(col("source"), col("split"))
     }),
 
+    // Exact-substring span dedup (Lee et al. ACL 2022): remove every
+    // >=15-token span occurring more than once in the corpus, keep the
+    // rest of each doc. The cleaned text is md5-fingerprinted so the
+    // oracle proves byte-identical reassembly, not just matching counts.
+    "dedup_substring" -> ((s, d) =>
+      Dedup.substringDedup(docs(s, d), col("doc_id"), col("text"), k = 15)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))),
+
     // Leakage-free split: assign train/val/test by the md5 bucket of each
     // doc's near-dup CLUSTER REPRESENTATIVE (its own id when unclustered),
     // so a near-dup pair can never straddle the train/test boundary — the
@@ -1624,6 +1634,34 @@ object ContentQueries {
         |  count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // duplicated 15-gram starts expand to covered positions (linear,
+    // not a correlated range probe), then grouped reassembly; NULL
+    // string_agg (nothing kept) coalesces to '' to match Spark's empty
+    // concat_ws
+    "dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, i - 1 AS s,
+        |    array_to_string(list_slice(t, i, i + 14), ' ') AS g
+        |  FROM toks, LATERAL unnest(range(1, greatest(len(t) - 15 + 1, 0) + 1)) AS u(i)
+        |  WHERE len(t) >= 15),
+        |occ AS (SELECT g, count(*) AS c FROM sh GROUP BY g),
+        |ds AS (SELECT doc_id, s FROM sh JOIN occ USING (g) WHERE c >= 2),
+        |covp AS (SELECT DISTINCT doc_id, s + j AS p
+        |  FROM ds, LATERAL unnest(range(0, 15)) AS r(j)),
+        |tok AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+        |  FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)),
+        |cov AS (SELECT tok.doc_id, tok.p, tok.tok,
+        |    CASE WHEN covp.p IS NULL THEN 0 ELSE 1 END AS covered
+        |  FROM tok LEFT JOIN covp
+        |    ON tok.doc_id = covp.doc_id AND tok.p = covp.p)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN covered = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN covered = 0 THEN tok END, ' '
+        |    ORDER BY p), '')) AS clean_fp
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same component fixpoint as dedup_clusters, then sample_split's
     // bucket arithmetic over coalesce(rep, doc_id)

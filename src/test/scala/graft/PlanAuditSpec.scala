@@ -91,6 +91,28 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("dedup_substring: coverage is a union + ONE doc-keyed window — " +
+    "the dup-start set is never broadcast or equi-joined against tokens") {
+    val p = plan("dedup_substring")
+    // flag rows union into the token stream; a join here would mean the
+    // ~10%-of-corpus dup-start set crossed as a build side (OOM at scale)
+    assert(!p.contains("BroadcastHashJoin LeftOuter"), p)
+    assert(p.contains("Union"), p)
+    // occurrence counts join back on the 8-byte hash as a shuffled hash
+    // join (uniform keys — no sort), and the reassembly aggregate reuses
+    // the window's doc_id exchange: exactly one exchange feeds the window
+    // and none sits between Window and the aggregates
+    assert(p.contains("ShuffledHashJoin"), p)
+    // reassembly reuses the window's doc_id exchange: in the plan tree
+    // (aggregates print above the Window they consume) no Exchange sits
+    // between the first aggregate line and the Window line
+    val tree = p.linesIterator.toVector
+    val agg = tree.indexWhere(_.contains("ObjectHashAggregate"))
+    val win = tree.indexWhere(_.contains("Window"))
+    assert(agg >= 0 && win > agg, p)
+    assert(!tree.slice(agg, win).exists(_.contains("Exchange")), p)
+  }
+
   test("q31: the no-equi-key band join runs as a bucket equi-join, " +
     "never a nested-loop/cartesian plan") {
     val p = plan("q31_band_join")

@@ -160,4 +160,29 @@ class DedupSpec extends SparkSuite {
       assert(naive(id) == sp, s"unclustered doc $id moved: $sp vs ${naive(id)}")
     graft.analytics.Caches.clear()
   }
+
+  test("substringDedup removes cross-doc and within-doc duplicated spans, " +
+    "keeps unique text intact") {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val span = words("dup", 5) // the duplicated passage, length = k
+    val fixture = Seq(
+      (1L, s"${words("a", 4)} $span ${words("b", 4)}"), // span + unique halo
+      (2L, s"${words("c", 4)} $span ${words("e", 4)}"), // same span, other doc
+      (3L, words("u", 12)),                             // fully unique
+      (4L, s"$span ${words("f", 3)} $span")             // twice in ONE doc
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDedup(fixture, col("doc_id"), col("text"), k = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    // docs 1/2: the 5-token span vanishes, both 4-token halos survive
+    assert(r(1L) == ((13L, 8L, s"${words("a", 4)} ${words("b", 4)}")), r(1L))
+    assert(r(2L) == ((13L, 8L, s"${words("c", 4)} ${words("e", 4)}")), r(2L))
+    // doc 3: no duplicated shingle anywhere — byte-identical passthrough
+    assert(r(3L) == ((12L, 12L, words("u", 12))), r(3L))
+    // doc 4: BOTH occurrences of the span drop (self-duplication counts)
+    // while the middle filler — which no duplicated shingle covers —
+    // survives exactly
+    assert(r(4L) == ((13L, 3L, words("f", 3))), r(4L))
+  }
 }
