@@ -380,4 +380,83 @@ object TextAnalysis {
       .agg(count(lit(1)).as(countName),
         round(sum(col("micro_lr")) / 1e6, 6).as("dsir_logw"))
   }
+
+  /** First-iteration BPE pair statistics (Sennrich et al., ACL 2016 §3.2):
+    * adjacent CHARACTER-pair frequencies weighted by word frequency — the
+    * signal the first merge of BPE tokenizer training maximizes.
+    *
+    * The classic BPE scale trick, relationally: pairs explode over the
+    * DISTINCT-WORD table (vocabulary size) weighted by the word counts,
+    * never over the corpus token stream — one corpus-scan word-frequency
+    * aggregate (map-side partial), then vocabulary-scale work, then
+    * TakeOrdered for the top-k. */
+  def bpePairStats(docs: org.apache.spark.sql.DataFrame,
+                   text: Column): org.apache.spark.sql.DataFrame = {
+    val wf = docs.select(explode(tokens(lower(text))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    wf.select(col("f"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+  }
+
+  /** Iterative BPE merge training (Sennrich et al., ACL 2016): start from
+    * per-word character symbols, repeatedly find the globally most
+    * frequent adjacent symbol pair (ties broken by pair text, a total
+    * order) and merge its occurrences greedily left-to-right — the merge
+    * LIST is the trained tokenizer.
+    *
+    * Distribution: the vocabulary stays a DataFrame; each round is one
+    * vocabulary-scale aggregate (pair counts, map-side partial) of which
+    * ONE row reaches the driver, plus a pure-`Column` rewrite — the
+    * greedy merge is a `functions.aggregate` fold over the symbol array
+    * (merge iff the accumulator's last symbol is `l` and the current is
+    * `r`; a just-merged symbol can never re-match as `l` since
+    * `l+r == l` is impossible, so the fold IS the left-to-right greedy
+    * scan). Rounds `localCheckpoint` so the per-merge plans don't
+    * compound (same rationale as the dedup clustering loops). The
+    * no-end-marker simplification is deliberate and documented — merges
+    * may cross what a word-final-marker variant would keep apart.
+    *
+    * Output: `(rank, left, right, n)`, one row per merge in order. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, text: Column,
+               merges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs.select(explode(tokens(lower(text))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(split(col("w"), "").as("symbols"), col("f"))
+      .localCheckpoint(false)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var done = false
+    while (out.length < merges && !done) {
+      val nPairs = greatest(size(col("symbols")) - 1, lit(0))
+      val top = vocab.select(col("f"), explode(zip_with(
+          slice(col("symbols"), lit(1), nPairs),
+          slice(col("symbols"), lit(2), nPairs),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        out += ((out.length + 1, l, r, n))
+        vocab = vocab.select(aggregate(col("symbols"),
+            array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))).as("symbols"),
+          col("f"))
+          .localCheckpoint(false)
+      }
+    }
+    out.toSeq.toDF("rank", "left", "right", "n")
+  }
 }

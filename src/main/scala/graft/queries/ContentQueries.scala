@@ -472,6 +472,23 @@ object ContentQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE tokenizer-training prep, step 1: adjacent char-pair counts
+    // weighted by word frequency (the quantity the first merge
+    // maximizes). Pair explode runs over the VOCABULARY, not the corpus.
+    "text_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairStats(docs(s, d), col("text"))
+        .orderBy(col("n").desc, col("pair")).limit(20)),
+
+    // Full iterative BPE training, 8 merges: each round one
+    // vocabulary-scale pair-count aggregate (one row to the driver) and
+    // a pure-Column greedy rewrite. Iterative argmax-then-rewrite is not
+    // SQL-expressible, so no oracle row — the merge sequence is instead
+    // model-checked against an in-memory reference BPE in
+    // TextAnalysisSpec, and round 1 is oracle-pinned via text_bpe_pairs.
+    "text_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeTrain(docs(s, d), col("text"), merges = 8)
+        .orderBy(col("rank"))),
+
     // Vocabulary building: global token frequencies, top 50 — partial
     // aggregate then TakeOrdered (50 rows per task cross the wire, never
     // a global sort of the vocabulary).
@@ -1685,6 +1702,15 @@ object ContentQueries {
          |  CASE WHEN bucket < 8 THEN 'train'
          |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, count(*) AS f FROM w WHERE len(w) >= 2 GROUP BY w),
+        |p AS (SELECT substr(w, i, 2) AS pair, f
+        |  FROM wf, LATERAL unnest(range(1, len(w))) AS u(i))
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "text_vocab_topk" ->
       """SELECT t AS token, count(*) AS n

@@ -216,4 +216,63 @@ class TextAnalysisSpec extends SparkSuite {
       "unigram DSIR is order-blind on identical bags by construction")
     Caches.clear()
   }
+
+  /** In-memory reference BPE: same tiebreak (count desc, then pair text)
+    * and greedy left-to-right merging as the distributed trainer. */
+  private def refBpe(words: Map[String, Long],
+                     merges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = words.toSeq.map { case (w, f) =>
+      (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var done = false
+    while (out.length < merges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), n) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        out += ((out.length + 1, l, r, n))
+        vocab = vocab.map { case (syms, f) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain merge sequence equals the in-memory reference BPE on " +
+    "the sf0.001 corpus, and bpePairStats agrees with round 1") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val got = TextAnalysis.bpeTrain(docs, col("text"), merges = 8)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val words = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect().toMap
+    val want = refBpe(words, 8)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    // the first merge is exactly the top char-pair statistic
+    val top = TextAnalysis.bpePairStats(docs, col("text"))
+      .orderBy(col("n").desc, col("pair")).limit(1)
+      .as[(String, Long)].collect().head
+    assert((got.head._2 + got.head._3, got.head._4) == top,
+      s"round-1 merge ${got.head} vs pair stat $top")
+    // a chain-merge fixture: "aaaa"×2 — the (a,a) STAT counts overlapping
+    // occurrences (3 per word) but the REWRITE is greedy non-overlapping
+    // ([aa,aa], never [aa,a,a] or a re-merged triple), and round 2 must
+    // then merge (aa,aa) — the fold-vs-scan equivalence edge case
+    val tiny = Seq((1L, "aaaa"), (2L, "aaaa")).toDF("doc_id", "text")
+    val t = TextAnalysis.bpeTrain(tiny, col("text"), merges = 2)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(t == refBpe(Map("aaaa" -> 2L), 2), t)
+  }
 }
