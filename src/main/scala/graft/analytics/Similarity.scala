@@ -590,4 +590,143 @@ object Similarity {
       .agg(round(sum(col("qdi")) / 1e6, 6).as("adist"))
     pqRank(adc, k)
   }
+
+  // ---------------------------------------------------------------- PCA
+
+  /** Driver-resident PCA model — the k-means shape: k·d + d doubles, a
+    * broadcast-literal-sized object, never the data. */
+  final case class PcaModel(mean: Array[Double],
+                            components: Array[Array[Double]],
+                            eigenvalues: Array[Double])
+
+  /** One-scan raw-moment entries for mean + covariance: per row, d
+    * `(i, -1, v_i)` mean entries and d(d+1)/2 `(i, j, v_i·v_j)` upper-
+    * triangle cross entries, aggregated by (i, j). Output volume is
+    * MODEL-scale (d + d(d+1)/2 rows); shuffle volume is partitions ×
+    * entries thanks to map-side partial aggregation — the corpus never
+    * moves. Dimension is read per-row (`size(v)`), no driver probe. */
+  private def momentAgg(v: DataFrame): DataFrame = {
+    val idx = sequence(lit(0), size(col("v")) - 1)
+    val means = transform(idx, i =>
+      struct(i.as("i"), lit(-1).as("j"), element_at(col("v"), i + 1).as("x")))
+    val crosses = flatten(transform(idx, i =>
+      transform(sequence(i, size(col("v")) - 1), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("v"), i + 1) * element_at(col("v"), j + 1))
+            .as("x")))))
+    v.select(explode(concat(means, crosses)).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.x")).as("s"), count(lit(1)).as("c"))
+  }
+
+  /** Covariance matrix as a DataFrame `(i, j, cov)` (upper triangle,
+    * i <= j) — the oracle-checkable half of PCA: everything after this is
+    * an eigendecomposition of a d×d driver matrix. Means and the corpus
+    * count join back as broadcast model-scale tables. */
+  def pcaCov(emb: DataFrame, vec: Column, decimals: Int = 6): DataFrame = {
+    val moments = momentAgg(emb.select(asDouble(vec).as("v")))
+    val mean = moments.filter(col("j") === -1)
+      .select(col("i"), (col("s") / col("c")).as("m"))
+    moments.filter(col("j") >= 0)
+      .join(broadcast(mean.select(col("i"), col("m").as("m_i"))), Seq("i"))
+      .join(broadcast(mean.select(col("i").as("j"), col("m").as("m_j"))),
+        Seq("j"))
+      .select(col("i"), col("j"),
+        // + 0.0 canonicalizes IEEE negative zero: a tiny negative
+        // covariance rounds to -0.0 in one engine and 0.0 in the other
+        (round(col("s") / col("c") - col("m_i") * col("m_j"), decimals)
+          + lit(0.0)).as("cov"))
+  }
+
+  /** Fit PCA: the moment aggregate collects MODEL-scale rows
+    * (d + d(d+1)/2), the covariance eigendecomposes on the driver by
+    * cyclic Jacobi rotations (symmetric d×d — exact for this size, no
+    * linear-algebra dependency), eigenpairs sort by eigenvalue
+    * descending and each vector is sign-canonicalized (largest-|·|
+    * component positive) so the model is deterministic. */
+  def pcaFit(emb: DataFrame, vec: Column, k: Int): PcaModel = {
+    val rows = momentAgg(emb.select(asDouble(vec).as("v"))).collect()
+    require(rows.nonEmpty, "pcaFit needs a non-empty embedding corpus")
+    val d = rows.iterator.map(_.getInt(0)).max + 1
+    require(k >= 1 && k <= d, s"k=$k out of range for dim $d")
+    val n = rows.find(r => r.getInt(1) == -1).map(_.getLong(3))
+      .getOrElse(throw new IllegalArgumentException(
+        "pcaFit needs a non-empty embedding corpus")).toDouble
+    val mean = Array.ofDim[Double](d)
+    val raw = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, s) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      if (j == -1) mean(i) = s / n
+      else { raw(i)(j) = s / n; raw(j)(i) = s / n }
+    }
+    val cov = Array.tabulate(d, d)((i, j) => raw(i)(j) - mean(i) * mean(j))
+    val (vals, vecs) = jacobiEigen(cov)
+    PcaModel(mean, vecs.take(k), vals.take(k))
+  }
+
+  /** Project onto the model's components: `k` codegen'd dot products per
+    * row against literal arrays, the centered term folded into a scalar
+    * offset (`(v-m)·w = v·w - m·w`). Zero shuffle, zero join — classify
+    * works identically on streams. */
+  def pcaProject(vec: Column, model: PcaModel, decimals: Int = 6): Column =
+    array(model.components.map { w =>
+      val offset = w.zip(model.mean).map { case (a, b) => a * b }.sum
+      round(dot(asDouble(vec), array(w.map(lit).toIndexedSeq: _*)) - offset,
+        decimals)
+    }.toIndexedSeq: _*)
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: rotate away
+    * the largest off-diagonal mass sweep by sweep until it vanishes
+    * (quadratic convergence; a handful of sweeps at d=64). Returns
+    * (eigenvalues desc, matching unit eigenvectors, sign-canonical). */
+  private def jacobiEigen(src: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = src.length
+    val a = src.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1
+        while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-22) {
+      for (p <- 0 until d - 1; q <- p + 1 until d
+           if math.abs(a(p)(q)) > 1e-300) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+                else 1.0 / (theta - math.sqrt(theta * theta + 1))
+        val c = 1.0 / math.sqrt(t * t + 1)
+        val s = t * c
+        var i = 0
+        while (i < d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+          i += 1
+        }
+        i = 0
+        while (i < d) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi
+          a(q)(i) = s * api + c * aqi
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+          i += 1
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { c =>
+      val col = Array.tabulate(d)(r => v(r)(c))
+      val dom = col.indices.maxBy(i => math.abs(col(i)))
+      if (col(dom) < 0) col.map(x => -x) else col
+    }.toArray
+    (vals, vecs)
+  }
 }

@@ -907,6 +907,26 @@ object ContentQueries {
         .withColumnRenamed("id", "vec_id")
         .orderBy(col("vec_id"))),
 
+    // PCA over the embedding corpus, the oracle-checkable half: the
+    // covariance matrix (upper triangle) from ONE scan of model-scale
+    // moment entries — the eigendecomposition after it is a d×d driver
+    // computation verified by spec invariants, not SQL.
+    "emb_pca_cov" -> ((s, d) =>
+      Similarity.pcaCov(emb(s, d), col("embedding"))
+        .orderBy(col("i"), col("j"))),
+
+    // Fit top-8 principal components and project every vector — the
+    // embedding-compression step ahead of ANN indexing. Eigenvectors
+    // aren't SQL-expressible, so no oracle row: SimilaritySpec pins
+    // orthonormality, the eigen residual, descending explained variance,
+    // and that per-component projection variance equals the eigenvalue.
+    "emb_pca_project" -> ((s, d) => {
+      val model = Similarity.pcaFit(emb(s, d), col("embedding"), k = 8)
+      emb(s, d).select(col("vec_id"),
+          Similarity.pcaProject(col("embedding"), model).as("pc"))
+        .orderBy(col("vec_id"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs found only
     // WITHIN k-means clusters — cluster id as the blocking key bounds the
     // quadratic search (plan-audited: no nested-loop join). Oracle replays
@@ -1285,6 +1305,22 @@ object ContentQueries {
         |  FROM n i JOIN n h ON i.vec_id % 7 = 0 AND h.vec_id % 7 <> 0)
         |SELECT new_id, dup_of, round(sim, 4) AS sim FROM p
         |WHERE round(sim, 4) >= 0.9 ORDER BY new_id, dup_of""".stripMargin,
+
+    // E[v_i v_j] - E[v_i]E[v_j] over double-cast floats; round(6) sits
+    // far above FP accumulation noise at every tested SF
+    "emb_pca_cov" ->
+      """WITH v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS e FROM embeddings),
+        |idx AS (SELECT i FROM unnest(range(1, 65)) AS u(i)),
+        |m AS (SELECT i, avg(e[i]) AS mu FROM v, idx GROUP BY i),
+        |c AS (SELECT a.i AS i, b.i AS j,
+        |    avg(v.e[a.i] * v.e[b.i]) AS exy
+        |  FROM v, idx a JOIN idx b ON a.i <= b.i
+        |  GROUP BY a.i, b.i)
+        |SELECT CAST(c.i - 1 AS INT) AS i, CAST(c.j - 1 AS INT) AS j,
+        |  round(c.exy - mi.mu * mj.mu, 6) + 0.0 AS cov
+        |FROM c JOIN m mi ON mi.i = c.i JOIN m mj ON mj.i = c.j
+        |ORDER BY i, j""".stripMargin,
 
     "sim_topk_bruteforce" ->
       """WITH v AS (SELECT vec_id,

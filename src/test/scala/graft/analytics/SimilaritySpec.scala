@@ -264,4 +264,49 @@ class SimilaritySpec extends SparkSuite {
         s"ADC distance mismatch for ($q,$n): ivfpq=$d pq=${pq.get((q, n))}")
     }
   }
+
+  test("pcaFit: components are orthonormal eigenpairs of the covariance, " +
+    "eigenvalues descend, and projection variance matches them") {
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val k = 8
+    val model = Similarity.pcaFit(emb, col("embedding"), k)
+    val d = model.mean.length
+    assert(model.components.length == k && model.components.forall(_.length == d))
+    // orthonormal: W Wt = I on the kept components
+    for (i <- 0 until k; j <- i until k) {
+      val dp = model.components(i).zip(model.components(j))
+        .map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dp - want) < 1e-9, s"w${i}.w${j} = $dp")
+    }
+    // eigenpair residual against the independently-computed covariance
+    val cov = Array.ofDim[Double](d, d)
+    Similarity.pcaCov(emb, col("embedding"), decimals = 12)
+      .as[(Int, Int, Double)].collect()
+      .foreach { case (i, j, c) => cov(i)(j) = c; cov(j)(i) = c }
+    for (c <- 0 until k) {
+      val w = model.components(c); val l = model.eigenvalues(c)
+      val res = (0 until d).map { r =>
+        val cw = (0 until d).map(x => cov(r)(x) * w(x)).sum
+        math.abs(cw - l * w(r))
+      }.max
+      assert(res < 1e-6, s"eigen residual $res for component $c (λ=$l)")
+    }
+    assert(model.eigenvalues.sliding(2).forall(p => p(0) >= p(1)),
+      s"eigenvalues must descend: ${model.eigenvalues.toSeq}")
+    assert(model.eigenvalues.forall(_ >= -1e-12),
+      "covariance eigenvalues cannot be negative")
+    // empirical variance of each projected coordinate = its eigenvalue
+    val proj = emb.select(
+        Similarity.pcaProject(col("embedding"), model, decimals = 9).as("pc"))
+      .as[Seq[Double]].collect()
+    val n = proj.length.toDouble
+    for (c <- 0 until k) {
+      val xs = proj.map(_(c))
+      val mu = xs.sum / n
+      val va = xs.map(x => (x - mu) * (x - mu)).sum / n
+      assert(math.abs(va - model.eigenvalues(c)) < 1e-6,
+        s"projected variance $va vs eigenvalue ${model.eigenvalues(c)}")
+    }
+  }
 }
