@@ -122,6 +122,20 @@ class DedupSpec extends SparkSuite {
     val propR = Dedup.dedupClusters(rpairs, col("a_id"), col("b_id"),
       maxIters = 60).as[(Long, Long)].collect().toMap
     assert(altR == propR, s"random graph mismatch")
+    // third, independent oracle: plain union-find over the same edges
+    val edges = rpairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val uf = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> find(x)).toMap
+    assert(altR == uf, s"union-find disagrees: $altR vs $uf")
 
     // a 120-edge chain has diameter 120: min-label propagation moves one
     // hop per round, so the default 25-round cap CANNOT converge it —
@@ -133,6 +147,41 @@ class DedupSpec extends SparkSuite {
     assert(deep.size == 121 && deep.values.forall(_ == 0L),
       s"chain must collapse to component 0: ${deep.toSeq.sortBy(_._1).take(8)}")
     graft.analytics.Caches.clear()
+  }
+
+  test("substringDedup equals a brute-force reference on random tiny-" +
+    "vocabulary corpora (duplicated spans arise by the birthday bound)") {
+    val k = 3
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c")
+      val docs = (1L to 12L).map { id =>
+        val n = rnd.nextInt(25) + 1
+        (id, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // reference: count k-shingles (as token slices), flag covered
+      // positions, reassemble — the definition, executed naively
+      val tokd = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split(" ", -1).toVector }
+      val counts = scala.collection.mutable.Map[Seq[String], Int]()
+        .withDefaultValue(0)
+      for ((_, ts) <- tokd; i <- 0 to ts.length - k)
+        counts(ts.slice(i, i + k)) += 1
+      val want = tokd.map { case (id, ts) =>
+        val dupStart = (0 to ts.length - k)
+          .filter(i => counts(ts.slice(i, i + k)) >= 2).toSet
+        val covered = ts.indices
+          .map(p => (math.max(0, p - k + 1) to p).exists(dupStart))
+        val kept = ts.zipWithIndex.collect {
+          case (t, i) if !covered(i) => t }
+        id -> ((ts.length.toLong, kept.length.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = Dedup.substringDedup(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), k)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == want, s"seed $seed:\ngot:  $got\nwant: $want")
+    }
   }
 
   test("sample_split_leakfree: no near-dup pair straddles a split " +

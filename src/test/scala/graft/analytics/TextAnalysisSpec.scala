@@ -266,6 +266,23 @@ class TextAnalysisSpec extends SparkSuite {
       .as[(String, Long)].collect().head
     assert((got.head._2 + got.head._3, got.head._4) == top,
       s"round-1 merge ${got.head} vs pair stat $top")
+    // random corpora: tiny alphabet forces dense pair collisions and
+    // multi-level merges (merged symbols re-entering the pair stats)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rdocs = (1L to 10L).map { id =>
+        (id, Seq.fill(rnd.nextInt(8) + 1)(
+          Seq.fill(rnd.nextInt(6) + 1)("ab" (rnd.nextInt(2))).mkString)
+          .mkString(" "))
+      }
+      val rGot = TextAnalysis.bpeTrain(rdocs.toDF("doc_id", "text"),
+          col("text"), merges = 5)
+        .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+      val rWords = rdocs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      assert(rGot == refBpe(rWords, 5), s"seed $seed: $rGot")
+    }
+
     // a chain-merge fixture: "aaaa"×2 — the (a,a) STAT counts overlapping
     // occurrences (3 per word) but the REWRITE is greedy non-overlapping
     // ([aa,aa], never [aa,a,a] or a re-merged triple), and round 2 must
