@@ -546,6 +546,50 @@ object Dedup {
     * same contract as the other text operators. */
   def substringDedup(docs: DataFrame, id: Column, text: Column,
                      k: Int = 15): DataFrame = {
+    val (sh, tok) = substringTables(docs, id, text, k)
+    val occ = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val dupStarts = sh.join(occ.hint("SHUFFLE_HASH"), Seq("h"))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("s").as("p"),
+        lit(null).cast("string").as("tok"), lit(1).as("dup"))
+    substringAssemble(tok, dupStarts, k)
+  }
+
+  /** The history side of INCREMENTAL substring dedup: every distinct
+    * k-shingle hash the corpus contains (no >=2 threshold — one history
+    * occurrence is enough to make an incoming span a duplicate).
+    * Corpus-scale output; keep it a DataFrame and let the per-batch
+    * semi-join shuffle it — never collect or broadcast it. */
+  def substringHistoryHashes(history: DataFrame, text: Column,
+                             k: Int = 15): DataFrame =
+    substringTables(history, lit(0L), text, k)._1
+      .select(col("h")).distinct()
+
+  /** Incremental exact-substring cleaning: drop from each BATCH document
+    * every >= `k`-token span that already occurs in the history corpus
+    * (`substringHistoryHashes`). Batch-INTERNAL duplication is
+    * deliberately not considered — that is `substringDedup`'s batch
+    * contract; this is the new-data-vs-lake discipline shared by the
+    * other `*Against` incrementals. Same output columns as
+    * `substringDedup`. */
+  def substringCleanAgainst(batch: DataFrame, id: Column, text: Column,
+                            historyHashes: DataFrame,
+                            k: Int = 15): DataFrame = {
+    val (sh, tok) = substringTables(batch, id, text, k)
+    // left_semi with a SHUFFLE_HASH hint: the history side must never
+    // become a broadcast build (it is corpus-scale)
+    val dupStarts = sh.join(historyHashes.hint("SHUFFLE_HASH"),
+        Seq("h"), "left_semi")
+      .select(col("doc_id"), col("s").as("p"),
+        lit(null).cast("string").as("tok"), lit(1).as("dup"))
+    substringAssemble(tok, dupStarts, k)
+  }
+
+  /** Positional shingle + token tables shared by the substring family:
+    * `(doc_id, s, h)` k-shingle starts with 8-byte hashes, and
+    * `(doc_id, p, tok, dup=0)` tokens. */
+  private def substringTables(docs: DataFrame, id: Column, text: Column,
+                              k: Int): (DataFrame, DataFrame) = {
     val toks = docs.select(id.as("doc_id"),
       split(lower(text), " ").as("t"))
     val sh = toks.filter(size(col("t")) >= k)
@@ -555,14 +599,18 @@ object Dedup {
           xxhash64(concat_ws(" ", slice(col("t"), i + 1, lit(k)))).as("h"))))
         .as("sh"))
       .select(col("doc_id"), col("sh.s").as("s"), col("sh.h").as("h"))
-    val occ = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
-    val dupStarts = sh.join(occ.hint("SHUFFLE_HASH"), Seq("h"))
-      .filter(col("c") >= 2)
-      .select(col("doc_id"), col("s").as("p"),
-        lit(null).cast("string").as("tok"), lit(1).as("dup"))
     val tok = toks.select(col("doc_id"), posexplode(col("t")))
       .toDF("doc_id", "p", "tok")
       .withColumn("dup", lit(0))
+    (sh, tok)
+  }
+
+  /** Coverage + reassembly shared by the substring family: union the
+    * dup-start flag rows into the token stream, mark covered tokens with
+    * one bounded-RANGE doc-keyed window, and rebuild the kept text (see
+    * `substringDedup` for why this never joins flags against tokens). */
+  private def substringAssemble(tok: DataFrame, dupStarts: DataFrame,
+                                k: Int): DataFrame = {
     val frame = Window.partitionBy("doc_id").orderBy("p")
       .rangeBetween(-(k - 1), 0)
     val cov = tok.unionByName(dupStarts)

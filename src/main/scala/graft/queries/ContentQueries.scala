@@ -449,6 +449,20 @@ object ContentQueries {
           md5(col("clean_text")).as("clean_fp"))
         .orderBy(col("doc_id"))),
 
+    // Incremental substring cleaning, oracle-checked with the shared
+    // batch-vs-history convention (doc_id % 7 = 0 is the increment):
+    // spans the history already contains are scrubbed from batch docs.
+    "dedup_substring_incr" -> ((s, d) => {
+      val all = docs(s, d)
+      val hh = Dedup.substringHistoryHashes(
+        all.filter(col("doc_id") % 7 =!= 0), col("text"), k = 15)
+      Dedup.substringCleanAgainst(all.filter(col("doc_id") % 7 === 0),
+          col("doc_id"), col("text"), hh, k = 15)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Leakage-free split: assign train/val/test by the md5 bucket of each
     // doc's near-dup CLUSTER REPRESENTATIVE (its own id when unclustered),
     // so a near-dup pair can never straddle the train/test boundary — the
@@ -1701,6 +1715,36 @@ object ContentQueries {
         |  WHERE len(t) >= 15),
         |occ AS (SELECT g, count(*) AS c FROM sh GROUP BY g),
         |ds AS (SELECT doc_id, s FROM sh JOIN occ USING (g) WHERE c >= 2),
+        |covp AS (SELECT DISTINCT doc_id, s + j AS p
+        |  FROM ds, LATERAL unnest(range(0, 15)) AS r(j)),
+        |tok AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+        |  FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)),
+        |cov AS (SELECT tok.doc_id, tok.p, tok.tok,
+        |    CASE WHEN covp.p IS NULL THEN 0 ELSE 1 END AS covered
+        |  FROM tok LEFT JOIN covp
+        |    ON tok.doc_id = covp.doc_id AND tok.p = covp.p)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN covered = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN covered = 0 THEN tok END, ' '
+        |    ORDER BY p), '')) AS clean_fp
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // batch shingle starts semi-joined against the HISTORY shingle set
+    // (any occurrence, no >=2 threshold), then the shared cover/reassemble
+    "dedup_substring_incr" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |htoks AS (SELECT string_split(lower(text), ' ') AS t
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |hsh AS (SELECT DISTINCT array_to_string(list_slice(t, i, i + 14), ' ') AS g
+        |  FROM htoks, LATERAL unnest(range(1, greatest(len(t) - 15 + 1, 0) + 1)) AS u(i)
+        |  WHERE len(t) >= 15),
+        |sh AS (SELECT doc_id, i - 1 AS s,
+        |    array_to_string(list_slice(t, i, i + 14), ' ') AS g
+        |  FROM toks, LATERAL unnest(range(1, greatest(len(t) - 15 + 1, 0) + 1)) AS u(i)
+        |  WHERE len(t) >= 15),
+        |ds AS (SELECT doc_id, s FROM sh WHERE g IN (SELECT g FROM hsh)),
         |covp AS (SELECT DISTINCT doc_id, s + j AS p
         |  FROM ds, LATERAL unnest(range(0, 15)) AS r(j)),
         |tok AS (SELECT doc_id, i - 1 AS p, t[i] AS tok

@@ -87,6 +87,28 @@ object Gates {
     batch.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** Incremental exact-substring cleaner — the one TRANSFORM in the
+    * stack: it rewrites `textCol` (dropping every >= `k`-token span the
+    * frozen history corpus already contains,
+    * `Dedup.substringCleanAgainst`) instead of filtering rows, and
+    * passes the batch schema through column-for-column. Stack it BEFORE
+    * `quality(minTokens = ...)` so documents cleaned down to nothing are
+    * then dropped explicitly. `histHashes` =
+    * `Dedup.substringHistoryHashes(lake, col("text"), k)` built once,
+    * outside the stream. */
+  def substringClean(histHashes: DataFrame, idCol: String, textCol: String,
+                     k: Int = 15): Gate = batch => {
+    val cleaned = graft.analytics.Dedup.substringCleanAgainst(batch,
+      col(idCol), col(textCol), histHashes, k)
+      .select(col("doc_id").as(idCol), col("clean_text"))
+    batch.join(cleaned, Seq(idCol), "left")
+      .select(batch.columns.toIndexedSeq.map {
+        case c if c == textCol =>
+          coalesce(col("clean_text"), col(textCol)).as(textCol)
+        case c => col(c)
+      }: _*)
+  }
+
   /** Embedding near-dup gate against a PREPPED history
     * (`Similarity.srpPrep(history, ...)` once, outside the stream —
     * rebuilding per batch would re-scan the whole history corpus): drop

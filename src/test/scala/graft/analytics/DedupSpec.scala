@@ -184,6 +184,30 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("substringCleanAgainst drops history-known spans only — batch-" +
+    "internal duplication passes through (that is substringDedup's job)") {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val span = words("h", 4)
+    val history = Seq((100L, s"${words("x", 3)} $span ${words("y", 3)}"))
+      .toDF("doc_id", "text")
+    val hh = Dedup.substringHistoryHashes(history, col("text"), k = 4)
+    val internal = words("z", 4) // duplicated WITHIN the batch only
+    val batch = Seq(
+      (1L, s"${words("a", 3)} $span ${words("b", 3)}"), // history span
+      (2L, s"$internal ${words("c", 3)} $internal"),    // internal dup
+      (3L, words("u", 8))                               // novel
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringCleanAgainst(batch, col("doc_id"), col("text"),
+        hh, k = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(1L) == ((10L, 6L, s"${words("a", 3)} ${words("b", 3)}")), r(1L))
+    assert(r(2L)._3 == s"$internal ${words("c", 3)} $internal",
+      s"batch-internal dup must survive the incremental clean: ${r(2L)}")
+    assert(r(3L) == ((8L, 8L, words("u", 8))), r(3L))
+  }
+
   test("sample_split_leakfree: no near-dup pair straddles a split " +
     "boundary, and unclustered docs keep sample_split's assignment") {
     val splits = graft.SparkEntry.queries("sample_split_leakfree")(spark, sf0001)

@@ -364,6 +364,46 @@ class StreamingIngestSpec extends SparkSuite {
       s"near-dup 10 must be dropped inside the stack; got ${kept.toSeq}")
   }
 
+  test("Gates.substringClean composes into the startPipeline stack: " +
+    "history-known spans are scrubbed from the payload before the write") {
+    val src = Files.createTempDirectory("ssc_src").toString
+    val out = Files.createTempDirectory("ssc_out").toString
+    val ckpt = Files.createTempDirectory("ssc_ckpt").toString
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon unique history tail words"))
+      .toDF("doc_id", "text")
+    val hh = graft.analytics.Dedup.substringHistoryHashes(
+      history, col("text"), k = 5)
+    Seq(
+      (0, 0L, 10L, "fresh start alpha beta gamma delta epsilon fresh end"),
+      (0, 1L, 11L, "nothing here overlaps the historical corpus at all"))
+      .toDF("kafka_partition", "offset", "doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("kafka_partition",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("offset",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = StreamingIngest.startPipeline(
+      spark.readStream.schema(schema).parquet(src),
+      IngestConfig(topic = "ssc", flushSize = 100),
+      PartitionerSpec.Default, out, ckpt,
+      col("kafka_partition"), col("offset"),
+      payloadCols = Seq(col("offset"), col("doc_id"), col("text")),
+      gates = Seq(Gates.substringClean(hh, "doc_id", "text", k = 5)))
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(s"$out/topics/ssc")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got(10L) == "fresh start fresh end",
+      s"history 5-gram must be scrubbed in-stream: '${got(10L)}'")
+    assert(got(11L) == "nothing here overlaps the historical corpus at all",
+      s"novel doc must pass byte-identical: '${got(11L)}'")
+  }
+
   test("streaming near-dup gate drops micro-batch rows that near-dup the " +
     "static history and appends the survivors") {
     val src = Files.createTempDirectory("nd_src").toString
