@@ -273,7 +273,11 @@ object Compaction {
     * holds an O(#objects) structure. `partitionPredicate` (over the
     * derived `encoded_partition` column) prunes the manifest BEFORE any
     * path materializes — a partition-scoped snapshot of a 4M-object lake
-    * costs only that partition's keys. Two physical modes:
+    * costs only that partition's keys. `rangePredicates`
+    * (`(column, lower, upper)` over `cfg.statsColumns` manifest stats)
+    * additionally skips objects whose recorded [min, max] proves them
+    * empty for the range — the Delta/Iceberg data-skipping discipline,
+    * fail-open on missing stats. Two physical modes:
     *
     *  - **Explicit paths** (pruned key count ≤ `maxExplicitPaths`): loads
     *    the literal key names — an in-flight, corrupt or schema-evolved
@@ -293,18 +297,37 @@ object Compaction {
     */
   def readCommitted(spark: SparkSession, outDir: String, cfg: IngestConfig,
                     partitionPredicate: Option[Column] = None,
-                    maxExplicitPaths: Int = 100000): DataFrame = {
+                    maxExplicitPaths: Int = 100000,
+                    rangePredicates: Seq[(String, Double, Double)] = Nil)
+      : DataFrame = {
     val topicDir = s"$outDir/${cfg.topicsDir}/${cfg.topic}"
     val committedAll = CommitManifest.committedDf(spark, topicDir)
       .getOrElse(throw new IllegalArgumentException(
         s"readCommitted needs commit manifests under " +
           s"$topicDir/_graft_manifest (enable writeManifest in Ingest.run)"))
-    val keys = committedAll.select(col("object_key")).distinct()
+    // duplicate keys across generations: keep any stats row (replay
+    // residue carries identical stats)
+    val keys = committedAll
+      .groupBy(col("object_key"))
+      .agg(max_by(col("col_stats"), col("end_offset")).as("col_stats"))
       .withColumn("encoded_partition",
         when(col("object_key").contains("/"),
           regexp_replace(col("object_key"), "/[^/]+$", ""))
           .otherwise(lit("")))
-    val pruned = partitionPredicate.fold(keys)(keys.filter)
+    // data skipping (`cfg.statsColumns` → manifest `col_stats`): drop an
+    // object only when a recorded [lo, hi] for the column PROVES it holds
+    // no row in [lower, upper] — missing stats (older generations,
+    // stat-less lakes, unlisted columns) FAIL OPEN to a read, so pruning
+    // can shrink the result's file set but never its row set (the caller
+    // still applies the row-level predicate)
+    val statPruned = rangePredicates.foldLeft(keys) {
+      case (df, (name, lower, upper)) =>
+        df.filter(size(filter(coalesce(col("col_stats"),
+            array().cast("array<struct<c: string, lo: double, hi: double>>")),
+          s => s.getField("c") === name &&
+            (s.getField("lo") > upper || s.getField("hi") < lower))) === 0)
+    }
+    val pruned = partitionPredicate.fold(statPruned)(statPruned.filter)
     val n = pruned.count() // ONE scalar to the driver
     // fail CLOSED: an empty committed set must not degrade into an
     // unfiltered full-lake read

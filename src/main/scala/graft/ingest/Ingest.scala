@@ -275,11 +275,20 @@ object CommitManifest {
     val grouped = Rotation.assignSizeFiles(
       df.withColumn("__epart", encodedPartition), struct(groupKey: _*),
       offset, cfg.flushSize)
+    // per-object [min,max] of the configured numeric stats columns ride
+    // the same aggregate — zero extra passes; doubles keep the manifest
+    // schema static across lakes with different stats configs
+    val statAggs = Seq(max(offset).as("end_offset"),
+      count(lit(1)).as("record_count")) ++
+      (if (cfg.statsColumns.isEmpty) Nil
+       else Seq(array(cfg.statsColumns.map(c =>
+         struct(lit(c).as("c"), min(col(c)).cast("double").as("lo"),
+           max(col(c)).cast("double").as("hi"))): _*).as("col_stats")))
     val stats = grouped
       .groupBy(col("__epart").as("encoded_partition"),
         kafkaPartition.as("kafka_partition"),
         col(Rotation.StartOffsetCol).as("start_offset"))
-      .agg(max(offset).as("end_offset"), count(lit(1)).as("record_count"))
+      .agg(statAggs.head, statAggs.tail: _*)
       .withColumn("object_key", objectKey(col("encoded_partition"),
         FileNaming.fileName(lit(cfg.topic), col("kafka_partition"),
           col("start_offset"), cfg.extension, cfg.padWidth)))
@@ -292,7 +301,9 @@ object CommitManifest {
     when(epart === "", fname).otherwise(concat(epart, lit("/"), fname))
 
   private[ingest] val ManifestSchema =
-    "object_key STRING, start_offset LONG, end_offset LONG, record_count LONG"
+    "object_key STRING, start_offset LONG, end_offset LONG, " +
+      "record_count LONG, " +
+      "col_stats ARRAY<STRUCT<c: STRING, lo: DOUBLE, hi: DOUBLE>>"
 
   /** Stream a stats frame (encoded_partition, start_offset, end_offset,
     * record_count, object_key) to `commit-<min>-<max>-<keyhash>.json`
@@ -312,10 +323,16 @@ object CommitManifest {
   private[ingest] def writeStats(stats: DataFrame,
                                  topicDir: String): String = {
     val spark = stats.sparkSession
-    val ordered = stats.orderBy(col("object_key"))
+    val withStats =
+      if (stats.columns.contains("col_stats")) stats
+      else stats.withColumn("col_stats",
+        lit(null).cast("array<struct<c: string, lo: double, hi: double>>"))
+    val ordered = withStats.orderBy(col("object_key"))
+    // to_json drops null fields, so stat-less lakes keep the original
+    // four-field line format
     val jsonLines = ordered.select(to_json(struct(
       col("object_key"), col("start_offset"), col("end_offset"),
-      col("record_count"))).as("value"))
+      col("record_count"), col("col_stats"))).as("value"))
     val manifestDir = s"$topicDir/_graft_manifest"
     val tmp = s"$manifestDir/_tmp"
     jsonLines.coalesce(1).write.mode("overwrite").text(tmp)
@@ -380,11 +397,12 @@ object CommitManifest {
       .json(files.map(_.toString): _*)
       .groupBy(col("object_key"))
       .agg(max_by(
-        struct(col("start_offset"), col("end_offset"), col("record_count")),
+        struct(col("start_offset"), col("end_offset"), col("record_count"),
+          col("col_stats")),
         struct(col("end_offset"), col("record_count"), col("start_offset")))
         .as("__r"))
       .select(col("object_key"), col("__r.start_offset"),
-        col("__r.end_offset"), col("__r.record_count"))
+        col("__r.end_offset"), col("__r.record_count"), col("__r.col_stats"))
     val written = writeStats(merged, topicDir)
     val writtenName = new org.apache.hadoop.fs.Path(written).getName
     val fs = new org.apache.hadoop.fs.Path(topicDir)

@@ -72,7 +72,14 @@ final case class IngestConfig(
       * S3SinkConnectorConfig.java:181-186): under IgnoreNulls, dropped
       * tombstones surface on `Ingest.Result.reportedNulls` for DLQ
       * routing instead of vanishing silently. */
-    reportNullsToDlq: Boolean = true) {
+    reportNullsToDlq: Boolean = true,
+    /** Data-skipping stats (extension beyond the reference, the
+      * Delta/Iceberg per-file min/max discipline): NUMERIC payload
+      * columns whose per-object [min, max] ride in the commit manifest,
+      * letting `readCommitted(rangePredicates = ...)` prune objects
+      * before any read. Pair with z-order layout — clustering is what
+      * makes the ranges tight enough to skip. */
+    statsColumns: Seq[String] = Nil) {
 
   private def baseExt: String = format match {
     case OutputFormat.ByteArray => byteArrayExtension

@@ -44,6 +44,55 @@ class CompactionSpec extends SparkSuite {
     assert(remaining == Seq("cmp+0+0000000000.parquet"))
   }
 
+  test("manifest column stats skip objects on range reads: fewer files " +
+    "open, identical row set, fail-open without stats") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "skip", flushSize = 10,
+      statsColumns = Seq("price"))
+    // price is monotone in offset, so each 10-record object covers a
+    // disjoint [lo, hi] — the z-ordered/clustered shape stats need
+    val df = (0L until 60L).map(o => (0, o, o * 100L, s"t${o % 2}"))
+      .toDF("kafka_partition", "offset", "price", "event_type")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("price"), col("event_type")),
+      writeManifest = true)
+    // [2000, 2500] lives in ONE object per partition (t0: offsets 20..25
+    // within its 20..38 file; t1 likewise)
+    val hit = Compaction.readCommitted(spark, out, cfg,
+        rangePredicates = Seq(("price", 2000.0, 2500.0)))
+      .filter(col("price").between(2000, 2500))
+    val full = spark.read.parquet(s"$out/topics/skip")
+      .filter(col("price").between(2000, 2500))
+    assert(hit.select("offset").as[Long].collect().sorted.toSeq ==
+      full.select("offset").as[Long].collect().sorted.toSeq)
+    val filesOpened = hit.select(input_file_name()).distinct().count()
+    assert(filesOpened == 2,
+      s"one object per partition covers the range; opened $filesOpened")
+    // out-of-range → zero objects survive pruning; the read must fail
+    // CLOSED on the empty committed set rather than scan the lake
+    intercept[IllegalArgumentException] {
+      Compaction.readCommitted(spark, out, cfg,
+        rangePredicates = Seq(("price", 1e9, 2e9)))
+    }
+    // a column with NO recorded stats fails open: every object read
+    val open = Compaction.readCommitted(spark, out, cfg,
+      rangePredicates = Seq(("offset", 20.0, 25.0)))
+    assert(open.select(input_file_name()).distinct().count() == 6,
+      "missing stats must never prune")
+    // stats survive a second generation + manifest compaction
+    val df2 = (60L until 70L).map(o => (0, o, o * 100L, s"t${o % 2}"))
+      .toDF("kafka_partition", "offset", "price", "event_type")
+    Ingest.run(df2, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("price"), col("event_type")),
+      writeManifest = true)
+    assert(CommitManifest.compactManifests(spark, s"$out/topics/skip") == 2)
+    val afterCompact = Compaction.readCommitted(spark, out, cfg,
+        rangePredicates = Seq(("price", 2000.0, 2500.0)))
+      .filter(col("price").between(2000, 2500))
+    assert(afterCompact.select("offset").as[Long].collect().sorted.toSeq ==
+      full.select("offset").as[Long].collect().sorted.toSeq)
+  }
+
   test("compaction replays idempotently, including over a simulated " +
     "mid-swap crash (new generation written, stale not yet deleted)") {
     val out = freshDir()
