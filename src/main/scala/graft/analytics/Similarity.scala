@@ -624,7 +624,11 @@ object Similarity {
     * an eigendecomposition of a d×d driver matrix. Means and the corpus
     * count join back as broadcast model-scale tables. */
   def pcaCov(emb: DataFrame, vec: Column, decimals: Int = 6): DataFrame = {
-    val moments = momentAgg(emb.select(asDouble(vec).as("v")))
+    // persist the MODEL-scale aggregate: it is referenced twice below
+    // (mean side + cross side) and an unpersisted plan would re-scan the
+    // corpus once per reference
+    val moments = Caches.persist(
+      momentAgg(emb.select(asDouble(vec).as("v"))))
     val mean = moments.filter(col("j") === -1)
       .select(col("i"), (col("s") / col("c")).as("m"))
     moments.filter(col("j") >= 0)

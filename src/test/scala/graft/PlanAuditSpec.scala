@@ -113,6 +113,30 @@ class PlanAuditSpec extends SparkSuite {
     assert(!tree.slice(agg, win).exists(_.contains("Exchange")), p)
   }
 
+  test("emb_pca_cov: one corpus scan — the model-scale moment aggregate " +
+    "is cached and serves both the mean and cross-moment branches") {
+    val p = plan("emb_pca_cov")
+    assert(p.contains("InMemoryTableScan"),
+      "moments must be persisted or every reference re-scans the corpus\n" + p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    graft.analytics.Caches.clear()
+  }
+
+  test("text_bpe_pairs: pair explode runs over the VOCABULARY (above the " +
+    "word-frequency aggregate) and top-k is TakeOrdered, not a sort") {
+    val p = plan("text_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // top-down tree order must be: pair-count aggregate, THEN the pair
+    // explode, THEN the word-frequency aggregate — i.e. the explode
+    // consumes the aggregated vocabulary, not the corpus token stream
+    val tree = p.linesIterator.toVector
+    val firstAgg = tree.indexWhere(_.contains("HashAggregate"))
+    val pairGen = tree.indexWhere(_.contains("Generate"))
+    val lastAgg = tree.lastIndexWhere(_.contains("HashAggregate"))
+    assert(firstAgg >= 0 && firstAgg < pairGen && pairGen < lastAgg,
+      s"pair explode must sit between the two aggregates\n$p")
+  }
+
   test("q31: the no-equi-key band join runs as a bucket equi-join, " +
     "never a nested-loop/cartesian plan") {
     val p = plan("q31_band_join")
