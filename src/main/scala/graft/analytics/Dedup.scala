@@ -375,11 +375,18 @@ object Dedup {
     * input is re-derivable near-dup pairs. */
   def dedupClustersAlternating(pairs: DataFrame, a: Column, b: Column,
                                maxIters: Int = 20): DataFrame = {
-    var edges = pairs
+    // checkpoint BEFORE the self-loop filter: `nodes` must include docs
+    // appearing only in degenerate (x, x) pairs — dedupClusters emits
+    // them self-labeled, and the two engines advertise one contract —
+    // and both derivations should share the one materialized base rather
+    // than re-running the (expensive) candidate generator
+    val base = pairs
       .select(least(a, b).as("lo"), greatest(a, b).as("hi"))
-      .filter(col("lo") =!= col("hi"))
       .distinct()
       .localCheckpoint(false)
+    val nodes = base.select(explode(array(col("lo"), col("hi")))
+      .as("doc_id")).distinct()
+    var edges = base.filter(col("lo") =!= col("hi"))
     var prevSig: (Long, Long) = (-1L, 0L)
     var converged = false
     var i = 0
@@ -415,10 +422,12 @@ object Dedup {
       i += 1
     }
     // the converged edge set is the star forest (lo = component min):
-    // members from the edges, roots label themselves
-    edges.select(col("hi").as("doc_id"), col("lo").as("cluster_rep"))
-      .unionByName(edges.select(col("lo").as("doc_id"),
-        col("lo").as("cluster_rep")).distinct())
+    // members read their root off the edges; roots and self-loop-only
+    // docs fall through the left join and label themselves
+    nodes.join(edges.select(col("hi").as("doc_id"),
+        col("lo").as("rep")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
   }
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
@@ -542,8 +551,10 @@ object Dedup {
     *
     * Output: `(doc_id, n_tokens, n_kept, clean_text)` — `clean_text` is
     * the document with every duplicated span removed (empty string when
-    * nothing survives). Tokenization = lowercase whitespace split, the
-    * same contract as the other text operators. */
+    * nothing survives). Matching is CASE-INSENSITIVE (lowercase
+    * whitespace-split shingles, the other text operators' contract);
+    * kept tokens keep their original bytes, so an untouched document
+    * round-trips byte-identically through split/rejoin. */
   def substringDedup(docs: DataFrame, id: Column, text: Column,
                      k: Int = 15): DataFrame = {
     val (sh, tok) = substringTables(docs, id, text, k)
@@ -587,10 +598,14 @@ object Dedup {
 
   /** Positional shingle + token tables shared by the substring family:
     * `(doc_id, s, h)` k-shingle starts with 8-byte hashes, and
-    * `(doc_id, p, tok, dup=0)` tokens. */
+    * `(doc_id, p, tok, dup=0)` tokens. Span MATCHING is case-insensitive
+    * (hashes over lowercased tokens); the token table keeps the ORIGINAL
+    * text, so reassembly is byte-preserving for every kept token —
+    * lowercasing never moves a space, so positions align between the two
+    * splits. */
   private def substringTables(docs: DataFrame, id: Column, text: Column,
                               k: Int): (DataFrame, DataFrame) = {
-    val toks = docs.select(id.as("doc_id"),
+    val toks = docs.select(id.as("doc_id"), split(text, " ").as("rt"),
       split(lower(text), " ").as("t"))
     val sh = toks.filter(size(col("t")) >= k)
       .select(col("doc_id"), explode(transform(
@@ -599,7 +614,7 @@ object Dedup {
           xxhash64(concat_ws(" ", slice(col("t"), i + 1, lit(k)))).as("h"))))
         .as("sh"))
       .select(col("doc_id"), col("sh.s").as("s"), col("sh.h").as("h"))
-    val tok = toks.select(col("doc_id"), posexplode(col("t")))
+    val tok = toks.select(col("doc_id"), posexplode(col("rt")))
       .toDF("doc_id", "p", "tok")
       .withColumn("dup", lit(0))
     (sh, tok)

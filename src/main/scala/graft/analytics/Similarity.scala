@@ -695,8 +695,20 @@ object Similarity {
         while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
       s
     }
+    // convergence is RELATIVE to the matrix's own scale (Frobenius norm):
+    // an absolute cutoff would declare tiny-valued covariances (e.g.
+    // pre-normalized embeddings, entries ~1e-14) "converged" after zero
+    // sweeps and return coordinate axes instead of eigenvectors, while
+    // large-valued ones would always burn every sweep
+    val fro2 = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = 0
+        while (j < d) { s += src(i)(j) * src(i)(j); j += 1 }; i += 1 }
+      s
+    }
     var sweep = 0
-    while (sweep < 64 && off() > 1e-22) {
+    while (sweep < 64 && off() > 1e-24 * fro2) {
       for (p <- 0 until d - 1; q <- p + 1 until d
            if math.abs(a(p)(q)) > 1e-300) {
         val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))

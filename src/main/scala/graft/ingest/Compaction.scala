@@ -223,11 +223,19 @@ object Compaction {
     if (oldManifests.nonEmpty) {
       val fresh = readLake(spark, topicDir, cfg,
         files.map(f => (f.encodedPartition, f.fileName)))
+      // recompute cfg.statsColumns [min,max] for the NEW objects — the
+      // fresh scan already has the payload columns; dropping them here
+      // would permanently strip data-skipping stats on first compact
+      val statAggs = Seq(min(col(offsetCol)).as("start_offset"),
+        max(col(offsetCol)).as("end_offset"),
+        count(lit(1)).as("record_count")) ++
+        (if (cfg.statsColumns.isEmpty) Nil
+         else Seq(array(cfg.statsColumns.map(c =>
+           struct(lit(c).as("c"), min(col(c)).cast("double").as("lo"),
+             max(col(c)).cast("double").as("hi"))): _*).as("col_stats")))
       val stats = fresh.groupBy(col("__epart").as("encoded_partition"),
           col("__fname").as("fname"))
-        .agg(min(col(offsetCol)).as("start_offset"),
-          max(col(offsetCol)).as("end_offset"),
-          count(lit(1)).as("record_count"))
+        .agg(statAggs.head, statAggs.tail: _*)
         .withColumn("object_key",
           CommitManifest.objectKey(col("encoded_partition"), col("fname")))
       val written = CommitManifest.writeStats(stats, topicDir)
@@ -262,8 +270,6 @@ object Compaction {
       }
   }
 
-  /** Task-side parallel delete of (encodedPartition, fileName) objects —
-    * the driver never performs per-object I/O. */
   /** Manifest-snapshot read: ONLY the objects the commit manifests vouch
     * for — a consistent committed view (the read-side complement of
     * `vacuum`: vacuum deletes what the manifest disowns, this simply
@@ -329,12 +335,22 @@ object Compaction {
     }
     val pruned = partitionPredicate.fold(statPruned)(statPruned.filter)
     val n = pruned.count() // ONE scalar to the driver
-    // fail CLOSED: an empty committed set must not degrade into an
-    // unfiltered full-lake read
-    require(n > 0,
-      s"manifests under $topicDir/_graft_manifest vouch for no objects" +
-        (if (partitionPredicate.isDefined) " under the partition predicate"
-         else ""))
+    // fail CLOSED only when the MANIFESTS are empty (an empty committed
+    // set must not degrade into an unfiltered full-lake read). Predicates
+    // legitimately pruning a healthy lake to zero objects answer with an
+    // EMPTY frame in the lake's schema — "no rows in range" is a result,
+    // not an error.
+    if (n == 0) {
+      require(!keys.isEmpty,
+        s"manifests under $topicDir/_graft_manifest vouch for no objects")
+      val probeKey = keys.select(col("object_key"))
+        .orderBy(col("object_key")).limit(1).head.getString(0)
+      val schema = spark.read.format(cfg.format.sparkFormat)
+        .option("basePath", topicDir)
+        .load(s"$topicDir/${escapeGlob(probeKey)}").schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     if (n <= maxExplicitPaths) {
       val paths = pruned.select("object_key").collect()
         .map(_.getString(0)).sorted

@@ -1707,7 +1707,8 @@ object ContentQueries {
     // string_agg (nothing kept) coalesces to '' to match Spark's empty
     // concat_ws
     "dedup_substring" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t,
+        |    string_split(text, ' ') AS rt
         |  FROM documents),
         |sh AS (SELECT doc_id, i - 1 AS s,
         |    array_to_string(list_slice(t, i, i + 14), ' ') AS g
@@ -1717,8 +1718,8 @@ object ContentQueries {
         |ds AS (SELECT doc_id, s FROM sh JOIN occ USING (g) WHERE c >= 2),
         |covp AS (SELECT DISTINCT doc_id, s + j AS p
         |  FROM ds, LATERAL unnest(range(0, 15)) AS r(j)),
-        |tok AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
-        |  FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)),
+        |tok AS (SELECT doc_id, i - 1 AS p, rt[i] AS tok
+        |  FROM toks, LATERAL unnest(range(1, len(rt) + 1)) AS u(i)),
         |cov AS (SELECT tok.doc_id, tok.p, tok.tok,
         |    CASE WHEN covp.p IS NULL THEN 0 ELSE 1 END AS covered
         |  FROM tok LEFT JOIN covp
@@ -1733,7 +1734,8 @@ object ContentQueries {
     // batch shingle starts semi-joined against the HISTORY shingle set
     // (any occurrence, no >=2 threshold), then the shared cover/reassemble
     "dedup_substring_incr" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t,
+        |    string_split(text, ' ') AS rt
         |  FROM documents WHERE doc_id % 7 = 0),
         |htoks AS (SELECT string_split(lower(text), ' ') AS t
         |  FROM documents WHERE doc_id % 7 <> 0),
@@ -1747,8 +1749,8 @@ object ContentQueries {
         |ds AS (SELECT doc_id, s FROM sh WHERE g IN (SELECT g FROM hsh)),
         |covp AS (SELECT DISTINCT doc_id, s + j AS p
         |  FROM ds, LATERAL unnest(range(0, 15)) AS r(j)),
-        |tok AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
-        |  FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)),
+        |tok AS (SELECT doc_id, i - 1 AS p, rt[i] AS tok
+        |  FROM toks, LATERAL unnest(range(1, len(rt) + 1)) AS u(i)),
         |cov AS (SELECT tok.doc_id, tok.p, tok.tok,
         |    CASE WHEN covp.p IS NULL THEN 0 ELSE 1 END AS covered
         |  FROM tok LEFT JOIN covp

@@ -91,20 +91,25 @@ object Gates {
     * stack: it rewrites `textCol` (dropping every >= `k`-token span the
     * frozen history corpus already contains,
     * `Dedup.substringCleanAgainst`) instead of filtering rows, and
-    * passes the batch schema through column-for-column. Stack it BEFORE
+    * passes the batch schema through column-for-column. Matching is
+    * case-insensitive; kept tokens keep their original bytes, so a
+    * document with no history overlap passes through BYTE-IDENTICAL.
+    * Stack it BEFORE
     * `quality(minTokens = ...)` so documents cleaned down to nothing are
     * then dropped explicitly. `histHashes` =
     * `Dedup.substringHistoryHashes(lake, col("text"), k)` built once,
     * outside the stream. */
   def substringClean(histHashes: DataFrame, idCol: String, textCol: String,
                      k: Int = 15): Gate = batch => {
+    // reserved join-column name: a payload already carrying "clean_text"
+    // must not make the select ambiguous
     val cleaned = graft.analytics.Dedup.substringCleanAgainst(batch,
       col(idCol), col(textCol), histHashes, k)
-      .select(col("doc_id").as(idCol), col("clean_text"))
+      .select(col("doc_id").as(idCol), col("clean_text").as("__ssc_clean"))
     batch.join(cleaned, Seq(idCol), "left")
       .select(batch.columns.toIndexedSeq.map {
         case c if c == textCol =>
-          coalesce(col("clean_text"), col(textCol)).as(textCol)
+          coalesce(col("__ssc_clean"), col(textCol)).as(textCol)
         case c => col(c)
       }: _*)
   }

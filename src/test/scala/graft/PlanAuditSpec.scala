@@ -84,11 +84,18 @@ class PlanAuditSpec extends SparkSuite {
     // truncation re-grows the plan (doubling per round) until merely
     // rendering it exhausts the driver. The converged result must be a
     // flat scan over the final round's RDD with NO joins left in it.
-    for (name <- Seq("dedup_clusters", "dedup_clusters_alt")) {
-      val p = plan(name)
-      assert(p.contains("Scan ExistingRDD"), s"$name: $p")
-      assert(!p.contains("Join"), s"$name: $p")
-    }
+    val prop = plan("dedup_clusters")
+    assert(prop.contains("Scan ExistingRDD"), prop)
+    assert(!prop.contains("Join"), prop)
+    // the alternating engine's converged plan keeps exactly ONE join —
+    // the final nodes⟕star-forest label lookup — on top of checkpointed
+    // scans; iterative lineage would show a join pyramid
+    val alt = plan("dedup_clusters_alt")
+    assert(alt.contains("Scan ExistingRDD"), alt)
+    // count join nodes by their detail headers ("(n) XyzJoin"), one per
+    // physical node
+    val joinNodes = "\\(\\d+\\) \\w*Join".r.findAllIn(alt).length
+    assert(joinNodes <= 1, s"expected at most one join node, got $joinNodes\n$alt")
   }
 
   test("dedup_substring: coverage is a union + ONE doc-keyed window — " +

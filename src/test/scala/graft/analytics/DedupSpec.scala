@@ -101,11 +101,12 @@ class DedupSpec extends SparkSuite {
 
   test("dedupClustersAlternating equals dedupClusters on mixed graphs and " +
     "handles a 120-deep chain the propagation default cap cannot") {
-    // mixed: chain + clique + pair (same fixture as above)
+    // mixed: chain + clique + pair + a degenerate SELF-pair (both
+    // engines must emit (30, 30) — 'every doc appearing in a pair')
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (10L, 12L), (11L, 12L),
-      (20L, 21L)).toDF("a_id", "b_id")
+      (20L, 21L), (30L, 30L)).toDF("a_id", "b_id")
     val alt = Dedup.dedupClustersAlternating(pairs, col("a_id"), col("b_id"))
       .as[(Long, Long)].collect().toMap
     val prop = Dedup.dedupClusters(pairs, col("a_id"), col("b_id"))
@@ -154,22 +155,26 @@ class DedupSpec extends SparkSuite {
     val k = 3
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(seed)
-      val vocab = Vector("a", "b", "c")
+      // "b" and "B" are the SAME token for matching (case-insensitive)
+      // but distinct bytes in the reassembled output
+      val vocab = Vector("a", "b", "B")
       val docs = (1L to 12L).map { id =>
         val n = rnd.nextInt(25) + 1
         (id, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
       }
-      // reference: count k-shingles (as token slices), flag covered
-      // positions, reassemble — the definition, executed naively
+      // reference: count LOWERCASED k-shingles (case-insensitive match),
+      // flag covered positions, reassemble from the RAW tokens — the
+      // definition, executed naively
       val tokd = docs.map { case (id, t) =>
-        id -> t.toLowerCase.split(" ", -1).toVector }
+        id -> t.split(" ", -1).toVector }
       val counts = scala.collection.mutable.Map[Seq[String], Int]()
         .withDefaultValue(0)
       for ((_, ts) <- tokd; i <- 0 to ts.length - k)
-        counts(ts.slice(i, i + k)) += 1
+        counts(ts.slice(i, i + k).map(_.toLowerCase)) += 1
       val want = tokd.map { case (id, ts) =>
         val dupStart = (0 to ts.length - k)
-          .filter(i => counts(ts.slice(i, i + k)) >= 2).toSet
+          .filter(i => counts(ts.slice(i, i + k).map(_.toLowerCase)) >= 2)
+          .toSet
         val covered = ts.indices
           .map(p => (math.max(0, p - k + 1) to p).exists(dupStart))
         val kept = ts.zipWithIndex.collect {
@@ -194,9 +199,10 @@ class DedupSpec extends SparkSuite {
     val hh = Dedup.substringHistoryHashes(history, col("text"), k = 4)
     val internal = words("z", 4) // duplicated WITHIN the batch only
     val batch = Seq(
-      (1L, s"${words("a", 3)} $span ${words("b", 3)}"), // history span
+      // the history span arrives UPPERCASED: matching is case-insensitive
+      (1L, s"${words("a", 3)} ${span.toUpperCase} ${words("b", 3)}"),
       (2L, s"$internal ${words("c", 3)} $internal"),    // internal dup
-      (3L, words("u", 8))                               // novel
+      (3L, s"MiXeD ${words("u", 7)}")                   // novel, mixed case
     ).toDF("doc_id", "text")
     val r = Dedup.substringCleanAgainst(batch, col("doc_id"), col("text"),
         hh, k = 4)
@@ -205,7 +211,8 @@ class DedupSpec extends SparkSuite {
     assert(r(1L) == ((10L, 6L, s"${words("a", 3)} ${words("b", 3)}")), r(1L))
     assert(r(2L)._3 == s"$internal ${words("c", 3)} $internal",
       s"batch-internal dup must survive the incremental clean: ${r(2L)}")
-    assert(r(3L) == ((8L, 8L, words("u", 8))), r(3L))
+    assert(r(3L) == ((8L, 8L, s"MiXeD ${words("u", 7)}")),
+      s"novel doc must keep its original bytes: ${r(3L)}")
   }
 
   test("sample_split_leakfree: no near-dup pair straddles a split " +

@@ -308,5 +308,18 @@ class SimilaritySpec extends SparkSuite {
       assert(math.abs(va - model.eigenvalues(c)) < 1e-6,
         s"projected variance $va vs eigenvalue ${model.eigenvalues(c)}")
     }
+    // scale-invariance of the eigensolver: shrinking every vector by 1e-4
+    // shrinks eigenvalues by 1e-8 but must leave the components intact —
+    // an ABSOLUTE convergence threshold would bail before any rotation on
+    // the tiny covariance and hand back coordinate axes
+    val scaled = emb.select(transform(col("embedding"),
+      x => x * lit(1e-4f)).as("embedding"))
+    val m2 = Similarity.pcaFit(scaled, col("embedding"), k)
+    val lr = m2.eigenvalues(0) / model.eigenvalues(0)
+    assert(math.abs(lr - 1e-8) < 1e-10, s"eigenvalue scaling ratio $lr")
+    val align = model.components(0).zip(m2.components(0))
+      .map { case (a, b) => a * b }.sum
+    assert(align > 0.999,
+      s"top component must survive rescaling; alignment $align")
   }
 }

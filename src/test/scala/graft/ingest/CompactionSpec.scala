@@ -61,19 +61,22 @@ class CompactionSpec extends SparkSuite {
     val hit = Compaction.readCommitted(spark, out, cfg,
         rangePredicates = Seq(("price", 2000.0, 2500.0)))
       .filter(col("price").between(2000, 2500))
-    val full = spark.read.parquet(s"$out/topics/skip")
+    // materialize the expectation ONCE — the frame's source files are
+    // rewritten by the compaction steps below
+    val fullOffsets = spark.read.parquet(s"$out/topics/skip")
       .filter(col("price").between(2000, 2500))
+      .select("offset").as[Long].collect().sorted.toSeq
     assert(hit.select("offset").as[Long].collect().sorted.toSeq ==
-      full.select("offset").as[Long].collect().sorted.toSeq)
+      fullOffsets)
     val filesOpened = hit.select(input_file_name()).distinct().count()
     assert(filesOpened == 2,
       s"one object per partition covers the range; opened $filesOpened")
-    // out-of-range → zero objects survive pruning; the read must fail
-    // CLOSED on the empty committed set rather than scan the lake
-    intercept[IllegalArgumentException] {
-      Compaction.readCommitted(spark, out, cfg,
-        rangePredicates = Seq(("price", 1e9, 2e9)))
-    }
+    // out-of-range on a healthy lake → EMPTY result in the lake's schema
+    // ("no rows in range" is an answer, not an error — only an empty
+    // manifest set fails closed)
+    val none = Compaction.readCommitted(spark, out, cfg,
+      rangePredicates = Seq(("price", 1e9, 2e9)))
+    assert(none.isEmpty && none.columns.contains("price"), none.schema)
     // a column with NO recorded stats fails open: every object read
     val open = Compaction.readCommitted(spark, out, cfg,
       rangePredicates = Seq(("offset", 20.0, 25.0)))
@@ -90,7 +93,19 @@ class CompactionSpec extends SparkSuite {
         rangePredicates = Seq(("price", 2000.0, 2500.0)))
       .filter(col("price").between(2000, 2500))
     assert(afterCompact.select("offset").as[Long].collect().sorted.toSeq ==
-      full.select("offset").as[Long].collect().sorted.toSeq)
+      fullOffsets)
+    // OBJECT compaction must recompute stats for the merged objects: if
+    // the rebuilt manifest dropped col_stats, the out-of-range probe
+    // would fail open and return the whole lake instead of nothing
+    Compaction.compact(spark, out, cfg, targetRecords = 100)
+    assert(Compaction.readCommitted(spark, out, cfg,
+      rangePredicates = Seq(("price", 1e9, 2e9))).isEmpty,
+      "compacted objects lost their column stats")
+    val afterObjCompact = Compaction.readCommitted(spark, out, cfg,
+        rangePredicates = Seq(("price", 2000.0, 2500.0)))
+      .filter(col("price").between(2000, 2500))
+    assert(afterObjCompact.select("offset").as[Long].collect().sorted.toSeq ==
+      fullOffsets)
   }
 
   test("compaction replays idempotently, including over a simulated " +

@@ -375,8 +375,10 @@ class StreamingIngestSpec extends SparkSuite {
     val hh = graft.analytics.Dedup.substringHistoryHashes(
       history, col("text"), k = 5)
     Seq(
-      (0, 0L, 10L, "fresh start alpha beta gamma delta epsilon fresh end"),
-      (0, 1L, 11L, "nothing here overlaps the historical corpus at all"))
+      // the known span arrives cased differently — matching must be
+      // case-insensitive while kept tokens keep their bytes
+      (0, 0L, 10L, "Fresh Start ALPHA Beta gamma delta epsilon Fresh End"),
+      (0, 1L, 11L, "Nothing Here overlaps the HISTORICAL corpus at all"))
       .toDF("kafka_partition", "offset", "doc_id", "text")
       .coalesce(1).write.mode("append").parquet(src)
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -398,9 +400,9 @@ class StreamingIngestSpec extends SparkSuite {
     q.awaitTermination(60000)
     val got = spark.read.parquet(s"$out/topics/ssc")
       .select("doc_id", "text").as[(Long, String)].collect().toMap
-    assert(got(10L) == "fresh start fresh end",
+    assert(got(10L) == "Fresh Start Fresh End",
       s"history 5-gram must be scrubbed in-stream: '${got(10L)}'")
-    assert(got(11L) == "nothing here overlaps the historical corpus at all",
+    assert(got(11L) == "Nothing Here overlaps the HISTORICAL corpus at all",
       s"novel doc must pass byte-identical: '${got(11L)}'")
   }
 
