@@ -566,6 +566,55 @@ object Dedup {
     substringAssemble(tok, dupStarts, k)
   }
 
+  /** `newAgainst` behind a BLOOM-FILTER prefilter — identical answer
+    * (the filter is an optimization, verified exactly), different scale
+    * economics: the history key set is folded into one bloom sketch by a
+    * distributed aggregate (partial sketches merge map-side; only sketch
+    * BYTES shuffle), the sketch broadcasts once, and then only the
+    * `might_contain` POSITIVES — true duplicates plus an `fpp` fraction
+    * of the genuinely-new keys — pay the anti-join shuffle against
+    * history. For mostly-novel batches (the common ingest case) that
+    * removes almost the entire history-side join.
+    *
+    * Size the regime consciously: the sketch is ~1.2·n·|ln fpp| bits —
+    * 100M history keys at 3% ≈ 90 MB broadcast, about the practical
+    * ceiling; beyond that fall back to `newAgainst`'s plain anti-join.
+    * Everything stays codegen'd Catalyst (`BloomFilterAggregate` /
+    * `BloomFilterMightContain`, the engine's own runtime-filter
+    * machinery) — no driver-side bloom, no UDF. */
+  def newAgainstBloom(history: DataFrame, incoming: DataFrame, id: Column,
+                      key: Column, expectedItems: Long,
+                      fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"bad bloom sizing: n=$expectedItems fpp=$fpp")
+    val numBits = math.max(64L, math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloom = history.agg(bridge.column(new BloomFilterAggregate(
+        bridge.expression(xxhash64(key)),
+        bridge.expression(lit(expectedItems)),
+        bridge.expression(lit(numBits))).toAggregateExpression())
+      .as("__bf"))
+    val inc = incoming.select(id.as("new_id"), key.as("_key"))
+      .groupBy(col("_key")).agg(min(col("new_id")).as("new_id"))
+    // might_contain requires its sketch as a constant or SCALAR SUBQUERY
+    // (the same shape Spark's own runtime row-group filters inject): the
+    // subquery runs once and its result rides to every task as a literal
+    val bloomSub = org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      bridge.analyzed(bloom))
+    val flagged = inc
+      .withColumn("__maybe", bridge.column(BloomFilterMightContain(
+        bloomSub, bridge.expression(xxhash64(col("_key"))))))
+    val clean = flagged.filter(!col("__maybe")).select(col("new_id"))
+    val rescued = flagged.filter(col("__maybe"))
+      .join(history.select(key.as("_key")).distinct(), Seq("_key"),
+        "left_anti")
+      .select(col("new_id"))
+    clean.union(rescued)
+  }
+
   /** The history side of INCREMENTAL substring dedup: every distinct
     * k-shingle hash the corpus contains (no >=2 threshold — one history
     * occurrence is enough to make an incoming span a duplicate).

@@ -671,12 +671,26 @@ object Similarity {
   /** Project onto the model's components: `k` codegen'd dot products per
     * row against literal arrays, the centered term folded into a scalar
     * offset (`(v-m)·w = v·w - m·w`). Zero shuffle, zero join — classify
-    * works identically on streams. */
-  def pcaProject(vec: Column, model: PcaModel, decimals: Int = 6): Column =
-    array(model.components.map { w =>
+    * works identically on streams.
+    *
+    * `whiten` divides each coordinate by sqrt(eigenvalue) (ZCA-style
+    * per-axis variance normalization — unit variance per output
+    * dimension, the conventional input to downstream quantizers and
+    * distance metrics that assume isotropy). Components with vanishing
+    * variance (eigenvalue below `1e-12` of the leading one) whiten to
+    * zero rather than exploding a noise axis. */
+  def pcaProject(vec: Column, model: PcaModel, decimals: Int = 6,
+                 whiten: Boolean = false): Column =
+    array(model.components.zipWithIndex.map { case (w, c) =>
       val offset = w.zip(model.mean).map { case (a, b) => a * b }.sum
-      round(dot(asDouble(vec), array(w.map(lit).toIndexedSeq: _*)) - offset,
-        decimals)
+      val raw = dot(asDouble(vec), array(w.map(lit).toIndexedSeq: _*)) - offset
+      val scaled = if (!whiten) raw else {
+        val l = model.eigenvalues(c)
+        val floor = 1e-12 * math.max(model.eigenvalues.headOption
+          .getOrElse(0.0), java.lang.Double.MIN_NORMAL)
+        if (l <= floor) lit(0.0) else raw / math.sqrt(l)
+      }
+      round(scaled, decimals)
     }.toIndexedSeq: _*)
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: rotate away

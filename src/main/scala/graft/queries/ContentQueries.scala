@@ -321,6 +321,19 @@ object ContentQueries {
         .orderBy(col("new_id"))
     }),
 
+    // The bloom-prefiltered incremental exact dedup MUST return exactly
+    // newAgainst's answer (the sketch only routes keys; positives verify
+    // against history) — so it shares dedup_incremental's oracle.
+    "dedup_incremental_bloom" -> ((s, d) => {
+      val all = docs(s, d).withColumn("fp",
+        TextAnalysis.fingerprint(col("text")))
+      Dedup.newAgainstBloom(
+        all.filter(col("doc_id") % 7 =!= 0),
+        all.filter(col("doc_id") % 7 === 0),
+        col("doc_id"), col("fp"), expectedItems = 10000L)
+        .orderBy(col("new_id"))
+    }),
+
     // BPE-ish token estimate (word/punct regex + length term).
     "text_token_estimate" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -1939,6 +1952,17 @@ object ContentQueries {
         |ORDER BY q_id, rank""".stripMargin,
 
     "dedup_incremental" ->
+      """WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(
+        |    list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+        |  FROM documents),
+        |inc AS (SELECT fp, min(doc_id) AS new_id FROM f
+        |  WHERE doc_id % 7 = 0 GROUP BY fp),
+        |hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 7 <> 0)
+        |SELECT new_id FROM inc ANTI JOIN hist USING (fp)
+        |ORDER BY new_id""".stripMargin,
+
+    // exact-equivalence contract: same oracle as dedup_incremental
+    "dedup_incremental_bloom" ->
       """WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(
         |    list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
         |  FROM documents),

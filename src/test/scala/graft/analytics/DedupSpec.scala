@@ -150,6 +150,29 @@ class DedupSpec extends SparkSuite {
     graft.analytics.Caches.clear()
   }
 
+  test("newAgainstBloom equals newAgainst exactly, even with a high-fpp " +
+    "sketch — false positives are rescued by the verify join") {
+    val all = graft.Tables.load(spark, sf0001, "documents")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val hist = all.filter(col("doc_id") % 7 =!= 0)
+    val batch = all.filter(col("doc_id") % 7 === 0)
+    val want = Dedup.newAgainst(hist, batch, col("doc_id"), col("fp"))
+      .as[Long].collect().sorted.toSeq
+    assert(want.nonEmpty)
+    for (fpp <- Seq(0.03, 0.5)) {
+      val got = Dedup.newAgainstBloom(hist, batch, col("doc_id"),
+          col("fp"), expectedItems = 1000L, fpp = fpp)
+        .as[Long].collect().sorted.toSeq
+      assert(got == want, s"fpp=$fpp: $got vs $want")
+    }
+    // undersized sketch (expected << actual): saturates toward all-
+    // positive — still exact, just fewer prefilter wins
+    val tiny = Dedup.newAgainstBloom(hist, batch, col("doc_id"),
+        col("fp"), expectedItems = 2L, fpp = 0.5)
+      .as[Long].collect().sorted.toSeq
+    assert(tiny == want, s"undersized sketch changed the answer")
+  }
+
   test("substringDedup equals a brute-force reference on random tiny-" +
     "vocabulary corpora (duplicated spans arise by the birthday bound)") {
     val k = 3

@@ -321,5 +321,16 @@ class SimilaritySpec extends SparkSuite {
       .map { case (a, b) => a * b }.sum
     assert(align > 0.999,
       s"top component must survive rescaling; alignment $align")
+    // whitening: every output axis lands at unit variance
+    val wproj = emb.select(Similarity.pcaProject(col("embedding"), model,
+        decimals = 9, whiten = true).as("pc"))
+      .as[Seq[Double]].collect()
+    for (c <- 0 until k) {
+      val xs = wproj.map(_(c))
+      val mu = xs.sum / n
+      val va = xs.map(x => (x - mu) * (x - mu)).sum / n
+      assert(math.abs(va - 1.0) < 1e-4,
+        s"whitened variance $va on component $c")
+    }
   }
 }
