@@ -87,6 +87,22 @@ object Gates {
     batch.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** Exact-dedup gate against a static history corpus: drop batch rows
+    * whose dedup KEY (fingerprint, hash, url — any column) already
+    * exists in history. Runs `Dedup.newAgainstBloom`, so per micro-batch
+    * only bloom positives pay the history join — the cheapest of the
+    * dedup gates, and the first one to stack (exact kills are free
+    * compared to the near-dup joins below it). WITHIN-batch duplicate
+    * keys also collapse to the smallest id (`Dedup.exact`'s contract) —
+    * a batch carrying the same document twice writes it once. */
+  def exactDedup(history: DataFrame, idCol: String, keyCol: String,
+                 expectedItems: Long, fpp: Double = 0.03): Gate = batch => {
+    val fresh = graft.analytics.Dedup.newAgainstBloom(history, batch,
+      col(idCol), col(keyCol), expectedItems, fpp)
+      .select(col("new_id").as(idCol))
+    batch.join(fresh, Seq(idCol), "left_semi")
+  }
+
   /** Incremental exact-substring cleaner — the one TRANSFORM in the
     * stack: it rewrites `textCol` (dropping every >= `k`-token span the
     * frozen history corpus already contains,

@@ -364,6 +364,23 @@ class StreamingIngestSpec extends SparkSuite {
       s"near-dup 10 must be dropped inside the stack; got ${kept.toSeq}")
   }
 
+  test("Gates.exactDedup drops history-known keys and collapses " +
+    "within-batch duplicates to the smallest id") {
+    val history = Seq((1L, "seen before")).toDF("doc_id", "text")
+      .withColumn("fp", graft.analytics.TextAnalysis.fingerprint(col("text")))
+    val batch = Seq(
+      (10L, "seen before"),          // history dup → dropped
+      (11L, "novel content one"),    // kept
+      (12L, "novel content two"),    // kept (first of the batch pair)
+      (13L, "novel content two"))    // within-batch dup → dropped
+      .toDF("doc_id", "text")
+      .withColumn("fp", graft.analytics.TextAnalysis.fingerprint(col("text")))
+    val kept = Gates.exactDedup(history, "doc_id", "fp",
+      expectedItems = 100L)(batch)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(11L, 12L), s"got ${kept.toSeq}")
+  }
+
   test("Gates.substringClean composes into the startPipeline stack: " +
     "history-known spans are scrubbed from the payload before the write") {
     val src = Files.createTempDirectory("ssc_src").toString
