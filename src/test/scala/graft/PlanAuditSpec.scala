@@ -144,6 +144,15 @@ class PlanAuditSpec extends SparkSuite {
       s"pair explode must sit between the two aggregates\n$p")
   }
 
+  test("dedup_incremental_bloom: the sketch survives as a might_contain " +
+    "predicate over a scalar subquery — not a degenerate plain join") {
+    val p = plan("dedup_incremental_bloom")
+    // refactoring the prefilter away would silently revert to paying the
+    // full history anti-join for every batch key
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("Subquery"), p)
+  }
+
   test("q31: the no-equi-key band join runs as a bucket equi-join, " +
     "never a nested-loop/cartesian plan") {
     val p = plan("q31_band_join")
