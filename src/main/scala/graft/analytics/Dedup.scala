@@ -577,8 +577,12 @@ object Dedup {
     * removes almost the entire history-side join.
     *
     * Size the regime consciously: the sketch is ~1.2·n·|ln fpp| bits —
-    * 100M history keys at 3% ≈ 90 MB broadcast, about the practical
-    * ceiling; beyond that fall back to `newAgainst`'s plain anti-join.
+    * 100M history keys at 3% ≈ 90 MB, about the practical ceiling, and
+    * regimes past the session's `runtime.bloomFilter.maxNumItems/
+    * maxNumBits` confs (defaults 4M/8MB) require RAISING those confs:
+    * `bloomBits` refuses configurations the aggregate would silently
+    * clamp into a saturated, non-filtering sketch. Beyond the ceiling
+    * fall back to `newAgainst`'s plain anti-join.
     * Everything stays codegen'd Catalyst (`BloomFilterAggregate` /
     * `BloomFilterMightContain`, the engine's own runtime-filter
     * machinery) — no driver-side bloom, no UDF. */
@@ -588,10 +592,7 @@ object Dedup {
     import org.apache.spark.sql.graft.bridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    require(expectedItems > 0 && fpp > 0 && fpp < 1,
-      s"bad bloom sizing: n=$expectedItems fpp=$fpp")
-    val numBits = math.max(64L, math.ceil(
-      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val numBits = bloomBits(history.sparkSession, expectedItems, fpp)
     val bloom = history.agg(bridge.column(new BloomFilterAggregate(
         bridge.expression(xxhash64(key)),
         bridge.expression(lit(expectedItems)),
@@ -601,18 +602,101 @@ object Dedup {
       .groupBy(col("_key")).agg(min(col("new_id")).as("new_id"))
     // might_contain requires its sketch as a constant or SCALAR SUBQUERY
     // (the same shape Spark's own runtime row-group filters inject): the
-    // subquery runs once and its result rides to every task as a literal
+    // subquery runs once and its result rides to every task as a literal.
+    // An EMPTY history folds to a NULL sketch (BloomFilterAggregate.eval
+    // at zero cardinality), and might_contain(null, h) is null — which
+    // would fail BOTH branch filters and silently drop every incoming
+    // row; coalesce(false) makes the null sketch mean "contains nothing",
+    // newAgainst's answer.
     val bloomSub = org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
       bridge.analyzed(bloom))
-    val flagged = inc
-      .withColumn("__maybe", bridge.column(BloomFilterMightContain(
-        bloomSub, bridge.expression(xxhash64(col("_key"))))))
-    val clean = flagged.filter(!col("__maybe")).select(col("new_id"))
-    val rescued = flagged.filter(col("__maybe"))
-      .join(history.select(key.as("_key")).distinct(), Seq("_key"),
-        "left_anti")
-      .select(col("new_id"))
-    clean.union(rescued)
+    bloomRoute(inc,
+      coalesce(bridge.column(BloomFilterMightContain(bloomSub,
+        bridge.expression(xxhash64(col("_key"))))), lit(false)),
+      history.select(key.as("_key")).distinct())
+  }
+
+  /** The frozen-model form of the bloom prefilter for STREAMING use:
+    * fold the history sketch ONCE (a driver-resident byte array — the
+    * k-means-model shape; None for an empty history) and reuse it across
+    * micro-batches via `newAgainstSketch`, instead of re-scanning the
+    * history corpus per batch the way `newAgainstBloom`'s subquery
+    * would. */
+  def bloomSketchBytes(history: DataFrame, key: Column, expectedItems: Long,
+                       fpp: Double = 0.03): Option[Array[Byte]] = {
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = bloomBits(history.sparkSession, expectedItems, fpp)
+    val row = history.agg(bridge.column(new BloomFilterAggregate(
+        bridge.expression(xxhash64(key)),
+        bridge.expression(lit(expectedItems)),
+        bridge.expression(lit(numBits))).toAggregateExpression())
+      .as("__bf")).head
+    Option(row.getAs[Array[Byte]](0))
+  }
+
+  /** `newAgainstBloom` against a PRE-BUILT sketch and a PRE-DISTINCT
+    * history key frame (persist it — it serves every batch's verify
+    * join). `sketch = None` means the history was empty: everything is
+    * new, no join at all. */
+  def newAgainstSketch(incoming: DataFrame, id: Column, key: Column,
+                       sketch: Option[Array[Byte]],
+                       historyKeys: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val inc = incoming.select(id.as("new_id"), key.as("_key"))
+      .groupBy(col("_key")).agg(min(col("new_id")).as("new_id"))
+    sketch match {
+      case None => inc.select(col("new_id"))
+      case Some(b) => bloomRoute(inc,
+        coalesce(bridge.column(BloomFilterMightContain(
+          bridge.expression(lit(b)),
+          bridge.expression(xxhash64(col("_key"))))), lit(false)),
+        historyKeys)
+    }
+  }
+
+  /** Shared bloom routing: definitely-new keys pass straight through;
+    * `maybe` positives (true dups + fpp of the novel keys) verify
+    * exactly against the history keys. `historyKeys` must be a one-column
+    * `_key` frame. */
+  private def bloomRoute(inc: DataFrame, maybe: Column,
+                         historyKeys: DataFrame): DataFrame = {
+    val flagged = inc.withColumn("__maybe", maybe)
+    flagged.filter(!col("__maybe")).select(col("new_id"))
+      .union(flagged.filter(col("__maybe"))
+        .join(historyKeys, Seq("_key"), "left_anti")
+        .select(col("new_id")))
+  }
+
+  /** Sketch sizing shared by the bloom dedup paths — REFUSES a silently
+    * saturating configuration: `BloomFilterAggregate` clamps its inputs
+    * to `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
+    * (defaults 4M items / 64Mbit = 8 MB) via `Math.min`, so asking for
+    * 100M keys under default confs would yield an 8 MB sketch whose
+    * effective fpp approaches 1 — the prefilter would silently stop
+    * filtering while still paying the sketch build. Raise those confs to
+    * run bigger regimes (~1.2·n·|ln fpp| bits; 100M keys at 3% ≈ 90 MB),
+    * and keep the result under a broadcastable size. */
+  private def bloomBits(spark: org.apache.spark.sql.SparkSession,
+                        expectedItems: Long, fpp: Double): Long = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"bad bloom sizing: n=$expectedItems fpp=$fpp")
+    val numBits = math.max(64L, math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
+      .toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom sketch for n=$expectedItems fpp=$fpp needs $numBits bits " +
+        s"but the session caps it at $maxItems items / $maxBits bits " +
+        "(spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits)" +
+        " — the clamped sketch would saturate and stop filtering; raise " +
+        "the confs or fall back to newAgainst")
+    numBits
   }
 
   /** The history side of INCREMENTAL substring dedup: every distinct

@@ -343,13 +343,9 @@ object Compaction {
     if (n == 0) {
       require(!keys.isEmpty,
         s"manifests under $topicDir/_graft_manifest vouch for no objects")
-      val probeKey = keys.select(col("object_key"))
-        .orderBy(col("object_key")).limit(1).head.getString(0)
-      val schema = spark.read.format(cfg.format.sparkFormat)
-        .option("basePath", topicDir)
-        .load(s"$topicDir/${escapeGlob(probeKey)}").schema
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        probeSchema(spark, keys, topicDir, cfg))
     }
     if (n <= maxExplicitPaths) {
       val paths = pruned.select("object_key").collect()
@@ -366,12 +362,8 @@ object Compaction {
       // sidecar footer would erase every value column from the snapshot.
       // With the pinned schema, sidecar rows surface as all-null and the
       // semi-join (their key is never manifested) drops them.
-      val probeKey = pruned.select(col("object_key"))
-        .orderBy(col("object_key")).limit(1).head.getString(0)
-      val schema = spark.read.format(cfg.format.sparkFormat)
-        .option("basePath", topicDir)
-        .load(s"$topicDir/${escapeGlob(probeKey)}").schema
-      val scan = spark.read.schema(schema).format(cfg.format.sparkFormat)
+      val scan = spark.read.schema(probeSchema(spark, pruned, topicDir, cfg))
+        .format(cfg.format.sparkFormat)
         .option("pathGlobFilter", s"*${cfg.extension}")
         .option("basePath", topicDir)
         .load(topicDir)
@@ -382,6 +374,21 @@ object Compaction {
         pruned.select(col("object_key").as("__key")),
         Seq("__key"), "left_semi").drop("__key")
     }
+  }
+
+  /** The lake's schema pinned from ONE committed value object (smallest
+    * `object_key` of `keyed` — deterministic; a 1-row collect), read
+    * with `basePath` so Hive partition columns stay inferable. Shared by
+    * the scan-mode read (where unpinned inference could land on a
+    * same-format sidecar footer) and the empty-result path. */
+  private def probeSchema(spark: SparkSession, keyed: DataFrame,
+                          topicDir: String,
+                          cfg: IngestConfig): org.apache.spark.sql.types.StructType = {
+    val probeKey = keyed.select(col("object_key"))
+      .orderBy(col("object_key")).limit(1).head.getString(0)
+    spark.read.format(cfg.format.sparkFormat)
+      .option("basePath", topicDir)
+      .load(s"$topicDir/${escapeGlob(probeKey)}").schema
   }
 
   /** Backslash-escape Hadoop glob metacharacters so a literal path (the

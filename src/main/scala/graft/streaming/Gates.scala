@@ -96,11 +96,22 @@ object Gates {
     * keys also collapse to the smallest id (`Dedup.exact`'s contract) —
     * a batch carrying the same document twice writes it once. */
   def exactDedup(history: DataFrame, idCol: String, keyCol: String,
-                 expectedItems: Long, fpp: Double = 0.03): Gate = batch => {
-    val fresh = graft.analytics.Dedup.newAgainstBloom(history, batch,
-      col(idCol), col(keyCol), expectedItems, fpp)
-      .select(col("new_id").as(idCol))
-    batch.join(fresh, Seq(idCol), "left_semi")
+                 expectedItems: Long, fpp: Double = 0.03): Gate = {
+    // FROZEN at construction, the stack's model discipline: one history
+    // scan folds the sketch (driver-resident bytes), one more builds the
+    // persisted distinct-key frame for the verify join — micro-batches
+    // reuse both; folding per batch would re-scan the whole history
+    // corpus every few seconds
+    val sketch = graft.analytics.Dedup.bloomSketchBytes(history,
+      col(keyCol), expectedItems, fpp)
+    val historyKeys = graft.analytics.Caches.persist(
+      history.select(col(keyCol).as("_key")).distinct())
+    batch => {
+      val fresh = graft.analytics.Dedup.newAgainstSketch(batch,
+        col(idCol), col(keyCol), sketch, historyKeys)
+        .select(col("new_id").as(idCol))
+      batch.join(fresh, Seq(idCol), "left_semi")
+    }
   }
 
   /** Incremental exact-substring cleaner — the one TRANSFORM in the

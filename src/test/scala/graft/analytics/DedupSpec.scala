@@ -171,6 +171,23 @@ class DedupSpec extends SparkSuite {
         col("fp"), expectedItems = 2L, fpp = 0.5)
       .as[Long].collect().sorted.toSeq
     assert(tiny == want, s"undersized sketch changed the answer")
+    // EMPTY history folds to a NULL sketch; might_contain(null, _) is
+    // null — without the coalesce guard both branches would drop every
+    // batch row (bootstrap of a fresh lake = total data loss)
+    val emptyHist = Seq.empty[(Long, String)].toDF("doc_id", "fp")
+    val boot = Dedup.newAgainstBloom(emptyHist,
+        Seq((1L, "a"), (2L, "b")).toDF("doc_id", "fp"),
+        col("doc_id"), col("fp"), expectedItems = 100L)
+      .as[Long].collect().sorted.toSeq
+    assert(boot == Seq(1L, 2L), s"empty history must keep everything: $boot")
+    // sizing refuses the session's silent bloom clamp (default 4M items /
+    // 64Mbit): a 100M-key request would saturate into a non-filtering
+    // sketch
+    val big = intercept[IllegalArgumentException] {
+      Dedup.newAgainstBloom(hist, batch, col("doc_id"), col("fp"),
+        expectedItems = 100000000L)
+    }
+    assert(big.getMessage.contains("maxNumBits"), big.getMessage)
   }
 
   test("substringDedup equals a brute-force reference on random tiny-" +

@@ -379,6 +379,13 @@ class StreamingIngestSpec extends SparkSuite {
       expectedItems = 100L)(batch)
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(11L, 12L), s"got ${kept.toSeq}")
+    // bootstrap: a gate frozen over an EMPTY history keeps every novel
+    // key (within-batch dups still collapse)
+    val bootGate = Gates.exactDedup(history.limit(0), "doc_id", "fp",
+      expectedItems = 100L)
+    val boot = bootGate(batch).select("doc_id").as[Long].collect().sorted
+    assert(boot.toSeq == Seq(10L, 11L, 12L), s"got ${boot.toSeq}")
+    graft.analytics.Caches.clear()
   }
 
   test("Gates.substringClean composes into the startPipeline stack: " +
