@@ -516,6 +516,34 @@ object ContentQueries {
       TextAnalysis.bpeTrain(docs(s, d), col("text"), merges = 8)
         .orderBy(col("rank"))),
 
+    // Round-6 capstone composition: exact-substring span dedup decides
+    // what survives (docs cleaned to nothing drop), the leakage-free
+    // split decides WHERE it goes, and the budget is counted in KEPT
+    // tokens — the accounting a dedup-aware training-data cut actually
+    // ships. One substring pass + one clustering pass + a broadcast-
+    // friendly per-doc join, then a two-key aggregate.
+    "pipeline_dedup_split" -> ((s, d) => {
+      val base = docs(s, d)
+      val cleaned = Dedup.substringDedup(base, col("doc_id"), col("text"),
+        k = 15).select(col("doc_id"), col("n_kept"))
+      val pairs = Dedup.jaccardPairs(base, col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)
+      val clusters = Dedup.dedupClustersAlternating(pairs,
+        col("a_id"), col("b_id"))
+      val key = coalesce(col("cluster_rep"), col("doc_id"))
+      val bucket = pmod(conv(substring(md5(key.cast("string")),
+        1, 15), 16, 10).cast("long"), lit(10))
+      base.join(clusters, Seq("doc_id"), "left")
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val")
+            .otherwise("test"))
+        .join(cleaned, Seq("doc_id"))
+        .filter(col("n_kept") >= 1)
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("kept_tokens"))
+        .orderBy(col("split"), col("source"))
+    }),
+
     // Vocabulary building: global token frequencies, top 50 — partial
     // aggregate then TakeOrdered (50 rows per task cross the wire, never
     // a global sort of the vocabulary).
@@ -1797,6 +1825,50 @@ object ContentQueries {
          |  CASE WHEN bucket < 8 THEN 'train'
          |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // the substring-dedup counts + the leakfree-split recursive CTE,
+    // joined per doc then aggregated — each fragment is its own green
+    // oracle above
+    "pipeline_dedup_split" ->
+      s"""WITH RECURSIVE stoks AS (SELECT doc_id,
+         |    string_split(lower(text), ' ') AS st FROM documents),
+         |ssh AS (SELECT doc_id, i - 1 AS s,
+         |    array_to_string(list_slice(st, i, i + 14), ' ') AS g
+         |  FROM stoks, LATERAL unnest(range(1, greatest(len(st) - 15 + 1, 0) + 1)) AS u(i)
+         |  WHERE len(st) >= 15),
+         |socc AS (SELECT g, count(*) AS c FROM ssh GROUP BY g),
+         |sds AS (SELECT doc_id, s FROM ssh JOIN socc USING (g) WHERE c >= 2),
+         |scovp AS (SELECT DISTINCT doc_id, s + j AS p
+         |  FROM sds, LATERAL unnest(range(0, 15)) AS r(j)),
+         |stok AS (SELECT doc_id, i - 1 AS p
+         |  FROM stoks, LATERAL unnest(range(1, len(st) + 1)) AS u(i)),
+         |keptc AS (SELECT stok.doc_id,
+         |    sum(CASE WHEN scovp.p IS NULL THEN 1 ELSE 0 END) AS n_kept
+         |  FROM stok LEFT JOIN scovp
+         |    ON stok.doc_id = scovp.doc_id AND stok.p = scovp.p
+         |  GROUP BY stok.doc_id),
+         |$jaccardCtes,
+         |jp AS (SELECT a_id, b_id FROM p
+         |  WHERE common / (a_n + b_n - common) >= 0.5),
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |  UNION SELECT b_id, a_id FROM jp),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM ed
+         |  UNION
+         |  SELECT e2.src, reach.r FROM ed e2 JOIN reach ON e2.dst = reach.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+         |b AS (SELECT d.doc_id, d.source,
+         |    CAST(CONCAT('0x', substr(md5(CAST(
+         |      coalesce(cl.rep, d.doc_id) AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 10 AS bucket
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+         |SELECT CASE WHEN bucket < 8 THEN 'train'
+         |         WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+         |  source, count(*) AS n_docs,
+         |  CAST(sum(k.n_kept) AS BIGINT) AS kept_tokens
+         |FROM b JOIN keptc k ON k.doc_id = b.doc_id
+         |WHERE k.n_kept >= 1
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS w
