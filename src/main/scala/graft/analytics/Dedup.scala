@@ -616,44 +616,43 @@ object Dedup {
       history.select(key.as("_key")).distinct())
   }
 
-  /** The frozen-model form of the bloom prefilter for STREAMING use:
-    * fold the history sketch ONCE (a driver-resident byte array — the
-    * k-means-model shape; None for an empty history) and reuse it across
-    * micro-batches via `newAgainstSketch`, instead of re-scanning the
-    * history corpus per batch the way `newAgainstBloom`'s subquery
-    * would. */
-  def bloomSketchBytes(history: DataFrame, key: Column, expectedItems: Long,
-                       fpp: Double = 0.03): Option[Array[Byte]] = {
+  /** The frozen-model form of the bloom prefilter for STREAMING use: a
+    * ONE-ROW `__bf` frame folding the history sketch. PERSIST it at the
+    * call site and hand it to `newAgainstSketch` — each micro-batch's
+    * scalar subquery then reads the cached row instead of re-scanning
+    * history, and the plan carries a subquery reference, NOT megabytes
+    * of sketch bytes re-materialized as a literal per batch. Lazy: no
+    * job runs until the first batch. An empty history folds to a null
+    * sketch, which `bloomRoute`'s coalesce reads as "contains nothing"
+    * — everything routes to new, `newAgainst`'s answer. */
+  def bloomSketchFrame(history: DataFrame, key: Column, expectedItems: Long,
+                       fpp: Double = 0.03): DataFrame = {
     import org.apache.spark.sql.graft.bridge
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val numBits = bloomBits(history.sparkSession, expectedItems, fpp)
-    val row = history.agg(bridge.column(new BloomFilterAggregate(
+    history.agg(bridge.column(new BloomFilterAggregate(
         bridge.expression(xxhash64(key)),
         bridge.expression(lit(expectedItems)),
         bridge.expression(lit(numBits))).toAggregateExpression())
-      .as("__bf")).head
-    Option(row.getAs[Array[Byte]](0))
+      .as("__bf"))
   }
 
-  /** `newAgainstBloom` against a PRE-BUILT sketch and a PRE-DISTINCT
-    * history key frame (persist it — it serves every batch's verify
-    * join). `sketch = None` means the history was empty: everything is
-    * new, no join at all. */
+  /** `newAgainstBloom` against PRE-BUILT frozen artifacts: a (persisted)
+    * one-row `bloomSketchFrame` and a (persisted) one-column `_key`
+    * distinct history frame that serves every batch's verify join. */
   def newAgainstSketch(incoming: DataFrame, id: Column, key: Column,
-                       sketch: Option[Array[Byte]],
+                       sketchFrame: DataFrame,
                        historyKeys: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.bridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     val inc = incoming.select(id.as("new_id"), key.as("_key"))
       .groupBy(col("_key")).agg(min(col("new_id")).as("new_id"))
-    sketch match {
-      case None => inc.select(col("new_id"))
-      case Some(b) => bloomRoute(inc,
-        coalesce(bridge.column(BloomFilterMightContain(
-          bridge.expression(lit(b)),
-          bridge.expression(xxhash64(col("_key"))))), lit(false)),
-        historyKeys)
-    }
+    val sub = org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      bridge.analyzed(sketchFrame))
+    bloomRoute(inc,
+      coalesce(bridge.column(BloomFilterMightContain(sub,
+        bridge.expression(xxhash64(col("_key"))))), lit(false)),
+      historyKeys)
   }
 
   /** Shared bloom routing: definitely-new keys pass straight through;
@@ -684,18 +683,19 @@ object Dedup {
       s"bad bloom sizing: n=$expectedItems fpp=$fpp")
     val numBits = math.max(64L, math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val maxItems = spark.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
-      .toLong
     val maxBits = spark.conf
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
       .toLong
-    require(expectedItems <= maxItems && numBits <= maxBits,
+    // only the BITS clamp saturates the sketch into uselessness. The
+    // maxNumItems conf (default 4M) clamping the item ESTIMATE merely
+    // computes the hash-function count for fewer items — a small fpp
+    // drift, and exactness is unconditional anyway (positives verify).
+    require(numBits <= maxBits,
       s"bloom sketch for n=$expectedItems fpp=$fpp needs $numBits bits " +
-        s"but the session caps it at $maxItems items / $maxBits bits " +
-        "(spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits)" +
-        " — the clamped sketch would saturate and stop filtering; raise " +
-        "the confs or fall back to newAgainst")
+        s"but the session caps it at $maxBits " +
+        "(spark.sql.optimizer.runtime.bloomFilter.maxNumBits) — the " +
+        "clamped sketch would saturate and stop filtering; raise the " +
+        "conf or fall back to newAgainst")
     numBits
   }
 

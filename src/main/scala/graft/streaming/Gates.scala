@@ -87,31 +87,28 @@ object Gates {
     batch.join(dups, Seq(idCol), "left_anti")
   }
 
-  /** Exact-dedup gate against a static history corpus: drop batch rows
-    * whose dedup KEY (fingerprint, hash, url — any column) already
-    * exists in history. Runs `Dedup.newAgainstBloom`, so per micro-batch
-    * only bloom positives pay the history join — the cheapest of the
-    * dedup gates, and the first one to stack (exact kills are free
-    * compared to the near-dup joins below it). WITHIN-batch duplicate
-    * keys also collapse to the smallest id (`Dedup.exact`'s contract) —
-    * a batch carrying the same document twice writes it once. */
-  def exactDedup(history: DataFrame, idCol: String, keyCol: String,
-                 expectedItems: Long, fpp: Double = 0.03): Gate = {
-    // FROZEN at construction, the stack's model discipline: one history
-    // scan folds the sketch (driver-resident bytes), one more builds the
-    // persisted distinct-key frame for the verify join — micro-batches
-    // reuse both; folding per batch would re-scan the whole history
-    // corpus every few seconds
-    val sketch = graft.analytics.Dedup.bloomSketchBytes(history,
-      col(keyCol), expectedItems, fpp)
-    val historyKeys = graft.analytics.Caches.persist(
-      history.select(col(keyCol).as("_key")).distinct())
-    batch => {
-      val fresh = graft.analytics.Dedup.newAgainstSketch(batch,
-        col(idCol), col(keyCol), sketch, historyKeys)
-        .select(col("new_id").as(idCol))
-      batch.join(fresh, Seq(idCol), "left_semi")
-    }
+  /** Exact-dedup gate against FROZEN history artifacts, prepped once
+    * OUTSIDE the stream (the same discipline as `embeddingDedup`'s
+    * `srpPrep` and `substringClean`'s hash set — per-batch re-folding
+    * would re-scan the whole history corpus every trigger):
+    * {{{
+    * val sketch = Dedup.bloomSketchFrame(lake, col("fp"), n).persist()
+    * val keys   = lake.select(col("fp").as("_key")).distinct().persist()
+    * ... gates = Seq(Gates.exactDedup(sketch, keys, "doc_id", "fp"))
+    * }}}
+    * Per micro-batch only sketch positives pay the key-frame join — the
+    * cheapest dedup gate, stack it first. WITHIN-batch duplicate keys
+    * also collapse to the smallest id (`Dedup.exact`'s contract).
+    * FROZEN means frozen: history that grows while the stream runs is
+    * deliberately not seen (identically to the sibling gates) —
+    * re-freeze the artifacts and rebuild the stack to pick it up. The
+    * caller owns the persists and their unpersist lifetime. */
+  def exactDedup(sketchFrame: DataFrame, historyKeys: DataFrame,
+                 idCol: String, keyCol: String): Gate = batch => {
+    val fresh = graft.analytics.Dedup.newAgainstSketch(batch,
+      col(idCol), col(keyCol), sketchFrame, historyKeys)
+      .select(col("new_id").as(idCol))
+    batch.join(fresh, Seq(idCol), "left_semi")
   }
 
   /** Incremental exact-substring cleaner — the one TRANSFORM in the

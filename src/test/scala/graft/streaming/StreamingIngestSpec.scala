@@ -375,17 +375,27 @@ class StreamingIngestSpec extends SparkSuite {
       (13L, "novel content two"))    // within-batch dup → dropped
       .toDF("doc_id", "text")
       .withColumn("fp", graft.analytics.TextAnalysis.fingerprint(col("text")))
-    val kept = Gates.exactDedup(history, "doc_id", "fp",
-      expectedItems = 100L)(batch)
-      .select("doc_id").as[Long].collect().sorted
-    assert(kept.toSeq == Seq(11L, 12L), s"got ${kept.toSeq}")
-    // bootstrap: a gate frozen over an EMPTY history keeps every novel
-    // key (within-batch dups still collapse)
-    val bootGate = Gates.exactDedup(history.limit(0), "doc_id", "fp",
-      expectedItems = 100L)
-    val boot = bootGate(batch).select("doc_id").as[Long].collect().sorted
-    assert(boot.toSeq == Seq(10L, 11L, 12L), s"got ${boot.toSeq}")
-    graft.analytics.Caches.clear()
+    // the caller preps + persists the frozen artifacts (the gate's doc
+    // contract) and owns their lifetime — unpersist in finally so an
+    // assertion failure cannot leak caches into the shared session
+    val sketch = graft.analytics.Dedup.bloomSketchFrame(history,
+      col("fp"), expectedItems = 100L).persist()
+    val keys = history.select(col("fp").as("_key")).distinct().persist()
+    val bootSketch = graft.analytics.Dedup.bloomSketchFrame(
+      history.limit(0), col("fp"), expectedItems = 100L).persist()
+    val bootKeys = history.limit(0).select(col("fp").as("_key"))
+      .distinct().persist()
+    try {
+      val kept = Gates.exactDedup(sketch, keys, "doc_id", "fp")(batch)
+        .select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(11L, 12L), s"got ${kept.toSeq}")
+      // bootstrap: frozen over an EMPTY history (null sketch) keeps
+      // every novel key; within-batch dups still collapse
+      val boot = Gates.exactDedup(bootSketch, bootKeys, "doc_id", "fp")(
+        batch).select("doc_id").as[Long].collect().sorted
+      assert(boot.toSeq == Seq(10L, 11L, 12L), s"got ${boot.toSeq}")
+    } finally Seq(sketch, keys, bootSketch, bootKeys)
+      .foreach(_.unpersist(blocking = false))
   }
 
   test("Gates.substringClean composes into the startPipeline stack: " +
