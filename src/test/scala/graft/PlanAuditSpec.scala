@@ -153,6 +153,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Subquery"), p)
   }
 
+  test("pipeline_dedup_split: the capstone composition stays bucketed — " +
+    "no nested-loop or cartesian join anywhere") {
+    val p = plan("pipeline_dedup_split")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    graft.analytics.Caches.clear()
+  }
+
   test("q31: the no-equi-key band join runs as a bucket equi-join, " +
     "never a nested-loop/cartesian plan") {
     val p = plan("q31_band_join")
