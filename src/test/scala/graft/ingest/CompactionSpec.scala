@@ -108,6 +108,40 @@ class CompactionSpec extends SparkSuite {
       fullOffsets)
   }
 
+  test("z-order layout + manifest stats = multi-dimensional data " +
+    "skipping: an 8-wide slab on EITHER axis opens 4 of 16 objects") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "zskip", flushSize = 64,
+      statsColumns = Seq("x", "y"))
+    // the full 32×32 grid written in z-curve order: 64-record objects
+    // land as aligned 8×8 tiles, so each object's [min,max] is tight on
+    // BOTH dimensions — the property that makes one sort serve every
+    // axis (a lexicographic (x, y) sort would prune x slabs only)
+    val rows = (for (x <- 0 until 32; y <- 0 until 32) yield (x, y))
+      .sortBy { case (x, y) =>
+        graft.functions.ZOrder.zorder2Ref(x.toLong, y.toLong) }
+      .zipWithIndex
+      .map { case ((x, y), o) => (0, o.toLong, x.toLong, y.toLong) }
+    Ingest.run(rows.toDF("kafka_partition", "offset", "x", "y"), cfg,
+      PartitionerSpec.Default, out,
+      payloadCols = Seq(col("offset"), col("x"), col("y")),
+      writeManifest = true)
+    for (dim <- Seq("x", "y")) {
+      val slab = Compaction.readCommitted(spark, out, cfg,
+          rangePredicates = Seq((dim, 0.0, 7.0)))
+        .filter(col(dim).between(0, 7))
+      assert(slab.count() == 256, s"$dim slab row count")
+      val opened = slab.select(input_file_name()).distinct().count()
+      assert(opened == 4,
+        s"$dim in [0,7] must open the 4 aligned tiles, opened $opened")
+    }
+    // a 2-D point probe composes both predicates: ONE tile
+    val cell = Compaction.readCommitted(spark, out, cfg,
+      rangePredicates = Seq(("x", 3.0, 4.0), ("y", 3.0, 4.0)))
+    assert(cell.select(input_file_name()).distinct().count() == 1,
+      "2-D probe within one tile must open exactly that tile")
+  }
+
   test("compaction replays idempotently, including over a simulated " +
     "mid-swap crash (new generation written, stale not yet deleted)") {
     val out = freshDir()
