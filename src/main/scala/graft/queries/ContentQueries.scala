@@ -971,14 +971,39 @@ object ContentQueries {
         .orderBy(col("i"), col("j"))),
 
     // Fit top-8 principal components and project every vector — the
-    // embedding-compression step ahead of ANN indexing. Eigenvectors
-    // aren't SQL-expressible, so no oracle row: SimilaritySpec pins
-    // orthonormality, the eigen residual, descending explained variance,
-    // and that per-component projection variance equals the eigenvalue.
+    // embedding-compression step ahead of ANN indexing. Output is one
+    // scalar column per component (pc_0..pc_7) so the harness can sort
+    // and count it; the eigenbasis itself isn't SQL-expressible, so no
+    // oracle row: SimilaritySpec pins orthonormality, the eigen residual,
+    // descending explained variance, and that per-component projection
+    // variance equals the eigenvalue. The oracle-visible half of the
+    // eigendecomposition is emb_pca_energy below.
     "emb_pca_project" -> ((s, d) => {
       val model = Similarity.pcaFit(emb(s, d), col("embedding"), k = 8)
-      emb(s, d).select(col("vec_id"),
-          Similarity.pcaProject(col("embedding"), model).as("pc"))
+      val pc = Similarity.pcaProject(col("embedding"), model)
+      emb(s, d).select(col("vec_id") +:
+          model.components.indices.map(c =>
+            element_at(pc, c + 1).as(s"pc_$c")): _*)
+        .orderBy(col("vec_id"))
+    }),
+
+    // Parseval identity made scoreboard-visible: project onto the FULL
+    // d-component eigenbasis and sum the squared coordinates — for an
+    // orthonormal complete basis this equals the centered squared norm,
+    // which the oracle computes directly without ever seeing an
+    // eigenvector. A broken Jacobi (non-orthogonal rotations, lost
+    // components, wrong mean) fails this row; only the ORDER of the
+    // basis stays spec-only. Projections keep 12 decimals so their
+    // rounding noise (≲1e-10 across 64 squares) sits far below the
+    // final round(6).
+    "emb_pca_energy" -> ((s, d) => {
+      val e = emb(s, d)
+      val dims = e.select(size(col("embedding"))).limit(1).head.getInt(0)
+      val model = Similarity.pcaFit(e, col("embedding"), k = dims)
+      val pc = Similarity.pcaProject(col("embedding"), model, decimals = 12)
+      e.select(col("vec_id"),
+          (round(aggregate(pc, lit(0.0), (acc, x) => acc + x * x), 6)
+            + lit(0.0)).as("energy"))
         .orderBy(col("vec_id"))
     }),
 
@@ -1376,6 +1401,20 @@ object ContentQueries {
         |  round(c.exy - mi.mu * mj.mu, 6) + 0.0 AS cov
         |FROM c JOIN m mi ON mi.i = c.i JOIN m mj ON mj.i = c.j
         |ORDER BY i, j""".stripMargin,
+
+    // Parseval: sum of squared full-basis PCA coordinates == centered
+    // squared norm, computed here with no eigenvector in sight
+    "emb_pca_energy" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |idx AS (SELECT i FROM unnest(range(1, 65)) AS u(i)),
+        |m AS (SELECT i, avg(e[i]) AS mu FROM v, idx GROUP BY i),
+        |en AS (SELECT vec_id,
+        |    sum((v.e[idx.i] - m.mu) * (v.e[idx.i] - m.mu)) AS en
+        |  FROM v, idx JOIN m ON m.i = idx.i GROUP BY vec_id)
+        |SELECT vec_id, round(en, 6) + 0.0 AS energy FROM en
+        |ORDER BY vec_id""".stripMargin,
 
     "sim_topk_bruteforce" ->
       """WITH v AS (SELECT vec_id,
