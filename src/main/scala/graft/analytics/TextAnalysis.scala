@@ -401,6 +401,31 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(sum(col("f")).as("n"))
   }
 
+  /** One greedy left-to-right BPE merge of the pair `(l, r)` over a
+    * symbol array, as a pure `Column` fold: merge iff the accumulator's
+    * last symbol is `l` and the current is `r`. A just-merged symbol can
+    * never re-match as `l` in the same pass (`l+r == l` is impossible
+    * for nonempty `r`), so the fold IS the left-to-right greedy scan.
+    * Shared verbatim by the trainer (one freshly-argmaxed pair per
+    * round) and `bpeApply` (a frozen merge table replayed in rank
+    * order) — train and apply cannot drift apart. */
+  def bpeMergeOnce(symbols: Column, l: String, r: String): Column =
+    aggregate(symbols, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Apply a FROZEN merge table (rank order) to one word — the serving
+    * half of BPE, split from training so it is oracle-checkable on its
+    * own: replaying a fixed table is deterministic, while the trainer's
+    * argmax loop is not SQL-expressible. Pure `Column` — zero shuffle,
+    * zero join, streams as-is. */
+  def bpeApply(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(split(word, "")) {
+      case (s, (l, r)) => bpeMergeOnce(s, l, r)
+    }
+
   /** Iterative BPE merge training (Sennrich et al., ACL 2016): start from
     * per-word character symbols, repeatedly find the globally most
     * frequent adjacent symbol pair (ties broken by pair text, a total
@@ -446,14 +471,8 @@ object TextAnalysis {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         out += ((out.length + 1, l, r, n))
-        vocab = vocab.select(aggregate(col("symbols"),
-            array().cast("array<string>"),
-            (acc, x) => when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && x === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(lit(l + r))))
-              .otherwise(concat(acc, array(x)))).as("symbols"),
-          col("f"))
+        vocab = vocab.select(
+          bpeMergeOnce(col("symbols"), l, r).as("symbols"), col("f"))
           .localCheckpoint(false)
       }
     }

@@ -20,6 +20,31 @@ object ContentQueries {
   private def stopList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** Frozen BPE merge table for text_bpe_apply (rank order). Covers all
+    * merge regimes: char pairs, merged-as-left (ta+b, er+g),
+    * merged-as-right (w+in), and l==r run parity (l+l). */
+  private val bpeFrozen: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "s" -> "t", "l" -> "l",
+    "t" -> "a", "w" -> "in", "ta" -> "b", "er" -> "g")
+
+  /** The oracle's independent greedy-merge replay: each word is held as
+    * a sentinel-delimited string (`\x01\x01` between symbols and at both
+    * ends; symbols never contain the sentinel), and one merge is one
+    * non-overlapping left-to-right `replace` of `\x01 l \x01\x01 r \x01`
+    * by `\x01 lr \x01`. The single-sentinel pattern edges can only align
+    * with a full boundary pair, so `l`/`r` must match COMPLETE symbols,
+    * and each replacement consumes one sentinel from each boundary —
+    * leaving the other half in place so an adjacent later match still
+    * sees its edge (replaying `a a a a` under `a+a` yields `aa aa`, the
+    * same run parity as the engine's fold). */
+  private val bpeReplayExpr: String = bpeFrozen.foldLeft(
+    "chr(1)||chr(1) || array_to_string(string_split(wrd, ''), " +
+      "chr(1)||chr(1)) || chr(1)||chr(1)") {
+    case (e, (l, r)) =>
+      s"replace($e, chr(1)||'$l'||chr(1)||chr(1)||'$r'||chr(1), " +
+        s"chr(1)||'$l$r'||chr(1))"
+  }
+
   val queries: Map[String, Q] = Map[String, Q](
     "text_tokens" -> ((s, d) =>
       docs(s, d)
@@ -515,6 +540,32 @@ object ContentQueries {
     "text_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeTrain(docs(s, d), col("text"), merges = 8)
         .orderBy(col("rank"))),
+
+    // The serving half of BPE, oracle-checked: replay the FROZEN 8-merge
+    // table over every word with the exact fold the trainer uses
+    // (bpeMergeOnce — train and apply share the code path). The table
+    // deliberately exercises every merge regime: plain char pairs, a
+    // merged symbol as LEFT input (ta+b, er+g), a merged symbol as RIGHT
+    // input (w+in), and the l==r run-parity case (l+l). The oracle
+    // replays the same table through sentinel-delimited string rewriting
+    // — an independent second implementation of the greedy scan — and
+    // compares a per-doc fingerprint of the full tokenization plus
+    // word/subword counts. Pure per-doc Columns: zero shuffle, streams
+    // as-is.
+    "text_bpe_apply" -> ((s, d) => {
+      val ws = filter(TextAnalysis.tokens(lower(col("text"))),
+        w => w =!= "")
+      val subs = transform(ws, w => TextAnalysis.bpeApply(w, bpeFrozen))
+      docs(s, d)
+        .select(col("doc_id"), size(ws).as("nw"), subs.as("subs"))
+        .select(col("doc_id"),
+          col("nw").cast("long").as("n_words"),
+          size(flatten(col("subs"))).cast("long").as("n_subwords"),
+          conv(substring(md5(array_join(
+            transform(col("subs"), a => array_join(a, "\u0001")),
+            "\u0002")), 1, 15), 16, 10).cast("long").as("fp"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Round-6 capstone composition: exact-substring span dedup decides
     // what survives (docs cleaned to nothing drop), the leakage-free
@@ -1917,6 +1968,30 @@ object ContentQueries {
         |  FROM wf, LATERAL unnest(range(1, len(w))) AS u(i))
         |SELECT pair, CAST(sum(f) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // independent replay of the frozen merge table via sentinel-string
+    // rewriting (see bpeReplayExpr); fingerprints the full tokenization
+    "text_bpe_apply" ->
+      s"""WITH wl AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+        |  FROM documents),
+        |w AS (SELECT doc_id, u.i AS wi, wl.l[u.i] AS wrd
+        |  FROM wl, LATERAL unnest(range(1, len(l) + 1)) AS u(i)
+        |  WHERE wl.l[u.i] <> ''),
+        |m AS (SELECT doc_id, wi, $bpeReplayExpr AS ms FROM w),
+        |t AS (SELECT doc_id, wi,
+        |    string_split(substr(ms, 3, length(ms) - 4), chr(1)||chr(1))
+        |      AS toks FROM m),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(len(toks)) AS BIGINT) AS n_subwords,
+        |    string_agg(array_to_string(toks, chr(1)), chr(2)
+        |      ORDER BY wi) AS ser
+        |  FROM t GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+        |  CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords,
+        |  CAST(CONCAT('0x', substr(md5(coalesce(a.ser, '')), 1, 15))
+        |    AS BIGINT) AS fp
+        |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_vocab_topk" ->
       """SELECT t AS token, count(*) AS n

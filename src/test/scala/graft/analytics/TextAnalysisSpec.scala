@@ -292,4 +292,46 @@ class TextAnalysisSpec extends SparkSuite {
       .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
     assert(t == refBpe(Map("aaaa" -> 2L), 2), t)
   }
+
+  test("bpeApply replays a frozen merge table exactly like the reference " +
+    "greedy rewrite, and subwords always reassemble the word") {
+    // reference: one greedy non-overlapping left-to-right pass per merge
+    def refApply(w: String, ms: Seq[(String, String)]): Vector[String] =
+      ms.foldLeft(w.map(_.toString).toVector) { case (syms, (l, r)) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            b += (l + r); i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        b.result()
+      }
+    val merges = Seq("e" -> "r", "i" -> "n", "s" -> "t", "l" -> "l",
+      "t" -> "a", "w" -> "in", "ta" -> "b", "er" -> "g")
+    // every merge regime: chains into ta+b / er+g, merged-as-right w+in,
+    // l==r parity runs (llll → [ll,ll], lllll → [ll,ll,l]), no-ops
+    val words = Seq("table", "merge", "window", "stall", "llll", "lllll",
+      "winter", "er", "a", "x", "taber", "stab", "wininin") ++
+      (1 to 50).map { i =>
+        val rnd = new scala.util.Random(i)
+        Seq.fill(rnd.nextInt(10) + 1)("abelrstwing" (rnd.nextInt(11)))
+          .mkString
+      }
+    val got = words.toDF("w")
+      .select(col("w"), TextAnalysis.bpeApply(col("w"), merges).as("s"))
+      .as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      assert(got(w) == refApply(w, merges),
+        s"'$w': ${got(w)} vs ${refApply(w, merges)}")
+      assert(got(w).mkString == w, s"'$w' failed to reassemble: ${got(w)}")
+    }
+    // spot-pin the interesting shapes so a silently-weakened reference
+    // can't hide a regression
+    assert(got("table") == Vector("tab", "l", "e"))
+    assert(got("merge") == Vector("m", "erg", "e"))
+    assert(got("window") == Vector("win", "d", "o", "w"))
+    assert(got("llll") == Vector("ll", "ll"))
+    assert(got("lllll") == Vector("ll", "ll", "l"))
+  }
 }
