@@ -478,4 +478,128 @@ object TextAnalysis {
     }
     out.toSeq.toDF("rank", "left", "right", "n")
   }
+
+  /** Batched BPE training: the EXACT merge list of `bpeTrain`, with up
+    * to `maxBatch` merges committed per Spark round — the fix for the
+    * one-job-per-merge driver loop at production vocab sizes (a 32k
+    * vocabulary means 32k sequential vocabulary-scale jobs; batching
+    * divides the round count by the achieved batch width).
+    *
+    * Equivalence is PROVED per batch, not assumed. Scanning candidates
+    * in sequential-greedy order (count desc, then pair text), a
+    * candidate joins the batch only while:
+    *  - its symbols are disjoint from every earlier batch member's
+    *    `{l, r, l+r}` — so no earlier merge can destroy one of its
+    *    occurrences (that would need a shared symbol) or absorb it into
+    *    a new symbol, i.e. its count is provably unchanged; and
+    *  - its count strictly exceeds an upper bound on every pair an
+    *    earlier batch merge can CREATE: a created `(x, l·r)` occurrence
+    *    contains an old `(x, l)` occurrence and a created `(l·r, y)` an
+    *    old `(r, y)` one, so `max(maxRight(l), maxLeft(r))` — computed
+    *    from the full pair-count frame, not the top-K — dominates all
+    *    created counts. Strict inequality also rules out a created pair
+    *    winning a tie on the text order, which we cannot know without
+    *    materializing it.
+    * One collision case needs a third guard: if a member's merged STRING
+    * `l+r` already exists as a symbol (a re-merge of an earlier round's
+    * pair, or two different merges concatenating to the same text), its
+    * created pair tuples can coincide with pairs that still hold old
+    * count — counts then ADD and the max-bound argument breaks. The
+    * driver knows every symbol string ever in play (initial alphabet +
+    * every merge recorded), so such a member simply CLOSES its batch;
+    * fresh merged strings guarantee created tuples are brand-new and
+    * purely bounded.
+    * The scan STOPS at the first failure (never skips): the batch is a
+    * contiguous prefix of the greedy order, so by induction sequential
+    * greedy would select exactly these pairs with exactly these counts.
+    * Worst case (adversarial tiny alphabets) every batch has width 1
+    * and this degrades to `bpeTrain` plus three cheap model-scale
+    * lookups per round; natural corpora get wide batches.
+    *
+    * Returns (merge list, rounds executed) — the round count is the
+    * scale diagnostic a production run monitors. */
+  def bpeTrainBatchedWithRounds(docs: org.apache.spark.sql.DataFrame,
+      text: Column, merges: Int, maxBatch: Int = 64)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs.select(explode(tokens(lower(text))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(split(col("w"), "").as("symbols"), col("f"))
+      .localCheckpoint(false)
+    // every symbol string that has ever existed: initial alphabet plus
+    // each recorded merge — the collision guard's superset (symbols
+    // that later vanish from the vocab stay in, which is conservative)
+    var symbolSet = vocab.select(explode(col("symbols")).as("s"))
+      .distinct().as[String].collect().toSet
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rounds = 0
+    var done = false
+    while (out.length < merges && !done) {
+      rounds += 1
+      val nPairs = greatest(size(col("symbols")) - 1, lit(0))
+      // referenced three times below (top-K + the two bound aggregates):
+      // checkpoint so the vocabulary pair explode runs once per round
+      val pairCounts = vocab.select(col("f"), explode(zip_with(
+          slice(col("symbols"), lit(1), nPairs),
+          slice(col("symbols"), lit(2), nPairs),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("n"))
+        .localCheckpoint(false)
+      val top = pairCounts.orderBy(col("n").desc, col("l"), col("r"))
+        .limit(maxBatch)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) done = true
+      else {
+        val syms = top.flatMap(t => Seq(t._1, t._2)).distinct.toSeq
+        val maxLeft = pairCounts.filter(col("l").isin(syms: _*))
+          .groupBy(col("l")).agg(max(col("n")))
+          .as[(String, Long)].collect().toMap
+        val maxRight = pairCounts.filter(col("r").isin(syms: _*))
+          .groupBy(col("r")).agg(max(col("n")))
+          .as[(String, Long)].collect().toMap
+        val batch = scala.collection.mutable.ArrayBuffer(top.head)
+        var bound = math.max(maxRight.getOrElse(top.head._1, 0L),
+          maxLeft.getOrElse(top.head._2, 0L))
+        var blocked = Set(top.head._1, top.head._2,
+          top.head._1 + top.head._2)
+        var stop = symbolSet(top.head._1 + top.head._2)
+        symbolSet += top.head._1 + top.head._2
+        var i = 1
+        while (!stop && i < top.length &&
+            out.length + batch.length < merges) {
+          val (l, r, n) = top(i)
+          if (n <= bound || blocked(l) || blocked(r)) stop = true
+          else {
+            batch += top(i)
+            bound = math.max(bound, math.max(maxRight.getOrElse(l, 0L),
+              maxLeft.getOrElse(r, 0L)))
+            blocked = blocked + l + r + (l + r)
+            // a merged string that is already a known symbol can ALIAS
+            // existing pair tuples — its creations stop being purely
+            // "new", so it must be this batch's last member
+            if (symbolSet(l + r)) stop = true
+            symbolSet += (l + r)
+            i += 1
+          }
+        }
+        batch.foreach { case (l, r, n) =>
+          out += ((out.length + 1, l, r, n)) }
+        // one vocabulary pass applies the whole batch: chained
+        // projections collapse into a single job at the checkpoint
+        vocab = batch.foldLeft(vocab) { case (v, (l, r, _)) =>
+          v.select(bpeMergeOnce(col("symbols"), l, r).as("symbols"),
+            col("f"))
+        }.localCheckpoint(false)
+      }
+    }
+    (out.toSeq.toDF("rank", "left", "right", "n"), rounds)
+  }
+
+  /** `bpeTrainBatchedWithRounds` without the diagnostic. */
+  def bpeTrainBatched(docs: org.apache.spark.sql.DataFrame, text: Column,
+      merges: Int, maxBatch: Int = 64): org.apache.spark.sql.DataFrame =
+    bpeTrainBatchedWithRounds(docs, text, merges, maxBatch)._1
 }

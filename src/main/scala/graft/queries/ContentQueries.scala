@@ -531,14 +531,16 @@ object ContentQueries {
       TextAnalysis.bpePairStats(docs(s, d), col("text"))
         .orderBy(col("n").desc, col("pair")).limit(20)),
 
-    // Full iterative BPE training, 8 merges: each round one
-    // vocabulary-scale pair-count aggregate (one row to the driver) and
-    // a pure-Column greedy rewrite. Iterative argmax-then-rewrite is not
+    // Full iterative BPE training, 8 merges, via the BATCHED trainer
+    // (spec-proven to emit the exact sequential-greedy list while
+    // committing provably-safe multi-merge rounds — the production
+    // 32k-vocab path). Iterative argmax-then-rewrite is not
     // SQL-expressible, so no oracle row — the merge sequence is instead
     // model-checked against an in-memory reference BPE in
-    // TextAnalysisSpec, and round 1 is oracle-pinned via text_bpe_pairs.
+    // TextAnalysisSpec, round 1 is oracle-pinned via text_bpe_pairs,
+    // and applying a frozen table is oracle-pinned via text_bpe_apply.
     "text_bpe_merges" -> ((s, d) =>
-      TextAnalysis.bpeTrain(docs(s, d), col("text"), merges = 8)
+      TextAnalysis.bpeTrainBatched(docs(s, d), col("text"), merges = 8)
         .orderBy(col("rank"))),
 
     // The serving half of BPE, oracle-checked: replay the FROZEN 8-merge

@@ -293,6 +293,66 @@ class TextAnalysisSpec extends SparkSuite {
     assert(t == refBpe(Map("aaaa" -> 2L), 2), t)
   }
 
+  test("bpeTrainBatched emits the EXACT sequential-greedy merge list " +
+    "while committing multiple merges per round where provably safe") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val words = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect().toMap
+    val (gotDf, rounds) = TextAnalysis.bpeTrainBatchedWithRounds(
+      docs, col("text"), merges = 16)
+    val got = gotDf.as[(Int, String, String, Long)].collect()
+      .toSeq.sortBy(_._1)
+    assert(got == refBpe(words, 16), s"\ngot:  $got\nwant: ${refBpe(words, 16)}")
+    info(s"sf0.001 corpus: 16 merges in $rounds rounds")
+
+    // adversarial tiny alphabets: dense pair collisions force narrow
+    // batches — the guards must DEGRADE to sequential, never diverge
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val rdocs = (1L to 12L).map { id =>
+        (id, Seq.fill(rnd.nextInt(8) + 1)(
+          Seq.fill(rnd.nextInt(7) + 1)("abc" (rnd.nextInt(3))).mkString)
+          .mkString(" "))
+      }
+      val rWords = rdocs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      val rGot = TextAnalysis.bpeTrainBatched(
+          rdocs.toDF("doc_id", "text"), col("text"), merges = 6)
+        .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+      assert(rGot == refBpe(rWords, 6), s"seed $seed: $rGot")
+    }
+
+    // symbol-disjoint top pairs with well-separated counts: the whole
+    // table must commit in ONE round — the 32k-vocab scale path
+    val wide = (
+      Seq.fill(90)("ab") ++ Seq.fill(80)("cd") ++ Seq.fill(70)("ef") ++
+        Seq.fill(60)("gh") ++ Seq.fill(50)("ij"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val wideWords = Map("ab" -> 90L, "cd" -> 80L, "ef" -> 70L,
+      "gh" -> 60L, "ij" -> 50L)
+    val (wideDf, wideRounds) = TextAnalysis.bpeTrainBatchedWithRounds(
+      wide, col("text"), merges = 5)
+    assert(wideDf.as[(Int, String, String, Long)].collect().toSeq
+      .sortBy(_._1) == refBpe(wideWords, 5))
+    assert(wideRounds == 1,
+      s"disjoint pairs must batch into one round, took $wideRounds")
+
+    // the re-merge collision guard: "abab" re-creates pair (a,b) after
+    // merging it — created tuples alias old ones, so batches must close
+    // at the colliding member yet still match sequential greedy
+    val collide = (Seq.fill(10)("abab") ++ Seq.fill(4)("xy"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val collideWords = Map("abab" -> 10L, "xy" -> 4L)
+    val cGot = TextAnalysis.bpeTrainBatched(collide, col("text"),
+        merges = 4)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(cGot == refBpe(collideWords, 4), s"collide: $cGot")
+  }
+
   test("bpeApply replays a frozen merge table exactly like the reference " +
     "greedy rewrite, and subwords always reassemble the word") {
     // reference: one greedy non-overlapping left-to-right pass per merge
