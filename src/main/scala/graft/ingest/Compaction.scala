@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object Compaction {
 
   final case class Result(files: Seq[IngestWriter.FileInfo],
-                          filesBefore: Int, filesRemoved: Int)
+                          filesBefore: Long, filesRemoved: Long)
 
   /** A file name is a K/V/H sidecar iff `.keys.`/`.headers.` is followed
     * by a pure extension tail. The tail of a sidecar never contains `+`
@@ -251,7 +251,7 @@ object Compaction {
     // delete stale objects of the old generation last (tasks do the I/O)
     deleteObjectsDf(topicDir, stale)
     stale.unpersist(blocking = false)
-    Result(files, beforeCount.toInt, staleCount.toInt)
+    Result(files, beforeCount, staleCount)
   }
 
   /** Task-side delete of a distributed `(__epart, __fname)` frame — the
@@ -401,7 +401,7 @@ object Compaction {
     * `orphanCount` is the true total (they differ only when the cap
     * bites — e.g. a lake whose manifests were lost, where everything
     * looks orphaned). */
-  final case class VacuumResult(objectsListed: Int,
+  final case class VacuumResult(objectsListed: Long,
                                 orphanCount: Long,
                                 orphans: Seq[(String, String)],
                                 deleted: Boolean)
@@ -431,7 +431,7 @@ object Compaction {
     val fs = FileSystem.get(new java.net.URI(topicDir),
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(topicDir)))
-      return VacuumResult(0, 0L, Nil, false)
+      return VacuumResult(0L, 0L, Nil, false)
     // the UNION of all manifest generations — a single batch's manifest
     // must never be mistaken for full-lake coverage
     val committed = CommitManifest.committedDf(spark, topicDir)
@@ -445,26 +445,36 @@ object Compaction {
       .persist()
     try {
       // K/V/H sidecars (P4) share their value file's basename and are
-      // vouched for transitively: a sidecar is live iff its VALUE name is
+      // vouched for transitively: a sidecar is live iff its VALUE file is
       // manifested (manifests carry value names only). Sidecars are
       // recognized STRUCTURALLY (`SidecarTailRe`), not by the configured
       // view extensions alone — a lake written under a different
       // keys.format.class (e.g. same-format `.keys.parquet` sidecars from
       // an older config) must map to its value basename too, or vacuum
-      // would delete live sidecars as orphans. The file-name contract
-      // makes the rule unambiguous: after `.keys.`/`.headers.` a sidecar
-      // carries only its extension, while a topic NAME containing those
-      // infixes is always followed by `+partition+offset`.
-      val valueName = when(col("__fname").rlike(SidecarTailRe),
-        concat(regexp_replace(col("__fname"),
-          "\\.(keys|headers)\\.[^+]+$", ""), lit(cfg.extension)))
-        .otherwise(col("__fname"))
-      val valueKey = when(col("__epart") === "", valueName)
-        .otherwise(concat(col("__epart"), lit("/"), valueName))
+      // would delete live sidecars as orphans. And the match runs on the
+      // `<topic>+<kpart>+<offset>` BASE, not `base + cfg.extension`: the
+      // sidecar's value file may itself be manifested under an older
+      // VALUE format, so guessing the current extension would orphan a
+      // live pair. `+` never occurs in an extension and the offset tail
+      // is the last `+d+d` run, so stripping from the post-offset dot is
+      // unambiguous on both sides.
+      val stripExt = (c: Column) =>
+        regexp_extract(c, "^(.*\\+\\d+\\+\\d+)\\.", 1)
+      val sidecarBase = stripExt(regexp_replace(col("__fname"),
+        "\\.(keys|headers)\\.[^+]+$", ".x"))
+      val liveKey = when(col("__fname").rlike(SidecarTailRe),
+        when(col("__epart") === "", sidecarBase)
+          .otherwise(concat(col("__epart"), lit("/"), sidecarBase)))
+        .otherwise(CommitManifest.objectKey(col("__epart"), col("__fname")))
+      // the manifest vouches each object under BOTH its exact key and
+      // its extension-stripped base (for sidecar transitivity)
+      val vouched = committed.select(col("object_key").as("__vkey"))
+        .union(committed.select(
+          stripExt(col("object_key")).as("__vkey")))
+        .distinct()
       val total = listing.count()
-      val orphansDf = listing.withColumn("__vkey", valueKey)
-        .join(committed.select(col("object_key").as("__vkey")),
-          Seq("__vkey"), "left_anti")
+      val orphansDf = listing.withColumn("__vkey", liveKey)
+        .join(vouched, Seq("__vkey"), "left_anti")
         .select("__epart", "__fname").persist()
       try {
         val orphanCount = orphansDf.count()
@@ -472,7 +482,7 @@ object Compaction {
           .limit(maxReport).collect()
           .map(r => (r.getString(0), r.getString(1))).toSeq
         if (!dryRun && orphanCount > 0) deleteObjectsDf(topicDir, orphansDf)
-        VacuumResult(total.toInt, orphanCount, sample, !dryRun)
+        VacuumResult(total, orphanCount, sample, !dryRun)
       } finally orphansDf.unpersist()
     } finally listing.unpersist()
   }
@@ -483,9 +493,18 @@ object Compaction {
     * tasks recurse below in parallel — no O(#objects) driver structure.
     * Sidecar paths (any `_`/`.`-prefixed component) are never data
     * objects; root-level files (unpartitioned lakes) come from the same
-    * driver listing that found the directories. */
+    * driver listing that found the directories.
+    *
+    * K/V/H sidecars are matched STRUCTURALLY (`SidecarTailRe`) in
+    * addition to the configured extensions: a sidecar written under an
+    * OLDER `keys.format.class` whose extension matches none of the
+    * current three must still be visible, or compact's lockstep refusal
+    * would pass on a lake it is about to corrupt and vacuum could never
+    * clean such sidecars up. */
   private def listingDf(spark: SparkSession, topicDir: String,
                         extensions: Seq[String]): DataFrame = {
+    val keep = (name: String) =>
+      extensions.exists(name.endsWith) || name.matches(SidecarTailRe)
     import spark.implicits._
     val root = new Path(topicDir)
     val fs = FileSystem.get(root.toUri,
@@ -497,8 +516,7 @@ object Compaction {
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
       .map(_.toString).toSeq
     val rootRows = rootFiles.map(_.getPath.getName)
-      .filter(n => extensions.exists(n.endsWith) &&
-        !n.startsWith("_") && !n.startsWith("."))
+      .filter(n => keep(n) && !n.startsWith("_") && !n.startsWith("."))
       .map(("", _)).toSeq
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -517,7 +535,7 @@ object Compaction {
               .stripPrefix(rootPathStr).stripPrefix("/")
             val hidden = rel.split('/')
               .exists(c => c.startsWith("_") || c.startsWith("."))
-            if (extensions.exists(f.getName.endsWith) && !hidden) {
+            if (keep(f.getName) && !hidden) {
               val slash = rel.lastIndexOf('/')
               b += ((if (slash < 0) "" else rel.substring(0, slash),
                 rel.substring(slash + 1)))

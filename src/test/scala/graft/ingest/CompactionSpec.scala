@@ -231,6 +231,70 @@ class CompactionSpec extends SparkSuite {
     assert(e.getMessage.contains("K/V/H"))
   }
 
+  test("compaction refuses a lake whose only sidecars were written under " +
+    "an OLDER keys format — stale-format sidecars must not be invisible " +
+    "to the lockstep refusal") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "oldkeys", flushSize = 10)
+    val df = (0L until 10L).map(o => (0, o, s"v$o", "a"))
+      .toDF("kafka_partition", "offset", "value", "f")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("f")), out,
+      payloadCols = Seq(col("offset"), col("value")))
+    val dir = new java.io.File(s"$out/topics/oldkeys/f=a")
+    val value = dir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    // a legacy sidecar whose extension matches NONE of the three
+    // currently-configured extensions (values .parquet, keys/headers
+    // .keys.avro/.headers.avro): pre-fix this file was unlisted, the
+    // sidecar require passed, and compact deleted the value file out
+    // from under it
+    val stale = new java.io.File(dir,
+      value.getName.stripSuffix(".parquet") + ".keys.json")
+    java.nio.file.Files.copy(value.toPath, stale.toPath)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, out, cfg, targetRecords = 100)
+    }
+    assert(e.getMessage.contains("K/V/H"), e.getMessage)
+    assert(stale.exists() && value.exists(), "refusal must not delete")
+  }
+
+  test("vacuum vouches sidecars by offset-range BASE: a stale-format " +
+    "sidecar of a manifested old-format value survives, an unvouched " +
+    "one is deleted, under a config that recognizes neither extension") {
+    val out = freshDir()
+    // generation 1: a JSON lake with a manifest
+    val jsonCfg = IngestConfig(topic = "fmtmix", flushSize = 30,
+      format = OutputFormat.Json)
+    val df = (0L until 30L).map(o => (0, o, s"v$o", "a"))
+      .toDF("kafka_partition", "offset", "value", "f")
+    Ingest.run(df, jsonCfg, PartitionerSpec.Fields(Seq("f")), out,
+      payloadCols = Seq(col("offset"), col("value")),
+      writeManifest = true)
+    val dir = new java.io.File(s"$out/topics/fmtmix/f=a")
+    val jsonValue = dir.listFiles()
+      .filter(_.getName.endsWith(".json")).head
+    // its legacy sidecar (live: the value is manifested) and an
+    // unvouched sidecar with no manifested base
+    val liveSidecar = new java.io.File(dir,
+      jsonValue.getName.stripSuffix(".json") + ".keys.json")
+    java.nio.file.Files.copy(jsonValue.toPath, liveSidecar.toPath)
+    val orphanSidecar = new java.io.File(dir,
+      "fmtmix+0+0000000099.keys.json")
+    java.nio.file.Files.copy(jsonValue.toPath, orphanSidecar.toPath)
+
+    // vacuum under TODAY'S config: parquet values, avro key sidecars —
+    // neither .json value nor .keys.json sidecar extensions match
+    val nowCfg = IngestConfig(topic = "fmtmix", flushSize = 30)
+    val r = Compaction.vacuum(spark, out, nowCfg)
+    assert(r.orphans == Seq(("f=a", "fmtmix+0+0000000099.keys.json")), r)
+    assert(liveSidecar.exists(),
+      "live old-format sidecar must survive: guessing the CURRENT value " +
+        "extension would have orphaned it")
+    assert(jsonValue.exists(), "old-format values are never listed, " +
+      "never deleted")
+    assert(!orphanSidecar.exists())
+  }
+
   test("readLake with an explicit inventory reads EXACTLY those objects — " +
     "a file landed after the listing is neither compacted nor deleted, " +
     "and glob metachars in partition values stay literal") {
