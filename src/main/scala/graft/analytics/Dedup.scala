@@ -339,6 +339,13 @@ object Dedup {
       converged = changed == 0L
       i += 1
     }
+    // exiting via maxIters means some label was still moving — the
+    // output would silently mislabel every chain longer than the cap
+    // (exactly the case the alternating engine exists for); fail loudly
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge in $maxIters rounds — labels were " +
+        "still propagating; raise maxIters or use " +
+        "dedupClustersAlternating (O(log n) rounds) for long chains")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 
@@ -421,6 +428,29 @@ object Dedup {
       prevSig = sig
       i += 1
     }
+    // two silent-wrongness paths, both made loud: exhausting maxIters
+    // returns a part-contracted edge set, and a (count, bit_xor) signature
+    // collision between DIFFERENT consecutive edge sets would declare a
+    // false fixpoint. The first raises; the second is caught by verifying
+    // the claimed fixpoint IS a star forest — in a star forest no node is
+    // a member twice or both a root and a member, and any non-fixpoint
+    // edge set violates that. One edge-scale aggregate at convergence.
+    if (!converged) throw new IllegalStateException(
+      s"dedupClustersAlternating did not converge in $maxIters " +
+        "alternating rounds — the edge set was still contracting; raise " +
+        "maxIters (the default covers 2^20-diameter components)")
+    val violations = edges.select(explode(array(
+        struct(col("lo").as("n"), lit(0L).as("h"), lit(1L).as("l")),
+        struct(col("hi").as("n"), lit(1L).as("h"), lit(0L).as("l"))))
+        .as("e"))
+      .groupBy(col("e.n"))
+      .agg(sum(col("e.h")).as("nh"), sum(col("e.l")).as("nl"))
+      .filter(col("nh") >= 2 || (col("nh") >= 1 && col("nl") >= 1))
+      .count()
+    if (violations != 0L) throw new IllegalStateException(
+      s"dedupClustersAlternating signature collision: the converged edge " +
+        s"set is not a star forest ($violations node violations) — " +
+        "a (count, bit_xor) fixpoint matched two different edge sets")
     // the converged edge set is the star forest (lo = component min):
     // members read their root off the edges; roots and self-loop-only
     // docs fall through the left join and label themselves
@@ -532,11 +562,14 @@ object Dedup {
     *
     * Scale shape (all corpus-size structures stay distributed):
     *  1. positional k-shingle table — built in the scan stage from one
-    *     `transform(sequence(...))` per doc, exploded; 8-byte xxhash64
-    *     keys, never shingle text, cross the wire;
+    *     `transform(sequence(...))` per doc, exploded; 128-bit hash
+    *     pairs (two xxhash64 lanes — a single 64-bit key reaches its
+    *     birthday bound at the documented 1e10-1e11-shingle scale and a
+    *     collision DELETES unique text; the pair's bound is ~1e-17),
+    *     never shingle text, cross the wire;
     *  2. corpus-wide occurrence counts = one hash aggregate on the
-    *     shingle hash, map-side partial; joined back SHUFFLE_HASH on the
-    *     same 8-byte key (uniform hash keys — no skew, no sort);
+    *     shingle hash pair, map-side partial; joined back SHUFFLE_HASH
+    *     on the same 16-byte key (uniform hash keys — no skew, no sort);
     *  3. per-token coverage NEVER JOINS the duplicated-start set against
     *     the token table (that set is ~dup-fraction × corpus tokens —
     *     not broadcast-safe, and an equi-join would cost its own
@@ -558,8 +591,8 @@ object Dedup {
   def substringDedup(docs: DataFrame, id: Column, text: Column,
                      k: Int = 15): DataFrame = {
     val (sh, tok) = substringTables(docs, id, text, k)
-    val occ = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
-    val dupStarts = sh.join(occ.hint("SHUFFLE_HASH"), Seq("h"))
+    val occ = sh.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("c"))
+    val dupStarts = sh.join(occ.hint("SHUFFLE_HASH"), Seq("h1", "h2"))
       .filter(col("c") >= 2)
       .select(col("doc_id"), col("s").as("p"),
         lit(null).cast("string").as("tok"), lit(1).as("dup"))
@@ -707,7 +740,7 @@ object Dedup {
   def substringHistoryHashes(history: DataFrame, text: Column,
                              k: Int = 15): DataFrame =
     substringTables(history, lit(0L), text, k)._1
-      .select(col("h")).distinct()
+      .select(col("h1"), col("h2")).distinct()
 
   /** Incremental exact-substring cleaning: drop from each BATCH document
     * every >= `k`-token span that already occurs in the history corpus
@@ -723,14 +756,14 @@ object Dedup {
     // left_semi with a SHUFFLE_HASH hint: the history side must never
     // become a broadcast build (it is corpus-scale)
     val dupStarts = sh.join(historyHashes.hint("SHUFFLE_HASH"),
-        Seq("h"), "left_semi")
+        Seq("h1", "h2"), "left_semi")
       .select(col("doc_id"), col("s").as("p"),
         lit(null).cast("string").as("tok"), lit(1).as("dup"))
     substringAssemble(tok, dupStarts, k)
   }
 
   /** Positional shingle + token tables shared by the substring family:
-    * `(doc_id, s, h)` k-shingle starts with 8-byte hashes, and
+    * `(doc_id, s, h1, h2)` k-shingle starts with 128-bit hash pairs, and
     * `(doc_id, p, tok, dup=0)` tokens. Span MATCHING is case-insensitive
     * (hashes over lowercased tokens); the token table keeps the ORIGINAL
     * text, so reassembly is byte-preserving for every kept token —
@@ -744,9 +777,18 @@ object Dedup {
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("t")) - k),
         i => struct(i.as("s"),
-          xxhash64(concat_ws(" ", slice(col("t"), i + 1, lit(k)))).as("h"))))
+          concat_ws(" ", slice(col("t"), i + 1, lit(k))).as("g"))))
         .as("sh"))
-      .select(col("doc_id"), col("sh.s").as("s"), col("sh.h").as("h"))
+      // 128-bit shingle identity (two independently-seeded xxhash64
+      // lanes): a SINGLE 64-bit key meets birthday collisions at the
+      // 100 TB corpus scale this family documents (~1e10-1e11 shingles
+      // → expected collisions ≈ n²/2^65 — thousands), and a collision
+      // here silently deletes unique text. The pair pushes that to
+      // n²/2^129 ≈ 1e-17 — negligible by any operational standard.
+      // Shingle text never leaves the scan stage; 16 bytes/key shuffle.
+      .select(col("doc_id"), col("sh.s").as("s"),
+        xxhash64(col("sh.g")).as("h1"),
+        xxhash64(lit(1L), col("sh.g")).as("h2"))
     val tok = toks.select(col("doc_id"), posexplode(col("rt")))
       .toDF("doc_id", "p", "tok")
       .withColumn("dup", lit(0))

@@ -150,6 +150,28 @@ class DedupSpec extends SparkSuite {
     graft.analytics.Caches.clear()
   }
 
+  test("both clustering engines RAISE on maxIters exhaustion instead of " +
+    "returning part-converged labels") {
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // diameter 30 > default 25 propagation rounds: pre-fix this silently
+    // returned labels that had only moved 25 hops
+    val e1 = intercept[IllegalStateException] {
+      Dedup.dedupClusters(chain, col("a_id"), col("b_id"))
+        .as[(Long, Long)].collect()
+    }
+    assert(e1.getMessage.contains("did not converge"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      Dedup.dedupClustersAlternating(chain, col("a_id"), col("b_id"),
+        maxIters = 1).as[(Long, Long)].collect()
+    }
+    assert(e2.getMessage.contains("did not converge"), e2.getMessage)
+    // ...and a raised cap converges the same chain fine
+    val ok = Dedup.dedupClusters(chain, col("a_id"), col("b_id"),
+      maxIters = 40).as[(Long, Long)].collect().toMap
+    assert(ok.size == 31 && ok.values.forall(_ == 0L))
+    graft.analytics.Caches.clear()
+  }
+
   test("newAgainstBloom equals newAgainst exactly, even with a high-fpp " +
     "sketch — false positives are rescued by the verify join") {
     val all = graft.Tables.load(spark, sf0001, "documents")
