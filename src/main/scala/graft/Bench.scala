@@ -21,6 +21,15 @@ object Bench {
     "sim_topk_bruteforce", "sim_topk_ivf", "mm_features",
     "pack_context_windows", "corpus_similarity")
 
+  // Round-7 additions: the round-6 operator families, benched SEPARATELY
+  // so their regressions are visible without disturbing the original
+  // 25-query set's baseline comparability ("value" still sums only the
+  // headline set; these report under "queries_r7"/"value_r7").
+  val additionsR7: Seq[String] = Seq(
+    "dedup_substring", "dedup_substring_incr", "dedup_incremental_bloom",
+    "emb_pca_project", "text_bpe_pairs", "text_bpe_apply",
+    "lake_cdc_merge")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,22 +46,27 @@ object Bench {
     SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
 
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val t0 = System.nanoTime()
-      val ok = try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        true
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-      } finally graft.analytics.Caches.clear()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def run(names: Seq[String]): Seq[(String, Double)] =
+      names.filter(SparkEntry.queries.contains).map { name =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        } finally graft.analytics.Caches.clear()
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+    def total(rs: Seq[(String, Double)]): Double =
+      rs.collect { case (_, v) if v >= 0 => v }.sum
+    val results = run(headline)
+    val r7 = run(additionsR7)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

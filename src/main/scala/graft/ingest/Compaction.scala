@@ -36,6 +36,10 @@ object Compaction {
   final case class Result(files: Seq[IngestWriter.FileInfo],
                           filesBefore: Long, filesRemoved: Long)
 
+  private val StatsArrayType =
+    "array<struct<c: string, lo: double, hi: double, " +
+      "slo: string, shi: string>>"
+
   /** A file name is a K/V/H sidecar iff `.keys.`/`.headers.` is followed
     * by a pure extension tail. The tail of a sidecar never contains `+`
     * (it is `<view ext>` only, e.g. `.keys.avro`, `.keys.snappy.parquet`),
@@ -231,8 +235,7 @@ object Compaction {
         count(lit(1)).as("record_count")) ++
         (if (cfg.statsColumns.isEmpty) Nil
          else Seq(array(cfg.statsColumns.map(c =>
-           struct(lit(c).as("c"), min(col(c)).cast("double").as("lo"),
-             max(col(c)).cast("double").as("hi"))): _*).as("col_stats")))
+           CommitManifest.statStruct(fresh, c)): _*).as("col_stats")))
       val stats = fresh.groupBy(col("__epart").as("encoded_partition"),
           col("__fname").as("fname"))
         .agg(statAggs.head, statAggs.tail: _*)
@@ -304,7 +307,9 @@ object Compaction {
   def readCommitted(spark: SparkSession, outDir: String, cfg: IngestConfig,
                     partitionPredicate: Option[Column] = None,
                     maxExplicitPaths: Int = 100000,
-                    rangePredicates: Seq[(String, Double, Double)] = Nil)
+                    rangePredicates: Seq[(String, Double, Double)] = Nil,
+                    stringRangePredicates: Seq[(String, String, String)] =
+                      Nil)
       : DataFrame = {
     val topicDir = s"$outDir/${cfg.topicsDir}/${cfg.topic}"
     val committedAll = CommitManifest.committedDf(spark, topicDir)
@@ -329,11 +334,18 @@ object Compaction {
     val statPruned = rangePredicates.foldLeft(keys) {
       case (df, (name, lower, upper)) =>
         df.filter(size(filter(coalesce(col("col_stats"),
-            array().cast("array<struct<c: string, lo: double, hi: double>>")),
+            array().cast(StatsArrayType)),
           s => s.getField("c") === name &&
             (s.getField("lo") > upper || s.getField("hi") < lower))) === 0)
     }
-    val pruned = partitionPredicate.fold(statPruned)(statPruned.filter)
+    val strPruned = stringRangePredicates.foldLeft(statPruned) {
+      case (df, (name, lower, upper)) =>
+        df.filter(size(filter(coalesce(col("col_stats"),
+            array().cast(StatsArrayType)),
+          s => s.getField("c") === name &&
+            (s.getField("slo") > upper || s.getField("shi") < lower))) === 0)
+    }
+    val pruned = partitionPredicate.fold(strPruned)(strPruned.filter)
     val n = pruned.count() // ONE scalar to the driver
     // fail CLOSED only when the MANIFESTS are empty (an empty committed
     // set must not degrade into an unfiltered full-lake read). Predicates

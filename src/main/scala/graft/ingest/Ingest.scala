@@ -275,15 +275,15 @@ object CommitManifest {
     val grouped = Rotation.assignSizeFiles(
       df.withColumn("__epart", encodedPartition), struct(groupKey: _*),
       offset, cfg.flushSize)
-    // per-object [min,max] of the configured numeric stats columns ride
-    // the same aggregate — zero extra passes; doubles keep the manifest
-    // schema static across lakes with different stats configs
+    // per-object [min,max] of the configured stats columns ride the
+    // same aggregate — zero extra passes; the static double/string lane
+    // pair keeps the manifest schema identical across lakes with
+    // different stats configs
     val statAggs = Seq(max(offset).as("end_offset"),
       count(lit(1)).as("record_count")) ++
       (if (cfg.statsColumns.isEmpty) Nil
        else Seq(array(cfg.statsColumns.map(c =>
-         struct(lit(c).as("c"), min(col(c)).cast("double").as("lo"),
-           max(col(c)).cast("double").as("hi"))): _*).as("col_stats")))
+         statStruct(df, c)): _*).as("col_stats")))
     val stats = grouped
       .groupBy(col("__epart").as("encoded_partition"),
         kafkaPartition.as("kafka_partition"),
@@ -297,13 +297,33 @@ object CommitManifest {
 
   /** Root-level objects key as the bare file name (no leading slash) —
     * the same relative key a recursive listing produces. */
+  /** One configured column's per-object [min,max] stat struct: STRING
+    * columns ride the string lanes (text lakes key on ids and
+    * dates-as-strings more than numerics), everything else casts to the
+    * double lanes as before. The unused lanes are null — to_json drops
+    * them on write and they fail open on read, so old four-lane
+    * manifests and stat-less generations stay readable. */
+  private[ingest] def statStruct(df: DataFrame, c: String): Column =
+    if (df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+      struct(lit(c).as("c"),
+        lit(null).cast("double").as("lo"),
+        lit(null).cast("double").as("hi"),
+        min(col(c)).as("slo"), max(col(c)).as("shi"))
+    else
+      struct(lit(c).as("c"),
+        min(col(c)).cast("double").as("lo"),
+        max(col(c)).cast("double").as("hi"),
+        lit(null).cast("string").as("slo"),
+        lit(null).cast("string").as("shi"))
+
   private[ingest] def objectKey(epart: Column, fname: Column): Column =
     when(epart === "", fname).otherwise(concat(epart, lit("/"), fname))
 
   private[ingest] val ManifestSchema =
     "object_key STRING, start_offset LONG, end_offset LONG, " +
       "record_count LONG, " +
-      "col_stats ARRAY<STRUCT<c: STRING, lo: DOUBLE, hi: DOUBLE>>"
+      "col_stats ARRAY<STRUCT<c: STRING, lo: DOUBLE, hi: DOUBLE, " +
+      "slo: STRING, shi: STRING>>"
 
   /** Stream a stats frame (encoded_partition, start_offset, end_offset,
     * record_count, object_key) to `commit-<min>-<max>-<keyhash>.json`
@@ -326,7 +346,8 @@ object CommitManifest {
     val withStats =
       if (stats.columns.contains("col_stats")) stats
       else stats.withColumn("col_stats",
-        lit(null).cast("array<struct<c: string, lo: double, hi: double>>"))
+        lit(null).cast("array<struct<c: string, lo: double, hi: double, " +
+          "slo: string, shi: string>>"))
     val ordered = withStats.orderBy(col("object_key"))
     // to_json drops null fields, so stat-less lakes keep the original
     // four-field line format

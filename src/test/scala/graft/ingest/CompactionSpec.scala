@@ -108,6 +108,59 @@ class CompactionSpec extends SparkSuite {
       fullOffsets)
   }
 
+  test("STRING column manifest stats skip objects on range reads — text " +
+    "lakes key on ids/dates-as-strings; numeric stats ride along and " +
+    "both fail open where absent") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "sskip", flushSize = 10,
+      statsColumns = Seq("day", "price"))
+    // day is a STRING date, monotone in offset: each 10-record object
+    // covers a disjoint lexicographic [slo, shi]
+    val df = (0L until 60L).map { o =>
+      (0, o, f"2024-01-${o / 4 + 1}%02d", o * 100L, s"t${o % 2}")
+    }.toDF("kafka_partition", "offset", "day", "price", "event_type")
+    Ingest.run(df, cfg, PartitionerSpec.Fields(Seq("event_type")), out,
+      payloadCols = Seq(col("offset"), col("day"), col("price"),
+        col("event_type")),
+      writeManifest = true)
+    val want = spark.read.parquet(s"$out/topics/sskip")
+      .filter(col("day").between("2024-01-06", "2024-01-07"))
+      .select("offset").as[Long].collect().sorted.toSeq
+    assert(want.nonEmpty)
+    val hit = Compaction.readCommitted(spark, out, cfg,
+        stringRangePredicates =
+          Seq(("day", "2024-01-06", "2024-01-07")))
+      .filter(col("day").between("2024-01-06", "2024-01-07"))
+    assert(hit.select("offset").as[Long].collect().sorted.toSeq == want)
+    val opened = hit.select(input_file_name()).distinct().count()
+    assert(opened == 2,
+      s"offsets 20..27 live in one object per partition; opened $opened")
+    // string range below/above every object: healthy lake, empty answer
+    assert(Compaction.readCommitted(spark, out, cfg,
+      stringRangePredicates = Seq(("day", "2025-01-01", "2025-12-31")))
+      .isEmpty)
+    // string predicate on a column with numeric-lane stats fails open
+    assert(Compaction.readCommitted(spark, out, cfg,
+        stringRangePredicates = Seq(("price", "a", "b")))
+      .select(input_file_name()).distinct().count() == 6,
+      "numeric-lane stats must not serve a string predicate")
+    // both lanes compose: string day range AND numeric price range
+    val both = Compaction.readCommitted(spark, out, cfg,
+      rangePredicates = Seq(("price", 2000.0, 2500.0)),
+      stringRangePredicates = Seq(("day", "2024-01-06", "2024-01-07")))
+    assert(both.select(input_file_name()).distinct().count() == 2)
+    // object compaction recomputes BOTH lanes
+    Compaction.compact(spark, out, cfg, targetRecords = 100)
+    assert(Compaction.readCommitted(spark, out, cfg,
+      stringRangePredicates = Seq(("day", "2025-01-01", "2025-12-31")))
+      .isEmpty, "compacted objects lost their string stats")
+    val after = Compaction.readCommitted(spark, out, cfg,
+        stringRangePredicates =
+          Seq(("day", "2024-01-06", "2024-01-07")))
+      .filter(col("day").between("2024-01-06", "2024-01-07"))
+    assert(after.select("offset").as[Long].collect().sorted.toSeq == want)
+  }
+
   test("z-order layout + manifest stats = multi-dimensional data " +
     "skipping: an 8-wide slab on EITHER axis opens 4 of 16 objects") {
     val out = freshDir()
