@@ -653,6 +653,21 @@ object Similarity {
     require(rows.nonEmpty, "pcaFit needs a non-empty embedding corpus")
     val d = rows.iterator.map(_.getInt(0)).max + 1
     require(k >= 1 && k <= d, s"k=$k out of range for dim $d")
+    fitFromMoments(rows, d, k)
+  }
+
+  /** `pcaFit` keeping ALL d components (the dimension is read from the
+    * data): the full orthonormal eigenbasis — what a rotation consumer
+    * (`pqRotation`, the Parseval energy check) needs. */
+  def pcaFitFull(emb: DataFrame, vec: Column): PcaModel = {
+    val rows = momentAgg(emb.select(asDouble(vec).as("v"))).collect()
+    require(rows.nonEmpty, "pcaFit needs a non-empty embedding corpus")
+    val d = rows.iterator.map(_.getInt(0)).max + 1
+    fitFromMoments(rows, d, d)
+  }
+
+  private def fitFromMoments(rows: Array[org.apache.spark.sql.Row],
+                             d: Int, k: Int): PcaModel = {
     val n = rows.find(r => r.getInt(1) == -1).map(_.getLong(3))
       .getOrElse(throw new IllegalArgumentException(
         "pcaFit needs a non-empty embedding corpus")).toDouble
@@ -758,5 +773,91 @@ object Similarity {
       if (col(dom) < 0) col.map(x => -x) else col
     }.toArray
     (vals, vecs)
+  }
+
+  /** OPQ rotation, the parametric variant (Ge et al., CVPR 2013 §4 —
+    * "OPQ-P"): rotate vectors into the PCA eigenbasis and ALLOCATE the
+    * principal components to the `m` PQ subspaces so the per-subspace
+    * variance PRODUCTS balance (greedy: eigenvalues descending, each to
+    * the not-full bucket with the smallest log-product). Balanced
+    * subspace information is the condition under which PQ's independent
+    * per-subspace quantizers waste the least — the closed-form
+    * alternative to the paper's alternating Procrustes loop, fit
+    * entirely with the existing moment-aggregate + Jacobi machinery
+    * (one corpus scan, d×d driver eigensolve).
+    *
+    * Returns the d×d orthogonal rotation as rows; subspace `j` of the
+    * rotated vector is rows [j·d/m, (j+1)·d/m). Apply with `rotateVec`
+    * — rotation preserves dot products and norms, so exact cosine
+    * ranking is unchanged and ONLY quantization fidelity moves. */
+  def pqRotation(emb: DataFrame, vec: Column,
+                 m: Int = 8): Array[Array[Double]] = {
+    val model = pcaFitFull(emb, vec)
+    val d = model.components.length
+    require(d % m == 0, s"m=$m must divide dim $d")
+    val cap = d / m
+    val logs = Array.fill(m)(0.0)
+    val alloc = Array.fill(m)(Vector.newBuilder[Int])
+    val used = Array.fill(m)(0)
+    model.eigenvalues.zipWithIndex.foreach { case (lam, i) =>
+      val j = (0 until m).filter(used(_) < cap).minBy(logs(_))
+      alloc(j) += i
+      used(j) += 1
+      logs(j) += math.log(math.max(lam, 1e-300))
+    }
+    alloc.flatMap(_.result().map(model.components)).toArray
+  }
+
+  /** Apply a rotation matrix (rows) to a vector column: one codegen'd
+    * literal-array dot product per output coordinate — zero shuffle,
+    * zero join, streams as-is. 12 decimals keep the rounding noise far
+    * below any quantization-error or ranking margin. */
+  def rotateVec(vec: Column, rotation: Array[Array[Double]],
+                decimals: Int = 12): Column =
+    array(rotation.map(w =>
+      round(dot(asDouble(vec), array(w.map(lit).toIndexedSeq: _*)),
+        decimals)).toIndexedSeq: _*)
+
+  /** Mean PQ reconstruction error (sum over subspaces of the squared
+    * distance to the NEAREST codeword, averaged over the corpus) — the
+    * quantity OPQ minimizes and the direct fidelity measure behind ADC
+    * ranking quality. Same deterministic hash-sampled codebook as
+    * `pqTopK`, so `pqQuantizationError(c, id, rotateVec(v, R)) <
+    * pqQuantizationError(c, id, v)` isolates exactly the rotation's
+    * contribution. One corpus scan + two aggregates. */
+  def pqQuantizationError(corpus: DataFrame, cId: Column, cVec: Column,
+                          dim: Int = 64, m: Int = 8,
+                          ks: Int = 16): Double = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
+    val cb = pqCodebook(c, m, sub, ks)
+    c.select(col("n_id"), explode(pqSubSlices(col("c_v"), m, sub)).as("e"))
+      .select(col("n_id"), col("e.sub").as("sub"), col("e.sv").as("cs"))
+      .join(broadcast(cb), Seq("sub"))
+      .groupBy(col("n_id"), col("sub"))
+      .agg(min(pqD2(col("cs"), col("cw"))).as("d2"))
+      .groupBy(col("n_id")).agg(sum(col("d2")).as("err"))
+      .agg(avg(col("err"))).head.getDouble(0)
+  }
+
+  /** Mean recall@k of an approximate top-k result against the exact one
+    * — the retrieval-QUALITY measure the per-query determinism oracles
+    * cannot see (they prove each index replays exactly, not that it
+    * finds true neighbors). Per query: |approx ∩ exact| / |exact rows|
+    * (the denominator is exact's own row count, ≤ k on small corpora),
+    * averaged over exact's query set; a query the approximate index
+    * returns nothing for counts as 0. Both inputs are the `(q_id, n_id,
+    * ...)` frames every `*TopK` operator returns. One semi-join + two
+    * query-set-scale aggregates; corpus never rescanned. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val a = approx.select(col("q_id"), col("n_id"))
+    val hits = exact.select(col("q_id"), col("n_id"))
+      .join(a, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+      .join(hits, Seq("q_id"), "left")
+      .agg(avg(coalesce(col("hits"), lit(0L)) / col("n")))
+      .head.getDouble(0)
   }
 }

@@ -1,0 +1,83 @@
+package graft.analytics
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Retrieval QUALITY of the ANN indexes, measured as recall@10 against
+  * brute force at sf0.1 (2000 × 64-dim vectors, 20 queries) — the axis
+  * the determinism oracles cannot see. Floors are set ~5 points under
+  * the measured values (table in SCALE.md §ANN recall) so a silent
+  * recall regression (broken banding, bad centroids, a quantizer that
+  * stopped separating) fails CI while run-to-run noise does not: every
+  * index here is deterministic, so the only variation across runs is a
+  * code change.
+  *
+  * The ordering invariants matter as much as the absolute floors:
+  * multi-probe must dominate single-probe (its candidate set is a
+  * superset by construction), and the IVF family must beat its own
+  * quantized variants' floors only where quantization actually loses
+  * information (SQ8 ≈ exact, PQ lossy).
+  */
+class RecallSpec extends SparkSuite {
+
+  private lazy val emb =
+    graft.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") % 100 === 0)
+  private lazy val exact = Caches.persist(Similarity.bruteForceTopK(
+    queries, emb, col("vec_id"), col("embedding"),
+    col("vec_id"), col("embedding"), k = 10))
+
+  private def recallOf(name: String,
+                       approx: org.apache.spark.sql.DataFrame,
+                       floor: Double): Double = {
+    val r = Similarity.recallAtK(approx, exact)
+    info(f"$name%-12s recall@10 = $r%.3f (floor $floor%.2f)")
+    assert(r >= floor,
+      f"$name recall@10 regressed: $r%.3f < floor $floor%.2f")
+    r
+  }
+
+  test("recall@10 floors at sf0.1 for every ANN index, with the " +
+    "structural orderings (multi-probe ≥ single-probe, SQ8 ≈ IVF)") {
+    val (id, v) = (col("vec_id"), col("embedding"))
+    val srp = recallOf("srp",
+      Similarity.srpTopK(queries, emb, id, v, id, v, k = 10), 0.60)
+    val srpMp = recallOf("srp_mp",
+      Similarity.srpMultiProbeTopK(queries, emb, id, v, id, v, k = 10),
+      0.85)
+    val srpMp2 = recallOf("srp_mp2",
+      Similarity.srpMultiProbeTopK(queries, emb, id, v, id, v, k = 10,
+        flips = 2), 0.90)
+    val ivf = recallOf("ivf",
+      Similarity.ivfTopK(queries, emb, id, v, id, v, k = 10), 0.40)
+    val ivfSq = recallOf("ivf_sq8",
+      Similarity.ivfSq8TopK(queries, emb, id, v, id, v, k = 10), 0.40)
+    val pq = recallOf("pq",
+      Similarity.pqTopK(queries, emb, id, v, id, v, k = 10), 0.05)
+    val ivfPq = recallOf("ivf_pq",
+      Similarity.ivfPqTopK(queries, emb, id, v, id, v, k = 10), 0.02)
+    val int8 = recallOf("int8",
+      Similarity.int8TopK(queries, emb, id, v, id, v, k = 10), 0.90)
+    val pq64 = recallOf("pq_ks64",
+      Similarity.pqTopK(queries, emb, id, v, id, v, k = 10, ks = 64),
+      0.12)
+    // the codebook-size knob must actually buy recall (0.10 → 0.18
+    // measured): the quality path OPQ builds on
+    assert(pq64 >= pq, s"ks=64 cannot lose recall vs ks=16: $pq64 < $pq")
+
+    // structure, not just floors
+    assert(srpMp >= srp,
+      s"multi-probe candidates are a superset of single-probe: " +
+        s"$srpMp < $srp")
+    assert(srpMp2 >= srpMp, s"more probes cannot lose recall: " +
+      s"$srpMp2 < $srpMp")
+    // SQ8 quantizes scores, not the list assignment: within a point or
+    // two of plain IVF
+    assert(math.abs(ivfSq - ivf) <= 0.1,
+      s"IVF-SQ8 should track IVF closely: $ivfSq vs $ivf")
+    // PQ on top of IVF pruning can only shed further recall
+    assert(ivfPq <= pq + 0.1 && ivfPq <= ivf + 0.1,
+      s"IVF-PQ cannot beat both its parents: $ivfPq vs pq=$pq ivf=$ivf")
+    Caches.clear()
+  }
+}
