@@ -541,4 +541,117 @@ class StreamingIngestSpec extends SparkSuite {
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__bucket="))
     assert(dirs.nonEmpty && dirs.length <= 8, dirs.toSeq)
   }
+
+  test("kill-and-resume soak: the gated pipeline restarted from its " +
+    "checkpoint — INCLUDING a replayed batch whose commit marker was " +
+    "lost — lands exactly the batch-mode keep set, with consistent " +
+    "manifests") {
+    val src = Files.createTempDirectory("soak_src").toString
+    val out = Files.createTempDirectory("soak_out").toString
+    val ckpt = Files.createTempDirectory("soak_ckpt").toString
+
+    // frozen history: one exact-dup target + one substring-span source
+    val history = Seq(
+      (1L, "dup dup dup seen exactly before now"),
+      (2L, "alpha beta gamma delta epsilon zeta shared span words"))
+      .toDF("doc_id", "text")
+      .withColumn("fp",
+        graft.analytics.TextAnalysis.fingerprint(col("text")))
+    val sketch = graft.analytics.Dedup.bloomSketchFrame(history,
+      col("fp"), expectedItems = 100L).persist()
+    val keys = history.select(col("fp").as("_key")).distinct().persist()
+    val hh = graft.analytics.Dedup.substringHistoryHashes(
+      history, col("text"), k = 5).persist()
+    val stack = Seq(
+      Gates.exactDedup(sketch, keys, "doc_id", "fp"),
+      Gates.substringClean(hh, "doc_id", "text", k = 5),
+      Gates.quality("text", minTokens = 3))
+
+    // four one-file micro-batches; novel texts are DISTINCT across files
+    // (the exactDedup within-batch collapse must not depend on batch
+    // boundaries for streamed == batch to be well-defined)
+    def fileRows(f: Int) = Seq(
+      (0, f * 10L + 0, f * 10L + 0,
+        "dup dup dup seen exactly before now"),           // history dup
+      (0, f * 10L + 1, f * 10L + 1,
+        s"fresh head $f alpha beta gamma delta epsilon fresh tail $f"),
+      (0, f * 10L + 2, f * 10L + 2,
+        "beta gamma delta epsilon zeta"),                 // cleans to ""
+      (0, f * 10L + 3, f * 10L + 3,
+        s"wholly novel document number $f with plenty of words"),
+      (0, f * 10L + 4, f * 10L + 4, s"tiny $f"),          // quality drop
+      (0, f * 10L + 5, f * 10L + 5,
+        s"another untouched survivor $f rides through"))
+      .toDF("kafka_partition", "offset", "doc_id", "text")
+      .withColumn("fp",
+        graft.analytics.TextAnalysis.fingerprint(col("text")))
+    def writeFile(f: Int): Unit =
+      fileRows(f).coalesce(1).write.mode("append").parquet(src)
+
+    val sschema = StructType(Seq(
+      StructField("kafka_partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("fp", StringType)))
+    val cfg = IngestConfig(topic = "soak", flushSize = 100)
+    def run(): Unit = {
+      val q = StreamingIngest.startPipeline(
+        spark.readStream.schema(sschema)
+          .option("maxFilesPerTrigger", 1).parquet(src),
+        cfg, PartitionerSpec.Default, out, ckpt,
+        col("kafka_partition"), col("offset"),
+        payloadCols = Seq(col("offset"), col("doc_id"), col("text")),
+        writeManifest = true, gates = stack)
+      q.awaitTermination(120000)
+    }
+
+    try {
+      // batch-mode oracle over the FULL input
+      val expect = stack.foldLeft(
+        (0 until 4).map(fileRows).reduce(_.unionByName(_)))((a, g) => g(a))
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(expect.size == 12, s"fixture gates non-trivially: $expect")
+
+      // phase 1: two micro-batches, run to completion
+      writeFile(0); writeFile(1)
+      run()
+      // kill AFTER the data write but BEFORE the epoch commit: dropping
+      // the newest commit marker forces the restart to REPLAY that
+      // micro-batch over already-written objects — the reference's
+      // hardest restart case (DataWriterAvroTest.java:221-243), held
+      // here by X1 deterministic names + manifest replay idempotence
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+      val newest = commits.maxBy(_.getName.toInt)
+      assert(newest.delete(), s"could not drop ${newest}")
+      // the local checksum FS keeps a .N.crc sidecar; left behind it
+      // fails the replay's rename and masquerades as a concurrent query
+      val crc = new java.io.File(newest.getParentFile,
+        s".${newest.getName}.crc")
+      if (crc.exists()) assert(crc.delete(), s"could not drop $crc")
+
+      // phase 2: two more files land; resume from the same checkpoint
+      writeFile(2); writeFile(3)
+      run()
+
+      val got = spark.read.parquet(s"$out/topics/soak")
+        .select("doc_id", "text").as[(Long, String)].collect()
+      assert(got.length == expect.size,
+        s"exactly-once violated: ${got.length} rows vs ${expect.size} " +
+          "expected (duplicates or loss)")
+      assert(got.toMap == expect,
+        s"streamed keep set diverged: ${got.toMap} vs $expect")
+      // the manifest view agrees with the physical lake, and no object
+      // is orphaned — the replayed batch reused its deterministic names
+      val committed = graft.ingest.Compaction.readCommitted(spark, out, cfg)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      assert(committed.toMap == expect && committed.length == expect.size,
+        "manifest snapshot must equal the gated keep set after replay")
+      val vac = graft.ingest.Compaction.vacuum(spark, out, cfg,
+        dryRun = true)
+      assert(vac.orphanCount == 0L,
+        s"replay must not strand objects: ${vac.orphans}")
+    } finally Seq(sketch, keys, hh).foreach(_.unpersist(blocking = false))
+  }
 }
