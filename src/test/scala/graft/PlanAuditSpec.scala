@@ -476,4 +476,34 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"cdc merge must not join, plan:\n$p")
   }
+
+  test("emb_pca_project / emb_pca_energy: after the driver-side fit the " +
+    "query is ONE scan + literal-array projection — no join, no " +
+    "aggregate, no shuffle before the output sort") {
+    for (q <- Seq("emb_pca_project", "emb_pca_energy")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$q must stay a pure projection:\n$p")
+      assert(hashExchanges(p) == 0,
+        s"$q must not hash-shuffle (ORDER BY is a range exchange):\n$p")
+    }
+  }
+
+  test("text_bpe_apply: the frozen-table replay is pure per-doc " +
+    "computation — one scan, zero joins/aggregates/windows") {
+    val p = plan("text_bpe_apply")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("Window"), s"bpe apply must stay scan+project:\n$p")
+    assert(hashExchanges(p) == 0, p)
+  }
+
+  test("dedup_substring_incr: history hashes enter a LeftSemi " +
+    "SHUFFLE_HASH join (never a broadcast build of the corpus-scale " +
+    "set), and coverage keeps the one-window union shape") {
+    val p = plan("dedup_substring_incr")
+    assert(p.contains("ShuffledHashJoin LeftSemi"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).length
+    assert(windows == 1, s"expected the single coverage window:\n$p")
+  }
 }
