@@ -555,17 +555,19 @@ object ContentQueries {
     // word/subword counts. Pure per-doc Columns: zero shuffle, streams
     // as-is.
     "text_bpe_apply" -> ((s, d) => {
-      val ws = filter(TextAnalysis.tokens(lower(col("text"))),
-        w => w =!= "")
-      val subs = transform(ws, w => TextAnalysis.bpeApply(w, bpeFrozen))
-      docs(s, d)
-        .select(col("doc_id"), size(ws).as("nw"), subs.as("subs"))
+      val dd = docs(s, d)
+      val applied = TextAnalysis.bpeApplyDocs(dd, col("doc_id"),
+        col("text"), bpeFrozen)
+      // every doc answers, even an (unseen here) all-whitespace one —
+      // the oracle's LEFT JOIN contract
+      dd.select(col("doc_id"))
+        .join(applied, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          col("nw").cast("long").as("n_words"),
-          size(flatten(col("subs"))).cast("long").as("n_subwords"),
-          conv(substring(md5(array_join(
-            transform(col("subs"), a => array_join(a, "\u0001")),
-            "\u0002")), 1, 15), 16, 10).cast("long").as("fp"))
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+          coalesce(col("fp"),
+            conv(substring(md5(lit("")), 1, 15), 16, 10).cast("long"))
+            .as("fp"))
         .orderBy(col("doc_id"))
     }),
 

