@@ -773,11 +773,19 @@ object Dedup {
                               k: Int): (DataFrame, DataFrame) = {
     val toks = docs.select(id.as("doc_id"), split(text, " ").as("rt"),
       split(lower(text), " ").as("t"))
+    // both hash lanes are computed INSIDE the transform struct so the
+    // pre-explode array holds ~20 bytes per position — carrying the
+    // k-token shingle TEXT there instead would transiently amplify
+    // every document ~k× in the scan stage (the concat evaluates twice,
+    // which is cheap; the memory amplification is not)
     val sh = toks.filter(size(col("t")) >= k)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("t")) - k),
         i => struct(i.as("s"),
-          concat_ws(" ", slice(col("t"), i + 1, lit(k))).as("g"))))
+          xxhash64(concat_ws(" ", slice(col("t"), i + 1, lit(k))))
+            .as("h1"),
+          xxhash64(lit(1L),
+            concat_ws(" ", slice(col("t"), i + 1, lit(k)))).as("h2"))))
         .as("sh"))
       // 128-bit shingle identity (two independently-seeded xxhash64
       // lanes): a SINGLE 64-bit key meets birthday collisions at the
@@ -787,8 +795,7 @@ object Dedup {
       // n²/2^129 ≈ 1e-17 — negligible by any operational standard.
       // Shingle text never leaves the scan stage; 16 bytes/key shuffle.
       .select(col("doc_id"), col("sh.s").as("s"),
-        xxhash64(col("sh.g")).as("h1"),
-        xxhash64(lit(1L), col("sh.g")).as("h2"))
+        col("sh.h1").as("h1"), col("sh.h2").as("h2"))
     val tok = toks.select(col("doc_id"), posexplode(col("rt")))
       .toDF("doc_id", "p", "tok")
       .withColumn("dup", lit(0))

@@ -452,7 +452,12 @@ object TextAnalysis {
       .filter(col("w") =!= "")
     val vocab = toks.select(col("w")).distinct()
       .select(col("w"), bpeApply(col("w"), merges).as("subs"))
-    toks.join(broadcast(vocab), Seq("w"))
+    // no broadcast() hint: a natural-text vocabulary is corpus-growing
+    // (Heaps' law — billions of distinct raw tokens at 100 TB) and NOT
+    // broadcast-safe in general. AQE picks the broadcast at runtime
+    // when the actual vocab is small (it is, on every tested corpus)
+    // and falls back to a shuffled join when it is not.
+    toks.join(vocab, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("subs"))).cast("long").as("n_subwords"),

@@ -295,8 +295,6 @@ object CommitManifest {
     writeStats(stats, s"$outDir/${cfg.topicsDir}/${cfg.topic}")
   }
 
-  /** Root-level objects key as the bare file name (no leading slash) —
-    * the same relative key a recursive listing produces. */
   /** One configured column's per-object [min,max] stat struct: STRING
     * columns ride the string lanes (text lakes key on ids and
     * dates-as-strings more than numerics), everything else casts to the
@@ -316,6 +314,8 @@ object CommitManifest {
         lit(null).cast("string").as("slo"),
         lit(null).cast("string").as("shi"))
 
+  /** Root-level objects key as the bare file name (no leading slash) —
+    * the same relative key a recursive listing produces. */
   private[ingest] def objectKey(epart: Column, fname: Column): Column =
     when(epart === "", fname).otherwise(concat(epart, lit("/"), fname))
 

@@ -556,8 +556,12 @@ object ContentQueries {
     // as-is.
     "text_bpe_apply" -> ((s, d) => {
       val dd = docs(s, d)
+      // the oracle's sentinel rewriting reserves \u0001/\u0002: strip
+      // them from the input on BOTH sides so a pathological document
+      // cannot corrupt the replay's symbol boundaries (the engine-side
+      // fold would handle them fine — totality costs one translate)
       val applied = TextAnalysis.bpeApplyDocs(dd, col("doc_id"),
-        col("text"), bpeFrozen)
+        translate(col("text"), "\u0001\u0002", ""), bpeFrozen)
       // every doc answers, even an (unseen here) all-whitespace one —
       // the oracle's LEFT JOIN contract
       dd.select(col("doc_id"))
@@ -1976,7 +1980,8 @@ object ContentQueries {
     // independent replay of the frozen merge table via sentinel-string
     // rewriting (see bpeReplayExpr); fingerprints the full tokenization
     "text_bpe_apply" ->
-      s"""WITH wl AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+      s"""WITH wl AS (SELECT doc_id, string_split(lower(
+        |    replace(replace(text, chr(1), ''), chr(2), '')), ' ') AS l
         |  FROM documents),
         |w AS (SELECT doc_id, u.i AS wi, wl.l[u.i] AS wrd
         |  FROM wl, LATERAL unnest(range(1, len(l) + 1)) AS u(i)
