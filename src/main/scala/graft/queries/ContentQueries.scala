@@ -543,6 +543,39 @@ object ContentQueries {
       TextAnalysis.bpeTrainBatched(docs(s, d), col("text"), merges = 8)
         .orderBy(col("rank"))),
 
+    // Round-7 capstone: the tokenizer-aware corpus cut. Quality gate →
+    // exact-substring span dedup (docs cleaned to nothing drop) → BPE
+    // tokenization of the CLEANED text under the frozen merge table →
+    // per-source budget counted in SUBWORDS (the unit a training run
+    // actually pays for), cut in a deterministic md5 shuffle order.
+    // Composes four oracle-checked operators; the only additions are an
+    // equi-join and one windowed cut. The oracle replays every stage —
+    // including the full sentinel-string BPE rewrite over the
+    // reassembled clean text.
+    "pipeline_tokenizer_prep" -> ((s, d) => {
+      val base = docs(s, d)
+        .filter(TextAnalysis.qualityKeep(col("text"), minTokens = 5,
+          maxTokens = 100000, maxPunctRatio = 0.3))
+      val cleaned = Dedup.substringDedup(base, col("doc_id"), col("text"),
+          k = 15)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("clean_text"))
+      val bpe = TextAnalysis.bpeApplyDocs(cleaned, col("doc_id"),
+        translate(col("clean_text"), "\u0001\u0002", ""), bpeFrozen)
+        .select(col("doc_id"), col("n_subwords"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      base.select(col("doc_id"), col("source"))
+        .join(bpe, Seq("doc_id"))
+        .withColumn("cum", sum(col("n_subwords")).over(w))
+        .filter(col("cum") <= 3000)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("cum")).cast("long").as("used_subwords"))
+        .orderBy(col("source"))
+    }),
+
     // The serving half of BPE, oracle-checked: replay the FROZEN 8-merge
     // table over every word with the exact fold the trainer uses
     // (bpeMergeOnce — train and apply share the code path). The table
@@ -2001,6 +2034,55 @@ object ContentQueries {
         |    AS BIGINT) AS fp
         |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // quality gate → substring clean-text reassembly → sentinel BPE
+    // replay over the cleaned text → per-source subword budget
+    "pipeline_tokenizer_prep" ->
+      s"""WITH q AS (SELECT doc_id, source, text FROM documents
+        |  WHERE len(string_split(text, ' ')) BETWEEN 5 AND 100000
+        |    AND round((length(text)
+        |        - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+        |      / greatest(length(text), 1), 6) <= 0.3),
+        |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t,
+        |    string_split(text, ' ') AS rt FROM q),
+        |sh AS (SELECT doc_id, i - 1 AS s,
+        |    array_to_string(list_slice(t, i, i + 14), ' ') AS g
+        |  FROM toks, LATERAL unnest(range(1,
+        |    greatest(len(t) - 15 + 1, 0) + 1)) AS u(i)
+        |  WHERE len(t) >= 15),
+        |occ AS (SELECT g, count(*) AS c FROM sh GROUP BY g),
+        |ds AS (SELECT doc_id, s FROM sh JOIN occ USING (g) WHERE c >= 2),
+        |covp AS (SELECT DISTINCT doc_id, s + j AS p
+        |  FROM ds, LATERAL unnest(range(0, 15)) AS r(j)),
+        |tok AS (SELECT doc_id, i - 1 AS p, rt[i] AS tok
+        |  FROM toks, LATERAL unnest(range(1, len(rt) + 1)) AS u(i)),
+        |clean AS (SELECT tok.doc_id,
+        |    string_agg(CASE WHEN covp.p IS NULL THEN tok.tok END, ' '
+        |      ORDER BY tok.p) AS ct
+        |  FROM tok LEFT JOIN covp
+        |    ON tok.doc_id = covp.doc_id AND tok.p = covp.p
+        |  GROUP BY tok.doc_id
+        |  HAVING count(CASE WHEN covp.p IS NULL THEN 1 END) > 0),
+        |wl AS (SELECT doc_id, string_split(lower(
+        |    replace(replace(ct, chr(1), ''), chr(2), '')), ' ') AS l
+        |  FROM clean),
+        |w AS (SELECT doc_id, u.i AS wi, wl.l[u.i] AS wrd
+        |  FROM wl, LATERAL unnest(range(1, len(l) + 1)) AS u(i)
+        |  WHERE wl.l[u.i] <> ''),
+        |m AS (SELECT doc_id, wi, $bpeReplayExpr AS ms FROM w),
+        |sub AS (SELECT doc_id, CAST(sum(len(string_split(
+        |      substr(ms, 3, length(ms) - 4), chr(1)||chr(1)))) AS BIGINT)
+        |    AS n_subwords
+        |  FROM m GROUP BY doc_id),
+        |cum AS (SELECT q.source, q.doc_id, sub.n_subwords,
+        |    sum(sub.n_subwords) OVER (PARTITION BY q.source
+        |      ORDER BY md5(CAST(q.doc_id AS VARCHAR)), q.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM q JOIN sub ON sub.doc_id = q.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(max(cum) AS BIGINT) AS used_subwords
+        |FROM cum WHERE cum <= 3000 GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "text_vocab_topk" ->
       """SELECT t AS token, count(*) AS n
