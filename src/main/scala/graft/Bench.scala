@@ -28,7 +28,7 @@ object Bench {
   val additionsR7: Seq[String] = Seq(
     "dedup_substring", "dedup_substring_incr", "dedup_incremental_bloom",
     "emb_pca_project", "text_bpe_pairs", "text_bpe_apply",
-    "lake_cdc_merge")
+    "lake_cdc_merge", "pipeline_tokenizer_prep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
