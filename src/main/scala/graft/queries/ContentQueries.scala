@@ -1090,8 +1090,7 @@ object ContentQueries {
     // final round(6).
     "emb_pca_energy" -> ((s, d) => {
       val e = emb(s, d)
-      val dims = e.select(size(col("embedding"))).limit(1).head.getInt(0)
-      val model = Similarity.pcaFit(e, col("embedding"), k = dims)
+      val model = Similarity.pcaFitFull(e, col("embedding"))
       val pc = Similarity.pcaProject(col("embedding"), model, decimals = 12)
       e.select(col("vec_id"),
           (round(aggregate(pc, lit(0.0), (acc, x) => acc + x * x), 6)

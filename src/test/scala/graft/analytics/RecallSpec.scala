@@ -50,6 +50,9 @@ class RecallSpec extends SparkSuite {
         flips = 2), 0.90)
     val ivf = recallOf("ivf",
       Similarity.ivfTopK(queries, emb, id, v, id, v, k = 10), 0.40)
+    val ivf8 = recallOf("ivf_p8",
+      Similarity.ivfTopK(queries, emb, id, v, id, v, k = 10, nProbe = 8),
+      0.70)
     val ivfSq = recallOf("ivf_sq8",
       Similarity.ivfSq8TopK(queries, emb, id, v, id, v, k = 10), 0.40)
     val pq = recallOf("pq",
@@ -75,6 +78,10 @@ class RecallSpec extends SparkSuite {
     // two of plain IVF
     assert(math.abs(ivfSq - ivf) <= 0.1,
       s"IVF-SQ8 should track IVF closely: $ivfSq vs $ivf")
+    // the probe knob must actually buy recall (the SCALE.md claim):
+    // doubling nProbe doubles the scanned fraction and the candidate
+    // set is a superset, so recall is monotone
+    assert(ivf8 >= ivf, s"nProbe=8 cannot lose recall vs 4: $ivf8 < $ivf")
     // PQ on top of IVF pruning can only shed further recall
     assert(ivfPq <= pq + 0.1 && ivfPq <= ivf + 0.1,
       s"IVF-PQ cannot beat both its parents: $ivfPq vs pq=$pq ivf=$ivf")
