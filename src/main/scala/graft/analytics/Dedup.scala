@@ -106,6 +106,43 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Asymmetric containment pairs `(sub_id, super_id, containment)`
+    * with |sub ∩ super| / |sub| >= threshold — the companion to Jaccard
+    * for EMBEDDED duplication (Lee et al.'s motivating case: a short
+    * document living inside a longer one, where symmetric Jaccard stays
+    * low because the union is dominated by the superset). Identical
+    * shingle-hash equi-join + pair aggregate to `jaccardPairs`; one
+    * extra projection emits both directions of each pair before the
+    * threshold filter. The ratio is exact-int / exact-int, so the
+    * threshold compare is engine-portable. Same scale contract as
+    * `jaccardPairs`: the exact baseline — at 100 TB generate candidates
+    * with LSH first and verify containment on the candidate set. */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column, n: Int,
+                       threshold: Double): DataFrame = {
+    val sh = shingleTable(docs, id, text, n)
+    val ex = sh.select(col("doc_id"), col("n_sh"),
+      explode(col("sh")).as("shingle_s"))
+      .select(col("doc_id"), col("n_sh"),
+        xxhash64(col("shingle_s")).as("shingle"))
+    val l = ex.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"),
+      col("shingle"))
+    val r = ex.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"),
+      col("shingle"))
+    val pairs = l.join(r.hint("SHUFFLE_HASH"), Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"),
+        count(lit(1)).as("common"))
+    pairs.select(col("a_id").as("sub_id"), col("b_id").as("super_id"),
+        (col("common") / col("a_n")).as("containment"))
+      .unionByName(pairs.select(col("b_id").as("sub_id"),
+        col("a_id").as("super_id"),
+        (col("common") / col("b_n")).as("containment")))
+      .filter(col("containment") >= threshold)
+      .select(col("sub_id"), col("super_id"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** MinHash signature columns. Universal-hash family over a 64-bit base
     * hash: h_i(s) = (a_i * xxhash64(s) + b_i) mod p, fully deterministic
     * (fixed xxhash64 seed 42, arithmetic a_i/b_i derived from i). */

@@ -82,6 +82,13 @@ object ContentQueries {
         TextAnalysis.fingerprint(col("text")))
         .orderBy(col("keep_id"))),
 
+    // Asymmetric containment: |sub∩super|/|sub| — catches a short doc
+    // embedded in a longer one where symmetric Jaccard stays low.
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), col("doc_id"), col("text"),
+        n = 3, threshold = 0.8)
+        .orderBy(col("sub_id"), col("super_id"))),
+
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), col("doc_id"), col("text"),
         n = 3, threshold = 0.5)
@@ -1359,6 +1366,16 @@ object ContentQueries {
         |ORDER BY keep_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> jaccardOracle(0.5),
+
+    // both directions of every shingle-sharing pair, filtered on the
+    // exact-int containment ratio
+    "dedup_containment" ->
+      s"""WITH $jaccardCtes,
+        |c AS (SELECT a_id AS sub_id, b_id AS super_id,
+        |    common / a_n AS ct FROM p
+        |  UNION ALL SELECT b_id, a_id, common / b_n FROM p)
+        |SELECT sub_id, super_id, round(ct, 6) AS containment
+        |FROM c WHERE ct >= 0.8 ORDER BY sub_id, super_id""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle(0.7),
 
     "dedup_incremental_near" ->

@@ -65,6 +65,27 @@ class DedupSpec extends SparkSuite {
     assert(pairs == brute)
   }
 
+  test("containmentPairs finds a short doc embedded in a long one that " +
+    "symmetric Jaccard misses, in the right direction only") {
+    val embedded = "alpha beta gamma delta epsilon"
+    val long = s"$embedded " +
+      (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val df = Seq((1L, embedded), (2L, long), (3L, "unrelated text here"))
+      .toDF("doc_id", "text")
+    val ct = Dedup.containmentPairs(df, col("doc_id"), col("text"),
+        n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    // every 3-shingle of doc 1 occurs in doc 2 → containment(1 in 2)=1.0;
+    // the reverse direction and doc 3 stay out
+    assert(ct == Seq((1L, 2L, 1.0)), s"got $ct")
+    val jac = Dedup.jaccardPairs(df, col("doc_id"), col("text"),
+        n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(jac.isEmpty,
+      s"fixture must be invisible to symmetric Jaccard@0.3: $jac")
+    graft.analytics.Caches.clear()
+  }
+
   test("minhash-LSH pairs equal exhaustive jaccard pairs at sf0.001 " +
     "(full recall at threshold 0.7)") {
     val lsh = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"))
