@@ -1166,6 +1166,48 @@ object ContentQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Kneser-Ney bigram perplexity (absolute discounting, d=3/4 — the
+    // industry-standard n-gram LM, vs text_perplexity2's add-one):
+    // P(w|v) = (c(vw)-d)/c(v) + d·N1+r(v)/c(v) · N1+l(w)/D. With d=3/4
+    // the whole probability is ONE exact integer rational,
+    // ((4c-3)·D + 3·N1r·N1l) / (4·cv·D), so both engines compute
+    // -log2 of identical doubles; micro-bit sums keep the per-doc mean
+    // engine-exact. Joins key on the gram strings; every model table is
+    // a map-side-partial aggregate of the corpus bigram stream.
+    "text_perplexity_kn" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bi = Caches.persist(dd.select(col("doc_id"),
+          explode(TextAnalysis.ngrams(col("text"), 2)).as("bg"))
+        .withColumn("parts", split(col("bg"), " "))
+        // a 1-token doc emits ONE truncated gram — exclude it BEFORE
+        // indexing part 2 (ANSI element_at throws on out-of-range)
+        .filter(size(col("parts")) === 2)
+        .select(col("doc_id"), col("parts").getItem(0).as("v"),
+          col("parts").getItem(1).as("w")))
+      val bc = Caches.persist(bi.groupBy(col("v"), col("w"))
+        .agg(count(lit(1)).as("c")))
+      val cv = bi.groupBy(col("v")).agg(count(lit(1)).as("cv"))
+      val n1r = bc.groupBy(col("v")).agg(count(lit(1)).as("n1r"))
+      val n1l = bc.groupBy(col("w")).agg(count(lit(1)).as("n1l"))
+      val dTot = bc.agg(count(lit(1)).as("dd"))
+      bi.join(bc.hint("SHUFFLE_HASH"), Seq("v", "w"))
+        .join(cv.hint("SHUFFLE_HASH"), Seq("v"))
+        .join(n1r.hint("SHUFFLE_HASH"), Seq("v"))
+        .join(n1l.hint("SHUFFLE_HASH"), Seq("w"))
+        .crossJoin(broadcast(dTot))
+        .select(col("doc_id"),
+          round(-log2(
+            ((lit(4L) * col("c") - 3L) * col("dd") +
+              lit(3L) * col("n1r") * col("n1l")).cast("double") /
+            (lit(4L) * col("cv") * col("dd")).cast("double")) * 1e6, 0)
+            .cast("long").as("mb"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("mb")).as("_s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(expr("_s div n_bigrams") / 1e6, 6).as("bits_per_bigram"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-source duplication matrix: how many near-dup pairs (and how
     // strong) connect each pair of sources — the report that decides
     // which sources to dedup against each other before mixing. Stats are
@@ -1364,6 +1406,31 @@ object ContentQueries {
         |GROUP BY md5(array_to_string(list_sort(list_distinct(
         |  string_split(lower(text), ' '))), ' '))
         |ORDER BY keep_id""".stripMargin,
+
+    // KN probability as one exact integer rational; micro-bit sums
+    "text_perplexity_kn" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS v, t[i+1] AS w
+        |  FROM tk, LATERAL unnest(range(1, greatest(len(t) - 1, 0) + 1))
+        |    AS u(i)
+        |  WHERE len(t) >= 2),
+        |bc AS (SELECT v, w, count(*) AS c FROM bg GROUP BY v, w),
+        |cv AS (SELECT v, count(*) AS cv FROM bg GROUP BY v),
+        |n1r AS (SELECT v, count(*) AS n1r FROM bc GROUP BY v),
+        |n1l AS (SELECT w, count(*) AS n1l FROM bc GROUP BY w),
+        |dt AS (SELECT count(*) AS dd FROM bc),
+        |sc AS (SELECT bg.doc_id,
+        |    CAST(round(-log2(
+        |      CAST((4 * bc.c - 3) * dt.dd + 3 * n1r.n1r * n1l.n1l
+        |        AS DOUBLE)
+        |      / CAST(4 * cv.cv * dt.dd AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |      AS mb
+        |  FROM bg JOIN bc USING (v, w) JOIN cv USING (v)
+        |    JOIN n1r USING (v) JOIN n1l USING (w), dt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round((sum(mb) // count(*)) / 1e6, 6) AS bits_per_bigram
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> jaccardOracle(0.5),
 
