@@ -115,8 +115,15 @@ object Dedup {
     * extra projection emits both directions of each pair before the
     * threshold filter. The ratio is exact-int / exact-int, so the
     * threshold compare is engine-portable. Same scale contract as
-    * `jaccardPairs`: the exact baseline — at 100 TB generate candidates
-    * with LSH first and verify containment on the candidate set. */
+    * `jaccardPairs`: the exact baseline. At 100 TB do NOT block with
+    * MinHash-LSH — its collision probability is calibrated to JACCARD,
+    * and the embedded pairs containment exists for have low Jaccard by
+    * construction (the superset dominates the union), so exactly the
+    * target pairs would be missed. Block with `winnowFingerprints`
+    * instead: winnowing guarantees any shared >= window+n-1-token
+    * substring contributes a common fingerprint, which is
+    * containment's signal — join fingerprint sets for candidates, then
+    * verify here. */
   def containmentPairs(docs: DataFrame, id: Column, text: Column, n: Int,
                        threshold: Double): DataFrame = {
     val sh = shingleTable(docs, id, text, n)
