@@ -550,6 +550,23 @@ object ContentQueries {
       TextAnalysis.bpeTrainBatched(docs(s, d), col("text"), merges = 8)
         .orderBy(col("rank"))),
 
+    // Subword vocabulary under the frozen merge table: corpus-weighted
+    // subword frequencies, top-30 — the statistic that picks a vocab
+    // size / audits tokenizer fertility. Folds run once per DISTINCT
+    // word (the bpeApplyDocs discipline); frequencies ride the word
+    // counts.
+    "text_bpe_vocab" -> ((s, d) => {
+      val wf = docs(s, d)
+        .select(explode(TextAnalysis.tokens(lower(
+          translate(col("text"), "\u0001\u0002", "")))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      wf.select(col("f"),
+          explode(TextAnalysis.bpeApply(col("w"), bpeFrozen)).as("subword"))
+        .groupBy(col("subword")).agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("subword")).limit(30)
+    }),
+
     // Round-7 capstone: the tokenizer-aware corpus cut. Quality gate →
     // exact-substring span dedup (docs cleaned to nothing drop) → BPE
     // tokenization of the CLEANED text under the frozen merge table →
@@ -2166,6 +2183,21 @@ object ContentQueries {
         |  CAST(max(cum) AS BIGINT) AS used_subwords
         |FROM cum WHERE cum <= 3000 GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // sentinel replay per DISTINCT word, frequencies from word counts
+    "text_bpe_vocab" ->
+      s"""WITH w0 AS (SELECT unnest(string_split(lower(
+        |    replace(replace(text, chr(1), ''), chr(2), '')), ' ')) AS wrd
+        |  FROM documents),
+        |wf AS (SELECT wrd, count(*) AS f FROM w0 WHERE wrd <> ''
+        |  GROUP BY wrd),
+        |m AS (SELECT wrd, f, $bpeReplayExpr AS ms FROM wf),
+        |sub AS (SELECT f, unnest(string_split(
+        |    substr(ms, 3, length(ms) - 4), chr(1)||chr(1))) AS subword
+        |  FROM m)
+        |SELECT subword, CAST(sum(f) AS BIGINT) AS n
+        |FROM sub GROUP BY subword ORDER BY n DESC, subword
+        |LIMIT 30""".stripMargin,
 
     "text_vocab_topk" ->
       """SELECT t AS token, count(*) AS n
