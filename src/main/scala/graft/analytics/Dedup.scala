@@ -69,41 +69,50 @@ object Dedup {
     * use `minhashLshPairs`, which generates candidates from LSH buckets
     * instead of raw shingle collisions. */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
-                   threshold: Double): DataFrame = {
-    val sh = shingleTable(docs, id, text, n)
-    // join on the 64-bit hash of the shingle, not the string: the
-    // self-join shuffle carries 8 bytes per shingle instead of the ~n-word
-    // text, and the sort/join compares longs. Shingles are distinct per
-    // doc, so |A∩B| is exact up to 64-bit collisions (~|S|²/2^64 across
-    // the whole corpus — immaterial against the exhaustive-string oracle
-    // at any tested SF, and vanishing relative to LSH error at 100 TB).
+                   threshold: Double): DataFrame =
+    shinglePairCounts(shingleTable(docs, id, text, n))
+      .withColumn("jaccard",
+        col("common") / (col("a_n") + col("b_n") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Exhaustive candidate-pair counts shared by `jaccardPairs` and
+    * `containmentPairs`: `(a_id, b_id, a_n, b_n, common)` for every
+    * a_id < b_id sharing a shingle.
+    *
+    * Joins on the 64-bit hash of the shingle, not the string: the
+    * self-join shuffle carries 8 bytes per shingle instead of the
+    * ~n-word text, and the sort/join compares longs. Shingles are
+    * distinct per doc, so |A∩B| is exact up to 64-bit collisions
+    * (~|S|²/2^64 across the whole corpus — immaterial against the
+    * exhaustive-string oracle at any tested SF, and vanishing relative
+    * to LSH error at 100 TB).
+    *
+    * On NATURAL text, pre-filtering to df>=2 shingles (singletons cannot
+    * contribute a pair) cuts the self-join input by the singleton mass —
+    * worth one count aggregate when most shingles are unique. Measured
+    * on THIS corpus it is a net loss (99.9% of occurrences recur), so
+    * the join takes the full table; flip the filter in if your corpus's
+    * shingle df distribution is Zipf-like with a long singleton tail.
+    *
+    * SHUFFLE_HASH: build a per-partition map instead of sort-merge — the
+    * exploded table is uniform (hash keys) and per-partition builds are
+    * |shingles|/numPartitions rows, so the two large sorts SMJ would
+    * run disappear. */
+  private def shinglePairCounts(sh: DataFrame): DataFrame = {
     val ex = sh.select(col("doc_id"), col("n_sh"),
       explode(col("sh")).as("shingle_s"))
       .select(col("doc_id"), col("n_sh"),
         xxhash64(col("shingle_s")).as("shingle"))
-    // On NATURAL text, pre-filtering to df>=2 shingles (singletons cannot
-    // contribute a pair) cuts the self-join input by the singleton mass —
-    // worth one count aggregate when most shingles are unique. Measured
-    // on THIS corpus it is a net loss (99.9% of occurrences recur), so
-    // the join takes the full table; flip the filter in if your corpus's
-    // shingle df distribution is Zipf-like with a long singleton tail.
     val l = ex.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"),
       col("shingle"))
     val r = ex.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"),
       col("shingle"))
-    // SHUFFLE_HASH: build a per-partition map instead of sort-merge — the
-    // exploded table is uniform (hash keys) and per-partition builds are
-    // |shingles|/numPartitions rows, so the two 7.5M-row sorts SMJ would
-    // run disappear
     l.join(r.hint("SHUFFLE_HASH"), Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"),
         count(lit(1)).as("common"))
-      .withColumn("jaccard",
-        col("common") / (col("a_n") + col("b_n") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Asymmetric containment pairs `(sub_id, super_id, containment)`
@@ -125,30 +134,22 @@ object Dedup {
     * containment's signal — join fingerprint sets for candidates, then
     * verify here. */
   def containmentPairs(docs: DataFrame, id: Column, text: Column, n: Int,
-                       threshold: Double): DataFrame = {
-    val sh = shingleTable(docs, id, text, n)
-    val ex = sh.select(col("doc_id"), col("n_sh"),
-      explode(col("sh")).as("shingle_s"))
-      .select(col("doc_id"), col("n_sh"),
-        xxhash64(col("shingle_s")).as("shingle"))
-    val l = ex.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"),
-      col("shingle"))
-    val r = ex.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"),
-      col("shingle"))
-    val pairs = l.join(r.hint("SHUFFLE_HASH"), Seq("shingle"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"),
-        count(lit(1)).as("common"))
-    pairs.select(col("a_id").as("sub_id"), col("b_id").as("super_id"),
-        (col("common") / col("a_n")).as("containment"))
-      .unionByName(pairs.select(col("b_id").as("sub_id"),
-        col("a_id").as("super_id"),
-        (col("common") / col("b_n")).as("containment")))
+                       threshold: Double): DataFrame =
+    // both directions emit from ONE pass over the pair aggregate (an
+    // exploded two-struct array) — a union of two references would plan
+    // and run the quadratic pair subtree once per arm
+    shinglePairCounts(shingleTable(docs, id, text, n))
+      .select(explode(array(
+        struct(col("a_id").as("sub_id"), col("b_id").as("super_id"),
+          (col("common") / col("a_n")).as("containment")),
+        struct(col("b_id").as("sub_id"), col("a_id").as("super_id"),
+          (col("common") / col("b_n")).as("containment")))).as("e"))
+      .select(col("e.sub_id").as("sub_id"),
+        col("e.super_id").as("super_id"),
+        col("e.containment").as("containment"))
       .filter(col("containment") >= threshold)
       .select(col("sub_id"), col("super_id"),
         round(col("containment"), 6).as("containment"))
-  }
 
   /** MinHash signature columns. Universal-hash family over a 64-bit base
     * hash: h_i(s) = (a_i * xxhash64(s) + b_i) mod p, fully deterministic

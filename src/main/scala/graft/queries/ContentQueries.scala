@@ -1185,12 +1185,15 @@ object ContentQueries {
 
     // Kneser-Ney bigram perplexity (absolute discounting, d=3/4 — the
     // industry-standard n-gram LM, vs text_perplexity2's add-one):
-    // P(w|v) = (c(vw)-d)/c(v) + d·N1+r(v)/c(v) · N1+l(w)/D. With d=3/4
-    // the whole probability is ONE exact integer rational,
-    // ((4c-3)·D + 3·N1r·N1l) / (4·cv·D), so both engines compute
-    // -log2 of identical doubles; micro-bit sums keep the per-doc mean
-    // engine-exact. Joins key on the gram strings; every model table is
-    // a map-side-partial aggregate of the corpus bigram stream.
+    // P(w|v) = (c(vw)-d)/c(v) + d·N1+r(v)/c(v) · N1+l(w)/D =
+    // ((4c-3)·D + 3·N1r·N1l) / (4·cv·D). Both engines evaluate the SAME
+    // IEEE double expression tree (counts cast to double first, then
+    // the identical multiply/add order), so the -log2 inputs are
+    // bit-identical WITHOUT the int64 overflow ceiling the pure-integer
+    // form would hit at web-corpus counts (c·D past 2^63 under ANSI);
+    // micro-bit sums keep the per-doc mean engine-exact. Joins key on
+    // the gram strings; every model table is a map-side-partial
+    // aggregate of the corpus bigram stream.
     "text_perplexity_kn" -> ((s, d) => {
       val dd = docs(s, d)
       val bi = Caches.persist(dd.select(col("doc_id"),
@@ -1214,9 +1217,12 @@ object ContentQueries {
         .crossJoin(broadcast(dTot))
         .select(col("doc_id"),
           round(-log2(
-            ((lit(4L) * col("c") - 3L) * col("dd") +
-              lit(3L) * col("n1r") * col("n1l")).cast("double") /
-            (lit(4L) * col("cv") * col("dd")).cast("double")) * 1e6, 0)
+            ((lit(4.0) * col("c").cast("double") - 3.0) *
+              col("dd").cast("double") +
+              lit(3.0) * col("n1r").cast("double") *
+                col("n1l").cast("double")) /
+            (lit(4.0) * col("cv").cast("double") *
+              col("dd").cast("double"))) * 1e6, 0)
             .cast("long").as("mb"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("mb")).as("_s"))
@@ -1439,10 +1445,10 @@ object ContentQueries {
         |dt AS (SELECT count(*) AS dd FROM bc),
         |sc AS (SELECT bg.doc_id,
         |    CAST(round(-log2(
-        |      CAST((4 * bc.c - 3) * dt.dd + 3 * n1r.n1r * n1l.n1l
-        |        AS DOUBLE)
-        |      / CAST(4 * cv.cv * dt.dd AS DOUBLE)) * 1e6, 0) AS BIGINT)
-        |      AS mb
+        |      ((4.0 * CAST(bc.c AS DOUBLE) - 3.0) * CAST(dt.dd AS DOUBLE)
+        |        + 3.0 * CAST(n1r.n1r AS DOUBLE) * CAST(n1l.n1l AS DOUBLE))
+        |      / (4.0 * CAST(cv.cv AS DOUBLE) * CAST(dt.dd AS DOUBLE)))
+        |      * 1e6, 0) AS BIGINT) AS mb
         |  FROM bg JOIN bc USING (v, w) JOIN cv USING (v)
         |    JOIN n1r USING (v) JOIN n1l USING (w), dt)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
