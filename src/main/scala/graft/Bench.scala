@@ -65,8 +65,17 @@ object Bench {
       rs.collect { case (_, v) if v >= 0 => v }.sum
     val results = run(headline)
     val r7 = run(additionsR7)
+    // Failures must be machine-loud, not just a -1.0 sentinel buried in the
+    // metrics (round 8's bench read as rc:0 with six dead queries): name
+    // them in an explicit "failed" list AND exit non-zero.
+    val failed = (results ++ r7).collect { case (k, v) if v < 0 => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

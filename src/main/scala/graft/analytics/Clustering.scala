@@ -169,6 +169,31 @@ object Clustering {
       .drop("__v", "__nrm")
   }
 
+  /** Per-row top-`nProbe` centroid ids as an exploded `list_id` column —
+    * the IVF probe-selection half of the train/serve split, in the same
+    * zero-shuffle literal shape as `classify`: scores round to 6 decimals,
+    * ties → lower centroid id (descending (csim, -cluster) lexicographic
+    * order, identical to the oracle's ORDER BY csim DESC, cl). Input
+    * columns ride through; one output row per (input row × probe), so at
+    * 100 TB the ×nProbe blow-up happens on the QUERY side only — callers
+    * quantize/slim the row before probing, never after. */
+  def probe(df: DataFrame, vec: Column, model: Seq[Centroid],
+            nProbe: Int): DataFrame = {
+    require(model.nonEmpty, "empty centroid model")
+    val tagged = df.withColumn("__v", asDouble(vec))
+      .withColumn("__nrm", norm(col("__v")))
+    val scored = transform(centLiteral(model), c =>
+      struct(
+        round(Similarity.dot(col("__v"), c.getField("cv")) /
+          (col("__nrm") * c.getField("cn")), 6).as("csim"),
+        (-c.getField("cluster")).as("tb")))
+    tagged
+      .withColumn("list_id",
+        explode(transform(slice(reverse(array_sort(scored)), 1, nProbe),
+          s => -s.getField("tb"))))
+      .drop("__v", "__nrm")
+  }
+
   /** Lloyd's k-means over an embedding column: `iters` rounds of
     * assign-then-update from the deterministic seed sample, then a final
     * assignment against the converged centroids. Returns

@@ -151,6 +151,65 @@ object Dedup {
       .select(col("sub_id"), col("super_id"),
         round(col("containment"), 6).as("containment"))
 
+  /** `containmentPairs` behind WINNOWING-FINGERPRINT blocking — the 100 TB
+    * containment path the `containmentPairs` doc prescribes. Candidate
+    * pairs come from an equi-join on winnowing fingerprints
+    * (`winnowFingerprintSets`' selection core), then the exact containment
+    * ratio is verified from the shingle sets for candidates ONLY.
+    *
+    * Why winnowing and not MinHash-LSH: LSH collision probability is
+    * calibrated to symmetric JACCARD, and embedded pairs have low Jaccard
+    * by construction (the superset dominates the union) — LSH would miss
+    * exactly the target pairs. Winnowing's guarantee is substring-shaped,
+    * which is containment's signal: any shared run of >= `window + n - 1`
+    * tokens contributes a common fingerprint (Schleimer et al., SIGMOD
+    * 2003). A sub-document embedded contiguously in a super-document
+    * shares runs far longer than that, so recall on embedded duplication
+    * is structural, not probabilistic. (A pair sharing >= threshold of
+    * scattered SINGLE shingles with no >= window+n-1-token common run can
+    * evade the block — that shape is not embedded duplication, and the
+    * oracle replays the blocked semantics exactly.)
+    *
+    * Scale: the fingerprint join shuffles ~1/window of the gram hashes
+    * (8-byte keys) instead of every shingle — candidates are pairs that
+    * share a SELECTED minimum, a small superset of the true embedded
+    * pairs; the verify join fetches shingle arrays only for those. No
+    * all-pairs shingle self-join anywhere on the path. */
+  def containmentPairsBlocked(docs: DataFrame, id: Column, text: Column,
+                              n: Int, threshold: Double,
+                              window: Int = 4): DataFrame = {
+    val fps = winnowSelect(docs, id, text, Nil, n, window)
+      .dropDuplicates("doc_id", "fp")
+    val l = fps.select(col("doc_id").as("a_id"), col("fp"))
+    val r = fps.select(col("doc_id").as("b_id"), col("fp"))
+    // fingerprint buckets are hash-uniform → per-partition hash builds
+    val cand = l.join(r.hint("SHUFFLE_HASH"), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    val sh = shingleTable(docs, id, text, n)
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("n_sh").as("a_n"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("n_sh").as("b_n"))
+    // same one-pass two-direction emit as containmentPairs; `common` is
+    // the distinct-shingle intersection, so values are bit-identical to
+    // the exact operator's on every surviving pair
+    cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .select(explode(array(
+        struct(col("a_id").as("sub_id"), col("b_id").as("super_id"),
+          (col("common") / col("a_n")).as("containment")),
+        struct(col("b_id").as("sub_id"), col("a_id").as("super_id"),
+          (col("common") / col("b_n")).as("containment")))).as("e"))
+      .select(col("e.sub_id").as("sub_id"),
+        col("e.super_id").as("super_id"),
+        col("e.containment").as("containment"))
+      .filter(col("containment") >= threshold)
+      .select(col("sub_id"), col("super_id"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** MinHash signature columns. Universal-hash family over a 64-bit base
     * hash: h_i(s) = (a_i * xxhash64(s) + b_i) mod p, fully deterministic
     * (fixed xxhash64 seed 42, arithmetic a_i/b_i derived from i). */

@@ -299,8 +299,20 @@ object Similarity {
     *
     * Centroids here are a deterministic sample of the corpus itself
     * (k-means init without the iterations — recall tested in
-    * SimilaritySpec); swap in `spark.ml` KMeans offline for production
-    * centroids without changing the query path.
+    * SimilaritySpec); `refineIters > 0` runs that many Lloyd rounds over
+    * the sample (`Clustering.fit` — still fully deterministic and
+    * oracle-replayed) before indexing, which moves centroids to density
+    * centers and lifts recall at fixed nProbe, and ALSO switches
+    * assignment/probing to the zero-shuffle centroid-literal projection
+    * (the corpus no longer exchanges on its unique key). `replicas > 1`
+    * additionally stores each corpus vector in its `replicas` nearest
+    * refined lists — multi-assignment, the closure-clustering idea of
+    * SPANN (Chen et al., NeurIPS 2021): on a near-isotropic corpus,
+    * where no centroid placement can keep a query's neighbors in few
+    * lists (Lloyd alone plateaus at .61 recall@10 here), paying
+    * ×replicas index storage is what actually buys recall at FIXED
+    * probe cost (measured .455 → .800 at nProbe=4 with refineIters=2,
+    * replicas=2 — RecallSpec pins the floor).
     *
     * Plan shape (audited in PlanAuditSpec — no Exchange+Sort on the
     * corpus side): centroid sampling is a hash filter (~1/16 of the
@@ -312,22 +324,35 @@ object Similarity {
     * which is the query result itself. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
               qVec: Column, cId: Column, cVec: Column, k: Int,
-              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+              nLists: Int = 16, nProbe: Int = 4,
+              refineIters: Int = 0, replicas: Int = 1): DataFrame = {
+    require(replicas == 1 || refineIters > 0,
+      "multi-assignment (replicas > 1) requires the Lloyd-refined path")
     val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
       .withColumn("c_n", norm(col("c_v")))
-    val centroids = ivfCentroids(c, nLists)
-    val assigned = ivfAssign(c, centroids, Seq("c_v", "c_n"))
     val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
       .withColumn("q_n", norm(col("q_v")))
-    val probes = ivfProbes(q, centroids, nProbe, Seq("q_v", "q_n"))
+    val (assigned, probes) =
+      if (refineIters > 0) lloydAssignProbe(corpus, cId, cVec, c, q,
+        nLists, nProbe, refineIters, replicas)
+      else {
+        val centroids = ivfCentroids(c, nLists)
+        (ivfAssign(c, centroids, Seq("c_v", "c_n")),
+          ivfProbes(q, centroids, nProbe, Seq("q_v", "q_n")))
+      }
     // scan only probed lists
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
-    assigned.join(broadcast(probes), Seq("list_id"))
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")), 4)
           .as("sim"))
+    // a replicated vector can surface via two probed lists — collapse
+    // before ranking (rows are bit-identical, so the keep is arbitrary
+    // yet deterministic); replicas == 1 cannot duplicate, skip the
+    // exchange entirely
+    (if (replicas > 1) scored.dropDuplicates("q_id", "n_id") else scored)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
@@ -496,6 +521,31 @@ object Similarity {
         explode(col("top.list_id")).as("list_id"): _*)
   }
 
+  /** Lloyd-refined centroid machinery shared by the three IVF variants'
+    * `refineIters > 0` path: fit `Clustering`'s deterministic k-means
+    * (md5-sampled seeds + `refineIters` assign/update rounds — the exact
+    * construction the DuckDB oracles replay via unrolled per-round CTEs),
+    * then turn the driver-resident model into (a) a ZERO-SHUFFLE corpus
+    * list assignment (`classify`'s centroid-literal projection — strictly
+    * better than the hash-sample path's max_by aggregate, which exchanges
+    * the corpus on its unique key) and (b) per-query probe lists (same
+    * literal shape, `Clustering.probe`). Refinement moves centroids from
+    * arbitrary sample points to density centers, which is what lifts
+    * recall@10 at fixed nProbe (RecallSpec measures the delta); the model
+    * stays k×dim doubles of driver state, so the 100 TB story is
+    * unchanged — the fit's per-round cost is one corpus scan. */
+  private def lloydAssignProbe(corpus: DataFrame, cId: Column, cVec: Column,
+                               c: DataFrame, q: DataFrame, nLists: Int,
+                               nProbe: Int, iters: Int,
+                               replicas: Int = 1): (DataFrame, DataFrame) = {
+    val model = Clustering.fit(corpus, cId, cVec, k = nLists, iters = iters)
+    val assigned =
+      if (replicas > 1) Clustering.probe(c, col("c_v"), model, replicas)
+      else Clustering.classify(c, col("c_v"), model)
+        .withColumnRenamed("cluster", "list_id").drop("csim")
+    (assigned, Clustering.probe(q, col("q_v"), model, nProbe))
+  }
+
   /** IVF-SQ8: IVF list pruning × int8-quantized scan — the other standard
     * composition next to `ivfPqTopK` (FAISS's IVF,SQ8 index class).
     * Per-vector int8 quantization keeps exact integer dot products (the
@@ -512,18 +562,12 @@ object Similarity {
     * oracle-checked. */
   def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, qId: Column,
                  qVec: Column, cId: Column, cVec: Column, k: Int,
-                 nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+                 nLists: Int = 16, nProbe: Int = 4,
+                 refineIters: Int = 0, replicas: Int = 1): DataFrame = {
+    require(replicas == 1 || refineIters > 0,
+      "multi-assignment (replicas > 1) requires the Lloyd-refined path")
     val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
       .withColumn("c_n", norm(col("c_v")))
-    val centroids = ivfCentroids(c, nLists)
-    // quantize the stored vectors once (index-build cost): the scan
-    // below reads ints only
-    val assigned = ivfAssign(c, centroids, Seq("c_v"))
-      .withColumn("_s", int8Scale(col("c_v")))
-      .withColumn("c_q", quantizeInt8(col("c_v"), col("_s"))
-        .cast("array<double>"))
-      .withColumn("cq_n", sqrt(dot(col("c_q"), col("c_q"))))
-      .drop("c_v", "_s")
     // query side quantizes BEFORE probe selection explodes it ×nProbe
     val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
       .withColumn("q_n", norm(col("q_v")))
@@ -532,14 +576,30 @@ object Similarity {
         .cast("array<double>"))
       .withColumn("qq_n", sqrt(dot(col("q_q"), col("q_q"))))
       .drop("_s")
-    val probes = ivfProbes(q, centroids, nProbe, Seq("q_q", "qq_n"))
+    val (assigned0, probes) =
+      if (refineIters > 0) lloydAssignProbe(corpus, cId, cVec, c, q,
+        nLists, nProbe, refineIters, replicas)
+      else {
+        val centroids = ivfCentroids(c, nLists)
+        (ivfAssign(c, centroids, Seq("c_v")),
+          ivfProbes(q, centroids, nProbe, Seq("q_q", "qq_n")))
+      }
+    // quantize the stored vectors once (index-build cost): the scan
+    // below reads ints only
+    val assigned = assigned0
+      .withColumn("_s", int8Scale(col("c_v")))
+      .withColumn("c_q", quantizeInt8(col("c_v"), col("_s"))
+        .cast("array<double>"))
+      .withColumn("cq_n", sqrt(dot(col("c_q"), col("c_q"))))
+      .drop("c_v", "c_n", "_s")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
-    assigned.join(broadcast(probes), Seq("list_id"))
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(dot(col("q_q"), col("c_q")) / (col("qq_n") * col("cq_n")), 4)
           .as("sim"))
+    (if (replicas > 1) scored.dropDuplicates("q_id", "n_id") else scored)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
@@ -562,17 +622,26 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
                 qVec: Column, cId: Column, cVec: Column, k: Int,
                 nLists: Int = 16, nProbe: Int = 4,
-                dim: Int = 64, m: Int = 8, ks: Int = 16): DataFrame = {
+                dim: Int = 64, m: Int = 8, ks: Int = 16,
+                refineIters: Int = 0): DataFrame = {
     require(dim % m == 0, "m must divide dim")
     val sub = dim / m
     val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
       .withColumn("c_n", norm(col("c_v")))
-    // --- IVF side: centroids + list assignment (shared construction) ---
-    val centroids = ivfCentroids(c, nLists)
-    val assigned = ivfAssign(c, centroids, Nil)
     val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
       .withColumn("q_n", norm(col("q_v")))
-    val probes = ivfProbes(q, centroids, nProbe, Nil)
+    // --- IVF side: centroids + list assignment (shared construction) ---
+    val (assigned, probes) =
+      if (refineIters > 0) {
+        val (a, p) = lloydAssignProbe(corpus, cId, cVec, c, q,
+          nLists, nProbe, refineIters)
+        (a.select(col("n_id"), col("list_id")),
+          p.select(col("q_id"), col("list_id")))
+      } else {
+        val centroids = ivfCentroids(c, nLists)
+        (ivfAssign(c, centroids, Nil),
+          ivfProbes(q, centroids, nProbe, Nil))
+      }
 
     // --- PQ side: shared codebook / corpus codes / query tables ---
     val cb = pqCodebook(c, m, sub, ks)

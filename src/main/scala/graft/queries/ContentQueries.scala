@@ -89,6 +89,16 @@ object ContentQueries {
         n = 3, threshold = 0.8)
         .orderBy(col("sub_id"), col("super_id"))),
 
+    // The 100 TB containment path: winnowing-fingerprint blocking (NOT
+    // MinHash-LSH, whose collision rate is Jaccard-calibrated and misses
+    // embedded pairs) + exact verify on candidates only. Oracle replays
+    // the blocked semantics; ContainmentBlockedSpec asserts equality with
+    // the exact operator on this corpus.
+    "dedup_containment_blocked" -> ((s, d) =>
+      Dedup.containmentPairsBlocked(docs(s, d), col("doc_id"), col("text"),
+        n = 3, threshold = 0.8, window = 4)
+        .orderBy(col("sub_id"), col("super_id"))),
+
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), col("doc_id"), col("text"),
         n = 3, threshold = 0.5)
@@ -215,6 +225,36 @@ object ContentQueries {
         e.filter(col("vec_id") % 100 === 0), e,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         k = 10, nLists = 16, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // IVF with Lloyd-refined centroids (2 deterministic k-means rounds
+    // over the md5-sampled seeds — the emb_kmeans construction at k=16):
+    // same index/scan shape, centroids at density centers instead of
+    // arbitrary sample points, which is what buys recall at fixed nProbe
+    // (RecallSpec measures the lift). Fully oracle-checked — the oracle
+    // unrolls the two Lloyd rounds as CTEs and replays the identical
+    // assignment/probe/scan.
+    "sim_topk_ivf_lloyd" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10, nLists = 16, nProbe = 4, refineIters = 2, replicas = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // IVF-SQ8 on the Lloyd-refined index: the quantized scan composes
+    // with refined lists unchanged (quantization is per-vector and
+    // list-independent), so recall tracks sim_topk_ivf_lloyd's.
+    "sim_topk_ivfsq_lloyd" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfSq8TopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10, nLists = 16, nProbe = 4, refineIters = 2, replicas = 2)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("q_id"), col("rank"))
     }),
@@ -541,11 +581,11 @@ object ContentQueries {
     // Full iterative BPE training, 8 merges, via the BATCHED trainer
     // (spec-proven to emit the exact sequential-greedy list while
     // committing provably-safe multi-merge rounds — the production
-    // 32k-vocab path). Iterative argmax-then-rewrite is not
-    // SQL-expressible, so no oracle row — the merge sequence is instead
-    // model-checked against an in-memory reference BPE in
-    // TextAnalysisSpec, round 1 is oracle-pinned via text_bpe_pairs,
-    // and applying a frozen table is oracle-pinned via text_bpe_apply.
+    // 32k-vocab path). Oracle-checked since round 9: the 8
+    // argmax-then-rewrite rounds UNROLL as SQL CTEs (one pair-count
+    // aggregate + 1-row argmax + sentinel-string rewrite each — the
+    // text_bpe_apply replay trick per round), so DuckDB independently
+    // retrains the full merge sequence.
     "text_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeTrainBatched(docs(s, d), col("text"), merges = 8)
         .orderBy(col("rank"))),
@@ -1466,6 +1506,31 @@ object ContentQueries {
         |  UNION ALL SELECT b_id, a_id, common / b_n FROM p)
         |SELECT sub_id, super_id, round(ct, 6) AS containment
         |FROM c WHERE ct >= 0.8 ORDER BY sub_id, super_id""".stripMargin,
+    // winnowing candidates (the same sel CTE text_winnow checks) +
+    // exact containment verify restricted to candidate pairs
+    "dedup_containment_blocked" ->
+      s"""WITH $winnowCtes,
+        |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |sh2 AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(
+        |        string_split(lower(text), ' '), i, i + 2), ' '))) AS s
+        |  FROM documents),
+        |e2 AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh2),
+        |p2 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.n_sh AS a_n, b.n_sh AS b_n, count(*) AS common
+        |  FROM e2 a JOIN e2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN cand c ON c.a_id = a.doc_id AND c.b_id = b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |c AS (SELECT a_id AS sub_id, b_id AS super_id,
+        |    common / a_n AS ct FROM p2
+        |  UNION ALL SELECT b_id, a_id, common / b_n FROM p2)
+        |SELECT sub_id, super_id, round(ct, 6) AS containment
+        |FROM c WHERE ct >= 0.8 ORDER BY sub_id, super_id""".stripMargin,
+
     "dedup_minhash_lsh" -> jaccardOracle(0.7),
 
     "dedup_incremental_near" ->
@@ -1935,6 +2000,81 @@ object ContentQueries {
         |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
 
+    // identical scan to sim_topk_ivf; cent comes from the unrolled
+    // 2-round Lloyd refinement instead of the raw hash sample
+    "sim_topk_ivf_lloyd" ->
+      s"""WITH $lloydCentCtes16,
+        |asg AS (SELECT n.vec_id AS n_id, n.e AS av, n.nrm AS an,
+        |    cent.list_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
+        |      cent.list_id) AS arn
+        |  FROM n CROSS JOIN cent),
+        |assigned AS (SELECT n_id, av, an, list_id FROM asg WHERE arn <= 2),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id % 100 = 0),
+        |prb AS (SELECT q.q_id, q.qe, q.qn, cent.list_id,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> q.qe[i] * cent.ce[i])) / (q.qn * cent.cn), 6) DESC,
+        |      cent.list_id) AS prn
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT q_id, qe, qn, list_id FROM prb WHERE prn <= 4),
+        |sc AS (SELECT DISTINCT p.q_id, a.n_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> p.qe[i] * a.av[i])) / (p.qn * a.an), 4) AS sim
+        |  FROM probes p JOIN assigned a
+        |    ON a.list_id = p.list_id AND a.n_id <> p.q_id),
+        |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, n_id) AS rank FROM sc)
+        |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // identical scan to sim_topk_ivfsq; cent from the Lloyd refinement
+    "sim_topk_ivfsq_lloyd" ->
+      s"""WITH $lloydCentCtes16,
+        |asg AS (SELECT n.vec_id AS n_id, n.e AS av, cent.list_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
+        |      cent.list_id) AS arn
+        |  FROM n CROSS JOIN cent),
+        |assigned AS (SELECT n_id, av, list_id FROM asg WHERE arn <= 2),
+        |aq AS (SELECT n_id, list_id, list_transform(av, x ->
+        |      CAST(floor(x * 127.0 / greatest(list_max(list_transform(av,
+        |        y -> abs(y))), 1e-30) + 0.5) AS BIGINT)) AS cq
+        |  FROM assigned),
+        |aqn AS (SELECT n_id, list_id, cq,
+        |    sqrt(CAST(list_sum(list_transform(cq, x -> x * x)) AS DOUBLE))
+        |      AS cqn FROM aq),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id % 100 = 0),
+        |prb AS (SELECT q.q_id, q.qe, cent.list_id,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> q.qe[i] * cent.ce[i])) / (q.qn * cent.cn), 6) DESC,
+        |      cent.list_id) AS prn
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT q_id, qe, list_id FROM prb WHERE prn <= 4),
+        |pq8 AS (SELECT q_id, list_id, list_transform(qe, x ->
+        |      CAST(floor(x * 127.0 / greatest(list_max(list_transform(qe,
+        |        y -> abs(y))), 1e-30) + 0.5) AS BIGINT)) AS qq
+        |  FROM probes),
+        |pqn AS (SELECT q_id, list_id, qq,
+        |    sqrt(CAST(list_sum(list_transform(qq, x -> x * x)) AS DOUBLE))
+        |      AS qqn FROM pq8),
+        |sc AS (SELECT DISTINCT p.q_id, a.n_id,
+        |    round(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> p.qq[i] * a.cq[i])) AS DOUBLE) / (p.qqn * a.cqn), 4)
+        |      AS sim
+        |  FROM pqn p JOIN aqn a
+        |    ON a.list_id = p.list_id AND a.n_id <> p.q_id),
+        |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, n_id) AS rank FROM sc)
+        |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
     "sample_temperature" ->
       """WITH s AS (SELECT source,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -2189,6 +2329,22 @@ object ContentQueries {
         |  CAST(max(cum) AS BIGINT) AS used_subwords
         |FROM cum WHERE cum <= 3000 GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // independent full retraining: 8 unrolled argmax-then-rewrite
+    // rounds over the distinct-word vocabulary (pair counts → 1-row
+    // argmax → sentinel-string merge), verifying the engine's ENTIRE
+    // merge sequence — order, pair texts, and counts
+    "text_bpe_merges" ->
+      s"""WITH wt AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, count(*) AS f FROM wt WHERE w <> '' GROUP BY w),
+        |w0 AS (SELECT string_split(w, '') AS syms, f FROM wf),
+        |${(1 to 8).map(bpeRound).mkString(",\n")}
+        |SELECT * FROM (
+        |${(1 to 8).map(i =>
+             s"""  SELECT $i AS "rank", l AS "left", r AS "right", n FROM m$i""")
+             .mkString("\n  UNION ALL\n")}
+        |) ORDER BY "rank"""".stripMargin,
 
     // sentinel replay per DISTINCT word, frequencies from word counts
     "text_bpe_vocab" ->
@@ -2845,6 +3001,50 @@ object ContentQueries {
        |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM (
        |    SELECT cl, list(cx ORDER BY pos) AS ce FROM m$idx
        |    GROUP BY cl))""".stripMargin
+
+  /** One BPE training round in SQL, from vocabulary state `w{i-1}`
+    * (syms: list of symbols, f: word frequency): adjacent-pair counts
+    * weighted by f (overlapping, exactly the trainer's zip_with
+    * explode), 1-row argmax `m$i` (count desc, then pair text — the
+    * trainer's total order), then the greedy left-to-right merge as ONE
+    * sentinel-string `replace` per word (the text_bpe_apply replay
+    * trick: single-sentinel pattern edges force complete-symbol matches
+    * and preserve run parity). Ends at `w$i`, the next round's state. */
+  private def bpeRound(i: Int): String = {
+    val prev = s"w${i - 1}"
+    s"""p$i AS (SELECT pl AS l, pr AS r, sum(f) AS n FROM (
+       |    SELECT f, syms[u.j] AS pl, syms[u.j + 1] AS pr
+       |    FROM $prev, LATERAL unnest(range(1, len(syms))) AS u(j))
+       |  GROUP BY 1, 2),
+       |m$i AS (SELECT l, r, CAST(n AS BIGINT) AS n FROM p$i
+       |  ORDER BY n DESC, l, r LIMIT 1),
+       |w$i AS (SELECT string_split(substr(ms, 3, length(ms) - 4),
+       |      chr(1)||chr(1)) AS syms, f FROM (
+       |    SELECT replace(chr(1)||chr(1)||array_to_string(syms,
+       |        chr(1)||chr(1))||chr(1)||chr(1),
+       |      chr(1)||m.l||chr(1)||chr(1)||m.r||chr(1),
+       |      chr(1)||m.l||m.r||chr(1)) AS ms, f
+       |    FROM $prev CROSS JOIN m$i m))""".stripMargin
+  }
+
+  /** Lloyd-refined IVF centroid replay (k=16, 2 rounds — the literal
+    * unroll of `Clustering.fit(k = 16, iters = 2)` that
+    * `Similarity.ivfTopK(refineIters = 2)` trains on): ends at
+    * `cent` = (list_id, ce, cn), drop-in for the hash-sampled `cent` CTE
+    * of the sim_topk_ivf / sim_topk_ivfsq oracles. */
+  private def lloydCentCtes16: String =
+    s"""v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+       |c0 AS (SELECT vec_id AS cl, e AS ce, nrm AS cn FROM (
+       |    SELECT vec_id, e, nrm,
+       |      ${md5b60("CAST(vec_id AS VARCHAR)")} % 997 AS r
+       |    FROM n) WHERE r < 64 ORDER BY r, vec_id LIMIT 16),
+       |${kmRound("c0", 1)},
+       |${kmRound("c1", 2)},
+       |cent AS (SELECT cl AS list_id, ce, cn FROM c2)""".stripMargin
 
   /** Shared k-means replay (k=8, 2 Lloyd rounds, md5-sampled init — the
     * literal unroll of `Clustering.kmeansAssign(k = 8, iters = 2)`): ends

@@ -71,6 +71,30 @@ class PlanAuditSpec extends SparkSuite {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n$p")
   }
 
+  test("dedup_containment_blocked: candidates come from the winnowing " +
+    "fingerprint equi-join, never an all-pairs or cartesian join") {
+    val p = plan("dedup_containment_blocked")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the candidate join keys on the selected fingerprint column
+    assert(p.contains("[fp"), p)
+  }
+
+  test("sim_topk_ivf_lloyd: assignment and probing are centroid-literal " +
+    "projections — the corpus never shuffle-joins; the only join is the " +
+    "probes broadcast") {
+    val p = plan("sim_topk_ivf_lloyd")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // formatted explain names each node twice (tree + detail section);
+    // the "(id) Node" detail headers count each join exactly once
+    val broadcasts = """\(\d+\) BroadcastHashJoin""".r.findAllIn(p).length
+    assert(broadcasts == 1, s"expected exactly the probes broadcast, " +
+      s"got $broadcasts\n$p")
+  }
+
   test("dedup_embedding: SRP-LSH candidates join on buckets — no " +
     "all-pairs nested-loop or cartesian join anywhere in the plan") {
     val p = plan("dedup_embedding")

@@ -86,6 +86,35 @@ class DedupSpec extends SparkSuite {
     graft.analytics.Caches.clear()
   }
 
+  test("containmentPairsBlocked finds the planted embedded pair (winnowing " +
+    "coverage guarantee: the shared run is far longer than window+n-1)") {
+    val embedded = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = s"$embedded " +
+      (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val df = Seq((1L, embedded), (2L, long), (3L, "unrelated text here"))
+      .toDF("doc_id", "text")
+    val ct = Dedup.containmentPairsBlocked(df, col("doc_id"), col("text"),
+        n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(ct == Seq((1L, 2L, 1.0)), s"got $ct")
+    graft.analytics.Caches.clear()
+  }
+
+  test("containmentPairsBlocked equals exact containmentPairs on sf0.001 " +
+    "documents (full recall on the corpus's embedded duplication)") {
+    val exact = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.analytics.Caches.clear()
+    val blocked = Dedup.containmentPairsBlocked(docs, col("doc_id"),
+        col("text"), n = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.analytics.Caches.clear()
+    assert(exact.nonEmpty, "fixtureless corpus: exact containment is empty")
+    assert(blocked == exact,
+      s"missed: ${exact.diff(blocked)}; extra: ${blocked.diff(exact)}")
+  }
+
   test("minhash-LSH pairs equal exhaustive jaccard pairs at sf0.001 " +
     "(full recall at threshold 0.7)") {
     val lsh = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"))
