@@ -30,6 +30,13 @@ object Bench {
     "emb_pca_project", "text_bpe_pairs", "text_bpe_apply",
     "lake_cdc_merge", "pipeline_tokenizer_prep")
 
+  // Round-9 additions, reported under "queries_r9"/"value_r9": the
+  // Lloyd-refined ANN path, the blocked containment path, and the
+  // oracle-checked full BPE retrain.
+  val additionsR9: Seq[String] = Seq(
+    "sim_topk_ivf_lloyd", "sim_topk_ivfsq_lloyd",
+    "dedup_containment_blocked", "text_bpe_merges")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -65,13 +72,32 @@ object Bench {
       rs.collect { case (_, v) if v >= 0 => v }.sum
     val results = run(headline)
     val r7 = run(additionsR7)
+    val r9 = run(additionsR9)
+    // BPE batched-trainer scale diagnostic (round-8 verdict item): train
+    // 32 merges on the full corpus and report rounds + width — the batch
+    // width is the 32k-vocab production bound (rounds ≈ vocab/width).
+    // This corpus has a 31-word vocabulary, so width saturates at ~1.6
+    // (top pairs constantly share symbols and the equivalence guards
+    // close batches — see BpeBatchWidthSpec for the diverse-corpus
+    // contrast where width climbs).
+    val bpe = {
+      val t0 = System.nanoTime()
+      val (df, rounds) = graft.analytics.TextAnalysis
+        .bpeTrainBatchedWithRounds(
+          Tables.load(spark, sfDir, "documents"),
+          org.apache.spark.sql.functions.col("text"), merges = 32)
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.analytics.Caches.clear()
+      f"""{"merges":$n,"rounds":$rounds,"width":${n.toDouble / rounds}%.2f,"sec":$sec%.3f}"""
+    }
     // Failures must be machine-loud, not just a -1.0 sentinel buried in the
     // metrics (round 8's bench read as rc:0 with six dead queries): name
     // them in an explicit "failed" list AND exit non-zero.
-    val failed = (results ++ r7).collect { case (k, v) if v < 0 => k }
+    val failed = (results ++ r7 ++ r9).collect { case (k, v) if v < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"failed":$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"bpe_train":$bpe,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")

@@ -60,6 +60,48 @@ object ZOrder {
     BitwiseOr(spread(x), ShiftLeft(spread(y), Literal(1)))
   }
 
+  /** Morton key of `n` dimensions (2 ≤ n ≤ 6): bit `b` of dimension `i`
+    * lands at position `b*n + i`, using `63/n` bits per dimension so the
+    * key stays in bits 0..62 (non-negative — the long ordering IS the
+    * unsigned Morton ordering, same contract as `zorder2`).
+    *
+    * The round-7 manifest string+double stat lanes make 3-4-column
+    * layouts practical for real lakes; this is the layout key for them.
+    * Built as an OR-reduction of per-bit shift terms — for n=3 that is
+    * 63 codegen'd bitwise ops, still branch-free scalar arithmetic (the
+    * 2-D fast path keeps the 5-round shift-mask cascade; `zorderN(x, y)`
+    * equals `zorder2(x, y)` bit-for-bit, property-tested). Engine-
+    * portable: the DuckDB oracle replays the identical per-bit formula.
+    *
+    * Same pre-scaling contract as `zorder2`: inputs are masked to their
+    * low `63/n` bits; callers subtract the domain min / divide to a
+    * coarse grid first. */
+  def zorderN(dims: Seq[Column]): Column = {
+    require(dims.size >= 2 && dims.size <= 6,
+      s"zorderN supports 2..6 dimensions, got ${dims.size}")
+    if (dims.size == 2) return zorder2(dims(0), dims(1))
+    val n = dims.size
+    val bits = 63 / n
+    dims.zipWithIndex.map { case (d, i) =>
+      val v = d.cast("long").bitwiseAND(lit((1L << bits) - 1))
+      (0 until bits).map { b =>
+        shiftleft(shiftright(v, b).bitwiseAND(lit(1L)), b * n + i): Column
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Reference (row-at-a-time) `zorderN` for property tests. */
+  def zorderNRef(xs: Seq[Long]): Long = {
+    val n = xs.size
+    if (n == 2) return zorder2Ref(xs(0), xs(1))
+    val bits = 63 / n
+    xs.zipWithIndex.map { case (x, i) =>
+      val v = x & ((1L << bits) - 1)
+      (0 until bits).map(b => ((v >> b) & 1L) << (b * n + i))
+        .reduce(_ | _)
+    }.reduce(_ | _)
+  }
+
   /** Reference (row-at-a-time) spread for property tests. */
   def spread31Ref(x: Long): Long = {
     var v = x & 0x7FFFFFFFL

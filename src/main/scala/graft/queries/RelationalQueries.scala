@@ -397,6 +397,30 @@ object RelationalQueries {
         .orderBy(col("zbucket"))
     }),
 
+    // 3-dimensional z-order layout (zorderN), oracle-checked: interleave
+    // a 256^3 (user, hour, value) grid and bucket by the key's top bits.
+    // Dropping the low 15 bits of a 3-D Morton key frees exactly 5 bits
+    // per dimension, so every bucket confines EVERY dimension to one
+    // aligned 32-wide window (span <= 31 — asserted per bucket in
+    // ZOrderSpec) — the bounding-box property that lets parquet footer
+    // stats prune on ANY of the three predicates.
+    "q42_zorder3_layout" -> ((s, d) => {
+      val e = T(s, d, "events").select(
+        pmod(col("user_id"), lit(256)).as("x"),
+        pmod(floor(unix_micros(col("ts").cast("timestamp")) / 3600000000L),
+          lit(256)).as("y"),
+        pmod(floor(col("value")).cast("long"), lit(256)).as("w"))
+      e.withColumn("zbucket",
+          shiftright(graft.functions.ZOrder.zorderN(
+            Seq(col("x"), col("y"), col("w"))), 15))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          min(col("w")).as("min_w"), max(col("w")).as("max_w"))
+        .orderBy(col("zbucket"))
+    }),
+
     // Skew-salted join, oracle-checked: Skew.saltedJoin spreads each key
     // across 8 salted sub-keys (stable row-hash salt, replay-safe) and
     // must produce EXACTLY the rows of the plain join — the oracle runs
@@ -918,6 +942,28 @@ object RelationalQueries {
         |  min(x) AS min_x, max(x) AS max_x,
         |  min(y) AS min_y, max(y) AS max_y
         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+
+    // generic per-bit Morton formula (bit b of dim i -> position b*3+i);
+    // the inputs are < 256 so 8 terms per dimension cover every set bit
+    "q42_zorder3_layout" -> {
+      def terms(v: String, i: Int): String =
+        (0 until 8).map(b => s"((($v >> $b) & 1) << ${b * 3 + i})")
+          .mkString(" | ")
+      s"""WITH g AS (SELECT user_id % 256 AS x,
+        |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000)
+        |      AS BIGINT) % 256 AS y,
+        |    ((CAST(floor(value) AS BIGINT) % 256) + 256) % 256 AS w
+        |  FROM events),
+        |z AS (SELECT x, y, w,
+        |    ((${terms("x", 0)}) |
+        |     (${terms("y", 1)}) |
+        |     (${terms("w", 2)})) >> 15 AS zbucket FROM g)
+        |SELECT zbucket, count(*) AS n,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y,
+        |  min(w) AS min_w, max(w) AS max_w
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
 
     "q41_skew_salted_join" ->
       """WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS tier

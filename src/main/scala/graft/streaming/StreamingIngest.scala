@@ -82,6 +82,48 @@ object StreamingIngest {
       }
       .start()
 
+  /** Multi-topic streaming sink: the streaming face of `Ingest.runMulti`
+    * (the reference's `topics` list, S3SinkTask.java:229-276) — each
+    * micro-batch routes records by `topicCol` and runs the full pipeline
+    * per topic under its own `<topics.dir>/<topic>/` subtree with a
+    * PER-TOPIC config (different flush sizes, formats, null modes —
+    * which the reference's single shared config cannot express). Gates
+    * fold over the whole batch BEFORE the split, so content policy stays
+    * uniform across topics while layout policy is per-topic.
+    *
+    * Exactly-once holds per topic by the same X1/X2 argument as the
+    * single-topic pipeline: the checkpoint WAL is the only offset store,
+    * and replayed micro-batches regenerate byte-identical object names
+    * in every topic subtree (kill-and-resume pinned for two topics with
+    * different flush sizes in StreamingIngestSpec). */
+  def startPipelineMulti(frame: DataFrame, topicCol: Column,
+                         cfgFor: String => IngestConfig,
+                         partitioner: PartitionerSpec, outDir: String,
+                         checkpointDir: String,
+                         kafkaPartition: Column, offset: Column,
+                         payloadCols: Seq[Column],
+                         valueColumnForNulls: Option[String] = None,
+                         writeManifest: Boolean = false,
+                         gates: Seq[Gates.Gate] = Nil,
+                         trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    frame.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.analytics.Caches.scoped {
+          val gated = Gates.all(gates: _*)(batch)
+          Ingest.runMulti(gated, topicCol, cfgFor, partitioner, outDir,
+            kafkaPartition = kafkaPartition, offset = offset,
+            payloadCols = payloadCols,
+            valueColumnForNulls = valueColumnForNulls,
+            writeManifest = writeManifest)
+        }
+        ()
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregation — late data beyond the
     * watermark is dropped, the semantics the reference explicitly lacks
     * (out-of-order records silently land in old partitions,

@@ -31,6 +31,50 @@ class ZOrderSpec extends SparkSuite {
     }
   }
 
+  test("zorderN matches its reference for n=3..6 and collapses to " +
+    "zorder2 at n=2 bit-for-bit") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)(Seq.fill(6)(rnd.nextLong().abs))
+    for (n <- 3 to 6) {
+      val df = rows.map(r => Tuple1(r.take(n))).toDF("xs")
+      val got = df.select(ZOrder.zorderN(
+          (0 until n).map(i => element_at(col("xs"), i + 1))).as("z"))
+        .as[Long].collect()
+      rows.zip(got).foreach { case (r, z) =>
+        assert(z == ZOrder.zorderNRef(r.take(n)), s"n=$n xs=${r.take(n)}")
+      }
+    }
+    rows.foreach { r =>
+      assert(ZOrder.zorderNRef(r.take(2)) == ZOrder.zorder2Ref(r(0), r(1)))
+    }
+    val df2 = rows.map(r => (r(0), r(1))).toDF("x", "y")
+    val z2 = df2.select((ZOrder.zorderN(Seq(col("x"), col("y"))) ===
+      ZOrder.zorder2(col("x"), col("y"))).as("eq")).as[Boolean].collect()
+    assert(z2.forall(identity))
+  }
+
+  test("zorderN n=3: dropping 15 low key bits confines every dimension " +
+    "to one aligned 32-wide window (the q42_zorder3_layout contract)") {
+    // 16^3 grid scaled by 17 so values spread over 0..255 non-trivially
+    val cells = for (x <- 0L until 16L; y <- 0L until 16L;
+                     w <- 0L until 16L) yield (x * 17 % 256, y * 13 % 256,
+      w * 11 % 256)
+    val boxes = cells.toDF("x", "y", "w")
+      .withColumn("zbucket", shiftright(ZOrder.zorderN(
+        Seq(col("x"), col("y"), col("w"))), 15))
+      .groupBy(col("zbucket"))
+      .agg((max(col("x")) - min(col("x"))).as("sx"),
+        (max(col("y")) - min(col("y"))).as("sy"),
+        (max(col("w")) - min(col("w"))).as("sw"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(boxes.nonEmpty)
+    boxes.foreach { case (b, sx, sy, sw) =>
+      assert(sx <= 31 && sy <= 31 && sw <= 31,
+        s"bucket $b spans sx=$sx sy=$sy sw=$sw — low 5 bits per dim " +
+          "must be the only freedom inside a bucket")
+    }
+  }
+
   test("range-partitioning by zkey yields per-partition bounding boxes " +
     "tight in BOTH dimensions (the layout property that prunes scans)") {
     // full 64x64 grid; one row per cell so every partition's box is exact

@@ -654,4 +654,105 @@ class StreamingIngestSpec extends SparkSuite {
         s"replay must not strand objects: ${vac.orphans}")
     } finally Seq(sketch, keys, hh).foreach(_.unpersist(blocking = false))
   }
+
+  test("multi-topic kill-and-resume soak: two topics with DIFFERENT " +
+    "flush sizes through one gated streaming pipeline — after a lost " +
+    "commit marker and restart, each topic's lake equals its batch keep " +
+    "set and vacuums clean") {
+    val src = Files.createTempDirectory("msoak_src").toString
+    val out = Files.createTempDirectory("msoak_out").toString
+    val ckpt = Files.createTempDirectory("msoak_ckpt").toString
+
+    val cfgA = IngestConfig(topic = "tA", flushSize = 1)
+    val cfgB = IngestConfig(topic = "tB", flushSize = 100)
+    val cfgFor = Map("tA" -> cfgA, "tB" -> cfgB)
+    val gateStack = Seq(Gates.quality("text", minTokens = 3))
+
+    // each file interleaves both topics; offsets unique per (topic,
+    // partition); one row per file fails the quality gate
+    def fileRows(f: Int) = Seq(
+      ("tA", 0, f * 10L + 0, f * 10L + 0,
+        s"topic a document $f zero with words enough"),
+      ("tB", 0, f * 10L + 1, f * 10L + 1,
+        s"topic b document $f one with words enough"),
+      ("tA", 0, f * 10L + 2, f * 10L + 2, s"tiny $f"), // quality drop
+      ("tA", 0, f * 10L + 3, f * 10L + 3,
+        s"topic a document $f three rides through fine"),
+      ("tB", 0, f * 10L + 4, f * 10L + 4,
+        s"topic b document $f four rides through fine"))
+      .toDF("topic", "kafka_partition", "offset", "doc_id", "text")
+    def writeFile(f: Int): Unit =
+      fileRows(f).coalesce(1).write.mode("append").parquet(src)
+
+    val mschema = StructType(Seq(
+      StructField("topic", StringType),
+      StructField("kafka_partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def run(): Unit = {
+      val q = StreamingIngest.startPipelineMulti(
+        spark.readStream.schema(mschema)
+          .option("maxFilesPerTrigger", 1).parquet(src),
+        col("topic"), cfgFor, PartitionerSpec.Default, out, ckpt,
+        col("kafka_partition"), col("offset"),
+        payloadCols = Seq(col("offset"), col("doc_id"), col("text")),
+        writeManifest = true, gates = gateStack)
+      q.awaitTermination(120000)
+    }
+
+    // batch-mode oracle per topic over the FULL input
+    val full = (0 until 4).map(fileRows).reduce(_.unionByName(_))
+    val gatedFull = gateStack.foldLeft(full)((a, g) => g(a))
+    def expectFor(t: String): Map[Long, String] = gatedFull
+      .filter(col("topic") === t)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val expect = Map("tA" -> expectFor("tA"), "tB" -> expectFor("tB"))
+    assert(expect("tA").size == 8 && expect("tB").size == 8, expect)
+
+    // phase 1: two micro-batches, then lose the newest commit marker —
+    // the restart must REPLAY that batch into BOTH topic subtrees
+    writeFile(0); writeFile(1)
+    run()
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+    val newest = commits.maxBy(_.getName.toInt)
+    assert(newest.delete(), s"could not drop $newest")
+    val crc = new java.io.File(newest.getParentFile,
+      s".${newest.getName}.crc")
+    if (crc.exists()) assert(crc.delete(), s"could not drop $crc")
+
+    // phase 2: resume from the same checkpoint with two more files
+    writeFile(2); writeFile(3)
+    run()
+
+    for (t <- Seq("tA", "tB")) {
+      val got = spark.read.parquet(s"$out/topics/$t")
+        .select("doc_id", "text").as[(Long, String)].collect()
+      assert(got.length == expect(t).size,
+        s"$t exactly-once violated: ${got.length} vs ${expect(t).size}")
+      assert(got.toMap == expect(t), s"$t keep set diverged")
+      val committed = graft.ingest.Compaction
+        .readCommitted(spark, out, cfgFor(t))
+        .select("doc_id", "text").as[(Long, String)].collect()
+      assert(committed.toMap == expect(t) &&
+        committed.length == expect(t).size,
+        s"$t manifest snapshot must equal the keep set after replay")
+      val vac = graft.ingest.Compaction.vacuum(spark, out, cfgFor(t),
+        dryRun = true)
+      assert(vac.orphanCount == 0L, s"$t stranded objects: ${vac.orphans}")
+    }
+    // the flush-size knob really was per-topic: tA (flush 2) must cut
+    // more, smaller files than tB (flush 100 → one file per batch+part)
+    def nFiles(t: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$out/topics/$t"))
+        .count(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("."))
+    }
+    assert(nFiles("tA") > nFiles("tB"),
+      s"per-topic flush sizes had no effect: tA=${nFiles("tA")} " +
+        s"tB=${nFiles("tB")}")
+  }
 }
