@@ -24,31 +24,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // A query that throws must still leave a footprint: round 8 proved that
-    // a missing result dir makes the query VANISH from the driver's
-    // correctness report (29 silently-dropped entries) instead of showing
-    // red. Write a one-row error-marker parquet in its place — the driver's
-    // compare then records a loud schema/hash mismatch with the message in
-    // the output — and collect names for a non-zero exit code.
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failed += name
-        try {
-          import spark.implicits._
-          Seq(s"${e.getClass.getName}: ${e.getMessage}").toDF("__verify_error")
-            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        } catch { case m: Throwable =>
-          System.err.println(s"[verify] $name marker write failed: ${m.getMessage}")
-        }
-      }
-      finally graft.analytics.Caches.clear()
-    }
+    val failed = dump(spark, sfDir, outDir,
+      SparkEntry.queries.filter { case (name, _) =>
+        only.forall(_.contains(name)) })
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -70,5 +48,38 @@ object Verify {
       System.err.println(s"[verify] ${failed.size} queries failed: ${failed.mkString(",")}")
       sys.exit(1)
     }
+  }
+
+  /** Dump each query's result to `outDir/<name>`; returns the names that
+    * FAILED. A query that throws must still leave a footprint: round 8
+    * proved that a missing result dir makes the query VANISH from the
+    * driver's correctness report (29 silently-dropped entries) instead of
+    * showing red. Write a one-row error-marker parquet in its place — the
+    * driver's compare then records a loud schema/hash mismatch carrying
+    * the message — and report the name for a non-zero exit code.
+    * (Split from `main` so VerifySpec can pin this contract with an
+    * injected failing query — main's sys.exit/stop make it untestable.) */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+           queries: Map[String, (SparkSession, String) =>
+             org.apache.spark.sql.DataFrame]): Seq[String] = {
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getName}: ${e.getMessage}").toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case m: Throwable =>
+          System.err.println(
+            s"[verify] $name marker write failed: ${m.getMessage}")
+        }
+      }
+      finally graft.analytics.Caches.clear()
+    }
+    failed.toSeq
   }
 }
