@@ -259,6 +259,21 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // IVF-PQ on the Lloyd-refined index: refined list pruning composes
+    // with the unchanged PQ-ADC scan (the codebook stays the shared
+    // hash sample — independent of the IVF centroids on both engines).
+    // Recall stays ADC-bounded (~pq's .10-.12, RecallSpec) — the value
+    // is the composition staying fully oracle-checked.
+    "sim_topk_ivfpq_lloyd" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10, nLists = 16, nProbe = 4, refineIters = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // SRP-LSH bucketed ANN — the centroid-free scale path beside
     // sim_topk_ivf. Fully oracle-checked: the Rademacher hyperplanes are
     // md5-derived, so DuckDB rebuilds bit-identical band signatures and
@@ -1730,6 +1745,76 @@ object ContentQueries {
         |  FROM n),
         |cent AS (SELECT vec_id AS list_id, e AS ce, nrm AS cn FROM hashed
         |  WHERE r < 64 ORDER BY r, vec_id LIMIT 16),
+        |asg AS (SELECT n.vec_id AS n_id, cent.list_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
+        |      cent.list_id) AS arn
+        |  FROM n CROSS JOIN cent),
+        |assigned AS (SELECT n_id, list_id FROM asg WHERE arn = 1),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id % 100 = 0),
+        |prb AS (SELECT q.q_id, cent.list_id,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> q.qe[i] * cent.ce[i])) / (q.qn * cent.cn), 6) DESC,
+        |      cent.list_id) AS prn
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT q_id, list_id FROM prb WHERE prn <= 4),
+        |cbb AS (SELECT e, row_number() OVER (ORDER BY r, vec_id) AS j
+        |  FROM hashed WHERE r < 64 ORDER BY r, vec_id LIMIT 16),
+        |subs AS (SELECT unnest(range(0, 8)) AS sub),
+        |cb AS (SELECT subs.sub, cbb.j,
+        |    list_slice(cbb.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS cw
+        |  FROM cbb CROSS JOIN subs),
+        |cs AS (SELECT v.vec_id AS n_id, subs.sub,
+        |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
+        |  FROM v CROSS JOIN subs),
+        |enc0 AS (SELECT cs.n_id, cs.sub, cb.j,
+        |    round(list_sum(list_transform(range(1, 9),
+        |        i -> cs.sv[i] * cs.sv[i]))
+        |      + list_sum(list_transform(range(1, 9),
+        |        i -> cb.cw[i] * cb.cw[i]))
+        |      - 2 * list_sum(list_transform(range(1, 9),
+        |        i -> cs.sv[i] * cb.cw[i])), 6) AS d
+        |  FROM cs JOIN cb USING (sub)),
+        |enc AS (SELECT n_id, sub, j AS code FROM (SELECT n_id, sub, j,
+        |    row_number() OVER (PARTITION BY n_id, sub ORDER BY d, j) AS rn
+        |  FROM enc0) WHERE rn = 1),
+        |qsv AS (SELECT v.vec_id AS q_id, subs.sub,
+        |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
+        |  FROM v CROSS JOIN subs WHERE v.vec_id % 100 = 0),
+        |qt AS (SELECT qsv.q_id, qsv.sub, cb.j,
+        |    CAST(round((list_sum(list_transform(range(1, 9),
+        |        i -> qsv.sv[i] * qsv.sv[i]))
+        |      + list_sum(list_transform(range(1, 9),
+        |        i -> cb.cw[i] * cb.cw[i]))
+        |      - 2 * list_sum(list_transform(range(1, 9),
+        |        i -> qsv.sv[i] * cb.cw[i]))) * 1000000, 0) AS BIGINT)
+        |      AS qdi
+        |  FROM qsv JOIN cb USING (sub)),
+        |cand AS (SELECT probes.q_id, assigned.n_id
+        |  FROM assigned JOIN probes USING (list_id)
+        |  WHERE probes.q_id <> assigned.n_id),
+        |adc AS (SELECT cand.q_id, cand.n_id,
+        |    round(CAST(sum(qt.qdi) AS DOUBLE) / 1000000, 6) AS adist
+        |  FROM cand
+        |  JOIN enc ON enc.n_id = cand.n_id
+        |  JOIN qt ON qt.q_id = cand.q_id AND qt.sub = enc.sub
+        |    AND qt.j = enc.code
+        |  GROUP BY 1, 2),
+        |r AS (SELECT q_id, n_id, adist, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adist, n_id) AS rank FROM adc)
+        |SELECT q_id, n_id, adist, rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // Lloyd-refined cent + the identical PQ-ADC replay of sim_topk_ivfpq
+    "sim_topk_ivfpq_lloyd" ->
+      s"""WITH $lloydCentCtes16,
+        |hashed AS (SELECT vec_id, e, nrm,
+        |    CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 997 AS r
+        |  FROM n),
         |asg AS (SELECT n.vec_id AS n_id, cent.list_id,
         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
         |      round(list_sum(list_transform(range(1, 65),
