@@ -94,14 +94,21 @@ def main():
             continue
         ratios[q] = round(statistics.median(
             x / y for x, y in zip(a, b)), 3)
-    tot_a = [sum(v for v in r.values() if v >= 0) for r in runs_a]
-    tot_b = [sum(v for v in r.values() if v >= 0) for r in runs_b]
+    # totals only over the ratio-eligible (shared, both-succeeded) set —
+    # otherwise queries that exist on one side only (new operators, or
+    # failures on the prior ref) masquerade as a regression
+    eligible = sorted(ratios)
+    tot_a = [sum(r[q] for q in eligible) for r in runs_a]
+    tot_b = [sum(r[q] for q in eligible) for r in runs_b]
     out = {
         "ref": ref,
         "pairs": args.pairs,
         "sf": args.sf,
+        "n_shared_queries": len(eligible),
         "total_ratio_median": round(statistics.median(
             x / y for x, y in zip(tot_a, tot_b)), 3),
+        "per_query_ratio_median": round(statistics.median(
+            ratios.values()), 3) if ratios else None,
         "per_query_ratio": ratios,
         "excluded": sorted(set(excluded)),
         "totals_current": [round(t, 2) for t in tot_a],
