@@ -42,6 +42,12 @@ def main(outdir, sfdir):
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}"); n_fail += 1
             continue
+        if gnames == ["__verify_error"]:
+            # Verify's error-marker parquet: the Spark query threw; the
+            # marker carries the exception so the gate shows the CAUSE
+            print(f"FAIL {name}: spark query failed: {grows[0][0]}")
+            n_fail += 1
+            continue
         if sorted(gnames) != sorted(enames):
             print(f"FAIL {name}: columns {sorted(gnames)} != {sorted(enames)}")
             n_fail += 1
