@@ -34,7 +34,7 @@ object Bench {
   // Lloyd-refined ANN path, the blocked containment path, and the
   // oracle-checked full BPE retrain.
   val additionsR9: Seq[String] = Seq(
-    "sim_topk_ivf_lloyd", "sim_topk_ivfsq_lloyd",
+    "sim_topk_ivf_lloyd", "sim_topk_ivfsq_lloyd", "sim_topk_ivf_served",
     "dedup_containment_blocked", "text_bpe_merges")
 
   def main(args: Array[String]): Unit = {

@@ -929,4 +929,85 @@ object Similarity {
       .agg(avg(coalesce(col("hits"), lit(0L)) / col("n")))
       .head.getDouble(0)
   }
+
+  // -------------------------------------------- persisted IVF index
+
+  /** The offline-build / online-serve split for IVF — the piece every
+    * in-memory `ivfTopK` call leaves on the table at 100 TB: rebuilding
+    * the index per query batch re-scans the corpus, while a PERSISTED
+    * index is built once and every subsequent batch reads only the
+    * probed fraction. `buildIvfIndex` writes the assigned corpus
+    * `partitionBy(list_id)` (plus the tiny centroid model as its own
+    * parquet), so serving gets STATIC partition pruning: the probed
+    * list union — bounded by nLists, computed from the driver-resident
+    * model — lands in the scan as a PartitionFilter and unprobed list
+    * directories are never opened (plan-audited). The reference's
+    * offline/online split precedent in this repo: the BPE frozen merge
+    * table and `Clustering.fit`/`classify`.
+    *
+    * Layout under `indexDir`: `corpus/list_id=N/…` (n_id, c_v, c_n) and
+    * `model/` (cluster, components, norm). Both deterministic, so a
+    * rebuild is byte-stable and serve-after-reload equals
+    * serve-after-build (spec-pinned). */
+  def buildIvfIndex(corpus: DataFrame, cId: Column, cVec: Column,
+                    indexDir: String, nLists: Int = 16,
+                    refineIters: Int = 2, replicas: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    val model = Clustering.fit(corpus, cId, cVec, k = nLists,
+      iters = refineIters)
+    val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
+      .withColumn("c_n", norm(col("c_v")))
+    val assigned =
+      if (replicas > 1) Clustering.probe(c, col("c_v"), model, replicas)
+      else Clustering.classify(c, col("c_v"), model)
+        .withColumnRenamed("cluster", "list_id").drop("csim")
+    assigned.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexDir/corpus")
+    import spark.implicits._
+    model.map(m => (m.cluster, m.components, m.norm))
+      .toDF("cluster", "components", "norm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model")
+  }
+
+  /** The centroid model back from disk (k×dim doubles — driver-resident
+    * by design, same as a fresh `Clustering.fit`). */
+  def loadIvfModel(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): Seq[Clustering.Centroid] =
+    spark.read.parquet(s"$indexDir/model")
+      .select(col("cluster"), col("components"), col("norm"))
+      .collect()
+      .map(r => Clustering.Centroid(r.getLong(0),
+        r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_.cluster).toSeq
+
+  /** Serve top-k against a persisted index. The probed-list UNION over
+    * the query batch (≤ nLists values, from the driver-resident model)
+    * filters the scan BEFORE the per-query probe join, so only probed
+    * `list_id=` directories are read — the partition-pruning story the
+    * in-memory path cannot have. Ranking semantics are identical to
+    * `ivfTopK(refineIters, replicas)` over the same corpus (spec-pinned
+    * equality), because the persisted assignment IS that construction. */
+  def ivfTopKServe(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String, queries: DataFrame, qId: Column,
+                   qVec: Column, k: Int, nProbe: Int = 4): DataFrame = {
+    val model = loadIvfModel(spark, indexDir)
+    val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
+      .withColumn("q_n", norm(col("q_v")))
+    val probes = Clustering.probe(q, col("q_v"), model, nProbe)
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = spark.read.parquet(s"$indexDir/corpus")
+      .filter(col("list_id").isin(probedLists: _*))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    idx.join(broadcast(probes), Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")), 4)
+          .as("sim"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+  }
 }

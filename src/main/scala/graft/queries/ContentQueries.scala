@@ -246,6 +246,24 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Persisted-index serving: build the Lloyd index ONCE to disk
+    // (corpus partitioned by list_id + the centroid model), then answer
+    // from the index with static partition pruning — only probed
+    // list_id directories are read (plan-audited). Output is
+    // row-identical to sim_topk_ivf_lloyd (same oracle), which proves
+    // the round trip lossless.
+    "sim_topk_ivf_served" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Similarity.buildIvfIndex(e, col("vec_id"), col("embedding"), dir)
+      Similarity.ivfTopKServe(s, dir,
+        e.filter(col("vec_id") % 100 === 0),
+        col("vec_id"), col("embedding"), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // IVF-SQ8 on the Lloyd-refined index: the quantized scan composes
     // with refined lists unchanged (quantization is per-vector and
     // list-independent), so recall tracks sim_topk_ivf_lloyd's.
@@ -2087,34 +2105,13 @@ object ContentQueries {
 
     // identical scan to sim_topk_ivf; cent comes from the unrolled
     // 2-round Lloyd refinement instead of the raw hash sample
-    "sim_topk_ivf_lloyd" ->
-      s"""WITH $lloydCentCtes16,
-        |asg AS (SELECT n.vec_id AS n_id, n.e AS av, n.nrm AS an,
-        |    cent.list_id,
-        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |      round(list_sum(list_transform(range(1, 65),
-        |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
-        |      cent.list_id) AS arn
-        |  FROM n CROSS JOIN cent),
-        |assigned AS (SELECT n_id, av, an, list_id FROM asg WHERE arn <= 2),
-        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
-        |  WHERE vec_id % 100 = 0),
-        |prb AS (SELECT q.q_id, q.qe, q.qn, cent.list_id,
-        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
-        |      round(list_sum(list_transform(range(1, 65),
-        |        i -> q.qe[i] * cent.ce[i])) / (q.qn * cent.cn), 6) DESC,
-        |      cent.list_id) AS prn
-        |  FROM q CROSS JOIN cent),
-        |probes AS (SELECT q_id, qe, qn, list_id FROM prb WHERE prn <= 4),
-        |sc AS (SELECT DISTINCT p.q_id, a.n_id,
-        |    round(list_sum(list_transform(range(1, 65),
-        |      i -> p.qe[i] * a.av[i])) / (p.qn * a.an), 4) AS sim
-        |  FROM probes p JOIN assigned a
-        |    ON a.list_id = p.list_id AND a.n_id <> p.q_id),
-        |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY sim DESC, n_id) AS rank FROM sc)
-        |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
-        |ORDER BY q_id, rank""".stripMargin,
+    "sim_topk_ivf_lloyd" -> ivfLloydOracle,
+
+    // the persisted-index serve path IS the Lloyd construction read
+    // back from disk, so its oracle is literally the same replay —
+    // the row equality is the proof the round trip is lossless
+    "sim_topk_ivf_served" -> ivfLloydOracle,
+
 
     // identical scan to sim_topk_ivfsq; cent from the Lloyd refinement
     "sim_topk_ivfsq_lloyd" ->
@@ -3111,6 +3108,38 @@ object ContentQueries {
        |      chr(1)||m.l||m.r||chr(1)) AS ms, f
        |    FROM $prev CROSS JOIN m$i m))""".stripMargin
   }
+
+  /** The sim_topk_ivf_lloyd replay, shared verbatim with
+    * sim_topk_ivf_served (the persisted index round-trips the identical
+    * construction). */
+  private def ivfLloydOracle: String =
+    s"""WITH $lloydCentCtes16,
+        |asg AS (SELECT n.vec_id AS n_id, n.e AS av, n.nrm AS an,
+        |    cent.list_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
+        |      cent.list_id) AS arn
+        |  FROM n CROSS JOIN cent),
+        |assigned AS (SELECT n_id, av, an, list_id FROM asg WHERE arn <= 2),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id % 100 = 0),
+        |prb AS (SELECT q.q_id, q.qe, q.qn, cent.list_id,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> q.qe[i] * cent.ce[i])) / (q.qn * cent.cn), 6) DESC,
+        |      cent.list_id) AS prn
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT q_id, qe, qn, list_id FROM prb WHERE prn <= 4),
+        |sc AS (SELECT DISTINCT p.q_id, a.n_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> p.qe[i] * a.av[i])) / (p.qn * a.an), 4) AS sim
+        |  FROM probes p JOIN assigned a
+        |    ON a.list_id = p.list_id AND a.n_id <> p.q_id),
+        |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, n_id) AS rank FROM sc)
+        |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin
 
   /** Lloyd-refined IVF centroid replay (k=16, 2 rounds — the literal
     * unroll of `Clustering.fit(k = 16, iters = 2)` that

@@ -95,6 +95,16 @@ class PlanAuditSpec extends SparkSuite {
       s"got $broadcasts\n$p")
   }
 
+  test("sim_topk_ivf_served: the index scan carries a PartitionFilter " +
+    "on list_id — unprobed list directories are never opened") {
+    val p = plan("sim_topk_ivf_served")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.isDefined, s"no PartitionFilters line in\n$p")
+    assert(pf.get.contains("list_id"), pf.get)
+    // the filter is a real IN-list, not the empty bracket
+    assert(!pf.get.matches(".*PartitionFilters: \\[\\s*\\].*"), pf.get)
+  }
+
   test("dedup_embedding: SRP-LSH candidates join on buckets — no " +
     "all-pairs nested-loop or cartesian join anywhere in the plan") {
     val p = plan("dedup_embedding")
