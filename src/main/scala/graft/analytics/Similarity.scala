@@ -980,6 +980,33 @@ object Similarity {
         r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_.cluster).toSeq
 
+  /** Incremental index maintenance: assign NEW vectors under the
+    * already-persisted (frozen) centroid model and append them to their
+    * `list_id=` directories — no refit, no touch of existing objects.
+    * This is how IVF deployments age in production (FAISS `add` after
+    * `train`): daily embedding increments classify against the frozen
+    * model — a zero-shuffle centroid-literal projection, so the call is
+    * `foreachBatch`-safe for streaming ingest — and the model refits on
+    * a cadence, not per increment. Drift contract: serving after
+    * appends equals a scan of frozen-model assignments over the UNION
+    * corpus (spec-pinned); recall under heavy drift is the re-fit
+    * trigger, measured offline exactly like RecallSpec. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, newVectors: DataFrame,
+                       cId: Column, cVec: Column,
+                       replicas: Int = 2): Unit = {
+    val model = loadIvfModel(spark, indexDir)
+    val c = newVectors.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
+      .withColumn("c_n", norm(col("c_v")))
+    val assigned =
+      if (replicas > 1) Clustering.probe(c, col("c_v"), model, replicas)
+      else Clustering.classify(c, col("c_v"), model)
+        .withColumnRenamed("cluster", "list_id").drop("csim")
+    assigned.select(col("n_id"), col("c_v"), col("c_n"), col("list_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$indexDir/corpus")
+  }
+
   /** Serve top-k against a persisted index. The probed-list UNION over
     * the query batch (≤ nLists values, from the driver-resident model)
     * filters the scan BEFORE the per-query probe join, so only probed

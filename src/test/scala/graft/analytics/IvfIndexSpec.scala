@@ -45,4 +45,63 @@ class IvfIndexSpec extends SparkSuite {
     assert(served2 == served)
     Caches.clear()
   }
+
+  test("incremental append: new vectors assigned under the FROZEN model " +
+    "land in their lists and serving equals the frozen-model scan over " +
+    "the union corpus — existing objects untouched") {
+    import Similarity.{asDouble, dot, norm}
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val (id, v) = (col("vec_id"), col("embedding"))
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+
+    val d = dir("incr")
+    Similarity.buildIvfIndex(half, id, v, d)
+    Caches.clear()
+    val before = new java.io.File(s"$d/corpus").listFiles()
+      .filter(_.getName.startsWith("list_id=")).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+    Similarity.appendToIvfIndex(spark, d, rest, id, v)
+    Caches.clear()
+    // append-only: every pre-existing object is still there, unmodified
+    before.foreach { case (path, ts) =>
+      val f = new java.io.File(path)
+      assert(f.exists() && f.lastModified() == ts, s"$path was rewritten")
+    }
+
+    val served = Similarity.ivfTopKServe(spark, d, queries, id, v, k = 10)
+      .collect().map(_.toSeq).toSet
+
+    // reference: frozen-model (fit on HALF) assignments over the UNION
+    // corpus, scanned in memory with the identical ranking semantics
+    val model = Similarity.loadIvfModel(spark, d)
+    val c = emb.select(id.as("n_id"), asDouble(v).as("c_v"))
+      .withColumn("c_n", norm(col("c_v")))
+    val assigned = Clustering.probe(c, col("c_v"), model, 2)
+    val q = queries.select(id.as("q_id"), asDouble(v).as("q_v"))
+      .withColumn("q_n", norm(col("q_v")))
+    val probes = Clustering.probe(q, col("q_v"), model, 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val expect = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")), 4)
+          .as("sim"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("n_id"), col("sim"),
+        col("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(served == expect,
+      s"append drifted from the frozen-model contract: missing " +
+        s"${expect.diff(served).take(3)}, extra ${served.diff(expect).take(3)}")
+    // and the appended half is actually findable: some neighbor ids are odd
+    assert(served.exists(r => r(1).asInstanceOf[Long] % 2 == 1),
+      "no appended (odd-id) vector ever surfaces in the top-k")
+    Caches.clear()
+  }
 }
