@@ -113,4 +113,44 @@ class KafkaContractSpec extends SparkSuite {
       .parquet(s"$out/topics/events/parsed.event_type=t0/events+0+0000000000.parquet")
     assert(back.count() == 4)
   }
+
+  test("MULTI-TOPIC subscription over the verbatim 7-tuple: the source's " +
+    "own topic column routes each record to its topic's subtree with " +
+    "its topic's config — the reference's topics list, one line on the " +
+    "real Kafka source") {
+    val src = Files.createTempDirectory("kcm_src").toString
+    val out = Files.createTempDirectory("kcm_out").toString
+    val ckpt = Files.createTempDirectory("kcm_ckpt").toString
+    val base = 1704067200000L
+    // two topics interleaved in one subscription (offsets unique within
+    // each (topic, partition) because they are globally unique here)
+    kafkaFrame((0L until 12L).map { o =>
+      (s"k$o".getBytes("UTF-8"),
+        s"""{"event_type":"t${o % 2}"}""".getBytes("UTF-8"),
+        if (o % 3 == 0) "orders" else "clicks", 0, o,
+        ts(base + o * 1000), 0)
+    }).coalesce(1).write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(kafkaSchema).parquet(src)
+      .withColumn("parsed",
+        from_json(col("value").cast("string"),
+          StructType.fromDDL("event_type STRING")))
+    val cfgFor = Map(
+      "orders" -> IngestConfig(topic = "orders", flushSize = 2),
+      "clicks" -> IngestConfig(topic = "clicks", flushSize = 100))
+    val q = StreamingIngest.startPipelineMulti(stream, col("topic"),
+      cfgFor, PartitionerSpec.Fields(Seq("parsed.event_type")), out, ckpt,
+      kafkaPartition = col("partition"), offset = col("offset"),
+      payloadCols = Seq(col("offset"), col("timestamp")))
+    q.awaitTermination(60000)
+
+    val orders = spark.read.parquet(s"$out/topics/orders/*")
+    val clicks = spark.read.parquet(s"$out/topics/clicks/*")
+    assert(orders.count() == 4 && clicks.count() == 8,
+      s"routing lost records: ${orders.count()}/${clicks.count()}")
+    // no cross-contamination: subtree names are the only topics present
+    val topics = new java.io.File(s"$out/topics")
+      .listFiles().map(_.getName).sorted.toSeq
+    assert(topics == Seq("clicks", "orders"), topics)
+  }
 }
