@@ -216,6 +216,33 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // k-NN label classification — the standard embedding-quality eval
+    // (predict a held-out vector's label by majority vote of its 10
+    // exact nearest neighbors; ties -> lower label id). Runs the
+    // similarity stack end-to-end on a TASK, not just a ranking; fully
+    // oracle-checked since the vote is a deterministic aggregate over
+    // the brute-force top-k.
+    "sim_knn_classify" -> ((s, d) => {
+      val e = emb(s, d)
+      val labels = e.select(col("vec_id"), col("label"))
+      val nn = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10)
+      nn.join(labels.select(col("vec_id").as("n_id"),
+          col("label").as("n_label")), Seq("n_id"))
+        .groupBy(col("q_id"), col("n_label"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("q_id"))
+        .agg(max_by(col("n_label"),
+          struct(col("votes"), (-col("n_label")).as("tb")))
+          .cast("long").as("pred_label"))
+        .join(labels.select(col("vec_id").as("q_id"),
+          col("label").cast("long").as("true_label")), Seq("q_id"))
+        .select(col("q_id"), col("true_label"), col("pred_label"))
+        .orderBy(col("q_id"))
+    }),
+
     // IVF approximate top-k — fully oracle-checked: centroid sampling is
     // md5-hash-derived and all ranking scores round before ordering, so
     // DuckDB reproduces the identical index and scan.
@@ -1729,6 +1756,34 @@ object ContentQueries {
         |  FROM sc)
         |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    // brute-force top-10 replay + majority label vote (ties -> lower
+    // label), the same rank tie-breaks as sim_topk_bruteforce
+    "sim_knn_classify" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS q_id, label AS true_label, e AS qe,
+        |    nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |sc AS (SELECT q_id, c.vec_id AS n_id, c.label AS n_label,
+        |    round(list_sum(list_transform(range(1, 65), i -> qe[i] * c.e[i]))
+        |      / (qn * c.nrm), 4) AS sim
+        |  FROM q JOIN n c ON c.vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, n_label, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+        |      AS rank
+        |  FROM sc),
+        |votes AS (SELECT q_id, n_label, count(*) AS votes FROM r
+        |  WHERE rank <= 10 GROUP BY 1, 2),
+        |pred AS (SELECT q_id, n_label AS pred_label FROM (
+        |    SELECT q_id, n_label, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY votes DESC, n_label) AS rn FROM votes)
+        |  WHERE rn = 1)
+        |SELECT q.q_id, CAST(q.true_label AS BIGINT) AS true_label,
+        |  CAST(p.pred_label AS BIGINT) AS pred_label
+        |FROM q JOIN pred p USING (q_id) ORDER BY q.q_id""".stripMargin,
 
     "text_token_estimate" ->
       """SELECT doc_id,
