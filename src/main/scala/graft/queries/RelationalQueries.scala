@@ -242,6 +242,26 @@ object RelationalQueries {
     // dimension rows per key — valid_to = the NEXT change's timestamp
     // (null = current row). One lead() window over one user-keyed
     // shuffle; timestamps compare in integer micros (engine-exact).
+    // Retention cohorts — the classic event-analytics matrix: users
+    // cohorted by first-seen week × activity-week offset, counted
+    // distinct. Weeks are epoch-week integers (epoch_us // 7 days) so
+    // the bucketing is pure integer math on both engines — no calendar
+    // semantics to diverge. Two shuffles at scale: the per-user min
+    // (map-side partial) and the cohort×offset distinct-count; the
+    // cohort table is |users| and AQE broadcasts it when small.
+    "q46_retention_cohorts" -> ((s, d) => {
+      val wk = floor(unix_micros(col("ts").cast("timestamp")) /
+        604800000000L).cast("long")
+      val e = T(s, d, "events").select(col("user_id"), wk.as("wk"))
+      val cohort = e.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_week"))
+      e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("wk") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     "q45_scd2_intervals" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"))
@@ -753,6 +773,16 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_purchase
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q46_retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1)
+        |SELECT c.cohort_week, e.wk - c.cohort_week AS week_offset,
+        |  count(DISTINCT e.user_id) AS active_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q45_scd2_intervals" ->
       """SELECT user_id, event_id, event_type,
