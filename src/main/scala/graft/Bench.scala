@@ -35,7 +35,8 @@ object Bench {
   // oracle-checked full BPE retrain.
   val additionsR9: Seq[String] = Seq(
     "sim_topk_ivf_lloyd", "sim_topk_ivfsq_lloyd", "sim_topk_ivf_served",
-    "dedup_containment_blocked", "text_bpe_merges")
+    "dedup_containment_blocked", "text_bpe_merges",
+    "sim_topk_pq_rerank", "sim_topk_ivfpq_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

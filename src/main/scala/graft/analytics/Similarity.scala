@@ -660,6 +660,71 @@ object Similarity {
     pqRank(adc, k)
   }
 
+  // ------------------------------------------------------ exact re-rank
+
+  /** Exact-cosine re-rank of an ANN candidate pool — the refine stage of
+    * a two-stage retrieval pipeline (Jégou et al., ICASSP 2011's IVFADC+R;
+    * FAISS's `IndexRefineFlat`): a cheap approximate index nominates
+    * `pool` candidates per query, then ONLY those candidates pay an exact
+    * dot product against the raw vectors, and the final top-k ranks by
+    * exact cosine. Recall stops being bounded by the quantizer's ranking
+    * fidelity (PQ-ADC's ceiling is ~.10 here) and becomes the pool's
+    * CONTAINMENT rate — "was the true neighbor nominated at all" — which
+    * a modest pool already satisfies (RecallSpec pins the measured
+    * floors). Exact-distance cost is |Q|·pool, independent of corpus
+    * size, so the 100 TB read path is: quantized scan prunes, exact math
+    * touches only what survived.
+    *
+    * Plan shape: `cand` is |Q|·pool rows → broadcast into a hash join
+    * against the corpus raw vectors (a lookup, never a corpus shuffle);
+    * the query side broadcasts as everywhere else; the only window is the
+    * final per-query top-k over |Q|·pool scored rows. */
+  def rerankExact(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
+                  qId: Column, qVec: Column, cId: Column, cVec: Column,
+                  k: Int): DataFrame = {
+    val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
+      .withColumn("q_n", norm(col("q_v")))
+    val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
+      .withColumn("c_n", norm(col("c_v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    c.join(broadcast(cand.select(col("q_id"), col("n_id"))), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")), 4)
+          .as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+  }
+
+  /** PQ-ADC candidate generation + exact re-rank: the ADC scan keeps its
+    * 32× byte compression and nominates `pool` per query; `rerankExact`
+    * restores exact-cosine ranking over just those. Same deterministic
+    * constructions as `pqTopK`, so the whole two-stage pipeline stays
+    * DuckDB-replayable and oracle-checked. */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
+                   qVec: Column, cId: Column, cVec: Column, k: Int,
+                   dim: Int = 64, m: Int = 8, ks: Int = 16,
+                   pool: Int = 40): DataFrame =
+    rerankExact(
+      pqTopK(queries, corpus, qId, qVec, cId, cVec, pool, dim, m, ks),
+      queries, corpus, qId, qVec, cId, cVec, k)
+
+  /** IVF-PQ + exact re-rank — the full production read path at 100 TB:
+    * Lloyd-refined list pruning reads nProbe/nLists of the rows, PQ-ADC
+    * pays m byte-lookups per survivor, and exact math touches only the
+    * final `pool` rows per query. */
+  def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
+                      qVec: Column, cId: Column, cVec: Column, k: Int,
+                      nLists: Int = 16, nProbe: Int = 4, dim: Int = 64,
+                      m: Int = 8, ks: Int = 16, refineIters: Int = 0,
+                      pool: Int = 40): DataFrame =
+    rerankExact(
+      ivfPqTopK(queries, corpus, qId, qVec, cId, cVec, pool, nLists,
+        nProbe, dim, m, ks, refineIters),
+      queries, corpus, qId, qVec, cId, cVec, k)
+
   // ---------------------------------------------------------------- PCA
 
   /** Driver-resident PCA model — the k-means shape: k·d + d doubles, a

@@ -644,4 +644,124 @@ object TextAnalysis {
   def bpeTrainBatched(docs: org.apache.spark.sql.DataFrame, text: Column,
       merges: Int, maxBatch: Int = 64): org.apache.spark.sql.DataFrame =
     bpeTrainBatchedWithRounds(docs, text, merges, maxBatch)._1
+
+  // --------------------------------------- logistic-regression trainer
+
+  /** The quality-feature vector shared by the logistic trainer/scorer:
+    * bias, bounded length, punct ratio, EN-stopword ratio, repetition
+    * ratio — the exact `text_quality` formulas, all rounded to 6 dp so
+    * both engines hold the identical nearest-double. */
+  private def lrFeatures(docs: org.apache.spark.sql.DataFrame,
+                         text: Column,
+                         label: Column): org.apache.spark.sql.DataFrame =
+    docs.select(
+      label.cast("int").as("y"),
+      lit(1.0).as("x0"),
+      round(least(tokenCount(text) / lit(64.0), lit(1.0)), 6).as("x1"),
+      punctRatio(text).as("x2"),
+      stopwordRatio(text).as("x3"),
+      repetitionRatio(text).as("x4"))
+
+  /** Spark-round-compatible 6-dp driver rounding (`BigDecimal.valueOf` =
+    * the shortest-decimal HALF_UP path Spark's `Round` takes on
+    * doubles), so a weight computed on the driver equals the one the
+    * same `round(expr, 6)` would produce distributed. */
+  private def rnd6(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Batch-gradient logistic-regression TRAINER over the text_quality
+    * features — the in-engine counterpart of fitting the shallow linear
+    * quality/language filter the CCNet/fastText-style pipelines put in
+    * front of LM corpora (Joulin et al., EACL 2017's model class; here
+    * full-batch gradient steps so the fit is replayable). The registered
+    * query learns `lang = 'en'`, which the EN-stopword feature genuinely
+    * predicts — the trajectory is signal, not noise-fitting.
+    *
+    * Cross-engine determinism (the perplexity trick applied to
+    * training): features and weights are 6-dp doubles (identical bit
+    * patterns in both engines), every per-doc gradient contribution
+    * rounds to INTEGER MICROS before the sum, so each gradient is an
+    * exact integer both engines agree on bit-for-bit; the only libm in
+    * the loop is the sigmoid's exp, whose last-ulp differences sit ~1e9
+    * below the micro threshold. The weight update then divides two
+    * identical exact numbers — identical IEEE result.
+    *
+    * Scale: the model is 5 doubles of driver state (the k-means
+    * precedent); each iteration is ONE map-side-partial hash aggregate
+    * over the persisted 6-column feature frame, collecting 5 longs.
+    * Corpus traffic = `iters` scans of that projection; no shuffle at
+    * all (the aggregate is global, partials merge on the driver).
+    * Returns the weight trajectory after each step, oldest first. */
+  def logisticFit(docs: org.apache.spark.sql.DataFrame, text: Column,
+                  label: Column, iters: Int = 3,
+                  lr: Double = 0.5): Seq[Array[Double]] = {
+    val f = Caches.persist(lrFeatures(docs, text, label))
+    val n = f.count().toDouble
+    var w = Array.fill(5)(0.0)
+    val traj = Seq.newBuilder[Array[Double]]
+    for (_ <- 1 to iters) {
+      // z reproduces the oracle's left-assoc literal sum exactly
+      val z = (0 until 5).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+      val sig = lit(1.0) / (lit(1.0) + exp(-z))
+      val gs = (0 until 5).map(j =>
+        sum(round((col("y") - sig) * col(s"x$j") * lit(1000000.0), 0)
+          .cast("long")).as(s"g$j"))
+      val row = f.agg(gs.head, gs.tail: _*).collect()(0)
+      w = Array.tabulate(5)(j =>
+        rnd6(w(j) + lr * row.getLong(j) / (n * 1000000.0)))
+      traj += w
+    }
+    traj.result()
+  }
+
+  /** The trajectory as a DataFrame `(iter, w_bias, w_len, w_punct,
+    * w_stop, w_rep)` — model-scale rows, built on the driver. */
+  def logisticFitTrajectory(docs: org.apache.spark.sql.DataFrame,
+                            text: Column, label: Column, iters: Int = 3,
+                            lr: Double = 0.5)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    logisticFit(docs, text, label, iters, lr).zipWithIndex
+      .map { case (w, i) => (i + 1, w(0), w(1), w(2), w(3), w(4)) }
+      .toDF("iter", "w_bias", "w_len", "w_punct", "w_stop", "w_rep")
+  }
+
+  /** Score every document under a frozen weight vector: logit,
+    * probability, predicted label, and whether the prediction was right
+    * — the apply side of `logisticFit`, a pure zero-shuffle projection
+    * (weights ride as literals, the fastText-filter read path at
+    * 100 TB).
+    *
+    * The logit is computed in integer PICOS: each w_j·x_j is an exact
+    * 12-dp decimal (6-dp weight × 6-dp feature), so ·1e12 is
+    * integer-valued and `round(,0)` sits ~1e-5 from any boundary — a
+    * plain `round(z, 6)` would instead hit EXACT .5 ties (12-dp decimals
+    * truncated to 6) where the engines' rounding modes disagree at an
+    * ulp. The emitted logit divides the identical integer by 1e12 in
+    * both engines — identical IEEE double. */
+  def logisticScore(docs: org.apache.spark.sql.DataFrame, id: Column,
+                    text: Column, label: Column,
+                    w: Array[Double]): org.apache.spark.sql.DataFrame = {
+    // recompute the feature projection inline (with the id column) so
+    // the plan stays a single scan
+    val feats = docs.select(id.as("doc_id"), label.cast("int").as("y"),
+      lit(1.0).as("x0"),
+      round(least(tokenCount(text) / lit(64.0), lit(1.0)), 6).as("x1"),
+      punctRatio(text).as("x2"),
+      stopwordRatio(text).as("x3"),
+      repetitionRatio(text).as("x4"))
+    val zPico = (0 until 5).map(j =>
+      round(lit(w(j)) * col(s"x$j") * lit(1000000000000.0), 0)
+        .cast("long")).reduce(_ + _)
+    feats.withColumn("lp", zPico)
+      .select(col("doc_id"), col("y"),
+        (col("lp") / lit(1000000000000.0)).as("logit"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("lp") / lit(1000000000000.0)))), 6).as("p"),
+        (col("lp") >= 0).cast("int").as("pred"))
+      .withColumn("correct",
+        (col("pred") === col("y")).cast("int"))
+  }
 }

@@ -365,6 +365,42 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // PQ-ADC nominates a 200-candidate pool per query (ks=64 codebooks);
+    // only those pay an exact dot product and the final 10 rank by exact
+    // cosine — the two-stage refine pattern (Jégou ICASSP 2011, FAISS
+    // IndexRefineFlat). Lifts recall from the ADC ranking ceiling (.18
+    // at ks=64, RecallSpec) to the pool's containment rate (.815
+    // measured, floor ≥ .75) at |Q|·pool exact distances —
+    // corpus-size-independent. Fully oracle-checked: the pool replays
+    // the sim_topk_pq construction, the rerank is brute-force scoring
+    // restricted to it.
+    "sim_topk_pq_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.pqRerankTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10, ks = 64, pool = 200)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // The full production read path: Lloyd-refined IVF pruning (which
+    // lists get read) × PQ-ADC scan (how each survivor is paid for) ×
+    // exact re-rank of the 200-candidate pool (final ranking fidelity).
+    // Recall becomes pool containment within the probed lists instead
+    // of ADC-bounded (.12 → ≥ .40 at nProbe=4, RecallSpec — capped by
+    // single-assignment list containment, not the quantizer).
+    "sim_topk_ivfpq_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqRerankTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10, nLists = 16, nProbe = 4, ks = 64, refineIters = 2,
+        pool = 200)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // IVF-PQ: list pruning decides WHICH vectors to compare (nProbe/nLists
     // of the corpus), PQ-ADC decides HOW each comparison is paid for
     // (m byte-code lookups, 1/32 of the scan bytes). Same deterministic
@@ -1421,7 +1457,30 @@ object ContentQueries {
       docs(s, d).select(col("doc_id"),
           TextAnalysis.classifierLogit(col("text")).as("logit"))
         .withColumn("keep", (col("logit") > 0).cast("int"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // In-engine TRAINING of the shallow quality/language filter (the
+    // fastText-filter model class): 3 full-batch gradient steps over the
+    // text_quality features, learning lang='en' — the EN-stopword ratio
+    // genuinely predicts it, so the trajectory is signal. Fully
+    // oracle-checked: integer-micro gradient sums between 6-dp weight
+    // snapshots make every step engine-exact (the perplexity trick
+    // applied to SGD); DuckDB unrolls the 3 steps as CTEs.
+    "text_lr_train" -> ((s, d) =>
+      TextAnalysis.logisticFitTrajectory(docs(s, d), col("text"),
+        col("lang") === "en").orderBy(col("iter"))),
+
+    // The apply side: every doc scored under the final trained weights —
+    // logit, probability, prediction, correctness. Training reruns on
+    // the driver (model-scale: 3 aggregates of 5 longs); scoring is a
+    // zero-shuffle literal projection, the 100 TB filter read path.
+    "text_lr_score" -> ((s, d) => {
+      val doc = docs(s, d)
+      val w = TextAnalysis.logisticFit(doc, col("text"),
+        col("lang") === "en").last
+      TextAnalysis.logisticScore(doc, col("doc_id"), col("text"),
+        col("lang") === "en", w).orderBy(col("doc_id"))
+    })
   ) ++ Map[String, Q](
 
     // Heavy-hitter tokens via the DataSketches frequent-items sketch
@@ -1882,121 +1941,26 @@ object ContentQueries {
         |ORDER BY q_id, rank""".stripMargin,
 
     // Lloyd-refined cent + the identical PQ-ADC replay of sim_topk_ivfpq
-    "sim_topk_ivfpq_lloyd" ->
-      s"""WITH $lloydCentCtes16,
-        |hashed AS (SELECT vec_id, e, nrm,
-        |    CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
-        |      AS BIGINT) % 997 AS r
-        |  FROM n),
-        |asg AS (SELECT n.vec_id AS n_id, cent.list_id,
-        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |      round(list_sum(list_transform(range(1, 65),
-        |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
-        |      cent.list_id) AS arn
-        |  FROM n CROSS JOIN cent),
-        |assigned AS (SELECT n_id, list_id FROM asg WHERE arn = 1),
-        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
-        |  WHERE vec_id % 100 = 0),
-        |prb AS (SELECT q.q_id, cent.list_id,
-        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
-        |      round(list_sum(list_transform(range(1, 65),
-        |        i -> q.qe[i] * cent.ce[i])) / (q.qn * cent.cn), 6) DESC,
-        |      cent.list_id) AS prn
-        |  FROM q CROSS JOIN cent),
-        |probes AS (SELECT q_id, list_id FROM prb WHERE prn <= 4),
-        |cbb AS (SELECT e, row_number() OVER (ORDER BY r, vec_id) AS j
-        |  FROM hashed WHERE r < 64 ORDER BY r, vec_id LIMIT 16),
-        |subs AS (SELECT unnest(range(0, 8)) AS sub),
-        |cb AS (SELECT subs.sub, cbb.j,
-        |    list_slice(cbb.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS cw
-        |  FROM cbb CROSS JOIN subs),
-        |cs AS (SELECT v.vec_id AS n_id, subs.sub,
-        |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
-        |  FROM v CROSS JOIN subs),
-        |enc0 AS (SELECT cs.n_id, cs.sub, cb.j,
-        |    round(list_sum(list_transform(range(1, 9),
-        |        i -> cs.sv[i] * cs.sv[i]))
-        |      + list_sum(list_transform(range(1, 9),
-        |        i -> cb.cw[i] * cb.cw[i]))
-        |      - 2 * list_sum(list_transform(range(1, 9),
-        |        i -> cs.sv[i] * cb.cw[i])), 6) AS d
-        |  FROM cs JOIN cb USING (sub)),
-        |enc AS (SELECT n_id, sub, j AS code FROM (SELECT n_id, sub, j,
-        |    row_number() OVER (PARTITION BY n_id, sub ORDER BY d, j) AS rn
-        |  FROM enc0) WHERE rn = 1),
-        |qsv AS (SELECT v.vec_id AS q_id, subs.sub,
-        |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
-        |  FROM v CROSS JOIN subs WHERE v.vec_id % 100 = 0),
-        |qt AS (SELECT qsv.q_id, qsv.sub, cb.j,
-        |    CAST(round((list_sum(list_transform(range(1, 9),
-        |        i -> qsv.sv[i] * qsv.sv[i]))
-        |      + list_sum(list_transform(range(1, 9),
-        |        i -> cb.cw[i] * cb.cw[i]))
-        |      - 2 * list_sum(list_transform(range(1, 9),
-        |        i -> qsv.sv[i] * cb.cw[i]))) * 1000000, 0) AS BIGINT)
-        |      AS qdi
-        |  FROM qsv JOIN cb USING (sub)),
-        |cand AS (SELECT probes.q_id, assigned.n_id
-        |  FROM assigned JOIN probes USING (list_id)
-        |  WHERE probes.q_id <> assigned.n_id),
-        |adc AS (SELECT cand.q_id, cand.n_id,
-        |    round(CAST(sum(qt.qdi) AS DOUBLE) / 1000000, 6) AS adist
-        |  FROM cand
-        |  JOIN enc ON enc.n_id = cand.n_id
-        |  JOIN qt ON qt.q_id = cand.q_id AND qt.sub = enc.sub
-        |    AND qt.j = enc.code
-        |  GROUP BY 1, 2),
-        |r AS (SELECT q_id, n_id, adist, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY adist, n_id) AS rank FROM adc)
-        |SELECT q_id, n_id, adist, rank FROM r WHERE rank <= 10
-        |ORDER BY q_id, rank""".stripMargin,
+    "sim_topk_ivfpq_lloyd" -> (ivfPqLloydAdcCtes(ks = 16) +
+      "\nSELECT q_id, n_id, adist, rank FROM r WHERE rank <= 10" +
+      "\nORDER BY q_id, rank"),
 
-    "sim_topk_pq" ->
-      """WITH v AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings),
-        |cbb AS (SELECT e, row_number() OVER (ORDER BY r, vec_id) AS j
-        |  FROM (SELECT vec_id, e,
-        |      CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
-        |        AS BIGINT) % 997 AS r
-        |    FROM v) WHERE r < 64 ORDER BY r, vec_id LIMIT 16),
-        |subs AS (SELECT unnest(range(0, 8)) AS sub),
-        |cb AS (SELECT subs.sub, cbb.j,
-        |    list_slice(cbb.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS cw
-        |  FROM cbb CROSS JOIN subs),
-        |cs AS (SELECT v.vec_id AS n_id, subs.sub,
-        |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
-        |  FROM v CROSS JOIN subs),
-        |enc0 AS (SELECT cs.n_id, cs.sub, cb.j,
-        |    round(list_sum(list_transform(range(1, 9),
-        |        i -> cs.sv[i] * cs.sv[i]))
-        |      + list_sum(list_transform(range(1, 9),
-        |        i -> cb.cw[i] * cb.cw[i]))
-        |      - 2 * list_sum(list_transform(range(1, 9),
-        |        i -> cs.sv[i] * cb.cw[i])), 6) AS d
-        |  FROM cs JOIN cb USING (sub)),
-        |enc AS (SELECT n_id, sub, j AS code FROM (SELECT n_id, sub, j,
-        |    row_number() OVER (PARTITION BY n_id, sub ORDER BY d, j) AS rn
-        |  FROM enc0) WHERE rn = 1),
-        |qs AS (SELECT v.vec_id AS q_id, subs.sub,
-        |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
-        |  FROM v CROSS JOIN subs WHERE v.vec_id % 100 = 0),
-        |qt AS (SELECT qs.q_id, qs.sub, cb.j,
-        |    CAST(round((list_sum(list_transform(range(1, 9),
-        |        i -> qs.sv[i] * qs.sv[i]))
-        |      + list_sum(list_transform(range(1, 9),
-        |        i -> cb.cw[i] * cb.cw[i]))
-        |      - 2 * list_sum(list_transform(range(1, 9),
-        |        i -> qs.sv[i] * cb.cw[i]))) * 1000000, 0) AS BIGINT) AS qdi
-        |  FROM qs JOIN cb USING (sub)),
-        |adc AS (SELECT qt.q_id, enc.n_id,
-        |    round(CAST(sum(qt.qdi) AS DOUBLE) / 1000000, 6) AS adist
-        |  FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.j
-        |  WHERE qt.q_id <> enc.n_id GROUP BY 1, 2),
-        |r AS (SELECT q_id, n_id, adist, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY adist, n_id) AS rank FROM adc)
-        |SELECT q_id, n_id, adist, rank FROM r WHERE rank <= 10
-        |ORDER BY q_id, rank""".stripMargin,
+    // the production composition reranked: ks=64 ADC pool of 200
+    // within the probed lists, exact cosine for the final 10
+    "sim_topk_ivfpq_rerank" -> (ivfPqLloydAdcCtes(ks = 64) +
+      ",\npool AS (SELECT q_id, n_id FROM r WHERE rank <= 200)" +
+      rerankSuffix),
+
+    "sim_topk_pq" -> (pqAdcCtes(ks = 16) +
+      "\nSELECT q_id, n_id, adist, rank FROM r WHERE rank <= 10" +
+      "\nORDER BY q_id, rank"),
+
+    // pool = the ks=64 ADC ranking cut at 200 instead of 10; the
+    // rerank suffix is brute-force cosine restricted to it (same
+    // round(4) + tie-break as sim_topk_bruteforce)
+    "sim_topk_pq_rerank" -> (pqAdcCtes(ks = 64) +
+      ",\npool AS (SELECT q_id, n_id FROM r WHERE rank <= 200)" +
+      rerankSuffix),
 
     "pipeline_corpus_prep" ->
       """WITH segt AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -3107,6 +3071,31 @@ object ContentQueries {
          |SELECT doc_id, logit, CAST(logit > 0 AS INT) AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,
 
+    "text_lr_train" ->
+      s"""WITH $lrCtes
+         |SELECT 1 AS iter, w0 AS w_bias, w1 AS w_len, w2 AS w_punct,
+         |  w3 AS w_stop, w4 AS w_rep FROM lw1
+         |UNION ALL SELECT 2, w0, w1, w2, w3, w4 FROM lw2
+         |UNION ALL SELECT 3, w0, w1, w2, w3, w4 FROM lw3
+         |ORDER BY iter""".stripMargin,
+
+    // logit in integer picos (w_j*x_j is an exact 12-dp decimal, so
+    // *1e12 rounds to an integer both engines agree on; a plain
+    // round(z, 6) would hit exact .5 ties) — identical BIGINT, then one
+    // identical IEEE division
+    "text_lr_score" ->
+      s"""WITH $lrCtes,
+         |sc AS (SELECT f.doc_id, f.y, ${(0 until 5).map(j =>
+             s"CAST(round(w.w$j * f.x$j * 1000000000000.0, 0) AS BIGINT)")
+             .mkString("\n    + ")} AS lp
+         |  FROM f CROSS JOIN lw3 w)
+         |SELECT doc_id, y,
+         |  lp / 1000000000000.0 AS logit,
+         |  round(1.0 / (1.0 + exp(-(lp / 1000000000000.0))), 6) AS p,
+         |  CAST(lp >= 0 AS INT) AS pred,
+         |  CAST(CAST(lp >= 0 AS INT) = y AS INT) AS correct
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
     // exact top-10 replay; the tolerance flag is 1 by the same invariant
     // the Spark side asserts against its own sketch
     "sketch_topk" ->
@@ -3215,6 +3204,143 @@ object ContentQueries {
        |${kmRound("c1", 2)},
        |cent AS (SELECT cl AS list_id, ce, cn FROM c2)""".stripMargin
 
+  /** PQ-ADC pipeline replay (codebook -> codes -> query tables ->
+    * summed integer-micro ADC -> ranking), shared verbatim by
+    * sim_topk_pq and its exact-reranked variant; ends at CTE
+    * r(q_id, n_id, adist, rank). */
+  private def pqAdcCtes(ks: Int): String =
+      s"""WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |cbb AS (SELECT e, row_number() OVER (ORDER BY r, vec_id) AS j
+        |  FROM (SELECT vec_id, e,
+        |      CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 997 AS r
+        |    FROM v) WHERE r < 64 ORDER BY r, vec_id LIMIT $ks),
+        |subs AS (SELECT unnest(range(0, 8)) AS sub),
+        |cb AS (SELECT subs.sub, cbb.j,
+        |    list_slice(cbb.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS cw
+        |  FROM cbb CROSS JOIN subs),
+        |cs AS (SELECT v.vec_id AS n_id, subs.sub,
+        |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
+        |  FROM v CROSS JOIN subs),
+        |enc0 AS (SELECT cs.n_id, cs.sub, cb.j,
+        |    round(list_sum(list_transform(range(1, 9),
+        |        i -> cs.sv[i] * cs.sv[i]))
+        |      + list_sum(list_transform(range(1, 9),
+        |        i -> cb.cw[i] * cb.cw[i]))
+        |      - 2 * list_sum(list_transform(range(1, 9),
+        |        i -> cs.sv[i] * cb.cw[i])), 6) AS d
+        |  FROM cs JOIN cb USING (sub)),
+        |enc AS (SELECT n_id, sub, j AS code FROM (SELECT n_id, sub, j,
+        |    row_number() OVER (PARTITION BY n_id, sub ORDER BY d, j) AS rn
+        |  FROM enc0) WHERE rn = 1),
+        |qs AS (SELECT v.vec_id AS q_id, subs.sub,
+        |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
+        |  FROM v CROSS JOIN subs WHERE v.vec_id % 100 = 0),
+        |qt AS (SELECT qs.q_id, qs.sub, cb.j,
+        |    CAST(round((list_sum(list_transform(range(1, 9),
+        |        i -> qs.sv[i] * qs.sv[i]))
+        |      + list_sum(list_transform(range(1, 9),
+        |        i -> cb.cw[i] * cb.cw[i]))
+        |      - 2 * list_sum(list_transform(range(1, 9),
+        |        i -> qs.sv[i] * cb.cw[i]))) * 1000000, 0) AS BIGINT) AS qdi
+        |  FROM qs JOIN cb USING (sub)),
+        |adc AS (SELECT qt.q_id, enc.n_id,
+        |    round(CAST(sum(qt.qdi) AS DOUBLE) / 1000000, 6) AS adist
+        |  FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.j
+        |  WHERE qt.q_id <> enc.n_id GROUP BY 1, 2),
+        |r AS (SELECT q_id, n_id, adist, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adist, n_id) AS rank FROM adc)""".stripMargin
+
+  /** Lloyd-refined IVF centroids + the PQ-ADC pipeline replay over the
+    * probed lists, shared verbatim by sim_topk_ivfpq_lloyd and its
+    * exact-reranked variant; ends at CTE r(q_id, n_id, adist, rank). */
+  private def ivfPqLloydAdcCtes(ks: Int): String =
+      s"""WITH $lloydCentCtes16,
+        |hashed AS (SELECT vec_id, e, nrm,
+        |    CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 997 AS r
+        |  FROM n),
+        |asg AS (SELECT n.vec_id AS n_id, cent.list_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
+        |      cent.list_id) AS arn
+        |  FROM n CROSS JOIN cent),
+        |assigned AS (SELECT n_id, list_id FROM asg WHERE arn = 1),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id % 100 = 0),
+        |prb AS (SELECT q.q_id, cent.list_id,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> q.qe[i] * cent.ce[i])) / (q.qn * cent.cn), 6) DESC,
+        |      cent.list_id) AS prn
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT q_id, list_id FROM prb WHERE prn <= 4),
+        |cbb AS (SELECT e, row_number() OVER (ORDER BY r, vec_id) AS j
+        |  FROM hashed WHERE r < 64 ORDER BY r, vec_id LIMIT $ks),
+        |subs AS (SELECT unnest(range(0, 8)) AS sub),
+        |cb AS (SELECT subs.sub, cbb.j,
+        |    list_slice(cbb.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS cw
+        |  FROM cbb CROSS JOIN subs),
+        |cs AS (SELECT v.vec_id AS n_id, subs.sub,
+        |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
+        |  FROM v CROSS JOIN subs),
+        |enc0 AS (SELECT cs.n_id, cs.sub, cb.j,
+        |    round(list_sum(list_transform(range(1, 9),
+        |        i -> cs.sv[i] * cs.sv[i]))
+        |      + list_sum(list_transform(range(1, 9),
+        |        i -> cb.cw[i] * cb.cw[i]))
+        |      - 2 * list_sum(list_transform(range(1, 9),
+        |        i -> cs.sv[i] * cb.cw[i])), 6) AS d
+        |  FROM cs JOIN cb USING (sub)),
+        |enc AS (SELECT n_id, sub, j AS code FROM (SELECT n_id, sub, j,
+        |    row_number() OVER (PARTITION BY n_id, sub ORDER BY d, j) AS rn
+        |  FROM enc0) WHERE rn = 1),
+        |qsv AS (SELECT v.vec_id AS q_id, subs.sub,
+        |    list_slice(v.e, subs.sub * 8 + 1, subs.sub * 8 + 8) AS sv
+        |  FROM v CROSS JOIN subs WHERE v.vec_id % 100 = 0),
+        |qt AS (SELECT qsv.q_id, qsv.sub, cb.j,
+        |    CAST(round((list_sum(list_transform(range(1, 9),
+        |        i -> qsv.sv[i] * qsv.sv[i]))
+        |      + list_sum(list_transform(range(1, 9),
+        |        i -> cb.cw[i] * cb.cw[i]))
+        |      - 2 * list_sum(list_transform(range(1, 9),
+        |        i -> qsv.sv[i] * cb.cw[i]))) * 1000000, 0) AS BIGINT)
+        |      AS qdi
+        |  FROM qsv JOIN cb USING (sub)),
+        |cand AS (SELECT probes.q_id, assigned.n_id
+        |  FROM assigned JOIN probes USING (list_id)
+        |  WHERE probes.q_id <> assigned.n_id),
+        |adc AS (SELECT cand.q_id, cand.n_id,
+        |    round(CAST(sum(qt.qdi) AS DOUBLE) / 1000000, 6) AS adist
+        |  FROM cand
+        |  JOIN enc ON enc.n_id = cand.n_id
+        |  JOIN qt ON qt.q_id = cand.q_id AND qt.sub = enc.sub
+        |    AND qt.j = enc.code
+        |  GROUP BY 1, 2),
+        |r AS (SELECT q_id, n_id, adist, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adist, n_id) AS rank FROM adc)""".stripMargin
+
+  /** Exact-cosine rerank suffix over a pool(q_id, n_id) CTE — the SQL
+    * twin of `Similarity.rerankExact` (requires CTE v from the shared
+    * pipeline above; same round(4) + (sim DESC, n_id) tie-break as
+    * sim_topk_bruteforce). */
+  private def rerankSuffix: String =
+    """,
+      |nn AS (SELECT vec_id, e,
+      |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |ex AS (SELECT pool.q_id, pool.n_id,
+      |    round(list_sum(list_transform(range(1, 65),
+      |        i -> qn.e[i] * cn.e[i])) / (qn.nrm * cn.nrm), 4) AS sim
+      |  FROM pool JOIN nn cn ON cn.vec_id = pool.n_id
+      |  JOIN nn qn ON qn.vec_id = pool.q_id),
+      |rr AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY sim DESC, n_id) AS rank FROM ex)
+      |SELECT q_id, n_id, sim, rank FROM rr WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   /** Shared k-means replay (k=8, 2 Lloyd rounds, md5-sampled init — the
     * literal unroll of `Clustering.kmeansAssign(k = 8, iters = 2)`): ends
     * at `af` = final assignment with (vec_id, cluster, csim, e, nrm). */
@@ -3240,6 +3366,52 @@ object ContentQueries {
        |  FROM n CROSS JOIN c2),
        |af AS (SELECT vec_id, cl AS cluster, csim, e, nrm
        |  FROM afr WHERE rn = 1)""".stripMargin
+
+  /** The left-assoc literal dot product both engines compute for the
+    * logistic trainer — identical term order = identical IEEE result. */
+  private def lrZ: String =
+    (0 until 5).map(j => s"w.w$j * f.x$j").mkString(" + ")
+
+  /** One full-batch gradient step (lr=0.5): integer-micro per-doc
+    * contributions summed exactly, then a 6-dp weight snapshot — the
+    * literal unroll of one `TextAnalysis.logisticFit` iteration. */
+  private def lrRound(i: Int): String = {
+    val gsum = (0 until 5).map(j =>
+      s"sum(CAST(round((f.y - 1.0 / (1.0 + exp(-($lrZ)))) * f.x$j" +
+        s" * 1000000.0, 0) AS BIGINT)) AS g$j").mkString(",\n    ")
+    val wup = (0 until 5).map(j =>
+      s"round(w.w$j + 0.5 * g.g$j / (nn.n * 1000000.0), 6) AS w$j")
+      .mkString(",\n    ")
+    s"""g$i AS (SELECT $gsum
+       |  FROM f CROSS JOIN lw${i - 1} w),
+       |lw$i AS (SELECT $wup
+       |  FROM lw${i - 1} w CROSS JOIN g$i g CROSS JOIN nn)""".stripMargin
+  }
+
+  /** Shared logistic-trainer replay (3 steps): the text_quality feature
+    * CTE `f` + corpus count `nn` + zero seed `lw0` + three unrolled
+    * gradient steps, ending at lw3(w0..w4) — mirrors
+    * `TextAnalysis.logisticFit(iters = 3, lr = 0.5)`. */
+  private def lrCtes: String =
+    s"""f AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
+       |    1.0 AS x0,
+       |    round(least(len(string_split(text, ' ')) / 64.0, 1.0), 6) AS x1,
+       |    round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+       |      / greatest(length(text), 1), 6) AS x2,
+       |    round(len(list_filter(string_split(text, ' '),
+       |        x -> x IN ${stopList(TextAnalysis.EnStop)}))
+       |      / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 6)
+       |      AS x3,
+       |    round(len(list_distinct(string_split(text, ' ')))
+       |      / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 6)
+       |      AS x4
+       |  FROM documents),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+       |lw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+       |  0.0 AS w4),
+       |${lrRound(1)},
+       |${lrRound(2)},
+       |${lrRound(3)}""".stripMargin
 
   /** Shared unigram-LM replay: add-one-smoothed corpus model, per-token
     * micro-bits, per-doc mean — ends at `pp` (doc_id, n_tokens,

@@ -73,6 +73,41 @@ class RecallSpec extends SparkSuite {
     val pq64 = recallOf("pq_ks64",
       Similarity.pqTopK(queries, emb, id, v, id, v, k = 10, ks = 64),
       0.12)
+    // Exact re-rank (measured grid, 2026-08: defaults .25 / pool=100
+    // .425 / ks=64+pool=200 .815; ivfpq: defaults .27, ks64+p200 the
+    // registered config): the quantizer stops being the RANKER and
+    // becomes a mere NOMINATOR — recall@10 is pool containment.
+    val pqRr = recallOf("pq_rerank",
+      Similarity.pqRerankTopK(queries, emb, id, v, id, v, k = 10), 0.20)
+    val pqRr100 = recallOf("pq_rerankP100",
+      Similarity.pqRerankTopK(queries, emb, id, v, id, v, k = 10,
+        pool = 100), 0.35)
+    val pqRrBig = recallOf("pq_rrK64P200",
+      Similarity.pqRerankTopK(queries, emb, id, v, id, v, k = 10,
+        ks = 64, pool = 200), 0.75)
+    val ivfPqRr = recallOf("ivfpq_rerank",
+      Similarity.ivfPqRerankTopK(queries, emb, id, v, id, v, k = 10,
+        refineIters = 2), 0.20)
+    val ivfPqRrBig = recallOf("ivfpq_rrK64P200",
+      Similarity.ivfPqRerankTopK(queries, emb, id, v, id, v, k = 10,
+        ks = 64, pool = 200, refineIters = 2), 0.40)
+    // re-rank must dominate its ADC-ranked parent by a wide margin...
+    assert(pqRr >= pq + 0.10,
+      s"re-rank must lift PQ recall materially: $pqRr vs adc-ranked $pq")
+    assert(ivfPqRr >= ivfPqLl + 0.10,
+      s"re-rank must lift IVF-PQ recall materially: $ivfPqRr vs $ivfPqLl")
+    // ...the pool/codebook knobs are monotone (bigger pool = superset;
+    // ks=64 already proven >= ks=16 above)...
+    assert(pqRr100 >= pqRr,
+      s"pool=100 cannot lose recall vs pool=40: $pqRr100 < $pqRr")
+    assert(pqRrBig >= pqRr100,
+      s"ks=64/pool=200 cannot lose recall vs ks=16/pool=100: " +
+        s"$pqRrBig < $pqRr100")
+    // ...and reranked IVF-PQ stays bounded by whole-corpus PQ rerank at
+    // the same (ks, pool): list pruning can only shed nominations.
+    assert(ivfPqRrBig <= pqRrBig + 0.02,
+      s"list pruning can only shed nominations vs whole-corpus PQ: " +
+        s"$ivfPqRrBig vs $pqRrBig")
     // the codebook-size knob must actually buy recall (0.10 → 0.18
     // measured): the quality path OPQ builds on
     assert(pq64 >= pq, s"ks=64 cannot lose recall vs ks=16: $pq64 < $pq")
