@@ -174,21 +174,57 @@ object Dedup {
     * (8-byte keys) instead of every shingle — candidates are pairs that
     * share a SELECTED minimum, a small superset of the true embedded
     * pairs; the verify join fetches shingle arrays only for those. No
-    * all-pairs shingle self-join anywhere on the path. Blocking
-    * SELECTIVITY is data-dependent: on a natural corpus fingerprints are
-    * near-unique and candidates ≪ pairs, while on the driver's
-    * degenerate 31-word testdata every fingerprint is hot and blocked ≈
-    * exact in cost (measured 6.2 vs 6.7 s at sf0.1) — the structural win
-    * appears exactly when the corpus is big enough to need it. Hot-key
-    * skew in the fingerprint join itself is the standard AQE skew-join
-    * case. */
+    * all-pairs shingle self-join anywhere on the path.
+    *
+    * `maxDf` caps fingerprint document frequency before the candidate
+    * self-join: a fingerprint appearing in D documents yields D²/2
+    * candidate rows, and real crawls have boilerplate grams whose D is
+    * unbounded — the cap bounds the join's per-key fan-out at maxDf²
+    * regardless of corpus size (the standard blocking-key cap). Recall
+    * survives because winnowing selects ~n_grams/window fingerprints per
+    * doc: an embedded run of L tokens contributes ~L/window of them, and
+    * the pair is missed only if EVERY one is corpus-hot — i.e. the
+    * shared text is itself boilerplate, which is exactly the duplication
+    * one does not need containment to find (`DedupSpec` pins this with a
+    * planted pair under a binding cap).
+    *
+    * Verify-stage shape, MEASURED at sf0.1 (334k candidates, warm
+    * medians): per-candidate `array_intersect` 3.9 s beats the narrow
+    * exploded re-join of a-side shingles to b-side (5.3 s — it shuffles
+    * |sh(a)| 24-byte rows per pair where the array row carries the same
+    * elements contiguously in ~8 bytes each), and the
+    * full-self-join-then-semi-filter alternative (3.3 s here) is
+    * corpus-quadratic — the exact bomb blocking exists to avoid — so
+    * per-candidate arrays it is: verify cost stays ∝ |cand| × doc size.
+    *
+    * Blocking SELECTIVITY is data-dependent: the driver's synthetic
+    * corpus draws from a tiny vocabulary, so 27% of ALL pairs share a
+    * shingle, candidates are only 3× fewer than sharing pairs, and the
+    * exact operator's narrow self-join (0.7 s warm at sf0.1) beats any
+    * scheme that pays winnowing's linear preprocessing (1.8 s) first —
+    * blocked wins where it matters instead: on Zipf-vocabulary corpora
+    * at larger scale, where exact's Σ df² join explodes on hot grams
+    * and the cap holds candidates near the true pairs (the
+    * `blocked_crossover` bench diagnostic measures exactly that). */
   def containmentPairsBlocked(docs: DataFrame, id: Column, text: Column,
                               n: Int, threshold: Double,
-                              window: Int = 4): DataFrame = {
-    val fps = winnowSelect(docs, id, text, Nil, n, window)
-      .dropDuplicates("doc_id", "fp")
-    val l = fps.select(col("doc_id").as("a_id"), col("fp"))
-    val r = fps.select(col("doc_id").as("b_id"), col("fp"))
+                              window: Int = 4,
+                              maxDf: Int = 64): DataFrame = {
+    // persisted: branches into the df-cap aggregate AND both join sides
+    // (unpersisted, the winnowing windows would run once per branch)
+    val fps = Caches.persist(
+      winnowSelect(docs, id, text, Nil, n, window)
+        .dropDuplicates("doc_id", "fp"))
+    val hot = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("fp"))
+    // anti-join, not a df-column filter-join: the hot set is tiny (it is
+    // the distribution's tail above the cap), so AQE broadcasts it and
+    // the corpus side pays no exchange
+    val capped = fps.join(hot, Seq("fp"), "left_anti")
+    val l = capped.select(col("doc_id").as("a_id"), col("fp"))
+    val r = capped.select(col("doc_id").as("b_id"), col("fp"))
     // fingerprint buckets are hash-uniform → per-partition hash builds
     val cand = l.join(r.hint("SHUFFLE_HASH"), Seq("fp"))
       .filter(col("a_id") < col("b_id"))

@@ -91,12 +91,14 @@ object ContentQueries {
 
     // The 100 TB containment path: winnowing-fingerprint blocking (NOT
     // MinHash-LSH, whose collision rate is Jaccard-calibrated and misses
-    // embedded pairs) + exact verify on candidates only. Oracle replays
-    // the blocked semantics; ContainmentBlockedSpec asserts equality with
-    // the exact operator on this corpus.
+    // embedded pairs) with the df<=maxDf hot-fingerprint cap + exact
+    // verify on candidates only. Oracle replays the capped blocked
+    // semantics; DedupSpec asserts equality with the exact operator on
+    // this corpus (where the cap never binds: max fingerprint df is 24
+    // at sf0.1) and planted-pair recall under a binding cap.
     "dedup_containment_blocked" -> ((s, d) =>
       Dedup.containmentPairsBlocked(docs(s, d), col("doc_id"), col("text"),
-        n = 3, threshold = 0.8, window = 4)
+        n = 3, threshold = 0.8, window = 4, maxDf = 64)
         .orderBy(col("sub_id"), col("super_id"))),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -1625,13 +1627,16 @@ object ContentQueries {
         |  UNION ALL SELECT b_id, a_id, common / b_n FROM p)
         |SELECT sub_id, super_id, round(ct, 6) AS containment
         |FROM c WHERE ct >= 0.8 ORDER BY sub_id, super_id""".stripMargin,
-    // winnowing candidates (the same sel CTE text_winnow checks) +
-    // exact containment verify restricted to candidate pairs
+    // winnowing candidates (the same sel CTE text_winnow checks) with the
+    // df<=64 hot-fingerprint cap + exact containment verify restricted to
+    // candidate pairs
     "dedup_containment_blocked" ->
       s"""WITH $winnowCtes,
         |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64),
+        |fpc AS (SELECT doc_id, fp FROM fps JOIN keep USING (fp)),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |  FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id),
         |sh2 AS (SELECT doc_id,
         |    list_distinct(list_transform(
         |      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),

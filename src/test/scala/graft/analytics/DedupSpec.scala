@@ -100,6 +100,41 @@ class DedupSpec extends SparkSuite {
     graft.analytics.Caches.clear()
   }
 
+  test("containmentPairsBlocked with a BINDING maxDf cap: hot boilerplate " +
+    "fingerprints are dropped, yet the planted embedded pair is still " +
+    "found through its unique-run fingerprints") {
+    val boiler = "terms of service apply to all content on this site " +
+      "always and forever without exception"
+    val uniq = "quantum raven sails violet harbor under midnight copper " +
+      "skies while amber foxes trace silent rivers"
+    val hotDocs = (1L to 8L).map(i =>
+      (i, s"$boiler unique${i}a unique${i}b unique${i}c unique${i}d"))
+    val df = (hotDocs ++ Seq(
+      (100L, uniq),
+      (101L, s"$uniq extra trailing words beyond the quoted passage " +
+        "continue here with more novel content entirely")))
+      .toDF("doc_id", "text")
+    // cap 3 < boilerplate df 8: every boiler fingerprint is dropped; the
+    // uniq-run fingerprints have df 2 and carry the pair. Threshold 0.7
+    // would admit the boiler-overlap pairs (containment 12/16 = 0.75) —
+    // the cap, not the threshold, is what excludes them.
+    val ct = Dedup.containmentPairsBlocked(df, col("doc_id"), col("text"),
+        n = 3, threshold = 0.7, maxDf = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(ct == Seq((100L, 101L, 1.0)), s"got $ct")
+    graft.analytics.Caches.clear()
+    // sanity: with the cap off, the same threshold DOES surface the
+    // boiler block — proving the capped run dropped it via df, and that
+    // the planted pair never depended on hot fingerprints
+    val uncapped = Dedup.containmentPairsBlocked(df, col("doc_id"),
+        col("text"), n = 3, threshold = 0.7, maxDf = Int.MaxValue)
+      .select("sub_id", "super_id").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((100L, 101L)))
+    assert(uncapped.exists { case (a, b) => a <= 8 && b <= 8 },
+      s"expected boiler pairs uncapped, got $uncapped")
+    graft.analytics.Caches.clear()
+  }
+
   test("containmentPairsBlocked equals exact containmentPairs on sf0.001 " +
     "documents (full recall on the corpus's embedded duplication)") {
     val exact = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
