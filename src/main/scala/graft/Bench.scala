@@ -54,23 +54,39 @@ object Bench {
     SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
 
-    def run(names: Seq[String]): Seq[(String, Double)] =
+    // Median-of-3 per query: single-shot numbers on a shared host record
+    // session noise as fact (round 9's artifact showed a 4x outlier that an
+    // isolated replay disproved). Three timed reps per query, the median is
+    // the official number, and the [min,max] spread is emitted alongside so
+    // a noisy rep is visible instead of silently becoming the scoreboard.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def run(names: Seq[String]): Seq[(String, Seq[Double])] =
       names.filter(SparkEntry.queries.contains).map { name =>
-        val t0 = System.nanoTime()
-        val ok = try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        } finally graft.analytics.Caches.clear()
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try {
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          } finally graft.analytics.Caches.clear()
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> times
       }
-    def json(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    def median(ts: Seq[Double]): Double =
+      if (ts.exists(_ < 0)) -1.0
+      else ts.sorted.apply(ts.size / 2)
+    def json(rs: Seq[(String, Seq[Double])]): String =
+      rs.map { case (k, ts) => "\"" + k + f"\":${median(ts)}%.3f" }
         .mkString("{", ",", "}")
-    def total(rs: Seq[(String, Double)]): Double =
-      rs.collect { case (_, v) if v >= 0 => v }.sum
+    def spreadJson(rs: Seq[(String, Seq[Double])]): String =
+      rs.map { case (k, ts) =>
+        "\"" + k + f"\":[${ts.min}%.3f,${ts.max}%.3f]"
+      }.mkString("{", ",", "}")
+    def total(rs: Seq[(String, Seq[Double])]): Double =
+      rs.map { case (_, ts) => median(ts) }.filter(_ >= 0).sum
     val results = run(headline)
     val r7 = run(additionsR7)
     val r9 = run(additionsR9)
@@ -95,10 +111,11 @@ object Bench {
     // Failures must be machine-loud, not just a -1.0 sentinel buried in the
     // metrics (round 8's bench read as rc:0 with six dead queries): name
     // them in an explicit "failed" list AND exit non-zero.
-    val failed = (results ++ r7 ++ r9).collect { case (k, v) if v < 0 => k }
+    val failed = (results ++ r7 ++ r9).collect { case (k, ts) if median(ts) < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val spread = spreadJson(results ++ r7 ++ r9)
     println(
-      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"bpe_train":$bpe,"failed":$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"spread":$spread,"bpe_train":$bpe,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")
