@@ -87,6 +87,14 @@ object Bench {
       }.mkString("{", ",", "}")
     def total(rs: Seq[(String, Seq[Double])]): Double =
       rs.map { case (_, ts) => median(ts) }.filter(_ >= 0).sum
+    // `runMain graft.Bench name1 name2` times ONLY the named queries —
+    // the isolated-replay workflow used to check a full-artifact outlier.
+    if (args.nonEmpty) {
+      val picked = run(args.toSeq.filter(SparkEntry.queries.contains))
+      println(f"""{"metric":"isolated","reps":$reps,"queries":${json(picked)},"spread":${spreadJson(picked)},"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     val results = run(headline)
     val r7 = run(additionsR7)
     val r9 = run(additionsR9)
@@ -108,6 +116,52 @@ object Bench {
       graft.analytics.Caches.clear()
       f"""{"merges":$n,"rounds":$rounds,"width":${n.toDouble / rounds}%.2f,"sec":$sec%.3f}"""
     }
+    // Blocked-vs-exact containment crossover (round-9 verdict): the
+    // driver's synthetic corpus is degenerate for blocking (tiny vocab —
+    // 27% of ALL pairs share a shingle, so candidates ≈ sharing pairs and
+    // exact's narrow join wins). This diagnostic derives a corpus with the
+    // shape real crawls have — mostly doc-unique shingles, a corpus-wide
+    // boilerplate run (exact's Σ df² bomb: every pair co-occurs on it),
+    // and planted embedded pairs — and times both operators on it. The
+    // df-capped blocked path must win here; both must emit the identical
+    // pair set (boilerplate-only overlap stays under the 0.8 threshold).
+    val crossover = {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(spark, sfDir, "documents")
+        // 2-of-5 hash sample bounds the diagnostic at larger SFs
+        .filter(pmod(xxhash64(col("doc_id")), lit(5)) < 2)
+        .withColumn("k", (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("doc_id")))
+          - 1).cast("long"))
+      val uniq = array_join(transform(sequence(lit(0), lit(39)),
+        i => substring(md5(concat(col("doc_id"), lit("_"), i)), 1, 10)), " ")
+      val shared = array_join(transform(sequence(lit(0), lit(29)),
+        i => concat(lit("p"), (col("k") / 2).cast("long"), lit("x"), i)), " ")
+      val boiler = array_join(transform(sequence(lit(0), lit(19)),
+        i => concat(lit("b"), i)), " ")
+      // even k = super (unique + shared + boiler), odd k = sub (shared +
+      // boiler): containment(sub→super) ≈ .95, boilerplate-only ≈ .4
+      val corpus = docs.select(col("doc_id"),
+        when(col("k") % 2 === 0, concat_ws(" ", uniq, shared, boiler))
+          .otherwise(concat_ws(" ", shared, boiler)).as("text"))
+      val n = corpus.count()
+      def t(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (exactSec, exactRows) = t {
+        graft.analytics.Dedup.containmentPairs(corpus, col("doc_id"),
+          col("text"), 3, 0.8).count()
+      }
+      graft.analytics.Caches.clear()
+      val (blockedSec, blockedRows) = t {
+        graft.analytics.Dedup.containmentPairsBlocked(corpus, col("doc_id"),
+          col("text"), 3, 0.8, window = 4, maxDf = 64).count()
+      }
+      graft.analytics.Caches.clear()
+      f"""{"docs":$n,"exact_sec":$exactSec%.3f,"blocked_sec":$blockedSec%.3f,"exact_pairs":$exactRows,"blocked_pairs":$blockedRows}"""
+    }
     // Failures must be machine-loud, not just a -1.0 sentinel buried in the
     // metrics (round 8's bench read as rc:0 with six dead queries): name
     // them in an explicit "failed" list AND exit non-zero.
@@ -115,7 +169,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val spread = spreadJson(results ++ r7 ++ r9)
     println(
-      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"spread":$spread,"bpe_train":$bpe,"failed":$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"spread":$spread,"bpe_train":$bpe,"blocked_crossover":$crossover,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")

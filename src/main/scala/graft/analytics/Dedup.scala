@@ -230,16 +230,25 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
-    val sh = shingleTable(docs, id, text, n)
-    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+    // verify on SORTED 64-bit shingle hashes, not string arrays: the
+    // per-pair intersection becomes a linear long-merge
+    // (SortedLongIntersectCount — no per-row hash-set build, ~8-byte
+    // elements instead of gram strings), counting exactly what the exact
+    // operator's xxhash64 equi-join counts, with the identical
+    // ~|S|²/2^64 collision caveat
+    val sh = shingleTable(docs, id, text, n).select(col("doc_id"),
+      array_sort(transform(col("sh"), s => xxhash64(s))).as("hs"),
+      col("n_sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
       col("n_sh").as("a_n"))
-    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+    val b = sh.select(col("doc_id").as("b_id"), col("hs").as("b_hs"),
       col("n_sh").as("b_n"))
     // same one-pass two-direction emit as containmentPairs; `common` is
     // the distinct-shingle intersection, so values are bit-identical to
     // the exact operator's on every surviving pair
     cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
-      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("common", graft.functions.HashExpressions
+        .sortedLongIntersectCount(col("a_hs"), col("b_hs")))
       .select(explode(array(
         struct(col("a_id").as("sub_id"), col("b_id").as("super_id"),
           (col("common") / col("a_n")).as("containment")),
@@ -643,11 +652,13 @@ object Dedup {
   private def winnowSelect(docs: DataFrame, id: Column, text: Column,
                            carry: Seq[(String, Column)], n: Int,
                            window: Int): DataFrame = {
+    // native one-pass gram hashing (graft.functions.WordGramHashes):
+    // values identical to conv(substring(md5(gram),1,15),16,10) over
+    // TextAnalysis.ngrams, so every oracle replay is unchanged
     val cols = Seq(id.as("doc_id")) ++ carry.map { case (nm, c) => c.as(nm) } :+
-      posexplode(TextAnalysis.ngrams(text, n)).as(Seq("pos", "gram"))
+      posexplode(graft.functions.HashExpressions.wordGramHashes(
+        lower(text), n)).as(Seq("pos", "h"))
     val grams = docs.select(cols: _*)
-      .withColumn("h",
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, window - 1)
     val nG = Window.partitionBy(col("doc_id"))

@@ -99,6 +99,60 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("native word_gram_hashes is bit-identical to the composed " +
+    "ngrams + conv(substring(md5)) chain on corpus text and edges") {
+    val corpus = graft.Tables.load(spark, sf0001, "documents")
+      .select(col("text"))
+      .union(Seq(Some("one two"), Some("one"), Some(""), None)
+        .map(Tuple1(_)).toDF("text"))
+    val both = corpus.select(
+      HashExpressions.wordGramHashes(lower(col("text")), 3).as("n"),
+      transform(TextAnalysis.ngrams(col("text"), 3),
+        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("c"))
+      .collect()
+    assert(both.length > 4)
+    both.foreach { row =>
+      if (row.isNullAt(0)) assert(row.isNullAt(1))
+      else assert(row.getSeq[Long](0) == row.getSeq[Long](1))
+    }
+  }
+
+  test("sorted_long_intersect_count equals size(array_intersect) on " +
+    "sorted distinct arrays") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { _ =>
+      val a = Seq.fill(40)(rnd.nextLong() % 50).distinct.sorted
+      val b = Seq.fill(40)(rnd.nextLong() % 50).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L)))
+    val both = rows.toDF("a", "b").select(
+      HashExpressions.sortedLongIntersectCount(col("a"), col("b")).as("n"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("c"))
+      .as[(Long, Long)].collect()
+    assert(both.forall { case (n, c) => n == c })
+  }
+
+  test("blocked containment equals the exact operator on a corpus whose " +
+    "boilerplate run exceeds the df cap") {
+    // the crossover-corpus shape from Bench: unique tokens + a planted
+    // shared run per pair + corpus-wide boilerplate hotter than maxDf
+    val docs = (0 until 60).map { k =>
+      val uniq = (0 until 40).map(i => s"u${k}x$i").mkString(" ")
+      val shared = (0 until 30).map(i => s"p${k / 2}x$i").mkString(" ")
+      val boiler = (0 until 20).map(i => s"b$i").mkString(" ")
+      val text = if (k % 2 == 0) s"$uniq $shared $boiler"
+        else s"$shared $boiler"
+      (s"d%03d".format(k), text)
+    }.toDF("doc_id", "text")
+    val exact = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+      3, 0.8).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val blocked = Dedup.containmentPairsBlocked(docs, col("doc_id"),
+      col("text"), 3, 0.8, window = 4, maxDf = 16)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(exact.size == 30) // one sub→super direction per planted pair
+    assert(blocked == exact)
+  }
+
   test("salted join produces the same rows as a plain join, spread across " +
     "salts") {
     val large = (0L until 1000L).map(i => (if (i < 900) "hot" else s"k$i", i))
