@@ -38,6 +38,12 @@ object Bench {
     "dedup_containment_blocked", "text_bpe_merges",
     "sim_topk_pq_rerank", "sim_topk_ivfpq_rerank")
 
+  // Round-10 additions, reported under "queries_r10"/"value_r10": the
+  // multi-assignment rerank composition, plus the iterative LR trainer/
+  // scorer (round-9 advice: iters full-corpus scans with no bench row).
+  val additionsR10: Seq[String] = Seq(
+    "sim_topk_ivfpq_rerank_ma", "text_lr_train", "text_lr_score")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -98,6 +104,7 @@ object Bench {
     val results = run(headline)
     val r7 = run(additionsR7)
     val r9 = run(additionsR9)
+    val r10 = run(additionsR10)
     // BPE batched-trainer scale diagnostic (round-8 verdict item): train
     // 32 merges on the full corpus and report rounds + width — the batch
     // width is the 32k-vocab production bound (rounds ≈ vocab/width).
@@ -165,11 +172,11 @@ object Bench {
     // Failures must be machine-loud, not just a -1.0 sentinel buried in the
     // metrics (round 8's bench read as rc:0 with six dead queries): name
     // them in an explicit "failed" list AND exit non-zero.
-    val failed = (results ++ r7 ++ r9).collect { case (k, ts) if median(ts) < 0 => k }
+    val failed = (results ++ r7 ++ r9 ++ r10).collect { case (k, ts) if median(ts) < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val spread = spreadJson(results ++ r7 ++ r9)
+    val spread = spreadJson(results ++ r7 ++ r9 ++ r10)
     println(
-      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"spread":$spread,"bpe_train":$bpe,"blocked_crossover":$crossover,"failed":$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"spread":$spread,"bpe_train":$bpe,"blocked_crossover":$crossover,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")

@@ -623,8 +623,10 @@ object Similarity {
                 qVec: Column, cId: Column, cVec: Column, k: Int,
                 nLists: Int = 16, nProbe: Int = 4,
                 dim: Int = 64, m: Int = 8, ks: Int = 16,
-                refineIters: Int = 0): DataFrame = {
+                refineIters: Int = 0, replicas: Int = 1): DataFrame = {
     require(dim % m == 0, "m must divide dim")
+    require(replicas == 1 || refineIters > 0,
+      "multi-assignment (replicas > 1) requires the Lloyd-refined path")
     val sub = dim / m
     val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
       .withColumn("c_n", norm(col("c_v")))
@@ -634,7 +636,7 @@ object Similarity {
     val (assigned, probes) =
       if (refineIters > 0) {
         val (a, p) = lloydAssignProbe(corpus, cId, cVec, c, q,
-          nLists, nProbe, refineIters)
+          nLists, nProbe, refineIters, replicas)
         (a.select(col("n_id"), col("list_id")),
           p.select(col("q_id"), col("list_id")))
       } else {
@@ -648,10 +650,15 @@ object Similarity {
     val codes = pqEncode(c, cb, m, sub)
     val qTab = pqQueryTable(q.select(col("q_id"), col("q_v")), cb, m, sub)
 
-    // --- compose: prune candidates by probed list, then ADC over codes
-    val cand = assigned.join(broadcast(probes), Seq("list_id"))
+    // --- compose: prune candidates by probed list, then ADC over codes.
+    // Multi-assignment stores each vector in `replicas` lists, so the
+    // same (q, n) pair can surface via several lists — dedup BEFORE the
+    // ADC join, or the groupBy would sum the pair's code rows twice
+    val cand0 = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
+    val cand = if (replicas > 1) cand0.dropDuplicates("q_id", "n_id")
+      else cand0
     val adc = cand.join(codes, Seq("n_id"))
       .join(broadcast(qTab.withColumnRenamed("j", "code")),
         Seq("q_id", "sub", "code"))
@@ -719,10 +726,10 @@ object Similarity {
                       qVec: Column, cId: Column, cVec: Column, k: Int,
                       nLists: Int = 16, nProbe: Int = 4, dim: Int = 64,
                       m: Int = 8, ks: Int = 16, refineIters: Int = 0,
-                      pool: Int = 40): DataFrame =
+                      pool: Int = 40, replicas: Int = 1): DataFrame =
     rerankExact(
       ivfPqTopK(queries, corpus, qId, qVec, cId, cVec, pool, nLists,
-        nProbe, dim, m, ks, refineIters),
+        nProbe, dim, m, ks, refineIters, replicas),
       queries, corpus, qId, qVec, cId, cVec, k)
 
   // ---------------------------------------------------------------- PCA

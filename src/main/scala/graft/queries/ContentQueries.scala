@@ -403,6 +403,24 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // The rerank path composed with SPANN-style multi-assignment
+    // (replicas=2): single-assignment caps rerank recall at probed-list
+    // CONTAINMENT (.545 — a boundary vector lives in exactly one list,
+    // and if that list isn't probed no pool size recovers it); storing
+    // each vector in its 2 nearest lists makes boundary vectors visible
+    // from both sides at the same probe cost (×2 index rows, the SPANN
+    // trade — Chen et al., NeurIPS 2021). RecallSpec pins the lift.
+    "sim_topk_ivfpq_rerank_ma" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqRerankTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10, nLists = 16, nProbe = 4, ks = 64, refineIters = 2,
+        pool = 200, replicas = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // IVF-PQ: list pruning decides WHICH vectors to compare (nProbe/nLists
     // of the corpus), PQ-ADC decides HOW each comparison is paid for
     // (m byte-code lookups, 1/32 of the scan bytes). Same deterministic
@@ -1956,6 +1974,12 @@ object ContentQueries {
       ",\npool AS (SELECT q_id, n_id FROM r WHERE rank <= 200)" +
       rerankSuffix),
 
+    // identical replay with arn <= 2 multi-assignment + DISTINCT cand
+    "sim_topk_ivfpq_rerank_ma" -> (ivfPqLloydAdcCtes(ks = 64,
+      replicas = 2) +
+      ",\npool AS (SELECT q_id, n_id FROM r WHERE rank <= 200)" +
+      rerankSuffix),
+
     "sim_topk_pq" -> (pqAdcCtes(ks = 16) +
       "\nSELECT q_id, n_id, adist, rank FROM r WHERE rank <= 10" +
       "\nORDER BY q_id, rank"),
@@ -3261,7 +3285,7 @@ object ContentQueries {
   /** Lloyd-refined IVF centroids + the PQ-ADC pipeline replay over the
     * probed lists, shared verbatim by sim_topk_ivfpq_lloyd and its
     * exact-reranked variant; ends at CTE r(q_id, n_id, adist, rank). */
-  private def ivfPqLloydAdcCtes(ks: Int): String =
+  private def ivfPqLloydAdcCtes(ks: Int, replicas: Int = 1): String =
       s"""WITH $lloydCentCtes16,
         |hashed AS (SELECT vec_id, e, nrm,
         |    CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
@@ -3273,7 +3297,7 @@ object ContentQueries {
         |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
         |      cent.list_id) AS arn
         |  FROM n CROSS JOIN cent),
-        |assigned AS (SELECT n_id, list_id FROM asg WHERE arn = 1),
+        |assigned AS (SELECT n_id, list_id FROM asg WHERE arn <= $replicas),
         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
         |  WHERE vec_id % 100 = 0),
         |prb AS (SELECT q.q_id, cent.list_id,
@@ -3315,7 +3339,7 @@ object ContentQueries {
         |        i -> qsv.sv[i] * cb.cw[i]))) * 1000000, 0) AS BIGINT)
         |      AS qdi
         |  FROM qsv JOIN cb USING (sub)),
-        |cand AS (SELECT probes.q_id, assigned.n_id
+        |cand AS (SELECT ${if (replicas > 1) "DISTINCT " else ""}probes.q_id, assigned.n_id
         |  FROM assigned JOIN probes USING (list_id)
         |  WHERE probes.q_id <> assigned.n_id),
         |adc AS (SELECT cand.q_id, cand.n_id,
