@@ -651,16 +651,20 @@ object TextAnalysis {
     * bias, bounded length, punct ratio, EN-stopword ratio, repetition
     * ratio — the exact `text_quality` formulas, all rounded to 6 dp so
     * both engines hold the identical nearest-double. */
+  /** The single feature definition behind BOTH the trainer and the
+    * scorer (only the DuckDB oracle keeps a second copy): an optional
+    * id column rides along for the scorer without a second projection. */
   private def lrFeatures(docs: org.apache.spark.sql.DataFrame,
-                         text: Column,
-                         label: Column): org.apache.spark.sql.DataFrame =
-    docs.select(
+                         text: Column, label: Column,
+                         id: Option[(String, Column)] = None)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(id.toSeq.map { case (nm, c) => c.as(nm) } ++ Seq(
       label.cast("int").as("y"),
       lit(1.0).as("x0"),
       round(least(tokenCount(text) / lit(64.0), lit(1.0)), 6).as("x1"),
       punctRatio(text).as("x2"),
       stopwordRatio(text).as("x3"),
-      repetitionRatio(text).as("x4"))
+      repetitionRatio(text).as("x4")): _*)
 
   /** Spark-round-compatible 6-dp driver rounding (`BigDecimal.valueOf` =
     * the shortest-decimal HALF_UP path Spark's `Round` takes on
@@ -744,14 +748,7 @@ object TextAnalysis {
   def logisticScore(docs: org.apache.spark.sql.DataFrame, id: Column,
                     text: Column, label: Column,
                     w: Array[Double]): org.apache.spark.sql.DataFrame = {
-    // recompute the feature projection inline (with the id column) so
-    // the plan stays a single scan
-    val feats = docs.select(id.as("doc_id"), label.cast("int").as("y"),
-      lit(1.0).as("x0"),
-      round(least(tokenCount(text) / lit(64.0), lit(1.0)), 6).as("x1"),
-      punctRatio(text).as("x2"),
-      stopwordRatio(text).as("x3"),
-      repetitionRatio(text).as("x4"))
+    val feats = lrFeatures(docs, text, label, Some("doc_id" -> id))
     val zPico = (0 until 5).map(j =>
       round(lit(w(j)) * col(s"x$j") * lit(1000000000000.0), 0)
         .cast("long")).reduce(_ + _)

@@ -1481,8 +1481,12 @@ object ContentQueries {
 
     // In-engine TRAINING of the shallow quality/language filter (the
     // fastText-filter model class): 3 full-batch gradient steps over the
-    // text_quality features, learning lang='en' — the EN-stopword ratio
-    // genuinely predicts it, so the trajectory is signal. Fully
+    // text_quality features, learning lang='en'. On the driver's
+    // synthetic corpus the text is statistically independent of the lang
+    // column (EN-stop ratio .0636 vs .0600 — nothing to learn), so THIS
+    // query's contract is optimizer exactness, not accuracy;
+    // TextAnalysisSpec pins learning quality on a learnable label
+    // (accuracy > majority, informative weight positive). Fully
     // oracle-checked: integer-micro gradient sums between 6-dp weight
     // snapshots make every step engine-exact (the perplexity trick
     // applied to SGD); DuckDB unrolls the 3 steps as CTEs.

@@ -394,4 +394,32 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got("llll") == Vector("ll", "ll"))
     assert(got("lllll") == Vector("ll", "ll", "l"))
   }
+
+  test("logistic trainer learns signal: scored accuracy beats the " +
+    "majority class and the informative weight turns positive") {
+    // the cross-engine oracle only proves Spark == DuckDB — it would
+    // stay green if training learned nothing (e.g. a sign error making
+    // accuracy chance-level); this pins the training QUALITY invariant.
+    // The label must be LEARNABLE: the driver's synthetic text is
+    // statistically independent of the lang column (measured: EN-stop
+    // ratio .0636 for lang='en' vs .0600 for the rest), so the
+    // registered lang='en' query pins optimizer exactness, and THIS
+    // spec pins learning on a label the length feature determines.
+    val doc = graft.Tables.load(spark, sf001, "documents")
+    val label = TextAnalysis.tokenCount(col("text")) >= 48
+    val w = TextAnalysis.logisticFit(doc, col("text"), label,
+      iters = 10).last
+    // w = (bias, len, punct, stop, rep): x1 = capped len/64 carries
+    // the signal, so its weight must turn positive and dominate
+    assert(w(1) > 0, s"w_len must be positive after training: ${w(1)}")
+    val scored = TextAnalysis.logisticScore(doc, col("doc_id"),
+      col("text"), label, w)
+    val agg = scored.agg(
+      avg(col("correct")).as("acc"),
+      greatest(avg(col("y")), lit(1.0) - avg(col("y"))).as("majority"))
+      .head
+    val (acc, majority) = (agg.getDouble(0), agg.getDouble(1))
+    assert(acc > majority,
+      s"scored accuracy $acc must beat the majority baseline $majority")
+  }
 }
