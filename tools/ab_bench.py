@@ -44,7 +44,11 @@ def default_ref():
 
 
 def bench_json(cwd, sf):
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf, SPARK_GRAFT_CPUS="32")
+    # reps=1: the A/B harness derives its own medians from interleaved
+    # pairs, so Bench's internal median-of-3 would triple the wall time
+    # for no extra statistical power here
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf, SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_BENCH_REPS="1")
     # Bench exits 1 when any query fails; the -1 sentinels in its JSON
     # still identify exactly which — keep going and pair what we can.
     r = sh([os.path.join(cwd, "tools", "run.sh"), "graft.Bench"],
@@ -57,7 +61,7 @@ def bench_json(cwd, sf):
 
 def flat_queries(b):
     out = {}
-    for key in ("queries", "queries_r7", "queries_r9"):
+    for key in ("queries", "queries_r7", "queries_r9", "queries_r10"):
         out.update(b.get(key, {}))
     return out
 
@@ -67,6 +71,9 @@ def main():
     ap.add_argument("--ref", default=None)
     ap.add_argument("--pairs", type=int, default=3)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--gate", type=float, default=1.25,
+                    help="fail (exit 1) when any shared query's paired "
+                         "ratio exceeds this")
     args = ap.parse_args()
     ref = args.ref or default_ref()
 
@@ -100,7 +107,11 @@ def main():
     eligible = sorted(ratios)
     tot_a = [sum(r[q] for q in eligible) for r in runs_a]
     tot_b = [sum(r[q] for q in eligible) for r in runs_b]
+    breaches = {q: r for q, r in ratios.items() if r > args.gate}
     out = {
+        "gate": args.gate,
+        "gate_breaches": breaches,
+        "pass": not breaches,
         "ref": ref,
         "pairs": args.pairs,
         "sf": args.sf,
@@ -120,6 +131,11 @@ def main():
     print(json.dumps(out, indent=1, sort_keys=True))
     print(f"wrote {path}")
     sh(["git", "worktree", "remove", "--force", wt], check=False)
+    if breaches:
+        print(f"GATE FAIL: {len(breaches)} quer{'y' if len(breaches) == 1 else 'ies'} "
+              f"regressed past {args.gate}x: {breaches}", file=sys.stderr)
+        sys.exit(1)
+    print(f"GATE PASS: all {len(eligible)} shared ratios <= {args.gate}")
 
 
 if __name__ == "__main__":
