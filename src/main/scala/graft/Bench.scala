@@ -123,6 +123,29 @@ object Bench {
       graft.analytics.Caches.clear()
       f"""{"merges":$n,"rounds":$rounds,"width":${n.toDouble / rounds}%.2f,"sec":$sec%.3f}"""
     }
+    // BPE retrain at a NON-degenerate merge count (round-9 verdict): the
+    // raw corpus has a 31-word vocabulary, so the 32-merge diagnostic
+    // above saturates at width ~1.6 by construction and proves nothing
+    // about batching at production vocabulary sizes. Deriving the token
+    // stream as word BIGRAMS (t1_t2 t2_t3 ... — deterministic, from the
+    // same documents table) yields a ~960-type vocabulary of ~11-char
+    // units, where 256 merges are attainable and the batch width can
+    // actually express — rounds << merges is the whole value of the
+    // batched trainer at a 32k-merge production run.
+    val bpeScale = {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(array_join(transform(
+          graft.analytics.TextAnalysis.ngrams(col("text"), 2),
+          g => regexp_replace(g, " ", "_")), " ").as("text"))
+      val t0 = System.nanoTime()
+      val (df, rounds) = graft.analytics.TextAnalysis
+        .bpeTrainBatchedWithRounds(docs, col("text"), merges = 256)
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.analytics.Caches.clear()
+      f"""{"merges":$n,"rounds":$rounds,"width":${n.toDouble / rounds}%.2f,"sec":$sec%.3f}"""
+    }
     // Blocked-vs-exact containment crossover (round-9 verdict): the
     // driver's synthetic corpus is degenerate for blocking (tiny vocab —
     // 27% of ALL pairs share a shingle, so candidates ≈ sharing pairs and
@@ -176,7 +199,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val spread = spreadJson(results ++ r7 ++ r9 ++ r10)
     println(
-      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"spread":$spread,"bpe_train":$bpe,"blocked_crossover":$crossover,"failed":$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"blocked_crossover":$crossover,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")

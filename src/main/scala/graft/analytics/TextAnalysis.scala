@@ -427,6 +427,13 @@ object TextAnalysis {
     * `bpeApplyDocs` below does exactly that for corpus tokenization
     * (measured 9× on the sf0.1 bench). */
   def bpeApply(word: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.BpeExpressions.bpeApplyMerges(split(word, ""), merges)
+
+  /** The composed interpreted-fold form of `bpeApply` — kept as the
+    * equivalence reference for the native expression (bit-identical by
+    * construction; `TextAnalysisSpec` asserts it). Do not use on a hot
+    * path: one nested `aggregate` lambda per merge. */
+  def bpeApplyComposed(word: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(split(word, "")) {
       case (s, (l, r)) => bpeMergeOnce(s, l, r)
     }
@@ -535,11 +542,16 @@ object TextAnalysis {
     *    occurrences (that would need a shared symbol) or absorb it into
     *    a new symbol, i.e. its count is provably unchanged; and
     *  - its count strictly exceeds an upper bound on every pair an
-    *    earlier batch merge can CREATE: a created `(x, l·r)` occurrence
-    *    contains an old `(x, l)` occurrence and a created `(l·r, y)` an
-    *    old `(r, y)` one, so `max(maxRight(l), maxLeft(r))` — computed
-    *    from the full pair-count frame, not the top-K — dominates all
-    *    created counts. Strict inequality also rules out a created pair
+    *    earlier batch merge can CREATE: a created `(x, l·r)` adjacency
+    *    maps to a distinct original TRIPLE occurrence `(x, l, r)`, a
+    *    created `(l·r, y)` to `(l, r, y)`, and the run case `(l·r, l·r)`
+    *    to `(l, r, l)` — so `max(tri(·,l,r), tri(l,r,·))`, aggregated
+    *    over the full vocabulary for the candidate middles, dominates
+    *    all created counts (cross-member creations are covered too: the
+    *    quadruple `l1 r1 l2 r2` contains the triple `(l1, r1, l2)`).
+    *    Triple counts are far below the pair-adjacency counts a looser
+    *    bound would use (tri(x,l,r) <= pair(x,l)), which is what buys
+    *    batch width. Strict inequality also rules out a created pair
     *    winning a tie on the text order, which we cannot know without
     *    materializing it.
     * One collision case needs a third guard: if a member's merged STRING
@@ -595,46 +607,150 @@ object TextAnalysis {
         .as[(String, String, Long)].collect()
       if (top.isEmpty) done = true
       else {
-        val syms = top.flatMap(t => Seq(t._1, t._2)).distinct.toSeq
-        val maxLeft = pairCounts.filter(col("l").isin(syms: _*))
-          .groupBy(col("l")).agg(max(col("n")))
-          .as[(String, Long)].collect().toMap
-        val maxRight = pairCounts.filter(col("r").isin(syms: _*))
-          .groupBy(col("r")).agg(max(col("n")))
-          .as[(String, Long)].collect().toMap
-        val batch = scala.collection.mutable.ArrayBuffer(top.head)
-        var bound = math.max(maxRight.getOrElse(top.head._1, 0L),
-          maxLeft.getOrElse(top.head._2, 0L))
-        var blocked = Set(top.head._1, top.head._2,
-          top.head._1 + top.head._2)
-        var stop = symbolSet(top.head._1 + top.head._2)
-        symbolSet += top.head._1 + top.head._2
-        var i = 1
-        while (!stop && i < top.length &&
-            out.length + batch.length < merges) {
-          val (l, r, n) = top(i)
-          if (n <= bound || blocked(l) || blocked(r)) stop = true
+        // Created-pair bound from TRIPLE counts, not pair-adjacency
+        // counts: merging (l,r)→lr creates only pairs (x,lr) / (lr,y) /
+        // (lr,lr), and every such adjacency maps to a distinct original
+        // triple occurrence (x,l,r) / (l,r,y) / (l,r,l) — so
+        // max(tri(·,l,r), tri(l,r,·)) upper-bounds every count that can
+        // INCREASE under the merge. tri(x,l,r) <= pair(x,l) always, so
+        // this is strictly tighter than the former max(maxRight(l),
+        // maxLeft(r)) and admits materially wider batches (measured
+        // 2.4 → 6+ on the bigram-derived scale corpus) while keeping the
+        // same equivalence argument; cost is one filtered triple
+        // aggregate over the vocabulary per round (candidate middles
+        // only). Cross-member creations ((l1r1, l2r2) from l1 r1 l2 r2)
+        // are covered: the quadruple contains the triple (l1,r1,l2).
+        val sep = " "
+        val mids = top.map(t => t._1 + sep + t._2).toSeq
+        val triAgg = vocab.filter(size(col("symbols")) >= 3)
+          .select(col("f"), explode(transform(
+            sequence(lit(1), size(col("symbols")) - 2), i =>
+              struct(element_at(col("symbols"), i).as("a"),
+                element_at(col("symbols"), i + 1).as("b"),
+                element_at(col("symbols"), i + 2).as("c")))).as("t"))
+          .select(col("f"), col("t.a").as("a"), col("t.b").as("b"),
+            col("t.c").as("c"))
+          .filter(concat_ws(sep, col("b"), col("c")).isin(mids: _*) ||
+            concat_ws(sep, col("a"), col("b")).isin(mids: _*))
+          .groupBy(col("a"), col("b"), col("c")).agg(sum(col("f")).as("n"))
+          .localCheckpoint(false)
+        // Full per-context triple maps for the candidate pairs:
+        // triMid((l,r)) = x → tri(x,l,r) (left extensions),
+        // triLft((l,r)) = y → tri(l,r,y) (right extensions). Collected
+        // rows are bounded by |candidates| × |alphabet| — model-scale.
+        val triRows = triAgg.as[(String, String, String, Long)].collect()
+        val triMid = triRows.groupBy(t => (t._2, t._3))
+          .map { case (k, rs) => k -> rs.map(t => t._1 -> t._4).toMap }
+        val triLft = triRows.groupBy(t => (t._1, t._2))
+          .map { case (k, rs) => k -> rs.map(t => t._3 -> t._4).toMap }
+        // Incremental-exact admission: tracked candidates carry EXACTLY
+        // updated counts. Merging a pristine member m=(l,r) (symbols
+        // untouched by earlier members, own count unchanged) destroys
+        // exactly tri(x,l,r) occurrences of each (x,l) and tri(l,r,y)
+        // of each (r,y) — every (l,r) adjacency merges when l != r and
+        // no run pattern exists (both guarded below) — so shared-symbol
+        // candidates stay admissible with their true post-merge counts
+        // instead of closing the batch (the former blocked-set rule,
+        // which the round-9 diagnostic showed was the dominant width
+        // limiter). Where exactness is lost (stale context: member
+        // disturbed, or the candidate's outer symbol already absorbed),
+        // the candidate keeps its old count as an upper bound and can
+        // never be admitted — argmax landing on it stops the batch.
+        final case class Cand(l: String, r: String, var n: Long,
+                              var exact: Boolean = true,
+                              var merged: Boolean = false,
+                              var changed: Boolean = false)
+        val tracked = top.map(t => Cand(t._1, t._2, t._3))
+        // everything beyond top-K only ever decreases, so the K-th
+        // original count is its permanent ceiling (0 when all tracked)
+        val ceiling = if (top.length == maxBatch) top.last._3 else 0L
+        var createdMax = 0L
+        var absorbed = Set.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        var stop = false
+        while (!stop && out.length + batch.length < merges) {
+          val open = tracked.filter(c => !c.merged && c.n > 0)
+          if (open.isEmpty) stop = true
           else {
-            batch += top(i)
-            bound = math.max(bound, math.max(maxRight.getOrElse(l, 0L),
-              maxLeft.getOrElse(r, 0L)))
-            blocked = blocked + l + r + (l + r)
-            // a merged string that is already a known symbol can ALIAS
-            // existing pair tuples — its creations stop being purely
-            // "new", so it must be this batch's last member
-            if (symbolSet(l + r)) stop = true
-            symbolSet += (l + r)
-            i += 1
+            // greedy order over live candidates: count desc, text asc
+            val next = open.minBy(c => (-c.n, c.l, c.r))
+            val first = batch.isEmpty
+            if (!next.exact ||
+                (!first && (next.n <= createdMax || next.n <= ceiling))) {
+              if (sys.env.contains("GRAFT_BPE_DEBUG"))
+                System.err.println(s"[bpe] stop n=${next.n} " +
+                  s"exact=${next.exact} createdMax=$createdMax " +
+                  s"ceiling=$ceiling pair=(${next.l},${next.r})")
+              stop = true
+            } else {
+              val (l, r) = (next.l, next.r)
+              next.merged = true
+              batch += ((l, r, next.n))
+              val mid = triMid.getOrElse((l, r), Map.empty)
+              val lft = triLft.getOrElse((l, r), Map.empty)
+              createdMax = math.max(createdMax,
+                (mid.values ++ lft.values).foldLeft(0L)(math.max))
+              // batch-ending members are committed, then close the
+              // batch: a re-merge alias (created tuples can coincide
+              // with live ones) or a self-pair l==r (the left-to-right
+              // overlap rewrite breaks adjacency accounting entirely)
+              if (symbolSet(l + r) || l == r) stop = true
+              else {
+                // a DISTURBED member (own count already decremented, or
+                // symbols touched by earlier members) has stale triple
+                // contexts: its destructions are real but unquantified,
+                // so affected candidates keep their old counts as upper
+                // bounds and become inadmissible, instead of closing
+                // the whole batch
+                val pristine = !next.changed && !absorbed(l) &&
+                  !absorbed(r)
+                tracked.foreach { q =>
+                  if (!q.merged) {
+                    if (q.r == l && q.l == r) {
+                      // the bridging pair (r,l): destroyed from BOTH
+                      // sides (patterns l·r·l and r·l·r); the sum
+                      // double-counts l·r·l·r quadruples, so it is
+                      // exact only when one side is zero
+                      val d1 = mid.getOrElse(r, 0L)
+                      val d2 = lft.getOrElse(l, 0L)
+                      if (d1 > 0 && d2 > 0) q.exact = false
+                      else if (d1 + d2 > 0) {
+                        if (!pristine || absorbed(l) || absorbed(r))
+                          q.exact = false
+                        else { q.n -= d1 + d2; q.changed = true }
+                      }
+                    } else if (q.r == l) {
+                      val d = mid.getOrElse(q.l, 0L)
+                      if (d > 0) {
+                        if (!pristine || absorbed(q.l)) q.exact = false
+                        else { q.n -= d; q.changed = true }
+                      }
+                    } else if (q.l == r) {
+                      val d = lft.getOrElse(q.r, 0L)
+                      if (d > 0) {
+                        if (!pristine || absorbed(q.r)) q.exact = false
+                        else { q.n -= d; q.changed = true }
+                      }
+                    }
+                  }
+                }
+              }
+              absorbed = absorbed + l + r
+              symbolSet += (l + r)
+            }
           }
         }
         batch.foreach { case (l, r, n) =>
           out += ((out.length + 1, l, r, n)) }
-        // one vocabulary pass applies the whole batch: chained
-        // projections collapse into a single job at the checkpoint
-        vocab = batch.foldLeft(vocab) { case (v, (l, r, _)) =>
-          v.select(bpeMergeOnce(col("symbols"), l, r).as("symbols"),
-            col("f"))
-        }.localCheckpoint(false)
+        // one vocabulary pass applies the whole batch through the
+        // native single-expression rewrite (constant plan depth — the
+        // composed bpeMergeOnce fold nests one interpreted lambda per
+        // merge and overflows task deserialization when batches go wide)
+        vocab = vocab.select(graft.functions.BpeExpressions
+            .bpeApplyMerges(col("symbols"),
+              batch.toSeq.map(t => (t._1, t._2))).as("symbols"),
+          col("f")).localCheckpoint(false)
       }
     }
     (out.toSeq.toDF("rank", "left", "right", "n"), rounds)

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Apply a frozen BPE merge list (rank order) to an `array<string>` of
+  * symbols in ONE native pass — bit-identical to folding
+  * `TextAnalysis.bpeMergeOnce` per merge (the greedy left-to-right
+  * non-overlapping rewrite: out.last == l && x == r replaces out.last
+  * with l·r), minus two scaling hazards of the composed fold:
+  *
+  *  - plan depth: the fold nests one interpreted `aggregate` lambda per
+  *    merge, so a 64-merge batch serializes a 64-deep expression tree
+  *    (StackOverflowError in task deserialization near depth ~500 when
+  *    the trainer's late rounds go wide) — here the merge list is plain
+  *    expression state and depth is constant;
+  *  - evaluation: each fold level re-materializes the accumulator array
+  *    per element through the interpreted HOF evaluator, where this loop
+  *    is one compiled pass costing |merges| × |symbols| comparisons.
+  */
+case class BpeApplyMerges(child: Expression,
+                          merges: Seq[(String, String)])
+    extends UnaryExpression with RefEvalCodegen {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_apply_merges requires array<string>, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val in = input.asInstanceOf[ArrayData]
+    var arr = new Array[String](in.numElements())
+    var i = 0
+    while (i < arr.length) {
+      arr(i) = in.getUTF8String(i).toString; i += 1
+    }
+    merges.foreach { case (l, r) =>
+      val lr = l + r
+      val out = new Array[String](arr.length)
+      var n = 0
+      var j = 0
+      while (j < arr.length) {
+        if (n > 0 && out(n - 1) == l && arr(j) == r) out(n - 1) = lr
+        else { out(n) = arr(j); n += 1 }
+        j += 1
+      }
+      arr = java.util.Arrays.copyOf(out, n)
+    }
+    new GenericArrayData(arr.map(s =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        .asInstanceOf[Any]))
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeApplyMerges =
+    copy(child = c)
+  override def prettyName: String = "bpe_apply_merges"
+}
+
+object BpeExpressions {
+  import org.apache.spark.sql.graft.bridge
+
+  def bpeApplyMerges(symbols: Column,
+                     merges: Seq[(String, String)]): Column =
+    bridge.column(BpeApplyMerges(bridge.expression(symbols), merges))
+}

@@ -523,14 +523,18 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
-  test("text_bpe_apply: the interpreted merge folds sit ABOVE the " +
+  test("text_bpe_apply: the merge rewrite sits ABOVE the " +
     "distinct-word aggregate (vocabulary-scale evaluations), never in " +
     "the token-stream projection — the 17× regression guard") {
-    import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Expression}
+    import org.apache.spark.sql.catalyst.expressions.Expression
     import org.apache.spark.sql.execution.{ProjectExec, SparkPlan}
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // the merge rewrite is the native single-pass BpeApplyMerges now
+    // (constant plan depth); the guarded invariant is unchanged — the
+    // rewrite must evaluate per DISTINCT word, not per corpus token
     def hasFold(es: Seq[Expression]): Boolean =
-      es.exists(_.find(_.isInstanceOf[ArrayAggregate]).isDefined)
+      es.exists(_.find(
+        _.isInstanceOf[graft.functions.BpeApplyMerges]).isDefined)
     val sp = SparkEntry.queries("text_bpe_apply")(spark, sf0001)
       .queryExecution.sparkPlan
     // Catalyst may leave the folds in a Project or collapse them into an

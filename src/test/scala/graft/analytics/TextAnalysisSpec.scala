@@ -393,6 +393,13 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got("window") == Vector("win", "d", "o", "w"))
     assert(got("llll") == Vector("ll", "ll"))
     assert(got("lllll") == Vector("ll", "ll", "l"))
+    // the native single-pass expression must equal the composed
+    // bpeMergeOnce fold it replaced, element for element
+    val both = words.toDF("w").select(
+      TextAnalysis.bpeApply(col("w"), merges).as("n"),
+      TextAnalysis.bpeApplyComposed(col("w"), merges).as("c"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(both.forall { case (n, c) => n == c })
   }
 
   test("logistic trainer learns signal: scored accuracy beats the " +
