@@ -108,10 +108,9 @@ object Bench {
     // BPE batched-trainer scale diagnostic (round-8 verdict item): train
     // 32 merges on the full corpus and report rounds + width — the batch
     // width is the 32k-vocab production bound (rounds ≈ vocab/width).
-    // This corpus has a 31-word vocabulary, so width saturates at ~1.6
-    // (top pairs constantly share symbols and the equivalence guards
-    // close batches — see BpeBatchWidthSpec for the diverse-corpus
-    // contrast where width climbs).
+    // This corpus has a 31-word vocabulary, which bounds achievable
+    // width (dense symbol collisions; see BpeBatchWidthSpec for the
+    // floor) — bpe_train_scale below is the non-degenerate measurement.
     val bpe = {
       val t0 = System.nanoTime()
       val (df, rounds) = graft.analytics.TextAnalysis
