@@ -42,7 +42,8 @@ object Bench {
   // multi-assignment rerank composition, plus the iterative LR trainer/
   // scorer (round-9 advice: iters full-corpus scans with no bench row).
   val additionsR10: Seq[String] = Seq(
-    "sim_topk_ivfpq_rerank_ma", "text_lr_train", "text_lr_score")
+    "sim_topk_ivfpq_rerank_ma", "sim_topk_ivfpq_served",
+    "text_lr_train", "text_lr_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1079,6 +1079,104 @@ object Similarity {
       .parquet(s"$indexDir/corpus")
   }
 
+  /** The offline/online split for IVF-PQ — the actual 100 TB serving
+    * layout: the persisted index holds m CODE BYTES per vector (packed
+    * as a sub-ordered array) partitioned by `list_id`, NOT the raw
+    * floats, so the serving scan reads nProbe/nLists of the rows AND
+    * 1/32 of the bytes while the raw vectors stay in the base corpus
+    * table and are touched only by an exact re-rank pool
+    * (`ivfPqRerankServe`). Construction is the shared deterministic
+    * one (`Clustering.fit` centroids + md5-sampled codebook), so
+    * serving equals the in-memory `ivfPqTopK(refineIters, replicas)`
+    * bit-for-bit (spec-pinned) and stays fully oracle-checked.
+    *
+    * Layout under `indexDir`: `codes/list_id=N/…` (n_id, codes),
+    * `codebook/` (sub, j, cw), `model/` (cluster, components, norm). */
+  def buildIvfPqIndex(corpus: DataFrame, cId: Column, cVec: Column,
+                      indexDir: String, nLists: Int = 16,
+                      refineIters: Int = 2, replicas: Int = 2,
+                      dim: Int = 64, m: Int = 8, ks: Int = 16): Unit = {
+    require(dim % m == 0, "m must divide dim")
+    val spark = corpus.sparkSession
+    val sub = dim / m
+    val model = Clustering.fit(corpus, cId, cVec, k = nLists,
+      iters = refineIters)
+    val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
+      .withColumn("c_n", norm(col("c_v")))
+    val cb = pqCodebook(c, m, sub, ks)
+    // pack each vector's m codes into ONE sub-ordered array row — the
+    // scan-friendly shape (and 1/32 of the float bytes)
+    val packed = pqEncode(c, cb, m, sub)
+      .groupBy(col("n_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
+        .as("cs"))
+      .select(col("n_id"),
+        transform(col("cs"), x => x.getField("code")).as("codes"))
+    val assigned =
+      if (replicas > 1) Clustering.probe(c, col("c_v"), model, replicas)
+      else Clustering.classify(c, col("c_v"), model)
+        .withColumnRenamed("cluster", "list_id").drop("csim")
+    assigned.select(col("n_id"), col("list_id"))
+      .join(packed, Seq("n_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexDir/codes")
+    cb.write.mode("overwrite").parquet(s"$indexDir/codebook")
+    import spark.implicits._
+    model.map(mm => (mm.cluster, mm.components, mm.norm))
+      .toDF("cluster", "components", "norm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model")
+  }
+
+  /** ADC top-k against a persisted IVF-PQ index: probed-list static
+    * partition pruning (the union is bounded by nLists, computed from
+    * the driver-resident model) + per-candidate code-array explode into
+    * the broadcast query distance table. Replica duplicates dedup
+    * BEFORE the explode so no pair sums its code rows twice. */
+  def ivfPqTopKServe(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, queries: DataFrame, qId: Column,
+                     qVec: Column, k: Int, nProbe: Int = 4,
+                     dim: Int = 64, m: Int = 8): DataFrame = {
+    val sub = dim / m
+    val model = loadIvfModel(spark, indexDir)
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"))
+      .withColumn("q_n", norm(col("q_v")))
+    val qTab = pqQueryTable(q.select(col("q_id"), col("q_v")), cb, m, sub)
+    val probes = Clustering.probe(q, col("q_v"), model, nProbe)
+      .select(col("q_id"), col("list_id"))
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("list_id").isin(probedLists: _*))
+    val cand = idx.join(broadcast(probes), Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), col("codes"))
+      .dropDuplicates("q_id", "n_id")
+    val adc = cand
+      .select(col("q_id"), col("n_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(qTab.withColumnRenamed("j", "code")),
+        Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(round(sum(col("qdi")) / 1e6, 6).as("adist"))
+    pqRank(adc, k)
+  }
+
+  /** Exact re-rank over the served ADC pool: the quantized index
+    * nominates, the BASE corpus table pays raw-vector reads for pool
+    * rows only — the complete production read path with the index and
+    * the data physically separate. */
+  def ivfPqRerankServe(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, queries: DataFrame,
+                       corpus: DataFrame, qId: Column, qVec: Column,
+                       cId: Column, cVec: Column, k: Int,
+                       nProbe: Int = 4, pool: Int = 40,
+                       dim: Int = 64, m: Int = 8): DataFrame =
+    rerankExact(
+      ivfPqTopKServe(spark, indexDir, queries, qId, qVec, pool, nProbe,
+        dim, m),
+      queries, corpus, qId, qVec, cId, cVec, k)
+
   /** Serve top-k against a persisted index. The probed-list UNION over
     * the query batch (≤ nLists values, from the driver-resident model)
     * filters the scan BEFORE the per-query probe join, so only probed

@@ -293,6 +293,25 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // The persisted IVF-PQ build/serve split — the ACTUAL 100 TB
+    // serving layout: the index stores m=8 code bytes per vector
+    // partitioned by list (1/32 of the float bytes, probed lists
+    // pruned statically); raw vectors stay in the base table, touched
+    // only by a re-rank pool. Query cost includes the index write AND
+    // the pruned read — that is the point. Oracle replays the full
+    // in-memory construction the persisted one equals.
+    "sim_topk_ivfpq_served" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Similarity.buildIvfPqIndex(e, col("vec_id"), col("embedding"), dir)
+      Similarity.ivfPqTopKServe(s, dir,
+        e.filter(col("vec_id") % 100 === 0),
+        col("vec_id"), col("embedding"), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // IVF-SQ8 on the Lloyd-refined index: the quantized scan composes
     // with refined lists unchanged (quantization is per-vector and
     // list-independent), so recall tracks sim_topk_ivf_lloyd's.
@@ -1983,6 +2002,13 @@ object ContentQueries {
       replicas = 2) +
       ",\npool AS (SELECT q_id, n_id FROM r WHERE rank <= 200)" +
       rerankSuffix),
+
+    // the persisted serve path equals the in-memory Lloyd ADC
+    // construction (replicas=2) — same replay, rank cut at 10
+    "sim_topk_ivfpq_served" -> (ivfPqLloydAdcCtes(ks = 16,
+      replicas = 2) +
+      "\nSELECT q_id, n_id, adist, rank FROM r WHERE rank <= 10" +
+      "\nORDER BY q_id, rank"),
 
     "sim_topk_pq" -> (pqAdcCtes(ks = 16) +
       "\nSELECT q_id, n_id, adist, rank FROM r WHERE rank <= 10" +

@@ -105,6 +105,22 @@ class PlanAuditSpec extends SparkSuite {
     assert(!pf.get.matches(".*PartitionFilters: \\[\\s*\\].*"), pf.get)
   }
 
+  test("sim_topk_ivfpq_served: the code scan carries a PartitionFilter " +
+    "on list_id and reads NO raw-vector column") {
+    val p = plan("sim_topk_ivfpq_served")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.isDefined, s"no PartitionFilters line in\n$p")
+    assert(pf.get.contains("list_id"), pf.get)
+    assert(!pf.get.matches(".*PartitionFilters: \\[\\s*\\].*"), pf.get)
+    // the serving scan's schema is codes-only — floats live in the
+    // base table, not the index
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(rs.exists(_.contains("codes")), s"no codes read in\n$p")
+    rs.filter(_.contains("codes")).foreach { line =>
+      assert(!line.contains("c_v"), s"raw vectors leaked into the index scan: $line")
+    }
+  }
+
   test("dedup_embedding: SRP-LSH candidates join on buckets — no " +
     "all-pairs nested-loop or cartesian join anywhere in the plan") {
     val p = plan("dedup_embedding")

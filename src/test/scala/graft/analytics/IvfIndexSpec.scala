@@ -104,4 +104,44 @@ class IvfIndexSpec extends SparkSuite {
       "no appended (odd-id) vector ever surfaces in the top-k")
     Caches.clear()
   }
+
+  test("served IVF-PQ equals the in-memory composed construction and " +
+    "the persisted index holds codes, not floats") {
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val (id, v) = (col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val direct = Similarity.ivfPqTopK(queries, emb, id, v, id, v, k = 10,
+        refineIters = 2, replicas = 2)
+      .collect().map(_.toSeq).toSet
+    Caches.clear()
+
+    val d = dir("pq")
+    Similarity.buildIvfPqIndex(emb, id, v, d)
+    Caches.clear()
+    val served = Similarity.ivfPqTopKServe(spark, d, queries, id, v,
+        k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(served == direct,
+      s"served IVF-PQ diverged: missing ${direct.diff(served).take(3)}, " +
+        s"extra ${served.diff(direct).take(3)}")
+
+    // the layout contract: the codes table carries NO raw-vector
+    // column — m int codes per row is the whole per-vector payload
+    val codesSchema = spark.read.parquet(s"$d/codes").schema
+    assert(codesSchema.fieldNames.toSet == Set("n_id", "codes", "list_id"),
+      s"unexpected serving columns: ${codesSchema.fieldNames.mkString(",")}")
+
+    // the re-rank pool path reads raw vectors from the BASE table and
+    // must match the in-memory reranked composition
+    val rrDirect = Similarity.ivfPqRerankTopK(queries, emb, id, v, id, v,
+        k = 10, refineIters = 2, replicas = 2, pool = 40)
+      .collect().map(_.toSeq).toSet
+    Caches.clear()
+    val rrServed = Similarity.ivfPqRerankServe(spark, d, queries, emb,
+        id, v, id, v, k = 10, pool = 40)
+      .collect().map(_.toSeq).toSet
+    assert(rrServed == rrDirect,
+      "served rerank diverged from the in-memory composition")
+    Caches.clear()
+  }
 }
