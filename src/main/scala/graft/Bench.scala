@@ -43,6 +43,7 @@ object Bench {
   // scorer (round-9 advice: iters full-corpus scans with no bench row).
   val additionsR10: Seq[String] = Seq(
     "sim_topk_ivfpq_rerank_ma", "sim_topk_ivfpq_served",
+    "sim_topk_hamming", "sim_topk_hamming_rerank",
     "text_lr_train", "text_lr_score")
 
   def main(args: Array[String]): Unit = {

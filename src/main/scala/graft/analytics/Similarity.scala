@@ -270,6 +270,73 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
   }
 
+  /** One 32-bit sign word from dims [from, from+32): bit i set where
+    * the component is strictly positive, packed as Σ 2^i — exact
+    * integer arithmetic under 2^32 in both engines (DuckDB replays via
+    * `power(2, i)::BIGINT`, exact in a double far below 2^53). */
+  private def signWord32(v: Column, from: Int): Column =
+    aggregate(
+      zip_with(slice(v, from + 1, 32), sequence(lit(0), lit(31)),
+        (x, i) => when(x > 0, pow(lit(2.0), i).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+
+  /** Binary (1-bit sign) quantization + Hamming-distance top-k — the
+    * cheapest ANN scan tier (Charikar STOC 2002's sign sketch applied
+    * with the identity rotation: for near-isotropic embeddings the raw
+    * coordinate signs already behave like random hyperplanes): each
+    * 64-dim vector packs into TWO 32-bit sign words (8 bytes — 32× byte
+    * compression like PQ, but the distance is two XOR+popcounts instead
+    * of m table lookups, the cheapest comparison that exists). Hamming
+    * distance approximates angle (E[hamming] = dim·θ/π), so ranking by
+    * (hamming asc, n_id) is a cosine-ordering surrogate whose recall
+    * is measured, not assumed (RecallSpec), and whose real use is
+    * NOMINATION for an exact re-rank (`hammingRerankTopK`).
+    *
+    * Engine-portable by construction: sign words are exact integer
+    * sums, XOR/bit_count are exact in both engines — the whole operator
+    * is hash-checked, no tolerance anywhere.
+    *
+    * Plan shape: signing is O(d) per vector inside the scan projection;
+    * the scan carries 2 longs per vector; the query side broadcasts;
+    * one window ranks. At 100 TB this is the first-stage filter that
+    * reads 1/32 of the bytes with no index build at all — compose with
+    * IVF pruning when even the bit scan is too much. */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
+                  qVec: Column, cId: Column, cVec: Column,
+                  k: Int): DataFrame = {
+    def prep(df: DataFrame, id: Column, vec: Column, p: String) =
+      df.select(id.as(s"${p}_id"), asDouble(vec).as("_v"))
+        .withColumn(s"${p}_lo", signWord32(col("_v"), 0))
+        .withColumn(s"${p}_hi", signWord32(col("_v"), 32))
+        .drop("_v")
+    val q = prep(queries, qId, qVec, "q")
+    val c = prep(corpus, cId, cVec, "c")
+      .withColumnRenamed("c_id", "n_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("n_id"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (bit_count(col("q_lo").bitwiseXOR(col("c_lo"))) +
+          bit_count(col("q_hi").bitwiseXOR(col("c_hi"))))
+          .cast("long").as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("hamming"), col("rank"))
+  }
+
+  /** Hamming nomination + exact-cosine re-rank: the two-stage shape
+    * where the 8-byte bit scan nominates `pool` and only those pay the
+    * full-precision dot product — recall becomes pool containment
+    * (RecallSpec floors), scan bytes stay 1/32. */
+  def hammingRerankTopK(queries: DataFrame, corpus: DataFrame,
+                        qId: Column, qVec: Column, cId: Column,
+                        cVec: Column, k: Int,
+                        pool: Int = 100): DataFrame =
+    rerankExact(
+      hammingTopK(queries, corpus, qId, qVec, cId, cVec, pool),
+      queries, corpus, qId, qVec, cId, cVec, k)
+
   /** Exact brute-force top-k: broadcast the (small) query set against the
     * corpus, rank per query. Tie-break on rounded sim then id →
     * deterministic. */

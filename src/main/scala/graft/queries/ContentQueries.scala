@@ -208,6 +208,30 @@ object ContentQueries {
         .orderBy(col("source"))
     }),
 
+    // 1-bit sign quantization + Hamming scan: 8 bytes per vector, the
+    // cheapest comparison (two XOR+popcounts); ranking is a cosine
+    // surrogate whose value is NOMINATION — the rerank variant is the
+    // production shape. Exact integer construction, fully hash-checked.
+    "sim_topk_hamming" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.hammingTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    "sim_topk_hamming_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.hammingRerankTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10, pool = 100)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "sim_topk_bruteforce" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopK(
@@ -1844,6 +1868,16 @@ object ContentQueries {
         |SELECT vec_id, round(en, 6) + 0.0 AS energy FROM en
         |ORDER BY vec_id""".stripMargin,
 
+    // sign words replay as exact power-of-two sums; XOR + bit_count
+    // are exact integers in both engines — no tolerance anywhere
+    "sim_topk_hamming" -> (hammingCtes +
+      "\nSELECT q_id, n_id, hamming, rank FROM r WHERE rank <= 10" +
+      "\nORDER BY q_id, rank"),
+
+    "sim_topk_hamming_rerank" -> (hammingCtes +
+      ",\npool AS (SELECT q_id, n_id FROM r WHERE rank <= 100)" +
+      rerankSuffix),
+
     "sim_topk_bruteforce" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -3381,6 +3415,32 @@ object ContentQueries {
         |  GROUP BY 1, 2),
         |r AS (SELECT q_id, n_id, adist, row_number() OVER (PARTITION BY q_id
         |    ORDER BY adist, n_id) AS rank FROM adc)""".stripMargin
+
+  /** Sign-word + Hamming replay of `Similarity.hammingTopK`: two
+    * 32-bit words as exact power-of-two sums, XOR + bit_count — all
+    * integer arithmetic, bit-identical across engines. Ends at `r`
+    * like the ADC CTEs so `rerankSuffix` composes. */
+  private def hammingCtes: String =
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |w AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(1, 33), i ->
+      |      CASE WHEN e[i] > 0 THEN CAST(power(2, i-1) AS BIGINT)
+      |        ELSE 0 END)) AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(range(33, 65), i ->
+      |      CASE WHEN e[i] > 0 THEN CAST(power(2, i-33) AS BIGINT)
+      |        ELSE 0 END)) AS BIGINT) AS hi
+      |  FROM v),
+      |q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM w
+      |  WHERE vec_id % 100 = 0),
+      |sc AS (SELECT q_id, c.vec_id AS n_id,
+      |    CAST(bit_count(xor(qlo, c.lo)) + bit_count(xor(qhi, c.hi))
+      |      AS BIGINT) AS hamming
+      |  FROM q JOIN w c ON c.vec_id <> q_id),
+      |r AS (SELECT q_id, n_id, hamming, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY hamming, n_id) AS rank FROM sc)"""
+      .stripMargin
 
   /** Exact-cosine rerank suffix over a pool(q_id, n_id) CTE — the SQL
     * twin of `Similarity.rerankExact` (requires CTE v from the shared

@@ -98,6 +98,14 @@ class RecallSpec extends SparkSuite {
     val ivfPqRrMa = recallOf("ivfpq_rrMA",
       Similarity.ivfPqRerankTopK(queries, emb, id, v, id, v, k = 10,
         ks = 64, pool = 200, refineIters = 2, replicas = 2), 0.70)
+    // 1-bit sign quantization: the Hamming ordering is a coarse cosine
+    // surrogate (64 bits of signal), and its real job is nomination —
+    // the reranked floor is the one that matters
+    val ham = recallOf("hamming",
+      Similarity.hammingTopK(queries, emb, id, v, id, v, k = 10), 0.15)
+    val hamRr = recallOf("hamming_rr",
+      Similarity.hammingRerankTopK(queries, emb, id, v, id, v, k = 10,
+        pool = 100), 0.55)
     // re-rank must dominate its ADC-ranked parent by a wide margin...
     assert(pqRr >= pq + 0.10,
       s"re-rank must lift PQ recall materially: $pqRr vs adc-ranked $pq")
@@ -115,6 +123,10 @@ class RecallSpec extends SparkSuite {
     assert(ivfPqRrBig <= pqRrBig + 0.02,
       s"list pruning can only shed nominations vs whole-corpus PQ: " +
         s"$ivfPqRrBig vs $pqRrBig")
+    // the Hamming rerank must lift its own nomination ranking
+    // materially (pool containment >> bit-ordering fidelity)
+    assert(hamRr >= ham + 0.10,
+      s"re-rank must lift Hamming recall materially: $hamRr vs $ham")
     // multi-assignment widens probed-list containment, so it must lift
     // the rerank path materially over single-assignment...
     assert(ivfPqRrMa >= ivfPqRrBig + 0.10,
