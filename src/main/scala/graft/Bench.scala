@@ -44,7 +44,9 @@ object Bench {
   val additionsR10: Seq[String] = Seq(
     "sim_topk_ivfpq_rerank_ma", "sim_topk_ivfpq_served",
     "sim_topk_hamming", "sim_topk_hamming_rerank",
-    "text_lr_train", "text_lr_score")
+    "text_lr_train", "text_lr_score",
+    "dedup_cdc_ratio", "dedup_cdc_chunks",
+    "mix_waterfill", "sample_mix_waterfill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

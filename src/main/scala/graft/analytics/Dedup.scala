@@ -979,4 +979,90 @@ object Dedup {
           when(col("covered") === 0, struct(col("p"), col("tok"))))),
         x => x.getField("tok"))).as("clean_text"))
   }
+
+  /** Content-defined chunking (CDC) over the token stream — the storage-
+    * dedup primitive (Muthitacharoen/Chen/Mazières, "A Low-Bandwidth
+    * Network File System", SOSP 2001), word-granular: token `i` CLOSES a
+    * chunk when the 60-bit rolling hash of the `w`-gram ending at `i`
+    * (`WordGramHashes(lower(text), w)`) is 0 mod 2^maskBits, so cut
+    * points move with content and an insertion early in a document
+    * re-aligns after ~one chunk instead of shifting every later chunk
+    * (the fixed-size-block failure CDC exists to fix). Expected chunk
+    * length is 2^maskBits tokens. Unlike LBFS we impose no min/max
+    * clamp: a clamp makes each cut depend on the previous cut
+    * (sequential per doc), while the unclamped rule keeps the decision
+    * per-position — one `posexplode` + one doc-keyed window, the same
+    * shape as `substringDedup`. At the default 2^4 the runt/giant chunks
+    * a clamp suppresses are a tail, not a mode.
+    *
+    * Chunk identity hashes the chunk's ORDERED per-token (1-gram)
+    * hashes, not the overlapping boundary grams, so an equal token run
+    * chunk-aligns and fingerprints equal across documents regardless of
+    * what surrounds it. Docs shorter than `w` tokens form one chunk
+    * (no complete boundary gram exists).
+    *
+    * Returns one row per chunk: (doc_id, chunk, n_tokens, chunk_fp).
+    *
+    * Scale: grams hash natively in the scan (no gram strings shuffle);
+    * the only exchange is the doc-keyed window shuffle + the per-chunk
+    * aggregate that rides the same partitioning. No cross-doc work —
+    * corpus-wide duplicate detection is a hash aggregate on `chunk_fp`
+    * downstream (`cdcDedupStats`). */
+  def cdcChunks(docs: DataFrame, id: Column, text: Column,
+                w: Int = 4, maskBits: Int = 4): DataFrame = {
+    require(w >= 1 && maskBits >= 1)
+    val m = 1L << maskBits
+    val base = docs.select(id.as("doc_id"),
+      graft.functions.HashExpressions.wordGramHashes(lower(text), 1)
+        .as("th"),
+      graft.functions.HashExpressions.wordGramHashes(lower(text), w)
+        .as("bh"))
+    // token index i (0-based): boundary iff a complete w-gram ends at i
+    // (i >= w-1 with at least w tokens) and its hash lands on the mask.
+    // bh is 1-based; the gram ending at token i starts at i-w+1 → index
+    // i-w+2. size(th) <= w collapses bh to one truncated gram — only
+    // i = w-1 (= the last token) could consult it, and a boundary at the
+    // final token splits nothing, so the truncated case is consistent.
+    val toks = base
+      .select(col("doc_id"), col("bh"), size(col("th")).as("n"),
+        posexplode(col("th")).as(Seq("i", "h")))
+      .withColumn("bd",
+        col("i") >= w - 1 && col("n") >= w &&
+          pmod(element_at(col("bh"), col("i") - (w - 2)), lit(m)) === 0)
+    // chunk id = boundaries strictly BEFORE this token (a boundary token
+    // is the last member of its chunk)
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk",
+        coalesce(sum(col("bd").cast("long")).over(wPrev), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("i"), col("h")))),
+          x => x.getField("h").cast("string")))).as("chunk_fp"))
+  }
+
+  /** Per-document CDC dedup accounting: of the doc's chunks, how many
+    * (and how many tokens) also occur elsewhere in the corpus — the
+    * "bytes you would not store twice" number a chunk store reports.
+    * A chunk is duplicate when its fingerprint occurs more than once
+    * corpus-wide (including multiplicity inside one doc).
+    *
+    * Scale: ONE extra shuffle over `cdcChunks` — the corpus-wide
+    * occurrence count is a window keyed by `chunk_fp` (hash partition
+    * on a 32-hex key; no skew beyond true duplicate mass, and a chunk
+    * duplicated billions of times is exactly the boilerplate the report
+    * exists to find — AQE splits that partition). */
+  def cdcDedupStats(docs: DataFrame, id: Column, text: Column,
+                    w: Int = 4, maskBits: Int = 4): DataFrame = {
+    val ch = cdcChunks(docs, id, text, w, maskBits)
+    val byFp = Window.partitionBy(col("chunk_fp"))
+    ch.withColumn("copies", count(lit(1)).over(byFp))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("copies") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("copies") > 1, col("n_tokens")).otherwise(0L))
+          .cast("long").as("dup_tokens"))
+  }
 }

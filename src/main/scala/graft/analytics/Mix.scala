@@ -1,0 +1,62 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mixture allocation for training-data assembly: how a GLOBAL token
+  * budget splits across sources under per-source mixture weights and
+  * per-source availability caps.
+  */
+object Mix {
+
+  /** Water-filling allocation: alloc_s = min(cap_s, λ·w_s) with
+    * Σ alloc_s = min(B, Σ cap_s) — proportional-to-weight up to each
+    * source's cap, with the excess re-flowing to unsaturated sources.
+    * This is the allocation a data mix computes when a small high-weight
+    * source runs out before the budget does.
+    *
+    * Closed form, no iteration: f(λ) = Σ min(cap_s, λ·w_s) is piecewise
+    * linear and increasing with breakpoints at r_s = cap_s/w_s, so
+    * sorting by r and prefix-summing solves f(λ) = B in one pass —
+    * source s is saturated ⟺ f(r_s) ≤ B, and
+    * λ = (B − Σ_saturated cap) / (Σ_unsaturated w). Breakpoint ties are
+    * harmless (f evaluates equal at tied rows); (r, source) ordering
+    * keeps the prefix sums deterministic anyway.
+    *
+    * Input is one row per source. The single-partition windows are
+    * deliberate: the frame is the already-aggregated source list
+    * (#sources rows — dozens, not documents), while the corpus-scale
+    * work (the caps) happens in the caller's aggregate.
+    *
+    * Returns (source, wt, cap, alloc, sat): alloc in cap's units
+    * (double — callers floor for integer budgets), sat = true when the
+    * source contributes everything it has. */
+  def waterfillAlloc(src: DataFrame, source: Column, cap: Column,
+                     weight: Column, budget: Double): DataFrame = {
+    val base = src.select(source.as("source"),
+      cap.cast("double").as("cap"), weight.cast("double").as("wt"))
+      .withColumn("r", col("cap") / col("wt"))
+    val ord = Window.orderBy(col("r"), col("source"))
+    val all = ord.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    base
+      .withColumn("pc", sum(col("cap")).over(ord))
+      .withColumn("pw", sum(col("wt")).over(ord))
+      .withColumn("totw", sum(col("wt")).over(all))
+      .withColumn("sat",
+        col("pc") + col("r") * (col("totw") - col("pw")) <= lit(budget))
+      .withColumn("satpc", max(when(col("sat"), col("pc"))).over(all))
+      .withColumn("satpw", max(when(col("sat"), col("pw"))).over(all))
+      // when sat, alloc = cap EXACTLY (no float residue from λ·w); the
+      // unsaturated branch never divides by zero because an unsaturated
+      // row's weight is absent from satpw
+      .withColumn("alloc", when(col("sat"), col("cap")).otherwise(
+        least(col("cap"),
+          (lit(budget) - coalesce(col("satpc"), lit(0.0)))
+            / (col("totw") - coalesce(col("satpw"), lit(0.0)))
+            * col("wt"))))
+      .select(col("source"), col("wt"), col("cap"), col("alloc"),
+        col("sat"))
+  }
+}

@@ -20,6 +20,17 @@ object ContentQueries {
   private def stopList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** Per-source (cap, weight) for the water-filling mix queries: cap =
+    * total tokens, weight = 1 + (source number mod 5) — a deterministic
+    * heterogeneous weighting both engines derive from the source name. */
+  private def mixSources(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .groupBy(col("source"))
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).cast("double")
+        .as("cap"))
+      .withColumn("wt", (lit(1) + pmod(regexp_extract(col("source"),
+        "([0-9]+)", 1).cast("int"), lit(5))).cast("double"))
+
   /** Frozen BPE merge table for text_bpe_apply (rank order). Covers all
     * merge regimes: char pairs, merged-as-left (ta+b, er+g),
     * merged-as-right (w+in), and l==r run parity (l+l). */
@@ -205,6 +216,53 @@ object ContentQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           max(col("cum")).cast("long").as("used_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // Water-filling mixture allocation: split a GLOBAL token budget B
+    // across sources proportional to mixture weights, capped at each
+    // source's availability, with the excess re-flowing to unsaturated
+    // sources — the allocation a training mix actually computes when a
+    // small high-weight source runs out (sample_token_budget's fixed
+    // per-source caps are this problem's INPUT, not its solution).
+    // Solver: Mix.waterfillAlloc (sort-by-breakpoint closed form, one
+    // window pass over the #sources-row aggregate). Scale: the per-
+    // source caps are the one corpus-scale aggregate; the solve runs
+    // over the tiny aggregated source list.
+    "mix_waterfill" -> ((s, d) =>
+      graft.analytics.Mix.waterfillAlloc(mixSources(s, d),
+        col("source"), col("cap"), col("wt"), budget = 15000.0)
+        .select(col("source"), col("wt").cast("long").as("weight"),
+          col("cap").cast("long").as("cap_tokens"),
+          round(col("alloc"), 6).as("alloc_tokens"),
+          col("sat").cast("long").as("saturated"))
+        .orderBy(col("source"))),
+
+    // The water-filled mix MATERIALIZED: each source contributes docs in
+    // deterministic md5 order until its computed allocation is spent —
+    // mix_waterfill decides the split, this query cuts the corpus to it.
+    // The solved allocation is ~#sources rows, so its join back to the
+    // corpus broadcasts; the corpus side pays one source-keyed window.
+    "sample_mix_waterfill" -> ((s, d) => {
+      val alloc = graft.analytics.Mix.waterfillAlloc(mixSources(s, d),
+        col("source"), col("cap"), col("wt"), budget = 15000.0)
+        .select(col("source"), floor(col("alloc")).cast("long")
+          .as("budget"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val taken = docs(s, d)
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .join(broadcast(alloc), Seq("source"))
+        .filter(col("cum") <= col("budget"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("taken"),
+          max(col("cum")).cast("long").as("used"))
+      alloc.join(taken, Seq("source"), "left")
+        .select(col("source"), col("budget").as("budget_tokens"),
+          coalesce(col("taken"), lit(0L)).as("n_docs"),
+          coalesce(col("used"), lit(0L)).as("used_tokens"))
         .orderBy(col("source"))
     }),
 
@@ -992,6 +1050,30 @@ object ContentQueries {
       Dedup.boilerplateStats(docs(s, d), col("doc_id"), col("text"),
         segTokens = 8, minDocs = 2)
         .orderBy(col("doc_id"))),
+
+    // Content-defined chunking (LBFS-style, word-granular): cut points
+    // are rolling-hash-selected so equal runs chunk-align across docs —
+    // the storage-dedup primitive. Per doc: chunk count + how many
+    // chunks/tokens a chunk store would not store twice. One doc-keyed
+    // window + one fp-keyed window; no cross-doc join.
+    "dedup_cdc_ratio" -> ((s, d) =>
+      Dedup.cdcDedupStats(docs(s, d), col("doc_id"), col("text"),
+        w = 4, maskBits = 4)
+        .orderBy(col("doc_id"))),
+
+    // The corpus's most-replicated CDC chunks (the boilerplate a chunk
+    // store collapses): fingerprint, copy count, chunk length. Equal
+    // fp ⇒ equal token-hash sequence ⇒ equal length, so max(n_tokens)
+    // is a determinism formality, not a choice.
+    "dedup_cdc_chunks" -> ((s, d) =>
+      Dedup.cdcChunks(docs(s, d), col("doc_id"), col("text"),
+        w = 4, maskBits = 4)
+        .groupBy(col("chunk_fp"))
+        .agg(count(lit(1)).cast("long").as("n_copies"),
+          max(col("n_tokens")).cast("long").as("n_tokens"))
+        .filter(col("n_copies") >= 2)
+        .orderBy(col("n_copies").desc, col("chunk_fp"))
+        .limit(20)),
 
     // The boilerplate PASS itself (dedup_boilerplate reports, this one
     // rewrites): drop every corpus-wide boilerplate segment and reassemble
@@ -1798,6 +1880,77 @@ object ContentQueries {
         |SELECT source, count(*) AS n_docs,
         |  CAST(max(cum) AS BIGINT) AS used_tokens
         |FROM c WHERE cum <= 3000 GROUP BY source ORDER BY source""".stripMargin,
+
+    // independent water-filling solve: same sort-by-breakpoint closed
+    // form (f(λ)=Σ min(cap,λw); s saturated ⟺ f(r_s) ≤ B)
+    "mix_waterfill" ->
+      """WITH src AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS cap,
+        |    CAST(1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+        |      % 5) AS DOUBLE) AS wt
+        |  FROM documents GROUP BY source),
+        |rr AS (SELECT source, cap, wt, cap / wt AS r FROM src),
+        |cum AS (SELECT source, cap, wt, r,
+        |    sum(cap) OVER (ORDER BY r, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+        |    sum(wt) OVER (ORDER BY r, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pw,
+        |    sum(wt) OVER () AS totw
+        |  FROM rr),
+        |st AS (SELECT *, pc + r * (totw - pw) <= 15000.0 AS sat FROM cum),
+        |sol AS (SELECT *,
+        |    max(CASE WHEN sat THEN pc END) OVER () AS satpc,
+        |    max(CASE WHEN sat THEN pw END) OVER () AS satpw
+        |  FROM st)
+        |SELECT source, CAST(wt AS BIGINT) AS weight,
+        |  CAST(cap AS BIGINT) AS cap_tokens,
+        |  round(CASE WHEN sat THEN cap ELSE least(cap,
+        |    (15000.0 - coalesce(satpc, 0.0)) / (totw - coalesce(satpw, 0.0))
+        |      * wt) END, 6) AS alloc_tokens,
+        |  CAST(sat AS BIGINT) AS saturated
+        |FROM sol ORDER BY source""".stripMargin,
+
+    "sample_mix_waterfill" ->
+      """WITH src AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS cap,
+        |    CAST(1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+        |      % 5) AS DOUBLE) AS wt
+        |  FROM documents GROUP BY source),
+        |rr AS (SELECT source, cap, wt, cap / wt AS r FROM src),
+        |cum AS (SELECT source, cap, wt, r,
+        |    sum(cap) OVER (ORDER BY r, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+        |    sum(wt) OVER (ORDER BY r, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pw,
+        |    sum(wt) OVER () AS totw
+        |  FROM rr),
+        |st AS (SELECT *, pc + r * (totw - pw) <= 15000.0 AS sat FROM cum),
+        |sol AS (SELECT *,
+        |    max(CASE WHEN sat THEN pc END) OVER () AS satpc,
+        |    max(CASE WHEN sat THEN pw END) OVER () AS satpw
+        |  FROM st),
+        |alloc AS (SELECT source,
+        |    CAST(floor(CASE WHEN sat THEN cap ELSE least(cap,
+        |      (15000.0 - coalesce(satpc, 0.0))
+        |        / (totw - coalesce(satpw, 0.0)) * wt) END) AS BIGINT)
+        |      AS budget
+        |  FROM sol),
+        |t AS (SELECT source, doc_id,
+        |    len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |tk AS (SELECT c.source, count(*) AS taken,
+        |    CAST(max(c.cum) AS BIGINT) AS used
+        |  FROM c JOIN alloc USING (source) WHERE c.cum <= alloc.budget
+        |  GROUP BY c.source)
+        |SELECT alloc.source, alloc.budget AS budget_tokens,
+        |  coalesce(tk.taken, 0) AS n_docs,
+        |  coalesce(tk.used, 0) AS used_tokens
+        |FROM alloc LEFT JOIN tk USING (source)
+        |ORDER BY alloc.source""".stripMargin,
 
     "dedup_embedding" ->
       s"""$simCte
@@ -2886,6 +3039,68 @@ object ContentQueries {
         |    AS n_boilerplate
         |FROM c JOIN f USING (seg)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // CDC replay: same 60-bit md5-derived token/boundary-gram hashes,
+    // same strictly-preceding-boundary running sum, same ordered-hash
+    // chunk fingerprint
+    "dedup_cdc_ratio" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, u.i AS i, len(t) AS n, t,
+        |    CAST(CONCAT('0x', substr(md5(t[u.i]), 1, 15)) AS BIGINT) AS h
+        |  FROM tk, LATERAL unnest(range(1, len(t) + 1)) AS u(i)),
+        |b AS (SELECT doc_id, i, h,
+        |    CASE WHEN i >= 4 AND n >= 4 AND
+        |      CAST(CONCAT('0x', substr(md5(array_to_string(
+        |        list_slice(t, i - 3, i), ' ')), 1, 15)) AS BIGINT)
+        |        % 16 = 0
+        |    THEN 1 ELSE 0 END AS bd
+        |  FROM tok),
+        |ch AS (SELECT doc_id, i, h,
+        |    coalesce(sum(bd) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk
+        |  FROM b),
+        |cf AS (SELECT doc_id, chunk, count(*) AS n_tokens,
+        |    md5(string_agg(CAST(h AS VARCHAR), ' ' ORDER BY i))
+        |      AS chunk_fp
+        |  FROM ch GROUP BY doc_id, chunk),
+        |cp AS (SELECT chunk_fp, count(*) AS copies FROM cf
+        |  GROUP BY chunk_fp)
+        |SELECT cf.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN cp.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(sum(CASE WHEN cp.copies > 1 THEN cf.n_tokens ELSE 0 END)
+        |    AS BIGINT) AS dup_tokens
+        |FROM cf JOIN cp USING (chunk_fp)
+        |GROUP BY cf.doc_id ORDER BY cf.doc_id""".stripMargin,
+
+    "dedup_cdc_chunks" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, u.i AS i, len(t) AS n, t,
+        |    CAST(CONCAT('0x', substr(md5(t[u.i]), 1, 15)) AS BIGINT) AS h
+        |  FROM tk, LATERAL unnest(range(1, len(t) + 1)) AS u(i)),
+        |b AS (SELECT doc_id, i, h,
+        |    CASE WHEN i >= 4 AND n >= 4 AND
+        |      CAST(CONCAT('0x', substr(md5(array_to_string(
+        |        list_slice(t, i - 3, i), ' ')), 1, 15)) AS BIGINT)
+        |        % 16 = 0
+        |    THEN 1 ELSE 0 END AS bd
+        |  FROM tok),
+        |ch AS (SELECT doc_id, i, h,
+        |    coalesce(sum(bd) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk
+        |  FROM b),
+        |cf AS (SELECT doc_id, chunk, count(*) AS n_tokens,
+        |    md5(string_agg(CAST(h AS VARCHAR), ' ' ORDER BY i))
+        |      AS chunk_fp
+        |  FROM ch GROUP BY doc_id, chunk)
+        |SELECT chunk_fp, CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(max(n_tokens) AS BIGINT) AS n_tokens
+        |FROM cf GROUP BY chunk_fp HAVING count(*) >= 2
+        |ORDER BY n_copies DESC, chunk_fp LIMIT 20""".stripMargin,
 
     "dedup_boilerplate_clean" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -412,4 +412,40 @@ class DedupSpec extends SparkSuite {
     // survives exactly
     assert(r(4L) == ((13L, 3L, words("f", 3))), r(4L))
   }
+
+  test("cdc: chunks partition the token stream, and a prefix edit " +
+    "realigns after a bounded window (the content-defined property)") {
+    // deterministic varied token stream — enough tokens for ~15 chunks
+    // at maskBits=3 (expected chunk length 8)
+    val toks = (0 until 120).map(i => s"w${(i * 2654435761L) % 97}")
+    val t1 = toks.mkString(" ")
+    val t2 = "zzz qqq xxx " + t1 // 3-token prefix insertion
+    val df = Seq((1L, t1), (2L, t2)).toDF("id", "t")
+    val ch = Dedup.cdcChunks(df, col("id"), col("t"), w = 4, maskBits = 3)
+      .cache()
+    // chunks PARTITION the tokens: per-doc chunk token counts sum to the
+    // doc's token count, with no overlap possible by construction
+    val sums = ch.groupBy("doc_id").agg(sum("n_tokens").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sums == Map(1L -> 120L, 2L -> 123L), sums)
+    // a fixed-size chunker would shift EVERY block after the insertion;
+    // CDC boundaries depend only on a w-token window, so every doc-1
+    // chunk after the first post-edit boundary reappears verbatim in
+    // doc 2 — only the chunk containing the edit may differ
+    val f1 = ch.filter($"doc_id" === 1).select("chunk_fp")
+      .as[String].collect()
+    val f2 = ch.filter($"doc_id" === 2).select("chunk_fp")
+      .as[String].collect().toSet
+    assert(f1.length >= 8, s"degenerate fixture: ${f1.length} chunks")
+    val missing = f1.count(!f2.contains(_))
+    assert(missing <= 1,
+      s"$missing of ${f1.length} doc-1 chunks lost after a prefix edit")
+    // and the duplicate accounting sees exactly that sharing
+    val stats = Dedup.cdcDedupStats(df, col("id"), col("t"),
+      w = 4, maskBits = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(stats(1L)._2 >= f1.length - 1, stats(1L))
+    ch.unpersist()
+  }
 }

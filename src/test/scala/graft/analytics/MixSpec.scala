@@ -1,0 +1,53 @@
+package graft.analytics
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class MixSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def solve(rows: Seq[(String, Double, Double)], b: Double) =
+    Mix.waterfillAlloc(rows.toDF("s", "c", "w"),
+      col("s"), col("c"), col("w"), b)
+      .select("source", "cap", "wt", "alloc", "sat")
+      .as[(String, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("waterfill: budget exhausts exactly, caps bind, excess reflows " +
+    "proportional to weight") {
+    // caps 100/1000/1000, weights 5/1/4, B=1000:
+    // r = 20/1000/250 → 'a' saturates (cap 100), remaining 900 splits
+    // 1:4 over b/c → 180/720, both under cap
+    val r = solve(Seq(("a", 100.0, 5.0), ("b", 1000.0, 1.0),
+      ("c", 1000.0, 4.0)), 1000.0)
+    assert(r("a")._4 == 100.0 && r("a")._5, r("a"))
+    assert(r("b")._4 == 180.0 && !r("b")._5, r("b"))
+    assert(r("c")._4 == 720.0 && !r("c")._5, r("c"))
+  }
+
+  test("waterfill: cascading saturation — a second source binds once " +
+    "the first's excess reflows") {
+    // caps 50/300/5000, weights 1/2/2, B=2000: r = 50/150/2500.
+    // a saturates (50); then λ=(2000-50)/4=487.5 → b's 975 > cap 300 →
+    // b saturates too; final λ=(2000-350)/2=825 → c gets 1650
+    val r = solve(Seq(("a", 50.0, 1.0), ("b", 300.0, 2.0),
+      ("c", 5000.0, 2.0)), 2000.0)
+    assert(r("a")._4 == 50.0 && r("a")._5, r("a"))
+    assert(r("b")._4 == 300.0 && r("b")._5, r("b"))
+    assert(r("c")._4 == 1650.0 && !r("c")._5, r("c"))
+    assert(r.values.map(_._4).sum == 2000.0)
+  }
+
+  test("waterfill: budget above total capacity saturates everyone at cap") {
+    val r = solve(Seq(("a", 10.0, 1.0), ("b", 20.0, 9.0)), 1e9)
+    assert(r("a")._4 == 10.0 && r("a")._5)
+    assert(r("b")._4 == 20.0 && r("b")._5)
+  }
+
+  test("waterfill: nobody saturates when the budget is small — pure " +
+    "proportional split") {
+    val r = solve(Seq(("a", 1000.0, 1.0), ("b", 1000.0, 3.0)), 100.0)
+    assert(r("a")._4 == 25.0 && !r("a")._5)
+    assert(r("b")._4 == 75.0 && !r("b")._5)
+  }
+}
