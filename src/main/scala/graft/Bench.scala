@@ -45,7 +45,7 @@ object Bench {
     "sim_topk_ivfpq_rerank_ma", "sim_topk_ivfpq_served",
     "sim_topk_hamming", "sim_topk_hamming_rerank",
     "text_lr_train", "text_lr_score",
-    "dedup_cdc_ratio", "dedup_cdc_chunks",
+    "dedup_cdc_ratio", "dedup_cdc_chunks", "dedup_cdc_incr",
     "mix_waterfill", "sample_mix_waterfill")
 
   def main(args: Array[String]): Unit = {

@@ -1065,4 +1065,39 @@ object Dedup {
         sum(when(col("copies") > 1, col("n_tokens")).otherwise(0L))
           .cast("long").as("dup_tokens"))
   }
+
+  /** The chunk store's fingerprint table for `cdcNewChunks`: distinct
+    * chunk fingerprints of everything already stored. Persist this
+    * (parquet) between batches — it only ever UNIONs with each batch's
+    * new fingerprints, the chunk-store growth pattern. */
+  def cdcHistoryFps(history: DataFrame, id: Column, text: Column,
+                    w: Int = 4, maskBits: Int = 4): DataFrame =
+    cdcChunks(history, id, text, w, maskBits)
+      .select(col("chunk_fp")).distinct()
+
+  /** Incremental CDC — the chunk-store ingest question: of an incoming
+    * batch's chunks, which does the store already hold (transfer/store
+    * nothing) and how many tokens are genuinely new? The CDC
+    * re-alignment property is what makes this accounting strong: a doc
+    * that differs from a stored one by an insertion still matches on
+    * every chunk past the edit window.
+    *
+    * Scale: the history fingerprint table is corpus-scale — it joins as
+    * a SHUFFLE_HASH equi-join on the fingerprint (never a broadcast),
+    * the same history contract as `substringCleanAgainst`; the incoming
+    * side pays only its own chunking windows. */
+  def cdcNewChunks(historyFps: DataFrame, incoming: DataFrame,
+                   id: Column, text: Column,
+                   w: Int = 4, maskBits: Int = 4): DataFrame = {
+    val ch = cdcChunks(incoming, id, text, w, maskBits)
+    val known = historyFps.select(col("chunk_fp"))
+      .withColumn("known", lit(1L))
+    ch.join(known.hint("shuffle_hash"), Seq("chunk_fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("known").isNotNull, 1L).otherwise(0L))
+          .as("n_known_chunks"),
+        sum(when(col("known").isNull, col("n_tokens")).otherwise(0L))
+          .cast("long").as("new_tokens"))
+  }
 }

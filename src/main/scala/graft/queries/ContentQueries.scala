@@ -1061,6 +1061,20 @@ object ContentQueries {
         w = 4, maskBits = 4)
         .orderBy(col("doc_id"))),
 
+    // Incremental CDC — the chunk-store ingest accounting: history =
+    // every third doc's chunk fingerprints (the store), incoming = the
+    // rest; per incoming doc, how many chunks the store already holds
+    // and how many tokens are genuinely new. History joins SHUFFLE_HASH
+    // on the fingerprint, never broadcast.
+    "dedup_cdc_incr" -> ((s, d) => {
+      val dd = docs(s, d)
+      val hist = Dedup.cdcHistoryFps(dd.filter(col("doc_id") % 3 === 0),
+        col("doc_id"), col("text"), w = 4, maskBits = 4)
+      Dedup.cdcNewChunks(hist, dd.filter(col("doc_id") % 3 =!= 0),
+        col("doc_id"), col("text"), w = 4, maskBits = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // The corpus's most-replicated CDC chunks (the boilerplate a chunk
     // store collapses): fingerprint, copy count, chunk length. Equal
     // fp ⇒ equal token-hash sequence ⇒ equal length, so max(n_tokens)
@@ -3074,6 +3088,38 @@ object ContentQueries {
         |    AS BIGINT) AS dup_tokens
         |FROM cf JOIN cp USING (chunk_fp)
         |GROUP BY cf.doc_id ORDER BY cf.doc_id""".stripMargin,
+
+    "dedup_cdc_incr" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, u.i AS i, len(t) AS n, t,
+        |    CAST(CONCAT('0x', substr(md5(t[u.i]), 1, 15)) AS BIGINT) AS h
+        |  FROM tk, LATERAL unnest(range(1, len(t) + 1)) AS u(i)),
+        |b AS (SELECT doc_id, i, h,
+        |    CASE WHEN i >= 4 AND n >= 4 AND
+        |      CAST(CONCAT('0x', substr(md5(array_to_string(
+        |        list_slice(t, i - 3, i), ' ')), 1, 15)) AS BIGINT)
+        |        % 16 = 0
+        |    THEN 1 ELSE 0 END AS bd
+        |  FROM tok),
+        |ch AS (SELECT doc_id, i, h,
+        |    coalesce(sum(bd) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk
+        |  FROM b),
+        |cf AS (SELECT doc_id, chunk, count(*) AS n_tokens,
+        |    md5(string_agg(CAST(h AS VARCHAR), ' ' ORDER BY i))
+        |      AS chunk_fp
+        |  FROM ch GROUP BY doc_id, chunk),
+        |hist AS (SELECT DISTINCT chunk_fp FROM cf WHERE doc_id % 3 = 0),
+        |inc AS (SELECT * FROM cf WHERE doc_id % 3 <> 0)
+        |SELECT inc.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN hist.chunk_fp IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_known_chunks,
+        |  CAST(sum(CASE WHEN hist.chunk_fp IS NULL THEN inc.n_tokens
+        |    ELSE 0 END) AS BIGINT) AS new_tokens
+        |FROM inc LEFT JOIN hist USING (chunk_fp)
+        |GROUP BY inc.doc_id ORDER BY inc.doc_id""".stripMargin,
 
     "dedup_cdc_chunks" ->
       """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t

@@ -446,6 +446,22 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long, Long, Long)].collect()
       .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
     assert(stats(1L)._2 >= f1.length - 1, stats(1L))
+
+    // the chunk-store ingest view of the same edit: almost everything
+    // in the edited doc is already stored; a fresh doc matches nothing
+    val hist = Dedup.cdcHistoryFps(df.filter($"id" === 1),
+      col("id"), col("t"), w = 4, maskBits = 3)
+    val fresh = (0 until 60).map(i => s"q${(i * 40503L) % 89}")
+      .mkString(" ")
+    val incoming = Seq((2L, t2), (3L, fresh)).toDF("id", "t")
+    val nw = Dedup.cdcNewChunks(hist, incoming, col("id"), col("t"),
+      w = 4, maskBits = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(nw(2L)._2 >= nw(2L)._1 - 2,
+      s"edited doc should be mostly known to the store: ${nw(2L)}")
+    assert(nw(3L)._2 == 0 && nw(3L)._3 == 60,
+      s"fresh doc should be all-new: ${nw(3L)}")
     ch.unpersist()
   }
 }
