@@ -64,10 +64,82 @@ case class BpeApplyMerges(child: Expression,
   override def prettyName: String = "bpe_apply_merges"
 }
 
+/** WordPiece-style greedy longest-match-first segmentation of ONE word
+  * against a FROZEN two-part vocabulary (Wu et al. 2016's inference rule;
+  * the training side of this family is the BPE trainer above — WordPiece
+  * serving differs from BPE serving in matching the vocabulary directly
+  * instead of replaying merges): at the word start the longest prefix in
+  * `initial` wins; after that the longest prefix in `cont` wins
+  * (continuation pieces are emitted with a '#' marker). A position no
+  * piece covers consumes ONE character as an out-of-vocabulary piece
+  * marked '?' — per-character fallback instead of WordPiece's
+  * whole-word UNK so the stats stay informative and every word
+  * round-trips losslessly (strip markers and concatenate = the word).
+  *
+  * One compiled loop per word, constant expression depth — the same
+  * scaling argument as BpeApplyMerges: cost is |word| × maxPieceLen
+  * substring probes against two hash sets. */
+case class WordPieceSegment(child: Expression, initial: Seq[String],
+                            cont: Seq[String])
+    extends UnaryExpression with RefEvalCodegen {
+  require(initial.nonEmpty && cont.nonEmpty)
+  require((initial ++ cont).forall(p =>
+    p.nonEmpty && !p.contains("#") && !p.contains("?")),
+    "vocab pieces must be non-empty and marker-free")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"wordpiece_segment requires string, got $other")
+    }
+  }
+
+  @transient private lazy val iSet = initial.toSet
+  @transient private lazy val cSet = cont.toSet
+  @transient private lazy val maxLen =
+    (initial.iterator ++ cont.iterator).map(_.length).max
+
+  override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = 0
+    var first = true
+    while (pos < word.length) {
+      var l = math.min(maxLen, word.length - pos)
+      var found: String = null
+      val set = if (first) iSet else cSet
+      while (l >= 1 && found == null) {
+        val cand = word.substring(pos, pos + l)
+        if (set.contains(cand)) found = cand else l -= 1
+      }
+      val piece =
+        if (found != null) { pos += found.length; found }
+        else { val c = word.substring(pos, pos + 1); pos += 1; "?" + c }
+      out += org.apache.spark.unsafe.types.UTF8String.fromString(
+        if (first) piece else "#" + piece)
+      first = false
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordPieceSegment =
+    copy(child = c)
+  override def prettyName: String = "wordpiece_segment"
+}
+
 object BpeExpressions {
   import org.apache.spark.sql.graft.bridge
 
   def bpeApplyMerges(symbols: Column,
                      merges: Seq[(String, String)]): Column =
     bridge.column(BpeApplyMerges(bridge.expression(symbols), merges))
+
+  def wordpieceSegment(word: Column, initial: Seq[String],
+                       cont: Seq[String]): Column =
+    bridge.column(WordPieceSegment(bridge.expression(word), initial, cont))
 }

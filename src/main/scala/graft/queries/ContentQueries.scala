@@ -56,7 +56,73 @@ object ContentQueries {
         s"chr(1)||'$l$r'||chr(1))"
   }
 
+  /** Frozen WordPiece vocabulary for text_wordpiece (marker-free; '#'
+    * continuation and '?' OOV markers are added at emission). Initial
+    * pieces cover common word starts with a few whole words; the
+    * continuation set deliberately omits f/j/q/x/z so interior
+    * characters outside it exercise the per-character OOV path. */
+  private val wpInitial: Seq[String] = Seq(
+    "a", "the", "key", "row", "data", "line", "big",
+    "jo", "ha", "sc", "col", "cust", "win", "val", "str", "qu", "gr",
+    "or", "ag", "sl", "sm", "fa", "fi", "ta", "me", "ba", "ve", "pa",
+    "so", "sp", "part", "filt",
+    "s", "t", "c", "b", "w", "g", "k", "m", "d", "v", "l", "p", "f",
+    "h", "j", "q", "r", "n", "o", "e", "i", "u")
+  private val wpCont: Seq[String] = Seq(
+    "in", "sh", "an", "ow", "er", "ue", "ble", "omer", "dow", "art",
+    "eam", "ery", "lue", "rge", "oup", "can", "ast", "low", "ter",
+    "umn", "ine", "ata", "ey", "rt", "rk", "nt", "ll", "al",
+    "a", "b", "c", "d", "e", "g", "h", "i", "k", "l", "m", "n", "o",
+    "p", "r", "s", "t", "u", "v", "w", "y")
+
+  /** The oracle's longest-match probe: one CASE over piece lengths
+    * (longest first), each length an IN-list — NULL when no piece in
+    * the position's vocabulary covers the position. A substr past the
+    * word end is shorter than every piece in its length's list, so no
+    * bounds guard is needed. */
+  private def wpHitExpr(pieces: Seq[String]): String =
+    pieces.groupBy(_.length).toSeq.sortBy(-_._1).map { case (l, ps) =>
+      s"WHEN substr(wrd, pos, $l) IN ${ps.sorted.map(p => s"'$p'")
+        .mkString("(", ",", ")")} THEN substr(wrd, pos, $l)"
+    }.mkString("CASE ", " ", " ELSE NULL END")
+
   val queries: Map[String, Q] = Map[String, Q](
+
+    // WordPiece greedy longest-match segmentation against the frozen
+    // two-part vocabulary (native WordPieceSegment expression — one
+    // compiled loop per word, constant plan depth). Serving-side twin
+    // of text_bpe_apply: BPE replays merges, WordPiece matches the
+    // vocabulary directly. Per-doc piece/OOV counts + a fingerprint of
+    // the complete segmentation; the oracle re-derives every piece with
+    // a recursive CTE whose step is an independent longest-match CASE.
+    // Pure per-doc projection: zero shuffle before the final aggregate.
+    "text_wordpiece" -> ((s, d) => {
+      val dd = docs(s, d)
+      val words = dd.select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("wi", "wrd")))
+        .filter(col("wrd") =!= "")
+      val segged = words
+        .withColumn("pieces", graft.functions.BpeExpressions
+          .wordpieceSegment(col("wrd"), wpInitial, wpCont))
+        .withColumn("np", size(col("pieces")).cast("long"))
+        .withColumn("oov", size(filter(col("pieces"),
+          p => p.startsWith("?") || p.startsWith("#?"))).cast("long"))
+        .withColumn("ser", concat_ws(" ", col("pieces")))
+      val agg = segged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(col("np")).cast("long").as("n_pieces"),
+          sum(col("oov")).cast("long").as("n_oov"),
+          md5(concat_ws("|", transform(
+            array_sort(collect_list(struct(col("wi"), col("ser")))),
+            x => x.getField("ser")))).as("fp"))
+      dd.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          coalesce(col("fp"), md5(lit(""))).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
     "text_tokens" -> ((s, d) =>
       docs(s, d)
         .groupBy(col("source"))
@@ -2616,6 +2682,48 @@ object ContentQueries {
         |  FROM wf, LATERAL unnest(range(1, len(w))) AS u(i))
         |SELECT pair, CAST(sum(f) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // independent WordPiece replay: a RECURSIVE CTE walks each word one
+    // greedy longest-match step per level (the step's CASE probes piece
+    // lengths longest-first — built from the same frozen vocabulary),
+    // accumulating the marked piece string, piece count, and OOV count;
+    // exactly one row per word lands past the end and is aggregated
+    "text_wordpiece" ->
+      s"""WITH RECURSIVE wl AS (SELECT doc_id,
+        |    string_split(lower(text), ' ') AS l FROM documents),
+        |w AS (SELECT doc_id, u.i AS wi, wl.l[u.i] AS wrd
+        |  FROM wl, LATERAL unnest(range(1, len(l) + 1)) AS u(i)
+        |  WHERE wl.l[u.i] <> ''),
+        |seg AS (
+        |  SELECT doc_id, wi, wrd, 1 AS pos, TRUE AS fst,
+        |    CAST('' AS VARCHAR) AS ser, 0 AS np, 0 AS oov
+        |  FROM w
+        |  UNION ALL
+        |  SELECT doc_id, wi, wrd,
+        |    pos + coalesce(length(hit), 1),
+        |    FALSE,
+        |    ser || ' ' || CASE WHEN fst THEN '' ELSE '#' END
+        |      || CASE WHEN hit IS NULL THEN '?' || substr(wrd, pos, 1)
+        |         ELSE hit END,
+        |    np + 1,
+        |    oov + CASE WHEN hit IS NULL THEN 1 ELSE 0 END
+        |  FROM (SELECT seg.*,
+        |      CASE WHEN fst THEN ${wpHitExpr(wpInitial)}
+        |        ELSE ${wpHitExpr(wpCont)} END AS hit
+        |    FROM seg WHERE pos <= length(wrd)) s),
+        |done AS (SELECT doc_id, wi, substr(ser, 2) AS ser, np, oov
+        |  FROM seg WHERE pos > length(wrd)),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(np) AS BIGINT) AS n_pieces,
+        |    CAST(sum(oov) AS BIGINT) AS n_oov,
+        |    md5(string_agg(ser, '|' ORDER BY wi)) AS fp
+        |  FROM done GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+        |  coalesce(a.n_pieces, 0) AS n_pieces,
+        |  coalesce(a.n_oov, 0) AS n_oov,
+        |  coalesce(a.fp, md5('')) AS fp
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // independent replay of the frozen merge table via sentinel-string
     // rewriting (see bpeReplayExpr); fingerprints the full tokenization

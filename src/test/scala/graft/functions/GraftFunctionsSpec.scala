@@ -164,4 +164,31 @@ class GraftFunctionsSpec extends SparkSuite {
       .select("key", "v", "tag").collect().toSet
     assert(salted == plain)
   }
+
+  test("wordpiece_segment: greedy longest match, position-split vocab, " +
+    "per-char OOV, lossless round-trip") {
+    val init = Seq("cust", "or", "the", "s", "t", "c", "d", "e", "o", "r")
+    val cont = Seq("omer", "er", "d", "e", "o", "r", "y", "l", "m", "t")
+    val seg = (w: String) =>
+      Seq(Tuple1(w)).toDF("w")
+        .select(BpeExpressions.wordpieceSegment(col("w"), init, cont))
+        .as[Seq[String]].head()
+    // longest match wins over a shorter prefix ('c'/'cu' would also fit)
+    assert(seg("customer") == Seq("cust", "#omer"))
+    // whole-word piece
+    assert(seg("the") == Seq("the"))
+    // the position decides the vocabulary: 'or' matches initially, then
+    // continuation pieces take over
+    assert(seg("order") == Seq("or", "#d", "#er"))
+    // a character neither set covers consumes one marked OOV char at
+    // either position
+    assert(seg("xylo") == Seq("?x", "#y", "#l", "#o"))
+    assert(seg("sax") == Seq("s", "#?a", "#?x"))
+    // stripping markers and concatenating reconstructs the word exactly
+    val words = Seq("customer", "order", "xylo", "sax", "the", "store")
+    words.foreach { w =>
+      val joined = seg(w).map(_.stripPrefix("#").stripPrefix("?")).mkString
+      assert(joined == w, s"round-trip broke for $w")
+    }
+  }
 }
