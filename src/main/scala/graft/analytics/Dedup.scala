@@ -1097,6 +1097,7 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_chunks"),
         sum(when(col("known").isNotNull, 1L).otherwise(0L))
           .as("n_known_chunks"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
         sum(when(col("known").isNull, col("n_tokens")).otherwise(0L))
           .cast("long").as("new_tokens"))
   }

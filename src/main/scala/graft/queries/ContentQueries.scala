@@ -3224,6 +3224,7 @@ object ContentQueries {
         |SELECT inc.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
         |  CAST(sum(CASE WHEN hist.chunk_fp IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_known_chunks,
+        |  CAST(sum(inc.n_tokens) AS BIGINT) AS n_tokens,
         |  CAST(sum(CASE WHEN hist.chunk_fp IS NULL THEN inc.n_tokens
         |    ELSE 0 END) AS BIGINT) AS new_tokens
         |FROM inc LEFT JOIN hist USING (chunk_fp)

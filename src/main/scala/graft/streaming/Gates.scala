@@ -151,4 +151,25 @@ object Gates {
       .select(col("new_id").as(idCol)).distinct()
     batch.join(dups, Seq(idCol), "left_anti")
   }
+
+  /** CDC-freshness gate against a FROZEN chunk store
+    * (`Dedup.cdcHistoryFps(lake, ...)` built once, outside the stream):
+    * keep documents whose fraction of NEW tokens — tokens in chunks the
+    * store does not already hold — reaches `minNewFrac`. Content-defined
+    * cut points make this robust to edits: a near-copy of stored text
+    * still chunk-aligns past its edit windows, so it scores low and
+    * drops, while a genuinely new doc scores ~1.0. Subsumes exact-dup
+    * filtering (an exact copy scores 0.0) with span-level sensitivity
+    * between `substringClean`'s rewriting and `nearDup`'s whole-doc
+    * Jaccard. */
+  def cdcFreshness(historyFps: DataFrame, idCol: String, textCol: String,
+                   minNewFrac: Double = 0.5, w: Int = 4,
+                   maskBits: Int = 4): Gate = batch => {
+    val keep = graft.analytics.Dedup.cdcNewChunks(historyFps, batch,
+      col(idCol), col(textCol), w, maskBits)
+      .filter(col("new_tokens").cast("double")
+        >= lit(minNewFrac) * col("n_tokens").cast("double"))
+      .select(col("doc_id").as(idCol))
+    batch.join(keep, Seq(idCol), "left_semi")
+  }
 }

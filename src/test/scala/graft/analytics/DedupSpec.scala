@@ -456,12 +456,18 @@ class DedupSpec extends SparkSuite {
     val incoming = Seq((2L, t2), (3L, fresh)).toDF("id", "t")
     val nw = Dedup.cdcNewChunks(hist, incoming, col("id"), col("t"),
       w = 4, maskBits = 3)
-      .as[(Long, Long, Long, Long)].collect()
-      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
     assert(nw(2L)._2 >= nw(2L)._1 - 2,
       s"edited doc should be mostly known to the store: ${nw(2L)}")
-    assert(nw(3L)._2 == 0 && nw(3L)._3 == 60,
+    assert(nw(3L)._2 == 0 && nw(3L)._3 == 60 && nw(3L)._4 == 60,
       s"fresh doc should be all-new: ${nw(3L)}")
+    // the gate view of the same store: the edited near-copy drops, the
+    // fresh doc passes
+    val kept = graft.streaming.Gates.cdcFreshness(hist, "id", "t",
+      minNewFrac = 0.5, w = 4, maskBits = 3)(incoming)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L), s"gate kept $kept")
     ch.unpersist()
   }
 }
