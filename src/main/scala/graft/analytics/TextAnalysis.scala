@@ -528,6 +528,74 @@ object TextAnalysis {
     out.toSeq.toDF("rank", "left", "right", "n")
   }
 
+  /** WordPiece-objective training (Wu et al. 2016; Schuster & Nakajima
+    * 2012): the same merge loop as `bpeTrain`, but each round's winner
+    * maximizes the LIKELIHOOD score count(l,r) / (count(l)·count(r)) —
+    * the pair whose merge most improves a unigram LM over the symbol
+    * stream — instead of the raw pair count. BPE greedily compresses;
+    * WordPiece greedily de-correlates: a pair that always co-occurs
+    * (count(l,r) ≈ count(l) ≈ count(r)) wins at any frequency, which is
+    * why WordPiece vocabularies pick up rare-but-fused units earlier.
+    *
+    * The score is emitted as an exact-deterministic integer
+    * (`score_nano` = round(n·1e9 / (c(l)·c(r)))): every operand is an
+    * exactly-representable integer and the division is one correctly-
+    * rounded IEEE op, so DuckDB replays it bit-for-bit — the argmax
+    * total order is (score_nano desc, l, r) in BOTH engines.
+    *
+    * Scale: identical to `bpeTrain` — per round, one vocabulary-scale
+    * pair aggregate plus one vocabulary-scale symbol-count aggregate
+    * (the scoring joins are symbol-keyed, model-scale), ONE row to the
+    * driver, and the pure-Column greedy rewrite. The batched admission
+    * machinery is NOT reused: its count-stability proof bounds created
+    * pair COUNTS, but the WordPiece argmax also moves with the
+    * denominator symbol counts, which every merge in a batch changes —
+    * per-round argmax is the correct-by-construction form. */
+  def wordpieceTrain(docs: org.apache.spark.sql.DataFrame, text: Column,
+                     merges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs.select(explode(tokens(lower(text))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(split(col("w"), "").as("symbols"), col("f"))
+      .localCheckpoint(false)
+    val out =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
+    var done = false
+    while (out.length < merges && !done) {
+      val nPairs = greatest(size(col("symbols")) - 1, lit(0))
+      val pairs = vocab.select(col("f"), explode(zip_with(
+          slice(col("symbols"), lit(1), nPairs),
+          slice(col("symbols"), lit(2), nPairs),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("n"))
+      val syms = vocab.select(col("f"), explode(col("symbols")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("f")).as("c"))
+      val top = pairs
+        .join(syms.select(col("sym").as("l"), col("c").as("cl")), Seq("l"))
+        .join(syms.select(col("sym").as("r"), col("c").as("cr")), Seq("r"))
+        .withColumn("score_nano",
+          round(col("n").cast("double") * lit(1e9)
+            / (col("cl").cast("double") * col("cr").cast("double")), 0)
+            .cast("long"))
+        .orderBy(col("score_nano").desc, col("l"), col("r")).limit(1)
+        .select(col("l"), col("r"), col("n"), col("score_nano"))
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, n, s) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2), top(0).getLong(3))
+        out += ((out.length + 1, l, r, n, s))
+        vocab = vocab.select(
+          bpeMergeOnce(col("symbols"), l, r).as("symbols"), col("f"))
+          .localCheckpoint(false)
+      }
+    }
+    out.toSeq.toDF("rank", "left", "right", "n", "score_nano")
+  }
+
   /** Batched BPE training: the EXACT merge list of `bpeTrain`, with up
     * to `maxBatch` merges committed per Spark round — the fix for the
     * one-job-per-merge driver loop at production vocab sizes (a 32k

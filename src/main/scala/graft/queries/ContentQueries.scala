@@ -873,6 +873,16 @@ object ContentQueries {
       TextAnalysis.bpeTrainBatched(docs(s, d), col("text"), merges = 8)
         .orderBy(col("rank"))),
 
+    // WordPiece-objective training: the trainer's 8 likelihood-scored
+    // argmax rounds (score = n/(c(l)·c(r)), emitted as the exact
+    // integer score_nano) — DuckDB independently RETRAINS the full
+    // sequence with the same per-round pair/symbol aggregates and the
+    // sentinel-string greedy rewrite. The training twin of the
+    // text_wordpiece serving query.
+    "text_wordpiece_merges" -> ((s, d) =>
+      TextAnalysis.wordpieceTrain(docs(s, d), col("text"), merges = 8)
+        .orderBy(col("rank"))),
+
     // Subword vocabulary under the frozen merge table: corpus-weighted
     // subword frequencies, top-30 — the statistic that picks a vocab
     // size / audits tokenizer fertility. Folds run once per DISTINCT
@@ -2815,6 +2825,22 @@ object ContentQueries {
              .mkString("\n  UNION ALL\n")}
         |) ORDER BY "rank"""".stripMargin,
 
+    // independent WordPiece retrain: per round, pair counts AND symbol
+    // counts, likelihood-scored 1-row argmax, sentinel greedy rewrite
+    "text_wordpiece_merges" ->
+      s"""WITH wt AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, count(*) AS f FROM wt WHERE w <> '' GROUP BY w),
+        |w0 AS MATERIALIZED (SELECT string_split(w, '') AS syms, f
+        |  FROM wf),
+        |${(1 to 8).map(wpRound).mkString(",\n")}
+        |SELECT * FROM (
+        |${(1 to 8).map(i =>
+             s"""  SELECT $i AS "rank", l AS "left", r AS "right", n,
+                |    score_nano FROM m$i""".stripMargin)
+             .mkString("\n  UNION ALL\n")}
+        |) ORDER BY "rank"""".stripMargin,
+
     // sentinel replay per DISTINCT word, frequencies from word counts
     "text_bpe_vocab" ->
       s"""WITH w0 AS (SELECT unnest(string_split(lower(
@@ -3609,6 +3635,41 @@ object ContentQueries {
        |  ORDER BY n DESC, l, r LIMIT 1),
        |w$i AS (SELECT string_split(substr(ms, 3, length(ms) - 4),
        |      chr(1)||chr(1)) AS syms, f FROM (
+       |    SELECT replace(chr(1)||chr(1)||array_to_string(syms,
+       |        chr(1)||chr(1))||chr(1)||chr(1),
+       |      chr(1)||m.l||chr(1)||chr(1)||m.r||chr(1),
+       |      chr(1)||m.l||m.r||chr(1)) AS ms, f
+       |    FROM $prev CROSS JOIN m$i m))""".stripMargin
+  }
+
+  /** One WordPiece-objective training round: pair counts (as
+    * `bpeRound`), PLUS per-symbol counts, the likelihood-scored 1-row
+    * argmax (score_nano = round(n·1e9 / (c(l)·c(r))) — every operand an
+    * exactly-representable integer, the division one correctly-rounded
+    * IEEE op, so the order (score_nano desc, l, r) matches the trainer
+    * bit-for-bit), then the same sentinel greedy rewrite. */
+  private def wpRound(i: Int): String = {
+    val prev = s"w${i - 1}"
+    // AS MATERIALIZED on each round's vocabulary state: three CTEs
+    // reference the prior round (pairs, symbol counts, rewrite), so
+    // DuckDB's default inlining would re-derive it 3^rounds times —
+    // materialization makes the unroll linear in rounds
+    s"""p$i AS (SELECT pl AS l, pr AS r, sum(f) AS n FROM (
+       |    SELECT f, syms[u.j] AS pl, syms[u.j + 1] AS pr
+       |    FROM $prev, LATERAL unnest(range(1, len(syms))) AS u(j))
+       |  GROUP BY 1, 2),
+       |s$i AS (SELECT sym, sum(f) AS c FROM (
+       |    SELECT f, unnest(syms) AS sym FROM $prev) GROUP BY 1),
+       |m$i AS (SELECT l, r, CAST(n AS BIGINT) AS n,
+       |    CAST(round(CAST(n AS DOUBLE) * 1e9
+       |      / (CAST(sl.c AS DOUBLE) * CAST(sr.c AS DOUBLE)), 0)
+       |      AS BIGINT) AS score_nano
+       |  FROM p$i JOIN s$i sl ON sl.sym = p$i.l
+       |    JOIN s$i sr ON sr.sym = p$i.r
+       |  ORDER BY score_nano DESC, l, r LIMIT 1),
+       |w$i AS MATERIALIZED (SELECT string_split(
+       |      substr(ms, 3, length(ms) - 4), chr(1)||chr(1)) AS syms, f
+       |  FROM (
        |    SELECT replace(chr(1)||chr(1)||array_to_string(syms,
        |        chr(1)||chr(1))||chr(1)||chr(1),
        |      chr(1)||m.l||chr(1)||chr(1)||m.r||chr(1),

@@ -429,4 +429,27 @@ class TextAnalysisSpec extends SparkSuite {
     assert(acc > majority,
       s"scored accuracy $acc must beat the majority baseline $majority")
   }
+
+  test("wordpieceTrain maximizes likelihood, not count: a rare fully-" +
+    "fused pair beats a frequent loosely-coupled one") {
+    // 'q'/'u' occur ONLY together (3×), while t/h/a/o are frequent but
+    // loosely coupled. BPE's count argmax picks ta (7 > 3); the
+    // WordPiece score ranks qu = 3/(3·3) = 1/3 far above every
+    // alternative (best: ho = 6/(12·6) = 1/12).
+    val df = Seq(
+      "qu qu qu th th th",
+      "th th th ta ta ta ta ho ho ho",
+      "ta ta ta ho ho ho").toDF("text")
+    val wp = TextAnalysis.wordpieceTrain(df, col("text"), merges = 1)
+      .select("left", "right", "n", "score_nano").as[(String, String,
+        Long, Long)].head()
+    assert(wp._1 == "q" && wp._2 == "u", s"wordpiece picked $wp")
+    assert(wp._3 == 3L)
+    // score_nano is the exact integer the docs promise:
+    // round(3e9 / (3*3)) = 333333333
+    assert(wp._4 == 333333333L, s"score_nano ${wp._4}")
+    val bpe = TextAnalysis.bpeTrain(df, col("text"), merges = 1)
+      .select("left", "right").as[(String, String)].head()
+    assert(bpe == (("t", "a")), s"bpe picked $bpe")
+  }
 }
