@@ -304,18 +304,36 @@ object Compaction {
     *    a physically corrupt zombie OBJECT could fail the scan itself
     *    (run `vacuum` first on lakes where crashed writers are common).
     */
+  /** `asOfEndOffset`: offset-watermark time travel. Offsets are this
+    * engine's clock (the exactly-once story is offset-deterministic), so
+    * "the lake as of watermark W" = the objects whose manifest
+    * `end_offset <= W`. The cut is OBJECT-granular: at a commit-aligned
+    * watermark (the normal "as of batch N" ask) it is row-exact, while a
+    * watermark strictly inside some object's [start, end] excludes that
+    * whole object — conservative, never phantom rows; filter rows by the
+    * offset column on top for row-exact arbitrary cuts. Manifests are
+    * append-only under ingest, so every historical commit point stays
+    * readable until `compact`/`vacuum` rewrites the generation away —
+    * the retention tradeoff every table format prices (Delta/Iceberg
+    * snapshot expiry); run maintenance on a cadence that honors the
+    * time-travel window you promise. */
   def readCommitted(spark: SparkSession, outDir: String, cfg: IngestConfig,
                     partitionPredicate: Option[Column] = None,
                     maxExplicitPaths: Int = 100000,
                     rangePredicates: Seq[(String, Double, Double)] = Nil,
                     stringRangePredicates: Seq[(String, String, String)] =
-                      Nil)
+                      Nil,
+                    asOfEndOffset: Option[Long] = None)
       : DataFrame = {
     val topicDir = s"$outDir/${cfg.topicsDir}/${cfg.topic}"
-    val committedAll = CommitManifest.committedDf(spark, topicDir)
+    val committedAsOfAll = CommitManifest.committedDf(spark, topicDir)
       .getOrElse(throw new IllegalArgumentException(
         s"readCommitted needs commit manifests under " +
           s"$topicDir/_graft_manifest (enable writeManifest in Ingest.run)"))
+    val committedAll = asOfEndOffset match {
+      case Some(w) => committedAsOfAll.filter(col("end_offset") <= w)
+      case None => committedAsOfAll
+    }
     // duplicate keys across generations: keep any stats row (replay
     // residue carries identical stats)
     val keys = committedAll

@@ -207,6 +207,43 @@ object PipelineQueries {
         .filter(col("o_orderkey") % 7 === 0)
         .select(col("o_orderkey"), col("version"), col("price_cents"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Offset-watermark TIME TRAVEL over the manifest-committed lake:
+    // two real Ingest.run commits land in a scratch lake (batch 1 =
+    // offsets <= cut, batch 2 = the rest, manifests on), then
+    // readCommitted(asOfEndOffset = cut) must see exactly batch 1 while
+    // the plain read sees both — offsets are the engine's clock, so the
+    // commit-aligned watermark is row-exact and the oracle replays it
+    // straight off the events table. Deterministic object names make
+    // the scratch writes replay-idempotent (X1), so reruns heal any
+    // partial state instead of double-counting.
+    "lake_time_travel" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("kafka_partition", pmod(col("user_id"), lit(4)))
+        .withColumnRenamed("event_id", "offset")
+      val cut = ev.agg(floor(max(col("offset")) / 2).cast("long"))
+        .head.getLong(0)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_tt_lake_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val cfg = graft.ingest.IngestConfig(topic = "events_tt",
+        flushSize = 500)
+      val spec = graft.ingest.PartitionerSpec.Fields(Seq("event_type"))
+      val payload = Seq(col("offset"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      graft.ingest.Ingest.run(ev.filter(col("offset") <= cut), cfg, spec,
+        dir, payloadCols = payload, writeManifest = true)
+      graft.ingest.Ingest.run(ev.filter(col("offset") > cut), cfg, spec,
+        dir, payloadCols = payload, writeManifest = true)
+      val asof = graft.ingest.Compaction.readCommitted(s, dir, cfg,
+          asOfEndOffset = Some(cut))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_asof"))
+      val full = graft.ingest.Compaction.readCommitted(s, dir, cfg)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_full"))
+      full.join(asof, Seq("event_type"), "left")
+        .select(col("event_type").cast("string").as("event_type"),
+          coalesce(col("n_asof"), lit(0L)).as("n_asof"), col("n_full"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -306,6 +343,18 @@ object PipelineQueries {
         |    + CASE WHEN o_orderkey % 5 = 0 THEN 10000 ELSE 0 END
         |    AS price_cents
         |FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the commit-aligned watermark is row-exact, so the snapshot replay
+    // is a plain offset filter
+    "lake_time_travel" ->
+      """WITH c AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT)
+        |    AS cut FROM events)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN event_id <= c.cut THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_asof,
+        |  CAST(count(*) AS BIGINT) AS n_full
+        |FROM events, c GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 }

@@ -506,6 +506,44 @@ class CompactionSpec extends SparkSuite {
     assert(snap.agg(sum("offset")).head.getLong(0) == (0L until 60L).sum)
   }
 
+  test("offset-watermark time travel: commit-aligned cut is row-exact, " +
+    "mid-object cut is conservative, zombies stay invisible at any cut") {
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "tt", flushSize = 10)
+    def batch(lo: Long, hi: Long) = (lo until hi)
+      .map(o => (0, o, s"v$o", s"t${o % 2}"))
+      .toDF("kafka_partition", "offset", "value", "event_type")
+    // three commits: [0,30), [30,60), [60,90)
+    Seq((0L, 30L), (30L, 60L), (60L, 90L)).foreach { case (lo, hi) =>
+      Ingest.run(batch(lo, hi), cfg,
+        PartitionerSpec.Fields(Seq("event_type")), out,
+        payloadCols = Seq(col("offset"), col("value"), col("event_type")),
+        writeManifest = true)
+    }
+    // an unmanifested zombie must not appear in any snapshot
+    java.nio.file.Files.createFile(new java.io.File(
+      s"$out/topics/tt/event_type=t0/tt+7+0000000777.parquet").toPath)
+    def snapAt(w: Option[Long]) = Compaction.readCommitted(spark, out,
+      cfg, asOfEndOffset = w)
+    // commit-aligned watermarks see exactly the committed prefixes
+    assert(snapAt(Some(29L)).count() == 30)
+    assert(snapAt(Some(59L)).count() == 60)
+    assert(snapAt(None).count() == 90)
+    // every object of commit 2 ends at its file boundary (flush 10 over
+    // 2 encoded partitions → ends 39..59 area); a watermark strictly
+    // inside an object's range excludes the WHOLE object — conservative,
+    // never phantom rows: rows ≥ counting only fully-covered objects,
+    // and every returned row is ≤ the watermark-committed set
+    val mid = snapAt(Some(45L))
+    val midRows = mid.agg(max("offset")).head.getLong(0)
+    assert(mid.count() < 60 && mid.count() >= 30, mid.count())
+    assert(midRows <= 45L, s"phantom row past the watermark: $midRows")
+    // history stays readable: the as-of-29 view is unchanged by the
+    // later commits (append-only manifests)
+    assert(snapAt(Some(29L)).agg(sum("offset")).head.getLong(0)
+      == (0L until 30L).sum)
+  }
+
   test("readCommitted loads glob-metachar partition values literally") {
     val out = freshDir()
     val cfg = IngestConfig(topic = "gm", flushSize = 30)
