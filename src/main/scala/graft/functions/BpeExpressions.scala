@@ -132,6 +132,95 @@ case class WordPieceSegment(child: Expression, initial: Seq[String],
   override def prettyName: String = "wordpiece_segment"
 }
 
+/** Unigram-LM Viterbi segmentation of ONE word against a FROZEN scored
+  * vocabulary (Kudo ACL 2018's inference rule — the third member of the
+  * subword-serving family: BPE replays merges, WordPiece greedy-matches
+  * the vocabulary, unigram picks the GLOBALLY best segmentation by
+  * dynamic programming). Scores are integer micro-log-probs (negative
+  * longs), so the DP is exact arithmetic and cross-engine replayable —
+  * no float log anywhere. A position no piece covers consumes ONE
+  * character as an out-of-vocabulary piece marked '?' at fixed
+  * `oovScore` (worse than any vocab piece), so every word segments and
+  * round-trips losslessly (strip markers and concatenate = the word).
+  *
+  * best(i) = max over piece p ending at i of best(i-|p|) + score(p);
+  * ties break to the LONGER final piece (candidates probed longest
+  * first, replaced only when strictly better) — for a fixed length the
+  * piece text is determined by the word, so (score, length) is a total
+  * order and the argmax path is unique by induction. One compiled
+  * O(|word| × maxPieceLen) loop per word, constant expression depth —
+  * the same scaling argument as BpeApplyMerges. */
+case class UnigramSegment(child: Expression, vocab: Seq[(String, Long)],
+                          oovScore: Long)
+    extends UnaryExpression with RefEvalCodegen {
+  require(vocab.nonEmpty, "unigram vocab must be non-empty")
+  require(vocab.forall { case (p, s) =>
+    p.nonEmpty && !p.contains("?") && !p.contains(" ") && s < 0 },
+    "vocab pieces must be non-empty, marker-free, negatively scored")
+  require(oovScore < vocab.map(_._2).min,
+    "oovScore must be worse than every vocab piece")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unigram_segment requires string, got $other")
+    }
+  }
+
+  @transient private lazy val scores: Map[String, Long] = vocab.toMap
+  @transient private lazy val maxLen = vocab.iterator.map(_._1.length).max
+
+  override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    val n = word.length
+    // best(i): optimal score over the first i chars; back(i): length of
+    // the final piece (negative = OOV single char)
+    val best = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var chosen = Long.MinValue
+      var chosenLen = 0
+      var l = math.min(maxLen, i)
+      while (l >= 1) {
+        val piece = word.substring(i - l, i)
+        scores.get(piece) match {
+          case Some(s) =>
+            val cand = best(i - l) + s
+            if (cand > chosen) { chosen = cand; chosenLen = l }
+          case None if l == 1 =>
+            val cand = best(i - 1) + oovScore
+            if (cand > chosen) { chosen = cand; chosenLen = -1 }
+          case None =>
+        }
+        l -= 1
+      }
+      best(i) = chosen; back(i) = chosenLen
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = n
+    while (pos > 0) {
+      val bl = back(pos)
+      val piece =
+        if (bl < 0) "?" + word.substring(pos - 1, pos)
+        else word.substring(pos - bl, pos)
+      out += org.apache.spark.unsafe.types.UTF8String.fromString(piece)
+      pos -= math.abs(bl)
+    }
+    new GenericArrayData(out.reverseIterator.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): UnigramSegment =
+    copy(child = c)
+  override def prettyName: String = "unigram_segment"
+}
+
 object BpeExpressions {
   import org.apache.spark.sql.graft.bridge
 
@@ -142,4 +231,8 @@ object BpeExpressions {
   def wordpieceSegment(word: Column, initial: Seq[String],
                        cont: Seq[String]): Column =
     bridge.column(WordPieceSegment(bridge.expression(word), initial, cont))
+
+  def unigramSegment(word: Column, vocab: Seq[(String, Long)],
+                     oovScore: Long): Column =
+    bridge.column(UnigramSegment(bridge.expression(word), vocab, oovScore))
 }

@@ -86,6 +86,41 @@ object ContentQueries {
         .mkString("(", ",", ")")} THEN substr(wrd, pos, $l)"
     }.mkString("CASE ", " ", " ELSE NULL END")
 
+  /** Frozen unigram-LM vocabulary for text_unigram: piece → integer
+    * micro-log-prob (negative; exact arithmetic on both engines). The
+    * shape deliberately exercises every DP regime: the single-letter
+    * floor omits f/j/q/x/z (per-character OOV path), "er" is scored
+    * EXACTLY e+r so the ["er"] vs ["e","r"] tie exists in real text and
+    * the longer-piece tie-break decides it, and the -9M "trap" pieces
+    * (dat, lin, cust, tabl, valu, olu) are longest-prefix matches a
+    * greedy matcher would take where the DP must route around them
+    * ("data" → [data], never [dat, a]). */
+  private val ugVocab: Seq[(String, Long)] = Seq(
+    Seq("a", "b", "c", "d", "e", "g", "h", "i", "k", "l", "m", "n", "o",
+      "p", "r", "s", "t", "u", "v", "w", "y").map(_ -> -2300000L),
+    Seq("th" -> -3100000L, "er" -> -4600000L, "in" -> -3200000L,
+      "an" -> -3300000L, "re" -> -3400000L, "on" -> -3300000L,
+      "da" -> -3000000L, "ta" -> -3000000L, "or" -> -3500000L,
+      "st" -> -3400000L, "le" -> -3600000L, "ow" -> -3500000L,
+      "ne" -> -3600000L, "ar" -> -3500000L, "es" -> -3400000L),
+    Seq("the" -> -4000000L, "ing" -> -4200000L, "dat" -> -9000000L,
+      "row" -> -4500000L, "key" -> -4800000L, "lin" -> -9200000L,
+      "val" -> -4600000L, "olu" -> -9100000L),
+    Seq("data" -> -5200000L, "line" -> -5400000L, "part" -> -5500000L,
+      "cust" -> -9500000L, "wind" -> -5600000L, "tabl" -> -9400000L,
+      "valu" -> -9300000L)).flatten
+  private val ugOov: Long = -12000000L
+
+  /** The oracle's piece-score probe for length `l` ending at the DP
+    * frontier (1-based final-piece start = pos + 2 - l): a simple CASE
+    * over the frozen vocab's length-l pieces, NULL when none matches. */
+  private def ugScoreExpr(l: Int): String = {
+    val ps = ugVocab.filter(_._1.length == l).sortBy(_._1)
+    ps.map { case (p, sc) => s"WHEN '$p' THEN CAST($sc AS BIGINT)" }
+      .mkString(s"CASE substr(wrd, pos + 2 - $l, $l) ", " ",
+        " ELSE NULL END")
+  }
+
   val queries: Map[String, Q] = Map[String, Q](
 
     // WordPiece greedy longest-match segmentation against the frozen
@@ -120,6 +155,51 @@ object ContentQueries {
           coalesce(col("n_words"), lit(0L)).as("n_words"),
           coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
           coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          coalesce(col("fp"), md5(lit(""))).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unigram-LM Viterbi segmentation (Kudo ACL 2018) against the frozen
+    // scored vocabulary — the DP-optimal third member of the subword
+    // serving family (BPE replays merges, WordPiece greedy-matches,
+    // unigram maximizes total piece score). Integer micro-scores keep
+    // the DP exact on both engines; ties break to the longer final
+    // piece. Per-doc piece/OOV counts, the SUMMED optimal score (pins
+    // that the DP maximized, not merely segmented), and a fingerprint of
+    // the full segmentation; the oracle re-runs the DP as a recursive
+    // CTE carrying a 4-deep (score, path) frontier per position. Pure
+    // per-doc projection: zero shuffle before the final aggregate.
+    "text_unigram" -> ((s, d) => {
+      val dd = docs(s, d)
+      val scoreMap = map(ugVocab.flatMap { case (p, sc) =>
+        Seq(lit(p), lit(sc)) }: _*)
+      val words = dd.select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("wi", "wrd")))
+        .filter(col("wrd") =!= "")
+      val segged = words
+        .withColumn("pieces", graft.functions.BpeExpressions
+          .unigramSegment(col("wrd"), ugVocab, ugOov))
+        .withColumn("np", size(col("pieces")).cast("long"))
+        .withColumn("oov", size(filter(col("pieces"),
+          p => p.startsWith("?"))).cast("long"))
+        .withColumn("sc", aggregate(col("pieces"), lit(0L),
+          (acc, p) =>
+            acc + coalesce(try_element_at(scoreMap, p), lit(ugOov))))
+        .withColumn("ser", concat_ws(" ", col("pieces")))
+      val agg = segged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(col("np")).cast("long").as("n_pieces"),
+          sum(col("oov")).cast("long").as("n_oov"),
+          sum(col("sc")).cast("long").as("score_micro"),
+          md5(concat_ws("|", transform(
+            array_sort(collect_list(struct(col("wi"), col("ser")))),
+            x => x.getField("ser")))).as("fp"))
+      dd.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          coalesce(col("score_micro"), lit(0L)).as("score_micro"),
           coalesce(col("fp"), md5(lit(""))).as("fp"))
         .orderBy(col("doc_id"))
     }),
@@ -2731,6 +2811,67 @@ object ContentQueries {
         |SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
         |  coalesce(a.n_pieces, 0) AS n_pieces,
         |  coalesce(a.n_oov, 0) AS n_oov,
+        |  coalesce(a.fp, md5('')) AS fp
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // independent unigram-LM Viterbi replay: a RECURSIVE CTE advances
+    // each word one character per level, carrying the DP frontier —
+    // best (score, path) at the last four positions as explicit
+    // columns (b0..b3 / q0..q3; the vocab caps piece length at 4).
+    // Candidate c_l = b_{l-1} + score(final piece of length l);
+    // NULL-propagation kills candidates whose predecessor doesn't
+    // exist yet, c1 always exists (vocab single or '?'-marked OOV at
+    // the fixed penalty), and the winner CASE probes l=4 first so
+    // score ties break to the longer final piece — the engine's exact
+    // tie-break. The finished row (pos = word length) carries the
+    // optimal score AND its path, so the aggregate checks both.
+    "text_unigram" ->
+      s"""WITH RECURSIVE wl AS (SELECT doc_id,
+        |    string_split(lower(text), ' ') AS l FROM documents),
+        |w AS (SELECT doc_id, u.i AS wi, wl.l[u.i] AS wrd
+        |  FROM wl, LATERAL unnest(range(1, len(l) + 1)) AS u(i)
+        |  WHERE wl.l[u.i] <> ''),
+        |seg AS (
+        |  SELECT doc_id, wi, wrd, 0 AS pos,
+        |    CAST(0 AS BIGINT) AS b0, CAST('' AS VARCHAR) AS q0,
+        |    CAST(NULL AS BIGINT) AS b1, CAST(NULL AS VARCHAR) AS q1,
+        |    CAST(NULL AS BIGINT) AS b2, CAST(NULL AS VARCHAR) AS q2,
+        |    CAST(NULL AS BIGINT) AS b3, CAST(NULL AS VARCHAR) AS q3
+        |  FROM w
+        |  UNION ALL
+        |  SELECT doc_id, wi, wrd, pos + 1,
+        |    best,
+        |    CASE WHEN c4 = best THEN q3 || ' ' || substr(wrd, pos - 2, 4)
+        |      WHEN c3 = best THEN q2 || ' ' || substr(wrd, pos - 1, 3)
+        |      WHEN c2 = best THEN q1 || ' ' || substr(wrd, pos, 2)
+        |      ELSE q0 || ' ' || p1 END,
+        |    b0, q0, b1, q1, b2, q2
+        |  FROM (SELECT s.*, greatest(c1, coalesce(c2, c1),
+        |      coalesce(c3, c1), coalesce(c4, c1)) AS best
+        |    FROM (SELECT seg.*,
+        |      b0 + coalesce(${ugScoreExpr(1)},
+        |        CAST($ugOov AS BIGINT)) AS c1,
+        |      CASE WHEN ${ugScoreExpr(1)} IS NULL
+        |        THEN '?' || substr(wrd, pos + 1, 1)
+        |        ELSE substr(wrd, pos + 1, 1) END AS p1,
+        |      b1 + ${ugScoreExpr(2)} AS c2,
+        |      b2 + ${ugScoreExpr(3)} AS c3,
+        |      b3 + ${ugScoreExpr(4)} AS c4
+        |    FROM seg WHERE pos < length(wrd)) s) t),
+        |done AS (SELECT doc_id, wi, substr(q0, 2) AS ser, b0 AS sc
+        |  FROM seg WHERE pos = length(wrd) AND pos > 0),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(len(string_split(ser, ' '))) AS BIGINT) AS n_pieces,
+        |    CAST(sum(length(ser) - length(replace(ser, '?', '')))
+        |      AS BIGINT) AS n_oov,
+        |    CAST(sum(sc) AS BIGINT) AS score_micro,
+        |    md5(string_agg(ser, '|' ORDER BY wi)) AS fp
+        |  FROM done GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+        |  CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+        |  CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(coalesce(a.score_micro, 0) AS BIGINT) AS score_micro,
         |  coalesce(a.fp, md5('')) AS fp
         |FROM documents d LEFT JOIN a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,

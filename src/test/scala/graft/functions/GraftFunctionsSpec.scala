@@ -191,4 +191,54 @@ class GraftFunctionsSpec extends SparkSuite {
       assert(joined == w, s"round-trip broke for $w")
     }
   }
+
+  test("unigram_segment: DP-optimal vs exhaustive enumeration, greedy " +
+    "trap avoided, longer-piece tie-break, per-char OOV round-trip") {
+    val vocab: Seq[(String, Long)] = Seq(
+      "a" -> -2300000L, "d" -> -2300000L, "e" -> -2300000L,
+      "r" -> -2300000L, "t" -> -2300000L, "s" -> -2300000L,
+      "da" -> -3000000L, "ta" -> -3000000L, "er" -> -4600000L,
+      "st" -> -3400000L, "dat" -> -9000000L, "data" -> -5200000L,
+      "ster" -> -5600000L)
+    val oov = -12000000L
+    val seg = (w: String) =>
+      Seq(Tuple1(w)).toDF("w")
+        .select(BpeExpressions.unigramSegment(col("w"), vocab, oov))
+        .as[Seq[String]].head()
+    val score = (pieces: Seq[String]) => pieces.map(p =>
+      vocab.toMap.getOrElse(p, oov)).sum
+    // exhaustive reference: best score over ALL segmentations (vocab
+    // pieces + per-char OOV), ties to the longer FINAL piece first —
+    // mirrors the engine's induction exactly
+    val vmap = vocab.toMap
+    def bestOf(w: String): (Long, List[String]) =
+      if (w.isEmpty) (0L, Nil)
+      else (1 to math.min(4, w.length)).reverse.flatMap { l =>
+        val p = w.substring(w.length - l, w.length)
+        val sc = vmap.get(p).orElse(
+          if (l == 1) Some(oov) else None)
+        sc.map { s =>
+          val (ps, path) = bestOf(w.substring(0, w.length - l))
+          (ps + s,
+            path :+ (if (vmap.contains(p)) p else "?" + p))
+        }
+      }.maxBy(_._1) // stable: first max wins, and longer l comes first
+    // the greedy trap: longest-prefix 'dat' scores terribly; the DP
+    // must pick the whole-word piece
+    assert(seg("data") == Seq("data"))
+    // tie: 'er' == 'e'+'r' exactly; the longer final piece must win
+    assert(seg("er") == Seq("er"))
+    // OOV chars ('x' not in vocab) consume one marked char each
+    assert(seg("tax") == Seq("ta", "?x"))
+    // DP == exhaustive on a word mix (scores AND paths)
+    Seq("data", "dater", "stater", "starts", "er", "tax", "xsdata",
+      "dadata", "sterer", "tatada").foreach { w =>
+      val got = seg(w)
+      val (wantScore, wantPath) = bestOf(w)
+      assert(score(got) == wantScore, s"suboptimal for $w: $got")
+      assert(got == wantPath, s"tie-break diverged for $w: $got vs $wantPath")
+      val joined = got.map(_.stripPrefix("?")).mkString
+      assert(joined == w, s"round-trip broke for $w")
+    }
+  }
 }
