@@ -596,6 +596,104 @@ object TextAnalysis {
     out.toSeq.toDF("rank", "left", "right", "n", "score_nano")
   }
 
+  /** Exact-deterministic unigram piece score: cost ≈ -log2(T/c) in
+    * 100k-micro units, computed WITHOUT any float log — the log2 bucket
+    * is the binary-digit count `length(bin(x))`, exact integer string
+    * arithmetic both engines share. `-50_000` keeps c == T negative.
+    * Coarse (1-bit buckets) by design: exactness is the oracle
+    * contract, and the Viterbi tie-break (longer piece wins) resolves
+    * the plateaus the bucketing creates. */
+  def unigramScoreMicro(cnt: Column, total: Column): Column =
+    -(lit(100000L) * (length(bin(total)) - length(bin(cnt))).cast("long")
+      + lit(50000L))
+
+  /** Out-of-vocabulary per-character penalty paired with
+    * `unigramScoreMicro`: worse than any scorable piece (the score
+    * floor is -(100000·63 + 50000)). */
+  val unigramOovScore: Long = -50000000L
+
+  /** Unigram-LM vocabulary training by Viterbi hard-EM (the
+    * SentencePiece unigram model family — Kudo ACL 2018 — with the
+    * E-step hardened to the Viterbi path and the M-step to the exact
+    * integer bucket score above, so every round is deterministic and a
+    * SQL oracle can retrain it):
+    *
+    *  1. SEED: every word substring of length 1..maxLen, counted with
+    *     corpus multiplicity; the top `seedTop` multi-char pieces by
+    *     (count desc, piece asc) plus ALL single characters (the
+    *     completeness floor — with singles present every word
+    *     segments; '?'-bearing pieces are excluded, '?' is the OOV
+    *     marker).
+    *  2. Per round: Viterbi-segment the corpus under the current
+    *     scores (the native `UnigramSegment` DP — vocab rides as
+    *     literal expression state), count how often each piece is
+    *     actually USED, drop multi-char pieces used < pruneMin, keep
+    *     singles unconditionally (floor count 1), and re-score from
+    *     the used counts.
+    *
+    * Scale: all per-word work runs over word TYPES weighted by
+    * frequency (vocabulary-scale, not corpus-scale — one corpus
+    * aggregate up front); per round, one vocabulary-scale explode of
+    * the segmentations and ONE model-scale vocab collect to the
+    * driver (≤ seedTop + alphabet rows, same discipline as
+    * `bpeTrain`'s merge list). `localCheckpoint` pins each round's
+    * lineage. Returns (piece, cnt, score_micro) after `rounds`
+    * refinements, ordered by piece. */
+  def unigramTrain(docs: org.apache.spark.sql.DataFrame, text: Column,
+                   rounds: Int = 2, maxLen: Int = 4, seedTop: Int = 256,
+                   pruneMin: Int = 2): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val types = docs
+      .select(explode(tokens(lower(text))).as("wrd"))
+      .filter(col("wrd") =!= "")
+      .groupBy(col("wrd")).agg(count(lit(1)).as("wc"))
+      .localCheckpoint(false)
+    // substring seed: one explode over (position, length) pairs
+    val seedCounts = types
+      .select(col("wc"),
+        explode(flatten(transform(sequence(lit(1), length(col("wrd"))),
+          i => filter(transform(sequence(lit(1), lit(maxLen)),
+            l => when(i + l - lit(1) <= length(col("wrd")),
+              col("wrd").substr(i, l))),
+            p => p.isNotNull)))).as("piece"))
+      .filter(!col("piece").contains("?"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+      .localCheckpoint(false)
+    val singles = seedCounts.filter(length(col("piece")) === 1)
+    val multis = seedCounts.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(seedTop)
+    var vocabDf = singles.unionByName(multis).localCheckpoint(false)
+    var r = 0
+    while (r < rounds) {
+      val total = vocabDf.agg(sum(col("cnt")).cast("long")).head.getLong(0)
+      val scored = vocabDf.select(col("piece"),
+        unigramScoreMicro(col("cnt"), lit(total)).as("sc"))
+        .orderBy(col("piece"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toSeq
+      val used = types
+        .select(col("wc"), explode(graft.functions.BpeExpressions
+          .unigramSegment(col("wrd"), scored, unigramOovScore))
+          .as("piece"))
+        .filter(!col("piece").startsWith("?"))
+        .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+      // singles keep a floor count of 1 even when unused (completeness)
+      vocabDf = vocabDf.select(col("piece"), length(col("piece")).as("len"))
+        .join(used, Seq("piece"), "left")
+        .filter(col("len") === 1 || coalesce(col("cnt"), lit(0L))
+          >= pruneMin)
+        .select(col("piece"),
+          when(col("len") === 1, greatest(coalesce(col("cnt"), lit(0L)),
+            lit(1L))).otherwise(col("cnt")).as("cnt"))
+        .localCheckpoint(false)
+      r += 1
+    }
+    val total = vocabDf.agg(sum(col("cnt")).cast("long")).head.getLong(0)
+    vocabDf.select(col("piece"), col("cnt").cast("long").as("cnt"),
+      unigramScoreMicro(col("cnt"), lit(total)).cast("long")
+        .as("score_micro"))
+      .orderBy(col("piece"))
+  }
+
   /** Batched BPE training: the EXACT merge list of `bpeTrain`, with up
     * to `maxBatch` merges committed per Spark round — the fix for the
     * one-job-per-merge driver loop at production vocab sizes (a 32k

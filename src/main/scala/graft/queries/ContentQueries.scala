@@ -121,6 +121,71 @@ object ContentQueries {
         " ELSE NULL END")
   }
 
+  /** One oracle Viterbi round over the word-type table `wt`, scores
+    * joined from the scored-vocab CTE `sv` (columns piece, sc) instead
+    * of text_unigram's literal CASEs — same DP frontier, same
+    * longest-first tie-break. Join-probe clipping is safe for the same
+    * reason the literal version needs no length guard: a start-clipped
+    * substr can only occur while the matching b column is still NULL,
+    * which kills the candidate via NULL propagation. */
+  private def ugSegSql(seg: String, sv: String): String =
+    s"""$seg AS (
+      |  SELECT wrd, wc, 0 AS pos,
+      |    CAST(0 AS BIGINT) AS b0, CAST('' AS VARCHAR) AS q0,
+      |    CAST(NULL AS BIGINT) AS b1, CAST(NULL AS VARCHAR) AS q1,
+      |    CAST(NULL AS BIGINT) AS b2, CAST(NULL AS VARCHAR) AS q2,
+      |    CAST(NULL AS BIGINT) AS b3, CAST(NULL AS VARCHAR) AS q3
+      |  FROM wt
+      |  UNION ALL
+      |  SELECT wrd, wc, pos + 1,
+      |    best,
+      |    CASE WHEN c4 = best THEN q3 || ' ' || substr(wrd, pos - 2, 4)
+      |      WHEN c3 = best THEN q2 || ' ' || substr(wrd, pos - 1, 3)
+      |      WHEN c2 = best THEN q1 || ' ' || substr(wrd, pos, 2)
+      |      ELSE q0 || ' ' || p1 END,
+      |    b0, q0, b1, q1, b2, q2
+      |  FROM (SELECT s.*, greatest(c1, coalesce(c2, c1),
+      |      coalesce(c3, c1), coalesce(c4, c1)) AS best
+      |    FROM (SELECT g.*,
+      |        g.b0 + coalesce(j1.sc, CAST(-50000000 AS BIGINT)) AS c1,
+      |        CASE WHEN j1.sc IS NULL
+      |          THEN '?' || substr(g.wrd, g.pos + 1, 1)
+      |          ELSE substr(g.wrd, g.pos + 1, 1) END AS p1,
+      |        g.b1 + j2.sc AS c2, g.b2 + j3.sc AS c3,
+      |        g.b3 + j4.sc AS c4
+      |      FROM (SELECT * FROM $seg WHERE pos < length(wrd)) g
+      |      LEFT JOIN $sv j1 ON j1.piece = substr(g.wrd, g.pos + 1, 1)
+      |      LEFT JOIN $sv j2 ON j2.piece = substr(g.wrd, g.pos, 2)
+      |      LEFT JOIN $sv j3 ON j3.piece = substr(g.wrd, g.pos - 1, 3)
+      |      LEFT JOIN $sv j4 ON j4.piece = substr(g.wrd, g.pos - 2, 4)
+      |    ) s) t)""".stripMargin
+
+  /** Oracle scoring CTE: the exact integer log2-bucket score (see
+    * `TextAnalysis.unigramScoreMicro`) over vocab CTE `v`. */
+  private def ugScoredSql(sv: String, v: String): String =
+    s"""$sv AS (SELECT piece, CAST(-(100000 * (length(bin(tt.t))
+      |    - length(bin(cnt))) + 50000) AS BIGINT) AS sc
+      |  FROM $v, (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM $v) tt)"""
+      .stripMargin
+
+  /** Oracle used-count + prune CTEs for one training round: count the
+    * pieces round `seg`'s Viterbi paths actually used (OOV excluded),
+    * drop multi-char pieces used < 2, keep singles at a floor of 1. */
+  private def ugPruneSql(u: String, seg: String, vPrev: String,
+                         vNext: String): String =
+    s"""$u AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt
+      |  FROM (SELECT wc, unnest(string_split(substr(q0, 2), ' '))
+      |      AS piece
+      |    FROM $seg WHERE pos = length(wrd) AND pos > 0)
+      |  WHERE piece NOT LIKE '?%' GROUP BY piece),
+      |$vNext AS (SELECT $vPrev.piece,
+      |    CASE WHEN length($vPrev.piece) = 1
+      |      THEN greatest(coalesce($u.cnt, 0), 1)
+      |      ELSE $u.cnt END AS cnt
+      |  FROM $vPrev LEFT JOIN $u USING (piece)
+      |  WHERE length($vPrev.piece) = 1
+      |    OR coalesce($u.cnt, 0) >= 2)""".stripMargin
+
   val queries: Map[String, Q] = Map[String, Q](
 
     // WordPiece greedy longest-match segmentation against the frozen
@@ -203,6 +268,19 @@ object ContentQueries {
           coalesce(col("fp"), md5(lit(""))).as("fp"))
         .orderBy(col("doc_id"))
     }),
+
+    // Unigram-LM vocabulary TRAINING by Viterbi hard-EM (Kudo ACL 2018
+    // with the E-step hardened to the Viterbi path and the M-step to the
+    // exact integer log2-bucket score): substring seed → 2 rounds of
+    // (segment under current scores → count used pieces → prune →
+    // re-score). Every round is deterministic, so the oracle RETRAINS
+    // the whole thing: per round one join-probe Viterbi recursive CTE
+    // over word types + one prune CTE, unrolled. The contract is
+    // optimizer exactness — surviving pieces, their used counts, and
+    // their final scores all hash-match an independent retrain.
+    "text_unigram_train" -> ((s, d) =>
+      TextAnalysis.unigramTrain(docs(s, d), col("text"), rounds = 2,
+        maxLen = 4, seedTop = 128, pruneMin = 2)),
     "text_tokens" -> ((s, d) =>
       docs(s, d)
         .groupBy(col("source"))
@@ -2875,6 +2953,40 @@ object ContentQueries {
         |  coalesce(a.fp, md5('')) AS fp
         |FROM documents d LEFT JOIN a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // independent unigram-LM RETRAIN: word types → substring seed →
+    // (score → join-probe Viterbi recursive CTE → used counts → prune)
+    // unrolled twice → final scoring; piece set, counts, and scores
+    // must all match the engine's hard-EM loop exactly
+    "text_unigram_train" ->
+      s"""WITH RECURSIVE wl AS (SELECT string_split(lower(text), ' ')
+        |    AS l FROM documents),
+        |wt AS (SELECT wrd, CAST(count(*) AS BIGINT) AS wc
+        |  FROM (SELECT wl.l[u.i] AS wrd FROM wl,
+        |    LATERAL unnest(range(1, len(l) + 1)) AS u(i)
+        |    WHERE wl.l[u.i] <> '') GROUP BY wrd),
+        |sd AS (SELECT p AS piece, CAST(sum(wc) AS BIGINT) AS cnt
+        |  FROM (SELECT wt.wc, substr(wt.wrd, CAST(u.i AS INT),
+        |      CAST(v.l AS INT)) AS p
+        |    FROM wt, LATERAL unnest(range(1, length(wrd) + 1)) AS u(i),
+        |      (VALUES (1), (2), (3), (4)) v(l)
+        |    WHERE u.i + v.l - 1 <= length(wt.wrd))
+        |  WHERE p NOT LIKE '%?%' GROUP BY p),
+        |w0 AS (SELECT piece, cnt FROM sd WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (SELECT piece, cnt FROM sd
+        |    WHERE length(piece) >= 2
+        |    ORDER BY cnt DESC, piece LIMIT 128)),
+        |${ugScoredSql("sc0", "w0")},
+        |${ugSegSql("seg1", "sc0")},
+        |${ugPruneSql("u1", "seg1", "w0", "w1")},
+        |${ugScoredSql("sc1", "w1")},
+        |${ugSegSql("seg2", "sc1")},
+        |${ugPruneSql("u2", "seg2", "w1", "w2")},
+        |${ugScoredSql("sc2", "w2")}
+        |SELECT w2.piece, w2.cnt, sc2.sc AS score_micro
+        |FROM w2 JOIN sc2 USING (piece)
+        |ORDER BY w2.piece""".stripMargin,
 
     // independent replay of the frozen merge table via sentinel-string
     // rewriting (see bpeReplayExpr); fingerprints the full tokenization

@@ -452,4 +452,40 @@ class TextAnalysisSpec extends SparkSuite {
       .select("left", "right").as[(String, String)].head()
     assert(bpe == (("t", "a")), s"bpe picked $bpe")
   }
+
+  test("unigramTrain: singles always survive, a dominant word becomes " +
+    "the piece its own segmentation uses, unused multis are pruned, " +
+    "and the loop is deterministic") {
+    // 'data' dominates; 'zebra' appears once so its non-single
+    // substrings (ze, eb, zeb, ...) must be pruned by round 1's
+    // used-count filter (they lose the DP to cheaper frequent pieces
+    // or are simply below pruneMin)
+    val df = (Seq.fill(40)("data data data") :+ "zebra").toDF("text")
+    val out = TextAnalysis.unigramTrain(df, col("text"), rounds = 2,
+      maxLen = 4, seedTop = 32, pruneMin = 2)
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    val pieces = rows.map(_._1).toSet
+    // completeness floor: every corpus character survives as a single
+    assert(Set("d", "a", "t", "z", "e", "b", "r").subsetOf(pieces), pieces)
+    // the dominant word survived as a whole piece with the top count
+    val dataCnt = rows.find(_._1 == "data").map(_._2)
+    assert(dataCnt.contains(120L), s"data count $dataCnt in ${rows.toSeq}")
+    // and the DP actually uses it: its score beats the best split
+    val m = rows.map(r => r._1 -> r._3).toMap
+    val whole = m("data")
+    val bestSplit = Seq(
+      Seq("da", "ta"), Seq("d", "a", "t", "a"), Seq("dat", "a"))
+      .filter(_.forall(m.contains))
+      .map(_.map(m).sum).maxOption.getOrElse(Long.MinValue)
+    assert(whole >= bestSplit,
+      s"whole-word score $whole lost to a split $bestSplit")
+    // one-shot substrings of 'zebra' were pruned (used < pruneMin)
+    assert(!pieces.contains("zebr") && !pieces.contains("ebra"), pieces)
+    // determinism: an independent rerun is identical
+    val again = TextAnalysis.unigramTrain(df, col("text"), rounds = 2,
+      maxLen = 4, seedTop = 32, pruneMin = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == rows.toSeq)
+  }
 }
