@@ -98,6 +98,71 @@ object TextAnalysis {
       (tf + lit(k1) * (lit(1.0 - b) + lit(b) * size(tokens) / avgdl))
   }
 
+  /** Batch BM25 top-k retrieval via an inverted-index join — the sparse
+    * sibling of the ANN read path: many queries at once against posting
+    * lists, NOT a per-query corpus scan. `units` is the per-document
+    * array of index units (tokens, n-grams, subword pieces — the caller
+    * picks the granularity; bigrams keep posting lists short on
+    * small-vocabulary corpora); `queries` is (q_id, term) exploded.
+    * Returns (q_id, rank, doc_id, bm25) with rank <= k.
+    *
+    * Plan shape (the part that must survive 100 TB):
+    *  - postings (term, doc_id, dl, tf) are ONE corpus explode +
+    *    aggregate — build-once state, the inverted index;
+    *  - `maxDfFrac` drops stopword-grade terms BEFORE the retrieval
+    *    join (same hot-key lesson as the blocked-containment df cap: a
+    *    term in 30% of all documents contributes ~zero idf but fans
+    *    out |queries using it| × 0.3·N rows); BM25's idf would score
+    *    them near 0 anyway, the cap keeps them from being JOINED;
+    *  - retrieval cost is Σ df(query terms) posting rows through one
+    *    term-keyed shuffle join, then a (q_id, doc_id) aggregate and a
+    *    per-query top-k window — all key-partitioned, nothing global.
+    *
+    * Determinism: contributions are summed by a TERM-SORTED left fold
+    * (not an unordered float aggregate), so both engines add the same
+    * doubles in the same order; ranking is on the 4-decimal-rounded
+    * score with doc_id as the total-order tie-break. */
+  def bm25Retrieve(docs: org.apache.spark.sql.DataFrame, docId: Column,
+                   units: Column, queries: org.apache.spark.sql.DataFrame,
+                   k: Int, maxDfFrac: Double = 0.25,
+                   excludeSelf: Boolean = false,
+                   k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    val t = docs.select(docId.as("doc_id"), units.as("toks"))
+    val stats = t.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("toks"))).as("avgdl"))
+    val postings = t
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val hits = queries
+      .join(postings, Seq("term"))
+      .join(dfT, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df") <= col("n_docs") * lit(maxDfFrac))
+      .filter(if (excludeSelf) col("doc_id") =!= col("q_id") else lit(true))
+      .withColumn("c",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1)
+            * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val scored = hits.groupBy(col("q_id"), col("doc_id"))
+      .agg(aggregate(transform(
+        array_sort(collect_list(struct(col("term"), col("c")))),
+        x => x.getField("c")), lit(0.0), (acc, c) => acc + c).as("raw"))
+      .withColumn("bm25", round(col("raw"), 4))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("bm25"))
+  }
+
   /** Overlapping token-window chunking (context-window preparation for
     * training): windows of `size` tokens every `stride` tokens, the last
     * window truncating at the document end. Chunk count =

@@ -797,6 +797,28 @@ object ContentQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Batch BM25 top-k retrieval over an inverted-index join, indexed on
+    // BIGRAMS (this corpus's ~31-word vocabulary makes every unigram a
+    // stopword — df 75-80% — while bigram df sits near 5%, so the
+    // df cap has real stopword-grade terms to matter against): every
+    // 25th document's bigrams at positions 3/7/11 form a query, posting
+    // lists are df-capped at 25% of the corpus, contributions fold in
+    // term order, and a per-query window keeps the top 5 non-self
+    // documents. The sparse-retrieval sibling of the ANN serve path.
+    "text_bm25_retrieve" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"),
+        TextAnalysis.ngrams(col("text"), 2).as("toks"))
+      val q = t.filter(size(col("toks")) >= 11 && col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("q_id"), explode(array_distinct(array(
+          try_element_at(col("toks"), lit(3)),
+          try_element_at(col("toks"), lit(7)),
+          try_element_at(col("toks"), lit(11))))).as("term"))
+        .filter(col("term") =!= "")
+      TextAnalysis.bm25Retrieve(docs(s, d), col("doc_id"),
+        TextAnalysis.ngrams(col("text"), 2), q, k = 5, excludeSelf = true)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Overlapping token-window chunking: 32-token windows every 24 tokens
     // (8-token overlap) — context-window preparation for training.
     "pack_chunks_overlap" -> ((s, d) =>
@@ -3215,6 +3237,47 @@ object ContentQueries {
          |  + ${term("stream")}, 4) AS bm25
          |FROM tfs CROSS JOIN s ORDER BY doc_id""".stripMargin
     },
+
+    // independent inverted-index retrieval replay: postings + df table,
+    // the same df cap, per-hit BM25 contributions in the engine's exact
+    // operand order, TERM-ORDERED left-fold summation (list_reduce over
+    // list(c ORDER BY term) — matching Spark's sorted aggregate fold,
+    // and 0.0 + c1 == c1 so the missing init changes nothing), then the
+    // identical rounded-score/doc_id ranking window
+    "text_bm25_retrieve" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+        |      i -> array_to_string(list_slice(w, i, i + 1), ' ')) AS toks
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |    FROM documents)),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    avg(len(toks)) AS avgdl FROM t),
+        |p AS (SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |      unnest(toks) AS term FROM t)
+        |  WHERE term <> '' GROUP BY term, doc_id, dl),
+        |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |  FROM p GROUP BY term),
+        |q AS (SELECT q_id, term FROM (SELECT doc_id AS q_id,
+        |    unnest(list_distinct([toks[3], toks[7], toks[11]])) AS term
+        |  FROM t WHERE len(toks) >= 11 AND doc_id % 25 = 0)
+        |  WHERE term <> ''),
+        |h AS (SELECT q.q_id, p.doc_id, p.term,
+        |    ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+        |      * p.tf * (1.2 + 1.0)
+        |      / (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * p.dl / st.avgdl))
+        |      AS c
+        |  FROM q JOIN p USING (term) JOIN dft USING (term), st
+        |  WHERE dft.df <= st.n_docs * 0.25 AND p.doc_id <> q.q_id),
+        |s AS (SELECT q_id, doc_id,
+        |    round(list_reduce(list(c ORDER BY term),
+        |      (x, y) -> x + y), 4) AS bm25
+        |  FROM h GROUP BY q_id, doc_id),
+        |r AS (SELECT q_id, doc_id, bm25, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rank
+        |  FROM s)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, bm25
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "pack_chunks_overlap" ->
       """WITH t AS (SELECT doc_id,

@@ -453,6 +453,32 @@ class TextAnalysisSpec extends SparkSuite {
     assert(bpe == (("t", "a")), s"bpe picked $bpe")
   }
 
+  test("bm25Retrieve: the on-topic document ranks first, the df cap " +
+    "silences corpus-wide boilerplate terms, k bounds the result") {
+    // doc 1 is the only on-topic match for query terms {zebra, quartz};
+    // 'filler' appears in EVERY doc (df = 100%) and must be cut by the
+    // cap, so doc 3 (filler-only overlap) never scores
+    val docsDf = (Seq(
+      (1L, "zebra quartz alpha beta filler"),
+      (2L, "zebra gamma delta epsilon filler"),
+      (3L, "filler filler omega psi chi")) ++
+      (4L to 30L).map(i => (i, s"pad$i padding body text filler")))
+      .toDF("doc_id", "text")
+    val q = Seq((100L, "zebra"), (100L, "quartz"), (200L, "filler"))
+      .toDF("q_id", "term")
+    val out = TextAnalysis.bm25Retrieve(docsDf, col("doc_id"),
+      TextAnalysis.tokens(lower(col("text"))), q, k = 3,
+      maxDfFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val q100 = out.filter(_._1 == 100L).sortBy(_._2)
+    // two-term match beats one-term match
+    assert(q100.head == ((100L, 1L, 1L)), q100.toSeq)
+    assert(q100.map(_._3).contains(2L))
+    assert(q100.length <= 3)
+    // the 100%-df term retrieves NOTHING
+    assert(!out.exists(_._1 == 200L), out.toSeq)
+  }
+
   test("unigramTrain: singles always survive, a dominant word becomes " +
     "the piece its own segmentation uses, unused multis are pruned, " +
     "and the loop is deterministic") {
