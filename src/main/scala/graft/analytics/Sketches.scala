@@ -1,0 +1,88 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-profiling sketches. At 100 TB you cannot afford
+  * exact per-group distinct counts or exact full-vocabulary frequency
+  * tables as a ROUTINE profiling pass — sketches bound the state:
+  * KMV (k minimum values — Bar-Yossef et al. RANDOM 2002) holds k
+  * hashes per group, count-min (Cormode & Muthukrishnan J.Alg 2005)
+  * holds a fixed d×w grid regardless of corpus size.
+  *
+  * Both ride the repo's md5-derived 60-bit portable hash, so the
+  * sketches are bit-identical across engines and the DuckDB oracle
+  * checks them to hash equality — the same discipline as the minhash /
+  * simhash / SRP stacks ("approximate in estimate, exact in
+  * construction").
+  */
+object Sketches {
+
+  /** The engine-portable 60-bit hash (first 15 md5 hex digits). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** KMV distinct-count estimate per group: hash every item to 60 bits,
+    * keep the k smallest DISTINCT hashes per group, estimate
+    * |distinct| = (k-1) · 2^60 / h_(k). When a group holds fewer than k
+    * distinct hashes the sketch IS the exact distinct set and the exact
+    * count is returned.
+    *
+    * Scale: the global k-smallest per group never passes through one
+    * giant per-group sort — hashes are first pruned to the k smallest
+    * per (group, hash-bucket) in `nBuckets` well-distributed partitions
+    * (the global k smallest are necessarily among their bucket's k
+    * smallest), so the final per-group window sees ≤ nBuckets·k rows
+    * per group, constant in corpus size. Estimate arithmetic is one
+    * exactly-representable power of two, one double division, one
+    * half-up round — engine-portable. */
+  def kmvDistinct(df: DataFrame, group: Column, item: Column, k: Int,
+                  nBuckets: Int = 64): DataFrame = {
+    require(k >= 2)
+    val hashes = df.select(group.as("grp"), h60(item).as("h")).distinct()
+    val pruned = hashes
+      .withColumn("bkt", pmod(col("h"), lit(nBuckets)))
+      .withColumn("brn", row_number().over(
+        Window.partitionBy(col("grp"), col("bkt")).orderBy(col("h"))))
+      .filter(col("brn") <= k)
+    val ranked = pruned.withColumn("rn", row_number().over(
+      Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    ranked.groupBy(col("grp"))
+      .agg(max(when(col("rn") === k, col("h"))).as("hk"),
+        count(lit(1)).as("nh"))
+      .select(col("grp"),
+        when(col("hk").isNotNull,
+          round(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+            / col("hk").cast("double"), 0).cast("long"))
+          .otherwise(col("nh")).as("est_distinct"))
+  }
+
+  /** Count-min sketch cells over weighted items: d independent rows,
+    * each hashing the item to one of w columns with the salted portable
+    * hash; cell = Σ weight. Grid size d·w is FIXED — the whole sketch
+    * of a 100 TB corpus is d·w longs. Overestimate-only by
+    * construction (collisions add, never subtract). */
+  def cmCells(df: DataFrame, item: Column, weight: Column,
+              d: Int = 4, w: Int = 1024): DataFrame =
+    df.select(item.as("it"), weight.as("wt"),
+      explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("c", pmod(
+        h60(concat(lit("cm"), col("r"), lit("_"), col("it"))), lit(w)))
+      .groupBy(col("r"), col("c"))
+      .agg(sum(col("wt")).cast("long").as("cell"))
+
+  /** Point estimates from count-min cells: est(item) = min over rows of
+    * the addressed cell — joins the query items against the d·w-cell
+    * sketch (broadcast; the sketch is tiny by construction). */
+  def cmEstimate(cells: DataFrame, items: DataFrame, item: Column,
+                 d: Int = 4, w: Int = 1024): DataFrame =
+    items.select(item.as("it"),
+      explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("c", pmod(
+        h60(concat(lit("cm"), col("r"), lit("_"), col("it"))), lit(w)))
+      .join(broadcast(cells), Seq("r", "c"))
+      .groupBy(col("it"))
+      .agg(min(col("cell")).cast("long").as("est"))
+}

@@ -1212,6 +1212,43 @@ object ContentQueries {
       graft.analytics.Profile.summarize(docs(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // KMV distinct-count sketch per source over 3-gram shingles: k=64
+    // minimum portable hashes estimate the per-source distinct-shingle
+    // cardinality next to the exact count and the relative error — the
+    // bounded-state profiling pass a 100 TB corpus gets instead of an
+    // exact countDistinct. Deterministic construction: the oracle
+    // rebuilds the identical sketch hash-for-hash.
+    "profile_kmv_distinct" -> ((s, d) => {
+      val sh = docs(s, d).select(col("source"),
+        explode(TextAnalysis.ngrams(col("text"), 3)).as("g"))
+      val est = graft.analytics.Sketches.kmvDistinct(sh, col("source"),
+        col("g"), k = 64)
+      val exact = sh.groupBy(col("source"))
+        .agg(countDistinct(col("g")).cast("long").as("exact_distinct"))
+      exact.join(est.withColumnRenamed("grp", "source"), Seq("source"))
+        .select(col("source"), col("est_distinct"), col("exact_distinct"),
+          round(abs(col("est_distinct") - col("exact_distinct"))
+            * 100.0 / col("exact_distinct"), 2).as("err_pct"))
+        .orderBy(col("source"))
+    }),
+
+    // Count-min frequency sketch (4 × 1024 cells — fixed size at ANY
+    // corpus scale) over 3-gram shingles, read back at the exact top-20
+    // grams: est >= exact always (collisions only add), and both sides
+    // are exact integer sums the oracle replays cell-for-cell.
+    "profile_cm_heavy" -> ((s, d) => {
+      val sh = docs(s, d)
+        .select(explode(TextAnalysis.ngrams(col("text"), 3)).as("g"))
+      val exact = sh.groupBy(col("g"))
+        .agg(count(lit(1)).cast("long").as("exact_cnt"))
+      val top = exact.orderBy(col("exact_cnt").desc, col("g")).limit(20)
+      val cells = graft.analytics.Sketches.cmCells(sh, col("g"), lit(1L))
+      val est = graft.analytics.Sketches.cmEstimate(cells, top, col("g"))
+      top.join(est.withColumnRenamed("it", "g"), Seq("g"))
+        .select(col("g"), col("exact_cnt"), col("est").as("est_cnt"))
+        .orderBy(col("exact_cnt").desc, col("g"))
+    }),
+
     // End-to-end pipeline composition: quality gate → exact dedup (keep
     // min id per fingerprint) → chunk statistics per source. The shape a
     // real corpus-preparation job takes, as ONE declarative plan.
@@ -3152,6 +3189,60 @@ object ContentQueries {
         |  round(1 - n_distinct / CAST(total AS DOUBLE), 6) AS dup_2gram_frac,
         |  round(top / CAST(total AS DOUBLE), 6) AS top_2gram_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // KMV replay: identical 60-bit hashes, identical rank-64 cut,
+    // identical estimate arithmetic (63·2^60 exact in double)
+    "profile_kmv_distinct" ->
+      """WITH g3 AS (SELECT source, unnest(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS g
+        |  FROM (SELECT source, string_split(lower(text), ' ') AS w
+        |    FROM documents)),
+        |hh AS (SELECT DISTINCT source,
+        |    CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+        |  FROM g3),
+        |rk AS (SELECT source, h, row_number() OVER (
+        |    PARTITION BY source ORDER BY h) AS rn FROM hh),
+        |kv AS (SELECT source, max(CASE WHEN rn = 64 THEN h END) AS hk,
+        |    CAST(count(*) AS BIGINT) AS nh
+        |  FROM rk WHERE rn <= 64 GROUP BY source),
+        |ex AS (SELECT source, CAST(count(DISTINCT g) AS BIGINT)
+        |    AS exact_distinct FROM g3 GROUP BY source),
+        |j AS (SELECT source, CASE WHEN hk IS NOT NULL
+        |    THEN CAST(round(63.0 * 1152921504606846976.0
+        |      / CAST(hk AS DOUBLE), 0) AS BIGINT)
+        |    ELSE nh END AS est_distinct, exact_distinct
+        |  FROM ex JOIN kv USING (source))
+        |SELECT source, est_distinct, exact_distinct,
+        |  round(abs(est_distinct - exact_distinct) * 100.0
+        |    / exact_distinct, 2) AS err_pct
+        |FROM j ORDER BY source""".stripMargin,
+
+    // count-min replay: the same salted hashes address the same 4x1024
+    // grid; est = min over rows, exact integer sums throughout
+    "profile_cm_heavy" ->
+      """WITH g3 AS (SELECT unnest(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS g
+        |  FROM (SELECT string_split(lower(text), ' ') AS w
+        |    FROM documents)),
+        |ex AS (SELECT g, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM g3 GROUP BY g),
+        |top AS (SELECT g, exact_cnt FROM ex
+        |  ORDER BY exact_cnt DESC, g LIMIT 20),
+        |cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cell
+        |  FROM (SELECT u.r, CAST(CONCAT('0x', substr(md5(
+        |      'cm' || u.r || '_' || g), 1, 15)) AS BIGINT) % 1024 AS c
+        |    FROM g3 CROSS JOIN range(0, 4) u(r))
+        |  GROUP BY r, c),
+        |qe AS (SELECT top.g, u.r, CAST(CONCAT('0x', substr(md5(
+        |      'cm' || u.r || '_' || top.g), 1, 15)) AS BIGINT) % 1024 AS c
+        |  FROM top CROSS JOIN range(0, 4) u(r)),
+        |est AS (SELECT qe.g, CAST(min(cells.cell) AS BIGINT) AS est_cnt
+        |  FROM qe JOIN cells USING (r, c) GROUP BY qe.g)
+        |SELECT top.g, top.exact_cnt, est.est_cnt
+        |FROM top JOIN est USING (g)
+        |ORDER BY top.exact_cnt DESC, top.g""".stripMargin,
 
     "profile_docs" ->
       """SELECT 'doc_id' AS column_name,

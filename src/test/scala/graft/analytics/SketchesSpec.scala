@@ -1,0 +1,66 @@
+package graft.analytics
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("kmvDistinct: exact below k, estimate within the statistical " +
+    "band above k, deterministic") {
+    // group 'small' has 40 < k=64 distinct items -> exact count
+    // group 'big' has 5000 distinct items -> KMV estimate; k=64 gives
+    // ~1/sqrt(64) = 12.5% standard error, so 40% is a generous pin
+    // that still catches an off-by-2x estimator bug
+    val df = ((1 to 40).map(i => ("small", s"s$i")) ++
+      (1 to 5000).map(i => ("big", s"b$i"))).toDF("grp", "it")
+    val out = Sketches.kmvDistinct(df, col("grp"), col("it"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("small") == 40L, out)
+    val est = out("big")
+    assert(est > 3000 && est < 7000, s"KMV estimate $est for 5000")
+    // duplicates change nothing: the sketch sees distinct hashes
+    val dup = df.union(df).union(df)
+    val out2 = Sketches.kmvDistinct(dup, col("grp"), col("it"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2 == out)
+  }
+
+  test("kmvDistinct: bucket pruning is exact — matches the unpruned " +
+    "window at every bucket count") {
+    val df = (1 to 2000).map(i => ("g", s"x$i")).toDF("grp", "it")
+    val ests = Seq(1, 8, 64).map { nb =>
+      Sketches.kmvDistinct(df, col("grp"), col("it"), k = 32,
+        nBuckets = nb).head.getLong(1)
+    }
+    // nBuckets=1 IS the unpruned global window
+    assert(ests.distinct.size == 1, s"pruning changed the estimate: $ests")
+  }
+
+  test("cm sketch: never underestimates, exact when collision-free, " +
+    "collisions only add") {
+    val items = (1 to 300).flatMap(i => Seq.fill(i % 7 + 1)(s"t$i"))
+      .toDF("it")
+    val exact = items.groupBy(col("it")).agg(count(lit(1)).as("c"))
+    // wide grid: 300 items over 4x8192 cells -> expect mostly exact
+    val wide = Sketches.cmCells(items, col("it"), lit(1L), d = 4, w = 8192)
+    val estW = Sketches.cmEstimate(wide, exact, col("it"), d = 4, w = 8192)
+    val w0 = exact.withColumnRenamed("it", "g")
+      .join(estW, col("g") === col("it"))
+      .select(col("g"), col("c"), col("est")).collect()
+    assert(w0.forall(r => r.getLong(2) >= r.getLong(1)),
+      "CM underestimated")
+    assert(w0.count(r => r.getLong(2) == r.getLong(1)) >= 280,
+      "wide grid should be nearly collision-free")
+    // narrow grid: heavy collisions, still never below exact
+    val narrow = Sketches.cmCells(items, col("it"), lit(1L), d = 2, w = 16)
+    val estN = Sketches.cmEstimate(narrow, exact, col("it"), d = 2, w = 16)
+    val n0 = exact.withColumnRenamed("it", "g")
+      .join(estN, col("g") === col("it"))
+      .select(col("g"), col("c"), col("est")).collect()
+    assert(n0.forall(r => r.getLong(2) >= r.getLong(1)),
+      "CM underestimated under collisions")
+    assert(n0.exists(r => r.getLong(2) > r.getLong(1)),
+      "16-column grid over 300 items must collide somewhere")
+  }
+}
