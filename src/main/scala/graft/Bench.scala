@@ -48,7 +48,8 @@ object Bench {
     "dedup_cdc_ratio", "dedup_cdc_chunks", "dedup_cdc_incr",
     "mix_waterfill", "sample_mix_waterfill", "text_wordpiece",
     "text_wordpiece_merges", "text_unigram", "text_unigram_train",
-    "text_bm25_retrieve", "profile_kmv_distinct", "profile_cm_heavy")
+    "text_bm25_retrieve", "profile_kmv_distinct", "profile_cm_heavy",
+    "text_textrank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -163,6 +163,58 @@ object TextAnalysis {
       .select(col("q_id"), col("rank"), col("doc_id"), col("bm25"))
   }
 
+  /** TextRank keyword scoring (Mihalcea & Tarau EMNLP 2004): weighted
+    * PageRank over the word co-occurrence graph — nodes are words,
+    * edges are adjacent-bigram counts, and `iters` power iterations
+    * spread rank mass along co-occurrence weight. The graph is
+    * VOCABULARY-scale (distinct bigrams), so iterating is a
+    * vocabulary-scale join + aggregate regardless of corpus size — the
+    * corpus is touched once to count edges.
+    *
+    * Arithmetic is INTEGER throughout (the determinism contract every
+    * trainer in this engine honors): ranks live in 1e9-scale longs,
+    * damping 0.85 is `(85 · x) div 100`, and per-edge contributions are
+    * `(r_u · w_uv) div W_u` — floor division on non-negative longs,
+    * identical in both engines, and integer sums are order-independent
+    * where float sums are not. Nodes with no out-edges leak their
+    * damped mass (the standard "leaky" simplification — ranking is the
+    * product, not the exact stationary distribution); nodes with no
+    * IN-edges settle at the base term. Max operand: r ≤ ~1e9·|V|,
+    * w ≤ corpus bigrams — products stay far under 2^62 for any
+    * realistic vocabulary. Returns (word, rank_micro). */
+  def textRank(docs: org.apache.spark.sql.DataFrame, text: Column,
+               iters: Int = 8): org.apache.spark.sql.DataFrame = {
+    val base = 150000000L // (1 - 0.85) * 1e9, exact
+    val sp = split(col("g"), " ")
+    val edges = docs.select(explode(ngrams(text, 2)).as("g"))
+      .filter(size(sp) === 2)
+      .select(sp.getItem(0).as("u"), sp.getItem(1).as("v"))
+      .filter(col("u") =!= "" && col("v") =!= "")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).cast("long").as("w"))
+      .localCheckpoint(false)
+    val outW = edges.groupBy(col("u"))
+      .agg(sum(col("w")).cast("long").as("tw"))
+    val nodes = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node"))).distinct()
+      .localCheckpoint(false)
+    var r = nodes.withColumn("r", lit(1000000000L))
+    var i = 0
+    while (i < iters) {
+      val contrib = edges
+        .join(outW, Seq("u"))
+        .join(r.select(col("node").as("u"), col("r")), Seq("u"))
+        .select(col("v").as("node"), expr("(r * w) div tw").as("m"))
+        .groupBy(col("node")).agg(sum(col("m")).as("m"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit(base)
+          + expr("(85 * coalesce(m, 0)) div 100")).as("r"))
+        .localCheckpoint(false)
+      i += 1
+    }
+    r.select(col("node").as("word"), col("r").as("rank_micro"))
+  }
+
   /** Overlapping token-window chunking (context-window preparation for
     * training): windows of `size` tokens every `stride` tokens, the last
     * window truncating at the document end. Chunk count =

@@ -1212,6 +1212,16 @@ object ContentQueries {
       graft.analytics.Profile.summarize(docs(s, d),
         Seq("doc_id", "lang", "n_chars", "source", "text"))),
 
+    // TextRank keyword scoring: 8 integer power iterations of weighted
+    // PageRank over the adjacent-bigram co-occurrence graph. The graph
+    // build is the only corpus touch; every iteration is a
+    // vocabulary-scale join + aggregate. Exact integer damping and
+    // floor-division contributions make all 8 iterations
+    // oracle-replayable to the last digit.
+    "text_textrank" -> ((s, d) =>
+      TextAnalysis.textRank(docs(s, d), col("text"), iters = 8)
+        .orderBy(col("rank_micro").desc, col("word"))),
+
     // KMV distinct-count sketch per source over 3-gram shingles: k=64
     // minimum portable hashes estimate the per-source distinct-shingle
     // cardinality next to the exact count and the relative error — the
@@ -3189,6 +3199,42 @@ object ContentQueries {
         |  round(1 - n_distinct / CAST(total AS DOUBLE), 6) AS dup_2gram_frac,
         |  round(top / CAST(total AS DOUBLE), 6) AS top_2gram_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // independent TextRank replay: the same bigram edge/out-weight
+    // tables, then 8 UNROLLED integer power iterations — floor-division
+    // contributions and integer damping mean the oracle reproduces
+    // every rank to the last digit, no tolerance anywhere
+    "text_textrank" -> {
+      def iter(prev: String, next: String): String =
+        s"""$next AS (SELECT n.node,
+           |  CAST(150000000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT)
+           |    AS r
+           |  FROM n LEFT JOIN (SELECT e.v AS node,
+           |      sum(($prev.r * e.w) // ow.tw) AS m
+           |    FROM e JOIN ow USING (u)
+           |    JOIN $prev ON $prev.node = e.u
+           |    GROUP BY e.v) s USING (node))""".stripMargin
+      val iters = (0 until 8).map(i => iter(s"r$i", s"r${i + 1}"))
+        .mkString(",\n")
+      s"""WITH e AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w
+         |  FROM (SELECT p[1] AS u, p[2] AS v
+         |    FROM (SELECT string_split(g, ' ') AS p
+         |      FROM (SELECT unnest(list_transform(
+         |          range(1, greatest(len(wl) - 1, 1) + 1),
+         |          i -> array_to_string(list_slice(wl, i, i + 1), ' ')))
+         |          AS g
+         |        FROM (SELECT string_split(lower(text), ' ') AS wl
+         |          FROM documents)))
+         |    WHERE len(p) = 2 AND p[1] <> '' AND p[2] <> '')
+         |  GROUP BY u, v),
+         |ow AS (SELECT u, CAST(sum(w) AS BIGINT) AS tw FROM e GROUP BY u),
+         |n AS (SELECT DISTINCT node FROM
+         |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e)),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM n),
+         |$iters
+         |SELECT node AS word, r AS rank_micro FROM r8
+         |ORDER BY rank_micro DESC, word""".stripMargin
+    },
 
     // KMV replay: identical 60-bit hashes, identical rank-64 cut,
     // identical estimate arithmetic (63·2^60 exact in double)

@@ -479,6 +479,27 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!out.exists(_._1 == 200L), out.toSeq)
   }
 
+  test("textRank: the co-occurrence hub outranks leaves, a peripheral " +
+    "word ranks lowest, integer ranks are deterministic") {
+    val df = Seq(
+      "hub alpha hub beta hub gamma hub delta hub alpha hub beta",
+      "alpha hub beta hub gamma hub delta hub",
+      "alpha beta gamma delta fringe").toDF("text")
+    val r = TextAnalysis.textRank(df, col("text"), iters = 8)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // the hub participates in every edge; it must dominate
+    assert(Seq("alpha", "beta", "gamma", "delta", "fringe").forall(
+      w => r("hub") > r(w)), r)
+    // 'fringe' has a single weak in-edge and no out-edge influence back
+    assert(Seq("alpha", "beta", "gamma", "delta").forall(
+      w => r(w) > r("fringe")), r)
+    // every rank is at least the undamped base term
+    assert(r.values.forall(_ >= 150000000L))
+    val again = TextAnalysis.textRank(df, col("text"), iters = 8)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(again == r)
+  }
+
   test("unigramTrain: singles always survive, a dominant word becomes " +
     "the piece its own segmentation uses, unused multis are pruned, " +
     "and the loop is deterministic") {
