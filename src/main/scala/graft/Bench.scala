@@ -198,6 +198,42 @@ object Bench {
       graft.analytics.Caches.clear()
       f"""{"docs":$n,"exact_sec":$exactSec%.3f,"blocked_sec":$blockedSec%.3f,"exact_pairs":$exactRows,"blocked_pairs":$blockedRows}"""
     }
+    // 10x scale soak (round-10): replicate the corpus 10x with per-replica
+    // perturbation (each replica gets a distinct suffix token, so
+    // fingerprints/shingles don't collapse to exact duplicates) and time
+    // three corpus-heavy operators at 1x and 10x. The RATIO is the
+    // scaling exponent made visible: ~10 means the operator is linear in
+    // corpus size at this shape, >>10 means something superlinear
+    // (quadratic candidate fan-out, an unpartitioned sort) is hiding at
+    // small SF — exactly the regression the sf0.1 bench alone cannot see.
+    val scaleSoak = {
+      import org.apache.spark.sql.functions._
+      val d1 = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val d10 = d1.select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(9L))).as("rep"))
+        .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      def t(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def run(df: org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
+        val a = t(graft.analytics.Dedup.exact(df, col("doc_id"),
+          col("text")).count())
+        graft.analytics.Caches.clear()
+        val b = t(graft.analytics.Dedup.minhashLshPairs(df, col("doc_id"),
+          col("text")).count())
+        graft.analytics.Caches.clear()
+        val c = t(graft.analytics.Dedup.cdcDedupStats(df, col("doc_id"),
+          col("text")).count())
+        graft.analytics.Caches.clear()
+        (a, b, c)
+      }
+      val n1 = d1.count(); val n10 = d10.count()
+      val (e1, m1, c1) = run(d1)
+      val (e10, m10, c10) = run(d10)
+      f"""{"docs_1x":$n1,"docs_10x":$n10,"exact_1x":$e1%.3f,"exact_10x":$e10%.3f,"exact_ratio":${e10 / e1}%.2f,"minhash_1x":$m1%.3f,"minhash_10x":$m10%.3f,"minhash_ratio":${m10 / m1}%.2f,"cdc_1x":$c1%.3f,"cdc_10x":$c10%.3f,"cdc_ratio":${c10 / c1}%.2f}"""
+    }
     // Failures must be machine-loud, not just a -1.0 sentinel buried in the
     // metrics (round 8's bench read as rc:0 with six dead queries): name
     // them in an explicit "failed" list AND exit non-zero.
@@ -205,7 +241,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val spread = spreadJson(results ++ r7 ++ r9 ++ r10)
     println(
-      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"blocked_crossover":$crossover,"failed":$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")

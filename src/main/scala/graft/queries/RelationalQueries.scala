@@ -249,6 +249,37 @@ object RelationalQueries {
     // semantics to diverge. Two shuffles at scale: the per-user min
     // (map-side partial) and the cohort×offset distinct-count; the
     // cohort table is |users| and AQE broadcasts it when small.
+    // Ordered conversion funnel view -> click -> purchase: each stage's
+    // earliest qualifying time must come STRICTLY after the previous
+    // stage's (order matters, not mere presence). Per-stage reach plus
+    // mean end-to-end latency for completers; all stage logic is
+    // user-keyed min-aggregates and joins — no windows, no self-join
+    // explosion, scales as three keyed shuffles.
+    "q47_funnel" -> ((s, d) => {
+      val ev = T(s, d, "events").select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id")).filter(col("us") > col("t1"))
+        .groupBy(col("user_id"), col("t1")).agg(min(col("us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id")).filter(col("us") > col("t2"))
+        .groupBy(col("user_id"), col("t1")).agg(min(col("us")).as("t3"))
+      val r1 = s1.agg(count(lit(1)).as("users")).select(
+        lit("1_view").as("stage"), col("users"),
+        lit(null).cast("double").as("avg_latency_sec"))
+      val r2 = s2.agg(count(lit(1)).as("users")).select(
+        lit("2_click").as("stage"), col("users"),
+        lit(null).cast("double").as("avg_latency_sec"))
+      val r3 = s3.agg(count(lit(1)).as("users"),
+          sum(col("t3") - col("t1")).as("lat"))
+        .select(lit("3_purchase").as("stage"), col("users"),
+          round(col("lat").cast("double") / col("users") / 1000000.0, 2)
+            .as("avg_latency_sec"))
+      r1.unionByName(r2).unionByName(r3).orderBy(col("stage"))
+    }),
+
     "q46_retention_cohorts" -> ((s, d) => {
       val wk = floor(unix_micros(col("ts").cast("timestamp")) /
         604800000000L).cast("long")
@@ -773,6 +804,33 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_purchase
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // funnel replay: the same strictly-ordered stage mins; counts are
+    // exact ints, the one division is over an exact long sum
+    "q47_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, s1.t1, min(e.us) AS t2 FROM e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.us > s1.t1
+        |  GROUP BY e.user_id, s1.t1),
+        |s3 AS (SELECT e.user_id, s2.t1, min(e.us) AS t3 FROM e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us > s2.t2
+        |  GROUP BY e.user_id, s2.t1)
+        |SELECT stage, users, avg_latency_sec FROM (
+        |  SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users,
+        |    CAST(NULL AS DOUBLE) AS avg_latency_sec FROM s1
+        |  UNION ALL
+        |  SELECT '2_click', CAST(count(*) AS BIGINT),
+        |    CAST(NULL AS DOUBLE) FROM s2
+        |  UNION ALL
+        |  SELECT '3_purchase', CAST(count(*) AS BIGINT),
+        |    round(CAST(sum(t3 - t1) AS DOUBLE) / count(*) / 1000000.0, 2)
+        |  FROM s3)
+        |ORDER BY stage""".stripMargin,
 
     "q46_retention_cohorts" ->
       """WITH e AS (SELECT user_id,

@@ -19,4 +19,27 @@ class QueriesSpec extends SparkSuite {
       assert(df.count() >= 0)
     }
   }
+
+  test("funnel stages demand strict event ORDER, not mere presence") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // u1 completes in order; u2 purchased BEFORE clicking (stage 2 only);
+    // u3 never clicked (stage 1 only); u4 never viewed (no stage)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val ev = Seq(
+      (1L, "view", t(0)), (1L, "click", t(1)), (1L, "purchase", t(2)),
+      (2L, "purchase", t(0)), (2L, "view", t(1)), (2L, "click", t(2)),
+      (3L, "view", t(0)), (3L, "error", t(1)),
+      (4L, "click", t(0)), (4L, "purchase", t(1)))
+      .toDF("user_id", "event_type", "ts")
+      .withColumn("event_id", col("user_id"))
+      .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_funnel_spec"
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.RelationalQueries.queries("q47_funnel")(
+      spark, dir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("1_view" -> 3L, "2_click" -> 2L, "3_purchase" -> 1L),
+      out)
+  }
 }
