@@ -131,19 +131,27 @@ object TextAnalysis {
     val t = docs.select(docId.as("doc_id"), units.as("toks"))
     val stats = t.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(size(col("toks"))).as("avgdl"))
+    // ONE posting build; df rides a term-keyed window on it instead of a
+    // second aggregate subtree (one corpus scan, and the window's
+    // hash(term) partitioning is exactly what the retrieval join needs,
+    // so the posting side shuffles once total). The df cap prunes hot
+    // posting lists BEFORE the join — the cap must bound the join's
+    // per-key fan-out, so it cannot live after it. The query side is
+    // the SHUFFLE_HASH build side: postings are corpus-scale and must
+    // never broadcast, and queries need no sort.
     val postings = t
       .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
         explode(col("toks")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dfT = postings.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df"))
-    val hits = queries
-      .join(postings, Seq("term"))
-      .join(dfT, Seq("term"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term")))
+        .cast("double"))
+    val hits = postings
       .crossJoin(broadcast(stats))
       .filter(col("df") <= col("n_docs") * lit(maxDfFrac))
+      .join(queries.hint("SHUFFLE_HASH"), Seq("term"))
       .filter(if (excludeSelf) col("doc_id") =!= col("q_id") else lit(true))
       .withColumn("c",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
