@@ -1274,4 +1274,140 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
   }
+
+  /** Hard-negative mining for contrastive training data: for each query
+    * vector, the top-k most-similar corpus vectors whose label DIFFERS
+    * from the query's — the "confusable but wrong" examples an embedding
+    * trainer wants as negatives (same-label neighbors are useless as
+    * negatives no matter how close they score).
+    *
+    * Same plan shape as `bruteForceTopK` (query side broadcasts, the
+    * corpus never shuffles) with the label inequality folded into the
+    * broadcast-join condition, so different-label filtering happens
+    * BEFORE scoring: a same-label pair never pays its dot product.
+    * At 100 TB the nomination stage would ride any of the ANN indexes
+    * (IVF/PQ/serve) with this same per-pair label predicate applied to
+    * the candidate pool — the predicate composes with every nominator
+    * because it is a plain join filter. */
+  def hardNegativesTopK(queries: DataFrame, corpus: DataFrame,
+                        qId: Column, qVec: Column, qLabel: Column,
+                        cId: Column, cVec: Column, cLabel: Column,
+                        k: Int): DataFrame = {
+    val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"),
+        qLabel.as("q_label"))
+      .withColumn("q_n", norm(col("q_v")))
+    val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"),
+        cLabel.as("n_label"))
+      .withColumn("c_n", norm(col("c_v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    c.join(broadcast(q),
+        col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        round(dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")), 4)
+          .as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        col("sim"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * merge two retrieval systems' rankings without score calibration —
+    * rrf(d) = Σ_systems 1/(kRrf + rank_s(d)). The standard way to fuse
+    * sparse (BM25) and dense (ANN) retrieval into one hybrid ranking,
+    * since BM25 scores and cosine similarities live on incomparable
+    * scales but ranks always compose.
+    *
+    * Inputs are the two systems' top-pool tables as `(q_id, id, rank)`.
+    * The fusion is ONE full-outer equi-join on (q_id, id) — volume is
+    * queries × pool per side, never corpus-scale, so at 100 TB the cost
+    * lives entirely in the upstream retrievers (each already index-
+    * backed). A per-(q,d) score needs no aggregate: with two systems the
+    * sum is a fixed-order two-term expression, deterministic across
+    * engines (an unordered float SUM over a group would not be). */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, k: Int,
+              kRrf: Int = 60): DataFrame = {
+    val l = sparse.select(col("q_id"), col("id"),
+      col("rank").cast("long").as("rank_a"))
+    val r = dense.select(col("q_id"), col("id"),
+      col("rank").cast("long").as("rank_b"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("id"))
+    l.join(r, Seq("q_id", "id"), "full_outer")
+      .select(col("q_id"), col("id"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0)),
+          6).as("rrf"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id"), col("rrf"), col("rank"))
+  }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR 1998): greedily select k results where each pick maximizes
+    * `lambda·sim(q,d) − mu·max_{s∈selected} sim(d,s)` — relevance minus
+    * redundancy. The curation use: a near-dup-heavy corpus's plain top-k
+    * returns k copies of one document; MMR returns k DIFFERENT ones.
+    *
+    * Plan: nominate a `pool`-sized candidate set per query (brute here;
+    * any ANN nominator composes), compute the pool's pairwise cosine
+    * matrix (queries × pool² rows — pool is a constant, so this is
+    * queries-scale, NOT corpus-scale), then run k−1 greedy rounds, each
+    * one join + two aggregates over the candidate frame. The corpus is
+    * touched only by the nominator; every greedy round is bounded by
+    * queries × pool rows regardless of corpus size.
+    *
+    * Determinism (the oracle replays every round in a recursive CTE):
+    * pool sims round to 4 decimals; the marginal score rounds to 6; the
+    * per-round argmax breaks ties on the smaller id. `lambda`/`mu` are
+    * passed separately (not `1−lambda`) so both engines parse the exact
+    * same double literals. */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
+              qVec: Column, cId: Column, cVec: Column, k: Int,
+              pool: Int = 20, lambda: Double = 0.7, mu: Double = 0.3)
+      : DataFrame = {
+    val cand = Caches.persist(
+      bruteForceTopK(queries, corpus, qId, qVec, cId, cVec, pool))
+    val vecs = corpus.select(cId.as("n_id"), asDouble(cVec).as("v"))
+      .withColumn("nn", norm(col("v")))
+    val cv = cand.select(col("q_id"), col("n_id"), col("sim"))
+      .join(vecs, Seq("n_id"))
+    val pa = cv.select(col("q_id"), col("n_id").as("a"),
+      col("v").as("av"), col("nn").as("an"))
+    val pb = cv.select(col("q_id"), col("n_id").as("b"),
+      col("v").as("bv"), col("nn").as("bn"))
+    val ps = Caches.persist(pa.join(pb, Seq("q_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 4)
+          .as("s")))
+    var sel = cand.filter(col("rank") === 1)
+      .select(col("q_id"), col("n_id"), lit(1L).as("step"))
+    for (stepNo <- 2 to k) {
+      // max pairwise sim from each remaining candidate to the selected set
+      val msim = ps.join(
+          broadcast(sel.select(col("q_id"), col("n_id").as("b"))),
+          Seq("q_id", "b"))
+        .groupBy(col("q_id"), col("a")).agg(max(col("s")).as("msim"))
+        .withColumnRenamed("a", "n_id")
+      val pickW = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("n_id"))
+      val pick = cand
+        .join(broadcast(sel.select(col("q_id"), col("n_id"))),
+          Seq("q_id", "n_id"), "left_anti")
+        .join(msim, Seq("q_id", "n_id"))
+        .select(col("q_id"), col("n_id"),
+          round(lit(lambda) * col("sim") - lit(mu) * col("msim"), 6)
+            .as("score"))
+        .withColumn("rn", row_number().over(pickW))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("n_id"), lit(stepNo.toLong).as("step"))
+      sel = sel.union(pick).localCheckpoint()
+    }
+    sel.join(cand.select(col("q_id"), col("n_id"), col("sim")),
+        Seq("q_id", "n_id"))
+      .select(col("q_id"), col("step").as("rank"), col("n_id"), col("sim"))
+  }
 }

@@ -551,6 +551,71 @@ object ContentQueries {
         .orderBy(col("q_id"))
     }),
 
+    // Hard-negative mining for contrastive training: per query vector,
+    // the 10 most-similar vectors with a DIFFERENT label — the
+    // confusable-but-wrong examples an embedding trainer pairs with each
+    // anchor. The label inequality rides the broadcast-join condition,
+    // so same-label pairs never even score.
+    "sim_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.hardNegativesTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("label"),
+        col("vec_id"), col("embedding"), col("label"),
+        k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumn("q_label", col("q_label").cast("long"))
+        .withColumn("n_label", col("n_label").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // MMR diversified top-5 from a brute-force top-20 pool (λ=0.7):
+    // greedy relevance-minus-redundancy selection, every round of which
+    // the DuckDB oracle replays inside one recursive CTE (same rounded
+    // pool sims, same marginal-score rounding, same min-id tie-break).
+    "sim_topk_mmr" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.mmrTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, pool = 20)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Hybrid retrieval: BM25-over-bigrams top-20 and dense cosine top-20
+    // fused by reciprocal-rank fusion (k=60) into one top-10 — the
+    // sparse and dense read paths this library already serves, composed
+    // the way a production retrieval stack actually runs them. Queries
+    // are the bm25_retrieve query docs that also have an embedding row.
+    "retrieve_hybrid_rrf" -> ((s, d) => {
+      val dd = docs(s, d)
+      val e = emb(s, d)
+      val t = dd.select(col("doc_id"),
+        TextAnalysis.ngrams(col("text"), 2).as("toks"))
+      val qdocs = t
+        .filter(size(col("toks")) >= 11 && col("doc_id") % 25 === 0)
+        .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+      val qterms = qdocs
+        .select(col("doc_id").as("q_id"), explode(array_distinct(array(
+          try_element_at(col("toks"), lit(3)),
+          try_element_at(col("toks"), lit(7)),
+          try_element_at(col("toks"), lit(11))))).as("term"))
+        .filter(col("term") =!= "")
+      val sparse = TextAnalysis.bm25Retrieve(dd, col("doc_id"),
+        TextAnalysis.ngrams(col("text"), 2), qterms, k = 20,
+        excludeSelf = true)
+        .select(col("q_id"), col("doc_id").as("id"), col("rank"))
+      val qv = e.join(qdocs.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val dense = Similarity.bruteForceTopK(qv, e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 20)
+        .select(col("q_id"), col("n_id").as("id"), col("rank"))
+      Similarity.rrfFuse(sparse, dense, k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // IVF approximate top-k — fully oracle-checked: centroid sampling is
     // md5-hash-derived and all ranking scores round before ordering, so
     // DuckDB reproduces the identical index and scan.
@@ -2393,6 +2458,144 @@ object ContentQueries {
         |SELECT q.q_id, CAST(q.true_label AS BIGINT) AS true_label,
         |  CAST(p.pred_label AS BIGINT) AS pred_label
         |FROM q JOIN pred p USING (q_id) ORDER BY q.q_id""".stripMargin,
+
+    "sim_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, e AS qe,
+        |    nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |sc AS (SELECT q_id, q_label, c.vec_id AS n_id, c.label AS n_label,
+        |    round(list_sum(list_transform(range(1, 65), i -> qe[i] * c.e[i]))
+        |      / (qn * c.nrm), 4) AS sim
+        |  FROM q JOIN n c ON c.vec_id <> q_id AND c.label <> q_label),
+        |r AS (SELECT q_id, q_label, n_id, n_label, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+        |      AS rank
+        |  FROM sc)
+        |SELECT q_id, CAST(q_label AS BIGINT) AS q_label, n_id,
+        |  CAST(n_label AS BIGINT) AS n_label, sim,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // replays every greedy MMR round in one recursive CTE over the same
+    // rounded pool/pairwise sims; pick = max marginal score, min-id ties
+    "sim_topk_mmr" ->
+      """WITH RECURSIVE v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id % 100 = 0),
+        |sc AS (SELECT q_id, c.vec_id AS n_id,
+        |    round(list_sum(list_transform(range(1, 65), i -> qe[i] * c.e[i]))
+        |      / (qn * c.nrm), 4) AS sim
+        |  FROM q JOIN n c ON c.vec_id <> q_id),
+        |cand AS (SELECT q_id, n_id, sim FROM (SELECT q_id, n_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+        |      AS rank FROM sc) WHERE rank <= 20),
+        |first AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+        |      AS rank FROM cand) WHERE rank = 1),
+        |cv AS (SELECT cand.q_id, cand.n_id, n.e, n.nrm
+        |  FROM cand JOIN n ON n.vec_id = cand.n_id),
+        |ps AS (SELECT x.q_id, x.n_id AS a, y.n_id AS b,
+        |    round(list_sum(list_transform(range(1, 65), i -> x.e[i] * y.e[i]))
+        |      / (x.nrm * y.nrm), 4) AS s
+        |  FROM cv x JOIN cv y ON x.q_id = y.q_id AND x.n_id <> y.n_id),
+        |r AS (
+        |  SELECT q_id, 1 AS step, [n_id] AS sel FROM first
+        |  UNION ALL
+        |  SELECT q_id, step + 1 AS step, list_append(sel, pick) AS sel
+        |  FROM (
+        |    SELECT g.q_id, g.step, g.sel,
+        |        min(struct_pack(k := -round(0.7 * g.sim - 0.3 * g.msim, 6),
+        |          id := g.n_id)).id AS pick
+        |    FROM (
+        |      SELECT r.q_id, r.step, r.sel, c.n_id, c.sim, max(p.s) AS msim
+        |      FROM r
+        |      JOIN cand c ON c.q_id = r.q_id
+        |        AND NOT list_contains(r.sel, c.n_id)
+        |      JOIN ps p ON p.q_id = r.q_id AND p.a = c.n_id
+        |        AND list_contains(r.sel, p.b)
+        |      WHERE r.step < 5
+        |      GROUP BY r.q_id, r.step, r.sel, c.n_id, c.sim
+        |    ) g
+        |    GROUP BY g.q_id, g.step, g.sel
+        |  )
+        |)
+        |SELECT r.q_id, CAST(t.i AS BIGINT) AS rank, r.sel[t.i] AS n_id,
+        |  cand.sim
+        |FROM r, range(1, 6) t(i)
+        |JOIN cand ON cand.q_id = r.q_id AND cand.n_id = r.sel[t.i]
+        |WHERE r.step = 5
+        |ORDER BY r.q_id, rank""".stripMargin,
+
+    // BM25 top-20 (bigram index, df cap, self-excluded) + dense cosine
+    // top-20, fused by RRF(60); the full-outer join IS the fusion
+    "retrieve_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+        |      i -> array_to_string(list_slice(w, i, i + 1), ' ')) AS toks
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |    FROM documents)),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    avg(len(toks)) AS avgdl FROM t),
+        |p AS (SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |      unnest(toks) AS term FROM t)
+        |  WHERE term <> '' GROUP BY term, doc_id, dl),
+        |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |  FROM p GROUP BY term),
+        |qd AS (SELECT t.doc_id, t.toks FROM t
+        |  JOIN embeddings em ON em.vec_id = t.doc_id
+        |  WHERE len(t.toks) >= 11 AND t.doc_id % 25 = 0),
+        |q AS (SELECT q_id, term FROM (SELECT doc_id AS q_id,
+        |    unnest(list_distinct([toks[3], toks[7], toks[11]])) AS term
+        |  FROM qd) WHERE term <> ''),
+        |h AS (SELECT q.q_id, p.doc_id, p.term,
+        |    ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+        |      * p.tf * (1.2 + 1.0)
+        |      / (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * p.dl / st.avgdl))
+        |      AS c
+        |  FROM q JOIN p USING (term) JOIN dft USING (term), st
+        |  WHERE dft.df <= st.n_docs * 0.25 AND p.doc_id <> q.q_id),
+        |s AS (SELECT q_id, doc_id,
+        |    round(list_reduce(list(c ORDER BY term),
+        |      (x, y) -> x + y), 4) AS bm25
+        |  FROM h GROUP BY q_id, doc_id),
+        |spk AS (SELECT q_id, id, rank_a FROM (SELECT q_id, doc_id AS id,
+        |    bm25, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY bm25 DESC, doc_id) AS rank_a
+        |  FROM s) WHERE rank_a <= 20),
+        |v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |qv AS (SELECT n.vec_id AS q_id, n.e AS qe, n.nrm AS qn FROM n
+        |  JOIN qd ON qd.doc_id = n.vec_id),
+        |dsc AS (SELECT q_id, c.vec_id AS n_id,
+        |    round(list_sum(list_transform(range(1, 65), i -> qe[i] * c.e[i]))
+        |      / (qn * c.nrm), 4) AS sim
+        |  FROM qv JOIN n c ON c.vec_id <> q_id),
+        |dek AS (SELECT q_id, id, rank_b FROM (SELECT q_id, n_id AS id,
+        |    sim, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, n_id) AS rank_b
+        |  FROM dsc) WHERE rank_b <= 20),
+        |f AS (SELECT coalesce(spk.q_id, dek.q_id) AS q_id,
+        |    coalesce(spk.id, dek.id) AS id,
+        |    round(coalesce(1.0 / (60 + spk.rank_a), 0.0)
+        |      + coalesce(1.0 / (60 + dek.rank_b), 0.0), 6) AS rrf
+        |  FROM spk FULL OUTER JOIN dek
+        |    ON spk.q_id = dek.q_id AND spk.id = dek.id),
+        |r AS (SELECT q_id, id, rrf, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY rrf DESC, id) AS rank FROM f)
+        |SELECT q_id, id, rrf, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     "text_token_estimate" ->
       """SELECT doc_id,
