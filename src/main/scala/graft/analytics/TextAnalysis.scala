@@ -74,6 +74,39 @@ object TextAnalysis {
     tokenCount(text).between(minTokens, maxTokens) &&
       punctRatio(text) <= maxPunctRatio
 
+  /** Full Gopher-style rule bundle (Rae et al. 2021, Appendix A): the
+    * per-rule boolean flags a curation pipeline reports before gating,
+    * not just the final keep bit — you tune thresholds by watching which
+    * rule fires, so the flags are the product. Every rule is an INTEGER
+    * comparison (ratio thresholds are cross-multiplied: punct/len < 5% is
+    * `punct*100 < len*5`), so the flags are engine-exact by construction
+    * — no float threshold can straddle a rounding difference. Bounds
+    * default to corpus-calibrated knobs, not the paper's web-scale ones.
+    * All five rules are projections over one token split — zero shuffle,
+    * stream-safe, and the scan stays whole-stage-codegen. */
+  def gopherRules(text: Column, minTokens: Int = 20, maxTokens: Int = 80,
+                  minMwl: Int = 4, maxMwl: Int = 5, maxPunctPct: Int = 5,
+                  minAlphaPct: Int = 80, minStops: Int = 2)
+      : Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val chars = length(regexp_replace(text, " ", "")).cast("long")
+    val punct =
+      (length(text) - length(regexp_replace(text, "[.,;:!?]", "")))
+        .cast("long")
+    val alphaW = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val stops = size(array_intersect(array_distinct(tokens(lower(text))),
+      array(EnStop.map(lit): _*))).cast("long")
+    Seq(
+      "r_word_count" -> (n >= minTokens && n <= maxTokens),
+      "r_mean_word_len" ->
+        (chars >= lit(minMwl.toLong) * n && chars <= lit(maxMwl.toLong) * n),
+      "r_punct_ratio" ->
+        (punct * 100 < length(text).cast("long") * maxPunctPct),
+      "r_alpha_words" -> (alphaW * 100 >= n * minAlphaPct),
+      "r_stopwords" -> (stops >= minStops))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct lowercase token set —
     * an order-insensitive content signature for exact-ish dedup across
     * reorderings. Native single-pass expression

@@ -305,6 +305,43 @@ object ContentQueries {
         TextAnalysis.repetitionRatio(col("text")).as("repetition_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Gopher rule bundle: the five per-rule flags plus the conjunction —
+    // all integer comparisons (cross-multiplied ratios), engine-exact.
+    "text_gopher_rules" -> ((s, d) => {
+      val rules = TextAnalysis.gopherRules(col("text"))
+      val keep = rules.map(_._2).reduce(_ && _)
+      docs(s, d).select(col("doc_id") +:
+        rules.map { case (nm, c) => c.as(nm) } :+ keep.as("keep"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Curriculum-ordered sharding: per-source difficulty stages (ntile 4
+    // over the stopword-ratio quality score, easy = stop-dense first),
+    // each stage hash-split into 8 shards — the manifest a curriculum
+    // training run reads stage by stage. Per-source windows parallelize
+    // across sources; for one giant source the 100 TB path swaps the
+    // ntile for quantile-cut assignment from a sampled score CDF
+    // (model-scale driver state), keeping assignment a projection.
+    "shard_curriculum" -> ((s, d) => {
+      val stageW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val shard = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 15), 16, 10).cast("long"), lit(8))
+      docs(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.stopwordRatio(col("text")).as("score"))
+        .withColumn("stage", ntile(4).over(stageW).cast("long"))
+        .withColumn("shard", shard)
+        .groupBy(col("source"), col("stage"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).cast("long")
+            .as("total_tokens"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"), col("stage"), col("shard"))
+    }),
+
     "text_fingerprint" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -2112,6 +2149,53 @@ object ContentQueries {
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         |    string_split(lower(text), ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // integer cross-multiplied rules — no float threshold anywhere
+    "text_gopher_rules" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+        |    CAST(length(text)
+        |      - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+        |      AS BIGINT) AS punct,
+        |    CAST(length(text) AS BIGINT) AS tlen,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alphaw,
+        |    CAST(len(list_filter(list_distinct(
+        |        string_split(lower(text), ' ')),
+        |      x -> x IN ('the','a','of','and','to','in','is','that')))
+        |      AS BIGINT) AS stops
+        |  FROM documents)
+        |SELECT doc_id,
+        |  n >= 20 AND n <= 80 AS r_word_count,
+        |  chars >= 4 * n AND chars <= 5 * n AS r_mean_word_len,
+        |  punct * 100 < tlen * 5 AS r_punct_ratio,
+        |  alphaw * 100 >= n * 80 AS r_alpha_words,
+        |  stops >= 2 AS r_stopwords,
+        |  (n >= 20 AND n <= 80) AND (chars >= 4 * n AND chars <= 5 * n)
+        |    AND (punct * 100 < tlen * 5) AND (alphaw * 100 >= n * 80)
+        |    AND (stops >= 2) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "shard_curriculum" ->
+      """WITH sc AS (SELECT doc_id, source, text,
+        |    round(len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and','to','in','is','that')))
+        |      / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE),
+        |      6) AS score
+        |  FROM documents),
+        |st AS (SELECT doc_id, source, text,
+        |    CAST(ntile(4) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS stage,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 8 AS shard
+        |  FROM sc)
+        |SELECT source, stage, shard, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |    AS total_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM st GROUP BY source, stage, shard
+        |ORDER BY source, stage, shard""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
