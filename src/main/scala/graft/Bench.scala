@@ -51,7 +51,8 @@ object Bench {
     "text_bm25_retrieve", "profile_kmv_distinct", "profile_cm_heavy",
     "text_textrank",
     "sim_hard_negatives", "sim_topk_mmr", "retrieve_hybrid_rrf",
-    "text_gopher_rules", "shard_curriculum")
+    "text_gopher_rules", "shard_curriculum",
+    "sim_contrastive_triplets", "sample_kcenter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

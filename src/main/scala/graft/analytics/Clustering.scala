@@ -149,6 +149,59 @@ object Clustering {
     fitOn(v, k, iters)
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985, farthest-point
+    * first): seed with the min-id vector, then k−1 rounds of "pick the
+    * point farthest from its nearest already-selected center" — the
+    * classic 2-approximation coverage sample, the diversity-sampling
+    * primitive a curation pipeline uses to pick a representative subset
+    * (coresets, eval-set seeding, annotation budgets).
+    *
+    * Plan: NO evolving state frame. Each round recomputes every point's
+    * min cosine-distance to the selected set inside ONE projection over
+    * a center-literal array (the `classify` trick — selected vectors are
+    * driver state, ≤ k×dim doubles) and takes the argmax via TakeOrdered
+    * (orderBy+limit(1) — k rows cross the wire, never a sort). Total
+    * cost: k corpus scans of ≤ k literal dot products each, zero
+    * shuffles, zero joins, constant plan depth per round — the exact
+    * round structure `fit` uses, at any corpus size.
+    *
+    * Determinism: distance = 1 − round4(cosine); argmax ties break to
+    * the smaller id; the DuckDB oracle replays every round in one
+    * recursive CTE. Output: (rank, vec_id, radius) with radius the
+    * chosen point's distance to the nearest earlier center — rank r's
+    * radius is the covering-radius certificate after r−1 centers
+    * (non-increasing; NULL for the seed). */
+  def kCenterGreedy(emb: DataFrame, id: Column, vec: Column,
+                    k: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    val v = Caches.persist(
+      emb.select(id.as("id"), asDouble(vec).as("v"))
+        .withColumn("nrm", norm(col("v"))))
+    val seed = v.orderBy(col("id")).limit(1)
+      .select(col("id"), col("v"), col("nrm")).collect().head
+    var centers = Seq(Centroid(seed.getLong(0),
+      seed.getSeq[Double](1), seed.getDouble(2)))
+    var radii = Seq.empty[Double]
+    for (_ <- 2 to k) {
+      val mind = array_min(transform(centLiteral(centers), c =>
+        lit(1.0) - round(Similarity.dot(col("v"), c.getField("cv")) /
+          (col("nrm") * c.getField("cn")), 4)))
+      val pick = v.filter(!col("id").isin(centers.map(_.cluster): _*))
+        .withColumn("mind", mind)
+        .orderBy(col("mind").desc, col("id"))
+        .limit(1).select(col("id"), col("v"), col("nrm"), col("mind"))
+        .collect().head
+      centers :+= Centroid(pick.getLong(0), pick.getSeq[Double](1),
+        pick.getDouble(2))
+      radii :+= pick.getDouble(3)
+    }
+    import spark.implicits._
+    centers.zipWithIndex.map { case (c, i) =>
+      ((i + 1).toLong, c.cluster,
+        if (i == 0) None else Some(radii(i - 1)))
+    }.toDF("rank", "vec_id", "radius")
+  }
+
   /** Apply a fitted model to ANY frame — batch or STREAMING — as a pure
     * zero-shuffle projection (the centroid literal rides inside the
     * expression, so this composes with readStream/foreachBatch with no

@@ -1292,17 +1292,29 @@ object Similarity {
   def hardNegativesTopK(queries: DataFrame, corpus: DataFrame,
                         qId: Column, qVec: Column, qLabel: Column,
                         cId: Column, cVec: Column, cLabel: Column,
-                        k: Int): DataFrame = {
+                        k: Int): DataFrame =
+    labelTopK(queries, corpus, qId, qVec, qLabel, cId, cVec, cLabel, k,
+      sameLabel = false)
+
+  /** The label-predicate top-k both contrastive directions share:
+    * `sameLabel = true` ranks same-label neighbors (positives),
+    * `false` different-label ones (hard negatives). */
+  def labelTopK(queries: DataFrame, corpus: DataFrame,
+                qId: Column, qVec: Column, qLabel: Column,
+                cId: Column, cVec: Column, cLabel: Column,
+                k: Int, sameLabel: Boolean): DataFrame = {
     val q = queries.select(qId.as("q_id"), asDouble(qVec).as("q_v"),
         qLabel.as("q_label"))
       .withColumn("q_n", norm(col("q_v")))
     val c = corpus.select(cId.as("n_id"), asDouble(cVec).as("c_v"),
         cLabel.as("n_label"))
       .withColumn("c_n", norm(col("c_v")))
+    val labelPred =
+      if (sameLabel) col("q_label") === col("n_label")
+      else col("q_label") =!= col("n_label")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
-    c.join(broadcast(q),
-        col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id") && labelPred)
       .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
         round(dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")), 4)
           .as("sim"))

@@ -653,6 +653,43 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Contrastive triplets: per anchor, its best same-label neighbor
+    // (the positive) paired with each of its 3 hardest different-label
+    // neighbors — the (anchor, positive, negative) rows an embedding
+    // trainer consumes directly. Both rankings are the label-predicate
+    // top-k; the assembly is one tiny equi-join on q_id.
+    "sim_contrastive_triplets" -> ((s, d) => {
+      val e = emb(s, d)
+      val qs = e.filter(col("vec_id") % 100 === 0)
+      val pos = Similarity.labelTopK(qs, e,
+        col("vec_id"), col("embedding"), col("label"),
+        col("vec_id"), col("embedding"), col("label"),
+        k = 1, sameLabel = true)
+        .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+          col("n_id").as("pos_id"), col("sim").as("pos_sim"))
+      val neg = Similarity.labelTopK(qs, e,
+        col("vec_id"), col("embedding"), col("label"),
+        col("vec_id"), col("embedding"), col("label"),
+        k = 3, sameLabel = false)
+        .select(col("q_id"), col("n_id").as("neg_id"),
+          col("sim").as("neg_sim"), col("rank").cast("long")
+            .as("neg_rank"))
+      pos.join(neg, Seq("q_id"))
+        .select(col("q_id"), col("q_label"), col("pos_id"),
+          col("pos_sim"), col("neg_rank"), col("neg_id"), col("neg_sim"))
+        .orderBy(col("q_id"), col("neg_rank"))
+    }),
+
+    // Greedy k-center coreset (farthest-point-first): 8 maximally-spread
+    // representatives of the embedding corpus with their covering-radius
+    // certificates — diversity sampling for eval seeding / annotation
+    // budgets. k zero-shuffle corpus scans; oracle replays every round
+    // in a recursive CTE.
+    "sample_kcenter" -> ((s, d) =>
+      graft.analytics.Clustering.kCenterGreedy(
+        emb(s, d), col("vec_id"), col("embedding"), k = 8)
+        .orderBy(col("rank"))),
+
     // IVF approximate top-k — fully oracle-checked: centroid sampling is
     // md5-hash-derived and all ranking scores round before ordering, so
     // DuckDB reproduces the identical index and scan.
@@ -2680,6 +2717,69 @@ object ContentQueries {
         |    ORDER BY rrf DESC, id) AS rank FROM f)
         |SELECT q_id, id, rrf, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "sim_contrastive_triplets" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, e AS qe,
+        |    nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |sc AS (SELECT q_id, q_label, c.vec_id AS n_id, c.label AS n_label,
+        |    round(list_sum(list_transform(range(1, 65), i -> qe[i] * c.e[i]))
+        |      / (qn * c.nrm), 4) AS sim
+        |  FROM q JOIN n c ON c.vec_id <> q_id),
+        |pos AS (SELECT q_id, q_label, n_id AS pos_id, sim AS pos_sim
+        |  FROM (SELECT q_id, q_label, n_id, sim, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |    FROM sc WHERE n_label = q_label) WHERE rn = 1),
+        |neg AS (SELECT q_id, n_id AS neg_id, sim AS neg_sim,
+        |    CAST(rn AS BIGINT) AS neg_rank
+        |  FROM (SELECT q_id, n_id, sim, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |    FROM sc WHERE n_label <> q_label) WHERE rn <= 3)
+        |SELECT p.q_id, CAST(p.q_label AS BIGINT) AS q_label, p.pos_id,
+        |  p.pos_sim, g.neg_rank, g.neg_id, g.neg_sim
+        |FROM pos p JOIN neg g USING (q_id)
+        |ORDER BY p.q_id, g.neg_rank""".stripMargin,
+
+    // replays all 7 farthest-point rounds in one recursive CTE; pick =
+    // max min-distance-to-selected, min-id ties; radius certificate out
+    "sample_kcenter" ->
+      """WITH RECURSIVE v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |r AS (
+        |  SELECT 1 AS step,
+        |    [(SELECT min(vec_id) FROM n)] AS sel,
+        |    CAST([] AS DOUBLE[]) AS rad
+        |  UNION ALL
+        |  SELECT step + 1 AS step, list_append(sel, pk.id) AS sel,
+        |    list_append(rad, -pk.k) AS rad
+        |  FROM (
+        |    SELECT g.step, g.sel, g.rad,
+        |        min(struct_pack(k := -g.dmin, id := g.vec_id)) AS pk
+        |    FROM (
+        |      SELECT r.step, r.sel, r.rad, p.vec_id,
+        |          min(1 - round(list_sum(list_transform(range(1, 65),
+        |            i -> p.e[i] * s.e[i])) / (p.nrm * s.nrm), 4)) AS dmin
+        |      FROM r
+        |      JOIN n p ON NOT list_contains(r.sel, p.vec_id)
+        |      JOIN n s ON list_contains(r.sel, s.vec_id)
+        |      WHERE r.step < 8
+        |      GROUP BY r.step, r.sel, r.rad, p.vec_id
+        |    ) g
+        |    GROUP BY g.step, g.sel, g.rad
+        |  ) t(step, sel, rad, pk)
+        |)
+        |SELECT CAST(t.i AS BIGINT) AS rank, r.sel[t.i] AS vec_id,
+        |  CASE WHEN t.i = 1 THEN NULL ELSE r.rad[t.i - 1] END AS radius
+        |FROM r, range(1, 9) t(i)
+        |WHERE r.step = 8
+        |ORDER BY rank""".stripMargin,
 
     "text_token_estimate" ->
       """SELECT doc_id,

@@ -163,4 +163,30 @@ class ClusteringSpec extends SparkSuite {
       .select("v").as[String].head()
     assert(r1 == "y" && r2 == "y", s"$r1/$r2") // max payload, any layout
   }
+
+  test("k-center greedy: unique spread centers, min-id seed, " +
+    "non-increasing covering radii, and rank-2 is the true farthest " +
+    "point from the seed") {
+    import org.apache.spark.sql.functions.{col, min => smin}
+    val r = Clustering.kCenterGreedy(emb, col("vec_id"), col("embedding"),
+      k = 6).collect().sortBy(_.getLong(0))
+    Caches.clear()
+    assert(r.length == 6)
+    val ids = r.map(_.getLong(1))
+    assert(ids.distinct.length == 6)
+    // seed is the min id and carries no radius
+    val minId = emb.agg(smin(col("vec_id"))).head().getLong(0)
+    assert(ids.head == minId && r.head.isNullAt(2))
+    // radii are the max-min certificates: strictly ordered non-increasing
+    val radii = r.tail.map(_.getDouble(2))
+    assert(radii.sliding(2).forall(p => p.head >= p.last), radii.toSeq)
+    // rank-2 must be the exact farthest point from the seed
+    val far = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === minId), emb,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      k = emb.count().toInt - 1)
+      .orderBy(col("sim").asc, col("n_id"))
+      .select("n_id").head().getLong(0)
+    assert(ids(1) == far)
+  }
 }

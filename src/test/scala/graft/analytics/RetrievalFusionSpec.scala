@@ -112,4 +112,29 @@ class RetrievalFusionSpec extends SparkSuite {
     Caches.clear()
     assert(mmr == Set(2L, 3L))
   }
+
+  test("contrastive triplets: positives share the label, negatives " +
+    "never do, and the positive outranks any same-label alternative") {
+    val pos = Similarity.labelTopK(queries, emb,
+      col("vec_id"), col("embedding"), col("label"),
+      col("vec_id"), col("embedding"), col("label"),
+      k = 1, sameLabel = true)
+      .select($"q_id", $"q_label".cast("long"), $"n_id",
+        $"n_label".cast("long"), $"sim")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(pos.nonEmpty)
+    assert(pos.forall { case (_, ql, _, nl, _) => ql == nl })
+    // the k=1 positive must dominate the k=3 same-label ranking
+    val pos3 = Similarity.labelTopK(queries, emb,
+      col("vec_id"), col("embedding"), col("label"),
+      col("vec_id"), col("embedding"), col("label"),
+      k = 3, sameLabel = true)
+      .select($"q_id", $"n_id", $"sim", $"rank".cast("long"))
+      .as[(Long, Long, Double, Long)].collect()
+    pos.foreach { case (q, _, nid, _, sim) =>
+      val best = pos3.filter(r => r._1 == q).minBy(_._4)
+      assert(best._2 == nid && best._3 == sim)
+      assert(pos3.filter(_._1 == q).forall(_._3 <= sim))
+    }
+  }
 }
