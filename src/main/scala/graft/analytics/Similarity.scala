@@ -1379,9 +1379,25 @@ object Similarity {
   def mmrTopK(queries: DataFrame, corpus: DataFrame, qId: Column,
               qVec: Column, cId: Column, cVec: Column, k: Int,
               pool: Int = 20, lambda: Double = 0.7, mu: Double = 0.3)
-      : DataFrame = {
+      : DataFrame =
+    mmrRerank(
+      bruteForceTopK(queries, corpus, qId, qVec, cId, cVec, pool),
+      corpus, cId, cVec, k, lambda, mu)
+
+  /** MMR over an EXTERNALLY nominated candidate frame `(q_id, n_id,
+    * sim)` — the greedy stage only consumes ids and rounded sims, so any
+    * nominator composes (brute via `mmrTopK`, IVF/PQ/served via their
+    * top-k directly). The pool's pairwise redundancy matrix joins the
+    * corpus by candidate id — queries × pool rows hit the corpus, never
+    * the reverse. */
+  def mmrRerank(cand0: DataFrame, corpus: DataFrame, cId: Column,
+                cVec: Column, k: Int, lambda: Double = 0.7,
+                mu: Double = 0.3): DataFrame = {
+    val firstW = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
     val cand = Caches.persist(
-      bruteForceTopK(queries, corpus, qId, qVec, cId, cVec, pool))
+      cand0.select(col("q_id"), col("n_id"), col("sim"))
+        .withColumn("rank", row_number().over(firstW)))
     val vecs = corpus.select(cId.as("n_id"), asDouble(cVec).as("v"))
       .withColumn("nn", norm(col("v")))
     val cv = cand.select(col("q_id"), col("n_id"), col("sim"))

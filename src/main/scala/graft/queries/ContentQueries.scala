@@ -619,6 +619,21 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // MMR with an ANN nominator: the IVF (nProbe=4) top-20 pool feeds
+    // the same greedy diversification — proof the greedy stage is
+    // nominator-agnostic (it only consumes (q_id, n_id, sim)). The
+    // oracle rebuilds the IVF pool AND replays every greedy round.
+    "sim_topk_mmr_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      val pool = Similarity.ivfTopK(
+        e.filter(col("vec_id") % 100 === 0), e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 20, nLists = 16, nProbe = 4)
+      Similarity.mmrRerank(pool, e, col("vec_id"), col("embedding"),
+        k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Hybrid retrieval: BM25-over-bigrams top-20 and dense cosine top-20
     // fused by reciprocal-rank fusion (k=60) into one top-10 — the
     // sparse and dense read paths this library already serves, composed
@@ -2618,6 +2633,81 @@ object ContentQueries {
         |cand AS (SELECT q_id, n_id, sim FROM (SELECT q_id, n_id, sim,
         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
         |      AS rank FROM sc) WHERE rank <= 20),
+        |first AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+        |      AS rank FROM cand) WHERE rank = 1),
+        |cv AS (SELECT cand.q_id, cand.n_id, n.e, n.nrm
+        |  FROM cand JOIN n ON n.vec_id = cand.n_id),
+        |ps AS (SELECT x.q_id, x.n_id AS a, y.n_id AS b,
+        |    round(list_sum(list_transform(range(1, 65), i -> x.e[i] * y.e[i]))
+        |      / (x.nrm * y.nrm), 4) AS s
+        |  FROM cv x JOIN cv y ON x.q_id = y.q_id AND x.n_id <> y.n_id),
+        |r AS (
+        |  SELECT q_id, 1 AS step, [n_id] AS sel FROM first
+        |  UNION ALL
+        |  SELECT q_id, step + 1 AS step, list_append(sel, pick) AS sel
+        |  FROM (
+        |    SELECT g.q_id, g.step, g.sel,
+        |        min(struct_pack(k := -round(0.7 * g.sim - 0.3 * g.msim, 6),
+        |          id := g.n_id)).id AS pick
+        |    FROM (
+        |      SELECT r.q_id, r.step, r.sel, c.n_id, c.sim, max(p.s) AS msim
+        |      FROM r
+        |      JOIN cand c ON c.q_id = r.q_id
+        |        AND NOT list_contains(r.sel, c.n_id)
+        |      JOIN ps p ON p.q_id = r.q_id AND p.a = c.n_id
+        |        AND list_contains(r.sel, p.b)
+        |      WHERE r.step < 5
+        |      GROUP BY r.q_id, r.step, r.sel, c.n_id, c.sim
+        |    ) g
+        |    GROUP BY g.q_id, g.step, g.sel
+        |  )
+        |)
+        |SELECT r.q_id, CAST(t.i AS BIGINT) AS rank, r.sel[t.i] AS n_id,
+        |  cand.sim
+        |FROM r, range(1, 6) t(i)
+        |JOIN cand ON cand.q_id = r.q_id AND cand.n_id = r.sel[t.i]
+        |WHERE r.step = 5
+        |ORDER BY r.q_id, rank""".stripMargin,
+
+    // IVF nProbe=4 pool (the sim_topk_ivf construction at k=20) feeding
+    // the identical greedy-MMR recursion as sim_topk_mmr
+    "sim_topk_mmr_ivf" ->
+      """WITH RECURSIVE v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |cent AS (SELECT vec_id AS list_id, e AS ce, nrm AS cn FROM (
+        |    SELECT vec_id, e, nrm,
+        |      CAST(CONCAT('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 997 AS r
+        |    FROM n) WHERE r < 64 ORDER BY r, vec_id LIMIT 16),
+        |asg AS (SELECT n.vec_id AS n_id, n.e AS av, n.nrm AS an,
+        |    cent.list_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
+        |      cent.list_id) AS arn
+        |  FROM n CROSS JOIN cent),
+        |assigned AS (SELECT n_id, av, an, list_id FROM asg WHERE arn = 1),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id % 100 = 0),
+        |prb AS (SELECT q.q_id, q.qe, q.qn, cent.list_id,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> q.qe[i] * cent.ce[i])) / (q.qn * cent.cn), 6) DESC,
+        |      cent.list_id) AS prn
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT q_id, qe, qn, list_id FROM prb WHERE prn <= 4),
+        |psc AS (SELECT p.q_id, a.n_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> p.qe[i] * a.av[i])) / (p.qn * a.an), 4) AS sim
+        |  FROM probes p JOIN assigned a
+        |    ON a.list_id = p.list_id AND a.n_id <> p.q_id),
+        |cand AS (SELECT q_id, n_id, sim FROM (SELECT q_id, n_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+        |      AS rank FROM psc) WHERE rank <= 20),
         |first AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
         |      AS rank FROM cand) WHERE rank = 1),
