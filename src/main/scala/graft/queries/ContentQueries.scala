@@ -619,6 +619,36 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Matryoshka truncation eval (Kusupati et al., NeurIPS 2022 framing):
+    // recall@10 of prefix-truncated embeddings (dims 8/16/32) against the
+    // full-dim exact top-10 — the measurement that decides how many
+    // leading dimensions a serving tier can drop. Integer hit counts +
+    // one rounded division make the whole eval oracle-exact; each
+    // truncated scan is the same broadcast brute plan over sliced
+    // vectors (scan bytes shrink with dims — the point).
+    "emb_matryoshka_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val full = Similarity.bruteForceTopK(q, e,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 10).select(col("q_id"), col("n_id"))
+      val nq = full.select(countDistinct(col("q_id")).as("n_queries"))
+      Seq(8, 16, 32).map { dm =>
+        Similarity.bruteForceTopK(
+          q, e, col("vec_id"), slice(col("embedding"), 1, dm),
+          col("vec_id"), slice(col("embedding"), 1, dm), k = 10)
+          .select(lit(dm.toLong).as("dims"), col("q_id"), col("n_id"))
+      }.reduce(_ unionAll _)
+        .join(full.withColumn("hit", lit(1L)), Seq("q_id", "n_id"),
+          "left")
+        .groupBy(col("dims"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .crossJoin(broadcast(nq))
+        .select(col("dims"), col("n_queries"), col("hits"),
+          round(col("hits") / (col("n_queries") * 10.0), 4).as("recall"))
+        .orderBy(col("dims"))
+    }),
+
     // MMR with an ANN nominator: the IVF (nProbe=4) top-20 pool feeds
     // the same greedy diversification — proof the greedy stage is
     // nominator-agnostic (it only consumes (q_id, n_id, sim)). The
@@ -2669,6 +2699,48 @@ object ContentQueries {
         |JOIN cand ON cand.q_id = r.q_id AND cand.n_id = r.sel[t.i]
         |WHERE r.step = 5
         |ORDER BY r.q_id, rank""".stripMargin,
+
+    // prefix-truncated brute top-10 per dims value vs the full-dim
+    // top-10; truncated norms recompute over the prefix
+    "emb_matryoshka_recall" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id % 100 = 0),
+        |fsc AS (SELECT q_id, c.vec_id AS n_id,
+        |    round(list_sum(list_transform(range(1, 65), i -> qe[i] * c.e[i]))
+        |      / (qn * c.nrm), 4) AS sim
+        |  FROM q JOIN n c ON c.vec_id <> q_id),
+        |fl AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+        |      AS rank FROM fsc) WHERE rank <= 10),
+        |nq AS (SELECT count(DISTINCT q_id) AS n_queries FROM fl),
+        |dms AS (SELECT unnest([8, 16, 32]) AS dims),
+        |tsc AS (SELECT d.dims, q.q_id, c.vec_id AS n_id,
+        |    round(list_sum(list_transform(range(1, d.dims + 1),
+        |        i -> q.qe[i] * c.e[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, d.dims + 1),
+        |          i -> q.qe[i] * q.qe[i])))
+        |        * sqrt(list_sum(list_transform(range(1, d.dims + 1),
+        |          i -> c.e[i] * c.e[i])))), 4) AS sim
+        |  FROM dms d, q JOIN n c ON c.vec_id <> q.q_id),
+        |trk AS (SELECT dims, q_id, n_id FROM (SELECT dims, q_id, n_id,
+        |    row_number() OVER (PARTITION BY dims, q_id
+        |      ORDER BY sim DESC, n_id) AS rank FROM tsc)
+        |  WHERE rank <= 10),
+        |h AS (SELECT t.dims,
+        |    CAST(sum(CASE WHEN f.q_id IS NULL THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS hits
+        |  FROM trk t LEFT JOIN fl f
+        |    ON f.q_id = t.q_id AND f.n_id = t.n_id
+        |  GROUP BY t.dims)
+        |SELECT CAST(h.dims AS BIGINT) AS dims,
+        |  CAST(nq.n_queries AS BIGINT) AS n_queries, h.hits,
+        |  round(h.hits / (nq.n_queries * 10.0), 4) AS recall
+        |FROM h, nq ORDER BY dims""".stripMargin,
 
     // IVF nProbe=4 pool (the sim_topk_ivf construction at k=20) feeding
     // the identical greedy-MMR recursion as sim_topk_mmr
