@@ -296,6 +296,26 @@ object ContentQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("pred"))),
 
+    // Cross-table referential audit: the docs↔embeddings key coverage a
+    // pipeline checks before any retrieve-then-read join ships — matched
+    // keys, docs missing a vector, vectors missing a doc. Three
+    // aggregate counts (semi/anti joins), no row-level output.
+    "profile_table_integrity" -> ((s, d) => {
+      val dd = docs(s, d).select(col("doc_id"))
+      val e = emb(s, d).select(col("vec_id").as("doc_id"))
+      val matched = dd.join(e, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("matched").as("audit"), col("n"))
+      val docsOnly = dd.join(e, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("docs_without_vec").as("audit"), col("n"))
+      val vecsOnly = e.join(dd, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("vecs_without_doc").as("audit"), col("n"))
+      matched.unionAll(docsOnly).unionAll(vecsOnly)
+        .orderBy(col("audit"))
+    }),
+
     "text_quality" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id"),
@@ -2699,6 +2719,19 @@ object ContentQueries {
         |JOIN cand ON cand.q_id = r.q_id AND cand.n_id = r.sel[t.i]
         |WHERE r.step = 5
         |ORDER BY r.q_id, rank""".stripMargin,
+
+    "profile_table_integrity" ->
+      """SELECT 'docs_without_vec' AS audit, count(*) AS n
+        |FROM documents d WHERE NOT EXISTS (
+        |  SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+        |UNION ALL
+        |SELECT 'matched', count(*) FROM documents d WHERE EXISTS (
+        |  SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+        |UNION ALL
+        |SELECT 'vecs_without_doc', count(*) FROM embeddings e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+        |ORDER BY audit""".stripMargin,
 
     // prefix-truncated brute top-10 per dims value vs the full-dim
     // top-10; truncated norms recompute over the prefix

@@ -177,4 +177,39 @@ class RecallSpec extends SparkSuite {
       s"IVF-PQ cannot beat both its parents: $ivfPq vs pq=$pq ivf=$ivf")
     Caches.clear()
   }
+
+  test("PCA-16 + SQ8 composition: near-lossless on a correlated " +
+    "(random-walk) view where PCA-16 holds the variance, and honestly " +
+    "near-floor on the isotropic corpus where NO 16-dim projection can " +
+    "work — both measured, the SCALE.md project-then-quantize claim") {
+    // correlated view: per-coordinate running sums (the OpqSpec
+    // anisotropic case — variance concentrates in few directions)
+    val ecol = transform(col("embedding"), x => x.cast("double"))
+    val mixed = transform(sequence(lit(1), lit(64)),
+      i => aggregate(slice(ecol, lit(1), i), lit(0.0), (a, x) => a + x))
+    val mx = Caches.persist(emb.select(col("vec_id"), mixed.as("mx")))
+    val mq = mx.filter(col("vec_id") % 100 === 0)
+    val exactM = Similarity.bruteForceTopK(mq, mx, col("vec_id"),
+      col("mx"), col("vec_id"), col("mx"), k = 10)
+    val model = Similarity.pcaFit(mx, col("mx"), k = 16)
+    val proj = mx.select(col("vec_id"),
+      Similarity.pcaProject(col("mx"), model).as("pv"))
+    val pq = proj.filter(col("vec_id") % 100 === 0)
+    val approxM = Similarity.int8TopK(pq, proj, col("vec_id"), col("pv"),
+      col("vec_id"), col("pv"), k = 10)
+    val rM = Similarity.recallAtK(approxM, exactM)
+    info(f"pca16+sq8 on correlated view: recall@10 = $rM%.3f")
+    assert(rM >= 0.85,
+      f"project-then-quantize lost the correlated case: $rM%.3f")
+    // isotropic honest-negative: 16/64 dims of white noise cannot rank
+    val model0 = Similarity.pcaFit(emb, col("embedding"), k = 16)
+    val proj0 = emb.select(col("vec_id"),
+      Similarity.pcaProject(col("embedding"), model0).as("pv"))
+    val pq0 = proj0.filter(col("vec_id") % 100 === 0)
+    val approx0 = Similarity.int8TopK(pq0, proj0, col("vec_id"),
+      col("pv"), col("vec_id"), col("pv"), k = 10)
+    val r0 = recallOf("pca16+sq8", approx0, floor = 0.05)
+    info(f"isotropic corpus (no structure to keep): $r0%.3f")
+    Caches.clear()
+  }
 }
