@@ -53,7 +53,8 @@ object Bench {
     "sim_hard_negatives", "sim_topk_mmr", "retrieve_hybrid_rrf",
     "text_gopher_rules", "shard_curriculum",
     "sim_contrastive_triplets", "sample_kcenter", "sim_topk_mmr_ivf",
-    "emb_matryoshka_recall", "profile_table_integrity")
+    "emb_matryoshka_recall", "profile_table_integrity",
+    "pipeline_curation_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

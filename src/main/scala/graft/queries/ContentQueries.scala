@@ -639,6 +639,37 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Round-10 capstone: the curation front-door as ONE declarative DAG
+    // — Gopher rule gate (integer flags) → exact dedup on the normalized
+    // fingerprint (min-id keep) → per-source curriculum stages → shard
+    // manifest. Every stage is an oracle-checked operator above;
+    // composition adds only the fingerprint window and one aggregate.
+    "pipeline_curation_shards" -> ((s, d) => {
+      val dd = docs(s, d)
+      val keep = TextAnalysis.gopherRules(col("text"))
+        .map(_._2).reduce(_ && _)
+      val fpW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      val deduped = dd.filter(keep)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(fpW))
+        .filter(col("rn") === 1)
+      val stageW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val shard = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 15), 16, 10).cast("long"), lit(8))
+      deduped.select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.stopwordRatio(col("text")).as("score"))
+        .withColumn("stage", ntile(4).over(stageW).cast("long"))
+        .withColumn("shard", shard)
+        .groupBy(col("source"), col("stage"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).cast("long")
+            .as("total_tokens"))
+        .orderBy(col("source"), col("stage"), col("shard"))
+    }),
+
     // Matryoshka truncation eval (Kusupati et al., NeurIPS 2022 framing):
     // recall@10 of prefix-truncated embeddings (dims 8/16/32) against the
     // full-dim exact top-10 — the measurement that decides how many
@@ -2719,6 +2750,49 @@ object ContentQueries {
         |JOIN cand ON cand.q_id = r.q_id AND cand.n_id = r.sel[t.i]
         |WHERE r.step = 5
         |ORDER BY r.q_id, rank""".stripMargin,
+
+    "pipeline_curation_shards" ->
+      """WITH f AS (SELECT doc_id, source, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+        |    CAST(length(text)
+        |      - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+        |      AS BIGINT) AS punct,
+        |    CAST(length(text) AS BIGINT) AS tlen,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alphaw,
+        |    CAST(len(list_filter(list_distinct(
+        |        string_split(lower(text), ' ')),
+        |      x -> x IN ('the','a','of','and','to','in','is','that')))
+        |      AS BIGINT) AS stops
+        |  FROM documents),
+        |kept AS (SELECT doc_id, source, text FROM f
+        |  WHERE n >= 20 AND n <= 80 AND chars >= 4 * n AND chars <= 5 * n
+        |    AND punct * 100 < tlen * 5 AND alphaw * 100 >= n * 80
+        |    AND stops >= 2),
+        |dd AS (SELECT doc_id, source, text FROM (SELECT doc_id, source,
+        |    text, row_number() OVER (PARTITION BY
+        |      md5(array_to_string(list_sort(list_distinct(
+        |        string_split(lower(text), ' '))), ' '))
+        |      ORDER BY doc_id) AS rn
+        |  FROM kept) WHERE rn = 1),
+        |sc AS (SELECT doc_id, source, text,
+        |    round(len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','of','and','to','in','is','that')))
+        |      / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE),
+        |      6) AS score
+        |  FROM dd),
+        |st AS (SELECT doc_id, source, text,
+        |    CAST(ntile(4) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS stage,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 8 AS shard
+        |  FROM sc)
+        |SELECT source, stage, shard, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |    AS total_tokens
+        |FROM st GROUP BY source, stage, shard
+        |ORDER BY source, stage, shard""".stripMargin,
 
     "profile_table_integrity" ->
       """SELECT 'docs_without_vec' AS audit, count(*) AS n
