@@ -74,6 +74,31 @@ object TextAnalysis {
     tokenCount(text).between(minTokens, maxTokens) &&
       punctRatio(text) <= maxPunctRatio
 
+  /** Shannon entropy (bits) of a symbol array — the compressibility
+    * proxy quality filters use where a real deflate ratio isn't
+    * portable: low-entropy docs are repetitive/template spam, implausibly
+    * high entropy flags encrypted/binary junk. H = log2 N − (Σ n_c ln
+    * n_c)/(N ln 2), computed per doc as a pure projection: distinct
+    * symbols sort first so the fold order is deterministic, and ln(2)
+    * is the same 17-digit literal in both engines, so the 4-decimal
+    * round is engine-exact. O(distinct × len) per doc, zero shuffle,
+    * stream-safe. */
+  def symbolEntropy(symbols: Column): Column = {
+    val n = greatest(size(symbols), lit(1)).cast("double")
+    val counts = transform(array_sort(array_distinct(symbols)),
+      c => size(filter(symbols, x => x === c)).cast("double"))
+    val sumNlogN = aggregate(counts, lit(0.0), (a, x) => a + x * log(x))
+    round((log(n) - sumNlogN / n) / lit(0.6931471805599453), 4)
+  }
+
+  /** Character-level entropy of the text (split on ""). */
+  def charEntropy(text: Column): Column =
+    symbolEntropy(split(text, ""))
+
+  /** Word-level (unigram) entropy of the lowercased token stream. */
+  def wordEntropy(text: Column): Column =
+    symbolEntropy(tokens(lower(text)))
+
   /** Full Gopher-style rule bundle (Rae et al. 2021, Appendix A): the
     * per-rule boolean flags a curation pipeline reports before gating,
     * not just the final keep bit — you tune thresholds by watching which

@@ -325,6 +325,15 @@ object ContentQueries {
         TextAnalysis.repetitionRatio(col("text")).as("repetition_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Shannon entropy per doc at both granularities — the
+    // compressibility proxy (low = template spam, implausibly high =
+    // binary junk); a pure projection, deterministic sorted-symbol fold.
+    "text_entropy" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.charEntropy(col("text")).as("char_entropy"),
+        TextAnalysis.wordEntropy(col("text")).as("word_entropy"))
+        .orderBy(col("doc_id"))),
+
     // Gopher rule bundle: the five per-rule flags plus the conjunction —
     // all integer comparisons (cross-multiplied ratios), engine-exact.
     "text_gopher_rules" -> ((s, d) => {
@@ -2282,6 +2291,31 @@ object ContentQueries {
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         |    string_split(lower(text), ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // sorted-distinct symbol fold, 0.0 seed, shared ln(2) literal
+    "text_entropy" ->
+      """WITH f AS (SELECT doc_id,
+        |    string_split(text, '') AS ch,
+        |    string_split(lower(text), ' ') AS wd
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round((ln(greatest(len(ch), 1))
+        |    - list_reduce(list_prepend(0.0,
+        |        list_transform(list_sort(list_distinct(ch)),
+        |          c -> CAST(len(list_filter(ch, x -> x = c)) AS DOUBLE)
+        |            * ln(len(list_filter(ch, x -> x = c))))),
+        |        (a, b) -> a + b)
+        |      / greatest(len(ch), 1))
+        |    / 0.6931471805599453, 4) AS char_entropy,
+        |  round((ln(greatest(len(wd), 1))
+        |    - list_reduce(list_prepend(0.0,
+        |        list_transform(list_sort(list_distinct(wd)),
+        |          c -> CAST(len(list_filter(wd, x -> x = c)) AS DOUBLE)
+        |            * ln(len(list_filter(wd, x -> x = c))))),
+        |        (a, b) -> a + b)
+        |      / greatest(len(wd), 1))
+        |    / 0.6931471805599453, 4) AS word_entropy
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // integer cross-multiplied rules — no float threshold anywhere
     "text_gopher_rules" ->

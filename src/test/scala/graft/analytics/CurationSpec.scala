@@ -61,4 +61,23 @@ class CurationSpec extends SparkSuite {
       .select(keep.as("keep")).as[Boolean].collect()
     assert(r.toSeq == Seq(true, false))
   }
+
+  test("entropy: uniform symbols hit log2(k) exactly, repetition " +
+    "lowers word entropy, constant text scores zero") {
+    val df = Seq(
+      ("abcdabcdabcdabcd",                       // 4 chars, uniform
+        "the cat sat on the mat with the hat"),  // mixed words
+      ("aaaaaaaaaaaaaaaa",                       // constant chars
+        "spam spam spam spam spam spam spam spam") // constant words
+    ).toDF("chars_text", "words_text")
+    val r = df.select(
+      TextAnalysis.charEntropy(col("chars_text")).as("ce"),
+      TextAnalysis.wordEntropy(col("words_text")).as("we"))
+      .as[(Double, Double)].collect()
+    // uniform over 4 symbols = exactly 2 bits; constant = exactly 0
+    assert(r(0)._1 == 2.0)
+    assert(r(1)._1 == 0.0 && r(1)._2 == 0.0)
+    // diverse words carry more entropy than the 8x-repeated word
+    assert(r(0)._2 > 2.0)
+  }
 }
