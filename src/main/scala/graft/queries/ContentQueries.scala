@@ -325,6 +325,69 @@ object ContentQueries {
         TextAnalysis.repetitionRatio(col("text")).as("repetition_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Zipf-law fit per source: least-squares slope of ln(freq) vs
+    // ln(rank) over the top-50 terms — the distributional-health check
+    // (natural language sits near −1; template/spam corpora flatten or
+    // steepen). Frequencies are corpus-exact integers; the four
+    // regression sums fold over the RANK-SORTED term list (one bounded
+    // collect_list per source), so the slope is engine-exact at 4
+    // decimals. One token explode + (source, term) aggregate + a
+    // source-keyed top-k window — vocabulary-scale after the explode.
+    "profile_zipf" -> ((s, d) => {
+      val tf = docs(s, d).select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("f").desc, col("t"))
+      val top = tf.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 50)
+      def fold(arr: org.apache.spark.sql.Column) =
+        aggregate(arr, lit(0.0), (a, x) => a + x)
+      val sorted = array_sort(collect_list(
+        struct(col("rank").as("r"), col("f").as("f"))))
+      top.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"), sorted.as("ts"))
+        .select(col("source"), col("n_terms"),
+          fold(transform(col("ts"),
+            e => log(e.getField("r").cast("double")))).as("sx"),
+          fold(transform(col("ts"),
+            e => log(e.getField("f").cast("double")))).as("sy"),
+          fold(transform(col("ts"),
+            e => log(e.getField("r").cast("double"))
+              * log(e.getField("f").cast("double")))).as("sxy"),
+          fold(transform(col("ts"),
+            e => log(e.getField("r").cast("double"))
+              * log(e.getField("r").cast("double")))).as("sxx"))
+        .select(col("source"), col("n_terms"),
+          round((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+            / (col("n_terms") * col("sxx") - col("sx") * col("sx")), 4)
+            .as("zipf_slope"))
+        .orderBy(col("source"))
+    }),
+
+    // Per-doc n-gram novelty: the fraction of a doc's distinct 3-grams
+    // appearing in NO other document — high novelty marks genuinely new
+    // content, low marks template/boilerplate-dominated docs (the
+    // inverse of the boilerplate signal, at n-gram granularity).
+    // Integer counts + one rounded division; one corpus explode + a
+    // gram-keyed window, the boilerplateStats plan shape.
+    "text_novelty" -> ((s, d) => {
+      val g = docs(s, d).select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.ngrams(col("text"), 3)))
+          .as("g"))
+        .filter(col("g") =!= "")
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      val withDf = g.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
+      withDf.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", round(col("n_novel") / col("n_grams"), 4))
+        .orderBy(col("doc_id"))
+    }),
+
     // Shannon entropy per doc at both granularities — the
     // compressibility proxy (low = template spam, implausibly high =
     // binary junk); a pure projection, deterministic sorted-symbol fold.
@@ -2291,6 +2354,54 @@ object ContentQueries {
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         |    string_split(lower(text), ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // rank-sorted four-sum folds with 0.0 seeds; slope from the shared
+    // closed-form least-squares expression
+    "profile_zipf" ->
+      """WITH tf AS (SELECT source, t, count(*) AS f
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents)
+        |  WHERE t <> '' GROUP BY source, t),
+        |top AS (SELECT source, t, f, rank FROM (SELECT source, t, f,
+        |    row_number() OVER (PARTITION BY source ORDER BY f DESC, t)
+        |      AS rank FROM tf)
+        |  WHERE rank <= 50),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        |    list_sort(list(struct_pack(r := rank, f := f))) AS ts
+        |  FROM top GROUP BY source),
+        |sm AS (SELECT source, n_terms,
+        |    list_reduce(list_prepend(0.0, list_transform(ts,
+        |      e -> ln(CAST(e.r AS DOUBLE)))), (a, b) -> a + b) AS sx,
+        |    list_reduce(list_prepend(0.0, list_transform(ts,
+        |      e -> ln(CAST(e.f AS DOUBLE)))), (a, b) -> a + b) AS sy,
+        |    list_reduce(list_prepend(0.0, list_transform(ts,
+        |      e -> ln(CAST(e.r AS DOUBLE)) * ln(CAST(e.f AS DOUBLE)))),
+        |      (a, b) -> a + b) AS sxy,
+        |    list_reduce(list_prepend(0.0, list_transform(ts,
+        |      e -> ln(CAST(e.r AS DOUBLE)) * ln(CAST(e.r AS DOUBLE)))),
+        |      (a, b) -> a + b) AS sxx
+        |  FROM agg)
+        |SELECT source, n_terms,
+        |  round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 4) AS zipf_slope
+        |FROM sm ORDER BY source""".stripMargin,
+
+    "text_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |g0 AS (SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(w, i, i + 2), ' ') AS g
+        |  FROM t, LATERAL unnest(range(1, greatest(len(w) - 2, 1) + 1))
+        |    AS u(i)),
+        |g AS (SELECT doc_id, g FROM g0 WHERE g <> ''),
+        |df AS (SELECT g, count(*) AS df FROM g GROUP BY g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 4) AS novelty
+        |FROM g JOIN df USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // sorted-distinct symbol fold, 0.0 seed, shared ln(2) literal
     "text_entropy" ->
