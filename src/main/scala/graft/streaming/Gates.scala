@@ -35,6 +35,25 @@ object Gates {
     batch => batch.filter(TextAnalysis.qualityKeep(col(textCol), minTokens,
       maxTokens, maxPunctRatio))
 
+  /** Full Gopher rule-bundle gate (`TextAnalysis.gopherRules`): all five
+    * integer-exact rules must pass. Pure row filter — the same flags the
+    * batch `text_gopher_rules` query reports, so the streamed keep set
+    * equals the batch keep set by construction. */
+  def gopher(textCol: String, minTokens: Int = 20, maxTokens: Int = 80,
+             minMwl: Int = 4, maxMwl: Int = 5, maxPunctPct: Int = 5,
+             minAlphaPct: Int = 80, minStops: Int = 2): Gate =
+    batch => batch.filter(
+      TextAnalysis.gopherRules(col(textCol), minTokens, maxTokens, minMwl,
+        maxMwl, maxPunctPct, minAlphaPct, minStops)
+        .map(_._2).reduce(_ && _))
+
+  /** Character-entropy band gate: drop template spam (low bits) and
+    * binary/encrypted junk (implausibly high bits) in one projection. */
+  def entropyBand(textCol: String, minBits: Double = 2.5,
+                  maxBits: Double = 6.0): Gate =
+    batch => batch.filter(
+      TextAnalysis.charEntropy(col(textCol)).between(minBits, maxBits))
+
   /** Hashed-BoW classifier gate: keep documents whose logit reaches
     * `minLogit` (this corpus's logits skew negative — gate near the
     * corpus median, not 0). Native expression, pure row filter. */

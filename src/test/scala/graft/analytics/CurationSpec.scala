@@ -80,4 +80,27 @@ class CurationSpec extends SparkSuite {
     // diverse words carry more entropy than the 8x-repeated word
     assert(r(0)._2 > 2.0)
   }
+
+  test("gopher + entropy gates compose as filters and keep exactly the " +
+    "docs every rule and the entropy band admit") {
+    import graft.streaming.Gates
+    val clean = good  // passes all rules, entropy well inside [2.5, 6]
+    val rows = Seq(
+      (1L, clean),
+      (2L, "the a of and to"),                        // gopher: too short
+      // passes EVERY gopher rule (31 words, mwl 4.8, 2 stopwords) but
+      // char entropy 0.80 bits — only the entropy band can drop it
+      (3L, Seq.fill(29)("aaaaa").mkString(" ") + " the a")
+    ).toDF("doc_id", "text")
+    val kept = Gates.all(
+      Gates.gopher("text"), Gates.entropyBand("text"))(rows)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), kept)
+    // the gate keep set must equal the batch rule conjunction + band
+    val batch = rows.filter(
+      TextAnalysis.gopherRules(col("text")).map(_._2).reduce(_ && _) &&
+        TextAnalysis.charEntropy(col("text")).between(2.5, 6.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == batch)
+  }
 }
