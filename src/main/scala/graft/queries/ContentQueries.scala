@@ -1554,6 +1554,9 @@ object ContentQueries {
     // grams: est >= exact always (collisions only add), and both sides
     // are exact integer sums the oracle replays cell-for-cell.
     "profile_cm_heavy" -> ((s, d) => {
+      // the gram frame feeds both the exact aggregate and the sketch
+      // build; recomputing the explode beats persisting it here
+      // (measured: materializing 265k gram rows costs what it saves)
       val sh = docs(s, d)
         .select(explode(TextAnalysis.ngrams(col("text"), 3)).as("g"))
       val exact = sh.groupBy(col("g"))
@@ -4078,12 +4081,12 @@ object ContentQueries {
         |top AS (SELECT g, exact_cnt FROM ex
         |  ORDER BY exact_cnt DESC, g LIMIT 20),
         |cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cell
-        |  FROM (SELECT u.r, CAST(CONCAT('0x', substr(md5(
-        |      'cm' || u.r || '_' || g), 1, 15)) AS BIGINT) % 1024 AS c
+        |  FROM (SELECT u.r, CAST(CONCAT('0x', substr(md5(g),
+        |      u.r * 8 + 1, 8)) AS BIGINT) % 1024 AS c
         |    FROM g3 CROSS JOIN range(0, 4) u(r))
         |  GROUP BY r, c),
-        |qe AS (SELECT top.g, u.r, CAST(CONCAT('0x', substr(md5(
-        |      'cm' || u.r || '_' || top.g), 1, 15)) AS BIGINT) % 1024 AS c
+        |qe AS (SELECT top.g, u.r, CAST(CONCAT('0x', substr(md5(top.g),
+        |      u.r * 8 + 1, 8)) AS BIGINT) % 1024 AS c
         |  FROM top CROSS JOIN range(0, 4) u(r)),
         |est AS (SELECT qe.g, CAST(min(cells.cell) AS BIGINT) AS est_cnt
         |  FROM qe JOIN cells USING (r, c) GROUP BY qe.g)
