@@ -255,6 +255,29 @@ object RelationalQueries {
     // mean end-to-end latency for completers; all stage logic is
     // user-keyed min-aggregates and joins — no windows, no self-join
     // explosion, scales as three keyed shuffles.
+    // Robust (median/MAD) anomaly detection per event type — the
+    // outlier screen that survives the heavy tails a mean/stddev z-score
+    // drowns in. Two percentile aggregates (the q25-proven cross-engine
+    // surface) with both statistics rounded BEFORE the threshold
+    // comparison, so the outlier count is engine-exact; the per-type
+    // medians broadcast back over the stream (tiny model frames).
+    "q48_anomaly_mad" -> ((s, d) => {
+      val ev = T(s, d, "events").select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("med")).as("med"), min(col("mad")).as("mad"),
+          sum(when(col("dev") > lit(4.4478) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
     "q47_funnel" -> ((s, d) => {
       val ev = T(s, d, "events").select(col("user_id"), col("event_type"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
@@ -807,6 +830,26 @@ object RelationalQueries {
 
     // funnel replay: the same strictly-ordered stage mins; counts are
     // exact ints, the one division is over an exact long sum
+    // 4.4478 = 3 x 1.4826 (the normal-consistency MAD scale), a shared
+    // exact-decimal literal; med/mad round before the comparison
+    "q48_anomaly_mad" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |med AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM ev GROUP BY event_type),
+        |dev AS (SELECT ev.event_type, ev.value, med.med,
+        |    abs(ev.value - med.med) AS dev
+        |  FROM ev JOIN med USING (event_type)),
+        |mad AS (SELECT event_type,
+        |    round(quantile_cont(dev, 0.5), 4) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(d.med) AS med, min(m.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.dev > 4.4478 * m.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
     "q47_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
