@@ -83,7 +83,13 @@ object TextAnalysis {
     * is the same 17-digit literal in both engines, so the 4-decimal
     * round is engine-exact. O(distinct × len) per doc, zero shuffle,
     * stream-safe. */
-  def symbolEntropy(symbols: Column): Column = {
+  def symbolEntropy(symbols: Column): Column =
+    graft.functions.HashExpressions.symbolEntropyBits(symbols)
+
+  /** The composed HOF form of `symbolEntropy` — O(distinct × len)
+    * interpreted lambdas per row; kept ONLY to pin bit-equality with
+    * the native single-pass expression (TextAnalysisSpec). */
+  private[analytics] def symbolEntropyHof(symbols: Column): Column = {
     val n = greatest(size(symbols), lit(1)).cast("double")
     val counts = transform(array_sort(array_distinct(symbols)),
       c => size(filter(symbols, x => x === c)).cast("double"))

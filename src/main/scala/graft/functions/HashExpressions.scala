@@ -420,6 +420,64 @@ case class TokenSetFingerprint(child: Expression)
   * similarity scans (two lambda invocations per dimension per pair).
   * Mismatched lengths or null elements yield null, mirroring zip_with's
   * null padding flowing through the sum. */
+/** Shannon entropy (bits) of an array<string> of symbols — the native
+  * single-pass twin of the composed HOF form
+  * `(ln n − Σ_sorted count·ln count / n) / ln 2` rounded to 4 decimals.
+  * The composed version evaluates O(distinct × len) interpreted lambda
+  * calls per row (a filter scan per distinct symbol — measured ~6.7 s
+  * at sf0.1); this counts in ONE TreeMap pass and folds the counts in
+  * UTF8String binary order, the identical addition sequence to
+  * `array_sort(array_distinct(...))`, so results are bit-identical
+  * (spec-pinned over the corpus). Null elements are skipped — producers
+  * (split / tokens) never emit them. */
+case class SymbolEntropyBits(child: Expression)
+    extends UnaryExpression with RefEvalCodegen {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"symbol_entropy_bits requires array<string>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    val counts = new java.util.TreeMap[
+      org.apache.spark.unsafe.types.UTF8String, Long]()
+    var i = 0
+    var n = 0L
+    while (i < total) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val prev = counts.get(s)
+        counts.put(s, if (prev == null) 1L else prev + 1L)
+        n += 1L
+      }
+      i += 1
+    }
+    val nd = math.max(n, 1L).toDouble
+    var s = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      s += c * math.log(c)
+    }
+    val bits = (math.log(nd) - s / nd) / 0.6931471805599453
+    // Spark Round(DoubleType) semantics: BigDecimal HALF_UP at scale 4
+    java.lang.Double.valueOf(java.math.BigDecimal.valueOf(bits)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SymbolEntropyBits = copy(child = newChild)
+  override def prettyName: String = "symbol_entropy_bits"
+}
+
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -763,6 +821,9 @@ object HashExpressions {
 
   def hashedBowLogit(text: Column, buckets: Int): Column =
     bridge.column(HashedBowLogit(bridge.expression(text), buckets))
+
+  def symbolEntropyBits(symbols: Column): Column =
+    bridge.column(SymbolEntropyBits(bridge.expression(symbols)))
 
   def srpBandBuckets(vec: Column, bands: Int, bitsPerBand: Int): Column =
     bridge.column(SrpBandBuckets(bridge.expression(vec), bands, bitsPerBand))

@@ -103,4 +103,18 @@ class CurationSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == batch)
   }
+
+  test("native symbol entropy is bit-identical to the composed HOF " +
+    "fold over the whole corpus, at both granularities") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val mismatches = docs.select(
+      TextAnalysis.symbolEntropy(split(col("text"), "")).as("nc"),
+      TextAnalysis.symbolEntropyHof(split(col("text"), "")).as("hc"),
+      TextAnalysis.symbolEntropy(split(lower(col("text")), " ")).as("nw"),
+      TextAnalysis.symbolEntropyHof(split(lower(col("text")), " "))
+        .as("hw"))
+      .filter(col("nc") =!= col("hc") || col("nw") =!= col("hw"))
+      .count()
+    assert(mismatches == 0)
+  }
 }
