@@ -192,7 +192,11 @@ object TextAnalysis {
                    excludeSelf: Boolean = false,
                    k1: Double = 1.2, b: Double = 0.75)
       : org.apache.spark.sql.DataFrame = {
-    val t = docs.select(docId.as("doc_id"), units.as("toks"))
+    // persisted: the tokenized frame feeds the stats aggregate AND the
+    // posting explode — the unit computation (n-gram assembly) is the
+    // dominant scan cost and must not run twice
+    val t = Caches.persist(
+      docs.select(docId.as("doc_id"), units.as("toks")))
     val stats = t.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(size(col("toks"))).as("avgdl"))
     // ONE posting build; df rides a term-keyed window on it instead of a
