@@ -325,6 +325,29 @@ object ContentQueries {
         TextAnalysis.repetitionRatio(col("text")).as("repetition_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Blocklist screening: token-level term hits plus substring-level
+    // phrase hits against a fixed policy list — the
+    // banned-content/compliance screen every curation pipeline runs
+    // before anything ships. Occurrence counts are pure integer string
+    // arithmetic (token filter + replace-length difference), so the
+    // flags are engine-exact; at scale a large list rides a broadcast
+    // join or a native multi-pattern matcher with this same contract.
+    "text_blocklist" -> ((s, d) => {
+      val terms = Seq("dup", "deadlock", "panic")
+      val phrases = Seq("slow scan", "hash join")
+      val toks = TextAnalysis.tokens(lower(col("text")))
+      val nTerm = size(filter(toks, t => t.isin(terms: _*))).cast("long")
+      val nPhrase = phrases.map { p =>
+        ((length(lower(col("text"))) -
+          length(expr(s"replace(lower(text), '$p', '')"))) /
+          lit(p.length)).cast("long")
+      }.reduce(_ + _)
+      docs(s, d).select(col("doc_id"), nTerm.as("n_term_hits"),
+          nPhrase.as("n_phrase_hits"),
+          (nTerm + nPhrase > 0).as("flagged"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Zipf-law fit per source: least-squares slope of ln(freq) vs
     // ln(rank) over the top-50 terms — the distributional-health check
     // (natural language sits near −1; template/spam corpora flatten or
@@ -2356,6 +2379,26 @@ object ContentQueries {
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         |    string_split(lower(text), ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // token filter + replace-length phrase counts, all integers
+    "text_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    x -> x IN ('dup', 'deadlock', 'panic'))) AS BIGINT)
+        |    AS n_term_hits,
+        |  CAST((length(lower(text))
+        |      - length(replace(lower(text), 'slow scan', ''))) / 9
+        |    + (length(lower(text))
+        |      - length(replace(lower(text), 'hash join', ''))) / 9
+        |    AS BIGINT) AS n_phrase_hits,
+        |  (len(list_filter(string_split(lower(text), ' '),
+        |    x -> x IN ('dup', 'deadlock', 'panic')))
+        |   + (length(lower(text))
+        |      - length(replace(lower(text), 'slow scan', ''))) / 9
+        |   + (length(lower(text))
+        |      - length(replace(lower(text), 'hash join', ''))) / 9) > 0
+        |    AS flagged
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // rank-sorted four-sum folds with 0.0 seeds; slope from the shared
