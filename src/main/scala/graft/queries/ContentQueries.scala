@@ -325,6 +325,32 @@ object ContentQueries {
         TextAnalysis.repetitionRatio(col("text")).as("repetition_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Top-bigram concentration (Rae et al. 2021's duplicate-n-gram
+    // family): the fraction of a doc's tokens covered by its single
+    // most frequent bigram — the fine-grained intra-doc repetition
+    // signal repetition_ratio's distinct-fraction misses (a doc can
+    // have many distinct tokens yet one looping phrase). max-count
+    // argmax ties to the lexicographically smallest gram; integer
+    // counts + one rounded division.
+    "text_top_ngram_frac" -> ((s, d) => {
+      val g = docs(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens"),
+          explode(TextAnalysis.ngrams(col("text"), 2)).as("g"))
+        .filter(col("g") =!= "")
+        .groupBy(col("doc_id"), col("n_tokens"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("g"))
+      g.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("g").as("top_gram"),
+          col("cnt").as("top_cnt"),
+          round(col("cnt") * 2 / col("n_tokens"), 4).as("top_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Blocklist screening: token-level term hits plus substring-level
     // phrase hits against a fixed policy list — the
     // banned-content/compliance screen every curation pipeline runs
@@ -2380,6 +2406,25 @@ object ContentQueries {
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         |    string_split(lower(text), ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-doc bigram counts -> max-count argmax (min-gram ties) ->
+    // token-coverage fraction
+    "text_top_ngram_frac" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, n_tokens,
+        |    array_to_string(list_slice(w, i, i + 1), ' ') AS g
+        |  FROM t, LATERAL unnest(range(1, greatest(len(w) - 1, 1) + 1))
+        |    AS u(i)),
+        |gc AS (SELECT doc_id, n_tokens, g, count(*) AS cnt
+        |  FROM g0 WHERE g <> '' GROUP BY doc_id, n_tokens, g),
+        |r AS (SELECT doc_id, g, cnt, n_tokens, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn FROM gc)
+        |SELECT doc_id, g AS top_gram, CAST(cnt AS BIGINT) AS top_cnt,
+        |  round(CAST(cnt * 2 AS DOUBLE) / n_tokens, 4) AS top_frac
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // token filter + replace-length phrase counts, all integers
     "text_blocklist" ->
