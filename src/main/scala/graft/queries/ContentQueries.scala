@@ -340,14 +340,15 @@ object ContentQueries {
         .filter(col("g") =!= "")
         .groupBy(col("doc_id"), col("n_tokens"), col("g"))
         .agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-        .orderBy(col("cnt").desc, col("g"))
-      g.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("g").as("top_gram"),
-          col("cnt").as("top_cnt"),
-          round(col("cnt") * 2 / col("n_tokens"), 4).as("top_frac"))
+      // argmax via min(struct(-cnt, g)) — a partial-aggregatable hash
+      // aggregate (no per-doc sort window); identical max-count/min-gram
+      // semantics, so the oracle's row_number replay is unchanged
+      g.groupBy(col("doc_id"), col("n_tokens"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("g"))).as("top"))
+        .select(col("doc_id"), col("top.g").as("top_gram"),
+          (-col("top.nc")).as("top_cnt"),
+          round((-col("top.nc")) * 2 / col("n_tokens"), 4)
+            .as("top_frac"))
         .orderBy(col("doc_id"))
     }),
 
