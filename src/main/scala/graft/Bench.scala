@@ -55,7 +55,8 @@ object Bench {
     "sim_contrastive_triplets", "sample_kcenter", "sim_topk_mmr_ivf",
     "emb_matryoshka_recall", "profile_table_integrity",
     "pipeline_curation_shards", "text_entropy",
-    "text_novelty", "profile_zipf", "q48_anomaly_mad", "text_blocklist", "text_top_ngram_frac")
+    "text_novelty", "profile_zipf", "q48_anomaly_mad", "text_blocklist",
+    "text_top_ngram_frac", "graph_pagerank", "graph_hubness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,106 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over document/embedding relation graphs — the curation
+  * signals that need link STRUCTURE, not per-row features: PageRank
+  * centrality over the k-NN graph (authoritative-sample selection) and
+  * hubness diagnostics (Radovanović et al., JMLR 2010 — skewed k-occurrence
+  * is the standard symptom of a degraded embedding space).
+  *
+  * The graph here is derived (k-NN edges from the embedding table via the
+  * existing `Similarity` stack) because the corpus tables carry no explicit
+  * link column; the operators themselves take an arbitrary `(src, dst)`
+  * edge frame, so a real crawl's hyperlink table drops straight in.
+  *
+  * Determinism: ranks live in integer MICRO-MASS units (a fixed total mass
+  * of 1e12 longs split across nodes) and every update is long division +
+  * long sums — order-independent, so Spark partial aggregation and the
+  * DuckDB oracle's serial replay produce bit-identical ranks. The same
+  * integer-arithmetic scheme the logistic trainer uses (TextAnalysis
+  * `logisticFit`), applied to power iteration.
+  */
+object Graph {
+
+  /** Total rank mass in micro-units. 1e12 over ≥2 nodes keeps every
+    * per-node rank comfortably inside a long through `85 * rank` (max
+    * 8.5e13) while giving ~12 significant digits — float-free PageRank. */
+  val TotalMass: Long = 1000000000000L
+
+  /** PageRank by power iteration over an `(src, dst)` edge frame.
+    *
+    * Per round, each node sends `rank div outdeg` down every out-edge
+    * (long floor-division; the ≤outdeg remainder micros stay with the
+    * node implicitly — deterministic leakage ≪ 1e-9 of mass per round),
+    * then `new = (15 * init) div 100 + (85 * inflow) div 100` — damping
+    * 0.85 with uniform teleport, all in integer micros.
+    *
+    * Scale shape: `edges` is persisted once (reused every round); each
+    * round is ONE shuffle join (ranks × edges on src — both sides hash
+    * on src) plus ONE aggregate (sum by dst, partial map-side). Rounds
+    * are `localCheckpoint`ed like `Dedup.dedupClusters` — the rank frame
+    * is referenced twice per round (contribution join + no-inflow
+    * fallback), so an unflattened plan tree doubles every round. At
+    * 100 TB the edge frame is pre-bucketed by src and the per-round cost
+    * is the inflow aggregate; iterations are a constant (10–20), not a
+    * data-dependent loop.
+    *
+    * Dangling nodes (no out-edges) keep receiving teleport mass but
+    * forward nothing — the standard simplification; a k-NN graph has
+    * none (every node emits exactly k edges).
+    *
+    * Output: `(node, rank)` with rank in micro-mass longs, one row per
+    * distinct node appearing in `edges`. */
+  def pageRank(edges: DataFrame, src: Column, dst: Column,
+               iters: Int = 10): DataFrame = {
+    val e0 = edges.select(src.as("src"), dst.as("dst"))
+    val nodes = Caches.persist(
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    require(n >= 2, s"pageRank needs >= 2 nodes, got $n")
+    val init = TotalMass / n
+    val base = (15L * init) / 100L
+    // out-degree rides each edge row so the contribution is a pure
+    // projection after the per-round join
+    val e = Caches.persist(
+      e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src")))
+    var ranks = nodes.withColumn("rank", lit(init))
+      .localCheckpoint(false)
+    (1 to iters).foreach { _ =>
+      // `div` (integral division), NOT double `/` + cast: a double
+      // quotient within one ulp of an integer boundary rounds UP and
+      // breaks the exact integer contract the oracle replays
+      val inflow = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("rank div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"${base}L + (85L * coalesce(inflow, 0L)) div 100L")
+            .as("rank"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+
+  /** k-occurrence (in-degree) histogram of a k-NN graph — the hubness
+    * diagnostic: how many nodes appear in exactly `in_deg` other nodes'
+    * neighbor lists. A healthy space concentrates near `k`; a heavy right
+    * tail (hubs) plus a spike at 0 (anti-hubs) flags an embedding space
+    * where distance concentration is hurting retrieval. One aggregate
+    * over the edge frame, then one over the node frame — fully
+    * partial-aggregatable, linear in |edges|. Nodes cited by nobody
+    * surface via the left join from the node set (in_deg 0). */
+  def knnHubness(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val e0 = edges.select(src.as("src"), dst.as("dst"))
+    val nodes = e0.select(col("src").as("node")).distinct()
+    val indeg = e0.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    nodes.join(indeg, Seq("node"), "left")
+      .select(coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .groupBy(col("in_deg")).agg(count(lit(1)).as("n_nodes"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.analytics.{Caches, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.analytics.{Caches, Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2331,8 +2331,44 @@ object ContentQueries {
           (abs(coalesce(col("est_cnt"), lit(0L)) - col("exact_cnt")) <=
             col("exact_cnt") * 0.02).cast("long").as("topk_ok"))
         .orderBy(col("exact_cnt").desc, col("term"))
+    }),
+
+    // PageRank centrality over the k-NN graph — link-structure curation:
+    // a document whose neighbors are themselves well-cited is a better
+    // sample pick than a raw-similarity hub. Edges are each subsample
+    // node's 8 exact nearest neighbors (the same bruteForceTopK contract
+    // the sim_* oracles replay); 10 power-iteration rounds in integer
+    // micro-mass (Graph.pageRank), so the oracle's serial unroll is
+    // bit-identical. Output: the 100 most central nodes.
+    "graph_pagerank" -> ((s, d) => {
+      Graph.pageRank(knnGraph(s, d), col("src"), col("dst"), iters = 10)
+        .orderBy(col("rank").desc, col("node")).limit(100)
+        .select(col("node"), col("rank"))
+    }),
+
+    // Hubness diagnostic (Radovanović JMLR 2010): the in-degree
+    // (k-occurrence) histogram of the same k-NN graph. A heavy right
+    // tail = hub vectors that crowd every neighbor list; a spike at 0 =
+    // anti-hubs retrieval can never surface — the standard symptom scan
+    // run before trusting an embedding space at scale.
+    "graph_hubness" -> ((s, d) => {
+      Graph.knnHubness(knnGraph(s, d), col("src"), col("dst"))
+        .orderBy(col("in_deg"))
     })
   )
+
+  /** Shared k-NN graph for the graph_* queries: every embedding is a node,
+    * edges = its 8 exact nearest neighbors (tie-breaks identical to
+    * `sim_topk_bruteforce`). Derived because the corpus ships no link
+    * column; `Graph` operators accept any `(src, dst)` frame — at crawl
+    * scale the edges come from the ANN index (`ivfTopK`), not the exact
+    * all-pairs build. */
+  private def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.bruteForceTopK(e, e, col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), k = 8)
+      .select(col("q_id").as("src"), col("n_id").as("dst"))
+  }
 
   private val dims = Seq(
     "en" -> TextAnalysis.EnStop, "fr" -> TextAnalysis.FrStop,
@@ -4939,8 +4975,65 @@ object ContentQueries {
         |c AS (SELECT term, count(*) AS exact_cnt FROM t GROUP BY term
         |  ORDER BY exact_cnt DESC, term LIMIT 10)
         |SELECT term, exact_cnt, CAST(1 AS BIGINT) AS topk_ok
-        |FROM c ORDER BY exact_cnt DESC, term""".stripMargin
+        |FROM c ORDER BY exact_cnt DESC, term""".stripMargin,
+
+    // serial replay of Graph.pageRank: same k-NN edges as the sim_*
+    // bruteforce oracles (subsample, k=8, 4dp sim, min-id ties), then 10
+    // unrolled integer power-iteration rounds — rank // outdeg
+    // contributions, base + (85 * inflow) // 100 damping, all BIGINT, so
+    // the hash match is exact, not tolerance-based
+    "graph_pagerank" ->
+      (s"""WITH $knnGraphSql,
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, d.outdeg
+         |  FROM edges e JOIN deg d USING (src)),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |  UNION SELECT DISTINCT dst FROM edges),
+         |params AS (SELECT 1000000000000 // count(*) AS init,
+         |    (15 * (1000000000000 // count(*))) // 100 AS base FROM nodes),
+         |pr0 AS (SELECT node, (SELECT init FROM params) AS rank
+         |  FROM nodes),
+         |""" + (1 to 10).map(prRound).mkString(",\n|") + """
+         |SELECT node, rank FROM pr10
+         |ORDER BY rank DESC, node LIMIT 100""").stripMargin,
+
+    "graph_hubness" ->
+      s"""WITH $knnGraphSql,
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |ind AS (SELECT dst AS node, count(*) AS in_deg FROM edges
+         |  GROUP BY 1)
+         |SELECT COALESCE(i.in_deg, 0) AS in_deg, count(*) AS n_nodes
+         |FROM nodes n LEFT JOIN ind i USING (node)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** k-NN edge CTEs shared by the graph_* oracles — the bruteforce top-8
+    * within the `vec_id % 10` subsample, tie-breaks identical to
+    * `sim_topk_bruteforce`'s oracle. */
+  private def knnGraphSql: String =
+    """v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e,
+      |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |sc AS (SELECT q.vec_id AS src, c.vec_id AS dst,
+      |    round(list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i]))
+      |      / (q.nrm * c.nrm), 4) AS sim
+      |  FROM n q JOIN n c ON c.vec_id <> q.vec_id),
+      |edges AS (SELECT src, dst FROM (SELECT src, dst,
+      |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst)
+      |      AS rnk FROM sc) WHERE rnk <= 8)"""
+
+  /** One PageRank round in SQL, integer-exact vs `Graph.pageRank`:
+    * contribution = rank // outdeg per edge, new = base + (85*inflow)//100
+    * (DuckDB sums BIGINT into HUGEINT — the CAST pins rank back to BIGINT
+    * so every round's arithmetic stays in the long domain Spark uses). */
+  private def prRound(idx: Int): String =
+    s"pr$idx AS (SELECT n.node, CAST((SELECT base FROM params) " +
+      s"+ (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank " +
+      s"FROM nodes n LEFT JOIN (SELECT e.dst AS node, " +
+      s"SUM(p.rank // e.outdeg) AS m FROM ed e JOIN pr${idx - 1} p " +
+      s"ON p.node = e.src GROUP BY 1) s USING (node))"
 
   /** One Lloyd round in SQL: assign every vector to its max-cosine centroid
     * in `cent` (scores round to 6 before the argmax; ties → lower centroid
