@@ -147,6 +147,53 @@ object StreamingIngest {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Cross-batch first-wins dedup with CUSTOM state
+    * (`flatMapGroupsWithState`) — what `dropDuplicatesWithinWatermark`
+    * cannot express: dedup on a computed CONTENT key (any Column — a
+    * normalized-text hash, a CDC fingerprint) with `Dedup.exact`'s
+    * deterministic winner rule (smallest `ordCol` in the key's FIRST
+    * batch wins; later batches emit nothing), and state that outlives
+    * any watermark. Rows flow through a `to_json`/`from_json` round trip
+    * so the operator is schema-generic while the state store holds ONE
+    * boolean per distinct key — state size is distinct-keys, not rows.
+    *
+    * `ttl` (processing-time) bounds that state for unbounded streams: a
+    * key idle past the TTL is evicted and its NEXT occurrence re-admits
+    * — the deliberate trade (bounded store, re-admission after quiet
+    * periods) every production dedup store makes; omit it only when the
+    * key universe is known-bounded. Exactly-once: state lives in the
+    * checkpointed state store, so a replayed micro-batch re-emits the
+    * same keep decisions instead of re-admitting duplicates. */
+  def firstWinsDedup(stream: DataFrame, keyCol: Column, ordCol: Column,
+                     ttl: Option[java.time.Duration] = None): DataFrame = {
+    import stream.sparkSession.implicits._
+    val schema = stream.schema
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val kept = stream
+      .select(keyCol.cast("long").as("_1"), ordCol.cast("long").as("_2"),
+        to_json(struct(stream.columns.toIndexedSeq.map(col): _*)).as("_3"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, String](OutputMode.Append, timeout) {
+        (_: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            // seen in an earlier batch — refresh the TTL so a HOT key's
+            // duplicates stay suppressed; only idle keys age out
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            Iterator.empty
+          } else {
+            state.update(true)
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            Iterator.single(rows.minBy(r => (r._2, r._3))._3)
+          }
+      }
+    kept.select(from_json(col("value"), schema).as("_r")).select("_r.*")
+  }
+
   /** Stream-stream temporal enrichment: join two live streams on a key
     * with the right event constrained to (leftTs - before, leftTs] — the
     * streaming twin of the batch range join (q16) and the pattern behind

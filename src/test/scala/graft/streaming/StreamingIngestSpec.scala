@@ -755,4 +755,34 @@ class StreamingIngestSpec extends SparkSuite {
       s"per-topic flush sizes had no effect: tA=${nFiles("tA")} " +
         s"tB=${nFiles("tB")}")
   }
+
+  test("firstWinsDedup: content-keyed custom state dedups across batches " +
+    "with the min-id winner, schema passing through intact") {
+    val src = Files.createTempDirectory("fw_src").toString
+    // batch 1: "aaa" appears twice (ids 3 and 1 -> 1 must win), "bbb" once
+    Seq((3L, "aaa", "s1"), (1L, "aaa", "s2"), (2L, "bbb", "s1"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("append").parquet(src)
+    // batch 2: "aaa"/"bbb" replayed (suppressed by STATE, not watermark),
+    // "ccc" is new
+    Seq((9L, "aaa", "s3"), (8L, "bbb", "s3"), (7L, "ccc", "s2"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    val sschema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    val stream = spark.readStream.schema(sschema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamingIngest.firstWinsDedup(stream,
+      xxhash64(col("text")), col("doc_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fw_dedup").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val rows = spark.table("fw_dedup")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "aaa", "s2"), (2L, "bbb", "s1"),
+      (7L, "ccc", "s2")), s"got $rows")
+  }
 }
