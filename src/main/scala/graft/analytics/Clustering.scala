@@ -312,4 +312,92 @@ object Clustering {
           struct(col("csim"), (-col("doc_id")).as("tb"))).as("keep_id"),
         count(lit(1)).as("n_members"))
   }
+
+  /** Bisecting k-means (Steinbach/Karypis/Kumar KDD-workshop 2000),
+    * level-synchronous: every level splits EVERY current cluster in two
+    * with a 2-means refit scoped to that cluster's members, so `levels`
+    * levels give up to 2^levels leaf clusters whose ids encode the split
+    * path (cluster = parent·2 + child). Top-down bisection is the
+    * production route to LARGE k: flat k-means pays k distance terms per
+    * row per round, bisecting pays 2 per level — k=1024 costs 10 levels
+    * × 2 terms instead of 1024 terms per row.
+    *
+    * Scale shape — identical to `fit`'s MLlib discipline, generalized to
+    * a forest: ALL clusters' child centroids live in ONE driver-side
+    * literal (2^level·2·dim doubles), assignment filters the literal to
+    * the row's own parent (`filter` + `array_max` over a `transform`) —
+    * still a ZERO-shuffle projection even though every cluster is being
+    * split simultaneously; the per-round update is one (cluster, child,
+    * pos) partial-avg aggregate for the whole forest. The only per-level
+    * shuffle beyond that aggregate is the 2-seed window (partition by
+    * cluster, top-2 by (hash-rank, id)). Levels are localCheckpointed —
+    * constant plan depth however deep the tree.
+    *
+    * Determinism: seeds = each cluster's 2 lowest (`hashRank`, id)
+    * members; csim rounds to 6 with ties to the LOWER child; update
+    * components snap to 6 — the flat-k-means contract, replayed level by
+    * level by the DuckDB oracle. A single-member cluster yields one seed
+    * and stops splitting; a child emptied by reassignment drops out of
+    * the update on both engines identically.
+    *
+    * Output: `(id, cluster, csim)` with cluster the leaf id in
+    * [0, 2^levels) and csim the row's final-level similarity to its own
+    * leaf centroid. */
+  def bisectingAssign(emb: DataFrame, id: Column, vec: Column,
+                      levels: Int = 2, iters: Int = 2): DataFrame = {
+    val v0 = Caches.persist(
+      emb.select(id.as("id"), asDouble(vec).as("v"))
+        .withColumn("nrm", norm(col("v")))
+        .withColumn("r", hashRank(col("id"))))
+    var cur = v0.withColumn("cluster", lit(0L))
+    for (_ <- 1 to levels) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(col("r"), col("id"))
+      // 2 seeds per cluster — a model-scale collect (≤ 2^level × 2 rows)
+      var cents: Seq[(Long, Long, Seq[Double], Double)] =
+        cur.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("cluster"), (col("rn") - 1).cast("long").as("child"),
+            col("v"), col("nrm"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2),
+            r.getDouble(3)))
+          .toSeq
+      def centLit: Column = array(cents.map { case (p, c, cv, cn) =>
+        struct(lit(p).as("parent"), lit(c).as("child"), lit(cn).as("cn"),
+          array(cv.map(lit): _*).as("cv"))
+      }: _*)
+      def assigned: DataFrame = {
+        val mine = filter(centLit, e =>
+          e.getField("parent") === col("cluster"))
+        val best = array_max(transform(mine, e => struct(
+          round(Similarity.dot(col("v"), e.getField("cv")) /
+            (col("nrm") * e.getField("cn")), 6).as("csim"),
+          (-e.getField("child")).as("tb"))))
+        cur.withColumn("child", -best.getField("tb"))
+          .withColumn("csim", best.getField("csim"))
+      }
+      for (_ <- 1 to iters) {
+        cents = assigned
+          .select(col("cluster"), col("child"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cluster"), col("child"), col("pos"))
+          .agg(round(avg(col("x")), 6).as("cx"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+            r.getDouble(3)))
+          .groupBy(t => (t._1, t._2))
+          .map { case ((p, c), rows) =>
+            val cv = rows.sortBy(_._3).map(_._4).toSeq
+            (p, c, cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)))
+          }
+          .toSeq.sortBy(t => (t._1, t._2))
+      }
+      cur = assigned
+        .select(col("id"), col("v"), col("nrm"), col("r"),
+          (col("cluster") * 2 + col("child")).as("cluster"), col("csim"))
+        .localCheckpoint(false)
+    }
+    cur.select(col("id"), col("cluster"), col("csim"))
+  }
 }

@@ -2354,7 +2354,18 @@ object ContentQueries {
     "graph_hubness" -> ((s, d) => {
       Graph.knnHubness(knnGraph(s, d), col("src"), col("dst"))
         .orderBy(col("in_deg"))
-    })
+    }),
+
+    // Hierarchical (bisecting) k-means: 2 levels of scoped 2-means →
+    // leaf ids encode the split path. The scale rationale (2 distance
+    // terms per row per level vs k per round flat) and the zero-shuffle
+    // forest-literal assignment live in Clustering.bisectingAssign;
+    // the oracle replays both levels' seeds/rounds/assignment serially.
+    "emb_bisecting" -> ((s, d) =>
+      graft.analytics.Clustering.bisectingAssign(emb(s, d), col("vec_id"),
+        col("embedding"), levels = 2, iters = 2)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id")))
   )
 
   /** Shared k-NN graph for the graph_* queries: every embedding is a node,
@@ -5004,8 +5015,67 @@ object ContentQueries {
          |  GROUP BY 1)
          |SELECT COALESCE(i.in_deg, 0) AS in_deg, count(*) AS n_nodes
          |FROM nodes n LEFT JOIN ind i USING (node)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // serial replay of Clustering.bisectingAssign: b0 = everyone in
+    // cluster 0, then per level: 2 seeds per cluster by (hash-rank, id),
+    // 2 scoped Lloyd rounds (csim round 6, ties -> lower child; update
+    // components snap to 6), final child folded into the path id
+    "emb_bisecting" ->
+      (s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+         |b0 AS (SELECT vec_id, e, nrm,
+         |    ${md5b60("CAST(vec_id AS VARCHAR)")} % 997 AS r,
+         |    CAST(0 AS BIGINT) AS cluster FROM n),
+         |""".stripMargin
+        + Seq(1, 2).map(l => bisectLevel(l, iters = 2)).mkString(",\n")
+        + "\nSELECT vec_id, cluster, csim FROM b2 ORDER BY vec_id")
   )
+
+  /** One bisecting-k-means level in SQL, integer-faithful to
+    * `Clustering.bisectingAssign`: state `b{l}` carries
+    * (vec_id, e, nrm, r, cluster). */
+  private def bisectLevel(l: Int, iters: Int): String = {
+    val prev = s"b${l - 1}"
+    // parent-scoped assignment against centroid table `cent`
+    def assignR(cent: String, tag: String) =
+      s"""$tag AS (SELECT p.vec_id, p.e, p.nrm, p.r, p.cluster, c.child,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> p.e[i] * c.ce[i])) / (p.nrm * c.cn), 6) AS csim,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      round(list_sum(list_transform(range(1, 65),
+         |        i -> p.e[i] * c.ce[i])) / (p.nrm * c.cn), 6) DESC,
+         |      c.child) AS rn
+         |  FROM $prev p JOIN $cent c ON c.parent = p.cluster)""".stripMargin
+    val seeds =
+      s"""t${l}_0 AS (SELECT cluster AS parent,
+         |    CAST(rn - 1 AS BIGINT) AS child, e AS ce, nrm AS cn
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+         |      ORDER BY r, vec_id) AS rn FROM $prev) WHERE rn <= 2)"""
+        .stripMargin
+    val rounds = (1 to iters).map { j =>
+      s"""${assignR(s"t${l}_${j - 1}", s"a${l}_${j}r")},
+         |a${l}_$j AS (SELECT vec_id, e, cluster, child FROM a${l}_${j}r
+         |  WHERE rn = 1),
+         |x${l}_$j AS (SELECT cluster, child, unnest(range(1, 65)) AS pos,
+         |    unnest(e) AS x FROM a${l}_$j),
+         |m${l}_$j AS (SELECT cluster, child, pos, round(avg(x), 6) AS cx
+         |  FROM x${l}_$j GROUP BY 1, 2, 3),
+         |t${l}_$j AS (SELECT cluster AS parent, child, ce,
+         |    sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM (
+         |    SELECT cluster, child, list(cx ORDER BY pos) AS ce
+         |    FROM m${l}_$j GROUP BY 1, 2))""".stripMargin
+    }.mkString(",\n")
+    val fin =
+      s"""${assignR(s"t${l}_$iters", s"f${l}r")},
+         |b$l AS (SELECT vec_id, e, nrm, r,
+         |    2 * cluster + child AS cluster, csim
+         |  FROM f${l}r WHERE rn = 1)""".stripMargin
+    Seq(seeds, rounds, fin).mkString(",\n")
+  }
 
   /** k-NN edge CTEs shared by the graph_* oracles — the bruteforce top-8
     * within the `vec_id % 10` subsample, tie-breaks identical to

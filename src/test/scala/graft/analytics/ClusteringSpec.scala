@@ -189,4 +189,51 @@ class ClusteringSpec extends SparkSuite {
       .select("n_id").head().getLong(0)
     assert(ids(1) == far)
   }
+
+  test("bisectingAssign: every vector lands in one leaf, leaf ids stay " +
+    "inside [0, 2^levels), and level-1 labels are a PREFIX of level-2 " +
+    "labels (true hierarchy, not a refit)") {
+    val two = Clustering.bisectingAssign(emb, col("vec_id"),
+      col("embedding"), levels = 2, iters = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(two.length == emb.count())
+    assert(two.map(_._1).distinct.length == two.length)
+    assert(two.forall(r => r._2 >= 0 && r._2 < 4), "leaf id out of range")
+    assert(two.map(_._2).distinct.length > 1, "degenerate single leaf")
+    val one = Clustering.bisectingAssign(emb, col("vec_id"),
+      col("embedding"), levels = 1, iters = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    // the level-2 leaf id's high bit IS the level-1 assignment — the
+    // split path is stable because each level only refines its parent
+    assert(two.forall(r => r._2 / 2 == one(r._1)),
+      "level-2 ids must refine level-1 ids")
+    Caches.clear()
+  }
+
+  test("bisectingAssign separates a planted two-blob corpus at level 1") {
+    // blob A around +e1, blob B around -e1, tiny deterministic jitter.
+    // Blob membership is (i/4)%2 so the two hash-rank seeds (ids 8 and 4
+    // — the lowest hashRank values among 0..39) land in DIFFERENT blobs:
+    // with both seeds in one blob, symmetric-mixture 2-means stalls (both
+    // centroids stay balanced mixtures forever) — real k-means behavior,
+    // not an operator bug, but not what this test probes.
+    val dim = 8
+    val rows = (0L until 40L).map { i =>
+      val sign = if ((i / 4) % 2 == 0) 1.0 else -1.0
+      val v = (0 until dim).map(j =>
+        (if (j == 0) sign else 0.01 * ((i * 7 + j) % 5 - 2)).toFloat)
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val a = Clustering.bisectingAssign(df, col("vec_id"), col("embedding"),
+      levels = 1, iters = 2)
+      .as[(Long, Long, Double)].collect()
+    val bySign = a.groupBy(r => (r._1 / 4) % 2).map { case (k, v) =>
+      k -> v.map(_._2).distinct.toSeq }
+    // each blob maps to exactly one child, and the two differ
+    assert(bySign(0L).length == 1 && bySign(1L).length == 1,
+      s"blob split across children: $bySign")
+    assert(bySign(0L).head != bySign(1L).head, s"blobs merged: $bySign")
+    Caches.clear()
+  }
 }
