@@ -56,7 +56,8 @@ object Bench {
     "emb_matryoshka_recall", "profile_table_integrity",
     "pipeline_curation_shards", "text_entropy",
     "text_novelty", "profile_zipf", "q48_anomaly_mad", "text_blocklist",
-    "text_top_ngram_frac", "graph_pagerank", "graph_hubness")
+    "text_top_ngram_frac", "graph_pagerank", "graph_hubness",
+    "emb_bisecting", "graph_ppr_seeds")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2356,6 +2356,18 @@ object ContentQueries {
         .orderBy(col("in_deg"))
     }),
 
+    // Personalized PageRank from a trusted seed class (label 0): teleport
+    // mass lands only on seeds, so stationary mass ranks the REST of the
+    // corpus by link-structure proximity to the vetted nucleus — the
+    // seed-expansion curation move. Same integer contract as
+    // graph_pagerank; oracle unrolls the 10 seed-conditional rounds.
+    "graph_ppr_seeds" -> ((s, d) => {
+      Graph.personalizedPageRank(knnGraph(s, d), col("src"), col("dst"),
+        emb(s, d).filter(col("label") === 0), col("vec_id"), iters = 10)
+        .orderBy(col("rank").desc, col("node")).limit(100)
+        .select(col("node"), col("rank"), col("is_seed"))
+    }),
+
     // Hierarchical (bisecting) k-means: 2 levels of scoped 2-means →
     // leaf ids encode the split path. The scale rationale (2 distance
     // terms per row per level vs k per round flat) and the zero-shuffle
@@ -5017,6 +5029,29 @@ object ContentQueries {
          |FROM nodes n LEFT JOIN ind i USING (node)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the PageRank unroll with seed-conditional teleport: base lands
+    // only on is_seed nodes, init mass splits across seeds
+    "graph_ppr_seeds" ->
+      (s"""WITH $knnGraphSql,
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, d.outdeg
+         |  FROM edges e JOIN deg d USING (src)),
+         |nodes0 AS (SELECT DISTINCT src AS node FROM edges
+         |  UNION SELECT DISTINCT dst FROM edges),
+         |seeds AS (SELECT vec_id AS node FROM embeddings WHERE label = 0),
+         |nodes AS (SELECT n.node, s.node IS NOT NULL AS is_seed
+         |  FROM nodes0 n LEFT JOIN seeds s USING (node)),
+         |params AS (SELECT 1000000000000 // count(*) AS share,
+         |    (15 * (1000000000000 // count(*))) // 100 AS base
+         |  FROM nodes WHERE is_seed),
+         |ppr0 AS (SELECT node, CASE WHEN is_seed
+         |    THEN (SELECT share FROM params)
+         |    ELSE CAST(0 AS BIGINT) END AS rank FROM nodes),
+         |""" + (1 to 10).map(pprRound).mkString(",\n|") + """
+         |SELECT p.node, p.rank, n.is_seed
+         |FROM ppr10 p JOIN nodes n USING (node)
+         |ORDER BY p.rank DESC, p.node LIMIT 100""").stripMargin,
+
     // serial replay of Clustering.bisectingAssign: b0 = everyone in
     // cluster 0, then per level: 2 seeds per cluster by (hash-rank, id),
     // 2 scoped Lloyd rounds (csim round 6, ties -> lower child; update
@@ -5103,6 +5138,16 @@ object ContentQueries {
       s"+ (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank " +
       s"FROM nodes n LEFT JOIN (SELECT e.dst AS node, " +
       s"SUM(p.rank // e.outdeg) AS m FROM ed e JOIN pr${idx - 1} p " +
+      s"ON p.node = e.src GROUP BY 1) s USING (node))"
+
+  /** `prRound` with the seed-conditional teleport of personalized
+    * PageRank: the damping base lands only on `is_seed` nodes. */
+  private def pprRound(idx: Int): String =
+    s"ppr$idx AS (SELECT n.node, CAST((CASE WHEN n.is_seed " +
+      s"THEN (SELECT base FROM params) ELSE 0 END) " +
+      s"+ (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank " +
+      s"FROM nodes n LEFT JOIN (SELECT e.dst AS node, " +
+      s"SUM(p.rank // e.outdeg) AS m FROM ed e JOIN ppr${idx - 1} p " +
       s"ON p.node = e.src GROUP BY 1) s USING (node))"
 
   /** One Lloyd round in SQL: assign every vector to its max-cosine centroid

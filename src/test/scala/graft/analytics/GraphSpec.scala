@@ -68,6 +68,26 @@ class GraphSpec extends SparkSuite {
     Caches.clear()
   }
 
+  test("personalizedPageRank confines mass to the seed's component and " +
+    "flags seeds") {
+    // two disconnected 2-cycles; seed = node 0 only. The {2,3} component
+    // receives no teleport and no inflow -> exactly zero rank forever.
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val r = Graph.personalizedPageRank(edges, col("src"), col("dst"),
+      seeds, col("id"), iters = 10)
+      .as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(2L)._1 == 0L && r(3L)._1 == 0L,
+      s"unreachable component must hold zero mass: $r")
+    assert(r(0L)._1 > 0L && r(1L)._1 > 0L, s"seed component starved: $r")
+    assert(r(0L)._2 && !r(1L)._2 && !r(2L)._2, s"is_seed flags wrong: $r")
+    // seed keeps the teleport premium over its non-seed partner
+    assert(r(0L)._1 > r(1L)._1, s"seed must out-rank its satellite: $r")
+    Caches.clear()
+  }
+
   test("knnHubness histogram counts in-degrees over the SOURCE node set " +
     "and accounts for every node once") {
     // 0,1,2 each emit edges; 9 only receives (not a source -> not a node
