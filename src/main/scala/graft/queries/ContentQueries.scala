@@ -2377,7 +2377,25 @@ object ContentQueries {
       graft.analytics.Clustering.bisectingAssign(emb(s, d), col("vec_id"),
         col("embedding"), levels = 2, iters = 2)
         .withColumnRenamed("id", "vec_id")
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // Cluster-balanced (topic-quota) sampling: an equal md5-deterministic
+    // quota from every bisecting leaf — the diversity sample a naive
+    // uniform draw cannot give when topics are imbalanced (the dominant
+    // cluster would swamp the sample). Composes bisectingAssign with the
+    // sample_per_source window idiom; one window shuffle on the leaf id.
+    "sample_cluster_quota" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      graft.analytics.Clustering.bisectingAssign(emb(s, d), col("vec_id"),
+        col("embedding"), levels = 2, iters = 2)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 16)
+        .select(col("cluster"), col("vec_id"))
+        .orderBy(col("cluster"), col("vec_id"))
+    })
   )
 
   /** Shared k-NN graph for the graph_* queries: every embedding is a node,
@@ -5067,7 +5085,27 @@ object ContentQueries {
          |    CAST(0 AS BIGINT) AS cluster FROM n),
          |""".stripMargin
         + Seq(1, 2).map(l => bisectLevel(l, iters = 2)).mkString(",\n")
-        + "\nSELECT vec_id, cluster, csim FROM b2 ORDER BY vec_id")
+        + "\nSELECT vec_id, cluster, csim FROM b2 ORDER BY vec_id"),
+
+    // bisecting replay + the per-source-sampling window over leaf ids
+    "sample_cluster_quota" ->
+      (s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+         |b0 AS (SELECT vec_id, e, nrm,
+         |    ${md5b60("CAST(vec_id AS VARCHAR)")} % 997 AS r,
+         |    CAST(0 AS BIGINT) AS cluster FROM n),
+         |""".stripMargin
+        + Seq(1, 2).map(l => bisectLevel(l, iters = 2)).mkString(",\n")
+        + """,
+         |q AS (SELECT cluster, vec_id, row_number() OVER (
+         |    PARTITION BY cluster
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM b2)
+         |SELECT cluster, vec_id FROM q WHERE rn <= 16
+         |ORDER BY cluster, vec_id""".stripMargin)
   )
 
   /** One bisecting-k-means level in SQL, integer-faithful to
