@@ -68,6 +68,23 @@ class GraphSpec extends SparkSuite {
     Caches.clear()
   }
 
+  test("pageRank returns a checkpoint-flattened frame: plan depth is " +
+    "constant in iters (the dedupClusters plan-tree discipline)") {
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L))
+      .toDF("src", "dst")
+    def planOf(iters: Int): String =
+      Graph.pageRank(edges, col("src"), col("dst"), iters)
+        .queryExecution.optimizedPlan.toString
+    val p2 = planOf(2)
+    val p8 = planOf(8)
+    // the returned frame reads the LAST round's checkpoint — no joins,
+    // no growth with iteration count
+    assert(!p8.contains("Join"), p8)
+    assert(p8.linesIterator.size == p2.linesIterator.size,
+      s"plan depth grew with iters:\n$p2\nvs\n$p8")
+    Caches.clear()
+  }
+
   test("personalizedPageRank confines mass to the seed's component and " +
     "flags seeds") {
     // two disconnected 2-cycles; seed = node 0 only. The {2,3} component
