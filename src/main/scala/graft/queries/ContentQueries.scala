@@ -1604,15 +1604,19 @@ object ContentQueries {
     // grams: est >= exact always (collisions only add), and both sides
     // are exact integer sums the oracle replays cell-for-cell.
     "profile_cm_heavy" -> ((s, d) => {
-      // the gram frame feeds both the exact aggregate and the sketch
-      // build; recomputing the explode beats persisting it here
-      // (measured: materializing 265k gram rows costs what it saves)
-      val sh = docs(s, d)
+      // ONE corpus scan: the vocabulary-scale count table feeds the
+      // top-20, the sketch build, AND the readback — cell = Σ count over
+      // distinct grams is bit-identical to summing raw gram instances,
+      // so the sketch pays a vocab-scale ×d explode instead of a
+      // corpus-scale one (and the corpus ngram explode runs once, not
+      // twice)
+      val exact = Caches.persist(docs(s, d)
         .select(explode(TextAnalysis.ngrams(col("text"), 3)).as("g"))
-      val exact = sh.groupBy(col("g"))
-        .agg(count(lit(1)).cast("long").as("exact_cnt"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).cast("long").as("exact_cnt")))
       val top = exact.orderBy(col("exact_cnt").desc, col("g")).limit(20)
-      val cells = graft.analytics.Sketches.cmCells(sh, col("g"), lit(1L))
+      val cells = graft.analytics.Sketches.cmCells(exact, col("g"),
+        col("exact_cnt"))
       val est = graft.analytics.Sketches.cmEstimate(cells, top, col("g"))
       top.join(est.withColumnRenamed("it", "g"), Seq("g"))
         .select(col("g"), col("exact_cnt"), col("est").as("est_cnt"))
