@@ -57,7 +57,12 @@ object Bench {
     "pipeline_curation_shards", "text_entropy",
     "text_novelty", "profile_zipf", "q48_anomaly_mad", "text_blocklist",
     "text_top_ngram_frac", "graph_pagerank", "graph_hubness",
-    "emb_bisecting", "graph_ppr_seeds")
+    "emb_bisecting", "graph_ppr_seeds", "sample_cluster_quota")
+
+  // Round-11 additions, reported under "queries_r11"/"value_r11".
+  val additionsR11: Seq[String] = Seq(
+    "graph_pagerank_ivf", "dedup_embedding", "dedup_incremental_emb",
+    "emb_pca_project")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -120,6 +125,7 @@ object Bench {
     val r7 = run(additionsR7)
     val r9 = run(additionsR9)
     val r10 = run(additionsR10)
+    val r11 = run(additionsR11)
     // BPE batched-trainer scale diagnostic (round-8 verdict item): train
     // 32 merges on the full corpus and report rounds + width — the batch
     // width is the 32k-vocab production bound (rounds ≈ vocab/width).
@@ -242,14 +248,78 @@ object Bench {
       val (e10, m10, c10) = run(d10)
       f"""{"docs_1x":$n1,"docs_10x":$n10,"exact_1x":$e1%.3f,"exact_10x":$e10%.3f,"exact_ratio":${e10 / e1}%.2f,"minhash_1x":$m1%.3f,"minhash_10x":$m10%.3f,"minhash_ratio":${m10 / m1}%.2f,"cdc_1x":$c1%.3f,"cdc_10x":$c10%.3f,"cdc_ratio":${c10 / c1}%.2f}"""
     }
+    // Round-11 soak: the same 10x-ratio methodology extended to the three
+    // heaviest NON-dedup-family operators (round-10 verdict #6) — the
+    // substring-span window, the BM25 posting build, and the PageRank
+    // iteration loop. Substring is O(total tokens log p) (one doc-keyed
+    // window over spans), BM25 is linear in postings (df-capped join), and
+    // PageRank is iters x |edges|; a ratio far above 10 would expose a
+    // hidden super-linear path the sf0.1 bench can't see.
+    val scaleSoak2 = {
+      import org.apache.spark.sql.functions._
+      val d1 = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val d10 = d1.select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), lit(9L))).as("rep"))
+        .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      def t(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def sub(df: org.apache.spark.sql.DataFrame): Double = {
+        val s = t(graft.analytics.Dedup.substringDedup(df, col("doc_id"),
+          col("text"), k = 15).count())
+        graft.analytics.Caches.clear(); s
+      }
+      def bm25(df: org.apache.spark.sql.DataFrame): Double = {
+        // fixed 3-term query set per eligible doc, same shape as
+        // text_bm25_retrieve; the posting build over `df` dominates
+        val toks = df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val q = toks.filter(size(col("toks")) >= 11 && col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("q_id"), explode(array_distinct(array(
+            try_element_at(col("toks"), lit(3)),
+            try_element_at(col("toks"), lit(7)),
+            try_element_at(col("toks"), lit(11))))).as("term"))
+          .filter(col("term") =!= "")
+        val s = t(graft.analytics.TextAnalysis.bm25Retrieve(df, col("doc_id"),
+          graft.analytics.TextAnalysis.ngrams(col("text"), 2), q, k = 5,
+          excludeSelf = true).count())
+        graft.analytics.Caches.clear(); s
+      }
+      // synthetic deterministic 8-out-degree graph: isolates the iteration
+      // machinery (join + agg per round) from the k-NN edge build, and
+      // scales nodes AND edges 10x exactly
+      def graph(n: Long): Double = {
+        val nodes = spark.range(n).select(col("id").as("src"))
+        val edges = nodes.select(col("src"),
+            explode(sequence(lit(1L), lit(8L))).as("j"))
+          .select(col("src"), ((col("src") * 31 + col("j") * 7919) % n).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val s = t(graft.analytics.Graph.pageRank(edges, col("src"),
+          col("dst"), iters = 10).count())
+        graft.analytics.Caches.clear(); s
+      }
+      val (s1, s10) = (sub(d1), sub(d10))
+      val (b1, b10) = (bm25(d1), bm25(d10))
+      val (g1, g10) = (graph(5000L), graph(50000L))
+      f"""{"substr_1x":$s1%.3f,"substr_10x":$s10%.3f,"substr_ratio":${s10 / s1}%.2f,"bm25_1x":$b1%.3f,"bm25_10x":$b10%.3f,"bm25_ratio":${b10 / b1}%.2f,"pagerank_1x":$g1%.3f,"pagerank_10x":$g10%.3f,"pagerank_ratio":${g10 / g1}%.2f}"""
+    }
     // Failures must be machine-loud, not just a -1.0 sentinel buried in the
     // metrics (round 8's bench read as rc:0 with six dead queries): name
     // them in an explicit "failed" list AND exit non-zero.
-    val failed = (results ++ r7 ++ r9 ++ r10).collect { case (k, ts) if median(ts) < 0 => k }
+    val failed = (results ++ r7 ++ r9 ++ r10 ++ r11).collect { case (k, ts) if median(ts) < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val spread = spreadJson(results ++ r7 ++ r9 ++ r10)
-    println(
-      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"failed":$failedJson,"sf":"$sfDir"}""")
+    val spread = spreadJson(results ++ r7 ++ r9 ++ r10 ++ r11)
+    val line =
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only the TAIL of sbt's output, and this line has
+    // outgrown the capture window (round 10's official artifact lost every
+    // headline median). Persist the complete line as a committed repo file
+    // so the scoreboard survives tail-truncation.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")

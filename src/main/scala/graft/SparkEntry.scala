@@ -29,5 +29,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ PipelineQueries.oracles ++
-      ContentQueries.oracles
+      ContentQueries.oracles ++ ContentQueries.dynamicOracles
 }

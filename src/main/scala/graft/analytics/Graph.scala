@@ -38,23 +38,37 @@ object Graph {
     *
     * Scale shape: `edges` is persisted once (reused every round); each
     * round is ONE shuffle join (ranks × edges on src — both sides hash
-    * on src) plus ONE aggregate (sum by dst, partial map-side). Rounds
-    * are `localCheckpoint`ed like `Dedup.dedupClusters` — the rank frame
-    * is referenced twice per round (contribution join + no-inflow
-    * fallback), so an unflattened plan tree doubles every round. At
-    * 100 TB the edge frame is pre-bucketed by src and the per-round cost
-    * is the inflow aggregate; iterations are a constant (10–20), not a
-    * data-dependent loop.
+    * on src) plus ONE aggregate (sum by dst, partial map-side). The
+    * iterative lineage grows linearly with rounds (each round's plan
+    * stacks a join + agg on the previous round's), so the rank frame is
+    * `localCheckpoint`ed every `ckptEvery` rounds AND on the final round
+    * — plan depth stays bounded by the cadence (and the RETURNED frame
+    * always reads the last checkpoint: no joins in its plan), while the
+    * eager materialization cost drops from `iters` to `iters/ckptEvery`
+    * flushes. The twice-referenced frames (`nodes`, `e`) are persisted,
+    * not checkpointed. At 100 TB the edge frame is pre-bucketed by src
+    * and the per-round cost is the inflow aggregate; iterations are a
+    * constant (10–20), not a data-dependent loop.
     *
     * Dangling nodes (no out-edges) keep receiving teleport mass but
-    * forward nothing — the standard simplification; a k-NN graph has
-    * none (every node emits exactly k edges).
+    * forward nothing — and, unlike canonical PageRank, the un-forwarded
+    * mass is NOT redistributed (no dangling-mass term), so on graphs with
+    * sinks the total mass decays each round. Rankings remain a useful
+    * order but the VALUES are the "mass-leaking" variant, not comparable
+    * to standard PageRank on sink-bearing edge frames. A k-NN graph has
+    * no sinks (every node emits exactly k edges), which is the designed
+    * use; pass a sink-free frame (or pre-add self-loops on sinks) if
+    * standard-PageRank values matter.
     *
     * Output: `(node, rank)` with rank in micro-mass longs, one row per
     * distinct node appearing in `edges`. */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
-               iters: Int = 10): DataFrame = {
-    val e0 = edges.select(src.as("src"), dst.as("dst"))
+               iters: Int = 10, ckptEvery: Int = 3): DataFrame = {
+    // persisted: referenced four times below (node union ×2, the outdeg
+    // aggregate, the join's edge side) — an expensive upstream edge
+    // derivation (the O(n²) exact k-NN build) would otherwise recompute
+    // per reference
+    val e0 = Caches.persist(edges.select(src.as("src"), dst.as("dst")))
     val nodes = Caches.persist(
       e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node"))).distinct())
@@ -69,7 +83,7 @@ object Graph {
         Seq("src")))
     var ranks = nodes.withColumn("rank", lit(init))
       .localCheckpoint(false)
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       // `div` (integral division), NOT double `/` + cast: a double
       // quotient within one ulp of an integer boundary rounds UP and
       // breaks the exact integer contract the oracle replays
@@ -81,7 +95,8 @@ object Graph {
         .select(col("node"),
           expr(s"${base}L + (85L * coalesce(inflow, 0L)) div 100L")
             .as("rank"))
-        .localCheckpoint(false)
+      if (i % ckptEvery == 0 || i == iters)
+        ranks = ranks.localCheckpoint(false)
     }
     ranks
   }
@@ -101,8 +116,9 @@ object Graph {
     * is_seed)`. */
   def personalizedPageRank(edges: DataFrame, src: Column, dst: Column,
                            seeds: DataFrame, seedCol: Column,
-                           iters: Int = 10): DataFrame = {
-    val e0 = edges.select(src.as("src"), dst.as("dst"))
+                           iters: Int = 10, ckptEvery: Int = 3): DataFrame = {
+    // persisted for the same four-reference reason as pageRank's e0
+    val e0 = Caches.persist(edges.select(src.as("src"), dst.as("dst")))
     val sd = seeds.select(seedCol.as("node")).distinct()
     val nodes = Caches.persist(
       e0.select(col("src").as("node"))
@@ -121,7 +137,7 @@ object Graph {
       .select(col("node"),
         when(col("is_seed"), lit(share)).otherwise(lit(0L)).as("rank"))
       .localCheckpoint(false)
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val inflow = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr("rank div outdeg").as("c"))
@@ -130,7 +146,8 @@ object Graph {
         .select(col("node"),
           (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
             expr("(85L * coalesce(inflow, 0L)) div 100L")).as("rank"))
-        .localCheckpoint(false)
+      if (i % ckptEvery == 0 || i == iters)
+        ranks = ranks.localCheckpoint(false)
     }
     ranks.join(nodes, Seq("node"))
       .select(col("node"), col("rank"), col("is_seed"))
@@ -145,7 +162,8 @@ object Graph {
     * partial-aggregatable, linear in |edges|. Nodes cited by nobody
     * surface via the left join from the node set (in_deg 0). */
   def knnHubness(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    val e0 = edges.select(src.as("src"), dst.as("dst"))
+    // persisted: referenced twice (node set + in-degree aggregate)
+    val e0 = Caches.persist(edges.select(src.as("src"), dst.as("dst")))
     val nodes = e0.select(col("src").as("node")).distinct()
     val indeg = e0.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("in_deg"))

@@ -979,7 +979,7 @@ object TextAnalysis {
         // aggregate over the vocabulary per round (candidate middles
         // only). Cross-member creations ((l1r1, l2r2) from l1 r1 l2 r2)
         // are covered: the quadruple contains the triple (l1,r1,l2).
-        val sep = " "
+        val sep = "\u0000"
         val mids = top.map(t => t._1 + sep + t._2).toSeq
         val triAgg = vocab.filter(size(col("symbols")) >= 3)
           .select(col("f"), explode(transform(

@@ -17,6 +17,80 @@ object ContentQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
+  /** Embeddings plus a deterministic perturbed TWIN of every `mod`-th
+    * vector: twin id = vec_id + 1000000, component i scaled by
+    * (98 + i%5)/100 (cosine vs the original ≈ 0.9998). The fixture's
+    * organic max pairwise cosine is ~0.51, so no honest near-dup
+    * threshold can ever fire on it and the embedding-dedup oracle rows
+    * were 0-row (vacuously green — an operator returning empty
+    * unconditionally would also have passed). The twins make recall
+    * OBSERVABLE: the planted pairs must come back, or the exhaustive
+    * oracle hash-mismatches. Factors are integer-derived then one IEEE
+    * divide, so DuckDB rebuilds bit-identical twins. */
+  private def embWithTwins(s: SparkSession, d: String, mod: Int): DataFrame = {
+    val e = emb(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val twins = e.filter(col("vec_id") % mod === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * ((lit(98) + i % 5).cast("double") / lit(100.0)))
+          .as("embedding"))
+    e.union(twins)
+  }
+
+  /** The top-8 PCA model fitted by the `emb_pca_project` query run —
+    * consumed by `dynamicOracles` AFTER Verify has executed every query
+    * (Verify dumps results first, then reads `SparkEntry.oracleSql`), so
+    * the oracle SQL can carry the sign-canonical components as literals.
+    * Deterministic: same corpus → same moments → same Jacobi output. */
+  @volatile private var fittedPca8: Option[Similarity.PcaModel] = None
+
+  /** Oracle rows that need a query-run artifact to be expressible —
+    * merged into `SparkEntry.oracleSql` (a def, read after the queries
+    * execute). Empty when the producing query hasn't run in this JVM;
+    * the driver's Verify always runs queries before dumping oracles. */
+  def dynamicOracles: Map[String, String] =
+    fittedPca8.map(m => "emb_pca_project" -> pcaProjectOracle(m)).toMap
+
+  /** DuckDB replay of `Similarity.pcaProject` with the fitted components
+    * exported as literal lists: per component, the same index-ordered
+    * dot product minus the same precomputed mean-offset scalar, rounded
+    * to the same 6 decimals — the LR-literal-weights oracle pattern
+    * (text_lr_score) applied to PCA. */
+  private def pcaProjectOracle(m: Similarity.PcaModel): String = {
+    def dl(d: Double): String = {
+      val s = java.lang.Double.toString(d)
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    val dim = m.mean.length
+    val ws = m.components.zipWithIndex.map { case (w, c) =>
+      s"[${w.map(dl).mkString(", ")}] AS w$c"
+    }.mkString(",\n|    ")
+    val cols = m.components.zipWithIndex.map { case (w, c) =>
+      val off = dl(w.zip(m.mean).map { case (a, b) => a * b }.sum)
+      s"""round(list_sum(list_transform(range(1, ${dim + 1}),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * w.w$c[i])) - $off, 6)
+         |    AS pc_$c""".stripMargin
+    }.mkString(",\n|  ")
+    s"""WITH w AS (SELECT $ws)
+       |SELECT e.vec_id,
+       |  $cols
+       |FROM embeddings e CROSS JOIN w
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** The SQL replay of `embWithTwins`: CTE `v`(vec_id, e) = double-cast
+    * embeddings UNION ALL the perturbed twins. */
+  private def twinCte(mod: Int): String =
+    s"""v0 AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |tw AS (SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> e[i] * (CAST(98 + ((i - 1) % 5) AS DOUBLE) / 100.0)) AS e
+       |  FROM v0 WHERE vec_id % $mod = 0),
+       |v AS (SELECT * FROM v0 UNION ALL SELECT * FROM tw)""".stripMargin
+
   private def stopList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -534,9 +608,14 @@ object ContentQueries {
       Dedup.simhashPairs(docs(s, d), col("doc_id"), col("text"), maxDist = 3)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Embedding near-dup pairs over the corpus + planted perturbed twins
+    // (embWithTwins — every 25th vector gets a cosine≈0.9998 twin). The
+    // oracle is the EXHAUSTIVE pair set over the same planted corpus, so
+    // a green row now proves the SRP-bucketed operator actually FINDS
+    // every planted pair — the previous 0-row green was vacuous.
     "dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingNearDups(emb(s, d), col("vec_id"), col("embedding"),
-        threshold = 0.95)
+      Dedup.embeddingNearDups(embWithTwins(s, d, 25), col("vec_id"),
+        col("embedding"), threshold = 0.95)
         .orderBy(col("a_id"), col("b_id"))),
 
     // Pairs → keep/drop decisions: connected components over the near-dup
@@ -1877,11 +1956,14 @@ object ContentQueries {
 
     // Incremental EMBEDDING dedup: the arriving batch's vectors checked
     // against the clean history via SRP band buckets (increment-vs-history
-    // equi-join, exact-cosine verify — never a history self-join). Oracle
-    // is the exhaustive cross-set cosine pair set, so recall is asserted;
-    // planted-dup recall is additionally pinned in SimilaritySpec.
+    // equi-join, exact-cosine verify — never a history self-join). Twins
+    // are planted for every 35th vector (all ≡0 mod 7, so the original
+    // lands in the INCOMING batch while its twin — id+1000000 ≡ 1 mod 7 —
+    // lands in HISTORY): each planted pair crosses the split and MUST be
+    // returned, making the row non-vacuous. Oracle is the exhaustive
+    // cross-set cosine pair set, so recall is asserted.
     "dedup_incremental_emb" -> ((s, d) => {
-      val e = emb(s, d)
+      val e = embWithTwins(s, d, 35)
       Dedup.embeddingNearDupsAgainst(
         e.filter(col("vec_id") % 7 =!= 0),
         e.filter(col("vec_id") % 7 === 0),
@@ -2050,14 +2132,19 @@ object ContentQueries {
 
     // Fit top-8 principal components and project every vector — the
     // embedding-compression step ahead of ANN indexing. Output is one
-    // scalar column per component (pc_0..pc_7) so the harness can sort
-    // and count it; the eigenbasis itself isn't SQL-expressible, so no
-    // oracle row: SimilaritySpec pins orthonormality, the eigen residual,
-    // descending explained variance, and that per-component projection
-    // variance equals the eigenvalue. The oracle-visible half of the
-    // eigendecomposition is emb_pca_energy below.
+    // scalar column per component (pc_0..pc_7). The Jacobi eigensolve is
+    // a driver-side d×d computation DuckDB can't replay, so the oracle is
+    // assembled DYNAMICALLY (dynamicOracles): the fit caches its
+    // sign-canonical components here, and the oracle SQL carries them as
+    // literal lists, replaying the distributed projection (dot − offset,
+    // round 6) exhaustively. The MODEL itself is certified by the
+    // emb_pca_cov + emb_pca_energy oracle rows and SimilaritySpec's
+    // orthonormality/eigen-residual invariants; this row certifies the
+    // projection arithmetic end-to-end — together they close the last
+    // no_oracle gap.
     "emb_pca_project" -> ((s, d) => {
       val model = Similarity.pcaFit(emb(s, d), col("embedding"), k = 8)
+      fittedPca8 = Some(model)
       val pc = Similarity.pcaProject(col("embedding"), model)
       emb(s, d).select(col("vec_id") +:
           model.components.indices.map(c =>
@@ -2339,11 +2426,13 @@ object ContentQueries {
 
     // PageRank centrality over the k-NN graph — link-structure curation:
     // a document whose neighbors are themselves well-cited is a better
-    // sample pick than a raw-similarity hub. Edges are each subsample
-    // node's 8 exact nearest neighbors (the same bruteForceTopK contract
-    // the sim_* oracles replay); 10 power-iteration rounds in integer
-    // micro-mass (Graph.pageRank), so the oracle's serial unroll is
-    // bit-identical. Output: the 100 most central nodes.
+    // sample pick than a raw-similarity hub. Edges are every embedding's
+    // 8 exact nearest neighbors over the FULL table (eval-scale exact
+    // k-NN — the all-pairs build is the oracle-replayable baseline; the
+    // crawl-scale edge build is graph_pagerank_ivf below); 10
+    // power-iteration rounds in integer micro-mass (Graph.pageRank), so
+    // the oracle's serial unroll is bit-identical. Output: the 100 most
+    // central nodes.
     "graph_pagerank" -> ((s, d) => {
       Graph.pageRank(knnGraph(s, d), col("src"), col("dst"), iters = 10)
         .orderBy(col("rank").desc, col("node")).limit(100)
@@ -2370,6 +2459,20 @@ object ContentQueries {
         emb(s, d).filter(col("label") === 0), col("vec_id"), iters = 10)
         .orderBy(col("rank").desc, col("node")).limit(100)
         .select(col("node"), col("rank"), col("is_seed"))
+    }),
+
+    // The PRODUCTION edge build for PageRank: neighbors nominated by the
+    // persisted Lloyd IVF index (the same on-disk index sim_topk_ivf_served
+    // builds — list-pruned candidate scan, never the O(n²) all-pairs join),
+    // then the identical integer power iteration. This is the 100 TB path
+    // graph_pagerank's exact build stands in for at eval scale; the oracle
+    // replays the full chain (Lloyd centroids → replicated assignment →
+    // probes → candidate ranking → 10 PR rounds) so approximation is
+    // certified, not assumed.
+    "graph_pagerank_ivf" -> ((s, d) => {
+      Graph.pageRank(knnGraphIvf(s, d), col("src"), col("dst"), iters = 10)
+        .orderBy(col("rank").desc, col("node")).limit(100)
+        .select(col("node"), col("rank"))
     }),
 
     // Hierarchical (bisecting) k-means: 2 levels of scoped 2-means →
@@ -2402,16 +2505,35 @@ object ContentQueries {
     })
   )
 
-  /** Shared k-NN graph for the graph_* queries: every embedding is a node,
-    * edges = its 8 exact nearest neighbors (tie-breaks identical to
-    * `sim_topk_bruteforce`). Derived because the corpus ships no link
-    * column; `Graph` operators accept any `(src, dst)` frame — at crawl
-    * scale the edges come from the ANN index (`ivfTopK`), not the exact
-    * all-pairs build. */
+  /** Shared k-NN graph for the graph_* queries: every embedding in the
+    * FULL table is a node, edges = its 8 exact nearest neighbors via the
+    * all-pairs bruteForceTopK (tie-breaks identical to
+    * `sim_topk_bruteforce`). No subsample — this is the eval-scale exact
+    * build (O(n²), fine at sf0.1's 500 vectors). Derived because the
+    * corpus ships no link column; `Graph` operators accept any
+    * `(src, dst)` frame — at crawl scale the edges come from the ANN
+    * index instead (`knnGraphIvf` below / `graph_pagerank_ivf`). */
   private def knnGraph(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     Similarity.bruteForceTopK(e, e, col("vec_id"), col("embedding"),
       col("vec_id"), col("embedding"), k = 8)
+      .select(col("q_id").as("src"), col("n_id").as("dst"))
+  }
+
+  /** ANN-derived k-NN graph — the crawl-scale edge build: neighbors come
+    * from the PERSISTED Lloyd IVF index (built once to disk, the exact
+    * same directory/construction `sim_topk_ivf_served` uses, so the edge
+    * build reuses the serving index), answered with static list pruning.
+    * Per query the candidate scan touches only the 4 probed lists, so the
+    * edge build is |corpus| × (corpus/nLists × nProbe) — linear-ish in
+    * the corpus, never the all-pairs O(n²) of `knnGraph`. */
+  private def knnGraphIvf(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    Similarity.buildIvfIndex(e, col("vec_id"), col("embedding"), dir)
+    Similarity.ivfTopKServe(s, dir, e, col("vec_id"), col("embedding"),
+      k = 8)
       .select(col("q_id").as("src"), col("n_id").as("dst"))
   }
 
@@ -2869,8 +2991,16 @@ object ContentQueries {
         |FROM alloc LEFT JOIN tk USING (source)
         |ORDER BY alloc.source""".stripMargin,
 
+    // exhaustive pair set over the corpus + planted twins: every planted
+    // (orig, orig+1000000) pair sits at cosine ~0.9998 and MUST appear
     "dedup_embedding" ->
-      s"""$simCte
+      s"""WITH ${twinCte(25)},
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+         |      / (a.nrm * b.nrm) AS sim
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT a_id, b_id, round(sim, 4) AS sim FROM p
          |WHERE round(sim, 4) >= 0.95 ORDER BY a_id, b_id""".stripMargin,
 
@@ -2895,10 +3025,11 @@ object ContentQueries {
         |FROM r JOIN documents d ON d.doc_id = r.n_id
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
+    // cross-split exhaustive pairs over corpus + twins: mod-35 originals
+    // are incoming (≡0 mod 7), their twins history (≡1 mod 7) — the
+    // planted pairs cross the split and certify incremental recall
     "dedup_incremental_emb" ->
-      """WITH v AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings),
+      s"""WITH ${twinCte(35)},
         |n AS (SELECT vec_id, e,
         |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
         |p AS (SELECT i.vec_id AS new_id, h.vec_id AS dup_of,
@@ -5074,6 +5205,48 @@ object ContentQueries {
          |FROM ppr10 p JOIN nodes n USING (node)
          |ORDER BY p.rank DESC, p.node LIMIT 100""").stripMargin,
 
+    // the ANN edge build + PageRank: Lloyd-IVF candidate nomination
+    // (identical CTE chain to sim_topk_ivf_lloyd/_served, with queries =
+    // the FULL table and k = 8) feeding the same 10-round integer unroll
+    "graph_pagerank_ivf" ->
+      (s"""WITH $lloydCentCtes16,
+         |asg AS (SELECT n.vec_id AS n_id, n.e AS av, n.nrm AS an,
+         |    cent.list_id,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      round(list_sum(list_transform(range(1, 65),
+         |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
+         |      cent.list_id) AS arn
+         |  FROM n CROSS JOIN cent),
+         |assigned AS (SELECT n_id, av, an, list_id FROM asg WHERE arn <= 2),
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n),
+         |prb AS (SELECT q.q_id, q.qe, q.qn, cent.list_id,
+         |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |      round(list_sum(list_transform(range(1, 65),
+         |        i -> q.qe[i] * cent.ce[i])) / (q.qn * cent.cn), 6) DESC,
+         |      cent.list_id) AS prn
+         |  FROM q CROSS JOIN cent),
+         |probes AS (SELECT q_id, qe, qn, list_id FROM prb WHERE prn <= 4),
+         |sc AS (SELECT DISTINCT p.q_id, a.n_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> p.qe[i] * a.av[i])) / (p.qn * a.an), 4) AS sim
+         |  FROM probes p JOIN assigned a
+         |    ON a.list_id = p.list_id AND a.n_id <> p.q_id),
+         |rr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id) AS rnk FROM sc),
+         |edges AS (SELECT q_id AS src, n_id AS dst FROM rr WHERE rnk <= 8),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, d.outdeg
+         |  FROM edges e JOIN deg d USING (src)),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |  UNION SELECT DISTINCT dst FROM edges),
+         |params AS (SELECT 1000000000000 // count(*) AS init,
+         |    (15 * (1000000000000 // count(*))) // 100 AS base FROM nodes),
+         |pr0 AS (SELECT node, (SELECT init FROM params) AS rank
+         |  FROM nodes),
+         |""" + (1 to 10).map(prRound).mkString(",\n|") + """
+         |SELECT node, rank FROM pr10
+         |ORDER BY rank DESC, node LIMIT 100""").stripMargin,
+
     // serial replay of Clustering.bisectingAssign: b0 = everyone in
     // cluster 0, then per level: 2 seeds per cluster by (hash-rank, id),
     // 2 scoped Lloyd rounds (csim round 6, ties -> lower child; update
@@ -5623,14 +5796,4 @@ object ContentQueries {
        |FROM p WHERE common / (a_n + b_n - common) >= $threshold
        |ORDER BY a_id, b_id""".stripMargin
 
-  private def simCte: String =
-    """WITH v AS (SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      |  FROM embeddings),
-      |n AS (SELECT vec_id, e,
-      |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
-      |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      |    list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
-      |      / (a.nrm * b.nrm) AS sim
-      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)""".stripMargin
 }

@@ -149,13 +149,15 @@ object StreamingIngest {
 
   /** Cross-batch first-wins dedup with CUSTOM state
     * (`flatMapGroupsWithState`) — what `dropDuplicatesWithinWatermark`
-    * cannot express: dedup on a computed CONTENT key (any Column — a
-    * normalized-text hash, a CDC fingerprint) with `Dedup.exact`'s
-    * deterministic winner rule (smallest `ordCol` in the key's FIRST
-    * batch wins; later batches emit nothing), and state that outlives
-    * any watermark. Rows flow through a `to_json`/`from_json` round trip
-    * so the operator is schema-generic while the state store holds ONE
-    * boolean per distinct key — state size is distinct-keys, not rows.
+    * cannot express: dedup on a computed CONTENT key (any Column type —
+    * the key groups on its STRING form, so a numeric hash, an md5 hex
+    * string, or a CDC fingerprint all work; a null key groups as null)
+    * with `Dedup.exact`'s deterministic winner rule (smallest `ordCol` —
+    * numeric, cast to long — in the key's FIRST batch wins; later
+    * batches emit nothing), and state that outlives any watermark. Rows
+    * flow through a `to_json`/`from_json` round trip so the operator is
+    * schema-generic while the state store holds ONE boolean per distinct
+    * key — state size is distinct-keys, not rows.
     *
     * `ttl` (processing-time) bounds that state for unbounded streams: a
     * key idle past the TTL is evicted and its NEXT occurrence re-admits
@@ -172,12 +174,12 @@ object StreamingIngest {
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     val kept = stream
-      .select(keyCol.cast("long").as("_1"), ordCol.cast("long").as("_2"),
+      .select(keyCol.cast("string").as("_1"), ordCol.cast("long").as("_2"),
         to_json(struct(stream.columns.toIndexedSeq.map(col): _*)).as("_3"))
-      .as[(Long, Long, String)]
+      .as[(String, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, String](OutputMode.Append, timeout) {
-        (_: Long, rows: Iterator[(Long, Long, String)],
+        (_: String, rows: Iterator[(String, Long, String)],
          state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else if (state.exists) {

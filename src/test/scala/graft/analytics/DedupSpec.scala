@@ -159,12 +159,33 @@ class DedupSpec extends SparkSuite {
     assert(lsh == exact)
   }
 
-  test("embedding near-dups are symmetric-free (a_id < b_id) and above " +
-    "threshold") {
+  test("embedding near-dups FIND every planted perturbed twin (recall is " +
+    "observed, not vacuously true) and stay symmetric-free") {
+    // The fixture's organic max pairwise cosine is ~0.51, so on the raw
+    // table this operator correctly returns empty — which also means a
+    // broken always-empty operator would pass a forall-shaped assertion.
+    // Plant deterministic twins (component i scaled by (98+i%5)/100 →
+    // cosine ≈ 0.9998) and require each planted pair to come back.
     val emb = Tables.load(spark, sf0001, "embeddings")
-    val r = Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"), 0.9)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val twins = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * ((lit(98) + i % 5).cast("double") / lit(100.0)))
+          .as("embedding"))
+    val nPlanted = twins.count()
+    assert(nPlanted >= 3, s"fixture too small to plant twins: $nPlanted")
+    val r = Dedup.embeddingNearDups(emb.union(twins), col("vec_id"),
+        col("embedding"), 0.95)
       .as[(Long, Long, Double)].collect()
-    assert(r.forall { case (a, b, s) => a < b && s >= 0.9 })
+    assert(r.forall { case (a, b, s) => a < b && s >= 0.95 })
+    val found = r.map(p => (p._1, p._2)).toSet
+    val expected = twins.select(col("vec_id")).as[Long].collect()
+      .map(t => (t - 1000000L, t)).toSet
+    assert(expected.subsetOf(found),
+      s"planted pairs missed: ${expected.diff(found)}")
+    graft.analytics.Caches.clear()
   }
 
   test("dedupClusters: a chain collapses to one component (multi-round " +

@@ -785,4 +785,64 @@ class StreamingIngestSpec extends SparkSuite {
     assert(rows == Seq((1L, "aaa", "s2"), (2L, "bbb", "s1"),
       (7L, "ccc", "s2")), s"got $rows")
   }
+
+  test("firstWinsDedup kill-and-resume soak with a STRING content key: " +
+    "restart from the checkpoint — including a replayed batch whose " +
+    "commit marker was lost — re-emits the same keep decisions: no " +
+    "duplicate escapes, no first arrival is lost") {
+    // State-store recovery is exactly where streaming dedup breaks in
+    // production: a replayed micro-batch must re-derive the SAME keep
+    // decisions from the restored state version, not re-admit keys it
+    // already emitted. The content key is md5 hex — a STRING — pinning
+    // the any-Column key contract (a long-only cast would null it out
+    // and collapse every row into one group).
+    val src = Files.createTempDirectory("fwsoak_src").toString
+    val out = Files.createTempDirectory("fwsoak_out").toString
+    val ckpt = Files.createTempDirectory("fwsoak_ckpt").toString
+    // per file: a NEW key arriving twice out of id order (min id must
+    // win within the key's first batch) + a cross-batch replay of key0
+    // (file 0 holds three key0 rows; later files' key0 row must be
+    // suppressed by restored STATE, not batch-local dedup)
+    def fileRows(f: Int) = Seq(
+      (f * 10L + 2, s"key$f", s"s$f"),
+      (f * 10L + 1, s"key$f", s"s$f"),
+      (f * 10L + 5, "key0", s"s$f"))
+      .toDF("doc_id", "text", "source")
+    def writeFile(f: Int): Unit =
+      fileRows(f).coalesce(1).write.mode("append").parquet(src)
+    val sschema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(sschema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = StreamingIngest.firstWinsDedup(stream,
+        md5(col("text")), col("doc_id"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // phase 1: two micro-batches to completion, then drop the newest
+    // commit marker — the restart must REPLAY that batch against the
+    // prior state version (the same lost-commit crash window the ingest
+    // soaks hold)
+    writeFile(0); writeFile(1)
+    run()
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+    val newest = commits.maxBy(_.getName.toInt)
+    assert(newest.delete(), s"could not drop $newest")
+    val crc = new java.io.File(newest.getParentFile,
+      s".${newest.getName}.crc")
+    if (crc.exists()) assert(crc.delete(), s"could not drop $crc")
+    // phase 2: two more files, resume from the same checkpoint
+    writeFile(2); writeFile(3)
+    run()
+    val got = spark.read.parquet(out)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val expect = (0 until 4).map(f => (f * 10L + 1, s"key$f", s"s$f"))
+    assert(got == expect,
+      s"exactly-once violated across restart: $got vs $expect")
+  }
 }
