@@ -351,12 +351,26 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         round(dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")), 4)
           .as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+    // bounded top-k AGGREGATE, not a window: the scored frame is
+    // |queries|×|corpus| rows, of which only |queries|×k survive — the
+    // partial-aggregatable TopKByScore keeps k per q_id per map task, so
+    // the exchange carries O(queries × k × tasks) rows and nothing is
+    // globally sorted (a row_number window shuffles + sorts every
+    // candidate). Ordering contract is row_number-identical
+    // (sim desc, n_id asc), so every oracle is unchanged.
+    topKExplode(scored, k)
   }
+
+  /** Shared tail for candidate-scored top-k operators: per q_id, the
+    * bounded (sim desc, n_id) top-k via the native aggregate, exploded
+    * back to `(q_id, n_id, sim, rank)` rows. */
+  private[analytics] def topKExplode(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.HashExpressions
+        .topKByScore(col("sim"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("n_id"), col("t.score").as("sim"),
+        (col("pos") + 1).as("rank"))
 
   /** IVF (inverted-file) approximate top-k: assign every corpus vector to
     * its nearest of `nLists` centroids (deterministic seed), then answer a
@@ -407,9 +421,8 @@ object Similarity {
         (ivfAssign(c, centroids, Seq("c_v", "c_n")),
           ivfProbes(q, centroids, nProbe, Seq("q_v", "q_n")))
       }
-    // scan only probed lists
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id"))
+    // scan only probed lists; rank via the bounded top-k aggregate (the
+    // window form shuffled + sorted the whole pruned scan)
     val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
@@ -419,10 +432,9 @@ object Similarity {
     // before ranking (rows are bit-identical, so the keep is arbitrary
     // yet deterministic); replicas == 1 cannot duplicate, skip the
     // exchange entirely
-    (if (replicas > 1) scored.dropDuplicates("q_id", "n_id") else scored)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+    topKExplode(
+      if (replicas > 1) scored.dropDuplicates("q_id", "n_id") else scored,
+      k)
   }
 
   // ---- shared PQ machinery (pqTopK + ivfPqTopK) ----
@@ -1262,17 +1274,14 @@ object Similarity {
       .collect().map(_.getLong(0)).sorted
     val idx = spark.read.parquet(s"$indexDir/corpus")
       .filter(col("list_id").isin(probedLists: _*))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id"))
-    idx.join(broadcast(probes), Seq("list_id"))
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        round(dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")), 4)
-          .as("sim"))
-      .dropDuplicates("q_id", "n_id")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+    topKExplode(
+      idx.join(broadcast(probes), Seq("list_id"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          round(dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")), 4)
+            .as("sim"))
+        .dropDuplicates("q_id", "n_id"),
+      k)
   }
 
   /** Hard-negative mining for contrastive training data: for each query

@@ -833,6 +833,14 @@ object HashExpressions {
     bridge.column(SrpProbeBuckets(bridge.expression(vec), bands, bitsPerBand,
       flips))
 
+  /** Per-group bounded top-k — `array<struct<score,id>>` holding the
+    * first k rows under (score desc, id asc), `row_number`-identical but
+    * partial-aggregatable (map-side combine keeps k per group per task
+    * instead of shuffling + sorting every candidate). See TopKByScore. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    bridge.column(TopKByScore(bridge.expression(score),
+      bridge.expression(id), k).toAggregateExpression())
+
   /** Inputs pass through a Cast to array<double> so float embeddings (the
     * storage type) and other numeric arrays keep working, exactly like the
     * composed zip_with fold's implicit lift; the optimizer strips the cast
