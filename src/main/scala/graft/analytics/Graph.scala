@@ -153,6 +153,113 @@ object Graph {
       .select(col("node"), col("rank"), col("is_seed"))
   }
 
+  /** Semi-supervised label propagation (Zhu & Ghahramani CMU-CALD-02-107;
+    * the LPA community variant of Raghavan et al. PRE 2007): a small
+    * vetted seed set carries trusted labels, and every other node
+    * repeatedly adopts the MAJORITY label among the nodes it points at —
+    * the "grow a topic/quality domain from a vetted nucleus" move, like
+    * `personalizedPageRank` but producing a hard class per node instead
+    * of one score per seed set (one propagation labels ALL classes at
+    * once).
+    *
+    * Determinism (the oracle-replay contract): updates are synchronous
+    * (round r reads only round r-1's labels), the vote argmax breaks
+    * count ties on the SMALLEST label, seeds are pinned forever, and a
+    * node with no labeled out-neighbor keeps its previous label (null
+    * until the wavefront reaches it) — every rule integer/label
+    * arithmetic, no floats anywhere.
+    *
+    * Scale shape: per round ONE shuffle join (labels × edges on dst)
+    * feeding a two-level aggregate — (node, label) counts, then the
+    * per-node argmax as `min(struct(-count, label))`, both
+    * partial-aggregatable (the map-side combine sees at most |labels|
+    * rows per node; no sort window). Lineage is checkpoint-bounded on
+    * the `pageRank` cadence. Linear in iters × |edges|.
+    *
+    * Output: `(node, label, is_seed)`, label null only where no labeled
+    * node is reachable within `iters` hops. */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+                       seeds: DataFrame, idCol: Column, labCol: Column,
+                       iters: Int = 5, ckptEvery: Int = 3): DataFrame = {
+    val e = Caches.persist(edges.select(src.as("src"), dst.as("dst")))
+    val sd = seeds.select(idCol.as("node"), labCol.cast("long").as("seed_lab"))
+      .groupBy(col("node")).agg(min(col("seed_lab")).as("seed_lab"))
+    val nodes = Caches.persist(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .join(sd, Seq("node"), "left")
+        .select(col("node"), col("seed_lab"),
+          col("seed_lab").isNotNull.as("is_seed")))
+    var labs = nodes.select(col("node"), col("seed_lab").as("lab"))
+      .localCheckpoint(false)
+    (1 to iters).foreach { i =>
+      val votes = e.join(labs, e("dst") === labs("node"))
+        .filter(col("lab").isNotNull)
+        .select(col("src").as("vn"), col("lab"))
+        .groupBy(col("vn"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("vn"))
+        .agg(min(struct((-col("c")).as("nc"), col("lab").as("l"))).as("w"))
+        .select(col("vn").as("node"), col("w.l").as("vlab"))
+      labs = nodes.join(labs.select(col("node"), col("lab").as("plab")),
+          Seq("node"))
+        .join(votes, Seq("node"), "left")
+        .select(col("node"),
+          when(col("is_seed"), col("seed_lab"))
+            .otherwise(coalesce(col("vlab"), col("plab"))).as("lab"))
+      if (i % ckptEvery == 0 || i == iters)
+        labs = labs.localCheckpoint(false)
+    }
+    labs.join(nodes, Seq("node"))
+      .select(col("node"), col("lab").as("label"), col("is_seed"))
+  }
+
+  /** k-core decomposition by synchronous peeling (Seidman, Social
+    * Networks 1983): symmetrize the edge frame, then repeatedly delete
+    * every node whose UNDIRECTED degree is below `k` — what survives is
+    * the maximal subgraph where everyone keeps ≥ k neighbors, the
+    * standard "densely embedded region" filter (for a k-NN graph: drop
+    * periphery/outlier vectors whose neighborhoods don't reciprocate).
+    *
+    * Determinism: peeling runs a FIXED `rounds` sweeps in both engines
+    * (synchronous deletion — round r's degrees count only round r-1
+    * survivors), so the output is bit-identical even if a pathological
+    * graph hasn't reached its fixpoint; peeling converges when a sweep
+    * deletes nobody, and callers can assert convergence by comparing
+    * `rounds` vs `rounds-1` outputs (the eval spec does).
+    *
+    * Scale shape: the symmetrized edge frame is persisted once; each
+    * sweep is one partial-aggregatable degree count over surviving
+    * edges plus two semi-joins re-filtering the edge frame — no windows,
+    * no all-pairs anything; linear in rounds × |edges|. Survivor lineage
+    * is checkpoint-bounded on the `pageRank` cadence.
+    *
+    * Output: `(node, core_deg)` for surviving nodes — degree within the
+    * final core. Empty when no k-core exists. */
+  def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
+            rounds: Int = 8, ckptEvery: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val e0 = edges.select(src.as("src"), dst.as("dst"))
+    // undirected simple graph: mutual k-NN edges collapse to one
+    val und = Caches.persist(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    var alive = und.select(col("src").as("node")).distinct()
+      .localCheckpoint(false)
+    (1 to rounds).foreach { i =>
+      val deg = und
+        .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      alive = deg.filter(col("d") >= k).select(col("node"))
+      if (i % ckptEvery == 0 || i == rounds)
+        alive = alive.localCheckpoint(false)
+    }
+    und
+      .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** k-occurrence (in-degree) histogram of a k-NN graph — the hubness
     * diagnostic: how many nodes appear in exactly `in_deg` other nodes'
     * neighbor lists. A healthy space concentrates near `k`; a heavy right

@@ -105,6 +105,113 @@ class GraphSpec extends SparkSuite {
     Caches.clear()
   }
 
+  test("labelPropagation spreads a seed label down the pointer chain one " +
+    "hop per round, and unreached nodes stay null") {
+    // 3 -> 2 -> 1 -> 0(seed, label 7): the wavefront needs one round per
+    // hop, so iters=2 labels {1,2} but leaves 3 null; iters=3 labels all
+    val edges = Seq((1L, 0L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
+    val seeds = Seq((0L, 7)).toDF("id", "lab")
+    def run(iters: Int) =
+      Graph.labelPropagation(edges, col("src"), col("dst"),
+        seeds, col("id"), col("lab"), iters)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val r2 = run(2)
+    assert(r2 == Map(0L -> Some(7L), 1L -> Some(7L), 2L -> Some(7L),
+      3L -> None), s"got $r2")
+    val r3 = run(3)
+    assert(r3(3L) == Some(7L), s"round 3 must reach node 3: $r3")
+    Caches.clear()
+  }
+
+  test("labelPropagation takes the majority vote, breaks count ties on " +
+    "the smallest label, and never rewrites a seed") {
+    // node 10 points at seeds {1,2,3}: two say label 5, one says 4 ->
+    // majority 5. Node 11 points at {1,4}: one vote each (5 vs 2) ->
+    // tie -> min label 2. Seed 1 points at seed 4 but keeps its own 5.
+    val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L),
+      (11L, 4L), (1L, 4L)).toDF("src", "dst")
+    val seeds = Seq((1L, 5), (2L, 5), (3L, 4), (4L, 2)).toDF("id", "lab")
+    val r = Graph.labelPropagation(edges, col("src"), col("dst"),
+      seeds, col("id"), col("lab"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r(10L) == 5L, s"majority must win: $r")
+    assert(r(11L) == 2L, s"vote tie must break on min label: $r")
+    assert(r(1L) == 5L, s"seed must stay pinned: $r")
+    Caches.clear()
+  }
+
+  test("labelPropagation recovers planted communities: two cliques with " +
+    "one cross edge each adopt their own seed's label") {
+    // cliques {0..4} and {5..9} (directed both ways), one cross edge
+    // 4 <-> 5; seeds: 0 -> label 1, 5 -> label 2. Node 4 sees the rival
+    // label through the cross edge but its clique majority must win.
+    val cliqueA = for { a <- 0L to 4L; b <- 0L to 4L if a != b } yield (a, b)
+    val cliqueB = for { a <- 5L to 9L; b <- 5L to 9L if a != b } yield (a, b)
+    val edges = (cliqueA ++ cliqueB ++ Seq((4L, 5L), (5L, 4L)))
+      .toDF("src", "dst")
+    val seeds = Seq((0L, 1), (5L, 2)).toDF("id", "lab")
+    val r = Graph.labelPropagation(edges, col("src"), col("dst"),
+      seeds, col("id"), col("lab"), iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4L).forall(r(_) == 1L), s"clique A must take label 1: $r")
+    assert((5L to 9L).forall(r(_) == 2L), s"clique B must take label 2: $r")
+    Caches.clear()
+  }
+
+  test("labelPropagation returns a checkpoint-flattened frame whose plan " +
+    "depth does not grow with iters") {
+    val edges = Seq((1L, 0L), (2L, 1L), (0L, 2L)).toDF("src", "dst")
+    val seeds = Seq((0L, 1)).toDF("id", "lab")
+    def planOf(iters: Int): String =
+      Graph.labelPropagation(edges, col("src"), col("dst"),
+        seeds, col("id"), col("lab"), iters)
+        .queryExecution.optimizedPlan.toString
+    val p3 = planOf(3)
+    val p9 = planOf(9)
+    assert(p9.linesIterator.size == p3.linesIterator.size,
+      s"plan depth grew with iters:\n$p3\nvs\n$p9")
+    Caches.clear()
+  }
+
+  test("kCore peels a pendant off a triangle but keeps the 2-core, " +
+    "counting mutual directed edges once") {
+    // triangle 0-1-2 (one direction each — symmetrization must make
+    // them undirected) plus BOTH directions of pendant 3-0 (must
+    // collapse to one undirected edge, so 3 has degree 1, not 2)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L), (0L, 3L))
+      .toDF("src", "dst")
+    val r = Graph.kCore(edges, col("src"), col("dst"), k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 2L, 1L -> 2L, 2L -> 2L),
+      s"triangle is the 2-core, pendant peels: $r")
+    Caches.clear()
+  }
+
+  test("kCore cascades deletions: a path has no 2-core, and peeling " +
+    "reaches the empty fixpoint within rounds") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.kCore(edges, col("src"), col("dst"), k = 2, rounds = 4)
+    assert(r.count() == 0L, "a path graph has no 2-core")
+    Caches.clear()
+  }
+
+  test("kCore synchronous peeling converges: rounds and rounds-1 agree " +
+    "on the eval fixture shape") {
+    // two triangles sharing node 0, plus a 2-chain tail: the 2-core is
+    // both triangles; the tail peels in 2 sweeps
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L), (3L, 4L),
+      (4L, 0L), (0L, 5L), (5L, 6L)).toDF("src", "dst")
+    def run(rounds: Int) =
+      Graph.kCore(edges, col("src"), col("dst"), k = 2, rounds = rounds)
+        .as[(Long, Long)].collect().toMap
+    val a = run(3)
+    assert(a == run(4), "peeling must have reached its fixpoint")
+    assert(a.keySet == Set(0L, 1L, 2L, 3L, 4L), s"got $a")
+    assert(a(0L) == 4L && a(1L) == 2L, s"core degrees wrong: $a")
+    Caches.clear()
+  }
+
   test("knnHubness histogram counts in-degrees over the SOURCE node set " +
     "and accounts for every node once") {
     // 0,1,2 each emit edges; 9 only receives (not a source -> not a node

@@ -333,4 +333,28 @@ class SimilaritySpec extends SparkSuite {
         s"whitened variance $va on component $c")
     }
   }
+
+  test("graphTopK walks the neighbor chain to a target no entry point " +
+    "can see directly, and ranks by (sim desc, id)") {
+    import spark.implicits._
+    // unit vectors fanned over a quarter circle: node i at angle i·10°.
+    // Edges: the 1-NN chain i -> i+1 (symmetrized inside). The query
+    // sits at node 9's angle — entries are hubs of the chain interior,
+    // so only multi-hop traversal can reach the true best node.
+    def vec(deg: Int): Array[Float] = {
+      val r = math.toRadians(deg.toDouble)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val corpus = (0 to 9).map(i => (i.toLong, vec(i * 10))).toDF("id", "v")
+    val edges = (0 to 8).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    val query = Seq((100L, vec(90))).toDF("id", "v")
+    val r = Similarity.graphTopK(query, corpus, edges, col("id"),
+      col("v"), col("id"), col("v"), col("src"), col("dst"),
+      k = 3, beam = 2, hops = 9, entries = 2)
+      .orderBy(col("rank")).as[(Long, Long, Double, Int)].collect()
+    assert(r.map(_._2).toSeq == Seq(9L, 8L, 7L),
+      s"must reach the far end of the chain in rank order: ${r.toSeq}")
+    assert(r.head._3 == 1.0, s"cos(90°,90°) must be 1: ${r.head}")
+    Caches.clear()
+  }
 }
