@@ -1,0 +1,72 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy entity resolution: match dirty strings (typos, OCR noise, feed
+  * corruption) against a clean catalog without the all-pairs edit-distance
+  * scan — the classic blocking-then-verify shape (Papadakis et al., ACM
+  * CSUR 2020 survey; the q-gram/token count-filter family of
+  * Gravano et al. VLDB 2001).
+  *
+  * The relational reference for data this engine ingests: product feeds,
+  * crawl titles, author/affiliation strings — any join key that arrives
+  * misspelled.
+  */
+object Entity {
+
+  /** Token-blocked fuzzy match: a dirty row meets a catalog name only if
+    * they SHARE at least one whitespace token (the inverted-index block)
+    * and their lengths differ by at most `maxDist` (the length filter —
+    * one edit changes length by at most one), then survivors verify with
+    * exact `levenshtein` and each dirty row keeps its best match
+    * (min distance, ties to the lexicographically smallest name).
+    *
+    * Blocking recall is the standard ER trade-off, made explicit: a typo
+    * that corrupts EVERY token of a name (e.g. deleting the only space)
+    * leaves no shared token and the row goes unmatched — deterministic,
+    * measured in the spec (~90% matched on the planted-typo fixture),
+    * and exactly what production blocking does. Tokens whose catalog
+    * document frequency exceeds `maxDf` are dropped from the index
+    * (stop-token policy): a token shared by everything blocks nothing
+    * and would fan candidates toward |dirty| × |catalog|.
+    *
+    * Scale shape: the catalog inverted index is |catalog| × tokens rows
+    * with per-token fan-out capped at `maxDf`, so the candidate join is
+    * bounded by |dirty tokens| × maxDf regardless of catalog skew (the
+    * `dedup_containment_blocked` df-cap discipline); the length filter
+    * prunes before the O(len²) levenshtein verify; the final argmin is
+    * the partial-aggregatable `min(struct(dist, name))`, not a sort
+    * window. No all-pairs comparison anywhere.
+    *
+    * Output: `(id, dirty_name, matched_name, dist)`, one row per dirty
+    * row that found a match within `maxDist`. */
+  def fuzzyMatch(dirty: DataFrame, dirtyId: Column, dirtyName: Column,
+                 catalog: DataFrame, catName: Column,
+                 maxDist: Int = 2, maxDf: Int = 32): DataFrame = {
+    val d = dirty.select(dirtyId.as("id"), dirtyName.as("dname"))
+    val cat = catalog.select(catName.as("name")).distinct()
+    val ctok = cat
+      .select(col("name"), explode(split(col("name"), " ")).as("w"))
+      .distinct()
+    // stop-token policy: the df-capped inverted index (broadcast-sized
+    // per token by construction)
+    val kept = ctok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("w"))
+    val index = ctok.join(kept, Seq("w"), "left_semi")
+    val dtok = d
+      .select(col("id"), col("dname"),
+        explode(split(col("dname"), " ")).as("w"))
+      .distinct()
+    val cand = dtok.join(index, Seq("w"))
+      .select(col("id"), col("dname"), col("name")).distinct()
+      .filter(abs(length(col("dname")) - length(col("name"))) <= maxDist)
+    val scored = cand
+      .withColumn("dist", levenshtein(col("dname"), col("name")))
+      .filter(col("dist") <= maxDist)
+    scored.groupBy(col("id"), col("dname"))
+      .agg(min(struct(col("dist").as("d"), col("name").as("n"))).as("b"))
+      .select(col("id"), col("dname").as("dirty_name"),
+        col("b.n").as("matched_name"), col("b.d").cast("long").as("dist"))
+  }
+}

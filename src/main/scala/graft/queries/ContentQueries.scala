@@ -801,6 +801,28 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Fuzzy entity resolution under planted typos: every part name is
+    // corrupted by deleting ONE character at a key-derived position
+    // (the deterministic dirty feed), then matched back to the clean
+    // catalog via Entity.fuzzyMatch — token blocking + length filter +
+    // levenshtein<=2 verify + min-(dist,name) argmin. Rows whose typo
+    // kills the only shared token (deleting the space) stay unmatched:
+    // blocking recall is the measured trade-off, not hidden (spec pins
+    // both the matched fraction and recovery accuracy). The oracle
+    // replays plant, block, cap, verify, and argmin with DuckDB's own
+    // levenshtein.
+    "er_fuzzy_match" -> ((s, d) => {
+      val part = Tables.load(s, d, "part")
+      val dirty = part.select(col("p_partkey"), expr(
+        "concat(substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))," +
+          " substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2," +
+          " 200))").as("dname"))
+      graft.analytics.Entity.fuzzyMatch(dirty, col("p_partkey"),
+        col("dname"), part, col("p_name"))
+        .withColumnRenamed("id", "p_partkey")
+        .orderBy(col("p_partkey"))
+    }),
+
     // k-NN label classification — the standard embedding-quality eval
     // (predict a held-out vector's label by majority vote of its 10
     // exact nearest neighbors; ties -> lower label id). Runs the
@@ -5333,6 +5355,34 @@ object ContentQueries {
          |  FROM b2)
          |SELECT cluster, vec_id FROM q WHERE rn <= 16
          |ORDER BY cluster, vec_id""".stripMargin),
+
+    // replay of Entity.fuzzyMatch on the planted-typo feed: same
+    // key-derived char deletion, token blocking with the df<=32 cap,
+    // length filter, levenshtein<=2 verify, min-(dist,name) argmin
+    "er_fuzzy_match" ->
+      """WITH cat AS (SELECT DISTINCT p_name AS name FROM part),
+        |dirty AS (SELECT p_partkey AS id,
+        |    concat(substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT)),
+        |      substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2,
+        |        200)) AS dname
+        |  FROM part),
+        |ctok AS (SELECT DISTINCT name, w FROM (SELECT name,
+        |    unnest(string_split(name, ' ')) AS w FROM cat)),
+        |kept AS (SELECT w FROM ctok GROUP BY w HAVING count(*) <= 32),
+        |idx AS (SELECT c.name, c.w FROM ctok c JOIN kept USING (w)),
+        |dtok AS (SELECT DISTINCT id, dname, w FROM (SELECT id, dname,
+        |    unnest(string_split(dname, ' ')) AS w FROM dirty)),
+        |cand AS (SELECT DISTINCT d.id, d.dname, i.name
+        |  FROM dtok d JOIN idx i USING (w)
+        |  WHERE abs(length(d.dname) - length(i.name)) <= 2),
+        |scored AS (SELECT id, dname, name,
+        |    levenshtein(dname, name) AS dist FROM cand
+        |  WHERE levenshtein(dname, name) <= 2),
+        |best AS (SELECT id, dname, name, dist, row_number() OVER (
+        |    PARTITION BY id ORDER BY dist, name) AS rn FROM scored)
+        |SELECT id AS p_partkey, dname AS dirty_name,
+        |  name AS matched_name, CAST(dist AS BIGINT) AS dist
+        |FROM best WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
 
     // serial replay of Similarity.graphTopK: same k-NN edges
     // symmetrized, then the beam search unrolled hop by hop — hub
