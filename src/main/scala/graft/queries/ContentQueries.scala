@@ -1719,6 +1719,27 @@ object ContentQueries {
         .orderBy(col("source"))
     }),
 
+    // HyperLogLog distinct trigrams per source — the constant-memory
+    // profiling companion to profile_kmv_distinct: 512 registers per
+    // group at ANY corpus size vs KMV's 64 hashes, ~4.6% expected
+    // error at p=9. Construction is engine-exact (binary-string rank,
+    // integer harmonic sum, one literal division, precomputed
+    // linear-counting table), so the oracle replays the sketch to hash
+    // equality; est vs exact error is reported, not hidden.
+    "profile_hll_distinct" -> ((s, d) => {
+      val sh = docs(s, d).select(col("source"),
+        explode(TextAnalysis.ngrams(col("text"), 3)).as("g"))
+      val est = graft.analytics.Sketches.hllDistinct(sh, col("source"),
+        col("g"), p = 9)
+      val exact = sh.groupBy(col("source"))
+        .agg(countDistinct(col("g")).cast("long").as("exact_distinct"))
+      exact.join(est.withColumnRenamed("grp", "source"), Seq("source"))
+        .select(col("source"), col("est_distinct"), col("exact_distinct"),
+          round(abs(col("est_distinct") - col("exact_distinct"))
+            * 100.0 / col("exact_distinct"), 2).as("err_pct"))
+        .orderBy(col("source"))
+    }),
+
     // Count-min frequency sketch (4 × 1024 cells — fixed size at ANY
     // corpus scale) over 3-gram shingles, read back at the exact top-20
     // grams: est >= exact always (collisions only add), and both sides
@@ -4440,6 +4461,43 @@ object ContentQueries {
         |  round(abs(est_distinct - exact_distinct) * 100.0
         |    / exact_distinct, 2) AS err_pct
         |FROM j ORDER BY source""".stripMargin,
+
+    // HLL replay: same trigram stream, bucket = low 9 hash bits, rank
+    // from the binary-string length of the rest, integer harmonic sum
+    // scaled by 2^52, ONE shared double-literal numerator, and the
+    // precomputed linear-counting table as a literal list — hash-exact
+    "profile_hll_distinct" ->
+      (s"""WITH g3 AS (SELECT source, unnest(list_transform(
+         |    range(1, greatest(len(w) - 2, 1) + 1),
+         |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS g
+         |  FROM (SELECT source, string_split(lower(text), ' ') AS w
+         |    FROM documents)),
+         |hh AS (SELECT source,
+         |    CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+         |  FROM g3),
+         |hb AS (SELECT source, h % 512 AS bkt, h // 512 AS rest FROM hh),
+         |hr AS (SELECT source, bkt, max(CASE WHEN rest = 0 THEN 52
+         |    ELSE 52 - length(bin(rest)) END) AS mr
+         |  FROM hb GROUP BY 1, 2),
+         |ha AS (SELECT source, CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(1::BIGINT << (52 - mr)) AS BIGINT) AS sp
+         |  FROM hr GROUP BY 1),
+         |hf AS (SELECT source, 512 - nb AS v,
+         |    (512 - nb) * 4503599627370496 + sp AS s FROM ha),
+         |he AS (SELECT source, v,
+         |    CAST(round(${graft.analytics.Sketches.hllNum(9)}
+         |      / CAST(s AS DOUBLE), 0) AS BIGINT) AS raw FROM hf),
+         |hest AS (SELECT source, CASE WHEN v > 0 AND raw <= 1280
+         |    THEN (${graft.analytics.Sketches.hllLcTable(9)
+                       .mkString("[", ", ", "]")})[CAST(v AS INT)]
+         |    ELSE raw END AS est_distinct FROM he),
+         |hex AS (SELECT source, CAST(count(DISTINCT g) AS BIGINT)
+         |    AS exact_distinct FROM g3 GROUP BY source)
+         |SELECT source, est_distinct, exact_distinct,
+         |  round(abs(est_distinct - exact_distinct) * 100.0
+         |    / exact_distinct, 2) AS err_pct
+         |FROM hest JOIN hex USING (source)
+         |ORDER BY source""").stripMargin,
 
     // count-min replay: the same salted hashes address the same 4x1024
     // grid; est = min over rows, exact integer sums throughout

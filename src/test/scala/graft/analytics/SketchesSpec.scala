@@ -63,4 +63,41 @@ class SketchesSpec extends SparkSuite {
     assert(n0.exists(r => r.getLong(2) > r.getLong(1)),
       "16-column grid over 300 items must collide somewhere")
   }
+
+  test("hllDistinct: estimates inside the statistical band across three " +
+    "orders of magnitude, duplicate-insensitive, deterministic") {
+    // p=9 -> sigma ~ 4.6%; 20% is a generous pin that still catches an
+    // off-by-2x estimator or a broken register rank. 30 hits linear
+    // counting, 5000 the raw harmonic path.
+    val df = ((1 to 30).map(i => ("tiny", s"t$i")) ++
+      (1 to 700).map(i => ("mid", s"m$i")) ++
+      (1 to 5000).map(i => ("big", s"b$i"))).toDF("grp", "it")
+    val out = Sketches.hllDistinct(df, col("grp"), col("it"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((g, n) <- Seq("tiny" -> 30L, "mid" -> 700L, "big" -> 5000L)) {
+      val e = out(g)
+      assert(math.abs(e - n).toDouble / n <= 0.20,
+        s"$g: est $e for true $n is outside the band")
+    }
+    // max over registers is idempotent: duplicates change nothing
+    val out2 = Sketches.hllDistinct(df.union(df).union(df),
+      col("grp"), col("it"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2 == out, s"duplicates moved the estimate: $out2 vs $out")
+  }
+
+  test("hllDistinct: the linear-counting switch engages exactly on the " +
+    "standard rule (empty buckets present AND raw <= 2.5m)") {
+    // 30 distinct items cannot fill 512 buckets -> the estimate must be
+    // a value from the precomputed lc table, not the raw harmonic mean
+    val df = (1 to 30).map(i => ("g", s"x$i")).toDF("grp", "it")
+    val est = Sketches.hllDistinct(df, col("grp"), col("it"))
+      .collect().head.getLong(1)
+    val lc = Sketches.hllLcTable(9)
+    assert(lc.contains(est),
+      s"small-range estimate $est must come from the lc table")
+    // and the table itself is the documented function of V
+    assert(lc(511) == 0L && lc.head == math.round(512.0 * math.log(512.0)),
+      "lc table endpoints wrong")
+  }
 }
