@@ -2459,6 +2459,25 @@ object ContentQueries {
         col("lang") === "en").last
       TextAnalysis.logisticScore(doc, col("doc_id"), col("text"),
         col("lang") === "en", w).orderBy(col("doc_id"))
+    }),
+
+    // Isotonic (PAV) calibration of the LR scores: the classifier's
+    // probabilities become the monotone least-squares fit of the
+    // observed label rate over 16 equal-width bins of the OBSERVED
+    // score range (Zadrozny & Elkan 2002) —
+    // the step a threshold-based curation filter needs before "keep
+    // p >= 0.8" means anything. Computed via the minimax closed form
+    // in integer micros (Calibrate.isotonicBins); only the bin
+    // histogram touches the corpus. The oracle replays training,
+    // scoring, binning, and the full max-min matrix.
+    "text_lr_calibrate" -> ((s, d) => {
+      val doc = docs(s, d)
+      val w = TextAnalysis.logisticFit(doc, col("text"),
+        col("lang") === "en").last
+      val scored = TextAnalysis.logisticScore(doc, col("doc_id"),
+        col("text"), col("lang") === "en", w)
+      graft.analytics.Calibrate.isotonicBins(scored, col("p"),
+        col("y"), bins = 16).orderBy(col("bin"))
     })
   ) ++ Map[String, Q](
 
@@ -5272,6 +5291,40 @@ object ContentQueries {
          |  CAST(lp >= 0 AS INT) AS pred,
          |  CAST(CAST(lp >= 0 AS INT) = y AS INT) AS correct
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // LR-replay + the isotonic minimax matrix: same training CTEs and
+    // 6dp probabilities, micro-scaled integer range binning (min/max
+    // pass, then ((s-mn)*16) // (mx-mn+1)), prefix sums, j<=k pool
+    // means in integer micros, then iso(i) = max_{j<=i} min_{k>=i}
+    "text_lr_calibrate" ->
+      s"""WITH $lrCtes,
+         |sc AS (SELECT f.doc_id, f.y, ${(0 until 5).map(j =>
+             s"CAST(round(w.w$j * f.x$j * 1000000000000.0, 0) AS BIGINT)")
+             .mkString("\n    + ")} AS lp
+         |  FROM f CROSS JOIN lw3 w),
+         |ps AS (SELECT CAST(round(
+         |      round(1.0 / (1.0 + exp(-(lp / 1000000000000.0))), 6)
+         |      * 1000000, 0) AS BIGINT) AS sm, y FROM sc),
+         |mm AS (SELECT min(sm) AS mn, max(sm) AS mx FROM ps),
+         |pb AS (SELECT ((sm - mn) * 16) // (mx - mn + 1) AS bin, y
+         |  FROM ps, mm),
+         |cb AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(y) AS BIGINT) AS pos FROM pb GROUP BY 1),
+         |cm AS (SELECT bin, cnt, pos,
+         |    CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS ccnt,
+         |    CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cpos
+         |  FROM cb),
+         |pools AS (SELECT j.bin AS jb, k.bin AS kb,
+         |    ((k.cpos - (j.cpos - j.pos)) * 1000000)
+         |      // (k.ccnt - (j.ccnt - j.cnt)) AS pv
+         |  FROM cm j JOIN cm k ON j.bin <= k.bin),
+         |mn AS (SELECT i.bin AS ib, p.jb, min(p.pv) AS mv
+         |  FROM pools p JOIN cb i ON p.jb <= i.bin AND p.kb >= i.bin
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT ib, max(mv) AS cal_micro FROM mn GROUP BY 1)
+         |SELECT CAST(b.bin AS BIGINT) AS bin, b.cnt, b.pos,
+         |  (b.pos * 1000000) // b.cnt AS raw_micro, i.cal_micro
+         |FROM cb b JOIN iso i ON i.ib = b.bin ORDER BY bin""".stripMargin,
 
     // exact top-10 replay; the tolerance flag is 1 by the same invariant
     // the Spark side asserts against its own sketch
