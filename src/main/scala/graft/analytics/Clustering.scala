@@ -264,6 +264,45 @@ object Clustering {
     assignedFrame(emb, id, vec, k, iters)
       .select(col("id"), col("cluster"), col("csim"))
 
+  /** Simplified silhouette (Hruschka et al., HIS 2004): per point,
+    * a = cosine distance to its OWN centroid, b = distance to the best
+    * OTHER centroid, s = (b−a)/max(a,b) ∈ [−1,1] — the O(n·k)
+    * clustering-quality diagnostic that replaces the classic
+    * silhouette's O(n²) pairwise distances with centroid distances,
+    * which is the only version that survives corpus scale.
+    *
+    * Same zero-shuffle geometry as assignment: all k centroids ride one
+    * literal, each row scores them inside a `transform` (6dp-rounded
+    * cosine, the `withAssignment` contract), own = lexicographic
+    * array_max (ties to the lower centroid id), other = array_max over
+    * the remaining entries — no join, no aggregate, no second pass. A
+    * degenerate point equidistant at zero from both centroids scores 0.
+    *
+    * Output: `(id, cluster, sil)` per point, sil rounded to 6dp (pure
+    * IEEE subtract/divide on identical 6dp inputs — engine-portable). */
+  def simplifiedSilhouette(emb: DataFrame, id: Column, vec: Column,
+                           k: Int = 8, iters: Int = 2): DataFrame = {
+    val v = Caches.persist(
+      emb.select(id.as("id"), asDouble(vec).as("v"))
+        .withColumn("nrm", norm(col("v"))))
+    val cent = fitOn(v, k, iters)
+    require(cent.size >= 2, "silhouette needs >= 2 surviving clusters")
+    val simsCol = transform(centLiteral(cent), c =>
+      struct(
+        round(Similarity.dot(col("v"), c.getField("cv")) /
+          (col("nrm") * c.getField("cn")), 6).as("csim"),
+        (-c.getField("cluster")).as("tb")))
+    val scored = v.withColumn("sims", simsCol)
+      .withColumn("best", array_max(col("sims")))
+      .withColumn("other", array_max(filter(col("sims"),
+        s => s.getField("tb") =!= col("best.tb"))))
+    val a = lit(1.0) - col("best.csim")
+    val b = lit(1.0) - col("other.csim")
+    scored.select(col("id"), (-col("best.tb")).as("cluster"),
+      when(greatest(a, b) === 0.0, lit(0.0))
+        .otherwise(round((b - a) / greatest(a, b), 6)).as("sil"))
+  }
+
   /** SemDeDup pairs `(a_id, b_id, sim)`: cosine >= threshold computed ONLY
     * within k-means clusters — the cluster id is the blocking key, so the
     * pair search is a SHUFFLE_HASH equi-join on `cluster` instead of an

@@ -2184,6 +2184,19 @@ object ContentQueries {
         .withColumnRenamed("id", "vec_id")
         .orderBy(col("vec_id"))),
 
+    // Simplified silhouette (Hruschka 2004): per-point clustering
+    // quality s = (b-a)/max(a,b) from centroid distances only — the
+    // O(n·k) diagnostic that survives corpus scale where the classic
+    // O(n²) silhouette cannot. Zero-shuffle: all k centroids ride one
+    // literal, own/other picked by array_max inside the row projection.
+    // Oracle reuses the k-means CTEs' ranked assignment (rn=1 own,
+    // rn=2 best other) — hash-exact on the 6dp arithmetic.
+    "emb_silhouette" -> ((s, d) =>
+      graft.analytics.Clustering.simplifiedSilhouette(
+        emb(s, d), col("vec_id"), col("embedding"), k = 8, iters = 2)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))),
+
     // PCA over the embedding corpus, the oracle-checkable half: the
     // covariance matrix (upper triangle) from ONE scan of model-scale
     // moment entries — the eigendecomposition after it is a d×d driver
@@ -5073,6 +5086,21 @@ object ContentQueries {
     "emb_kmeans" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id, cluster, csim FROM af ORDER BY vec_id""".stripMargin,
+
+    // k-means replay + simplified silhouette from the ranked
+    // assignment: rn=1 is the own centroid, rn=2 the best other;
+    // a = 1-sim_own, b = 1-sim_other, s = (b-a)/max(a,b) at 6dp
+    "emb_silhouette" ->
+      s"""WITH $kmeansCtes,
+         |so AS (SELECT a1.vec_id, a1.cl AS cluster,
+         |    1.0 - a1.csim AS da, 1.0 - a2.csim AS db
+         |  FROM afr a1 JOIN afr a2
+         |    ON a2.vec_id = a1.vec_id AND a2.rn = 2
+         |  WHERE a1.rn = 1)
+         |SELECT vec_id, cluster,
+         |  CASE WHEN greatest(da, db) = 0.0 THEN 0.0
+         |    ELSE round((db - da) / greatest(da, db), 6) END AS sil
+         |FROM so ORDER BY vec_id""".stripMargin,
 
     "pipeline_quality_prep" ->
       s"""WITH $perplexityCtes,

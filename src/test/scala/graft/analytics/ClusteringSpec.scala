@@ -236,4 +236,31 @@ class ClusteringSpec extends SparkSuite {
     assert(bySign(0L).head != bySign(1L).head, s"blobs merged: $bySign")
     Caches.clear()
   }
+
+  test("simplifiedSilhouette scores planted well-separated blobs near 1 " +
+    "and a deliberate midpoint near 0") {
+    // same two-blob construction (k=2 via kmeans), plus one extra point
+    // equidistant from both blob centers along an orthogonal axis
+    val dim = 8
+    val rows = (0L until 40L).map { i =>
+      val sign = if ((i / 4) % 2 == 0) 1.0 else -1.0
+      val v = (0 until dim).map(j =>
+        (if (j == 0) sign else 0.01 * ((i * 7 + j) % 5 - 2)).toFloat)
+      (i, v)
+    } :+ (99L, (0 until dim).map(j =>
+      if (j == 1) 1.0f else 0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val sil = Clustering.simplifiedSilhouette(df, col("vec_id"),
+      col("embedding"), k = 2, iters = 2)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val blobScores = sil.filter(_._1 != 99L).values
+    assert(blobScores.forall(_ > 0.5),
+      s"well-separated blob members must score high: $sil")
+    // the orthogonal point is ~equidistant (cosine ~0) from both
+    // centroids: silhouette must sit near zero, far below the blobs
+    assert(math.abs(sil(99L)) < 0.3,
+      s"midpoint must be ambiguous: ${sil(99L)}")
+    Caches.clear()
+  }
 }
