@@ -1058,6 +1058,23 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // The retrieval EVAL as an oracle row: nDCG@10 / MRR / hits of the
+    // production Lloyd-IVF run against exact-brute-force qrels — the
+    // metric table an index migration ships with, hash-agreed by both
+    // engines (integer nano DCG with precomputed literal discounts, one
+    // rounded division by the idcg constant, floor-micro MRR). The
+    // oracle replays BOTH runs plus the metric arithmetic.
+    "retrieve_eval_metrics" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val (id, v) = (col("vec_id"), col("embedding"))
+      val run = Similarity.ivfTopK(q, e, id, v, id, v, k = 10,
+        nLists = 16, nProbe = 4, refineIters = 2, replicas = 2)
+      val ideal = Similarity.bruteForceTopK(q, e, id, v, id, v, k = 10)
+      graft.analytics.RetrievalEval.gradedTopKEval(run, ideal, k = 10)
+        .orderBy(col("q_id"))
+    }),
+
     // Persisted-index serving: build the Lloyd index ONCE to disk
     // (corpus partitioned by list_id + the centroid model), then answer
     // from the index with static partition pruning — only probed
@@ -3919,6 +3936,37 @@ object ContentQueries {
     // 2-round Lloyd refinement instead of the raw hash sample
     "sim_topk_ivf_lloyd" -> ivfLloydOracle,
 
+    // both runs replayed (Lloyd-IVF chain + exact brute force), then
+    // the metric arithmetic: rel = 11 - ideal rank, integer nano DCG
+    // with the precomputed literal discount table, nDCG = one rounded
+    // division by the idcg constant, MRR in floor micros
+    "retrieve_eval_metrics" ->
+      (s"""WITH $ivfLloydRunCtes,
+         |run AS (SELECT q_id, n_id, rank FROM r WHERE rank <= 10),
+         |bsc AS (SELECT q.q_id, c.vec_id AS n_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> q.qe[i] * c.e[i])) / (q.qn * c.nrm), 4) AS sim
+         |  FROM q JOIN n c ON c.vec_id <> q.q_id),
+         |bfr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id) AS rank FROM bsc),
+         |qrel AS (SELECT q_id, n_id, 11 - rank AS rel FROM bfr
+         |  WHERE rank <= 10),
+         |ag AS (SELECT r2.q_id, CAST(count(*) AS BIGINT) AS hits,
+         |    CAST(sum(qr.rel * (${graft.analytics.RetrievalEval
+                .dcgWeightsNano(10).mkString("[", ", ", "]")
+              })[r2.rank]) AS BIGINT) AS dcg_nano,
+         |    min(r2.rank) AS fr
+         |  FROM run r2 JOIN qrel qr
+         |    ON qr.q_id = r2.q_id AND qr.n_id = r2.n_id
+         |  GROUP BY 1),
+         |qs AS (SELECT DISTINCT q_id FROM qrel)
+         |SELECT qs.q_id, COALESCE(a.hits, 0) AS hits,
+         |  CAST(COALESCE(1000000 // a.fr, 0) AS BIGINT) AS mrr_micro,
+         |  round(COALESCE(a.dcg_nano, 0)
+         |    / ${graft.analytics.RetrievalEval.idcgNano(10)}.0, 6) AS ndcg
+         |FROM qs LEFT JOIN ag a USING (q_id)
+         |ORDER BY qs.q_id""").stripMargin,
+
     // the persisted-index serve path IS the Lloyd construction read
     // back from disk, so its oracle is literally the same replay —
     // the row equality is the proof the round trip is lossless
@@ -5798,8 +5846,11 @@ object ContentQueries {
   /** The sim_topk_ivf_lloyd replay, shared verbatim with
     * sim_topk_ivf_served (the persisted index round-trips the identical
     * construction). */
-  private def ivfLloydOracle: String =
-    s"""WITH $lloydCentCtes16,
+  /** The Lloyd-IVF ranked-run CTE chain (ends at `r` = every scored
+    * candidate with its per-query rank) — shared by `ivfLloydOracle`
+    * and the retrieval-metrics oracle. */
+  private def ivfLloydRunCtes: String =
+    s"""$lloydCentCtes16,
         |asg AS (SELECT n.vec_id AS n_id, n.e AS av, n.nrm AS an,
         |    cent.list_id,
         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -5823,7 +5874,10 @@ object ContentQueries {
         |  FROM probes p JOIN assigned a
         |    ON a.list_id = p.list_id AND a.n_id <> p.q_id),
         |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY sim DESC, n_id) AS rank FROM sc)
+        |    ORDER BY sim DESC, n_id) AS rank FROM sc)""".stripMargin
+
+  private def ivfLloydOracle: String =
+    s"""WITH $ivfLloydRunCtes
         |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin
 
