@@ -62,7 +62,10 @@ object Bench {
   // Round-11 additions, reported under "queries_r11"/"value_r11".
   val additionsR11: Seq[String] = Seq(
     "graph_pagerank_ivf", "dedup_embedding", "dedup_incremental_emb",
-    "emb_pca_project")
+    "emb_pca_project",
+    "graph_label_prop", "graph_kcore", "sim_topk_graph",
+    "er_fuzzy_match", "profile_hll_distinct", "text_lr_calibrate",
+    "emb_silhouette", "retrieve_eval_metrics")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
