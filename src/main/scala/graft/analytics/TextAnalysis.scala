@@ -1236,4 +1236,61 @@ object TextAnalysis {
       .withColumn("correct",
         (col("pred") === col("y")).cast("int"))
   }
+
+  /** Corpus-level bigram collocation mining (Church & Hanks, CL 1990):
+    * the adjacent word pairs whose co-occurrence most exceeds chance,
+    * ranked by pointwise mutual information. The fixed-phrase detector a
+    * curation pipeline runs to find boilerplate n-grams, named entities
+    * and template fragments worth whitelisting or stripping.
+    *
+    * Scoring is the PMI exponand held in integer micros —
+    * `lift_micro = (c_xy · 1e6 · N) div (c_x · c_y)` with N the corpus
+    * token count and both unigram and bigram probabilities over the same
+    * denominator N (the standard #pairs ≈ #tokens simplification). PMI =
+    * ln(lift), strictly monotone, so ranking by `lift_micro` IS the PMI
+    * ranking while every emitted value stays pure int64 arithmetic that
+    * the oracle replays bit-for-bit — no runtime log, no float sum. The
+    * product is bounded by c_xy·N·1e6, fine up to N ≈ 2e6 corpus tokens
+    * under ANSI int64; beyond that stage the division or widen to
+    * decimal(38) (both engines carry int128 there).
+    *
+    * Shape at scale: ONE tokenized pass persisted (unigram and bigram
+    * counts share it), two partial-aggregatable hash counts, a
+    * `minCount` filter that prunes the pair table BEFORE any join (the
+    * classic PMI rare-pair mitigation doubling as the fan-out bound),
+    * two vocabulary-keyed equi-joins, and a global top-N that plans as
+    * `TakeOrderedAndProject` (per-partition top-N, no global sort).
+    * Nothing is ever all-pairs: candidates are observed adjacencies
+    * only, linear in corpus tokens. */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame, text: Column,
+                      minCount: Int = 5, topN: Int = 100)
+      : org.apache.spark.sql.DataFrame = {
+    val t = Caches.persist(docs.select(tokens(lower(text)).as("w")))
+    val uni = Caches.persist(
+      t.select(explode(col("w")).as("tok")).filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("c")))
+    val nTok = uni.agg(sum(col("c")).as("n"))
+    // adjacent pairs from the SAME persisted token arrays; grams with
+    // fewer than two tokens (short docs, empty-token edges) carry no
+    // space and are filtered before counting
+    val big = t.select(explode(when(size(col("w")) >= 2, transform(
+          sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", slice(col("w"), i, lit(2)))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+      .filter(instr(col("g"), " ") > 0 &&
+        substring_index(col("g"), " ", 1) =!= "" &&
+        substring_index(col("g"), " ", -1) =!= "")
+      .groupBy(col("g")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val ux = uni.select(col("tok").as("xw"), col("c").as("cx"))
+    val uy = uni.select(col("tok").as("yw"), col("c").as("cy"))
+    big.join(ux, substring_index(col("g"), " ", 1) === col("xw"))
+      .join(uy, substring_index(col("g"), " ", -1) === col("yw"))
+      .crossJoin(broadcast(nTok))
+      .select(col("g").as("gram"), col("cxy").as("c_pair"),
+        col("cx").as("c_left"), col("cy").as("c_right"),
+        expr("(cxy * 1000000L * n) div (cx * cy)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("gram"))
+      .limit(topN)
+  }
 }

@@ -426,6 +426,18 @@ object ContentQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-level PMI collocation mining (Church & Hanks 1990): the
+    // adjacent pairs whose co-occurrence most exceeds chance — fixed
+    // phrases, template fragments and entities worth whitelisting or
+    // stripping. Scored by the PMI exponand in integer micros
+    // ((c_xy·1e6·N) div (c_x·c_y)); ln is monotone so this IS the PMI
+    // ranking with every value pure int64 both engines replay exactly.
+    // One tokenized pass feeds both count tables; minCount prunes the
+    // pair table before any join; the top-N is TakeOrderedAndProject.
+    "text_pmi_collocations" -> ((s, d) =>
+      TextAnalysis.pmiCollocations(docs(s, d), col("text"),
+        minCount = 5, topN = 100)),
+
     // Blocklist screening: token-level term hits plus substring-level
     // phrase hits against a fixed policy list — the
     // banned-content/compliance screen every curation pipeline runs
@@ -2771,6 +2783,31 @@ object ContentQueries {
         |SELECT doc_id, g AS top_gram, CAST(cnt AS BIGINT) AS top_cnt,
         |  round(CAST(cnt * 2 AS DOUBLE) / n_tokens, 4) AS top_frac
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // full PMI replay: unigram/bigram counts, the integer lift and the
+    // (lift desc, gram) top-100 — all int64 floor-div arithmetic
+    "text_pmi_collocations" ->
+      """WITH t AS (SELECT string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |u0 AS (SELECT unnest(w) AS tok FROM t),
+        |uni AS (SELECT tok, count(*) AS c FROM u0 WHERE tok <> ''
+        |  GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |g0 AS (SELECT array_to_string(list_slice(w, i, i + 1), ' ') AS g
+        |  FROM t, LATERAL unnest(range(1, len(w))) AS u(i)
+        |  WHERE len(w) >= 2),
+        |big AS (SELECT g, count(*) AS cxy FROM g0
+        |  WHERE instr(g, ' ') > 0 AND split_part(g, ' ', 1) <> ''
+        |    AND split_part(g, ' ', 2) <> ''
+        |  GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT b.g AS gram, CAST(b.cxy AS BIGINT) AS c_pair,
+        |  CAST(ux.c AS BIGINT) AS c_left, CAST(uy.c AS BIGINT) AS c_right,
+        |  (b.cxy * 1000000 * (SELECT n FROM n)) // (ux.c * uy.c)
+        |    AS lift_micro
+        |FROM big b
+        |JOIN uni ux ON split_part(b.g, ' ', 1) = ux.tok
+        |JOIN uni uy ON split_part(b.g, ' ', 2) = uy.tok
+        |ORDER BY lift_micro DESC, gram LIMIT 100""".stripMargin,
 
     // token filter + replace-length phrase counts, all integers
     "text_blocklist" ->

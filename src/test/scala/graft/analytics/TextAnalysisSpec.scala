@@ -535,4 +535,39 @@ class TextAnalysisSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == rows.toSeq)
   }
+
+  test("PMI collocations: planted fixed phrase, exact integer lift, " +
+    "minCount prune, short-doc edge") {
+    // "new york" always co-occurs (5 of each word, all paired); "of the"
+    // co-occurs once despite frequent parts. Corpus: 5 docs "new york"
+    // + 4 "of x"/"y the" fillers + 1 "of the" + a 1-token doc (no gram).
+    val docsTxt =
+      Seq.fill(5)("new york") ++
+      (1 to 4).map(i => s"of w$i") ++ (1 to 4).map(i => s"v$i the") ++
+      Seq("of the", "solo")
+    val df = docsTxt.toDF("text")
+    val out = TextAnalysis.pmiCollocations(df, col("text"),
+      minCount = 5, topN = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // N = 21 tokens (5*2 + 8*2? no: 5*2=10, 8 fillers*2=16, of the=2,
+    // solo=1 -> 29). c(new)=5, c(york)=5, c_pair(new york)=5.
+    val n = 29L
+    assert(out.length == 1, out.mkString(";"))
+    val (g, cp, cl, cr, lift) = out.head
+    assert(g == "new york" && cp == 5L && cl == 5L && cr == 5L)
+    assert(lift == 5L * 1000000L * n / 25L) // = 5800000
+    // "of the" (c_pair=1) was pruned by minCount; with minCount=1 it
+    // appears with the hand-computed lower lift: c(of)=5, c(the)=5
+    val all = TextAnalysis.pmiCollocations(df, col("text"),
+      minCount = 1, topN = 100).collect()
+      .map(r => (r.getString(0), r.getLong(4))).toMap
+    assert(all("of the") == 1L * 1000000L * n / 25L) // = 1160000
+    assert(all("new york") > all("of the"))
+    // ranking = (lift desc, gram asc): a tie on lift orders by gram
+    val top = TextAnalysis.pmiCollocations(df, col("text"),
+      minCount = 1, topN = 100)
+      .collect().map(r => (r.getLong(4), r.getString(0)))
+    assert(top.sameElements(top.sortBy(t => (-t._1, t._2))))
+  }
 }
