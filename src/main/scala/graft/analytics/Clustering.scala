@@ -303,6 +303,69 @@ object Clustering {
         .otherwise(round((b - a) / greatest(a, b), 6)).as("sil"))
   }
 
+  /** Exact per-group median over a 6dp-QUANTIZED value column, computed
+    * from a grouped histogram instead of a per-group value collection:
+    * count per (group, value) — a partial-aggregatable hash aggregate —
+    * then one bounded window over the DISTINCT values (≤ 2·10⁶ cells for
+    * a 6dp value in [0,2], regardless of corpus row count), and the
+    * median as the mean of the two middle ranks ((n+1) div 2 and
+    * (n+2) div 2 — equal when n is odd). This is why the operators
+    * below round to 6dp FIRST: quantization is what turns the classic
+    * collect-and-sort median into a bounded-state aggregate that
+    * survives 100 TB, and (lo+hi)/2 on identical doubles is the same
+    * IEEE arithmetic in both engines — no reliance on any engine's
+    * percentile interpolation internals. */
+  private def medianByGroup(df: DataFrame, grp: String, v: String,
+                            out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.groupBy(col(grp), col(v)).agg(count(lit(1)).as("cnt"))
+    val w = h
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col(grp)).orderBy(col(v))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(grp))))
+    w.groupBy(col(grp)).agg(round((
+        min(when(col("cum") >= expr("(n + 1L) div 2L"), col(v))) +
+        min(when(col("cum") >= expr("(n + 2L) div 2L"), col(v)))) / 2, 6)
+      .as(out))
+  }
+
+  /** Robust embedding-outlier screen: a point is anomalous when its
+    * cosine distance to its OWN k-means centroid sits far outside its
+    * cluster's typical spread — `dist − med > cut · MAD` (one-sided:
+    * only far-from-centroid points are outliers; the q48 median/MAD
+    * discipline with cut = 4.4478 ≈ 3σ·1.4826 under normality, Leys
+    * 2013). The corpus-hygiene screen that surfaces mis-embedded,
+    * corrupted or out-of-distribution vectors before they poison
+    * training mixes — mean/stddev z-scores break on exactly the heavy
+    * tails outliers create, the median/MAD pair does not.
+    *
+    * Shape at scale: the assignment is the zero-shuffle centroid-literal
+    * pass, persisted once (median and deviation both read it); each
+    * median is a histogram aggregate + one bounded window (see
+    * `medianByGroup` — 6dp quantization caps the window input at ~2e6
+    * rows per cluster independent of corpus size); med/mad frames are
+    * k-row broadcasts. Nothing collects, nothing sorts the corpus.
+    *
+    * Output: the flagged rows `(id, cluster, dist, med, mad)`, all 6dp.
+    * A degenerate cluster (mad = 0) flags any point strictly above the
+    * median — the correct collapse for a constant-distance cluster. */
+  def embeddingOutliers(emb: DataFrame, id: Column, vec: Column,
+                        k: Int = 8, iters: Int = 2,
+                        cut: Double = 4.4478): DataFrame = {
+    val ds = Caches.persist(
+      kmeansAssign(emb, id, vec, k, iters)
+        .select(col("id"), col("cluster"),
+          round(lit(1.0) - col("csim"), 6).as("dist")))
+    val med = medianByGroup(ds, "cluster", "dist", "med")
+    val dv = Caches.persist(ds.join(broadcast(med), Seq("cluster"))
+      .withColumn("dev", round(abs(col("dist") - col("med")), 6)))
+    val mad = medianByGroup(dv, "cluster", "dev", "mad")
+    dv.join(broadcast(mad), Seq("cluster"))
+      .filter(col("dist") - col("med") > lit(cut) * col("mad"))
+      .select(col("id"), col("cluster"), col("dist"), col("med"),
+        col("mad"))
+  }
+
   /** SemDeDup pairs `(a_id, b_id, sim)`: cosine >= threshold computed ONLY
     * within k-means clusters — the cluster id is the blocking key, so the
     * pair search is a SHUFFLE_HASH equi-join on `cluster` instead of an

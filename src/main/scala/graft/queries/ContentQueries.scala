@@ -2226,6 +2226,23 @@ object ContentQueries {
         .withColumnRenamed("id", "vec_id")
         .orderBy(col("vec_id"))),
 
+    // Robust embedding-outlier screen: dist-to-own-centroid vs the
+    // cluster's median/MAD spread (one-sided, cut=4.4478 — the q48
+    // discipline applied to embedding hygiene). Medians come from a
+    // grouped 6dp histogram + bounded window, not a per-group value
+    // collection — the form that survives corpus scale; the oracle
+    // replays the same (lo+hi)/2 rank arithmetic, no percentile
+    // built-in on either side. cut=2.5 here (API default 4.4478): the
+    // synthetic embeddings are near-Gaussian, so the 3σ-equivalent cut
+    // flags nothing and the row would be a vacuous 0-row green — 2.5
+    // MADs keeps the registered row exercising real flagged output.
+    "emb_outliers" -> ((s, d) =>
+      graft.analytics.Clustering.embeddingOutliers(
+        emb(s, d), col("vec_id"), col("embedding"), k = 8, iters = 2,
+        cut = 2.5)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))),
+
     // PCA over the embedding corpus, the oracle-checkable half: the
     // covariance matrix (upper triangle) from ONE scan of model-scale
     // moment entries — the eigendecomposition after it is a d×d driver
@@ -5186,6 +5203,40 @@ object ContentQueries {
          |  CASE WHEN greatest(da, db) = 0.0 THEN 0.0
          |    ELSE round((db - da) / greatest(da, db), 6) END AS sil
          |FROM so ORDER BY vec_id""".stripMargin,
+
+    // k-means replay + the histogram-rank median/MAD: count per
+    // (cluster, value), cumulative rank window, median = mean of the
+    // (n+1)//2 and (n+2)//2 ranked values — the same arithmetic the
+    // Spark side runs, no percentile built-in on either engine
+    "emb_outliers" ->
+      s"""WITH $kmeansCtes,
+         |ds AS (SELECT vec_id, cluster, round(1.0 - csim, 6) AS dist
+         |  FROM af),
+         |oh1 AS (SELECT cluster, dist, count(*) AS cnt FROM ds
+         |  GROUP BY 1, 2),
+         |ow1 AS (SELECT cluster, dist,
+         |    sum(cnt) OVER (PARTITION BY cluster ORDER BY dist) AS cum,
+         |    sum(cnt) OVER (PARTITION BY cluster) AS n FROM oh1),
+         |om1 AS (SELECT cluster, round((
+         |      min(CASE WHEN cum >= (n + 1) // 2 THEN dist END)
+         |    + min(CASE WHEN cum >= (n + 2) // 2 THEN dist END)) / 2, 6)
+         |    AS med FROM ow1 GROUP BY cluster),
+         |dv AS (SELECT ds.vec_id, ds.cluster, ds.dist, om1.med,
+         |    round(abs(ds.dist - om1.med), 6) AS dev
+         |  FROM ds JOIN om1 USING (cluster)),
+         |oh2 AS (SELECT cluster, dev, count(*) AS cnt FROM dv
+         |  GROUP BY 1, 2),
+         |ow2 AS (SELECT cluster, dev,
+         |    sum(cnt) OVER (PARTITION BY cluster ORDER BY dev) AS cum,
+         |    sum(cnt) OVER (PARTITION BY cluster) AS n FROM oh2),
+         |om2 AS (SELECT cluster, round((
+         |      min(CASE WHEN cum >= (n + 1) // 2 THEN dev END)
+         |    + min(CASE WHEN cum >= (n + 2) // 2 THEN dev END)) / 2, 6)
+         |    AS mad FROM ow2 GROUP BY cluster)
+         |SELECT dv.vec_id, dv.cluster, dv.dist, dv.med, om2.mad
+         |FROM dv JOIN om2 USING (cluster)
+         |WHERE dv.dist - dv.med > 2.5 * om2.mad
+         |ORDER BY dv.vec_id""".stripMargin,
 
     "pipeline_quality_prep" ->
       s"""WITH $perplexityCtes,

@@ -263,4 +263,74 @@ class ClusteringSpec extends SparkSuite {
       s"midpoint must be ambiguous: ${sil(99L)}")
     Caches.clear()
   }
+
+  test("embeddingOutliers flags a planted far-off-axis point and " +
+    "nothing from the tight blobs") {
+    // two tight blobs on +/- axis 0 (40 pts) plus ONE point tilted far
+    // off its blob's axis — its centroid distance is way outside the
+    // blob's MAD band while every ordinary member stays inside
+    val dim = 8
+    val rows = (0L until 40L).map { i =>
+      val sign = if ((i / 4) % 2 == 0) 1.0 else -1.0
+      val v = (0 until dim).map(j =>
+        (if (j == 0) sign else 0.001 * ((i * 7 + j) % 5 - 2)).toFloat)
+      (i, v)
+    } :+ (99L, (0 until dim).map(j =>
+      if (j == 0) 0.4f else if (j == 1) 0.9f else 0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Clustering.embeddingOutliers(df, col("vec_id"),
+      col("embedding"), k = 2, iters = 2)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(99L),
+      s"exactly the planted point must be flagged: ${out.toSeq}")
+    val (_, _, dist, med, mad) = out.head
+    assert(dist - med > 4.4478 * mad)
+    Caches.clear()
+  }
+
+  test("embeddingOutliers median/MAD matches the hand-computed " +
+    "histogram-rank arithmetic, including the even-count midpoint") {
+    // one cluster of 5 collinear-but-noisy points plus the outlier (n=6):
+    // distances quantized at 6dp, median = mean of ranks 3 and 4 (the
+    // even-count midpoint) — checked via the flagged row's carried
+    // med/mad against an independent Scala replay
+    val dim = 4
+    val base = Seq(
+      (0L, Seq(1.0f, 0.000f, 0f, 0f)),
+      (1L, Seq(1.0f, 0.020f, 0f, 0f)),
+      (2L, Seq(1.0f, 0.040f, 0f, 0f)),
+      (3L, Seq(1.0f, 0.060f, 0f, 0f)),
+      (4L, Seq(1.0f, 0.080f, 0f, 0f)),
+      (9L, Seq(0.5f, 0.866f, 0f, 0f))) // ~60 degrees off: the outlier
+    val df = base.toDF("vec_id", "embedding")
+    val out = Clustering.embeddingOutliers(df, col("vec_id"),
+      col("embedding"), k = 1, iters = 1, cut = 2.0)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(out.length == 1 && out.head._1 == 9L, out.toSeq)
+    val (_, _, dist, med, mad) = out.head
+    // replicate the operator's own arithmetic independently in Scala:
+    // 6dp distances, median = mean of the two middle ranks over ALL 5
+    // points (odd n: both ranks coincide), dev, then mad the same way
+    val sp = spark
+    import sp.implicits._
+    val ds = Clustering.kmeansAssign(df, col("vec_id"), col("embedding"),
+      k = 1, iters = 1)
+      .select(col("id"), round(lit(1.0) - col("csim"), 6).as("dist"))
+      .as[(Long, Double)].collect().toMap
+    val sorted = ds.values.toSeq.sorted
+    val n = sorted.length
+    def medOf(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val lo = s((vs.length + 1) / 2 - 1); val hi = s((vs.length + 2) / 2 - 1)
+      BigDecimal((lo + hi) / 2).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val medH = medOf(sorted)
+    val devs = sorted.map(v => BigDecimal(math.abs(v - medH)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(med == medH, s"median $med vs hand $medH over $sorted")
+    assert(mad == medOf(devs), s"mad $mad vs hand ${medOf(devs)}")
+    assert(dist == ds(9L) && n == 6)
+    Caches.clear()
+  }
 }
