@@ -163,6 +163,41 @@ object Sketches {
   /** Point estimates from count-min cells: est(item) = min over rows of
     * the addressed cell — joins the query items against the d·w-cell
     * sketch (broadcast; the sketch is tiny by construction). */
+  /** Exact per-group quantiles over a DISCRETE value column (integer or
+    * already-quantized), from a grouped histogram instead of a per-group
+    * value collection: count per (group, value) — a partial-aggregatable
+    * hash aggregate whose state is bounded by |distinct values| per
+    * group, not row count — then ONE window over the distinct values for
+    * the cumulative ranks, and each requested quantile as the type-1
+    * (lower-rank) order statistic `value at rank ceil(q·n)`, i.e. the
+    * smallest value whose cumulative count reaches `(n·num + den − 1)
+    * div den`. Pure integer rank arithmetic end to end — no engine
+    * percentile/quantile built-in, no interpolation, nothing float — so
+    * an oracle replays it bit-for-bit, and the window input stays
+    * vocabulary-bounded at any corpus size (the same quantization
+    * argument as `Clustering.medianByGroup`, without even the midpoint
+    * average since type-1 returns an OBSERVED value).
+    *
+    * `qs` are (label, num, den) fractions, default the profiling
+    * quartet p25/p50/p75/p95. Output: (group, n, <one long per q>). */
+  def quantileProfile(df: DataFrame, group: Column, v: Column,
+                      qs: Seq[(String, Int, Int)] = Seq(
+                        ("p25", 1, 4), ("p50", 1, 2),
+                        ("p75", 3, 4), ("p95", 19, 20))): DataFrame = {
+    val h = df.groupBy(group.as("g"), v.as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = h
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("g")).orderBy(col("v"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+    val picks = qs.map { case (label, num, den) =>
+      min(when(col("cum") >= expr(s"(n * ${num}L + ${den - 1}L) div ${den}L"),
+        col("v"))).as(label)
+    }
+    w.groupBy(col("g"))
+      .agg(min(col("n")).as("n"), picks: _*)
+  }
+
   def cmEstimate(cells: DataFrame, items: DataFrame, item: Column,
                  d: Int = 4, w: Int = 1024): DataFrame =
     items.select(item.as("it"))

@@ -1769,6 +1769,21 @@ object ContentQueries {
         .orderBy(col("source"))
     }),
 
+    // Exact per-source token-length quantiles (p25/p50/p75/p95) from a
+    // grouped histogram + one bounded window — the length-distribution
+    // profile every curation run reads before setting packing windows
+    // and Gopher bounds. Type-1 order statistics at integer ranks
+    // ceil(q·n): pure int arithmetic, no percentile built-in, histogram
+    // state bounded by |distinct lengths| at any corpus size.
+    "profile_len_quantiles" -> ((s, d) =>
+      graft.analytics.Sketches.quantileProfile(
+          docs(s, d).select(col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens")),
+          col("source"), col("n_tokens"))
+        .withColumnRenamed("g", "source")
+        .orderBy(col("source"))),
+
     // Count-min frequency sketch (4 × 1024 cells — fixed size at ANY
     // corpus scale) over 3-gram shingles, read back at the exact top-20
     // grams: est >= exact always (collisions only add), and both sides
@@ -4600,6 +4615,23 @@ object ContentQueries {
     // from the binary-string length of the rest, integer harmonic sum
     // scaled by 2^52, ONE shared double-literal numerator, and the
     // precomputed linear-counting table as a literal list — hash-exact
+    // grouped-histogram rank replay: cum/total windows over distinct
+    // lengths, each quantile = smallest value reaching ceil(q*n)
+    "profile_len_quantiles" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |qh AS (SELECT source, v, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |qw AS (SELECT source, v,
+        |    sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |    sum(cnt) OVER (PARTITION BY source) AS n FROM qh)
+        |SELECT source, CAST(min(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum >= (n * 1 + 3) // 4 THEN v END) AS p25,
+        |  min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN v END) AS p50,
+        |  min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END) AS p75,
+        |  min(CASE WHEN cum >= (n * 19 + 19) // 20 THEN v END) AS p95
+        |FROM qw GROUP BY source ORDER BY source""".stripMargin,
+
     "profile_hll_distinct" ->
       (s"""WITH g3 AS (SELECT source, unnest(list_transform(
          |    range(1, greatest(len(w) - 2, 1) + 1),

@@ -100,4 +100,30 @@ class SketchesSpec extends SparkSuite {
     assert(lc(511) == 0L && lc.head == math.round(512.0 * math.log(512.0)),
       "lc table endpoints wrong")
   }
+
+  test("quantileProfile = type-1 order statistics against a sorted-array " +
+    "replay, duplicates and two groups included") {
+    // group a: 1..10 (clean ranks); group b: heavy duplication so the
+    // histogram path (counts per distinct value) is actually exercised
+    val va = (1L to 10L).toSeq
+    val vb = Seq(2L, 2L, 2L, 2L, 7L, 7L, 9L)
+    val df = (va.map(("a", _)) ++ vb.map(("b", _))).toDF("g", "v")
+    val out = Sketches.quantileProfile(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    def t1(vs: Seq[Long], num: Int, den: Int): Long = {
+      val s = vs.sorted
+      s(((vs.length * num + den - 1) / den) - 1) // ceil(q*n), 1-based
+    }
+    def quad(vs: Seq[Long]) = (vs.length.toLong,
+      t1(vs, 1, 4), t1(vs, 1, 2), t1(vs, 3, 4), t1(vs, 19, 20))
+    assert(out("a") == quad(va), s"a: ${out("a")} vs ${quad(va)}")
+    assert(out("b") == quad(vb), s"b: ${out("b")} vs ${quad(vb)}")
+    // spot-check the hand numbers: n=10 -> p25 = rank ceil(2.5)=3 -> 3,
+    // p95 = rank ceil(9.5)=10 -> 10; duplicated group: p25 = rank 2 -> 2,
+    // p50 = rank 4 -> 2, p75 = rank ceil(5.25)=6 -> 7, p95 = rank 7 -> 9
+    assert(out("a") == ((10L, 3L, 5L, 8L, 10L)))
+    assert(out("b") == ((7L, 2L, 2L, 7L, 9L)))
+  }
 }
