@@ -676,6 +676,53 @@ object RelationalQueries {
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("hour_start"), col("event_type")))
+    ,
+
+    // Hour-bucketed HLL distinct-user profile: the engine-exact HLL
+    // sketch (Sketches.hllDistinct — 2^9 registers per group at ANY
+    // event volume) keyed by (hour, event_type), read back against the
+    // exact distinct count. The hourly cardinality dashboard at 100 TB:
+    // the register build is one partial-aggregatable max per (group,
+    // bucket) — no distinct, no window, fixed sketch state per hour.
+    "q49_hll_hourly" -> ((s, d) => {
+      val ev = T(s, d, "events").select(
+        concat(date_format(col("ts").cast("timestamp"),
+          "yyyy-MM-dd HH:00"), lit("|"), col("event_type")).as("gk"),
+        col("user_id").cast("string").as("uid"))
+      val est = graft.analytics.Sketches.hllDistinct(
+        ev, col("gk"), col("uid"), p = 9)
+      val exact = ev.groupBy(col("gk"))
+        .agg(countDistinct(col("uid")).cast("long").as("exact_distinct"))
+      exact.join(est.withColumnRenamed("grp", "gk"), Seq("gk"))
+        .select(substring_index(col("gk"), "|", 1).as("hour_start"),
+          substring_index(col("gk"), "|", -1).as("event_type"),
+          col("est_distinct"), col("exact_distinct"),
+          round(abs(col("est_distinct") - col("exact_distinct")) * 100.0
+            / col("exact_distinct"), 2).as("err_pct"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    // New-vs-returning user churn per hour: each user's first-seen hour
+    // from ONE hash aggregate, broadcast back onto the hourly distinct
+    // counts — the cohort/acquisition profile. A user is "new" in
+    // exactly the hour that equals their min; everything is string/int
+    // comparison, engine-exact. Two partial-aggregatable aggregates +
+    // one user-keyed join; nothing quadratic, nothing windowed.
+    "q50_user_churn" -> ((s, d) => {
+      val ev = T(s, d, "events").select(
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd HH:00")
+          .as("hr"), col("user_id"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("hr")).as("h0"))
+      val hourly = ev.distinct()
+      hourly.join(first, Seq("user_id"))
+        .groupBy(col("hr"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("hr") === col("h0"), 1L).otherwise(0L))
+            .as("n_new"))
+        .select(col("hr").as("hour_start"), col("n_users"), col("n_new"),
+          (col("n_users") - col("n_new")).as("n_returning"))
+        .orderBy(col("hour_start"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -973,6 +1020,54 @@ object RelationalQueries {
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:00') AS hour_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // bit-for-bit HLL replay (the profile_hll_distinct construction)
+    // keyed by hour|event_type over hashed user ids
+    "q49_hll_hourly" ->
+      (s"""WITH ev AS (SELECT strftime(CAST(ts AS TIMESTAMP),
+         |      '%Y-%m-%d %H:00') || '|' || event_type AS gk,
+         |    CAST(user_id AS VARCHAR) AS uid FROM events),
+         |hh AS (SELECT gk,
+         |    CAST(CONCAT('0x', substr(md5(uid), 1, 15)) AS BIGINT) AS h
+         |  FROM ev),
+         |hb AS (SELECT gk, h % 512 AS bkt, h // 512 AS rest FROM hh),
+         |hr AS (SELECT gk, bkt, max(CASE WHEN rest = 0 THEN 52
+         |    ELSE 52 - length(bin(rest)) END) AS mr
+         |  FROM hb GROUP BY 1, 2),
+         |ha AS (SELECT gk, CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(1::BIGINT << (52 - mr)) AS BIGINT) AS sp
+         |  FROM hr GROUP BY 1),
+         |hf AS (SELECT gk, 512 - nb AS v,
+         |    (512 - nb) * 4503599627370496 + sp AS s FROM ha),
+         |he AS (SELECT gk, v,
+         |    CAST(round(${graft.analytics.Sketches.hllNum(9)}
+         |      / CAST(s AS DOUBLE), 0) AS BIGINT) AS raw FROM hf),
+         |hest AS (SELECT gk, CASE WHEN v > 0 AND raw <= 1280
+         |    THEN (${graft.analytics.Sketches.hllLcTable(9)
+                       .mkString("[", ", ", "]")})[CAST(v AS INT)]
+         |    ELSE raw END AS est_distinct FROM he),
+         |hex AS (SELECT gk, CAST(count(DISTINCT uid) AS BIGINT)
+         |    AS exact_distinct FROM ev GROUP BY gk)
+         |SELECT split_part(gk, '|', 1) AS hour_start,
+         |  split_part(gk, '|', 2) AS event_type,
+         |  est_distinct, exact_distinct,
+         |  round(abs(est_distinct - exact_distinct) * 100.0
+         |    / exact_distinct, 2) AS err_pct
+         |FROM hest JOIN hex USING (gk)
+         |ORDER BY hour_start, event_type""").stripMargin,
+
+    // first-seen hour per user from the distinct (hour, user) pairs
+    "q50_user_churn" ->
+      """WITH ev AS (SELECT DISTINCT strftime(CAST(ts AS TIMESTAMP),
+        |      '%Y-%m-%d %H:00') AS hr, user_id FROM events),
+        |f AS (SELECT user_id, min(hr) AS h0 FROM ev GROUP BY user_id)
+        |SELECT ev.hr AS hour_start, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN ev.hr = f.h0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(count(*) - sum(CASE WHEN ev.hr = f.h0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returning
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q25_percentile" ->
       """SELECT l_returnflag,

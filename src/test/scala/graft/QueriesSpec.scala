@@ -42,4 +42,30 @@ class QueriesSpec extends SparkSuite {
     assert(out == Map("1_view" -> 3L, "2_click" -> 2L, "3_purchase" -> 1L),
       out)
   }
+
+  test("user churn: new + returning = users per hour, first hours sum " +
+    "to the distinct-user total, and a planted return is counted") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L)
+    // u1 appears hours 0,1,2; u2 hours 0,2; u3 only hour 1; duplicate
+    // events within an hour must not double-count
+    val ev = Seq((1L, t(0)), (1L, t(0)), (1L, t(1)), (1L, t(2)),
+      (2L, t(0)), (2L, t(2)), (3L, t(1)))
+      .toDF("user_id", "ts")
+      .withColumn("event_type", lit("view"))
+      .withColumn("event_id", col("user_id"))
+      .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_churn_spec"
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.queries.RelationalQueries.queries("q50_user_churn")(
+      spark, dir).collect()
+      .map(r => r.getString(0).substring(11, 13).toInt ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows == Map(0 -> ((2L, 2L, 0L)), 1 -> ((2L, 1L, 1L)),
+      2 -> ((2L, 0L, 2L))), rows)
+    assert(rows.values.forall { case (u, n, r) => u == n + r })
+    assert(rows.values.map(_._2).sum == 3L) // every user new exactly once
+  }
 }
