@@ -61,7 +61,8 @@ def bench_json(cwd, sf):
 
 def flat_queries(b):
     out = {}
-    for key in ("queries", "queries_r7", "queries_r9", "queries_r10"):
+    for key in ("queries", "queries_r7", "queries_r9", "queries_r10",
+                "queries_r11"):
         out.update(b.get(key, {}))
     return out
 
