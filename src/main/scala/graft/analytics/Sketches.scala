@@ -101,22 +101,44 @@ object Sketches {
     (1 to m).map(v => math.round(m.toDouble * math.log(m.toDouble / v)))
   }
 
-  def hllDistinct(df: DataFrame, group: Column, item: Column,
-                  p: Int = 9): DataFrame = {
+  /** The HLL register table `(grp, bkt, mr)` — max rank per (group,
+    * bucket). Exposed because registers are the MERGEABLE form: sketches
+    * built over disjoint (or even overlapping) slices combine by a plain
+    * `max` per (group, bucket) and estimate EXACTLY what a single pass
+    * over the union would — max is idempotent, commutative and
+    * associative, so per-day/per-shard register tables persist once and
+    * answer distinct-counts over any slice combination without touching
+    * the raw data again. That mergeability, not the estimate itself, is
+    * why HLL is the 100 TB cardinality tool. */
+  def hllRegisters(df: DataFrame, group: Column, item: Column,
+                   p: Int = 9): DataFrame = {
     require(p >= 4 && p <= 16)
     val m = 1 << p
     val maxRank = 60 - p + 1
-    val pow2Max = 1L << maxRank
-    val num = hllNum(p)
-    val lcTable = hllLcTable(p)
-    val regs = df
-      .select(group.as("grp"), h60(item).as("h"))
+    df.select(group.as("grp"), h60(item).as("h"))
       .select(col("grp"), pmod(col("h"), lit(m.toLong)).as("bkt"),
         expr(s"h div $m").as("rest"))
       .select(col("grp"), col("bkt"),
         when(col("rest") === 0, lit(maxRank))
           .otherwise(lit(maxRank) - length(bin(col("rest")))).as("rho"))
       .groupBy(col("grp"), col("bkt")).agg(max(col("rho")).as("mr"))
+  }
+
+  /** Merge register tables (union → max per (group, bucket)) — the
+    * exact single-pass-equivalent combination; see `hllRegisters`. */
+  def hllMergeRegisters(regTables: Seq[DataFrame]): DataFrame =
+    regTables.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("bkt")).agg(max(col("mr")).as("mr"))
+
+  /** The estimate read off a register table — the same raw-harmonic /
+    * linear-counting switch as `hllDistinct` (which is literally
+    * `hllFromRegisters(hllRegisters(...))`). */
+  def hllFromRegisters(regs: DataFrame, p: Int = 9): DataFrame = {
+    val m = 1 << p
+    val maxRank = 60 - p + 1
+    val pow2Max = 1L << maxRank
+    val num = hllNum(p)
+    val lcTable = hllLcTable(p)
     regs.groupBy(col("grp"))
       .agg(count(lit(1)).as("nb"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRank - mr)")).as("sp"))
@@ -130,6 +152,13 @@ object Sketches {
           element_at(lit(lcTable.toArray), col("v").cast("int")))
           .otherwise(col("raw")).as("est_distinct"))
   }
+
+  /** One-shot HLL distinct estimate per group: `(grp, est_distinct)`.
+    * ~1.04/√2^p relative error (≈4.6% at p=9), fixed 2^p register state
+    * per group at ANY corpus size. */
+  def hllDistinct(df: DataFrame, group: Column, item: Column,
+                  p: Int = 9): DataFrame =
+    hllFromRegisters(hllRegisters(df, group, item, p), p)
 
   /** The d per-row column addresses of an item, from ONE md5 digest:
     * row r reads hex digits [8r+1, 8r+8] — four disjoint 32-bit salted

@@ -1784,6 +1784,39 @@ object ContentQueries {
         .withColumnRenamed("g", "source")
         .orderBy(col("source"))),
 
+    // HLL MERGEABILITY, the property that makes the sketch the 100 TB
+    // cardinality tool: registers built over the even-doc and odd-doc
+    // halves separately, merged by max per (group, bucket), must
+    // estimate EXACTLY what one pass over the whole corpus does — so
+    // per-day/per-shard register tables persist once and answer any
+    // slice combination without re-reading raw data. The oracle replays
+    // BOTH builds (two slice register tables, the union-max merge, the
+    // single pass) and the merge_exact equality.
+    "profile_hll_merge" -> ((s, d) => {
+      val base = graft.analytics.Caches.persist(
+        docs(s, d).select(col("doc_id"), col("source"),
+          explode(TextAnalysis.ngrams(col("text"), 3)).as("g")))
+      val sk = graft.analytics.Sketches
+      val r0 = sk.hllRegisters(base.filter(col("doc_id") % 2 === 0),
+        col("source"), col("g"))
+      val r1 = sk.hllRegisters(base.filter(col("doc_id") % 2 === 1),
+        col("source"), col("g"))
+      val merged = sk.hllFromRegisters(sk.hllMergeRegisters(Seq(r0, r1)))
+        .withColumnRenamed("est_distinct", "est_merged")
+      val single = sk.hllFromRegisters(
+          sk.hllRegisters(base, col("source"), col("g")))
+        .withColumnRenamed("est_distinct", "est_single")
+      val exact = base.groupBy(col("source"))
+        .agg(countDistinct(col("g")).cast("long").as("exact_distinct"))
+      merged.join(single, Seq("grp"))
+        .withColumnRenamed("grp", "source")
+        .join(exact, Seq("source"))
+        .select(col("source"), col("est_merged"), col("est_single"),
+          col("exact_distinct"),
+          (col("est_merged") === col("est_single")).as("merge_exact"))
+        .orderBy(col("source"))
+    }),
+
     // Count-min frequency sketch (4 × 1024 cells — fixed size at ANY
     // corpus scale) over 3-gram shingles, read back at the exact top-20
     // grams: est >= exact always (collisions only add), and both sides
@@ -2731,6 +2764,24 @@ object ContentQueries {
     * SRP oracles — the SQL twin of `HashExpressions.md5Base60`. */
   private def md5b60(expr: String): String =
     s"CAST(CONCAT('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** The HLL p=9 estimate chain read off a register CTE `(source, bkt,
+    * mr)` — raw harmonic estimate with the precomputed linear-counting
+    * switch, the literal SQL twin of `Sketches.hllFromRegisters`.
+    * Emits CTEs `<pfx>_a/<pfx>_f/<pfx>_r/<pfx>_est`. */
+  private def hllEstSql(pfx: String, regs: String): String =
+    s"""${pfx}_a AS (SELECT source, CAST(count(*) AS BIGINT) AS nb,
+       |    CAST(sum(1::BIGINT << (52 - mr)) AS BIGINT) AS sp
+       |  FROM $regs GROUP BY 1),
+       |${pfx}_f AS (SELECT source, 512 - nb AS v,
+       |    (512 - nb) * 4503599627370496 + sp AS s FROM ${pfx}_a),
+       |${pfx}_r AS (SELECT source, v,
+       |    CAST(round(${graft.analytics.Sketches.hllNum(9)}
+       |      / CAST(s AS DOUBLE), 0) AS BIGINT) AS raw FROM ${pfx}_f),
+       |${pfx}_est AS (SELECT source, CASE WHEN v > 0 AND raw <= 1280
+       |    THEN (${graft.analytics.Sketches.hllLcTable(9)
+                    .mkString("[", ", ", "]")})[CAST(v AS INT)]
+       |    ELSE raw END AS est FROM ${pfx}_r)""".stripMargin
 
   // dedup_simhash: 60 per-bit vote sums and the packed hash, generated to
   // mirror SimHash64's md5Base loop exactly (bit b set iff 2*set_count > n).
@@ -4631,6 +4682,39 @@ object ContentQueries {
         |  min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END) AS p75,
         |  min(CASE WHEN cum >= (n * 19 + 19) // 20 THEN v END) AS p95
         |FROM qw GROUP BY source ORDER BY source""".stripMargin,
+
+    // two slice register builds + union-max merge + the single pass,
+    // each read through the same estimate chain — merged must equal
+    // single exactly (max is associative), and the oracle proves it by
+    // replaying both rather than assuming it
+    "profile_hll_merge" ->
+      (s"""WITH g3 AS (SELECT doc_id, source, unnest(list_transform(
+         |    range(1, greatest(len(w) - 2, 1) + 1),
+         |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS g
+         |  FROM (SELECT doc_id, source, string_split(lower(text), ' ')
+         |      AS w FROM documents)),
+         |hrho AS (SELECT doc_id, source, h % 512 AS bkt,
+         |    CASE WHEN h // 512 = 0 THEN 52
+         |      ELSE 52 - length(bin(h // 512)) END AS rho
+         |  FROM (SELECT doc_id, source,
+         |    CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+         |    FROM g3)),
+         |r0 AS (SELECT source, bkt, max(rho) AS mr FROM hrho
+         |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |r1 AS (SELECT source, bkt, max(rho) AS mr FROM hrho
+         |  WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+         |rm AS (SELECT source, bkt, max(mr) AS mr FROM
+         |  (SELECT * FROM r0 UNION ALL SELECT * FROM r1) GROUP BY 1, 2),
+         |rs AS (SELECT source, bkt, max(rho) AS mr FROM hrho
+         |  GROUP BY 1, 2),
+         |${hllEstSql("em", "rm")},
+         |${hllEstSql("es", "rs")},
+         |hex AS (SELECT source, CAST(count(DISTINCT g) AS BIGINT)
+         |    AS exact_distinct FROM g3 GROUP BY source)
+         |SELECT source, em_est.est AS est_merged, es_est.est AS est_single,
+         |  exact_distinct, em_est.est = es_est.est AS merge_exact
+         |FROM em_est JOIN es_est USING (source) JOIN hex USING (source)
+         |ORDER BY source""").stripMargin,
 
     "profile_hll_distinct" ->
       (s"""WITH g3 AS (SELECT source, unnest(list_transform(

@@ -101,6 +101,28 @@ class SketchesSpec extends SparkSuite {
       "lc table endpoints wrong")
   }
 
+  test("HLL registers merge exactly: slice-and-merge equals single-pass " +
+    "even with overlapping slices, and estimates stay within band") {
+    val items = (1 to 2000).map(i => ("g", s"item$i"))
+    val df = items.toDF("grp", "it")
+    val even = df.filter(expr("CAST(substr(it, 5) AS INT) % 2 = 0"))
+    // OVERLAPPING slices: odd ∪ (multiples of 3) — max is idempotent,
+    // so double-counted items must not perturb the merge
+    val oddAnd3 = df.filter(expr(
+      "CAST(substr(it, 5) AS INT) % 2 = 1 OR " +
+        "CAST(substr(it, 5) AS INT) % 3 = 0"))
+    val merged = Sketches.hllFromRegisters(Sketches.hllMergeRegisters(Seq(
+        Sketches.hllRegisters(even, col("grp"), col("it")),
+        Sketches.hllRegisters(oddAnd3, col("grp"), col("it")))))
+      .collect().head.getLong(1)
+    val single = Sketches.hllDistinct(df, col("grp"), col("it"))
+      .collect().head.getLong(1)
+    assert(merged == single,
+      s"merge must be exact: merged=$merged single=$single")
+    assert(math.abs(merged - 2000.0) / 2000.0 < 0.15,
+      s"estimate $merged out of band for 2000 distinct")
+  }
+
   test("quantileProfile = type-1 order statistics against a sorted-array " +
     "replay, duplicates and two groups included") {
     // group a: 1..10 (clean ranks); group b: heavy duplication so the
