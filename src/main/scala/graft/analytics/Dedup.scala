@@ -115,6 +115,78 @@ object Dedup {
         count(lit(1)).as("common"))
   }
 
+  /** `jaccardPairs` behind PREFIX FILTERING — the 100 TB exact-threshold
+    * Jaccard path (Chaudhuri et al., ICDE 2006; Xiao et al., WWW 2008).
+    * Same output as the exhaustive operator (the registered query shares
+    * its oracle), but candidates come from a join on each document's
+    * RAREST tokens only.
+    *
+    * Why it scales where the exhaustive join cannot: order all shingle
+    * hashes by ascending document frequency (ties by hash — one global
+    * total order), and let each document emit only its first
+    * p = |x| − ⌈t·|x|⌉ + 1 tokens in that order. If J(A,B) ≥ t the
+    * intersection holds ≥ ⌈t·|x|⌉ tokens of each side, which cannot all
+    * hide in a suffix of size ⌈t·|x|⌉ − 1, so the two prefixes must share
+    * a token (the prefix-filter lemma; the ⌈t·|x|⌉ bound is valid because
+    * a qualifying partner has ≥ t·|x| tokens, making the overlap bound
+    * t/(1+t)·(|A|+|B|) ≥ t·|x|). The join therefore runs on the df-SMALL
+    * tail of the vocabulary: stopword-grade shingles with huge fan-out
+    * sit at the END of every ordering and never enter a prefix, which is
+    * exactly the hot-key mass that makes the exhaustive self-join
+    * quadratic on a real crawl. No token may be dropped outright (a df
+    * cap would lose pairs — this operator is exact), but fan-out per
+    * surviving token is its df, and prefix tokens are the rarest by
+    * construction.
+    *
+    * A symmetric length filter (t·|A| ≤ |B| ∧ t·|B| ≤ |A|) prunes
+    * candidates before dedup; the exact verify then intersects SORTED
+    * 64-bit shingle hashes (linear merge, no hash-set build) — identical
+    * arithmetic to `jaccardPairs`, so surviving values are bit-identical.
+    * Three shuffles beyond the exhaustive operator's two (df aggregate,
+    * df join, per-doc rank window), each linear in corpus tokens. */
+  def jaccardPairsPrefix(docs: DataFrame, id: Column, text: Column, n: Int,
+                         threshold: Double): DataFrame = {
+    val sh = shingleTable(docs, id, text, n)
+    val tok = sh.select(col("doc_id"), col("n_sh"),
+        explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
+    // shingles are distinct per doc, so count(*) per hash IS document
+    // frequency
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("h"))
+    val pref = tok.join(dfreq.hint("SHUFFLE_HASH"), Seq("h"))
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <=
+        col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1)
+      .select(col("doc_id"), col("n_sh"), col("h"))
+    val l = pref.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"),
+      col("h"))
+    val r = pref.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"),
+      col("h"))
+    val cand = l.join(r.hint("SHUFFLE_HASH"), Seq("h"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_n") >= ceil(col("b_n") * lit(threshold)) &&
+        col("b_n") >= ceil(col("a_n") * lit(threshold)))
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val hs = sh.select(col("doc_id"),
+      array_sort(transform(col("sh"), s => xxhash64(s))).as("hs"),
+      col("n_sh"))
+    val a = hs.select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
+      col("n_sh").as("a_n"))
+    val b = hs.select(col("doc_id").as("b_id"), col("hs").as("b_hs"),
+      col("n_sh").as("b_n"))
+    cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("common", graft.functions.HashExpressions
+        .sortedLongIntersectCount(col("a_hs"), col("b_hs")))
+      .withColumn("jaccard",
+        col("common") / (col("a_n") + col("b_n") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Asymmetric containment pairs `(sub_id, super_id, containment)`
     * with |sub ∩ super| / |sub| >= threshold — the companion to Jaccard
     * for EMBEDDED duplication (Lee et al.'s motivating case: a short

@@ -606,6 +606,15 @@ object ContentQueries {
         n = 3, threshold = 0.5)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // prefix-filtered exact Jaccard: identical pair set to
+    // dedup_ngram_jaccard (it shares that oracle) with candidates drawn
+    // from rarest-token prefixes only — the scale path when the corpus
+    // has stopword-grade hot shingles
+    "dedup_jaccard_prefix" -> ((s, d) =>
+      Dedup.jaccardPairsPrefix(docs(s, d), col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))),
+
     // MinHash-LSH candidates + exact-Jaccard verification; the oracle is the
     // exhaustive pair set, so this also asserts 100% recall at this SF.
     "dedup_minhash_lsh" -> ((s, d) =>
@@ -3065,6 +3074,10 @@ object ContentQueries {
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> jaccardOracle(0.5),
+    // the prefix-filtered operator must reproduce the exhaustive pair
+    // set exactly — same oracle, so the gate asserts 100% recall AND
+    // precision of the prefix candidate scheme
+    "dedup_jaccard_prefix" -> jaccardOracle(0.5),
 
     // both directions of every shingle-sharing pair, filtered on the
     // exact-int containment ratio

@@ -159,6 +159,38 @@ class DedupSpec extends SparkSuite {
     assert(lsh == exact)
   }
 
+  test("prefix-filtered jaccard equals the exhaustive operator on sf0.001 " +
+    "(pairs AND values), and a corpus-wide hot shingle stays out of " +
+    "every prefix") {
+    val pfx = Dedup.jaccardPairsPrefix(docs, col("doc_id"), col("text"),
+        3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pfx == exact, "prefix filter must be lossless at the threshold")
+    assert(pfx.nonEmpty, "fixture must exercise the operator")
+
+    // hot-token behavior: every doc shares the boilerplate head, so its
+    // shingles have df = |docs| and must be ordered LAST — two docs whose
+    // only overlap is the boilerplate produce no candidate, while a real
+    // near-dup pair still surfaces through its rare tokens
+    val hot = "shared boilerplate header line "
+    val planted = Seq(
+      (1L, hot + "alpha beta gamma delta epsilon zeta"),
+      (2L, hot + "alpha beta gamma delta epsilon eta"),
+      (3L, hot + "one two three four five six"),
+      (4L, hot + "seven eight nine ten eleven twelve"))
+      .toDF("id", "t")
+    val got = Dedup.jaccardPairsPrefix(planted, col("id"), col("t"), 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val want = Dedup.jaccardPairs(planted, col("id"), col("t"), 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == want, "planted corpus must agree with the exact operator")
+    assert(got.contains((1L, 2L)), "the rare-token near-dup pair is found")
+    assert(!got.exists(p => p == (3L, 4L) || p == (1L, 3L)),
+      "boilerplate-only overlap must not pair")
+  }
+
   test("embedding near-dups FIND every planted perturbed twin (recall is " +
     "observed, not vacuously true) and stay symmetric-free") {
     // The fixture's organic max pairwise cosine is ~0.51, so on the raw
