@@ -67,7 +67,8 @@ object Bench {
     "er_fuzzy_match", "profile_hll_distinct", "text_lr_calibrate",
     "emb_silhouette", "retrieve_eval_metrics", "text_pmi_collocations",
     "emb_outliers", "profile_len_quantiles", "q49_hll_hourly",
-    "q50_user_churn", "profile_hll_merge", "dedup_jaccard_prefix")
+    "q50_user_churn", "profile_hll_merge", "dedup_jaccard_prefix",
+    "text_lr_ranking")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -85,4 +85,58 @@ object Calibrate {
         expr("(pos * 1000000L) div cnt").as("raw_micro"),
         col("cal_micro"))
   }
+
+  /** Threshold-free ranking quality of a scorer: exact ROC-AUC
+    * (Mann–Whitney U with the standard half-credit for ties) and
+    * average precision, both computed from a SCORE-CELL HISTOGRAM
+    * rather than a global per-row rank.
+    *
+    * Scores are snapped to 6-dp micro cells (the `isotonicBins`
+    * discipline); the only corpus-scale work is the (cell → count,
+    * positives) hash aggregate, after which every statistic lives on
+    * ≤ 1e6+1 cell rows regardless of corpus size — the same reason the
+    * quantile/median operators histogram first. A per-row rank window
+    * (the textbook rank-sum route) would be a full sort of the corpus;
+    * the cell form needs no row ever to leave its partition until the
+    * bounded cell table. Cells are also MERGEABLE (counts add), so
+    * per-shard histograms combine before one final fold.
+    *
+    * Exactness: with cells in ascending score order,
+    * 2·U = Σ_c pos_c·(2·negBelow_c + neg_c) — pure BIGINT (safe while
+    * total rows < ~2e9), and AUC = 2U / (2·P·N) is one final IEEE
+    * division both engines perform identically. AP is defined at cell
+    * granularity (every tied score is one threshold):
+    * AP = Σ_c (pos_c/P)·(cumPos_c/cumCnt_c) in descending order, each
+    * term floored to integer micros (`div` — the pool-mean discipline
+    * above) so the sum is BIGINT-exact and engine-portable.
+    *
+    * Output: ONE row `(pos_n, neg_n, auc, avg_precision)`. */
+  def rankingEval(scored: DataFrame, score: Column, label: Column): DataFrame = {
+    val sm = scored.select(
+      round(score * 1000000.0, 0).cast("long").as("sm"),
+      label.cast("long").as("y"))
+    val cells = sm.groupBy(col("sm"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+      .withColumn("neg", col("cnt") - col("pos"))
+    // single-partition windows over the ≤1e6-cell table — bounded by
+    // score granularity, never by corpus size
+    val asc = Window.orderBy(col("sm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.orderBy(col("sm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = cells.select(col("cnt"), col("pos"), col("neg"),
+      (sum(col("neg")).over(asc) - col("neg")).as("negbelow"),
+      sum(col("pos")).over(desc).as("cumpos"),
+      sum(col("cnt")).over(desc).as("cumcnt"))
+    c.agg(
+        sum(col("pos")).as("pos_n"),
+        sum(col("neg")).as("neg_n"),
+        sum(col("pos") * (col("negbelow") * 2 + col("neg"))).as("u2"),
+        sum(expr("(pos * cumpos * 1000000L) div cumcnt")).as("ap_micro"))
+      .select(col("pos_n"), col("neg_n"),
+        round(col("u2") / (col("pos_n") * col("neg_n") * lit(2.0)), 6)
+          .as("auc"),
+        round(col("ap_micro") / (col("pos_n") * lit(1000000.0)), 6)
+          .as("avg_precision"))
+  }
 }

@@ -2594,6 +2594,21 @@ object ContentQueries {
         col("text"), col("lang") === "en", w)
       graft.analytics.Calibrate.isotonicBins(scored, col("p"),
         col("y"), bins = 16).orderBy(col("bin"))
+    }),
+
+    // Threshold-free ranking quality of the trained LR filter: exact
+    // ROC-AUC (tie-aware Mann-Whitney) + average precision from the
+    // 6-dp score-cell histogram — corpus work is ONE hash aggregate,
+    // everything after lives on <=1e6 cells. The oracle replays the
+    // training, the pico-logit scoring, the cell build, and both
+    // integer folds.
+    "text_lr_ranking" -> ((s, d) => {
+      val doc = docs(s, d)
+      val w = TextAnalysis.logisticFit(doc, col("text"),
+        col("lang") === "en").last
+      val scored = TextAnalysis.logisticScore(doc, col("doc_id"),
+        col("text"), col("lang") === "en", w)
+      graft.analytics.Calibrate.rankingEval(scored, col("p"), col("y"))
     })
   ) ++ Map[String, Q](
 
@@ -5618,6 +5633,36 @@ object ContentQueries {
          |SELECT CAST(b.bin AS BIGINT) AS bin, b.cnt, b.pos,
          |  (b.pos * 1000000) // b.cnt AS raw_micro, i.cal_micro
          |FROM cb b JOIN iso i ON i.ib = b.bin ORDER BY bin""".stripMargin,
+
+    // same training + pico-logit + 6dp-cell CTEs as text_lr_calibrate,
+    // then the two integer folds: 2U = sum pos*(2*negbelow+neg) and the
+    // per-cell micro-floored AP terms — one IEEE division each at the end
+    "text_lr_ranking" ->
+      s"""WITH $lrCtes,
+         |sc AS (SELECT f.doc_id, f.y, ${(0 until 5).map(j =>
+             s"CAST(round(w.w$j * f.x$j * 1000000000000.0, 0) AS BIGINT)")
+             .mkString("\n    + ")} AS lp
+         |  FROM f CROSS JOIN lw3 w),
+         |ps AS (SELECT CAST(round(
+         |      round(1.0 / (1.0 + exp(-(lp / 1000000000000.0))), 6)
+         |      * 1000000, 0) AS BIGINT) AS sm, y FROM sc),
+         |cells AS (SELECT sm, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(y) AS BIGINT) AS pos FROM ps GROUP BY 1),
+         |c2 AS (SELECT cnt, pos, cnt - pos AS neg,
+         |    CAST(sum(cnt - pos) OVER (ORDER BY sm) AS BIGINT)
+         |      - (cnt - pos) AS negbelow,
+         |    CAST(sum(pos) OVER (ORDER BY sm DESC) AS BIGINT) AS cumpos,
+         |    CAST(sum(cnt) OVER (ORDER BY sm DESC) AS BIGINT) AS cumcnt
+         |  FROM cells),
+         |ag AS (SELECT CAST(sum(pos) AS BIGINT) AS pos_n,
+         |    CAST(sum(neg) AS BIGINT) AS neg_n,
+         |    CAST(sum(pos * (2 * negbelow + neg)) AS BIGINT) AS u2,
+         |    CAST(sum((pos * cumpos * 1000000) // cumcnt) AS BIGINT)
+         |      AS ap_micro FROM c2)
+         |SELECT pos_n, neg_n,
+         |  round(u2 / (pos_n * neg_n * 2.0), 6) AS auc,
+         |  round(ap_micro / (pos_n * 1000000.0), 6) AS avg_precision
+         |FROM ag""".stripMargin,
 
     // exact top-10 replay; the tolerance flag is 1 by the same invariant
     // the Spark side asserts against its own sketch

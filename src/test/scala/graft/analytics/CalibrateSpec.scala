@@ -83,4 +83,59 @@ class CalibrateSpec extends SparkSuite {
     assert(out.head._1 == 0L && out.last._1 == 15L,
       s"observed min/max must land in bins 0 and 15: $out")
   }
+
+  private def rank(rows: Seq[(Double, Int)]) = {
+    val r = Calibrate.rankingEval(rows.toDF("s", "y"), col("s"), col("y"))
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  // brute-force pairwise AUC (half credit on score ties) and the
+  // cell-granular AP definition, replayed in plain Scala
+  private def bruteForce(rows: Seq[(Double, Int)]): (Double, Double) = {
+    val ps = rows.filter(_._2 == 1).map(_._1)
+    val ns = rows.filter(_._2 == 0).map(_._1)
+    val auc = (for { p <- ps; n <- ns }
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum /
+      (ps.size.toDouble * ns.size)
+    val cells = rows.groupBy(_._1).toSeq.sortBy(-_._1)
+      .map { case (_, g) => (g.size, g.count(_._2 == 1)) }
+    val (ap, _, _) = cells.foldLeft((0.0, 0L, 0L)) {
+      case ((acc, cp, cc), (cnt, pos)) =>
+        val (cp2, cc2) = (cp + pos, cc + cnt)
+        (acc + (pos.toLong * cp2 * 1000000L / cc2).toDouble, cp2, cc2)
+    }
+    (auc, ap / (ps.size * 1000000.0))
+  }
+
+  test("rankingEval: perfect separation scores AUC 1, reversal scores 0, " +
+    "and an all-tied scorer sits at 0.5 with AP = base rate") {
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))
+    assert(rank(perfect)._3 == 1.0)
+    assert(rank(perfect)._4 == 1.0)
+    val reversed = Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1))
+    assert(rank(reversed)._3 == 0.0)
+    val tied = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0), (0.5, 0))
+    val t = rank(tied)
+    assert(t._3 == 0.5, s"all-tied AUC must be 0.5: $t")
+    assert(t._4 == 0.4, s"all-tied AP is the base rate 2/5: $t")
+  }
+
+  test("rankingEval equals a brute-force pairwise replay on a mixed " +
+    "corpus with duplicated scores across both classes") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { _ =>
+      val s = math.round(rnd.nextDouble() * 20) / 20.0 // heavy ties
+      val y = if (rnd.nextDouble() < s) 1 else 0
+      (s, y)
+    }
+    val (wantAuc, wantAp) = bruteForce(rows)
+    val got = rank(rows)
+    assert(got._1 == rows.count(_._2 == 1) &&
+      got._2 == rows.count(_._2 == 0))
+    assert(math.abs(got._3 - wantAuc) < 1e-6,
+      s"AUC ${got._3} != brute $wantAuc")
+    assert(math.abs(got._4 - wantAp) < 1e-6,
+      s"AP ${got._4} != brute $wantAp")
+  }
 }
