@@ -189,6 +189,18 @@ object Sketches {
       .groupBy(col("r"), col("c"))
       .agg(sum(col("wt")).cast("long").as("cell"))
 
+  /** Merge count-min cell tables: union → SUM per (r, c) — the sketch
+    * is linear in its input, so cells built over DISJOINT slices add to
+    * exactly the single-pass cells (per-day/per-shard sketches persist
+    * once and answer any disjoint-slice combination). Unlike the HLL
+    * register max, summation is NOT idempotent: overlapping slices
+    * double-count their shared mass, so the slicing must partition the
+    * data (the HLL/CM pair brackets the two mergeability disciplines). */
+  def cmMergeCells(cellTables: Seq[DataFrame]): DataFrame =
+    cellTables.reduce(_ unionByName _)
+      .groupBy(col("r"), col("c"))
+      .agg(sum(col("cell")).cast("long").as("cell"))
+
   /** Point estimates from count-min cells: est(item) = min over rows of
     * the addressed cell — joins the query items against the d·w-cell
     * sketch (broadcast; the sketch is tiny by construction). */

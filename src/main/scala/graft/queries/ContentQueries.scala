@@ -1850,6 +1850,39 @@ object ContentQueries {
         .orderBy(col("exact_cnt").desc, col("g"))
     }),
 
+    // CM LINEARITY, the sum-merge twin of profile_hll_merge's max-merge:
+    // cells built over the DISJOINT even/odd doc halves, summed per
+    // (r, c), must equal the single-pass cells exactly — so per-shard
+    // sketches persist once and answer any partition of the corpus. The
+    // oracle replays both builds and the equality; read back at the
+    // exact top-20 grams like profile_cm_heavy.
+    "profile_cm_merge" -> ((s, d) => {
+      val sk = graft.analytics.Sketches
+      val base = graft.analytics.Caches.persist(docs(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.ngrams(col("text"), 3)).as("g")))
+      // per-half vocab-scale count tables feed the builds (the
+      // profile_cm_heavy trick: cell = Σ count over distinct grams)
+      def halfCounts(m: Int) = base.filter(col("doc_id") % 2 === m)
+        .groupBy(col("g")).agg(count(lit(1)).cast("long").as("cnt"))
+      val merged = sk.cmMergeCells(Seq(
+        sk.cmCells(halfCounts(0), col("g"), col("cnt")),
+        sk.cmCells(halfCounts(1), col("g"), col("cnt"))))
+      val exact = graft.analytics.Caches.persist(base.groupBy(col("g"))
+        .agg(count(lit(1)).cast("long").as("exact_cnt")))
+      val single = sk.cmCells(exact, col("g"), col("exact_cnt"))
+      val top = exact.orderBy(col("exact_cnt").desc, col("g")).limit(20)
+      val em = sk.cmEstimate(merged, top, col("g"))
+        .select(col("it").as("g"), col("est").as("est_merged"))
+      val es = sk.cmEstimate(single, top, col("g"))
+        .select(col("it").as("g"), col("est").as("est_single"))
+      top.join(em, Seq("g")).join(es, Seq("g"))
+        .select(col("g"), col("exact_cnt"), col("est_merged"),
+          col("est_single"),
+          (col("est_merged") === col("est_single")).as("merge_exact"))
+        .orderBy(col("exact_cnt").desc, col("g"))
+    }),
+
     // End-to-end pipeline composition: quality gate → exact dedup (keep
     // min id per fingerprint) → chunk statistics per source. The shape a
     // real corpus-preparation job takes, as ONE declarative plan.
@@ -4801,6 +4834,42 @@ object ContentQueries {
         |  FROM qe JOIN cells USING (r, c) GROUP BY qe.g)
         |SELECT top.g, top.exact_cnt, est.est_cnt
         |FROM top JOIN est USING (g)
+        |ORDER BY top.exact_cnt DESC, top.g""".stripMargin,
+
+    // two disjoint-slice cell builds + the union-sum merge + the single
+    // pass, read back at the exact top-20 — merged must equal single
+    // cell-for-cell, proven by replay rather than assumed from linearity
+    "profile_cm_merge" ->
+      """WITH g3 AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |    FROM documents)),
+        |ad AS (SELECT doc_id, g, u.r, CAST(CONCAT('0x', substr(md5(g),
+        |    u.r * 8 + 1, 8)) AS BIGINT) % 1024 AS c
+        |  FROM g3 CROSS JOIN range(0, 4) u(r)),
+        |c0 AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cell FROM ad
+        |  WHERE doc_id % 2 = 0 GROUP BY r, c),
+        |c1 AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cell FROM ad
+        |  WHERE doc_id % 2 = 1 GROUP BY r, c),
+        |cm AS (SELECT r, c, CAST(sum(cell) AS BIGINT) AS cell FROM
+        |  (SELECT * FROM c0 UNION ALL SELECT * FROM c1) GROUP BY r, c),
+        |cs AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cell FROM ad
+        |  GROUP BY r, c),
+        |ex AS (SELECT g, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM g3 GROUP BY g),
+        |top AS (SELECT g, exact_cnt FROM ex
+        |  ORDER BY exact_cnt DESC, g LIMIT 20),
+        |qe AS (SELECT top.g, u.r, CAST(CONCAT('0x', substr(md5(top.g),
+        |    u.r * 8 + 1, 8)) AS BIGINT) % 1024 AS c
+        |  FROM top CROSS JOIN range(0, 4) u(r)),
+        |em AS (SELECT qe.g, CAST(min(cm.cell) AS BIGINT) AS est_merged
+        |  FROM qe JOIN cm USING (r, c) GROUP BY qe.g),
+        |es AS (SELECT qe.g, CAST(min(cs.cell) AS BIGINT) AS est_single
+        |  FROM qe JOIN cs USING (r, c) GROUP BY qe.g)
+        |SELECT top.g, top.exact_cnt, em.est_merged, es.est_single,
+        |  em.est_merged = es.est_single AS merge_exact
+        |FROM top JOIN em USING (g) JOIN es USING (g)
         |ORDER BY top.exact_cnt DESC, top.g""".stripMargin,
 
     "profile_docs" ->

@@ -123,6 +123,33 @@ class SketchesSpec extends SparkSuite {
       s"estimate $merged out of band for 2000 distinct")
   }
 
+  test("count-min cells merge exactly over DISJOINT slices, and an " +
+    "overlapping slice overcounts (sum is linear, not idempotent)") {
+    val df = (1 to 600).map(i => (i.toLong, s"w${i % 37}"))
+      .toDF("id", "it").withColumn("one", lit(1L))
+    def cells(f: org.apache.spark.sql.DataFrame) =
+      Sketches.cmCells(f, col("it"), col("one"))
+    val merged = Sketches.cmMergeCells(Seq(
+        cells(df.filter(col("id") % 2 === 0)),
+        cells(df.filter(col("id") % 2 === 1))))
+      .collect()
+      .map(r => (r.get(0).toString, r.get(1).toString) -> r.getLong(2))
+      .toMap
+    val single = cells(df)
+      .collect()
+      .map(r => (r.get(0).toString, r.get(1).toString) -> r.getLong(2))
+      .toMap
+    assert(merged == single, "disjoint-slice merge must equal single pass")
+    // overlap: the even half twice — every cell doubles, total mass 2×
+    val over = Sketches.cmMergeCells(Seq(
+        cells(df.filter(col("id") % 2 === 0)),
+        cells(df.filter(col("id") % 2 === 0))))
+      .agg(sum("cell")).collect().head.getLong(0)
+    val evenMass = cells(df.filter(col("id") % 2 === 0))
+      .agg(sum("cell")).collect().head.getLong(0)
+    assert(over == 2 * evenMass, "overlap must double-count, by design")
+  }
+
   test("quantileProfile = type-1 order statistics against a sorted-array " +
     "replay, duplicates and two groups included") {
     // group a: 1..10 (clean ranks); group b: heavy duplication so the
