@@ -113,15 +113,46 @@ object Sketches {
   def hllRegisters(df: DataFrame, group: Column, item: Column,
                    p: Int = 9): DataFrame = {
     require(p >= 4 && p <= 16)
+    df.select(group.as("grp"), hllBucketRho(item, p).as("br"))
+      .select(col("grp"), col("br.bkt").as("bkt"), col("br.rho").as("rho"))
+      .groupBy(col("grp"), col("bkt")).agg(max(col("rho")).as("mr"))
+  }
+
+  /** The per-item `(bkt, rho)` struct — the row-level core of
+    * `hllRegisters`, exposed so the STREAMING running-distinct operator
+    * folds the IDENTICAL arithmetic into keyed state (its estimates are
+    * then bit-equal to a batch `hllDistinct` over the same rows).
+    * `shiftright(h, p)` is `h div 2^p` exactly (h60 is non-negative);
+    * no double ever touches the 60-bit hash. */
+  def hllBucketRho(item: Column, p: Int): Column = {
     val m = 1 << p
     val maxRank = 60 - p + 1
-    df.select(group.as("grp"), h60(item).as("h"))
-      .select(col("grp"), pmod(col("h"), lit(m.toLong)).as("bkt"),
-        expr(s"h div $m").as("rest"))
-      .select(col("grp"), col("bkt"),
-        when(col("rest") === 0, lit(maxRank))
-          .otherwise(lit(maxRank) - length(bin(col("rest")))).as("rho"))
-      .groupBy(col("grp"), col("bkt")).agg(max(col("rho")).as("mr"))
+    val h = h60(item)
+    val rest = shiftright(h, p)
+    struct(pmod(h, lit(m.toLong)).as("bkt"),
+      when(rest === 0, lit(maxRank))
+        .otherwise(lit(maxRank) - length(bin(rest))).as("rho"))
+  }
+
+  /** Scala replica of `hllFromRegisters`' estimate chain for ONE
+    * register array (index = bucket, 0 = empty, else the max rho) —
+    * used by the streaming operator, whose state is exactly this array.
+    * Deliberately the same operation order: raw harmonic `round(num/s)`
+    * (HALF_UP == `math.round` for positives), then the linear-counting
+    * switch at raw <= 5m/2 with the 1-indexed table. */
+  def hllEstimateFromRegisters(regs: Array[Int], p: Int = 9): Long = {
+    val m = 1 << p
+    val maxRank = 60 - p + 1
+    val pow2Max = 1L << maxRank
+    var nb = 0
+    var sp = 0L
+    regs.foreach { mr =>
+      if (mr > 0) { nb += 1; sp += 1L << (maxRank - mr) }
+    }
+    val v = m - nb
+    val s = v.toLong * pow2Max + sp
+    val raw = math.round(hllNum(p) / s.toDouble)
+    if (v > 0 && raw <= 5L * m / 2) hllLcTable(p)(v - 1) else raw
   }
 
   /** Merge register tables (union → max per (group, bucket)) — the

@@ -196,6 +196,55 @@ object StreamingIngest {
     kept.select(from_json(col("value"), schema).as("_r")).select("_r.*")
   }
 
+  final case class DistinctUpdate(group: String, batch_items: Long,
+                                  est_distinct: Long)
+
+  /** Streaming running distinct-cardinality per group on CUSTOM keyed
+    * state: the batch HLL register table (`Sketches.hllRegisters`) held
+    * as one byte[2^p] array per group — 512 B at p=9 no matter how many
+    * items the group ever sees — max-folded per micro-batch and read
+    * back through the same estimate chain. The hash/bucket/rho
+    * arithmetic IS `Sketches.hllBucketRho`, computed in the codegen'd
+    * projection before rows reach the state store, so after any batch
+    * the emitted estimate is BIT-EQUAL to a batch `hllDistinct` over
+    * every row ingested so far (register max is order- and
+    * batching-insensitive — the mergeability property, live). Emits one
+    * Update row per group per touched micro-batch.
+    *
+    * No timeout: cardinality state is meant to outlive any watermark
+    * (prefix the group key with a day/window id when the metric should
+    * roll, and the old keys go cold at 512 B each). Exactly-once: the
+    * registers live in the checkpointed state store, and a replayed
+    * micro-batch re-folds idempotently (max). */
+  def runningDistinct(stream: DataFrame, group: Column, item: Column,
+                      p: Int = 9): Dataset[DistinctUpdate] = {
+    import stream.sparkSession.implicits._
+    val m = 1 << p
+    val rows = stream
+      .select(group.cast("string").as("_1"),
+        graft.analytics.Sketches.hllBucketRho(item, p).as("br"))
+      .select(col("_1"), col("br.bkt").as("_2"),
+        col("br.rho").cast("int").as("_3"))
+      .as[(String, Long, Int)]
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], DistinctUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[(String, Long, Int)],
+         state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](m))
+          var n = 0L
+          it.foreach { r =>
+            n += 1
+            val i = r._2.toInt
+            if (r._3 > regs(i)) regs(i) = r._3.toByte
+          }
+          state.update(regs)
+          DistinctUpdate(grp, n,
+            graft.analytics.Sketches.hllEstimateFromRegisters(
+              regs.map(_.toInt), p))
+      }
+  }
+
   /** Stream-stream temporal enrichment: join two live streams on a key
     * with the right event constrained to (leftTs - before, leftTs] — the
     * streaming twin of the batch range join (q16) and the pattern behind

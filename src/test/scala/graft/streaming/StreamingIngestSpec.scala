@@ -786,6 +786,52 @@ class StreamingIngestSpec extends SparkSuite {
       (7L, "ccc", "s2")), s"got $rows")
   }
 
+  test("runningDistinct: per-group HLL register state folds across " +
+    "micro-batches, and the final streaming estimate is BIT-EQUAL to " +
+    "batch hllDistinct over all rows seen") {
+    import graft.analytics.Sketches
+    val src = Files.createTempDirectory("rd_src").toString
+    // group g: 500 fresh items per batch (growing cardinality across the
+    // batch boundary); group h: batch 1 only; batch 2 replays half of
+    // g's batch-1 items (idempotent max must not inflate the estimate)
+    val b1 = (1 to 500).map(i => ("g", s"item$i")) ++
+      (1 to 300).map(i => ("h", s"only$i"))
+    val b2 = (501 to 1000).map(i => ("g", s"item$i")) ++
+      (1 to 250).map(i => ("g", s"item$i"))
+    b1.toDF("grp", "it").coalesce(1).write.mode("append").parquet(src)
+    b2.toDF("grp", "it").coalesce(1).write.mode("append").parquet(src)
+
+    val sschema = StructType(Seq(StructField("grp", StringType),
+      StructField("it", StringType)))
+    val stream = spark.readStream.schema(sschema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamingIngest.runningDistinct(stream, col("grp"), col("it"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("rd_updates").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val ups = spark.table("rd_updates")
+      .as[(String, Long, Long)].collect().toSeq
+    // registers only grow, so per group the LAST update is the max
+    val lastG = ups.filter(_._1 == "g").map(_._3).max
+    val lastH = ups.filter(_._1 == "h").map(_._3).max
+    assert(ups.count(_._1 == "g") == 2, s"g must update in both batches: $ups")
+    val batch = Sketches.hllDistinct(
+        (b1 ++ b2).toDF("grp", "it"), col("grp"), col("it"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lastG == batch("g"),
+      s"streaming g=$lastG != batch ${batch("g")}")
+    assert(lastH == batch("h"),
+      s"streaming h=$lastH != batch ${batch("h")}")
+    // the cross-batch fold was real: g's batch-1 estimate tracked ~500,
+    // the post-fold estimate ~1000 — strictly larger
+    val firstG = ups.filter(_._1 == "g").map(_._3).min
+    assert(firstG < lastG, s"g estimate must grow across batches: $ups")
+    assert(math.abs(lastG - 1000.0) / 1000.0 < 0.15,
+      s"g estimate $lastG out of band for 1000 distinct")
+  }
+
   test("firstWinsDedup kill-and-resume soak with a STRING content key: " +
     "restart from the checkpoint — including a replayed batch whose " +
     "commit marker was lost — re-emits the same keep decisions: no " +
