@@ -38,18 +38,8 @@ object Sketches {
     * exactly-representable power of two, one double division, one
     * half-up round — engine-portable. */
   def kmvDistinct(df: DataFrame, group: Column, item: Column, k: Int,
-                  nBuckets: Int = 64): DataFrame = {
-    require(k >= 2)
-    val hashes = df.select(group.as("grp"), h60(item).as("h")).distinct()
-    val pruned = hashes
-      .withColumn("bkt", pmod(col("h"), lit(nBuckets)))
-      .withColumn("brn", row_number().over(
-        Window.partitionBy(col("grp"), col("bkt")).orderBy(col("h"))))
-      .filter(col("brn") <= k)
-    val ranked = pruned.withColumn("rn", row_number().over(
-      Window.partitionBy(col("grp")).orderBy(col("h"))))
-      .filter(col("rn") <= k)
-    ranked.groupBy(col("grp"))
+                  nBuckets: Int = 64): DataFrame =
+    kmvSignature(df, group, item, k, nBuckets).groupBy(col("grp"))
       .agg(max(when(col("rn") === k, col("h"))).as("hk"),
         count(lit(1)).as("nh"))
       .select(col("grp"),
@@ -57,6 +47,65 @@ object Sketches {
           round(lit((k - 1).toDouble) * lit(1152921504606846976.0)
             / col("hk").cast("double"), 0).cast("long"))
           .otherwise(col("nh")).as("est_distinct"))
+
+  /** The k smallest distinct hashes per group — the KMV / theta-sketch
+    * SIGNATURE `(grp, h, rn)` with rn the 1-based rank. Exposed because
+    * the signature, not the estimate, is the mergeable/composable form:
+    * set-operation estimators (`kmvOverlap`) and signature unions
+    * (re-take the k smallest of a union) both read it. Bucketed
+    * pre-prune as documented on `kmvDistinct`. */
+  def kmvSignature(df: DataFrame, group: Column, item: Column, k: Int,
+                   nBuckets: Int = 64): DataFrame = {
+    require(k >= 2)
+    val hashes = df.select(group.as("grp"), h60(item).as("h")).distinct()
+    hashes
+      .withColumn("bkt", pmod(col("h"), lit(nBuckets)))
+      .withColumn("brn", row_number().over(
+        Window.partitionBy(col("grp"), col("bkt")).orderBy(col("h"))))
+      .filter(col("brn") <= k)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col("grp"), col("h"), col("rn"))
+  }
+
+  /** Pairwise INTERSECTION-cardinality estimates between groups from
+    * their KMV signatures — the theta-sketch set-operation framework
+    * (Dasgupta et al., "Theta sketches"): below θ = min of the two
+    * k-th-smallest hashes, each signature holds EVERY set hash, so the
+    * common hashes below θ are an exact sample of A∩B at sampling rate
+    * θ/2^60, and est|A∩B| = c · 2^60/θ. Where `corpus_similarity`
+    * estimates the Jaccard RATIO via MinHash, this estimates the
+    * ABSOLUTE overlap count — "how many distinct shingles do two crawls
+    * share" without an exact distinct join.
+    *
+    * A group with fewer than k distinct hashes has no hk — its side is
+    * exact, θ degrades to the OTHER side's hk (or 2^60 when both are
+    * exact, making c itself the exact intersection).
+    *
+    * Scale: corpus-scale work is the signature build; the pair stage is
+    * |groups|²/2 rows of ≤k-element sorted-array merges
+    * (`SortedLongIntersectCount`), corpus-size-independent. Output:
+    * `(a_grp, b_grp, est_inter)` for a_grp < b_grp. */
+  def kmvOverlap(sig: DataFrame, k: Int): DataFrame = {
+    val full = 1152921504606846976L // 2^60
+    val packed = sig.groupBy(col("grp"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        max(when(col("rn") === k, col("h"))).as("hk"))
+    val a = packed.select(col("grp").as("a_grp"), col("hs").as("a_hs"),
+      col("hk").as("a_hk"))
+    val b = packed.select(col("grp").as("b_grp"), col("hs").as("b_hs"),
+      col("hk").as("b_hk"))
+    a.join(b, col("a_grp") < col("b_grp"))
+      .withColumn("theta", least(coalesce(col("a_hk"), lit(full)),
+        coalesce(col("b_hk"), lit(full))))
+      .withColumn("c", graft.functions.HashExpressions
+        .sortedLongIntersectCount(
+          filter(col("a_hs"), h => h < col("theta")),
+          filter(col("b_hs"), h => h < col("theta"))))
+      .select(col("a_grp"), col("b_grp"),
+        round(col("c") * lit(1152921504606846976.0)
+          / col("theta").cast("double"), 0).cast("long").as("est_inter"))
   }
 
   /** HyperLogLog distinct-count estimate per group (Flajolet et al.,

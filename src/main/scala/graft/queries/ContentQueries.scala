@@ -1757,6 +1757,39 @@ object ContentQueries {
         .orderBy(col("source"))
     }),
 
+    // Theta-sketch SET OPERATION over KMV signatures: pairwise absolute
+    // intersection cardinality between sources ("how many distinct
+    // 3-grams do two crawls share") from the k=256 smallest hashes only
+    // — below theta = min(hk_a, hk_b) each signature holds EVERY set
+    // hash, an exact sample of the intersection at rate theta/2^60.
+    // corpus_similarity estimates the Jaccard RATIO; this estimates the
+    // COUNT. Exact intersection read back for the error column. Honest
+    // accuracy note: relative error is ~1/sqrt(c) in the BELOW-THETA
+    // intersection sample c, so near-disjoint fixture pairs (exact
+    // overlap ~50-80 grams, c of a few) read coarse here — the expected
+    // theta-sketch regime, not a defect; raise k for tighter pairs. The
+    // oracle replays the estimator bit-for-bit either way.
+    "profile_kmv_overlap" -> ((s, d) => {
+      val sk = graft.analytics.Sketches
+      val g = graft.analytics.Caches.persist(docs(s, d)
+        .select(col("source"),
+          explode(TextAnalysis.ngrams(col("text"), 3)).as("g"))
+        .distinct())
+      val est = sk.kmvOverlap(
+        sk.kmvSignature(g, col("source"), col("g"), k = 256), k = 256)
+      val ex = g.select(col("source").as("a_grp"), col("g"))
+        .join(g.select(col("source").as("b_grp"), col("g")), Seq("g"))
+        .filter(col("a_grp") < col("b_grp"))
+        .groupBy(col("a_grp"), col("b_grp"))
+        .agg(count(lit(1)).cast("long").as("exact_inter"))
+      est.join(ex, Seq("a_grp", "b_grp"))
+        .select(col("a_grp").as("a_src"), col("b_grp").as("b_src"),
+          col("est_inter"), col("exact_inter"),
+          round(abs(col("est_inter") - col("exact_inter")) * 100.0
+            / col("exact_inter"), 2).as("err_pct"))
+        .orderBy(col("a_src"), col("b_src"))
+    }),
+
     // HyperLogLog distinct trigrams per source — the constant-memory
     // profiling companion to profile_kmv_distinct: 512 registers per
     // group at ANY corpus size vs KMV's 64 hashes, ~4.6% expected
@@ -4743,6 +4776,48 @@ object ContentQueries {
         |  min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END) AS p75,
         |  min(CASE WHEN cum >= (n * 19 + 19) // 20 THEN v END) AS p95
         |FROM qw GROUP BY source ORDER BY source""".stripMargin,
+
+    // KMV signatures (no bucket prune — it cannot change the k global
+    // smallest), the theta intersection sample below min(hk), the
+    // 2^60/theta scale-up, and the exact distinct-gram join readback
+    "profile_kmv_overlap" ->
+      """WITH g3 AS (SELECT DISTINCT source, unnest(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS g
+        |  FROM (SELECT source, string_split(lower(text), ' ') AS w
+        |    FROM documents)),
+        |hh AS (SELECT DISTINCT source,
+        |    CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+        |  FROM g3),
+        |sig AS (SELECT source, h, row_number() OVER (
+        |    PARTITION BY source ORDER BY h) AS rn FROM hh
+        |  QUALIFY rn <= 256),
+        |hks AS (SELECT source, max(CASE WHEN rn = 256 THEN h END) AS hk
+        |  FROM sig GROUP BY source),
+        |pairs AS (SELECT a.source AS a_src, b.source AS b_src,
+        |    least(coalesce(a.hk, 1152921504606846976),
+        |      coalesce(b.hk, 1152921504606846976)) AS theta
+        |  FROM hks a JOIN hks b ON a.source < b.source),
+        |com AS (SELECT sa.source AS a_src, sb.source AS b_src, sa.h
+        |  FROM sig sa JOIN sig sb
+        |    ON sa.h = sb.h AND sa.source < sb.source),
+        |cnt AS (SELECT p.a_src, p.b_src, p.theta,
+        |    CAST(count(c.h) FILTER (WHERE c.h < p.theta) AS BIGINT) AS c
+        |  FROM pairs p LEFT JOIN com c
+        |    ON c.a_src = p.a_src AND c.b_src = p.b_src
+        |  GROUP BY 1, 2, 3),
+        |est AS (SELECT a_src, b_src, CAST(round(
+        |    c * 1152921504606846976.0 / CAST(theta AS DOUBLE), 0)
+        |    AS BIGINT) AS est_inter FROM cnt),
+        |ex AS (SELECT ga.source AS a_src, gb.source AS b_src,
+        |    CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM g3 ga JOIN g3 gb ON ga.g = gb.g AND ga.source < gb.source
+        |  GROUP BY 1, 2)
+        |SELECT est.a_src, est.b_src, est_inter, exact_inter,
+        |  round(abs(est_inter - exact_inter) * 100.0 / exact_inter, 2)
+        |    AS err_pct
+        |FROM est JOIN ex USING (a_src, b_src)
+        |ORDER BY a_src, b_src""".stripMargin,
 
     // two slice register builds + union-max merge + the single pass,
     // each read through the same estimate chain — merged must equal

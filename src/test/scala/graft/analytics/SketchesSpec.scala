@@ -150,6 +150,33 @@ class SketchesSpec extends SparkSuite {
     assert(over == 2 * evenMass, "overlap must double-count, by design")
   }
 
+  test("kmvOverlap: exact when both sides fit under k, within band on a " +
+    "planted 1000-item overlap, and zero for disjoint sets") {
+    // small sets (< k): no hk, theta = 2^60, c IS the exact intersection
+    val small = ((1 to 50).map(i => ("a", s"x$i")) ++
+      (26 to 80).map(i => ("b", s"x$i"))).toDF("grp", "it")
+    val sSig = Sketches.kmvSignature(small, col("grp"), col("it"), k = 256)
+    val sGot = Sketches.kmvOverlap(sSig, k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(sGot(("a", "b")) == 25L,
+      s"sub-k sides must be exact: $sGot")
+
+    // large sets: A = 1..3000, B = 2001..5000 (overlap 1000), C disjoint
+    val big = ((1 to 3000).map(i => ("A", s"w$i")) ++
+      (2001 to 5000).map(i => ("B", s"w$i")) ++
+      (9001 to 9800).map(i => ("C", s"z$i"))).toDF("grp", "it")
+    val bSig = Sketches.kmvSignature(big, col("grp"), col("it"), k = 512)
+    val got = Sketches.kmvOverlap(bSig, k = 512)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val ab = got(("A", "B"))
+    assert(math.abs(ab - 1000.0) / 1000.0 < 0.3,
+      s"planted 1000-overlap estimate $ab out of band")
+    assert(got(("A", "C")) == 0L && got(("B", "C")) == 0L,
+      s"disjoint pairs must estimate 0: $got")
+  }
+
   test("quantileProfile = type-1 order statistics against a sorted-array " +
     "replay, duplicates and two groups included") {
     // group a: 1..10 (clean ranks); group b: heavy duplication so the
