@@ -722,6 +722,46 @@ object RelationalQueries {
         .select(col("hr").as("hour_start"), col("n_users"), col("n_new"),
           (col("n_users") - col("n_new")).as("n_returning"))
         .orderBy(col("hour_start"))
+    }),
+
+    // Ordered CONVERSION-WINDOW funnel: first view -> first click within
+    // 48 h of it -> first purchase within 48 h of that click, per user —
+    // the product-analytics staple (the window is what makes a funnel a
+    // funnel; unbounded, this fixture's dense users all trivially
+    // convert, and the stages measure nothing). Scale shape: one stage =
+    // one filtered hash aggregate + one user-keyed join; every shuffle
+    // is on user_id, so the three stages reuse one partitioning, and the
+    // two percentage windows run over FOUR rows, never the corpus.
+    "q51_funnel" -> ((s, d) => {
+      val win = expr("INTERVAL 48 HOURS")
+      val ev = T(s, d, "events").select(col("user_id"),
+        col("event_type"), col("ts").cast("timestamp").as("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("v_ts") && col("ts") <= col("v_ts") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("c_ts") && col("ts") <= col("c_ts") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      def stage(n: Long, name: String, df: DataFrame) = df
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit(n).as("stage"), lit(name).as("stage_name"),
+          col("n_users"))
+      val st = stage(0L, "all_users", ev.select(col("user_id")).distinct())
+        .unionByName(stage(1L, "view", v))
+        .unionByName(stage(2L, "click_after_view", c))
+        .unionByName(stage(3L, "purchase_after_click", p))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
+      st.withColumn("pct_of_all", round(col("n_users") * 100.0 /
+          first(col("n_users")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)), 2))
+        .withColumn("pct_of_prev", round(col("n_users") * 100.0 /
+          lag(col("n_users"), 1).over(w), 2))
+        .orderBy(col("stage"))
     })
   )
 
@@ -1068,6 +1108,34 @@ object RelationalQueries {
         |    AS BIGINT) AS n_returning
         |FROM ev JOIN f USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q51_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM ev e
+        |  JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |    AND e.ts <= v.v_ts + INTERVAL 48 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM ev e
+        |  JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |    AND e.ts <= c.c_ts + INTERVAL 48 HOUR GROUP BY 1),
+        |st AS (SELECT CAST(0 AS BIGINT) AS stage,
+        |    'all_users' AS stage_name,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ev
+        |  UNION ALL SELECT 1, 'view', CAST(count(*) AS BIGINT) FROM v
+        |  UNION ALL SELECT 2, 'click_after_view',
+        |    CAST(count(*) AS BIGINT) FROM c
+        |  UNION ALL SELECT 3, 'purchase_after_click',
+        |    CAST(count(*) AS BIGINT) FROM p)
+        |SELECT stage, stage_name, n_users,
+        |  round(n_users * 100.0 /
+        |    first_value(n_users) OVER (ORDER BY stage), 2) AS pct_of_all,
+        |  round(n_users * 100.0 /
+        |    lag(n_users) OVER (ORDER BY stage), 2) AS pct_of_prev
+        |FROM st ORDER BY stage""".stripMargin,
 
     "q25_percentile" ->
       """SELECT l_returnflag,

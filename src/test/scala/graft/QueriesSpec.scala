@@ -68,4 +68,33 @@ class QueriesSpec extends SparkSuite {
     assert(rows.values.forall { case (u, n, r) => u == n + r })
     assert(rows.values.map(_._2).sum == 3L) // every user new exactly once
   }
+
+  test("funnel: a planted 4-user timeline — full in-window conversion, " +
+    "an out-of-window click, a pre-view click, and a dropout — lands " +
+    "each user in exactly the right stage") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L)
+    val ev = Seq(
+      // u1: view@0, click@1, purchase@2 — full conversion
+      (1L, t(0), "view"), (1L, t(1), "click"), (1L, t(2), "purchase"),
+      // u2: view@0, click@50 — outside the 48 h window: stops at view
+      (2L, t(0), "view"), (2L, t(50), "click"),
+      // u3: click@0 BEFORE its first view@1 — the pre-view click must
+      // not count; the in-window click@2 carries it to stage 2 only
+      (3L, t(0), "click"), (3L, t(1), "view"), (3L, t(2), "click"),
+      // u4: view only
+      (4L, t(0), "view"))
+      .toDF("user_id", "ts", "event_type")
+      .withColumn("event_id", col("user_id"))
+      .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_funnel_spec"
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.queries.RelationalQueries.queries("q51_funnel")(
+      spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rows == Map("all_users" -> 4L, "view" -> 4L,
+      "click_after_view" -> 2L, "purchase_after_click" -> 1L), rows)
+  }
 }
