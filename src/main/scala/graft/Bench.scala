@@ -68,7 +68,8 @@ object Bench {
     "emb_silhouette", "retrieve_eval_metrics", "text_pmi_collocations",
     "emb_outliers", "profile_len_quantiles", "q49_hll_hourly",
     "q50_user_churn", "profile_hll_merge", "dedup_jaccard_prefix",
-    "text_lr_ranking", "profile_cm_merge", "profile_kmv_overlap")
+    "text_lr_ranking", "profile_cm_merge", "profile_kmv_overlap",
+    "q51_funnel", "eval_confusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -399,6 +399,60 @@ object TextAnalysis {
     round(s / (lit(100.0) * greatest(size(toks), lit(1))), 6)
   }
 
+  /** Per-class precision / recall / F1 over an (actual, predicted) label
+    * pair, plus one trailing `~macro` row carrying the unweighted macro
+    * averages (the row name's `~` sorts after every `[a-z]` class in both
+    * engines' bytewise string order, so one ORDER BY class totals the
+    * output). All three metrics live in integer MICRO-units
+    * (`floor(value × 1e6)`, int64 `div`) so both engines replay them with
+    * pure integer arithmetic — no floating-point rounding anywhere, the
+    * same idiom as the LR trainer and PageRank. Zero denominators (a
+    * class never predicted, or predicted but absent from the actuals —
+    * e.g. `und` from the lang-ID heuristic) score 0, the scikit-style
+    * convention.
+    *
+    * Shape at scale: ONE partial-aggregatable groupBy over the corpus
+    * builds the confusion matrix (≤ |classes|² rows); the per-class fold,
+    * the full-outer class join, and the macro fold all run on that tiny
+    * matrix, never the corpus — the matrix groupBy is the only shuffle
+    * whose width tracks the data.
+    */
+  def classifierEval(df: org.apache.spark.sql.DataFrame, actual: Column,
+                     predicted: Column): org.apache.spark.sql.DataFrame = {
+    val m = df.groupBy(actual.as("act"), predicted.as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val byAct = m.groupBy(col("act").as("class"))
+      .agg(sum(col("n")).as("n_actual"),
+        sum(when(col("pred") === col("act"), col("n")).otherwise(lit(0L)))
+          .as("tp"))
+    val byPred = m.groupBy(col("pred").as("class"))
+      .agg(sum(col("n")).as("n_predicted"))
+    val perClass = byAct.join(byPred, Seq("class"), "full_outer")
+      .select(col("class"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_micro", when(col("n_predicted") === 0, lit(0L))
+        .otherwise(expr("(tp * 1000000L) div n_predicted")))
+      .withColumn("recall_micro", when(col("n_actual") === 0, lit(0L))
+        .otherwise(expr("(tp * 1000000L) div n_actual")))
+      .withColumn("f1_micro",
+        when(col("precision_micro") + col("recall_micro") === 0, lit(0L))
+          .otherwise(expr("(2L * precision_micro * recall_micro) div " +
+            "(precision_micro + recall_micro)")))
+    val macroRow = perClass.agg(
+      sum(col("n_actual")).as("n_actual"),
+      sum(col("n_predicted")).as("n_predicted"),
+      sum(col("tp")).as("tp"),
+      expr("sum(precision_micro) div count(*)").as("precision_micro"),
+      expr("sum(recall_micro) div count(*)").as("recall_micro"),
+      expr("sum(f1_micro) div count(*)").as("f1_micro"))
+      .select(lit("~macro").as("class"), col("n_actual"),
+        col("n_predicted"), col("tp"), col("precision_micro"),
+        col("recall_micro"), col("f1_micro"))
+    perClass.unionByName(macroRow).orderBy(col("class"))
+  }
+
   /** Unigram language-model quality scoring: fit the corpus's own unigram
     * distribution (add-one smoothing), then score every document by its
     * mean per-token negative log2 probability — bits per token, the KenLM-

@@ -370,6 +370,17 @@ object ContentQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("pred"))),
 
+    // Classifier scorecard for the lang-ID heuristic against the table's
+    // ground-truth lang column: per-class precision/recall/F1 in integer
+    // micro-units plus a trailing ~macro row — the eval a pipeline runs
+    // before trusting any labeler at corpus scale. One corpus groupBy
+    // builds the confusion matrix; everything downstream folds the
+    // ≤|classes|² matrix rows.
+    "eval_confusion" -> ((s, d) =>
+      TextAnalysis.classifierEval(
+        docs(s, d).withColumn("pred", TextAnalysis.langId(col("text"))),
+        col("lang"), col("pred"))),
+
     // Cross-table referential audit: the docs↔embeddings key coverage a
     // pipeline checks before any retrieve-then-read join ships — matched
     // keys, docs missing a vector, vectors missing a doc. Three
@@ -2918,6 +2929,60 @@ object ContentQueries {
          |  FROM h)
          |SELECT lang, pred, count(*) AS n_docs
          |FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+
+    // classifierEval replay: same langid CASE, then pure int64 micro-unit
+    // arithmetic (// = floor div; every sum cast off DuckDB's hugeint).
+    "eval_confusion" ->
+      s"""WITH h AS (SELECT doc_id, lang, text,
+         |    $langHits
+         |  FROM documents),
+         |p AS (SELECT lang AS act, CASE
+         |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |    WHEN greatest(en, fr, de, es) = 0 THEN 'und'
+         |    WHEN en = greatest(en, fr, de, es) THEN 'en'
+         |    WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+         |    WHEN de = greatest(en, fr, de, es) THEN 'de'
+         |    ELSE 'es' END AS pred
+         |  FROM h),
+         |m AS (SELECT act, pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |a AS (SELECT act AS class, CAST(sum(n) AS BIGINT) AS n_actual,
+         |    CAST(sum(CASE WHEN pred = act THEN n ELSE 0 END) AS BIGINT)
+         |      AS tp
+         |  FROM m GROUP BY 1),
+         |q AS (SELECT pred AS class,
+         |    CAST(sum(n) AS BIGINT) AS n_predicted
+         |  FROM m GROUP BY 1),
+         |c AS (SELECT coalesce(a.class, q.class) AS class,
+         |    coalesce(n_actual, 0) AS n_actual,
+         |    coalesce(n_predicted, 0) AS n_predicted,
+         |    coalesce(tp, 0) AS tp
+         |  FROM a FULL OUTER JOIN q ON a.class = q.class),
+         |pc AS (SELECT class, n_actual, n_predicted, tp,
+         |    CASE WHEN n_predicted = 0 THEN 0
+         |      ELSE (tp * 1000000) // n_predicted END AS precision_micro,
+         |    CASE WHEN n_actual = 0 THEN 0
+         |      ELSE (tp * 1000000) // n_actual END AS recall_micro
+         |  FROM c),
+         |pf AS (SELECT class, n_actual, n_predicted, tp,
+         |    precision_micro, recall_micro,
+         |    CASE WHEN precision_micro + recall_micro = 0 THEN 0
+         |      ELSE (2 * precision_micro * recall_micro)
+         |        // (precision_micro + recall_micro) END AS f1_micro
+         |  FROM pc)
+         |SELECT class, n_actual, n_predicted, tp,
+         |  CAST(precision_micro AS BIGINT) AS precision_micro,
+         |  CAST(recall_micro AS BIGINT) AS recall_micro,
+         |  CAST(f1_micro AS BIGINT) AS f1_micro
+         |FROM pf
+         |UNION ALL
+         |SELECT '~macro', CAST(sum(n_actual) AS BIGINT),
+         |  CAST(sum(n_predicted) AS BIGINT), CAST(sum(tp) AS BIGINT),
+         |  CAST(sum(precision_micro) // count(*) AS BIGINT),
+         |  CAST(sum(recall_micro) // count(*) AS BIGINT),
+         |  CAST(sum(f1_micro) // count(*) AS BIGINT)
+         |FROM pf
+         |ORDER BY class""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,

@@ -570,4 +570,34 @@ class TextAnalysisSpec extends SparkSuite {
       .collect().map(r => (r.getLong(4), r.getString(0)))
     assert(top.sameElements(top.sortBy(t => (-t._1, t._2))))
   }
+
+  test("classifierEval: hand-computed P/R/F1 micro-units on a planted " +
+    "confusion matrix, incl. a predicted-only class and the ~macro row") {
+    // actual:   a a a a b b c
+    // predicted:a a b c b b d   -> d never actual, c never predicted right
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("a", "c"),
+      ("b", "b"), ("b", "b"), ("c", "d")).toDF("act", "pred")
+    val out = TextAnalysis.classifierEval(df, col("act"), col("pred"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // a: act 4, pred 2, tp 2 -> P=1.0, R=0.5, F1=2*1e6*5e5/(15e5)=666666
+    assert(out("a") == ((4L, 2L, 2L, 1000000L, 500000L, 666666L)))
+    // b: act 2, pred 3, tp 2 -> P=666666, R=1e6, F1 floor(2*666666e6/1666666)
+    val f1b = 2L * 666666L * 1000000L / 1666666L
+    assert(out("b") == ((2L, 3L, 2L, 666666L, 1000000L, f1b)))
+    // c: act 1, pred 1, tp 0 -> all zeros
+    assert(out("c") == ((1L, 1L, 0L, 0L, 0L, 0L)))
+    // d: predicted-only class -> recall denominator 0 scores 0
+    assert(out("d") == ((0L, 1L, 0L, 0L, 0L, 0L)))
+    // ~macro: totals + unweighted integer-mean of the 4 class rows
+    val mp = (1000000L + 666666L + 0L + 0L) / 4
+    val mr = (500000L + 1000000L + 0L + 0L) / 4
+    val mf = (666666L + f1b + 0L + 0L) / 4
+    assert(out("~macro") == ((7L, 7L, 4L, mp, mr, mf)))
+    // the macro row sorts last under the bytewise class ORDER BY
+    val order = TextAnalysis.classifierEval(df, col("act"), col("pred"))
+      .collect().map(_.getString(0))
+    assert(order.sameElements(Array("a", "b", "c", "d", "~macro")))
+  }
 }
