@@ -399,6 +399,43 @@ object TextAnalysis {
     round(s / (lit(100.0) * greatest(size(toks), lit(1))), 6)
   }
 
+  /** Vowel-group syllable estimate (the classic readability heuristic):
+    * one maximal `[aeiouy]+` run ≈ one syllable, and a vowel-less word
+    * (an acronym, a number) still costs 1. Counted GLOBALLY — vowel runs
+    * cannot span the space separator, so one regexp pass over the whole
+    * lowered text plus one vowel-less-word filter equals the per-word
+    * sum without a nested per-word regex HOF. */
+  def syllableCount(text: Column): Column = {
+    val lo = lower(text)
+    size(regexp_extract_all(lo, lit("[aeiouy]+"), lit(0))) +
+      size(filter(tokens(lo), w => !w.rlike("[aeiouy]")))
+  }
+
+  /** Sentence count as maximal terminal-punctuation runs (`[.!?]+` so an
+    * ellipsis or "?!" ends ONE sentence), floored at 1 so fragment-only
+    * docs don't divide by zero. */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+
+  /** Flesch reading-ease in integer MICRO-points:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`, each
+    * ratio floor-divided in micro-units (int64 `div`) so both engines
+    * replay the score with pure integer arithmetic. Words use the
+    * single-space token contract. Low/negative scores flag dense or
+    * garbled text; pipelines bucket on this next to the perplexity and
+    * Gopher gates. */
+  def fleschMicro(words: Column, sentences: Column,
+                  syllables: Column): Column = {
+    // exact int64 floor-div for nonnegative operands: the numerator is a
+    // multiple of the divisor, so the double divide is exact ≤ 2^53
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val w = greatest(words.cast("long"), lit(1L))
+    lit(206835000L) -
+      idiv(lit(1015000L) * words.cast("long"), sentences.cast("long")) -
+      idiv(lit(84600000L) * syllables.cast("long"), w)
+  }
+
   /** Per-class precision / recall / F1 over an (actual, predicted) label
     * pair, plus one trailing `~macro` row carrying the unweighted macro
     * averages (the row name's `~` sorts after every `[a-z]` class in both

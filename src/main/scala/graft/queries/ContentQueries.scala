@@ -410,6 +410,23 @@ object ContentQueries {
         TextAnalysis.repetitionRatio(col("text")).as("repetition_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Flesch reading-ease next to the perplexity/Gopher gates: vowel-
+    // group syllables + terminal-punctuation sentences, score in integer
+    // micro-points (int64 floor-div both engines replay exactly). One
+    // projection over the corpus — two regexp passes and one word
+    // filter per doc, no explode, no shuffle beyond the output sort.
+    "text_readability" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"),
+          TextAnalysis.sentenceCount(col("text")).cast("long")
+            .as("n_sentences"),
+          TextAnalysis.syllableCount(col("text")).cast("long")
+            .as("n_syllables"))
+        .withColumn("flesch_micro", TextAnalysis.fleschMicro(
+          col("n_words"), col("n_sentences"), col("n_syllables")))
+        .orderBy(col("doc_id"))),
+
     // Top-bigram concentration (Rae et al. 2021's duplicate-n-gram
     // family): the fraction of a doc's tokens covered by its single
     // most frequent bigram — the fine-grained intra-doc repetition
@@ -2997,6 +3014,24 @@ object ContentQueries {
          |    / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 6)
          |    AS repetition_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // readability replay: same global vowel-run count + vowel-less-word
+    // floor, same micro-point floor-div formula.
+    "text_readability" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      + len(list_filter(string_split(lower(text), ' '),
+        |          w -> NOT regexp_matches(w, '[aeiouy]')))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(206835000 - (1015000 * n_words) // n_sentences
+        |    - (84600000 * n_syllables) // greatest(n_words, 1)
+        |    AS BIGINT) AS flesch_micro
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(

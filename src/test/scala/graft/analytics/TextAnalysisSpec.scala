@@ -571,6 +571,42 @@ class TextAnalysisSpec extends SparkSuite {
     assert(top.sameElements(top.sortBy(t => (-t._1, t._2))))
   }
 
+  test("readability: hand-computed syllables, sentence runs, and the " +
+    "Flesch micro formula incl. the no-punctuation sentence floor") {
+    // "the quick brown fox. it ran!! 42 xyz?" —
+    // syllables: the=1 quick=2(ui is one run? q-u-i-ck: 'ui' one run =1)...
+    // count vowel RUNS: the(1) quick(1: ui) brown(1: o... 'ow' no, w not
+    // vowel; 'o'=1) fox.(1) it(1) ran!!(1) 42(0 -> floor 1) xyz?(1: y)
+    val t = "the quick brown fox. it ran!! 42 xyz?"
+    val df = Seq(t).toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).cast("long").as("w"),
+      TextAnalysis.sentenceCount(col("text")).cast("long").as("s"),
+      TextAnalysis.syllableCount(col("text")).cast("long").as("y"))
+      .head
+    val (w, s, y) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(w == 8L)       // single-space tokens
+    assert(s == 3L)       // ".", "!!", "?" — each run is ONE terminator
+    assert(y == 8L)       // 7 vowel runs + 1 vowel-less word ("42")
+    val fl = df.select(TextAnalysis.fleschMicro(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.sentenceCount(col("text")),
+      TextAnalysis.syllableCount(col("text"))).as("f")).head.getLong(0)
+    assert(fl == 206835000L - 1015000L * 8 / 3 - 84600000L * 8 / 8)
+    // fragment with no terminator: sentence floor = 1, not div-by-zero
+    val frag = Seq("just a fragment").toDF("text")
+      .select(TextAnalysis.sentenceCount(col("text")).as("s"))
+      .head.getInt(0)
+    assert(frag == 1)
+    // empty text: the single-space contract yields one empty token,
+    // which is vowel-less -> 1 syllable, score still defined
+    val empty = Seq("").toDF("text").select(TextAnalysis.fleschMicro(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.sentenceCount(col("text")),
+      TextAnalysis.syllableCount(col("text"))).as("f")).head.getLong(0)
+    assert(empty == 206835000L - 1015000L - 84600000L)
+  }
+
   test("classifierEval: hand-computed P/R/F1 micro-units on a planted " +
     "confusion matrix, incl. a predicted-only class and the ~macro row") {
     // actual:   a a a a b b c
