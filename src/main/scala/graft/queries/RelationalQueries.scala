@@ -762,6 +762,42 @@ object RelationalQueries {
         .withColumn("pct_of_prev", round(col("n_users") * 100.0 /
           lag(col("n_users"), 1).over(w), 2))
         .orderBy(col("stage"))
+    }),
+
+    // Two-proportion A/B test: split users by `user_id % 2`, conversion
+    // = any purchase event, then the 2x2 chi-square statistic
+    // N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) — the experiment read-out a
+    // product pipeline runs daily. Counts and micro-rates are exact
+    // int64 (ad-bc stays under 2^53 so its double cast is exact); chi2
+    // is one double expression whose multiply order the oracle mirrors
+    // term-for-term. Scale: one user-keyed aggregate (the only shuffle
+    // that tracks the data), then a 2-row fold — nothing else moves.
+    "q52_abtest" -> ((s, d) => {
+      val u = T(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", lit(1L))
+          .otherwise(lit(0L))).as("conv"))
+      val t2 = u.agg(
+        sum(when(col("user_id") % 2 === 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_a"),
+        sum(when(col("user_id") % 2 === 0, col("conv")).otherwise(lit(0L)))
+          .as("conv_a"),
+        sum(when(col("user_id") % 2 === 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_b"),
+        sum(when(col("user_id") % 2 === 1, col("conv")).otherwise(lit(0L)))
+          .as("conv_b"))
+      val diff = (col("conv_a") * (col("n_b") - col("conv_b")) -
+        col("conv_b") * (col("n_a") - col("conv_a"))).cast("double")
+      t2.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("(conv_a * 1000000L) div greatest(n_a, 1L)")
+          .as("rate_a_micro"),
+        expr("(conv_b * 1000000L) div greatest(n_b, 1L)")
+          .as("rate_b_micro"),
+        round((col("n_a") + col("n_b")).cast("double") * diff * diff /
+          (col("n_a").cast("double") * col("n_b").cast("double") *
+            (col("conv_a") + col("conv_b")).cast("double") *
+            (col("n_a") + col("n_b") - col("conv_a") - col("conv_b"))
+              .cast("double")), 6).as("chi2"))
     })
   )
 
@@ -1136,6 +1172,37 @@ object RelationalQueries {
         |  round(n_users * 100.0 /
         |    lag(n_users) OVER (ORDER BY stage), 2) AS pct_of_prev
         |FROM st ORDER BY stage""".stripMargin,
+
+    "q52_abtest" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CAST((conv_a * 1000000) // greatest(n_a, 1) AS BIGINT)
+        |    AS rate_a_micro,
+        |  CAST((conv_b * 1000000) // greatest(n_b, 1) AS BIGINT)
+        |    AS rate_b_micro,
+        |  round(CAST(n_a + n_b AS DOUBLE)
+        |    * CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a)
+        |        AS DOUBLE)
+        |    * CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a)
+        |        AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |      * CAST(conv_a + conv_b AS DOUBLE)
+        |      * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE)), 6)
+        |    AS chi2
+        |FROM t""".stripMargin,
 
     "q25_percentile" ->
       """SELECT l_returnflag,
