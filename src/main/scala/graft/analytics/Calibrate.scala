@@ -134,9 +134,16 @@ object Calibrate {
         sum(col("pos") * (col("negbelow") * 2 + col("neg"))).as("u2"),
         sum(expr("(pos * cumpos * 1000000L) div cumcnt")).as("ap_micro"))
       .select(col("pos_n"), col("neg_n"),
-        round(col("u2") / (col("pos_n") * col("neg_n") * lit(2.0)), 6)
-          .as("auc"),
-        round(col("ap_micro") / (col("pos_n") * lit(1000000.0)), 6)
-          .as("avg_precision"))
+        // single-class input (pos_n or neg_n = 0) makes AUC's divisor 0
+        // — undefined by construction (no ranking to evaluate), so emit
+        // NULL explicitly rather than NaN/Infinity, matching
+        // classifierEval's explicit zero-denominator convention
+        when(col("pos_n") === 0 || col("neg_n") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("u2") /
+            (col("pos_n") * col("neg_n") * lit(2.0)), 6)).as("auc"),
+        when(col("pos_n") === 0, lit(null).cast("double"))
+          .otherwise(round(col("ap_micro") /
+            (col("pos_n") * lit(1000000.0)), 6)).as("avg_precision"))
   }
 }

@@ -146,6 +146,14 @@ object Dedup {
     * df join, per-doc rank window), each linear in corpus tokens. */
   def jaccardPairsPrefix(docs: DataFrame, id: Column, text: Column, n: Int,
                          threshold: Double): DataFrame = {
+    // ⌈t·n⌉ in IEEE doubles overshoots when t·n is integral in the reals
+    // but rounds up in floating point (t=0.07, n=100 → 7.000…001 →
+    // ceil 8), which would shorten the prefix / over-tighten the length
+    // filter and silently drop qualifying pairs — breaking the exactness
+    // contract. A 1e-9 epsilon under the product restores the real-
+    // valued ceiling (thresholds are human-scale decimals; no legitimate
+    // t·n sits within 1e-9 above an integer).
+    def ceilT(nCol: Column): Column = ceil(nCol * lit(threshold) - lit(1e-9))
     val sh = shingleTable(docs, id, text, n)
     val tok = sh.select(col("doc_id"), col("n_sh"),
         explode(col("sh")).as("s"))
@@ -157,8 +165,7 @@ object Dedup {
       .orderBy(col("df"), col("h"))
     val pref = tok.join(dfreq.hint("SHUFFLE_HASH"), Seq("h"))
       .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <=
-        col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1)
+      .filter(col("rn") <= col("n_sh") - ceilT(col("n_sh")) + 1)
       .select(col("doc_id"), col("n_sh"), col("h"))
     val l = pref.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"),
       col("h"))
@@ -166,8 +173,8 @@ object Dedup {
       col("h"))
     val cand = l.join(r.hint("SHUFFLE_HASH"), Seq("h"))
       .filter(col("a_id") < col("b_id") &&
-        col("a_n") >= ceil(col("b_n") * lit(threshold)) &&
-        col("b_n") >= ceil(col("a_n") * lit(threshold)))
+        col("a_n") >= ceilT(col("b_n")) &&
+        col("b_n") >= ceilT(col("a_n")))
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
     val hs = sh.select(col("doc_id"),

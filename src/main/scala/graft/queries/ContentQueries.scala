@@ -1813,8 +1813,12 @@ object ContentQueries {
       est.join(ex, Seq("a_grp", "b_grp"))
         .select(col("a_grp").as("a_src"), col("b_grp").as("b_src"),
           col("est_inter"), col("exact_inter"),
-          round(abs(col("est_inter") - col("exact_inter")) * 100.0
-            / col("exact_inter"), 2).as("err_pct"))
+          // fully-disjoint pair → exact_inter = 0 → relative error is
+          // undefined; NULL explicitly (Spark ANSI would throw, DuckDB
+          // would NaN — neither is the contract) on BOTH engines
+          when(col("exact_inter") === 0, lit(null).cast("double"))
+            .otherwise(round(abs(col("est_inter") - col("exact_inter"))
+              * 100.0 / col("exact_inter"), 2)).as("err_pct"))
         .orderBy(col("a_src"), col("b_src"))
     }),
 
@@ -2806,6 +2810,35 @@ object ContentQueries {
     // oracle unrolls the same synchronous deletions.
     "graph_kcore" -> ((s, d) => {
       val e = knnGraph(s, d)
+      val mutual = e.intersect(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.kCore(mutual, col("src"), col("dst"), k = 4, rounds = 8)
+        .orderBy(col("node"))
+    }),
+
+    // graph_label_prop on the PRODUCTION edge build: neighbors nominated
+    // by the persisted Lloyd IVF index (the graph_pagerank_ivf pattern —
+    // list-pruned candidate scan, linear-ish in the corpus, never the
+    // O(n²) all-pairs join), then the identical 5 synchronous majority-
+    // vote rounds. Certifies the 100 TB label-propagation chain
+    // end-to-end: the oracle replays Lloyd → assignment → probes →
+    // candidate ranking → vote rounds.
+    "graph_label_prop_ivf" -> ((s, d) => {
+      Graph.labelPropagation(knnGraphIvf(s, d), col("src"), col("dst"),
+        emb(s, d).filter(col("vec_id") % 5 === 0), col("vec_id"),
+        col("label"), iters = 5)
+        .orderBy(col("node"))
+    }),
+
+    // graph_kcore on the PRODUCTION edge build: mutualize the IVF-
+    // nominated top-8 lists (reciprocation is the same intersect — an
+    // edge survives only if both endpoints nominate each other), then
+    // the identical synchronous peeling. With ANN lists the mutual graph
+    // is sparser than the exact one (a missed true neighbor breaks
+    // reciprocity), which is precisely what this row certifies against
+    // the oracle's full replay.
+    "graph_kcore_ivf" -> ((s, d) => {
+      val e = knnGraphIvf(s, d)
       val mutual = e.intersect(
         e.select(col("dst").as("src"), col("src").as("dst")))
       Graph.kCore(mutual, col("src"), col("dst"), k = 4, rounds = 8)
@@ -4914,8 +4947,9 @@ object ContentQueries {
         |  FROM g3 ga JOIN g3 gb ON ga.g = gb.g AND ga.source < gb.source
         |  GROUP BY 1, 2)
         |SELECT est.a_src, est.b_src, est_inter, exact_inter,
-        |  round(abs(est_inter - exact_inter) * 100.0 / exact_inter, 2)
-        |    AS err_pct
+        |  CASE WHEN exact_inter = 0 THEN NULL
+        |    ELSE round(abs(est_inter - exact_inter) * 100.0
+        |      / exact_inter, 2) END AS err_pct
         |FROM est JOIN ex USING (a_src, b_src)
         |ORDER BY a_src, b_src""".stripMargin,
 
@@ -5974,31 +6008,7 @@ object ContentQueries {
     // (identical CTE chain to sim_topk_ivf_lloyd/_served, with queries =
     // the FULL table and k = 8) feeding the same 10-round integer unroll
     "graph_pagerank_ivf" ->
-      (s"""WITH $lloydCentCtes16,
-         |asg AS (SELECT n.vec_id AS n_id, n.e AS av, n.nrm AS an,
-         |    cent.list_id,
-         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |      round(list_sum(list_transform(range(1, 65),
-         |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
-         |      cent.list_id) AS arn
-         |  FROM n CROSS JOIN cent),
-         |assigned AS (SELECT n_id, av, an, list_id FROM asg WHERE arn <= 2),
-         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n),
-         |prb AS (SELECT q.q_id, q.qe, q.qn, cent.list_id,
-         |    row_number() OVER (PARTITION BY q.q_id ORDER BY
-         |      round(list_sum(list_transform(range(1, 65),
-         |        i -> q.qe[i] * cent.ce[i])) / (q.qn * cent.cn), 6) DESC,
-         |      cent.list_id) AS prn
-         |  FROM q CROSS JOIN cent),
-         |probes AS (SELECT q_id, qe, qn, list_id FROM prb WHERE prn <= 4),
-         |sc AS (SELECT DISTINCT p.q_id, a.n_id,
-         |    round(list_sum(list_transform(range(1, 65),
-         |      i -> p.qe[i] * a.av[i])) / (p.qn * a.an), 4) AS sim
-         |  FROM probes p JOIN assigned a
-         |    ON a.list_id = p.list_id AND a.n_id <> p.q_id),
-         |rr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY sim DESC, n_id) AS rnk FROM sc),
-         |edges AS (SELECT q_id AS src, n_id AS dst FROM rr WHERE rnk <= 8),
+      (s"""WITH $ivfEdgesSql,
          |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
          |ed AS (SELECT e.src, e.dst, d.outdeg
          |  FROM edges e JOIN deg d USING (src)),
@@ -6135,6 +6145,38 @@ object ContentQueries {
          |SELECT u.src AS node, count(*) AS core_deg
          |FROM und u JOIN kc8 a ON u.src = a.node
          |  JOIN kc8 b ON u.dst = b.node
+         |GROUP BY 1 ORDER BY 1""").stripMargin,
+
+    // graph_label_prop's unroll over the IVF-nominated edges: the full
+    // Lloyd → assignment → probe → rank chain replayed, then the same 5
+    // vote rounds — only the edge CTE differs from graph_label_prop
+    "graph_label_prop_ivf" ->
+      (s"""WITH $ivfEdgesSql,
+         |nodes0 AS (SELECT DISTINCT src AS node FROM edges
+         |  UNION SELECT DISTINCT dst FROM edges),
+         |seeds AS (SELECT vec_id AS node, CAST(min(label) AS BIGINT)
+         |    AS seed_lab
+         |  FROM embeddings WHERE vec_id % 5 = 0 GROUP BY 1),
+         |nodes AS MATERIALIZED (SELECT n.node, s.seed_lab,
+         |    s.seed_lab IS NOT NULL AS is_seed
+         |  FROM nodes0 n LEFT JOIN seeds s USING (node)),
+         |lp0 AS (SELECT node, seed_lab AS lab FROM nodes),
+         |""" + (1 to 5).map(lpRound).mkString(",\n|") + """
+         |SELECT l.node, l.lab AS label, n.is_seed
+         |FROM lp5 l JOIN nodes n USING (node) ORDER BY l.node""")
+        .stripMargin,
+
+    // graph_kcore's unroll over the IVF-nominated edges: mutualize the
+    // replayed ANN lists, then the same 8 synchronous peels at k = 4
+    "graph_kcore_ivf" ->
+      (s"""WITH $ivfEdgesSql,
+         |und AS MATERIALIZED (SELECT e.src, e.dst FROM edges e
+         |  JOIN edges r ON r.src = e.dst AND r.dst = e.src),
+         |kc0 AS (SELECT DISTINCT src AS node FROM und),
+         |""" + (1 to 8).map(i => kcRound(i, 4)).mkString(",\n|") + """
+         |SELECT u.src AS node, count(*) AS core_deg
+         |FROM und u JOIN kc8 a ON u.src = a.node
+         |  JOIN kc8 b ON u.dst = b.node
          |GROUP BY 1 ORDER BY 1""").stripMargin
   )
 
@@ -6197,6 +6239,41 @@ object ContentQueries {
       |edges AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
       |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst)
       |      AS rnk FROM sc) WHERE rnk <= 8)"""
+
+  /** The Lloyd-IVF ANN edge build in SQL (queries = the FULL embeddings
+    * table, k = 8) — the crawl-scale edge nomination shared by the
+    * `graph_*_ivf` oracles: the identical CTE chain to
+    * `sim_topk_ivf_lloyd`/`_served` (multi-assignment 2, probes 4, 4dp
+    * candidate scores, min-node ties), ending at CTE `edges(src, dst)`.
+    * Mirrors `knnGraphIvf` exactly — same persisted-index construction
+    * the Spark side reads back. */
+  private def ivfEdgesSql: String =
+    s"""$lloydCentCtes16,
+       |asg AS (SELECT n.vec_id AS n_id, n.e AS av, n.nrm AS an,
+       |    cent.list_id,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      round(list_sum(list_transform(range(1, 65),
+       |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
+       |      cent.list_id) AS arn
+       |  FROM n CROSS JOIN cent),
+       |assigned AS (SELECT n_id, av, an, list_id FROM asg WHERE arn <= 2),
+       |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n),
+       |prb AS (SELECT q.q_id, q.qe, q.qn, cent.list_id,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |      round(list_sum(list_transform(range(1, 65),
+       |        i -> q.qe[i] * cent.ce[i])) / (q.qn * cent.cn), 6) DESC,
+       |      cent.list_id) AS prn
+       |  FROM q CROSS JOIN cent),
+       |probes AS (SELECT q_id, qe, qn, list_id FROM prb WHERE prn <= 4),
+       |sc AS (SELECT DISTINCT p.q_id, a.n_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> p.qe[i] * a.av[i])) / (p.qn * a.an), 4) AS sim
+       |  FROM probes p JOIN assigned a
+       |    ON a.list_id = p.list_id AND a.n_id <> p.q_id),
+       |rr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, n_id) AS rnk FROM sc),
+       |edges AS MATERIALIZED (SELECT q_id AS src, n_id AS dst FROM rr
+       |  WHERE rnk <= 8)""".stripMargin
 
   /** One PageRank round in SQL, integer-exact vs `Graph.pageRank`:
     * contribution = rank // outdeg per edge, new = base + (85*inflow)//100

@@ -764,19 +764,33 @@ object RelationalQueries {
         .orderBy(col("stage"))
     }),
 
-    // Two-proportion A/B test: split users by `user_id % 2`, conversion
-    // = any purchase event, then the 2x2 chi-square statistic
-    // N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) — the experiment read-out a
-    // product pipeline runs daily. Counts and micro-rates are exact
-    // int64 (ad-bc stays under 2^53 so its double cast is exact); chi2
-    // is one double expression whose multiply order the oracle mirrors
-    // term-for-term. Scale: one user-keyed aggregate (the only shuffle
-    // that tracks the data), then a 2-row fold — nothing else moves.
+    // Two-proportion A/B test: split users by `user_id % 2`; conversion
+    // = a purchase within 48 h of the user's FIRST view (the q51_funnel
+    // predicate — an unbounded "ever purchased" predicate saturates on
+    // this fixture's dense users and degenerates the 2x2 table), then
+    // the chi-square statistic N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)).
+    // Counts and micro-rates are exact int64 (ad-bc stays under 2^53 so
+    // its double cast is exact); chi2 is one double expression whose
+    // multiply order the oracle mirrors term-for-term, NULL-guarded on
+    // every marginal (an all-converters or no-converters table has a
+    // zero marginal — Spark ANSI mode would throw DIVIDE_BY_ZERO while
+    // DuckDB folds 0/0 -> NaN -> NULL, so both sides guard explicitly).
+    // Scale: stage shuffles are all user_id-keyed (one partitioning
+    // reused), then a 2-row fold — nothing else moves.
     "q52_abtest" -> ((s, d) => {
-      val u = T(s, d, "events")
-        .groupBy(col("user_id"))
-        .agg(max(when(col("event_type") === "purchase", lit(1L))
-          .otherwise(lit(0L))).as("conv"))
+      val win = expr("INTERVAL 48 HOURS")
+      val ev = T(s, d, "events").select(col("user_id"),
+        col("event_type"), col("ts").cast("timestamp").as("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("v_ts") && col("ts") <= col("v_ts") + win)
+        .select(col("user_id")).distinct()
+        .withColumn("conv", lit(1L))
+      val u = ev.select(col("user_id")).distinct()
+        .join(pu, Seq("user_id"), "left")
+        .withColumn("conv", coalesce(col("conv"), lit(0L)))
       val t2 = u.agg(
         sum(when(col("user_id") % 2 === 0, lit(1L)).otherwise(lit(0L)))
           .as("n_a"),
@@ -793,11 +807,16 @@ object RelationalQueries {
           .as("rate_a_micro"),
         expr("(conv_b * 1000000L) div greatest(n_b, 1L)")
           .as("rate_b_micro"),
-        round((col("n_a") + col("n_b")).cast("double") * diff * diff /
-          (col("n_a").cast("double") * col("n_b").cast("double") *
-            (col("conv_a") + col("conv_b")).cast("double") *
-            (col("n_a") + col("n_b") - col("conv_a") - col("conv_b"))
-              .cast("double")), 6).as("chi2"))
+        when(col("n_a") === 0 || col("n_b") === 0 ||
+            col("conv_a") + col("conv_b") === 0 ||
+            col("n_a") + col("n_b") - col("conv_a") - col("conv_b") === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            round((col("n_a") + col("n_b")).cast("double") * diff * diff /
+              (col("n_a").cast("double") * col("n_b").cast("double") *
+                (col("conv_a") + col("conv_b")).cast("double") *
+                (col("n_a") + col("n_b") - col("conv_a") - col("conv_b"))
+                  .cast("double")), 6)).as("chi2"))
     })
   )
 
@@ -1174,10 +1193,17 @@ object RelationalQueries {
         |FROM st ORDER BY stage""".stripMargin,
 
     "q52_abtest" ->
-      """WITH u AS (SELECT user_id,
-        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      AS conv
-        |  FROM events GROUP BY 1),
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |pu AS (SELECT DISTINCT e.user_id FROM ev e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+        |    AND e.ts <= v.v_ts + INTERVAL 48 HOUR),
+        |u AS (SELECT a.user_id,
+        |    CASE WHEN pu.user_id IS NULL THEN 0 ELSE 1 END AS conv
+        |  FROM (SELECT DISTINCT user_id FROM ev) a
+        |  LEFT JOIN pu USING (user_id)),
         |t AS (SELECT
         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_a,
@@ -1193,7 +1219,9 @@ object RelationalQueries {
         |    AS rate_a_micro,
         |  CAST((conv_b * 1000000) // greatest(n_b, 1) AS BIGINT)
         |    AS rate_b_micro,
-        |  round(CAST(n_a + n_b AS DOUBLE)
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+        |      OR n_a + n_b - conv_a - conv_b = 0 THEN NULL
+        |  ELSE round(CAST(n_a + n_b AS DOUBLE)
         |    * CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a)
         |        AS DOUBLE)
         |    * CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a)
@@ -1201,7 +1229,7 @@ object RelationalQueries {
         |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
         |      * CAST(conv_a + conv_b AS DOUBLE)
         |      * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE)), 6)
-        |    AS chi2
+        |  END AS chi2
         |FROM t""".stripMargin,
 
     "q25_percentile" ->

@@ -13,11 +13,60 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // noop write, NOT count(): Catalyst prunes unused projections under
+  // count(), so a throwing column (e.g. an ANSI DIVIDE_BY_ZERO) stays
+  // invisible — the round-11 q52 escape. The noop sink materializes
+  // every output column end-to-end.
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
-      val df = fn(spark, sf0001)
-      assert(df.count() >= 0)
+      fn(spark, sf0001).write.format("noop").mode("overwrite").save()
     }
+  }
+
+  test("smoke discipline: a throwing projection escapes count() but is " +
+    "caught by the noop write — the exact hazard the smoke must cover") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(3)
+      .select(col("id"), (lit(1) / (col("id") - col("id"))).as("boom"))
+    assert(df.count() == 3) // count() prunes `boom`: silently green
+    intercept[Exception] {
+      df.write.format("noop").mode("overwrite").save()
+    }
+  }
+
+  test("abtest: an all-converters table (zero chi2 marginal) yields " +
+    "NULL chi2, not a DIVIDE_BY_ZERO throw; a mixed table yields the " +
+    "hand-computed statistic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L)
+    def run(rows: Seq[(Long, String, java.sql.Timestamp)]) = {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_abtest_spec"
+      rows.toDF("user_id", "event_type", "ts")
+        .withColumn("event_id", col("user_id"))
+        .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      graft.queries.RelationalQueries.queries("q52_abtest")(spark, dir)
+        .collect().head
+    }
+    // every user views@0 then purchases@1 -> all convert -> the
+    // (n - conv) marginal is 0 -> chi2 must be NULL (DuckDB's 0/0)
+    val allConv = run(Seq(
+      (0L, "view", t(0)), (0L, "purchase", t(1)),
+      (1L, "view", t(0)), (1L, "purchase", t(1))))
+    assert(allConv.getLong(0) == 1L && allConv.getLong(1) == 1L)
+    assert(allConv.isNullAt(6), allConv)
+    // arm A converts 1/2, arm B 0/1; purchase@50h is OUTSIDE the 48 h
+    // window so u2 must NOT count. 2x2 = (a=1,b=1,c=0,d=1):
+    // chi2 = 3*(1*1-0*1)^2/(2*1*1*2) = 0.75
+    val mixed = run(Seq(
+      (0L, "view", t(0)), (0L, "purchase", t(1)),
+      (2L, "view", t(0)), (2L, "purchase", t(50)),
+      (1L, "view", t(0))))
+    assert(mixed.getLong(0) == 2L && mixed.getLong(1) == 1L &&
+      mixed.getLong(2) == 1L && mixed.getLong(3) == 0L, mixed)
+    assert(mixed.getDouble(6) == 0.75, mixed)
   }
 
   test("funnel stages demand strict event ORDER, not mere presence") {
