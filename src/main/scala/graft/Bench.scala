@@ -71,6 +71,13 @@ object Bench {
     "text_lr_ranking", "profile_cm_merge", "profile_kmv_overlap",
     "q51_funnel", "eval_confusion")
 
+  // Round-12 additions, reported under "queries_r12"/"value_r12" —
+  // includes text_readability and q52_abtest, registered in round 11 but
+  // missed by additionsR11 (round-11 advice).
+  val additionsR12: Seq[String] = Seq(
+    "text_readability", "q52_abtest", "q53_abtest_ci",
+    "graph_label_prop_ivf", "graph_kcore_ivf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -114,9 +121,15 @@ object Bench {
     def json(rs: Seq[(String, Seq[Double])]): String =
       rs.map { case (k, ts) => "\"" + k + f"\":${median(ts)}%.3f" }
         .mkString("{", ",", "}")
+    // full rep array IN RUN ORDER, not just [min,max]: a contended host
+    // window shows up as a drifting sequence (and the round-11 artifact's
+    // apparent 4-10x regressions were exactly that) — with the raw reps
+    // committed, a reader can see contention instead of inferring it.
+    // min-of-reps is the regression-gate statistic (SCALE.md): medians
+    // are poisoned by a contended window, minima are not.
     def spreadJson(rs: Seq[(String, Seq[Double])]): String =
       rs.map { case (k, ts) =>
-        "\"" + k + f"\":[${ts.min}%.3f,${ts.max}%.3f]"
+        "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     def total(rs: Seq[(String, Seq[Double])]): Double =
       rs.map { case (_, ts) => median(ts) }.filter(_ >= 0).sum
@@ -133,6 +146,7 @@ object Bench {
     val r9 = run(additionsR9)
     val r10 = run(additionsR10)
     val r11 = run(additionsR11)
+    val r12 = run(additionsR12)
     // BPE batched-trainer scale diagnostic (round-8 verdict item): train
     // 32 merges on the full corpus and report rounds + width — the batch
     // width is the 32k-vocab production bound (rounds ≈ vocab/width).
@@ -314,11 +328,11 @@ object Bench {
     // Failures must be machine-loud, not just a -1.0 sentinel buried in the
     // metrics (round 8's bench read as rc:0 with six dead queries): name
     // them in an explicit "failed" list AND exit non-zero.
-    val failed = (results ++ r7 ++ r9 ++ r10 ++ r11).collect { case (k, ts) if median(ts) < 0 => k }
+    val failed = (results ++ r7 ++ r9 ++ r10 ++ r11 ++ r12).collect { case (k, ts) if median(ts) < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val spread = spreadJson(results ++ r7 ++ r9 ++ r10 ++ r11)
+    val spread = spreadJson(results ++ r7 ++ r9 ++ r10 ++ r11 ++ r12)
     val line =
-      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"queries_r12":${json(r12)},"value_r12":${total(r12)}%.3f,"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the TAIL of sbt's output, and this line has
     // outgrown the capture window (round 10's official artifact lost every

@@ -16,9 +16,12 @@ object PartitionerSpec {
     * granularity, driven by `timestampColumn` (K12 extractor choice). */
   final case class Hourly(timestampColumn: String) extends PartitionerSpec
   final case class Daily(timestampColumn: String) extends PartitionerSpec
-  /** K5 with explicit `path.format` (Joda pattern) + `timezone` keys. */
+  /** K5 with explicit `path.format` (Joda pattern) + `timezone` +
+    * `locale` keys (locale only affects text month/day-name tokens;
+    * `null` = locale-free pattern). */
   final case class TimeFormat(timestampColumn: String, pathFormat: String,
-                              timezone: String = "UTC") extends PartitionerSpec
+                              timezone: String = "UTC",
+                              locale: String = null) extends PartitionerSpec
   /** K8 wrapper: affix schema_name=<name>. */
   final case class SchemaAffix(inner: PartitionerSpec, schemaName: String,
                                prefix: Boolean = true) extends PartitionerSpec
@@ -37,8 +40,8 @@ object PartitionerSpec {
         Partitioners.fieldPartition(names.map(n => n -> col(n)): _*)
       case Hourly(ts) => Partitioners.hourlyPartition(col(ts).cast("timestamp"))
       case Daily(ts) => Partitioners.dailyPartition(col(ts).cast("timestamp"))
-      case TimeFormat(ts, fmt, tz) =>
-        Partitioners.timePartition(col(ts).cast("timestamp"), fmt, tz)
+      case TimeFormat(ts, fmt, tz, loc) =>
+        Partitioners.timePartition(col(ts).cast("timestamp"), fmt, tz, loc)
       case SchemaAffix(inner, name, prefix) =>
         Partitioners.schemaNameAffix(compile(inner, kafkaPartition),
           lit(name), prefix)

@@ -54,12 +54,76 @@ object Partitioners {
     * `from_utc_timestamp`, then `date_format` writes the wall-clock fields.
     * The Joda tokens the reference's configs use translate 1:1 to
     * java.time except `YYYY` (Joda year-of-era vs java.time week-year) —
-    * mapped to `yyyy` here. `locale` stays at the JVM/session default, a
-    * documented divergence (only affects text month/day names, which the
-    * reference's own default formats never use). */
+    * mapped to `yyyy` here.
+    *
+    * `locale` (reference: TimeBasedPartitioner's `locale` config,
+    * S3SinkConnectorTestBase.java:84-86) matters only for TEXT tokens —
+    * month names `MMM`/`MMMM`, day names `EEE`/`EEEE`; every numeric
+    * token is locale-free. Spark's `date_format` renders text tokens in
+    * its fixed internal locale, so localized tokens are rendered instead
+    * from 12/7-entry name arrays resolved ONCE on the driver
+    * (`java.time` display names for the requested language tag) and
+    * baked into the plan as literals — `element_at(names, month(ts))`
+    * stays inside whole-stage codegen, no UDF, no per-row locale work.
+    * With no text token in the pattern, any `locale` is a no-op, exactly
+    * like the reference's default formats. */
   def timePartition(ts: Column, pathFormat: String,
-                    timezone: String = "UTC"): Column =
-    date_format(from_utc_timestamp(ts, timezone), jodaToJavaTime(pathFormat))
+                    timezone: String = "UTC",
+                    locale: String = null): Column = {
+    val zts = from_utc_timestamp(ts, timezone)
+    val pat = jodaToJavaTime(pathFormat)
+    val segs = splitTextTokens(pat)
+    if (locale == null || !segs.exists(_.isLeft))
+      date_format(zts, pat)
+    else {
+      val loc = java.util.Locale.forLanguageTag(locale)
+      import java.time.format.TextStyle
+      def months(st: TextStyle) = array((1 to 12).map(m =>
+        lit(java.time.Month.of(m).getDisplayName(st, loc))): _*)
+      // Spark dayofweek(): 1 = Sunday … 7 = Saturday
+      def days(st: TextStyle) = array(
+        (Seq(java.time.DayOfWeek.SUNDAY) ++
+          java.time.DayOfWeek.values.take(6)).map(d =>
+          lit(d.getDisplayName(st, loc))): _*)
+      concat(segs.map {
+        case Left("MMMM") => element_at(months(TextStyle.FULL), month(zts))
+        case Left("MMM") => element_at(months(TextStyle.SHORT), month(zts))
+        case Left("EEEE") => element_at(days(TextStyle.FULL), dayofweek(zts))
+        case Left(_) => element_at(days(TextStyle.SHORT), dayofweek(zts))
+        case Right(s) => date_format(zts, s)
+      }: _*)
+    }
+  }
+
+  /** Splits a java.time pattern into locale-sensitive TEXT tokens
+    * (`Left`: runs of ≥3 `M` or `E` outside quoted literals — month/day
+    * names) and locale-free passthrough segments (`Right`). Runs of ≤2
+    * are numeric and stay in the passthrough; quoted literals are never
+    * scanned. */
+  private[ingest] def splitTextTokens(pat: String)
+      : Seq[Either[String, String]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Either[String, String]]
+    val cur = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      if (c == '\'') { inQuote = !inQuote; cur += c; i += 1 }
+      else if (!inQuote && (c == 'M' || c == 'E')) {
+        var j = i
+        while (j < pat.length && pat.charAt(j) == c) j += 1
+        val run = pat.substring(i, j)
+        if (run.length >= 3) {
+          if (cur.nonEmpty) { out += Right(cur.toString); cur.clear() }
+          // cap at the two shapes java.time text styles distinguish
+          out += Left(run.take(4))
+        } else cur ++= run
+        i = j
+      } else { cur += c; i += 1 }
+    }
+    if (cur.nonEmpty) out += Right(cur.toString)
+    out.toSeq
+  }
 
   /** The Joda→java.time pattern translation for the token subset that
     * appears in reference configs: YYYY→yyyy; quoted literals, MM, dd, HH,

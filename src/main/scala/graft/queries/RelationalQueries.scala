@@ -817,6 +817,62 @@ object RelationalQueries {
                 (col("conv_a") + col("conv_b")).cast("double") *
                 (col("n_a") + col("n_b") - col("conv_a") - col("conv_b"))
                   .cast("double")), 6)).as("chi2"))
+    }),
+
+    // Two-proportion z readout — the q52 experiment's companion
+    // INTERVAL statistic (a chi2 says "different"; the shipped decision
+    // needs direction and width): same arms and 48 h-window conversion,
+    // then rate difference, pooled-SE z score, and the Wald 95% CI on
+    // the difference (unpooled SE, ±1.96). All inputs are exact int64
+    // counts; every derived value is a fixed IEEE expression tree the
+    // oracle mirrors term-for-term, rounded to 6 at the edge. Degenerate
+    // marginals (empty arm; all/none converted ⇒ pooled SE 0) yield NULL
+    // — same discipline as q52's chi2 guard. Scale: identical shape to
+    // q52 (user-keyed shuffles, 2-row fold).
+    "q53_abtest_ci" -> ((s, d) => {
+      val win = expr("INTERVAL 48 HOURS")
+      val ev = T(s, d, "events").select(col("user_id"),
+        col("event_type"), col("ts").cast("timestamp").as("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("v_ts") && col("ts") <= col("v_ts") + win)
+        .select(col("user_id")).distinct()
+        .withColumn("conv", lit(1L))
+      val u = ev.select(col("user_id")).distinct()
+        .join(pu, Seq("user_id"), "left")
+        .withColumn("conv", coalesce(col("conv"), lit(0L)))
+      val t2 = u.agg(
+        sum(when(col("user_id") % 2 === 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_a"),
+        sum(when(col("user_id") % 2 === 0, col("conv")).otherwise(lit(0L)))
+          .as("conv_a"),
+        sum(when(col("user_id") % 2 === 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_b"),
+        sum(when(col("user_id") % 2 === 1, col("conv")).otherwise(lit(0L)))
+          .as("conv_b"))
+      val na = col("n_a").cast("double")
+      val nb = col("n_b").cast("double")
+      val pa = col("conv_a").cast("double") / na
+      val pb = col("conv_b").cast("double") / nb
+      val pp = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val se = sqrt(pa * (lit(1.0) - pa) / na + pb * (lit(1.0) - pb) / nb)
+      val sep = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
+      val armEmpty = col("n_a") === 0 || col("n_b") === 0
+      val degenerate = armEmpty ||
+        col("conv_a") + col("conv_b") === 0 ||
+        col("n_a") + col("n_b") - col("conv_a") - col("conv_b") === 0
+      t2.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        when(armEmpty, lit(null).cast("double"))
+          .otherwise(round(pa - pb, 6)).as("rate_diff"),
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(round((pa - pb) / sep, 6)).as("z"),
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(round(pa - pb - lit(1.96) * se, 6)).as("ci_lo"),
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(round(pa - pb + lit(1.96) * se, 6)).as("ci_hi"))
     })
   )
 
@@ -1231,6 +1287,56 @@ object RelationalQueries {
         |      * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE)), 6)
         |  END AS chi2
         |FROM t""".stripMargin,
+
+    // q52's conversion chain, then the z/Wald readout with DOUBLE
+    // expression trees mirroring the Spark side term-for-term
+    "q53_abtest_ci" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |pu AS (SELECT DISTINCT e.user_id FROM ev e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+        |    AND e.ts <= v.v_ts + INTERVAL 48 HOUR),
+        |u AS (SELECT a.user_id,
+        |    CASE WHEN pu.user_id IS NULL THEN 0 ELSE 1 END AS conv
+        |  FROM (SELECT DISTINCT user_id FROM ev) a
+        |  LEFT JOIN pu USING (user_id)),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM u),
+        |s AS (SELECT n_a, conv_a, n_b, conv_b,
+        |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |    CAST(conv_a + conv_b AS DOUBLE)
+        |      / CAST(n_a + n_b AS DOUBLE) AS pp,
+        |    n_a = 0 OR n_b = 0 AS arm_empty,
+        |    n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+        |      OR n_a + n_b - conv_a - conv_b = 0 AS degen
+        |  FROM t)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CASE WHEN arm_empty THEN NULL
+        |    ELSE round(pa - pb, 6) END AS rate_diff,
+        |  CASE WHEN degen THEN NULL
+        |    ELSE round((pa - pb) / sqrt(pp * (1.0 - pp)
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+        |    END AS z,
+        |  CASE WHEN degen THEN NULL
+        |    ELSE round(pa - pb - 1.96 * sqrt(
+        |      pa * (1.0 - pa) / CAST(n_a AS DOUBLE)
+        |      + pb * (1.0 - pb) / CAST(n_b AS DOUBLE)), 6) END AS ci_lo,
+        |  CASE WHEN degen THEN NULL
+        |    ELSE round(pa - pb + 1.96 * sqrt(
+        |      pa * (1.0 - pa) / CAST(n_a AS DOUBLE)
+        |      + pb * (1.0 - pb) / CAST(n_b AS DOUBLE)), 6) END AS ci_hi
+        |FROM s""".stripMargin,
 
     "q25_percentile" ->
       """SELECT l_returnflag,

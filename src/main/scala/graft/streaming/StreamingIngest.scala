@@ -245,6 +245,65 @@ object StreamingIngest {
       }
   }
 
+  /** One micro-batch of the streaming count-min sink: build the batch's
+    * OWN cell table (`Sketches.cmCells`) and commit it as the slice
+    * `batch_id=<id>/` under `outDir`. This is `runningDistinct`'s
+    * sum-merge sibling with the OPPOSITE mergeability discipline, and
+    * the replay semantics are the interesting part: HLL register max is
+    * idempotent (a replayed batch re-folds harmlessly), but CM cells ADD
+    * — naively re-summing a replayed micro-batch double-counts its whole
+    * mass. The exactly-once lever is batchId-keyed slice isolation:
+    *  - a slice with a commit marker (parquet `_SUCCESS`) is final — a
+    *    replay of that batchId SKIPS (returns false);
+    *  - a partial slice from a crashed attempt has no marker — the
+    *    replay OVERWRITES it in place (mode Overwrite on the slice dir),
+    *    never appends on top.
+    * Committed slices therefore partition the stream exactly once, so
+    * summing them (`readCmCells` = the `cmMergeCells` discipline over
+    * the slice table) equals a single batch pass over every row — the
+    * disjoint-slice precondition of CM sum-merge, manufactured by the
+    * sink. Slice size is the FIXED d·w grid regardless of batch rows. */
+  def persistCmBatch(batch: DataFrame, batchId: Long, outDir: String,
+                     item: Column, weight: Column,
+                     d: Int = 4, w: Int = 1024): Boolean = {
+    val slice = new java.io.File(outDir, s"batch_id=$batchId")
+    if (new java.io.File(slice, "_SUCCESS").exists()) false
+    else {
+      // d·w cells max — one file per slice keeps the table compact
+      graft.analytics.Sketches.cmCells(batch, item, weight, d, w)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(slice.toString)
+      true
+    }
+  }
+
+  /** The streaming CM sink: every micro-batch lands its cell slice via
+    * `persistCmBatch`; `readCmCells` serves the running sketch. */
+  def startCmSink(stream: DataFrame, item: Column, weight: Column,
+                  outDir: String, checkpointDir: String,
+                  d: Int = 4, w: Int = 1024,
+                  trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        persistCmBatch(batch, batchId, outDir, item, weight, d, w); ()
+      }
+      .start()
+
+  /** The running sketch over every committed slice: partition-discover
+    * the `batch_id=` slices and SUM per cell — `Sketches.cmMergeCells`
+    * over however many slices exist, feeding the same
+    * `Sketches.cmEstimate` read chain the batch sketch uses. The scan is
+    * slices × d·w cells — sketch-scale, never stream-scale. */
+  def readCmCells(spark: org.apache.spark.sql.SparkSession,
+                  outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .groupBy(col("r"), col("c"))
+      .agg(sum(col("cell")).cast("long").as("cell"))
+
   /** Stream-stream temporal enrichment: join two live streams on a key
     * with the right event constrained to (leftTs - before, leftTs] — the
     * streaming twin of the batch range join (q16) and the pattern behind

@@ -37,6 +37,37 @@ class PartitionersSpec extends SparkSuite {
     assert(fmt("2024-07-01 12:00:00") == "dt=2024-07-01/hr=08") // EDT -4
   }
 
+  test("K5 locale: text month/day tokens render in the configured " +
+    "locale; numeric tokens and quoted literals are locale-free; a " +
+    "pattern without text tokens ignores locale entirely") {
+    val ts = to_timestamp(lit("2024-01-15 12:00:00")) // a Monday
+    def fmt(pat: String, loc: String): String =
+      one(Partitioners.timePartition(ts, pat, "UTC", loc))
+    // French month name, full and short; quoted 'month'= stays literal
+    assert(fmt("'month'=MMMM", "fr") == "month=janvier")
+    assert(fmt("'month'=MMM/'day'=dd", "fr") == "month=janv./day=15")
+    // German full day name alongside numeric tokens
+    assert(fmt("'year'=YYYY/'dow'=EEEE", "de") == "year=2024/dow=Montag")
+    // Spanish short day name (dayofweek is Sunday-first — Monday must
+    // still map to Monday's name)
+    assert(fmt("'dow'=EEE", "es") == "dow=lun")
+    // numeric-only pattern: locale is a no-op, byte-identical to null
+    assert(fmt("'year'=YYYY/'month'=MM", "fr") ==
+      one(Partitioners.timePartition(ts, "'year'=YYYY/'month'=MM")))
+    // an MM numeric token must NOT be swallowed by the text-token scan
+    assert(Partitioners.splitTextTokens("'m'=MM/x=MMMM") ==
+      Seq(Right("'m'=MM/x="), Left("MMMM")))
+    // quoted M runs are literals, never tokens
+    assert(Partitioners.splitTextTokens("'MMMM'=MMM") ==
+      Seq(Right("'MMMM'="), Left("MMM")))
+    // the ADT plumbing carries locale through compile
+    val df = Seq("2024-01-15 12:00:00").toDF("ts")
+    val r = df.select(PartitionerSpec.compile(
+      PartitionerSpec.TimeFormat("ts", "'month'=MMMM", "UTC", "fr"),
+      lit(0)).as("e")).head.getString(0)
+    assert(r == "month=janvier")
+  }
+
   test("K3 multi-field partitioner: f1=v1/f2=v2") {
     val r = Seq(("a", 2)).toDF("f1", "f2")
       .select(Partitioners.fieldPartition(

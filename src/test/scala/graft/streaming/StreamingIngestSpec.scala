@@ -832,6 +832,69 @@ class StreamingIngestSpec extends SparkSuite {
       s"g estimate $lastG out of band for 1000 distinct")
   }
 
+  test("streaming CM sink: batchId-keyed slices make the non-idempotent " +
+    "sum-merge replay-safe — a replayed committed batch is skipped, a " +
+    "partial slice is overwritten, and the merged cells equal the " +
+    "single-pass batch sketch exactly") {
+    import graft.analytics.Sketches
+    val src = Files.createTempDirectory("cm_src").toString
+    val out = Files.createTempDirectory("cm_out").toString
+    val ckpt = Files.createTempDirectory("cm_ckpt").toString
+    // two micro-batches with overlapping items (the overlap is what a
+    // double-counted replay would inflate)
+    val b1 = (1 to 400).map(i => (s"tok${i % 80}", 1L))
+    val b2 = (1 to 300).map(i => (s"tok${i % 50}", 2L))
+    b1.toDF("it", "wt").coalesce(1).write.mode("append").parquet(src)
+    b2.toDF("it", "wt").coalesce(1).write.mode("append").parquet(src)
+
+    val sschema = StructType(Seq(StructField("it", StringType),
+      StructField("wt", LongType)))
+    val stream = spark.readStream.schema(sschema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamingIngest.startCmSink(stream, col("it"), col("wt"),
+      out, ckpt)
+    q.awaitTermination(60000)
+
+    // streamed == batch: the merged slice table must equal cmCells over
+    // ALL rows, cell for cell (sum-merge over a true partition)
+    def cellMap(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = cellMap(StreamingIngest.readCmCells(spark, out)
+      .select(col("r").cast("int"), col("c"), col("cell")))
+    val batch = cellMap(Sketches.cmCells((b1 ++ b2).toDF("it", "wt"),
+      col("it"), col("wt"))
+      .select(col("r").cast("int"), col("c"), col("cell")))
+    assert(merged == batch,
+      s"merged cells diverge: ${merged.size} vs ${batch.size} cells")
+
+    // planted replay of a COMMITTED batch: must be skipped (false) and
+    // leave the cells byte-identical — the naive re-sum would inflate
+    // every overlapped cell
+    val replayed = StreamingIngest.persistCmBatch(
+      b1.toDF("it", "wt"), 0L, out, col("it"), col("wt"))
+    assert(!replayed, "a committed slice must not be re-applied")
+    assert(cellMap(StreamingIngest.readCmCells(spark, out)
+      .select(col("r").cast("int"), col("c"), col("cell"))) == batch)
+
+    // planted PARTIAL slice (crashed attempt: data, no _SUCCESS): the
+    // replay must overwrite in place, not append on top
+    val part = new java.io.File(out, "batch_id=7")
+    Seq((0, 1L, 999L)).toDF("r", "c", "cell")
+      .coalesce(1).write.mode("overwrite").parquet(part.toString)
+    new java.io.File(part, "_SUCCESS").delete()
+    val b3 = Seq(("extra", 5L))
+    assert(StreamingIngest.persistCmBatch(
+      b3.toDF("it", "wt"), 7L, out, col("it"), col("wt")),
+      "an uncommitted slice must be (re)written")
+    val withB3 = cellMap(StreamingIngest.readCmCells(spark, out)
+      .select(col("r").cast("int"), col("c"), col("cell")))
+    val batch3 = cellMap(Sketches.cmCells(
+      (b1 ++ b2 ++ b3).toDF("it", "wt"), col("it"), col("wt"))
+      .select(col("r").cast("int"), col("c"), col("cell")))
+    assert(withB3 == batch3,
+      "overwritten slice must contribute exactly its batch's cells")
+  }
+
   test("firstWinsDedup kill-and-resume soak with a STRING content key: " +
     "restart from the checkpoint — including a replayed batch whose " +
     "commit marker was lost — re-emits the same keep decisions: no " +
