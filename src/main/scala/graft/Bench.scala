@@ -75,8 +75,9 @@ object Bench {
   // includes text_readability and q52_abtest, registered in round 11 but
   // missed by additionsR11 (round-11 advice).
   val additionsR12: Seq[String] = Seq(
-    "text_readability", "q52_abtest", "q53_abtest_ci",
-    "graph_label_prop_ivf", "graph_kcore_ivf")
+    "text_readability", "q52_abtest", "q53_abtest_ci", "q54_abtest_cuped",
+    "graph_label_prop_ivf", "graph_kcore_ivf",
+    "privacy_k_anon", "privacy_k_hist", "mix_epoch_alloc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -59,4 +59,51 @@ object Mix {
       .select(col("source"), col("wt"), col("cap"), col("alloc"),
         col("sat"))
   }
+
+  /** Data-constrained epoch allocation — the REPETITION-aware mixture
+    * (Muennighoff et al., "Scaling Data-Constrained Language Models",
+    * NeurIPS 2023: repeated epochs carry diminishing but non-zero
+    * value): when the token budget exceeds the unique corpus, decide
+    * how many EPOCHS of each source to train on, not just how many
+    * tokens. Model: epoch e of source s is a slab of `cap_s` tokens at
+    * utility density `w_s · decay^(e−1)` (the geometric decay is the
+    * standard proxy for the paper's fitted repeated-token value; decay
+    * 0.5 ≈ its "repeating twice is nearly as good as fresh, four times
+    * is half" regime). The budget-constrained optimum is the greedy
+    * slab fill in descending utility density — provably optimal because
+    * slabs are independent and densities are constant within a slab
+    * (the fractional-knapsack argument), and within a source densities
+    * DECREASE with e, so granted epochs are automatically contiguous
+    * (epoch 3 can never outrank epoch 2; no gap repair needed).
+    *
+    * Deterministic closed form, same discipline as `waterfillAlloc`:
+    * explode #sources × maxEpochs slabs (dozens of rows — the input is
+    * the caller's already-aggregated source list), ONE prefix-sum
+    * window over (util desc, source, epoch), boundary slab takes the
+    * remainder. Returns per source: cap, full_epochs (completely
+    * granted slabs), alloc (total tokens incl. the fractional boundary
+    * slab), epochs (alloc/cap). Σ alloc = min(budget, E·Σcap). */
+  def epochAllocation(src: DataFrame, source: Column, uniqueTokens: Column,
+                      weight: Column, budget: Double, maxEpochs: Int = 4,
+                      decay: Double = 0.5): DataFrame = {
+    val base = src.select(source.as("source"),
+      uniqueTokens.cast("double").as("cap"),
+      weight.cast("double").as("wt"))
+    val slabs = base
+      .select(col("source"), col("cap"), col("wt"),
+        explode(sequence(lit(1), lit(maxEpochs))).as("epoch"))
+      .withColumn("util", col("wt") * pow(lit(decay), col("epoch") - 1))
+    val ord = Window.orderBy(col("util").desc, col("source"), col("epoch"))
+    slabs
+      .withColumn("pc", sum(col("cap")).over(ord))
+      .withColumn("alloc", greatest(lit(0.0), least(col("cap"),
+        lit(budget) - (col("pc") - col("cap")))))
+      .groupBy(col("source"))
+      .agg(min(col("cap")).as("cap"), min(col("wt")).as("wt"),
+        sum(when(col("alloc") === col("cap"), lit(1L)).otherwise(lit(0L)))
+          .as("full_epochs"),
+        sum(col("alloc")).as("alloc"))
+      .withColumn("epochs", when(col("cap") === 0.0, lit(0.0))
+        .otherwise(col("alloc") / col("cap")))
+  }
 }

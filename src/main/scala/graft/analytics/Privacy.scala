@@ -1,0 +1,74 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Re-identification risk profiling for training-data release — the
+  * privacy gate a pipeline runs before user-derived records enter a
+  * training corpus or leave the trust boundary:
+  *
+  *  - k-anonymity (Sweeney, IJUFKS 2002): a record is re-identifiable
+  *    when its QUASI-IDENTIFIER combination (the attributes an attacker
+  *    can link from outside — region, segment, coarse account bands) is
+  *    shared by fewer than k records. The profile reports how much of
+  *    the table sits in small equivalence classes.
+  *  - l-diversity (Machanavajjhala et al., TKDD 2007): k alone is not
+  *    enough — a class whose SENSITIVE attribute is constant leaks it
+  *    to everyone who can place a record in the class (the homogeneity
+  *    attack). Reported as the minimum distinct-sensitive count over
+  *    classes.
+  *
+  * Everything here is hash-aggregate shaped: one groupBy on the QI
+  * tuple (the only corpus-scale shuffle, partial-aggregatable), then
+  * folds over the CLASS table, which is bounded by the QI domain, not
+  * the row count — the profile of a 100 TB table is the same few
+  * windowless aggregates. Risk fractions are integer micro-units
+  * (`div`), the house oracle-portable discipline.
+  */
+object Privacy {
+
+  /** Equivalence classes over the QI tuple: one row per class with
+    * `k` = class size and `l` = distinct sensitive values in the class.
+    * The exact `countDistinct` is the second (class-keyed) shuffle;
+    * swap the sensitive column for an HLL sketch when the sensitive
+    * domain per class is itself huge. */
+  def equivalenceClasses(df: DataFrame, qis: Seq[(String, Column)],
+                         sensitive: Column): DataFrame =
+    df.groupBy(qis.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("k"),
+        countDistinct(sensitive).cast("long").as("l"))
+
+  /** One-row risk summary over the class table: class/row counts, the
+    * worst class (`k_min`), rows in classes below the standard k=2/5/10
+    * release thresholds, their micro-unit fractions, and the
+    * l-diversity floor. `rows_k_lt2` counts the SINGLED-OUT records —
+    * unique QI combinations, each one a direct re-identification. */
+  def kAnonymityProfile(df: DataFrame, qis: Seq[(String, Column)],
+                        sensitive: Column): DataFrame = {
+    def below(t: Int) =
+      sum(when(col("k") < t, col("k")).otherwise(lit(0L)))
+    equivalenceClasses(df, qis, sensitive)
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("k")).cast("long").as("n_rows"),
+        min(col("k")).cast("long").as("k_min"),
+        below(2).cast("long").as("rows_k_lt2"),
+        below(5).cast("long").as("rows_k_lt5"),
+        below(10).cast("long").as("rows_k_lt10"),
+        min(col("l")).cast("long").as("l_min"))
+      .select(col("n_classes"), col("n_rows"), col("k_min"),
+        col("rows_k_lt2"), col("rows_k_lt5"), col("rows_k_lt10"),
+        expr("(rows_k_lt2 * 1000000L) div n_rows").as("risk_lt2_micro"),
+        expr("(rows_k_lt10 * 1000000L) div n_rows").as("risk_lt10_micro"),
+        col("l_min"))
+  }
+
+  /** Class-size histogram: how many equivalence classes exist at each
+    * size k — the anonymity-set distribution whose left tail is the
+    * risk mass. Bounded by the distinct class sizes, never the rows. */
+  def classSizeHistogram(df: DataFrame, qis: Seq[(String, Column)],
+                         sensitive: Column): DataFrame =
+    equivalenceClasses(df, qis, sensitive)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        min(col("l")).cast("long").as("l_min"))
+}

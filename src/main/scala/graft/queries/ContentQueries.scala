@@ -2872,6 +2872,57 @@ object ContentQueries {
         .filter(col("rn") <= 16)
         .select(col("cluster"), col("vec_id"))
         .orderBy(col("cluster"), col("vec_id"))
+    }),
+
+    // k-anonymity / l-diversity release gate over the customer table:
+    // QI = (nation, 1000-unit account band) — the linkable attributes —
+    // sensitive = market segment. One QI-keyed hash aggregate is the
+    // only corpus-scale shuffle; the summary folds the bounded CLASS
+    // table. Reports the k_min floor, rows under the k=2/5/10 release
+    // thresholds (lt2 = singled-out records), micro-unit risk
+    // fractions, and the l-diversity floor (homogeneity attack check).
+    "privacy_k_anon" -> ((s, d) =>
+      graft.analytics.Privacy.kAnonymityProfile(
+        Tables.load(s, d, "customer"),
+        Seq("nation" -> col("c_nationkey"),
+          "bal_band" -> floor(col("c_acctbal") / 1000).cast("long")),
+        col("c_mktsegment"))),
+
+    // The anonymity-set distribution behind privacy_k_anon's summary:
+    // classes per size k with the per-size l floor — the left tail IS
+    // the re-identification risk mass, and generalization (coarser QI
+    // bands) is judged by how it moves this histogram right.
+    "privacy_k_hist" -> ((s, d) =>
+      graft.analytics.Privacy.classSizeHistogram(
+        Tables.load(s, d, "customer"),
+        Seq("nation" -> col("c_nationkey"),
+          "bal_band" -> floor(col("c_acctbal") / 1000).cast("long")),
+        col("c_mktsegment"))
+        .orderBy(col("k"))),
+
+    // Data-constrained EPOCH allocation (Muennighoff et al. 2023): the
+    // budget is 1.9x the unique corpus, so the mix must decide which
+    // sources to repeat — slabs of (source, epoch) at utility
+    // w·0.5^(e-1), greedy-filled in closed form (Mix.epochAllocation).
+    // Same source caps/weights as mix_waterfill, which answers the
+    // budget < unique regime; this row is the budget > unique regime a
+    // data-constrained 100 TB run actually sits in. The Σcap fold and
+    // the solve are source-list-scale; only the cap aggregate touches
+    // the corpus.
+    "mix_epoch_alloc" -> ((s, d) => {
+      val src = graft.analytics.Caches.persist(mixSources(s, d))
+      // caps are integer-valued doubles: the sum is exact, the floored
+      // 1.9x budget is integer-valued, so every slab boundary lands on
+      // integers and the per-source folds are order-insensitive
+      val budget = math.floor(
+        1.9 * src.agg(sum(col("cap"))).head.getDouble(0))
+      graft.analytics.Mix.epochAllocation(src, col("source"), col("cap"),
+        col("wt"), budget, maxEpochs = 4, decay = 0.5)
+        .select(col("source"), col("cap").cast("long").as("unique_tokens"),
+          col("wt").cast("long").as("weight"), col("full_epochs"),
+          round(col("alloc"), 4).as("alloc_tokens"),
+          round(col("epochs"), 6).as("epochs"))
+        .orderBy(col("source"))
     })
   )
 
@@ -6177,7 +6228,66 @@ object ContentQueries {
          |SELECT u.src AS node, count(*) AS core_deg
          |FROM und u JOIN kc8 a ON u.src = a.node
          |  JOIN kc8 b ON u.dst = b.node
-         |GROUP BY 1 ORDER BY 1""").stripMargin
+         |GROUP BY 1 ORDER BY 1""").stripMargin,
+
+    // equivalence classes on the same QI tuple, then the pure-integer
+    // risk folds (micro fractions via // floor division on BIGINT)
+    "privacy_k_anon" ->
+      """WITH ec AS (SELECT c_nationkey AS nation,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(k) AS BIGINT) AS n_rows,
+        |  CAST(min(k) AS BIGINT) AS k_min,
+        |  CAST(sum(CASE WHEN k < 2 THEN k ELSE 0 END) AS BIGINT)
+        |    AS rows_k_lt2,
+        |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |    AS rows_k_lt5,
+        |  CAST(sum(CASE WHEN k < 10 THEN k ELSE 0 END) AS BIGINT)
+        |    AS rows_k_lt10,
+        |  CAST((sum(CASE WHEN k < 2 THEN k ELSE 0 END) * 1000000)
+        |    // sum(k) AS BIGINT) AS risk_lt2_micro,
+        |  CAST((sum(CASE WHEN k < 10 THEN k ELSE 0 END) * 1000000)
+        |    // sum(k) AS BIGINT) AS risk_lt10_micro,
+        |  CAST(min(l) AS BIGINT) AS l_min
+        |FROM ec""".stripMargin,
+
+    "privacy_k_hist" ->
+      """WITH ec AS (SELECT c_nationkey AS nation,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(l) AS BIGINT) AS l_min
+        |FROM ec GROUP BY k ORDER BY k""".stripMargin,
+
+    // independent greedy slab fill: same (util desc, source, epoch)
+    // total order, one prefix-sum window, boundary slab remainder
+    "mix_epoch_alloc" ->
+      """WITH src AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS cap,
+        |    CAST(1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+        |      % 5) AS DOUBLE) AS wt
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT floor(1.9 * sum(cap)) AS budget FROM src),
+        |slabs AS (SELECT source, cap, wt, e.epoch,
+        |    wt * power(0.5, e.epoch - 1) AS util
+        |  FROM src, (SELECT unnest(range(1, 5)) AS epoch) e),
+        |pcs AS (SELECT *, sum(cap) OVER (ORDER BY util DESC, source,
+        |    epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS pc FROM slabs),
+        |al AS (SELECT source, cap, wt, epoch, greatest(0.0, least(cap,
+        |    (SELECT budget FROM b) - (pc - cap))) AS alloc FROM pcs)
+        |SELECT source, CAST(cap AS BIGINT) AS unique_tokens,
+        |  CAST(wt AS BIGINT) AS weight,
+        |  CAST(sum(CASE WHEN alloc = cap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS full_epochs,
+        |  round(sum(alloc), 4) AS alloc_tokens,
+        |  round(sum(alloc) / cap, 6) AS epochs
+        |FROM al GROUP BY source, cap, wt ORDER BY source""".stripMargin
   )
 
   /** One bisecting-k-means level in SQL, integer-faithful to

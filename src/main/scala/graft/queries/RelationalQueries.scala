@@ -873,6 +873,77 @@ object RelationalQueries {
           .otherwise(round(pa - pb - lit(1.96) * se, 6)).as("ci_lo"),
         when(degenerate, lit(null).cast("double"))
           .otherwise(round(pa - pb + lit(1.96) * se, 6)).as("ci_hi"))
+    }),
+
+    // CUPED-adjusted experiment readout (Deng, Xu, Kohavi, Walker —
+    // WSDM 2013): shrink the q52/q53 conversion metric's variance with a
+    // pre-exposure covariate X = the user's view-event count.
+    // theta = cov(X,Y)/var(X) fitted on the POOLED arms (the standard
+    // single-theta CUPED), Y_cuped = Y − theta·(X − mean X), readout =
+    // adjusted rate difference plus rho² = cor(X,Y)² (the fraction of
+    // variance CUPED removed — the sensitivity win a real experiment
+    // platform reports alongside the lift). All moments are EXACT int64
+    // sums (x is an event count, y ∈ {0,1} so Σy² = Σy; the n-scaled
+    // covariance/variance numerators stay well under 2^62 at any SF the
+    // fixture reaches) cast to double only at the final divisions, each
+    // mirrored term-for-term in the oracle; var(X)=0 or single-class Y
+    // yields NULLs. Scale: the same user-keyed aggregate as q52 with
+    // three more sum columns, then a 2-row fold — CUPED is free at
+    // 100 TB, which is exactly why platforms default it on.
+    "q54_abtest_cuped" -> ((s, d) => {
+      val win = expr("INTERVAL 48 HOURS")
+      val ev = T(s, d, "events").select(col("user_id"),
+        col("event_type"), col("ts").cast("timestamp").as("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("v_ts") && col("ts") <= col("v_ts") + win)
+        .select(col("user_id")).distinct()
+        .withColumn("conv", lit(1L))
+      val u = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", lit(1L))
+          .otherwise(lit(0L))).as("x"))
+        .join(pu, Seq("user_id"), "left")
+        .withColumn("y", coalesce(col("conv"), lit(0L)))
+      def arm(a: Int, c: org.apache.spark.sql.Column) =
+        sum(when(col("user_id") % 2 === a, c).otherwise(lit(0L)))
+      val t2 = u.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        arm(0, lit(1L)).as("n_a"), arm(0, col("x")).as("sx_a"),
+        arm(0, col("y")).as("sy_a"),
+        arm(1, lit(1L)).as("n_b"), arm(1, col("x")).as("sx_b"),
+        arm(1, col("y")).as("sy_b"))
+      // n-scaled second moments: cov_n = n·Σxy − Σx·Σy, varx_n = n·Σxx
+      // − (Σx)², vary_n = n·Σy − (Σy)² — exact in int64, doubles only
+      // at the divisions below
+      val covN = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      val varxN = (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val varyN = (col("n") * col("sy") - col("sy") * col("sy"))
+        .cast("double")
+      val theta = covN / varxN
+      val na = col("n_a").cast("double")
+      val nb = col("n_b").cast("double")
+      val rawDiff = col("sy_a").cast("double") / na -
+        col("sy_b").cast("double") / nb
+      val xDiff = col("sx_a").cast("double") / na -
+        col("sx_b").cast("double") / nb
+      val armEmpty = col("n_a") === 0 || col("n_b") === 0
+      t2.select(col("n_a"), col("sy_a").as("conv_a"),
+        col("n_b"), col("sy_b").as("conv_b"),
+        when(armEmpty, lit(null).cast("double"))
+          .otherwise(round(rawDiff, 6)).as("raw_diff"),
+        when(varxN === 0.0, lit(null).cast("double"))
+          .otherwise(round(theta, 6)).as("theta"),
+        when(armEmpty || varxN === 0.0, lit(null).cast("double"))
+          .otherwise(round(rawDiff - theta * xDiff, 6)).as("adj_diff"),
+        when(varxN === 0.0 || varyN === 0.0, lit(null).cast("double"))
+          .otherwise(round(covN * covN / (varxN * varyN), 6)).as("rho2"))
     })
   )
 
@@ -1337,6 +1408,65 @@ object RelationalQueries {
         |      pa * (1.0 - pa) / CAST(n_a AS DOUBLE)
         |      + pb * (1.0 - pb) / CAST(n_b AS DOUBLE)), 6) END AS ci_hi
         |FROM s""".stripMargin,
+
+    // CUPED replay: the q52 conversion chain + per-user view counts,
+    // exact int64 moments (DuckDB sums land on HUGEINT — every sum is
+    // CAST back to BIGINT so the n-scaled numerators use the same int64
+    // arithmetic as Spark), doubles only at the mirrored divisions
+    "q54_abtest_cuped" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |pu AS (SELECT DISTINCT e.user_id FROM ev e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+        |    AND e.ts <= v.v_ts + INTERVAL 48 HOUR),
+        |u AS (SELECT g.user_id, g.x,
+        |    CASE WHEN pu.user_id IS NULL THEN 0 ELSE 1 END AS y
+        |  FROM (SELECT user_id,
+        |      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS x
+        |    FROM ev GROUP BY 1) g
+        |  LEFT JOIN pu USING (user_id)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END)
+        |      AS BIGINT) AS sx_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END)
+        |      AS BIGINT) AS sy_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END)
+        |      AS BIGINT) AS sx_b,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END)
+        |      AS BIGINT) AS sy_b
+        |  FROM u),
+        |m AS (SELECT n_a, sy_a, n_b, sy_b,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS varx_n,
+        |    CAST(n * sy - sy * sy AS DOUBLE) AS vary_n,
+        |    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS raw_diff,
+        |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS x_diff,
+        |    n_a = 0 OR n_b = 0 AS arm_empty
+        |  FROM t)
+        |SELECT n_a, sy_a AS conv_a, n_b, sy_b AS conv_b,
+        |  CASE WHEN arm_empty THEN NULL
+        |    ELSE round(raw_diff, 6) END AS raw_diff,
+        |  CASE WHEN varx_n = 0.0 THEN NULL
+        |    ELSE round(cov_n / varx_n, 6) END AS theta,
+        |  CASE WHEN arm_empty OR varx_n = 0.0 THEN NULL
+        |    ELSE round(raw_diff - cov_n / varx_n * x_diff, 6)
+        |    END AS adj_diff,
+        |  CASE WHEN varx_n = 0.0 OR vary_n = 0.0 THEN NULL
+        |    ELSE round(cov_n * cov_n / (varx_n * vary_n), 6)
+        |    END AS rho2
+        |FROM m""".stripMargin,
 
     "q25_percentile" ->
       """SELECT l_returnflag,

@@ -50,4 +50,43 @@ class MixSpec extends SparkSuite {
     assert(r("a")._4 == 25.0 && !r("a")._5)
     assert(r("b")._4 == 75.0 && !r("b")._5)
   }
+
+  private def epochs(rows: Seq[(String, Double, Double)], b: Double,
+                     e: Int = 4, decay: Double = 0.5) =
+    Mix.epochAllocation(rows.toDF("s", "c", "w"),
+      col("s"), col("c"), col("w"), b, e, decay)
+      .select("source", "full_epochs", "alloc", "epochs")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("epoch allocation: slabs grant in utility-density order — a " +
+    "high-weight source earns its SECOND epoch before a low-weight " +
+    "source earns its first") {
+    // a: w=4 → utils 4,2,1,.5; b: w=1 → utils 1,.5,.25,.125; caps 100.
+    // Order: a1(4), a2(2), {a3,b1 tie at 1 → source asc → a3 first}.
+    // B=250: a gets 100+100+50, b gets 0.
+    val r = epochs(Seq(("a", 100.0, 4.0), ("b", 100.0, 1.0)), 250.0)
+    assert(r("a")._2 == 2L && r("a")._3 == 250.0 && r("a")._4 == 2.5,
+      r("a"))
+    assert(r("b")._2 == 0L && r("b")._3 == 0.0, r("b"))
+  }
+
+  test("epoch allocation: budget above E·Σcap grants every epoch; " +
+    "Σalloc always equals min(budget, E·Σcap)") {
+    val full = epochs(Seq(("a", 10.0, 1.0), ("b", 20.0, 3.0)), 1e9)
+    assert(full("a")._2 == 4L && full("a")._3 == 40.0 && full("a")._4 == 4.0)
+    assert(full("b")._2 == 4L && full("b")._3 == 80.0)
+    val cut = epochs(Seq(("a", 10.0, 1.0), ("b", 20.0, 3.0)), 47.0)
+    assert(cut.values.map(_._3).sum == 47.0, cut)
+  }
+
+  test("epoch allocation: equal weights interleave epochs round-robin " +
+    "by decay level — everyone's epoch 1 precedes anyone's epoch 2") {
+    // same w: utils tie per level, so level e fills for ALL sources
+    // before level e+1 starts. B = Σcap + 30 → epoch 1 complete
+    // everywhere, epoch 2 partial in source order (a first).
+    val r = epochs(Seq(("a", 100.0, 1.0), ("b", 200.0, 1.0)), 330.0)
+    assert(r("a")._2 == 1L && r("b")._2 == 1L, r)
+    assert(r("a")._3 == 130.0 && r("b")._3 == 200.0, r)
+  }
 }
