@@ -77,7 +77,8 @@ object Bench {
   val additionsR12: Seq[String] = Seq(
     "text_readability", "q52_abtest", "q53_abtest_ci", "q54_abtest_cuped",
     "graph_label_prop_ivf", "graph_kcore_ivf",
-    "privacy_k_anon", "privacy_k_hist", "mix_epoch_alloc")
+    "privacy_k_anon", "privacy_k_hist", "mix_epoch_alloc",
+    "sample_epoch_mix", "q55_seasonal_hours")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2900,6 +2900,47 @@ object ContentQueries {
         col("c_mktsegment"))
         .orderBy(col("k"))),
 
+    // The epoch allocation MATERIALIZED — mix_epoch_alloc decides how
+    // often each source repeats, this row cuts the corpus to it:
+    // full epochs emit the whole source verbatim; the fractional
+    // boundary epoch takes docs in deterministic md5 order until its
+    // token remainder is spent (the sample_mix_waterfill cut idiom).
+    // Emitted volume per source = full_epochs·cap + the boundary cut —
+    // the shard manifest a data-constrained training run reads. Scale:
+    // the allocation broadcasts (#sources rows); the corpus pays one
+    // source-keyed window — same bill as sample_mix_waterfill.
+    "sample_epoch_mix" -> ((s, d) => {
+      val src = graft.analytics.Caches.persist(mixSources(s, d))
+      val budget = math.floor(
+        1.9 * src.agg(sum(col("cap"))).head.getDouble(0))
+      val alloc = graft.analytics.Mix.epochAllocation(src, col("source"),
+        col("cap"), col("wt"), budget, maxEpochs = 4, decay = 0.5)
+        .select(col("source"), col("full_epochs"),
+          col("cap").cast("long").as("cap_tokens"),
+          (col("alloc") - col("full_epochs").cast("double") * col("cap"))
+            .cast("long").as("frac_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val stats = docs(s, d)
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .join(broadcast(alloc), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cum") <= col("frac_tokens"), lit(1L))
+            .otherwise(lit(0L))).as("partial_docs"),
+          max(when(col("cum") <= col("frac_tokens"), col("cum"))
+            .otherwise(lit(0L))).cast("long").as("partial_tokens"))
+      alloc.join(stats, Seq("source"), "left")
+        .select(col("source"), col("full_epochs"),
+          (col("full_epochs") * coalesce(col("n_docs"), lit(0L)) +
+            coalesce(col("partial_docs"), lit(0L))).as("emit_docs"),
+          (col("full_epochs") * col("cap_tokens") +
+            coalesce(col("partial_tokens"), lit(0L))).as("emit_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Data-constrained EPOCH allocation (Muennighoff et al. 2023): the
     // budget is 1.9x the unique corpus, so the mix must decide which
     // sources to repeat — slabs of (source, epoch) at utility
@@ -6263,6 +6304,51 @@ object ContentQueries {
         |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
         |  CAST(min(l) AS BIGINT) AS l_min
         |FROM ec GROUP BY k ORDER BY k""".stripMargin,
+
+    // epoch allocation replayed, then the boundary-epoch md5 cut (the
+    // sample_mix_waterfill idiom) and the per-source emit arithmetic
+    "sample_epoch_mix" ->
+      """WITH src AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS cap,
+        |    CAST(1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+        |      % 5) AS DOUBLE) AS wt
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT floor(1.9 * sum(cap)) AS budget FROM src),
+        |slabs AS (SELECT source, cap, wt, e.epoch,
+        |    wt * power(0.5, e.epoch - 1) AS util
+        |  FROM src, (SELECT unnest(range(1, 5)) AS epoch) e),
+        |pcs AS (SELECT *, sum(cap) OVER (ORDER BY util DESC, source,
+        |    epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS pc FROM slabs),
+        |al AS (SELECT source, cap, wt, epoch, greatest(0.0, least(cap,
+        |    (SELECT budget FROM b) - (pc - cap))) AS alloc FROM pcs),
+        |alloc AS (SELECT source,
+        |    CAST(sum(CASE WHEN alloc = cap THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS full_epochs,
+        |    CAST(cap AS BIGINT) AS cap_tokens,
+        |    CAST(sum(alloc) - sum(CASE WHEN alloc = cap THEN 1 ELSE 0
+        |      END) * cap AS BIGINT) AS frac_tokens
+        |  FROM al GROUP BY source, cap),
+        |t AS (SELECT source, doc_id,
+        |    len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |st AS (SELECT c.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN c.cum <= alloc.frac_tokens THEN 1 ELSE 0
+        |      END) AS BIGINT) AS partial_docs,
+        |    CAST(max(CASE WHEN c.cum <= alloc.frac_tokens THEN c.cum
+        |      ELSE 0 END) AS BIGINT) AS partial_tokens
+        |  FROM c JOIN alloc USING (source) GROUP BY c.source)
+        |SELECT alloc.source, alloc.full_epochs,
+        |  alloc.full_epochs * coalesce(st.n_docs, 0)
+        |    + coalesce(st.partial_docs, 0) AS emit_docs,
+        |  alloc.full_epochs * alloc.cap_tokens
+        |    + coalesce(st.partial_tokens, 0) AS emit_tokens
+        |FROM alloc LEFT JOIN st USING (source)
+        |ORDER BY alloc.source""".stripMargin,
 
     // independent greedy slab fill: same (util desc, source, epoch)
     // total order, one prefix-sum window, boundary slab remainder

@@ -944,6 +944,50 @@ object RelationalQueries {
           .otherwise(round(rawDiff - theta * xDiff, 6)).as("adj_diff"),
         when(varxN === 0.0 || varyN === 0.0, lit(null).cast("double"))
           .otherwise(round(covN * covN / (varxN * varyN), 6)).as("rho2"))
+    }),
+
+    // Seasonal-baseline anomaly scan: q48 flags outlier VALUES against a
+    // global per-type baseline; this flags outlier HOURS against their
+    // hour-of-day seasonal baseline — the "is traffic at 3am weird FOR
+    // 3am" readout a metrics pipeline runs, where a global threshold
+    // would either drown daytime anomalies or page on every quiet night.
+    // Per (day, hour-of-day) event-count cells, then per hod the TYPE-1
+    // integer median of the daily counts and the integer MAD around it
+    // (rank = (n+1) div 2 over (cnt, day) — the house no-float
+    // percentile discipline, so the oracle replays bit-for-bit), and
+    // n_anom = days deviating > 3·MAD. Scale: the only corpus-scale
+    // work is the (day, hod) aggregate; every window runs over the
+    // 24×|days| cell table.
+    "q55_seasonal_hours" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val ev = T(s, d, "events")
+        .select(col("ts").cast("timestamp").as("ts"))
+      val cells = ev.groupBy(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("cnt"))
+      val byHod = w.partitionBy(col("hod"))
+      val med = cells
+        .withColumn("rn", row_number().over(
+          byHod.orderBy(col("cnt"), col("day"))))
+        .withColumn("n", count(lit(1)).over(byHod))
+        .filter(col("rn") === expr("(n + 1L) div 2L"))
+        .select(col("hod"), col("cnt").as("med"))
+      val dev = cells.join(broadcast(med), Seq("hod"))
+        .withColumn("dev", abs(col("cnt") - col("med")))
+      val mad = dev
+        .withColumn("rn", row_number().over(
+          byHod.orderBy(col("dev"), col("day"))))
+        .withColumn("n", count(lit(1)).over(byHod))
+        .filter(col("rn") === expr("(n + 1L) div 2L"))
+        .select(col("hod"), col("dev").as("mad"))
+      dev.join(broadcast(mad), Seq("hod"))
+        .groupBy(col("hod"))
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          min(col("med")).as("med_cnt"), min(col("mad")).as("mad"),
+          sum(when(col("dev") > lit(3L) * col("mad"), lit(1L))
+            .otherwise(lit(0L))).as("n_anom"))
+        .orderBy(col("hod"))
     })
   )
 
@@ -1467,6 +1511,35 @@ object RelationalQueries {
         |    ELSE round(cov_n * cov_n / (varx_n * vary_n), 6)
         |    END AS rho2
         |FROM m""".stripMargin,
+
+    // (day, hod) cells, type-1 integer median + MAD via the same
+    // (n+1)//2 rank picks, 3·MAD integer threshold
+    "q55_seasonal_hours" ->
+      """WITH cells AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+        |      AS day,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mr AS (SELECT hod, cnt, row_number() OVER (PARTITION BY hod
+        |      ORDER BY cnt, day) AS rn,
+        |    count(*) OVER (PARTITION BY hod) AS n
+        |  FROM cells),
+        |med AS (SELECT hod, cnt AS med FROM mr WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT c.hod, c.day, c.cnt, med.med,
+        |    abs(c.cnt - med.med) AS dev
+        |  FROM cells c JOIN med USING (hod)),
+        |dr AS (SELECT hod, dev, row_number() OVER (PARTITION BY hod
+        |      ORDER BY dev, day) AS rn,
+        |    count(*) OVER (PARTITION BY hod) AS n
+        |  FROM dev),
+        |mad AS (SELECT hod, dev AS mad FROM dr WHERE rn = (n + 1) // 2)
+        |SELECT d.hod, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(min(d.med) AS BIGINT) AS med_cnt,
+        |  CAST(min(mad.mad) AS BIGINT) AS mad,
+        |  CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anom
+        |FROM dev d JOIN mad USING (hod)
+        |GROUP BY d.hod ORDER BY d.hod""".stripMargin,
 
     "q25_percentile" ->
       """SELECT l_returnflag,

@@ -245,6 +245,60 @@ object StreamingIngest {
       }
   }
 
+  final case class KmvUpdate(group: String, batch_items: Long,
+                             est_distinct: Long)
+
+  /** Streaming running KMV (theta) sketch per group — the MIN-SET
+    * mergeability discipline, completing the trio with
+    * `runningDistinct`'s register MAX and the CM sink's slice SUM:
+    * state is the k smallest distinct 60-bit item hashes per group
+    * (≤ k longs forever), each micro-batch set-unions its hashes in and
+    * re-truncates to k. Union-then-truncate is idempotent and order-
+    * insensitive — a replayed micro-batch re-folds to the identical
+    * state, no batchId bookkeeping needed (the property CM lacks).
+    *
+    * The hash and the estimator are `Sketches.kmvDistinct`'s own
+    * (`h60`, est = (k−1)·2^60/h_k, exact count below k), so after any
+    * batch the emitted estimate is BIT-EQUAL to the batch operator over
+    * every row seen — and the retained state is the SIGNATURE, which is
+    * the composable form: snapshot two groups' states and
+    * `Sketches.kmvOverlap` answers intersection cardinality between
+    * live streams. Emits one Update row per touched group per batch. */
+  def runningKmv(stream: DataFrame, group: Column, item: Column,
+                 k: Int = 64): Dataset[KmvUpdate] = {
+    import stream.sparkSession.implicits._
+    val rows = stream
+      .select(group.cast("string").as("_1"),
+        graft.analytics.Sketches.h60(item).as("_2"))
+      .as[(String, Long)]
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], KmvUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[(String, Long)],
+         state: GroupState[Array[Long]]) =>
+          val set = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(set ++= _)
+          var n = 0L
+          it.foreach { r =>
+            n += 1
+            // admit only below the current k-th minimum: the state can
+            // never hold more than k+1 entries transiently
+            if (set.size < k || r._2 < set.last) {
+              set += r._2
+              if (set.size > k) set -= set.last
+            }
+          }
+          val arr = set.toArray // ascending
+          state.update(arr)
+          val est =
+            if (arr.length == k)
+              math.round((k - 1).toDouble * 1152921504606846976.0
+                / arr(k - 1).toDouble)
+            else arr.length.toLong
+          KmvUpdate(grp, n, est)
+      }
+  }
+
   /** One micro-batch of the streaming count-min sink: build the batch's
     * OWN cell table (`Sketches.cmCells`) and commit it as the slice
     * `batch_id=<id>/` under `outDir`. This is `runningDistinct`'s

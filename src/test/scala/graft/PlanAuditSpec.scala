@@ -595,4 +595,35 @@ class PlanAuditSpec extends SparkSuite {
     val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).length
     assert(windows == 1, s"expected the single coverage window:\n$p")
   }
+
+  test("privacy_k_anon: both aggregates are partial (map-side combine) " +
+    "and the only scanned columns are the QI tuple + sensitive") {
+    val p = plan("privacy_k_anon")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+    // the scan must be pruned to the three touched customer columns
+    assert(p.contains("c_nationkey") && p.contains("c_acctbal") &&
+      p.contains("c_mktsegment"), p)
+    assert(!p.contains("c_phone") && !p.contains("c_comment"), p)
+  }
+
+  test("mix_epoch_alloc: the corpus-scale work is ONE partial aggregate " +
+    "(the source caps); the slab solve windows run over the aggregated " +
+    "source list only (below the aggregate, above the scan there is no " +
+    "window)") {
+    val p = plan("mix_epoch_alloc")
+    assert(p.contains("partial_"), p)
+    // exactly one corpus-scale exchange feeds the aggregate; the window
+    // sort happens after aggregation on the ~#sources-row frame
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q54_abtest_cuped: every corpus shuffle is user_id-keyed — the " +
+    "moments fold in a partial aggregate, no window touches the events") {
+    val p = plan("q54_abtest_cuped")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

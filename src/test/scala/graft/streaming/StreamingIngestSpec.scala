@@ -832,6 +832,49 @@ class StreamingIngestSpec extends SparkSuite {
       s"g estimate $lastG out of band for 1000 distinct")
   }
 
+  test("runningKmv: min-set state folds across micro-batches " +
+    "idempotently under replay, and the final estimate is BIT-EQUAL " +
+    "to batch kmvDistinct over all rows seen") {
+    import graft.analytics.Sketches
+    val src = Files.createTempDirectory("kmv_src").toString
+    // group g grows across the boundary; batch 2 replays 250 of g's
+    // batch-1 items (min-set union must not move); h is batch-1-only
+    // and stays UNDER k=64 distinct (exact-count branch)
+    val b1 = (1 to 500).map(i => ("g", s"item$i")) ++
+      (1 to 40).map(i => ("h", s"only$i"))
+    val b2 = (501 to 1000).map(i => ("g", s"item$i")) ++
+      (1 to 250).map(i => ("g", s"item$i"))
+    b1.toDF("grp", "it").coalesce(1).write.mode("append").parquet(src)
+    b2.toDF("grp", "it").coalesce(1).write.mode("append").parquet(src)
+
+    val sschema = StructType(Seq(StructField("grp", StringType),
+      StructField("it", StringType)))
+    val stream = spark.readStream.schema(sschema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamingIngest.runningKmv(stream, col("grp"), col("it"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kmv_updates").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val ups = spark.table("kmv_updates")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(ups.count(_._1 == "g") == 2, s"g must update in both batches: $ups")
+    val batch = Sketches.kmvDistinct(
+        (b1 ++ b2).toDF("grp", "it"), col("grp"), col("it"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the k-th minimum only decreases as items arrive, so the estimate
+    // only grows — per group the final state is the max update
+    val lastG = ups.filter(_._1 == "g").map(_._3).max
+    val lastH = ups.filter(_._1 == "h").map(_._3).max
+    assert(lastG == batch("g"), s"streaming g=$lastG != batch ${batch("g")}")
+    assert(lastH == batch("h") && lastH == 40L,
+      s"h must hit the exact-count branch: $lastH vs ${batch("h")}")
+    // the replay didn't inflate: g's estimate is in band for 1000
+    assert(math.abs(lastG - 1000.0) / 1000.0 < 0.3,
+      s"g estimate $lastG out of band for 1000 distinct")
+  }
+
   test("streaming CM sink: batchId-keyed slices make the non-idempotent " +
     "sum-merge replay-safe — a replayed committed batch is skipped, a " +
     "partial slice is overwritten, and the merged cells equal the " +
