@@ -108,6 +108,22 @@ class CalibrateSpec extends SparkSuite {
     (auc, ap / (ps.size * 1000000.0))
   }
 
+  test("rankingEval: single-class input yields NULL auc (and NULL ap " +
+    "when positives are absent) instead of NaN or a divide error — " +
+    "there is no ranking to evaluate") {
+    def rankRow(rows: Seq[(Double, Int)]) =
+      Calibrate.rankingEval(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect().head
+    val allPos = rankRow(Seq((0.9, 1), (0.4, 1)))
+    assert(allPos.getLong(0) == 2L && allPos.getLong(1) == 0L)
+    assert(allPos.isNullAt(2), "auc must be NULL with no negatives")
+    assert(!allPos.isNullAt(3), "ap is defined (and 1.0) with all positives")
+    assert(allPos.getDouble(3) == 1.0)
+    val allNeg = rankRow(Seq((0.9, 0), (0.4, 0)))
+    assert(allNeg.isNullAt(2) && allNeg.isNullAt(3),
+      "both metrics undefined with no positives")
+  }
+
   test("rankingEval: perfect separation scores AUC 1, reversal scores 0, " +
     "and an all-tied scorer sits at 0.5 with AP = base rate") {
     val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))

@@ -191,6 +191,28 @@ class DedupSpec extends SparkSuite {
       "boilerplate-only overlap must not pair")
   }
 
+  test("prefix Jaccard: IEEE-hostile threshold (t·n integral in the " +
+    "reals but rounding UP in doubles) keeps the exactness contract — " +
+    "a containment pair sitting exactly AT t=0.07 must survive the " +
+    "length filter") {
+    // B ⊂ A with |A|=100 shingles, |B|=7: J = 7/100 = 0.07 exactly.
+    // The length filter needs b_n >= ceil(0.07·100); 100·0.07 in IEEE is
+    // 7.000000000000001, a naive ceil says 8 and silently drops the
+    // qualifying pair (round-11 advice). Integer-faithful ceil keeps it.
+    val bToks = (1 to 9).map(i => s"s$i")
+    val aToks = bToks ++ (1 to 93).map(i => s"u$i")
+    val docs = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")))
+      .toDF("id", "t")
+    val got = Dedup.jaccardPairsPrefix(docs, col("id"), col("t"), 3, 0.07)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)),
+      s"the exactly-at-threshold pair must survive: $got")
+    // and the pair really is AT the threshold, not above it
+    val j = Dedup.jaccardPairs(docs, col("id"), col("t"), 3, 0.07)
+      .select("jaccard").as[Double].collect().head
+    assert(j == 0.07, s"fixture must sit exactly at t: $j")
+  }
+
   test("embedding near-dups FIND every planted perturbed twin (recall is " +
     "observed, not vacuously true) and stay symmetric-free") {
     // The fixture's organic max pairwise cosine is ~0.51, so on the raw
