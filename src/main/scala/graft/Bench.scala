@@ -78,7 +78,10 @@ object Bench {
     "text_readability", "q52_abtest", "q53_abtest_ci", "q54_abtest_cuped",
     "graph_label_prop_ivf", "graph_kcore_ivf",
     "privacy_k_anon", "privacy_k_hist", "mix_epoch_alloc",
-    "sample_epoch_mix", "q55_seasonal_hours")
+    "sample_epoch_mix", "q55_seasonal_hours",
+    "q56_survival_km", "q57_ewma_hours", "q58_srm_check",
+    "profile_cm_join_est", "corpus_js_divergence", "text_quality_qnorm",
+    "profile_pareto_front")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

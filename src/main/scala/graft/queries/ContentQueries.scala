@@ -1948,6 +1948,163 @@ object ContentQueries {
         .orderBy(col("exact_cnt").desc, col("g"))
     }),
 
+    // Join-cardinality estimation from count-min sketches — the
+    // AMS/count-min INNER-PRODUCT estimator (Cormode & Muthukrishnan
+    // 2005 §4.2): |A ⋈ B| on a key equals Σ_k f_A(k)·f_B(k), and two CM
+    // cell grids built over the per-key frequency vectors estimate it
+    // as min_r Σ_c cellA[r][c]·cellB[r][c] — overestimate-only, like
+    // the point estimate. This is the planner-statistics use of the
+    // sketch: each side's grid is d·w longs REGARDLESS of corpus size,
+    // so a 100 TB fact table's join size against any other sketched
+    // table is answerable from two persisted 4 KB grids without
+    // touching either table. The oracle replays the md5-chunk
+    // addressing, both grids, the row products, and the exact join
+    // size; err_pct is NULL-guarded for the disjoint-keys case.
+    "profile_cm_join_est" -> ((s, d) => {
+      val sk = graft.analytics.Sketches
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id").cast("string").as("u"), col("event_type"))
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("u")).agg(count(lit(1)).as("cnt"))
+      val va = graft.analytics.Caches.persist(side("view"))
+      val vb = graft.analytics.Caches.persist(side("purchase"))
+      val exact = va.join(vb.select(col("u"), col("cnt").as("cnt_b")),
+          Seq("u"))
+        .agg(sum(col("cnt") * col("cnt_b")).cast("long").as("exact_join"))
+      val prod = sk.cmCells(va, col("u"), col("cnt"))
+        .join(sk.cmCells(vb, col("u"), col("cnt"))
+          .select(col("r"), col("c"), col("cell").as("cell_b")),
+          Seq("r", "c"))
+        .groupBy(col("r"))
+        .agg(sum(col("cell") * col("cell_b")).cast("long").as("row_est"))
+        .agg(min(col("row_est")).as("est_join"))
+      val counts = ev.groupBy().agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("n_view"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"))
+      counts.crossJoin(exact).crossJoin(prod)
+        .select(col("n_view"), col("n_purchase"), col("exact_join"),
+          col("est_join"),
+          when(col("exact_join") === 0L, lit(null).cast("double"))
+            .otherwise(round((col("est_join") - col("exact_join"))
+              .cast("double") * 100.0 /
+              col("exact_join").cast("double"), 2)).as("err_pct"))
+    }),
+
+    // Jensen-Shannon divergence between per-source unigram
+    // distributions — the distributional companion to corpus_similarity's
+    // MinHash SET overlap (two sources can share vocabulary but weight it
+    // very differently; JSD sees that, Jaccard can't). Distributions are
+    // restricted to the global top-256 vocabulary and renormalized within
+    // it, which is what bounds the operator at scale: the corpus is
+    // touched ONCE for the (source, word) counts; the dense grid, the
+    // pair join, and the JSD fold all run on |sources| x 256 rows. Terms
+    // with p = 0 contribute exactly 0 on both sides (0·ln is never
+    // evaluated), and the symmetric m = (p+q)/2 denominator is never 0
+    // for a contributing term. Base-e JSD, rounded to 6 at the edge.
+    "corpus_js_divergence" -> ((s, d) => {
+      val dd = docs(s, d)
+      val words = dd
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("wd"))
+        .filter(col("wd") =!= "")
+      val cnt = words.groupBy(col("source"), col("wd"))
+        .agg(count(lit(1)).as("c"))
+      val vocab = words.groupBy(col("wd"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("wd")).limit(256)
+        .select(col("wd"))
+      val grid = dd.select(col("source")).distinct()
+        .crossJoin(broadcast(vocab))
+      val dense = grid.join(cnt, Seq("source", "wd"), "left")
+        .select(col("source"), col("wd"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val tot = dense.groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("tot"))
+      val p = dense.join(broadcast(tot), Seq("source"))
+        .select(col("source"), col("wd"),
+          when(col("tot") === 0L, lit(0.0))
+            .otherwise(col("c").cast("double") / col("tot").cast("double"))
+            .as("p"))
+      val a = p.select(col("source").as("src_a"), col("wd"),
+        col("p").as("pa"))
+      val b = p.select(col("source").as("src_b"), col("wd").as("wd_b"),
+        col("p").as("pb"))
+      a.join(b, col("wd") === col("wd_b") && col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(round(sum(
+          when(col("pa") > 0.0, lit(0.5) * col("pa") *
+            log(col("pa") / ((col("pa") + col("pb")) / 2.0)))
+            .otherwise(lit(0.0)) +
+          when(col("pb") > 0.0, lit(0.5) * col("pb") *
+            log(col("pb") / ((col("pa") + col("pb")) / 2.0)))
+            .otherwise(lit(0.0))), 6).as("jsd"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Quantile normalization of a per-doc metric across sources — the
+    // preprocessing standard (Bolstad 2003, expression arrays) applied
+    // to corpus curation: each source's n_chars distribution is mapped
+    // onto the GLOBAL distribution by rank, so per-source scoring biases
+    // (one crawl writes long docs, another short) are removed before a
+    // global quality cut. Pure integer rank arithmetic — within-source
+    // rank rn of n docs maps to global sorted position
+    // (rn-1)·(N-1) div (n-1) + 1 (nearest-rank, no interpolation) — so
+    // the oracle replays it bit-for-bit. Eval-scale note: the global
+    // rank is a single-partition window here; at 100 TB it is the
+    // standard range-partitioned rank (sort + per-partition offsets),
+    // same semantics, documented in SCALE.md's global-rank recipe.
+    "text_quality_qnorm" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d).select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      val ranked = dd
+        .withColumn("rn", row_number().over(w.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        .withColumn("n_src", count(lit(1))
+          .over(w.partitionBy(col("source"))).cast("long"))
+      val global = dd
+        .select(row_number().over(w.orderBy(col("n_chars"), col("doc_id")))
+          .cast("long").as("gpos"), col("n_chars").as("qnorm_chars"))
+      val total = dd.agg(count(lit(1)).cast("long").as("n_all"))
+      ranked.crossJoin(broadcast(total))
+        .withColumn("gpos", expr(
+          "(rn - 1L) * (n_all - 1L) div greatest(n_src - 1L, 1L) + 1L"))
+        .join(global, Seq("gpos"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("qnorm_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Pareto front (2-D skyline) over per-doc (n_chars, distinct-word
+    // count) — the "maximal documents" query a curation review asks for
+    // (longest AND most lexically diverse, no doc strictly better on
+    // both axes). The O(n log n) sweep instead of the naive O(n²)
+    // dominance join: sort by n_chars, take the running max of
+    // distinct-words over STRICTLY greater n_chars (an integer RANGE
+    // frame, engine-portable), and keep docs that beat it and tie the
+    // within-n_chars max. Both windows run over the doc-count-scale
+    // (doc_id, two ints) projection, never over text; dominance is all
+    // integer comparisons, no floats anywhere.
+    "profile_pareto_front" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val m = docs(s, d).select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        size(array_distinct(filter(split(lower(col("text")), " "),
+          x => x =!= ""))).cast("long").as("n_dwords"))
+      m
+        .withColumn("m1", max(col("n_dwords")).over(
+          w.orderBy(col("n_chars").desc)
+            .rangeBetween(w.unboundedPreceding, -1)))
+        .withColumn("m2", max(col("n_dwords")).over(
+          w.partitionBy(col("n_chars"))))
+        .filter(col("n_dwords") > coalesce(col("m1"), lit(-1L)) &&
+          col("n_dwords") === col("m2"))
+        .select(col("doc_id"), col("n_chars"), col("n_dwords"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+    }),
+
     // End-to-end pipeline composition: quality gate → exact dedup (keep
     // min id per fingerprint) → chunk statistics per source. The shape a
     // real corpus-preparation job takes, as ONE declarative plan.
@@ -5181,6 +5338,102 @@ object ContentQueries {
         |  em.est_merged = es.est_single AS merge_exact
         |FROM top JOIN em USING (g) JOIN es USING (g)
         |ORDER BY top.exact_cnt DESC, top.g""".stripMargin,
+
+    "profile_cm_join_est" ->
+      """WITH va AS (SELECT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |vb AS (SELECT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |ca AS (SELECT r, c, CAST(sum(cnt) AS BIGINT) AS cell FROM
+        |  (SELECT cnt, rr.r AS r, CAST(CONCAT('0x', substr(md5(u),
+        |      rr.r * 8 + 1, 8)) AS BIGINT) % 1024 AS c
+        |    FROM va CROSS JOIN range(0, 4) rr(r)) GROUP BY r, c),
+        |cb AS (SELECT r, c, CAST(sum(cnt) AS BIGINT) AS cell FROM
+        |  (SELECT cnt, rr.r AS r, CAST(CONCAT('0x', substr(md5(u),
+        |      rr.r * 8 + 1, 8)) AS BIGINT) % 1024 AS c
+        |    FROM vb CROSS JOIN range(0, 4) rr(r)) GROUP BY r, c),
+        |prod AS (SELECT ca.r, CAST(sum(ca.cell * cb.cell) AS BIGINT)
+        |    AS row_est
+        |  FROM ca JOIN cb USING (r, c) GROUP BY ca.r),
+        |est AS (SELECT CAST(min(row_est) AS BIGINT) AS est_join
+        |  FROM prod),
+        |ex AS (SELECT CAST(sum(va.cnt * vb.cnt) AS BIGINT) AS exact_join
+        |  FROM va JOIN vb USING (u)),
+        |cnts AS (SELECT
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_view,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purchase
+        |  FROM events)
+        |SELECT n_view, n_purchase, exact_join, est_join,
+        |  CASE WHEN exact_join = 0 THEN NULL
+        |    ELSE round(CAST(est_join - exact_join AS DOUBLE) * 100.0
+        |      / CAST(exact_join AS DOUBLE), 2) END AS err_pct
+        |FROM cnts CROSS JOIN ex CROSS JOIN est""".stripMargin,
+
+    "corpus_js_divergence" ->
+      """WITH ww AS (SELECT source, wd FROM (SELECT source,
+        |    unnest(string_split(lower(text), ' ')) AS wd
+        |  FROM documents) WHERE wd <> ''),
+        |cnt AS (SELECT source, wd, CAST(count(*) AS BIGINT) AS c
+        |  FROM ww GROUP BY 1, 2),
+        |vocab AS (SELECT wd FROM (SELECT wd, count(*) AS c FROM ww
+        |  GROUP BY 1 ORDER BY c DESC, wd LIMIT 256)),
+        |grid AS (SELECT s.source, v.wd
+        |  FROM (SELECT DISTINCT source FROM documents) s
+        |  CROSS JOIN vocab v),
+        |dense AS (SELECT g.source, g.wd, coalesce(cnt.c, 0) AS c
+        |  FROM grid g LEFT JOIN cnt ON g.source = cnt.source
+        |    AND g.wd = cnt.wd),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot
+        |  FROM dense GROUP BY 1),
+        |p AS (SELECT d.source, d.wd,
+        |    CASE WHEN t.tot = 0 THEN 0.0
+        |      ELSE CAST(d.c AS DOUBLE) / CAST(t.tot AS DOUBLE) END AS p
+        |  FROM dense d JOIN tot t USING (source))
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  round(sum(
+        |    CASE WHEN a.p > 0.0 THEN 0.5 * a.p
+        |      * ln(a.p / ((a.p + b.p) / 2.0)) ELSE 0.0 END +
+        |    CASE WHEN b.p > 0.0 THEN 0.5 * b.p
+        |      * ln(b.p / ((a.p + b.p) / 2.0)) ELSE 0.0 END), 6) AS jsd
+        |FROM p a JOIN p b ON a.wd = b.wd AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_quality_qnorm" ->
+      """WITH dd AS (SELECT doc_id, source,
+        |    CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+        |ranked AS (SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |  FROM dd),
+        |global AS (SELECT CAST(row_number() OVER (
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS gpos,
+        |    n_chars AS qnorm_chars FROM dd),
+        |total AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM dd)
+        |SELECT r.doc_id, r.source, r.n_chars, g.qnorm_chars
+        |FROM ranked r CROSS JOIN total t
+        |JOIN global g ON g.gpos = (r.rn - 1) * (t.n_all - 1)
+        |  // greatest(r.n_src - 1, 1) + 1
+        |ORDER BY r.doc_id""".stripMargin,
+
+    "profile_pareto_front" ->
+      """WITH m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(len(list_distinct(list_filter(
+        |      string_split(lower(text), ' '), x -> x <> '')))
+        |      AS BIGINT) AS n_dwords
+        |  FROM documents),
+        |w2 AS (SELECT *,
+        |    max(n_dwords) OVER (ORDER BY n_chars DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+        |    max(n_dwords) OVER (PARTITION BY n_chars) AS m2
+        |  FROM m)
+        |SELECT doc_id, n_chars, n_dwords FROM w2
+        |WHERE n_dwords > coalesce(m1, -1) AND n_dwords = m2
+        |ORDER BY n_chars DESC, doc_id""".stripMargin,
 
     "profile_docs" ->
       """SELECT 'doc_id' AS column_name,

@@ -988,6 +988,128 @@ object RelationalQueries {
           sum(when(col("dev") > lit(3L) * col("mad"), lit(1L))
             .otherwise(lit(0L))).as("n_anom"))
         .orderBy(col("hod"))
+    }),
+
+    // Kaplan-Meier survival over user lifetimes — the churn family's
+    // (q50) principled readout: the product-limit estimator S(t) =
+    // prod_{t'<=t} (1 - d/n) over whole-day lifetime durations, with
+    // users still active in the corpus's final 3 days right-censored
+    // (they contribute to the risk set but not to churn). Durations are
+    // exact int64 microsecond diffs div'd to days; n_risk is a reverse
+    // cumulative over the <= 31-row duration table; S(t) is
+    // exp(sum(ln(1 - d/n))) with an integer flag short-circuiting the
+    // d = n row (ln 0) to exactly 0. The oracle mirrors the ln/exp tree
+    // term-for-term, rounded to 6 at the edge. Scale: one user-keyed
+    // aggregate over the corpus; everything after runs on a table
+    // bounded by the number of distinct whole-day durations.
+    "q56_survival_km" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val us = lit(86400000000L) // micros per day
+      val ev = T(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp"))
+          .as("us"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      val endUs = ev.agg(max(col("us")).as("end_us"))
+      val life = perUser.crossJoin(broadcast(endUs))
+        .select(
+          expr("(last_us - first_us) div 86400000000L").as("t"),
+          when(col("last_us") >= col("end_us") - lit(3L) * us, lit(1L))
+            .otherwise(lit(0L)).as("cens"))
+      val byT = life.groupBy(col("t")).agg(
+        sum(lit(1L) - col("cens")).as("d_churn"),
+        sum(col("cens")).as("c_censored"))
+      // <= |distinct durations| rows from here on: the single-partition
+      // windows below fold a day-count-bounded table, not the corpus.
+      val fwd = w.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rev = w.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT
+        .withColumn("n_risk", sum(col("d_churn") + col("c_censored"))
+          .over(rev))
+        .withColumn("dead", max(when(col("d_churn") === col("n_risk"),
+          lit(1L)).otherwise(lit(0L))).over(fwd))
+        .withColumn("lnterm", when(col("d_churn") === col("n_risk"),
+            lit(0.0))
+          .otherwise(log(lit(1.0) - col("d_churn").cast("double") /
+            col("n_risk").cast("double"))))
+        .select(col("t").as("t_days"), col("n_risk"), col("d_churn"),
+          col("c_censored"),
+          when(col("dead") === 1L, lit(0.0))
+            .otherwise(round(exp(sum(col("lnterm")).over(fwd)), 6))
+            .as("km_survival"))
+        .orderBy(col("t_days"))
+    }),
+
+    // Truncated-EWMA hourly control chart — exponential smoothing over
+    // each event type's observed-hour count sequence, the level/trend
+    // companion to q48's MAD and q55's seasonal scan. The operator is
+    // DEFINED as the K = 48-lag truncation ewma_t = a * sum_{i<K}
+    // (1-a)^i x_{t-i} (a = 0.25): a finite, order-free weighted sum both
+    // engines evaluate identically, instead of the recursive form whose
+    // infinite tail can't be replayed exactly (tail weight 0.75^48 ≈
+    // 1e-6 — below the output rounding). Flags compare 6-rounded values
+    // on both sides so the boundary is engine-stable. Scale: the band
+    // self-join is on the 24·|days|·|types| hourly cell table with a
+    // constant 48-row band per cell — linear in observed hours, never
+    // corpus-scale.
+    "q57_ewma_hours" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val ev = T(s, d, "events").select(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts").cast("timestamp")))
+          .as("hr"))
+      val cells = ev.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("event_type")).orderBy(col("hr"))))
+      val a = cells.select(col("event_type"), col("rn"), col("cnt"))
+      val b = cells.select(col("event_type").as("event_type_b"),
+        col("rn").as("rn_b"), col("cnt").as("cnt_b"))
+      a.join(b, col("event_type") === col("event_type_b") &&
+          col("rn_b") >= col("rn") - 47 && col("rn_b") <= col("rn"))
+        .groupBy(col("event_type"), col("rn"))
+        .agg(min(col("cnt")).as("cnt"),
+          sum(pow(lit(0.75), (col("rn") - col("rn_b")).cast("double")) *
+            col("cnt_b").cast("double")).as("wsum"))
+        .select(col("event_type"), col("rn").cast("long").as("hour_idx"),
+          col("cnt"),
+          round(lit(0.25) * col("wsum"), 6).as("ewma"),
+          when(round(abs(col("cnt").cast("double") -
+              lit(0.25) * col("wsum")), 6) >
+              round(lit(0.5) * greatest(lit(0.25) * col("wsum"),
+                lit(1.0)), 6), lit(1L)).otherwise(lit(0L)).as("anom"))
+        .orderBy(col("event_type"), col("hour_idx"))
+    }),
+
+    // Sample-ratio-mismatch check — the experiment-health gate that runs
+    // BEFORE q52/q53/q54's readouts ship: users are assigned to arms by
+    // the same user_id parity, and the observed split is tested against
+    // the designed 50/50 with the 1-dof chi2 (nA-nB)^2/(nA+nB), overall
+    // and per event-type segment (a per-segment SRM with a clean overall
+    // is the classic sign of exposure-logging bias). The flag is an
+    // exact INTEGER inequality (diff^2 * 10^6 > 3841459 * total — the
+    // 0.05 critical value scaled to micros), so no float boundary can
+    // disagree between engines. Scale: one distinct + two tiny folds.
+    "q58_srm_check" -> ((s, d) => {
+      val ev = T(s, d, "events")
+        .select(col("user_id"), col("event_type"))
+      val seg = ev.distinct()
+        .union(ev.select(col("user_id")).distinct()
+          .select(col("user_id"), lit("_all").as("event_type")))
+      val t2 = seg.groupBy(col("event_type")).agg(
+        sum(when(col("user_id") % 2 === 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_a"),
+        sum(when(col("user_id") % 2 === 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_b"))
+      t2.select(col("event_type").as("segment"), col("n_a"), col("n_b"),
+          round((col("n_a") - col("n_b")).cast("double") *
+            (col("n_a") - col("n_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double"), 6).as("chi2"),
+          when((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) *
+            lit(1000000L) > lit(3841459L) * (col("n_a") + col("n_b")),
+            lit(1L)).otherwise(lit(0L)).as("srm_flag"))
+        .orderBy(col("segment"))
     })
   )
 
@@ -1540,6 +1662,74 @@ object RelationalQueries {
         |    AS BIGINT) AS n_anom
         |FROM dev d JOIN mad USING (hod)
         |GROUP BY d.hod ORDER BY d.hod""".stripMargin,
+
+    "q56_survival_km" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |pu AS (SELECT user_id, min(us) AS first_us, max(us) AS last_us
+        |  FROM ev GROUP BY 1),
+        |e AS (SELECT max(us) AS end_us FROM ev),
+        |life AS (SELECT (last_us - first_us) // 86400000000 AS t,
+        |    CASE WHEN last_us >= end_us - 3 * 86400000000
+        |      THEN 1 ELSE 0 END AS cens
+        |  FROM pu CROSS JOIN e),
+        |byt AS (SELECT t, CAST(sum(1 - cens) AS BIGINT) AS d_churn,
+        |    CAST(sum(cens) AS BIGINT) AS c_censored
+        |  FROM life GROUP BY t),
+        |r AS (SELECT *, CAST(sum(d_churn + c_censored) OVER (ORDER BY t
+        |      DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_risk FROM byt),
+        |f AS (SELECT *,
+        |    max(CASE WHEN d_churn = n_risk THEN 1 ELSE 0 END) OVER w
+        |      AS dead,
+        |    sum(CASE WHEN d_churn = n_risk THEN 0.0
+        |      ELSE ln(1.0 - CAST(d_churn AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)) END) OVER w AS lnsum
+        |  FROM r WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT t AS t_days, n_risk, d_churn, c_censored,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |    ELSE round(exp(lnsum), 6) END AS km_survival
+        |FROM f ORDER BY t_days""".stripMargin,
+
+    "q57_ewma_hours" ->
+      """WITH cells AS (SELECT event_type,
+        |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hr,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, cnt, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY hr) AS rn FROM cells),
+        |j AS (SELECT a.event_type, a.rn, min(a.cnt) AS cnt,
+        |    sum(pow(0.75, CAST(a.rn - b.rn AS DOUBLE))
+        |      * CAST(b.cnt AS DOUBLE)) AS wsum
+        |  FROM idx a JOIN idx b ON a.event_type = b.event_type
+        |    AND b.rn >= a.rn - 47 AND b.rn <= a.rn
+        |  GROUP BY 1, 2)
+        |SELECT event_type, CAST(rn AS BIGINT) AS hour_idx, cnt,
+        |  round(0.25 * wsum, 6) AS ewma,
+        |  CAST(CASE WHEN round(abs(CAST(cnt AS DOUBLE) - 0.25 * wsum), 6)
+        |      > round(0.5 * greatest(0.25 * wsum, 1.0), 6)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS anom
+        |FROM j ORDER BY event_type, hour_idx""".stripMargin,
+
+    "q58_srm_check" ->
+      """WITH seg AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  UNION ALL
+        |  SELECT DISTINCT user_id, '_all' AS event_type FROM events),
+        |t2 AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM seg GROUP BY 1)
+        |SELECT event_type AS segment, n_a, n_b,
+        |  round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+        |  CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000000
+        |      > 3841459 * (n_a + n_b) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS srm_flag
+        |FROM t2 ORDER BY segment""".stripMargin,
 
     "q25_percentile" ->
       """SELECT l_returnflag,

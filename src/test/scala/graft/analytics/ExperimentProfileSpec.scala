@@ -1,0 +1,123 @@
+package graft.analytics
+
+import graft.{SparkEntry, SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariant pins for the round-12 experiment-health / profiling tier:
+  * Kaplan-Meier survival (q56), truncated-EWMA control chart (q57), the
+  * SRM gate (q58), CM inner-product join estimation, JS divergence,
+  * quantile normalization, and the Pareto front. The oracle gate checks
+  * value equality; these pin the SEMANTIC contracts (monotonicity,
+  * overestimate-only, dominance-freeness) that a value hash can't see.
+  */
+class ExperimentProfileSpec extends SparkSuite {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf0001)
+
+  test("q56 Kaplan-Meier: survival is non-increasing, risk set " +
+    "telescopes from the user count, and S hits 0 only on a d = n row") {
+    val rows = run("q56_survival_km").orderBy("t_days").collect()
+    assert(rows.nonEmpty)
+    val users = Tables.load(spark, sf0001, "events")
+      .select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("n_risk") === users,
+      "first risk set must be every user")
+    val km = rows.map(_.getAs[Double]("km_survival"))
+    assert(km.zip(km.tail).forall { case (a, b) => b <= a + 1e-12 },
+      "S(t) must be non-increasing")
+    assert(km.forall(s => s >= 0.0 && s <= 1.0))
+    rows.foreach { r =>
+      val dead = r.getAs[Double]("km_survival") == 0.0
+      val dEqN = r.getAs[Long]("d_churn") == r.getAs[Long]("n_risk")
+      if (dEqN) assert(dead, "d = n must zero the curve")
+    }
+    // risk sets telescope: n_risk(t) - (d+c)(t) = n_risk(next t)
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("n_risk") - a.getAs[Long]("d_churn") -
+        a.getAs[Long]("c_censored") === b.getAs[Long]("n_risk"))
+    }
+  }
+
+  test("q57 EWMA: a warm-up row smooths to exactly a*x, and the chart " +
+    "stays within the series' range") {
+    val rows = run("q57_ewma_hours").collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getAs[Long]("hour_idx") == 1L).foreach { r =>
+      assert(math.abs(r.getAs[Double]("ewma") -
+        0.25 * r.getAs[Long]("cnt")) < 1e-6,
+        "first observed hour has only itself in the window")
+    }
+    assert(rows.forall(r => Set(0L, 1L)(r.getAs[Long]("anom"))))
+    assert(rows.forall(_.getAs[Double]("ewma") > 0.0))
+  }
+
+  test("q58 SRM: the _all segment counts every user once and the flag " +
+    "replays as a pure integer inequality") {
+    val rows = run("q58_srm_check").collect()
+    val all = rows.find(_.getAs[String]("segment") == "_all").get
+    val users = Tables.load(spark, sf0001, "events")
+      .select("user_id").distinct().count()
+    assert(all.getAs[Long]("n_a") + all.getAs[Long]("n_b") === users)
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val expect =
+        if ((na - nb) * (na - nb) * 1000000L > 3841459L * (na + nb)) 1L
+        else 0L
+      assert(r.getAs[Long]("srm_flag") === expect)
+    }
+  }
+
+  test("profile_cm_join_est: the CM inner product never underestimates " +
+    "the true join cardinality (collisions only add)") {
+    val r = run("profile_cm_join_est").collect().head
+    assert(r.getAs[Long]("est_join") >= r.getAs[Long]("exact_join"))
+    assert(r.getAs[Long]("exact_join") > 0L, "fixture joins must overlap")
+  }
+
+  test("corpus_js_divergence: base-e JSD lands in [0, ln 2] for every " +
+    "source pair and covers all pairs once") {
+    val rows = run("corpus_js_divergence").collect()
+    val nSrc = Tables.load(spark, sf0001, "documents")
+      .select("source").distinct().count()
+    assert(rows.length === (nSrc * (nSrc - 1) / 2).toInt)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jsd")
+      assert(j >= 0.0 && j <= math.log(2.0) + 1e-9, s"jsd $j out of range")
+    }
+  }
+
+  test("text_quality_qnorm: normalization preserves within-source order " +
+    "and only emits values from the global n_chars multiset") {
+    val df = run("text_quality_qnorm")
+    val global = Tables.load(spark, sf0001, "documents")
+      .select(col("n_chars").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    val rows = df.collect()
+    assert(rows.forall(r => global(r.getAs[Long]("qnorm_chars"))))
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r =>
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+      val qn = sorted.map(_.getAs[Long]("qnorm_chars"))
+      assert(qn.zip(qn.tail).forall { case (a, b) => a <= b },
+        "rank map must be monotone within a source")
+    }
+  }
+
+  test("profile_pareto_front: no emitted doc is strictly dominated by " +
+    "ANY doc in the corpus (front completeness is the oracle's job)") {
+    val metric = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("nc"),
+        size(array_distinct(filter(split(lower(col("text")), " "),
+          x => x =!= ""))).cast("long").as("dw"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val front = run("profile_pareto_front").collect()
+      .map(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("n_dwords")))
+    front.foreach { case (nc, dw) =>
+      val dominated = metric.exists { case (nc2, dw2) =>
+        nc2 >= nc && dw2 >= dw && (nc2 > nc || dw2 > dw)
+      }
+      assert(!dominated, s"front point ($nc, $dw) is dominated")
+    }
+  }
+}
