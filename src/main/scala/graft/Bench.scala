@@ -81,7 +81,7 @@ object Bench {
     "sample_epoch_mix", "q55_seasonal_hours",
     "q56_survival_km", "q57_ewma_hours", "q58_srm_check",
     "profile_cm_join_est", "corpus_js_divergence", "text_quality_qnorm",
-    "profile_pareto_front")
+    "profile_pareto_front", "er_jaro_blocked")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -69,4 +69,46 @@ object Entity {
       .select(col("id"), col("dname").as("dirty_name"),
         col("b.n").as("matched_name"), col("b.d").cast("long").as("dist"))
   }
+
+  /** Jaro-Winkler variant of [[fuzzyMatch]] — same df-capped inverted-
+    * index blocking and length band, but survivors score with the native
+    * `JaroWinkler` expression instead of Levenshtein: the right scorer
+    * when the dirt is name-shaped (transpositions, dropped chars near
+    * the END of long strings — which unit edit distance penalizes as
+    * hard as a leading typo, while JW's prefix boost forgives). Scores
+    * are rounded to 6 BEFORE the threshold and the best-match argmax,
+    * so the DuckDB oracle (`jaro_winkler_similarity` — semantics pinned
+    * char-for-char in StringSimilaritySpec) replays both decisions on
+    * identical values. Each dirty row keeps its best match (max jw,
+    * ties to the lexicographically greatest name, mirrored ORDER BY in
+    * the oracle). Scale shape: identical to fuzzyMatch — the scorer
+    * only ever sees blocked candidates, never |dirty| × |catalog|. */
+  def jaroMatch(dirty: DataFrame, dirtyId: Column, dirtyName: Column,
+                catalog: DataFrame, catName: Column,
+                minJw: Double = 0.93, maxDf: Int = 32,
+                lenBand: Int = 4): DataFrame = {
+    val d = dirty.select(dirtyId.as("id"), dirtyName.as("dname"))
+    val cat = catalog.select(catName.as("name")).distinct()
+    val ctok = cat
+      .select(col("name"), explode(split(col("name"), " ")).as("w"))
+      .distinct()
+    val kept = ctok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("w"))
+    val index = ctok.join(kept, Seq("w"), "left_semi")
+    val dtok = d
+      .select(col("id"), col("dname"),
+        explode(split(col("dname"), " ")).as("w"))
+      .distinct()
+    val cand = dtok.join(index, Seq("w"))
+      .select(col("id"), col("dname"), col("name")).distinct()
+      .filter(abs(length(col("dname")) - length(col("name"))) <= lenBand)
+    val scored = cand
+      .withColumn("jw", round(
+        graft.functions.JaroWinkler(col("dname"), col("name")), 6))
+      .filter(col("jw") >= minJw)
+    scored.groupBy(col("id"), col("dname"))
+      .agg(max(struct(col("jw").as("j"), col("name").as("n"))).as("b"))
+      .select(col("id"), col("dname").as("dirty_name"),
+        col("b.n").as("matched_name"), col("b.j").as("jw"))
+  }
 }

@@ -30,6 +30,12 @@ object GraftFunctions {
       SrpBandBuckets(exprs.head, intArg(exprs, 1, "srp_band_buckets"),
         intArg(exprs, 2, "srp_band_buckets"))
     },
+    // `jaro_winkler(a, b)` — ER name-similarity scorer; DuckDB-identical
+    "jaro_winkler" -> { exprs =>
+      val b = exprs.lift(1).getOrElse(throw new IllegalArgumentException(
+        "jaro_winkler requires two string arguments"))
+      JaroWinkler(exprs.head, b)
+    },
     "dot_product" -> { exprs =>
       import org.apache.spark.sql.catalyst.expressions.Cast
       import org.apache.spark.sql.types.{ArrayType, DoubleType}

@@ -872,6 +872,26 @@ object ContentQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // er_fuzzy_match's scorer swapped for the native Jaro-Winkler
+    // expression (StringSimilarity.scala) over the SAME planted-deletion
+    // fixture and the same df-capped token blocking — the two classic ER
+    // scorers side by side on one corpus. The deletion lands at
+    // p_partkey % length(p_name), i.e. anywhere in the string: unit edit
+    // distance treats all positions alike, JW's prefix boost rewards the
+    // (typical for names) intact head. Thresholds compare 6-rounded
+    // values on BOTH engines.
+    "er_jaro_blocked" -> ((s, d) => {
+      val part = Tables.load(s, d, "part")
+      val dirty = part.select(col("p_partkey"), expr(
+        "concat(substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))," +
+          " substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2," +
+          " 200))").as("dname"))
+      graft.analytics.Entity.jaroMatch(dirty, col("p_partkey"),
+        col("dname"), part, col("p_name"))
+        .withColumnRenamed("id", "p_partkey")
+        .orderBy(col("p_partkey"))
+    }),
+
     // k-NN label classification — the standard embedding-quality eval
     // (predict a held-out vector's label by majority vote of its 10
     // exact nearest neighbors; ties -> lower label id). Runs the
@@ -6439,6 +6459,33 @@ object ContentQueries {
         |    PARTITION BY id ORDER BY dist, name) AS rn FROM scored)
         |SELECT id AS p_partkey, dname AS dirty_name,
         |  name AS matched_name, CAST(dist AS BIGINT) AS dist
+        |FROM best WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+
+    "er_jaro_blocked" ->
+      """WITH cat AS (SELECT DISTINCT p_name AS name FROM part),
+        |dirty AS (SELECT p_partkey AS id,
+        |    concat(substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT)),
+        |      substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2,
+        |        200)) AS dname
+        |  FROM part),
+        |ctok AS (SELECT DISTINCT name, w FROM (SELECT name,
+        |    unnest(string_split(name, ' ')) AS w FROM cat)),
+        |kept AS (SELECT w FROM ctok GROUP BY w HAVING count(*) <= 32),
+        |idx AS (SELECT c.name, c.w FROM ctok c JOIN kept USING (w)),
+        |dtok AS (SELECT DISTINCT id, dname, w FROM (SELECT id, dname,
+        |    unnest(string_split(dname, ' ')) AS w FROM dirty)),
+        |cand AS (SELECT DISTINCT d.id, d.dname, i.name
+        |  FROM dtok d JOIN idx i USING (w)
+        |  WHERE abs(length(d.dname) - length(i.name)) <= 4),
+        |scored AS (SELECT id, dname, name,
+        |    round(jaro_winkler_similarity(dname, name), 6) AS jw
+        |  FROM cand
+        |  WHERE round(jaro_winkler_similarity(dname, name), 6) >= 0.93),
+        |best AS (SELECT id, dname, name, jw, row_number() OVER (
+        |    PARTITION BY id ORDER BY jw DESC, name DESC) AS rn
+        |  FROM scored)
+        |SELECT id AS p_partkey, dname AS dirty_name,
+        |  name AS matched_name, jw
         |FROM best WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
 
     // serial replay of Similarity.graphTopK: same k-NN edges
