@@ -71,4 +71,37 @@ object Privacy {
       .groupBy(col("k"))
       .agg(count(lit(1)).cast("long").as("n_classes"),
         min(col("l")).cast("long").as("l_min"))
+
+  /** Entropy l-diversity per equivalence class (Machanavajjhala 2007
+    * §3): distinct-l says a class has l sensitive values, entropy-l
+    * says none of them DOMINATES — a class that is 98% one diagnosis
+    * and 2% another passes distinct-2 but fails entropy-2. Per class:
+    * H = ln k − (Σ c·ln c)/k over the sensitive value counts c, and
+    * the class meets entropy-l iff H ≥ ln l. Both sides of that
+    * comparison are 6-rounded so the oracle's flag agrees exactly.
+    * Scale: one (QI, sensitive) aggregate over the corpus, then
+    * class-keyed folds — the same two-shuffle shape as
+    * equivalenceClasses. */
+  def entropyLDiversity(df: DataFrame, qis: Seq[(String, Column)],
+                        sensitive: Column, l: Int): DataFrame = {
+    val qiCols = qis.map { case (n, _) => col(n) }
+    val cells = df
+      .groupBy(qis.map { case (n, c) => c.as(n) } :+
+        sensitive.as("sv"): _*)
+      .agg(count(lit(1)).as("c"))
+    val lnL = math.log(l.toDouble)
+    cells.groupBy(qiCols: _*)
+      .agg(sum(col("c")).cast("long").as("k"),
+        count(lit(1)).cast("long").as("l_distinct"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("clnc"))
+      .select(qiCols :+ col("k") :+ col("l_distinct") :+
+        round(log(col("k").cast("double")) -
+          col("clnc") / col("k").cast("double"), 6).as("entropy") :+
+        when(round(log(col("k").cast("double")) -
+            col("clnc") / col("k").cast("double"), 6) >=
+            lit(BigDecimal(lnL).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble), lit(1L))
+          .otherwise(lit(0L)).as(s"meets_entropy_$l"): _*)
+  }
 }

@@ -3080,6 +3080,17 @@ object ContentQueries {
         col("c_mktsegment"))
         .orderBy(col("k"))),
 
+    // Entropy l-diversity over the same QI classes: the per-class
+    // sensitive-value entropy and the ≥ ln(3) release flag — catches
+    // the dominated-distribution classes distinct-l can't see.
+    "privacy_entropy_l" -> ((s, d) =>
+      graft.analytics.Privacy.entropyLDiversity(
+        Tables.load(s, d, "customer"),
+        Seq("nation" -> col("c_nationkey"),
+          "bal_band" -> floor(col("c_acctbal") / 1000).cast("long")),
+        col("c_mktsegment"), l = 3)
+        .orderBy(col("nation"), col("bal_band"))),
+
     // The epoch allocation MATERIALIZED — mix_epoch_alloc decides how
     // often each source repeats, this row cuts the corpus to it:
     // full epochs emit the whole source verbatim; the fractional
@@ -6613,6 +6624,23 @@ object ContentQueries {
         |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
         |  CAST(min(l) AS BIGINT) AS l_min
         |FROM ec GROUP BY k ORDER BY k""".stripMargin,
+
+    "privacy_entropy_l" ->
+      """WITH cells AS (SELECT c_nationkey AS nation,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    c_mktsegment AS sv, CAST(count(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |cls AS (SELECT nation, bal_band, CAST(sum(c) AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS l_distinct,
+        |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT nation, bal_band, k, l_distinct,
+        |  round(ln(CAST(k AS DOUBLE)) - clnc / CAST(k AS DOUBLE), 6)
+        |    AS entropy,
+        |  CAST(CASE WHEN round(ln(CAST(k AS DOUBLE))
+        |      - clnc / CAST(k AS DOUBLE), 6) >= 1.098612
+        |    THEN 1 ELSE 0 END AS BIGINT) AS meets_entropy_3
+        |FROM cls ORDER BY nation, bal_band""".stripMargin,
 
     // epoch allocation replayed, then the boundary-epoch md5 cut (the
     // sample_mix_waterfill idiom) and the per-source emit arithmetic

