@@ -850,6 +850,22 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // sim_topk_graph with the PRODUCTION edge source: the NSW beam walks
+    // the IVF-nominated graph (the linear-ish knnGraphIvf build the
+    // graph_*_ivf family certifies) instead of the O(n²) exact k-NN —
+    // the last of the graph rows to get an end-to-end served-index
+    // variant. Same beam discipline (16-wide, 6 hops, 8 hub entries);
+    // the oracle replays index build, edge nomination, AND the walk.
+    "sim_topk_graph_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.graphTopK(e.filter(col("vec_id") % 100 === 0), e,
+        knnGraphIvf(s, d), col("vec_id"), col("embedding"), col("vec_id"),
+        col("embedding"), col("src"), col("dst"), k = 10, beam = 16,
+        hops = 6, entries = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Fuzzy entity resolution under planted typos: every part name is
     // corrupted by deleting ONE character at a key-derived position
     // (the deterministic dirty feed), then matched back to the clean
@@ -6518,6 +6534,27 @@ object ContentQueries {
          |      i -> q.qe[i] * c.e[i])) / (q.qn * c.nrm), 4) AS sim
          |  FROM qg q, ent, n c
          |  WHERE c.vec_id = ent.n_id AND c.vec_id <> q.q_id),
+         |gx0 AS (SELECT q_id, n_id FROM gv0 WHERE 1 = 0),
+         |""" + (1 to 6).map(gsHop).mkString(",\n|") + """
+         |SELECT q_id, n_id, sim, rank FROM (SELECT q_id, n_id, sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, n_id) AS rank FROM gv6)
+         |WHERE rank <= 10 ORDER BY q_id, rank""").stripMargin,
+
+    "sim_topk_graph_ivf" ->
+      (s"""WITH $ivfEdgesSql,
+         |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM edges
+         |  UNION ALL SELECT dst, src FROM edges)),
+         |qg AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+         |  WHERE vec_id % 100 = 0),
+         |ent AS (SELECT n_id FROM (SELECT dst AS n_id, count(*) AS c
+         |  FROM und GROUP BY 1 ORDER BY c DESC, dst LIMIT 8)),
+         |gv0 AS MATERIALIZED (SELECT qq.q_id, c.vec_id AS n_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> qq.qe[i] * c.e[i])) / (qq.qn * c.nrm), 4) AS sim
+         |  FROM qg qq, ent, n c
+         |  WHERE c.vec_id = ent.n_id AND c.vec_id <> qq.q_id),
          |gx0 AS (SELECT q_id, n_id FROM gv0 WHERE 1 = 0),
          |""" + (1 to 6).map(gsHop).mkString(",\n|") + """
          |SELECT q_id, n_id, sim, rank FROM (SELECT q_id, n_id, sim,

@@ -626,4 +626,57 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q56 Kaplan-Meier: the corpus folds in a partial user-keyed " +
+    "aggregate; the KM windows run on the duration table only") {
+    val p = plan("q56_survival_km")
+    assert(p.contains("partial_min") && p.contains("partial_max"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q57 EWMA: the 48-lag band self-join keeps its event_type equi " +
+    "key — a hash/merge join with the band as residual, never a " +
+    "nested-loop over the cell table") {
+    val p = plan("q57_ewma_hours")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q60 Markov: ONE corpus-scale window (the per-user lead); the " +
+    "matrix aggregates with map-side combine") {
+    val p = plan("q60_markov_trans")
+    assert("Window".r.findAllIn(p).length >= 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q63 bootstrap: resampled means aggregate with map-side combine " +
+    "and the only nested-loop joins are the 1-row readout folds") {
+    val p = plan("q63_bootstrap_ci")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("er_jaro_blocked: candidates come from the token-index equi-join " +
+    "— no cartesian anywhere, and the JW scorer runs in a projection " +
+    "over blocked pairs") {
+    val p = plan("er_jaro_blocked")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("jaro_winkler"), p)
+  }
+
+  test("corpus_js_divergence: the top-256 vocabulary joins as a " +
+    "broadcast against the corpus-scale counts") {
+    val p = plan("corpus_js_divergence")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("profile_pareto_front: only the needed columns reach the scan " +
+    "(doc_id, n_chars, text — no source/lang)") {
+    val p = plan("profile_pareto_front")
+    assert(!p.contains("source") || !p.contains("lang"), p)
+  }
 }
