@@ -429,6 +429,41 @@ object Dedup {
     * with the band's bucket hash — the shared candidate-generation key for
     * within-corpus pairs (`minhashLshPairs`) and incremental
     * (`nearDupAgainst`) dedup. */
+  /** The LSH CANDIDATE pair set, pre-verification — what the banding
+    * alone nominates. `minhashLshPairs` verifies candidates with exact
+    * Jaccard, so its output can't measure the banding's own
+    * precision/recall; this exposes the raw candidates for the
+    * eval_lsh_quality row. With `md5Base=true` the signature family is
+    * the engine-portable md5 one and the band key is the RAW signature
+    * slice (rendered as a string, injective), so a DuckDB oracle
+    * replays the exact candidate set — no bucket-hash collision can
+    * add a pair the replay lacks. Same banded equi-join shape as the
+    * production path: never an all-pairs comparison. */
+  def minhashLshCandidates(docs: DataFrame, id: Column, text: Column,
+                           n: Int = 3, numHashes: Int = 32,
+                           bands: Int = 16,
+                           md5Base: Boolean = false): DataFrame = {
+    val rows = numHashes / bands
+    val sh = shingleTable(docs, id, text, n)
+    val banded = sh
+      .withColumn("sig", graft.functions.HashExpressions
+        .minhashSignature(col("sh"), numHashes, md5Base))
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(bnd =>
+          array_join(transform(
+            slice(col("sig"), bnd * rows + 1, rows),
+            x => x.cast("string")), ":")): _*))
+          .as(Seq("band", "bucket")))
+    val l = banded.select(col("doc_id").as("a_id"), col("band"),
+      col("bucket"))
+    val r = banded.select(col("doc_id").as("b_id"), col("band"),
+      col("bucket"))
+    l.join(r.hint("SHUFFLE_HASH"), Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+  }
+
   private def bandedBuckets(sh: DataFrame, numHashes: Int,
                             bands: Int): DataFrame = {
     val rows = numHashes / bands

@@ -650,6 +650,34 @@ object ContentQueries {
         n = 3, numHashes = 32, bands = 16, threshold = 0.7)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // The LSH banding measured AGAINST its own ground truth: candidate
+    // pairs from 16 bands × 2 rows of the md5-family MinHash vs the
+    // exhaustive 3-gram Jaccard pairs at 0.5 — recall says how much the
+    // banding misses, precision says how much the verify stage must
+    // filter. BOTH sides replay in the oracle (the md5 signature family
+    // and raw-slice band keys make the candidate set itself
+    // engine-exact), so the approximation's QUALITY is hash-checked,
+    // not just its output. Counts are int64, ratios integer micros.
+    "eval_lsh_quality" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cand = graft.analytics.Caches.persist(
+        Dedup.minhashLshCandidates(dd, col("doc_id"), col("text"),
+          n = 3, numHashes = 32, bands = 16, md5Base = true))
+      val exact = graft.analytics.Caches.persist(
+        Dedup.jaccardPairs(dd, col("doc_id"), col("text"),
+          n = 3, threshold = 0.5).select(col("a_id"), col("b_id")))
+      val ne = exact.agg(count(lit(1)).cast("long").as("n_exact"))
+      val nc = cand.agg(count(lit(1)).cast("long").as("n_cand"))
+      val nh = cand.join(exact, Seq("a_id", "b_id"))
+        .agg(count(lit(1)).cast("long").as("n_hit"))
+      ne.crossJoin(nc).crossJoin(nh)
+        .select(col("n_exact"), col("n_cand"), col("n_hit"),
+          expr("(n_hit * 1000000L) div greatest(n_exact, 1L)")
+            .as("recall_micro"),
+          expr("(n_hit * 1000000L) div greatest(n_cand, 1L)")
+            .as("precision_micro"))
+    }),
+
     // SimHash near-dups — fully oracle-checked: the 60-bit md5-derived base
     // hash lets DuckDB rebuild bit-identical simhashes, so the exact pair
     // set (pigeonhole candidates + hamming <= 3) is verified end-to-end.
@@ -3636,6 +3664,32 @@ object ContentQueries {
         |FROM c WHERE ct >= 0.8 ORDER BY sub_id, super_id""".stripMargin,
 
     "dedup_minhash_lsh" -> jaccardOracle(0.7),
+
+    "eval_lsh_quality" -> {
+      val bandEq = (0 until 16).map(i =>
+        s"(a.m${2 * i} = b.m${2 * i} AND a.m${2 * i + 1} = b.m${2 * i + 1})")
+        .mkString("\n|    OR ")
+      s"""WITH $jaccardCtes,
+         |ex2 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |hh AS (SELECT doc_id,
+         |    ${md5b60("shingle")} % 2147483647 AS h FROM ex2),
+         |mins AS (SELECT doc_id,
+         |    $mhMins
+         |  FROM hh GROUP BY doc_id),
+         |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM mins a JOIN mins b ON a.doc_id < b.doc_id
+         |  WHERE $bandEq),
+         |exact AS (SELECT a_id, b_id FROM p
+         |  WHERE common / (a_n + b_n - common) >= 0.5),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+         |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM cand JOIN exact USING (a_id, b_id))
+         |SELECT n_exact, n_cand, n_hit,
+         |  (n_hit * 1000000) // greatest(n_exact, 1) AS recall_micro,
+         |  (n_hit * 1000000) // greatest(n_cand, 1) AS precision_micro
+         |FROM ne CROSS JOIN nc CROSS JOIN nh""".stripMargin
+    },
 
     "dedup_incremental_near" ->
       """WITH sh AS (SELECT doc_id,

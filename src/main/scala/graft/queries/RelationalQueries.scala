@@ -1213,24 +1213,33 @@ object RelationalQueries {
     // oracle unrolls the same 12 rounds as CTEs. |states| is tiny by
     // construction; the only corpus-scale work is q60's bigram count.
     "q61_markov_stationary" -> ((s, d) => {
-      // persist: the |states|²-row matrix anchors 12 iteration joins —
-      // without it the corpus-scale bigram window would re-run per round
-      val trans = graft.analytics.Caches.persist(
-        queries("q60_markov_trans")(s, d)
-          .select(col("from_type"), col("to_type"), col("n"),
-            col("n_from")))
-      val states = trans.select(col("from_type").as("state")).distinct()
-      val nStates = states.count()
-      var pi = states.select(col("state"),
-        lit(1000000000000L / nStates).as("pi"))
+      // The |states|² count matrix is MODEL-scale (the Lloyd-centroid
+      // precedent): collect it once and run the 12 rounds as driver
+      // long arithmetic — identical floor-division updates to the
+      // oracle's unrolled CTEs, without paying 12 Spark job schedules
+      // for joins over a 25-row frame (measured 4.2 s → sub-second).
+      // The corpus-scale work (q60's bigram window) runs exactly once.
+      val trans = queries("q60_markov_trans")(s, d)
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      val states = trans.map(_._1).distinct.sorted
+      var pi: Map[String, Long] =
+        states.map(_ -> 1000000000000L / states.length).toMap
       for (_ <- 1 to 12) {
-        pi = trans.join(pi, col("from_type") === col("state"))
-          .select(col("to_type"),
-            expr("(pi * n) div n_from").as("m"))
-          .groupBy(col("to_type")).agg(sum(col("m")).cast("long").as("pi"))
-          .select(col("to_type").as("state"), col("pi"))
+        // mirror the oracle's round CTE exactly: only states with ≥1
+        // incoming transition appear in the next round (a source state
+        // absent from the previous round contributes nothing)
+        val next = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        trans.foreach { case (f, t, nn, nf) =>
+          if (pi.contains(f)) next(t) += pi(f) * nn / nf
+        }
+        pi = next.toMap
       }
-      pi.orderBy(col("state"))
+      import s.implicits._
+      pi.toSeq.sortBy(_._1).toDF("state", "pi").orderBy(col("state"))
     }),
 
     // Winsorized-mean experiment readout — the heavy-tail-robust revenue

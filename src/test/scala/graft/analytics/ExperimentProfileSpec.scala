@@ -148,6 +148,18 @@ class ExperimentProfileSpec extends SparkSuite {
     }
   }
 
+  test("eval_lsh_quality: the banding's candidate set contains the hits " +
+    "it claims and clears the recall floor the verify stage relies on") {
+    val r = run("eval_lsh_quality").collect().head
+    val (ne, nc, nh) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_cand"),
+      r.getAs[Long]("n_hit"))
+    assert(nh <= ne && nh <= nc)
+    assert(r.getAs[Long]("recall_micro") >= 900000L,
+      "16x2 banding must catch >=90% of 0.5-Jaccard pairs")
+    assert(r.getAs[Long]("precision_micro") > 0L &&
+      r.getAs[Long]("precision_micro") <= 1000000L)
+  }
+
   test("q63 bootstrap: the percentile CI is ordered, replayable, and " +
     "bracketed by the resampled-diff extremes") {
     val r = run("q63_bootstrap_ci").collect().head
