@@ -84,7 +84,8 @@ object Bench {
     "profile_pareto_front", "er_jaro_blocked",
     "q59_trend_mk", "q60_markov_trans", "q61_markov_stationary",
     "q62_abtest_winsor", "q63_bootstrap_ci", "privacy_entropy_l",
-    "sim_topk_graph_ivf", "eval_lsh_quality")
+    "sim_topk_graph_ivf", "eval_lsh_quality",
+    "q64_did_readout", "q65_cusum_change")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

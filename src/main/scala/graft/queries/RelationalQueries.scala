@@ -1349,6 +1349,81 @@ object RelationalQueries {
         .select(col("n_a"), col("n_b"), lit(200L).as("n_boot"),
           (col("m_a") - col("m_b")).as("diff_obs_micro"),
           col("ci_lo_micro"), col("ci_hi_micro"))
+    }),
+
+    // Difference-in-differences readout — the quasi-experimental
+    // companion to the q52-q63 family: per-user purchase spend in exact
+    // integer cents, periods split at the corpus's microsecond midpoint,
+    // arms by the family's user parity, and DiD = (post_A - pre_A) -
+    // (post_B - pre_B) over the four cell means (integer micro-dollars
+    // via div, so the estimate replays bit-for-bit). Cells are means
+    // over users ACTIVE in that (arm, period) — the unbalanced-panel
+    // form, stated explicitly. Scale: one (user, period)-keyed aggregate
+    // then a 4-row fold.
+    "q64_did_readout" -> ((s, d) => {
+      val ev = T(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        .select((col("lo") + expr("(hi - lo) div 2L")).as("mid"))
+      val cells = ev.crossJoin(broadcast(bounds))
+        .withColumn("period",
+          when(col("us") >= col("mid"), lit("post")).otherwise(lit("pre")))
+        .withColumn("arm", col("user_id") % 2)
+        .groupBy(col("arm"), col("period"), col("user_id"))
+        .agg(sum(col("cents")).cast("long").as("cents"))
+        .groupBy(col("arm"), col("period"))
+        .agg((sum(col("cents")) * 10000L).cast("long").as("s10k"),
+          count(lit(1)).cast("long").as("n_users"))
+        .select(col("arm"), col("period"), col("n_users"),
+          expr("s10k div n_users").as("mean_micro"))
+      def cell(a: Int, p: String, as: String) =
+        cells.filter(col("arm") === a && col("period") === p)
+          .select(col("mean_micro").as(as),
+            col("n_users").as(s"n_$as"))
+      cell(0, "pre", "pre_a").crossJoin(cell(0, "post", "post_a"))
+        .crossJoin(cell(1, "pre", "pre_b"))
+        .crossJoin(cell(1, "post", "post_b"))
+        .select(col("n_pre_a"), col("n_post_a"), col("n_pre_b"),
+          col("n_post_b"), col("pre_a"), col("post_a"), col("pre_b"),
+          col("post_b"),
+          ((col("post_a") - col("pre_a")) -
+            (col("post_b") - col("pre_b"))).as("did_micro"))
+    }),
+
+    // CUSUM changepoint scan over each event type's daily counts —
+    // where did the level SHIFT (q48/q55/q57 ask "which points are
+    // odd"; this asks "where does the regime change"). Pure integers:
+    // with n days and total T, S_k = Σ_{i<=k} (n·c_i - T) is the
+    // mean-centered cumulative sum scaled by n (no division, no
+    // floats); the changepoint is argmax |S_k| (ties to the earliest
+    // day). Scale: one (type, day) aggregate, then a per-type window
+    // over |days| rows.
+    "q65_cusum_change" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val daily = T(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000L")
+            .as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val byType = w.partitionBy(col("event_type"))
+      val s1 = daily
+        .withColumn("n", count(lit(1)).over(byType).cast("long"))
+        .withColumn("t", sum(col("cnt")).over(byType).cast("long"))
+        .withColumn("s", sum(col("n") * col("cnt") - col("t"))
+          .over(byType.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      s1.withColumn("rn", row_number().over(
+          byType.orderBy(abs(col("s")).desc, col("day"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n").as("n_days"),
+          col("t").as("total"), col("day").as("change_day"),
+          col("s").as("s_at_change"), abs(col("s")).as("s_abs_max"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2107,6 +2182,65 @@ object RelationalQueries {
         |  (SELECT CAST(diff AS BIGINT) FROM dr WHERE rn = 195)
         |    AS ci_hi_micro
         |FROM oa CROSS JOIN ob""".stripMargin,
+
+    "q64_did_readout" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev),
+        |pu AS (SELECT user_id % 2 AS arm,
+        |    CASE WHEN us >= (SELECT mid FROM b) THEN 'post'
+        |      ELSE 'pre' END AS period,
+        |    user_id, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM ev GROUP BY 1, 2, 3),
+        |cells AS (SELECT arm, period,
+        |    CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST((sum(cents) * 10000) // count(*) AS BIGINT) AS m
+        |  FROM pu GROUP BY 1, 2)
+        |SELECT
+        |  (SELECT n_users FROM cells WHERE arm = 0 AND period = 'pre')
+        |    AS n_pre_a,
+        |  (SELECT n_users FROM cells WHERE arm = 0 AND period = 'post')
+        |    AS n_post_a,
+        |  (SELECT n_users FROM cells WHERE arm = 1 AND period = 'pre')
+        |    AS n_pre_b,
+        |  (SELECT n_users FROM cells WHERE arm = 1 AND period = 'post')
+        |    AS n_post_b,
+        |  (SELECT m FROM cells WHERE arm = 0 AND period = 'pre')
+        |    AS pre_a,
+        |  (SELECT m FROM cells WHERE arm = 0 AND period = 'post')
+        |    AS post_a,
+        |  (SELECT m FROM cells WHERE arm = 1 AND period = 'pre')
+        |    AS pre_b,
+        |  (SELECT m FROM cells WHERE arm = 1 AND period = 'post')
+        |    AS post_b,
+        |  ((SELECT m FROM cells WHERE arm = 0 AND period = 'post')
+        |    - (SELECT m FROM cells WHERE arm = 0 AND period = 'pre'))
+        |  - ((SELECT m FROM cells WHERE arm = 1 AND period = 'post')
+        |    - (SELECT m FROM cells WHERE arm = 1 AND period = 'pre'))
+        |    AS did_micro""".stripMargin,
+
+    "q65_cusum_change" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |s1 AS (SELECT event_type, day, cnt,
+        |    CAST(count(*) OVER w0 AS BIGINT) AS n,
+        |    CAST(sum(cnt) OVER w0 AS BIGINT) AS t
+        |  FROM daily
+        |  WINDOW w0 AS (PARTITION BY event_type)),
+        |s2 AS (SELECT *,
+        |    CAST(sum(n * cnt - t) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS s
+        |  FROM s1),
+        |s3 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(s) DESC, day) AS rn FROM s2)
+        |SELECT event_type, n AS n_days, t AS total, day AS change_day,
+        |  s AS s_at_change, abs(s) AS s_abs_max
+        |FROM s3 WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "q25_percentile" ->
       """SELECT l_returnflag,

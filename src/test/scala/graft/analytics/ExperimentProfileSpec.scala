@@ -171,6 +171,32 @@ class ExperimentProfileSpec extends SparkSuite {
     assert(r === r2)
   }
 
+  test("q64 DiD: the estimate replays from its own four cells and every " +
+    "cell mean is a positive integer micro amount") {
+    val r = run("q64_did_readout").collect().head
+    val did = (r.getAs[Long]("post_a") - r.getAs[Long]("pre_a")) -
+      (r.getAs[Long]("post_b") - r.getAs[Long]("pre_b"))
+    assert(r.getAs[Long]("did_micro") === did)
+    Seq("pre_a", "post_a", "pre_b", "post_b").foreach { c =>
+      assert(r.getAs[Long](c) > 0L, s"cell $c")
+    }
+  }
+
+  test("q65 CUSUM: S telescopes to zero over the full span, so the " +
+    "scan's argmax is interior and its |S| positive on a non-flat " +
+    "series") {
+    val rows = run("q65_cusum_change").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // S_n = n*T - n*T = 0: an argmax with |S| > 0 is strictly interior
+      if (r.getAs[Long]("s_abs_max") > 0L) {
+        assert(r.getAs[Long]("change_day") < Long.MaxValue)
+        assert(math.abs(r.getAs[Long]("s_at_change")) ===
+          r.getAs[Long]("s_abs_max"))
+      }
+    }
+  }
+
   test("privacy_entropy_l: per-class entropy is bounded by ln k and the " +
     "release flag replays from the rounded value") {
     val rows = run("privacy_entropy_l").collect()
