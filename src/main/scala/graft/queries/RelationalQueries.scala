@@ -1059,10 +1059,13 @@ object RelationalQueries {
       val ev = T(s, d, "events").select(col("event_type"),
         unix_micros(date_trunc("hour", col("ts").cast("timestamp")))
           .as("hr"))
-      val cells = ev.groupBy(col("event_type"), col("hr"))
+      // persist: both sides of the band self-join read the cell table —
+      // without the cache the corpus-scale hourly aggregate runs twice
+      val cells = graft.analytics.Caches.persist(ev
+        .groupBy(col("event_type"), col("hr"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(
-          w.partitionBy(col("event_type")).orderBy(col("hr"))))
+          w.partitionBy(col("event_type")).orderBy(col("hr")))))
       val a = cells.select(col("event_type"), col("rn"), col("cnt"))
       val b = cells.select(col("event_type").as("event_type_b"),
         col("rn").as("rn_b"), col("cnt").as("cnt_b"))

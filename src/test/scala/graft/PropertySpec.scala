@@ -37,6 +37,20 @@ object EngineProperties extends Properties("graft") {
     }
   }
 
+  property("jaro-winkler is symmetric, bounded, and 1 only on equality") = {
+    val sGen = Gen.listOf(Gen.oneOf('a', 'b', 'c', 'd', ' ')).map(_.mkString)
+    forAll(sGen, sGen) { (a, b) =>
+      val jw = graft.functions.JaroWinkler.similarity(a, b)
+      val sym = jw == graft.functions.JaroWinkler.similarity(b, a)
+      val bounded = jw >= 0.0 && jw <= 1.0
+      val ident = if (a == b && a.nonEmpty)
+        jw == 1.0
+      else if (a.nonEmpty && b.nonEmpty && a != b) jw < 1.0
+      else jw == 0.0 // either side empty scores 0 (rapidfuzz convention)
+      sym && bounded && ident
+    }
+  }
+
   property("schema-compat decisions are total and mode-consistent") = {
     import SchemaCompat._
     import org.apache.spark.sql.types._
