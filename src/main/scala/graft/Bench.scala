@@ -85,7 +85,8 @@ object Bench {
     "q59_trend_mk", "q60_markov_trans", "q61_markov_stationary",
     "q62_abtest_winsor", "q63_bootstrap_ci", "privacy_entropy_l",
     "sim_topk_graph_ivf", "eval_lsh_quality",
-    "q64_did_readout", "q65_cusum_change")
+    "q64_did_readout", "q65_cusum_change", "eval_brier_bins",
+    "profile_psi_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -650,6 +650,90 @@ object ContentQueries {
         n = 3, numHashes = 32, bands = 16, threshold = 0.7)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Reliability diagram + Brier decomposition inputs for the LR
+    // scorer — the calibration eval that complements text_lr_calibrate's
+    // PAV fit: scores in exact micro units bucket into 10 deciles, and
+    // per bin the mean predicted probability, the observed positive
+    // rate, and the mean squared error are ALL integer arithmetic
+    // (micro² for the Brier term), so the whole diagram replays
+    // bit-for-bit. A calibrated scorer shows mean_p ≈ frac_pos per bin.
+    "eval_brier_bins" -> ((s, d) => {
+      val doc = docs(s, d)
+      val wts = TextAnalysis.logisticFit(doc, col("text"),
+        col("lang") === "en").last
+      val sc = TextAnalysis.logisticScore(doc, col("doc_id"), col("text"),
+        col("lang") === "en", wts)
+        .select(col("doc_id"), col("y").cast("long").as("y"),
+          floor(col("p") * 1000000.0 + 0.5).cast("long").as("pm"))
+      // rank deciles (ntile), not absolute score deciles: a barely-
+      // separating scorer clusters every p into one absolute bin and the
+      // diagram degenerates to a single row — rank bins always populate,
+      // and ntile's larger-groups-first split is engine-identical
+      sc.withColumn("bin", ntile(10).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("pm"), col("doc_id"))).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("pm")).cast("long").as("sp"),
+          sum(col("y")).cast("long").as("npos"),
+          sum((col("pm") - col("y") * 1000000L) *
+            (col("pm") - col("y") * 1000000L)).cast("long").as("se"))
+        .select(col("bin"), col("n"),
+          expr("sp div n").as("mean_p_micro"),
+          expr("(npos * 1000000L) div n").as("frac_pos_micro"),
+          expr("se div n").as("brier_micro2"))
+        .orderBy(col("bin"))
+    }),
+
+    // Population-stability-index drift scan — the ML-ops gate that runs
+    // before a model retrain ships: bin the CURRENT population by the
+    // REFERENCE population's deciles (type-1 integer rank cuts — no
+    // interpolation) and fold PSI = Σ (p-q)·ln(p/q). Populations are
+    // the deterministic doc_id-parity halves; a bin empty on either
+    // side contributes 0 and is visible in its count columns. Terms and
+    // the PSI total round at the edge only. Scale: two corpus-scale
+    // aggregates (the rank and the bin counts); everything else is
+    // 10-bin arithmetic. PSI < 0.1 is the conventional "stable" read.
+    "profile_psi_drift" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d).select(col("doc_id"),
+        col("n_chars").cast("long").as("v"),
+        (col("doc_id") % 2).as("pop"))
+      val ref = dd.filter(col("pop") === 0)
+      val nRef = ref.agg(count(lit(1)).cast("long").as("n_all"))
+      val cuts = ref.crossJoin(broadcast(nRef))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("v"), col("doc_id"))).cast("long"))
+        .withColumn("k", explode(sequence(lit(1L), lit(9L))))
+        .filter(col("rn") === expr("(k * n_all + 9L) div 10L"))
+        .select(col("k"), col("v").as("cut"))
+      val binned = dd.crossJoin(broadcast(cuts))
+        .groupBy(col("doc_id"), col("pop"))
+        .agg((lit(1L) + sum(when(col("v") > col("cut"), 1L)
+          .otherwise(0L))).as("bin"))
+      val counts = binned.groupBy(col("bin")).agg(
+        sum(when(col("pop") === 0, 1L).otherwise(0L)).as("c_ref"),
+        sum(when(col("pop") === 1, 1L).otherwise(0L)).as("c_cur"))
+      val tot = binned.groupBy().agg(
+        sum(when(col("pop") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("pop") === 1, 1L).otherwise(0L)).as("n_cur"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("term", when(col("c_ref") === 0L ||
+            col("c_cur") === 0L, lit(0.0))
+          .otherwise((col("c_ref").cast("double") /
+              col("n_ref").cast("double") -
+            col("c_cur").cast("double") / col("n_cur").cast("double")) *
+            log((col("c_ref").cast("double") /
+                col("n_ref").cast("double")) /
+              (col("c_cur").cast("double") /
+                col("n_cur").cast("double")))))
+        .select(col("bin"), col("c_ref"), col("c_cur"),
+          round(col("term"), 6).as("term"),
+          round(sum(col("term")).over(w.partitionBy(lit(1))), 6)
+            .as("psi"))
+        .orderBy(col("bin"))
+    }),
+
     // The LSH banding measured AGAINST its own ground truth: candidate
     // pairs from 16 bands × 2 rows of the md5-family MinHash vs the
     // exhaustive 3-gram Jaccard pairs at 0.5 — recall says how much the
@@ -3664,6 +3748,63 @@ object ContentQueries {
         |FROM c WHERE ct >= 0.8 ORDER BY sub_id, super_id""".stripMargin,
 
     "dedup_minhash_lsh" -> jaccardOracle(0.7),
+
+    "eval_brier_bins" ->
+      s"""WITH $lrCtes,
+         |sc AS (SELECT f.doc_id, f.y, ${(0 until 5).map(j =>
+             s"CAST(round(w.w$j * f.x$j * 1000000000000.0, 0) AS BIGINT)")
+             .mkString("\n    + ")} AS lp
+         |  FROM f CROSS JOIN lw3 w),
+         |pb AS (SELECT doc_id, y, CAST(floor(round(1.0 / (1.0
+         |    + exp(-(lp / 1000000000000.0))), 6) * 1000000.0 + 0.5)
+         |    AS BIGINT) AS pm FROM sc),
+         |bb AS (SELECT CAST(ntile(10) OVER (ORDER BY pm, doc_id)
+         |    AS BIGINT) AS bin, y, pm FROM pb)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(pm) // count(*) AS BIGINT) AS mean_p_micro,
+         |  CAST((sum(y) * 1000000) // count(*) AS BIGINT)
+         |    AS frac_pos_micro,
+         |  CAST(sum((pm - y * 1000000) * (pm - y * 1000000))
+         |    // count(*) AS BIGINT) AS brier_micro2
+         |FROM bb GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "profile_psi_drift" ->
+      """WITH dd AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
+        |    doc_id % 2 AS pop FROM documents),
+        |ref AS (SELECT * FROM dd WHERE pop = 0),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM ref),
+        |rk AS (SELECT v, CAST(row_number() OVER (ORDER BY v, doc_id)
+        |    AS BIGINT) AS rn FROM ref),
+        |cuts AS (SELECT k, v AS cut
+        |  FROM rk CROSS JOIN range(1, 10) t(k) CROSS JOIN na
+        |  WHERE rn = (k * n_all + 9) // 10),
+        |binned AS (SELECT d.doc_id, d.pop, CAST(1 +
+        |    sum(CASE WHEN d.v > c.cut THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bin
+        |  FROM dd d CROSS JOIN cuts c GROUP BY 1, 2),
+        |counts AS (SELECT bin,
+        |    CAST(sum(CASE WHEN pop = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_ref,
+        |    CAST(sum(CASE WHEN pop = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_cur
+        |  FROM binned GROUP BY 1),
+        |tot AS (SELECT
+        |    CAST(sum(CASE WHEN pop = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(sum(CASE WHEN pop = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM binned),
+        |terms AS (SELECT bin, c_ref, c_cur,
+        |    CASE WHEN c_ref = 0 OR c_cur = 0 THEN 0.0
+        |      ELSE (CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE)
+        |          - CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE))
+        |        * ln((CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE))
+        |          / (CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)))
+        |      END AS term
+        |  FROM counts CROSS JOIN tot)
+        |SELECT bin, c_ref, c_cur, round(term, 6) AS term,
+        |  round(sum(term) OVER (), 6) AS psi
+        |FROM terms ORDER BY bin""".stripMargin,
 
     "eval_lsh_quality" -> {
       val bandEq = (0 until 16).map(i =>

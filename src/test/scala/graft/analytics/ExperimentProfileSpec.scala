@@ -148,6 +148,31 @@ class ExperimentProfileSpec extends SparkSuite {
     }
   }
 
+  test("eval_brier_bins: rank deciles are balanced, mean predicted " +
+    "probability is monotone across them, and MSE terms are bounded") {
+    val rows = run("eval_brier_bins").orderBy("bin").collect()
+    assert(rows.length === 10)
+    val mp = rows.map(_.getAs[Long]("mean_p_micro"))
+    assert(mp.zip(mp.tail).forall { case (a, b) => a <= b },
+      "rank-ordered bins must have non-decreasing mean prediction")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("brier_micro2") >= 0L &&
+        r.getAs[Long]("brier_micro2") <= 1000000000000L)
+      assert(r.getAs[Long]("frac_pos_micro") <= 1000000L)
+    }
+  }
+
+  test("profile_psi_drift: every PSI term is non-negative (same-sign " +
+    "product by construction) and the total replays from the terms") {
+    val rows = run("profile_psi_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("term") >= 0.0))
+    val psi = rows.head.getAs[Double]("psi")
+    assert(rows.forall(_.getAs[Double]("psi") === psi))
+    assert(math.abs(rows.map(_.getAs[Double]("term")).sum - psi) < 1e-5)
+    assert(psi >= 0.0)
+  }
+
   test("eval_lsh_quality: the banding's candidate set contains the hits " +
     "it claims and clears the recall floor the verify stage relies on") {
     val r = run("eval_lsh_quality").collect().head
