@@ -2592,6 +2592,40 @@ object ContentQueries {
         .orderBy(col("id"), col("frame_index"))
     }),
 
+    // Video near-dup detection on frame-fingerprint sets — the standard
+    // "same clip, different container" dedup: two media items are
+    // near-dups when the Jaccard of their sampled-frame md5 sets clears
+    // 0.5. Candidates come from an inverted index on shared
+    // fingerprints (identical blocked shape to the token-ER rows —
+    // never |media|² — and at 100 TB the frame-fp index is the
+    // precomputed asset); the per-item set is bounded by the sampler
+    // (≤ 8 frames), so counts are tiny exact ints and the Jaccard is a
+    // ratio of ints the oracle replays bit-for-bit. The decode is the
+    // documented stub; the pipeline shape (sample → fingerprint →
+    // block → verify) is the production one.
+    "mm_near_dup" -> ((s, d) => {
+      val media = Multimodal.asMedia(docs(s, d), "doc_id", "text",
+        "video/fake")
+      val fr = Multimodal.sampleFrames(media, stride = 64).toDF()
+        .select(col("id"), md5(col("frameBytes")).as("fp")).distinct()
+      val sz = fr.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      val wi = fr.join(sz, Seq("id"))
+      val a = wi.select(col("id").as("a_id"), col("fp"),
+        col("n").as("a_n"))
+      val b = wi.select(col("id").as("b_id"), col("fp").as("fp_b"),
+        col("n").as("b_n"))
+      a.join(b, col("fp") === col("fp_b") && col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+        .agg(count(lit(1)).cast("long").as("common"))
+        .filter(col("common") * 2L >= col("a_n") + col("b_n") -
+          col("common"))
+        .select(col("a_id"), col("b_id"), col("common"),
+          round(col("common").cast("double") /
+            (col("a_n") + col("b_n") - col("common")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Resize plumbing (stub codec): every payload "scales" to 640x480 by
     // deterministic byte subsampling — the signature, batch shape and
     // output schema are the production resize stage; DuckDB replays the
@@ -4673,6 +4707,27 @@ object ContentQueries {
         |  CAST(strlen(substr(text, CAST(frame_index * 64 + 1 AS INT), 64))
         |    AS BIGINT) AS n_bytes
         |FROM f ORDER BY id, frame_index""".stripMargin,
+
+    "mm_near_dup" ->
+      """WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+        |f AS (SELECT doc_id, text,
+        |    unnest(range(0, least(greatest(n // 64, 1), 8))) AS fi
+        |  FROM t),
+        |fp AS (SELECT DISTINCT doc_id AS id,
+        |    md5(substr(text, CAST(fi * 64 + 1 AS INT), 64)) AS fp
+        |  FROM f),
+        |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM fp
+        |  GROUP BY 1),
+        |wi AS (SELECT fp.id, fp.fp, sz.n FROM fp JOIN sz USING (id)),
+        |pr AS (SELECT a.id AS a_id, b.id AS b_id, a.n AS a_n,
+        |    b.n AS b_n, CAST(count(*) AS BIGINT) AS common
+        |  FROM wi a JOIN wi b ON a.fp = b.fp AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, b_id, common,
+        |  round(CAST(common AS DOUBLE)
+        |    / CAST(a_n + b_n - common AS DOUBLE), 6) AS jaccard
+        |FROM pr WHERE common * 2 >= a_n + b_n - common
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "mm_resize" ->
       """WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents),

@@ -237,6 +237,18 @@ class ExperimentProfileSpec extends SparkSuite {
     }
   }
 
+  test("mm_near_dup: byte-identical payloads score Jaccard 1 and every " +
+    "emitted pair clears the integer 0.5 threshold") {
+    val rows = run("mm_near_dup").collect()
+    assert(rows.nonEmpty, "fixture near-dups must surface")
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 - 1e-9 && j <= 1.0)
+    }
+    // exact-dup docs (dedup_exact's fixture) share every frame
+    assert(rows.exists(_.getAs[Double]("jaccard") == 1.0))
+  }
+
   test("profile_pareto_front: no emitted doc is strictly dominated by " +
     "ANY doc in the corpus (front completeness is the oracle's job)") {
     val metric = Tables.load(spark, sf0001, "documents")
