@@ -1427,6 +1427,51 @@ object RelationalQueries {
           col("t").as("total"), col("day").as("change_day"),
           col("s").as("s_at_change"), abs(col("s")).as("s_abs_max"))
         .orderBy(col("event_type"))
+    }),
+
+    // Forecast-quality readout: MASE of the seasonal-naive forecast
+    // (f_t = c_{t-7}) over each event type's daily counts, scaled by
+    // the in-sample naive-1 MAE (Hyndman & Koehler 2006) — the
+    // standard "is weekly seasonality worth modeling" gate before any
+    // heavier forecaster ships. Every error is an integer |diff| and
+    // MASE lands as one guarded integer-micro division, so the whole
+    // scorecard replays exactly. MASE < 1e6 micros means the seasonal
+    // forecast beats persistence. Scale: the (type, day) aggregate is
+    // the only corpus-scale stage; both error sums are lag-joins on
+    // |days| rows per type.
+    "q66_mase_seasonal" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val daily = T(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000L")
+            .as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("event_type")).orderBy(col("day")))
+          .cast("long"))
+      val sa = daily.join(daily.select(col("event_type").as("et_b"),
+          (col("rn") + 7L).as("rn_b"), col("cnt").as("f")),
+          col("event_type") === col("et_b") && col("rn") === col("rn_b"))
+        .groupBy(col("event_type"))
+        .agg(sum(abs(col("cnt") - col("f"))).cast("long").as("sa"),
+          count(lit(1)).cast("long").as("m"))
+      val sb = daily.join(daily.select(col("event_type").as("et_c"),
+          (col("rn") + 1L).as("rn_c"), col("cnt").as("p")),
+          col("event_type") === col("et_c") && col("rn") === col("rn_c"))
+        .groupBy(col("event_type"))
+        .agg(sum(abs(col("cnt") - col("p"))).cast("long").as("sb"),
+          count(lit(1)).cast("long").as("k"))
+      val nd = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_days"))
+      nd.join(sa, Seq("event_type")).join(sb, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("m").as("n_eval"),
+          expr("(sa * 1000000L) div m").as("mae_seasonal_micro"),
+          expr("(sb * 1000000L) div k").as("mae_naive_micro"),
+          when(col("sb") === 0L, lit(null).cast("long"))
+            .otherwise(expr("(sa * k * 1000000L) div (m * sb)"))
+            .as("mase_micro"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2244,6 +2289,34 @@ object RelationalQueries {
         |SELECT event_type, n AS n_days, t AS total, day AS change_day,
         |  s AS s_at_change, abs(s) AS s_abs_max
         |FROM s3 WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q66_mase_seasonal" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, cnt,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS rn FROM daily),
+        |sa AS (SELECT a.event_type,
+        |    CAST(sum(abs(a.cnt - b.cnt)) AS BIGINT) AS sa,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM idx a JOIN idx b ON a.event_type = b.event_type
+        |    AND a.rn = b.rn + 7 GROUP BY 1),
+        |sb AS (SELECT a.event_type,
+        |    CAST(sum(abs(a.cnt - b.cnt)) AS BIGINT) AS sb,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM idx a JOIN idx b ON a.event_type = b.event_type
+        |    AND a.rn = b.rn + 1 GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT nd.event_type, n_days, m AS n_eval,
+        |  (sa * 1000000) // m AS mae_seasonal_micro,
+        |  (sb * 1000000) // k AS mae_naive_micro,
+        |  CASE WHEN sb = 0 THEN NULL
+        |    ELSE (sa * k * 1000000) // (m * sb) END AS mase_micro
+        |FROM nd JOIN sa USING (event_type) JOIN sb USING (event_type)
+        |ORDER BY nd.event_type""".stripMargin,
 
     "q25_percentile" ->
       """SELECT l_returnflag,

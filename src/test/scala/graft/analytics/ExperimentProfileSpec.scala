@@ -222,6 +222,19 @@ class ExperimentProfileSpec extends SparkSuite {
     }
   }
 
+  test("q66 MASE: error sums replay as integers and the scorecard's " +
+    "ratio identity holds") {
+    val rows = run("q66_mase_seasonal").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_eval") ===
+        r.getAs[Long]("n_days") - 7L)
+      val mase = r.getAs[java.lang.Long]("mase_micro")
+      if (mase != null) assert(mase >= 0L)
+      assert(r.getAs[Long]("mae_seasonal_micro") >= 0L)
+    }
+  }
+
   test("privacy_entropy_l: per-class entropy is bounded by ln k and the " +
     "release flag replays from the rounded value") {
     val rows = run("privacy_entropy_l").collect()
