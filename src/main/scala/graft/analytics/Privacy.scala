@@ -72,6 +72,43 @@ object Privacy {
       .agg(count(lit(1)).cast("long").as("n_classes"),
         min(col("l")).cast("long").as("l_min"))
 
+  /** t-closeness per equivalence class (Li, Li & Venkatasubramanian,
+    * ICDE 2007) with the categorical (total-variation) distance: a
+    * class leaks when its sensitive-value distribution sits far from
+    * the GLOBAL one — l-diversity counts values, t-closeness compares
+    * shapes (a class that over-represents one diagnosis fails even
+    * with all values present). Per class: tv = ½·Σ_v |c_v/k − g_v/N|
+    * over the global sensitive domain (absent values contribute their
+    * global mass), compared 6-rounded against `t`. Scale: one
+    * (QI, sensitive) aggregate, one |domain|-row global table
+    * broadcast, class-keyed folds — the k-anon shape plus a broadcast.
+    */
+  def tCloseness(df: DataFrame, qis: Seq[(String, Column)],
+                 sensitive: Column, t: Double): DataFrame = {
+    val qiCols = qis.map { case (n, _) => col(n) }
+    val cells = df
+      .groupBy(qis.map { case (n, c) => c.as(n) } :+
+        sensitive.as("sv"): _*)
+      .agg(count(lit(1)).as("c"))
+    val global = cells.groupBy(col("sv"))
+      .agg(sum(col("c")).cast("long").as("g"))
+    val nAll = global.agg(sum(col("g")).cast("long").as("n_all"))
+    // dense (class × domain) grid so absent values contribute |0 - g/N|
+    val classes = cells.groupBy(qiCols: _*)
+      .agg(sum(col("c")).cast("long").as("k"))
+    val grid = classes.crossJoin(broadcast(global))
+      .join(cells, qis.map(_._1) :+ "sv", "left")
+      .na.fill(0L, Seq("c"))
+    grid.crossJoin(broadcast(nAll))
+      .groupBy(qiCols :+ col("k"): _*)
+      .agg((sum(abs(col("c").cast("double") / col("k").cast("double") -
+        col("g").cast("double") / col("n_all").cast("double"))) / 2.0)
+        .as("tv"))
+      .select(qiCols :+ col("k") :+ round(col("tv"), 6).as("tv_dist") :+
+        when(round(col("tv"), 6) <= lit(t), lit(1L)).otherwise(lit(0L))
+          .as("meets_t"): _*)
+  }
+
   /** Entropy l-diversity per equivalence class (Machanavajjhala 2007
     * §3): distinct-l says a class has l sensitive values, entropy-l
     * says none of them DOMINATES — a class that is 98% one diagnosis

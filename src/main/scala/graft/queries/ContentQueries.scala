@@ -3242,6 +3242,47 @@ object ContentQueries {
         col("c_mktsegment"))
         .orderBy(col("k"))),
 
+    // t-closeness over the same QI classes: total-variation distance of
+    // each class's sensitive distribution from the global one, with the
+    // conventional t = 0.2 release flag — completes the k-anonymity /
+    // l-diversity / t-closeness release-gate trio on one fixture.
+    "privacy_t_close" -> ((s, d) =>
+      graft.analytics.Privacy.tCloseness(
+        Tables.load(s, d, "customer"),
+        Seq("nation" -> col("c_nationkey"),
+          "bal_band" -> floor(col("c_acctbal") / 1000).cast("long")),
+        col("c_mktsegment"), t = 0.2)
+        .orderBy(col("nation"), col("bal_band"))),
+
+    // Dedup accounting for mixture planning: what exact dedup (keep the
+    // min doc_id per md5 fingerprint) actually REMOVES per source, in
+    // docs and in estimated tokens — the number a data-mixture budget
+    // needs before sampling weights are set. Pure integer counts and
+    // micro fractions; one fingerprint aggregate + one source fold.
+    "profile_dedup_impact" -> ((s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("source"),
+        md5(col("text")).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      val keep = dd.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      dd.join(keep, Seq("fp"))  // fp-keyed shuffle join: the fingerprint
+        // table is corpus-scale at 100 TB, never a broadcast
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("toks")).cast("long").as("n_toks"),
+          sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+            .cast("long").as("n_kept"),
+          sum(when(col("doc_id") === col("keep_id"), col("toks"))
+            .otherwise(0L)).cast("long").as("toks_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("n_toks"), col("toks_kept"),
+          expr("((n_docs - n_kept) * 1000000L) div n_docs")
+            .as("doc_drop_micro"),
+          expr("((n_toks - toks_kept) * 1000000L) div greatest(n_toks, 1L)")
+            .as("tok_drop_micro"))
+        .orderBy(col("source"))
+    }),
+
     // Entropy l-diversity over the same QI classes: the per-class
     // sensitive-value entropy and the ≥ ln(3) release flag — catches
     // the dominated-distribution classes distinct-l can't see.
@@ -6911,6 +6952,52 @@ object ContentQueries {
         |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
         |  CAST(min(l) AS BIGINT) AS l_min
         |FROM ec GROUP BY k ORDER BY k""".stripMargin,
+
+    "privacy_t_close" ->
+      """WITH cells AS (SELECT c_nationkey AS nation,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    c_mktsegment AS sv, CAST(count(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |gl AS (SELECT sv, CAST(sum(c) AS BIGINT) AS g FROM cells
+        |  GROUP BY 1),
+        |na2 AS (SELECT CAST(sum(g) AS BIGINT) AS n_all FROM gl),
+        |cls AS (SELECT nation, bal_band, CAST(sum(c) AS BIGINT) AS k
+        |  FROM cells GROUP BY 1, 2),
+        |grid AS (SELECT cl.nation, cl.bal_band, cl.k, g.sv, g.g,
+        |    coalesce(ce.c, 0) AS c
+        |  FROM cls cl CROSS JOIN gl g LEFT JOIN cells ce
+        |    ON ce.nation = cl.nation AND ce.bal_band = cl.bal_band
+        |    AND ce.sv = g.sv)
+        |SELECT nation, bal_band, k,
+        |  round(sum(abs(CAST(c AS DOUBLE) / CAST(k AS DOUBLE)
+        |    - CAST(g AS DOUBLE) / CAST(n_all AS DOUBLE))) / 2.0, 6)
+        |    AS tv_dist,
+        |  CAST(CASE WHEN round(sum(abs(CAST(c AS DOUBLE)
+        |      / CAST(k AS DOUBLE) - CAST(g AS DOUBLE)
+        |      / CAST(n_all AS DOUBLE))) / 2.0, 6) <= 0.2
+        |    THEN 1 ELSE 0 END AS BIGINT) AS meets_t
+        |FROM grid CROSS JOIN na2 GROUP BY 1, 2, 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    "profile_dedup_impact" ->
+      """WITH dd AS (SELECT doc_id, source, md5(text) AS fp,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |keep AS (SELECT fp, min(doc_id) AS keep_id FROM dd GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(toks) AS BIGINT) AS n_toks,
+        |  CAST(sum(CASE WHEN doc_id = keep_id THEN toks ELSE 0 END)
+        |    AS BIGINT) AS toks_kept,
+        |  CAST(((count(*) - sum(CASE WHEN doc_id = keep_id THEN 1
+        |    ELSE 0 END)) * 1000000) // count(*) AS BIGINT)
+        |    AS doc_drop_micro,
+        |  CAST(((sum(toks) - sum(CASE WHEN doc_id = keep_id THEN toks
+        |    ELSE 0 END)) * 1000000) // greatest(sum(toks), 1)
+        |    AS BIGINT) AS tok_drop_micro
+        |FROM dd JOIN keep USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "privacy_entropy_l" ->
       """WITH cells AS (SELECT c_nationkey AS nation,

@@ -222,6 +222,35 @@ class ExperimentProfileSpec extends SparkSuite {
     }
   }
 
+  test("privacy_t_close: TV distance is a proper distance in [0,1] and " +
+    "the flag replays from the rounded value") {
+    val rows = run("privacy_t_close").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tv = r.getAs[Double]("tv_dist")
+      assert(tv >= 0.0 && tv <= 1.0)
+      assert(r.getAs[Long]("meets_t") === (if (tv <= 0.2) 1L else 0L))
+    }
+  }
+
+  test("profile_dedup_impact: kept never exceeds total and the drop " +
+    "fractions replay from the counts") {
+    val rows = run("profile_dedup_impact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("toks_kept") <= r.getAs[Long]("n_toks"))
+      val dd = (r.getAs[Long]("n_docs") - r.getAs[Long]("n_kept")) *
+        1000000L / r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("doc_drop_micro") === dd)
+    }
+    // the corpus keeps exactly one doc per distinct fingerprint
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    val fps = Tables.load(spark, sf0001, "documents")
+      .select(md5(col("text"))).distinct().count()
+    assert(kept === fps)
+  }
+
   test("q66 MASE: error sums replay as integers and the scorecard's " +
     "ratio identity holds") {
     val rows = run("q66_mase_seasonal").collect()
