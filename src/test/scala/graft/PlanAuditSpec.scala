@@ -681,7 +681,10 @@ class PlanAuditSpec extends SparkSuite {
 
   test("profile_pareto_front: only the needed columns reach the scan " +
     "(doc_id, n_chars, text — no source/lang)") {
-    val p = plan("profile_pareto_front")
+    // sf0.01 (the pipeline_retrieval workaround): other suites .cache()
+    // the sf0.001 documents table, and CacheManager substitution embeds
+    // that relation's UNPRUNED inner scan into this plan string
+    val p = planAt(sf001, "profile_pareto_front")
     assert(!p.contains("source") || !p.contains("lang"), p)
   }
 }
