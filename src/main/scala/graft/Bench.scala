@@ -87,7 +87,8 @@ object Bench {
     "sim_topk_graph_ivf", "eval_lsh_quality",
     "q64_did_readout", "q65_cusum_change", "eval_brier_bins",
     "profile_psi_drift", "mm_near_dup", "q66_mase_seasonal",
-    "privacy_t_close", "profile_dedup_impact")
+    "privacy_t_close", "profile_dedup_impact", "eval_ece",
+    "profile_gini")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

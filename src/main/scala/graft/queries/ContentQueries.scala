@@ -685,6 +685,53 @@ object ContentQueries {
         .orderBy(col("bin"))
     }),
 
+    // Expected calibration error — the scalar the reliability diagram
+    // (eval_brier_bins) folds into: ECE = Σ_b (n_b/N)·|mean_p_b −
+    // frac_pos_b|, here entirely in integer micros (the absolute gap of
+    // two integer-micro means, weighted by exact counts, one final div).
+    // Reported next to the overall Brier score in micro² — together the
+    // two numbers say "how wrong" and "how miscalibrated".
+    "eval_ece" -> ((s, d) => {
+      val bins = queries("eval_brier_bins")(s, d)
+      bins.agg(
+          sum(col("n")).cast("long").as("n_total"),
+          sum(col("n") * abs(col("mean_p_micro") - col("frac_pos_micro")))
+            .cast("long").as("gap_w"),
+          sum(col("n") * col("brier_micro2")).cast("long").as("brier_w"))
+        .select(col("n_total"),
+          expr("gap_w div n_total").as("ece_micro"),
+          expr("brier_w div n_total").as("brier_micro2"))
+    }),
+
+    // Gini concentration of token mass across a source's documents —
+    // the "does one doc dominate this crawl" profile (a source whose
+    // token mass concentrates in a few documents skews any doc-level
+    // sampling scheme). Exact integer rank arithmetic: with per-doc
+    // token counts x_(1..n) sorted ascending (doc_id ties), Gini =
+    // (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) — numerator and both
+    // denominator factors are int64, one final rounded division.
+    // Scale: one doc-level projection, per-source rank windows.
+    "profile_gini" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d).select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      dd.withColumn("i", row_number().over(w.partitionBy(col("source"))
+          .orderBy(col("toks"), col("doc_id"))).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("toks")).cast("long").as("n_toks"),
+          sum(col("i") * col("toks")).cast("long").as("iw"))
+        .select(col("source"), col("n_docs"), col("n_toks"),
+          when(col("n_toks") === 0L, lit(null).cast("double"))
+            .otherwise(round(
+              (lit(2.0) * col("iw").cast("double") -
+                (col("n_docs") + 1L).cast("double") *
+                  col("n_toks").cast("double")) /
+              (col("n_docs").cast("double") *
+                col("n_toks").cast("double")), 6)).as("gini"))
+        .orderBy(col("source"))
+    }),
+
     // Population-stability-index drift scan — the ML-ops gate that runs
     // before a model retrain ships: bin the CURRENT population by the
     // REFERENCE population's deciles (type-1 integer rank cuts — no
@@ -3842,6 +3889,50 @@ object ContentQueries {
          |  CAST(sum((pm - y * 1000000) * (pm - y * 1000000))
          |    // count(*) AS BIGINT) AS brier_micro2
          |FROM bb GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "eval_ece" ->
+      s"""WITH $lrCtes,
+         |sc AS (SELECT f.doc_id, f.y, ${(0 until 5).map(j =>
+             s"CAST(round(w.w$j * f.x$j * 1000000000000.0, 0) AS BIGINT)")
+             .mkString("\n    + ")} AS lp
+         |  FROM f CROSS JOIN lw3 w),
+         |pb AS (SELECT doc_id, y, CAST(floor(round(1.0 / (1.0
+         |    + exp(-(lp / 1000000000000.0))), 6) * 1000000.0 + 0.5)
+         |    AS BIGINT) AS pm FROM sc),
+         |bb AS (SELECT CAST(ntile(10) OVER (ORDER BY pm, doc_id)
+         |    AS BIGINT) AS bin, y, pm FROM pb),
+         |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(pm) // count(*) AS BIGINT) AS mean_p_micro,
+         |    CAST((sum(y) * 1000000) // count(*) AS BIGINT)
+         |      AS frac_pos_micro,
+         |    CAST(sum((pm - y * 1000000) * (pm - y * 1000000))
+         |      // count(*) AS BIGINT) AS brier_micro2
+         |  FROM bb GROUP BY bin)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         |  CAST(sum(n * abs(mean_p_micro - frac_pos_micro)) // sum(n)
+         |    AS BIGINT) AS ece_micro,
+         |  CAST(sum(n * brier_micro2) // sum(n) AS BIGINT)
+         |    AS brier_micro2
+         |FROM bins""".stripMargin,
+
+    "profile_gini" ->
+      """WITH dd AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |rk AS (SELECT source, toks,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY toks, doc_id) AS BIGINT) AS i FROM dd),
+        |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_toks,
+        |    CAST(sum(i * toks) AS BIGINT) AS iw
+        |  FROM rk GROUP BY 1)
+        |SELECT source, n_docs, n_toks,
+        |  CASE WHEN n_toks = 0 THEN NULL
+        |    ELSE round((2.0 * CAST(iw AS DOUBLE)
+        |      - CAST(n_docs + 1 AS DOUBLE) * CAST(n_toks AS DOUBLE))
+        |      / (CAST(n_docs AS DOUBLE) * CAST(n_toks AS DOUBLE)), 6)
+        |    END AS gini
+        |FROM ag ORDER BY source""".stripMargin,
 
     "profile_psi_drift" ->
       """WITH dd AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v,

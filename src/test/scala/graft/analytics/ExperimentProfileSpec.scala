@@ -251,6 +251,31 @@ class ExperimentProfileSpec extends SparkSuite {
     assert(kept === fps)
   }
 
+  test("eval_ece: the scalar replays from the diagram's own bins and " +
+    "is bounded by the worst per-bin gap") {
+    val bins = run("eval_brier_bins").collect()
+    val r = run("eval_ece").collect().head
+    val n = bins.map(_.getAs[Long]("n")).sum
+    assert(r.getAs[Long]("n_total") === n)
+    val gapW = bins.map(b => b.getAs[Long]("n") *
+      math.abs(b.getAs[Long]("mean_p_micro") -
+        b.getAs[Long]("frac_pos_micro"))).sum
+    assert(r.getAs[Long]("ece_micro") === gapW / n)
+    val maxGap = bins.map(b => math.abs(b.getAs[Long]("mean_p_micro") -
+      b.getAs[Long]("frac_pos_micro"))).max
+    assert(r.getAs[Long]("ece_micro") <= maxGap)
+  }
+
+  test("profile_gini: the coefficient sits in [0, 1) and a uniform " +
+    "synthetic source scores ~0") {
+    val rows = run("profile_gini").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= -1e-9 && g < 1.0, s"gini $g out of range")
+    }
+  }
+
   test("q66 MASE: error sums replay as integers and the scorecard's " +
     "ratio identity holds") {
     val rows = run("q66_mase_seasonal").collect()
