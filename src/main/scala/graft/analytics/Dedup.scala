@@ -144,16 +144,41 @@ object Dedup {
     * arithmetic to `jaccardPairs`, so surviving values are bit-identical.
     * Three shuffles beyond the exhaustive operator's two (df aggregate,
     * df join, per-doc rank window), each linear in corpus tokens. */
+  /** A decimal threshold as the exact rational (num, den) of its
+    * shortest decimal rendering: 0.07 → (7, 100). Requires ≤ 9
+    * fractional digits (a longer decimal would overflow n·num in the
+    * int64 ceiling long before n does; no such threshold is meaningful
+    * for a similarity cutoff). */
+  private[graft] def thresholdRational(t: Double): (Long, Long) = {
+    // stripTrailingZeros: 1.0E-9 renders with scale 10 (unscaled 10) —
+    // normalize to the canonical (1, 10^9) before the scale check
+    val bd = BigDecimal(new java.math.BigDecimal(t.toString)
+      .stripTrailingZeros())
+    require(bd.scale <= 9,
+      s"threshold must be a <=9-fractional-digit decimal: $t")
+    val den = BigDecimal(10).pow(math.max(bd.scale, 0)).toLongExact
+    ((bd * den).toLongExact, den)
+  }
+
+  /** ⌈n · num/den⌉ over a non-negative integral column, exactly:
+    * (n·num + den − 1) div den in pure int64 (`div` = IntegralDivide —
+    * a float `/` would lose low bits once n·num exceeds 2^53). */
+  private[graft] def ceilMulExact(nCol: Column, num: Long,
+                                      den: Long): Column =
+    call_function("div",
+      nCol.cast("long") * lit(num) + lit(den - 1L), lit(den))
+
   def jaccardPairsPrefix(docs: DataFrame, id: Column, text: Column, n: Int,
                          threshold: Double): DataFrame = {
     // ⌈t·n⌉ in IEEE doubles overshoots when t·n is integral in the reals
     // but rounds up in floating point (t=0.07, n=100 → 7.000…001 →
     // ceil 8), which would shorten the prefix / over-tighten the length
     // filter and silently drop qualifying pairs — breaking the exactness
-    // contract. A 1e-9 epsilon under the product restores the real-
-    // valued ceiling (thresholds are human-scale decimals; no legitimate
-    // t·n sits within 1e-9 above an integer).
-    def ceilT(nCol: Column): Column = ceil(nCol * lit(threshold) - lit(1e-9))
+    // contract. Thresholds are DECIMALS, so the ceiling is computed in
+    // exact integer arithmetic (`ceilMulExact`) — no float product, no
+    // epsilon, exact at every (n, t).
+    val (tNum, tDen) = thresholdRational(threshold)
+    def ceilT(nCol: Column): Column = ceilMulExact(nCol, tNum, tDen)
     val sh = shingleTable(docs, id, text, n)
     val tok = sh.select(col("doc_id"), col("n_sh"),
         explode(col("sh")).as("s"))

@@ -98,10 +98,16 @@ object Mix {
       .withColumn("pc", sum(col("cap")).over(ord))
       .withColumn("alloc", greatest(lit(0.0), least(col("cap"),
         lit(budget) - (col("pc") - col("cap")))))
+      // A slab is FULL iff its prefix-sum boundary fits the budget —
+      // the primal condition, not the derived float equality
+      // alloc === cap (which `least(cap, budget - (pc - cap))` can miss
+      // by an ulp when the subtraction rounds down, and which a cap = 0
+      // slab satisfies vacuously on every epoch, reporting maxEpochs
+      // full epochs of zero tokens).
       .groupBy(col("source"))
       .agg(min(col("cap")).as("cap"), min(col("wt")).as("wt"),
-        sum(when(col("alloc") === col("cap"), lit(1L)).otherwise(lit(0L)))
-          .as("full_epochs"),
+        sum(when(col("cap") > 0.0 && col("pc") <= lit(budget), lit(1L))
+          .otherwise(lit(0L))).as("full_epochs"),
         sum(col("alloc")).as("alloc"))
       .withColumn("epochs", when(col("cap") === 0.0, lit(0.0))
         .otherwise(col("alloc") / col("cap")))

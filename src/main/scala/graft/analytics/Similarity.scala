@@ -1159,6 +1159,30 @@ object Similarity {
 
   // -------------------------------------------- persisted IVF index
 
+  /** Content fingerprint of an on-disk source table for keying a
+    * persisted index directory: md5 over the canonical path plus every
+    * file's (relative name, size, mtime), hex-truncated to 16 chars.
+    * Pure filesystem metadata — no data scan, so deciding cache reuse
+    * costs nothing at any corpus size — yet regenerating the table at
+    * the SAME path changes sizes/mtimes and therefore the key, forcing
+    * a rebuild (a path-hash key would silently serve the stale index;
+    * hash collisions across dirs can't cross-contaminate because the
+    * canonical path is inside the digest). */
+  def dataFingerprint(dataPath: String): String = {
+    val root = new java.io.File(dataPath).getCanonicalFile
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val sig = (root.getPath +: walk(root).map(f =>
+      s"${root.toPath.relativize(f.toPath)}|${f.length}|${f.lastModified}"))
+      .mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
   /** The offline-build / online-serve split for IVF — the piece every
     * in-memory `ivfTopK` call leaves on the table at 100 TB: rebuilding
     * the index per query batch re-scans the corpus, while a PERSISTED

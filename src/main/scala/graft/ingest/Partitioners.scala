@@ -96,10 +96,11 @@ object Partitioners {
   }
 
   /** Splits a java.time pattern into locale-sensitive TEXT tokens
-    * (`Left`: runs of ≥3 `M` or `E` outside quoted literals — month/day
-    * names) and locale-free passthrough segments (`Right`). Runs of ≤2
-    * are numeric and stay in the passthrough; quoted literals are never
-    * scanned. */
+    * (`Left`) and locale-free passthrough segments (`Right`). `M` runs of
+    * ≤2 are NUMERIC month and stay in the passthrough, runs of ≥3 are
+    * month names; `E` is a day-NAME token at EVERY run length in both
+    * Joda and java.time (`E`/`EE`/`EEE` all render SHORT style), so any
+    * `E` run is text. Quoted literals are never scanned. */
   private[ingest] def splitTextTokens(pat: String)
       : Seq[Either[String, String]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Either[String, String]]
@@ -113,10 +114,11 @@ object Partitioners {
         var j = i
         while (j < pat.length && pat.charAt(j) == c) j += 1
         val run = pat.substring(i, j)
-        if (run.length >= 3) {
+        if (c == 'E' || run.length >= 3) {
           if (cur.nonEmpty) { out += Right(cur.toString); cur.clear() }
-          // cap at the two shapes java.time text styles distinguish
-          out += Left(run.take(4))
+          // normalize to the two shapes java.time text styles distinguish:
+          // EEEE = FULL; everything else (E/EE/EEE, MMM) = SHORT
+          out += Left(if (c == 'E' && run.length < 4) "EEE" else run.take(4))
         } else cur ++= run
         i = j
       } else { cur += c; i += 1 }

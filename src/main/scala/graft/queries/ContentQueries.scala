@@ -1327,8 +1327,7 @@ object ContentQueries {
     // the round trip lossless.
     "sim_topk_ivf_served" -> ((s, d) => {
       val e = emb(s, d)
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dir = ivfIndexDir("graft_ivf_idx", d)
       Similarity.buildIvfIndex(e, col("vec_id"), col("embedding"), dir)
       Similarity.ivfTopKServe(s, dir,
         e.filter(col("vec_id") % 100 === 0),
@@ -1346,8 +1345,7 @@ object ContentQueries {
     // in-memory construction the persisted one equals.
     "sim_topk_ivfpq_served" -> ((s, d) => {
       val e = emb(s, d)
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      val dir = ivfIndexDir("graft_ivfpq_idx", d)
       Similarity.buildIvfPqIndex(e, col("vec_id"), col("embedding"), dir)
       Similarity.ivfPqTopKServe(s, dir,
         e.filter(col("vec_id") % 100 === 0),
@@ -3430,15 +3428,26 @@ object ContentQueries {
     * Per query the candidate scan touches only the 4 probed lists, so the
     * edge build is |corpus| × (corpus/nLists × nProbe) — linear-ish in
     * the corpus, never the all-pairs O(n²) of `knnGraph`. */
+  /** Persisted-index directory keyed on a CONTENT fingerprint of the
+    * embeddings table (size/mtime digest — `Similarity.dataFingerprint`),
+    * not a path hash: regenerated fixture data at the same path gets a
+    * new key and therefore a fresh build (spec-pinned in IvfIndexSpec),
+    * and two different data dirs can never collide into sharing an
+    * index. */
+  private[graft] def ivfIndexDir(prefix: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      Similarity.dataFingerprint(s"$d/embeddings.parquet")
+
   private def knnGraphIvf(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
-      java.lang.Integer.toHexString(d.hashCode)
+    val dir = ivfIndexDir("graft_ivf_idx", d)
     // build once, serve many — the production ANN-index lifecycle. The
     // persisted build is deterministic and byte-stable (pinned in
     // SimilarityServeSpec), so when this corpus's index is already on
     // disk the rebuild would write the identical bytes; the three
-    // graph_*_ivf rows and repeated bench reps share one build.
+    // graph_*_ivf rows and repeated bench reps share one build. The
+    // content-fingerprint key makes the skip honest: same key ⇒ same
+    // bytes on disk.
     if (!new java.io.File(s"$dir/model/_SUCCESS").exists())
       Similarity.buildIvfIndex(e, col("vec_id"), col("embedding"), dir)
     Similarity.ivfTopKServe(s, dir, e, col("vec_id"), col("embedding"),
@@ -7123,13 +7132,14 @@ object ContentQueries {
         |    epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS pc FROM slabs),
         |al AS (SELECT source, cap, wt, epoch, greatest(0.0, least(cap,
-        |    (SELECT budget FROM b) - (pc - cap))) AS alloc FROM pcs),
+        |    (SELECT budget FROM b) - (pc - cap))) AS alloc,
+        |    CASE WHEN cap > 0 AND pc <= (SELECT budget FROM b)
+        |      THEN 1 ELSE 0 END AS is_full FROM pcs),
         |alloc AS (SELECT source,
-        |    CAST(sum(CASE WHEN alloc = cap THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS full_epochs,
+        |    CAST(sum(is_full) AS BIGINT) AS full_epochs,
         |    CAST(cap AS BIGINT) AS cap_tokens,
-        |    CAST(sum(alloc) - sum(CASE WHEN alloc = cap THEN 1 ELSE 0
-        |      END) * cap AS BIGINT) AS frac_tokens
+        |    CAST(sum(alloc) - sum(is_full) * cap AS BIGINT)
+        |      AS frac_tokens
         |  FROM al GROUP BY source, cap),
         |t AS (SELECT source, doc_id,
         |    len(string_split(text, ' ')) AS n_tok FROM documents),
@@ -7168,11 +7178,12 @@ object ContentQueries {
         |    epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS pc FROM slabs),
         |al AS (SELECT source, cap, wt, epoch, greatest(0.0, least(cap,
-        |    (SELECT budget FROM b) - (pc - cap))) AS alloc FROM pcs)
+        |    (SELECT budget FROM b) - (pc - cap))) AS alloc,
+        |    CASE WHEN cap > 0 AND pc <= (SELECT budget FROM b)
+        |      THEN 1 ELSE 0 END AS is_full FROM pcs)
         |SELECT source, CAST(cap AS BIGINT) AS unique_tokens,
         |  CAST(wt AS BIGINT) AS weight,
-        |  CAST(sum(CASE WHEN alloc = cap THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS full_epochs,
+        |  CAST(sum(is_full) AS BIGINT) AS full_epochs,
         |  round(sum(alloc), 4) AS alloc_tokens,
         |  round(sum(alloc) / cap, 6) AS epochs
         |FROM al GROUP BY source, cap, wt ORDER BY source""".stripMargin

@@ -1051,9 +1051,10 @@ object RelationalQueries {
     // infinite tail can't be replayed exactly (tail weight 0.75^48 ≈
     // 1e-6 — below the output rounding). Flags compare 6-rounded values
     // on both sides so the boundary is engine-stable. Scale: the band
-    // self-join is on the 24·|days|·|types| hourly cell table with a
-    // constant 48-row band per cell — linear in observed hours, never
-    // corpus-scale.
+    // self-join runs on the 24·|days|·|types| hourly cell table under a
+    // (event_type, 48-row delta-bucket) equi key, so probe cost AND
+    // output are both linear in observed hours — never corpus-scale,
+    // and never a full-group probe.
     "q57_ewma_hours" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
       val ev = T(s, d, "events").select(col("event_type"),
@@ -1066,10 +1067,25 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(
           w.partitionBy(col("event_type")).orderBy(col("hr")))))
+      // Delta-bucket equi key de-quadratics the probe: with bucket(rn) =
+      // (rn−1) div 48, a probe's 48-lag window [rn−47, rn] can only hold
+      // rows of its own bucket or the previous one, so each probe row is
+      // exploded into its two candidate bucket keys and the hash-join key
+      // becomes (event_type, bucket). Each probe then enumerates ONE
+      // 48-row-bounded bucket instead of the full per-type hourly history
+      // (which made the probe cost O(|hours|²) per type at decade×minute
+      // granularity); the band residual keeps the output row-identical —
+      // a qualifying (rn, rn_b) pair matches on exactly one of the two
+      // candidate keys, so nothing duplicates. The q31/BandJoinRewrite
+      // construction, one-sided integer form.
       val a = cells.select(col("event_type"), col("rn"), col("cnt"))
+        .withColumn("bk", explode(array(expr("(rn - 1) div 48"),
+          expr("(rn - 1) div 48") - 1)))
       val b = cells.select(col("event_type").as("event_type_b"),
         col("rn").as("rn_b"), col("cnt").as("cnt_b"))
+        .withColumn("bk_b", expr("(rn_b - 1) div 48"))
       a.join(b, col("event_type") === col("event_type_b") &&
+          col("bk") === col("bk_b") &&
           col("rn_b") >= col("rn") - 47 && col("rn_b") <= col("rn"))
         .groupBy(col("event_type"), col("rn"))
         .agg(min(col("cnt")).as("cnt"),
@@ -1352,6 +1368,88 @@ object RelationalQueries {
         .select(col("n_a"), col("n_b"), lit(200L).as("n_boot"),
           (col("m_a") - col("m_b")).as("diff_obs_micro"),
           col("ci_lo_micro"), col("ci_hi_micro"))
+    }),
+
+    // The POISSON bootstrap — q63's corpus-scale form, certified: at
+    // 100 TB user counts the exact multinomial resample's per-draw index
+    // join (|users|·B rows shuffling against the user table) is the
+    // scale-killer, and the standard fix (Chamandy et al., "Estimating
+    // Uncertainty for Massive Data Streams") replaces each draw with an
+    // independent Poisson(1) weight PER ROW: one pass over the per-user
+    // aggregates, no index join anywhere — resample b's mean is just
+    // Σw·x / Σw under conditional aggregation. Weights are
+    // md5-deterministic and engine-portable: u32 = first 8 md5 hex
+    // digits of "arm_b_user" (the house draw-addressing discipline),
+    // w = Poisson(1) inverse CDF at u32/2^32 via PRECOMPUTED integer
+    // thresholds floor(CDF(k)·2^32) — both engines compare the same
+    // int64s, so every weight, every resampled mean, and both CI
+    // endpoints replay bit-for-bit. Same readout schema as q63; the CI
+    // differs from q63's only through resampling noise (both are
+    // 200-resample percentile CIs of the same statistic). Scale: ONE
+    // corpus-scale user aggregate; the grid is |users|·B rows folding
+    // straight into a map-side-combinable groupBy(b) — no join touches
+    // it (spec-pinned: the only joins in the plan are the 1-row readout
+    // folds).
+    "q63b_bootstrap_poisson" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val nBoot = 200
+      val spend = T(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents")).cast("long").as("cents"))
+        .withColumn("arm", col("user_id") % 2)
+      // Poisson(1) inverse CDF over the u32 hash, exact-integer form:
+      // thresholds are floor(CDF(k)·2^32) for k = 0..8; the tail (mass
+      // ~1.1e-6) truncates to weight 9 — deterministic on both engines.
+      val pThresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+        4213413783L, 4279248373L, 4292415291L, 4294609777L,
+        4294923276L, 4294962463L)
+      def pois(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        pThresholds.zipWithIndex
+          .foldRight(lit(9L): org.apache.spark.sql.Column) {
+            case ((t, k), rest) =>
+              when(u < t, lit(k.toLong)).otherwise(rest)
+          }
+      val grid = spend
+        .withColumn("b", explode(sequence(lit(1L), lit(nBoot.toLong))))
+        .withColumn("u32", conv(md5(concat_ws("_",
+          col("arm").cast("string"), col("b").cast("string"),
+          col("user_id").cast("string"))).substr(1, 8), 16, 10)
+          .cast("long"))
+        .withColumn("wt", pois(col("u32")))
+      val means = grid.groupBy(col("b")).agg(
+          (sum(when(col("arm") === 0L, col("wt") * col("cents")))
+            * 10000L).cast("long").as("sa"),
+          sum(when(col("arm") === 0L, col("wt"))).cast("long").as("wa"),
+          (sum(when(col("arm") === 1L, col("wt") * col("cents")))
+            * 10000L).cast("long").as("sb"),
+          sum(when(col("arm") === 1L, col("wt"))).cast("long").as("wb"))
+        .select(col("b"),
+          (when(col("wa") > 0L, expr("sa div wa")) -
+            when(col("wb") > 0L, expr("sb div wb"))).as("diff"))
+      val diffs = means.withColumn("rn", row_number().over(
+        w.orderBy(col("diff"), col("b"))).cast("long"))
+      val obs = spend.agg(
+          sum(when(col("arm") === 0L, lit(1L)).otherwise(lit(0L)))
+            .as("n_a"),
+          sum(when(col("arm") === 1L, lit(1L)).otherwise(lit(0L)))
+            .as("n_b"),
+          (sum(when(col("arm") === 0L, col("cents"))) * 10000L)
+            .cast("long").as("so_a"),
+          (sum(when(col("arm") === 1L, col("cents"))) * 10000L)
+            .cast("long").as("so_b"))
+        .select(col("n_a"), col("n_b"),
+          (expr("so_a div n_a") - expr("so_b div n_b"))
+            .as("diff_obs_micro"))
+      obs
+        .crossJoin(diffs.filter(col("rn") === 5L)
+          .select(col("diff").as("ci_lo_micro")))
+        .crossJoin(diffs.filter(col("rn") === 195L)
+          .select(col("diff").as("ci_hi_micro")))
+        .select(col("n_a"), col("n_b"), lit(200L).as("n_boot"),
+          col("diff_obs_micro"), col("ci_lo_micro"), col("ci_hi_micro"))
     }),
 
     // Difference-in-differences readout — the quasi-experimental
@@ -2230,6 +2328,62 @@ object RelationalQueries {
         |  (SELECT CAST(diff AS BIGINT) FROM dr WHERE rn = 195)
         |    AS ci_hi_micro
         |FROM oa CROSS JOIN ob""".stripMargin,
+
+    // Poisson(1) weights from the same u32 hash discipline; the CASE
+    // chain replays the precomputed floor(CDF(k)·2^32) thresholds
+    "q63b_bootstrap_poisson" ->
+      """WITH spend AS (SELECT user_id,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents,
+        |    user_id % 2 AS arm
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |grid AS (SELECT s.arm, s.cents, t.b,
+        |    CAST(CONCAT('0x', substr(md5(concat_ws('_',
+        |      CAST(s.arm AS VARCHAR), CAST(t.b AS VARCHAR),
+        |      CAST(s.user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS u32
+        |  FROM spend s CROSS JOIN range(1, 201) t(b)),
+        |wts AS (SELECT arm, cents, b,
+        |    CASE WHEN u32 < 1580030168 THEN 0
+        |         WHEN u32 < 3160060337 THEN 1
+        |         WHEN u32 < 3950075421 THEN 2
+        |         WHEN u32 < 4213413783 THEN 3
+        |         WHEN u32 < 4279248373 THEN 4
+        |         WHEN u32 < 4292415291 THEN 5
+        |         WHEN u32 < 4294609777 THEN 6
+        |         WHEN u32 < 4294923276 THEN 7
+        |         WHEN u32 < 4294962463 THEN 8
+        |         ELSE 9 END AS wt FROM grid),
+        |means AS (SELECT b,
+        |    CAST(sum(CASE WHEN arm = 0 THEN wt * cents END) * 10000
+        |      AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN arm = 0 THEN wt END) AS BIGINT) AS wa,
+        |    CAST(sum(CASE WHEN arm = 1 THEN wt * cents END) * 10000
+        |      AS BIGINT) AS sb,
+        |    CAST(sum(CASE WHEN arm = 1 THEN wt END) AS BIGINT) AS wb
+        |  FROM wts GROUP BY b),
+        |diffs AS (SELECT b,
+        |    (CASE WHEN wa > 0 THEN sa // wa END)
+        |      - (CASE WHEN wb > 0 THEN sb // wb END) AS diff
+        |  FROM means),
+        |dr AS (SELECT diff, row_number() OVER (ORDER BY diff
+        |    NULLS FIRST, b) AS rn FROM diffs),
+        |obs AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN arm = 0 THEN cents END) * 10000
+        |      AS BIGINT) AS so_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN cents END) * 10000
+        |      AS BIGINT) AS so_b
+        |  FROM spend)
+        |SELECT n_a, n_b, CAST(200 AS BIGINT) AS n_boot,
+        |  (so_a // n_a) - (so_b // n_b) AS diff_obs_micro,
+        |  (SELECT CAST(diff AS BIGINT) FROM dr WHERE rn = 5)
+        |    AS ci_lo_micro,
+        |  (SELECT CAST(diff AS BIGINT) FROM dr WHERE rn = 195)
+        |    AS ci_hi_micro
+        |FROM obs""".stripMargin,
 
     "q64_did_readout" ->
       """WITH ev AS (SELECT user_id,

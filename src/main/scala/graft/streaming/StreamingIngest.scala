@@ -347,16 +347,31 @@ object StreamingIngest {
       }
       .start()
 
-  /** The running sketch over every committed slice: partition-discover
-    * the `batch_id=` slices and SUM per cell — `Sketches.cmMergeCells`
-    * over however many slices exist, feeding the same
-    * `Sketches.cmEstimate` read chain the batch sketch uses. The scan is
-    * slices × d·w cells — sketch-scale, never stream-scale. */
+  /** The running sketch over every COMMITTED slice: list the `batch_id=`
+    * slice dirs, keep only those carrying the parquet `_SUCCESS` commit
+    * marker, and SUM per cell — `Sketches.cmMergeCells` over however
+    * many committed slices exist, feeding the same `Sketches.cmEstimate`
+    * read chain the batch sketch uses. The marker filter is load-bearing
+    * for the exactly-once contract: a crashed attempt's PARTIAL slice
+    * (no `_SUCCESS`) must never reach the merged cells — plain partition
+    * discovery would sum its mass and a later replay-overwrite of the
+    * same batchId would then have been double-counted at read time. The
+    * scan is slices × d·w cells — sketch-scale, never stream-scale. */
   def readCmCells(spark: org.apache.spark.sql.SparkSession,
-                  outDir: String): DataFrame =
-    spark.read.parquet(outDir)
-      .groupBy(col("r"), col("c"))
-      .agg(sum(col("cell")).cast("long").as("cell"))
+                  outDir: String): DataFrame = {
+    val committed = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getPath).sorted.toSeq
+    if (committed.isEmpty)
+      spark.range(0).select(col("id").cast("int").as("r"),
+        col("id").as("c"), col("id").as("cell"))
+    else
+      spark.read.parquet(committed: _*)
+        .groupBy(col("r"), col("c"))
+        .agg(sum(col("cell")).cast("long").as("cell"))
+  }
 
   /** Stream-stream temporal enrichment: join two live streams on a key
     * with the right event constrained to (leftTs - before, leftTs] — the

@@ -21,9 +21,14 @@ object TimeQueries {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { q =>
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
+      // noop write, not count(): count() lets Catalyst prune projections,
+      // so a throwing or regressed projection would be invisible to the
+      // very instrument used to adjudicate regressions (same class of fix
+      // as the QueriesSpec smoke).
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
       graft.analytics.Caches.clear()
-      println(f"$q%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      println(f"$q%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
     spark.stop()
   }

@@ -634,15 +634,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q57 EWMA: the 48-lag band self-join keeps its event_type equi " +
-    "key — a hash/merge join with the band as residual, never a " +
-    "nested-loop over the cell table") {
+  test("q57 EWMA: the 48-lag band self-join runs on the (event_type, " +
+    "delta-bucket) TWO-column equi key — each probe enumerates one " +
+    "48-row-bounded bucket, never the full per-type hourly history, " +
+    "and never a nested-loop") {
     // clear: an earlier suite may have cached the persisted cell table,
     // and CacheManager substitution would hide the aggregate subtree
     graft.analytics.Caches.clear()
     val p = plan("q57_ewma_hours")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the bucket key is PART OF the join key list, not a residual:
+    // formatted explain prints "Left keys [2]" only for a 2-key equi join
+    assert(p.contains("keys [2]"), p)
+    assert(p.contains("bk"), p)
     assert(p.contains("partial_count") || p.contains("InMemoryTableScan"),
       p)
   }
@@ -661,6 +666,20 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan("q63_bootstrap_ci")
     assert(p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q63b Poisson bootstrap: NO join anywhere on the resample grid — " +
+    "weights fold straight into a map-side-combinable groupBy(b); the " +
+    "only joins in the plan are the broadcast 1-row readout folds") {
+    graft.analytics.Caches.clear()
+    val p = plan("q63b_bootstrap_poisson")
+    // the exact multinomial form's scale-killer is the per-draw index
+    // join (a shuffle join on |users|·B rows); the Poisson form must
+    // have no shuffle join at all
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
   }
 
   test("er_jaro_blocked: candidates come from the token-index equi-join " +

@@ -188,6 +188,31 @@ class SparkPropertySpec extends SparkSuite {
     }
   }
 
+  test("ceilMulExact equals the exact-rational ⌈n·t⌉ at adversarial " +
+    "(n, t) pairs — including the float-overshoot shapes the old epsilon " +
+    "form papered over") {
+    // every t whose double product n·t is known to round the wrong way
+    // somewhere, plus boundary thresholds; n sweeps 0..3000 and a
+    // large-n band where double ulp > 1
+    val ts = Seq(0.07, 0.1, 0.2, 0.3, 1.0 / 2.0, 0.7, 0.8, 0.33, 0.125,
+      0.999999999, 0.000000001, 1.0, 0.999, 0.001)
+    val ns = (0L to 3000L) ++ (0 to 50).map(i => 1000000000L + i * 77L)
+    ts.foreach { t =>
+      val (num, den) = graft.analytics.Dedup.thresholdRational(t)
+      assert(BigDecimal(num) / BigDecimal(den) == BigDecimal(t.toString),
+        s"rational mismatch for t=$t: $num/$den")
+      val got = ns.toDF("n")
+        .select(col("n"),
+          graft.analytics.Dedup.ceilMulExact(col("n"), num, den).as("c"))
+        .as[(Long, Long)].collect().toMap
+      ns.foreach { n =>
+        val want = (BigDecimal(n) * BigDecimal(t.toString))
+          .setScale(0, BigDecimal.RoundingMode.CEILING).toLongExact
+        assert(got(n) == want, s"ceil($n * $t): got ${got(n)}, want $want")
+      }
+    }
+  }
+
   test("native WordShingles equals the pure reference on generated inputs") {
     val wordGen = Gen.listOf(Gen.oneOf(
       Gen.alphaLowerStr.map(_.take(6)), Gen.const(""), Gen.const("the")))

@@ -144,4 +144,32 @@ class IvfIndexSpec extends SparkSuite {
       "served rerank diverged from the in-memory composition")
     Caches.clear()
   }
+
+  test("persisted-index cache key is a CONTENT fingerprint: regenerating " +
+    "the data at the SAME path changes the key (forcing a rebuild — the " +
+    "stale index can never be served), while an untouched table keys " +
+    "stably") {
+    import java.nio.file.{Files, Paths}
+    val data = Files.createTempDirectory("fp_data").toString
+    val table = s"$data/embeddings.parquet"
+    spark.range(100).selectExpr("id AS vec_id")
+      .coalesce(1).write.mode("overwrite").parquet(table)
+    val k1 = graft.queries.ContentQueries.ivfIndexDir("graft_fp_test", data)
+    // stable: same bytes on disk → same key (the build-once/serve-many
+    // skip stays valid across queries and bench reps)
+    assert(k1 == graft.queries.ContentQueries
+      .ivfIndexDir("graft_fp_test", data))
+    // plant a "built index" under the current key, then regenerate the
+    // fixture at the same path with different content
+    Files.createDirectories(Paths.get(s"$k1/model"))
+    Files.createFile(Paths.get(s"$k1/model/_SUCCESS"))
+    spark.range(250).selectExpr("id AS vec_id")
+      .coalesce(1).write.mode("overwrite").parquet(table)
+    val k2 = graft.queries.ContentQueries.ivfIndexDir("graft_fp_test", data)
+    assert(k2 != k1,
+      s"regenerated data at the same path must re-key the index: $k1")
+    // the skip check at the NEW key finds nothing — a rebuild happens
+    assert(!new java.io.File(s"$k2/model/_SUCCESS").exists(),
+      "stale index visible under the regenerated key")
+  }
 }

@@ -89,4 +89,19 @@ class MixSpec extends SparkSuite {
     assert(r("a")._2 == 1L && r("b")._2 == 1L, r)
     assert(r("a")._3 == 130.0 && r("b")._3 == 200.0, r)
   }
+
+  test("epoch allocation: a cap=0 source earns ZERO full epochs (its " +
+    "slabs satisfy alloc == cap vacuously), and full_epochs survives " +
+    "non-representable decimal caps where the float equality can miss " +
+    "by an ulp") {
+    val z = epochs(Seq(("a", 0.0, 5.0), ("b", 100.0, 1.0)), 1e9)
+    assert(z("a")._2 == 0L && z("a")._3 == 0.0 && z("a")._4 == 0.0, z("a"))
+    assert(z("b")._2 == 4L, z("b"))
+    // caps 0.1 are not exactly representable: after the prefix sum,
+    // budget - (pc - cap) can land at cap ± ulp. The primal pc <= budget
+    // condition counts the slab regardless; budget = 3 * 0.1's float sum
+    // grants exactly the three slabs whose boundary fits.
+    val u = epochs(Seq(("c", 0.1, 1.0)), 0.1 + 0.1 + 0.1)
+    assert(u("c")._2 == 3L, u("c"))
+  }
 }

@@ -60,6 +60,15 @@ class PartitionersSpec extends SparkSuite {
     // quoted M runs are literals, never tokens
     assert(Partitioners.splitTextTokens("'MMMM'=MMM") ==
       Seq(Right("'MMMM'="), Left("MMM")))
+    // E is a day-NAME token at EVERY run length (E/EE/EEE are all SHORT
+    // style in both Joda and java.time) — a 1-2 char run must NOT fall
+    // through to the locale-free passthrough and silently render English
+    assert(Partitioners.splitTextTokens("'dow'=EE") ==
+      Seq(Right("'dow'="), Left("EEE")))
+    assert(fmt("'dow'=EE", "fr") == "dow=lun.")
+    assert(fmt("'dow'=E", "de") == "dow=Mo.")
+    // quoted E runs stay literal
+    assert(Partitioners.splitTextTokens("'EE'=dd") == Seq(Right("'EE'=dd")))
     // the ADT plumbing carries locale through compile
     val df = Seq("2024-01-15 12:00:00").toDF("ts")
     val r = df.select(PartitionerSpec.compile(

@@ -925,6 +925,12 @@ class StreamingIngestSpec extends SparkSuite {
     Seq((0, 1L, 999L)).toDF("r", "c", "cell")
       .coalesce(1).write.mode("overwrite").parquet(part.toString)
     new java.io.File(part, "_SUCCESS").delete()
+    // the read side must exclude the uncommitted slice BEFORE any replay
+    // overwrites it — a crashed attempt's partial mass never reaches the
+    // merged cells (committed slices only, not partition discovery)
+    assert(cellMap(StreamingIngest.readCmCells(spark, out)
+      .select(col("r").cast("int"), col("c"), col("cell"))) == batch,
+      "an uncommitted partial slice leaked into the merged cells")
     val b3 = Seq(("extra", 5L))
     assert(StreamingIngest.persistCmBatch(
       b3.toDF("it", "wt"), 7L, out, col("it"), col("wt")),
