@@ -2,9 +2,13 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. Each query is forced end-to-end with a noop write
-  * (full materialization — `count()` would let Catalyst skip projections).
+/** Benchmark main: runs the headline set, every round-addition group
+  * (rep'd, median + full spread), and the registry-derived coverage
+  * sweep (1 rep — tripwire) on SPARK_GRAFT_SF_DIR; prints ONE JSON line
+  * carrying `n_queries`/`n_registered`/`unbenched` so the artifact's
+  * own coverage accounting can't drift from the registry. Each query is
+  * forced end-to-end with a noop write (full materialization —
+  * `count()` would let Catalyst skip projections).
   */
 object Bench {
 
@@ -90,6 +94,23 @@ object Bench {
     "privacy_t_close", "profile_dedup_impact", "eval_ece",
     "profile_gini")
 
+  // Round-13 additions, reported under "queries_r13"/"value_r13".
+  val additionsR13: Seq[String] = Seq(
+    "q63b_bootstrap_poisson")
+
+  /** Every registered query belongs to exactly one bench surface: the
+    * headline set, a round-addition group, or — for everything else —
+    * this COVERAGE SWEEP, computed from the registry itself so a newly
+    * registered query can never silently go un-timed again (round-12
+    * verdict: 110 of 251 registered queries had no bench row anywhere,
+    * making a perf regression there invisible). The sweep runs ONE rep
+    * per query — it is a regression tripwire, not a scoreboard; the
+    * grouped sets keep the rep discipline. */
+  def coverageSweep: Seq[String] =
+    (SparkEntry.queries.keySet --
+      (headline ++ additionsR7 ++ additionsR9 ++ additionsR10 ++
+        additionsR11 ++ additionsR12 ++ additionsR13)).toSeq.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -112,9 +133,9 @@ object Bench {
     // the official number, and the [min,max] spread is emitted alongside so
     // a noisy rep is visible instead of silently becoming the scoreboard.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    def run(names: Seq[String]): Seq[(String, Seq[Double])] =
+    def runReps(names: Seq[String], r: Int): Seq[(String, Seq[Double])] =
       names.filter(SparkEntry.queries.contains).map { name =>
-        val times = (1 to reps).map { _ =>
+        val times = (1 to r).map { _ =>
           val t0 = System.nanoTime()
           val ok = try {
             SparkEntry.queries(name)(spark, sfDir)
@@ -127,6 +148,8 @@ object Bench {
         }
         name -> times
       }
+    def run(names: Seq[String]): Seq[(String, Seq[Double])] =
+      runReps(names, reps)
     def median(ts: Seq[Double]): Double =
       if (ts.exists(_ < 0)) -1.0
       else ts.sorted.apply(ts.size / 2)
@@ -159,6 +182,12 @@ object Bench {
     val r10 = run(additionsR10)
     val r11 = run(additionsR11)
     val r12 = run(additionsR12)
+    val r13 = run(additionsR13)
+    // the registry-derived remainder, one rep each (tripwire, not
+    // scoreboard); SPARK_GRAFT_SKIP_SWEEP=1 skips it for quick runs
+    val sweep =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SWEEP").contains("1")) Seq.empty
+      else runReps(coverageSweep, 1)
     // BPE batched-trainer scale diagnostic (round-8 verdict item): train
     // 32 merges on the full corpus and report rounds + width — the batch
     // width is the 32k-vocab production bound (rounds ≈ vocab/width).
@@ -340,11 +369,21 @@ object Bench {
     // Failures must be machine-loud, not just a -1.0 sentinel buried in the
     // metrics (round 8's bench read as rc:0 with six dead queries): name
     // them in an explicit "failed" list AND exit non-zero.
-    val failed = (results ++ r7 ++ r9 ++ r10 ++ r11 ++ r12).collect { case (k, ts) if median(ts) < 0 => k }
+    val grouped = results ++ r7 ++ r9 ++ r10 ++ r11 ++ r12 ++ r13
+    val failed = (grouped ++ sweep).collect { case (k, ts) if median(ts) < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val spread = spreadJson(results ++ r7 ++ r9 ++ r10 ++ r11 ++ r12)
+    val spread = spreadJson(grouped)
+    // machine-parsed coverage accounting: the artifact itself must state
+    // how many registry queries it timed, and the registry size, so the
+    // two can never drift apart silently again (round-12 commit messages
+    // claimed 170 benched queries while the artifact held 141)
+    val benchedNames = (grouped ++ sweep).map(_._1).distinct
+    val nRegistered = SparkEntry.queries.size
+    val unbenched = (SparkEntry.queries.keySet -- benchedNames.toSet)
+      .toSeq.sorted
+    val unbenchedJson = unbenched.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"queries_r12":${json(r12)},"value_r12":${total(r12)}%.3f,"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"n_queries":${benchedNames.size},"n_registered":$nRegistered,"unbenched":$unbenchedJson,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"queries_r12":${json(r12)},"value_r12":${total(r12)}%.3f,"queries_r13":${json(r13)},"value_r13":${total(r13)}%.3f,"queries_sweep":${json(sweep)},"value_sweep":${total(sweep)}%.3f,"n_sweep":${sweep.size},"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the TAIL of sbt's output, and this line has
     // outgrown the capture window (round 10's official artifact lost every

@@ -1393,13 +1393,15 @@ object RelationalQueries {
     "q63b_bootstrap_poisson" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
       val nBoot = 200
-      val spend = T(s, d, "events")
+      // persist: the corpus-scale user aggregate feeds the grid AND the
+      // observed readout — one scan, not two
+      val spend = graft.analytics.Caches.persist(T(s, d, "events")
         .filter(col("event_type") === "purchase")
         .select(col("user_id"),
           floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
         .groupBy(col("user_id"))
         .agg(sum(col("cents")).cast("long").as("cents"))
-        .withColumn("arm", col("user_id") % 2)
+        .withColumn("arm", col("user_id") % 2))
       // Poisson(1) inverse CDF over the u32 hash, exact-integer form:
       // thresholds are floor(CDF(k)·2^32) for k = 0..8; the tail (mass
       // ~1.1e-6) truncates to weight 9 — deterministic on both engines.
@@ -1429,8 +1431,11 @@ object RelationalQueries {
         .select(col("b"),
           (when(col("wa") > 0L, expr("sa div wa")) -
             when(col("wb") > 0L, expr("sb div wb"))).as("diff"))
-      val diffs = means.withColumn("rn", row_number().over(
-        w.orderBy(col("diff"), col("b"))).cast("long"))
+      // persist the B-row diff table: both CI-endpoint filters read it
+      // (without this the whole grid fold runs once per endpoint)
+      val diffs = graft.analytics.Caches.persist(
+        means.withColumn("rn", row_number().over(
+          w.orderBy(col("diff"), col("b"))).cast("long")))
       val obs = spend.agg(
           sum(when(col("arm") === 0L, lit(1L)).otherwise(lit(0L)))
             .as("n_a"),

@@ -264,6 +264,25 @@ object StreamingIngest {
     * the composable form: snapshot two groups' states and
     * `Sketches.kmvOverlap` answers intersection cardinality between
     * live streams. Emits one Update row per touched group per batch. */
+  // the shared min-set micro-batch fold: union the batch's hashes into
+  // the retained k-minimum set and re-truncate (state never holds more
+  // than k+1 entries transiently); returns (updated ascending state,
+  // rows folded this batch)
+  private def kmvFoldBatch(k: Int, prior: Option[Array[Long]],
+                           it: Iterator[Long]): (Array[Long], Long) = {
+    val set = scala.collection.mutable.TreeSet.empty[Long]
+    prior.foreach(set ++= _)
+    var n = 0L
+    it.foreach { h =>
+      n += 1
+      if (set.size < k || h < set.last) {
+        set += h
+        if (set.size > k) set -= set.last
+      }
+    }
+    (set.toArray, n) // ascending
+  }
+
   def runningKmv(stream: DataFrame, group: Column, item: Column,
                  k: Int = 64): Dataset[KmvUpdate] = {
     import stream.sparkSession.implicits._
@@ -276,19 +295,7 @@ object StreamingIngest {
         GroupStateTimeout.NoTimeout) {
         (grp: String, it: Iterator[(String, Long)],
          state: GroupState[Array[Long]]) =>
-          val set = scala.collection.mutable.TreeSet.empty[Long]
-          state.getOption.foreach(set ++= _)
-          var n = 0L
-          it.foreach { r =>
-            n += 1
-            // admit only below the current k-th minimum: the state can
-            // never hold more than k+1 entries transiently
-            if (set.size < k || r._2 < set.last) {
-              set += r._2
-              if (set.size > k) set -= set.last
-            }
-          }
-          val arr = set.toArray // ascending
+          val (arr, n) = kmvFoldBatch(k, state.getOption, it.map(_._2))
           state.update(arr)
           val est =
             if (arr.length == k)
@@ -297,6 +304,53 @@ object StreamingIngest {
             else arr.length.toLong
           KmvUpdate(grp, n, est)
       }
+  }
+
+  final case class KmvSnapshot(group: String, total_items: Long,
+                               hs: Array[Long])
+
+  /** `runningKmv`'s COMPOSABLE twin: the identical min-set fold, but
+    * each update emits the SIGNATURE snapshot (the ascending k-minimum
+    * hashes) instead of collapsing to the estimate — the mergeable form
+    * `Sketches.kmvOverlap` consumes. Snapshot two live groups' latest
+    * states and `kmvOverlapFromSnapshots` answers "how many distinct
+    * items do these two streams share" bit-equal to the batch operator
+    * over every row seen (idempotent under replay, like the estimate:
+    * union-then-truncate never moves on re-folded items).
+    * `total_items` is the group's cumulative folded-row count — strictly
+    * increasing, so "latest snapshot per group" = max(total_items). */
+  def runningKmvSnapshot(stream: DataFrame, group: Column, item: Column,
+                         k: Int = 64): Dataset[KmvSnapshot] = {
+    import stream.sparkSession.implicits._
+    val rows = stream
+      .select(group.cast("string").as("_1"),
+        graft.analytics.Sketches.h60(item).as("_2"))
+      .as[(String, Long)]
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[(Array[Long], Long), KmvSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[(String, Long)],
+         state: GroupState[(Array[Long], Long)]) =>
+          val prior = state.getOption
+          val (arr, n) = kmvFoldBatch(k, prior.map(_._1), it.map(_._2))
+          val total = prior.map(_._2).getOrElse(0L) + n
+          state.update((arr, total))
+          KmvSnapshot(grp, total, arr)
+      }
+  }
+
+  /** Theta-sketch intersection between LIVE streams: feed the latest
+    * `runningKmvSnapshot` row per group into the batch
+    * `Sketches.kmvOverlap` estimator (the snapshot IS the signature —
+    * ascending hashes, rank = position). Output `(a_grp, b_grp,
+    * est_inter)`, bit-equal to `kmvOverlap` over a batch
+    * `kmvSignature` of every row the stream has seen. */
+  def kmvOverlapFromSnapshots(snaps: DataFrame, group: Column,
+                              hs: Column, k: Int): DataFrame = {
+    val sig = snaps.select(group.as("grp"), posexplode(hs))
+      .select(col("grp"), col("col").as("h"),
+        (col("pos") + 1).as("rn"))
+    graft.analytics.Sketches.kmvOverlap(sig, k)
   }
 
   /** One micro-batch of the streaming count-min sink: build the batch's

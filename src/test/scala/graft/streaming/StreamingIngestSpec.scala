@@ -875,6 +875,60 @@ class StreamingIngestSpec extends SparkSuite {
       s"g estimate $lastG out of band for 1000 distinct")
   }
 
+  test("kmvOverlapFromSnapshots: theta intersection served from live " +
+    "streaming state — two groups' latest snapshots answer the overlap " +
+    "BIT-EQUAL to batch kmvOverlap over every row seen, across a " +
+    "planted replay") {
+    import graft.analytics.Sketches
+    val src = Files.createTempDirectory("kmvo_src").toString
+    // groups g and h share items shared1..shared200; g additionally has
+    // 400 own items, h 150. batch 2 REPLAYS 100 of g's shared items and
+    // 50 of h's own (min-set union must not move), and extends both.
+    val b1 = (1 to 100).map(i => ("g", s"shared$i")) ++
+      (1 to 200).map(i => ("g", s"gonly$i")) ++
+      (1 to 150).map(i => ("h", s"shared$i")) ++
+      (1 to 100).map(i => ("h", s"honly$i"))
+    val b2 = (1 to 100).map(i => ("g", s"shared$i")) ++ // replay
+      (101 to 200).map(i => ("g", s"shared$i")) ++
+      (201 to 400).map(i => ("g", s"gonly$i")) ++
+      (151 to 200).map(i => ("h", s"shared$i")) ++
+      (1 to 50).map(i => ("h", s"honly$i")) // replay
+    b1.toDF("grp", "it").coalesce(1).write.mode("append").parquet(src)
+    b2.toDF("grp", "it").coalesce(1).write.mode("append").parquet(src)
+
+    val sschema = StructType(Seq(StructField("grp", StringType),
+      StructField("it", StringType)))
+    val stream = spark.readStream.schema(sschema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamingIngest.runningKmvSnapshot(stream, col("grp"),
+        col("it"), k = 64)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kmv_snaps").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    // latest snapshot per group = max cumulative total_items
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("total_items").desc)
+    val latest = spark.table("kmv_snaps")
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    assert(latest.count() == 2, "one latest snapshot per live group")
+    val streamed = StreamingIngest.kmvOverlapFromSnapshots(
+        latest, col("group"), col("hs"), k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val batch = Sketches.kmvOverlap(Sketches.kmvSignature(
+        (b1 ++ b2).toDF("grp", "it"), col("grp"), col("it"), k = 64),
+        k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(streamed.sorted.toSeq == batch.sorted.toSeq,
+      s"streamed overlap ${streamed.toSeq} != batch ${batch.toSeq}")
+    // and the estimate is in band for the planted truth (200 shared)
+    val est = streamed.head._3
+    assert(math.abs(est - 200.0) / 200.0 < 0.5,
+      s"overlap estimate $est out of band for 200 shared items")
+  }
+
   test("streaming CM sink: batchId-keyed slices make the non-idempotent " +
     "sum-merge replay-safe — a replayed committed batch is skipped, a " +
     "partial slice is overwritten, and the merged cells equal the " +

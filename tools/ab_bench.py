@@ -47,8 +47,11 @@ def bench_json(cwd, sf):
     # reps=1: the A/B harness derives its own medians from interleaved
     # pairs, so Bench's internal median-of-3 would triple the wall time
     # for no extra statistical power here
+    # SKIP_SWEEP: the 1-rep coverage sweep is a tripwire, not a paired
+    # statistic — and the prior ref has no sweep, so pairing is over the
+    # grouped sets either way; skipping keeps each execution comparable
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf, SPARK_GRAFT_CPUS="32",
-               SPARK_GRAFT_BENCH_REPS="1")
+               SPARK_GRAFT_BENCH_REPS="1", SPARK_GRAFT_SKIP_SWEEP="1")
     # Bench exits 1 when any query fails; the -1 sentinels in its JSON
     # still identify exactly which — keep going and pair what we can.
     r = sh([os.path.join(cwd, "tools", "run.sh"), "graft.Bench"],
@@ -62,7 +65,7 @@ def bench_json(cwd, sf):
 def flat_queries(b):
     out = {}
     for key in ("queries", "queries_r7", "queries_r9", "queries_r10",
-                "queries_r11"):
+                "queries_r11", "queries_r12", "queries_r13"):
         out.update(b.get(key, {}))
     return out
 
