@@ -410,17 +410,23 @@ object RelationalQueries {
     }),
 
     // Null-safe equality join (<=>): match rows where both sides are equal
-    // OR both are null — the join SQL's IS NOT DISTINCT FROM. The nullable
-    // key keeps nulls rare (~1%) so the null group's self-join stays
-    // bounded while still genuinely matching null-to-null.
+    // OR both are null — the join SQL's IS NOT DISTINCT FROM, including a
+    // genuine null-to-null match group. Scale shape: the right side
+    // AGGREGATES per key BEFORE the join (n_pairs = Σ_l n_r(k) ≡ the
+    // all-pairs count n_l·n_r, row-identical output), so the null-safe
+    // join runs |events| × |distinct keys| — the raw key-to-key self-join
+    // is Σ n_k² pairs on a low-cardinality key, quadratic in the corpus
+    // (it cost 215 s at sf0.1 when the round-13 coverage sweep first
+    // timed it; this form is ~1 s and identical to the oracle).
     "q40_null_safe_join" -> ((s, d) => {
       val e = T(s, d, "events").select(col("event_id"),
         when(col("value") >= 1, col("event_type")).as("k"))
       val l = e.select(col("k"), col("event_id").as("l_id"))
-      val r = e.select(col("k").as("rk"), col("event_id").as("r_id"))
-      l.join(r, col("k") <=> col("rk"))
+      val rAgg = e.groupBy(col("k").as("rk"))
+        .agg(count(lit(1)).as("n_r"))
+      l.join(rAgg, col("k") <=> col("rk"))
         .groupBy(col("k"))
-        .agg(count(lit(1)).as("n_pairs"),
+        .agg(sum(col("n_r")).cast("long").as("n_pairs"),
           countDistinct(col("l_id")).as("n_left"))
         // explicit null placement: Spark default is NULLS FIRST, DuckDB's
         // is NULLS LAST — the order-sensitive oracle compare needs one
@@ -2524,8 +2530,9 @@ object RelationalQueries {
       """WITH e AS (SELECT event_id,
         |    CASE WHEN value >= 1 THEN event_type END AS k FROM events),
         |l AS (SELECT k, event_id AS l_id FROM e),
-        |r AS (SELECT k AS rk, event_id AS r_id FROM e)
-        |SELECT l.k, count(*) AS n_pairs,
+        |r AS (SELECT k AS rk, CAST(count(*) AS BIGINT) AS n_r
+        |  FROM e GROUP BY 1)
+        |SELECT l.k, CAST(sum(n_r) AS BIGINT) AS n_pairs,
         |  count(DISTINCT l.l_id) AS n_left
         |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.rk
         |GROUP BY l.k ORDER BY l.k""".stripMargin,
