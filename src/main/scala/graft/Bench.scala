@@ -388,9 +388,12 @@ object Bench {
     // The driver captures only the TAIL of sbt's output, and this line has
     // outgrown the capture window (round 10's official artifact lost every
     // headline median). Persist the complete line as a committed repo file
-    // so the scoreboard survives tail-truncation.
+    // so the scoreboard survives tail-truncation. Path is CWD-RELATIVE,
+    // not hardcoded: a Bench run inside an A/B worktree used to clobber
+    // the main repo's committed artifact (round 13 lost a reps=3 run to
+    // the A/B harness's last reps=1 execution that way).
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (failed.nonEmpty) {
