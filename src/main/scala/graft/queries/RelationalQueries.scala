@@ -1581,6 +1581,63 @@ object RelationalQueries {
             .otherwise(expr("(sa * k * 1000000L) div (m * sb)"))
             .as("mase_micro"))
         .orderBy(col("event_type"))
+    }),
+
+    // Experiment power / minimum-detectable-effect planner — the
+    // PRE-experiment readout the q52-q66 family was missing (q58 checks
+    // health, q53 reads out; this answers "how big an effect can this
+    // population even detect, and how many users per arm would a 5%
+    // lift need"). Per metric segment (each event type's per-user value
+    // total, plus '_all'): sample variance from EXACT int64 moments
+    // (n·Σx² − (Σx)², one double division, rounded 6 — the rounded
+    // value feeds everything downstream on BOTH engines so no drift
+    // compounds), then the two-sample z closed forms at α=.05 two-sided,
+    // power .80 (z-sum 2.801585, squared 7.848878 — shared literals):
+    // MDE = zsum·√(2·var/n_arm); n_req = 2·var·zsum²/δ² at δ = 5% of
+    // the mean (δ in integer micros via div 20 — exact on both sides).
+    // sqrt/ceil are IEEE-identical given identical double inputs, and
+    // the inputs are quotients of exact integers. Scale: ONE
+    // (user,type)-keyed aggregate touches the corpus (the family's
+    // usual shuffle key), then per-segment moment folds — |segments|
+    // rows. Int64 bound: n·Σx² and (Σx)² stay < 2^63 while the
+    // segment's Σcents < 3e9 — holds orders of magnitude past sf0.1;
+    // beyond that, center on an integer pivot or widen to decimal(38).
+    "q67_power_mde" -> ((s, d) => {
+      val perUser = T(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("cents")).cast("long").as("cents"))
+      val seg = perUser.select(col("event_type").as("segment"),
+          col("cents"))
+        .union(perUser.groupBy(col("user_id"))
+          .agg(sum(col("cents")).cast("long").as("cents"))
+          .select(lit("_all").as("segment"), col("cents")))
+      seg.groupBy(col("segment"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cents")).cast("long").as("s1"),
+          sum(col("cents") * col("cents")).cast("long").as("s2"))
+        .select(col("segment"), col("n").as("n_users"),
+          expr("(s1 * 10000L) div n").as("mean_micro"),
+          when(col("n") >= 2L,
+            round((col("n") * col("s2") - col("s1") * col("s1"))
+              .cast("double") /
+              (col("n").cast("double") * (col("n") - 1L).cast("double")),
+              6)).as("var_c2"))
+        .withColumn("n_arm", expr("n_users div 2"))
+        .withColumn("delta_micro", expr("mean_micro div 20"))
+        .select(col("segment"), col("n_users"), col("mean_micro"),
+          col("var_c2"),
+          when(col("n_arm") >= 1L && col("var_c2").isNotNull,
+            round(lit(2.801585) *
+              sqrt(lit(2.0) * col("var_c2") / col("n_arm").cast("double")),
+              6)).as("mde_c"),
+          when(col("delta_micro") > 0L && col("var_c2").isNotNull,
+            ceil(lit(2.0) * col("var_c2") * lit(7.848878) /
+              ((col("delta_micro").cast("double") / lit(10000.0)) *
+                (col("delta_micro").cast("double") / lit(10000.0))))
+              .cast("long")).as("n_req_per_arm"))
+        .orderBy(col("segment"))
     })
   )
 
@@ -2482,6 +2539,41 @@ object RelationalQueries {
         |    ELSE (sa * k * 1000000) // (m * sb) END AS mase_micro
         |FROM nd JOIN sa USING (event_type) JOIN sb USING (event_type)
         |ORDER BY nd.event_type""".stripMargin,
+
+    // power/MDE closed forms: exact int64 moments, ONE rounded double
+    // variance feeding sqrt/ceil (IEEE-identical on identical inputs)
+    "q67_power_mde" ->
+      """WITH pu AS (SELECT user_id, event_type,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |seg AS (SELECT event_type AS segment, cents FROM pu
+        |  UNION ALL
+        |  SELECT '_all' AS segment, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM pu GROUP BY user_id),
+        |mo AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s1,
+        |    CAST(sum(cents * cents) AS BIGINT) AS s2
+        |  FROM seg GROUP BY 1),
+        |st AS (SELECT segment, n AS n_users,
+        |    (s1 * 10000) // n AS mean_micro,
+        |    CASE WHEN n >= 2 THEN round(
+        |      CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)
+        |      END AS var_c2,
+        |    n // 2 AS n_arm,
+        |    ((s1 * 10000) // n) // 20 AS delta_micro
+        |  FROM mo)
+        |SELECT segment, n_users, mean_micro, var_c2,
+        |  CASE WHEN n_arm >= 1 AND var_c2 IS NOT NULL THEN
+        |    round(2.801585 * sqrt(2.0 * var_c2 / CAST(n_arm AS DOUBLE)),
+        |      6) END AS mde_c,
+        |  CASE WHEN delta_micro > 0 AND var_c2 IS NOT NULL THEN
+        |    CAST(ceil(2.0 * var_c2 * 7.848878 /
+        |      ((CAST(delta_micro AS DOUBLE) / 10000.0)
+        |        * (CAST(delta_micro AS DOUBLE) / 10000.0))) AS BIGINT)
+        |    END AS n_req_per_arm
+        |FROM st ORDER BY segment""".stripMargin,
 
     "q25_percentile" ->
       """SELECT l_returnflag,

@@ -34,6 +34,44 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("power/MDE: hand-computed moments on a planted 4-user metric, " +
+    "and the n=1 / zero-mean guards yield NULL rather than a throw") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_power_spec"
+    // clicks: users 1-4 at 1.00/2.00/3.00/4.00 -> cents 100..400;
+    // views: ONE user (n=1 -> variance undefined -> NULL tail)
+    (Seq((1L, "click", 1.0), (2L, "click", 2.0), (3L, "click", 3.0),
+      (4L, "click", 4.0), (5L, "view", 1.0)))
+      .toDF("user_id", "event_type", "value")
+      .withColumn("ts", lit(base)).withColumn("event_id", col("user_id"))
+      .withColumn("props", lit(""))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.queries.RelationalQueries
+      .queries("q67_power_mde")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c = rows("click")
+    // n=4, s1=1000, s2=300000: mean 2_500_000 micro;
+    // var = (4*300000 - 1000^2)/12 = 200000/12
+    assert(c.getLong(1) == 4L && c.getLong(2) == 2500000L, c)
+    val varR = BigDecimal(200000.0 / 12.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(c.getDouble(3) == varR, c)
+    // n_arm=2: mde = zsum * sqrt(2*var/2); delta = 12.5 cents
+    val mde = BigDecimal(2.801585 * math.sqrt(2.0 * varR / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(c.getDouble(4) == mde, c)
+    val nReq = math.ceil(2.0 * varR * 7.848878 / (12.5 * 12.5)).toLong
+    assert(c.getLong(5) == nReq && nReq == 1675L, c)
+    val v = rows("view")
+    assert(v.getLong(1) == 1L && v.getLong(2) == 1000000L, v)
+    assert(v.isNullAt(3) && v.isNullAt(4) && v.isNullAt(5), v)
+    // '_all' collapses per-user across types: 5 users, same 100..400
+    // cents plus the view user's 100
+    assert(rows("_all").getLong(1) == 5L, rows("_all"))
+  }
+
   test("abtest: an all-converters table (zero chi2 marginal) yields " +
     "NULL chi2, not a DIVIDE_BY_ZERO throw; a mixed table yields the " +
     "hand-computed statistic") {
