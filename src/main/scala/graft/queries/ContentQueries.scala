@@ -891,6 +891,44 @@ object ContentQueries {
         .orderBy(col("source"))
     }),
 
+    // DSIR importance RESAMPLING via Gumbel-top-k — the sampling step
+    // the DSIR rows score for (Xie et al. 2023 select the training
+    // subset by importance weight; Gumbel-top-k is the standard
+    // distributed way to draw k docs WITHOUT replacement with
+    // probability ∝ softmax(logw) — Vieira 2014): key = logw + Gumbel
+    // noise, take the global top k. Fully deterministic and
+    // engine-portable: the Gumbel is −ln(−ln(u)) at u = (u32+0.5)/2^32
+    // from each doc's md5 (the house draw-address discipline), carried
+    // in rounded integer MICROS like the DSIR model's own log2 ratios
+    // (same boundary-risk envelope, same precedent), so key and rank
+    // replay exactly. Scale: the weights are the DSIR pass (explode →
+    // 1024-row broadcast model → doc-keyed aggregate); the key is a
+    // projection; the global top-k plans as TakeOrderedAndProject —
+    // k rows per partition merge on the driver, NO global sort and no
+    // sequential weighted-reservoir pass.
+    "sample_dsir_gumbel" -> ((s, d) => {
+      val wts = TextAnalysis.dsirWeights(docs(s, d), col("doc_id"),
+        col("text"), col("source") === "src0")
+      val keyed = wts
+        // dsir_logw has at most 6 decimals — ×1e6 + round is exact
+        .withColumn("logw_micro",
+          round(col("dsir_logw") * 1e6, 0).cast("long"))
+        .withColumn("u32", conv(md5(col("doc_id").cast("string"))
+          .substr(1, 8), 16, 10).cast("long"))
+        .withColumn("g_micro", round(-log(-log(
+          (col("u32").cast("double") + 0.5) / 4294967296.0)) * 1e6, 0)
+          .cast("long"))
+        .withColumn("key_micro", col("logw_micro") + col("g_micro"))
+        .orderBy(col("key_micro").desc, col("doc_id"))
+        .limit(100)
+      keyed.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("key_micro").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("n_tokens"),
+          col("logw_micro"), col("g_micro"), col("key_micro"))
+        .orderBy(col("rank"))
+    }),
+
     // Token-budget mixture sampling: per source, take docs in
     // deterministic md5 order until the running token total hits the
     // budget — how a training mix caps each source's contribution. One
@@ -5074,6 +5112,40 @@ object ContentQueries {
         |  round(n_tokens / CAST(all_toks AS DOUBLE), 6) AS raw_share,
         |  round(alpha_micro / CAST(all_alpha AS DOUBLE), 6) AS temp_share
         |FROM a CROSS JOIN g ORDER BY source""".stripMargin,
+
+    // the text_dsir model replayed, then Gumbel keys from each doc's md5
+    // u32 (micro-rounded like the model's own log2 ratios) and the
+    // global top-100 by key
+    "sample_dsir_gumbel" ->
+      s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_t,
+         |    ${md5b60("unnest(string_split(lower(text), ' '))")}
+         |      % 1024 AS b
+         |  FROM documents),
+         |pb AS (SELECT b, count(*) AS c_all,
+         |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+         |  FROM t GROUP BY b),
+         |g AS (SELECT count(*) AS n_all,
+         |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t FROM t),
+         |r AS (SELECT b,
+         |    CAST(round((log2((c_t + 1) / CAST(n_t + 1024 AS DOUBLE))
+         |      - log2((c_all + 1) / CAST(n_all + 1024 AS DOUBLE))) * 1e6,
+         |      0) AS BIGINT) AS micro_lr
+         |  FROM pb CROSS JOIN g),
+         |w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(micro_lr) AS BIGINT) AS logw_micro
+         |  FROM t JOIN r USING (b) GROUP BY doc_id),
+         |k AS (SELECT doc_id, n_tokens, logw_micro,
+         |    CAST(round(-ln(-ln((CAST(CONCAT('0x',
+         |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      + 0.5) / 4294967296.0)) * 1e6, 0) AS BIGINT) AS g_micro
+         |  FROM w),
+         |sel AS (SELECT doc_id, n_tokens, logw_micro, g_micro,
+         |    logw_micro + g_micro AS key_micro FROM k
+         |  ORDER BY key_micro DESC, doc_id LIMIT 100)
+         |SELECT CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id)
+         |    AS BIGINT) AS rank,
+         |  doc_id, n_tokens, logw_micro, g_micro, key_micro
+         |FROM sel ORDER BY rank""".stripMargin,
 
     "sample_per_source" ->
       """WITH r AS (SELECT source, doc_id,

@@ -668,6 +668,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sample_dsir_gumbel: the DSIR model joins as a broadcast (1024 " +
+    "rows), and the global weighted top-k plans as TakeOrderedAndProject " +
+    "— no global sort, no shuffle join") {
+    graft.analytics.Caches.clear()
+    val p = plan("sample_dsir_gumbel")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q63b Poisson bootstrap: NO join anywhere on the resample grid — " +
     "weights fold straight into a map-side-combinable groupBy(b); the " +
     "only joins in the plan are the broadcast 1-row readout folds") {
