@@ -2828,6 +2828,66 @@ object ContentQueries {
       Similarity.pcaCov(emb(s, d), col("embedding"))
         .orderBy(col("i"), col("j"))),
 
+    // Embedding distribution drift between two corpus slices — the
+    // embedding-space companion to profile_psi_drift (which watches a
+    // SCORE distribution): per dimension, the standardized mean
+    // difference (Cohen's d with pooled variance) between the
+    // even-vec_id reference slice and the odd-vec_id live slice, the
+    // monitor an embedding pipeline runs between crawl snapshots or
+    // model versions ("did dimension 17 shift?"). Components QUANTIZE
+    // to integer micros first, so every sum is exact int64 and the
+    // float tail is three divisions + one sqrt over identical inputs —
+    // no order-sensitive double accumulation anywhere (stronger than
+    // rounding doubles: exact at any partition count). |smd| > 0.1
+    // (the standard negligible-effect boundary) flags the dimension.
+    // Scale: ONE posexplode projection + one partial-aggregatable
+    // groupBy(dim) → 64 rows; int64 moment bound (q² ≤ 1e12 per term)
+    // holds to ~1e6 vectors per slice — beyond that center on an
+    // integer pivot, same escape as q67.
+    "profile_emb_drift" -> ((s, d) => {
+      val t = emb(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select((col("vec_id") % 2).as("slice"),
+          (col("pos") + 1).cast("long").as("dim"),
+          floor(col("col").cast("double") * 1e6 + 0.5).cast("long")
+            .as("q"))
+      val m = t.groupBy(col("dim")).agg(
+        sum(when(col("slice") === 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_r"),
+        sum(when(col("slice") === 0L, col("q"))).cast("long").as("s1_r"),
+        sum(when(col("slice") === 0L, col("q") * col("q"))).cast("long")
+          .as("s2_r"),
+        sum(when(col("slice") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_l"),
+        sum(when(col("slice") === 1L, col("q"))).cast("long").as("s1_l"),
+        sum(when(col("slice") === 1L, col("q") * col("q"))).cast("long")
+          .as("s2_l"))
+      val varR = (col("n_r") * col("s2_r") - col("s1_r") * col("s1_r"))
+        .cast("double") /
+        (col("n_r").cast("double") * (col("n_r") - 1L).cast("double"))
+      val varL = (col("n_l") * col("s2_l") - col("s1_l") * col("s1_l"))
+        .cast("double") /
+        (col("n_l").cast("double") * (col("n_l") - 1L).cast("double"))
+      m.withColumn("var_p",
+          ((col("n_r") - 1L).cast("double") * varR +
+            (col("n_l") - 1L).cast("double") * varL) /
+            (col("n_r") + col("n_l") - 2L).cast("double"))
+        .withColumn("smd",
+          when(col("n_r") >= 2L && col("n_l") >= 2L && col("var_p") > 0.0,
+            round((col("s1_l").cast("double") / col("n_l") -
+              col("s1_r").cast("double") / col("n_r")) /
+              sqrt(col("var_p")), 6)))
+        .select(col("dim"), col("n_r").as("n_ref"), col("n_l").as("n_live"),
+          round(col("s1_r").cast("double") / col("n_r"), 2)
+            .as("mean_ref_u"),
+          round(col("s1_l").cast("double") / col("n_l"), 2)
+            .as("mean_live_u"),
+          col("smd"),
+          when(abs(col("smd")) > lit(0.1), lit(1L)).otherwise(lit(0L))
+            .as("drift_flag"))
+        .orderBy(col("dim"))
+    }),
+
     // Fit top-8 principal components and project every vector — the
     // embedding-compression step ahead of ANN indexing. Output is one
     // scalar column per component (pc_0..pc_7). The Jacobi eigensolve is
@@ -4256,6 +4316,48 @@ object ContentQueries {
         |  round(c.exy - mi.mu * mj.mu, 6) + 0.0 AS cov
         |FROM c JOIN m mi ON mi.i = c.i JOIN m mj ON mj.i = c.j
         |ORDER BY i, j""".stripMargin,
+
+    // exact int64 micro-quantized moments per (slice, dim); the float
+    // tail mirrors the Spark tree term-for-term
+    "profile_emb_drift" ->
+      """WITH t AS (SELECT vec_id % 2 AS slice, i.i AS dim,
+        |    CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1e6 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i),
+        |m AS (SELECT dim,
+        |    CAST(sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_r,
+        |    CAST(sum(CASE WHEN slice = 0 THEN q END) AS BIGINT) AS s1_r,
+        |    CAST(sum(CASE WHEN slice = 0 THEN q * q END) AS BIGINT)
+        |      AS s2_r,
+        |    CAST(sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_l,
+        |    CAST(sum(CASE WHEN slice = 1 THEN q END) AS BIGINT) AS s1_l,
+        |    CAST(sum(CASE WHEN slice = 1 THEN q * q END) AS BIGINT)
+        |      AS s2_l
+        |  FROM t GROUP BY dim),
+        |v AS (SELECT *,
+        |    (CAST(n_r - 1 AS DOUBLE)
+        |        * (CAST(n_r * s2_r - s1_r * s1_r AS DOUBLE)
+        |          / (CAST(n_r AS DOUBLE) * CAST(n_r - 1 AS DOUBLE)))
+        |      + CAST(n_l - 1 AS DOUBLE)
+        |        * (CAST(n_l * s2_l - s1_l * s1_l AS DOUBLE)
+        |          / (CAST(n_l AS DOUBLE) * CAST(n_l - 1 AS DOUBLE))))
+        |      / CAST(n_r + n_l - 2 AS DOUBLE) AS var_p
+        |  FROM m),
+        |sm AS (SELECT *,
+        |    CASE WHEN n_r >= 2 AND n_l >= 2 AND var_p > 0.0 THEN
+        |      round((CAST(s1_l AS DOUBLE) / n_l
+        |        - CAST(s1_r AS DOUBLE) / n_r) / sqrt(var_p), 6)
+        |      END AS smd
+        |  FROM v)
+        |SELECT dim, n_r AS n_ref, n_l AS n_live,
+        |  round(CAST(s1_r AS DOUBLE) / n_r, 2) AS mean_ref_u,
+        |  round(CAST(s1_l AS DOUBLE) / n_l, 2) AS mean_live_u,
+        |  smd,
+        |  CAST(CASE WHEN abs(smd) > 0.1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS drift_flag
+        |FROM sm ORDER BY dim""".stripMargin,
 
     // Parseval: sum of squared full-basis PCA coordinates == centered
     // squared norm, computed here with no eigenvector in sight

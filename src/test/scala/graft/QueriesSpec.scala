@@ -34,6 +34,34 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("embedding drift: a planted +0.5 shift on dimension 3 of the odd " +
+    "slice is the ONLY flagged dimension, with the right sign") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_embdrift_spec"
+    // 40 vectors, 64 dims; deterministic within-slice jitter on every
+    // dim (variance > 0), plus a +0.5 level shift on dim 3 (index 2)
+    // for odd vec_ids only
+    val rows = (0L until 40L).map { i =>
+      val base = (0 until 64).map(j => ((i * 7 + j) % 5).toFloat * 0.01f)
+      val e = if (i % 2 == 1) base.updated(2, base(2) + 0.5f) else base
+      (i, e)
+    }
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.ContentQueries
+      .queries("profile_emb_drift")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 64)
+    val flagged = out.filter(_._2.getLong(6) == 1L).keySet
+    assert(flagged == Set(3L), s"flagged dims: $flagged")
+    assert(out(3L).getDouble(5) > 0.0, out(3L)) // live - ref > 0
+    // unshifted dims: identical jitter pattern per slice pair-up isn't
+    // guaranteed, but the smd must stay under the 0.1 boundary
+    assert(out.filterKeys(_ != 3L).values.forall(r =>
+      r.isNullAt(5) || math.abs(r.getDouble(5)) <= 0.1))
+  }
+
   test("power/MDE: hand-computed moments on a planted 4-user metric, " +
     "and the n=1 / zero-mean guards yield NULL rather than a throw") {
     import org.apache.spark.sql.functions._
