@@ -1919,6 +1919,44 @@ object ContentQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer compression scorecard — the metric a tokenizer is
+    // CHOSEN by (fertility = subwords per word; chars per subword ≈ the
+    // bytes/token compression a context window actually buys), per
+    // source, under the frozen BPE merge table: a multilingual or
+    // code-heavy source with high fertility is paying more sequence
+    // length for the same text, and this table is where that shows up
+    // before a training run commits to a vocabulary. Integer-micro
+    // ratios via div — exact replay. Scale: the apply is the
+    // vocabulary-keyed pass (distinct words, Heaps-law table, AQE
+    // picks broadcast vs shuffle), everything else is doc-keyed
+    // partial aggregates folding to |sources| rows.
+    "text_bpe_compression" -> ((s, d) => {
+      val dd = docs(s, d)
+      val clean = translate(col("text"), "\u0001\u0002", "")
+      val applied = TextAnalysis.bpeApplyDocs(dd, col("doc_id"), clean,
+        bpeFrozen).select(col("doc_id"), col("n_words"),
+        col("n_subwords"))
+      val chars = dd.select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(clean))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"))
+        .agg(sum(length(col("w"))).cast("long").as("n_chars"))
+      dd.select(col("doc_id"), col("source"))
+        .join(applied, Seq("doc_id"))
+        .join(chars, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_words")).cast("long").as("n_words"),
+          sum(col("n_subwords")).cast("long").as("n_subwords"),
+          sum(col("n_chars")).cast("long").as("n_chars"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_subwords"), col("n_chars"),
+          expr("(n_subwords * 1000000L) div n_words")
+            .as("fertility_micro"),
+          expr("(n_chars * 1000000L) div n_subwords").as("cpt_micro"))
+        .orderBy(col("source"))
+    }),
+
     // Round-6 capstone composition: exact-substring span dedup decides
     // what survives (docs cleaned to nothing drop), the leakage-free
     // split decides WHERE it goes, and the budget is counted in KEPT
@@ -5576,6 +5614,34 @@ object ContentQueries {
         |    AS BIGINT) AS fp
         |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the text_bpe_apply sentinel replay rolled up per source with
+    // integer-micro compression ratios
+    "text_bpe_compression" ->
+      s"""WITH wl AS (SELECT doc_id, string_split(lower(
+        |    replace(replace(text, chr(1), ''), chr(2), '')), ' ') AS l
+        |  FROM documents),
+        |w AS (SELECT doc_id, u.i AS wi, wl.l[u.i] AS wrd
+        |  FROM wl, LATERAL unnest(range(1, len(l) + 1)) AS u(i)
+        |  WHERE wl.l[u.i] <> ''),
+        |m AS (SELECT doc_id, wrd, $bpeReplayExpr AS ms FROM w),
+        |t AS (SELECT doc_id, length(wrd) AS wc,
+        |    len(string_split(substr(ms, 3, length(ms) - 4),
+        |      chr(1)||chr(1))) AS np
+        |  FROM m),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+        |    CAST(sum(np) AS BIGINT) AS ns, CAST(sum(wc) AS BIGINT) AS nc
+        |  FROM t GROUP BY doc_id)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS n_words,
+        |  CAST(sum(ns) AS BIGINT) AS n_subwords,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  (CAST(sum(ns) AS BIGINT) * 1000000)
+        |    // CAST(sum(nw) AS BIGINT) AS fertility_micro,
+        |  (CAST(sum(nc) AS BIGINT) * 1000000)
+        |    // CAST(sum(ns) AS BIGINT) AS cpt_micro
+        |FROM pd JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // quality gate → substring clean-text reassembly → sentinel BPE
     // replay over the cleaned text → per-source subword budget
