@@ -668,6 +668,22 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q67 power/MDE + profile_emb_drift + text_bpe_compression: the " +
+    "corpus folds in map-side-combinable aggregates; no nested loops, " +
+    "no shuffle join outside the vocabulary-keyed BPE apply") {
+    graft.analytics.Caches.clear()
+    val p67 = plan("q67_power_mde")
+    assert(p67.contains("partial_sum") && !p67.contains("CartesianProduct"),
+      p67)
+    val pd = plan("profile_emb_drift")
+    assert(pd.contains("partial_sum"), pd)
+    // a 64-row dim fold needs NO join at all
+    assert(!pd.contains("Join"), pd)
+    val pc = plan("text_bpe_compression")
+    assert(pc.contains("partial_sum") && !pc.contains("CartesianProduct"),
+      pc)
+  }
+
   test("sample_dsir_gumbel: the DSIR model joins as a broadcast (1024 " +
     "rows), and the global weighted top-k plans as TakeOrderedAndProject " +
     "— no global sort, no shuffle join") {
