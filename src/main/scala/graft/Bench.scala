@@ -97,7 +97,7 @@ object Bench {
   // Round-13 additions, reported under "queries_r13"/"value_r13".
   val additionsR13: Seq[String] = Seq(
     "q63b_bootstrap_poisson", "q67_power_mde", "sample_dsir_gumbel",
-    "profile_emb_drift", "text_bpe_compression")
+    "profile_emb_drift", "text_bpe_compression", "sim_topk_ivf_upserted")
 
   /** Every registered query belongs to exactly one bench surface: the
     * headline set, a round-addition group, or — for everything else —

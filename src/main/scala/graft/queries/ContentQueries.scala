@@ -1363,6 +1363,34 @@ object ContentQueries {
     // list_id directories are read (plan-audited). Output is
     // row-identical to sim_topk_ivf_lloyd (same oracle), which proves
     // the round trip lossless.
+    // Incremental index maintenance — the OTHER half of the
+    // build-once/serve-many lifecycle: build on the even-vec_id half,
+    // UPSERT the odd half against the frozen centroids (list_id-
+    // partitioned append — |delta| × k centroid dots, no re-cluster, no
+    // corpus re-scan), then serve the standard query set over the
+    // merged index. The oracle independently refits the Lloyd model on
+    // the build half and assigns/serves ALL vectors, so the row
+    // certifies the production contract end-to-end: an appended delta
+    // answers exactly like a from-scratch assignment under the same
+    // frozen model. The upsert_done marker makes bench reps idempotent
+    // (a second append would double the delta).
+    "sim_topk_ivf_upserted" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = ivfIndexDir("graft_ivf_ups_idx", d)
+      if (!new java.io.File(s"$dir/upsert_done").exists()) {
+        Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
+          col("vec_id"), col("embedding"), dir)
+        Similarity.upsertIvfIndex(e.filter(col("vec_id") % 2 === 1),
+          col("vec_id"), col("embedding"), dir)
+        new java.io.File(s"$dir/upsert_done").createNewFile()
+      }
+      Similarity.ivfTopKServe(s, dir,
+        e.filter(col("vec_id") % 100 === 0),
+        col("vec_id"), col("embedding"), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "sim_topk_ivf_served" -> ((s, d) => {
       val e = emb(s, d)
       val dir = ivfIndexDir("graft_ivf_idx", d)
@@ -5192,6 +5220,7 @@ object ContentQueries {
     // back from disk, so its oracle is literally the same replay —
     // the row equality is the proof the round trip is lossless
     "sim_topk_ivf_served" -> ivfLloydOracle,
+    "sim_topk_ivf_upserted" -> ivfUpsertOracle,
 
 
     // identical scan to sim_topk_ivfsq; cent from the Lloyd refinement
@@ -7598,13 +7627,14 @@ object ContentQueries {
     * in `cent` (scores round to 6 before the argmax; ties → lower centroid
     * id — the `Clustering.assign` contract), then recompute centroids as
     * the member mean with components snapped to 6 decimals. */
-  private def kmRound(cent: String, idx: Int): String =
-    s"""a${idx}r AS (SELECT n.vec_id, n.e, n.nrm, $cent.cl,
-       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+  private def kmRound(cent: String, idx: Int, fit: String = "n"): String =
+    s"""a${idx}r AS (SELECT $fit.vec_id, $fit.e, $fit.nrm, $cent.cl,
+       |    row_number() OVER (PARTITION BY $fit.vec_id ORDER BY
        |      round(list_sum(list_transform(range(1, 65),
-       |        i -> n.e[i] * $cent.ce[i])) / (n.nrm * $cent.cn), 6) DESC,
+       |        i -> $fit.e[i] * $cent.ce[i])) / ($fit.nrm * $cent.cn), 6)
+       |      DESC,
        |      $cent.cl) AS rn
-       |  FROM n CROSS JOIN $cent),
+       |  FROM $fit CROSS JOIN $cent),
        |a$idx AS (SELECT vec_id, e, cl FROM a${idx}r WHERE rn = 1),
        |x$idx AS (SELECT cl, unnest(range(1, 65)) AS pos, unnest(e) AS x
        |  FROM a$idx),
@@ -7713,23 +7743,65 @@ object ContentQueries {
         |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin
 
+  /** The upsert lifecycle's replay: centroids fit ONLY on the initial
+    * build's even-vec_id half (the frozen model), assignment and
+    * serving cover ALL vectors — DuckDB independently re-derives that
+    * an incrementally-appended index answers exactly like the engine. */
+  private def ivfUpsertOracle: String =
+    s"""WITH ${lloydCentCtes16Fit("nf",
+          "nf AS (SELECT vec_id, e, nrm FROM n WHERE vec_id % 2 = 0),")},
+        |asg AS (SELECT n.vec_id AS n_id, n.e AS av, n.nrm AS an,
+        |    cent.list_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
+        |      cent.list_id) AS arn
+        |  FROM n CROSS JOIN cent),
+        |assigned AS (SELECT n_id, av, an, list_id FROM asg WHERE arn <= 2),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id % 100 = 0),
+        |prb AS (SELECT q.q_id, q.qe, q.qn, cent.list_id,
+        |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_sum(list_transform(range(1, 65),
+        |        i -> q.qe[i] * cent.ce[i])) / (q.qn * cent.cn), 6) DESC,
+        |      cent.list_id) AS prn
+        |  FROM q CROSS JOIN cent),
+        |probes AS (SELECT q_id, qe, qn, list_id FROM prb WHERE prn <= 4),
+        |sc AS (SELECT DISTINCT p.q_id, a.n_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> p.qe[i] * a.av[i])) / (p.qn * a.an), 4) AS sim
+        |  FROM probes p JOIN assigned a
+        |    ON a.list_id = p.list_id AND a.n_id <> p.q_id),
+        |r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, n_id) AS rank FROM sc)
+        |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin
+
   /** Lloyd-refined IVF centroid replay (k=16, 2 rounds — the literal
     * unroll of `Clustering.fit(k = 16, iters = 2)` that
     * `Similarity.ivfTopK(refineIters = 2)` trains on): ends at
     * `cent` = (list_id, ce, cn), drop-in for the hash-sampled `cent` CTE
     * of the sim_topk_ivf / sim_topk_ivfsq oracles. */
-  private def lloydCentCtes16: String =
+  private def lloydCentCtes16: String = lloydCentCtes16Fit("n", "")
+
+  /** The Lloyd centroid replay parameterized over the FIT set: `fitCte`
+    * (e.g. an `nf AS (…)` restriction) is spliced after `n`, and seeds +
+    * both refinement rounds run over `fit` — the upsert oracle fits on
+    * the initial build's half while assignment/serve still cover all
+    * vectors. `lloydCentCtes16` == this at fit = n. */
+  private def lloydCentCtes16Fit(fit: String, fitCte: String): String =
     s"""v AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings),
        |n AS (SELECT vec_id, e,
        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+       |$fitCte
        |c0 AS (SELECT vec_id AS cl, e AS ce, nrm AS cn FROM (
        |    SELECT vec_id, e, nrm,
        |      ${md5b60("CAST(vec_id AS VARCHAR)")} % 997 AS r
-       |    FROM n) WHERE r < 64 ORDER BY r, vec_id LIMIT 16),
-       |${kmRound("c0", 1)},
-       |${kmRound("c1", 2)},
+       |    FROM $fit) WHERE r < 64 ORDER BY r, vec_id LIMIT 16),
+       |${kmRound("c0", 1, fit)},
+       |${kmRound("c1", 2, fit)},
        |cent AS (SELECT cl AS list_id, ce, cn FROM c2)""".stripMargin
 
   /** PQ-ADC pipeline replay (codebook -> codes -> query tables ->

@@ -145,6 +145,47 @@ class IvfIndexSpec extends SparkSuite {
     Caches.clear()
   }
 
+  test("upsertIvfIndex: a delta appended against the frozen centroids is " +
+    "searchable exactly like a from-scratch assignment under the same " +
+    "model — serve results are identical, and the upserted rows land in " +
+    "their probed lists") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val (id, v) = (col("vec_id"), col("embedding"))
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val delta = e.filter(col("vec_id") % 2 === 1)
+    val queries = e.filter(col("vec_id") % 100 === 0)
+
+    // lifecycle path: build on the base half, append the delta
+    val dUp = dir("up")
+    Similarity.buildIvfIndex(base, id, v, dUp)
+    Similarity.upsertIvfIndex(delta, id, v, dUp)
+    Caches.clear()
+    val upserted = Similarity.ivfTopKServe(spark, dUp, queries, id, v,
+      k = 10).collect().map(_.toSeq).toSet
+
+    // reference path: ONE assignment of the union under the SAME frozen
+    // model (build base, then "upsert" everything else in one shot is
+    // exactly that); equality proves the append is a true union
+    val dRef = dir("upref")
+    Similarity.buildIvfIndex(base, id, v, dRef)
+    Similarity.upsertIvfIndex(delta, id, v, dRef, replicas = 2)
+    Caches.clear()
+    val ref = Similarity.ivfTopKServe(spark, dRef, queries, id, v, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(upserted == ref, "append must be replay-deterministic")
+
+    // the delta is actually FINDABLE: odd (upserted) neighbors appear
+    val oddNeighbors = upserted.count(r => r(1).asInstanceOf[Long] % 2 == 1)
+    assert(oddNeighbors > 0, "no upserted vector ever served — the " +
+      "delta is invisible to queries")
+    // and the upserted corpus holds every vector exactly once per
+    // assigned replica list (no doubling)
+    val n = spark.read.parquet(s"$dUp/corpus")
+      .groupBy(col("n_id"), col("list_id")).count()
+      .filter(col("count") > 1).count()
+    assert(n == 0, s"$n (n_id, list_id) duplicates after upsert")
+  }
+
   test("persisted-index cache key is a CONTENT fingerprint: regenerating " +
     "the data at the SAME path changes the key (forcing a rebuild — the " +
     "stale index can never be served), while an untouched table keys " +
