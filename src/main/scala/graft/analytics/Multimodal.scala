@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video as opaque `binary` payloads
   * with typed metadata. The Spark-side plumbing (schema, batch shape,
-  * partition-parallel extraction via `mapPartitions`) is real and tested;
-  * the codec step is a clearly-marked deterministic STUB because no
-  * image/audio libraries ship in this container — swap `decodeStub` for a
-  * real decoder (e.g. javacv / a Python `mapInPandas` stage) in production.
+  * partition-parallel extraction via `mapPartitions`) is real and tested.
+  * IMAGE decode is REAL — `javax.imageio` (PNG/JPEG/BMP/GIF) ships in the
+  * JDK, so `decodeImage` reads genuine pixels (width/height/channels plus a
+  * channel checksum) with no added dependency. Audio/video decode remains a
+  * clearly-marked deterministic STUB (no codec library in this container) —
+  * swap it for javacv / a Python `mapInPandas` stage in production.
   */
 object Multimodal {
 
@@ -40,6 +42,70 @@ object Multimodal {
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it => it.map(decodeStub) }
+  }
+
+  final case class ImageFeatures(id: Long, width: Int, height: Int,
+                                 channels: Int, redSum: Long)
+
+  /** REAL image decode via the JDK's `javax.imageio` — genuine pixels, not
+    * the stub: dimensions and channel count come from the decoded raster,
+    * and `redSum` (Σ of the red channel over every pixel) proves the pixel
+    * DATA round-tripped, not just the header. Throws on an undecodable
+    * payload — silent nulls would let a corrupt-media regression pass as
+    * an empty result. */
+  private[graft] def decodeImage(r: MediaRecord): ImageFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"undecodable image payload for id=${r.id}")
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        s += (img.getRGB(x, y) >> 16) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    ImageFeatures(r.id, img.getWidth, img.getHeight,
+      img.getColorModel.getNumComponents, s)
+  }
+
+  /** Image feature extraction: same partition-parallel batch shape as
+    * `extractFeatures`, but over the real `javax.imageio` decoder. At
+    * 100 TB each task decodes its partition's payloads independently —
+    * no shuffle, no driver involvement; codec init is amortized by the
+    * JVM-wide ImageIO registry. */
+  def extractImageFeatures(ds: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it => it.map(decodeImage) }
+  }
+
+  /** Deterministic RGB PNG fixture encoder (executor-side): a width×height
+    * image whose red channel is `(id + x + y) % 256` — a closed form a SQL
+    * oracle replays without any decoder — and green/blue carry id-derived
+    * patterns so the bytes aren't degenerate. Encode→decode through real
+    * PNG bytes is what makes `decodeImage`'s output a genuine decode
+    * check: garbage pixels would break the red-sum equality. */
+  private[graft] def encodePng(id: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = ((id + x + y) % 256).toInt
+        val g = ((id * 3 + x) % 256).toInt
+        val b = ((id * 5 + y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Frame sampling STUB for video payloads: emits every `stride`-th slice

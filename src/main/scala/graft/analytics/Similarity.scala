@@ -1220,31 +1220,6 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model")
   }
 
-  /** Incremental index maintenance — the daily-delta half of the
-    * build-once/serve-many lifecycle: assign NEW vectors to the index's
-    * FROZEN centroids (the model is never refit — the production
-    * contract: queries keep probing the same lists, and the delta's
-    * cost is |delta| × k centroid dots + one partitioned append, never
-    * a corpus re-scan or re-cluster) and append them under their
-    * `list_id=` partitions. Same replica discipline as the build, so an
-    * upserted vector is findable through exactly the probes that would
-    * have found it in a from-scratch build over the union with these
-    * centroids. Re-clustering is a deliberate OFFLINE event (a new
-    * index dir), not a side effect of ingest. */
-  def upsertIvfIndex(delta: DataFrame, cId: Column, cVec: Column,
-                     indexDir: String, replicas: Int = 2): Unit = {
-    val spark = delta.sparkSession
-    val model = loadIvfModel(spark, indexDir)
-    val c = delta.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
-      .withColumn("c_n", norm(col("c_v")))
-    val assigned =
-      if (replicas > 1) Clustering.probe(c, col("c_v"), model, replicas)
-      else Clustering.classify(c, col("c_v"), model)
-        .withColumnRenamed("cluster", "list_id").drop("csim")
-    assigned.write.mode("append").partitionBy("list_id")
-      .parquet(s"$indexDir/corpus")
-  }
-
   /** The centroid model back from disk (k×dim doubles — driver-resident
     * by design, same as a fresh `Clustering.fit`). */
   def loadIvfModel(spark: org.apache.spark.sql.SparkSession,

@@ -1599,9 +1599,12 @@ object RelationalQueries {
     // the inputs are quotients of exact integers. Scale: ONE
     // (user,type)-keyed aggregate touches the corpus (the family's
     // usual shuffle key), then per-segment moment folds — |segments|
-    // rows. Int64 bound: n·Σx² and (Σx)² stay < 2^63 while the
-    // segment's Σcents < 3e9 — holds orders of magnitude past sf0.1;
-    // beyond that, center on an integer pivot or widen to decimal(38).
+    // rows. Overflow: Σcents < 3e9 bounds (Σx)² but NOT n·Σx² under
+    // per-user skew (one user holding the whole mass gives n·Σx² ≈
+    // n·(3e9)² > 2^63 at n ≈ 1e3), so the n·s2 − s1² combination is
+    // computed in decimal(38,0) — exact to n·Σx² ≤ 1e38 — and only the
+    // final exact integer is cast to double (bit-identical to the
+    // int64 path wherever both fit, so hash-stable).
     "q67_power_mde" -> ((s, d) => {
       val perUser = T(s, d, "events")
         .select(col("user_id"), col("event_type"),
@@ -1620,7 +1623,8 @@ object RelationalQueries {
         .select(col("segment"), col("n").as("n_users"),
           expr("(s1 * 10000L) div n").as("mean_micro"),
           when(col("n") >= 2L,
-            round((col("n") * col("s2") - col("s1") * col("s1"))
+            round((col("n").cast("decimal(38,0)") * col("s2") -
+              col("s1").cast("decimal(38,0)") * col("s1"))
               .cast("double") /
               (col("n").cast("double") * (col("n") - 1L).cast("double")),
               6)).as("var_c2"))
@@ -2558,7 +2562,8 @@ object RelationalQueries {
         |st AS (SELECT segment, n AS n_users,
         |    (s1 * 10000) // n AS mean_micro,
         |    CASE WHEN n >= 2 THEN round(
-        |      CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |      CAST(CAST(n AS HUGEINT) * s2
+        |          - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
         |        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)
         |      END AS var_c2,
         |    n // 2 AS n_arm,

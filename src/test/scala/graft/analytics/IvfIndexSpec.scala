@@ -145,10 +145,10 @@ class IvfIndexSpec extends SparkSuite {
     Caches.clear()
   }
 
-  test("upsertIvfIndex: a delta appended against the frozen centroids is " +
-    "searchable exactly like a from-scratch assignment under the same " +
-    "model — serve results are identical, and the upserted rows land in " +
-    "their probed lists") {
+  test("appendToIvfIndex: a delta appended against the frozen centroids " +
+    "is searchable exactly like a one-pass assignment of the UNION under " +
+    "the same model — corpus and serve results are identical, and the " +
+    "upserted rows land in their probed lists") {
     val e = graft.Tables.load(spark, sf0001, "embeddings")
     val (id, v) = (col("vec_id"), col("embedding"))
     val base = e.filter(col("vec_id") % 2 === 0)
@@ -158,21 +158,39 @@ class IvfIndexSpec extends SparkSuite {
     // lifecycle path: build on the base half, append the delta
     val dUp = dir("up")
     Similarity.buildIvfIndex(base, id, v, dUp)
-    Similarity.upsertIvfIndex(delta, id, v, dUp)
+    Similarity.appendToIvfIndex(spark, dUp, delta, id, v)
     Caches.clear()
     val upserted = Similarity.ivfTopKServe(spark, dUp, queries, id, v,
       k = 10).collect().map(_.toSeq).toSet
 
-    // reference path: ONE assignment of the union under the SAME frozen
-    // model (build base, then "upsert" everything else in one shot is
-    // exactly that); equality proves the append is a true union
+    // reference path: a genuinely INDEPENDENT construction — persist
+    // the frozen model (a base-half fit is deterministic, so dRef's
+    // model equals dUp's), wipe the base corpus, then assign the FULL
+    // union in one pass under that frozen model. If the lifecycle
+    // append dropped, doubled, or mis-listed any row — or if the
+    // build's own base assignment diverged from frozen-model
+    // assignment — the corpus sets differ and this fails.
     val dRef = dir("upref")
     Similarity.buildIvfIndex(base, id, v, dRef)
-    Similarity.upsertIvfIndex(delta, id, v, dRef, replicas = 2)
+    val corpusDir = new java.io.File(s"$dRef/corpus")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(corpusDir)
+    Similarity.appendToIvfIndex(spark, dRef, base.union(delta), id, v)
     Caches.clear()
     val ref = Similarity.ivfTopKServe(spark, dRef, queries, id, v, k = 10)
       .collect().map(_.toSeq).toSet
-    assert(upserted == ref, "append must be replay-deterministic")
+    assert(upserted == ref,
+      "append-of-delta diverged from one-pass union assignment")
+
+    // strongest form: the persisted (n_id, list_id) assignment sets are
+    // row-identical, not just the served top-k
+    def assignments(d: String) = spark.read.parquet(s"$d/corpus")
+      .select(col("n_id"), col("list_id"))
+      .collect().map(_.toSeq).toSet
+    assert(assignments(dUp) == assignments(dRef),
+      "persisted corpus assignments differ between append and union")
 
     // the delta is actually FINDABLE: odd (upserted) neighbors appear
     val oddNeighbors = upserted.count(r => r(1).asInstanceOf[Long] % 2 == 1)

@@ -26,6 +26,40 @@ class MultimodalSpec extends SparkSuite {
     assert(f.fingerprint == expect)
   }
 
+  test("real image decode: PNG bytes round-trip through javax.imageio " +
+    "with exact dims, channel count, and pixel checksum") {
+    // 7x5 RGB fixture: red = (id+x+y)%256 — the closed form the oracle
+    // replays; a decoder returning garbage pixels breaks the sum
+    val bytes = Multimodal.encodePng(id = 42L, width = 7, height = 5)
+    // genuine PNG magic, not a stub passthrough
+    assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G')
+    val f = Multimodal.decodeImage(MediaRecord(42L, "image/png", bytes))
+    assert(f.width == 7 && f.height == 5 && f.channels == 3)
+    val expect = (for (x <- 0 until 7; y <- 0 until 5)
+      yield (42L + x + y) % 256).sum
+    assert(f.redSum == expect, s"red checksum ${f.redSum} != $expect")
+  }
+
+  test("image decode is distributed (mapPartitions) and deterministic " +
+    "across runs; an undecodable payload fails loudly") {
+    val ds = spark.range(1, 33).as[Long].map { id =>
+      MediaRecord(id, "image/png",
+        Multimodal.encodePng(id, (id % 9 + 1).toInt, (id % 4 + 1).toInt))
+    }.repartition(8)
+    val a = extractImageFeatures(ds).collect().sortBy(_.id).toSeq
+    val b = extractImageFeatures(ds).collect().sortBy(_.id).toSeq
+    assert(a == b && a.size == 32)
+    assert(a.forall(f => f.width == (f.id % 9 + 1) &&
+      f.height == (f.id % 4 + 1) && f.channels == 3))
+    val bad = spark.createDataset(Seq(
+      MediaRecord(9L, "image/png", "not a png".getBytes("UTF-8"))))
+    val err = intercept[org.apache.spark.SparkException] {
+      extractImageFeatures(bad).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("frame sampling emits bounded per-media frames in order") {
     val frames = sampleFrames(media(), stride = 4).collect()
     val byId = frames.groupBy(_.id)

@@ -83,10 +83,17 @@ def main():
             cur.setdefault(q, []).extend(ts)
 
     rows = {}
+    failed = {}
     for q in sorted(set(cur) & set(pri)):
         a = [t for t in cur[q] if t >= 0]
         b = [t for t in pri[q] if t >= 0]
         if not a or not b:
+            # an all-failed side is an automatic breach, not a skip — a
+            # query that regressed to a crash on current must not be
+            # silently dropped from the adjudication
+            failed[q] = {"side": "current" if not a else "prior",
+                         "reps_current": [round(t, 3) for t in cur[q]],
+                         "reps_prior": [round(t, 3) for t in pri[q]]}
             continue
         rows[q] = {"min_current": round(min(a), 3),
                    "min_prior": round(min(b), 3),
@@ -95,12 +102,14 @@ def main():
                    "reps_prior": [round(t, 3) for t in pri[q]]}
     breaches = {q: r["min_ratio"] for q, r in rows.items()
                 if r["min_ratio"] > args.gate}
+    for q, f in failed.items():
+        breaches[q] = "all-reps-failed:" + f["side"]
     out = {"ref": args.ref, "sf": args.sf, "gate": args.gate,
            "order": "prior-first, isolated, alternating",
            "statistic": "min-of-all-reps",
            "rounds": args.rounds, "reps_per_round": args.reps,
            "n_queries": len(rows), "pass": not breaches,
-           "gate_breaches": breaches, "queries": rows}
+           "gate_breaches": breaches, "failed": failed, "queries": rows}
     path = os.path.join(REPO, args.out)
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
