@@ -63,7 +63,7 @@ object Graph {
     * Output: `(node, rank)` with rank in micro-mass longs, one row per
     * distinct node appearing in `edges`. */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
-               iters: Int = 10, ckptEvery: Int = 3): DataFrame = {
+               iters: Int = 10, ckptEvery: Int = 5): DataFrame = {
     // persisted: referenced four times below (node union ×2, the outdeg
     // aggregate, the join's edge side) — an expensive upstream edge
     // derivation (the O(n²) exact k-NN build) would otherwise recompute
@@ -77,10 +77,14 @@ object Graph {
     val init = TotalMass / n
     val base = (15L * init) / 100L
     // out-degree rides each edge row so the contribution is a pure
-    // projection after the per-round join
+    // projection after the per-round join. The persisted frame is
+    // explicitly hash-partitioned on src — the per-round join key — so
+    // every round's join reuses the cached exchange: the |edges| side
+    // is never re-shuffled inside the loop, only the (small) rank frame
+    // moves. At 100 TB this is the bucketed edge table.
     val e = Caches.persist(
       e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
-        Seq("src")))
+        Seq("src")).repartition(col("src")))
     var ranks = nodes.withColumn("rank", lit(init))
       .localCheckpoint(false)
     (1 to iters).foreach { i =>
@@ -116,7 +120,7 @@ object Graph {
     * is_seed)`. */
   def personalizedPageRank(edges: DataFrame, src: Column, dst: Column,
                            seeds: DataFrame, seedCol: Column,
-                           iters: Int = 10, ckptEvery: Int = 3): DataFrame = {
+                           iters: Int = 10, ckptEvery: Int = 5): DataFrame = {
     // persisted for the same four-reference reason as pageRank's e0
     val e0 = Caches.persist(edges.select(src.as("src"), dst.as("dst")))
     val sd = seeds.select(seedCol.as("node")).distinct()
@@ -130,9 +134,11 @@ object Graph {
     require(nSeeds >= 1, "personalizedPageRank needs >= 1 seed in the graph")
     val share = TotalMass / nSeeds
     val base = (15L * share) / 100L
+    // same cached-exchange discipline as pageRank: partition on the
+    // per-round join key once, reuse it every round
     val e = Caches.persist(
       e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
-        Seq("src")))
+        Seq("src")).repartition(col("src")))
     var ranks = nodes
       .select(col("node"),
         when(col("is_seed"), lit(share)).otherwise(lit(0L)).as("rank"))
@@ -181,7 +187,9 @@ object Graph {
   def labelPropagation(edges: DataFrame, src: Column, dst: Column,
                        seeds: DataFrame, idCol: Column, labCol: Column,
                        iters: Int = 5, ckptEvery: Int = 3): DataFrame = {
-    val e = Caches.persist(edges.select(src.as("src"), dst.as("dst")))
+    // votes join on dst every round — partition the cached frame on it
+    val e = Caches.persist(edges.select(src.as("src"), dst.as("dst"))
+      .repartition(col("dst")))
     val sd = seeds.select(idCol.as("node"), labCol.cast("long").as("seed_lab"))
       .groupBy(col("node")).agg(min(col("seed_lab")).as("seed_lab"))
     val nodes = Caches.persist(
@@ -240,9 +248,12 @@ object Graph {
     require(k >= 1 && rounds >= 1)
     val e0 = edges.select(src.as("src"), dst.as("dst"))
     // undirected simple graph: mutual k-NN edges collapse to one
+    // per-sweep degree count groups by src — partition the cached
+    // symmetrized frame on it so sweeps reuse one exchange
     val und = Caches.persist(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .filter(col("src") =!= col("dst")).distinct())
+        .filter(col("src") =!= col("dst")).distinct()
+        .repartition(col("src")))
     var alive = und.select(col("src").as("node")).distinct()
       .localCheckpoint(false)
     (1 to rounds).foreach { i =>
