@@ -36,6 +36,46 @@ object Rotation {
     withIdx.withColumn(StartOffsetCol, min(offsetCol).over(wf))
   }
 
+  val EraCol = "_commit_era"
+
+  /** R3 `rotate.file.on.partition.change=false` × R1 `flush.size` — the
+    * reference's EXACT interleaving semantics
+    * (TopicPartitionWriter.java:630-656 with
+    * shouldRotateOnPartitionChange()=false, `recordCount` global at :945,
+    * commitFiles() committing EVERY open file at :959-983; layout pinned
+    * by TopicPartitionWriterTest.java:655-708,2616-2688): when partition-
+    * change rotation is OFF, the writer keeps one open file PER encoded
+    * partition (`writers` map, :887) and records append to their encoded
+    * partition's file across partition changes; the size trigger counts
+    * records WRITER-GLOBALLY (`recordCount >= flushSize`, :814), and the
+    * resulting commit closes ALL open files at once.
+    *
+    * Declaratively: the commit ERA is `floor(writer_rank / flushSize)`
+    * over the writer's records in offset order — a plain window — and a
+    * file is the (writer, era, encodedPartition) group, named by its min
+    * offset (the reference's `startOffsets[ep]`, seeded at :899 when the
+    * ep's file opens and cleared by the commit). No sequential fold
+    * needed: unlike R2's base-reset rule the trigger depends only on the
+    * global rank, so the assignment is order-free and replay-safe (X1).
+    *
+    * Scale: ONE shuffle by writer (the window), then the per-file min
+    * rides a second window over the same partitioning — at 100 TB this
+    * is per-kafka-partition work, the same distribution the reference's
+    * one-writer-per-partition model prescribes. Adds `_commit_era`,
+    * `_file_index` (= era) and `_file_start_offset`. */
+  def assignWriterSizeFiles(df: DataFrame, writerCol: Column,
+                            encodedPartCol: Column, offsetCol: Column,
+                            flushSize: Int): DataFrame = {
+    require(flushSize > 0, "flush.size must be positive")
+    val w = Window.partitionBy(writerCol).orderBy(offsetCol)
+    val withEra = df.withColumn(EraCol,
+      floor((row_number().over(w) - 1) / flushSize))
+    val wf = Window.partitionBy(writerCol, col(EraCol), encodedPartCol)
+    withEra
+      .withColumn(FileIndexCol, col(EraCol))
+      .withColumn(StartOffsetCol, min(offsetCol).over(wf))
+  }
+
   /** R2 event-time rotation (`rotate.interval.ms`,
     * TopicPartitionWriter.java:658-702): bucket by
     * `floor(extractedTs / interval)`.

@@ -107,6 +107,33 @@ object PipelineQueries {
         .orderBy(col("kafka_partition"), col("file_index"))
     }),
 
+    // R3 rotate.file.on.partition.change=false × R1 flush.size — the
+    // reference's exact interleaving (one open file PER encoded
+    // partition, the size trigger counting records WRITER-globally, a
+    // commit closing all open files at once): commit era =
+    // floor(writer_rank/100) in offset order, a file = (writer, era,
+    // encoded partition), named by its min offset. The formerly
+    // divergent §2 row, now exact (layout spec-pinned against
+    // TopicPartitionWriterTest.java:655-708's fixture in RotationSpec).
+    "ingest_partition_change_off" -> ((s, d) => {
+      val assigned = Rotation.assignWriterSizeFiles(events(s, d),
+        col("kafka_partition"),
+        Partitioners.fieldPartition("event_type" -> col("event_type")),
+        col("event_id"), flushSize = 100)
+      assigned
+        .groupBy(col("kafka_partition"),
+          col(Rotation.EraCol).as("commit_era"),
+          Partitioners.fieldPartition("event_type" -> col("event_type"))
+            .as("encoded_partition"))
+        .agg(min(col("event_id")).as("start_offset"),
+          max(col("event_id")).as("end_offset"),
+          count(lit(1)).as("n_records"))
+        .withColumn("filename", FileNaming.fileName(lit("events"),
+          col("kafka_partition"), col("start_offset"), ".parquet"))
+        .orderBy(col("kafka_partition"), col("commit_era"),
+          col("encoded_partition"))
+    }),
+
     // R2 event-time rotation buckets (rotate.interval.ms = 1h).
     "ingest_time_rotation" -> ((s, d) =>
       events(s, d)
@@ -310,6 +337,21 @@ object PipelineQueries {
         |    lpad(CAST(min(event_id) AS VARCHAR), 10, '0'), '.parquet') AS filename
         |FROM numbered GROUP BY kafka_partition, floor(rn / 100)
         |ORDER BY kafka_partition, file_index""".stripMargin,
+
+    "ingest_partition_change_off" ->
+      """WITH numbered AS (
+        |  SELECT user_id % 8 AS kafka_partition, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS rn
+        |  FROM events)
+        |SELECT kafka_partition,
+        |  CAST(floor(rn / 100) AS BIGINT) AS commit_era,
+        |  concat('event_type=', event_type) AS encoded_partition,
+        |  min(event_id) AS start_offset, max(event_id) AS end_offset,
+        |  count(*) AS n_records,
+        |  concat('events+', CAST(kafka_partition AS VARCHAR), '+',
+        |    lpad(CAST(min(event_id) AS VARCHAR), 10, '0'), '.parquet') AS filename
+        |FROM numbered GROUP BY kafka_partition, floor(rn / 100), event_type
+        |ORDER BY kafka_partition, commit_era, encoded_partition""".stripMargin,
 
     "ingest_time_rotation" ->
       """SELECT concat('event_type=', event_type) AS encoded_partition,

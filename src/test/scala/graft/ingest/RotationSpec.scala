@@ -172,6 +172,74 @@ class RotationSpec extends SparkSuite {
       ("cat=y", "fbm+0+0000000003.parquet")))
   }
 
+  test("R3 rotate.file.on.partition.change=false × flush.size: files " +
+    "accumulate per encoded partition across changes and the WRITER-global " +
+    "size trigger commits every open file (TopicPartitionWriter.java:814 " +
+    "recordCount is global; :959-983 commitFiles closes all)") {
+    // one writer, eps interleave a,b,a,b,... — under rotate=TRUE this
+    // stream would cut a file at EVERY change (9 one-record files); with
+    // the change rotation OFF the era is floor(rank/3) and each era holds
+    // one file per ep, named by the ep's first offset in the era
+    val df = (0L to 8L).map(o => (0, o, if (o % 2 == 0) "a" else "b"))
+      .toDF("writer", "offset", "ep")
+    val assigned = Rotation.assignWriterSizeFiles(df, col("writer"),
+      col("ep"), col("offset"), flushSize = 3)
+    val files = assigned
+      .groupBy(col("ep"), col(Rotation.EraCol),
+        col(Rotation.StartOffsetCol))
+      .count()
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(files == Set(
+      ("a", 0L, 0L, 2L), ("b", 0L, 1L, 1L),   // era 0: offsets 0,1,2
+      ("b", 1L, 3L, 2L), ("a", 1L, 4L, 1L),   // era 1: offsets 3,4,5
+      ("a", 2L, 6L, 2L), ("b", 2L, 7L, 1L)),  // era 2: offsets 6,7,8
+      s"unexpected layout: $files")
+    // eras never straddle writers
+    val multi = df.union(Seq((1, 100L, "a")).toDF("writer", "offset", "ep"))
+    val w1 = Rotation.assignWriterSizeFiles(multi, col("writer"),
+      col("ep"), col("offset"), flushSize = 3)
+      .filter(col("writer") === 1)
+      .select(col(Rotation.EraCol), col(Rotation.StartOffsetCol))
+      .as[(Long, Long)].collect().toSeq
+    assert(w1 == Seq((0L, 100L)))
+  }
+
+  test("R3=false time-based layout reproduces the reference's out-of-order " +
+    "hour fixture (TopicPartitionWriterTest.java:655-708): accumulated " +
+    "per-hour files commit together on the writer-global time rotation, " +
+    "named by each hour's first offset") {
+    // offsets 0-4 against a 10-min interval, hourly encoded partitions,
+    // LA wall-clock 2017-03-02 10:00 — ts minutes: +0, -2, +9, -5, +10.
+    // Base seeds at 0; offset 4 (+10min) is the first to clear the
+    // interval, committing BOTH accumulated files: hour-10 {0,2} named
+    // offset 0 and hour-09 {1,3} named offset 1 (the reference's two
+    // expectedFiles); offset 4 then opens era 1 (committed at batch end
+    // in this engine's batch model — the reference leaves it pending).
+    val h = java.time.ZonedDateTime.of(2017, 3, 2, 10, 0, 0, 0,
+      java.time.ZoneId.of("America/Los_Angeles")).toInstant.toEpochMilli
+    def min(m: Long) = h + m * 60000L
+    val df = Seq((0, 0L, min(0)), (0, 1L, min(-2)), (0, 2L, min(9)),
+      (0, 3L, min(-5)), (0, 4L, min(10)))
+      .toDF("writer", "offset", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withColumn("ep",
+        concat(lit("hour="), hour(from_utc_timestamp(col("ts"),
+          "America/Los_Angeles"))))
+    val folded = Rotation.assignFileBaseTimeGroups(df, col("writer"),
+      col("offset"), col("ts"), 600000L)
+    val files = folded
+      .groupBy(col("ep"), col(Rotation.TimeGroupCol))
+      .agg(org.apache.spark.sql.functions.min(col("offset")).as("start"),
+        count(lit(1)).as("n"))
+      .select(col("ep"), col(Rotation.TimeGroupCol), col("start"), col("n"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(files == Set(
+      ("hour=10", 0L, 0L, 2L),  // reference expectedFiles[0]: offset 0
+      ("hour=9", 0L, 1L, 2L),   // reference expectedFiles[1]: offset 1
+      ("hour=10", 1L, 4L, 1L)), // pending at close in the reference
+      s"unexpected layout: $files")
+  }
+
   test("R2 file-base fold: null event times stay in the current file and " +
     "never advance the base (extractor-guard behavior)") {
     val df = Seq((0, 0L, Some(0L)), (0, 1L, None), (0, 2L, Some(50L)),
