@@ -139,7 +139,11 @@ object IngestWriter {
       if (!cfg.writeHeaders) Nil
       else write(df, cfg.copy(format = cfg.headerFormat), encodedPartition,
         outDir, kafkaPartition, offset,
-        Seq(col("headers")), extraFileGroups = extraFileGroups,
+        // P3 applies INSIDE the writer (RecordViews.java:106-110): values
+        // stringify — so the verbatim Kafka-source binary header values
+        // land as strings, and an already-string frame is unchanged
+        Seq(RecordViews.stringifiedHeaders(col("headers")).as("headers")),
+        extraFileGroups = extraFileGroups,
         extSuffix = ".headers")
     value ++ keys ++ headers
   }

@@ -21,14 +21,24 @@ object RecordViews {
     if (envelope) df.select(struct(col(keyCol).as("key")).as("RecordKey"))
     else df.select(col(keyCol))
 
+  /** The P3 column transform alone: headers stringified to
+    * `array<struct<key: string, value: string>>`
+    * (RecordViews.java:106-110 — `Values.convertToString` per header
+    * value). Accepts the VERBATIM spark-sql-kafka `includeHeaders`
+    * shape (`array<struct<key string, value binary>>` — the cast is a
+    * UTF-8 decode) and is a no-op on already-string values, so the K/V/H
+    * writer applies it unconditionally. */
+  def stringifiedHeaders(headersCol: Column): Column =
+    transform(headersCol, e =>
+      struct(e.getField("key").cast("string").as("key"),
+             e.getField("value").cast("string").as("value")))
+
   /** P3 HeaderRecordView (format/RecordViews.java:82-121): headers as
     * `array<struct<key: string, value: string>>` with values stringified;
     * optional `RecordHeaders` envelope. */
   def headerView(df: DataFrame, headersCol: String = "headers",
                  envelope: Boolean = false): DataFrame = {
-    val h = transform(col(headersCol), e =>
-      struct(e.getField("key").cast("string").as("key"),
-             e.getField("value").cast("string").as("value")))
+    val h = stringifiedHeaders(col(headersCol))
     if (envelope) df.select(struct(h.as("headers")).as("RecordHeaders"))
     else df.select(h.as("headers"))
   }

@@ -80,6 +80,10 @@ class IngestWriterSpec extends SparkSuite {
       .map(o => (0, o, s"k$o", s"v$o",
         Seq((s"h$o", s"hv$o"))))
       .toDF("kafka_partition", "offset", "key", "value", "headers")
+      // the P3 contract shape: array<struct<key, value>> (the raw tuple
+      // encoder names fields _1/_2, which no Kafka source ever produces)
+      .withColumn("headers", transform(col("headers"), e =>
+        struct(e.getField("_1").as("key"), e.getField("_2").as("value"))))
     val cfg = IngestConfig(topic = "t", flushSize = 10,
       writeKeys = true, writeHeaders = true)
     val files = IngestWriter.writeKVH(df, cfg,

@@ -114,6 +114,76 @@ class KafkaContractSpec extends SparkSuite {
     assert(back.count() == 4)
   }
 
+  test("the STREAMING pipeline consumes the verbatim headers-bearing " +
+    "schema (includeHeaders=true adds headers array<struct<key string, " +
+    "value binary>>) through P3/P4: binary header values stringify " +
+    "(RecordViews.java:106-110) and .keys/.headers sidecars stay in " +
+    "lockstep with the value files") {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val src = Files.createTempDirectory("kch_src").toString
+    val out = Files.createTempDirectory("kch_out").toString
+    val ckpt = Files.createTempDirectory("kch_ckpt").toString
+    val base = 1704067200000L
+    // the verbatim spark-sql-kafka schema WITH the optional headers
+    // column the source adds under includeHeaders=true
+    val withHeaders = kafkaSchema.add(StructField("headers",
+      ArrayType(StructType(Seq(
+        StructField("key", StringType),
+        StructField("value", BinaryType))))))
+    val rows = (0L until 6L).map { o =>
+      org.apache.spark.sql.Row(
+        s"k$o".getBytes("UTF-8"),
+        s"""{"event_type":"t${o % 2}"}""".getBytes("UTF-8"),
+        "events", 0, o, ts(base + o * 1000), 0,
+        Seq(
+          org.apache.spark.sql.Row("trace", s"tr-$o".getBytes("UTF-8")),
+          org.apache.spark.sql.Row("src", "crawler".getBytes("UTF-8"))))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      withHeaders).coalesce(1).write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(withHeaders).parquet(src)
+      .withColumn("key", col("key").cast("string"))
+      .withColumn("parsed",
+        from_json(col("value").cast("string"),
+          StructType.fromDDL("event_type STRING")))
+    val q = StreamingIngest.startPipeline(stream,
+      IngestConfig(topic = "events", flushSize = 100,
+        writeKeys = true, writeHeaders = true),
+      PartitionerSpec.Fields(Seq("parsed.event_type")), out, ckpt,
+      kafkaPartition = col("partition"), offset = col("offset"),
+      payloadCols = Seq(col("offset")))
+    q.awaitTermination(60000)
+
+    val dir = s"$out/topics/events/parsed.event_type=t0"
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith(".") || n.endsWith(".crc")).sorted.toSeq
+    assert(names == Seq("events+0+0000000000.headers.avro",
+      "events+0+0000000000.keys.avro", "events+0+0000000000.parquet"),
+      s"lockstep sidecar layout broken: $names")
+
+    // decode the headers sidecar: every binary value landed as its UTF-8
+    // string (the P3 stringification), one array per record in offset
+    // order (t0 records are offsets 0, 2, 4)
+    val reader = new DataFileReader[GenericRecord](
+      new java.io.File(s"$dir/events+0+0000000000.headers.avro"),
+      new GenericDatumReader[GenericRecord]())
+    val decoded = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String)]]
+    while (reader.hasNext) {
+      val hs = reader.next().get("headers")
+        .asInstanceOf[java.util.List[_]]
+      decoded += (0 until hs.size()).map { i =>
+        val h = hs.get(i).asInstanceOf[GenericRecord]
+        (h.get("key").toString, h.get("value").toString)
+      }
+    }
+    reader.close()
+    assert(decoded.toSeq == Seq(0L, 2L, 4L).map(o =>
+      Seq(("trace", s"tr-$o"), ("src", "crawler"))),
+      s"stringified header mismatch: $decoded")
+  }
+
   test("MULTI-TOPIC subscription over the verbatim 7-tuple: the source's " +
     "own topic column routes each record to its topic's subtree with " +
     "its topic's config — the reference's topics list, one line on the " +
