@@ -259,6 +259,26 @@ object Bench {
       graft.analytics.Caches.clear()
       f"""{"merges":$n,"rounds":$rounds,"width":${n.toDouble / rounds}%.2f,"sec":$sec%.3f}"""
     }
+    // 1024-merge scorecard (round-13 verdict #8): the production-width
+    // evidence for the 32k-vocab trajectory — the 256-merge row holds
+    // width ~5.5, and the claim "rounds ≈ merges/width" must survive a
+    // 4x merge-count step, not be an artifact of stopping early. Word
+    // TRIGRAM units (same derivation idea as bpe_train_scale's bigrams)
+    // give a vocabulary deep enough that 1024 merges stay non-degenerate.
+    val bpeScale1024 = {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(array_join(transform(
+          graft.analytics.TextAnalysis.ngrams(col("text"), 3),
+          g => regexp_replace(g, " ", "_")), " ").as("text"))
+      val t0 = System.nanoTime()
+      val (df, rounds) = graft.analytics.TextAnalysis
+        .bpeTrainBatchedWithRounds(docs, col("text"), merges = 1024)
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.analytics.Caches.clear()
+      f"""{"merges":$n,"rounds":$rounds,"width":${n.toDouble / rounds}%.2f,"sec":$sec%.3f}"""
+    }
     // Blocked-vs-exact containment crossover (round-9 verdict): the
     // driver's synthetic corpus is degenerate for blocking (tiny vocab —
     // 27% of ALL pairs share a shingle, so candidates ≈ sharing pairs and
@@ -392,10 +412,35 @@ object Bench {
           col("dst"), iters = 10).count())
         graft.analytics.Caches.clear(); s
       }
+      // round-13 verdict #9 decomposition: the plain bm25 soak scales
+      // CORPUS and QUERY SET 10x together (doc_id%25 picks 10x more
+      // queries from d10), so its ratio conflates posting growth with
+      // retrieval-workload growth — Σ df(query terms) join rows scale
+      // ~100x in that design even though each component is linear. The
+      // fixed-query-load variant holds the query COUNT at the 1x level
+      // (%250 over the 10x corpus) while postings still grow 10x: its
+      // ratio vs bm25_1x isolates corpus scaling at constant workload —
+      // the production question ("corpus grew 10x, same query traffic").
+      def bm25FixedQ(df: org.apache.spark.sql.DataFrame,
+                     qMod: Long): Double = {
+        val toks = df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val q = toks.filter(size(col("toks")) >= 11 &&
+            col("doc_id") % qMod === 0)
+          .select(col("doc_id").as("q_id"), explode(array_distinct(array(
+            try_element_at(col("toks"), lit(3)),
+            try_element_at(col("toks"), lit(7)),
+            try_element_at(col("toks"), lit(11))))).as("term"))
+          .filter(col("term") =!= "")
+        val s = t(graft.analytics.TextAnalysis.bm25Retrieve(df, col("doc_id"),
+          graft.analytics.TextAnalysis.ngrams(col("text"), 2), q, k = 5,
+          excludeSelf = true).count())
+        graft.analytics.Caches.clear(); s
+      }
       val (s1, s10) = (sub(d1), sub(d10))
       val (b1, b10) = (bm25(d1), bm25(d10))
+      val bfq10 = bm25FixedQ(d10, 250L)
       val (g1, g10) = (graph(5000L), graph(50000L))
-      f"""{"substr_1x":$s1%.3f,"substr_10x":$s10%.3f,"substr_ratio":${s10 / s1}%.2f,"bm25_1x":$b1%.3f,"bm25_10x":$b10%.3f,"bm25_ratio":${b10 / b1}%.2f,"pagerank_1x":$g1%.3f,"pagerank_10x":$g10%.3f,"pagerank_ratio":${g10 / g1}%.2f}"""
+      f"""{"substr_1x":$s1%.3f,"substr_10x":$s10%.3f,"substr_ratio":${s10 / s1}%.2f,"bm25_1x":$b1%.3f,"bm25_10x":$b10%.3f,"bm25_ratio":${b10 / b1}%.2f,"bm25_fixedq_10x":$bfq10%.3f,"bm25_fixedq_ratio":${bfq10 / b1}%.2f,"pagerank_1x":$g1%.3f,"pagerank_10x":$g10%.3f,"pagerank_ratio":${g10 / g1}%.2f}"""
     }
     // Failures must be machine-loud, not just a -1.0 sentinel buried in the
     // metrics (round 8's bench read as rc:0 with six dead queries): name
@@ -415,7 +460,7 @@ object Bench {
       .toSeq.sorted
     val unbenchedJson = unbenched.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"n_queries":${benchedNames.size},"n_registered":$nRegistered,"unbenched":$unbenchedJson,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"queries_r12":${json(r12)},"value_r12":${total(r12)}%.3f,"queries_r13":${json(r13)},"value_r13":${total(r13)}%.3f,"queries_r14":${json(r14)},"value_r14":${total(r14)}%.3f,"queries_sweep":${jsonMin(sweep)},"value_sweep":${sweep.map(r => minOf(r._2)).filter(_ >= 0).sum}%.3f,"n_sweep":${sweep.size},"sweep_reps":$sweepReps,"sweep_statistic":"min-of-reps","sweep_spread":${spreadJson(sweep)},"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"n_queries":${benchedNames.size},"n_registered":$nRegistered,"unbenched":$unbenchedJson,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"queries_r12":${json(r12)},"value_r12":${total(r12)}%.3f,"queries_r13":${json(r13)},"value_r13":${total(r13)}%.3f,"queries_r14":${json(r14)},"value_r14":${total(r14)}%.3f,"queries_sweep":${jsonMin(sweep)},"value_sweep":${sweep.map(r => minOf(r._2)).filter(_ >= 0).sum}%.3f,"n_sweep":${sweep.size},"sweep_reps":$sweepReps,"sweep_statistic":"min-of-reps","sweep_spread":${spreadJson(sweep)},"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"bpe_train_scale1024":$bpeScale1024,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the TAIL of sbt's output, and this line has
     // outgrown the capture window (round 10's official artifact lost every
