@@ -112,4 +112,64 @@ object Mix {
       .withColumn("epochs", when(col("cap") === 0.0, lit(0.0))
         .otherwise(col("alloc") / col("cap")))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining", NeurIPS 2023;
+    * the Group-DRO ascent of Sagawa et al., ICLR 2020): iteratively
+    * upweight the domains whose loss EXCEEDS the current
+    * mixture-weighted average — the excess-loss signal — then smooth
+    * toward uniform so no domain starves. Differences from the paper,
+    * chosen for engine-exactness: the per-domain loss is a FROZEN proxy
+    * score (here: unigram-LM bits-per-token; the paper re-trains a proxy
+    * model between updates — that loop lives outside the engine), and
+    * the update is the linearized multiplicative-weights rule
+    * `w ← α · (1 + η·excess)` (Arora–Hazan–Kale's (1+ηm) form) instead
+    * of `exp(η·excess)` — exp is not IEEE-reproducible across engines,
+    * while the (1+ηm) form is all integer micros arithmetic and replays
+    * bit-exactly in SQL. Iterating against the mixture-weighted average
+    * is what makes rounds non-degenerate under a frozen loss: as mass
+    * moves onto hot domains the average rises and the update
+    * self-attenuates toward the DRO equilibrium.
+    *
+    * All arithmetic is exact integers (BigInt here, HUGEINT in the
+    * oracle): per round, avg = ⌊Σαl/Σα⌋, excess = max(l−avg, 0),
+    * factor = 1e6 + ⌊η·excess/1e6⌋, w = α·factor,
+    * α' = ⌊w·1e6/Σw⌋, α'' = ⌊(1e6−c)·α'/1e6⌋ + ⌊c/k⌋.
+    *
+    * The input is the caller's already-aggregated per-source loss table
+    * (|sources| rows — dozens); the fold is driver-side model-scale
+    * iteration (the Lloyd/Markov discipline) and the corpus-scale work
+    * (the loss aggregate) stays in the caller's one pass. Returns
+    * (source, loss_micro, weight_micro) with weights in micros summing
+    * to ~1e6 (floor residue ≤ k + iters). */
+  def doremiWeights(lossBySource: DataFrame, source: Column,
+                    lossMicro: Column, iters: Int = 5,
+                    etaPerBitMicro: Long = 200000L,
+                    smoothMicro: Long = 100000L): DataFrame = {
+    val spark = lossBySource.sparkSession
+    val rows = lossBySource
+      .select(source.cast("string").as("s"), lossMicro.cast("long").as("l"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val k = rows.length
+    require(k >= 1, "doremiWeights needs >= 1 source")
+    val M = BigInt(1000000L)
+    var alpha: Seq[BigInt] = Seq.fill(k)(M / k)
+    (1 to iters).foreach { _ =>
+      val sumA = alpha.sum
+      val avg = alpha.zip(rows).map { case (a, (_, l)) => a * l }.sum / sumA
+      val raw = alpha.zip(rows).map { case (a, (_, l)) =>
+        val excess = (BigInt(l) - avg).max(BigInt(0))
+        a * (M + BigInt(etaPerBitMicro) * excess / M)
+      }
+      val sumW = raw.sum
+      alpha = raw.map { w =>
+        val aPrime = w * M / sumW
+        BigInt(1000000L - smoothMicro) * aPrime / M +
+          BigInt(smoothMicro) / k
+      }
+    }
+    import spark.implicits._
+    rows.zip(alpha).map { case ((s, l), a) => (s, l, a.toLong) }
+      .toSeq.toDF("source", "loss_micro", "weight_micro")
+  }
 }

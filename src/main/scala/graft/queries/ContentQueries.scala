@@ -3610,6 +3610,39 @@ object ContentQueries {
           round(col("alloc"), 4).as("alloc_tokens"),
           round(col("epochs"), 6).as("epochs"))
         .orderBy(col("source"))
+    }),
+
+    // DoReMi-style domain reweighting (Xie et al. NeurIPS 2023 /
+    // Group-DRO): 5 multiplicative-weights rounds upweight the sources
+    // whose frozen-proxy loss (unigram-LM bits-per-token) exceeds the
+    // mixture-weighted average, smoothed 10% toward uniform. The
+    // linearized (1+η·excess) update keeps every round exact integer
+    // micros (exp is not IEEE-reproducible across engines), so the
+    // oracle unrolls all 5 rounds in HUGEINT and matches bit-for-bit.
+    // Scale: ONE corpus pass (the unigram score) feeds a |sources|-row
+    // driver fold — the Lloyd/Markov model-scale discipline. Int64
+    // bound on the loss aggregate: Σ(micro_bpt·n_tokens) per source
+    // ≤ ~6e7·Σtokens — exact to ~1.5e11 source tokens; widen the sum
+    // to decimal(38,0) past that.
+    "mix_doremi" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bits = TextAnalysis.unigramBits(dd, col("doc_id"), col("text"))
+      val bySrc = bits
+        .join(dd.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("micro_bpt",
+          round(col("bits_per_token") * 1e6, 0).cast("long"))
+        .groupBy(col("source"))
+        .agg(sum(col("micro_bpt") * col("n_tokens")).cast("long")
+            .as("wsum"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .select(col("source"), col("n_tokens"),
+          expr("wsum div n_tokens").as("loss_micro"))
+      graft.analytics.Mix.doremiWeights(bySrc, col("source"),
+          col("loss_micro"))
+        .join(bySrc.select(col("source"), col("n_tokens")), Seq("source"))
+        .select(col("source"), col("n_tokens"), col("loss_micro"),
+          col("weight_micro"))
+        .orderBy(col("source"))
     })
   )
 
@@ -6938,6 +6971,24 @@ object ContentQueries {
          |FROM t JOIN r USING (b)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "mix_doremi" ->
+      (s"""WITH $perplexityCtes,
+         |j AS (SELECT d.source, pp.n_tokens,
+         |    CAST(round(pp.bits_per_token * 1e6, 0) AS BIGINT) AS micro_bpt
+         |  FROM pp JOIN documents d USING (doc_id)),
+         |ls AS MATERIALIZED (SELECT source,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(micro_bpt * n_tokens) // sum(n_tokens) AS BIGINT)
+         |      AS loss
+         |  FROM j GROUP BY 1),
+         |da0 AS MATERIALIZED (SELECT source, loss, n_tokens,
+         |    CAST(1000000 // (SELECT count(*) FROM ls) AS HUGEINT) AS a
+         |  FROM ls),
+         |""" + (1 to 5).map(doremiRound).mkString(",\n|") + """
+         |SELECT source, n_tokens, loss AS loss_micro,
+         |  CAST(a AS BIGINT) AS weight_micro
+         |FROM da5 ORDER BY source""").stripMargin,
+
     "text_ppl_buckets" ->
       s"""WITH $perplexityCtes,
          |j AS (SELECT pp.doc_id, d.source, pp.n_tokens, pp.bits_per_token
@@ -8125,6 +8176,28 @@ object ContentQueries {
       |pp AS (SELECT doc_id, count(*) AS n_tokens,
       |    round((sum(mb) // count(*)) / 1e6, 6) AS bits_per_token
       |  FROM b GROUP BY doc_id)""".stripMargin
+
+  /** One DoReMi multiplicative-weights round in SQL, integer-exact vs
+    * `Mix.doremiWeights` (HUGEINT mirrors BigInt; // mirrors BigInt /
+    * for the all-positive operands here): avg = ⌊Σαl/Σα⌋, factor =
+    * 1e6 + ⌊η·excess/1e6⌋, α' = ⌊w·1e6/Σw⌋, α'' = ⌊(1e6−c)·α'/1e6⌋ +
+    * ⌊c/k⌋ — same operation order, term for term. */
+  private def doremiRound(i: Int): String = {
+    val p = i - 1
+    s"""davg$i AS MATERIALIZED (SELECT
+       |    CAST(sum(a * CAST(loss AS HUGEINT)) // sum(a)
+       |    AS BIGINT) AS avg FROM da$p),
+       |draw$i AS MATERIALIZED (SELECT source, loss, n_tokens,
+       |    a * (1000000 + (200000 *
+       |      CAST(greatest(loss - (SELECT avg FROM davg$i), 0) AS HUGEINT))
+       |      // 1000000) AS w
+       |  FROM da$p),
+       |da$i AS MATERIALIZED (SELECT source, loss, n_tokens,
+       |    (900000 * ((w * 1000000) // (SELECT sum(w) FROM draw$i)))
+       |      // 1000000
+       |      + (SELECT 100000 // count(*) FROM draw$i) AS a
+       |  FROM draw$i)""".stripMargin
+  }
 
   /** Shared winnowing replay (n=3 grams, window=4): ends at `sel` — one
     * row per selected frame (doc_id, source, fp), duplicates included,

@@ -104,4 +104,45 @@ class MixSpec extends SparkSuite {
     val u = epochs(Seq(("c", 0.1, 1.0)), 0.1 + 0.1 + 0.1)
     assert(u("c")._2 == 3L, u("c"))
   }
+
+  private def doremi(rows: Seq[(String, Long)], iters: Int = 5) =
+    Mix.doremiWeights(rows.toDF("source", "loss"), col("source"),
+      col("loss"), iters = iters)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+
+  test("doremi weights: mass moves monotonically onto the excess-loss " +
+    "source, the uniform-smoothing floor holds, and total mass is " +
+    "conserved up to floor residue") {
+    // one hot domain (3 bits/token above the others)
+    val rows = Seq(("cold1", 4000000L), ("cold2", 4000000L),
+      ("hot", 7000000L), ("cold3", 4000000L))
+    val w = doremi(rows)
+    assert(w("hot") > 250000L, s"hot domain not upweighted: $w")
+    assert(w("cold1") < 250000L && w("cold1") == w("cold2") &&
+      w("cold2") == w("cold3"), s"cold symmetry broken: $w")
+    // smoothing floor: 10% toward uniform guarantees >= c/k − residue
+    assert(w.values.forall(_ >= 100000L / 4 - 1), s"starved domain: $w")
+    val total = w.values.sum
+    assert(total >= 1000000L - 16 && total <= 1000000L, s"mass: $total")
+    // more rounds -> strictly more mass on the hot domain (the MW
+    // ascent), saturating toward the DRO equilibrium, never past it
+    val w1 = doremi(rows, iters = 1)
+    val w9 = doremi(rows, iters = 9)
+    assert(w1("hot") < w("hot") && w("hot") < w9("hot"),
+      s"no monotone ascent: ${w1("hot")} ${w("hot")} ${w9("hot")}")
+    // equal losses -> exactly uniform output (excess 0 everywhere)
+    val eq = doremi(Seq(("a", 5000000L), ("b", 5000000L)))
+    assert(eq("a") == eq("b"))
+  }
+
+  test("doremi fold is replay-deterministic and self-attenuating: as " +
+    "weight accumulates on the hot domain the mixture average rises " +
+    "and per-round gains shrink") {
+    val rows = Seq(("a", 3000000L), ("b", 6000000L))
+    assert(doremi(rows) == doremi(rows))
+    val gains = (1 to 6).map(i => doremi(rows, iters = i)("b"))
+    val deltas = gains.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(deltas.zip(deltas.tail).forall { case (d1, d2) => d2 <= d1 },
+      s"per-round gains not shrinking: $deltas")
+  }
 }
