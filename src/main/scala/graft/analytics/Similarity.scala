@@ -1258,6 +1258,56 @@ object Similarity {
       .parquet(s"$indexDir/corpus")
   }
 
+  /** Maintenance pass for a persisted IVF index that has been absorbing
+    * frozen-model appends: every `appendToIvfIndex` lands one more file
+    * set under each touched `list_id=` directory, so a daily-delta
+    * deployment accumulates the classic small-files problem — the
+    * serving scan's cost drifts from "rows in the probed lists" to
+    * "file opens in the probed lists". Compaction rewrites the corpus
+    * in ONE hash-partitioned pass (`repartition(list_id)` routes every
+    * list to a single task → one file per list) and leaves the model
+    * untouched; served results are identical because serving is a
+    * deterministic function of the corpus ROWS, never their file
+    * layout (spec-pinned: serve-before == serve-after, bit for bit).
+    *
+    * Crash safety: the rewrite stages to a sibling dir, then two
+    * renames swap it in (old corpus parked, staging promoted, park
+    * dropped). A crash between the renames leaves the parked copy; the
+    * next call heals by restoring it before compacting. Returns
+    * (files_before, files_after). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String): (Long, Long) = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val corpus = new Path(s"$indexDir/corpus")
+    val staged = new Path(s"$indexDir/corpus_compact_staging")
+    val parked = new Path(s"$indexDir/corpus_compact_old")
+    val fs = FileSystem.get(corpus.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    // heal a crash window: corpus missing but the parked copy survives
+    if (!fs.exists(corpus) && fs.exists(parked))
+      require(fs.rename(parked, corpus), "compaction crash-heal failed")
+    def dataFiles(p: Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+      }
+      n
+    }
+    val before = dataFiles(corpus)
+    fs.delete(staged, true)
+    spark.read.parquet(corpus.toString)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(staged.toString)
+    fs.delete(parked, true)
+    require(fs.rename(corpus, parked), "compaction swap failed (park)")
+    require(fs.rename(staged, corpus), "compaction swap failed (promote)")
+    fs.delete(parked, true)
+    (before, dataFiles(corpus))
+  }
+
   /** The offline/online split for IVF-PQ — the actual 100 TB serving
     * layout: the persisted index holds m CODE BYTES per vector (packed
     * as a sub-ordered array) partitioned by `list_id`, NOT the raw

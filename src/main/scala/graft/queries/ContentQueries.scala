@@ -1392,6 +1392,32 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // The maintenance leg of the index lifecycle: build on half the
+    // corpus, absorb the other half as a frozen-model append, then
+    // COMPACT — the append's small files collapse to one file per list
+    // — and serve. Results must equal the uncompacted upserted index
+    // (serving is a function of corpus rows, not file layout), so this
+    // row shares ivfUpsertOracle verbatim; the file-count drop and the
+    // crash-heal path are pinned in IvfIndexSpec.
+    "sim_topk_ivf_compacted" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = ivfIndexDir("graft_ivf_cpt_idx", d)
+      if (!new java.io.File(s"$dir/compact_done").exists()) {
+        Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
+          col("vec_id"), col("embedding"), dir)
+        Similarity.appendToIvfIndex(s, dir,
+          e.filter(col("vec_id") % 2 === 1),
+          col("vec_id"), col("embedding"))
+        Similarity.compactIvfIndex(s, dir)
+        new java.io.File(s"$dir/compact_done").createNewFile()
+      }
+      Similarity.ivfTopKServe(s, dir,
+        e.filter(col("vec_id") % 100 === 0),
+        col("vec_id"), col("embedding"), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "sim_topk_ivf_served" -> ((s, d) => {
       val e = emb(s, d)
       val dir = ivfIndexDir("graft_ivf_idx", d)
@@ -5325,6 +5351,8 @@ object ContentQueries {
     // the row equality is the proof the round trip is lossless
     "sim_topk_ivf_served" -> ivfLloydOracle,
     "sim_topk_ivf_upserted" -> ivfUpsertOracle,
+    // compaction must not move a single row: same oracle, verbatim
+    "sim_topk_ivf_compacted" -> ivfUpsertOracle,
 
 
     // identical scan to sim_topk_ivfsq; cent from the Lloyd refinement

@@ -204,6 +204,58 @@ class IvfIndexSpec extends SparkSuite {
     assert(n == 0, s"$n (n_id, list_id) duplicates after upsert")
   }
 
+  test("compactIvfIndex: appends fragment the list directories, compaction " +
+    "collapses them to one file per list, serves bit-identically, and " +
+    "heals a crash window from the parked copy") {
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val (id, v) = (col("vec_id"), col("embedding"))
+    val d = dir("cpt")
+    Similarity.buildIvfIndex(e.filter(col("vec_id") % 3 === 0), id, v, d)
+    Similarity.appendToIvfIndex(spark, d, e.filter(col("vec_id") % 3 === 1),
+      id, v)
+    Similarity.appendToIvfIndex(spark, d, e.filter(col("vec_id") % 3 === 2),
+      id, v)
+    val queries = e.filter(col("vec_id") % 100 === 0)
+    Caches.clear()
+    val before = Similarity.ivfTopKServe(spark, d, queries, id, v, k = 10)
+      .collect().map(_.toSeq).toSet
+    def files(): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$d/corpus")).map(_.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    }
+    val fragmented = files().size
+    val (b, a) = Similarity.compactIvfIndex(spark, d)
+    assert(b == fragmented && a == files().size, "file accounting drifted")
+    // three write generations per touched list collapse to one file/list
+    assert(a < b, s"no compaction: $b -> $a")
+    val lists = new java.io.File(s"$d/corpus").listFiles()
+      .filter(_.getName.startsWith("list_id=")).toSeq
+    lists.foreach { l =>
+      val n = l.listFiles().count(f => !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      assert(n == 1, s"${l.getName} holds $n files after compaction")
+    }
+    Caches.clear()
+    val after = Similarity.ivfTopKServe(spark, d, queries, id, v, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "compaction moved serving results")
+    // crash window: corpus gone, parked copy present -> next call heals
+    // and recompacts from the parked rows
+    val corpus = new java.io.File(s"$d/corpus")
+    val parked = new java.io.File(s"$d/corpus_compact_old")
+    assert(corpus.renameTo(parked))
+    val (b2, a2) = Similarity.compactIvfIndex(spark, d)
+    assert(b2 == a && a2 == a, s"crash-heal lost files: $b2 -> $a2")
+    Caches.clear()
+    val healed = Similarity.ivfTopKServe(spark, d, queries, id, v, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(healed == before, "crash-heal changed serving results")
+  }
+
   test("persisted-index cache key is a CONTENT fingerprint: regenerating " +
     "the data at the SAME path changes the key (forcing a rebuild — the " +
     "stale index can never be served), while an untouched table keys " +
