@@ -1258,6 +1258,61 @@ object Similarity {
       .parquet(s"$indexDir/corpus")
   }
 
+  /** The STREAMING face of `appendToIvfIndex` — an exactly-once
+    * per-micro-batch append for `foreachBatch`: a replayed batch (the
+    * at-least-once delivery every streaming sink must survive) lands on
+    * the SAME deterministic object names and overwrites byte-equivalent
+    * content instead of duplicating rows — the ingest writer's X1
+    * discipline applied to the index. Mechanics: the batch's frozen-
+    * model assignment stages to a batch-keyed sibling dir (one
+    * deterministic file per touched list: hash-routed, n_id-sorted),
+    * then each staged file renames to
+    * `corpus/list_id=N/append-b<batchId>.parquet` — overwrite-on-replay,
+    * so a crash anywhere (before, during, or after the promote loop)
+    * heals on the retry; a FULLY replayed batch is a byte-identical
+    * no-op. Cost is the same |delta| × k centroid dots plus one
+    * partitioned write — nothing about the persisted corpus layout or
+    * serving changes. */
+  def appendToIvfIndexExactlyOnce(spark: org.apache.spark.sql.SparkSession,
+                                  indexDir: String, batch: DataFrame,
+                                  cId: Column, cVec: Column, batchId: Long,
+                                  replicas: Int = 2): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val model = loadIvfModel(spark, indexDir)
+    val c = batch.select(cId.as("n_id"), asDouble(cVec).as("c_v"))
+      .withColumn("c_n", norm(col("c_v")))
+    val assigned =
+      if (replicas > 1) Clustering.probe(c, col("c_v"), model, replicas)
+      else Clustering.classify(c, col("c_v"), model)
+        .withColumnRenamed("cluster", "list_id").drop("csim")
+    val staged = s"$indexDir/append_staging_b$batchId"
+    assigned.select(col("n_id"), col("c_v"), col("c_n"), col("list_id"))
+      .repartition(col("list_id"))
+      .sortWithinPartitions(col("list_id"), col("n_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(staged)
+    val fs = FileSystem.get(new Path(indexDir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val stagedPath = new Path(staged)
+    fs.listStatus(stagedPath).filter(_.isDirectory).foreach { listDir =>
+      val dest = new Path(s"$indexDir/corpus/${listDir.getPath.getName}")
+      fs.mkdirs(dest)
+      val parts = fs.listStatus(listDir.getPath)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName)
+      // one hash-routed file per list; deterministic target name per
+      // (batch, list) — a replayed batch overwrites, never appends
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val target = new Path(dest,
+          f"append-b$batchId%d-$i%03d.parquet")
+        fs.delete(target, false)
+        require(fs.rename(p.getPath, target),
+          s"streaming append promote failed for $target")
+      }
+    }
+    fs.delete(stagedPath, true)
+  }
+
   /** Maintenance pass for a persisted IVF index that has been absorbing
     * frozen-model appends: every `appendToIvfIndex` lands one more file
     * set under each touched `list_id=` directory, so a daily-delta

@@ -204,6 +204,90 @@ class IvfIndexSpec extends SparkSuite {
     assert(n == 0, s"$n (n_id, list_id) duplicates after upsert")
   }
 
+  test("STREAMING index maintenance: a checkpointed structured stream " +
+    "appends micro-batches through foreachBatch and serving sees the " +
+    "union; a replayed batch lands on the same deterministic object " +
+    "names — byte-level no-op, zero duplicates (X1 for the index)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+    val (id, v) = (col("vec_id"), col("embedding"))
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val delta = e.filter(col("vec_id") % 2 === 1)
+    val d = dir("stream")
+    Similarity.buildIvfIndex(base, id, v, d)
+
+    // two source files -> two micro-batches under maxFilesPerTrigger=1
+    val src = java.nio.file.Files.createTempDirectory("ivf_stream_src")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf_stream_ckpt")
+      .toString
+    delta.filter(col("vec_id") % 4 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    // the file source orders batches by mtime — keep the two source
+    // files unambiguously ordered so batch 0 is the %4==1 payload
+    Thread.sleep(1100)
+    delta.filter(col("vec_id") % 4 === 3).coalesce(1)
+      .write.mode("append").parquet(src)
+    val q = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        Similarity.appendToIvfIndexExactlyOnce(spark, d, b,
+          col("vec_id"), col("embedding"), bid)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+
+    // the streamed index serves exactly like a one-pass frozen-model
+    // assignment of the union (same reference construction as the batch
+    // append test)
+    val queries = e.filter(col("vec_id") % 100 === 0)
+    Caches.clear()
+    val served = Similarity.ivfTopKServe(spark, d, queries, id, v, k = 10)
+      .collect().map(_.toSeq).toSet
+    val dRef = dir("streamref")
+    Similarity.buildIvfIndex(base, id, v, dRef)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$dRef/corpus"))
+    Similarity.appendToIvfIndex(spark, dRef, base.union(delta), id, v)
+    Caches.clear()
+    val ref = Similarity.ivfTopKServe(spark, dRef, queries, id, v, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(served == ref, "streamed appends diverged from union assignment")
+
+    // at-least-once replay: re-deliver one batch with the same batchId —
+    // identical object names, identical row count, identical serving
+    def listing(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$d/corpus")).map(_.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    }
+    val (names0, rows0) =
+      (listing(), spark.read.parquet(s"$d/corpus").count())
+    val replayed = delta.filter(col("vec_id") % 4 === 1)
+    // batch 0 carried one of the two files; replay BOTH candidate
+    // payloads under their original ids — whichever file batch 0/1
+    // actually held, the overwrite lands on the same names
+    Similarity.appendToIvfIndexExactlyOnce(spark, d, replayed,
+      id, v, batchId = 0L)
+    Similarity.appendToIvfIndexExactlyOnce(spark, d,
+      delta.filter(col("vec_id") % 4 === 3), id, v, batchId = 1L)
+    assert(listing() == names0, "replay minted new object names")
+    assert(spark.read.parquet(s"$d/corpus").count() == rows0,
+      "replay duplicated rows")
+    Caches.clear()
+    val servedAfter = Similarity.ivfTopKServe(spark, d, queries, id, v,
+      k = 10).collect().map(_.toSeq).toSet
+    assert(servedAfter == served, "replay changed serving results")
+  }
+
   test("compactIvfIndex: appends fragment the list directories, compaction " +
     "collapses them to one file per list, serves bit-identically, and " +
     "heals a crash window from the parked copy") {
