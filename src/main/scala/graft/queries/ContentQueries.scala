@@ -3669,6 +3669,47 @@ object ContentQueries {
         .select(col("source"), col("n_tokens"), col("loss_micro"),
           col("weight_micro"))
         .orderBy(col("source"))
+    }),
+
+    // Capstone: the DoReMi weights actually DRIVING a data cut — the
+    // optimized mixture feeds the water-filling allocator as its weight
+    // vector against per-source availability caps and a binding budget
+    // (half the corpus), so hot-loss sources draw proportionally more
+    // budget until their caps saturate. Composes two oracle-checked
+    // operators; corpus cost is the two existing one-pass aggregates
+    // (unigram score, token caps) — everything after is |sources| rows.
+    "pipeline_doremi_mix" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bits = TextAnalysis.unigramBits(dd, col("doc_id"), col("text"))
+      val bySrc = bits
+        .join(dd.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("micro_bpt",
+          round(col("bits_per_token") * 1e6, 0).cast("long"))
+        .groupBy(col("source"))
+        .agg(sum(col("micro_bpt") * col("n_tokens")).cast("long")
+            .as("wsum"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .select(col("source"),
+          expr("wsum div n_tokens").as("loss_micro"))
+      val w = graft.analytics.Mix.doremiWeights(bySrc, col("source"),
+        col("loss_micro"))
+      val caps = graft.analytics.Caches.persist(dd
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).cast("double")
+          .as("cap")))
+      // integer-valued doubles: Σcap is exact at any aggregation order,
+      // so the halved budget is the same float on both engines
+      val budget = 0.5 * caps.agg(sum(col("cap"))).head.getDouble(0)
+      val src = caps.join(w, Seq("source"))
+        .withColumn("wt", col("weight_micro").cast("double"))
+      graft.analytics.Mix.waterfillAlloc(src, col("source"), col("cap"),
+          col("wt"), budget)
+        .join(w.select(col("source"), col("weight_micro")), Seq("source"))
+        .select(col("source"), col("cap").cast("long").as("cap_tokens"),
+          col("weight_micro"),
+          round(col("alloc"), 4).as("alloc_tokens"),
+          col("sat").cast("long").as("saturated"))
+        .orderBy(col("source"))
     })
   )
 
@@ -7025,6 +7066,51 @@ object ContentQueries {
          |SELECT source, n_tokens, loss AS loss_micro,
          |  CAST(a AS BIGINT) AS weight_micro
          |FROM da5 ORDER BY source""").stripMargin,
+
+    "pipeline_doremi_mix" ->
+      (s"""WITH $perplexityCtes,
+         |j AS (SELECT d.source, pp.n_tokens,
+         |    CAST(round(pp.bits_per_token * 1e6, 0) AS BIGINT) AS micro_bpt
+         |  FROM pp JOIN documents d USING (doc_id)),
+         |ls AS MATERIALIZED (SELECT source,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(micro_bpt * n_tokens) // sum(n_tokens) AS BIGINT)
+         |      AS loss
+         |  FROM j GROUP BY 1),
+         |da0 AS MATERIALIZED (SELECT source, loss, n_tokens,
+         |    CAST(1000000 // (SELECT count(*) FROM ls) AS HUGEINT) AS a
+         |  FROM ls),
+         |""" + (1 to 5).map(doremiRound).mkString(",\n|") + """,
+         |caps AS MATERIALIZED (SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS cap
+         |  FROM documents GROUP BY source),
+         |bud AS MATERIALIZED (SELECT 0.5 * sum(cap) AS b FROM caps),
+         |src AS (SELECT c.source, c.cap,
+         |    CAST(CAST(a.a AS BIGINT) AS DOUBLE) AS wt,
+         |    CAST(a.a AS BIGINT) AS weight_micro
+         |  FROM caps c JOIN da5 a USING (source)),
+         |rr AS (SELECT source, cap, wt, weight_micro, cap / wt AS r
+         |  FROM src),
+         |cum AS (SELECT source, cap, wt, weight_micro, r,
+         |    sum(cap) OVER (ORDER BY r, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+         |    sum(wt) OVER (ORDER BY r, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pw,
+         |    sum(wt) OVER () AS totw
+         |  FROM rr),
+         |st AS (SELECT *,
+         |    pc + r * (totw - pw) <= (SELECT b FROM bud) AS sat FROM cum),
+         |sol AS (SELECT *,
+         |    max(CASE WHEN sat THEN pc END) OVER () AS satpc,
+         |    max(CASE WHEN sat THEN pw END) OVER () AS satpw
+         |  FROM st)
+         |SELECT source, CAST(cap AS BIGINT) AS cap_tokens, weight_micro,
+         |  round(CASE WHEN sat THEN cap ELSE least(cap,
+         |    ((SELECT b FROM bud) - coalesce(satpc, 0.0))
+         |      / (totw - coalesce(satpw, 0.0)) * wt) END, 4)
+         |    AS alloc_tokens,
+         |  CAST(sat AS BIGINT) AS saturated
+         |FROM sol ORDER BY source""").stripMargin,
 
     "text_ppl_buckets" ->
       s"""WITH $perplexityCtes,

@@ -733,4 +733,44 @@ class PlanAuditSpec extends SparkSuite {
     val p = planAt(sf001, "profile_pareto_front")
     assert(!p.contains("source") || !p.contains("lang"), p)
   }
+
+  // ---------------------------------------------- round-14 additions
+
+  test("ingest_partition_change_off: the writer-era window and the " +
+    "per-(era, ep) file aggregate stay on writer-keyed exchanges — no " +
+    "global sort, no extra shuffle beyond the two window keys") {
+    val p = plan("ingest_partition_change_off")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // era comes from row_number over the writer — a window, not a sort
+    assert(p.contains("Window"), p)
+    val hashEx = hashExchanges(p)
+    assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx\n$p")
+  }
+
+  test("mm_decode_image: decode is partition-parallel mapPartitions " +
+    "plumbing — no shuffle before the decode, no join anywhere") {
+    val p = plan("mm_decode_image")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("mix_doremi: ONE corpus-scale aggregate chain feeds the " +
+    "sources-row fold — token counts combine map-side and the corpus " +
+    "never broadcasts") {
+    val p = plan("mix_doremi")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_topk_ivf_compacted: the serve scan still carries a real " +
+    "list_id PartitionFilter AFTER compaction — the rewrite must not " +
+    "cost the static pruning") {
+    val p = plan("sim_topk_ivf_compacted")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.isDefined, s"no PartitionFilters line in\n$p")
+    assert(pf.get.contains("list_id"), pf.get)
+    assert(!pf.get.matches(".*PartitionFilters: \\[\\s*\\].*"), pf.get)
+  }
 }
