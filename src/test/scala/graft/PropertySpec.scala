@@ -229,4 +229,45 @@ class SparkPropertySpec extends SparkSuite {
         s"mismatch for input '$text'")
     }
   }
+
+  test("assignWriterSizeFiles equals an imperative simulation of the " +
+    "reference writer with rotate.file.on.partition.change=false " +
+    "(TopicPartitionWriter: per-ep open files, writer-global recordCount, " +
+    "commitFiles closes all) on generated streams") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 6) {
+      val flushSize = 1 + rnd.nextInt(5)
+      val nWriters = 1 + rnd.nextInt(3)
+      val stream = (0 until 40).map { i =>
+        (rnd.nextInt(nWriters), i.toLong, s"ep${rnd.nextInt(3)}")
+      }
+      // imperative reference model: per writer, walk offsets in order;
+      // each record opens-or-appends its ep's file (startOffsets seeded
+      // on open), recordCount is WRITER-global, and reaching flushSize
+      // commits EVERY open file at once
+      val model = scala.collection.mutable.Map
+        .empty[(Int, String, Long), Long] // (writer, ep, startOffset) -> n
+      stream.groupBy(_._1).foreach { case (w, rs) =>
+        var count = 0
+        val open = scala.collection.mutable.Map.empty[String, Long]
+        rs.sortBy(_._2).foreach { case (_, off, ep) =>
+          val start = open.getOrElseUpdate(ep, off)
+          model((w, ep, start)) = model.getOrElse((w, ep, start), 0L) + 1
+          count += 1
+          if (count >= flushSize) { count = 0; open.clear() }
+        }
+      }
+      val got = Rotation.assignWriterSizeFiles(
+        stream.toDF("writer", "offset", "ep"),
+        col("writer"), col("ep"), col("offset"), flushSize)
+        .groupBy(col("writer"), col("ep"),
+          col(Rotation.StartOffsetCol).as("start"))
+        .count()
+        .as[(Int, String, Long, Long)].collect()
+        .map { case (w, ep, s, n) => (w, ep, s) -> n }.toMap
+      assert(got == model.toMap,
+        s"trial $trial (flush=$flushSize): got=$got\n model=$model")
+    }
+  }
 }
