@@ -102,7 +102,7 @@ object Bench {
   // Round-14 additions, reported under "queries_r14"/"value_r14".
   val additionsR14: Seq[String] = Seq(
     "mm_decode_image", "ingest_partition_change_off", "mix_doremi",
-    "sim_topk_ivf_compacted", "pipeline_doremi_mix")
+    "sim_topk_ivf_compacted", "pipeline_doremi_mix", "dedup_intra_doc")
 
   /** Every registered query belongs to exactly one bench surface: the
     * headline set, a round-addition group, or — for everything else —

@@ -2079,6 +2079,42 @@ object ContentQueries {
             .as("top_2gram_frac"))
         .orderBy(col("doc_id"))),
 
+    // INTRA-document repetition removal (the RefinedWeb/Dolma cleaning
+    // rule the cross-doc boilerplate pass doesn't cover): within one
+    // doc, a repeated 8-token segment keeps only its FIRST occurrence.
+    // The synthetic corpus has zero natural intra-doc repeats (checked),
+    // so the repetition is PLANTED deterministically and chunk-ALIGNED —
+    // truncate to a multiple of 8 tokens, append the first min(16, cut)
+    // tokens — giving every non-tiny doc 1-2 duplicate tail chunks both
+    // engines derive identically; a vacuous all-kept pass can't go
+    // green by accident. Scale: one explode + one (doc, seg)-keyed
+    // window + one doc aggregate — segment-linear, no joins.
+    "dedup_intra_doc" -> ((s, d) => {
+      val tk = TextAnalysis.tokens(col("text"))
+      val cut = (floor(size(tk) / 8) * 8).cast("int")
+      val aug = concat(slice(tk, lit(1), cut),
+        slice(tk, lit(1), least(lit(16), cut)))
+      val segs = docs(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokenChunks(aug, 8, 8)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          col("c.chunk_text").as("seg"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("seg")).orderBy(col("chunk_id"))
+      segs.withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_segs"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("long")
+            .as("n_kept"),
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("chunk_id"), col("seg"))))).as("arr"))
+        .select(col("doc_id"), col("n_segs"), col("n_kept"),
+          md5(concat_ws(" ",
+            transform(col("arr"), x => x.getField("seg"))))
+            .as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Column profiling (data-quality gate before a corpus drop ships):
     // null/distinct/min/max per column in ONE aggregate over ONE scan.
     "profile_docs" -> ((s, d) =>
@@ -6786,6 +6822,30 @@ object ContentQueries {
         |  count(*) AS n_kept
         |FROM c JOIN f USING (seg) WHERE f.df < 2
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "dedup_intra_doc" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |t AS (SELECT doc_id, list_concat(
+        |    list_slice(tk, 1, (len(tk) // 8) * 8),
+        |    list_slice(tk, 1, least(16, (len(tk) // 8) * 8))) AS toks
+        |  FROM t0),
+        |n AS (SELECT doc_id, toks,
+        |    1 + CAST(floor((greatest(len(toks) - 8, 0) + 7) / 8.0) AS INT)
+        |      AS n_chunks FROM t),
+        |c AS (SELECT doc_id, chunk_id, array_to_string(list_slice(toks,
+        |      chunk_id * 8 + 1, chunk_id * 8 + 8), ' ') AS seg
+        |  FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id
+        |        FROM n)),
+        |r AS (SELECT doc_id, chunk_id, seg,
+        |    row_number() OVER (PARTITION BY doc_id, seg
+        |      ORDER BY chunk_id) AS rn FROM c)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  md5(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+        |    ORDER BY chunk_id)) AS clean_fp
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_contamination" ->
       """WITH sh AS (SELECT doc_id, source,
