@@ -102,7 +102,9 @@ object Bench {
   // Round-14 additions, reported under "queries_r14"/"value_r14".
   val additionsR14: Seq[String] = Seq(
     "mm_decode_image", "ingest_partition_change_off", "mix_doremi",
-    "sim_topk_ivf_compacted", "pipeline_doremi_mix", "dedup_intra_doc")
+    "sim_topk_ivf_compacted", "pipeline_doremi_mix", "dedup_intra_doc",
+    "graph_triangles", "emb_rp_project", "q68_group_seq",
+    "privacy_rr_freq", "sample_neyman")
 
   /** Every registered query belongs to exactly one bench surface: the
     * headline set, a round-addition group, or — for everything else —

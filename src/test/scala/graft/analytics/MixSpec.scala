@@ -145,4 +145,48 @@ class MixSpec extends SparkSuite {
     assert(deltas.zip(deltas.tail).forall { case (d1, d2) => d2 <= d1 },
       s"per-round gains not shrinking: $deltas")
   }
+
+  private def neyman(rows: Seq[(String, Long)], b: Long) =
+    Mix.neymanAllocation(rows.toDF("s", "x"), col("s"), col("x"), b)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("neyman: the budget apportions exactly and the varied stratum " +
+    "out-draws an equally-sized homogeneous one") {
+    // stratum a: constant (sd 0); stratum b: spread 0/100 (sd > 0).
+    // Neyman weight n·sd puts the WHOLE budget on b; Hamilton keeps
+    // Σalloc = B exactly.
+    val rows = Seq(("a", 50L), ("a", 50L), ("a", 50L), ("a", 50L)) ++
+      Seq(("b", 0L), ("b", 100L), ("b", 0L), ("b", 100L))
+    val r = neyman(rows, 10L)
+    assert(r("a")._4 == 0L && r("b")._4 == 10L, s"got $r")
+    assert(r.values.map(_._4).sum == 10L)
+    // sd_kilo for b: n=4, s1=200, s2=20000 →
+    // (4·20000 − 200²)/(4·3) = 40000/12 = 3333.3̅ → sd = 57.7350…
+    // → floor(1000·sd) = 57735
+    assert(r("b")._3 == 57735L, s"sd_kilo: ${r("b")._3}")
+  }
+
+  test("neyman: all-constant strata fall back to proportional-to-n " +
+    "shares with largest-remainder rounding, still summing to B") {
+    // every stratum constant → Σw = 0 → proportional: n = 1/2/3 of 6,
+    // B=10 → base 1/3/5 (floor of 10/6,20/6,30/6) + remainder to the
+    // largest fractional part (a: 10%6=4, b: 20%6=2, c: 30%6=0) → a +1
+    val rows = Seq(("a", 7L)) ++ Seq.fill(2)(("b", 7L)) ++
+      Seq.fill(3)(("c", 7L))
+    val r = neyman(rows, 10L)
+    assert(r("a")._4 == 2L && r("b")._4 == 3L && r("c")._4 == 5L,
+      s"got $r")
+    assert(r.values.map(_._4).sum == 10L)
+  }
+
+  test("neyman is replay-deterministic and a singleton stratum (n=1, " +
+    "undefined variance) contributes zero weight instead of an error") {
+    val rows = Seq(("solo", 9000L), ("big", 10L), ("big", 990L),
+      ("big", 500L))
+    val r = neyman(rows, 8L)
+    assert(r == neyman(rows, 8L))
+    assert(r("solo")._3 == 0L, s"singleton sd must floor to 0: $r")
+    assert(r.values.map(_._4).sum == 8L)
+  }
 }

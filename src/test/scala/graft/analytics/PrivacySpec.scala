@@ -47,4 +47,46 @@ class PrivacySpec extends SparkSuite {
     assert(p.getLong(0) == 2L && p.getLong(2) == 2L, "classes (e),(w)")
     assert(p.getLong(3) == 0L, "no singled-out rows after coarsening")
   }
+
+  private def rr(rows: Seq[(Long, String)]) =
+    Privacy.randomizedResponse(rows.toDF("id", "cat"),
+      col("id"), col("cat"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("randomizedResponse: reports conserve mass, the mechanism is " +
+    "replay-deterministic, and the debias lands near the truth") {
+    // skewed 2-category population: 800 'x', 200 'y'
+    val rows = (0L until 800L).map(i => (i, "x")) ++
+      (800L until 1000L).map(i => (i, "y"))
+    val r = rr(rows)
+    assert(r == rr(rows), "salted-hash mechanism must replay exactly")
+    assert(r.values.map(_._2).sum == 1000L, "true counts")
+    assert(r.values.map(_._3).sum == 1000L,
+      "every record reports exactly one category")
+    assert(r("x")._2 == 800L && r("y")._2 == 200L)
+    // ~25% of reports are uniform over 2 cats, so reported 'x' pulls
+    // toward 500; the debias must land within the mechanism's sampling
+    // noise (σ ≈ 19/1000 here) of the truth — generous 5σ gate
+    assert(math.abs(r("x")._3 - 800L) > 30L,
+      s"raw reported count should be visibly biased: ${r("x")._3}")
+    assert(math.abs(r("x")._5 - r("x")._4) < 100000L,
+      s"debiased micro off truth by ${r("x")._6}")
+    assert(r("x")._6 == math.abs(r("x")._5 - r("x")._4))
+  }
+
+  test("randomizedResponse: debias micros are the clamped exact " +
+    "integers of the 4kc−N formula, and estimates floor at zero") {
+    // tiny fixture: hand-check the arithmetic for k=2, N=4.
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+    val r = rr(rows)
+    val n = 4L; val k = 2L
+    r.values.foreach { row =>
+      val expected = math.max(4 * k * row._3 - n, 0L) * 1000000L /
+        (3 * k * n)
+      assert(row._5 == expected, s"est_micro mismatch: $row")
+      assert(row._5 >= 0L)
+    }
+    assert(r.values.map(_._3).sum == n)
+  }
 }

@@ -357,4 +357,56 @@ class SimilaritySpec extends SparkSuite {
     assert(r.head._3 == 1.0, s"cos(90°,90°) must be 1: ${r.head}")
     Caches.clear()
   }
+
+  test("rpProject: the JL sign matrix is balanced, the projection is " +
+    "exactly linear, and norms are preserved within JL distortion") {
+    // balance: each of the 8 sign rows must be near 50/50 over 64 dims
+    // (a constant-sign row would make that output dim just a scaled sum
+    // — exactly what an LCG parity produced before the md5 derivation)
+    (0 until 8).foreach { j =>
+      val pos = (1 to 64).count(i => Similarity.rpSign(i, j) > 0)
+      assert(pos >= 20 && pos <= 44, s"row $j unbalanced: $pos/64 positive")
+    }
+    // near-orthogonality: correlated rows collapse the effective output
+    // dimension (the mod-103 LCG parity hit 56/64 alignment)
+    val rows = (0 until 8).map(j =>
+      (1 to 64).map(i => Similarity.rpSign(i, j)))
+    for (a <- 0 until 8; b <- (a + 1) until 8) {
+      val d = rows(a).zip(rows(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(d) <= 20.0, s"rows $a,$b aligned: dot $d")
+    }
+    // exact linearity: rpProject(2x) == 2 * rpProject(x) for a vector of
+    // exactly-representable halves (no rounding slack needed)
+    val x = Array.tabulate(64)(i => ((i % 7) - 3).toFloat / 2f)
+    val df = Seq((1L, x), (2L, x.map(_ * 2f))).toDF("id", "v")
+    val p = df.select(col("id"),
+        Similarity.rpProject(col("v"), 64, 8, decimals = 9).as("p"))
+      .orderBy(col("id")).as[(Long, Seq[Double])].collect()
+    assert(p(1)._2 == p(0)._2.map(_ * 2.0),
+      s"not linear: ${p(0)._2} vs ${p(1)._2}")
+    // norm preservation on deterministic md5-derived pseudo-random
+    // vectors: ||Rx||/√k must straddle 1 within the (wide, k=8) JL
+    // distortion band
+    def h32(s: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble /
+        0xffffffffL.toDouble * 2.0 - 1.0
+    }
+    val vs = (0 until 40).map { s =>
+      (s.toLong, Array.tabulate(64)(i => h32(s"$s:${i + 1}").toFloat))
+    }.toDF("id", "v")
+    val ratios = vs.select(
+        (sqrt(aggregate(Similarity.rpProject(col("v"), 64, 8, 9),
+          lit(0.0), (a, c) => a + c * c)) /
+          (sqrt(lit(8.0)) *
+            Similarity.norm(col("v").cast("array<double>"))))
+          .as("r"))
+      .as[Double].collect()
+    assert(ratios.forall(r => r > 0.4 && r < 1.6),
+      s"JL distortion blown: ${ratios.min} .. ${ratios.max}")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.1, s"ratio mean drifted: $mean")
+  }
 }
