@@ -1473,13 +1473,29 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), col("codes"))
       .dropDuplicates("q_id", "n_id")
+    // per-query LUT instead of explode→join→re-aggregate: the full
+    // distance table is only m·ks longs per query (128 at the
+    // defaults), so it broadcasts as ONE array ordered by (sub, code)
+    // and the ADC distance is m array lookups folded per candidate ROW
+    // — the scan stays map-shaped with no (q,n,sub)-grain shuffle.
+    // qdi values are exact integer micros, so the fold's sum order
+    // cannot move the result vs the old groupBy sum (hash-identical).
+    val ksN = (cb.count() / m).toInt
+    val lut = qTab
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("j"),
+        col("qdi")))).as("t"))
+      .select(col("q_id"),
+        transform(col("t"), x => x.getField("qdi")).as("lut"))
     val adc = cand
+      .join(broadcast(lut), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(qTab.withColumnRenamed("j", "code")),
-        Seq("q_id", "sub", "code"))
-      .groupBy(col("q_id"), col("n_id"))
-      .agg(round(sum(col("qdi")) / 1e6, 6).as("adist"))
+        // lut is (sub, j, qdi)-sorted with 0-based sub and 1-BASED
+        // codeword id j, so (sub s, code c) sits at position s·ks + c
+        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+          (acc, s) => acc + element_at(col("lut"),
+            s * ksN + element_at(col("codes"), s + 1).cast("int")))
+          .cast("double") / 1e6, 6).as("adist"))
     pqRank(adc, k)
   }
 

@@ -182,10 +182,16 @@ object TextAnalysis {
     *    term-keyed shuffle join, then a (q_id, doc_id) aggregate and a
     *    per-query top-k window — all key-partitioned, nothing global.
     *
-    * Determinism: contributions are summed by a TERM-SORTED left fold
-    * (not an unordered float aggregate), so both engines add the same
-    * doubles in the same order; ranking is on the 4-decimal-rounded
-    * score with doc_id as the total-order tie-break. */
+    * Determinism: per-term contributions quantize to integer MICROS
+    * before the (query, doc) sum, so the fold is an order-free int64
+    * aggregate — partial-aggregatable map-side like every other sum in
+    * the engine, where the earlier term-sorted double fold needed a
+    * collect_list + array_sort per (q, doc) group (measured ~15% of the
+    * retrieval row's wall). Contributions are non-negative (the +1
+    * inside the ln caps the IDF at ≥ 0), so HALF_UP and half-away
+    * rounding agree and the micro values are engine-identical; ranking
+    * is on the 4-decimal-rounded micro sum with doc_id as the
+    * total-order tie-break. */
   def bm25Retrieve(docs: org.apache.spark.sql.DataFrame, docId: Column,
                    units: Column, queries: org.apache.spark.sql.DataFrame,
                    k: Int, maxDfFrac: Double = 0.25,
@@ -226,11 +232,11 @@ object TextAnalysis {
           * col("tf") * lit(k1 + 1.0)
           / (col("tf") + lit(k1)
             * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-    val scored = hits.groupBy(col("q_id"), col("doc_id"))
-      .agg(aggregate(transform(
-        array_sort(collect_list(struct(col("term"), col("c")))),
-        x => x.getField("c")), lit(0.0), (acc, c) => acc + c).as("raw"))
-      .withColumn("bm25", round(col("raw"), 4))
+    val scored = hits
+      .withColumn("cm", round(col("c") * 1e6, 0).cast("long"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("cm")).cast("long").as("raw"))
+      .withColumn("bm25", round(col("raw").cast("double") / 1e6, 4))
     scored
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
@@ -269,24 +275,32 @@ object TextAnalysis {
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).cast("long").as("w"))
       .localCheckpoint(false)
-    val outW = edges.groupBy(col("u"))
-      .agg(sum(col("w")).cast("long").as("tw"))
+    // the out-weight total rides each edge row, materialized ONCE —
+    // every iteration then pays one rank join + one aggregate instead of
+    // re-running the outW aggregate and its edge join per round (the
+    // Graph.pageRank "outdeg rides the edge" discipline)
+    val e2 = edges
+      .join(edges.groupBy(col("u")).agg(sum(col("w")).cast("long")
+        .as("tw")), Seq("u"))
+      .localCheckpoint(false)
     val nodes = edges.select(col("u").as("node"))
       .unionByName(edges.select(col("v").as("node"))).distinct()
       .localCheckpoint(false)
     var r = nodes.withColumn("r", lit(1000000000L))
     var i = 0
     while (i < iters) {
-      val contrib = edges
-        .join(outW, Seq("u"))
+      val contrib = e2
         .join(r.select(col("node").as("u"), col("r")), Seq("u"))
         .select(col("v").as("node"), expr("(r * w) div tw").as("m"))
         .groupBy(col("node")).agg(sum(col("m")).as("m"))
       r = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"), (lit(base)
           + expr("(85 * coalesce(m, 0)) div 100")).as("r"))
-        .localCheckpoint(false)
       i += 1
+      // plan-depth bound, not a semantics change: checkpoint every 4th
+      // and the final round instead of all 8 — values are identical,
+      // the rank frame just materializes 2x instead of 8x
+      if (i % 4 == 0 || i == iters) r = r.localCheckpoint(false)
     }
     r.select(col("node").as("word"), col("r").as("rank_micro"))
   }

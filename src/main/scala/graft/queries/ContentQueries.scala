@@ -2151,12 +2151,18 @@ object ContentQueries {
     // exact countDistinct. Deterministic construction: the oracle
     // rebuilds the identical sketch hash-for-hash.
     "profile_kmv_distinct" -> ((s, d) => {
-      val sh = docs(s, d).select(col("source"),
-        explode(TextAnalysis.ngrams(col("text"), 3)).as("g"))
+      // ONE corpus explode + ONE distinct shuffle feed BOTH passes: KMV
+      // is multiplicity-insensitive (kmvSignature distincts its hashes
+      // anyway), so the sketch built over distinct (source, gram) pairs
+      // is bit-identical to one over raw occurrences — and the md5 hash
+      // pass now runs at vocabulary scale, not corpus scale. The exact
+      // readback is a partial-aggregatable count over the same frame.
+      val sh = Caches.persist(docs(s, d).select(col("source"),
+        explode(TextAnalysis.ngrams(col("text"), 3)).as("g")).distinct())
       val est = graft.analytics.Sketches.kmvDistinct(sh, col("source"),
         col("g"), k = 64)
       val exact = sh.groupBy(col("source"))
-        .agg(countDistinct(col("g")).cast("long").as("exact_distinct"))
+        .agg(count(lit(1)).cast("long").as("exact_distinct"))
       exact.join(est.withColumnRenamed("grp", "source"), Seq("source"))
         .select(col("source"), col("est_distinct"), col("exact_distinct"),
           round(abs(col("est_distinct") - col("exact_distinct"))
@@ -2209,12 +2215,16 @@ object ContentQueries {
     // linear-counting table), so the oracle replays the sketch to hash
     // equality; est vs exact error is reported, not hidden.
     "profile_hll_distinct" -> ((s, d) => {
-      val sh = docs(s, d).select(col("source"),
-        explode(TextAnalysis.ngrams(col("text"), 3)).as("g"))
+      // same one-explode/one-distinct sharing as profile_kmv_distinct:
+      // HLL registers are max-folds, so duplicates never move them —
+      // the distinct (source, gram) frame gives bit-identical registers
+      // with the md5 bucket/rho pass at vocabulary scale
+      val sh = Caches.persist(docs(s, d).select(col("source"),
+        explode(TextAnalysis.ngrams(col("text"), 3)).as("g")).distinct())
       val est = graft.analytics.Sketches.hllDistinct(sh, col("source"),
         col("g"), p = 9)
       val exact = sh.groupBy(col("source"))
-        .agg(countDistinct(col("g")).cast("long").as("exact_distinct"))
+        .agg(count(lit(1)).cast("long").as("exact_distinct"))
       exact.join(est.withColumnRenamed("grp", "source"), Seq("source"))
         .select(col("source"), col("est_distinct"), col("exact_distinct"),
           round(abs(col("est_distinct") - col("exact_distinct"))
@@ -2246,6 +2256,12 @@ object ContentQueries {
     // BOTH builds (two slice register tables, the union-max merge, the
     // single pass) and the merge_exact equality.
     "profile_hll_merge" -> ((s, d) => {
+      // NOTE: unlike profile_kmv/hll_distinct, a pre-distinct does NOT
+      // pay here — the frame is already persisted once for all four
+      // consumers, and an A/B measured the added corpus-scale distinct
+      // shuffle costing more than the three vocab-scale md5 passes it
+      // saves (2.79 s → 3.56 s at sf0.1), so the raw exploded cache
+      // stays.
       val base = graft.analytics.Caches.persist(
         docs(s, d).select(col("doc_id"), col("source"),
           explode(TextAnalysis.ngrams(col("text"), 3)).as("g")))
@@ -5103,8 +5119,8 @@ object ContentQueries {
         |  FROM q JOIN p USING (term) JOIN dft USING (term), st
         |  WHERE dft.df <= st.n_docs * 0.25 AND p.doc_id <> q.q_id),
         |s AS (SELECT q_id, doc_id,
-        |    round(list_reduce(list(c ORDER BY term),
-        |      (x, y) -> x + y), 4) AS bm25
+        |    round(CAST(sum(CAST(round(c * 1000000.0, 0) AS BIGINT))
+        |      AS BIGINT) / 1000000.0, 4) AS bm25
         |  FROM h GROUP BY q_id, doc_id),
         |spk AS (SELECT q_id, id, rank_a FROM (SELECT q_id, doc_id AS id,
         |    bm25, row_number() OVER (PARTITION BY q_id
@@ -6574,10 +6590,11 @@ object ContentQueries {
 
     // independent inverted-index retrieval replay: postings + df table,
     // the same df cap, per-hit BM25 contributions in the engine's exact
-    // operand order, TERM-ORDERED left-fold summation (list_reduce over
-    // list(c ORDER BY term) — matching Spark's sorted aggregate fold,
-    // and 0.0 + c1 == c1 so the missing init changes nothing), then the
-    // identical rounded-score/doc_id ranking window
+    // operand order, quantized to integer MICROS per hit and summed as
+    // order-free int64 (matching Spark's partial-aggregatable micro
+    // sum; contributions are non-negative so both engines' half-up/
+    // half-away rounding agree), then the identical rounded-score/
+    // doc_id ranking window
     "text_bm25_retrieve" ->
       """WITH t AS (SELECT doc_id,
         |    list_transform(range(1, greatest(len(w) - 1, 1) + 1),
@@ -6604,8 +6621,8 @@ object ContentQueries {
         |  FROM q JOIN p USING (term) JOIN dft USING (term), st
         |  WHERE dft.df <= st.n_docs * 0.25 AND p.doc_id <> q.q_id),
         |s AS (SELECT q_id, doc_id,
-        |    round(list_reduce(list(c ORDER BY term),
-        |      (x, y) -> x + y), 4) AS bm25
+        |    round(CAST(sum(CAST(round(c * 1000000.0, 0) AS BIGINT))
+        |      AS BIGINT) / 1000000.0, 4) AS bm25
         |  FROM h GROUP BY q_id, doc_id),
         |r AS (SELECT q_id, doc_id, bm25, row_number() OVER (
         |    PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rank
