@@ -168,27 +168,34 @@ object Privacy {
     * debiased frequency in micros, and the absolute debias error. */
   def randomizedResponse(df: DataFrame, id: Column, category: Column,
                          salt: String = "rr"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val base = df.select(id.cast("string").as("id"),
       category.cast("string").as("cat"))
-    val cats = base.select(col("cat")).distinct()
-      .withColumn("idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("cat"))) - 1)
-    val k = cats.count()
+    // ONE category-keyed aggregate yields the dictionary, k, N, and the
+    // true counts together (|categories| rows — a model-scale driver
+    // fold, the centroid-collect discipline); the corpus is then
+    // scanned exactly once more for the report pass — no separate
+    // distinct job, no separate count() job
+    val truthRows = base.groupBy(col("cat"))
+      .agg(count(lit(1)).cast("long").as("c_true"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val k = truthRows.length.toLong
     require(k >= 1, "randomizedResponse needs a non-empty category domain")
+    val n = truthRows.map(_._2).sum
+    val cats = truthRows.zipWithIndex
+      .map { case ((c, t), i) => (c, i.toLong, t) }
+      .toSeq.toDF("cat", "idx", "c_true")
     def bucket(s: String, mod: Long): Column =
       pmod(conv(substring(md5(concat(lit(s + ":"), col("id"))), 1, 15),
         16, 10).cast("long"), lit(mod))
     val reported = base
-      .join(broadcast(cats), Seq("cat"))
+      .join(broadcast(cats.select(col("cat"), col("idx"))), Seq("cat"))
       .withColumn("rep_idx",
         when(bucket(salt + "1", 100L) < 75L, col("idx"))
           .otherwise(bucket(salt + "2", k)))
       .groupBy(col("rep_idx")).agg(count(lit(1)).cast("long").as("c_rep"))
-    val truth = base.groupBy(col("cat"))
-      .agg(count(lit(1)).cast("long").as("c_true"))
-    val n = base.count()
     cats
-      .join(truth, Seq("cat"), "left")
       .join(reported.withColumnRenamed("rep_idx", "idx"), Seq("idx"), "left")
       .select(col("cat"),
         coalesce(col("c_true"), lit(0L)).as("n_true"),

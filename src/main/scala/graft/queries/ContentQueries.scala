@@ -970,6 +970,35 @@ object ContentQueries {
         col("n_chars"), budget = 2000L)
         .orderBy(col("stratum"))),
 
+    // The Neyman allocation MATERIALIZED — sample_neyman decides the
+    // per-stratum budgets, this row cuts the corpus to them: each source
+    // contributes its alloc docs in deterministic md5 order (the
+    // sample_mix_waterfill cut idiom). taken < alloc surfaces the
+    // under-filled-stratum case (Neyman can assign a small, highly
+    // varied stratum more than it has — the capped readback is the
+    // honest manifest a sampler ships). Scale: the allocation broadcasts
+    // (|strata| rows); the corpus pays one source-keyed window.
+    "pipeline_neyman_sample" -> ((s, d) => {
+      val alloc = graft.analytics.Mix.neymanAllocation(docs(s, d),
+        col("source"), col("n_chars"), budget = 2000L)
+        .select(col("stratum").as("source"), col("alloc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val taken = docs(s, d)
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(alloc), Seq("source"))
+        .filter(col("rn") <= col("alloc"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_taken"),
+          sum(col("n_chars")).cast("long").as("chars_sampled"))
+      alloc.join(taken, Seq("source"), "left")
+        .select(col("source"), col("alloc"),
+          coalesce(col("n_taken"), lit(0L)).as("n_taken"),
+          coalesce(col("chars_sampled"), lit(0L)).as("chars_sampled"))
+        .orderBy(col("source"))
+    }),
+
     "mix_waterfill" -> ((s, d) =>
       graft.analytics.Mix.waterfillAlloc(mixSources(s, d),
         col("source"), col("cap"), col("wt"), budget = 15000.0)
@@ -4553,6 +4582,52 @@ object ContentQueries {
         |  CAST(base + CASE WHEN rk <= leftn THEN 1 ELSE 0 END AS BIGINT)
         |    AS alloc
         |FROM r ORDER BY stratum""".stripMargin,
+
+    // the Neyman chain replayed end-to-end, then the same md5-ordered
+    // per-stratum cut and capped readback
+    "pipeline_neyman_sample" ->
+      """WITH st AS (SELECT source AS stratum,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s1,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |  FROM documents GROUP BY 1),
+        |sd AS (SELECT stratum, n,
+        |    CAST(floor(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2
+        |        - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE)
+        |        * CAST(greatest(n - 1, 1) AS DOUBLE))) * 1000.0)
+        |      AS BIGINT) AS sd_kilo
+        |  FROM st),
+        |w AS (SELECT *, n * sd_kilo AS w FROM sd),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+        |    CAST(sum(n) AS BIGINT) AS tn FROM w),
+        |e AS (SELECT stratum, n, sd_kilo,
+        |    CASE WHEN (SELECT tw FROM t) > 0
+        |      THEN (2000 * w) // (SELECT tw FROM t)
+        |      ELSE (2000 * n) // (SELECT tn FROM t) END AS base,
+        |    CASE WHEN (SELECT tw FROM t) > 0
+        |      THEN (2000 * w) % (SELECT tw FROM t)
+        |      ELSE (2000 * n) % (SELECT tn FROM t) END AS rem
+        |  FROM w),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY rem DESC, stratum) AS rk,
+        |    2000 - (SELECT sum(base) FROM e) AS leftn FROM e),
+        |al AS (SELECT stratum AS source,
+        |    CAST(base + CASE WHEN rk <= leftn THEN 1 ELSE 0 END AS BIGINT)
+        |      AS alloc FROM r),
+        |rn AS (SELECT source, n_chars, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents),
+        |tk AS (SELECT rn.source, CAST(count(*) AS BIGINT) AS n_taken,
+        |    CAST(sum(rn.n_chars) AS BIGINT) AS chars_sampled
+        |  FROM rn JOIN al USING (source) WHERE rn.rn <= al.alloc
+        |  GROUP BY 1)
+        |SELECT al.source, al.alloc,
+        |  COALESCE(tk.n_taken, 0) AS n_taken,
+        |  COALESCE(tk.chars_sampled, 0) AS chars_sampled
+        |FROM al LEFT JOIN tk USING (source)
+        |ORDER BY al.source""".stripMargin,
 
     "sample_token_budget" ->
       """WITH t AS (SELECT source, doc_id,

@@ -270,4 +270,63 @@ class SparkPropertySpec extends SparkSuite {
         s"trial $trial (flush=$flushSize): got=$got\n model=$model")
     }
   }
+
+  test("triangles equals the brute-force per-node count on generated " +
+    "random graphs (the compact-forward orientation loses nothing)") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = (0 until n * 2).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        // reference model: symmetrized adjacency, count adjacent pairs
+        // of neighbors per node, each triangle seen once per corner
+        val adj = (edges ++ edges.map(_.swap)).distinct
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+        val model = adj.map { case (v, ns) =>
+          val pairs = ns.toSeq.combinations(2).count {
+            case Seq(a, b) => adj.getOrElse(a, Set.empty).contains(b)
+            case _ => false
+          }
+          v -> pairs.toLong
+        }
+        val got = graft.analytics.Graph.triangles(
+          edges.toDF("src", "dst"), col("src"), col("dst"))
+          .as[(Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> r._2).toMap
+        assert(got == model,
+          s"trial $trial: got=$got\n model=$model\n edges=$edges")
+        graft.analytics.Caches.clear()
+      }
+    }
+  }
+
+  test("neymanAllocation apportions the budget exactly and " +
+    "monotonically favors the higher-N_h*S_h stratum on generated data") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 5) {
+      val nStrata = 2 + rnd.nextInt(4)
+      val rows = (0 until nStrata).flatMap { s =>
+        val cnt = 2 + rnd.nextInt(8)
+        (0 until cnt).map(_ => (s"s$s", rnd.nextInt(1000).toLong))
+      }
+      val budget = 10L + rnd.nextInt(90)
+      val got = graft.analytics.Mix.neymanAllocation(
+        rows.toDF("s", "x"), col("s"), col("x"), budget)
+        .as[(String, Long, Long, Long)].collect()
+      assert(got.map(_._4).sum == budget,
+        s"trial $trial: sum ${got.map(_._4).sum} != $budget: ${got.toSeq}")
+      assert(got.forall(_._4 >= 0), got.toSeq)
+      // weights w = n*sd_kilo: base shares must be weight-monotone
+      // (largest remainder can add at most 1)
+      val byW = got.sortBy(r => r._2 * r._3)
+      byW.sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(lo._4 <= hi._4 + 1,
+            s"trial $trial not weight-monotone: $lo vs $hi")
+        case _ =>
+      }
+    }
+  }
 }
