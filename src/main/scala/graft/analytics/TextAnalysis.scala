@@ -322,6 +322,58 @@ object TextAnalysis {
           .as("chunk_text")))
   }
 
+  /** Exact next-fit-decreasing sequence packing (the training-batch
+    * assembly step: fill fixed-capacity context windows with whole
+    * documents, longest first, open a new bin when the next doc no
+    * longer fits). Unlike `tokenChunks` (which SPLITS one document into
+    * windows) this PACKS many documents per window — the step that
+    * decides padding waste for a training run, so the utilization
+    * readout is the metric the operator is run for.
+    *
+    * Packing is inherently sequential per stratum (each decision needs
+    * the running bin fill), so this is the engine's one justified
+    * `mapPartitions` fold: rows hash-partition by stratum and sort
+    * (stratum, size desc, id) within partitions, then a single forward
+    * pass assigns bins — exact next-fit-decreasing, deterministic, one
+    * shuffle. Parallelism = strata; a single giant stratum at 100 TB
+    * pre-shards by a hash of id (pack within shard — identical
+    * utilization bound, since NFD's guarantee is per-run) before the
+    * fold. An item larger than the capacity gets a bin of its own
+    * (utilization > 1e6 micro — surfaced, not clamped).
+    *
+    * Output: one row per (stratum, bin): `(src, bin, n_docs, tokens)`.
+    * The DuckDB oracle replays the fold as a per-stratum recursive CTE
+    * in the same (size desc, id) order — bin-for-bin identical. */
+  def nextFitPack(df: org.apache.spark.sql.DataFrame, stratum: Column,
+                  id: Column, size: Column, capacity: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(capacity >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(stratum.cast("string").as("src"), id.cast("long").as("id"),
+        size.cast("long").as("sz"))
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src"), col("sz").desc, col("id"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        // forward fold; strata are contiguous after the within-partition
+        // sort, so state resets exactly at stratum boundaries
+        var cur: String = null
+        var bin = 0L
+        var cum = 0L
+        it.map { case (s, i, z) =>
+          if (s != cur) { cur = s; bin = 1L; cum = z }
+          else if (cum + z <= capacity) { cum += z }
+          else { bin += 1L; cum = z }
+          (s, bin, i, z)
+        }
+      }
+      .toDF("src", "bin", "id", "sz")
+      .groupBy(col("src"), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("sz")).cast("long").as("tokens"))
+  }
+
   /** Canonical text normalization for corpus preparation: Unicode NFC
     * (native expression — Spark has no builtin), lowercase, collapse
     * whitespace runs, trim. Run this before fingerprinting/dedup so

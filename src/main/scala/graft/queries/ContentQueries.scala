@@ -1690,6 +1690,24 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Exact next-fit-decreasing sequence packing: whole documents into
+    // 512-token context windows per source, longest first — the
+    // training-batch assembly step whose utilization readout decides
+    // padding waste. The engine's one justified mapPartitions fold
+    // (packing is sequential per stratum by definition); the oracle
+    // replays it as a per-source recursive CTE in the same
+    // (size desc, id) order, bin-for-bin. util_micro > 1e6 marks an
+    // oversize single-doc bin (surfaced, not clamped).
+    "pack_nextfit" -> ((s, d) =>
+      TextAnalysis.nextFitPack(
+          docs(s, d).select(col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("sz")),
+          col("source"), col("doc_id"), col("sz"), capacity = 512L)
+        .select(col("src").as("source"), col("bin"), col("n_docs"),
+          col("tokens"),
+          expr("(tokens * 1000000L) div 512L").as("util_micro"))
+        .orderBy(col("source"), col("bin"))),
+
     // Overlapping token-window chunking: 32-token windows every 24 tokens
     // (8-token overlap) — context-window preparation for training.
     "pack_chunks_overlap" -> ((s, d) =>
@@ -6704,6 +6722,32 @@ object ContentQueries {
         |  FROM s)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, bm25
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // the sequential packing fold replayed as a per-source recursive
+    // CTE: all sources advance in rank lockstep, each step either fills
+    // the open bin or opens the next — identical to the Spark fold
+    "pack_nextfit" ->
+      """WITH RECURSIVE d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS sz
+        |  FROM documents),
+        |rk AS (SELECT source, doc_id, sz, row_number() OVER (
+        |    PARTITION BY source ORDER BY sz DESC, doc_id) AS rn FROM d),
+        |r AS (
+        |  SELECT source, doc_id, sz, rn,
+        |      CAST(1 AS BIGINT) AS bin, sz AS cum
+        |    FROM rk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT k.source, k.doc_id, k.sz, k.rn,
+        |      CASE WHEN r.cum + k.sz <= 512 THEN r.bin
+        |        ELSE r.bin + 1 END AS bin,
+        |      CASE WHEN r.cum + k.sz <= 512 THEN r.cum + k.sz
+        |        ELSE k.sz END AS cum
+        |    FROM r JOIN rk k ON k.source = r.source AND k.rn = r.rn + 1)
+        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(sz) AS BIGINT) AS tokens,
+        |  (CAST(sum(sz) AS BIGINT) * 1000000) // 512 AS util_micro
+        |FROM r GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin,
 
     "pack_chunks_overlap" ->
       """WITH t AS (SELECT doc_id,

@@ -636,4 +636,41 @@ class TextAnalysisSpec extends SparkSuite {
       .collect().map(_.getString(0))
     assert(order.sameElements(Array("a", "b", "c", "d", "~macro")))
   }
+
+  test("nextFitPack: hand-checked NFD bins per stratum, oversize docs " +
+    "get their own bin, replay-deterministic") {
+    // stratum A sizes desc: 60, 50, 40, 30, 20 at capacity 100:
+    //   bin1 = {60}+{50}? 60+50=110 > 100 -> bin1={60,40} NO — next-fit
+    //   is SEQUENTIAL: 60 -> bin1(60); 50: 110>100 -> bin2(50);
+    //   40: 50+40=90 <= 100 -> bin2(90); 30: 120>100 -> bin3(30);
+    //   20: 50 <= 100 -> bin3(50). bins: (1,[60]) (2,[50,40]) (3,[30,20])
+    // stratum B: one 250-token doc at capacity 100 -> its own bin.
+    val rows = Seq(("A", 1L, 30L), ("A", 2L, 60L), ("A", 3L, 50L),
+      ("A", 4L, 20L), ("A", 5L, 40L), ("B", 6L, 250L))
+    def run() = TextAnalysis.nextFitPack(rows.toDF("s", "id", "sz"),
+      col("s"), col("id"), col("sz"), capacity = 100L)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      .toSeq
+    val got = run()
+    assert(got == Seq(("A", 1L, 1L, 60L), ("A", 2L, 2L, 90L),
+      ("A", 3L, 2L, 50L), ("B", 1L, 1L, 250L)), s"got $got")
+    assert(got == run(), "packing must replay identically")
+    // NFD never exceeds capacity except on oversize singletons
+    assert(got.filter(_._1 == "A").forall(_._4 <= 100L))
+  }
+
+  test("nextFitPack: equal sizes tie-break on id and the fold resets " +
+    "exactly at stratum boundaries (no bleed between strata)") {
+    // two strata, identical content: bins must be identical per stratum
+    val rows = (1L to 6L).map(i => ("X", i, 40L)) ++
+      (11L to 16L).map(i => ("Y", i, 40L))
+    val got = TextAnalysis.nextFitPack(rows.toDF("s", "id", "sz"),
+      col("s"), col("id"), col("sz"), capacity = 100L)
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4))
+        .sortBy(_._1).toSeq).toMap
+    // 6 docs of 40 at cap 100 -> bins of 2: (1,2,80)(2,2,80)(3,2,80)
+    val expect = Seq((1L, 2L, 80L), (2L, 2L, 80L), (3L, 2L, 80L))
+    assert(got("X") == expect && got("Y") == expect, s"got $got")
+  }
 }
