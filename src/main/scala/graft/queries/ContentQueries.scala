@@ -3448,6 +3448,61 @@ object ContentQueries {
         col("y"), bins = 16).orderBy(col("bin"))
     }),
 
+    // Split-conformal prediction (Vovk 2005; Angelopoulos & Bates 2023
+    // framing): the distribution-free coverage guarantee a filter's
+    // probabilities get turned into before anyone trusts them. Proper
+    // three-way split — LR trained on even doc_ids (frozen model),
+    // nonconformity s = 1e6·(1 − p̂(true)) calibrated on doc_id%4==1,
+    // coverage evaluated on doc_id%4==3. q̂ = the ⌈(n+1)(1−α)⌉-th
+    // smallest calibration score at α=.1, found by the engine's
+    // histogram-rank discipline (≤1e6+1 distinct micro scores at any
+    // corpus size — no global sort); prediction set = {c : s(c) ≤ q̂}.
+    // Readout per true class: the CONDITIONAL coverage diagnostic
+    // (marginal coverage can hide a class the model never covers).
+    // All integer micros; an undersized calibration set (rank beyond
+    // n) degrades to q̂ = 1e6 = cover-everything, surfaced not thrown.
+    "eval_conformal" -> ((s, d) => {
+      val doc = docs(s, d)
+      val w = TextAnalysis.logisticFit(
+        doc.filter(col("doc_id") % 2 === 0), col("text"),
+        col("lang") === "en").last
+      val scored = TextAnalysis.logisticScore(doc, col("doc_id"),
+        col("text"), col("lang") === "en", w)
+        .withColumn("pm", round(col("p") * 1e6, 0).cast("long"))
+      val calib = scored.filter(col("doc_id") % 4 === 1)
+        .select(when(col("y") === 1, lit(1000000L) - col("pm"))
+          .otherwise(col("pm")).as("sc"))
+      val win = org.apache.spark.sql.expressions.Window.orderBy(col("sc"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      // histogram → cumulative rank on the ≤1e6-cell distinct frame
+      val qhat = calib.groupBy(col("sc"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .crossJoin(broadcast(
+          calib.agg(count(lit(1)).cast("long").as("n"))))
+        .withColumn("cum", sum(col("c")).over(win))
+        .filter(col("cum") >= expr("((n + 1) * 9 + 9) div 10"))
+        .agg(min(col("sc")).cast("long").as("qhat"))
+      scored.filter(col("doc_id") % 4 === 3)
+        .crossJoin(broadcast(qhat))
+        .withColumn("q", coalesce(col("qhat"), lit(1000000L)))
+        .withColumn("in1",
+          (lit(1000000L) - col("pm") <= col("q")).cast("long"))
+        .withColumn("in0", (col("pm") <= col("q")).cast("long"))
+        .groupBy(col("y").cast("long").as("y"))
+        .agg(count(lit(1)).cast("long").as("n_test"),
+          sum(when(col("y") === 1, col("in1")).otherwise(col("in0")))
+            .cast("long").as("covered"),
+          sum(col("in0") + col("in1")).cast("long").as("set_sz"),
+          max(col("q")).cast("long").as("qhat_micro"))
+        .select(col("y"), col("n_test"),
+          expr("(covered * 1000000L) div n_test").as("cov_micro"),
+          expr("(set_sz * 1000000L) div n_test").as("avg_set_micro"),
+          col("qhat_micro"))
+        .orderBy(col("y"))
+    }),
+
     // Threshold-free ranking quality of the trained LR filter: exact
     // ROC-AUC (tie-aware Mann-Whitney) + average precision from the
     // 6-dp score-cell histogram — corpus work is ONE hash aggregate,
@@ -7494,6 +7549,53 @@ object ContentQueries {
     // *1e12 rounds to an integer both engines agree on; a plain
     // round(z, 6) would hit exact .5 ties) — identical BIGINT, then one
     // identical IEEE division
+    // the conformal chain replayed: LR trained on the even half via the
+    // aliased feature view, pico-logit scoring for everyone, the same
+    // histogram-rank q̂ at ⌈(n+1)·0.9⌉, the same per-class readout
+    "eval_conformal" ->
+      s"""WITH fx AS ($lrFeatureSql),
+         |f AS (SELECT * FROM fx WHERE doc_id % 2 = 0),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+         |lw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+         |  0.0 AS w4),
+         |${lrRound(1)},
+         |${lrRound(2)},
+         |${lrRound(3)},
+         |sc AS (SELECT fx.doc_id, fx.y, ${(0 until 5).map(j =>
+             s"CAST(round(w.w$j * fx.x$j * 1000000000000.0, 0) AS BIGINT)")
+             .mkString("\n    + ")} AS lp
+         |  FROM fx CROSS JOIN lw3 w),
+         |pm AS (SELECT doc_id, y, CAST(round(
+         |      round(1.0 / (1.0 + exp(-(lp / 1000000000000.0))), 6)
+         |      * 1000000, 0) AS BIGINT) AS pm FROM sc),
+         |cal AS (SELECT CASE WHEN y = 1 THEN 1000000 - pm ELSE pm END
+         |    AS s FROM pm WHERE doc_id % 4 = 1),
+         |cn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cal),
+         |h AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM cal
+         |  GROUP BY 1),
+         |cm AS (SELECT s, CAST(sum(c) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum FROM h),
+         |qh AS (SELECT CAST(min(s) AS BIGINT) AS qhat FROM cm, cn
+         |  WHERE cum >= (((SELECT n FROM cn) + 1) * 9 + 9) // 10),
+         |te AS (SELECT y, pm,
+         |    COALESCE((SELECT qhat FROM qh), 1000000) AS q
+         |  FROM pm WHERE doc_id % 4 = 3),
+         |ag AS (SELECT CAST(y AS BIGINT) AS y,
+         |    CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(CASE WHEN y = 1
+         |      THEN CAST(1000000 - pm <= q AS INT)
+         |      ELSE CAST(pm <= q AS INT) END) AS BIGINT) AS covered,
+         |    CAST(sum(CAST(pm <= q AS INT)
+         |      + CAST(1000000 - pm <= q AS INT)) AS BIGINT) AS set_sz,
+         |    CAST(max(q) AS BIGINT) AS qhat_micro
+         |  FROM te GROUP BY 1)
+         |SELECT y, n_test,
+         |  (covered * 1000000) // n_test AS cov_micro,
+         |  (set_sz * 1000000) // n_test AS avg_set_micro,
+         |  qhat_micro
+         |FROM ag ORDER BY y""".stripMargin,
+
     "text_lr_score" ->
       s"""WITH $lrCtes,
          |sc AS (SELECT f.doc_id, f.y, ${(0 until 5).map(j =>
@@ -8656,8 +8758,11 @@ object ContentQueries {
     * CTE `f` + corpus count `nn` + zero seed `lw0` + three unrolled
     * gradient steps, ending at lw3(w0..w4) — mirrors
     * `TextAnalysis.logisticFit(iters = 3, lr = 0.5)`. */
-  private def lrCtes: String =
-    s"""f AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
+  /** The text_quality LR feature SELECT over documents — factored so a
+    * chain can alias a FILTERED view of it as the training table `f`
+    * (eval_conformal trains on the even half) while scoring all rows. */
+  private def lrFeatureSql: String =
+    s"""SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
        |    1.0 AS x0,
        |    round(least(len(string_split(text, ' ')) / 64.0, 1.0), 6) AS x1,
        |    round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
@@ -8669,7 +8774,10 @@ object ContentQueries {
        |    round(len(list_distinct(string_split(text, ' ')))
        |      / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 6)
        |      AS x4
-       |  FROM documents),
+       |  FROM documents""".stripMargin
+
+  private def lrCtes: String =
+    s"""f AS ($lrFeatureSql),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
        |lw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
        |  0.0 AS w4),

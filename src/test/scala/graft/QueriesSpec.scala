@@ -23,6 +23,27 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("eval_conformal: the realized marginal coverage sits at the 1-α " +
+    "guarantee (within finite-sample slack), sets are non-degenerate, " +
+    "and q̂ is one global threshold") {
+    val rows = SparkEntry.queries("eval_conformal")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L))
+    val n = rows.map(_._2).sum
+    // weighted marginal coverage in micros; the conformal guarantee is
+    // ≥ 1−α in EXPECTATION over calibration draws — a fixed split's
+    // realization may dip slightly below .9, so gate at .85
+    val cov = rows.map(r => r._2 * r._3).sum / n
+    assert(cov >= 850000L, s"marginal coverage $cov below slack gate")
+    // binary task: every prediction set holds 1 or 2 labels
+    assert(rows.forall(r => r._4 >= 1000000L && r._4 <= 2000000L),
+      s"degenerate set sizes: ${rows.toSeq}")
+    assert(rows.map(_._5).distinct.length == 1,
+      "q̂ must be one global calibration threshold")
+    graft.analytics.Caches.clear()
+  }
+
   test("smoke discipline: a throwing projection escapes count() but is " +
     "caught by the noop write — the exact hazard the smoke must cover") {
     import org.apache.spark.sql.functions._
