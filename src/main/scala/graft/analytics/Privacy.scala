@@ -203,10 +203,17 @@ object Privacy {
         expr(s"(coalesce(c_true, 0L) * 1000000L) div ${n}L")
           .as("true_micro"),
         // clamp the debiased numerator at 0 (an RR estimate below zero is
-        // truncated, standard practice) — keeps the div on non-negative
-        // longs, where Spark `div` and DuckDB `//` agree exactly
-        expr(s"(1000000L * greatest(4L * ${k}L * coalesce(c_rep, 0L)" +
-          s" - ${n}L, 0L)) div (3L * ${k}L * ${n}L)").as("est_micro"))
+        // truncated, standard practice) — non-negative operands, where
+        // Spark `div` and DuckDB `//` agree exactly. The whole debias
+        // runs in decimal(38,0): 1e6·4·k·c_rep would blow int64 at
+        // k·N > ~2.3e12 (a day of telemetry at k=1000), and Spark would
+        // wrap where DuckDB throws — the decimal form is exact to 1e38
+        // (the q67 overflow discipline), mirrored as HUGEINT in the
+        // oracle
+        expr(s"CAST((1000000 * greatest(4 * CAST(${k} AS DECIMAL(38,0))" +
+          s" * coalesce(c_rep, 0L) - ${n}L, 0))" +
+          s" div (3 * CAST(${k} AS DECIMAL(38,0)) * ${n}L) AS BIGINT)")
+          .as("est_micro"))
       .withColumn("err_micro", abs(col("est_micro") - col("true_micro")))
   }
 }

@@ -1480,13 +1480,15 @@ object Similarity {
     // — the scan stays map-shaped with no (q,n,sub)-grain shuffle.
     // qdi values are exact integer micros, so the fold's sum order
     // cannot move the result vs the old groupBy sum (hash-identical).
-    val ksN = (cb.count() / m).toInt
     val lut = qTab
       .groupBy(col("q_id"))
       .agg(array_sort(collect_list(struct(col("sub"), col("j"),
         col("qdi")))).as("t"))
       .select(col("q_id"),
         transform(col("t"), x => x.getField("qdi")).as("lut"))
+    // ks derived IN-PLAN from the LUT length (m·ks entries) — no eager
+    // count job on the serve path
+    val ksN = (size(col("lut")) / lit(m)).cast("int")
     val adc = cand
       .join(broadcast(lut), Seq("q_id"))
       .select(col("q_id"), col("n_id"),

@@ -357,12 +357,16 @@ object TextAnalysis {
       .as[(String, Long, Long)]
       .mapPartitions { it =>
         // forward fold; strata are contiguous after the within-partition
-        // sort, so state resets exactly at stratum boundaries
+        // sort, so state resets exactly at stratum boundaries. An
+        // explicit first-row flag, NOT a null sentinel: a null stratum
+        // value would compare equal to the sentinel and inherit bin 0
+        // instead of opening bin 1
+        var first = true
         var cur: String = null
         var bin = 0L
         var cum = 0L
         it.map { case (s, i, z) =>
-          if (s != cur) { cur = s; bin = 1L; cum = z }
+          if (first || s != cur) { first = false; cur = s; bin = 1L; cum = z }
           else if (cum + z <= capacity) { cum += z }
           else { bin += 1L; cum = z }
           (s, bin, i, z)

@@ -947,16 +947,6 @@ object ContentQueries {
         .orderBy(col("source"))
     }),
 
-    // Water-filling mixture allocation: split a GLOBAL token budget B
-    // across sources proportional to mixture weights, capped at each
-    // source's availability, with the excess re-flowing to unsaturated
-    // sources — the allocation a training mix actually computes when a
-    // small high-weight source runs out (sample_token_budget's fixed
-    // per-source caps are this problem's INPUT, not its solution).
-    // Solver: Mix.waterfillAlloc (sort-by-breakpoint closed form, one
-    // window pass over the #sources-row aggregate). Scale: the per-
-    // source caps are the one corpus-scale aggregate; the solve runs
-    // over the tiny aggregated source list.
     // Neyman-optimal stratified allocation: a 2000-doc sample budget
     // split across sources proportionally to N_h·S_h (stratum size ×
     // internal std of n_chars) with Hamilton largest-remainder
@@ -979,9 +969,13 @@ object ContentQueries {
     // honest manifest a sampler ships). Scale: the allocation broadcasts
     // (|strata| rows); the corpus pays one source-keyed window.
     "pipeline_neyman_sample" -> ((s, d) => {
-      val alloc = graft.analytics.Mix.neymanAllocation(docs(s, d),
-        col("source"), col("n_chars"), budget = 2000L)
-        .select(col("stratum").as("source"), col("alloc"))
+      // persisted: the allocation is read by the broadcast join AND the
+      // final readback join — without the cache the corpus-scale stratum
+      // moment aggregate inside neymanAllocation runs twice
+      val alloc = graft.analytics.Caches.persist(
+        graft.analytics.Mix.neymanAllocation(docs(s, d),
+          col("source"), col("n_chars"), budget = 2000L)
+          .select(col("stratum").as("source"), col("alloc")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source"))
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
@@ -999,6 +993,16 @@ object ContentQueries {
         .orderBy(col("source"))
     }),
 
+    // Water-filling mixture allocation: split a GLOBAL token budget B
+    // across sources proportional to mixture weights, capped at each
+    // source's availability, with the excess re-flowing to unsaturated
+    // sources — the allocation a training mix actually computes when a
+    // small high-weight source runs out (sample_token_budget's fixed
+    // per-source caps are this problem's INPUT, not its solution).
+    // Solver: Mix.waterfillAlloc (sort-by-breakpoint closed form, one
+    // window pass over the #sources-row aggregate). Scale: the per-
+    // source caps are the one corpus-scale aggregate; the solve runs
+    // over the tiny aggregated source list.
     "mix_waterfill" -> ((s, d) =>
       graft.analytics.Mix.waterfillAlloc(mixSources(s, d),
         col("source"), col("cap"), col("wt"), budget = 15000.0)
@@ -3466,9 +3470,13 @@ object ContentQueries {
       val w = TextAnalysis.logisticFit(
         doc.filter(col("doc_id") % 2 === 0), col("text"),
         col("lang") === "en").last
-      val scored = TextAnalysis.logisticScore(doc, col("doc_id"),
-        col("text"), col("lang") === "en", w)
-        .withColumn("pm", round(col("p") * 1e6, 0).cast("long"))
+      // persisted: the scored frame feeds the calibration histogram, the
+      // calibration count, and the test filter — three consumers of one
+      // regex-heavy feature scan
+      val scored = Caches.persist(
+        TextAnalysis.logisticScore(doc, col("doc_id"),
+          col("text"), col("lang") === "en", w)
+          .withColumn("pm", round(col("p") * 1e6, 0).cast("long")))
       val calib = scored.filter(col("doc_id") % 4 === 1)
         .select(when(col("y") === 1, lit(1000000L) - col("pm"))
           .otherwise(col("pm")).as("sc"))
@@ -8115,9 +8123,11 @@ object ContentQueries {
         |    COALESCE(r.c_rep, 0) AS n_reported,
         |    (COALESCE(t.c_true, 0) * 1000000) // (SELECT n FROM nn)
         |      AS true_micro,
-        |    (1000000 * greatest(4 * (SELECT k FROM kk)
-        |        * COALESCE(r.c_rep, 0) - (SELECT n FROM nn), 0))
-        |      // (3 * (SELECT k FROM kk) * (SELECT n FROM nn))
+        |    CAST((1000000 * greatest(4 * CAST((SELECT k FROM kk)
+        |          AS HUGEINT) * COALESCE(r.c_rep, 0)
+        |        - (SELECT n FROM nn), 0))
+        |      // (3 * CAST((SELECT k FROM kk) AS HUGEINT)
+        |        * (SELECT n FROM nn)) AS BIGINT)
         |      AS est_micro
         |  FROM cats c LEFT JOIN tr t USING (cat)
         |    LEFT JOIN repc r ON r.rep_idx = c.idx)
