@@ -1704,6 +1704,52 @@ object RelationalQueries {
           (col("z2").isNotNull && col("z2") >= col("bound2"))
             .cast("long"))
         .orderBy(col("look"))
+    }),
+
+    // Theil–Sen robust trend ESTIMATE per event type (Theil 1950, Sen
+    // 1968) — the companion to q59's Mann-Kendall trend TEST: the
+    // median of all pairwise slopes over the hourly series, immune to
+    // the outlier hours that wreck an OLS fit (breakdown point 29%).
+    // Scale: the corpus folds to T hourly cells first (ONE aggregate),
+    // so the O(T²) pair stage is bounded by the TIME RANGE, never the
+    // row count — at 100 TB T is still ~#hours. Slopes in integer
+    // micros via floor over an exact-integer double quotient (inputs
+    // < 2^53, IEEE division — identical both engines, and floor
+    // sidesteps the Spark-div-truncates / DuckDB-//-floors mismatch on
+    // negative slopes); median by the grouped histogram-rank
+    // discipline, mean-of-two-middles as one rounded double.
+    "q69_theil_sen" -> ((s, d) => {
+      val win = org.apache.spark.sql.expressions.Window
+      val cells = graft.analytics.Caches.persist(
+        T(s, d, "events").select(col("event_type"),
+          expr("unix_micros(date_trunc('hour', cast(ts as timestamp)))" +
+            " div 3600000000").as("h"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(sum(col("cents")).cast("long").as("y")))
+      val a = cells.select(col("event_type"), col("h").as("h1"),
+        col("y").as("y1"))
+      val b = cells.select(col("event_type"), col("h").as("h2"),
+        col("y").as("y2"))
+      val slopes = a.join(b, Seq("event_type"))
+        .filter(col("h2") > col("h1"))
+        .select(col("event_type"),
+          floor(((col("y2") - col("y1")) * lit(1000000L)).cast("double")
+            / (col("h2") - col("h1")).cast("double")).cast("long")
+            .as("sm"))
+      val hist = slopes.groupBy(col("event_type"), col("sm"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          win.partitionBy(col("event_type")).orderBy(col("sm"))))
+        .withColumn("n", sum(col("c")).over(
+          win.partitionBy(col("event_type"))))
+      hist.groupBy(col("event_type"))
+        .agg(max(col("n")).cast("long").as("n_pairs"),
+          round((
+            min(when(col("cum") >= expr("(n + 1L) div 2L"), col("sm"))) +
+            min(when(col("cum") >= expr("(n + 2L) div 2L"), col("sm"))))
+            / 2.0, 1).as("slope_med_micro"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2703,6 +2749,34 @@ object RelationalQueries {
         |  CAST(CASE WHEN z2 IS NOT NULL AND z2 >= bound2
         |    THEN 1 ELSE 0 END AS BIGINT) AS reject
         |FROM zc ORDER BY look""".stripMargin,
+
+    // pairwise-slope replay: same hour cells, same floored exact-double
+    // quotient micros, same histogram-rank mean-of-two-middles
+    "q69_theil_sen" ->
+      """WITH cells AS (SELECT event_type,
+        |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      // 3600000000 AS h,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (SELECT a.event_type,
+        |    CAST(floor(CAST((b.y - a.y) * 1000000 AS DOUBLE)
+        |      / CAST(b.h - a.h AS DOUBLE)) AS BIGINT) AS sm
+        |  FROM cells a JOIN cells b ON b.event_type = a.event_type
+        |    AND b.h > a.h),
+        |h AS (SELECT event_type, sm, CAST(count(*) AS BIGINT) AS c
+        |  FROM sl GROUP BY 1, 2),
+        |r AS (SELECT event_type, sm, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY sm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+        |  round((min(CASE WHEN cum >= (n + 1) // 2 THEN sm END)
+        |    + min(CASE WHEN cum >= (n + 2) // 2 THEN sm END)) / 2.0, 1)
+        |    AS slope_med_micro
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q25_percentile" ->
       """SELECT l_returnflag,
