@@ -440,11 +440,26 @@ object Bench {
           excludeSelf = true).count())
         graft.analytics.Caches.clear(); s
       }
+      // triangles on the same synthetic 8-out-degree graph: bounded
+      // degree, so compact-forward's oriented fan-out is O(1) per node
+      // and the 10x ratio evidences the near-linear claim (the O(√m)
+      // arboricity bound is the worst case, not this graph's)
+      def tri(n: Long): Double = {
+        val nodes = spark.range(n).select(col("id").as("src"))
+        val edges = nodes.select(col("src"),
+            explode(sequence(lit(1L), lit(8L))).as("j"))
+          .select(col("src"), ((col("src") * 31 + col("j") * 7919) % n).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val s = t(graft.analytics.Graph.triangles(edges, col("src"),
+          col("dst")).count())
+        graft.analytics.Caches.clear(); s
+      }
       val (s1, s10) = (sub(d1), sub(d10))
       val (b1, b10) = (bm25(d1), bm25(d10))
       val bfq10 = bm25FixedQ(d10, 250L)
       val (g1, g10) = (graph(5000L), graph(50000L))
-      f"""{"substr_1x":$s1%.3f,"substr_10x":$s10%.3f,"substr_ratio":${s10 / s1}%.2f,"bm25_1x":$b1%.3f,"bm25_10x":$b10%.3f,"bm25_ratio":${b10 / b1}%.2f,"bm25_fixedq_10x":$bfq10%.3f,"bm25_fixedq_ratio":${bfq10 / b1}%.2f,"pagerank_1x":$g1%.3f,"pagerank_10x":$g10%.3f,"pagerank_ratio":${g10 / g1}%.2f}"""
+      val (t1, t10) = (tri(5000L), tri(50000L))
+      f"""{"substr_1x":$s1%.3f,"substr_10x":$s10%.3f,"substr_ratio":${s10 / s1}%.2f,"bm25_1x":$b1%.3f,"bm25_10x":$b10%.3f,"bm25_ratio":${b10 / b1}%.2f,"bm25_fixedq_10x":$bfq10%.3f,"bm25_fixedq_ratio":${bfq10 / b1}%.2f,"pagerank_1x":$g1%.3f,"pagerank_10x":$g10%.3f,"pagerank_ratio":${g10 / g1}%.2f,"triangles_1x":$t1%.3f,"triangles_10x":$t10%.3f,"triangles_ratio":${t10 / t1}%.2f}"""
     }
     // Failures must be machine-loud, not just a -1.0 sentinel buried in the
     // metrics (round 8's bench read as rc:0 with six dead queries): name
