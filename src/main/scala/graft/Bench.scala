@@ -105,7 +105,8 @@ object Bench {
     "sim_topk_ivf_compacted", "pipeline_doremi_mix", "dedup_intra_doc",
     "graph_triangles", "emb_rp_project", "q68_group_seq",
     "privacy_rr_freq", "sample_neyman", "pipeline_neyman_sample",
-    "pack_nextfit", "eval_conformal", "q69_theil_sen")
+    "pack_nextfit", "eval_conformal", "q69_theil_sen",
+    "q70_attribution", "sim_topk_ivf_deleted")
 
   /** Every registered query belongs to exactly one bench surface: the
     * headline set, a round-addition group, or — for everything else —

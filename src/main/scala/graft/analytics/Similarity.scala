@@ -1295,6 +1295,48 @@ object Similarity {
       .parquet(s"$indexDir/corpus")
   }
 
+  /** Tombstone DELETE for the persisted IVF index — the missing verb of
+    * the build/serve/append/compact lifecycle (GDPR erasure, licensing
+    * takedowns, dedup-after-the-fact all hit a live index). Deletes are
+    * LOGICAL: ids append to a `tombstones/` side table (distinct,
+    * idempotent — re-deleting an id is a no-op by anti-join semantics),
+    * serving anti-joins them out of the candidate pool, and the next
+    * `compactIvfIndex` folds them into the rewrite and retires the
+    * tombstone table. Nothing touches the `list_id=` data objects at
+    * delete time — the delete is O(|ids|) regardless of index size,
+    * exactly the FAISS `remove_ids`-deferred / Lucene delete-bitmap
+    * discipline. Crash contract: tombstones surviving a crashed
+    * compaction re-apply harmlessly (anti-join of already-removed
+    * rows). */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, ids: DataFrame,
+                         id: Column): Unit =
+    ids.select(id.cast("long").as("n_id")).distinct()
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+
+  /** The tombstone table if any deletes were ever issued. */
+  private def ivfTombstones(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$indexDir/tombstones")
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Drop tombstoned rows from a served candidate frame (broadcast
+    * anti-join — the tombstone table is id-only and tiny relative to
+    * the index). */
+  private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String,
+                             cand: DataFrame): DataFrame =
+    ivfTombstones(spark, indexDir) match {
+      case Some(ts) => cand.join(
+        broadcast(ts.select(col("n_id")).distinct()), Seq("n_id"),
+        "left_anti")
+      case None => cand
+    }
+
   /** The STREAMING face of `appendToIvfIndex` — an exactly-once
     * per-micro-batch append for `foreachBatch`: a replayed batch (the
     * at-least-once delivery every streaming sink must survive) lands on
@@ -1389,7 +1431,11 @@ object Similarity {
     }
     val before = dataFiles(corpus)
     fs.delete(staged, true)
-    spark.read.parquet(corpus.toString)
+    // tombstones fold into the rewrite: the compacted index physically
+    // drops deleted rows, then the tombstone table retires. A crash
+    // after the promote but before the retire is safe — the surviving
+    // tombstones anti-join already-absent rows at serve time
+    dropTombstoned(spark, indexDir, spark.read.parquet(corpus.toString))
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(staged.toString)
@@ -1397,6 +1443,7 @@ object Similarity {
     require(fs.rename(corpus, parked), "compaction swap failed (park)")
     require(fs.rename(staged, corpus), "compaction swap failed (promote)")
     fs.delete(parked, true)
+    fs.delete(new Path(s"$indexDir/tombstones"), true)
     (before, dataFiles(corpus))
   }
 
@@ -1532,8 +1579,11 @@ object Similarity {
     val probes = Clustering.probe(q, col("q_v"), model, nProbe)
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val idx = spark.read.parquet(s"$indexDir/corpus")
-      .filter(col("list_id").isin(probedLists: _*))
+    // tombstoned ids leave the candidate pool here (logical deletes —
+    // the data objects are untouched until the next compaction)
+    val idx = dropTombstoned(spark, indexDir,
+      spark.read.parquet(s"$indexDir/corpus")
+        .filter(col("list_id").isin(probedLists: _*)))
     topKExplode(
       idx.join(broadcast(probes), Seq("list_id"))
         .filter(col("q_id") =!= col("n_id"))

@@ -1475,6 +1475,34 @@ object ContentQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // The DELETE verb completing the persisted-index lifecycle
+    // (build/serve/append/compact/DELETE): build on the full corpus,
+    // tombstone every vec_id % 7 == 3 (≈14% — takedowns/erasure after
+    // the fact), then serve — tombstoned vectors must vanish from every
+    // answer while the model, data objects and probe plan stay
+    // untouched (the delete is O(|ids|), Lucene-bitmap style; the next
+    // compaction folds it physically — that path is spec-pinned in
+    // IvfIndexSpec). The oracle refits and assigns the FULL corpus and
+    // excludes deleted ids from candidates only — independently
+    // certifying the tombstone semantics. delete_done keeps bench reps
+    // idempotent (deletes are anti-join-idempotent anyway; the marker
+    // just avoids re-appending tombstone rows).
+    "sim_topk_ivf_deleted" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = ivfIndexDir("graft_ivf_del_idx", d)
+      if (!new java.io.File(s"$dir/delete_done").exists()) {
+        Similarity.buildIvfIndex(e, col("vec_id"), col("embedding"), dir)
+        Similarity.deleteFromIvfIndex(s, dir,
+          e.filter(col("vec_id") % 7 === 3), col("vec_id"))
+        new java.io.File(s"$dir/delete_done").createNewFile()
+      }
+      Similarity.ivfTopKServe(s, dir,
+        e.filter(col("vec_id") % 100 === 0),
+        col("vec_id"), col("embedding"), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // The persisted IVF-PQ build/serve split — the ACTUAL 100 TB
     // serving layout: the index stores m=8 code bytes per vector
     // partitioned by list (1/32 of the float bytes, probed lists
@@ -5735,6 +5763,8 @@ object ContentQueries {
     // back from disk, so its oracle is literally the same replay —
     // the row equality is the proof the round trip is lossless
     "sim_topk_ivf_served" -> ivfLloydOracle,
+
+    "sim_topk_ivf_deleted" -> ivfDeletedOracle,
     "sim_topk_ivf_upserted" -> ivfUpsertOracle,
     // compaction must not move a single row: same oracle, verbatim
     "sim_topk_ivf_compacted" -> ivfUpsertOracle,
@@ -8461,7 +8491,13 @@ object ContentQueries {
   /** The Lloyd-IVF ranked-run CTE chain (ends at `r` = every scored
     * candidate with its per-query rank) — shared by `ivfLloydOracle`
     * and the retrieval-metrics oracle. */
-  private def ivfLloydRunCtes: String =
+  /** `candFilter` appends an extra predicate to the candidate
+    * (assigned) stage — the tombstone-delete oracle excludes deleted
+    * ids from CANDIDATES while the model fit, assignment and query set
+    * stay full-corpus (deletes happen after the build). */
+  private def ivfLloydRunCtes: String = ivfLloydRunCtesWhere("")
+
+  private def ivfLloydRunCtesWhere(candFilter: String): String =
     s"""$lloydCentCtes16,
         |asg AS (SELECT n.vec_id AS n_id, n.e AS av, n.nrm AS an,
         |    cent.list_id,
@@ -8470,7 +8506,8 @@ object ContentQueries {
         |        i -> n.e[i] * cent.ce[i])) / (n.nrm * cent.cn), 6) DESC,
         |      cent.list_id) AS arn
         |  FROM n CROSS JOIN cent),
-        |assigned AS (SELECT n_id, av, an, list_id FROM asg WHERE arn <= 2),
+        |assigned AS (SELECT n_id, av, an, list_id FROM asg
+        |  WHERE arn <= 2$candFilter),
         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n
         |  WHERE vec_id % 100 = 0),
         |prb AS (SELECT q.q_id, q.qe, q.qn, cent.list_id,
@@ -8490,6 +8527,14 @@ object ContentQueries {
 
   private def ivfLloydOracle: String =
     s"""WITH $ivfLloydRunCtes
+        |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin
+
+  /** The delete lifecycle's replay: full-corpus fit and assignment (the
+    * model predates the deletes), tombstoned ids excluded from the
+    * candidate scan only — queries, centroids, probes all unchanged. */
+  private def ivfDeletedOracle: String =
+    s"""WITH ${ivfLloydRunCtesWhere(" AND n_id % 7 <> 3")}
         |SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin
 

@@ -1750,6 +1750,44 @@ object RelationalQueries {
             min(when(col("cum") >= expr("(n + 2L) div 2L"), col("sm"))))
             / 2.0, 1).as("slope_med_micro"))
         .orderBy(col("event_type"))
+    }),
+
+    // Last-touch revenue attribution: each purchase's cents credit the
+    // user's most recent prior view's campaign bucket (props.k mod 5 —
+    // the fixture's deterministic channel surrogate), or 'direct' when
+    // no view precedes. THE marketing/credit-assignment readout, and a
+    // one-window shape: the carry-forward is last(ignoreNulls) over the
+    // user timeline ordered (ts, event_id) — ONE user-keyed window over
+    // the corpus, then a |channels|-row fold (the share window runs on
+    // that tiny frame). A view with no parseable k attributes nothing
+    // (null channel skipped by ignoreNulls) — mirrored NULL-for-NULL in
+    // the oracle.
+    "q70_attribution" -> ((s, d) => {
+      val win = org.apache.spark.sql.expressions.Window
+      val ev = T(s, d, "events").select(col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"),
+        col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"),
+        concat(lit("ch"),
+          (get_json_object(col("props"), "$.k").cast("long") % 5)
+            .cast("string")).as("ch"))
+      val carried = ev.withColumn("attr_ch",
+        last(when(col("event_type") === "view", col("ch")),
+          ignoreNulls = true)
+          .over(win.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))
+            .rowsBetween(win.unboundedPreceding, win.currentRow)))
+      val g = carried.filter(col("event_type") === "purchase")
+        .select(coalesce(col("attr_ch"), lit("direct")).as("channel"),
+          col("cents"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).cast("long").as("n_purchases"),
+          sum(col("cents")).cast("long").as("revenue_cents"))
+      g.withColumn("total",
+          sum(col("revenue_cents")).over(win.partitionBy(lit(0))))
+        .select(col("channel"), col("n_purchases"), col("revenue_cents"),
+          expr("(revenue_cents * 1000000L) div total").as("share_micro"))
+        .orderBy(col("channel"))
     })
   )
 
@@ -2777,6 +2815,31 @@ object RelationalQueries {
         |    + min(CASE WHEN cum >= (n + 2) // 2 THEN sm END)) / 2.0, 1)
         |    AS slope_med_micro
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the carry-forward replay: same (ts, event_id) user timeline, same
+    // IGNORE NULLS last-view channel, same 'direct' fallback and
+    // integer share fold
+    "q70_attribution" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_id, event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    'ch' || CAST(CAST(json_extract_string(props, '$.k')
+        |      AS BIGINT) % 5 AS VARCHAR) AS ch
+        |  FROM events),
+        |ca AS (SELECT *, last_value(
+        |      CASE WHEN event_type = 'view' THEN ch END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS attr_ch
+        |  FROM ev),
+        |g AS (SELECT COALESCE(attr_ch, 'direct') AS channel,
+        |    CAST(count(*) AS BIGINT) AS n_purchases,
+        |    CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |  FROM ca WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT channel, n_purchases, revenue_cents,
+        |  (revenue_cents * 1000000)
+        |    // (SELECT sum(revenue_cents) FROM g) AS share_micro
+        |FROM g ORDER BY channel""".stripMargin,
 
     "q25_percentile" ->
       """SELECT l_returnflag,

@@ -367,4 +367,50 @@ class IvfIndexSpec extends SparkSuite {
     assert(!new java.io.File(s"$k2/model/_SUCCESS").exists(),
       "stale index visible under the regenerated key")
   }
+
+  test("tombstone deletes: deleted ids vanish from serving, re-deleting " +
+    "is idempotent, compaction folds tombstones physically and retires " +
+    "the tombstone table, and serving stays identical across the fold") {
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val (id, v) = (col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val d = dir("del")
+    Similarity.buildIvfIndex(emb, id, v, d)
+    Caches.clear()
+    val before = Similarity.ivfTopKServe(spark, d, queries, id, v, k = 10)
+      .collect().map(_.toSeq).toSet
+    val deadIds = emb.filter(col("vec_id") % 7 === 3)
+    Similarity.deleteFromIvfIndex(spark, d, deadIds, id)
+    Caches.clear()
+    val after = Similarity.ivfTopKServe(spark, d, queries, id, v, k = 10)
+      .collect()
+    // no deleted id may appear as a neighbor; results must have changed
+    assert(after.forall(r => r.getLong(1) % 7 != 3),
+      s"tombstoned id served: ${after.find(_.getLong(1) % 7 == 3)}")
+    assert(after.map(_.toSeq).toSet != before,
+      "deleting ~14% of the corpus must move at least one answer")
+    // idempotent re-delete
+    Similarity.deleteFromIvfIndex(spark, d, deadIds, id)
+    Caches.clear()
+    val again = Similarity.ivfTopKServe(spark, d, queries, id, v, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(again == after.map(_.toSeq).toSet, "re-delete moved results")
+    // compaction folds the tombstones into the rewrite
+    val nDead = deadIds.count()
+    val total = emb.count()
+    Similarity.compactIvfIndex(spark, d)
+    assert(!new java.io.File(s"$d/tombstones").exists(),
+      "compaction must retire the tombstone table")
+    val remaining = spark.read.parquet(s"$d/corpus")
+      .select(col("n_id")).distinct().count()
+    assert(remaining == total - nDead,
+      s"compacted corpus has $remaining distinct ids, want " +
+        s"${total - nDead}")
+    Caches.clear()
+    val afterCompact = Similarity
+      .ivfTopKServe(spark, d, queries, id, v, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(afterCompact == again,
+      "serving changed across the physical fold")
+  }
 }
