@@ -1788,6 +1788,177 @@ object RelationalQueries {
         .select(col("channel"), col("n_purchases"), col("revenue_cents"),
           expr("(revenue_cents * 1000000L) div total").as("share_micro"))
         .orderBy(col("channel"))
+    }),
+
+    // Mann–Whitney U (Wilcoxon rank-sum, tie-aware) per event type —
+    // the NONPARAMETRIC two-sample test the q52-q68 experiment family
+    // was missing: q53/q68 assume the per-user totals are z-testable;
+    // heavy-tailed spend breaks that, rank statistics don't care.
+    // Arms by user_id parity (the family convention), metric =
+    // per-user total cents. Everything stays exact-integer until the
+    // final z: ranks via the grouped histogram (distinct-value grain,
+    // never a per-row sort), DOUBLED average ranks r2 = 2·cum − c + 1
+    // so ties' half-ranks are integers, U2 = 2·U = Σ n_a·r2 −
+    // n_a(n_a+1), and the tie-corrected variance
+    // var = (n_a·n_b/12)·((N+1) − Σ(c³−c)/(N(N−1))) from exact
+    // decimal(38,0) sums (c³ ≤ N³ passes 2^63 at N ≈ 2e6 — decimal
+    // holds to 1e12 users). z = (U2 − n_a·n_b)/(2·√var): a quotient
+    // of exact integers through IEEE ops written identically in the
+    // oracle. Scale: ONE user-keyed aggregate touches the corpus,
+    // then |distinct totals|-grain histogram + window — the q69
+    // histogram-rank discipline.
+    "q71_mwu" -> ((s, d) => {
+      val win = org.apache.spark.sql.expressions.Window
+      val perUser = T(s, d, "events")
+        .select(col("user_id"), col("event_type").as("segment"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .groupBy(col("user_id"), col("segment"))
+        .agg(sum(col("cents")).cast("long").as("cents"))
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+      val hist = perUser.groupBy(col("segment"), col("cents"))
+        .agg(count(when(col("arm") === 0, lit(1))).cast("long").as("na"),
+          count(when(col("arm") === 1, lit(1))).cast("long").as("nb"))
+        .withColumn("c", col("na") + col("nb"))
+        .withColumn("cum", sum(col("c")).over(
+          win.partitionBy(col("segment")).orderBy(col("cents"))))
+        .withColumn("r2", lit(2L) * col("cum") - col("c") + lit(1L))
+      val agg = hist.groupBy(col("segment")).agg(
+        sum(col("na")).cast("long").as("n_a"),
+        sum(col("nb")).cast("long").as("n_b"),
+        sum(col("na").cast("decimal(38,0)") * col("r2"))
+          .cast("decimal(38,0)").as("r2sum_a"),
+        sum(col("c").cast("decimal(38,0)") * col("c") * col("c") -
+          col("c")).cast("decimal(38,0)").as("tie"))
+      val nn = col("n_a") + col("n_b")
+      val u2 = (col("r2sum_a") -
+        col("n_a").cast("decimal(38,0)") * (col("n_a") + lit(1L)))
+      val varU = col("n_a").cast("double") * col("n_b").cast("double") /
+        lit(12.0) * ((nn.cast("double") + lit(1.0)) -
+          col("tie").cast("double") /
+            (nn.cast("double") * (nn.cast("double") - lit(1.0))))
+      agg.select(col("segment"), col("n_a"), col("n_b"),
+          u2.cast("long").as("u2_a"),
+          when(col("n_a") >= 1L && col("n_b") >= 1L && varU > 0.0,
+            round((u2.cast("double") -
+              col("n_a").cast("double") * col("n_b").cast("double")) /
+              (lit(2.0) * sqrt(varU)), 6)).as("z"))
+        .orderBy(col("segment"))
+    }),
+
+    // Benjamini–Hochberg FDR control (1995) across the experiment's
+    // metric battery — the MULTIPLE-TESTING readout: with ~35
+    // (event_type × iso-weekday) Welch tests at α=.05, ~2 false
+    // rejections are expected; BH caps the false-discovery RATE
+    // instead. P-values are the CHERNOFF bound p = min(1, exp(−z²/2))
+    // ≥ the true two-sided normal tail, so BH on them is valid and
+    // conservative (a p-value upper bound can only under-reject).
+    // Variances via the q67 decimal(38,0) exact-moment combination,
+    // rounded 6 BEFORE use on both engines so no drift compounds;
+    // p rounded 6 likewise feeds the ordering and the i·α/m
+    // comparison. Step-up: i* = max{i : p_(i)·m ≤ i·α}, reject all
+    // ranks ≤ i* (ranks tie-broken by segment name — deterministic).
+    // Scale: ONE (user,type,dow)-keyed aggregate touches the corpus;
+    // the BH pass runs on the m-row metric frame (window over m ≈ 35).
+    "q72_bh_fdr" -> ((s, d) => {
+      val win = org.apache.spark.sql.expressions.Window
+      val perUser = T(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          (weekday(col("ts").cast("date")) + lit(1)).cast("long")
+            .as("dow"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .groupBy(col("user_id"), col("event_type"), col("dow"))
+        .agg(sum(col("cents")).cast("long").as("cents"))
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+      def mom(a: Int, sfx: String): Seq[org.apache.spark.sql.Column] =
+        Seq(count(when(col("arm") === a, lit(1))).cast("long")
+            .as(s"n_$sfx"),
+          sum(when(col("arm") === a, col("cents"))).cast("long")
+            .as(s"s1_$sfx"),
+          sum(when(col("arm") === a, col("cents") * col("cents")))
+            .cast("long").as(s"s2_$sfx"))
+      val stats = perUser.groupBy(col("event_type"), col("dow"))
+        .agg((mom(0, "a") ++ mom(1, "b")).head,
+          (mom(0, "a") ++ mom(1, "b")).tail: _*)
+      def varOf(sfx: String): org.apache.spark.sql.Column =
+        round((col(s"n_$sfx").cast("decimal(38,0)") * col(s"s2_$sfx") -
+          col(s"s1_$sfx").cast("decimal(38,0)") * col(s"s1_$sfx"))
+          .cast("double") /
+          (col(s"n_$sfx").cast("double") *
+            (col(s"n_$sfx") - lit(1L)).cast("double")), 6)
+      val meanA = col("s1_a").cast("double") / col("n_a").cast("double")
+      val meanB = col("s1_b").cast("double") / col("n_b").cast("double")
+      val den = varOf("a") / col("n_a").cast("double") +
+        varOf("b") / col("n_b").cast("double")
+      val z2f = stats.withColumn("z2",
+          when(col("n_a") >= 2L && col("n_b") >= 2L && den > 0.0,
+            round((meanA - meanB) * (meanA - meanB) / den, 6)))
+        .filter(col("z2").isNotNull)
+        .withColumn("p", round(least(lit(1.0),
+          exp(col("z2") * lit(-0.5))), 6))
+      val ranked = z2f
+        .withColumn("i", row_number().over(win.orderBy(col("p"),
+          col("event_type"), col("dow"))))
+        .withColumn("m", count(lit(1)).over(win.partitionBy(lit(0))))
+      val istar = ranked.withColumn("i_star",
+        max(when(col("p") * col("m").cast("double") <=
+          col("i").cast("double") * lit(0.05), col("i")))
+          .over(win.partitionBy(lit(0))))
+      istar.select(col("event_type"), col("dow"), col("n_a"),
+          col("n_b"), col("z2"), col("p"), col("i").as("p_rank"),
+          (col("i_star").isNotNull && col("i") <= col("i_star"))
+            .cast("long").as("reject"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov drift test per event type — the
+    // DISTRIBUTION-drift companion to the PSI/SMD profile rows: did
+    // the value distribution move between the first and second half
+    // of the month? D = max_v |ECDF₁(v) − ECDF₂(v)| computed EXACTLY
+    // in cross-multiplied integers (|cum₁·n₂ − cum₂·n₁|, decimal —
+    // the product passes 2^63 at ~3e9 rows/side), reported as
+    // d_micro = D·1e6 in exact integer division. Rejection at α=.05
+    // (c = 1.358, c² = 1.844164) via the squared exact form
+    // dnum² > c²·(n₁+n₂)·n₁·n₂ through identical IEEE doubles — no
+    // sqrt needed. Scale: distinct-value histogram grain (the q69
+    // discipline), one window cumsum, one fold — never a row sort.
+    "q73_ks_drift" -> ((s, d) => {
+      val win = org.apache.spark.sql.expressions.Window
+      val hist = T(s, d, "events")
+        .select(col("event_type"),
+          when(dayofmonth(col("ts").cast("timestamp")) <= 15, 1)
+            .otherwise(2).as("half"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(when(col("half") === 1, lit(1))).cast("long")
+            .as("c1"),
+          count(when(col("half") === 2, lit(1))).cast("long").as("c2"))
+      val cum = hist
+        .withColumn("cum1", sum(col("c1")).over(
+          win.partitionBy(col("event_type")).orderBy(col("cents"))))
+        .withColumn("cum2", sum(col("c2")).over(
+          win.partitionBy(col("event_type")).orderBy(col("cents"))))
+        .withColumn("n1", sum(col("c1")).over(
+          win.partitionBy(col("event_type"))))
+        .withColumn("n2", sum(col("c2")).over(
+          win.partitionBy(col("event_type"))))
+      val dnum = abs(col("cum1").cast("decimal(38,0)") * col("n2") -
+        col("cum2").cast("decimal(38,0)") * col("n1"))
+      cum.groupBy(col("event_type"))
+        .agg(max(col("n1")).cast("long").as("n1"),
+          max(col("n2")).cast("long").as("n2"),
+          max(dnum).cast("decimal(38,0)").as("dmax"))
+        .withColumn("den",
+          col("n1").cast("decimal(38,0)") * col("n2"))
+        .select(col("event_type"), col("n1"), col("n2"),
+          expr("CASE WHEN n1 >= 1 AND n2 >= 1 THEN " +
+            "(dmax * CAST(1000000 AS DECIMAL(38,0))) div den END")
+            .as("d_micro"),
+          when(col("n1") >= 1L && col("n2") >= 1L,
+            (col("dmax").cast("double") * col("dmax").cast("double") >
+              lit(1.844164) * (col("n1") + col("n2")).cast("double") *
+                col("n1").cast("double") * col("n2").cast("double"))
+              .cast("long")).as("reject"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2840,6 +3011,136 @@ object RelationalQueries {
         |  (revenue_cents * 1000000)
         |    // (SELECT sum(revenue_cents) FROM g) AS share_micro
         |FROM g ORDER BY channel""".stripMargin,
+
+    // same doubled-rank histogram, same decimal-exact tie sum, same
+    // IEEE op order in the final z
+    "q71_mwu" ->
+      """WITH pu AS (SELECT user_id, event_type AS segment,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT segment, cents,
+        |    CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS na,
+        |    CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS nb
+        |  FROM pu GROUP BY 1, 2),
+        |r AS (SELECT segment, na, nb, na + nb AS c,
+        |    2 * CAST(sum(na + nb) OVER (PARTITION BY segment
+        |      ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) - (na + nb) + 1 AS r2
+        |  FROM h),
+        |a AS (SELECT segment,
+        |    CAST(sum(na) AS BIGINT) AS n_a,
+        |    CAST(sum(nb) AS BIGINT) AS n_b,
+        |    sum(CAST(na AS HUGEINT) * r2) AS r2sum_a,
+        |    sum(CAST(c AS HUGEINT) * c * c - c) AS tie
+        |  FROM r GROUP BY 1),
+        |u AS (SELECT *,
+        |    r2sum_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |      ((CAST(n_a + n_b AS DOUBLE) + 1.0) -
+        |        CAST(tie AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) *
+        |          (CAST(n_a + n_b AS DOUBLE) - 1.0))) AS varu
+        |  FROM a)
+        |SELECT segment, n_a, n_b, CAST(u2 AS BIGINT) AS u2_a,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 AND varu > 0.0 THEN
+        |    round((CAST(u2 AS DOUBLE) -
+        |      CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+        |      (2.0 * sqrt(varu)), 6) END AS z
+        |FROM u ORDER BY segment""".stripMargin,
+
+    // same rounded-before-use variances and p, same Chernoff bound,
+    // same (p, event_type, dow) rank tiebreak and step-up fold
+    "q72_bh_fdr" ->
+      """WITH pu AS (SELECT user_id, event_type,
+        |    CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2, 3),
+        |st AS (SELECT event_type, dow,
+        |    CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+        |    CAST(sum(cents) FILTER (user_id % 2 = 0) AS BIGINT) AS s1_a,
+        |    CAST(sum(cents * cents) FILTER (user_id % 2 = 0)
+        |      AS BIGINT) AS s2_a,
+        |    CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS n_b,
+        |    CAST(sum(cents) FILTER (user_id % 2 = 1) AS BIGINT) AS s1_b,
+        |    CAST(sum(cents * cents) FILTER (user_id % 2 = 1)
+        |      AS BIGINT) AS s2_b
+        |  FROM pu GROUP BY 1, 2),
+        |z AS (SELECT event_type, dow, n_a, n_b,
+        |    CASE WHEN n_a >= 2 AND n_b >= 2 AND
+        |      (round(CAST(CAST(n_a AS HUGEINT) * s2_a -
+        |          CAST(s1_a AS HUGEINT) * s1_a AS DOUBLE) /
+        |          (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)), 6)
+        |        / CAST(n_a AS DOUBLE) +
+        |       round(CAST(CAST(n_b AS HUGEINT) * s2_b -
+        |          CAST(s1_b AS HUGEINT) * s1_b AS DOUBLE) /
+        |          (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)), 6)
+        |        / CAST(n_b AS DOUBLE)) > 0.0 THEN
+        |      round((CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |        CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE)) *
+        |        (CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |        CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |        (round(CAST(CAST(n_a AS HUGEINT) * s2_a -
+        |          CAST(s1_a AS HUGEINT) * s1_a AS DOUBLE) /
+        |          (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)), 6)
+        |         / CAST(n_a AS DOUBLE) +
+        |         round(CAST(CAST(n_b AS HUGEINT) * s2_b -
+        |          CAST(s1_b AS HUGEINT) * s1_b AS DOUBLE) /
+        |          (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)), 6)
+        |         / CAST(n_b AS DOUBLE)), 6) END AS z2
+        |  FROM st),
+        |pv AS (SELECT *, round(least(1.0, exp(z2 * -0.5)), 6) AS p
+        |  FROM z WHERE z2 IS NOT NULL),
+        |rk AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY p, event_type, dow)
+        |      AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM pv),
+        |su AS (SELECT *, max(CASE WHEN p * CAST(m AS DOUBLE) <=
+        |      CAST(i AS DOUBLE) * 0.05 THEN i END) OVER () AS i_star
+        |  FROM rk)
+        |SELECT event_type, dow, n_a, n_b, z2, p, i AS p_rank,
+        |  CAST(i_star IS NOT NULL AND i <= i_star AS BIGINT) AS reject
+        |FROM su ORDER BY event_type, dow""".stripMargin,
+
+    // same cross-multiplied exact ECDF gap, same integer-division
+    // d_micro, same squared rejection form
+    "q73_ks_drift" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    CAST(count(*) FILTER
+        |      (day(CAST(ts AS TIMESTAMP)) <= 15) AS BIGINT) AS c1,
+        |    CAST(count(*) FILTER
+        |      (day(CAST(ts AS TIMESTAMP)) > 15) AS BIGINT) AS c2
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |    CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum2,
+        |    CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(c2) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n2
+        |  FROM h),
+        |f AS (SELECT event_type,
+        |    CAST(max(n1) AS BIGINT) AS n1,
+        |    CAST(max(n2) AS BIGINT) AS n2,
+        |    max(abs(CAST(cum1 AS HUGEINT) * n2 -
+        |      CAST(cum2 AS HUGEINT) * n1)) AS dmax
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n1, n2,
+        |  CASE WHEN n1 >= 1 AND n2 >= 1 THEN
+        |    CAST(dmax * 1000000 // (CAST(n1 AS HUGEINT) * n2)
+        |      AS BIGINT) END AS d_micro,
+        |  CASE WHEN n1 >= 1 AND n2 >= 1 THEN
+        |    CAST(CAST(dmax AS DOUBLE) * CAST(dmax AS DOUBLE) >
+        |      1.844164 * CAST(n1 + n2 AS DOUBLE) *
+        |      CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) AS BIGINT)
+        |    END AS reject
+        |FROM f ORDER BY event_type""".stripMargin,
 
     "q25_percentile" ->
       """SELECT l_returnflag,

@@ -814,4 +814,16 @@ class PlanAuditSpec extends SparkSuite {
         s"$q:\n$p")
     }
   }
+
+  test("q71/q72/q73 (MWU, BH-FDR, KS): rank/ECDF statistics run at " +
+    "histogram or per-key aggregate grain — map-side combine on the " +
+    "corpus pass, and NO join anywhere (the rank windows run on the " +
+    "distinct-value/metric frames, never a row sort of the corpus)") {
+    Seq("q71_mwu", "q72_bh_fdr", "q73_ks_drift").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q lost map-side combine:\n$p")
+    }
+  }
 }

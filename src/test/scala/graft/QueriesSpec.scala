@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Smoke: every registered query runs at sf0.001; every oracle key has a
   * query; flagship entry returns rows. */
 class QueriesSpec extends SparkSuite {
@@ -42,6 +44,98 @@ class QueriesSpec extends SparkSuite {
     assert(rows.map(_._5).distinct.length == 1,
       "q̂ must be one global calibration threshold")
     graft.analytics.Caches.clear()
+  }
+
+  test("q71 MWU: the histogram-window rank statistic equals a " +
+    "brute-force tie-aware rank computation on the collected per-user " +
+    "totals (independent of the DuckDB oracle)") {
+    import spark.implicits._
+    val perUser = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("cents")).as("cents"))
+      .as[(Long, String, Long)].collect()
+    val got = SparkEntry.queries("q71_mwu")(spark, sf0001)
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    perUser.groupBy(_._2).foreach { case (seg, rows) =>
+      val a = rows.filter(_._1 % 2 == 0).map(_._3).sorted
+      val b = rows.filter(_._1 % 2 == 1).map(_._3).sorted
+      val all = (a ++ b).sorted
+      // tie-aware average rank of value v (1-based), doubled
+      def r2(v: Long): Long = {
+        val lt = all.count(_ < v); val eq = all.count(_ == v)
+        2L * lt + eq + 1L
+      }
+      val u2 = a.map(r2).sum - a.length.toLong * (a.length + 1L)
+      val (na, nb, n) = (a.length.toLong, b.length.toLong,
+        all.length.toLong)
+      val tie = all.groupBy(identity).values
+        .map(g => g.length.toLong).map(c => c * c * c - c).sum
+      val varU = na.toDouble * nb.toDouble / 12.0 *
+        ((n.toDouble + 1.0) - tie.toDouble /
+          (n.toDouble * (n.toDouble - 1.0)))
+      val z = (u2.toDouble - na.toDouble * nb.toDouble) /
+        (2.0 * math.sqrt(varU))
+      val g = got(seg)
+      assert(g._2 == na && g._3 == nb && g._4 == u2,
+        s"$seg: got $g want ($na,$nb,$u2)")
+      assert(math.abs(g._5.get - z) < 1e-5, s"$seg: z ${g._5} want $z")
+    }
+  }
+
+  test("q73 KS: d_micro equals the brute-force max ECDF gap on " +
+    "collected values, and the rejection matches the exact squared " +
+    "criterion") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sf0001, "events")
+      .select(col("event_type"),
+        dayofmonth(col("ts").cast("timestamp")).as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .as[(String, Int, Long)].collect()
+    val got = SparkEntry.queries("q73_ks_drift")(spark, sf0001)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    ev.groupBy(_._1).foreach { case (seg, rows) =>
+      val h1 = rows.filter(_._2 <= 15).map(_._3)
+      val h2 = rows.filter(_._2 > 15).map(_._3)
+      val (n1, n2) = (h1.length.toLong, h2.length.toLong)
+      val dmax = (h1 ++ h2).distinct.map { v =>
+        math.abs(h1.count(_ <= v).toLong * n2 -
+          h2.count(_ <= v).toLong * n1)
+      }.max
+      val g = got(seg)
+      assert(g._2 == n1 && g._3 == n2, s"$seg: $g")
+      assert(g._4 == dmax * 1000000L / (n1 * n2),
+        s"$seg: d_micro ${g._4} want ${dmax * 1000000L / (n1 * n2)}")
+      val rej = if (dmax.toDouble * dmax.toDouble >
+        1.844164 * (n1 + n2).toDouble * n1.toDouble * n2.toDouble) 1L
+      else 0L
+      assert(g._5.contains(rej), s"$seg: reject ${g._5} want $rej")
+    }
+  }
+
+  test("q72 BH-FDR: the step-up decision is internally consistent — " +
+    "rejections are exactly the prefix of the p-ascending order up to " +
+    "i*, every rejected p clears its own i·α/m line via some later " +
+    "rank, and no accepted rank below i* exists") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q72_bh_fdr")(spark, sf0001)
+      .select(col("p"), col("p_rank"), col("reject"))
+      .as[(Double, Long, Long)].collect().sortBy(_._2)
+    val m = rows.length.toDouble
+    val passing = rows.filter(r => r._1 * m <= r._2 * 0.05).map(_._2)
+    if (passing.isEmpty) assert(rows.forall(_._3 == 0L))
+    else {
+      val iStar = passing.max
+      rows.foreach { case (_, i, rej) =>
+        assert(rej == (if (i <= iStar) 1L else 0L), s"rank $i")
+      }
+    }
+    // monotone: p is non-decreasing in rank
+    assert(rows.map(_._1).sliding(2).forall(
+      w => w.length < 2 || w(0) <= w(1)))
   }
 
   test("smoke discipline: a throwing projection escapes count() but is " +
