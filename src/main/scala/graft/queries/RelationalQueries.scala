@@ -1959,6 +1959,56 @@ object RelationalQueries {
                 col("n1").cast("double") * col("n2").cast("double"))
               .cast("long")).as("reject"))
         .orderBy(col("event_type"))
+    }),
+
+    // 1-Wasserstein (earth-mover) drift MAGNITUDE per event type — the
+    // companion to q73's KS detection: KS says WHETHER the two halves'
+    // value distributions differ (sup-norm, insensitive to how far
+    // mass moved); W₁ says HOW MUCH, in the metric's own units
+    // (∫|ECDF₁−ECDF₂| dv = the minimal cents·mass transport). Exact
+    // at histogram grain: per distinct value, the ECDF gap is the
+    // cross-multiplied integer |cum₁·n₂ − cum₂·n₁| and its reach is
+    // lead(v) − v, so W₁·n₁·n₂ = Σ gap·Δv is an exact decimal sum
+    // (last value's lead is null — both ECDFs are 1 there, zero gap
+    // by construction). Reported as micro-cents via exact integer
+    // division. Scale: same shape as q73 — one corpus aggregate to
+    // distinct-value grain, one keyed window, one fold; never a sort
+    // or join of raw rows.
+    "q74_wasserstein" -> ((s, d) => {
+      val win = org.apache.spark.sql.expressions.Window
+      val hist = T(s, d, "events")
+        .select(col("event_type"),
+          when(dayofmonth(col("ts").cast("timestamp")) <= 15, 1)
+            .otherwise(2).as("half"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(when(col("half") === 1, lit(1))).cast("long")
+            .as("c1"),
+          count(when(col("half") === 2, lit(1))).cast("long").as("c2"))
+      val byV = win.partitionBy(col("event_type")).orderBy(col("cents"))
+      val cum = hist
+        .withColumn("cum1", sum(col("c1")).over(byV))
+        .withColumn("cum2", sum(col("c2")).over(byV))
+        .withColumn("dv", lead(col("cents"), 1).over(byV) - col("cents"))
+        .withColumn("n1", sum(col("c1")).over(
+          win.partitionBy(col("event_type"))))
+        .withColumn("n2", sum(col("c2")).over(
+          win.partitionBy(col("event_type"))))
+      val gap = abs(col("cum1").cast("decimal(38,0)") * col("n2") -
+        col("cum2").cast("decimal(38,0)") * col("n1"))
+      cum.groupBy(col("event_type"))
+        .agg(max(col("n1")).cast("long").as("n1"),
+          max(col("n2")).cast("long").as("n2"),
+          sum(when(col("dv").isNotNull, gap * col("dv"))
+            .otherwise(lit(0L).cast("decimal(38,0)")))
+            .cast("decimal(38,0)").as("w1num"))
+        .withColumn("den",
+          col("n1").cast("decimal(38,0)") * col("n2"))
+        .select(col("event_type"), col("n1"), col("n2"),
+          expr("CASE WHEN n1 >= 1 AND n2 >= 1 THEN " +
+            "(w1num * CAST(1000000 AS DECIMAL(38,0))) div den END")
+            .as("w1_micro"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3140,6 +3190,44 @@ object RelationalQueries {
         |      1.844164 * CAST(n1 + n2 AS DOUBLE) *
         |      CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) AS BIGINT)
         |    END AS reject
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // same histogram, same exact gap·Δv transport sum, same integer
+    // division
+    "q74_wasserstein" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    CAST(count(*) FILTER
+        |      (day(CAST(ts AS TIMESTAMP)) <= 15) AS BIGINT) AS c1,
+        |    CAST(count(*) FILTER
+        |      (day(CAST(ts AS TIMESTAMP)) > 15) AS BIGINT) AS c2
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |    CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum2,
+        |    lead(cents, 1) OVER (PARTITION BY event_type
+        |      ORDER BY cents) - cents AS dv,
+        |    CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(c2) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n2
+        |  FROM h),
+        |f AS (SELECT event_type,
+        |    CAST(max(n1) AS BIGINT) AS n1,
+        |    CAST(max(n2) AS BIGINT) AS n2,
+        |    sum(CASE WHEN dv IS NOT NULL THEN
+        |      abs(CAST(cum1 AS HUGEINT) * n2 -
+        |        CAST(cum2 AS HUGEINT) * n1) * dv
+        |      ELSE CAST(0 AS HUGEINT) END) AS w1num
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n1, n2,
+        |  CASE WHEN n1 >= 1 AND n2 >= 1 THEN
+        |    CAST(w1num * 1000000 // (CAST(n1 AS HUGEINT) * n2)
+        |      AS BIGINT) END AS w1_micro
         |FROM f ORDER BY event_type""".stripMargin,
 
     "q25_percentile" ->

@@ -819,7 +819,8 @@ class PlanAuditSpec extends SparkSuite {
     "histogram or per-key aggregate grain — map-side combine on the " +
     "corpus pass, and NO join anywhere (the rank windows run on the " +
     "distinct-value/metric frames, never a row sort of the corpus)") {
-    Seq("q71_mwu", "q72_bh_fdr", "q73_ks_drift").foreach { q =>
+    Seq("q71_mwu", "q72_bh_fdr", "q73_ks_drift",
+      "q74_wasserstein").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Join"), s"$q grew a join:\n$p")
       assert(p.contains("partial_count") || p.contains("partial_sum"),

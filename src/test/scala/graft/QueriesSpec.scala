@@ -116,6 +116,36 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q74 W1: w1_micro equals the brute-force transport integral " +
+    "over collected values — and the all-mass-shifted sanity bound " +
+    "W1 <= max - min holds") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sf0001, "events")
+      .select(col("event_type"),
+        dayofmonth(col("ts").cast("timestamp")).as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .as[(String, Int, Long)].collect()
+    val got = SparkEntry.queries("q74_wasserstein")(spark, sf0001)
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    ev.groupBy(_._1).foreach { case (seg, rows) =>
+      val h1 = rows.filter(_._2 <= 15).map(_._3)
+      val h2 = rows.filter(_._2 > 15).map(_._3)
+      val (n1, n2) = (h1.length.toLong, h2.length.toLong)
+      val vs = (h1 ++ h2).distinct.sorted
+      val w1num = vs.zip(vs.tail).map { case (v, nxt) =>
+        BigInt((h1.count(_ <= v).toLong * n2 -
+          h2.count(_ <= v).toLong * n1).abs) * (nxt - v)
+      }.sum
+      val want = (w1num * 1000000 / (BigInt(n1) * n2)).toLong
+      val g = got(seg)
+      assert(g._2 == n1 && g._3 == n2 && g._4.contains(want),
+        s"$seg: got $g want w1_micro=$want")
+      val range = (vs.last - vs.head) * 1000000L
+      assert(g._4.get <= range, s"$seg: W1 ${g._4} exceeds range $range")
+    }
+  }
+
   test("q72 BH-FDR: the step-up decision is internally consistent — " +
     "rejections are exactly the prefix of the p-ascending order up to " +
     "i*, every rejected p clears its own i·α/m line via some later " +
