@@ -193,10 +193,12 @@ object Mix {
     *
     * Scale: ONE stratum-keyed aggregate touches the corpus
     * (partial-aggregatable); every window below it runs on the
-    * |strata|-row frame, never the corpus. Overflow: `B·w` must fit
-    * int64 — with sd_kilo ≤ 1e3·max|x| this bounds B·n_h·max|x| ≤
-    * ~9e15, i.e. per-stratum rows ≤ ~1e9 at B = 2000, x ≤ 5000; past
-    * that, lift `w` into decimal(38,0) before the div.
+    * |strata|-row frame, never the corpus. Overflow: `B·w` is computed
+    * in decimal(38,0) unconditionally (the RR-debias discipline), so
+    * there is no silent int64 wrap at any B·n_h·sd_kilo — the only
+    * int64 bound left is `w = n·sd_kilo` itself (n ≤ ~9e12 rows per
+    * stratum at sd_kilo ≤ 1e6), enforced by the moment aggregate's own
+    * exactness.
     *
     * Output: `(stratum, n_docs, sd_kilo, alloc)`, one row per stratum. */
   def neymanAllocation(df: DataFrame, stratum: Column, measure: Column,
@@ -220,11 +222,15 @@ object Mix {
       .withColumn("tw", sum(col("w")).over(wAll))
       .withColumn("tn", sum(col("n")).over(wAll))
       .withColumn("base",
-        when(col("tw") > 0L, expr(s"(${budget}L * w) div tw"))
+        when(col("tw") > 0L,
+          expr(s"CAST((CAST($budget AS DECIMAL(38,0)) * w) div tw" +
+            " AS BIGINT)"))
           .otherwise(expr(s"(${budget}L * n) div tn")))
       .withColumn("rem",
-        when(col("tw") > 0L, expr(s"(${budget}L * w) % tw"))
-          .otherwise(expr(s"(${budget}L * n) % tn")))
+        when(col("tw") > 0L,
+          expr(s"(CAST($budget AS DECIMAL(38,0)) * w) % tw"))
+          .otherwise(
+            expr(s"CAST((${budget}L * n) % tn AS DECIMAL(38,0))")))
       .withColumn("leftn", lit(budget) - sum(col("base")).over(wAll))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("rem").desc, col("stratum"))))

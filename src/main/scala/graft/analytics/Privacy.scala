@@ -157,17 +157,30 @@ object Privacy {
     * branch reports index `h₂ mod k`. Satisfies ε-local-DP with
     * ε = ln((p + (1−p)/k)/((1−p)/k)).
     *
-    * Everything integer: with p = 3/4 the debiased estimate in micros is
-    * `(1e6·(4·k·c_j − N)) div (3·k·N)` — exact floor arithmetic both
-    * engines replay bit-identically. Scale: one category aggregate over
+    * Everything integer: p is the single constant pair `RrNum/RrDen`
+    * (= 3/4), threaded through BOTH the coin threshold and the debias
+    * so they cannot drift apart; the debiased estimate in micros is
+    * `(1e6·(den·k·c_j − (den−num)·N)) div (num·k·N)` — exact floor
+    * arithmetic both engines replay bit-identically (with 3/4 this is
+    * the oracle's `(4·k·c_j − N) // (3·k·N)` form exactly). Scale: one
+    * category aggregate over
     * the corpus (category-keyed, partial-aggregatable) + a broadcast of
     * the category dictionary (|categories| rows); the dictionary
     * row_number window runs on that tiny frame, never the corpus.
     *
     * Output: one row per category — true count, reported count, true and
     * debiased frequency in micros, and the absolute debias error. */
+  // p = RrNum/RrDen — the ONE place the truth probability lives; the
+  // coin threshold (100·num/den over a mod-100 bucket) and the debias
+  // rational are both derived from it below
+  private val RrNum = 3L
+  private val RrDen = 4L
+
   def randomizedResponse(df: DataFrame, id: Column, category: Column,
                          salt: String = "rr"): DataFrame = {
+    require(100L * RrNum % RrDen == 0,
+      "RrNum/RrDen must yield an exact percent for the mod-100 coin")
+    val coinThreshold = 100L * RrNum / RrDen
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(id.cast("string").as("id"),
@@ -192,7 +205,7 @@ object Privacy {
     val reported = base
       .join(broadcast(cats.select(col("cat"), col("idx"))), Seq("cat"))
       .withColumn("rep_idx",
-        when(bucket(salt + "1", 100L) < 75L, col("idx"))
+        when(bucket(salt + "1", 100L) < lit(coinThreshold), col("idx"))
           .otherwise(bucket(salt + "2", k)))
       .groupBy(col("rep_idx")).agg(count(lit(1)).cast("long").as("c_rep"))
     cats
@@ -210,9 +223,11 @@ object Privacy {
         // wrap where DuckDB throws — the decimal form is exact to 1e38
         // (the q67 overflow discipline), mirrored as HUGEINT in the
         // oracle
-        expr(s"CAST((1000000 * greatest(4 * CAST(${k} AS DECIMAL(38,0))" +
-          s" * coalesce(c_rep, 0L) - ${n}L, 0))" +
-          s" div (3 * CAST(${k} AS DECIMAL(38,0)) * ${n}L) AS BIGINT)")
+        expr(s"CAST((1000000 * greatest($RrDen" +
+          s" * CAST(${k} AS DECIMAL(38,0))" +
+          s" * coalesce(c_rep, 0L) - ${RrDen - RrNum} * ${n}L, 0))" +
+          s" div ($RrNum * CAST(${k} AS DECIMAL(38,0)) * ${n}L)" +
+          " AS BIGINT)")
           .as("est_micro"))
       .withColumn("err_micro", abs(col("est_micro") - col("true_micro")))
   }

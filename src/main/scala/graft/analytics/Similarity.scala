@@ -1308,8 +1308,7 @@ object Similarity {
     * discipline. Crash contract: tombstones surviving a crashed
     * compaction re-apply harmlessly (anti-join of already-removed
     * rows). */
-  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                         indexDir: String, ids: DataFrame,
+  def deleteFromIvfIndex(indexDir: String, ids: DataFrame,
                          id: Column): Unit =
     ids.select(id.cast("long").as("n_id")).distinct()
       .write.mode("append").parquet(s"$indexDir/tombstones")
@@ -1434,7 +1433,18 @@ object Similarity {
     // tombstones fold into the rewrite: the compacted index physically
     // drops deleted rows, then the tombstone table retires. A crash
     // after the promote but before the retire is safe — the surviving
-    // tombstones anti-join already-absent rows at serve time
+    // tombstones anti-join already-absent rows at serve time.
+    // Concurrent-delete safety: snapshot the tombstone FILE list
+    // before the rewrite reads the table, and retire only those files
+    // after the promote — a tombstone appended while the compaction
+    // runs (e.g. by the streaming delete path) was not folded into the
+    // rewrite, so it must survive to keep anti-joining at serve time.
+    val tombDir = new Path(s"$indexDir/tombstones")
+    val tombSnapshot: Array[Path] =
+      if (fs.exists(tombDir))
+        fs.listStatus(tombDir).map(_.getPath)
+          .filter(p => !p.getName.startsWith("."))
+      else Array.empty
     dropTombstoned(spark, indexDir, spark.read.parquet(corpus.toString))
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
@@ -1443,7 +1453,14 @@ object Similarity {
     require(fs.rename(corpus, parked), "compaction swap failed (park)")
     require(fs.rename(staged, corpus), "compaction swap failed (promote)")
     fs.delete(parked, true)
-    fs.delete(new Path(s"$indexDir/tombstones"), true)
+    tombSnapshot.foreach(p => fs.delete(p, true))
+    // only late-arriving tombstones survive; if none did, drop the dir
+    // so ivfTombstones' exists() gate doesn't read an empty table
+    if (fs.exists(tombDir) &&
+        fs.listStatus(tombDir).forall(s =>
+          s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith(".")))
+      fs.delete(tombDir, true)
     (before, dataFiles(corpus))
   }
 

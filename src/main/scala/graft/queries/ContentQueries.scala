@@ -1492,7 +1492,7 @@ object ContentQueries {
       val dir = ivfIndexDir("graft_ivf_del_idx", d)
       if (!new java.io.File(s"$dir/delete_done").exists()) {
         Similarity.buildIvfIndex(e, col("vec_id"), col("embedding"), dir)
-        Similarity.deleteFromIvfIndex(s, dir,
+        Similarity.deleteFromIvfIndex(dir,
           e.filter(col("vec_id") % 7 === 3), col("vec_id"))
         new java.io.File(s"$dir/delete_done").createNewFile()
       }

@@ -1756,12 +1756,16 @@ object RelationalQueries {
     // user's most recent prior view's campaign bucket (props.k mod 5 —
     // the fixture's deterministic channel surrogate), or 'direct' when
     // no view precedes. THE marketing/credit-assignment readout, and a
-    // one-window shape: the carry-forward is last(ignoreNulls) over the
-    // user timeline ordered (ts, event_id) — ONE user-keyed window over
-    // the corpus, then a |channels|-row fold (the share window runs on
-    // that tiny frame). A view with no parseable k attributes nothing
-    // (null channel skipped by ignoreNulls) — mirrored NULL-for-NULL in
-    // the oracle.
+    // one-window shape: the carry-forward is max(struct(ts, event_id,
+    // ch)) over views in the user timeline — (ts, event_id) is the
+    // total order within a user, so the max struct IS the latest prior
+    // view, with no IGNORE-NULLS window involved (r14 verdict: the
+    // last(ignoreNulls) form risked DuckDB-version drift; lexicographic
+    // struct max is version-proof on both engines). ONE user-keyed
+    // window over the corpus, then a |channels|-row fold (the share
+    // window runs on that tiny frame). A view with no parseable k
+    // attributes nothing (null-ch views excluded from the max) —
+    // mirrored in the oracle.
     "q70_attribution" -> ((s, d) => {
       val win = org.apache.spark.sql.expressions.Window
       val ev = T(s, d, "events").select(col("user_id"),
@@ -1771,14 +1775,14 @@ object RelationalQueries {
         concat(lit("ch"),
           (get_json_object(col("props"), "$.k").cast("long") % 5)
             .cast("string")).as("ch"))
-      val carried = ev.withColumn("attr_ch",
-        last(when(col("event_type") === "view", col("ch")),
-          ignoreNulls = true)
+      val carried = ev.withColumn("lv",
+        max(when(col("event_type") === "view" && col("ch").isNotNull,
+          struct(col("ts"), col("event_id"), col("ch"))))
           .over(win.partitionBy(col("user_id"))
             .orderBy(col("ts"), col("event_id"))
             .rowsBetween(win.unboundedPreceding, win.currentRow)))
       val g = carried.filter(col("event_type") === "purchase")
-        .select(coalesce(col("attr_ch"), lit("direct")).as("channel"),
+        .select(coalesce(col("lv.ch"), lit("direct")).as("channel"),
           col("cents"))
         .groupBy(col("channel"))
         .agg(count(lit(1)).cast("long").as("n_purchases"),
@@ -1923,7 +1927,11 @@ object RelationalQueries {
     // discipline), one window cumsum, one fold — never a row sort.
     "q73_ks_drift" -> ((s, d) => {
       val win = org.apache.spark.sql.expressions.Window
+      // NULL ts/value excluded EXPLICITLY on both sides: without this,
+      // Spark's otherwise(2) would bucket a NULL-ts row into half 2
+      // while DuckDB's FILTER drops it from both halves (r14 ADVICE).
       val hist = T(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
         .select(col("event_type"),
           when(dayofmonth(col("ts").cast("timestamp")) <= 15, 1)
             .otherwise(2).as("half"),
@@ -1976,7 +1984,9 @@ object RelationalQueries {
     // or join of raw rows.
     "q74_wasserstein" -> ((s, d) => {
       val win = org.apache.spark.sql.expressions.Window
+      // NULL ts/value excluded explicitly on both sides (see q73).
       val hist = T(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
         .select(col("event_type"),
           when(dayofmonth(col("ts").cast("timestamp")) <= 15, 1)
             .otherwise(2).as("half"),
@@ -3038,8 +3048,10 @@ object RelationalQueries {
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the carry-forward replay: same (ts, event_id) user timeline, same
-    // IGNORE NULLS last-view channel, same 'direct' fallback and
-    // integer share fold
+    // lexicographic max-struct last-view channel (no IGNORE NULLS —
+    // version-proof), same 'direct' fallback and integer share fold;
+    // share_micro CAST to BIGINT (DuckDB sum(BIGINT) widens to HUGEINT
+    // and // keeps it — the r14 red row was this type divergence)
     "q70_attribution" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
         |    event_id, event_type,
@@ -3047,19 +3059,21 @@ object RelationalQueries {
         |    'ch' || CAST(CAST(json_extract_string(props, '$.k')
         |      AS BIGINT) % 5 AS VARCHAR) AS ch
         |  FROM events),
-        |ca AS (SELECT *, last_value(
-        |      CASE WHEN event_type = 'view' THEN ch END IGNORE NULLS)
+        |ca AS (SELECT *, max(
+        |      CASE WHEN event_type = 'view' AND ch IS NOT NULL
+        |        THEN (ts, event_id, ch) END)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS attr_ch
+        |      AS lv
         |  FROM ev),
-        |g AS (SELECT COALESCE(attr_ch, 'direct') AS channel,
+        |g AS (SELECT COALESCE(lv[3], 'direct') AS channel,
         |    CAST(count(*) AS BIGINT) AS n_purchases,
         |    CAST(sum(cents) AS BIGINT) AS revenue_cents
         |  FROM ca WHERE event_type = 'purchase' GROUP BY 1)
         |SELECT channel, n_purchases, revenue_cents,
-        |  (revenue_cents * 1000000)
-        |    // (SELECT sum(revenue_cents) FROM g) AS share_micro
+        |  CAST((revenue_cents * 1000000)
+        |    // (SELECT sum(revenue_cents) FROM g) AS BIGINT)
+        |    AS share_micro
         |FROM g ORDER BY channel""".stripMargin,
 
     // same doubled-rank histogram, same decimal-exact tie sum, same
@@ -3162,7 +3176,8 @@ object RelationalQueries {
         |      (day(CAST(ts AS TIMESTAMP)) <= 15) AS BIGINT) AS c1,
         |    CAST(count(*) FILTER
         |      (day(CAST(ts AS TIMESTAMP)) > 15) AS BIGINT) AS c2
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
         |c AS (SELECT event_type,
         |    CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY cents
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -3201,7 +3216,8 @@ object RelationalQueries {
         |      (day(CAST(ts AS TIMESTAMP)) <= 15) AS BIGINT) AS c1,
         |    CAST(count(*) FILTER
         |      (day(CAST(ts AS TIMESTAMP)) > 15) AS BIGINT) AS c2
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
         |c AS (SELECT event_type,
         |    CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY cents
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

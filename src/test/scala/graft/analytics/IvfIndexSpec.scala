@@ -380,7 +380,7 @@ class IvfIndexSpec extends SparkSuite {
     val before = Similarity.ivfTopKServe(spark, d, queries, id, v, k = 10)
       .collect().map(_.toSeq).toSet
     val deadIds = emb.filter(col("vec_id") % 7 === 3)
-    Similarity.deleteFromIvfIndex(spark, d, deadIds, id)
+    Similarity.deleteFromIvfIndex(d, deadIds, id)
     Caches.clear()
     val after = Similarity.ivfTopKServe(spark, d, queries, id, v, k = 10)
       .collect()
@@ -390,7 +390,7 @@ class IvfIndexSpec extends SparkSuite {
     assert(after.map(_.toSeq).toSet != before,
       "deleting ~14% of the corpus must move at least one answer")
     // idempotent re-delete
-    Similarity.deleteFromIvfIndex(spark, d, deadIds, id)
+    Similarity.deleteFromIvfIndex(d, deadIds, id)
     Caches.clear()
     val again = Similarity.ivfTopKServe(spark, d, queries, id, v, k = 10)
       .collect().map(_.toSeq).toSet
