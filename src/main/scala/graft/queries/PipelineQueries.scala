@@ -175,6 +175,68 @@ object PipelineQueries {
         target).orderBy(col("event_id"))
     }),
 
+    // §1.3a Confluent wire-format deserialization END-TO-END: events
+    // rows are framed as registry wire format (0x00 magic + int32 id +
+    // Avro body) under TWO schema ids — id 1 (event_id, event_type),
+    // id 2 adds cents — with planted poison frames (null value at %109,
+    // bad magic at %103, unregistered id 99 at %107). The engine then
+    // routes poison to the F4 DLQ, decodes each id under its writer
+    // schema, and resolves BACKWARD compatibility with v2 current — v1
+    // frames PROJECT onto v2 (cents null), one write group, exactly the
+    // reference's rotate-or-project matrix fed from raw bytes. The
+    // oracle replays the whole contract from the unframed table: any
+    // mis-decoded long/string, mis-routed frame, or mis-projected
+    // column moves a count or a sum. Scale: encode and decode are both
+    // map-only single passes (reader/writer reused per partition); the
+    // registry probe is registry-churn scale, never row count.
+    "ingest_wireformat_avro" -> ((s, d) => {
+      import graft.ingest.{SchemaEvolution, WireFormat}
+      val ev = Tables.load(s, d, "events").select(col("event_id"),
+        col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      val registry =
+        s"${System.getProperty("java.io.tmpdir")}/graft_wf_registry_" +
+          graft.analytics.Similarity.dataFingerprint(s"$d/events.parquet")
+      val enc1 = WireFormat.encode(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        Seq("event_id", "event_type"), 1, registry, Seq("event_id"))
+      val enc2 = WireFormat.encode(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        Seq("event_id", "event_type", "cents"), 2, registry, Seq("event_id"))
+      val framed = enc1.unionByName(enc2).withColumn("value",
+        when(col("event_id") % 109 === 0, lit(null).cast("binary"))
+          .when(col("event_id") % 103 === 0,
+            concat(lit(Array[Byte](1)),
+              expr("substring(value, 2, 2147483647)")))
+          .when(col("event_id") % 107 === 0,
+            concat(lit(Array[Byte](0, 0, 0, 0, 99)),
+              expr("substring(value, 6, 2147483647)")))
+          .otherwise(col("value")))
+      val known = WireFormat.loadRegistry(s, registry).keySet
+      val routed = WireFormat.route(framed, col("value"), known)
+      val batches = WireFormat.versionedBatches(
+        routed.ok.select(col("value")), col("value"), registry, Nil)
+      // arrival order v2-first: v2 is current, v1 stragglers project
+      val groups = SchemaEvolution.resolve(
+        SchemaCompat.Backward, batches.reverse)
+      require(groups.size == 1 && groups.head.as.version.contains(2),
+        s"BACKWARD must fold both ids into the v2 group, got $groups")
+      val ok = groups.head.frame
+        .groupBy(concat(lit("ok:"), col("event_type")).as("route"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          count(when(pmod(col("event_id"), lit(2)) === 0, lit(1)))
+            .cast("long").as("n_v1"),
+          sum(col("cents")).cast("long").as("sum_cents"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+      val dlq = routed.deadLetter
+        .groupBy(concat(lit("dlq:"), col("dlq_reason")).as("route"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          min(lit(null).cast("long")).as("n_v1"),
+          min(lit(null).cast("long")).as("sum_cents"),
+          min(lit(null).cast("long")).as("min_id"),
+          min(lit(null).cast("long")).as("max_id"))
+      ok.unionByName(dlq).orderBy(col("route"))
+    }),
+
     // MERGE INTO upsert: a re-priced update batch (every 5th order,
     // version 2) merged into the base lake by key — the lake pays ONE
     // left-anti equi-join (never aggregated/sorted) and the deduped
@@ -372,6 +434,27 @@ object PipelineQueries {
       """SELECT event_id, event_type, value,
         |  CAST(NULL AS VARCHAR) AS annotation
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the wire-format contract replayed from the unframed table: same
+    // poison precedence (null > bad_magic > unknown_id), same parity
+    // version split, same BACKWARD projection (v1 cents → NULL)
+    "ingest_wireformat_avro" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    CASE WHEN event_id % 109 = 0 THEN 'dlq:null_value'
+        |         WHEN event_id % 103 = 0 THEN 'dlq:bad_magic'
+        |         WHEN event_id % 107 = 0 THEN 'dlq:unknown_schema_id'
+        |         ELSE 'ok:' || event_type END AS route,
+        |    event_id % 2 AS ver
+        |  FROM events)
+        |SELECT route, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CASE WHEN route LIKE 'ok:%' THEN
+        |    CAST(count(*) FILTER (ver = 0) AS BIGINT) END AS n_v1,
+        |  CASE WHEN route LIKE 'ok:%' THEN
+        |    CAST(sum(cents) FILTER (ver = 1) AS BIGINT) END AS sum_cents,
+        |  CASE WHEN route LIKE 'ok:%' THEN min(event_id) END AS min_id,
+        |  CASE WHEN route LIKE 'ok:%' THEN max(event_id) END AS max_id
+        |FROM ev GROUP BY route ORDER BY route""".stripMargin,
 
     "lake_upsert" ->
       """SELECT o_orderkey,

@@ -82,6 +82,63 @@ object StreamingIngest {
       }
       .start()
 
+  /** Registry wire-format streaming sink (SURVEY §1.3a): each micro-batch
+    * carries RAW Confluent-framed bytes (`0x00` magic + int32 schema id +
+    * Avro body) in `valueCol`; this deserializes them against the
+    * directory registry and drives the FULL P5/R5 schema-evolution path —
+    * the one-line swap for a `readStream.format("kafka")` user whose
+    * values come straight off a schema registry.
+    *
+    * Per batch: (1) poison frames (null / bad magic / unknown id) route
+    * to the F4 DLQ BEFORE any decode, written exactly-once under a
+    * deterministic `batch=<id>` dir; (2) clean frames split per schema
+    * id and decode under each id's writer schema (map-only, reader
+    * reused per partition); (3) `SchemaEvolution.resolve` applies the
+    * compatibility mode — projecting compatible versions onto one write
+    * group, rotating incompatible ones; (4) each surviving group writes
+    * through the full `Ingest.run` pipeline under a K8
+    * `schema_name=<name>_v<version>` affix, so rotated schemas get
+    * distinct file groups exactly as R5 demands. Exactly-once holds by
+    * the X1/X2 argument: the checkpoint WAL is the offset store and
+    * every object key (DLQ included) is a deterministic function of the
+    * batch. */
+  def startWireFormatPipeline(frame: DataFrame, cfg: IngestConfig,
+                              partitioner: PartitionerSpec, outDir: String,
+                              checkpointDir: String, registryDir: String,
+                              mode: graft.ingest.SchemaCompat.CompatMode,
+                              kafkaPartition: Column, offset: Column,
+                              keep: Seq[String],
+                              valueCol: String = "value",
+                              dlqDir: Option[String] = None,
+                              trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    frame.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val wf = graft.ingest.WireFormat
+        val known = wf.loadRegistry(batch.sparkSession, registryDir).keySet
+        val routed = wf.route(batch, col(valueCol), known)
+        dlqDir.foreach { d =>
+          routed.deadLetter.write.mode("overwrite")
+            .parquet(s"$d/batch=$batchId")
+        }
+        val batches = wf.versionedBatches(
+          routed.ok, col(valueCol), registryDir, keep)
+        if (batches.nonEmpty)
+          graft.ingest.SchemaEvolution.resolve(mode, batches).foreach { g =>
+            Ingest.run(g.frame, cfg,
+              PartitionerSpec.SchemaAffix(partitioner,
+                s"${g.as.name}_v${g.as.version.getOrElse(0)}"),
+              outDir, kafkaPartition = kafkaPartition, offset = offset,
+              payloadCols = g.as.struct.fieldNames.toSeq
+                .filterNot(keep.contains).map(col))
+          }
+        ()
+      }
+      .start()
+
   /** Multi-topic streaming sink: the streaming face of `Ingest.runMulti`
     * (the reference's `topics` list, S3SinkTask.java:229-276) — each
     * micro-batch routes records by `topicCol` and runs the full pipeline
