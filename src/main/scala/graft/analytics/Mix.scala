@@ -209,7 +209,9 @@ object Mix {
       .groupBy(col("stratum"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("x")).cast("long").as("s1"),
-        sum(col("x") * col("x")).cast("long").as("s2"))
+        // Σx² in decimal(38,0): int64 dies at n·x²max > 2^63 (r15)
+        sum(col("x").cast("decimal(38,0)") * col("x"))
+          .cast("decimal(38,0)").as("s2"))
     val variance = (col("n").cast("decimal(38,0)") * col("s2") -
         col("s1").cast("decimal(38,0)") * col("s1")).cast("double") /
       (col("n").cast("double") *

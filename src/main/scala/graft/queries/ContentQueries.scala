@@ -695,9 +695,13 @@ object ContentQueries {
       val bins = queries("eval_brier_bins")(s, d)
       bins.agg(
           sum(col("n")).cast("long").as("n_total"),
-          sum(col("n") * abs(col("mean_p_micro") - col("frac_pos_micro")))
-            .cast("long").as("gap_w"),
-          sum(col("n") * col("brier_micro2")).cast("long").as("brier_w"))
+          // r15 moment audit: n·micro products accumulate in
+          // decimal(38,0) — int64 dies at N·1e12 > 2^63, i.e. N ≈ 9e6
+          sum(col("n").cast("decimal(38,0)") *
+              abs(col("mean_p_micro") - col("frac_pos_micro")))
+            .cast("decimal(38,0)").as("gap_w"),
+          sum(col("n").cast("decimal(38,0)") * col("brier_micro2"))
+            .cast("decimal(38,0)").as("brier_w"))
         .select(col("n_total"),
           expr("gap_w div n_total").as("ece_micro"),
           expr("brier_w div n_total").as("brier_micro2"))
@@ -720,7 +724,9 @@ object ContentQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("toks")).cast("long").as("n_toks"),
-          sum(col("i") * col("toks")).cast("long").as("iw"))
+          // r15: Σi·toks ≤ n²·toksmax — decimal(38,0) past ~3e5 docs
+          sum(col("i").cast("decimal(38,0)") * col("toks"))
+            .cast("decimal(38,0)").as("iw"))
         .select(col("source"), col("n_docs"), col("n_toks"),
           when(col("n_toks") === 0L, lit(null).cast("double"))
             .otherwise(round(
@@ -2444,26 +2450,33 @@ object ContentQueries {
       val vb = graft.analytics.Caches.persist(side("purchase"))
       val exact = va.join(vb.select(col("u"), col("cnt").as("cnt_b")),
           Seq("u"))
-        .agg(sum(col("cnt") * col("cnt_b")).cast("long").as("exact_join"))
+        .agg(sum(col("cnt").cast("decimal(38,0)") * col("cnt_b"))
+          .cast("decimal(38,0)").as("exact_join_d"))
       val prod = sk.cmCells(va, col("u"), col("cnt"))
         .join(sk.cmCells(vb, col("u"), col("cnt"))
           .select(col("r"), col("c"), col("cell").as("cell_b")),
           Seq("r", "c"))
         .groupBy(col("r"))
-        .agg(sum(col("cell") * col("cell_b")).cast("long").as("row_est"))
-        .agg(min(col("row_est")).as("est_join"))
+        .agg(sum(col("cell").cast("decimal(38,0)") * col("cell_b"))
+          .cast("decimal(38,0)").as("row_est"))
+        .agg(min(col("row_est")).as("est_join_d"))
       val counts = ev.groupBy().agg(
         sum(when(col("event_type") === "view", 1L).otherwise(0L))
           .as("n_view"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("n_purchase"))
+      // r15: products/sums run in decimal(38,0) (cell·cell ≤ N² per
+      // element — int64 per-element multiply dies at N ≈ 3e9 events);
+      // the REPORT casts back to the oracle's BIGINT columns — loud
+      // overflow only if the statistic itself outgrows int64
       counts.crossJoin(exact).crossJoin(prod)
-        .select(col("n_view"), col("n_purchase"), col("exact_join"),
-          col("est_join"),
-          when(col("exact_join") === 0L, lit(null).cast("double"))
-            .otherwise(round((col("est_join") - col("exact_join"))
+        .select(col("n_view"), col("n_purchase"),
+          col("exact_join_d").cast("long").as("exact_join"),
+          col("est_join_d").cast("long").as("est_join"),
+          when(col("exact_join_d") === 0L, lit(null).cast("double"))
+            .otherwise(round((col("est_join_d") - col("exact_join_d"))
               .cast("double") * 100.0 /
-              col("exact_join").cast("double"), 2)).as("err_pct"))
+              col("exact_join_d").cast("double"), 2)).as("err_pct"))
     }),
 
     // Jensen-Shannon divergence between per-source unigram
@@ -3119,8 +3132,9 @@ object ContentQueries {
     // while n²·1e12 ≤ 1e38, i.e. to n ≈ 1e13 vectors per slice, far
     // past any real corpus; the final cast to double of the SAME exact
     // integer is bit-identical to the int64 path wherever both fit
-    // (hash-stable). The int64 SUM columns themselves bound at ~9.2e6
-    // rows/slice; past that, center q on an integer pivot first.
+    // (hash-stable). The Σq² ACCUMULATIONS are decimal(38,0) too
+    // (r15 moment audit) — the old int64 sums bounded at ~9.2e6
+    // rows/slice, inside a real corpus.
     "profile_emb_drift" -> ((s, d) => {
       val t = emb(s, d)
         .select(col("vec_id"), posexplode(col("embedding")))
@@ -3132,13 +3146,15 @@ object ContentQueries {
         sum(when(col("slice") === 0L, 1L).otherwise(0L)).cast("long")
           .as("n_r"),
         sum(when(col("slice") === 0L, col("q"))).cast("long").as("s1_r"),
-        sum(when(col("slice") === 0L, col("q") * col("q"))).cast("long")
-          .as("s2_r"),
+        sum(when(col("slice") === 0L,
+          col("q").cast("decimal(38,0)") * col("q")))
+          .cast("decimal(38,0)").as("s2_r"),
         sum(when(col("slice") === 1L, 1L).otherwise(0L)).cast("long")
           .as("n_l"),
         sum(when(col("slice") === 1L, col("q"))).cast("long").as("s1_l"),
-        sum(when(col("slice") === 1L, col("q") * col("q"))).cast("long")
-          .as("s2_l"))
+        sum(when(col("slice") === 1L,
+          col("q").cast("decimal(38,0)") * col("q")))
+          .cast("decimal(38,0)").as("s2_l"))
       val varR = (col("n_r").cast("decimal(38,0)") * col("s2_r") -
         col("s1_r").cast("decimal(38,0)") * col("s1_r"))
         .cast("double") /
@@ -3903,10 +3919,10 @@ object ContentQueries {
     // micros (exp is not IEEE-reproducible across engines), so the
     // oracle unrolls all 5 rounds in HUGEINT and matches bit-for-bit.
     // Scale: ONE corpus pass (the unigram score) feeds a |sources|-row
-    // driver fold — the Lloyd/Markov model-scale discipline. Int64
-    // bound on the loss aggregate: Σ(micro_bpt·n_tokens) per source
-    // ≤ ~6e7·Σtokens — exact to ~1.5e11 source tokens; widen the sum
-    // to decimal(38,0) past that.
+    // driver fold — the Lloyd/Markov model-scale discipline. The loss
+    // aggregate Σ(micro_bpt·n_tokens) accumulates in decimal(38,0)
+    // (r15 moment audit): int64 died at ~1.5e11 source tokens, well
+    // inside a 100 TB corpus; decimal is exact to 1e38.
     "mix_doremi" -> ((s, d) => {
       val dd = docs(s, d)
       val bits = TextAnalysis.unigramBits(dd, col("doc_id"), col("text"))
@@ -3915,7 +3931,8 @@ object ContentQueries {
         .withColumn("micro_bpt",
           round(col("bits_per_token") * 1e6, 0).cast("long"))
         .groupBy(col("source"))
-        .agg(sum(col("micro_bpt") * col("n_tokens")).cast("long")
+        .agg(sum(col("micro_bpt").cast("decimal(38,0)") *
+              col("n_tokens")).cast("decimal(38,0)")
             .as("wsum"),
           sum(col("n_tokens")).cast("long").as("n_tokens"))
         .select(col("source"), col("n_tokens"),
@@ -3943,7 +3960,8 @@ object ContentQueries {
         .withColumn("micro_bpt",
           round(col("bits_per_token") * 1e6, 0).cast("long"))
         .groupBy(col("source"))
-        .agg(sum(col("micro_bpt") * col("n_tokens")).cast("long")
+        .agg(sum(col("micro_bpt").cast("decimal(38,0)") *
+              col("n_tokens")).cast("decimal(38,0)")
             .as("wsum"),
           sum(col("n_tokens")).cast("long").as("n_tokens"))
         .select(col("source"),
@@ -4504,10 +4522,11 @@ object ContentQueries {
          |      // count(*) AS BIGINT) AS brier_micro2
          |  FROM bb GROUP BY bin)
          |SELECT CAST(sum(n) AS BIGINT) AS n_total,
-         |  CAST(sum(n * abs(mean_p_micro - frac_pos_micro)) // sum(n)
+         |  CAST(sum(CAST(n AS HUGEINT)
+         |      * abs(mean_p_micro - frac_pos_micro)) // sum(n)
          |    AS BIGINT) AS ece_micro,
-         |  CAST(sum(n * brier_micro2) // sum(n) AS BIGINT)
-         |    AS brier_micro2
+         |  CAST(sum(CAST(n AS HUGEINT) * brier_micro2) // sum(n)
+         |    AS BIGINT) AS brier_micro2
          |FROM bins""".stripMargin,
 
     "profile_gini" ->
@@ -4519,7 +4538,7 @@ object ContentQueries {
         |      ORDER BY toks, doc_id) AS BIGINT) AS i FROM dd),
         |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(sum(toks) AS BIGINT) AS n_toks,
-        |    CAST(sum(i * toks) AS BIGINT) AS iw
+        |    sum(CAST(i AS HUGEINT) * toks) AS iw
         |  FROM rk GROUP BY 1)
         |SELECT source, n_docs, n_toks,
         |  CASE WHEN n_toks = 0 THEN NULL
@@ -4664,7 +4683,7 @@ object ContentQueries {
       """WITH st AS (SELECT source AS stratum,
         |    CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(n_chars) AS BIGINT) AS s1,
-        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
         |  FROM documents GROUP BY 1),
         |sd AS (SELECT stratum, n,
         |    CAST(floor(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2
@@ -4698,7 +4717,7 @@ object ContentQueries {
       """WITH st AS (SELECT source AS stratum,
         |    CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(n_chars) AS BIGINT) AS s1,
-        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
         |  FROM documents GROUP BY 1),
         |sd AS (SELECT stratum, n,
         |    CAST(floor(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2
@@ -6608,12 +6627,13 @@ object ContentQueries {
         |  (SELECT cnt, rr.r AS r, CAST(CONCAT('0x', substr(md5(u),
         |      rr.r * 8 + 1, 8)) AS BIGINT) % 1024 AS c
         |    FROM vb CROSS JOIN range(0, 4) rr(r)) GROUP BY r, c),
-        |prod AS (SELECT ca.r, CAST(sum(ca.cell * cb.cell) AS BIGINT)
-        |    AS row_est
+        |prod AS (SELECT ca.r,
+        |    sum(CAST(ca.cell AS HUGEINT) * cb.cell) AS row_est
         |  FROM ca JOIN cb USING (r, c) GROUP BY ca.r),
         |est AS (SELECT CAST(min(row_est) AS BIGINT) AS est_join
         |  FROM prod),
-        |ex AS (SELECT CAST(sum(va.cnt * vb.cnt) AS BIGINT) AS exact_join
+        |ex AS (SELECT CAST(sum(CAST(va.cnt AS HUGEINT) * vb.cnt)
+        |    AS BIGINT) AS exact_join
         |  FROM va JOIN vb USING (u)),
         |cnts AS (SELECT
         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
@@ -7472,7 +7492,8 @@ object ContentQueries {
          |  FROM pp JOIN documents d USING (doc_id)),
          |ls AS MATERIALIZED (SELECT source,
          |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |    CAST(sum(micro_bpt * n_tokens) // sum(n_tokens) AS BIGINT)
+         |    CAST(sum(CAST(micro_bpt AS HUGEINT) * n_tokens)
+         |      // sum(n_tokens) AS BIGINT)
          |      AS loss
          |  FROM j GROUP BY 1),
          |da0 AS MATERIALIZED (SELECT source, loss, n_tokens,
@@ -7490,7 +7511,8 @@ object ContentQueries {
          |  FROM pp JOIN documents d USING (doc_id)),
          |ls AS MATERIALIZED (SELECT source,
          |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |    CAST(sum(micro_bpt * n_tokens) // sum(n_tokens) AS BIGINT)
+         |    CAST(sum(CAST(micro_bpt AS HUGEINT) * n_tokens)
+         |      // sum(n_tokens) AS BIGINT)
          |      AS loss
          |  FROM j GROUP BY 1),
          |da0 AS MATERIALIZED (SELECT source, loss, n_tokens,

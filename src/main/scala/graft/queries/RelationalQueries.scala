@@ -888,12 +888,12 @@ object RelationalQueries {
     // single-theta CUPED), Y_cuped = Y − theta·(X − mean X), readout =
     // adjusted rate difference plus rho² = cor(X,Y)² (the fraction of
     // variance CUPED removed — the sensitivity win a real experiment
-    // platform reports alongside the lift). All moments are EXACT int64
-    // sums (x is an event count, y ∈ {0,1} so Σy² = Σy; the n-scaled
-    // covariance/variance numerators stay well under 2^62 at any SF the
-    // fixture reaches) cast to double only at the final divisions, each
-    // mirrored term-for-term in the oracle; var(X)=0 or single-class Y
-    // yields NULLs. Scale: the same user-keyed aggregate as q52 with
+    // platform reports alongside the lift). All moments are EXACT:
+    // first moments in int64, Σx²/Σxy and the n-scaled covariance/
+    // variance numerators in decimal(38,0) (n·Σx² passes 2^63 at ~9e4
+    // users under bot skew — the q67 discipline), cast to double only
+    // at the final divisions, each mirrored term-for-term in the
+    // oracle (HUGEINT); var(X)=0 or single-class Y yields NULLs. Scale: the same user-keyed aggregate as q52 with
     // three more sum columns, then a 2-row fold — CUPED is free at
     // 100 TB, which is exactly why platforms default it on.
     "q54_abtest_cuped" -> ((s, d) => {
@@ -917,20 +917,29 @@ object RelationalQueries {
       val t2 = u.agg(
         count(lit(1)).cast("long").as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
+        // Σxy/Σx² accumulate in decimal(38,0) (r15 moment-fold audit):
+        // int64 Σx² dies at n·x²max > 2^63 — ~9e4 users at x = 1e7
+        // views under bot skew
+        sum(col("x").cast("decimal(38,0)") * col("y"))
+          .cast("decimal(38,0)").as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x"))
+          .cast("decimal(38,0)").as("sxx"),
         arm(0, lit(1L)).as("n_a"), arm(0, col("x")).as("sx_a"),
         arm(0, col("y")).as("sy_a"),
         arm(1, lit(1L)).as("n_b"), arm(1, col("x")).as("sx_b"),
         arm(1, col("y")).as("sy_b"))
       // n-scaled second moments: cov_n = n·Σxy − Σx·Σy, varx_n = n·Σxx
-      // − (Σx)², vary_n = n·Σy − (Σy)² — exact in int64, doubles only
+      // − (Σx)², vary_n = n·Σy − (Σy)² — exact in decimal(38,0) (the
+      // n· products pass 2^63 long before the sums do), doubles only
       // at the divisions below
-      val covN = (col("n") * col("sxy") - col("sx") * col("sy"))
+      val covN = (col("n").cast("decimal(38,0)") * col("sxy") -
+        col("sx").cast("decimal(38,0)") * col("sy"))
         .cast("double")
-      val varxN = (col("n") * col("sxx") - col("sx") * col("sx"))
+      val varxN = (col("n").cast("decimal(38,0)") * col("sxx") -
+        col("sx").cast("decimal(38,0)") * col("sx"))
         .cast("double")
-      val varyN = (col("n") * col("sy") - col("sy") * col("sy"))
+      val varyN = (col("n").cast("decimal(38,0)") * col("sy") -
+        col("sy").cast("decimal(38,0)") * col("sy"))
         .cast("double")
       val theta = covN / varxN
       val na = col("n_a").cast("double")
@@ -1427,12 +1436,16 @@ object RelationalQueries {
           col("user_id").cast("string"))).substr(1, 8), 16, 10)
           .cast("long"))
         .withColumn("wt", pois(col("u32")))
+      // r15 moment audit: Σwt·cents·1e4 accumulates in decimal(38,0)
+      // — int64 died at ~1e15 arm cents (8·Σcents·1e4 > 2^63)
       val means = grid.groupBy(col("b")).agg(
-          (sum(when(col("arm") === 0L, col("wt") * col("cents")))
-            * 10000L).cast("long").as("sa"),
+          (sum(when(col("arm") === 0L,
+            col("wt").cast("decimal(38,0)") * col("cents")))
+            * 10000L).cast("decimal(38,0)").as("sa"),
           sum(when(col("arm") === 0L, col("wt"))).cast("long").as("wa"),
-          (sum(when(col("arm") === 1L, col("wt") * col("cents")))
-            * 10000L).cast("long").as("sb"),
+          (sum(when(col("arm") === 1L,
+            col("wt").cast("decimal(38,0)") * col("cents")))
+            * 10000L).cast("decimal(38,0)").as("sb"),
           sum(when(col("arm") === 1L, col("wt"))).cast("long").as("wb"))
         .select(col("b"),
           (when(col("wa") > 0L, expr("sa div wa")) -
@@ -1619,7 +1632,11 @@ object RelationalQueries {
       seg.groupBy(col("segment"))
         .agg(count(lit(1)).cast("long").as("n"),
           sum(col("cents")).cast("long").as("s1"),
-          sum(col("cents") * col("cents")).cast("long").as("s2"))
+          // the ACCUMULATION is decimal too (r15): Σx² in int64 dies at
+          // n·W² > 2^63 — a 1e5-user segment with $100k whales (W=1e7
+          // cents) crosses it; decimal(38,0) is exact to 1e38
+          sum(col("cents").cast("decimal(38,0)") * col("cents"))
+            .cast("decimal(38,0)").as("s2"))
         .select(col("segment"), col("n").as("n_users"),
           expr("(s1 * 10000L) div n").as("mean_micro"),
           when(col("n") >= 2L,
@@ -1673,17 +1690,22 @@ object RelationalQueries {
         .join(broadcast(looks), col("lk") <= col("look"))
         .groupBy(col("user_id"), col("look"))
         .agg(sum(col("cents")).cast("long").as("cents"))
+      // Σx² accumulates in decimal(38,0) (r15): int64 dies at n·W² >
+      // 2^63 — ~1e5 users at W = 1e7 cents; the n·s2 − s1² combination
+      // below was already decimal
       val stats = cum.groupBy(col("look")).agg(
         count(when(col("user_id") % 2 === 0, lit(1))).cast("long").as("n_a"),
         sum(when(col("user_id") % 2 === 0, col("cents")))
           .cast("long").as("s1_a"),
-        sum(when(col("user_id") % 2 === 0, col("cents") * col("cents")))
-          .cast("long").as("s2_a"),
+        sum(when(col("user_id") % 2 === 0,
+          col("cents").cast("decimal(38,0)") * col("cents")))
+          .cast("decimal(38,0)").as("s2_a"),
         count(when(col("user_id") % 2 === 1, lit(1))).cast("long").as("n_b"),
         sum(when(col("user_id") % 2 === 1, col("cents")))
           .cast("long").as("s1_b"),
-        sum(when(col("user_id") % 2 === 1, col("cents") * col("cents")))
-          .cast("long").as("s2_b"))
+        sum(when(col("user_id") % 2 === 1,
+          col("cents").cast("decimal(38,0)") * col("cents")))
+          .cast("decimal(38,0)").as("s2_b"))
       def varOf(n: String, s1: String,
                 s2: String): org.apache.spark.sql.Column =
         (col(n).cast("decimal(38,0)") * col(s2) -
@@ -1873,13 +1895,15 @@ object RelationalQueries {
         .groupBy(col("user_id"), col("event_type"), col("dow"))
         .agg(sum(col("cents")).cast("long").as("cents"))
         .withColumn("arm", (col("user_id") % 2).cast("int"))
+      // Σx² in decimal(38,0) (r15 moment-fold audit — the q67 escape)
       def mom(a: Int, sfx: String): Seq[org.apache.spark.sql.Column] =
         Seq(count(when(col("arm") === a, lit(1))).cast("long")
             .as(s"n_$sfx"),
           sum(when(col("arm") === a, col("cents"))).cast("long")
             .as(s"s1_$sfx"),
-          sum(when(col("arm") === a, col("cents") * col("cents")))
-            .cast("long").as(s"s2_$sfx"))
+          sum(when(col("arm") === a,
+            col("cents").cast("decimal(38,0)") * col("cents")))
+            .cast("decimal(38,0)").as(s"s2_$sfx"))
       val stats = perUser.groupBy(col("event_type"), col("dow"))
         .agg((mom(0, "a") ++ mom(1, "b")).head,
           (mom(0, "a") ++ mom(1, "b")).tail: _*)
@@ -2505,8 +2529,8 @@ object RelationalQueries {
         |  LEFT JOIN pu USING (user_id)),
         |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_a,
         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END)
@@ -2521,9 +2545,12 @@ object RelationalQueries {
         |      AS BIGINT) AS sy_b
         |  FROM u),
         |m AS (SELECT n_a, sy_a, n_b, sy_b,
-        |    CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
-        |    CAST(n * sxx - sx * sx AS DOUBLE) AS varx_n,
-        |    CAST(n * sy - sy * sy AS DOUBLE) AS vary_n,
+        |    CAST(CAST(n AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cov_n,
+        |    CAST(CAST(n AS HUGEINT) * sxx
+        |      - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS varx_n,
+        |    CAST(CAST(n AS HUGEINT) * sy
+        |      - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS vary_n,
         |    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
         |      - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS raw_diff,
         |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
@@ -2934,7 +2961,7 @@ object RelationalQueries {
         |  FROM pu GROUP BY user_id),
         |mo AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(cents) AS BIGINT) AS s1,
-        |    CAST(sum(cents * cents) AS BIGINT) AS s2
+        |    sum(CAST(cents AS HUGEINT) * cents) AS s2
         |  FROM seg GROUP BY 1),
         |st AS (SELECT segment, n AS n_users,
         |    (s1 * 10000) // n AS mean_micro,
@@ -2977,14 +3004,14 @@ object RelationalQueries {
         |      AS n_a,
         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN cents END) AS BIGINT)
         |      AS s1_a,
-        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN cents * cents END)
-        |      AS BIGINT) AS s2_a,
+        |    sum(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(cents AS HUGEINT) * cents END) AS s2_a,
         |    CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT)
         |      AS n_b,
         |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN cents END) AS BIGINT)
         |      AS s1_b,
-        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN cents * cents END)
-        |      AS BIGINT) AS s2_b
+        |    sum(CASE WHEN user_id % 2 = 1
+        |      THEN CAST(cents AS HUGEINT) * cents END) AS s2_b
         |  FROM cum GROUP BY 1),
         |zc AS (SELECT look, n_a, n_b,
         |    (s1_a * 10000) // n_a AS mean_a_micro,
@@ -3123,12 +3150,12 @@ object RelationalQueries {
         |st AS (SELECT event_type, dow,
         |    CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
         |    CAST(sum(cents) FILTER (user_id % 2 = 0) AS BIGINT) AS s1_a,
-        |    CAST(sum(cents * cents) FILTER (user_id % 2 = 0)
-        |      AS BIGINT) AS s2_a,
+        |    sum(CAST(cents AS HUGEINT) * cents)
+        |      FILTER (user_id % 2 = 0) AS s2_a,
         |    CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS n_b,
         |    CAST(sum(cents) FILTER (user_id % 2 = 1) AS BIGINT) AS s1_b,
-        |    CAST(sum(cents * cents) FILTER (user_id % 2 = 1)
-        |      AS BIGINT) AS s2_b
+        |    sum(CAST(cents AS HUGEINT) * cents)
+        |      FILTER (user_id % 2 = 1) AS s2_b
         |  FROM pu GROUP BY 1, 2),
         |z AS (SELECT event_type, dow, n_a, n_b,
         |    CASE WHEN n_a >= 2 AND n_b >= 2 AND
