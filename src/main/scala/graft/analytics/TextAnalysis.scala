@@ -213,10 +213,24 @@ object TextAnalysis {
     // per-key fan-out, so it cannot live after it. The query side is
     // the SHUFFLE_HASH build side: postings are corpus-scale and must
     // never broadcast, and queries need no sort.
+    //
+    // QUERY-VOCABULARY prune (r15, the answer-preserving cut): batch
+    // retrieval knows its term set up front, so postings for terms NO
+    // query uses never reach the tf aggregate, the df window, or the
+    // join — they could only ever contribute zero rows downstream, and
+    // df per surviving term is computed over the same full corpus
+    // explode, so every score is bit-identical (hash-pinned). This
+    // moves the heavy ops from |all postings| to Σ df(query vocab): at
+    // the 10× fixed-query soak that is ~9× less shuffled state. The
+    // query vocab broadcasts by the batch-retrieval contract (queries
+    // are the small side); a corpus-scale query set should flip this
+    // semi join to shuffle — documented, not auto-detected.
+    val qVocab = queries.select(col("term")).distinct()
     val postings = t
       .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
         explode(col("toks")).as("term"))
       .filter(col("term") =!= "")
+      .join(broadcast(qVocab), Seq("term"), "left_semi")
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("df", count(lit(1)).over(
@@ -417,13 +431,14 @@ object TextAnalysis {
     * `greatest(null - 1, 1)` skips the null and the doc would fabricate
     * one empty gram where DuckDB's unnest emits no row). Pure array
     * builder: no shuffle until the caller aggregates. */
+  /** Ordered, non-distinct word n-grams (tf-preserving — the BM25 index
+    * grain). Native single-pass expression (graft.functions.WordNgrams):
+    * the composed transform/slice form evaluated an interpreted lambda
+    * per position and was 19.3 s of a 20 s 10×-corpus retrieval;
+    * semantics are pinned identical in HashExpressionsSpec. */
   def ngrams(text: Column, n: Int): Column = {
     require(n >= 1)
-    val toks = tokens(lower(text))
-    when(text.isNull, lit(null).cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    graft.functions.HashExpressions.wordNgrams(lower(text), n)
   }
 
   /** Distinct word n-gram shingles, the input to Jaccard/MinHash dedup.

@@ -182,6 +182,62 @@ object MinHashSignature {
   }
 }
 
+/** ORDERED, NON-distinct word n-grams of a space-tokenized string, single
+  * native pass — the BM25/posting-grain sibling of WordShingles (term
+  * frequency matters, so duplicates must survive). Semantics identical to
+  * `transform(sequence(1, greatest(size(toks)-(n-1), 1)), i -> concat_ws(' ', slice(toks, i, n)))`
+  * over `split(text, ' ')`: empty tokens from runs of spaces are
+  * preserved, docs shorter than n tokens yield one whole-doc gram,
+  * positional order. The composed version evaluates an interpreted
+  * lambda + array slice PER POSITION — measured 19.3 s of a 20 s
+  * 10x-corpus BM25 retrieval before this expression existed. */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with RefEvalCodegen {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_ngrams requires string, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.split(" ", -1)
+    if (tokens.length <= n) {
+      new GenericArrayData(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(tokens.mkString(" "))))
+    } else {
+      val last = tokens.length - n
+      val out = new Array[Any](last + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= last) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(i + j))
+          j += 1
+        }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordNgrams =
+    copy(child = c)
+  override def prettyName: String = "word_ngrams"
+}
+
 /** Distinct word n-gram shingles of a space-tokenized string, single native
   * pass. Semantics identical to
   * `array_distinct(transform(sequence(...), i -> concat_ws(' ', slice(split(text,' '), i, n))))`
@@ -808,6 +864,9 @@ object HashExpressions {
 
   def wordShingles(text: Column, n: Int): Column =
     bridge.column(WordShingles(bridge.expression(text), n))
+
+  def wordNgrams(text: Column, n: Int): Column =
+    bridge.column(WordNgrams(bridge.expression(text), n))
 
   def wordGramHashes(text: Column, n: Int): Column =
     bridge.column(WordGramHashes(bridge.expression(text), n))

@@ -1,0 +1,134 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Isolated replay of the bench's 10× scale-soak rows — the iteration
+  * tool the full `graft.Bench` is too heavy for. Usage:
+  *   SPARK_GRAFT_SF_DIR=… ./tools/run.sh graft.tools.SoakProbe bm25_fixedq
+  * Names: bm25, bm25_fixedq, substr, pagerank, triangles. Prints one
+  * JSON line per name with the 1x time, 10x time and ratio (same
+  * construction as Bench.scaleSoak2, min of SPARK_GRAFT_SOAK_REPS
+  * reps, default 1). */
+object SoakProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "1").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-soak-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val d1 = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val d10 = d1.select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), lit(9L))).as("rep"))
+      .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def minOf(f: => Double): Double = (1 to reps).map(_ => f).min
+
+    def bm25(df: org.apache.spark.sql.DataFrame, qMod: Long): Double = {
+      val toks = df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val q = toks.filter(size(col("toks")) >= 11 &&
+          col("doc_id") % qMod === 0)
+        .select(col("doc_id").as("q_id"), explode(array_distinct(array(
+          try_element_at(col("toks"), lit(3)),
+          try_element_at(col("toks"), lit(7)),
+          try_element_at(col("toks"), lit(11))))).as("term"))
+        .filter(col("term") =!= "")
+      val s = time(graft.analytics.TextAnalysis.bm25Retrieve(df,
+        col("doc_id"), graft.analytics.TextAnalysis.ngrams(col("text"), 2),
+        q, k = 5, excludeSelf = true).count())
+      graft.analytics.Caches.clear(); s
+    }
+    def substr(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = time(graft.analytics.Dedup.substringDedup(df, col("doc_id"),
+        col("text"), k = 15).count())
+      graft.analytics.Caches.clear(); s
+    }
+    def graphEdges(n: Long) = {
+      spark.range(n).select(col("id").as("src"))
+        .select(col("src"), explode(sequence(lit(1L), lit(8L))).as("j"))
+        .select(col("src"), ((col("src") * 31 + col("j") * 7919) % n).as("dst"))
+        .filter(col("src") =!= col("dst"))
+    }
+    def pagerank(n: Long): Double = {
+      val s = time(graft.analytics.Graph.pageRank(graphEdges(n), col("src"),
+        col("dst"), iters = 10).count())
+      graft.analytics.Caches.clear(); s
+    }
+    def triangles(n: Long): Double = {
+      val s = time(graft.analytics.Graph.triangles(graphEdges(n), col("src"),
+        col("dst")).count())
+      graft.analytics.Caches.clear(); s
+    }
+
+    val names = if (args.isEmpty) Seq("bm25_fixedq") else args.toSeq
+    names.foreach {
+      case "bm25" =>
+        val (a, b) = (minOf(bm25(d1, 25L)), minOf(bm25(d10, 25L)))
+        println(f"""{"name":"bm25","t1":$a%.3f,"t10":$b%.3f,"ratio":${b / a}%.2f}""")
+      case "bm25_fixedq" =>
+        val a = minOf(bm25(d1, 25L))
+        val b = minOf(bm25(d10, 250L))
+        println(f"""{"name":"bm25_fixedq","t1":$a%.3f,"t10":$b%.3f,"ratio":${b / a}%.2f}""")
+      case "substr" =>
+        val (a, b) = (minOf(substr(d1)), minOf(substr(d10)))
+        println(f"""{"name":"substr","t1":$a%.3f,"t10":$b%.3f,"ratio":${b / a}%.2f}""")
+      case "pagerank" =>
+        val (a, b) = (minOf(pagerank(100000L)), minOf(pagerank(1000000L)))
+        println(f"""{"name":"pagerank","t1":$a%.3f,"t10":$b%.3f,"ratio":${b / a}%.2f}""")
+      case "triangles" =>
+        val (a, b) = (minOf(triangles(100000L)), minOf(triangles(1000000L)))
+        println(f"""{"name":"triangles","t1":$a%.3f,"t10":$b%.3f,"ratio":${b / a}%.2f}""")
+      case "bm25_profile" =>
+        // stage-by-stage cost of the fixed-query 10x retrieval
+        import graft.analytics.{Caches, TextAnalysis}
+        val df = d10
+        val toks = df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val q = toks.filter(size(col("toks")) >= 11 &&
+            col("doc_id") % 250 === 0)
+          .select(col("doc_id").as("q_id"), explode(array_distinct(array(
+            try_element_at(col("toks"), lit(3)),
+            try_element_at(col("toks"), lit(7)),
+            try_element_at(col("toks"), lit(11))))).as("term"))
+          .filter(col("term") =!= "")
+        val t0 = Caches.persist(df.select(col("doc_id"),
+          TextAnalysis.ngrams(col("text"), 2).as("toks")))
+        val tTok = time(t0.count())
+        val tStats = time(t0.agg(count(lit(1)), avg(size(col("toks"))))
+          .collect().length.toLong)
+        val qv = q.select(col("term")).distinct()
+        val posts = t0
+          .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+            explode(col("toks")).as("term"))
+          .filter(col("term") =!= "")
+          .join(broadcast(qv), Seq("term"), "left_semi")
+          .groupBy(col("term"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("term"))).cast("double"))
+        val posts2 = Caches.persist(posts)
+        val tPost = time(posts2.count())
+        val full = time(TextAnalysis.bm25Retrieve(df, col("doc_id"),
+          TextAnalysis.ngrams(col("text"), 2), q, k = 5,
+          excludeSelf = true).count())
+        Caches.clear()
+        println(f"""{"name":"bm25_profile","tokenize":$tTok%.3f,"stats":$tStats%.3f,"postings":$tPost%.3f,"full":$full%.3f}""")
+      case other => println(s"""{"name":"$other","err":"unknown"}""")
+    }
+    spark.stop()
+  }
+}

@@ -230,6 +230,28 @@ class SparkPropertySpec extends SparkSuite {
     }
   }
 
+  test("native WordNgrams equals the composed transform/slice form on " +
+    "generated inputs (ordered, duplicates preserved, short-doc and " +
+    "multi-space cases)") {
+    val wordGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(6)), Gen.const(""), Gen.const("the")))
+      .map(_.mkString(" "))
+    val inputs = ((1 to 200).flatMap(_ => wordGen.sample) ++
+      Seq("", "a", "a b", "a b c", "a  b", " lead", "trail ")).distinct
+    val toks = split(lower(col("text")), " ")
+    val df = inputs.toDF("text")
+      .select(col("text"),
+        graft.functions.HashExpressions.wordNgrams(lower(col("text")), 2)
+          .as("native"),
+        transform(
+          sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(2)))).as("composed"))
+    df.collect().foreach { row =>
+      assert(row.getSeq[String](1) == row.getSeq[String](2),
+        s"mismatch for input '${row.getString(0)}'")
+    }
+  }
+
   test("assignWriterSizeFiles equals an imperative simulation of the " +
     "reference writer with rotate.file.on.partition.change=false " +
     "(TopicPartitionWriter: per-ep open files, writer-global recordCount, " +
