@@ -1774,6 +1774,56 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // BANDED Theil–Sen (r14 verdict #6): q69's exact pair stage is
+    // O(T²) in window HOURS — fine at sf0.1 (T ≈ 750), quadratic for a
+    // multi-year lake (T ≈ 26k hours/3y → 3.4e8 pairs/type). The
+    // standard windowed variant caps the lag at L = 168 h (all pairs
+    // within one week): pairs = T·L, LINEAR in window length, and the
+    // estimator stays a consistent trend median (short-lag slopes
+    // carry the trend signal; ultra-long-lag pairs mostly re-measure
+    // the same drift). The pair stage is an EQUI-join on the q57
+    // delta-bucket key — each h2 row replicates to its own L-bucket
+    // and the previous one, so a ≤L lag pair shares exactly ONE key
+    // (lag ≤ L ⇒ bucket delta ∈ {0,1}) — never a range-predicate
+    // cross join. q69 stays as the exact all-pairs baseline.
+    "q69b_theil_sen_banded" -> ((s, d) => {
+      val win = org.apache.spark.sql.expressions.Window
+      val lagL = 168L
+      val cells = graft.analytics.Caches.persist(
+        T(s, d, "events").select(col("event_type"),
+          expr("unix_micros(date_trunc('hour', cast(ts as timestamp)))" +
+            " div 3600000000").as("h"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(sum(col("cents")).cast("long").as("y")))
+      val a = cells.select(col("event_type"), col("h").as("h1"),
+        col("y").as("y1"), expr(s"h div ${lagL}L").as("bk"))
+      val b = cells.select(col("event_type"), col("h").as("h2"),
+        col("y").as("y2"),
+        explode(array(expr(s"h div ${lagL}L"),
+          expr(s"h div ${lagL}L - 1L"))).as("bk"))
+      val slopes = a.join(b, Seq("event_type", "bk"))
+        .filter(col("h2") > col("h1") &&
+          col("h2") - col("h1") <= lagL)
+        .select(col("event_type"),
+          floor(((col("y2") - col("y1")) * lit(1000000L)).cast("double")
+            / (col("h2") - col("h1")).cast("double")).cast("long")
+            .as("sm"))
+      val hist = slopes.groupBy(col("event_type"), col("sm"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          win.partitionBy(col("event_type")).orderBy(col("sm"))))
+        .withColumn("n", sum(col("c")).over(
+          win.partitionBy(col("event_type"))))
+      hist.groupBy(col("event_type"))
+        .agg(max(col("n")).cast("long").as("n_pairs"),
+          round((
+            min(when(col("cum") >= expr("(n + 1L) div 2L"), col("sm"))) +
+            min(when(col("cum") >= expr("(n + 2L) div 2L"), col("sm"))))
+            / 2.0, 1).as("slope_med_micro"))
+        .orderBy(col("event_type"))
+    }),
+
     // Last-touch revenue attribution: each purchase's cents credit the
     // user's most recent prior view's campaign bucket (props.k mod 5 —
     // the fixture's deterministic channel surrogate), or 'direct' when
@@ -3060,6 +3110,35 @@ object RelationalQueries {
         |      / CAST(b.h - a.h AS DOUBLE)) AS BIGINT) AS sm
         |  FROM cells a JOIN cells b ON b.event_type = a.event_type
         |    AND b.h > a.h),
+        |h AS (SELECT event_type, sm, CAST(count(*) AS BIGINT) AS c
+        |  FROM sl GROUP BY 1, 2),
+        |r AS (SELECT event_type, sm, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY sm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+        |  round((min(CASE WHEN cum >= (n + 1) // 2 THEN sm END)
+        |    + min(CASE WHEN cum >= (n + 2) // 2 THEN sm END)) / 2.0, 1)
+        |    AS slope_med_micro
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the banded replay: same cells, same slope micros, same median —
+    // the band expressed as the plain lag predicate (the oracle may pay
+    // the O(T²) join; the engine may not)
+    "q69b_theil_sen_banded" ->
+      """WITH cells AS (SELECT event_type,
+        |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      // 3600000000 AS h,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (SELECT a.event_type,
+        |    CAST(floor(CAST((b.y - a.y) * 1000000 AS DOUBLE)
+        |      / CAST(b.h - a.h AS DOUBLE)) AS BIGINT) AS sm
+        |  FROM cells a JOIN cells b ON b.event_type = a.event_type
+        |    AND b.h > a.h AND b.h - a.h <= 168),
         |h AS (SELECT event_type, sm, CAST(count(*) AS BIGINT) AS c
         |  FROM sl GROUP BY 1, 2),
         |r AS (SELECT event_type, sm, c,

@@ -92,6 +92,40 @@ object SoakProbe {
       case "triangles" =>
         val (a, b) = (minOf(triangles(100000L)), minOf(triangles(1000000L)))
         println(f"""{"name":"triangles","t1":$a%.3f,"t10":$b%.3f,"ratio":${b / a}%.2f}""")
+      case "theilsen_banded" =>
+        // linearity-in-H evidence for q69b: synthetic hourly cells at H
+        // and 10H, banded (lag<=168) pair stage + histogram median.
+        // q69's exact stage is O(H²) — the banded ratio should sit
+        // near 10, the exact one near 100.
+        def cellsOf(hours: Long) = {
+          spark.range(hours).select(col("id").as("h"))
+            .crossJoin(spark.range(5).select(
+              concat(lit("t"), col("id")).as("event_type")))
+            .select(col("event_type"), col("h"),
+              ((col("h") * 131 + 17) % 100000).as("y"))
+        }
+        def banded(hours: Long): Double = {
+          val c = cellsOf(hours)
+          val a = c.select(col("event_type"), col("h").as("h1"),
+            col("y").as("y1"), expr("h div 168L").as("bk"))
+          val b = c.select(col("event_type"), col("h").as("h2"),
+            col("y").as("y2"),
+            explode(array(expr("h div 168L"),
+              expr("h div 168L - 1L"))).as("bk"))
+          val w = org.apache.spark.sql.expressions.Window
+          val slopes = a.join(b, Seq("event_type", "bk"))
+            .filter(col("h2") > col("h1") && col("h2") - col("h1") <= 168L)
+            .select(col("event_type"),
+              floor(((col("y2") - col("y1")) * lit(1000000L)).cast("double")
+                / (col("h2") - col("h1")).cast("double")).cast("long")
+                .as("sm"))
+          time(slopes.groupBy(col("event_type"), col("sm"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy(col("event_type")).agg(sum(col("c")))
+            .count())
+        }
+        val (a, b) = (minOf(banded(2000L)), minOf(banded(20000L)))
+        println(f"""{"name":"theilsen_banded","h2000":$a%.3f,"h20000":$b%.3f,"ratio":${b / a}%.2f}""")
       case "bm25_profile" =>
         // stage-by-stage cost of the fixed-query 10x retrieval
         import graft.analytics.{Caches, TextAnalysis}

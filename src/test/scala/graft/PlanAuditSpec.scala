@@ -652,6 +652,18 @@ class PlanAuditSpec extends SparkSuite {
       p)
   }
 
+  test("q69b banded Theil-Sen: the lag-168 pair stage is a TWO-column " +
+    "(event_type, lag-bucket) equi join — each probe enumerates one " +
+    "bounded bucket, never the full per-type history, never a " +
+    "nested-loop") {
+    graft.analytics.Caches.clear()
+    val p = plan("q69b_theil_sen_banded")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("keys [2]"), p)
+    assert(p.contains("bk"), p)
+  }
+
   test("q60 Markov: ONE corpus-scale window (the per-user lead); the " +
     "matrix aggregates with map-side combine") {
     val p = plan("q60_markov_trans")

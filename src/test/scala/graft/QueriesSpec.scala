@@ -329,6 +329,48 @@ class QueriesSpec extends SparkSuite {
     assert(rows.values.map(_._2).sum == 3L) // every user new exactly once
   }
 
+  test("q69b banded Theil-Sen: the lag-bucket equi join enumerates each " +
+    "<=168 h pair EXACTLY once — n_pairs and the median equal the " +
+    "plain lag-filtered cross join on the real fixture") {
+    import org.apache.spark.sql.functions._
+    val win = org.apache.spark.sql.expressions.Window
+    val cells = graft.Tables.load(spark, sf0001, "events")
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', cast(ts as timestamp)))" +
+          " div 3600000000").as("h"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(sum(col("cents")).cast("long").as("y"))
+    val a = cells.select(col("event_type"), col("h").as("h1"),
+      col("y").as("y1"))
+    val b = cells.select(col("event_type"), col("h").as("h2"),
+      col("y").as("y2"))
+    // reference: the O(T²) join with the band as a plain filter
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("h2") > col("h1") && col("h2") - col("h1") <= 168L)
+      .select(col("event_type"),
+        floor(((col("y2") - col("y1")) * lit(1000000L)).cast("double")
+          / (col("h2") - col("h1")).cast("double")).cast("long").as("sm"))
+    val hist = slopes.groupBy(col("event_type"), col("sm"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        win.partitionBy(col("event_type")).orderBy(col("sm"))))
+      .withColumn("n", sum(col("c")).over(
+        win.partitionBy(col("event_type"))))
+    val want = hist.groupBy(col("event_type"))
+      .agg(max(col("n")).cast("long").as("n_pairs"),
+        round((
+          min(when(col("cum") >= expr("(n + 1L) div 2L"), col("sm"))) +
+          min(when(col("cum") >= expr("(n + 2L) div 2L"), col("sm"))))
+          / 2.0, 1).as("slope_med_micro"))
+      .orderBy(col("event_type")).collect().map(_.toSeq).toSeq
+    val got = graft.queries.RelationalQueries.queries(
+      "q69b_theil_sen_banded")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"banded equi-key != lag-filtered reference:" +
+      s"\n$got\n$want")
+  }
+
   test("funnel: a planted 4-user timeline — full in-window conversion, " +
     "an out-of-window click, a pre-view click, and a dropout — lands " +
     "each user in exactly the right stage") {
