@@ -108,20 +108,51 @@ object Bench {
     "pack_nextfit", "eval_conformal", "q69_theil_sen",
     "q70_attribution", "sim_topk_ivf_deleted")
 
+  // Round-15 additions, reported under "queries_r15"/"value_r15".
+  val additionsR15: Seq[String] = Seq(
+    "ingest_wireformat_avro", "q69b_theil_sen_banded", "q71_mwu",
+    "q72_bh_fdr", "q73_ks_drift", "q74_wasserstein")
+
   /** Every registered query belongs to exactly one bench surface: the
     * headline set, a round-addition group, or — for everything else —
     * this COVERAGE SWEEP, computed from the registry itself so a newly
     * registered query can never silently go un-timed again (round-12
     * verdict: 110 of 251 registered queries had no bench row anywhere,
     * making a perf regression there invisible). The sweep records
-    * min-of-reps (default 2 reps + one adaptive extra on a dirty
-    * spread) — it is a regression tripwire, not a scoreboard; the
-    * grouped sets keep the median+spread discipline. */
+    * min-of-reps — it is a regression tripwire, not a scoreboard; the
+    * grouped sets keep the median+spread discipline. Round-15 TIERING
+    * (r14 verdict #7 — the sweep cost ~18 min and grows every round):
+    * a row with a committed min in BENCH_FULL.json runs ONE rep; only
+    * a breach (single rep > 1.5× the committed min) or a failure
+    * triggers re-adjudication (two more reps — min-of-3 recovers a
+    * dirty window, a real regression stays visible in all three).
+    * Rows with no committed min (new this round) keep the full
+    * SWEEP_REPS + adaptive-extra discipline. Same tripwire, ~half the
+    * wall. */
   def coverageSweep: Seq[String] =
     (SparkEntry.queries.keySet --
       (headline ++ additionsR7 ++ additionsR9 ++ additionsR10 ++
         additionsR11 ++ additionsR12 ++ additionsR13 ++
-        additionsR14)).toSeq.sorted
+        additionsR14 ++ additionsR15)).toSeq.sorted
+
+  /** queries_sweep mins from the committed BENCH_FULL.json (CWD-relative)
+    * — the baseline the tiered sweep's tripwire compares against. Flat
+    * regex parse: the map is {"name":num,...} with no nesting. */
+  def committedSweepMins(): Map[String, Double] =
+    try {
+      val txt = scala.io.Source.fromFile("BENCH_FULL.json").mkString
+      """"queries_sweep":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(",").flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) =>
+              val vv = v.toDouble
+              if (vv > 0) Some(k.trim.stripPrefix("\"").stripSuffix("\"")
+                -> vv)
+              else None
+            case _ => None
+          }
+        }.toMap).getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -196,6 +227,7 @@ object Bench {
     val r12 = run(additionsR12)
     val r13 = run(additionsR13)
     val r14 = run(additionsR14)
+    val r15 = run(additionsR15)
     // the registry-derived remainder (tripwire, not scoreboard);
     // SPARK_GRAFT_SKIP_SWEEP=1 skips it for quick runs. Round-13 lesson:
     // a single in-session rep records contention as fact (phantom 4-22x
@@ -208,14 +240,31 @@ object Bench {
     // the recorded statistic is min-of-reps with the full rep array
     // committed in sweep_spread.
     val sweepReps = sys.env.getOrElse("SPARK_GRAFT_SWEEP_REPS", "2").toInt
+    // round-15 tiering: rows with a committed min run 1 rep; breach
+    // (>1.5x committed) or failure re-adjudicates with 2 more reps.
+    // sweepRetried records which rows tripped — an all-reps breach there
+    // is a real regression, not noise.
+    val committedMins = committedSweepMins()
+    val sweepRetried = scala.collection.mutable.ArrayBuffer.empty[String]
     val sweep =
       if (sys.env.get("SPARK_GRAFT_SKIP_SWEEP").contains("1")) Seq.empty
-      else runReps(coverageSweep, sweepReps).map { case (name, ts) =>
-        val ok = ts.filter(_ >= 0)
-        val dirty = ok.nonEmpty &&
-          (ok.size < ts.size || (ts.size > 1 && ok.max / ok.min > 1.3))
-        if (dirty) name -> (ts ++ runReps(Seq(name), 1).head._2)
-        else name -> ts
+      else coverageSweep.map { name =>
+        committedMins.get(name) match {
+          case Some(c) =>
+            val ts = runReps(Seq(name), 1).head._2
+            val ok = ts.filter(_ >= 0)
+            if (ok.isEmpty || ok.min > c * 1.5) {
+              sweepRetried += name
+              name -> (ts ++ runReps(Seq(name), 2).head._2)
+            } else name -> ts
+          case None =>
+            val ts = runReps(Seq(name), sweepReps).head._2
+            val ok = ts.filter(_ >= 0)
+            val dirty = ok.nonEmpty &&
+              (ok.size < ts.size || (ts.size > 1 && ok.max / ok.min > 1.3))
+            if (dirty) name -> (ts ++ runReps(Seq(name), 1).head._2)
+            else name -> ts
+        }
       }
     def minOf(ts: Seq[Double]): Double = {
       val ok = ts.filter(_ >= 0)
@@ -465,7 +514,8 @@ object Bench {
     // Failures must be machine-loud, not just a -1.0 sentinel buried in the
     // metrics (round 8's bench read as rc:0 with six dead queries): name
     // them in an explicit "failed" list AND exit non-zero.
-    val grouped = results ++ r7 ++ r9 ++ r10 ++ r11 ++ r12 ++ r13 ++ r14
+    val grouped =
+      results ++ r7 ++ r9 ++ r10 ++ r11 ++ r12 ++ r13 ++ r14 ++ r15
     val failed = grouped.collect { case (k, ts) if median(ts) < 0 => k } ++
       sweep.collect { case (k, ts) if minOf(ts) < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -480,7 +530,7 @@ object Bench {
       .toSeq.sorted
     val unbenchedJson = unbenched.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"n_queries":${benchedNames.size},"n_registered":$nRegistered,"unbenched":$unbenchedJson,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"queries_r12":${json(r12)},"value_r12":${total(r12)}%.3f,"queries_r13":${json(r13)},"value_r13":${total(r13)}%.3f,"queries_r14":${json(r14)},"value_r14":${total(r14)}%.3f,"queries_sweep":${jsonMin(sweep)},"value_sweep":${sweep.map(r => minOf(r._2)).filter(_ >= 0).sum}%.3f,"n_sweep":${sweep.size},"sweep_reps":$sweepReps,"sweep_statistic":"min-of-reps","sweep_spread":${spreadJson(sweep)},"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"bpe_train_scale1024":$bpeScale1024,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"n_queries":${benchedNames.size},"n_registered":$nRegistered,"unbenched":$unbenchedJson,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"queries_r12":${json(r12)},"value_r12":${total(r12)}%.3f,"queries_r13":${json(r13)},"value_r13":${total(r13)}%.3f,"queries_r14":${json(r14)},"value_r14":${total(r14)}%.3f,"queries_r15":${json(r15)},"value_r15":${total(r15)}%.3f,"queries_sweep":${jsonMin(sweep)},"value_sweep":${sweep.map(r => minOf(r._2)).filter(_ >= 0).sum}%.3f,"n_sweep":${sweep.size},"sweep_reps":$sweepReps,"sweep_statistic":"min-of-reps","sweep_tiered":${committedMins.nonEmpty},"sweep_retried":${sweepRetried.map("\"" + _ + "\"").mkString("[", ",", "]")},"sweep_spread":${spreadJson(sweep)},"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"bpe_train_scale1024":$bpeScale1024,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the TAIL of sbt's output, and this line has
     // outgrown the capture window (round 10's official artifact lost every
