@@ -111,7 +111,8 @@ object Bench {
   // Round-15 additions, reported under "queries_r15"/"value_r15".
   val additionsR15: Seq[String] = Seq(
     "ingest_wireformat_avro", "q69b_theil_sen_banded", "q71_mwu",
-    "q72_bh_fdr", "q73_ks_drift", "q74_wasserstein")
+    "q72_bh_fdr", "q73_ks_drift", "q74_wasserstein",
+    "quality_lr_refresh")
 
   /** Every registered query belongs to exactly one bench surface: the
     * headline set, a round-addition group, or — for everything else —

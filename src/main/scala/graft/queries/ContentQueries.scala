@@ -49,8 +49,39 @@ object ContentQueries {
     * merged into `SparkEntry.oracleSql` (a def, read after the queries
     * execute). Empty when the producing query hasn't run in this JVM;
     * the driver's Verify always runs queries before dumping oracles. */
+  /** The OLS quality model fitted by the `quality_lr_refresh` query run
+    * — same lifecycle as `fittedPca8` (dynamic-oracle pattern). */
+  @volatile private var fittedQualityLr: Option[Array[Double]] = None
+
   def dynamicOracles: Map[String, String] =
-    fittedPca8.map(m => "emb_pca_project" -> pcaProjectOracle(m)).toMap
+    fittedPca8.map(m => "emb_pca_project" -> pcaProjectOracle(m)).toMap ++
+      fittedQualityLr.map(b =>
+        "quality_lr_refresh" -> qualityLrOracle(b)).toMap
+
+  /** DuckDB replay of the refreshed quality filter's SCORING pass with
+    * the fitted coefficients exported as double literals: the same
+    * features recomputed from the table, the same left-to-right
+    * β0 + β1·x1 + β2·x2 fold, the same 6-decimal round and keep flag.
+    * The FIT itself is certified by determinism (exact decimal moments
+    * → same β every run, spec-pinned closed-form recovery) — the oracle
+    * certifies the application path end-to-end. */
+  private def qualityLrOracle(state: Array[Double]): String = {
+    def dl(d: Double): String = {
+      val s = java.lang.Double.toString(d)
+      if (s.contains("E") || s.contains(".")) s else s + ".0"
+    }
+    val sc = s"""round(${dl(state(0))}
+       |    + ${dl(state(1))} * CAST(len(string_split(text, ' '))
+       |        AS DOUBLE)
+       |    + ${dl(state(2))} * CAST(n_chars AS DOUBLE), 6)""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(n_chars AS BIGINT) AS n_chars,
+       |  $sc AS score,
+       |  CAST($sc >= ${dl(state(3))} AS BIGINT) AS keep
+       |FROM documents WHERE doc_id % 17 = 0
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB replay of `Similarity.pcaProject` with the fitted components
     * exported as literal lists: per component, the same index-ordered
@@ -3931,6 +3962,43 @@ object ContentQueries {
     // aggregate Σ(micro_bpt·n_tokens) accumulates in decimal(38,0)
     // (r15 moment audit): int64 died at ~1.5e11 source tokens, well
     // inside a 100 TB corpus; decimal is exact to 1e38.
+    // LEARNED quality-filter refresh (r14 verdict #8's named example —
+    // the dynamic-oracle pattern's second consumer after emb_pca_project,
+    // recipe in COVERAGE.md's preamble): re-fit a linear quality model on
+    // today's corpus and apply it corpus-wide in the same run. Target =
+    // lexical diversity ln(1 + distinct tokens) in exact micros; features
+    // = (token count, char count). The FIT is Regression.olsFit — ONE
+    // corpus aggregate of exact decimal(38,0) moments (a double sum's
+    // partition order would make β irreproducible), closed-form normal
+    // equations on the driver (model-scale: 10 scalars cross the wire at
+    // any corpus size). The APPLY is a map-only literal fold; keep =
+    // predicted diversity ≥ the corpus-mean target. The oracle is built
+    // AFTER the fit with β and ȳ as double literals (dynamicOracles), so
+    // the driver's DuckDB independently replays features → score → keep.
+    "quality_lr_refresh" -> ((s, d) => {
+      val dd = docs(s, d)
+      val x1 = size(split(col("text"), " ")).cast("long")
+      val x2 = col("n_chars").cast("long")
+      val ym = floor(log(
+        size(array_distinct(split(col("text"), " "))).cast("double")
+          + 1.0) * 1e6 + 0.5).cast("long")
+      val beta = graft.analytics.Regression.olsFit(
+        dd.select(x1.as("x1"), x2.as("x2"), ym.as("ym")),
+        col("ym"), Seq(col("x1"), col("x2")))
+      val ybar = dd.agg(
+        (sum(ym.cast("decimal(38,0)")).cast("double") /
+          count(lit(1)).cast("double")).as("yb")).head().getDouble(0)
+      fittedQualityLr = Some(beta :+ ybar)
+      val score = round(graft.analytics.Regression.score(beta,
+        Seq(col("n_tokens"), col("n_chars"))), 6)
+      dd.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), x1.as("n_tokens"), x2.as("n_chars"))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+          score.as("score"),
+          (score >= lit(ybar)).cast("long").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mix_doremi" -> ((s, d) => {
       val dd = docs(s, d)
       val bits = TextAnalysis.unigramBits(dd, col("doc_id"), col("text"))
