@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.analytics.{Clustering, TextAnalysis}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Composable per-micro-batch filters for the streaming ingest pipeline.
@@ -61,6 +61,20 @@ object Gates {
                  buckets: Int = 64): Gate =
     batch => batch.filter(
       TextAnalysis.classifierLogit(col(textCol), buckets) >= minLogit)
+
+  /** Fitted linear-model gate — the DEPLOY half of the
+    * `quality_lr_refresh` lifecycle (fit offline with
+    * `Regression.olsFit`, refresh per day/epoch, hand β here): keep rows
+    * whose predicted score reaches `minScore`. The coefficients ride as
+    * literals inside the expression — map-only row filter, zero state,
+    * zero shuffle, same frozen-model discipline as the classifier and
+    * cluster gates (streamed composition keeps exactly the rows the
+    * batch pipeline would keep). `features` build from the batch's own
+    * columns (e.g. token/char counts). */
+  def linearModel(beta: Array[Double], features: Seq[Column],
+                  minScore: Double): Gate =
+    batch => batch.filter(
+      graft.analytics.Regression.score(beta, features) >= minScore)
 
   /** k-means cluster gate: classify each row against a FITTED model
     * (`Clustering.fit` offline; the centroid literal rides inside the

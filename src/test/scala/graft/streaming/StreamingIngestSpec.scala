@@ -145,6 +145,50 @@ class StreamingIngestSpec extends SparkSuite {
     Caches.clear()
   }
 
+  test("Gates.linearModel deploys an olsFit-refreshed quality model: " +
+    "the streamed keep set equals the batch filter over the same rows") {
+    val src = Files.createTempDirectory("lmg_src").toString
+    val out = Files.createTempDirectory("lmg_out").toString
+    val ckpt = Files.createTempDirectory("lmg_ckpt").toString
+    val rows = (0L until 30L).map { i =>
+      val text = ("tok " * (3 + (i % 9)).toInt).trim + s" d$i"
+      (0, i, i, text)
+    }.toDF("kafka_partition", "offset", "doc_id", "text")
+    rows.coalesce(1).write.mode("append").parquet(src)
+    val full = spark.read.parquet(src)
+    // refresh the quality model OFFLINE on the reference corpus: target
+    // = distinct-token diversity micros, features = (tokens, chars) —
+    // the quality_lr_refresh recipe
+    val x1 = size(split(col("text"), " ")).cast("long")
+    val x2 = length(col("text")).cast("long")
+    val ym = floor(log(
+      size(array_distinct(split(col("text"), " "))).cast("double") + 1.0)
+      * 1e6 + 0.5).cast("long")
+    val beta = graft.analytics.Regression.olsFit(
+      full.select(x1.as("x1"), x2.as("x2"), ym.as("ym")),
+      col("ym"), Seq(col("x1"), col("x2")))
+    val scores = full.select(graft.analytics.Regression.score(beta,
+      Seq(x1, x2)).as("s")).as[Double].collect().sorted
+    val cut = scores(scores.length / 2)
+    val gate = Gates.linearModel(beta, Seq(x1, x2), cut)
+    val expect = gate(full).select("doc_id").as[Long].collect().toSet
+    assert(expect.nonEmpty && expect.size < 30,
+      s"fixture must gate non-trivially, kept ${expect.size}")
+    val q = StreamingIngest.startPipeline(
+      spark.readStream.schema(full.schema).parquet(src),
+      IngestConfig(topic = "lm", flushSize = 100),
+      PartitionerSpec.Default, out, ckpt,
+      col("kafka_partition"), col("offset"),
+      payloadCols = Seq(col("offset"), col("doc_id")),
+      gates = Seq(gate))
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(s"$out/topics/lm")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect,
+      s"stream keep set must equal batch keep set: $got vs $expect")
+    graft.analytics.Caches.clear()
+  }
+
   test("watermarked windowed counts aggregate by event-time hour") {
     val src = Files.createTempDirectory("wm_src").toString
     Seq(
