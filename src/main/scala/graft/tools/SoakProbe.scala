@@ -92,6 +92,34 @@ object SoakProbe {
       case "triangles" =>
         val (a, b) = (minOf(triangles(100000L)), minOf(triangles(1000000L)))
         println(f"""{"name":"triangles","t1":$a%.3f,"t10":$b%.3f,"ratio":${b / a}%.2f}""")
+      case "wireformat" =>
+        // encode+route+decode at 1x and 10x docs — both stages are
+        // map-only, so the ratio should sit near the data ratio
+        import graft.ingest.{SchemaEvolution, SchemaCompat, WireFormat}
+        def wf(df: org.apache.spark.sql.DataFrame, tag: String): Double = {
+          val reg = java.nio.file.Files
+            .createTempDirectory(s"wf_soak_$tag").toString
+          val ev = df.select(col("doc_id").as("event_id"),
+            col("text").substr(1, 16).as("event_type"),
+            length(col("text")).cast("long").as("cents"))
+          val enc1 = WireFormat.encode(
+            ev.filter(pmod(col("event_id"), lit(2)) === 0),
+            Seq("event_id", "event_type"), 1, reg, Nil)
+          val enc2 = WireFormat.encode(
+            ev.filter(pmod(col("event_id"), lit(2)) === 1),
+            Seq("event_id", "event_type", "cents"), 2, reg, Nil)
+          val framed = enc1.unionByName(enc2)
+          val s = time {
+            val routed = WireFormat.route(framed, col("value"), Set(1, 2))
+            val batches = WireFormat.versionedBatches(
+              routed.ok, col("value"), reg, Nil)
+            SchemaEvolution.resolve(SchemaCompat.Backward, batches.reverse)
+              .map(_.frame.count()).sum
+          }
+          graft.analytics.Caches.clear(); s
+        }
+        val (a, b) = (minOf(wf(d1, "1x")), minOf(wf(d10, "10x")))
+        println(f"""{"name":"wireformat","t1":$a%.3f,"t10":$b%.3f,"ratio":${b / a}%.2f}""")
       case "theilsen_banded" =>
         // linearity-in-H evidence for q69b: synthetic hourly cells at H
         // and 10H, banded (lag<=168) pair stage + histogram median.
