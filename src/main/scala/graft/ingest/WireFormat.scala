@@ -247,9 +247,20 @@ object WireFormat {
 
   // ---- decode ----
 
+  /** The per-record decode-failure marker column: null on success, a
+    * constant reason on a body the writer schema cannot read. A corrupt
+    * body must be DATA (one more DLQ class), never an executor
+    * exception — a single poison frame would otherwise fail the task,
+    * its retries, and the job (the reference's error reporter exists
+    * for exactly this class). */
+  val ErrorCol = "_wf_error"
+  val CorruptBodyReason = "corrupt_avro_body"
+
   /** Decode one schema id's frames: rows whose header names `id` have
     * their Avro body read under the registry's writer schema; output =
-    * `keep` columns ++ the decoded record's fields (flattened). */
+    * `keep` columns ++ the decoded record's fields (flattened) ++ the
+    * `ErrorCol` marker (null on success; on a corrupt body the decoded
+    * fields are null and the marker carries `CorruptBodyReason`). */
   def decodeId(df: DataFrame, value: Column, id: Int,
                writerSchemaJson: String, keep: Seq[String]): DataFrame = {
     val spark = df.sparkSession
@@ -258,47 +269,84 @@ object WireFormat {
     val src = df.filter(schemaIdCol(value) === id)
       .select(keep.map(col) :+ bodyCol(value).as("_wf_body"): _*)
     val outSchema = StructType(
-      keep.map(c => src.schema(c)) ++ decodedStruct.fields)
+      keep.map(c => src.schema(c)) ++ decodedStruct.fields :+
+        StructField(ErrorCol, StringType))
     val nKeep = keep.length
+    val nDecoded = decodedStruct.fields.length
     val rdd = src.rdd.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(writerSchemaJson)
       val reader = new GenericDatumReader[GenericRecord](schema)
       var dec: org.apache.avro.io.BinaryDecoder = null
-      var rec: GenericRecord = null
       rows.map { r =>
         val body = r.getAs[Array[Byte]](nKeep)
-        dec = DecoderFactory.get().binaryDecoder(body, dec)
-        rec = reader.read(rec, dec)
-        Row.fromSeq((0 until nKeep).map(r.get) ++
-          recordToRow(rec, schema).toSeq)
+        val decoded =
+          try {
+            dec = DecoderFactory.get().binaryDecoder(body, dec)
+            // fresh record per row: a reused one could leak prior
+            // fields into a partially-decoded corrupt successor
+            val rec = reader.read(null, dec)
+            recordToRow(rec, schema).toSeq :+ null
+          } catch {
+            case _: java.io.IOException | _: RuntimeException =>
+              Seq.fill[Any](nDecoded)(null) :+ CorruptBodyReason
+          }
+        Row.fromSeq((0 until nKeep).map(r.get) ++ decoded)
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** `versionedBatches` plus the corrupt-body side channel. */
+  final case class Decoded(batches: Seq[SchemaEvolution.VersionedBatch],
+                           corrupt: DataFrame)
 
   /** The P5/R5 hand-off: split clean frames by schema id (distinct-id
     * probe — registry-churn scale, never row count), decode each under
     * its writer schema, and wrap as `VersionedBatch`es in id order
     * (registry ids are monotone — id IS the schema version; the Avro
     * record name IS the schema name). Feed straight to
-    * `SchemaEvolution.resolve(mode, _)`. */
-  def versionedBatches(df: DataFrame, value: Column, registryDir: String,
-                       keep: Seq[String])
-      : Seq[SchemaEvolution.VersionedBatch] = {
+    * `SchemaEvolution.resolve(mode, _)`. Frames whose BODY the writer
+    * schema cannot read (valid header, corrupt Avro) surface on
+    * `Decoded.corrupt` as `(keep…, schema_id, dlq_reason)` — the F4
+    * class the header-level `route()` cannot catch. */
+  def decodeAll(df: DataFrame, value: Column, registryDir: String,
+                keep: Seq[String]): Decoded = {
     val spark = df.sparkSession
     val registry = loadRegistry(spark, registryDir)
     val ids = df.select(schemaIdCol(value).as("id")).distinct()
       .collect().map(_.getLong(0).toInt).sorted
-    ids.toSeq.map { id =>
+    val perId = ids.toSeq.map { id =>
       val json = registry.getOrElse(id, throw new IllegalArgumentException(
         s"frame carries schema id $id absent from the registry " +
           s"(route() it to the DLQ first)"))
       val schema = new Schema.Parser().parse(json)
-      SchemaEvolution.VersionedBatch(
+      val decoded = decodeId(df, value, id, json, keep)
+      val batch = SchemaEvolution.VersionedBatch(
         SchemaCompat.VersionedSchema(schema.getName, Some(id),
           StructType(keep.map(c => df.schema(c)) ++
             avroToSpark(schema).asInstanceOf[StructType].fields)),
-        decodeId(df, value, id, json, keep))
+        decoded.filter(col(ErrorCol).isNull).drop(ErrorCol))
+      val corrupt = decoded.filter(col(ErrorCol).isNotNull)
+        .select(keep.map(col) :+ lit(id).as("schema_id") :+
+          col(ErrorCol).as("dlq_reason"): _*)
+      (batch, corrupt)
     }
+    val corrupt = perId.map(_._2) match {
+      case Seq() => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(keep.map(c => df.schema(c)) ++ Seq(
+          StructField("schema_id", IntegerType),
+          StructField("dlq_reason", StringType))))
+      case cs => cs.reduce(_ unionByName _)
+    }
+    Decoded(perId.map(_._1), corrupt)
   }
+
+  /** Clean-frames-only face of `decodeAll` (batch oracle path — the
+    * fixture plants no corrupt bodies, and the streaming pipeline uses
+    * `decodeAll` to route them). */
+  def versionedBatches(df: DataFrame, value: Column, registryDir: String,
+                       keep: Seq[String])
+      : Seq[SchemaEvolution.VersionedBatch] =
+    decodeAll(df, value, registryDir, keep).batches
 }

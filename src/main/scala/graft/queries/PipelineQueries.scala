@@ -209,14 +209,18 @@ object PipelineQueries {
           .when(col("event_id") % 107 === 0,
             concat(lit(Array[Byte](0, 0, 0, 0, 99)),
               expr("substring(value, 6, 2147483647)")))
+          // valid header, unreadable body (truncated mid-union): the
+          // decode-time DLQ class the header route cannot catch
+          .when(col("event_id") % 113 === 0,
+            concat(expr("substring(value, 1, 5)"), lit(Array[Byte](2))))
           .otherwise(col("value")))
       val known = WireFormat.loadRegistry(s, registry).keySet
       val routed = WireFormat.route(framed, col("value"), known)
-      val batches = WireFormat.versionedBatches(
+      val decoded = WireFormat.decodeAll(
         routed.ok.select(col("value")), col("value"), registry, Nil)
       // arrival order v2-first: v2 is current, v1 stragglers project
       val groups = SchemaEvolution.resolve(
-        SchemaCompat.Backward, batches.reverse)
+        SchemaCompat.Backward, decoded.batches.reverse)
       require(groups.size == 1 && groups.head.as.version.contains(2),
         s"BACKWARD must fold both ids into the v2 group, got $groups")
       val ok = groups.head.frame
@@ -228,6 +232,8 @@ object PipelineQueries {
           min(col("event_id")).as("min_id"),
           max(col("event_id")).as("max_id"))
       val dlq = routed.deadLetter
+        .select(col("dlq_reason"))
+        .unionByName(decoded.corrupt.select(col("dlq_reason")))
         .groupBy(concat(lit("dlq:"), col("dlq_reason")).as("route"))
         .agg(count(lit(1)).cast("long").as("n_rows"),
           min(lit(null).cast("long")).as("n_v1"),
@@ -444,6 +450,7 @@ object PipelineQueries {
         |    CASE WHEN event_id % 109 = 0 THEN 'dlq:null_value'
         |         WHEN event_id % 103 = 0 THEN 'dlq:bad_magic'
         |         WHEN event_id % 107 = 0 THEN 'dlq:unknown_schema_id'
+        |         WHEN event_id % 113 = 0 THEN 'dlq:corrupt_avro_body'
         |         ELSE 'ok:' || event_type END AS route,
         |    event_id % 2 AS ver
         |  FROM events)

@@ -124,8 +124,16 @@ object StreamingIngest {
           routed.deadLetter.write.mode("overwrite")
             .parquet(s"$d/batch=$batchId")
         }
-        val batches = wf.versionedBatches(
+        val decoded = wf.decodeAll(
           routed.ok, col(valueCol), registryDir, keep)
+        // corrupt Avro bodies (valid header, unreadable payload) are the
+        // decode-time DLQ class the header route cannot catch — same
+        // exactly-once deterministic-dir discipline
+        dlqDir.foreach { d =>
+          decoded.corrupt.write.mode("overwrite")
+            .parquet(s"$d/batch=$batchId-corrupt")
+        }
+        val batches = decoded.batches
         if (batches.nonEmpty)
           graft.ingest.SchemaEvolution.resolve(mode, batches).foreach { g =>
             Ingest.run(g.frame, cfg,

@@ -125,6 +125,27 @@ class WireFormatSpec extends SparkSuite {
     assert((1 to 10).forall(back(1).isNullAt))
   }
 
+  test("a corrupt Avro body (valid header) is DATA, not an executor " +
+    "exception: decodeAll routes it to the corrupt side channel with " +
+    "a constant reason while clean frames decode unaffected") {
+    val dir = Files.createTempDirectory("wf_corrupt").toString
+    WireFormat.register(spark, dir, 1, v1Json)
+    val schema = new Schema.Parser().parse(v1Json)
+    val clean = handFrame(1, schema, r => { r.put("et", "x"); r.put("v", 9L) })
+    // header intact, body truncated mid-union: the long branch index
+    // arrives but its varint payload never does
+    val corrupt = clean.take(5) ++ Array[Byte](2)
+    val df = Seq(Tuple1(clean), Tuple1(corrupt)).toDF("value")
+    val decoded = WireFormat.decodeAll(df, col("value"), dir, Nil)
+    val ok = decoded.batches.head.frame.collect()
+    assert(ok.length == 1 && ok.head.getString(0) == "x" &&
+      ok.head.getLong(1) == 9L, ok.toSeq)
+    val bad = decoded.corrupt.collect()
+    assert(bad.length == 1 &&
+      bad.head.getAs[String]("dlq_reason") == WireFormat.CorruptBodyReason &&
+      bad.head.getAs[Int]("schema_id") == 1, bad.toSeq)
+  }
+
   test("avroToSpark maps logical types: timestamp-micros -> TimestampType, " +
     "decimal bytes -> DecimalType(p,s), enum -> StringType, " +
     "fixed -> BinaryType") {
