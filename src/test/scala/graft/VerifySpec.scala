@@ -28,4 +28,20 @@ class VerifySpec extends SparkSuite {
     assert(msg.contains("IllegalStateException") &&
       msg.contains("synthetic failure"), msg)
   }
+
+  test("dynamic oracles materialize after the producing query runs " +
+    "(Verify's run-then-dump ordering): quality_lr_refresh's oracle " +
+    "carries the fitted coefficients as double literals") {
+    // run the producing query the way Verify.dump would
+    graft.queries.ContentQueries.queries("quality_lr_refresh")(
+      spark, sf0001).collect()
+    val o = SparkEntry.oracleSql
+    assert(o.contains("quality_lr_refresh"),
+      "dynamic oracle missing after the query ran")
+    val sql = o("quality_lr_refresh")
+    // literal coefficients, not placeholders: at least two distinct
+    // double literals and the keep threshold comparison
+    assert(sql.contains("round(") && sql.contains(">=") &&
+      "[-0-9]\\d*\\.\\d+".r.findAllIn(sql).size >= 3, sql)
+  }
 }
