@@ -112,7 +112,7 @@ object Bench {
   val additionsR15: Seq[String] = Seq(
     "ingest_wireformat_avro", "q69b_theil_sen_banded", "q71_mwu",
     "q72_bh_fdr", "q73_ks_drift", "q74_wasserstein",
-    "quality_lr_refresh")
+    "quality_lr_refresh", "eval_auc")
 
   /** Every registered query belongs to exactly one bench surface: the
     * headline set, a round-addition group, or — for everything else —

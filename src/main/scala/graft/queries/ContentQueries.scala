@@ -716,6 +716,44 @@ object ContentQueries {
         .orderBy(col("bin"))
     }),
 
+    // Exact ROC AUC of the LR language scorer — THE ranking-quality
+    // scalar next to the calibration pair (Brier says "how wrong", ECE
+    // "how miscalibrated", AUC "how well does it ORDER positives above
+    // negatives"). Computed as the tie-aware rank statistic (AUC =
+    // (Σ ranks_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg)) on the q71
+    // doubled-rank histogram: per DISTINCT micro-score, average ranks
+    // come from one cumulative window, Σr2_pos folds in decimal(38,0),
+    // and auc_micro is one exact integer division. Scale: the histogram
+    // grain is bounded by the micro quantization (≤ 1e6+1 distinct
+    // scores at ANY corpus size), so the single-partition window runs
+    // on a capped frame — never the corpus.
+    "eval_auc" -> ((s, d) => {
+      val win = org.apache.spark.sql.expressions.Window
+      val doc = docs(s, d)
+      val wts = TextAnalysis.logisticFit(doc, col("text"),
+        col("lang") === "en").last
+      val sc = TextAnalysis.logisticScore(doc, col("doc_id"), col("text"),
+        col("lang") === "en", wts)
+        .select(col("y").cast("long").as("y"),
+          floor(col("p") * 1000000.0 + 0.5).cast("long").as("pm"))
+      val hist = sc.groupBy(col("pm"))
+        .agg(count(when(col("y") === 1L, lit(1))).cast("long").as("np"),
+          count(when(col("y") === 0L, lit(1))).cast("long").as("nn"))
+        .withColumn("c", col("np") + col("nn"))
+        .withColumn("cum", sum(col("c")).over(win.orderBy(col("pm"))))
+        .withColumn("r2", lit(2L) * col("cum") - col("c") + lit(1L))
+      hist.agg(
+          sum(col("np")).cast("long").as("n_pos"),
+          sum(col("nn")).cast("long").as("n_neg"),
+          sum(col("np").cast("decimal(38,0)") * col("r2"))
+            .cast("decimal(38,0)").as("r2p"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("CAST(((r2p - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1L))" +
+            " * 1000000) div" +
+            " (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)")
+            .as("auc_micro"))
+    }),
+
     // Expected calibration error — the scalar the reliability diagram
     // (eval_brier_bins) folds into: ECE = Σ_b (n_b/N)·|mean_p_b −
     // frac_pos_b|, here entirely in integer micros (the absolute gap of
@@ -4604,6 +4642,35 @@ object ContentQueries {
          |  CAST(sum(CAST(n AS HUGEINT) * brier_micro2) // sum(n)
          |    AS BIGINT) AS brier_micro2
          |FROM bins""".stripMargin,
+
+    // the tie-aware rank AUC replay: same lrCtes scores, same doubled
+    // ranks, same decimal fold, one exact integer division
+    "eval_auc" ->
+      s"""WITH $lrCtes,
+         |sc AS (SELECT f.doc_id, f.y, ${(0 until 5).map(j =>
+             s"CAST(round(w.w$j * f.x$j * 1000000000000.0, 0) AS BIGINT)")
+             .mkString("\n    + ")} AS lp
+         |  FROM f CROSS JOIN lw3 w),
+         |pb AS (SELECT doc_id, y, CAST(floor(round(1.0 / (1.0
+         |    + exp(-(lp / 1000000000000.0))), 6) * 1000000.0 + 0.5)
+         |    AS BIGINT) AS pm FROM sc),
+         |h AS (SELECT pm,
+         |    CAST(count(*) FILTER (y = 1) AS BIGINT) AS np,
+         |    CAST(count(*) FILTER (y = 0) AS BIGINT) AS nn
+         |  FROM pb GROUP BY 1),
+         |r AS (SELECT np, nn,
+         |    2 * CAST(sum(np + nn) OVER (ORDER BY pm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) - (np + nn) + 1 AS r2
+         |  FROM h),
+         |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         |    CAST(sum(nn) AS BIGINT) AS n_neg,
+         |    sum(CAST(np AS HUGEINT) * r2) AS r2p FROM r)
+         |SELECT n_pos, n_neg,
+         |  CAST(((r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000)
+         |    // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+         |    AS auc_micro
+         |FROM a""".stripMargin,
 
     "profile_gini" ->
       """WITH dd AS (SELECT source, doc_id,

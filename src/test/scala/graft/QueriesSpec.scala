@@ -329,6 +329,42 @@ class QueriesSpec extends SparkSuite {
     assert(rows.values.map(_._2).sum == 3L) // every user new exactly once
   }
 
+  test("rank AUC formula: the doubled-rank histogram statistic equals " +
+    "brute-force concordant-pair counting (ties worth half) on a " +
+    "planted tied score set") {
+    import org.apache.spark.sql.functions._
+    val win = org.apache.spark.sql.expressions.Window
+    // scores with ties ACROSS classes (pm=30 has one of each)
+    val rows = Seq((1L, 10L), (0L, 10L), (1L, 30L), (0L, 30L),
+      (1L, 50L), (0L, 20L), (1L, 50L), (0L, 40L), (1L, 25L))
+    val brute = {
+      val pos = rows.filter(_._1 == 1L).map(_._2)
+      val neg = rows.filter(_._1 == 0L).map(_._2)
+      val s = (for (p <- pos; q <- neg) yield
+        if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+      s / (pos.size * neg.size)
+    }
+    import spark.implicits._
+    val sc = rows.toDF("y", "pm")
+    val hist = sc.groupBy(col("pm"))
+      .agg(count(when(col("y") === 1L, lit(1))).cast("long").as("np"),
+        count(when(col("y") === 0L, lit(1))).cast("long").as("nn"))
+      .withColumn("c", col("np") + col("nn"))
+      .withColumn("cum", sum(col("c")).over(win.orderBy(col("pm"))))
+      .withColumn("r2", lit(2L) * col("cum") - col("c") + lit(1L))
+    val got = hist.agg(
+        sum(col("np")).cast("long").as("n_pos"),
+        sum(col("nn")).cast("long").as("n_neg"),
+        sum(col("np").cast("decimal(38,0)") * col("r2"))
+          .cast("decimal(38,0)").as("r2p"))
+      .select(expr("CAST(((r2p - CAST(n_pos AS DECIMAL(38,0))" +
+        " * (n_pos + 1L)) * 1000000) div" +
+        " (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"))
+      .head().getLong(0)
+    assert(got == math.floor(brute * 1e6).toLong,
+      s"rank AUC $got != brute ${brute * 1e6}")
+  }
+
   test("q69b banded Theil-Sen: the lag-bucket equi join enumerates each " +
     "<=168 h pair EXACTLY once — n_pairs and the median equal the " +
     "plain lag-filtered cross join on the real fixture") {
