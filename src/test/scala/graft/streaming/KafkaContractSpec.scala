@@ -283,4 +283,69 @@ class KafkaContractSpec extends SparkSuite {
     assert(dl.select("offset", "dlq_reason").as[(Long, String)].collect()
       .toSet == Set((0L, "bad_magic"), (9L, "null_value")))
   }
+
+  test("HOT schema registration: a schema id registered AFTER the first " +
+    "wire-format run is picked up on the next (registry reload per " +
+    "batch) — frames that arrived under the unknown id DLQ'd, later " +
+    "frames under it decode, no pipeline rebuild") {
+    import graft.ingest.{SchemaCompat, WireFormat}
+    val src = Files.createTempDirectory("kchot_src").toString
+    val out = Files.createTempDirectory("kchot_out").toString
+    val ckpt = Files.createTempDirectory("kchot_ckpt").toString
+    val dlq = Files.createTempDirectory("kchot_dlq").toString
+    val registry = Files.createTempDirectory("kchot_reg").toString
+    val base = 1704067200000L
+
+    def frames(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+               id: Int): Map[Long, Array[Byte]] =
+      WireFormat.encode(df, cols, id, registry, Seq("v"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+
+    def runOnce(rows: Seq[(Long, Array[Byte])]): Unit = {
+      kafkaFrame(rows.map { case (o, b) =>
+        (s"k$o".getBytes("UTF-8"), b, "events", 0, o,
+          ts(base + o * 1000), 0)
+      }).coalesce(1).write.mode("append").parquet(src)
+      val q = StreamingIngest.startWireFormatPipeline(
+        spark.readStream.schema(kafkaSchema).parquet(src),
+        IngestConfig(topic = "events", flushSize = 100),
+        PartitionerSpec.Fields(Seq("event_type")), out, ckpt, registry,
+        SchemaCompat.Backward,
+        kafkaPartition = col("partition"), offset = col("offset"),
+        keep = Seq("partition", "offset"), dlqDir = Some(dlq))
+      q.awaitTermination(60000)
+    }
+
+    // phase 1: only id 1 registered; offsets 0-1 under id 1; offset 2
+    // arrives framed under the NOT-YET-registered id 2 (produced to a
+    // scratch registry so only the frame bytes exist here)
+    val scratch = Files.createTempDirectory("kchot_scratch").toString
+    val v1frames = frames(Seq((0L, "t0"), (1L, "t1")).toDF("v", "event_type"),
+      Seq("v", "event_type"), 1)
+    val early2 = WireFormat.encode(
+      Seq((2L, "t0", 20L)).toDF("v", "event_type", "extra"),
+      Seq("v", "event_type", "extra"), 2, scratch, Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    runOnce(Seq(0L -> v1frames(0L), 1L -> v1frames(1L), 2L -> early2(2L)))
+    val dl1 = spark.read.parquet(s"$dlq/batch=0")
+    assert(dl1.select("offset", "dlq_reason").as[(Long, String)].collect()
+      .toSet == Set((2L, "unknown_schema_id")), "early id-2 frame must DLQ")
+
+    // phase 2: register id 2 (same bytes contract as the scratch copy),
+    // new frames under both ids — the SAME checkpoint continues, the new
+    // id decodes, no restartd pipeline object is reused
+    val v2frames = frames(
+      Seq((3L, "t1", 30L)).toDF("v", "event_type", "extra"),
+      Seq("v", "event_type", "extra"), 2)
+    val lateV1 = frames(Seq((4L, "t0")).toDF("v", "event_type"),
+      Seq("v", "event_type"), 1)
+    runOnce(Seq(3L -> v2frames(3L), 4L -> lateV1(4L)))
+
+    val g1 = spark.read.parquet(s"$out/topics/events/schema_name=record_v1/*")
+    val g2 = spark.read.parquet(s"$out/topics/events/schema_name=record_v2/*")
+    assert(g1.select("v").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 4L), "v1 frames across both batches must land")
+    assert(g2.select("v", "extra").as[(Long, Long)].collect().toSeq ==
+      Seq((3L, 30L)), "the hot-registered id must decode post-registration")
+  }
 }
