@@ -901,19 +901,16 @@ object Similarity {
     * MODEL-scale (d + d(d+1)/2 rows); shuffle volume is partitions ×
     * entries thanks to map-side partial aggregation — the corpus never
     * moves. Dimension is read per-row (`size(v)`), no driver probe. */
-  private def momentAgg(v: DataFrame): DataFrame = {
-    val idx = sequence(lit(0), size(col("v")) - 1)
-    val means = transform(idx, i =>
-      struct(i.as("i"), lit(-1).as("j"), element_at(col("v"), i + 1).as("x")))
-    val crosses = flatten(transform(idx, i =>
-      transform(sequence(i, size(col("v")) - 1), j =>
-        struct(i.as("i"), j.as("j"),
-          (element_at(col("v"), i + 1) * element_at(col("v"), j + 1))
-            .as("x")))))
-    v.select(explode(concat(means, crosses)).as("e"))
+  private def momentAgg(v: DataFrame): DataFrame =
+    // one NATIVE pass per row (graft.functions.VectorMoments): the
+    // composed nested transform/flatten form evaluated two interpreted
+    // lambda levels per element (~2,100 closures per 64-dim row) and
+    // dominated the emb_pca_* family's wall; values are identical
+    // (same products, same order — property-pinned)
+    v.select(explode(
+        graft.functions.HashExpressions.vectorMoments(col("v"))).as("e"))
       .groupBy(col("e.i").as("i"), col("e.j").as("j"))
       .agg(sum(col("e.x")).as("s"), count(lit(1)).as("c"))
-  }
 
   /** Covariance matrix as a DataFrame `(i, j, cov)` (upper triangle,
     * i <= j) — the oracle-checkable half of PCA: everything after this is

@@ -182,6 +182,62 @@ object MinHashSignature {
   }
 }
 
+/** PCA/OPQ moment elements of a double vector in ONE native pass:
+  * d mean entries (i, -1, v_i) followed by the upper-triangle cross
+  * products (i, j, v_i·v_j), i <= j — the rows `Similarity.momentAgg`
+  * explodes into its d×d moment aggregate. Value-identical to the
+  * composed nested transform/flatten/concat form (same products, same
+  * order), which evaluated TWO interpreted lambda levels per element —
+  * ~2,100 interpreted closures per 64-dim row, the dominant cost of the
+  * emb_pca_* family before this expression existed. */
+case class VectorMoments(child: Expression)
+    extends UnaryExpression with RefEvalCodegen {
+  private val elemType = StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("j", IntegerType, nullable = false),
+    StructField("x", DoubleType, nullable = false)))
+  override def dataType: DataType = ArrayType(elemType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_moments requires array<double>, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val d = arr.numElements()
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) { v(i) = arr.getDouble(i); i += 1 }
+    val out = new Array[Any](d + d * (d + 1) / 2)
+    i = 0
+    while (i < d) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(i, -1, v(i))
+      i += 1
+    }
+    var k = d
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(i, j, v(i) * v(j))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): VectorMoments =
+    copy(child = c)
+  override def prettyName: String = "vector_moments"
+}
+
 /** ORDERED, NON-distinct word n-grams of a space-tokenized string, single
   * native pass — the BM25/posting-grain sibling of WordShingles (term
   * frequency matters, so duplicates must survive). Semantics identical to
@@ -867,6 +923,9 @@ object HashExpressions {
 
   def wordNgrams(text: Column, n: Int): Column =
     bridge.column(WordNgrams(bridge.expression(text), n))
+
+  def vectorMoments(v: Column): Column =
+    bridge.column(VectorMoments(bridge.expression(v)))
 
   def wordGramHashes(text: Column, n: Int): Column =
     bridge.column(WordGramHashes(bridge.expression(text), n))

@@ -230,6 +230,31 @@ class SparkPropertySpec extends SparkSuite {
     }
   }
 
+  test("native VectorMoments equals the composed nested-transform form " +
+    "(same means, same upper-triangle cross products, same order) on " +
+    "generated vectors") {
+    val vecs = (1 to 40).map(r =>
+      Tuple1((0 until 5 + r % 4).map(i =>
+        math.sin(r * 31 + i).abs * (i + 1)).toSeq))
+    val df = vecs.toDF("v")
+    val idx = sequence(lit(0), size(col("v")) - 1)
+    val means = transform(idx, i =>
+      struct(i.as("i"), lit(-1).as("j"),
+        element_at(col("v"), i + 1).as("x")))
+    val crosses = flatten(transform(idx, i =>
+      transform(sequence(i, size(col("v")) - 1), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("v"), i + 1) * element_at(col("v"), j + 1))
+            .as("x")))))
+    val rows = df.select(
+      graft.functions.HashExpressions.vectorMoments(col("v")).as("native"),
+      concat(means, crosses).as("composed")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) ==
+        r.getSeq[org.apache.spark.sql.Row](1))
+    }
+  }
+
   test("native WordNgrams equals the composed transform/slice form on " +
     "generated inputs (ordered, duplicates preserved, short-doc and " +
     "multi-space cases)") {
