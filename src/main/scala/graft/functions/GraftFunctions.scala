@@ -107,5 +107,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         else 64)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+    e.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
   }
 }

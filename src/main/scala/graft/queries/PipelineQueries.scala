@@ -347,6 +347,91 @@ object PipelineQueries {
         .select(col("event_type").cast("string").as("event_type"),
           coalesce(col("n_asof"), lit(0L)).as("n_asof"), col("n_full"))
         .orderBy(col("event_type"))
+    }),
+
+    // Materialized summary serving (plans/SummaryRewrite): the dashboard
+    // aggregate below runs AGAINST THE BASE LAKE, and the injected
+    // optimizer rule transparently answers it from the registered
+    // per-(event_type, dow) summary — count/sum/min/max from the rollup
+    // partials, count(DISTINCT dow) from the preserved dim tuples, and
+    // the FILTER clause translated because its predicate is constant per
+    // summary group. The oracle replays the whole aggregate from the raw
+    // events table, so a hash match certifies the rewrite is EXACT, not
+    // just plausible (SummaryRewriteSpec pins that the plan really does
+    // scan the summary, never the base). Scale: at 100 TB this is the
+    // engine's biggest single win — the grouped aggregate answers from
+    // |event_type|x7 summary rows instead of a full lake scan, with the
+    // dim filter pushed into the summary's parquet scan. The base lake
+    // and summary build once per source-table content (fingerprint-keyed
+    // dir, the lake_time_travel discipline); the timed cost is the
+    // SERVED aggregate, the operator under test. Nullable cents (every
+    // 97th event) exercises m_cnt vs m_count on a real column.
+    "lake_summary_serve" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sumlake_" +
+        graft.analytics.Similarity.dataFingerprint(d)
+      val baseLake = s"$dir/base"
+      if (!new java.io.File(s"$dir/fixture_done").exists()) {
+        events(s, d).filter(col("ts").isNotNull)
+          .select(col("event_type"),
+            (weekday(col("ts").cast("date")) + lit(1)).cast("long")
+              .as("dow"),
+            when(col("event_id") % 97 === 0, lit(null).cast("long"))
+              .otherwise(floor(col("value") * 100.0 + 0.5).cast("long"))
+              .as("cents"))
+          .write.mode("overwrite").parquet(baseLake)
+        graft.plans.SummaryRewrite.buildSummary(s.read.parquet(baseLake),
+            Seq("event_type", "dow"), Seq("cents"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/summary")
+        new java.io.File(s"$dir/fixture_done").createNewFile()
+      }
+      graft.plans.SummaryRewrite.install(s)
+      graft.plans.SummaryRewrite.register(s.read.parquet(baseLake),
+        s.read.parquet(s"$dir/summary"), Seq("event_type", "dow"),
+        Seq("cents"))
+      s.read.parquet(baseLake)
+        .filter(col("dow") <= 5)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          count(col("cents")).cast("long").as("n_cents"),
+          sum(col("cents")).cast("long").as("sum_cents"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          countDistinct(col("dow")).cast("long").as("n_dow"),
+          expr("CAST(sum(cents) FILTER (WHERE dow <= 2) AS BIGINT)")
+            .as("early_cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Incremental summary maintenance: the base splits into three
+    // micro-batch deltas (event_id mod 3 — the streaming sink's
+    // per-batch slices, StreamingIngest.startSummarySink), each delta
+    // aggregates independently with buildSummary, and mergeSummaries
+    // folds the slices into the servable table. The rollup partials form
+    // a commutative monoid (counts and sums add, minima min, maxima
+    // max), so the merged output must equal the one-shot summary of the
+    // whole base — which is exactly what the oracle recomputes from the
+    // raw events table. Scale: each delta aggregate is batch-sized, the
+    // merge is summary-grain (|dims| rows per slice) — the lake is never
+    // re-scanned to refresh the summary.
+    "lake_summary_incremental" -> ((s, d) => {
+      val b = events(s, d).filter(col("ts").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          (weekday(col("ts").cast("date")) + lit(1)).cast("long")
+            .as("dow"),
+          when(col("event_id") % 97 === 0, lit(null).cast("long"))
+            .otherwise(floor(col("value") * 100.0 + 0.5).cast("long"))
+            .as("cents"))
+      val slices = (0 until 3).map(k =>
+          graft.plans.SummaryRewrite.buildSummary(
+            b.filter(pmod(col("event_id"), lit(3)) === k),
+            Seq("event_type", "dow"), Seq("cents")))
+        .reduce(_.unionByName(_))
+      graft.plans.SummaryRewrite.mergeSummaries(slices,
+          Seq("event_type", "dow"), Seq("cents"))
+        .select(col("event_type"), col("dow"), col("m_count"),
+          col("m_sum_cents"), col("m_cnt_cents"), col("m_min_cents"),
+          col("m_max_cents"))
+        .orderBy(col("event_type"), col("dow"))
     })
   )
 
@@ -495,6 +580,41 @@ object PipelineQueries {
         |    AS BIGINT) AS n_asof,
         |  CAST(count(*) AS BIGINT) AS n_full
         |FROM events, c GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // replays the base-lake projection (isodow = weekday+1, cents with
+    // the %97 null holes) and the dashboard aggregate straight off the
+    // events table — hash equality certifies the summary-served rewrite
+    "lake_summary_serve" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+        |    CASE WHEN event_id % 97 = 0 THEN NULL
+        |      ELSE CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS cents
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(cents) AS BIGINT) AS n_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  CAST(count(DISTINCT dow) AS BIGINT) AS n_dow,
+        |  CAST(sum(cents) FILTER (dow <= 2) AS BIGINT) AS early_cents
+        |FROM b WHERE dow <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the merged slices must equal the one-shot summary of the base —
+    // the oracle computes that one-shot aggregate directly
+    "lake_summary_incremental" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+        |    CASE WHEN event_id % 97 = 0 THEN NULL
+        |      ELSE CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS cents
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT event_type, dow,
+        |  CAST(count(*) AS BIGINT) AS m_count,
+        |  CAST(sum(cents) AS BIGINT) AS m_sum_cents,
+        |  CAST(count(cents) AS BIGINT) AS m_cnt_cents,
+        |  CAST(min(cents) AS BIGINT) AS m_min_cents,
+        |  CAST(max(cents) AS BIGINT) AS m_max_cents
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

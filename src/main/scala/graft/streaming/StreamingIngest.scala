@@ -492,6 +492,66 @@ object StreamingIngest {
         .agg(sum(col("cell")).cast("long").as("cell"))
   }
 
+  /** Land one micro-batch's summary DELTA slice for the materialized
+    * summary table (`graft.plans.SummaryRewrite`): aggregate the batch to
+    * the rollup partials and write them under `batch_id=<id>` — the same
+    * exactly-once discipline as `persistCmBatch` (a replayed batch id
+    * whose `_SUCCESS` marker exists is a no-op; a crashed partial slice
+    * has no marker and is invisible to [[readSummary]]). */
+  def persistSummaryBatch(batch: DataFrame, batchId: Long, outDir: String,
+                          dims: Seq[String], measures: Seq[String])
+      : Boolean = {
+    val slice = new java.io.File(outDir, s"batch_id=$batchId")
+    if (new java.io.File(slice, "_SUCCESS").exists()) false
+    else {
+      // summary-grain rows — one file per slice keeps the table compact
+      graft.plans.SummaryRewrite.buildSummary(batch, dims, measures)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(slice.toString)
+      true
+    }
+  }
+
+  /** The streaming summary-maintenance sink: every micro-batch lands its
+    * delta slice via [[persistSummaryBatch]]; [[readSummary]] folds the
+    * committed slices into the servable summary that
+    * `SummaryRewrite.register` promises is fresh. This closes the
+    * lambda-architecture loop entirely inside the engine: ingest keeps
+    * the summary current per batch, the optimizer rule serves dashboard
+    * aggregates from it, and the lake is never re-scanned to refresh. */
+  def startSummarySink(stream: DataFrame, dims: Seq[String],
+                       measures: Seq[String], outDir: String,
+                       checkpointDir: String,
+                       trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        persistSummaryBatch(batch, batchId, outDir, dims, measures); ()
+      }
+      .start()
+
+  /** The servable summary over every COMMITTED slice: keep only
+    * `batch_id=` dirs carrying the parquet `_SUCCESS` marker (the
+    * `readCmCells` exactly-once filter — a crashed attempt's partial
+    * slice must never merge) and fold them with
+    * `SummaryRewrite.mergeSummaries` — slices x |dim-combination| rows,
+    * summary-scale, never stream-scale. */
+  def readSummary(spark: org.apache.spark.sql.SparkSession, outDir: String,
+                  dims: Seq[String], measures: Seq[String]): DataFrame = {
+    val committed = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getPath).sorted.toSeq
+    require(committed.nonEmpty,
+      s"no committed summary slices under $outDir")
+    graft.plans.SummaryRewrite.mergeSummaries(
+      spark.read.parquet(committed: _*), dims, measures)
+  }
+
   /** Stream-stream temporal enrichment: join two live streams on a key
     * with the right event constrained to (leftTs - before, leftTs] — the
     * streaming twin of the batch range join (q16) and the pattern behind

@@ -839,4 +839,17 @@ class PlanAuditSpec extends SparkSuite {
         s"$q lost map-side combine:\n$p")
     }
   }
+
+  test("lake_summary_serve: the dashboard aggregate SCANS THE SUMMARY, " +
+    "never the base lake — the dim filter is pushed into the summary's " +
+    "parquet scan and the scan reads only the referenced partials") {
+    val p = plan("lake_summary_serve")
+    assert(p.contains("graft_sumlake_"), p)
+    val scans = p.linesIterator.filter(_.contains("Location")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("/summary")),
+      s"a scan escaped to the base lake:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(dow), LessThanOrEqual(dow"),
+      p)
+    assert(p.contains("m_sum_cents"), p)
+  }
 }

@@ -1,0 +1,199 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The materialized summary-table rewrite: registered aggregates answer
+  * from the summary scan (plan-asserted), unregistered or untranslatable
+  * shapes keep the base scan, and every rewritten result is value-equal
+  * to the base-scan execution of the same query. */
+class SummaryRewriteSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val root = new java.io.File(
+    System.getProperty("java.io.tmpdir"), "graft_sumrw_spec").getPath
+
+  // (cat, dow, cents, score): null dims and an all-null measure group so
+  // the rollup algebra's null edges are all exercised.
+  private lazy val fixture: DataFrame = {
+    SummaryRewrite.install(spark)
+    val rows = (0 until 400).map { i =>
+      val cat = if (i % 7 == 0) null else s"c${i % 3}"
+      val dow = if (i % 11 == 0) null
+      else java.lang.Long.valueOf((i % 5).toLong)
+      // c2 rows with dow=4 carry only null cents (all-null measure group)
+      val cents = if (i % 3 == 2 && i % 5 == 4) null
+      else java.lang.Long.valueOf((i * 37 % 1000 - 200).toLong)
+      (cat, dow, cents, i.toDouble / 8.0)
+    }
+    val df = rows.toDF("cat", "dow", "cents", "score")
+    df.write.mode("overwrite").parquet(s"$root/base")
+    val base = spark.read.parquet(s"$root/base")
+    SummaryRewrite.buildSummary(base, Seq("cat", "dow"),
+        Seq("cents", "score"))
+      .write.mode("overwrite").parquet(s"$root/sum2")
+    SummaryRewrite.buildSummary(base, Seq("cat"), Seq("cents"))
+      .write.mode("overwrite").parquet(s"$root/sum1")
+    base
+  }
+
+  private def base: DataFrame = { fixture; spark.read.parquet(s"$root/base") }
+
+  private def registerAll(): Unit = {
+    fixture
+    SummaryRewrite.clear()
+    SummaryRewrite.register(base, spark.read.parquet(s"$root/sum2"),
+      Seq("cat", "dow"), Seq("cents", "score"))
+    SummaryRewrite.register(base, spark.read.parquet(s"$root/sum1"),
+      Seq("cat"), Seq("cents"))
+  }
+
+  private def scanOf(df: DataFrame): String = {
+    df.collect() // finalize under AQE before reading the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Run `q` registered and unregistered; assert the registered plan
+    * scanned `wantScan` and both executions agree row-for-row. */
+  private def served(q: => DataFrame, wantScan: String): Unit = {
+    registerAll()
+    val plan = scanOf(q)
+    assert(plan.contains(wantScan), plan)
+    val got = q.collect().map(_.toString).sorted
+    SummaryRewrite.clear()
+    val plainPlan = scanOf(q)
+    assert(!plainPlan.contains("sum1") && !plainPlan.contains("sum2"),
+      plainPlan)
+    val want = q.collect().map(_.toString).sorted
+    assert(got.sameElements(want),
+      s"served=${got.mkString("|")} base=${want.mkString("|")}")
+  }
+
+  test("full-grain battery serves from the 2-dim summary and matches " +
+    "the base execution (null dims, all-null measure group included)") {
+    served(
+      base.filter(col("dow") <= 3 || col("dow").isNull)
+        .groupBy(col("cat"))
+        .agg(count(lit(1)).as("n"),
+          count(col("cents")).as("n_cents"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          countDistinct(col("dow")).as("n_dow"),
+          count(col("dow")).as("dow_nonnull"),
+          expr("sum(cents) FILTER (WHERE dow <= 1)").as("early_cents"))
+        .orderBy(col("cat")),
+      "sum2")
+  }
+
+  test("coarser query picks the 1-dim summary; a dow reference falls " +
+    "back to the 2-dim grain") {
+    registerAll()
+    val byCat = base.groupBy(col("cat"))
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+    assert(scanOf(byCat).contains("sum1"), scanOf(byCat))
+    val byCatDowFilter = base.filter(col("dow") === 2)
+      .groupBy(col("cat")).agg(sum(col("cents")).as("s"))
+    assert(scanOf(byCatDowFilter).contains("sum2"), scanOf(byCatDowFilter))
+    // and the 1-dim summary cannot serve a score aggregate
+    val score = base.groupBy(col("cat")).agg(sum(col("score")).as("s"))
+    assert(scanOf(score).contains("sum2"), scanOf(score))
+  }
+
+  test("grouping by an expression over a dim is exact (summary grain " +
+    "partitions finer than the regrouping)") {
+    served(
+      base.groupBy((col("dow") % 2).as("dow_par"))
+        .agg(sum(col("cents")).as("s"), max(col("cents")).as("mx"),
+          count(lit(1)).as("n"))
+        .orderBy(col("dow_par")),
+      "sum2")
+  }
+
+  test("global aggregate (no grouping) serves from the summary") {
+    served(
+      base.agg(sum(col("cents")).as("s"), count(lit(1)).as("n"),
+        min(col("cents")).as("mn"), countDistinct(col("cat")).as("k")),
+      "sum1")
+  }
+
+  test("one summary serving twice in one query gets fresh expression ids") {
+    registerAll()
+    val a = base.groupBy(col("cat")).agg(sum(col("cents")).as("s_all"))
+    val b = base.filter(col("cat") =!= "c1").groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_rest"))
+    val joined = a.join(b, Seq("cat")).orderBy(col("cat"))
+    val plan = scanOf(joined)
+    assert(plan.contains("sum1"), plan)
+    val got = joined.collect().map(_.toString).sorted
+    SummaryRewrite.clear()
+    val want = joined.collect().map(_.toString).sorted
+    assert(got.sameElements(want))
+  }
+
+  test("untranslatable shapes keep the base scan: measure filter, " +
+    "derived-measure agg, avg, sum over a dim, distinct measure") {
+    registerAll()
+    val shapes = Seq(
+      base.filter(col("cents") > 0).groupBy(col("cat"))
+        .agg(sum(col("cents")).as("s")),
+      base.groupBy(col("cat")).agg(sum(col("cents") * 2).as("s")),
+      base.groupBy(col("cat")).agg(avg(col("cents")).as("a")),
+      base.groupBy(col("cat")).agg(sum(col("dow")).as("s")),
+      base.groupBy(col("cat"))
+        .agg(sum_distinct(col("cents")).as("s")),
+      base.groupBy(col("cat"))
+        .agg(countDistinct(col("cents")).as("k")))
+    shapes.foreach { q =>
+      val plan = scanOf(q)
+      assert(!plan.contains("sum1") && !plan.contains("sum2"), plan)
+    }
+  }
+
+  test("re-registering the same grain replaces it (refresh), and clear " +
+    "disables the rewrite") {
+    registerAll()
+    // stale refresh drill: rebuild sum1 after appending rows, re-register
+    val extra = Seq(("c9", java.lang.Long.valueOf(1L),
+      java.lang.Long.valueOf(77L), 0.5)).toDF("cat", "dow", "cents", "score")
+    extra.write.mode("append").parquet(s"$root/base")
+    try {
+      val baseNow = spark.read.parquet(s"$root/base")
+      SummaryRewrite.buildSummary(baseNow, Seq("cat"), Seq("cents"))
+        .write.mode("overwrite").parquet(s"$root/sum1b")
+      SummaryRewrite.register(baseNow, spark.read.parquet(s"$root/sum1b"),
+        Seq("cat"), Seq("cents"))
+      val q = baseNow.groupBy(col("cat")).agg(sum(col("cents")).as("s"))
+      val plan = scanOf(q)
+      assert(plan.contains("sum1b") && !plan.contains("sum1/"), plan)
+      val got = q.collect().map(_.toString).sorted
+      SummaryRewrite.clear()
+      assert(got.sameElements(q.collect().map(_.toString).sorted))
+    } finally {
+      // restore the original fixture for other tests (order-independent)
+      base.filter(col("cat").isNull || col("cat") =!= "c9")
+        .write.mode("overwrite").parquet(s"$root/base2")
+      spark.read.parquet(s"$root/base2").write.mode("overwrite")
+        .parquet(s"$root/base")
+      SummaryRewrite.clear()
+    }
+  }
+
+  test("mergeSummaries over arbitrary slices equals the one-shot summary") {
+    fixture
+    val slices = (0 until 3).map(k =>
+      SummaryRewrite.buildSummary(
+        base.filter(pmod(col("cents"), lit(3)) === k ||
+          (col("cents").isNull && lit(k) === 0)),
+        Seq("cat", "dow"), Seq("cents", "score")))
+      .reduce(_.unionByName(_))
+    val merged = SummaryRewrite.mergeSummaries(slices, Seq("cat", "dow"),
+        Seq("cents", "score"))
+      .collect().map(_.toString).sorted
+    val oneShot = SummaryRewrite.buildSummary(base, Seq("cat", "dow"),
+        Seq("cents", "score"))
+      .collect().map(_.toString).sorted
+    assert(merged.sameElements(oneShot))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.plans.SummaryRewrite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** The streaming summary-maintenance sink: per-micro-batch delta slices,
+  * exactly-once commit markers, and a merged read that equals the batch
+  * one-shot summary over the same rows — the freshness half of the
+  * SummaryRewrite contract. */
+class SummarySinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("cat", StringType),
+    StructField("cents", LongType)))
+
+  private val dims = Seq("cat")
+  private val meas = Seq("cents")
+
+  test("streamed delta slices merge to the batch one-shot summary; " +
+    "uncommitted slices are invisible; resume lands only new batches") {
+    val src = Files.createTempDirectory("sumsink_src").toString
+    val out = Files.createTempDirectory("sumsink_out").toString
+    val ckpt = Files.createTempDirectory("sumsink_ckpt").toString
+
+    def rows(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (s"c${i % 3}", if (i % 7 == 0) null
+      else java.lang.Long.valueOf((i * 13 % 100 - 20).toLong)))
+      .toDF("cat", "cents")
+
+    rows(0, 40).coalesce(1).write.mode("append").parquet(src)
+    rows(40, 70).coalesce(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    StreamingIngest.startSummarySink(stream, dims, meas, out, ckpt)
+      .awaitTermination(60000)
+
+    val slices = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(slices.length >= 2, slices.toSeq.toString) // one per file trigger
+
+    def mergedRows() = StreamingIngest.readSummary(spark, out, dims, meas)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = SummaryRewrite.buildSummary(
+        spark.read.parquet(src), dims, meas)
+      .collect().map(_.toString).sorted.toSeq
+    assert(mergedRows() == oneShot)
+
+    // a crashed attempt's partial slice (no _SUCCESS) must never merge
+    val zombie = new java.io.File(out, "batch_id=99")
+    SummaryRewrite.buildSummary(rows(0, 10), dims, meas)
+      .coalesce(1).write.parquet(zombie.toString)
+    new java.io.File(zombie, "_SUCCESS").delete()
+    assert(mergedRows() == oneShot)
+
+    // resume under the same checkpoint: only the NEW file lands, as a
+    // new committed slice, and the merged summary tracks the full base
+    rows(70, 100).coalesce(1).write.mode("append").parquet(src)
+    StreamingIngest.startSummarySink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(src), dims, meas, out, ckpt)
+      .awaitTermination(60000)
+    val after = SummaryRewrite.buildSummary(
+        spark.read.parquet(src), dims, meas)
+      .collect().map(_.toString).sorted.toSeq
+    assert(mergedRows() == after)
+
+    // and the maintained summary SERVES: register it for the base scan
+    // and the dashboard aggregate answers from the written summary
+    val servable = s"$out/servable"
+    StreamingIngest.readSummary(spark, out, dims, meas)
+      .coalesce(1).write.mode("overwrite").parquet(servable)
+    SummaryRewrite.install(spark)
+    SummaryRewrite.clear()
+    SummaryRewrite.register(spark.read.parquet(src),
+      spark.read.parquet(servable), dims, meas)
+    val q = spark.read.parquet(src).groupBy(col("cat"))
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("servable"), plan)
+    val got = q.collect().map(_.toString).sorted.toSeq
+    SummaryRewrite.clear()
+    assert(got == q.collect().map(_.toString).sorted.toSeq)
+  }
+}
