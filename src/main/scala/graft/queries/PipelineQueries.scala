@@ -432,6 +432,50 @@ object PipelineQueries {
           col("m_sum_cents"), col("m_cnt_cents"), col("m_min_cents"),
           col("m_max_cents"))
         .orderBy(col("event_type"), col("dow"))
+    }),
+
+    // ROLLUP served from the summary: grouping sets analyze to
+    // Aggregate-over-Expand, and the rewrite re-bases the Expand on
+    // summary rows — the grouping-set algebra (per-set nulling,
+    // spark_grouping_id, the grouping() projections) is untouched, only
+    // the rows underneath change from lake-scale to summary-scale. At
+    // 100 TB a ROLLUP Expand would otherwise multiply the LAKE by the
+    // number of grouping sets before the shuffle; served, it multiplies
+    // |summary| rows. grouping() flags ride along so subtotal rows are
+    // engine-distinguishable from genuine null dims, and NULLS FIRST
+    // ordering is pinned on both sides (Spark's asc default vs DuckDB's
+    // NULLS LAST would otherwise shuffle the subtotal rows).
+    "lake_summary_rollup" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sumlake_" +
+        graft.analytics.Similarity.dataFingerprint(d)
+      val baseLake = s"$dir/base"
+      if (!new java.io.File(s"$dir/fixture_done").exists()) {
+        events(s, d).filter(col("ts").isNotNull)
+          .select(col("event_type"),
+            (weekday(col("ts").cast("date")) + lit(1)).cast("long")
+              .as("dow"),
+            when(col("event_id") % 97 === 0, lit(null).cast("long"))
+              .otherwise(floor(col("value") * 100.0 + 0.5).cast("long"))
+              .as("cents"))
+          .write.mode("overwrite").parquet(baseLake)
+        graft.plans.SummaryRewrite.buildSummary(s.read.parquet(baseLake),
+            Seq("event_type", "dow"), Seq("cents"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/summary")
+        new java.io.File(s"$dir/fixture_done").createNewFile()
+      }
+      graft.plans.SummaryRewrite.install(s)
+      graft.plans.SummaryRewrite.register(s.read.parquet(baseLake),
+        s.read.parquet(s"$dir/summary"), Seq("event_type", "dow"),
+        Seq("cents"))
+      s.read.parquet(baseLake)
+        .rollup(col("event_type"), col("dow"))
+        .agg(grouping(col("event_type")).cast("long").as("g_et"),
+          grouping(col("dow")).cast("long").as("g_dow"),
+          count(lit(1)).cast("long").as("n_events"),
+          count(col("cents")).cast("long").as("n_cents"),
+          sum(col("cents")).cast("long").as("sum_cents"),
+          max(col("cents")).as("max_cents"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("dow"))
     })
   )
 
@@ -615,6 +659,24 @@ object PipelineQueries {
         |  CAST(count(cents) AS BIGINT) AS m_cnt_cents,
         |  CAST(min(cents) AS BIGINT) AS m_min_cents,
         |  CAST(max(cents) AS BIGINT) AS m_max_cents
-        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the same base-lake replay under ROLLUP; grouping() flags and
+    // NULLS FIRST ordering pinned identically on both engines
+    "lake_summary_rollup" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+        |    CASE WHEN event_id % 97 = 0 THEN NULL
+        |      ELSE CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS cents
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT event_type, dow,
+        |  CAST(GROUPING(event_type) AS BIGINT) AS g_et,
+        |  CAST(GROUPING(dow) AS BIGINT) AS g_dow,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(cents) AS BIGINT) AS n_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM b GROUP BY ROLLUP (event_type, dow)
+        |ORDER BY event_type NULLS FIRST, dow NULLS FIRST""".stripMargin
   )
 }

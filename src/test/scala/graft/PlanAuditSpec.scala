@@ -851,5 +851,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("PushedFilters: [IsNotNull(dow), LessThanOrEqual(dow"),
       p)
     assert(p.contains("m_sum_cents"), p)
+    // ROLLUP: the Expand survives (same grouping-set algebra) but sits
+    // over the summary scan — the lake is never expanded |sets| times
+    val r = plan("lake_summary_rollup")
+    assert(r.contains("Expand"), r)
+    val rScans = r.linesIterator.filter(_.contains("Location")).toSeq
+    assert(rScans.nonEmpty && rScans.forall(_.contains("/summary")),
+      s"rollup scan escaped to the base lake:\n$r")
   }
 }

@@ -180,6 +180,33 @@ class SummaryRewriteSpec extends SparkSuite {
     }
   }
 
+  test("rollup over dims serves from the summary: the Expand re-bases " +
+    "on summary rows, the grouping-set algebra is untouched") {
+    served(
+      base.rollup(col("cat"), col("dow"))
+        .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"),
+          min(col("cents")).as("mn"), count(col("cents")).as("nc"),
+          count(col("dow")).as("nd"))
+        .orderBy(col("cat"), col("dow")),
+      "sum2")
+  }
+
+  test("cube with a dim filter and a distinct dim count serves; a " +
+    "distinct MEASURE through rollup keeps the base scan") {
+    served(
+      base.filter(col("dow") <= 3).cube(col("cat"))
+        .agg(max(col("cents")).as("mx"),
+          countDistinct(col("dow")).as("k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("cat")),
+      "sum2")
+    registerAll()
+    val bad = base.rollup(col("cat"))
+      .agg(countDistinct(col("cents")).as("k"))
+    val plan = scanOf(bad)
+    assert(!plan.contains("sum1") && !plan.contains("sum2"), plan)
+  }
+
   test("mergeSummaries over arbitrary slices equals the one-shot summary") {
     fixture
     val slices = (0 until 3).map(k =>
