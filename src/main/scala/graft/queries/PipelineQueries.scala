@@ -476,6 +476,54 @@ object PipelineQueries {
           sum(col("cents")).cast("long").as("sum_cents"),
           max(col("cents")).as("max_cents"))
         .orderBy(asc_nulls_first("event_type"), asc_nulls_first("dow"))
+    }),
+
+    // Exact percentiles served from the HISTOGRAM summary kind: the
+    // rollup partials cannot answer a median, but a (dims, value)→count
+    // histogram can — Spark's frequency-weighted Percentile reaches the
+    // identical value→count buffer the per-row pass builds, so the
+    // served result is BIT-exact, and count(DISTINCT cents) is exact
+    // because distinct values survive the grain (sum rides along as
+    // Σ v·cnt in exact integer arithmetic). This is the q71–q74
+    // histogram-grain discipline promoted to a transparent serving
+    // index: at 100 TB the quantile dashboard reads |dims × distinct
+    // cents| rows, never the lake. The oracle replays percentile as
+    // DuckDB quantile_cont (the q25-pinned equivalence), rounded 4.
+    "lake_summary_percentile" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sumlake_" +
+        graft.analytics.Similarity.dataFingerprint(d)
+      val baseLake = s"$dir/base"
+      if (!new java.io.File(s"$dir/fixture_done").exists()) {
+        events(s, d).filter(col("ts").isNotNull)
+          .select(col("event_type"),
+            (weekday(col("ts").cast("date")) + lit(1)).cast("long")
+              .as("dow"),
+            when(col("event_id") % 97 === 0, lit(null).cast("long"))
+              .otherwise(floor(col("value") * 100.0 + 0.5).cast("long"))
+              .as("cents"))
+          .write.mode("overwrite").parquet(baseLake)
+        graft.plans.SummaryRewrite.buildSummary(s.read.parquet(baseLake),
+            Seq("event_type", "dow"), Seq("cents"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/summary")
+        new java.io.File(s"$dir/fixture_done").createNewFile()
+      }
+      if (!new java.io.File(s"$dir/hist_done").exists()) {
+        graft.plans.SummaryRewrite.buildHistSummary(
+            s.read.parquet(baseLake), Seq("event_type", "dow"), "cents")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/hist")
+        new java.io.File(s"$dir/hist_done").createNewFile()
+      }
+      graft.plans.SummaryRewrite.install(s)
+      graft.plans.SummaryRewrite.registerHist(s.read.parquet(baseLake),
+        s.read.parquet(s"$dir/hist"), Seq("event_type", "dow"), "cents")
+      s.read.parquet(baseLake)
+        .filter(col("dow") <= 5)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(cents, 0.5)"), 4).as("p50_cents"),
+          round(expr("percentile(cents, 0.9)"), 4).as("p90_cents"),
+          countDistinct(col("cents")).cast("long").as("n_vals"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -677,6 +725,21 @@ object PipelineQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(max(cents) AS BIGINT) AS max_cents
         |FROM b GROUP BY ROLLUP (event_type, dow)
-        |ORDER BY event_type NULLS FIRST, dow NULLS FIRST""".stripMargin
+        |ORDER BY event_type NULLS FIRST, dow NULLS FIRST""".stripMargin,
+
+    // quantile_cont is the pinned DuckDB twin of Spark percentile (q25);
+    // both ignore NULL cents, round 4 guards double drift
+    "lake_summary_percentile" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+        |    CASE WHEN event_id % 97 = 0 THEN NULL
+        |      ELSE CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS cents
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT event_type,
+        |  round(quantile_cont(cents, 0.5), 4) AS p50_cents,
+        |  round(quantile_cont(cents, 0.9), 4) AS p90_cents,
+        |  CAST(count(DISTINCT cents) AS BIGINT) AS n_vals,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM b WHERE dow <= 5 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

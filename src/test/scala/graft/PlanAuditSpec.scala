@@ -858,5 +858,12 @@ class PlanAuditSpec extends SparkSuite {
     val rScans = r.linesIterator.filter(_.contains("Location")).toSeq
     assert(rScans.nonEmpty && rScans.forall(_.contains("/summary")),
       s"rollup scan escaped to the base lake:\n$r")
+    // percentile/median serve from the HISTOGRAM kind: value-grain scan,
+    // frequency-weighted Percentile, never a lake scan
+    val h = plan("lake_summary_percentile")
+    val hScans = h.linesIterator.filter(_.contains("Location")).toSeq
+    assert(hScans.nonEmpty && hScans.forall(_.contains("/hist")),
+      s"percentile scan escaped to the base lake:\n$h")
+    assert(h.contains("percentile(v"), h)
   }
 }

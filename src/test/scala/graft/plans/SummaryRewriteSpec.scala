@@ -35,6 +35,8 @@ class SummaryRewriteSpec extends SparkSuite {
       .write.mode("overwrite").parquet(s"$root/sum2")
     SummaryRewrite.buildSummary(base, Seq("cat"), Seq("cents"))
       .write.mode("overwrite").parquet(s"$root/sum1")
+    SummaryRewrite.buildHistSummary(base, Seq("cat", "dow"), "cents")
+      .write.mode("overwrite").parquet(s"$root/hist1")
     base
   }
 
@@ -47,6 +49,8 @@ class SummaryRewriteSpec extends SparkSuite {
       Seq("cat", "dow"), Seq("cents", "score"))
     SummaryRewrite.register(base, spark.read.parquet(s"$root/sum1"),
       Seq("cat"), Seq("cents"))
+    SummaryRewrite.registerHist(base, spark.read.parquet(s"$root/hist1"),
+      Seq("cat", "dow"), "cents")
   }
 
   private def scanOf(df: DataFrame): String = {
@@ -63,8 +67,8 @@ class SummaryRewriteSpec extends SparkSuite {
     val got = q.collect().map(_.toString).sorted
     SummaryRewrite.clear()
     val plainPlan = scanOf(q)
-    assert(!plainPlan.contains("sum1") && !plainPlan.contains("sum2"),
-      plainPlan)
+    assert(!plainPlan.contains("sum1") && !plainPlan.contains("sum2") &&
+      !plainPlan.contains("hist1"), plainPlan)
     val want = q.collect().map(_.toString).sorted
     assert(got.sameElements(want),
       s"served=${got.mkString("|")} base=${want.mkString("|")}")
@@ -143,11 +147,13 @@ class SummaryRewriteSpec extends SparkSuite {
       base.groupBy(col("cat")).agg(sum(col("dow")).as("s")),
       base.groupBy(col("cat"))
         .agg(sum_distinct(col("cents")).as("s")),
+      // no histogram registered for score → percentile stays on base
       base.groupBy(col("cat"))
-        .agg(countDistinct(col("cents")).as("k")))
+        .agg(expr("percentile(score, 0.5)").as("p")))
     shapes.foreach { q =>
       val plan = scanOf(q)
-      assert(!plan.contains("sum1") && !plan.contains("sum2"), plan)
+      assert(!plan.contains("sum1") && !plan.contains("sum2") &&
+        !plan.contains("hist1"), plan)
     }
   }
 
@@ -205,6 +211,58 @@ class SummaryRewriteSpec extends SparkSuite {
       .agg(countDistinct(col("cents")).as("k"))
     val plan = scanOf(bad)
     assert(!plan.contains("sum1") && !plan.contains("sum2"), plan)
+  }
+
+  test("percentile / median / distinct-measure count serve from the " +
+    "HISTOGRAM kind (the shapes the rollup kind declines), bit-exact " +
+    "vs the base execution") {
+    served(
+      base.groupBy(col("cat")).agg(
+        expr("percentile(cents, 0.5)").as("med"),
+        expr("percentile(cents, array(0.25, 0.9))").as("qs"),
+        expr("median(cents)").as("med2"),
+        countDistinct(col("cents")).as("k"),
+        sum(col("cents")).as("s"),
+        count(lit(1)).as("n"),
+        count(col("cents")).as("nc"),
+        min(col("cents")).as("mn"))
+        .orderBy(col("cat")),
+      "hist1")
+    // a mixed dim+measure distinct tuple is a single distinct group:
+    // still one Aggregate, still servable at hist grain
+    served(
+      base.groupBy(col("cat"))
+        .agg(countDistinct(col("dow"), col("cents")).as("k2"))
+        .orderBy(col("cat")),
+      "hist1")
+    // TWO distinct groups Expand via RewriteDistinctAggregates before
+    // this rule runs — expected safe fallback to the base scan
+    registerAll()
+    val twoDistinct = base.groupBy(col("cat"))
+      .agg(countDistinct(col("cents")).as("k"),
+        countDistinct(col("dow"), col("cents")).as("k2"))
+    val p2 = scanOf(twoDistinct)
+    assert(!p2.contains("hist1") && !p2.contains("sum1") &&
+      !p2.contains("sum2"), p2)
+    // the rollup kind is still preferred when it CAN serve
+    registerAll()
+    val flatOnly = base.groupBy(col("cat")).agg(sum(col("cents")).as("s"))
+    assert(scanOf(flatOnly).contains("sum1"), scanOf(flatOnly))
+  }
+
+  test("mergeHistSummaries over slices equals the one-shot histogram") {
+    fixture
+    val slices = (0 until 3).map(k =>
+      SummaryRewrite.buildHistSummary(
+        base.filter(pmod(col("cents"), lit(3)) === k ||
+          (col("cents").isNull && lit(k) === 0)),
+        Seq("cat"), "cents"))
+      .reduce(_.unionByName(_))
+    val merged = SummaryRewrite.mergeHistSummaries(slices, Seq("cat"))
+      .collect().map(_.toString).sorted
+    val oneShot = SummaryRewrite.buildHistSummary(base, Seq("cat"), "cents")
+      .collect().map(_.toString).sorted
+    assert(merged.sameElements(oneShot))
   }
 
   test("mergeSummaries over arbitrary slices equals the one-shot summary") {
