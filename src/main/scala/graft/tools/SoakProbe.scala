@@ -154,6 +154,55 @@ object SoakProbe {
         }
         val (a, b) = (minOf(banded(2000L)), minOf(banded(20000L)))
         println(f"""{"name":"theilsen_banded","h2000":$a%.3f,"h20000":$b%.3f,"ratio":${b / a}%.2f}""")
+      case "summary" =>
+        // materialized summary serving: the same dashboard aggregate on
+        // the base lake vs served (SummaryRewrite) at 1x and 10x rows.
+        // The served time should be FLAT in lake size (summary-grain
+        // scan), the base-scan time should track the data ratio; the
+        // one-time summary build cost is reported alongside.
+        import graft.plans.SummaryRewrite
+        SummaryRewrite.install(spark)
+        val ev = Tables.load(spark, sfDir, "events")
+          .filter(col("ts").isNotNull)
+          .select(col("event_type"),
+            (weekday(col("ts").cast("date")) + lit(1)).cast("long")
+              .as("dow"),
+            floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        // 100x, not 10x: the per-job fixed overhead (~0.2 s at local[32])
+        // swallows a 10x scan at sf0.1 — 100x is where the scan cost
+        // itself becomes visible against the flat served time
+        val ev100 = ev.select(col("event_type"), col("dow"),
+            col("cents"), explode(sequence(lit(0L), lit(99L))).as("rep"))
+          .select(col("event_type"), col("dow"),
+            (col("cents") + col("rep")).as("cents"))
+        def probe(df: org.apache.spark.sql.DataFrame, tag: String)
+            : (Double, Double, Double) = {
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"sum_soak_$tag").toString
+          df.write.mode("overwrite").parquet(s"$dir/base")
+          val b = spark.read.parquet(s"$dir/base")
+          def dash(frame: org.apache.spark.sql.DataFrame): Long =
+            frame.filter(col("dow") <= 5).groupBy(col("event_type"))
+              .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+                min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+              .collect().length.toLong
+          SummaryRewrite.clear()
+          val tBase = minOf(time(dash(b)))
+          val tBuild = time {
+            SummaryRewrite.buildSummary(b, Seq("event_type", "dow"),
+                Seq("cents"))
+              .coalesce(1).write.mode("overwrite").parquet(s"$dir/sum")
+            0L
+          }
+          SummaryRewrite.register(b, spark.read.parquet(s"$dir/sum"),
+            Seq("event_type", "dow"), Seq("cents"))
+          val tServed = minOf(time(dash(b)))
+          SummaryRewrite.clear()
+          (tBase, tBuild, tServed)
+        }
+        val (b1, bu1, s1) = probe(ev, "1x")
+        val (b100, bu100, s100) = probe(ev100, "100x")
+        println(f"""{"name":"summary","base_1x":$b1%.3f,"served_1x":$s1%.3f,"build_1x":$bu1%.3f,"base_100x":$b100%.3f,"served_100x":$s100%.3f,"build_100x":$bu100%.3f,"speedup_100x":${b100 / s100}%.1f,"served_ratio":${s100 / s1}%.2f}""")
       case "bm25_profile" =>
         // stage-by-stage cost of the fixed-query 10x retrieval
         import graft.analytics.{Caches, TextAnalysis}
