@@ -250,6 +250,55 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(scanOf(flatOnly).contains("sum1"), scanOf(flatOnly))
   }
 
+  test("SQL over a temp view and HAVING clauses serve: view inlining " +
+    "exposes the same scan, HAVING filters sit above the rewrite") {
+    registerAll()
+    base.createOrReplaceTempView("sumrw_base")
+    val q = spark.sql(
+      """SELECT cat, sum(cents) AS s, count(*) AS n FROM sumrw_base
+        |WHERE dow <= 3 GROUP BY cat HAVING count(*) > 5
+        |ORDER BY cat""".stripMargin)
+    val plan = scanOf(q)
+    assert(plan.contains("sum2"), plan)
+    val got = q.collect().map(_.toString).sorted
+    SummaryRewrite.clear()
+    val want = q.collect().map(_.toString).sorted
+    assert(got.sameElements(want))
+  }
+
+  test("catalog save/load: a fresh registry re-registers from the " +
+    "parquet catalog and serves identically; stale() flags a mutated " +
+    "base and stays quiet on an untouched one") {
+    registerAll()
+    val catDir = s"$root/catalog"
+    SummaryRewrite.save(spark, catDir)
+    SummaryRewrite.clear()
+    // def, not val: a Dataset caches its QueryExecution, so the plan
+    // must be rebuilt after load() to see the re-registered summaries
+    def q = base.groupBy(col("cat")).agg(sum(col("cents")).as("s"))
+    assert(!scanOf(q).contains("sum1")) // registry is empty
+    SummaryRewrite.load(spark, catDir)
+    assert(scanOf(q).contains("sum1"), scanOf(q))
+    assert(SummaryRewrite.stale().isEmpty, SummaryRewrite.stale().toString)
+    // mutate the base: every registration over it must flag stale
+    val extra = Seq(("c0", java.lang.Long.valueOf(2L),
+      java.lang.Long.valueOf(5L), 0.1)).toDF("cat", "dow", "cents", "score")
+    extra.write.mode("append").parquet(s"$root/base")
+    try {
+      val flagged = SummaryRewrite.stale()
+      assert(flagged.nonEmpty && flagged.forall(_._1.exists(
+        _.contains("graft_sumrw_spec"))), flagged.toString)
+    } finally {
+      // score is never null and 0.1 is not in the i/8.0 lattice, so
+      // this filter removes exactly the planted row (null-safe)
+      base.filter(col("score") =!= 0.1)
+        .write.mode("overwrite").parquet(s"$root/base2")
+      spark.read.parquet(s"$root/base2").write.mode("overwrite")
+        .parquet(s"$root/base")
+      SummaryRewrite.clear()
+    }
+  }
+
   test("mergeHistSummaries over slices equals the one-shot histogram") {
     fixture
     val slices = (0 until 3).map(k =>
