@@ -314,6 +314,70 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(merged.sameElements(oneShot))
   }
 
+  test("seeded randomized equivalence: random data, random grouping/" +
+    "filter/agg shapes — every SERVED result equals the base execution") {
+    fixture
+    val rnd = new scala.util.Random(41)
+    var servedCount = 0
+    (0 until 4).foreach { round =>
+      val n = 120 + rnd.nextInt(200)
+      val rows = (0 until n).map { _ =>
+        val cat = if (rnd.nextInt(6) == 0) null else s"r${rnd.nextInt(4)}"
+        val dow = if (rnd.nextInt(9) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(4).toLong)
+        val cents = if (rnd.nextInt(5) == 0) null
+        else java.lang.Long.valueOf((rnd.nextInt(400) - 100).toLong)
+        (cat, dow, cents, rnd.nextDouble())
+      }
+      val dir = s"$root/prop$round"
+      rows.toDF("cat", "dow", "cents", "score")
+        .write.mode("overwrite").parquet(s"$dir/base")
+      val b = spark.read.parquet(s"$dir/base")
+      SummaryRewrite.buildSummary(b, Seq("cat", "dow"), Seq("cents"))
+        .write.mode("overwrite").parquet(s"$dir/sum")
+      SummaryRewrite.buildHistSummary(b, Seq("cat", "dow"), "cents")
+        .write.mode("overwrite").parquet(s"$dir/hist")
+
+      val aggPool = Seq(
+        () => sum(col("cents")).as(s"a${rnd.nextInt(1000)}"),
+        () => count(lit(1)).as(s"a${rnd.nextInt(1000)}"),
+        () => count(col("cents")).as(s"a${rnd.nextInt(1000)}"),
+        () => count(col("dow")).as(s"a${rnd.nextInt(1000)}"),
+        () => min(col("cents")).as(s"a${rnd.nextInt(1000)}"),
+        () => max(col("cents")).as(s"a${rnd.nextInt(1000)}"),
+        () => countDistinct(col("dow")).as(s"a${rnd.nextInt(1000)}"),
+        () => expr("percentile(cents, 0.5)").as(s"a${rnd.nextInt(1000)}"),
+        () => countDistinct(col("cents")).as(s"a${rnd.nextInt(1000)}"))
+      (0 until 3).foreach { _ =>
+        val aggs = Seq.fill(1 + rnd.nextInt(3))(
+          aggPool(rnd.nextInt(aggPool.length))())
+        val grouped = rnd.nextInt(3) match {
+          case 0 => b.groupBy(col("cat"))
+          case 1 => b.groupBy(col("cat"), (col("dow") % 2).as("dp"))
+          case _ => b.filter(col("dow") <= 2 || col("dow").isNull)
+            .groupBy(col("dow"))
+        }
+        def q = grouped.agg(aggs.head, aggs.tail: _*)
+        SummaryRewrite.clear()
+        SummaryRewrite.register(b, spark.read.parquet(s"$dir/sum"),
+          Seq("cat", "dow"), Seq("cents"))
+        SummaryRewrite.registerHist(b, spark.read.parquet(s"$dir/hist"),
+          Seq("cat", "dow"), "cents")
+        val qd = q
+        val served = qd.collect().map(_.toString).sorted
+        val p = qd.queryExecution.executedPlan.toString
+        if (p.contains("/sum") || p.contains("/hist")) servedCount += 1
+        SummaryRewrite.clear()
+        val plain = q.collect().map(_.toString).sorted
+        assert(served.sameElements(plain),
+          s"round=$round aggs=${aggs.mkString(",")}\n" +
+            s"served=${served.mkString("|")}\nplain=${plain.mkString("|")}")
+      }
+    }
+    // the property must not pass vacuously: most shapes should rewrite
+    assert(servedCount >= 6, s"only $servedCount/12 shapes served")
+  }
+
   test("mergeSummaries over arbitrary slices equals the one-shot summary") {
     fixture
     val slices = (0 until 3).map(k =>
