@@ -298,6 +298,18 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Star-join context: the aggregate sits over `join`, the registered
+    * base is the `baseIsLeft` side, `aboveConds` were collected between
+    * the Aggregate and the Join (they may reference both sides), and the
+    * OTHER side of the join is kept verbatim. */
+  private final case class StarJoin(join: Join, baseIsLeft: Boolean,
+                                    aboveConds: Seq[Expression])
+
+  private def sorted(cands: Vector[SummaryDef]): Vector[SummaryDef] =
+    // coarsest grain first (fewest dims = smallest scan); rollup kind
+    // before hist kind at the same grain (hist is value-grain, bigger)
+    cands.sortBy(c => (c.dims.size, c.hist.isDefined, c.dims.mkString(",")))
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     // grouping sets (rollup/cube) analyze to Aggregate-over-Expand; the
     // stem sits below the Expand there
@@ -305,21 +317,65 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case e: Expand => (e.child, Some(e))
       case c => (c, None)
     }
-    for {
-      (conds, baseRel, aliases) <- stem(stemPlan)
-      key <- rootsOf(baseRel)
-      candidates <- Option(registry.get(key))
-      // coarsest grain first (fewest dims = smallest scan); rollup kind
-      // before hist kind at the same grain (hist is value-grain, bigger)
-      rewritten <- candidates.sortBy(c =>
-          (c.dims.size, c.hist.isDefined, c.dims.mkString(",")))
-        .iterator.map { c =>
-          expandOpt match {
-            case Some(e) => rewriteExpand(agg, e, conds, aliases, c)
-            case None => rewriteWith(agg, conds, aliases, c)
-          }
-        }.collectFirst { case Some(p) => p }
-    } yield rewritten
+    stem(stemPlan) match {
+      case Some((conds, baseRel, aliases)) =>
+        for {
+          key <- rootsOf(baseRel)
+          candidates <- Option(registry.get(key))
+          rewritten <- sorted(candidates).iterator.map { c =>
+            expandOpt match {
+              case Some(e) => rewriteExpand(agg, e, conds, aliases, c)
+              case None =>
+                rewriteWith(agg, conds, aliases, c, baseRel, None)
+            }
+          }.collectFirst { case Some(p) => p }
+        } yield rewritten
+      case None if expandOpt.isEmpty => tryRewriteStar(agg, stemPlan)
+      case None => None
+    }
+  }
+
+  /** Star-schema flavor: Aggregate over (base JOIN anything). The base
+    * side swaps to its summary; the other side, the join structure, and
+    * every expression over the other side stay verbatim. Exactness is
+    * the same multiplicity algebra — each summary row joins exactly like
+    * the m_count base rows it stands for would (the join condition
+    * references only base DIMS, which are constant across those rows),
+    * so count(*) = Σ m_count over join rows, sums/mins/maxes fold the
+    * same partials, and distinct tuples over dims + other-side columns
+    * are preserved. Join types where the BASE is the outer-preserved
+    * side only: an unmatched OTHER-side row would surface once on the
+    * base scan but carries no m_count on the summary scan. */
+  private def tryRewriteStar(agg: Aggregate, stemPlan: LogicalPlan)
+      : Option[LogicalPlan] = stemPlan match {
+    case org.apache.spark.sql.catalyst.planning.PhysicalOperation(
+        projects, above, j @ Join(l, r, jt, _, _))
+        if jt == org.apache.spark.sql.catalyst.plans.Inner ||
+          jt == org.apache.spark.sql.catalyst.plans.LeftOuter ||
+          jt == org.apache.spark.sql.catalyst.plans.RightOuter =>
+      val aboveAliases =
+        projects.collect { case a: Alias => a.exprId -> a.child }.toMap
+      def trySide(baseIsLeft: Boolean): Option[LogicalPlan] = {
+        val okType = jt match {
+          case org.apache.spark.sql.catalyst.plans.Inner => true
+          case org.apache.spark.sql.catalyst.plans.LeftOuter => baseIsLeft
+          case org.apache.spark.sql.catalyst.plans.RightOuter => !baseIsLeft
+          case _ => false
+        }
+        if (!okType) None
+        else for {
+          (baseConds, baseRel, stemAliases) <-
+            stem(if (baseIsLeft) l else r)
+          key <- rootsOf(baseRel)
+          candidates <- Option(registry.get(key))
+          rewritten <- sorted(candidates).iterator.map(c =>
+            rewriteWith(agg, baseConds, aboveAliases ++ stemAliases, c,
+              baseRel, Some(StarJoin(j, baseIsLeft, above))))
+            .collectFirst { case Some(p) => p }
+        } yield rewritten
+      }
+      trySide(baseIsLeft = true).orElse(trySide(baseIsLeft = false))
+    case _ => None
   }
 
   /** Grouping-sets flavor (rollup/cube dashboards): the analyzer plans
@@ -520,12 +576,21 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
   private def rewriteWith(agg: Aggregate, conds: Seq[Expression],
                           aliases: Map[ExprId, Expression],
-                          d: SummaryDef): Option[LogicalPlan] = {
+                          d: SummaryDef, baseRel: LogicalPlan,
+                          star: Option[StarJoin]): Option[LogicalPlan] = {
     // inline the stem's project aliases so every expression below is in
-    // terms of the base relation's own attributes
-    def inline(e: Expression): Expression = e.transformUp {
-      case a: AttributeReference if aliases.contains(a.exprId) =>
-        aliases(a.exprId)
+    // terms of the base relation's own attributes (to fixpoint — an
+    // above-join alias may reference a base-stem alias)
+    def inline(e: Expression): Expression = {
+      var x = e; var changed = true
+      while (changed) {
+        val next = x.transformUp {
+          case a: AttributeReference if aliases.contains(a.exprId) =>
+            aliases(a.exprId)
+        }
+        changed = !next.fastEquals(x); x = next
+      }
+      x
     }
     // fresh instance per use: two rewrites in one query must not share ids
     val fresh = d.summaryPlan transform {
@@ -534,17 +599,23 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val byName = fresh.output.map(a => a.name -> a).toMap
     val dimAttr: Map[String, Attribute] =
       d.dims.flatMap(n => byName.get(n).map(n -> _)).toMap
+    val baseIds: AttributeSet = baseRel.outputSet
     val isHist = d.hist.isDefined
     // per-summary-row base-row multiplicity: hist rows carry `cnt`,
     // rollup rows carry `m_count`
     val mCount: Attribute = if (isHist) byName("cnt") else byName("m_count")
     def isMeasure(a: AttributeReference): Boolean =
-      if (isHist) d.hist.contains(a.name) else d.measures.contains(a.name)
+      baseIds.contains(a) &&
+        (if (isHist) d.hist.contains(a.name) else d.measures.contains(a.name))
 
-    // Scalar translation: dims remap to summary dims; any other base
+    // Scalar translation: base dims remap to summary dims; the star
+    // join's other side passes through verbatim; any other base
     // attribute (or anything unresolvable) aborts the rewrite.
     def trScalar(e: Expression): Option[Expression] = e match {
-      case a: AttributeReference => dimAttr.get(a.name)
+      case a: AttributeReference =>
+        if (baseIds.contains(a)) dimAttr.get(a.name)
+        else if (star.isDefined) Some(a)
+        else None
       case _: AggregateExpression => None
       case leaf if leaf.children.isEmpty => Some(leaf)
       case other =>
@@ -642,7 +713,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
     def trAny(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression => trAggCall(ae)
-      case a: AttributeReference => dimAttr.get(a.name)
+      case a: AttributeReference => trScalar(a)
       case leaf if leaf.children.isEmpty => Some(leaf)
       case other =>
         val kids = other.children.map(trAny)
@@ -661,28 +732,49 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val newAggs: Seq[Option[NamedExpression]] =
       agg.aggregateExpressions.map {
         case a: AttributeReference =>
-          trAny(inline(a)).filter(sound(a, _))
-            .map(na => Alias(na, a.name)(exprId = a.exprId))
+          trAny(inline(a)).filter(sound(a, _)).map {
+            // other-side attrs pass through untranslated — keep the
+            // attribute itself rather than a self-referencing alias
+            case na: AttributeReference if na.exprId == a.exprId => a
+            case na => Alias(na, a.name)(exprId = a.exprId)
+          }
         case al @ Alias(child, name) =>
           trAny(inline(child)).filter(sound(child, _))
             .map(nc => Alias(nc, name)(exprId = al.exprId))
         case _ => None
       }
+    val newAbove = star.toSeq.flatMap(_.aboveConds)
+      .map(c => trScalar(inline(c)))
+    val newJoinCond = star.flatMap(_.join.condition) match {
+      case Some(c) => trScalar(c).map(Some(_))
+      case None => Some(None)
+    }
 
     if (newConds.exists(_.isEmpty) || newGroup.exists(_.isEmpty) ||
-        newAggs.exists(_.isEmpty)) None
+        newAggs.exists(_.isEmpty) || newAbove.exists(_.isEmpty) ||
+        newJoinCond.isEmpty) None
     else {
-      val filtered = newConds.map(_.get)
-        .reduceOption(And).map(Filter(_, fresh)).getOrElse(fresh)
-      val out = Aggregate(newGroup.map(_.get), newAggs.map(_.get), filtered)
       // prune the summary scan to exactly the referenced partials (the
-      // filter's dims included — it sits above the pruning Project)
-      val needed = (out.expressions ++ newConds.map(_.get))
-        .flatMap(_.references).filter(fresh.outputSet.contains).distinct
-      Some(out.copy(child = out.child match {
-        case Filter(c, rel) => Filter(c, Project(needed, rel))
-        case rel => Project(needed, rel)
-      }))
+      // filters' dims included — they sit above the pruning Project)
+      val allExprs = newGroup.map(_.get) ++
+        newAggs.map(_.get) ++ newConds.map(_.get) ++
+        newAbove.map(_.get) ++ newJoinCond.get.toSeq
+      val needed = allExprs.flatMap(_.references)
+        .filter(fresh.outputSet.contains).distinct
+      val baseSide = newConds.map(_.get).reduceOption(And)
+        .map(Filter(_, Project(needed, fresh)))
+        .getOrElse(Project(needed, fresh))
+      val child = star match {
+        case None => baseSide
+        case Some(sj) =>
+          val j2 =
+            if (sj.baseIsLeft)
+              sj.join.copy(left = baseSide, condition = newJoinCond.get)
+            else sj.join.copy(right = baseSide, condition = newJoinCond.get)
+          newAbove.map(_.get).reduceOption(And)
+            .map(Filter(_, j2)).getOrElse(j2)
+      }
+      Some(Aggregate(newGroup.map(_.get), newAggs.map(_.get), child))
     }
   }
 

@@ -524,6 +524,51 @@ object PipelineQueries {
           countDistinct(col("cents")).cast("long").as("n_vals"),
           sum(col("cents")).cast("long").as("sum_cents"))
         .orderBy(col("event_type"))
+    }),
+
+    // STAR-SCHEMA serving: the dashboard groups by a DIMENSION-TABLE
+    // column (customer market segment) over base JOIN dim, and the
+    // rewrite swaps only the base side for its summary — the join, the
+    // dim table, and every expression over it stay verbatim. Exactness
+    // is the multiplicity algebra: the join key (o_custkey) is a summary
+    // dim, so each summary row joins exactly as its m_count base rows
+    // would — count(*) = Σ m_count over join rows, sums fold subtotals,
+    // count(DISTINCT o_custkey) is grain-preserved. At 100 TB the join's
+    // probe side shrinks from the orders lake to a customers×status
+    // summary (orders:customers is 10:1 in TPC-H; real lakes are far
+    // steeper), which is the classic aggregate-join-back MV. The oracle
+    // replays the whole join+aggregate from the raw orders and customer
+    // tables.
+    "lake_summary_star" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_starlake_" +
+        graft.analytics.Similarity.dataFingerprint(d)
+      val baseLake = s"$dir/base"
+      if (!new java.io.File(s"$dir/fixture_done").exists()) {
+        Tables.load(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderstatus"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .as("cents"))
+          .write.mode("overwrite").parquet(baseLake)
+        graft.plans.SummaryRewrite.buildSummary(s.read.parquet(baseLake),
+            Seq("o_custkey", "o_orderstatus"), Seq("cents"))
+          .coalesce(4).write.mode("overwrite").parquet(s"$dir/summary")
+        new java.io.File(s"$dir/fixture_done").createNewFile()
+      }
+      graft.plans.SummaryRewrite.install(s)
+      graft.plans.SummaryRewrite.register(s.read.parquet(baseLake),
+        s.read.parquet(s"$dir/summary"),
+        Seq("o_custkey", "o_orderstatus"), Seq("cents"))
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      s.read.parquet(baseLake)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(col("cents")).cast("long").as("sum_cents"),
+          countDistinct(col("o_custkey")).cast("long").as("n_cust"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+        .orderBy(col("c_mktsegment"), col("o_orderstatus"))
     })
   )
 
@@ -740,6 +785,20 @@ object PipelineQueries {
         |  round(quantile_cont(cents, 0.9), 4) AS p90_cents,
         |  CAST(count(DISTINCT cents) AS BIGINT) AS n_vals,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM b WHERE dow <= 5 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM b WHERE dow <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replays the star join+aggregate straight off orders x customer
+    "lake_summary_star" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS min_cents,
+        |  CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS max_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

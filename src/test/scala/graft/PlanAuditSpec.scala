@@ -865,5 +865,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(hScans.nonEmpty && hScans.forall(_.contains("/hist")),
       s"percentile scan escaped to the base lake:\n$h")
     assert(h.contains("percentile(v"), h)
+    // star join: the base side of the join is the summary; the customer
+    // dim scan stays; the orders base lake is never read
+    val st = plan("lake_summary_star")
+    val stScans = st.linesIterator.filter(_.contains("Location")).toSeq
+    assert(stScans.exists(_.contains("/summary")) &&
+      stScans.exists(_.contains("customer")) &&
+      !stScans.exists(_.contains("/base")),
+      s"star join did not serve from the summary:\n$st")
   }
 }

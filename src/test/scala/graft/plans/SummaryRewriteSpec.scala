@@ -314,6 +314,41 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(merged.sameElements(oneShot))
   }
 
+  test("star join: aggregates over base JOIN dim serve from summary " +
+    "JOIN dim — grouping by dim-table columns, m_count multiplicity") {
+    fixture
+    Seq(("c0", "east"), ("c1", "west"), ("c2", "east"), ("zz", "north"))
+      .toDF("cat", "region")
+      .write.mode("overwrite").parquet(s"$root/dim")
+    val dimT = spark.read.parquet(s"$root/dim")
+    served(
+      base.join(dimT, Seq("cat"))
+        .filter(col("region") =!= "north")
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          countDistinct(col("cat")).as("k"),
+          min(col("cents")).as("mn"),
+          count(col("cents")).as("nc"),
+          count(col("region")).as("nr"))
+        .orderBy(col("region")),
+      "sum1")
+    // left outer with the base preserved serves; base on the inner
+    // side of an outer join must fall back (unmatched dim rows would
+    // surface once but carry no m_count)
+    served(
+      base.join(dimT, Seq("cat"), "left")
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        .orderBy(col("region")),
+      "sum1")
+    registerAll()
+    val qr = base.join(dimT, Seq("cat"), "right")
+      .groupBy(col("region")).agg(count(lit(1)).as("n"))
+    val pr = scanOf(qr)
+    assert(!pr.contains("sum1") && !pr.contains("sum2") &&
+      !pr.contains("hist1"), pr)
+  }
+
   test("seeded randomized equivalence: random data, random grouping/" +
     "filter/agg shapes — every SERVED result equals the base execution") {
     fixture
