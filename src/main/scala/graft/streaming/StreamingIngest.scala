@@ -533,14 +533,7 @@ object StreamingIngest {
       }
       .start()
 
-  /** The servable summary over every COMMITTED slice: keep only
-    * `batch_id=` dirs carrying the parquet `_SUCCESS` marker (the
-    * `readCmCells` exactly-once filter — a crashed attempt's partial
-    * slice must never merge) and fold them with
-    * `SummaryRewrite.mergeSummaries` — slices x |dim-combination| rows,
-    * summary-scale, never stream-scale. */
-  def readSummary(spark: org.apache.spark.sql.SparkSession, outDir: String,
-                  dims: Seq[String], measures: Seq[String]): DataFrame = {
+  private def committedSlices(outDir: String): Seq[String] = {
     val committed = Option(new java.io.File(outDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
@@ -548,9 +541,50 @@ object StreamingIngest {
       .map(_.getPath).sorted.toSeq
     require(committed.nonEmpty,
       s"no committed summary slices under $outDir")
-    graft.plans.SummaryRewrite.mergeSummaries(
-      spark.read.parquet(committed: _*), dims, measures)
+    committed
   }
+
+  /** The servable summary over every COMMITTED slice: keep only
+    * `batch_id=` dirs carrying the parquet `_SUCCESS` marker (the
+    * `readCmCells` exactly-once filter — a crashed attempt's partial
+    * slice must never merge) and fold them with
+    * `SummaryRewrite.mergeSummaries` — slices x |dim-combination| rows,
+    * summary-scale, never stream-scale. */
+  def readSummary(spark: org.apache.spark.sql.SparkSession, outDir: String,
+                  dims: Seq[String], measures: Seq[String]): DataFrame =
+    graft.plans.SummaryRewrite.mergeSummaries(
+      spark.read.parquet(committedSlices(outDir): _*), dims, measures)
+
+  /** The HISTOGRAM twin of [[startSummarySink]]: per micro-batch, land a
+    * (dims…, v)→cnt delta slice of `measure` exactly-once; the merged
+    * table serves exact percentiles/medians via
+    * `SummaryRewrite.registerHist`. Slice size is |dims × distinct
+    * values in the batch| — value-grain, never stream-grain. */
+  def startHistSummarySink(stream: DataFrame, dims: Seq[String],
+                           measure: String, outDir: String,
+                           checkpointDir: String,
+                           trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val slice = new java.io.File(outDir, s"batch_id=$batchId")
+        if (!new java.io.File(slice, "_SUCCESS").exists())
+          graft.plans.SummaryRewrite
+            .buildHistSummary(batch, dims, measure)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(slice.toString)
+        ()
+      }
+      .start()
+
+  /** Merged histogram summary over the committed slices. */
+  def readHistSummary(spark: org.apache.spark.sql.SparkSession,
+                      outDir: String, dims: Seq[String]): DataFrame =
+    graft.plans.SummaryRewrite.mergeHistSummaries(
+      spark.read.parquet(committedSlices(outDir): _*), dims)
 
   /** Stream-stream temporal enrichment: join two live streams on a key
     * with the right event constrained to (leftTs - before, leftTs] — the

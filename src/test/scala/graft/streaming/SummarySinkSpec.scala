@@ -87,4 +87,42 @@ class SummarySinkSpec extends SparkSuite {
     SummaryRewrite.clear()
     assert(got == q.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("histogram sink: streamed value-grain slices merge to the batch " +
+    "one-shot histogram and serve an exact median") {
+    val src = Files.createTempDirectory("histsink_src").toString
+    val out = Files.createTempDirectory("histsink_out").toString
+    val ckpt = Files.createTempDirectory("histsink_ckpt").toString
+    (0 until 3).foreach { b =>
+      (0 until 50).map(i => (s"c${i % 2}",
+        java.lang.Long.valueOf(((b * 50 + i) * 7 % 40).toLong)))
+        .toDF("cat", "cents").coalesce(1).write.mode("append").parquet(src)
+    }
+    StreamingIngest.startHistSummarySink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(src), dims, "cents", out, ckpt)
+      .awaitTermination(60000)
+    val merged = StreamingIngest.readHistSummary(spark, out, dims)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = SummaryRewrite.buildHistSummary(
+        spark.read.parquet(src), dims, "cents")
+      .collect().map(_.toString).sorted.toSeq
+    assert(merged == oneShot)
+
+    val servable = s"$out/servable"
+    StreamingIngest.readHistSummary(spark, out, dims)
+      .coalesce(1).write.mode("overwrite").parquet(servable)
+    SummaryRewrite.install(spark)
+    SummaryRewrite.clear()
+    SummaryRewrite.registerHist(spark.read.parquet(src),
+      spark.read.parquet(servable), dims, "cents")
+    def q = spark.read.parquet(src).groupBy(col("cat"))
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val qd = q
+    qd.collect()
+    assert(qd.queryExecution.executedPlan.toString.contains("servable"))
+    val got = qd.collect().map(_.toString).sorted.toSeq
+    SummaryRewrite.clear()
+    assert(got == q.collect().map(_.toString).sorted.toSeq)
+  }
 }
