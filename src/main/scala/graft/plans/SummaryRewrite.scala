@@ -258,6 +258,48 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     slices.groupBy((dims.map(col) :+ col("v")): _*)
       .agg(sum(col("cnt")).cast("long").as("cnt"))
 
+  /** Incremental view maintenance under MERGE INTO: refresh only the
+    * summary groups an upsert TOUCHES, never the whole lake. A pure
+    * delta-add cannot maintain min/max (or counts) once rows are
+    * REPLACED — the classic IVM answer is group-scoped recompute:
+    *
+    *  1. touched = dim tuples of the update batch ∪ dim tuples of the
+    *     OLD rows holding updated keys (an update may MOVE a row across
+    *     groups — both its old and new group need recomputing);
+    *  2. untouched groups keep their partials verbatim (anti-join);
+    *  3. touched groups recompute from the post-merge base restricted
+    *     to those dims (semi-join — with a dim-partitioned lake this is
+    *     partition-pruned to the touched slices).
+    *
+    * Dim joins are NULL-SAFE (`<=>`): a null dim is a real group.
+    * Returns the refreshed summary, exactly equal to
+    * `buildSummary(newBase, dims, measures)` ([[SummaryRewriteSpec]]
+    * pins the equality after a cross-group upsert). Scale: step 1 is
+    * update-batch-sized plus one semi-join against the OLD base on
+    * keys; step 3 scans only touched groups — the refresh cost tracks
+    * the update, not the lake. */
+  def refreshOnUpsert(oldBase: DataFrame, newBase: DataFrame,
+                      updates: DataFrame, keyCols: Seq[String],
+                      oldSummary: DataFrame, dims: Seq[String],
+                      measures: Seq[String]): DataFrame = {
+    def keyCond(l: DataFrame, r: DataFrame) =
+      keyCols.map(k => l(k) <=> r(k)).reduce(_ && _)
+    def dimCond(l: DataFrame, r: DataFrame) =
+      dims.map(c => l(c) <=> r(c)).reduce(_ && _)
+    val updKeys = updates.select(keyCols.map(col): _*).distinct()
+    val touched = oldBase
+      .join(updKeys, keyCond(oldBase, updKeys), "left_semi")
+      .select(dims.map(col): _*)
+      .unionByName(updates.select(dims.map(col): _*))
+      .distinct()
+    val kept = oldSummary
+      .join(touched, dimCond(oldSummary, touched), "left_anti")
+    val recomputed = buildSummary(
+      newBase.join(touched, dimCond(newBase, touched), "left_semi"),
+      dims, measures)
+    kept.unionByName(recomputed)
+  }
+
   /** Fold summary SLICES (e.g. one [[buildSummary]] delta per streaming
     * micro-batch) into one servable summary: the partials form a
     * commutative monoid — counts and sums add, minima min, maxima max —

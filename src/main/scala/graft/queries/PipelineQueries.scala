@@ -569,6 +569,38 @@ object PipelineQueries {
           min(col("cents")).as("min_cents"),
           max(col("cents")).as("max_cents"))
         .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+    }),
+
+    // Incremental view maintenance under MERGE INTO
+    // (SummaryRewrite.refreshOnUpsert): a reprice batch MOVES every 5th
+    // order to status 'R' (cross-group — both the old and new group must
+    // recompute; min/max cannot survive a replacement by delta algebra),
+    // the refresh recomputes ONLY the touched (status, bucket) groups
+    // and keeps every untouched group's partials verbatim. The output is
+    // the refreshed summary itself; the oracle computes the same summary
+    // from the logically-merged base (the lake_upsert CASE replay), so a
+    // hash match certifies refreshed == full rebuild. Scale: the refresh
+    // scans the update batch plus the touched groups' slice of the lake
+    // — the cost tracks the MERGE, not the lake.
+    "lake_summary_ivm" -> ((s, d) => {
+      val oldBase = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          (col("o_custkey") % 13).cast("long").as("bucket"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("cents"))
+        .withColumn("version", lit(1L))
+      val upd = oldBase.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("status", lit("R"))
+        .withColumn("cents", col("cents") + 10000L)
+        .withColumn("version", lit(2L))
+      val newBase = graft.ingest.Compaction.upsert(oldBase, upd,
+        Seq("o_orderkey"), "version")
+      graft.plans.SummaryRewrite.refreshOnUpsert(
+          oldBase, newBase, upd, Seq("o_orderkey"),
+          graft.plans.SummaryRewrite.buildSummary(oldBase,
+            Seq("status", "bucket"), Seq("cents")),
+          Seq("status", "bucket"), Seq("cents"))
+        .orderBy(col("status"), col("bucket"))
     })
   )
 
@@ -799,6 +831,26 @@ object PipelineQueries {
         |  CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
         |    AS BIGINT) AS max_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the refreshed summary must equal the summary of the logically
+    // merged base — the oracle computes that directly with the
+    // lake_upsert CASE replay of the reprice-and-move batch
+    "lake_summary_ivm" ->
+      """WITH m AS (SELECT
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'R'
+        |      ELSE o_orderstatus END AS status,
+        |    CAST(o_custkey % 13 AS BIGINT) AS bucket,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      + CASE WHEN o_orderkey % 5 = 0 THEN 10000 ELSE 0 END
+        |      AS cents
+        |  FROM orders)
+        |SELECT status, bucket,
+        |  CAST(count(*) AS BIGINT) AS m_count,
+        |  CAST(sum(cents) AS BIGINT) AS m_sum_cents,
+        |  CAST(count(cents) AS BIGINT) AS m_cnt_cents,
+        |  CAST(min(cents) AS BIGINT) AS m_min_cents,
+        |  CAST(max(cents) AS BIGINT) AS m_max_cents
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

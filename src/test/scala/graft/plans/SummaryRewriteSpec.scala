@@ -299,6 +299,34 @@ class SummaryRewriteSpec extends SparkSuite {
     }
   }
 
+  test("refreshOnUpsert: group-scoped IVM equals the full rebuild after " +
+    "a cross-group MERGE (rows move between groups, null-dim groups, " +
+    "new groups appear, replaced minima recompute)") {
+    val oldBase = (0 until 300).map { i =>
+      (i.toLong, if (i % 7 == 0) null else s"g${i % 4}",
+        if (i % 5 == 0) null
+        else java.lang.Long.valueOf((i * 13 % 100).toLong), 1L)
+    }.toDF("id", "cat", "cents", "version")
+    // every 6th row: repriced AND moved to a different (sometimes brand
+    // new) group — its old group must recompute too
+    val upd = oldBase.filter(col("id") % 6 === 0)
+      .withColumn("cat",
+        concat(lit("g"), ((col("id") / 6) % 5).cast("string")))
+      .withColumn("cents", coalesce(col("cents"), lit(0L)) + 1000L)
+      .withColumn("version", lit(2L))
+    val newBase = graft.ingest.Compaction.upsert(
+      oldBase, upd, Seq("id"), "version")
+    val refreshed = SummaryRewrite.refreshOnUpsert(
+        oldBase, newBase, upd, Seq("id"),
+        SummaryRewrite.buildSummary(oldBase, Seq("cat"), Seq("cents")),
+        Seq("cat"), Seq("cents"))
+      .collect().map(_.toString).sorted
+    val full = SummaryRewrite.buildSummary(newBase, Seq("cat"),
+        Seq("cents"))
+      .collect().map(_.toString).sorted
+    assert(refreshed.sameElements(full))
+  }
+
   test("mergeHistSummaries over slices equals the one-shot histogram") {
     fixture
     val slices = (0 until 3).map(k =>
