@@ -59,12 +59,14 @@ object StreamingIngest {
                     causeStats: Boolean = false,
                     fence: Option[(graft.ingest.EpochFence, Long)] = None,
                     gates: Seq[Gates.Gate] = Nil,
+                    summarize: Option[(Seq[String], Seq[String], String)] =
+                      None,
                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     frame.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // scoped: a gate may persist per-batch frames; the scope
         // unpersists only those, never co-resident models/history tables
         graft.analytics.Caches.scoped {
@@ -77,6 +79,14 @@ object StreamingIngest {
             extraCauseGroups = extraCauseGroups,
             causeStats = causeStats,
             fence = fence)
+          // same-batch summary maintenance (SummaryRewrite serving):
+          // the delta slice sees exactly the GATED rows the lake write
+          // saw, under the same batch id, so the served summary tracks
+          // the landed lake one-for-one — crash replay is a no-op on
+          // both sides (deterministic keys there, _SUCCESS marker here)
+          summarize.foreach { case (dims, measures, sumDir) =>
+            persistSummaryBatch(gated, batchId, sumDir, dims, measures)
+          }
         }
         ()
       }

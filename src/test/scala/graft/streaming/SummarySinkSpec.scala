@@ -88,6 +88,45 @@ class SummarySinkSpec extends SparkSuite {
     assert(got == q.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("startPipeline(summarize=...) maintains the summary in the SAME " +
+    "micro-batch as the lake write: merged slices equal the landed " +
+    "lake's one-shot summary") {
+    import graft.ingest.{IngestConfig, PartitionerSpec}
+    val src = Files.createTempDirectory("pipe_sum_src").toString
+    val out = Files.createTempDirectory("pipe_sum_out").toString
+    val ckpt = Files.createTempDirectory("pipe_sum_ckpt").toString
+    val sch = StructType(Seq(
+      StructField("kafka_partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("event_type", StringType),
+      StructField("cents", LongType)))
+    (0 until 2).foreach { b =>
+      (0L until 20L).map(i => (0, b * 20 + i, s"t${i % 3}",
+        java.lang.Long.valueOf((i * 31 % 90 - 10))))
+        .toDF("kafka_partition", "offset", "event_type", "cents")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    StreamingIngest.startPipeline(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+          .parquet(src),
+        IngestConfig(topic = "ss", flushSize = 100),
+        PartitionerSpec.Fields(Seq("event_type")), out, ckpt,
+        col("kafka_partition"), col("offset"),
+        payloadCols = Seq(col("offset"), col("event_type"), col("cents")),
+        summarize = Some((Seq("event_type"), Seq("cents"),
+          s"$out/summary_slices")))
+      .awaitTermination(60000)
+    val lake = spark.read.parquet(s"$out/topics/ss/*")
+    val oneShot = SummaryRewrite.buildSummary(
+        lake.select(col("event_type"), col("cents")),
+        Seq("event_type"), Seq("cents"))
+      .collect().map(_.toString).sorted.toSeq
+    val merged = StreamingIngest.readSummary(spark,
+        s"$out/summary_slices", Seq("event_type"), Seq("cents"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(merged == oneShot)
+  }
+
   test("histogram sink: streamed value-grain slices merge to the batch " +
     "one-shot histogram and serve an exact median") {
     val src = Files.createTempDirectory("histsink_src").toString
