@@ -440,7 +440,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                             conds: Seq[Expression],
                             aliases: Map[ExprId, Expression],
                             d: SummaryDef): Option[LogicalPlan] = {
-    if (d.hist.isDefined) return None // grouping sets: rollup kind only
+    val isHist = d.hist.isDefined
     def inline(e: Expression): Expression = e.transformUp {
       case a: AttributeReference if aliases.contains(a.exprId) =>
         aliases(a.exprId)
@@ -451,7 +451,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val byName = fresh.output.map(a => a.name -> a).toMap
     val dimAttr: Map[String, Attribute] =
       d.dims.flatMap(n => byName.get(n).map(n -> _)).toMap
-    val mCountCol = byName("m_count")
+    // per-summary-row base-row multiplicity (rollup: m_count, hist: cnt)
+    val mCountCol = if (isHist) byName("cnt") else byName("m_count")
+    def isMeasureName(n: String): Boolean =
+      if (isHist) d.hist.contains(n) else d.measures.contains(n)
 
     def trScalar(e: Expression): Option[Expression] = e match {
       case a: AttributeReference => dimAttr.get(a.name)
@@ -476,7 +479,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       out.indices.map { p =>
         val es = projs.map(_(p))
         es.head match {
-          case a: AttributeReference if d.measures.contains(a.name) &&
+          case a: AttributeReference if isMeasureName(a.name) &&
               es.forall {
                 case b: AttributeReference => b.exprId == a.exprId
                 case _ => false
@@ -500,13 +503,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // partial-column passthroughs materialize lazily, keyed by
     // (measure position, role), so the new Expand carries exactly the
     // partials the aggregates consume
-    val roleOrder = Seq("sum", "cnt", "min", "max")
+    val roleOrder = if (isHist) Seq("v") else Seq("sum", "cnt", "min", "max")
     val roleAttrs =
       scala.collection.mutable.LinkedHashMap[(ExprId, String),
         AttributeReference]()
+    def roleSrc(role: String, m: String): Attribute =
+      if (isHist) byName("v") else byName(s"m_${role}_$m")
     def roleAttr(a: AttributeReference, role: String): AttributeReference =
       roleAttrs.getOrElseUpdate((a.exprId, role), {
-        val src = byName(s"m_${role}_${measureName(a.exprId)}")
+        val src = roleSrc(role, measureName(a.exprId))
         AttributeReference(s"_graft_${role}_${measureName(a.exprId)}",
           src.dataType, src.nullable)()
       })
@@ -529,14 +534,25 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       else ae.aggregateFunction match {
         case s @ Sum(a: AttributeReference, _)
             if !ae.isDistinct && measureName.contains(a.exprId) =>
-          Some(aggOver(s.withNewChildren(Seq(roleAttr(a, "sum")))
-            .asInstanceOf[AggregateFunction], ae.filter))
+          if (!isHist)
+            Some(aggOver(s.withNewChildren(Seq(roleAttr(a, "sum")))
+              .asInstanceOf[AggregateFunction], ae.filter))
+          else if (Seq(ByteType, ShortType, IntegerType, LongType)
+              .contains(byName("v").dataType))
+            // Σ v·cnt — exact integer arithmetic only
+            Some(aggOver(s.withNewChildren(Seq(Multiply(
+                Cast(roleAttr(a, "v"), LongType), mCountAttr())))
+              .asInstanceOf[AggregateFunction], ae.filter))
+          else None
         case Count(children) if !ae.isDistinct =>
           children match {
             case Seq(a: AttributeReference)
                 if measureName.contains(a.exprId) =>
-              Some(Coalesce(Seq(
-                aggOver(Sum(roleAttr(a, "cnt")), ae.filter), Literal(0L))))
+              val c: Expression =
+                if (isHist)
+                  If(IsNotNull(roleAttr(a, "v")), mCountAttr(), Literal(0L))
+                else roleAttr(a, "cnt")
+              Some(Coalesce(Seq(aggOver(Sum(c), ae.filter), Literal(0L))))
             case cs if cs.forall(refsDim) =>
               val nonNull = cs.map(IsNotNull(_): Expression)
                 .reduceOption(And).getOrElse(Literal(true))
@@ -545,16 +561,40 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                   ae.filter), Literal(0L))))
             case _ => None
           }
-        case Count(children) if ae.isDistinct && children.forall(refsDim) =>
-          Some(ae) // distinct dim tuples survive the summary grain
+        case Count(children) if ae.isDistinct =>
+          // distinct dim (and hist-value) tuples survive the grain
+          val trs = children.map {
+            case a: AttributeReference
+                if isHist && measureName.contains(a.exprId) =>
+              Some(roleAttr(a, "v"): Expression)
+            case c if refsDim(c) => Some(c)
+            case _ => None
+          }
+          if (trs.forall(_.isDefined))
+            Some(AggregateExpression(Count(trs.map(_.get)), Complete,
+              isDistinct = true, ae.filter, NamedExpression.newExprId))
+          else None
         case Min(a: AttributeReference)
             if measureName.contains(a.exprId) =>
-          Some(aggOver(Min(roleAttr(a, "min")), ae.filter))
+          Some(aggOver(Min(roleAttr(a, if (isHist) "v" else "min")),
+            ae.filter))
         case Max(a: AttributeReference)
             if measureName.contains(a.exprId) =>
-          Some(aggOver(Max(roleAttr(a, "max")), ae.filter))
+          Some(aggOver(Max(roleAttr(a, if (isHist) "v" else "max")),
+            ae.filter))
         case Min(e) if refsDim(e) && !ae.isDistinct => Some(ae)
         case Max(e) if refsDim(e) && !ae.isDistinct => Some(ae)
+        case per: Percentile
+            if isHist && !ae.isDistinct && !per.reverse &&
+              per.frequencyExpression.foldable &&
+              per.frequencyExpression.eval() == 1L &&
+              (per.child match {
+                case a: AttributeReference => measureName.contains(a.exprId)
+                case _ => false
+              }) =>
+          val a = per.child.asInstanceOf[AttributeReference]
+          Some(aggOver(per.copy(child = roleAttr(a, "v"),
+            frequencyExpression = mCountAttr()), ae.filter))
         case _ => None
       }
     }
@@ -599,7 +639,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           pos(p) match {
             case scala.Left(trs) => Seq(trs(i))
             case scala.Right(m) =>
-              rolesAt(p).map(r => byName(s"m_${r}_$m"): Expression)
+              rolesAt(p).map(r => roleSrc(r, m): Expression)
           }
         } ++ mCountPt.map(_ => mCountCol: Expression).toSeq
       }

@@ -342,6 +342,33 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(merged.sameElements(oneShot))
   }
 
+  test("median under ROLLUP serves from the histogram kind: the Expand " +
+    "re-bases on hist rows with (v, cnt) passthroughs") {
+    served(
+      base.rollup(col("cat"))
+        .agg(expr("percentile(cents, 0.5)").as("med"),
+          count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          countDistinct(col("cents")).as("k"))
+        .orderBy(asc_nulls_first("cat")),
+      "hist1")
+  }
+
+  test("percentile over base JOIN dim serves from the histogram kind " +
+    "through the star path") {
+    fixture
+    Seq(("c0", "east"), ("c1", "west"), ("c2", "east"))
+      .toDF("cat", "region")
+      .write.mode("overwrite").parquet(s"$root/dim2")
+    val dimT = spark.read.parquet(s"$root/dim2")
+    served(
+      base.join(dimT, Seq("cat"))
+        .groupBy(col("region"))
+        .agg(expr("percentile(cents, 0.5)").as("med"),
+          count(lit(1)).as("n"))
+        .orderBy(col("region")),
+      "hist1")
+  }
+
   test("star join: aggregates over base JOIN dim serve from summary " +
     "JOIN dim — grouping by dim-table columns, m_count multiplicity") {
     fixture
