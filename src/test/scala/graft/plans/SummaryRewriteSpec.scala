@@ -441,9 +441,10 @@ class SummaryRewriteSpec extends SparkSuite {
       (0 until 3).foreach { _ =>
         val aggs = Seq.fill(1 + rnd.nextInt(3))(
           aggPool(rnd.nextInt(aggPool.length))())
-        val grouped = rnd.nextInt(3) match {
+        val grouped = rnd.nextInt(4) match {
           case 0 => b.groupBy(col("cat"))
           case 1 => b.groupBy(col("cat"), (col("dow") % 2).as("dp"))
+          case 2 => b.rollup(col("cat"), col("dow"))
           case _ => b.filter(col("dow") <= 2 || col("dow").isNull)
             .groupBy(col("dow"))
         }
