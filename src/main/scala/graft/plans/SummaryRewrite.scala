@@ -860,6 +860,32 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** Operator diagnostic: which scans of `df`'s OPTIMIZED plan read a
+    * registered summary, and which still read a registered base — the
+    * one-call answer to "did my dashboard get served, and from which
+    * grain?". One line per file scan: `served <kind> dims=[...] <path>`
+    * / `base-scan (not served) <path>` / `unregistered <path>`. */
+  def explainServing(df: DataFrame): String = {
+    import scala.jdk.CollectionConverters._
+    val defs = registry.values.asScala.flatten.toSeq
+    val opt = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan
+    val lines = opt.collect {
+      case lr: LogicalRelation =>
+        val roots = rawRoots(lr).getOrElse(Nil)
+        val key = roots.mkString(" ")
+        defs.find(_.summaryRoots.mkString(" ") == key) match {
+          case Some(d) =>
+            val kind = d.hist.map(m => s"hist($m)").getOrElse("rollup")
+            s"served $kind dims=[${d.dims.mkString(",")}] $key"
+          case None if registry.containsKey(key) =>
+            s"base-scan (not served) $key"
+          case None => s"unregistered $key"
+        }
+    }
+    lines.mkString("\n")
+  }
+
   /** Idempotent live-session registration (config-time path:
     * `graft.functions.GraftExtensions` injects this rule). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -266,6 +266,29 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(got.sameElements(want))
   }
 
+  test("hive-partitioned base lake: partition columns serve as dims, " +
+    "and explainServing names the grain") {
+    fixture
+    base.write.mode("overwrite").partitionBy("cat")
+      .parquet(s"$root/pbase")
+    val pb = spark.read.parquet(s"$root/pbase")
+    SummaryRewrite.buildSummary(pb, Seq("cat", "dow"), Seq("cents"))
+      .write.mode("overwrite").parquet(s"$root/psum")
+    SummaryRewrite.clear()
+    SummaryRewrite.register(pb, spark.read.parquet(s"$root/psum"),
+      Seq("cat", "dow"), Seq("cents"))
+    def q = pb.filter(col("cat") === "c1").groupBy(col("dow"))
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+    val qd = q
+    qd.collect()
+    assert(qd.queryExecution.executedPlan.toString.contains("psum"))
+    val explain = SummaryRewrite.explainServing(qd)
+    assert(explain.contains("served rollup dims=[cat,dow]"), explain)
+    val got = qd.collect().map(_.toString).sorted
+    SummaryRewrite.clear()
+    assert(got.sameElements(q.collect().map(_.toString).sorted))
+  }
+
   test("catalog save/load: a fresh registry re-registers from the " +
     "parquet catalog and serves identically; stale() flags a mutated " +
     "base and stays quiet on an untouched one") {
