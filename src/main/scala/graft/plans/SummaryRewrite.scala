@@ -2,7 +2,7 @@ package graft.plans
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -257,6 +257,59 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   def mergeHistSummaries(slices: DataFrame, dims: Seq[String]): DataFrame =
     slices.groupBy((dims.map(col) :+ col("v")): _*)
       .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  /** HLL REGISTER summary — approximate-distinct serving (the DAU/MAU
+    * pattern): one row per (dims…, bucket) carrying the max rank of the
+    * engine-portable 60-bit hash (`Sketches.hllBucketRho`, the
+    * `profile_hll_distinct` construction — oracle-checked bit-for-bit).
+    * Register max is an idempotent commutative monoid, so [[serveHll]]
+    * at ANY coarser grain equals a direct build at that grain exactly —
+    * one 2^p-register table answers distinct-user counts for every
+    * rollup of its dims, at ~1.04/√2^p relative error (4.6% at p=9).
+    * Served EXPLICITLY (not via the transparent rule): an estimate is
+    * not the exact count(DISTINCT x) the rule promises to preserve. */
+  def buildHllSummary(base: DataFrame, dims: Seq[String], item: Column,
+                      p: Int = 9): DataFrame =
+    base.filter(item.isNotNull)
+      .select((dims.map(col) :+
+        graft.analytics.Sketches.hllBucketRho(item, p).as("br")): _*)
+      .groupBy((dims.map(col) :+ col("br.bkt").as("bkt")): _*)
+      .agg(max(col("br.rho")).as("mr"))
+
+  /** Fold HLL-summary slices: max per (dims…, bucket). Idempotent —
+    * overlapping slices are safe (unlike CM cells). */
+  def mergeHllSummaries(slices: DataFrame, dims: Seq[String]): DataFrame =
+    slices.groupBy((dims.map(col) :+ col("bkt")): _*)
+      .agg(max(col("mr")).as("mr"))
+
+  /** Distinct-count estimates from a register summary at `dims` grain —
+    * any SUBSET of the build dims (register max re-folds exactly). The
+    * estimate chain is `Sketches.hllFromRegisters` generalized to
+    * multi-column groups: exact-integer harmonic sum, one double
+    * division, the linear-counting switch from a precomputed table. */
+  def serveHll(hll: DataFrame, dims: Seq[String], p: Int = 9): DataFrame = {
+    val m = 1 << p
+    val maxRank = 60 - p + 1
+    val pow2Max = 1L << maxRank
+    val lcTable = graft.analytics.Sketches.hllLcTable(p)
+    mergeHllSummaries(hll, dims)
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("nb"),
+        sum(org.apache.spark.sql.functions.expr(
+          s"shiftleft(CAST(1 AS BIGINT), $maxRank - mr)")).as("sp"))
+      .withColumn("v", lit(m.toLong) - col("nb"))
+      .withColumn("s", col("v") * lit(pow2Max) + col("sp"))
+      .withColumn("raw",
+        org.apache.spark.sql.functions.round(
+          lit(graft.analytics.Sketches.hllNum(p)) / col("s").cast("double"),
+          0).cast("long"))
+      .select((dims.map(col) :+
+        org.apache.spark.sql.functions.when(
+            col("v") > 0 && col("raw") <= lit(5L * m / 2),
+            org.apache.spark.sql.functions.element_at(
+              lit(lcTable.toArray), col("v").cast("int")))
+          .otherwise(col("raw")).as("est_distinct")): _*)
+  }
 
   /** Incremental view maintenance under MERGE INTO: refresh only the
     * summary groups an upsert TOUCHES, never the whole lake. A pure

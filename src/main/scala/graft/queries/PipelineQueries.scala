@@ -601,6 +601,36 @@ object PipelineQueries {
             Seq("status", "bucket"), Seq("cents")),
           Seq("status", "bucket"), Seq("cents"))
         .orderBy(col("status"), col("bucket"))
+    }),
+
+    // Approximate-distinct serving (the DAU pattern): ONE HLL register
+    // summary at (event_type, dow) grain answers distinct-user counts
+    // for ANY rollup of its dims — here served at event_type grain.
+    // Register max is an idempotent monoid, so the coarse registers
+    // equal a direct build at that grain EXACTLY, which is what the
+    // oracle replays (engine-portable 60-bit md5 hash, integer-exact
+    // harmonic sum, precomputed linear-counting table — the
+    // profile_hll_distinct construction promoted to a serving index).
+    // Scale: the register table is |dims| x 512 rows at ANY corpus
+    // size; the distinct-user dashboard never rescans the lake and
+    // never re-shuffles raw user ids.
+    "lake_summary_hll" -> ((s, d) => {
+      val b = events(s, d).filter(col("ts").isNotNull)
+        .select(col("event_type"),
+          (weekday(col("ts").cast("date")) + lit(1)).cast("long")
+            .as("dow"),
+          col("user_id").cast("string").as("uid"))
+      val hll = graft.plans.SummaryRewrite.buildHllSummary(b,
+        Seq("event_type", "dow"), col("uid"))
+      val est = graft.plans.SummaryRewrite.serveHll(hll, Seq("event_type"))
+      val exact = b.groupBy(col("event_type"))
+        .agg(countDistinct(col("uid")).cast("long").as("exact_distinct"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("est_distinct"),
+          col("exact_distinct"),
+          round(abs(col("est_distinct") - col("exact_distinct")) * 100.0
+            / col("exact_distinct"), 2).as("err_pct"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -851,6 +881,40 @@ object PipelineQueries {
         |  CAST(count(cents) AS BIGINT) AS m_cnt_cents,
         |  CAST(min(cents) AS BIGINT) AS m_min_cents,
         |  CAST(max(cents) AS BIGINT) AS m_max_cents
-        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // direct register build at the SERVED grain — equal to the summary
+    // refold by max idempotence; same 60-bit hash / harmonic / LC chain
+    // as profile_hll_distinct
+    "lake_summary_hll" ->
+      (s"""WITH b AS (SELECT event_type, CAST(user_id AS VARCHAR) AS uid
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |hh AS (SELECT event_type,
+         |    CAST(CONCAT('0x', substr(md5(uid), 1, 15)) AS BIGINT) AS h
+         |  FROM b),
+         |hb AS (SELECT event_type, h % 512 AS bkt, h // 512 AS rest
+         |  FROM hh),
+         |hr AS (SELECT event_type, bkt, max(CASE WHEN rest = 0 THEN 52
+         |    ELSE 52 - length(bin(rest)) END) AS mr
+         |  FROM hb GROUP BY 1, 2),
+         |ha AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(1::BIGINT << (52 - mr)) AS BIGINT) AS sp
+         |  FROM hr GROUP BY 1),
+         |hf AS (SELECT event_type, 512 - nb AS v,
+         |    (512 - nb) * 4503599627370496 + sp AS s FROM ha),
+         |he AS (SELECT event_type, v,
+         |    CAST(round(${graft.analytics.Sketches.hllNum(9)}
+         |      / CAST(s AS DOUBLE), 0) AS BIGINT) AS raw FROM hf),
+         |hest AS (SELECT event_type, CASE WHEN v > 0 AND raw <= 1280
+         |    THEN (${graft.analytics.Sketches.hllLcTable(9)
+                       .mkString("[", ", ", "]")})[CAST(v AS INT)]
+         |    ELSE raw END AS est_distinct FROM he),
+         |hex AS (SELECT event_type, CAST(count(DISTINCT uid) AS BIGINT)
+         |    AS exact_distinct FROM b GROUP BY 1)
+         |SELECT event_type, est_distinct, exact_distinct,
+         |  round(abs(est_distinct - exact_distinct) * 100.0
+         |    / exact_distinct, 2) AS err_pct
+         |FROM hest JOIN hex USING (event_type)
+         |ORDER BY event_type""").stripMargin
   )
 }

@@ -492,6 +492,38 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(servedCount >= 6, s"only $servedCount/12 shapes served")
   }
 
+  test("HLL register summary: serving a COARSER grain is bit-equal to a " +
+    "direct build at that grain (register max refolds exactly), and " +
+    "slice merge is idempotent under overlap") {
+    fixture
+    val withUid = base.withColumn("uid",
+      concat(lit("u"), pmod(coalesce(col("cents"), lit(0L)) * 7, lit(23))
+        .cast("string")))
+    val hll = SummaryRewrite.buildHllSummary(withUid, Seq("cat", "dow"),
+      col("uid"))
+    val served = SummaryRewrite.serveHll(hll, Seq("cat"))
+      .collect().map(r => (r.get(0), r.getLong(1))).sortBy(_.toString)
+    val direct = graft.analytics.Sketches.hllDistinct(
+        withUid, col("cat"), col("uid"))
+      .collect().map(r => (r.get(0), r.getLong(1))).sortBy(_.toString)
+    assert(served.sameElements(direct),
+      s"served=${served.mkString("|")} direct=${direct.mkString("|")}")
+    // estimates land near truth (23 distinct uids at most, all groups)
+    val exact = withUid.groupBy(col("cat"))
+      .agg(countDistinct(col("uid")).as("k"))
+      .collect().map(r => (r.get(0), r.getLong(1))).toMap
+    served.foreach { case (cat, est) =>
+      val k = exact(cat)
+      assert(math.abs(est - k) <= math.max(3L, k / 4),
+        s"cat=$cat est=$est exact=$k")
+    }
+    // OVERLAPPING slices merge safely: max is idempotent
+    val again = SummaryRewrite.mergeHllSummaries(hll.unionByName(hll),
+        Seq("cat", "dow"))
+      .collect().map(_.toString).sorted
+    assert(again.sameElements(hll.collect().map(_.toString).sorted))
+  }
+
   test("mergeSummaries over arbitrary slices equals the one-shot summary") {
     fixture
     val slices = (0 until 3).map(k =>
