@@ -112,7 +112,10 @@ object Bench {
   val additionsR15: Seq[String] = Seq(
     "ingest_wireformat_avro", "q69b_theil_sen_banded", "q71_mwu",
     "q72_bh_fdr", "q73_ks_drift", "q74_wasserstein",
-    "quality_lr_refresh", "eval_auc")
+    "quality_lr_refresh", "eval_auc",
+    // the materialized-serving layer (SummaryRewrite)
+    "lake_summary_serve", "lake_summary_rollup", "lake_summary_percentile",
+    "lake_summary_star", "lake_summary_ivm", "lake_summary_hll")
 
   /** Every registered query belongs to exactly one bench surface: the
     * headline set, a round-addition group, or — for everything else —
