@@ -115,7 +115,8 @@ object Bench {
     "quality_lr_refresh", "eval_auc",
     // the materialized-serving layer (SummaryRewrite)
     "lake_summary_serve", "lake_summary_rollup", "lake_summary_percentile",
-    "lake_summary_star", "lake_summary_ivm", "lake_summary_hll")
+    "lake_summary_star", "lake_summary_ivm", "lake_summary_hll",
+    "lake_summary_cm")
 
   /** Every registered query belongs to exactly one bench surface: the
     * headline set, a round-addition group, or — for everything else —

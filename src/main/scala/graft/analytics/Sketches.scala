@@ -327,4 +327,41 @@ object Sketches {
       .join(broadcast(cells), Seq("r", "c"))
       .groupBy(col("it"))
       .agg(min(col("cell")).cast("long").as("est"))
+
+  /** Per-GROUP CM cells — the SummaryRewrite CM summary kind's builder:
+    * one d×w grid per dims tuple, (dims…, r, c, cell). Because dims
+    * PARTITION the rows, cells at any coarser grain are the SUM of the
+    * finer grids (CM is linear) and equal a direct build at that grain
+    * exactly — one per-(day, source) cell table answers heavy-hitter
+    * estimates for every rollup of its dims. The linear-sum twin of the
+    * HLL register summary's idempotent max. */
+  def cmCellsBy(df: DataFrame, dims: Seq[String], item: Column,
+                weight: Column, d: Int = 4, w: Int = 1024): DataFrame =
+    df.select((dims.map(col) :+ item.as("it") :+ weight.as("wt")): _*)
+      .select((dims.map(col) :+ col("wt") :+
+        explode(cmAddrs(col("it"), d, w)).as("rc")): _*)
+      .select((dims.map(col) :+ col("rc.r").as("r") :+
+        col("rc.c").as("c") :+ col("wt")): _*)
+      .groupBy((dims.map(col) :+ col("r") :+ col("c")): _*)
+      .agg(sum(col("wt")).cast("long").as("cell"))
+
+  /** Point estimates from a per-group cell table at `dims` grain — any
+    * SUBSET of the build dims (cells re-fold by sum, exact by
+    * linearity; `dims = Nil` serves the global rollup). `items` carries
+    * (dims…, item) query rows; est = min over the d addressed cells,
+    * overestimate-only as always. The folded sketch is
+    * |dim-combination|·d·w longs — broadcast-sized by construction. */
+  def cmEstimateBy(cells: DataFrame, dims: Seq[String], items: DataFrame,
+                   item: Column, d: Int = 4, w: Int = 1024): DataFrame = {
+    val folded = cells.groupBy((dims.map(col) :+ col("r") :+ col("c")): _*)
+      .agg(sum(col("cell")).cast("long").as("cell"))
+    items.select((dims.map(col) :+ item.as("it")): _*)
+      .select((dims.map(col) :+ col("it") :+
+        explode(cmAddrs(col("it"), d, w)).as("rc")): _*)
+      .select((dims.map(col) :+ col("it") :+ col("rc.r").as("r") :+
+        col("rc.c").as("c")): _*)
+      .join(broadcast(folded), dims ++ Seq("r", "c"))
+      .groupBy((dims.map(col) :+ col("it")): _*)
+      .agg(min(col("cell")).cast("long").as("est"))
+  }
 }

@@ -2497,6 +2497,33 @@ object ContentQueries {
         .orderBy(col("exact_cnt").desc, col("g"))
     }),
 
+    // CM cell SUMMARY serving (the linear-sum twin of lake_summary_hll's
+    // idempotent-max registers): per-SOURCE cell grids
+    // (Sketches.cmCellsBy) fold by sum to the global rollup inside
+    // cmEstimateBy — exact by CM linearity since sources partition the
+    // corpus, so the folded grid equals a direct global build and the
+    // oracle replays that direct build. One per-(source) cell table
+    // answers heavy-hitter estimates at every rollup of its dims; at
+    // 100 TB the served sketch is |dims|·d·w longs, broadcast-sized.
+    "lake_summary_cm" -> ((s, d) => {
+      val sk = graft.analytics.Sketches
+      val perSrc = graft.analytics.Caches.persist(docs(s, d)
+        .select(col("source"),
+          explode(TextAnalysis.ngrams(col("text"), 3)).as("g"))
+        .groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).cast("long").as("cnt")))
+      val cells = sk.cmCellsBy(perSrc, Seq("source"), col("g"),
+        col("cnt"))
+      val top = perSrc.groupBy(col("g"))
+        .agg(sum(col("cnt")).cast("long").as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("g")).limit(10)
+      val est = sk.cmEstimateBy(cells, Nil, top, col("g"))
+        .select(col("it").as("g"), col("est").as("est_cnt"))
+      top.join(est, Seq("g"))
+        .select(col("g"), col("exact_cnt"), col("est_cnt"))
+        .orderBy(col("exact_cnt").desc, col("g"))
+    }),
+
     // Join-cardinality estimation from count-min sketches — the
     // AMS/count-min INNER-PRODUCT estimator (Cormode & Muthukrishnan
     // 2005 §4.2): |A ⋈ B| on a key equals Σ_k f_A(k)·f_B(k), and two CM
@@ -6705,6 +6732,32 @@ object ContentQueries {
         |  FROM g3 GROUP BY g),
         |top AS (SELECT g, exact_cnt FROM ex
         |  ORDER BY exact_cnt DESC, g LIMIT 20),
+        |cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cell
+        |  FROM (SELECT u.r, CAST(CONCAT('0x', substr(md5(g),
+        |      u.r * 8 + 1, 8)) AS BIGINT) % 1024 AS c
+        |    FROM g3 CROSS JOIN range(0, 4) u(r))
+        |  GROUP BY r, c),
+        |qe AS (SELECT top.g, u.r, CAST(CONCAT('0x', substr(md5(top.g),
+        |      u.r * 8 + 1, 8)) AS BIGINT) % 1024 AS c
+        |  FROM top CROSS JOIN range(0, 4) u(r)),
+        |est AS (SELECT qe.g, CAST(min(cells.cell) AS BIGINT) AS est_cnt
+        |  FROM qe JOIN cells USING (r, c) GROUP BY qe.g)
+        |SELECT top.g, top.exact_cnt, est.est_cnt
+        |FROM top JOIN est USING (g)
+        |ORDER BY top.exact_cnt DESC, top.g""".stripMargin,
+
+    // the global fold of the per-source grids equals a direct global
+    // build by CM linearity — the oracle builds it directly (top-10)
+    "lake_summary_cm" ->
+      """WITH g3 AS (SELECT unnest(list_transform(
+        |    range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS g
+        |  FROM (SELECT string_split(lower(text), ' ') AS w
+        |    FROM documents)),
+        |ex AS (SELECT g, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM g3 GROUP BY g),
+        |top AS (SELECT g, exact_cnt FROM ex
+        |  ORDER BY exact_cnt DESC, g LIMIT 10),
         |cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cell
         |  FROM (SELECT u.r, CAST(CONCAT('0x', substr(md5(g),
         |      u.r * 8 + 1, 8)) AS BIGINT) % 1024 AS c

@@ -524,6 +524,36 @@ class SummaryRewriteSpec extends SparkSuite {
     assert(again.sameElements(hll.collect().map(_.toString).sorted))
   }
 
+  test("CM cell summary: per-dim grids fold to the global grain exactly " +
+    "(linearity — dims partition the rows) and estimates only " +
+    "over-approximate") {
+    fixture
+    val sk = graft.analytics.Sketches
+    val weighted = base.filter(col("cents").isNotNull)
+      .withColumn("it",
+        concat(lit("t"), pmod(col("cents"), lit(17)).cast("string")))
+      .groupBy(col("cat"), col("it"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val perCat = sk.cmCellsBy(weighted, Seq("cat"), col("it"), col("cnt"))
+    val folded = perCat.groupBy(col("r"), col("c"))
+      .agg(sum(col("cell")).cast("long").as("cell"))
+      .collect().map(_.toString).sorted
+    val direct = sk.cmCells(
+        weighted.groupBy(col("it")).agg(sum(col("cnt")).cast("long")
+          .as("cnt")), col("it"), col("cnt"))
+      .collect().map(_.toString).sorted
+    assert(folded.sameElements(direct))
+    val exact = weighted.groupBy(col("it"))
+      .agg(sum(col("cnt")).cast("long").as("exact"))
+    val est = sk.cmEstimateBy(perCat, Nil, exact, col("it"))
+    exact.join(est.withColumnRenamed("it", "itx"),
+        col("it") === col("itx"))
+      .select(col("it"), col("exact"), col("est"))
+      .collect().foreach { r =>
+        assert(r.getLong(2) >= r.getLong(1), r.toString)
+      }
+  }
+
   test("mergeSummaries over arbitrary slices equals the one-shot summary") {
     fixture
     val slices = (0 until 3).map(k =>
