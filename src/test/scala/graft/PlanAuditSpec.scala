@@ -874,4 +874,18 @@ class PlanAuditSpec extends SparkSuite {
       !stScans.exists(_.contains("/base")),
       s"star join did not serve from the summary:\n$st")
   }
+
+  test("lake_summary_ivm / _hll / _cm: the maintenance and sketch paths " +
+    "stay join-disciplined — no cartesian anywhere, no sort-merge join " +
+    "(touched-group joins broadcast or hash at group grain, the sketch " +
+    "tables broadcast by construction), map-side combine present") {
+    Seq("lake_summary_ivm", "lake_summary_hll", "lake_summary_cm")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+        assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+        assert(p.contains("partial_count") || p.contains("partial_sum") ||
+          p.contains("partial_max"), s"$q lost map-side combine:\n$p")
+      }
+  }
 }
