@@ -48,13 +48,31 @@ import org.apache.spark.sql.types._
   *  - grouping by ANY expression over dims (e.g. `year(day)`) is exact
   *    because the summary grain partitions finer than the re-grouping.
   *
+  * Beyond the flat GROUP BY, the same registry serves three more plan
+  * SHAPES — grouping sets (rollup/cube: the `Expand` re-bases on summary
+  * rows, [[rewriteExpand]]), star joins (base JOIN dim: only the base
+  * side swaps, [[tryRewriteStar]]), and SQL views / HAVING / ORDER BY /
+  * LIMIT above the aggregate (untouched by construction) — and two more
+  * summary KINDS beside the rollup partials: the HISTOGRAM kind
+  * ((dims, value)→count, [[registerHist]]) serving exact
+  * percentiles/medians and distinct-measure counts, and the explicit
+  * sketch summaries ([[buildHllSummary]] approx-distinct registers,
+  * `Sketches.cmCellsBy` heavy-hitter cells) whose grain-refolds are
+  * bit-equal to direct builds by their merge monoids (idempotent max /
+  * linear sum). Maintenance is first-class: streaming delta slices
+  * (`StreamingIngest.startSummarySink`), group-scoped incremental
+  * refresh under MERGE INTO ([[refreshOnUpsert]]), a parquet catalog
+  * ([[save]]/[[load]]), the [[stale]] fingerprint tripwire, and the
+  * [[explainServing]] diagnostic.
+  *
   * NOT rewritten (left to the base scan, by design): `avg` (Spark
   * accumulates integral averages in per-row double adds — re-deriving
   * from exact long partials is *better* but not bit-identical, and this
   * rule never changes a result; write `sum(x)/count(x)` explicitly),
-  * distinct aggregates over measures, decimal sums (Sum widens precision
-  * per level, so the re-aggregated type diverges — caught by the type
-  * guard), and any plan whose filters or groupings touch a non-dim.
+  * distinct aggregates over measures without a histogram, decimal sums
+  * (Sum widens precision per level, so the re-aggregated type diverges —
+  * caught by the type guard), outer joins that do not preserve the base
+  * side, and any plan whose filters or groupings touch a non-dim.
   *
   * Freshness is the registration's contract: [[register]] promises the
   * summary reflects the base as of now — the streaming face
