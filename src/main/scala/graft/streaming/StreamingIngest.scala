@@ -596,6 +596,39 @@ object StreamingIngest {
     graft.plans.SummaryRewrite.mergeHistSummaries(
       spark.read.parquet(committedSlices(outDir): _*), dims)
 
+  /** The HLL twin — streaming approx-distinct (DAU) maintenance: each
+    * micro-batch lands its register delta ((dims…, bkt)→max rho,
+    * `SummaryRewrite.buildHllSummary`) exactly-once; the merged table
+    * serves estimates at ANY rollup of the dims via
+    * `SummaryRewrite.serveHll`. Register max is IDEMPOTENT, so even a
+    * replayed/overlapping slice could never inflate an estimate — the
+    * safest of the three sink algebras. */
+  def startHllSummarySink(stream: DataFrame, dims: Seq[String],
+                          item: Column, outDir: String,
+                          checkpointDir: String, p: Int = 9,
+                          trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val slice = new java.io.File(outDir, s"batch_id=$batchId")
+        if (!new java.io.File(slice, "_SUCCESS").exists())
+          graft.plans.SummaryRewrite
+            .buildHllSummary(batch, dims, item, p)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(slice.toString)
+        ()
+      }
+      .start()
+
+  /** Merged register summary over the committed slices. */
+  def readHllSummary(spark: org.apache.spark.sql.SparkSession,
+                     outDir: String, dims: Seq[String]): DataFrame =
+    graft.plans.SummaryRewrite.mergeHllSummaries(
+      spark.read.parquet(committedSlices(outDir): _*), dims)
+
   /** Stream-stream temporal enrichment: join two live streams on a key
     * with the right event constrained to (leftTs - before, leftTs] — the
     * streaming twin of the batch range join (q16) and the pattern behind
