@@ -621,15 +621,26 @@ case class DotProduct(left: Expression, right: Expression)
     java.lang.Double.valueOf(s)
   }
 
-  /** Public bridge for generated code (nullSafeEval is protected). */
-  def compute(a: Any, b: Any): Any = nullSafeEval(a, b)
-
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftDot", this, classOf[DotProduct].getName)
+    // Every generated local goes through ctx.freshName: several DotProducts
+    // routinely share one codegen scope (cosine is three dots, the PQ
+    // distance dot(a,a)+dot(b,b)-2*dot(a,b) is three more) and a fixed
+    // local name would collide, failing janino compilation and dropping
+    // the whole projection to interpreted mode.
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""Object graftDotR = $ref.compute($a, $b);
-         |if (graftDotR == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((java.lang.Double) graftDotR).doubleValue(); }
+      val n = ctx.freshName("graftDotN")
+      val i = ctx.freshName("graftDotI")
+      val s = ctx.freshName("graftDotS")
+      s"""final int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
          |""".stripMargin
     })
   }

@@ -75,6 +75,46 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(f == 11.0)
   }
 
+  test("multiple dot_products in one codegen scope compile — the cosine " +
+    "and PQ distance shapes never fall back to interpreted mode") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Add, BoundReference, Divide, Literal, Multiply, Sqrt}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val at = ArrayType(DoubleType, containsNull = false)
+    val a = BoundReference(0, at, nullable = false)
+    val b = BoundReference(1, at, nullable = false)
+    // pqD2 = dot(a,a) + dot(b,b) - 2*dot(a,b): three DotProducts in scope
+    val pq = Add(Add(DotProduct(a, a), DotProduct(b, b)),
+      Multiply(Literal(-2.0), DotProduct(a, b)))
+    // cosine = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))): three more
+    val cos = Divide(DotProduct(a, b),
+      Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+    // Six DotProducts in ONE generated scope. generate() throws on janino
+    // failure instead of silently falling back — this line IS the
+    // regression assertion for the fixed-local-name collision.
+    val proj = GenerateUnsafeProjection.generate(Seq(pq, cos))
+    val av = Array(1.0, 2.0, 3.0)
+    val bv = Array(4.0, 5.0, 6.0)
+    val row = InternalRow(ArrayData.toArrayData(av), ArrayData.toArrayData(bv))
+    val out = proj(row)
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    val expPq = dot(av, av) + dot(bv, bv) - 2.0 * dot(av, bv)
+    val expCos = dot(av, bv) / (math.sqrt(dot(av, av)) * math.sqrt(dot(bv, bv)))
+    assert(out.getDouble(0) == expPq)
+    assert(math.abs(out.getDouble(1) - expCos) < 1e-15)
+    // null propagation survives the inline loop: length mismatch -> null
+    val projN = GenerateUnsafeProjection.generate(Seq(DotProduct(
+      BoundReference(0, at, nullable = false),
+      BoundReference(1, at, nullable = false))))
+    val outN = projN(InternalRow(
+      ArrayData.toArrayData(Array(1.0, 2.0)),
+      ArrayData.toArrayData(Array(1.0))))
+    assert(outN.isNullAt(0))
+  }
+
   test("native hashed_bow_logit is bit-identical to the composed " +
     "aggregate(transform) form on corpus text and edge strings") {
     val corpus = graft.Tables.load(spark, sf0001, "documents")
