@@ -42,6 +42,14 @@ import org.apache.spark.sql.types._
   *    preserves the distinct dim tuples exactly);
   *  - `min/max(x|d)` → `min/max(m_min_x / m_max_x / d)` (min of group
   *    minima);
+  *  - `avg(x)` for INTEGRAL x → `sum(m_sum_x) / sum(m_cnt_x)` (cast to
+  *    double, LEGACY divide — null on empty, like Average). Exact:
+  *    integral partials and their refolds are integer-exact in double,
+  *    so the division input equals the base Average's own
+  *    double-accumulated sum bit-for-bit (and past 2^53 the base's
+  *    partial-merge order is itself nondeterministic, so there is no
+  *    stricter target to miss). Double measures stay on the base scan —
+  *    their per-row addition order is observable;
   *  - `FILTER (WHERE p)` aggregate clauses translate when p references
   *    only dims (constant per summary row — whole groups pass or fail,
   *    exactly as they would row-by-row on the base);
@@ -65,10 +73,9 @@ import org.apache.spark.sql.types._
   * ([[save]]/[[load]]), the [[stale]] fingerprint tripwire, and the
   * [[explainServing]] diagnostic.
   *
-  * NOT rewritten (left to the base scan, by design): `avg` (Spark
-  * accumulates integral averages in per-row double adds — re-deriving
-  * from exact long partials is *better* but not bit-identical, and this
-  * rule never changes a result; write `sum(x)/count(x)` explicitly),
+  * NOT rewritten (left to the base scan, by design): `avg` over DOUBLE
+  * or DECIMAL measures (addition order is observable for doubles;
+  * decimal Average carries widened internal precision) and `avg(DISTINCT …)`,
   * distinct aggregates over measures without a histogram, decimal sums
   * (Sum widens precision per level, so the re-aggregated type diverges —
   * caught by the type guard), outer joins that do not preserve the base
@@ -142,7 +149,16 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * coexist; the rewrite picks the coarsest that satisfies the query).
     * Both frames must be plain file scans. */
   def register(base: DataFrame, summary: DataFrame, dims: Seq[String],
-               measures: Seq[String]): Unit = {
+               measures: Seq[String]): Unit =
+    registerWithFp(base, summary, dims, measures, savedFp = None)
+
+  /** `savedFp = Some(fp)` restores a persisted fingerprint verbatim
+    * ([[load]]): recomputing fpOf() here would silently re-baseline a
+    * base that mutated between save and load, muting the [[stale]]
+    * tripwire exactly when it should fire. */
+  private def registerWithFp(base: DataFrame, summary: DataFrame,
+                             dims: Seq[String], measures: Seq[String],
+                             savedFp: Option[String]): Unit = {
     val basePlan = org.apache.spark.sql.graft.bridge.analyzed(base)
     val bRoots = rawRoots(basePlan)
       .getOrElse(throw new IllegalArgumentException(
@@ -157,7 +173,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     require(need.forall(have), s"summary rewrite: summary is missing " +
       s"columns ${need.filterNot(have).mkString(", ")}")
     val def_ = SummaryDef(dims, measures.toSet, None, sumPlan,
-      bRoots, sRoots, fpOf(bRoots))
+      bRoots, sRoots, savedFp.getOrElse(fpOf(bRoots)))
     registry.compute(bRoots.mkString(" "), (_, old) =>
       Option(old).getOrElse(Vector.empty)
         .filterNot(d => d.hist.isEmpty && d.dims.toSet == dims.toSet)
@@ -175,7 +191,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * integer arithmetic; a double's per-row addition order would not
     * reproduce. Re-registration replaces the same (dims, measure) hist. */
   def registerHist(base: DataFrame, hist: DataFrame, dims: Seq[String],
-                   measure: String): Unit = {
+                   measure: String): Unit =
+    registerHistWithFp(base, hist, dims, measure, savedFp = None)
+
+  private def registerHistWithFp(base: DataFrame, hist: DataFrame,
+                                 dims: Seq[String], measure: String,
+                                 savedFp: Option[String]): Unit = {
     val basePlan = org.apache.spark.sql.graft.bridge.analyzed(base)
     val bRoots = rawRoots(basePlan)
       .getOrElse(throw new IllegalArgumentException(
@@ -188,7 +209,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     require((dims ++ Seq("v", "cnt")).forall(have),
       "summary rewrite: hist summary must carry dims, v, cnt")
     val def_ = SummaryDef(dims, Set(measure), Some(measure), histPlan,
-      bRoots, sRoots, fpOf(bRoots))
+      bRoots, sRoots, savedFp.getOrElse(fpOf(bRoots)))
     registry.compute(bRoots.mkString(" "), (_, old) =>
       Option(old).getOrElse(Vector.empty)
         .filterNot(d => d.hist.contains(measure) && d.dims.toSet == dims.toSet)
@@ -221,14 +242,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
     spark.read.parquet(dir)
       .select(col("base_roots"), col("summary_roots"), col("dims"),
-        col("measures"), col("hist"))
+        col("measures"), col("hist"), col("base_fp"))
       .collect().foreach { r =>
         val base = spark.read.parquet(r.getSeq[String](0): _*)
         val summ = spark.read.parquet(r.getSeq[String](1): _*)
         val dims = r.getSeq[String](2)
+        // restore the SAVED fingerprint — if the base mutated between
+        // save and load, stale() must still fire
+        val fp = Some(if (r.isNullAt(5)) "" else r.getString(5))
         if (r.isNullAt(4))
-          register(base, summ, dims, r.getSeq[String](3))
-        else registerHist(base, summ, dims, r.getString(4))
+          registerWithFp(base, summ, dims, r.getSeq[String](3), fp)
+        else registerHistWithFp(base, summ, dims, r.getString(4), fp)
       }
 
   /** Registrations whose base content no longer matches the fingerprint
@@ -655,6 +679,19 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             ae.filter))
         case Min(e) if refsDim(e) && !ae.isDistinct => Some(ae)
         case Max(e) if refsDim(e) && !ae.isDistinct => Some(ae)
+        case Average(a: AttributeReference, _)
+            if !ae.isDistinct && measureName.contains(a.exprId) &&
+              Seq(ByteType, ShortType, IntegerType, LongType)
+                .contains(a.dataType) =>
+          // same composition as the flat path: Σ sum-partials over
+          // Σ count-partials, exact for integral measures
+          for {
+            s <- trAgg(AggregateExpression(Sum(a), Complete,
+              isDistinct = false, ae.filter, NamedExpression.newExprId))
+            c <- trAgg(AggregateExpression(Count(Seq(a)), Complete,
+              isDistinct = false, ae.filter, NamedExpression.newExprId))
+          } yield Divide(Cast(s, DoubleType), Cast(c, DoubleType),
+            NumericEvalContext(EvalMode.LEGACY))
         case per: Percentile
             if isHist && !ae.isDistinct && !per.reverse &&
               per.frequencyExpression.foldable &&
@@ -847,6 +884,23 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             aggOver(Min(t), isDistinct = false, f))
           case Max(e) => trScalar(e).map(t =>
             aggOver(Max(t), isDistinct = false, f))
+          case Average(a: AttributeReference, _)
+              if !ae.isDistinct && isMeasure(a) &&
+                Seq(ByteType, ShortType, IntegerType, LongType)
+                  .contains(a.dataType) =>
+            // avg = Σ m_sum / Σ m_cnt, composed from the sum/count
+            // translations already proven exact. Integral measures only:
+            // every partial and refolded sum is integer-exact in double,
+            // so the division is bit-equal to the base's
+            // double-accumulated Average. (A double measure's Average is
+            // addition-order-dependent; it stays on the base scan.)
+            for {
+              s <- trAggCall(AggregateExpression(Sum(a), Complete,
+                isDistinct = false, ae.filter, NamedExpression.newExprId))
+              c <- trAggCall(AggregateExpression(Count(Seq(a)), Complete,
+                isDistinct = false, ae.filter, NamedExpression.newExprId))
+            } yield Divide(Cast(s, DoubleType), Cast(c, DoubleType),
+              NumericEvalContext(EvalMode.LEGACY))
           case per: Percentile
               if isHist && !ae.isDistinct && !per.reverse &&
                 per.frequencyExpression.foldable &&
@@ -898,8 +952,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       }
     val newAbove = star.toSeq.flatMap(_.aboveConds)
       .map(c => trScalar(inline(c)))
+    // inline() the join condition exactly like aboveConds/groupings: a
+    // Project below the join may alias the join key (SELECT cat AS ck),
+    // and an un-inlined alias exprId would survive translation verbatim,
+    // leaving the rewritten Join referencing an attribute neither child
+    // produces (unresolvable at BindReferences).
     val newJoinCond = star.flatMap(_.join.condition) match {
-      case Some(c) => trScalar(c).map(Some(_))
+      case Some(c) => trScalar(inline(c)).map(Some(_))
       case None => Some(None)
     }
 

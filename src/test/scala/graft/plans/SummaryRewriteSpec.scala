@@ -86,6 +86,8 @@ class SummaryRewriteSpec extends SparkSuite {
           max(col("cents")).as("max_cents"),
           countDistinct(col("dow")).as("n_dow"),
           count(col("dow")).as("dow_nonnull"),
+          avg(col("cents")).as("avg_cents"),
+          expr("avg(cents) FILTER (WHERE dow <= 1)").as("early_avg"),
           expr("sum(cents) FILTER (WHERE dow <= 1)").as("early_cents"))
         .orderBy(col("cat")),
       "sum2")
@@ -137,13 +139,18 @@ class SummaryRewriteSpec extends SparkSuite {
   }
 
   test("untranslatable shapes keep the base scan: measure filter, " +
-    "derived-measure agg, avg, sum over a dim, distinct measure") {
+    "derived-measure agg, double-measure avg, distinct avg, sum over " +
+    "a dim, distinct measure") {
     registerAll()
     val shapes = Seq(
       base.filter(col("cents") > 0).groupBy(col("cat"))
         .agg(sum(col("cents")).as("s")),
       base.groupBy(col("cat")).agg(sum(col("cents") * 2).as("s")),
-      base.groupBy(col("cat")).agg(avg(col("cents")).as("a")),
+      // double measure: base Average is addition-order-dependent, so
+      // serving it could not reproduce bit-exactly — stays on base
+      base.groupBy(col("cat")).agg(avg(col("score")).as("a")),
+      base.groupBy(col("cat"))
+        .agg(expr("avg(DISTINCT cents)").as("a")),
       base.groupBy(col("cat")).agg(sum(col("dow")).as("s")),
       base.groupBy(col("cat"))
         .agg(sum_distinct(col("cents")).as("s")),
@@ -192,7 +199,7 @@ class SummaryRewriteSpec extends SparkSuite {
       base.rollup(col("cat"), col("dow"))
         .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"),
           min(col("cents")).as("mn"), count(col("cents")).as("nc"),
-          count(col("dow")).as("nd"))
+          count(col("dow")).as("nd"), avg(col("cents")).as("av"))
         .orderBy(col("cat"), col("dow")),
       "sum2")
   }
@@ -322,6 +329,32 @@ class SummaryRewriteSpec extends SparkSuite {
     }
   }
 
+  test("load() restores the SAVED fingerprint: a base mutated between " +
+    "save and load is flagged stale, not silently re-baselined") {
+    registerAll()
+    val catDir = s"$root/catalog_fp"
+    SummaryRewrite.save(spark, catDir)
+    SummaryRewrite.clear()
+    // mutate the base BEFORE load — the tripwire's hardest case
+    val extra = Seq(("c0", java.lang.Long.valueOf(2L),
+      java.lang.Long.valueOf(5L), 0.1)).toDF("cat", "dow", "cents", "score")
+    extra.write.mode("append").parquet(s"$root/base")
+    try {
+      SummaryRewrite.load(spark, catDir)
+      val flagged = SummaryRewrite.stale()
+      assert(flagged.nonEmpty,
+        "stale() stayed silent on a base mutated between save and load")
+      assert(flagged.forall(_._1.exists(_.contains("graft_sumrw_spec"))),
+        flagged.toString)
+    } finally {
+      base.filter(col("score") =!= 0.1)
+        .write.mode("overwrite").parquet(s"$root/base2")
+      spark.read.parquet(s"$root/base2").write.mode("overwrite")
+        .parquet(s"$root/base")
+      SummaryRewrite.clear()
+    }
+  }
+
   test("refreshOnUpsert: group-scoped IVM equals the full rebuild after " +
     "a cross-group MERGE (rows move between groups, null-dim groups, " +
     "new groups appear, replaced minima recompute)") {
@@ -407,7 +440,8 @@ class SummaryRewriteSpec extends SparkSuite {
           countDistinct(col("cat")).as("k"),
           min(col("cents")).as("mn"),
           count(col("cents")).as("nc"),
-          count(col("region")).as("nr"))
+          count(col("region")).as("nr"),
+          avg(col("cents")).as("av"))
         .orderBy(col("region")),
       "sum1")
     // left outer with the base preserved serves; base on the inner
@@ -425,6 +459,24 @@ class SummaryRewriteSpec extends SparkSuite {
     val pr = scanOf(qr)
     assert(!pr.contains("sum1") && !pr.contains("sum2") &&
       !pr.contains("hist1"), pr)
+  }
+
+  test("star join with an ALIASED join key in the base stem: the join " +
+    "condition inlines like aboveConds, so the rewritten plan resolves " +
+    "and serves (a view's SELECT cat AS ck then JOIN ON ck = ...)") {
+    fixture
+    Seq(("c0", "east"), ("c1", "west"), ("c2", "east"))
+      .toDF("cat", "region")
+      .write.mode("overwrite").parquet(s"$root/dim3")
+    val dimT = spark.read.parquet(s"$root/dim3")
+    served(
+      base.select(col("cat").as("ck"), col("cents"))
+        .join(dimT, col("ck") === dimT("cat"))
+        .groupBy(col("region"))
+        .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"),
+          min(col("cents")).as("mn"))
+        .orderBy(col("region")),
+      "sum1")
   }
 
   test("seeded randomized equivalence: random data, random grouping/" +
@@ -458,6 +510,7 @@ class SummaryRewriteSpec extends SparkSuite {
         () => count(col("dow")).as(s"a${rnd.nextInt(1000)}"),
         () => min(col("cents")).as(s"a${rnd.nextInt(1000)}"),
         () => max(col("cents")).as(s"a${rnd.nextInt(1000)}"),
+        () => avg(col("cents")).as(s"a${rnd.nextInt(1000)}"),
         () => countDistinct(col("dow")).as(s"a${rnd.nextInt(1000)}"),
         () => expr("percentile(cents, 0.5)").as(s"a${rnd.nextInt(1000)}"),
         () => countDistinct(col("cents")).as(s"a${rnd.nextInt(1000)}"))
