@@ -53,10 +53,13 @@ object AvroGroupWriter {
   /** Field-level Avro schema. A `StringType` field whose metadata carries
     * `avro.enum.symbols` (comma-separated) becomes an Avro ENUM — the
     * Connect-enum analogue (DataWriterAvroTest.java:157-189); Spark has no
-    * enum type, so the hint rides in column metadata. Every field is a
-    * `[null, T]` union (Connect optional semantics); wider mixed-type
-    * unions have no Spark-type equivalent and are rejected upstream as
-    * unsupported types — the documented divergence. */
+    * enum type, so the hint rides in column metadata. A STRUCT field whose
+    * metadata carries `avro.union` (boolean true) is the struct-of-
+    * nullables encoding of a MULTI-TYPE union (one branch sub-field per
+    * member, exactly one non-null per row — the shape Connect gives
+    * union-typed Kafka fields, DataWriterAvroTest.java:174,784-794) and
+    * becomes a TRUE Avro union of the branch types. Every other field is
+    * a `[null, T]` union (Connect optional semantics). */
   private def fieldSchema(f: StructField, name: String): Schema =
     if (f.dataType == StringType && f.metadata.contains("avro.enum.symbols")) {
       val symbols = f.metadata.getString("avro.enum.symbols")
@@ -66,11 +69,27 @@ object AvroGroupWriter {
           f.metadata.getString("avro.enum.name")
         else s"${name}_${f.name}_enum"
       Schema.createEnum(ename, null, "graft.ingest", symbols.asJava)
-    } else sparkToAvro(f.dataType, name + "_" + f.name)
+    } else (f.dataType, f.metadata.contains("avro.union")) match {
+      case (ust: StructType, true) =>
+        // branch order = sub-field order; Avro requires distinct branch
+        // types (records/enums distinguished by name), which the
+        // struct-of-nullables encoding guarantees by construction
+        Schema.createUnion(ust.fields.map(bf =>
+          fieldSchema(bf, s"${name}_${f.name}")).toList.asJava)
+      case _ => sparkToAvro(f.dataType, name + "_" + f.name)
+    }
 
   def structToAvro(st: StructType, name: String): Schema = {
     val fields = st.fields.map { f =>
-      new Schema.Field(f.name, nullable(fieldSchema(f, name)),
+      val fs = fieldSchema(f, name)
+      // a multi-type union field flattens the optional NULL into the
+      // union itself (Avro forbids union-of-union)
+      val withNull =
+        if (fs.getType == Schema.Type.UNION)
+          Schema.createUnion((Schema.create(Schema.Type.NULL) +:
+            fs.getTypes.asScala.toList).asJava)
+        else nullable(fs)
+      new Schema.Field(f.name, withNull,
         null, Schema.Field.NULL_DEFAULT_VALUE)
     }
     Schema.createRecord(name, null, "graft.ingest", false, fields.toList.asJava)
@@ -118,13 +137,129 @@ object AvroGroupWriter {
     var i = 0
     while (i < st.fields.length) {
       val f = st.fields(i)
-      val fieldSchema = schema.getField(f.name).schema()
+      val fs = schema.getField(f.name).schema()
+      val isUnionStruct =
+        f.metadata.contains("avro.union") && f.dataType.isInstanceOf[StructType]
       rec.put(f.name,
         if (row.isNullAt(i)) null
-        else toAvroValue(row.get(i), f.dataType, fieldSchema))
+        else if (isUnionStruct)
+          unionValue(row.getStruct(i), f.dataType.asInstanceOf[StructType], fs)
+        else toAvroValue(row.get(i), f.dataType, fs))
       i += 1
     }
     rec
+  }
+
+  /** Struct-of-nullables → Avro union value: the single non-null branch
+    * sub-field converts against its union branch schema (branch k sits
+    * after the leading NULL added by [[structToAvro]]). An all-null
+    * struct is the encoding of a null optional union. */
+  private def unionValue(sub: Row, ust: StructType, union: Schema): Any = {
+    val types = union.getTypes
+    val off = if (types.get(0).getType == Schema.Type.NULL) 1 else 0
+    var k = 0
+    while (k < ust.fields.length) {
+      if (!sub.isNullAt(k))
+        return toAvroValue(sub.get(k), ust.fields(k).dataType,
+          types.get(k + off))
+      k += 1
+    }
+    null
+  }
+
+  // ---- read-back (the inverse decode) ----------------------------------
+
+  /** Read Avro container files written by [[write]] back as rows of
+    * `payload` — the relational face of the decode the specs do by hand.
+    * Each file decodes on an executor through the FileSystem API (so
+    * paths may be any Hadoop scheme); parallelism is file-grained, the
+    * natural unit for container files. Union-struct fields (metadata
+    * `avro.union`) re-encode the single branch value into its sub-field
+    * slot; record branches disambiguate by the generated schema-name
+    * suffix (`..._<subField>`). */
+  def read(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+           payload: StructType): DataFrame = {
+    require(paths.nonEmpty, "AvroGroupWriter.read: no paths")
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val st = payload
+    val rows = spark.sparkContext
+      .parallelize(paths, math.min(paths.size, 32))
+      .flatMap { p =>
+        val fs = FileSystem.get(new java.net.URI(p), hadoopConf.value)
+        val reader = new org.apache.avro.file.DataFileStream[GenericRecord](
+          fs.open(new Path(p)),
+          new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (reader.hasNext) out += recordToRow(reader.next(), st)
+        reader.close()
+        out
+      }
+    spark.createDataFrame(rows, payload)
+  }
+
+  def recordToRow(rec: GenericRecord, st: StructType): Row =
+    Row.fromSeq(st.fields.toSeq.map { f =>
+      val v = rec.get(f.name)
+      if (v == null) null
+      else (f.dataType, f.metadata.contains("avro.union")) match {
+        case (ust: StructType, true) =>
+          val k = branchIndexFor(v, ust)
+          require(k >= 0, s"no union branch in ${ust.simpleString} for " +
+            s"runtime ${v.getClass.getName}")
+          Row.fromSeq(ust.fields.indices.map(i =>
+            if (i == k) fromAvroValue(v, ust.fields(i).dataType) else null))
+        case _ => fromAvroValue(v, f.dataType)
+      }
+    })
+
+  private def branchIndexFor(v: Any, ust: StructType): Int =
+    ust.fields.indexWhere { bf =>
+      (v, bf.dataType) match {
+        case (_: org.apache.avro.util.Utf8 | _: String |
+              _: GenericData.EnumSymbol, StringType) => true
+        case (_: java.lang.Long, LongType) => true
+        case (_: java.lang.Integer,
+              ByteType | ShortType | IntegerType) => true
+        case (_: java.lang.Double, DoubleType) => true
+        case (_: java.lang.Float, FloatType) => true
+        case (_: java.lang.Boolean, BooleanType) => true
+        case (_: java.nio.ByteBuffer, BinaryType | _: DecimalType) => true
+        case (r: GenericRecord, _: StructType) =>
+          // structToAvro names a branch record `<chain>_<subField>`
+          r.getSchema.getName.endsWith("_" + bf.name)
+        case (_: java.util.List[_], _: ArrayType) => true
+        case (_: java.util.Map[_, _], _: MapType) => true
+        case _ => false
+      }
+    }
+
+  private def fromAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+    case (e: GenericData.EnumSymbol, StringType) => e.toString
+    case (bb: java.nio.ByteBuffer, BinaryType) =>
+      val d = bb.duplicate(); val a = new Array[Byte](d.remaining())
+      d.get(a); a
+    case (bb: java.nio.ByteBuffer, d: DecimalType) =>
+      val dup = bb.duplicate(); val a = new Array[Byte](dup.remaining())
+      dup.get(a)
+      new java.math.BigDecimal(new java.math.BigInteger(a), d.scale)
+    case (i: java.lang.Integer, ByteType) => i.byteValue()
+    case (i: java.lang.Integer, ShortType) => i.shortValue()
+    case (l: java.lang.Long, TimestampType) =>
+      // timestamp-micros logical type
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(l.longValue(), 1000000L),
+        Math.floorMod(l.longValue(), 1000000L) * 1000L))
+    case (r: GenericRecord, s: StructType) => recordToRow(r, s)
+    case (l: java.util.List[_], ArrayType(et, _)) =>
+      l.asScala.map(fromAvroValue(_, et)).toSeq
+    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+      m.asScala.map { case (k, x) =>
+        k.toString -> fromAvroValue(x, vt)
+      }.toMap
+    case (x, _) => x
   }
 
   /** Write `df` (carrying `epartCol`/`fnameCol` group columns) as one Avro

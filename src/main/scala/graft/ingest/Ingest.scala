@@ -207,6 +207,59 @@ final case class RotationStats(totalFiles: Int,
        else "; causes=" + byCause.toSeq.sorted
          .map { case (c, n) => s"$c:$n" }.mkString(","))
 }
+/** R10 periodic diagnostic emission
+  * (TopicPartitionWriter.java:708-726: the reference logs a DIAGNOSTIC
+  * line every 5 minutes so operators can see why files are or are not
+  * rotating). Here the per-batch [[RotationStats]] already carry the
+  * counts; this accumulator folds them across micro-batches and emits one
+  * summary line per interval through `emit` (a logger by default —
+  * injectable for specs and metric pipelines). Wall-clock driven like the
+  * reference, with an injectable clock. Thread-safe: foreachBatch callbacks
+  * may run on changing threads. */
+final class RotationDiagnostics(
+    cfg: IngestConfig,
+    // scheduled (R4) rotation lives in ScheduledRotationIngest, not the
+    // config — callers running one pass `true` so the line reports it
+    scheduledRotation: Boolean = false,
+    intervalMs: Long = 5 * 60 * 1000L,
+    emit: String => Unit = s =>
+      org.slf4j.LoggerFactory.getLogger(classOf[RotationDiagnostics])
+        .info(s),
+    clock: () => Long = () => System.currentTimeMillis()) {
+  private var lastEmit = clock()
+  private var batches = 0L
+  private var files = 0L
+  private val partitions = scala.collection.mutable.Set.empty[String]
+  private val causes = scala.collection.mutable.Map.empty[String, Long]
+
+  /** Fold one micro-batch's stats; returns the diagnostic line if this
+    * call crossed the interval boundary (None otherwise). */
+  def record(stats: RotationStats): Option[String] = synchronized {
+    batches += 1
+    files += stats.totalFiles
+    partitions ++= stats.filesPerPartition.keys
+    stats.byCause.foreach { case (c, n) =>
+      causes.update(c, causes.getOrElse(c, 0L) + n)
+    }
+    val now = clock()
+    if (now - lastEmit < intervalMs) None
+    else {
+      lastEmit = now
+      val line = s"DIAGNOSTIC: topic=${cfg.topic} batches=$batches " +
+        s"files=$files activePartitions=${partitions.size} " +
+        s"(flush size limit: ${cfg.flushSize}), time-based rotation: " +
+        (if (cfg.rotateIntervalMs.isDefined) "ENABLED" else "DISABLED") +
+        ", scheduled rotation: " +
+        (if (scheduledRotation) "ENABLED" else "DISABLED") +
+        (if (causes.isEmpty) ""
+         else "; causes=" + causes.toSeq.sorted
+           .map { case (c, n) => s"$c:$n" }.mkString(","))
+      emit(line)
+      Some(line)
+    }
+  }
+}
+
 object RotationStats {
   def of(files: Seq[IngestWriter.FileInfo]): RotationStats =
     RotationStats(files.size,

@@ -243,6 +243,64 @@ object PipelineQueries {
       ok.unionByName(dlq).orderBy(col("route"))
     }),
 
+    // W1 multi-type Avro unions END-TO-END (round 16; the reference's
+    // Connect union shape, DataWriterAvroTest.java:174,784-794): every
+    // event carries a 3-branch union column — string (event_type) /
+    // long (cents) / record {x} by event_id mod 3, null optional at
+    // %97 — written as REAL Avro container files via AvroGroupWriter
+    // (the struct-of-nullables field marked `avro.union` becomes a TRUE
+    // Avro union in the file schema), then read back through the
+    // executor-side FileSystem decode and emitted relationally. The
+    // oracle recomputes every branch from the raw events table, so a
+    // hash match certifies branch selection, values, and the null
+    // optional all survive the round trip — not just the schema shape.
+    // Scale: write and read are file-grained map-only passes; the 4
+    // deterministic file groups keep bench reps idempotent (X1
+    // overwrite).
+    "ingest_avro_union" -> ((s, d) => {
+      import graft.ingest.AvroGroupWriter
+      val unionMeta = new MetadataBuilder()
+        .putBoolean("avro.union", true).build()
+      val innerT = StructType(Seq(StructField("x", LongType)))
+      val unionT = StructType(Seq(
+        StructField("s", StringType),
+        StructField("n", LongType),
+        StructField("rec", innerT)))
+      val payload = StructType(Seq(
+        StructField("offset", LongType),
+        StructField("u", unionT, nullable = true, unionMeta)))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_avrou_" +
+        graft.analytics.Similarity.dataFingerprint(s"$d/events.parquet")
+      val ev = Tables.load(s, d, "events").select(col("event_id"),
+        col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      val nullS = lit(null).cast("string").as("s")
+      val nullN = lit(null).cast("long").as("n")
+      val nullR = lit(null).cast(innerT).as("rec")
+      val src = ev.select(col("event_id").as("offset"),
+          when(col("event_id") % 97 === 0, lit(null).cast(unionT))
+            .when(col("event_id") % 3 === 0,
+              struct(col("event_type").as("s"), nullN, nullR))
+            .when(col("event_id") % 3 === 1,
+              struct(nullS, col("cents").as("n"), nullR))
+            .otherwise(struct(nullS, nullN,
+              struct((col("event_id") * 2).as("x")).as("rec"))).as("u"))
+        .withColumn("epart", concat(lit("g="), pmod(col("offset"), lit(4))))
+        .withColumn("fname", concat(lit("u+"), pmod(col("offset"), lit(4)),
+          lit("+0000000000.avro")))
+      val files = AvroGroupWriter.write(src, "epart", "fname", "offset",
+        payload, dir, codec = None)
+      AvroGroupWriter.read(s, files.map(_.path), payload)
+        .select(col("offset").as("event_id"),
+          when(col("u").isNull, lit("null"))
+            .when(col("u.s").isNotNull, lit("s"))
+            .when(col("u.n").isNotNull, lit("n"))
+            .otherwise(lit("rec")).as("branch"),
+          col("u.s").as("s_val"), col("u.n").as("n_val"),
+          col("u.rec.x").as("rec_x"))
+        .orderBy(col("event_id"))
+    }),
+
     // MERGE INTO upsert: a re-priced update batch (every 5th order,
     // version 2) merged into the base lake by key — the lake pays ONE
     // left-anti equi-join (never aggregated/sorted) and the deduped
@@ -397,6 +455,7 @@ object PipelineQueries {
           min(col("cents")).as("min_cents"),
           max(col("cents")).as("max_cents"),
           countDistinct(col("dow")).cast("long").as("n_dow"),
+          round(avg(col("cents")), 4).as("avg_cents"),
           expr("CAST(sum(cents) FILTER (WHERE dow <= 2) AS BIGINT)")
             .as("early_cents"))
         .orderBy(col("event_type"))
@@ -747,6 +806,21 @@ object PipelineQueries {
         |  CASE WHEN route LIKE 'ok:%' THEN max(event_id) END AS max_id
         |FROM ev GROUP BY route ORDER BY route""".stripMargin,
 
+    // every branch of the union readback recomputed from raw events —
+    // same %97 > %3 precedence as the writer
+    "ingest_avro_union" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 97 = 0 THEN 'null'
+        |       WHEN event_id % 3 = 0 THEN 's'
+        |       WHEN event_id % 3 = 1 THEN 'n' ELSE 'rec' END AS branch,
+        |  CASE WHEN event_id % 97 <> 0 AND event_id % 3 = 0
+        |       THEN event_type END AS s_val,
+        |  CASE WHEN event_id % 97 <> 0 AND event_id % 3 = 1
+        |       THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS n_val,
+        |  CASE WHEN event_id % 97 <> 0 AND event_id % 3 = 2
+        |       THEN CAST(event_id * 2 AS BIGINT) END AS rec_x
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "lake_upsert" ->
       """SELECT o_orderkey,
         |  CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)
@@ -797,6 +871,7 @@ object PipelineQueries {
         |  CAST(min(cents) AS BIGINT) AS min_cents,
         |  CAST(max(cents) AS BIGINT) AS max_cents,
         |  CAST(count(DISTINCT dow) AS BIGINT) AS n_dow,
+        |  round(avg(cents), 4) AS avg_cents,
         |  CAST(sum(cents) FILTER (dow <= 2) AS BIGINT) AS early_cents
         |FROM b WHERE dow <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -61,6 +61,8 @@ object StreamingIngest {
                     gates: Seq[Gates.Gate] = Nil,
                     summarize: Option[(Seq[String], Seq[String], String)] =
                       None,
+                    diagnostics: Option[graft.ingest.RotationDiagnostics] =
+                      None,
                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     frame.writeStream
       .outputMode(OutputMode.Append)
@@ -71,7 +73,7 @@ object StreamingIngest {
         // unpersists only those, never co-resident models/history tables
         graft.analytics.Caches.scoped {
           val gated = Gates.all(gates: _*)(batch)
-          Ingest.run(gated, cfg, partitioner, outDir,
+          val res = Ingest.run(gated, cfg, partitioner, outDir,
             kafkaPartition = kafkaPartition, offset = offset,
             payloadCols = payloadCols,
             valueColumnForNulls = valueColumnForNulls,
@@ -79,6 +81,10 @@ object StreamingIngest {
             extraCauseGroups = extraCauseGroups,
             causeStats = causeStats,
             fence = fence)
+          // R10 periodic diagnostics: fold this batch's rotation stats;
+          // the accumulator emits one line per wall-clock interval
+          // (TopicPartitionWriter.java:708-726)
+          diagnostics.foreach(_.record(res.stats))
           // same-batch summary maintenance (SummaryRewrite serving):
           // the delta slice sees exactly the GATED rows the lake write
           // saw, under the same batch id, so the served summary tracks

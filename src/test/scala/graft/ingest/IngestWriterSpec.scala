@@ -250,6 +250,68 @@ class IngestWriterSpec extends SparkSuite {
     assert(r1.get("color").toString == "BLUE")
   }
 
+  test("W1 Avro multi-type union: a struct-of-nullables field marked " +
+    "avro.union encodes as a TRUE Avro union — string/long/record " +
+    "branches and the null optional all round-trip " +
+    "(DataWriterAvroTest.java:174,784-794)") {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.spark.sql.types._
+    val out = freshDir()
+    val cfg = IngestConfig(topic = "un", format = OutputFormat.Avro,
+      flushSize = 100)
+    val unionMeta = new MetadataBuilder()
+      .putBoolean("avro.union", true).build()
+    val innerT = StructType(Seq(StructField("x", LongType)))
+    val unionT = StructType(Seq(
+      StructField("s", StringType),
+      StructField("n", LongType),
+      StructField("rec", innerT)))
+    def u(s: String, n: java.lang.Long, rec: org.apache.spark.sql.Row) =
+      org.apache.spark.sql.Row(s, n, rec)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(0, 0L, u("hello", null, null)),
+        org.apache.spark.sql.Row(0, 1L, u(null, java.lang.Long.valueOf(42L), null)),
+        org.apache.spark.sql.Row(0, 2L, null),
+        org.apache.spark.sql.Row(0, 3L,
+          u(null, null, org.apache.spark.sql.Row(7L)))),
+      StructType(Seq(
+        StructField("kafka_partition", IntegerType),
+        StructField("offset", LongType),
+        StructField("u", unionT, nullable = true, unionMeta))))
+    val files = IngestWriter.write(df, cfg,
+      Partitioners.defaultPartition(col("kafka_partition")), out,
+      col("kafka_partition"), col("offset"),
+      payloadCols = Seq(col("offset"), col("u")))
+    val reader = new DataFileReader[GenericRecord](
+      new java.io.File(files.head.path),
+      new GenericDatumReader[GenericRecord]())
+    val recs = Iterator.continually(reader)
+      .takeWhile(_.hasNext).map(_.next()).toVector
+    reader.close()
+    assert(recs.length == 4)
+
+    // schema: u is a 4-branch union [null, string, long, record] — NOT a
+    // record of nullables
+    val uSchema = recs.head.getSchema.getField("u").schema()
+    assert(uSchema.getType == org.apache.avro.Schema.Type.UNION)
+    import scala.collection.JavaConverters._
+    val kinds = uSchema.getTypes.asScala.map(_.getType).toList
+    assert(kinds == List(org.apache.avro.Schema.Type.NULL,
+      org.apache.avro.Schema.Type.STRING, org.apache.avro.Schema.Type.LONG,
+      org.apache.avro.Schema.Type.RECORD), kinds.toString)
+
+    // values: each row carries its single branch directly
+    val byOff = recs.map(r => r.get("offset").asInstanceOf[Long] -> r.get("u"))
+      .toMap
+    assert(byOff(0L).toString == "hello")
+    assert(byOff(1L) == java.lang.Long.valueOf(42L))
+    assert(byOff(2L) == null)
+    val rec3 = byOff(3L).asInstanceOf[GenericRecord]
+    assert(rec3.get("x") == java.lang.Long.valueOf(7L))
+  }
+
   test("W1 Avro replay is idempotent (direct-path overwrite)") {
     val out = freshDir()
     val cfg = IngestConfig(topic = "t", format = OutputFormat.Avro, flushSize = 100)

@@ -44,6 +44,45 @@ class StreamingIngestSpec extends SparkSuite {
     assert(names.forall(_.matches("st\\+0\\+\\d{10}\\.parquet")))
   }
 
+  test("R10 periodic diagnostics: the accumulator folds per-batch " +
+    "rotation stats and emits one DIAGNOSTIC line per wall-clock " +
+    "interval across micro-batches (TopicPartitionWriter.java:708-726)") {
+    val src = Files.createTempDirectory("diag_src").toString
+    val out = Files.createTempDirectory("diag_out").toString
+    val ckpt = Files.createTempDirectory("diag_ckpt").toString
+    (0 until 3).foreach { b =>
+      (0L until 4L).map(i => (0, b * 4 + i, s"t${i % 2}", i * 1.0))
+        .toDF("kafka_partition", "offset", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val emitted =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cfg = IngestConfig(topic = "dg", flushSize = 100)
+    // fake clock: +1000 ms per record() (construction reads tick 0);
+    // interval 2500 ms → batches 1,2 silent, batch 3 crosses and emits
+    val diag = new graft.ingest.RotationDiagnostics(cfg,
+      scheduledRotation = false, intervalMs = 2500L,
+      emit = emitted.add(_), clock = () => ticks.getAndAdd(1000L))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamingIngest.startPipeline(stream,
+      cfg, PartitionerSpec.Fields(Seq("event_type")), out, ckpt,
+      col("kafka_partition"), col("offset"),
+      payloadCols = Seq(col("offset"), col("event_type"), col("value")),
+      diagnostics = Some(diag))
+    q.awaitTermination(60000)
+    val lines = emitted.toArray(Array.empty[String])
+    assert(lines.length == 1, s"expected exactly one emission: " +
+      lines.mkString(" | "))
+    val l = lines.head
+    assert(l.startsWith("DIAGNOSTIC: topic=dg batches=3 "), l)
+    assert(l.contains("(flush size limit: 100)") &&
+      l.contains("time-based rotation: DISABLED") &&
+      l.contains("scheduled rotation: DISABLED"), l)
+    assert(l.contains("activePartitions=2"), l)
+  }
+
   test("streaming full pipeline: K/V/H lockstep + manifest under the " +
     "checkpoint, per micro-batch") {
     val src = Files.createTempDirectory("pipe_src").toString
