@@ -232,7 +232,10 @@ class SummaryRewriteSpec extends SparkSuite {
         sum(col("cents")).as("s"),
         count(lit(1)).as("n"),
         count(col("cents")).as("nc"),
-        min(col("cents")).as("mn"))
+        min(col("cents")).as("mn"),
+        // avg composes from the hist kind's own sum (Σ v·cnt) and
+        // count translations — integral v only, same exactness argument
+        avg(col("cents")).as("av"))
         .orderBy(col("cat")),
       "hist1")
     // a mixed dim+measure distinct tuple is a single distinct group:
@@ -262,8 +265,9 @@ class SummaryRewriteSpec extends SparkSuite {
     registerAll()
     base.createOrReplaceTempView("sumrw_base")
     val q = spark.sql(
-      """SELECT cat, sum(cents) AS s, count(*) AS n FROM sumrw_base
-        |WHERE dow <= 3 GROUP BY cat HAVING count(*) > 5
+      """SELECT cat, sum(cents) AS s, count(*) AS n, avg(cents) AS av
+        |FROM sumrw_base
+        |WHERE dow <= 3 GROUP BY cat HAVING avg(cents) > -1e18
         |ORDER BY cat""".stripMargin)
     val plan = scanOf(q)
     assert(plan.contains("sum2"), plan)
