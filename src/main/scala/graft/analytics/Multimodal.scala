@@ -81,6 +81,50 @@ object Multimodal {
     ds.mapPartitions { it => it.map(decodeImage) }
   }
 
+  final case class ImageDHash(id: Long, width: Int, height: Int, dhash: Long)
+
+  /** 56-bit difference hash (dHash — the classic perceptual image hash)
+    * over the REAL decoded red channel: point-sample an 8-row × 8-column
+    * grid at the exact integer coordinates `sx(c) = c·w / 8`,
+    * `sy(r) = r·h / 8` (floor division), and set bit `r·7 + c` iff
+    * `sample(c+1, r) > sample(c, r)` — 7 comparisons × 8 rows = 56 bits,
+    * deliberately one byte short of 64 so the hash stays a positive
+    * int64 in every engine that replays it. Near-duplicate images (same
+    * gradient structure at any resolution) land in the same bucket —
+    * the perceptual twin of `Dedup.exact`'s md5 bucket, and the
+    * image-side dedup a training pipeline runs before pixel-level
+    * compare. Point sampling (not area averaging) keeps the hash a
+    * closed form a SQL oracle recomputes from the fixture generator
+    * without a decoder. Decode is per-partition like
+    * [[extractImageFeatures]] — no shuffle until the bucket groupBy. */
+  def dHash56(ds: Dataset[MediaRecord]): Dataset[ImageDHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.payload))
+        require(img != null, s"undecodable image payload for id=${rec.id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        def red(x: Int, y: Int): Int = (img.getRGB(x, y) >> 16) & 0xFF
+        var hash = 0L
+        var r = 0
+        while (r < 8) {
+          val y = r * h / 8
+          var c = 0
+          while (c < 7) {
+            val x0 = c * w / 8
+            val x1 = (c + 1) * w / 8
+            if (red(x1, y) > red(x0, y)) hash |= 1L << (r * 7 + c)
+            c += 1
+          }
+          r += 1
+        }
+        ImageDHash(rec.id, w, h, hash)
+      }
+    }
+  }
+
   /** Deterministic RGB PNG fixture encoder (executor-side): a width×height
     * image whose red channel is `(id + x + y) % 256` — a closed form a SQL
     * oracle replays without any decoder — and green/blue carry id-derived

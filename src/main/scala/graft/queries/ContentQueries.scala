@@ -3122,6 +3122,39 @@ object ContentQueries {
         .orderBy(col("id"))
     }),
 
+    // Perceptual-hash image dedup (round 16): every fixture PNG decodes
+    // for REAL on the executors (javax.imageio), dHash56 point-samples
+    // the red channel on the 8x8 grid, and images bucket by hash — the
+    // image-side analogue of Dedup.exact's md5 bucket, the dedup a
+    // training pipeline runs on crawled images before pixel compare.
+    // The oracle recomputes every sampled pixel from the generator's
+    // closed form ((id+x+y)%256 at x=c*w/8, y=r*h/8) and replays the
+    // 56-bit assembly in SQL, so a hash match certifies real decoded
+    // pixels fed the hash, bit for bit. Scale: decode is map-only
+    // per-partition; the only shuffle is the bucket groupBy at
+    // |distinct hash| grain.
+    "mm_dhash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mm_png_" +
+        Similarity.dataFingerprint(s"$d/documents.parquet")
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        docs(s, d)
+          .select(col("doc_id").cast("long").as("id"),
+            (col("doc_id") % 31 + 1).cast("int").as("w"),
+            (col("doc_id") % 17 + 1).cast("int").as("h"))
+          .as[(Long, Int, Int)]
+          .map { case (id, w, h) =>
+            Multimodal.MediaRecord(id, "image/png",
+              Multimodal.encodePng(id, w, h))
+          }.write.mode("overwrite").parquet(dir)
+      val media = s.read.parquet(dir).as[Multimodal.MediaRecord]
+      Multimodal.dHash56(media).toDF()
+        .groupBy(col("dhash"))
+        .agg(count(lit(1)).cast("long").as("n_images"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("dhash"))
+    }),
+
     // Multimodal plumbing: documents' text bytes as opaque payloads through
     // the mapPartitions feature extractor (decode step is a deterministic
     // stub; schema/partitioning/batch shape are the real pipeline).
@@ -5621,6 +5654,27 @@ object ContentQueries {
         |FROM dims d CROSS JOIN range(0, 31) x CROSS JOIN range(0, 17) y
         |WHERE x.range < d.width AND y.range < d.height
         |GROUP BY 1, 2, 3, 4 ORDER BY d.id""".stripMargin,
+
+    // the dHash bits replayed from the generator's closed form: sampled
+    // red pixel = (id + c*w/8 + r*h/8) % 256, bit r*7+c set iff the
+    // next column sample is strictly brighter
+    "mm_dhash_dedup" ->
+      """WITH px AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 31 + 1 AS BIGINT) AS w,
+        |    CAST(doc_id % 17 + 1 AS BIGINT) AS h
+        |  FROM documents),
+        |bits AS (SELECT id,
+        |    SUM(CASE WHEN
+        |        ((id + ((c.range + 1) * w) // 8 + (r.range * h) // 8) % 256)
+        |      > ((id + (c.range * w) // 8 + (r.range * h) // 8) % 256)
+        |      THEN (CAST(1 AS BIGINT) << CAST(r.range * 7 + c.range AS INT))
+        |      ELSE 0 END) AS dhash
+        |  FROM px CROSS JOIN range(0, 8) r CROSS JOIN range(0, 7) c
+        |  GROUP BY id)
+        |SELECT CAST(dhash AS BIGINT) AS dhash,
+        |  CAST(count(*) AS BIGINT) AS n_images,
+        |  min(id) AS min_id, max(id) AS max_id
+        |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_topk_ivfpq" ->
       """WITH v AS (SELECT vec_id,

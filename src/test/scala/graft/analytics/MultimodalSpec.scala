@@ -60,6 +60,53 @@ class MultimodalSpec extends SparkSuite {
     assert(err.getMessage != null)
   }
 
+  test("dHash56: decoded-pixel hash equals the closed-form recompute, " +
+    "is resolution-invariant for same-structure images, and stays a " +
+    "positive int64") {
+    // closed-form recompute over the fixture generator — the same
+    // replay the SQL oracle does
+    def expected(id: Long, w: Int, h: Int): Long = {
+      var hash = 0L
+      for (r <- 0 until 8; c <- 0 until 7) {
+        val y = r * h / 8
+        val x0 = c * w / 8
+        val x1 = (c + 1) * w / 8
+        if ((id + x1 + y) % 256 > (id + x0 + y) % 256)
+          hash |= 1L << (r * 7 + c)
+      }
+      hash
+    }
+    val ds = spark.range(1, 65).as[Long].map { id =>
+      MediaRecord(id, "image/png",
+        Multimodal.encodePng(id, (id % 31 + 1).toInt, (id % 17 + 1).toInt))
+    }.repartition(8)
+    val got = dHash56(ds).collect().sortBy(_.id)
+    assert(got.length == 64)
+    got.foreach { f =>
+      assert(f.dhash == expected(f.id, f.width, f.height),
+        s"id=${f.id} w=${f.width} h=${f.height}")
+      assert(f.dhash >= 0L, s"id=${f.id} hash must stay positive int64")
+    }
+    // resolution invariance: a pure horizontal gradient hashes the same
+    // at 8x8 and 64x32 (dHash's reason to exist: near-dup across sizes)
+    def gradientPng(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 255 / (w - 1)) << 16)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val pair = spark.createDataset(Seq(
+      MediaRecord(1L, "image/png", gradientPng(8, 8)),
+      MediaRecord(2L, "image/png", gradientPng(64, 32))))
+    val hashes = dHash56(pair).collect().map(_.dhash).distinct
+    assert(hashes.length == 1,
+      s"same gradient at different sizes must bucket together: " +
+        hashes.mkString(","))
+  }
+
   test("frame sampling emits bounded per-media frames in order") {
     val frames = sampleFrames(media(), stride = 4).collect()
     val byId = frames.groupBy(_.id)
