@@ -204,35 +204,21 @@ object AvroGroupWriter {
       if (v == null) null
       else (f.dataType, f.metadata.contains("avro.union")) match {
         case (ust: StructType, true) =>
-          val k = branchIndexFor(v, ust)
-          require(k >= 0, s"no union branch in ${ust.simpleString} for " +
-            s"runtime ${v.getClass.getName}")
+          // Avro's OWN branch resolution (the writer used the same call),
+          // so readback can never mis-slot a value — union types are
+          // [NULL?, branch0, branch1, ...] in sub-field order by
+          // construction ([[structToAvro]])
+          val union = rec.getSchema.getField(f.name).schema()
+          val types = union.getTypes
+          val off = if (types.get(0).getType == Schema.Type.NULL) 1 else 0
+          val k = GenericData.get().resolveUnion(union, v) - off
+          require(k >= 0 && k < ust.fields.length,
+            s"union branch $k out of range for ${ust.simpleString}")
           Row.fromSeq(ust.fields.indices.map(i =>
             if (i == k) fromAvroValue(v, ust.fields(i).dataType) else null))
         case _ => fromAvroValue(v, f.dataType)
       }
     })
-
-  private def branchIndexFor(v: Any, ust: StructType): Int =
-    ust.fields.indexWhere { bf =>
-      (v, bf.dataType) match {
-        case (_: org.apache.avro.util.Utf8 | _: String |
-              _: GenericData.EnumSymbol, StringType) => true
-        case (_: java.lang.Long, LongType) => true
-        case (_: java.lang.Integer,
-              ByteType | ShortType | IntegerType) => true
-        case (_: java.lang.Double, DoubleType) => true
-        case (_: java.lang.Float, FloatType) => true
-        case (_: java.lang.Boolean, BooleanType) => true
-        case (_: java.nio.ByteBuffer, BinaryType | _: DecimalType) => true
-        case (r: GenericRecord, _: StructType) =>
-          // structToAvro names a branch record `<chain>_<subField>`
-          r.getSchema.getName.endsWith("_" + bf.name)
-        case (_: java.util.List[_], _: ArrayType) => true
-        case (_: java.util.Map[_, _], _: MapType) => true
-        case _ => false
-      }
-    }
 
   private def fromAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
