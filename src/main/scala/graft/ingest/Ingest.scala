@@ -214,8 +214,12 @@ final case class RotationStats(totalFiles: Int,
   * counts; this accumulator folds them across micro-batches and emits one
   * summary line per interval through `emit` (a logger by default —
   * injectable for specs and metric pipelines). Wall-clock driven like the
-  * reference, with an injectable clock. Thread-safe: foreachBatch callbacks
-  * may run on changing threads. */
+  * reference, with an injectable clock. Each emission RESETS the interval
+  * counters, so the line reports per-interval activity and state stays
+  * bounded regardless of stream lifetime — a time-partitioned stream
+  * mints new encoded partitions forever, and an ever-growing set would be
+  * a slow leak on a months-long query. Thread-safe: foreachBatch
+  * callbacks may run on changing threads. */
 final class RotationDiagnostics(
     cfg: IngestConfig,
     // scheduled (R4) rotation lives in ScheduledRotationIngest, not the
@@ -255,6 +259,7 @@ final class RotationDiagnostics(
          else "; causes=" + causes.toSeq.sorted
            .map { case (c, n) => s"$c:$n" }.mkString(","))
       emit(line)
+      batches = 0L; files = 0L; partitions.clear(); causes.clear()
       Some(line)
     }
   }

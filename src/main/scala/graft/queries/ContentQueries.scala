@@ -3155,6 +3155,50 @@ object ContentQueries {
         .orderBy(col("dhash"))
     }),
 
+    // Image NEAR-dup pairs (round 16): the banded-LSH step over dHash —
+    // distinct hashes split into 4 x 14-bit bands, candidates self-join
+    // per band at |distinct hash| grain (NEVER per image — the bucket
+    // groupBy collapses first), and bit_count(h1 XOR h2) verifies
+    // Hamming <= 3. The pigeonhole guarantee is exact at this
+    // threshold: 3 differing bits cannot dirty all 4 bands, so banding
+    // loses nothing vs the all-pairs scan it replaces. The oracle
+    // replays decode-free from the generator closed form: pixel
+    // formula -> 56-bit assembly -> bands -> XOR popcount. Scale: the
+    // only corpus-sized pass is the map-only decode; everything after
+    // runs at distinct-signature grain (the same collapse that makes
+    // MinHash banding viable at 100 TB).
+    "mm_dhash_near_dup" -> ((s, d) => {
+      import s.implicits._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mm_png_" +
+        Similarity.dataFingerprint(s"$d/documents.parquet")
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        docs(s, d)
+          .select(col("doc_id").cast("long").as("id"),
+            (col("doc_id") % 31 + 1).cast("int").as("w"),
+            (col("doc_id") % 17 + 1).cast("int").as("h"))
+          .as[(Long, Int, Int)]
+          .map { case (id, w, h) =>
+            Multimodal.MediaRecord(id, "image/png",
+              Multimodal.encodePng(id, w, h))
+          }.write.mode("overwrite").parquet(dir)
+      val media = s.read.parquet(dir).as[Multimodal.MediaRecord]
+      val buckets = Multimodal.dHash56(media).toDF()
+        .groupBy(col("dhash")).agg(count(lit(1)).cast("long").as("n"))
+      val bands = buckets.select(col("dhash"), col("n"),
+          explode(sequence(lit(0), lit(3))).as("bnd"))
+        .withColumn("band", expr("(dhash >> CAST(bnd * 14 AS INT)) & 16383"))
+      bands.as("l").join(bands.as("r"),
+          col("l.bnd") === col("r.bnd") && col("l.band") === col("r.band") &&
+            col("l.dhash") < col("r.dhash"))
+        .select(col("l.dhash").as("h1"), col("r.dhash").as("h2"),
+          col("l.n").as("n1"), col("r.n").as("n2"))
+        .distinct()
+        .withColumn("hamming", expr("CAST(bit_count(h1 ^ h2) AS BIGINT)"))
+        .filter(col("hamming") <= 3)
+        .select(col("h1"), col("h2"), col("hamming"), col("n1"), col("n2"))
+        .orderBy(col("h1"), col("h2"))
+    }),
+
     // Multimodal plumbing: documents' text bytes as opaque payloads through
     // the mapPartitions feature extractor (decode step is a deterministic
     // stub; schema/partitioning/batch shape are the real pipeline).
@@ -5675,6 +5719,35 @@ object ContentQueries {
         |  CAST(count(*) AS BIGINT) AS n_images,
         |  min(id) AS min_id, max(id) AS max_id
         |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the banded near-dup replay: same closed-form bit assembly, then
+    // bands, the distinct candidate join, and XOR popcount verify
+    "mm_dhash_near_dup" ->
+      """WITH px AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 31 + 1 AS BIGINT) AS w,
+        |    CAST(doc_id % 17 + 1 AS BIGINT) AS h
+        |  FROM documents),
+        |bits AS (SELECT id,
+        |    SUM(CASE WHEN
+        |        ((id + ((c.range + 1) * w) // 8 + (r.range * h) // 8) % 256)
+        |      > ((id + (c.range * w) // 8 + (r.range * h) // 8) % 256)
+        |      THEN (CAST(1 AS BIGINT) << CAST(r.range * 7 + c.range AS INT))
+        |      ELSE 0 END) AS dhash
+        |  FROM px CROSS JOIN range(0, 8) r CROSS JOIN range(0, 7) c
+        |  GROUP BY id),
+        |hs AS (SELECT CAST(dhash AS BIGINT) AS dhash,
+        |    CAST(count(*) AS BIGINT) AS n FROM bits GROUP BY 1),
+        |b AS (SELECT dhash, n, r.range AS bnd,
+        |    (dhash >> CAST(r.range * 14 AS INT)) & 16383 AS band
+        |  FROM hs CROSS JOIN range(0, 4) r),
+        |cand AS (SELECT DISTINCT l.dhash AS h1, r.dhash AS h2,
+        |    l.n AS n1, r.n AS n2
+        |  FROM b l JOIN b r ON l.bnd = r.bnd AND l.band = r.band
+        |    AND l.dhash < r.dhash)
+        |SELECT h1, h2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming,
+        |  n1, n2
+        |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
 
     "sim_topk_ivfpq" ->
       """WITH v AS (SELECT vec_id,
