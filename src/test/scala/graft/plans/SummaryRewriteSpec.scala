@@ -408,7 +408,10 @@ class SummaryRewriteSpec extends SparkSuite {
       base.rollup(col("cat"))
         .agg(expr("percentile(cents, 0.5)").as("med"),
           count(lit(1)).as("n"), sum(col("cents")).as("s"),
-          countDistinct(col("cents")).as("k"))
+          countDistinct(col("cents")).as("k"),
+          // avg through the Expand + HIST path: Σ v·cnt over Σ nonnull
+          // cnt — the one avg shape the flat batteries can't reach
+          avg(col("cents")).as("av"))
         .orderBy(asc_nulls_first("cat")),
       "hist1")
   }
