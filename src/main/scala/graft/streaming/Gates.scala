@@ -185,6 +185,42 @@ object Gates {
     batch.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** Perceptual image-dedup gate against a FROZEN history signature set
+    * (`Multimodal.dHash56(historyMedia).select("dhash").distinct()`
+    * built once, outside the stream — re-decoding the history lake per
+    * batch would re-read every stored image every trigger): drop batch
+    * images whose dHash lands within Hamming `maxDist` of any history
+    * signature. The batch decodes once (map-only, per partition), then
+    * the banded join runs at distinct-signature grain — 4 x 14-bit
+    * bands, `bit_count(xor)` verify — which is EXACT for maxDist <= 3
+    * by pigeonhole (3 differing bits cannot dirty all 4 bands), never
+    * an image-level cross join. Batch rows must carry the MediaRecord
+    * shape (`idCol`, mediaType, payload). The image twin of [[nearDup]]:
+    * crawled-image streams dedup against the stored corpus before
+    * paying storage or pixel-level compare. */
+  def imageDedup(historyHashes: DataFrame, idCol: String = "id",
+                 maxDist: Int = 3): Gate = batch => {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4-band pigeonhole is exact only for maxDist <= 3")
+    val ss = batch.sparkSession
+    import ss.implicits._
+    val media = batch.select(col(idCol).cast("long").as("id"),
+      col("mediaType"), col("payload")).as[graft.analytics.Multimodal.MediaRecord]
+    val sig = graft.analytics.Multimodal.dHash56(media).toDF()
+      .select(col("id"), col("dhash"))
+    val histB = historyHashes.select(col("dhash").cast("long").as("h_dhash"))
+      .distinct()
+      .withColumn("bnd", explode(sequence(lit(0), lit(3))))
+      .withColumn("band", expr("(h_dhash >> CAST(bnd * 14 AS INT)) & 16383"))
+    val newB = sig
+      .withColumn("bnd", explode(sequence(lit(0), lit(3))))
+      .withColumn("band", expr("(dhash >> CAST(bnd * 14 AS INT)) & 16383"))
+    val dupIds = newB.join(histB, Seq("bnd", "band"))
+      .filter(expr(s"bit_count(dhash ^ h_dhash) <= $maxDist"))
+      .select(col("id").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** CDC-freshness gate against a FROZEN chunk store
     * (`Dedup.cdcHistoryFps(lake, ...)` built once, outside the stream):
     * keep documents whose fraction of NEW tokens — tokens in chunks the

@@ -447,6 +447,55 @@ class StreamingIngestSpec extends SparkSuite {
       s"near-dup 10 must be dropped inside the stack; got ${kept.toSeq}")
   }
 
+  test("Gates.imageDedup drops perceptual dups of the frozen history " +
+    "(exact across resolutions, near at hamming<=3), keeps the rest, " +
+    "and passes the batch schema through") {
+    import graft.analytics.Multimodal
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    def hGrad(w: Int, h: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 255 / (w - 1)) << 16)
+      img
+    }
+    // horizontal gradient with one sample pair flattened: exactly one of
+    // the 56 comparisons flips vs hGrad -> Hamming 1
+    def hGradNear() = {
+      val img = hGrad(8, 8)
+      img.setRGB(7, 7, img.getRGB(6, 7))
+      img
+    }
+    def vGrad(w: Int, h: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (y * 255 / (h - 1)) << 16)
+      img
+    }
+    val history = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "image/png", png(hGrad(16, 16)))))
+    val histHashes = Multimodal.dHash56(history).toDF().select(col("dhash"))
+    val batch = Seq(
+      // same gradient at a DIFFERENT resolution: Hamming 0 -> dropped
+      (10L, "image/png", png(hGrad(8, 8)), "a"),
+      // one flipped comparison: Hamming 1 -> dropped
+      (11L, "image/png", png(hGradNear()), "b"),
+      // vertical gradient: Hamming 56 -> kept
+      (12L, "image/png", png(vGrad(8, 8)), "c"))
+      .toDF("id", "mediaType", "payload", "extra")
+    val kept = Gates.imageDedup(histHashes)(batch)
+    assert(kept.columns.toSeq == Seq("id", "mediaType", "payload", "extra"),
+      "gate must pass the batch schema through")
+    assert(kept.select("id").as[Long].collect().toSeq == Seq(12L))
+    intercept[IllegalArgumentException] {
+      Gates.imageDedup(histHashes, maxDist = 4)(batch)
+    }
+  }
+
   test("Gates.exactDedup drops history-known keys and collapses " +
     "within-batch duplicates to the smallest id") {
     val history = Seq((1L, "seen before")).toDF("doc_id", "text")
