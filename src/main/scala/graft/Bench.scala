@@ -324,8 +324,21 @@ object Bench {
     def median(ts: Seq[Double]): Double =
       if (ts.exists(_ < 0)) -1.0
       else ts.sorted.apply(ts.size / 2)
+    def minOf(ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    // retried rows switch statistic to MIN-OF-ALL-REPS (the sweep's
+    // regression statistic): the median of n breached originals plus 2
+    // retries is mathematically still a breached value, so a
+    // median-statistic retry could never overwrite a drifted reading —
+    // the exact failure the tiering exists to prevent. A retried row
+    // whose min STILL breaches is a real regression and records as one.
+    val groupRetried = scala.collection.mutable.ArrayBuffer.empty[String]
+    def groupStat(k: String, ts: Seq[Double]): Double =
+      if (groupRetried.contains(k)) minOf(ts) else median(ts)
     def json(rs: Seq[(String, Seq[Double])]): String =
-      rs.map { case (k, ts) => "\"" + k + f"\":${median(ts)}%.3f" }
+      rs.map { case (k, ts) => "\"" + k + f"\":${groupStat(k, ts)}%.3f" }
         .mkString("{", ",", "}")
     // full rep array IN RUN ORDER, not just [min,max]: a contended host
     // window shows up as a drifting sequence (and the round-11 artifact's
@@ -338,7 +351,7 @@ object Bench {
         "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     def total(rs: Seq[(String, Seq[Double])]): Double =
-      rs.map { case (_, ts) => median(ts) }.filter(_ >= 0).sum
+      rs.map { case (k, ts) => groupStat(k, ts) }.filter(_ >= 0).sum
     // `runMain graft.Bench name1 name2` times ONLY the named queries —
     // the isolated-replay workflow used to check a full-artifact outlier.
     // Soak components (soak_cdc_10x, …) are first-class names here, so
@@ -362,12 +375,12 @@ object Bench {
     // Round-16 (verdict #4): the group rows get the sweep's breach
     // tiering — each row runs its usual reps, and a min-of-reps more
     // than 1.5x the COMMITTED group statistic (or an all-failed row)
-    // triggers 2 extra reps on the spot. The recorded statistic stays
-    // the median over every rep taken, and `group_retried` names the
-    // rows that tripped — a row still breaching after 5 reps is a real
-    // regression, not a dirty window.
+    // triggers 2 extra reps on the spot. Retried rows record
+    // MIN-OF-ALL-REPS (see groupStat above — a median could never be
+    // un-breached by retries), `group_retried` names them, and a row
+    // whose min still breaches after 5 reps is a real regression, not
+    // a dirty window.
     val committedGroup = committedGroupStats()
-    val groupRetried = scala.collection.mutable.ArrayBuffer.empty[String]
     def runGroup(names: Seq[String]): Seq[(String, Seq[Double])] =
       names.filter(SparkEntry.queries.contains).map { name =>
         val ts = runReps(Seq(name), reps).head._2
@@ -429,10 +442,6 @@ object Bench {
             else name -> ts
         }
       }
-    def minOf(ts: Seq[Double]): Double = {
-      val ok = ts.filter(_ >= 0)
-      if (ok.isEmpty) -1.0 else ok.min
-    }
     def jsonMin(rs: Seq[(String, Seq[Double])]): String =
       rs.map { case (k, ts) => "\"" + k + f"\":${minOf(ts)}%.3f" }
         .mkString("{", ",", "}")
@@ -585,7 +594,7 @@ object Bench {
     // them in an explicit "failed" list AND exit non-zero.
     val grouped =
       results ++ r7 ++ r9 ++ r10 ++ r11 ++ r12 ++ r13 ++ r14 ++ r15 ++ r16
-    val failed = grouped.collect { case (k, ts) if median(ts) < 0 => k } ++
+    val failed = grouped.collect { case (k, ts) if groupStat(k, ts) < 0 => k } ++
       sweep.collect { case (k, ts) if minOf(ts) < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val spread = spreadJson(grouped)

@@ -101,28 +101,54 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { rec =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(rec.payload))
-        require(img != null, s"undecodable image payload for id=${rec.id}")
-        val w = img.getWidth
-        val h = img.getHeight
-        def red(x: Int, y: Int): Int = (img.getRGB(x, y) >> 16) & 0xFF
-        var hash = 0L
-        var r = 0
-        while (r < 8) {
-          val y = r * h / 8
-          var c = 0
-          while (c < 7) {
-            val x0 = c * w / 8
-            val x1 = (c + 1) * w / 8
-            if (red(x1, y) > red(x0, y)) hash |= 1L << (r * 7 + c)
-            c += 1
-          }
-          r += 1
-        }
-        ImageDHash(rec.id, w, h, hash)
+        val one = dHash56OfBytes(rec.id, rec.payload)
+        require(one != null, s"undecodable image payload for id=${rec.id}")
+        one
       }
     }
+  }
+
+  /** [[dHash56]] with crawl-tolerant failure semantics: undecodable
+    * payloads are SKIPPED instead of thrown — the variant a streaming
+    * gate needs, where one corrupt PNG in a micro-batch must not wedge
+    * the checkpoint in a replay loop (the batch operator keeps the loud
+    * contract: silently dropping rows from a REPORT would hide a
+    * corrupt-media regression, but a dedup GATE passing an undecodable
+    * row through to downstream quality/DLQ handling is the correct
+    * lenient behavior). */
+  def dHash56Lenient(ds: Dataset[MediaRecord]): Dataset[ImageDHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        try {
+          val one = dHash56OfBytes(rec.id, rec.payload)
+          if (one == null) None else Some(one)
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  private def dHash56OfBytes(id: Long, payload: Array[Byte]): ImageDHash = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    def red(x: Int, y: Int): Int = (img.getRGB(x, y) >> 16) & 0xFF
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      val y = r * h / 8
+      var c = 0
+      while (c < 7) {
+        val x0 = c * w / 8
+        val x1 = (c + 1) * w / 8
+        if (red(x1, y) > red(x0, y)) hash |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    ImageDHash(id, w, h, hash)
   }
 
   /** Deterministic RGB PNG fixture encoder (executor-side): a width×height

@@ -42,14 +42,16 @@ import org.apache.spark.sql.types._
   *    preserves the distinct dim tuples exactly);
   *  - `min/max(x|d)` → `min/max(m_min_x / m_max_x / d)` (min of group
   *    minima);
-  *  - `avg(x)` for INTEGRAL x → `sum(m_sum_x) / sum(m_cnt_x)` (cast to
-  *    double, LEGACY divide — null on empty, like Average). Exact:
-  *    integral partials and their refolds are integer-exact in double,
-  *    so the division input equals the base Average's own
-  *    double-accumulated sum bit-for-bit (and past 2^53 the base's
-  *    partial-merge order is itself nondeterministic, so there is no
-  *    stricter target to miss). Double measures stay on the base scan —
-  *    their per-row addition order is observable;
+  *  - `avg(x)` for INTEGRAL x → `sum(double(m_sum_x)) / sum(m_cnt_x)`
+  *    (LEGACY divide — null on empty, like Average). The numerator
+  *    refolds in DOUBLE, the base Average's own accumulator type — a
+  *    long refold could overflow at 2^63 where the base's double buffer
+  *    cannot. Exact: integral partials are integer-exact in double
+  *    below 2^53, so the division input equals the base's accumulated
+  *    sum bit-for-bit (and past 2^53 the base's partial-merge order is
+  *    itself nondeterministic, so there is no stricter target to miss).
+  *    Double measures stay on the base scan — their per-row addition
+  *    order is observable at any magnitude;
   *  - `FILTER (WHERE p)` aggregate clauses translate when p references
   *    only dims (constant per summary row — whole groups pass or fail,
   *    exactly as they would row-by-row on the base);
@@ -683,15 +685,19 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             if !ae.isDistinct && measureName.contains(a.exprId) &&
               Seq(ByteType, ShortType, IntegerType, LongType)
                 .contains(a.dataType) =>
-          // same composition as the flat path: Σ sum-partials over
-          // Σ count-partials, exact for integral measures
+          // same algebra as the flat path: the numerator re-aggregates
+          // in DOUBLE (the base Average's own accumulator — a long
+          // refold could overflow at 2^63 where the base cannot) over
+          // the Σ count-partials translation
+          val num: Expression =
+            if (!isHist) Cast(roleAttr(a, "sum"), DoubleType)
+            else Multiply(Cast(roleAttr(a, "v"), DoubleType),
+              Cast(mCountAttr(), DoubleType))
           for {
-            s <- trAgg(AggregateExpression(Sum(a), Complete,
-              isDistinct = false, ae.filter, NamedExpression.newExprId))
             c <- trAgg(AggregateExpression(Count(Seq(a)), Complete,
               isDistinct = false, ae.filter, NamedExpression.newExprId))
-          } yield Divide(Cast(s, DoubleType), Cast(c, DoubleType),
-            NumericEvalContext(EvalMode.LEGACY))
+          } yield Divide(aggOver(Sum(num), ae.filter),
+            Cast(c, DoubleType), NumericEvalContext(EvalMode.LEGACY))
         case per: Percentile
             if isHist && !ae.isDistinct && !per.reverse &&
               per.frequencyExpression.foldable &&
@@ -888,19 +894,27 @@ object SummaryRewrite extends Rule[LogicalPlan] {
               if !ae.isDistinct && isMeasure(a) &&
                 Seq(ByteType, ShortType, IntegerType, LongType)
                   .contains(a.dataType) =>
-            // avg = Σ m_sum / Σ m_cnt, composed from the sum/count
-            // translations already proven exact. Integral measures only:
-            // every partial and refolded sum is integer-exact in double,
-            // so the division is bit-equal to the base's
-            // double-accumulated Average. (A double measure's Average is
-            // addition-order-dependent; it stays on the base scan.)
+            // avg = Σ m_sum / Σ m_cnt. The numerator re-aggregates in
+            // DOUBLE — the same accumulator type the base Average uses —
+            // NOT as a long Sum: a long refold could overflow at 2^63
+            // where the base's double buffer cannot (changing a result
+            // or, under ANSI, failing a query the base serves). In the
+            // integer-exact double range (< 2^53) the refold is
+            // bit-equal to the base's accumulation; past it both are
+            // double sums of the same values in different orders — the
+            // base's own partial-merge nondeterminism envelope.
+            // Integral measures only: a double measure's addition order
+            // is observable at ANY magnitude, so it stays on the base
+            // scan.
+            val num: Expression =
+              if (!isHist) Cast(byName(s"m_sum_${a.name}"), DoubleType)
+              else Multiply(Cast(byName("v"), DoubleType),
+                Cast(mCount, DoubleType))
             for {
-              s <- trAggCall(AggregateExpression(Sum(a), Complete,
-                isDistinct = false, ae.filter, NamedExpression.newExprId))
               c <- trAggCall(AggregateExpression(Count(Seq(a)), Complete,
                 isDistinct = false, ae.filter, NamedExpression.newExprId))
-            } yield Divide(Cast(s, DoubleType), Cast(c, DoubleType),
-              NumericEvalContext(EvalMode.LEGACY))
+            } yield Divide(aggOver(Sum(num), isDistinct = false, f),
+              Cast(c, DoubleType), NumericEvalContext(EvalMode.LEGACY))
           case per: Percentile
               if isHist && !ae.isDistinct && !per.reverse &&
                 per.frequencyExpression.foldable &&

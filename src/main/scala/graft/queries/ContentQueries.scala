@@ -17,6 +17,30 @@ object ContentQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
+  /** The shared PNG media fixture the mm_decode_image / mm_dhash_* rows
+    * all read: one real PNG per document, w = doc_id%31+1, h =
+    * doc_id%17+1, red channel (id+x+y)%256 — the closed form every SQL
+    * oracle replays. Built once per source-table content
+    * (fingerprint-keyed dir); ONE definition so the three consumers can
+    * never silently diverge while sharing the cache directory. */
+  private def pngFixture(s: SparkSession, d: String):
+      org.apache.spark.sql.Dataset[graft.analytics.Multimodal.MediaRecord] = {
+    import s.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mm_png_" +
+      Similarity.dataFingerprint(s"$d/documents.parquet")
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      docs(s, d)
+        .select(col("doc_id").cast("long").as("id"),
+          (col("doc_id") % 31 + 1).cast("int").as("w"),
+          (col("doc_id") % 17 + 1).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .map { case (id, w, h) =>
+          graft.analytics.Multimodal.MediaRecord(id, "image/png",
+            graft.analytics.Multimodal.encodePng(id, w, h))
+        }.write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir).as[graft.analytics.Multimodal.MediaRecord]
+  }
+
   /** Embeddings plus a deterministic perturbed TWIN of every `mod`-th
     * vector: twin id = vec_id + 1000000, component i scaled by
     * (98 + i%5)/100 (cosine vs the original ≈ 0.9998). The fixture's
@@ -3100,21 +3124,7 @@ object ContentQueries {
     // deterministic setup, not the decode under test — bench reps now
     // pay only the decode.
     "mm_decode_image" -> ((s, d) => {
-      import s.implicits._
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mm_png_" +
-        Similarity.dataFingerprint(s"$d/documents.parquet")
-      if (!new java.io.File(s"$dir/_SUCCESS").exists())
-        docs(s, d)
-          .select(col("doc_id").cast("long").as("id"),
-            (col("doc_id") % 31 + 1).cast("int").as("w"),
-            (col("doc_id") % 17 + 1).cast("int").as("h"))
-          .as[(Long, Int, Int)]
-          .map { case (id, w, h) =>
-            Multimodal.MediaRecord(id, "image/png",
-              Multimodal.encodePng(id, w, h))
-          }.write.mode("overwrite").parquet(dir)
-      val media = s.read.parquet(dir).as[Multimodal.MediaRecord]
-      Multimodal.extractImageFeatures(media).toDF()
+      Multimodal.extractImageFeatures(pngFixture(s, d)).toDF()
         .select(col("id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("channels").cast("long").as("channels"),
@@ -3134,21 +3144,7 @@ object ContentQueries {
     // per-partition; the only shuffle is the bucket groupBy at
     // |distinct hash| grain.
     "mm_dhash_dedup" -> ((s, d) => {
-      import s.implicits._
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mm_png_" +
-        Similarity.dataFingerprint(s"$d/documents.parquet")
-      if (!new java.io.File(s"$dir/_SUCCESS").exists())
-        docs(s, d)
-          .select(col("doc_id").cast("long").as("id"),
-            (col("doc_id") % 31 + 1).cast("int").as("w"),
-            (col("doc_id") % 17 + 1).cast("int").as("h"))
-          .as[(Long, Int, Int)]
-          .map { case (id, w, h) =>
-            Multimodal.MediaRecord(id, "image/png",
-              Multimodal.encodePng(id, w, h))
-          }.write.mode("overwrite").parquet(dir)
-      val media = s.read.parquet(dir).as[Multimodal.MediaRecord]
-      Multimodal.dHash56(media).toDF()
+      Multimodal.dHash56(pngFixture(s, d)).toDF()
         .groupBy(col("dhash"))
         .agg(count(lit(1)).cast("long").as("n_images"),
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))
@@ -3168,21 +3164,7 @@ object ContentQueries {
     // runs at distinct-signature grain (the same collapse that makes
     // MinHash banding viable at 100 TB).
     "mm_dhash_near_dup" -> ((s, d) => {
-      import s.implicits._
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mm_png_" +
-        Similarity.dataFingerprint(s"$d/documents.parquet")
-      if (!new java.io.File(s"$dir/_SUCCESS").exists())
-        docs(s, d)
-          .select(col("doc_id").cast("long").as("id"),
-            (col("doc_id") % 31 + 1).cast("int").as("w"),
-            (col("doc_id") % 17 + 1).cast("int").as("h"))
-          .as[(Long, Int, Int)]
-          .map { case (id, w, h) =>
-            Multimodal.MediaRecord(id, "image/png",
-              Multimodal.encodePng(id, w, h))
-          }.write.mode("overwrite").parquet(dir)
-      val media = s.read.parquet(dir).as[Multimodal.MediaRecord]
-      val buckets = Multimodal.dHash56(media).toDF()
+      val buckets = Multimodal.dHash56(pngFixture(s, d)).toDF()
         .groupBy(col("dhash")).agg(count(lit(1)).cast("long").as("n"))
       val bands = buckets.select(col("dhash"), col("n"),
           explode(sequence(lit(0), lit(3))).as("bnd"))

@@ -195,18 +195,32 @@ object Gates {
     * bands, `bit_count(xor)` verify — which is EXACT for maxDist <= 3
     * by pigeonhole (3 differing bits cannot dirty all 4 bands), never
     * an image-level cross join. Batch rows must carry the MediaRecord
-    * shape (`idCol`, mediaType, payload). The image twin of [[nearDup]]:
-    * crawled-image streams dedup against the stored corpus before
-    * paying storage or pixel-level compare. */
+    * shape (`idCol`, mediaType, payload); non-image rows and
+    * undecodable payloads PASS THROUGH (they get no signature — route
+    * them to quality/DLQ gates downstream). The image twin of
+    * [[nearDup]]: crawled-image streams dedup against the stored corpus
+    * before paying storage or pixel-level compare. */
   def imageDedup(historyHashes: DataFrame, idCol: String = "id",
-                 maxDist: Int = 3): Gate = batch => {
+                 maxDist: Int = 3): Gate = {
+    // wiring-time, not first-batch-time: a misconfigured gate must fail
+    // when the stack is built, not inside an already-running query's
+    // foreachBatch (which would checkpoint-replay the same failure)
     require(maxDist >= 0 && maxDist <= 3,
       "4-band pigeonhole is exact only for maxDist <= 3")
+    batch => {
     val ss = batch.sparkSession
     import ss.implicits._
-    val media = batch.select(col(idCol).cast("long").as("id"),
-      col("mediaType"), col("payload")).as[graft.analytics.Multimodal.MediaRecord]
-    val sig = graft.analytics.Multimodal.dHash56(media).toDF()
+    // only image rows participate, and decode is LENIENT: a corrupt or
+    // truncated payload (routine in crawl streams) yields no signature
+    // and the row PASSES THROUGH to downstream quality/DLQ gates —
+    // a thrown decode would fail the micro-batch and wedge the
+    // checkpoint in a replay loop
+    val media = batch
+      .filter(col("mediaType").startsWith("image/"))
+      .select(col(idCol).cast("long").as("id"),
+        col("mediaType"), col("payload"))
+      .as[graft.analytics.Multimodal.MediaRecord]
+    val sig = graft.analytics.Multimodal.dHash56Lenient(media).toDF()
       .select(col("id"), col("dhash"))
     val histB = historyHashes.select(col("dhash").cast("long").as("h_dhash"))
       .distinct()
@@ -219,6 +233,7 @@ object Gates {
       .filter(expr(s"bit_count(dhash ^ h_dhash) <= $maxDist"))
       .select(col("id").as(idCol)).distinct()
     batch.join(dupIds, Seq(idCol), "left_anti")
+    }
   }
 
   /** CDC-freshness gate against a FROZEN chunk store

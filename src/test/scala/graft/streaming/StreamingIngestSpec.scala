@@ -485,14 +485,22 @@ class StreamingIngestSpec extends SparkSuite {
       // one flipped comparison: Hamming 1 -> dropped
       (11L, "image/png", png(hGradNear()), "b"),
       // vertical gradient: Hamming 56 -> kept
-      (12L, "image/png", png(vGrad(8, 8)), "c"))
+      (12L, "image/png", png(vGrad(8, 8)), "c"),
+      // corrupt payload: lenient decode -> no signature -> PASSES
+      // THROUGH (a crawl stream's routine garbage must not wedge the
+      // checkpoint in a replay loop)
+      (13L, "image/png", "not a png".getBytes("UTF-8"), "d"),
+      // non-image media never participates -> passes through
+      (14L, "audio/wav", "wav bytes".getBytes("UTF-8"), "e"))
       .toDF("id", "mediaType", "payload", "extra")
     val kept = Gates.imageDedup(histHashes)(batch)
     assert(kept.columns.toSeq == Seq("id", "mediaType", "payload", "extra"),
       "gate must pass the batch schema through")
-    assert(kept.select("id").as[Long].collect().toSeq == Seq(12L))
+    assert(kept.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(12L, 13L, 14L))
+    // misconfiguration fails at WIRING time, before any batch runs
     intercept[IllegalArgumentException] {
-      Gates.imageDedup(histHashes, maxDist = 4)(batch)
+      Gates.imageDedup(histHashes, maxDist = 4)
     }
   }
 
