@@ -328,15 +328,22 @@ object Bench {
       val ok = ts.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }
-    // retried rows switch statistic to MIN-OF-ALL-REPS (the sweep's
-    // regression statistic): the median of n breached originals plus 2
-    // retries is mathematically still a breached value, so a
-    // median-statistic retry could never overwrite a drifted reading —
-    // the exact failure the tiering exists to prevent. A retried row
-    // whose min STILL breaches is a real regression and records as one.
+    // A retried row records the MEDIAN OF ITS RERUN (a fresh full rep
+    // set), not a fold over originals+retries: the median over the
+    // combined reps is mathematically still the breached value (the
+    // retry could never overwrite a drifted reading), while a min over
+    // them would silently mix two statistics in the committed maps AND
+    // mask crashed reps (min filters -1 sentinels; failures must stay
+    // machine-loud). Discarding the dirty window and recording one
+    // clean window's median keeps the statistic uniform — a real
+    // regression reproduces in the rerun, a crash in the rerun records
+    // -1 and exits non-zero, and the full original+rerun sequence stays
+    // visible in spread.
     val groupRetried = scala.collection.mutable.ArrayBuffer.empty[String]
+    val groupRerun =
+      scala.collection.mutable.Map.empty[String, Seq[Double]]
     def groupStat(k: String, ts: Seq[Double]): Double =
-      if (groupRetried.contains(k)) minOf(ts) else median(ts)
+      groupRerun.get(k).map(median).getOrElse(median(ts))
     def json(rs: Seq[(String, Seq[Double])]): String =
       rs.map { case (k, ts) => "\"" + k + f"\":${groupStat(k, ts)}%.3f" }
         .mkString("{", ",", "}")
@@ -372,13 +379,12 @@ object Bench {
       spark.stop()
       return
     }
-    // Round-16 (verdict #4): the group rows get the sweep's breach
-    // tiering — each row runs its usual reps, and a min-of-reps more
-    // than 1.5x the COMMITTED group statistic (or an all-failed row)
-    // triggers 2 extra reps on the spot. Retried rows record
-    // MIN-OF-ALL-REPS (see groupStat above — a median could never be
-    // un-breached by retries), `group_retried` names them, and a row
-    // whose min still breaches after 5 reps is a real regression, not
+    // Round-16 (verdict #4): the group rows get breach tiering — each
+    // row runs its usual reps, and a min-of-reps more than 1.5x the
+    // COMMITTED group statistic (or an all-failed row) triggers a FULL
+    // RERUN on the spot whose median becomes the recorded value (see
+    // groupStat above). `group_retried` names the rows that tripped; a
+    // row whose rerun median still breaches is a real regression, not
     // a dirty window.
     val committedGroup = committedGroupStats()
     def runGroup(names: Seq[String]): Seq[(String, Seq[Double])] =
@@ -391,7 +397,9 @@ object Bench {
         }
         if (breach) {
           groupRetried += name
-          name -> (ts ++ runReps(Seq(name), 2).head._2)
+          val rerun = runReps(Seq(name), reps).head._2
+          groupRerun(name) = rerun
+          name -> (ts ++ rerun)
         } else name -> ts
       }
     val results = runGroup(headline)
