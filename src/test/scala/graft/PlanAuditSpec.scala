@@ -888,4 +888,17 @@ class PlanAuditSpec extends SparkSuite {
           p.contains("partial_max"), s"$q lost map-side combine:\n$p")
       }
   }
+  test("mm_dhash rows: decode is map-only (no shuffle before the bucket " +
+    "aggregate), and the near-dup candidate join is a hash equi-join at " +
+    "signature grain — never a cartesian or nested-loop pairing") {
+    val d = plan("mm_dhash_dedup")
+    assert(d.contains("partial_count"), s"bucket groupBy lost map-side combine:\n$d")
+    assert(!d.contains("CartesianProduct") && !d.contains("Join"),
+      s"dedup bucketing must not join at all:\n$d")
+    val n = plan("mm_dhash_near_dup")
+    assert(!n.contains("CartesianProduct") &&
+      !n.contains("BroadcastNestedLoopJoin"),
+      s"near-dup pairing degenerated past the banded equi-join:\n$n")
+    assert(n.contains("Join"), s"banded candidate join missing:\n$n")
+  }
 }
