@@ -108,6 +108,44 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize — decode, nearest-neighbor resample at the exact
+    * integer coordinate map `src = dst·srcDim / dstDim` (floor), PNG
+    * re-encode — replacing the byte-subsample stub for the image
+    * mediaType (audio/video keep the stub: no codec lib ships here).
+    * Deterministic integer sampling plus PNG's losslessness keep every
+    * resized pixel a closed form a SQL oracle replays; the thumbnail /
+    * training-resolution normalization step of an image pipeline.
+    * Map-only per partition like every media op; output payloads are
+    * real PNGs that feed straight back into [[extractImageFeatures]] /
+    * [[dHash56]]. */
+  def resizeImages(ds: Dataset[MediaRecord], targetW: Int,
+                   targetH: Int): Dataset[MediaRecord] = {
+    require(targetW > 0 && targetH > 0)
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.payload))
+        require(img != null, s"undecodable image payload for id=${rec.id}")
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < targetH) {
+          val sy = y * img.getHeight / targetH
+          var x = 0
+          while (x < targetW) {
+            out.setRGB(x, y, img.getRGB(x * img.getWidth / targetW, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        MediaRecord(rec.id, "image/png", bos.toByteArray)
+      }
+    }
+  }
+
   /** [[dHash56]] with crawl-tolerant failure semantics: undecodable
     * payloads are SKIPPED instead of thrown — the variant a streaming
     * gate needs, where one corrupt PNG in a micro-batch must not wedge

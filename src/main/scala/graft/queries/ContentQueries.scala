@@ -3151,6 +3151,25 @@ object ContentQueries {
         .orderBy(col("dhash"))
     }),
 
+    // REAL image resize end-to-end (round 16): every fixture PNG
+    // decodes, resamples nearest-neighbor to 8x6 at the exact integer
+    // map src = dst*srcDim/dstDim, re-encodes as PNG, and the RESIZED
+    // bytes decode again through extractImageFeatures — two genuine
+    // codec round trips. The oracle recomputes the resized red checksum
+    // from the generator closed form at the sampled coordinates, so a
+    // hash match certifies the resample arithmetic pixel-for-pixel.
+    // This is the thumbnail/training-resolution normalization step of
+    // an image pipeline; audio/video keep the documented stub (no codec
+    // lib in this container). Map-only per partition.
+    "mm_resize_real" -> ((s, d) => {
+      val resized = Multimodal.resizeImages(pngFixture(s, d), 8, 6)
+      Multimodal.extractImageFeatures(resized).toDF()
+        .select(col("id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("redSum").as("red_sum"))
+        .orderBy(col("id"))
+    }),
+
     // Image NEAR-dup pairs (round 16): the banded-LSH step over dHash —
     // distinct hashes split into 4 x 14-bit bands, candidates self-join
     // per band at |distinct hash| grain (NEVER per image — the bucket
@@ -5701,6 +5720,19 @@ object ContentQueries {
         |  CAST(count(*) AS BIGINT) AS n_images,
         |  min(id) AS min_id, max(id) AS max_id
         |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // resized red checksum replayed at the nearest-neighbor sampled
+    // coordinates: src = dst*srcDim/dstDim (floor), pixel (id+sx+sy)%256
+    "mm_resize_real" ->
+      """WITH px AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 31 + 1 AS BIGINT) AS w,
+        |    CAST(doc_id % 17 + 1 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT id, CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+        |  CAST(SUM((id + (x.range * w) // 8 + (y.range * h) // 6) % 256)
+        |    AS BIGINT) AS red_sum
+        |FROM px CROSS JOIN range(0, 8) x CROSS JOIN range(0, 6) y
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the banded near-dup replay: same closed-form bit assembly, then
     // bands, the distinct candidate join, and XOR popcount verify

@@ -107,6 +107,37 @@ class MultimodalSpec extends SparkSuite {
         hashes.mkString(","))
   }
 
+  test("resizeImages: real nearest-neighbor resample through two PNG " +
+    "codec round-trips — exact integer coordinate map, downscale and " +
+    "upscale, output feeds the image operators directly") {
+    // 7x5 fixture, red = (id+x+y)%256 — resample to 4x2 must pick
+    // src = dst*srcDim/dstDim exactly
+    val ds = spark.createDataset(Seq(
+      MediaRecord(42L, "image/png", Multimodal.encodePng(42L, 7, 5))))
+    val small = resizeImages(ds, 4, 2).collect().head
+    assert(small.mediaType == "image/png")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(small.payload))
+    assert(img.getWidth == 4 && img.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val sx = x * 7 / 4; val sy = y * 5 / 2
+      val want = ((42L + sx + sy) % 256).toInt
+      val got = (img.getRGB(x, y) >> 16) & 0xFF
+      assert(got == want, s"($x,$y): got $got want $want")
+    }
+    // upscale from 1x1: every output pixel is the single source pixel
+    val one = spark.createDataset(Seq(
+      MediaRecord(7L, "image/png", Multimodal.encodePng(7L, 1, 1))))
+    val up = resizeImages(one, 8, 6).collect().head
+    val upImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(up.payload))
+    val reds = for (y <- 0 until 6; x <- 0 until 8)
+      yield (upImg.getRGB(x, y) >> 16) & 0xFF
+    assert(reds.distinct == Seq(7), reds.distinct.toString)
+    // resized output is a first-class MediaRecord: dHash56 consumes it
+    assert(dHash56(resizeImages(ds, 16, 16)).collect().head.width == 16)
+  }
+
   test("frame sampling emits bounded per-media frames in order") {
     val frames = sampleFrames(media(), stride = 4).collect()
     val byId = frames.groupBy(_.id)
