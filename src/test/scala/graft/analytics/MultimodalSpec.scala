@@ -107,6 +107,34 @@ class MultimodalSpec extends SparkSuite {
         hashes.mkString(","))
   }
 
+  test("dHash56 is format-robust: the same image encoded as PNG, JPEG, " +
+    "and BMP lands within Hamming <= 3 — the cross-format near-dup case " +
+    "a crawl dedup actually faces") {
+    // smooth 64x64 gradient: the structure dHash keys on, and the shape
+    // JPEG's DCT preserves well
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = (x * 4 + y) & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "image/png", enc("png")),
+      MediaRecord(2L, "image/jpeg", enc("jpg")),
+      MediaRecord(3L, "image/bmp", enc("bmp"))))
+    val hs = dHash56(ds).collect().sortBy(_.id).map(_.dhash)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(2)) == 0, "PNG and BMP are both lossless")
+    assert(ham(hs(0), hs(1)) <= 3,
+      s"JPEG drifted ${ham(hs(0), hs(1))} bits from PNG — dHash must " +
+        "survive lossy re-encoding of the same structure")
+  }
+
   test("resizeImages: real nearest-neighbor resample through two PNG " +
     "codec round-trips — exact integer coordinate map, downscale and " +
     "upscale, output feeds the image operators directly") {
