@@ -84,6 +84,11 @@ def main():
 
     rows = {}
     failed = {}
+    # a row the prior ref cannot time (e.g. a soak component named after
+    # the prior commit) must be REPORTED, not silently dropped — else an
+    # adjudication can read as "pass" while measuring nothing
+    no_prior = {q: [round(t, 3) for t in cur[q]]
+                for q in sorted(set(cur) - set(pri))}
     for q in sorted(set(cur) & set(pri)):
         a = [t for t in cur[q] if t >= 0]
         b = [t for t in pri[q] if t >= 0]
@@ -109,7 +114,8 @@ def main():
            "statistic": "min-of-all-reps",
            "rounds": args.rounds, "reps_per_round": args.reps,
            "n_queries": len(rows), "pass": not breaches,
-           "gate_breaches": breaches, "failed": failed, "queries": rows}
+           "gate_breaches": breaches, "failed": failed,
+           "no_prior": no_prior, "queries": rows}
     path = os.path.join(REPO, args.out)
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
