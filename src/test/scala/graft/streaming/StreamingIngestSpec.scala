@@ -447,6 +447,62 @@ class StreamingIngestSpec extends SparkSuite {
       s"near-dup 10 must be dropped inside the stack; got ${kept.toSeq}")
   }
 
+  test("streaming Avro ingest with a union column: the avro.union " +
+    "metadata rides the full pipeline (source schema -> payload select " +
+    "-> AvroGroupWriter) and the landed container files carry a TRUE " +
+    "union with the right branch per row") {
+    val src = Files.createTempDirectory("aun_src").toString
+    val out = Files.createTempDirectory("aun_out").toString
+    val ckpt = Files.createTempDirectory("aun_ckpt").toString
+    val unionT = StructType(Seq(
+      StructField("s", StringType), StructField("n", LongType)))
+    val srcSchema = StructType(Seq(
+      StructField("kafka_partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("u", unionT, nullable = true,
+        new MetadataBuilder().putBoolean("avro.union", true).build())))
+    Seq(
+      (0, 0L, "hello", null: java.lang.Long),
+      (0, 1L, null: String, java.lang.Long.valueOf(42L)),
+      (0, 2L, null: String, null: java.lang.Long))
+      .toDF("kafka_partition", "offset", "s", "n")
+      .select(col("kafka_partition"), col("offset"),
+        when(col("offset") === 2, lit(null).cast(unionT))
+          .otherwise(struct(col("s"), col("n"))).as("u"))
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = StreamingIngest.startPipeline(
+      spark.readStream.schema(srcSchema).parquet(src),
+      graft.ingest.IngestConfig(topic = "aun",
+        format = graft.ingest.OutputFormat.Avro, flushSize = 100),
+      graft.ingest.PartitionerSpec.Default, out, ckpt,
+      col("kafka_partition"), col("offset"),
+      payloadCols = Seq(col("offset"), col("u")))
+    q.awaitTermination(60000)
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val f = new java.io.File(s"$out/topics/aun/partition=0")
+      .listFiles().filter(_.getName.endsWith(".avro")).head
+    val reader = new DataFileReader[GenericRecord](f,
+      new GenericDatumReader[GenericRecord]())
+    val recs = Iterator.continually(reader)
+      .takeWhile(_.hasNext).map(_.next()).toVector
+    reader.close()
+    assert(recs.length == 3)
+    val uSchema = recs.head.getSchema.getField("u").schema()
+    import scala.collection.JavaConverters._
+    assert(uSchema.getType == org.apache.avro.Schema.Type.UNION &&
+      uSchema.getTypes.asScala.map(_.getType).toList ==
+        List(org.apache.avro.Schema.Type.NULL,
+          org.apache.avro.Schema.Type.STRING,
+          org.apache.avro.Schema.Type.LONG),
+      uSchema.toString)
+    val byOff = recs.map(r =>
+      r.get("offset").asInstanceOf[Long] -> r.get("u")).toMap
+    assert(byOff(0L).toString == "hello")
+    assert(byOff(1L) == java.lang.Long.valueOf(42L))
+    assert(byOff(2L) == null)
+  }
+
   test("Gates.imageDedup drops perceptual dups of the frozen history " +
     "(exact across resolutions, near at hamming<=3), keeps the rest, " +
     "and passes the batch schema through") {
