@@ -340,9 +340,11 @@ object Bench {
     // regression reproduces in the rerun, a crash in the rerun records
     // -1 and exits non-zero, and the full original+rerun sequence stays
     // visible in spread.
-    val groupRetried = scala.collection.mutable.ArrayBuffer.empty[String]
+    // one structure: keys are the retried rows (feeds group_retried),
+    // values the rerun reps (feed groupStat) — parallel collections
+    // could silently desynchronize
     val groupRerun =
-      scala.collection.mutable.Map.empty[String, Seq[Double]]
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def groupStat(k: String, ts: Seq[Double]): Double =
       groupRerun.get(k).map(median).getOrElse(median(ts))
     def json(rs: Seq[(String, Seq[Double])]): String =
@@ -397,7 +399,6 @@ object Bench {
           case None => ok.isEmpty
         }
         if (breach) {
-          groupRetried += name
           val rerun = runReps(Seq(name), reps).head._2
           groupRerun(name) = rerun
           name -> (ts ++ rerun)
@@ -616,8 +617,18 @@ object Bench {
     val unbenched = (SparkEntry.queries.keySet -- benchedNames.toSet)
       .toSeq.sorted
     val unbenchedJson = unbenched.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // machine-loud confirmed breaches: a retried row whose RERUN median
+    // still exceeds 1.5x the committed statistic is either a real
+    // regression or two dirty windows in a row — either way it must be
+    // named in the artifact, not discoverable only by diffing medians.
+    // (The recorded median re-commits each round, so a doubly-dirty
+    // window self-corrects on the next clean run rather than ratcheting.)
+    val groupBreachConfirmed = groupRerun.collect {
+      case (k, rerun) if committedGroup.get(k)
+        .exists(c => median(rerun) < 0 || median(rerun) > c * 1.5) => k
+    }.toSeq
     val line =
-      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"n_queries":${benchedNames.size},"n_registered":$nRegistered,"unbenched":$unbenchedJson,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"queries_r12":${json(r12)},"value_r12":${total(r12)}%.3f,"queries_r13":${json(r13)},"value_r13":${total(r13)}%.3f,"queries_r14":${json(r14)},"value_r14":${total(r14)}%.3f,"queries_r15":${json(r15)},"value_r15":${total(r15)}%.3f,"queries_r16":${json(r16)},"value_r16":${total(r16)}%.3f,"queries_sweep":${jsonMin(sweep)},"value_sweep":${sweep.map(r => minOf(r._2)).filter(_ >= 0).sum}%.3f,"n_sweep":${sweep.size},"sweep_reps":$sweepReps,"sweep_statistic":"min-of-reps","sweep_tiered":${committedMins.nonEmpty},"sweep_retried":${sweepRetried.map("\"" + _ + "\"").mkString("[", ",", "]")},"group_tiered":${committedGroup.nonEmpty},"group_retried":${groupRetried.map("\"" + _ + "\"").mkString("[", ",", "]")},"sweep_spread":${spreadJson(sweep)},"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"bpe_train_scale1024":$bpeScale1024,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"n_queries":${benchedNames.size},"n_registered":$nRegistered,"unbenched":$unbenchedJson,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"queries_r12":${json(r12)},"value_r12":${total(r12)}%.3f,"queries_r13":${json(r13)},"value_r13":${total(r13)}%.3f,"queries_r14":${json(r14)},"value_r14":${total(r14)}%.3f,"queries_r15":${json(r15)},"value_r15":${total(r15)}%.3f,"queries_r16":${json(r16)},"value_r16":${total(r16)}%.3f,"queries_sweep":${jsonMin(sweep)},"value_sweep":${sweep.map(r => minOf(r._2)).filter(_ >= 0).sum}%.3f,"n_sweep":${sweep.size},"sweep_reps":$sweepReps,"sweep_statistic":"min-of-reps","sweep_tiered":${committedMins.nonEmpty},"sweep_retried":${sweepRetried.map("\"" + _ + "\"").mkString("[", ",", "]")},"group_tiered":${committedGroup.nonEmpty},"group_retried":${groupRerun.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},"group_breach_confirmed":${groupBreachConfirmed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sweep_spread":${spreadJson(sweep)},"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"bpe_train_scale1024":$bpeScale1024,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the TAIL of sbt's output, and this line has
     // outgrown the capture window (round 10's official artifact lost every

@@ -84,11 +84,14 @@ def main():
 
     rows = {}
     failed = {}
-    # a row the prior ref cannot time (e.g. a soak component named after
-    # the prior commit) must be REPORTED, not silently dropped — else an
-    # adjudication can read as "pass" while measuring nothing
+    # rows one side cannot time must be REPORTED, not silently dropped —
+    # else an adjudication can read as "pass" while measuring nothing:
+    # no_prior = named after the prior commit (informational), no_current
+    # = renamed/deleted on HEAD (the adjudication cannot conclude)
     no_prior = {q: [round(t, 3) for t in cur[q]]
                 for q in sorted(set(cur) - set(pri))}
+    no_current = {q: [round(t, 3) for t in pri[q]]
+                  for q in sorted(set(pri) - set(cur))}
     for q in sorted(set(cur) & set(pri)):
         a = [t for t in cur[q] if t >= 0]
         b = [t for t in pri[q] if t >= 0]
@@ -113,9 +116,13 @@ def main():
            "order": "prior-first, isolated, alternating",
            "statistic": "min-of-all-reps",
            "rounds": args.rounds, "reps_per_round": args.reps,
-           "n_queries": len(rows), "pass": not breaches,
+           "n_queries": len(rows),
+           # measuring zero ratios, or losing a flagged row on the
+           # current side, is NOT a pass
+           "pass": not breaches and not no_current and bool(rows),
            "gate_breaches": breaches, "failed": failed,
-           "no_prior": no_prior, "queries": rows}
+           "no_prior": no_prior, "no_current": no_current,
+           "queries": rows}
     path = os.path.join(REPO, args.out)
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
@@ -123,7 +130,7 @@ def main():
                      indent=1, sort_keys=True))
     print(f"wrote {path}")
     sh(["git", "worktree", "remove", "--force", wt], check=False)
-    sys.exit(1 if breaches else 0)
+    sys.exit(0 if out["pass"] else 1)
 
 
 if __name__ == "__main__":
