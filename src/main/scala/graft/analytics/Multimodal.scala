@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's stream cache defaults to FILE-backed: every read/write
+  // materializes (and deletes) a temp file — pure syscall overhead when
+  // the payload is already an in-memory byte array, and a per-image tax
+  // a 100 TB crawl pays millions of times per executor. Memory caching
+  // decodes the identical pixels. Runs once per JVM at object init; the
+  // executors initialize this object the first time any media closure
+  // runs, so the switch reaches every task JVM without cluster conf.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRecord(id: Long, mediaType: String,
                                payload: Array[Byte])
   final case class MediaFeatures(id: Long, mediaType: String, nBytes: Long,
