@@ -627,8 +627,37 @@ object Bench {
       case (k, rerun) if committedGroup.get(k)
         .exists(c => median(rerun) < 0 || median(rerun) > c * 1.5) => k
     }.toSeq
+    // Window-drift normalization (round 16, learned the night the VM ran
+    // every Spark row 1.2-1.5x slow while CPU/IO probes stayed healthy):
+    // a uniformly slow window trips dozens of per-row breaches that then
+    // "confirm" on retry because the rerun shares the window — drift
+    // reads as regression, 33 rows loud, zero of them real. So the
+    // artifact now records the WINDOW itself: window_factor = median
+    // over all group rows with a committed statistic of
+    // (min-of-reps / committed). ~1.0 = clean window; >>1 = the whole
+    // window ran slow and per-row breaches must be read against it.
+    // group_breach_confirmed_adj re-tests each confirmed breach against
+    // committed * 1.5 * max(1, window_factor): a real regression stays
+    // named even in a slow window (it breaches ON TOP of the uniform
+    // drift), while pure drift empties the adjusted list. The raw
+    // confirmed list stays in the artifact — the adjusted list is the
+    // triage order, not a replacement for the evidence.
+    val windowRatios = grouped.flatMap { case (k, ts) =>
+      val ok = ts.filter(_ >= 0)
+      committedGroup.get(k).collect {
+        case c if c > 0 && ok.nonEmpty => ok.min / c
+      }
+    }
+    val windowFactor =
+      if (windowRatios.isEmpty) 1.0
+      else windowRatios.sorted.apply(windowRatios.size / 2)
+    val groupBreachConfirmedAdj = groupRerun.collect {
+      case (k, rerun) if committedGroup.get(k).exists(c =>
+        median(rerun) < 0 ||
+          median(rerun) > c * 1.5 * math.max(1.0, windowFactor)) => k
+    }.toSeq
     val line =
-      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"n_queries":${benchedNames.size},"n_registered":$nRegistered,"unbenched":$unbenchedJson,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"queries_r12":${json(r12)},"value_r12":${total(r12)}%.3f,"queries_r13":${json(r13)},"value_r13":${total(r13)}%.3f,"queries_r14":${json(r14)},"value_r14":${total(r14)}%.3f,"queries_r15":${json(r15)},"value_r15":${total(r15)}%.3f,"queries_r16":${json(r16)},"value_r16":${total(r16)}%.3f,"queries_sweep":${jsonMin(sweep)},"value_sweep":${sweep.map(r => minOf(r._2)).filter(_ >= 0).sum}%.3f,"n_sweep":${sweep.size},"sweep_reps":$sweepReps,"sweep_statistic":"min-of-reps","sweep_tiered":${committedMins.nonEmpty},"sweep_retried":${sweepRetried.map("\"" + _ + "\"").mkString("[", ",", "]")},"group_tiered":${committedGroup.nonEmpty},"group_retried":${groupRerun.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},"group_breach_confirmed":${groupBreachConfirmed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sweep_spread":${spreadJson(sweep)},"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"bpe_train_scale1024":$bpeScale1024,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"n_queries":${benchedNames.size},"n_registered":$nRegistered,"unbenched":$unbenchedJson,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"queries_r12":${json(r12)},"value_r12":${total(r12)}%.3f,"queries_r13":${json(r13)},"value_r13":${total(r13)}%.3f,"queries_r14":${json(r14)},"value_r14":${total(r14)}%.3f,"queries_r15":${json(r15)},"value_r15":${total(r15)}%.3f,"queries_r16":${json(r16)},"value_r16":${total(r16)}%.3f,"queries_sweep":${jsonMin(sweep)},"value_sweep":${sweep.map(r => minOf(r._2)).filter(_ >= 0).sum}%.3f,"n_sweep":${sweep.size},"sweep_reps":$sweepReps,"sweep_statistic":"min-of-reps","sweep_tiered":${committedMins.nonEmpty},"sweep_retried":${sweepRetried.map("\"" + _ + "\"").mkString("[", ",", "]")},"group_tiered":${committedGroup.nonEmpty},"group_retried":${groupRerun.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},"group_breach_confirmed":${groupBreachConfirmed.map("\"" + _ + "\"").mkString("[", ",", "]")},"window_factor":$windowFactor%.3f,"group_breach_confirmed_adj":${groupBreachConfirmedAdj.map("\"" + _ + "\"").mkString("[", ",", "]")},"sweep_spread":${spreadJson(sweep)},"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"bpe_train_scale1024":$bpeScale1024,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the TAIL of sbt's output, and this line has
     // outgrown the capture window (round 10's official artifact lost every
