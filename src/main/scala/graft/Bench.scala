@@ -121,7 +121,7 @@ object Bench {
   // Round-16 additions, reported under "queries_r16"/"value_r16".
   val additionsR16: Seq[String] = Seq(
     "ingest_avro_union", "mm_dhash_dedup", "mm_dhash_near_dup",
-    "mm_resize_real")
+    "mm_resize_real", "mm_dhash_incremental")
 
   /** Every registered query belongs to exactly one bench surface: the
     * headline set, a round-addition group, or — for everything else —

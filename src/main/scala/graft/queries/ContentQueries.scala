@@ -3200,6 +3200,29 @@ object ContentQueries {
         .orderBy(col("h1"), col("h2"))
     }),
 
+    // INCREMENTAL image dedup (batch vs signature lake): the relational
+    // twin of the streaming `Gates.imageDedup` — today's crawl batch
+    // (id % 5 == 0) decodes, hashes, and anti-joins against the FROZEN
+    // signature history (every other image's dhash), keeping only
+    // genuinely-new structures; survivors dedup within the batch at
+    // signature grain (min id kept). This is the production daily-crawl
+    // shape: at 100 TB the history side is a distinct-signature TABLE
+    // (233 signatures per 5k images here — the bucket collapse), never
+    // the image corpus, so the anti-join is signature-grain on both
+    // sides and only the new batch ever decodes. Oracle replays the
+    // whole chain decoder-free from the generator closed form.
+    "mm_dhash_incremental" -> ((s, d) => {
+      val sigs = Multimodal.dHash56(pngFixture(s, d)).toDF()
+      val hist = sigs.filter(col("id") % 5 =!= 0)
+        .select(col("dhash")).distinct()
+      sigs.filter(col("id") % 5 === 0)
+        .join(hist, Seq("dhash"), "left_anti")
+        .groupBy(col("dhash"))
+        .agg(count(lit(1)).cast("long").as("n_batch"),
+          min(col("id")).as("keep_id"))
+        .orderBy(col("dhash"))
+    }),
+
     // Multimodal plumbing: documents' text bytes as opaque payloads through
     // the mapPartitions feature extractor (decode step is a deterministic
     // stub; schema/partitioning/batch shape are the real pipeline).
@@ -5762,6 +5785,29 @@ object ContentQueries {
         |  n1, n2
         |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    // incremental image dedup replay: same closed-form bit assembly,
+    // frozen history = distinct signatures of id % 5 != 0, anti-join
+    "mm_dhash_incremental" ->
+      """WITH px AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 31 + 1 AS BIGINT) AS w,
+        |    CAST(doc_id % 17 + 1 AS BIGINT) AS h
+        |  FROM documents),
+        |bits AS (SELECT id,
+        |    SUM(CASE WHEN
+        |        ((id + ((c.range + 1) * w) // 8 + (r.range * h) // 8) % 256)
+        |      > ((id + (c.range * w) // 8 + (r.range * h) // 8) % 256)
+        |      THEN (CAST(1 AS BIGINT) << CAST(r.range * 7 + c.range AS INT))
+        |      ELSE 0 END) AS dhash
+        |  FROM px CROSS JOIN range(0, 8) r CROSS JOIN range(0, 7) c
+        |  GROUP BY id),
+        |hist AS (SELECT DISTINCT dhash FROM bits WHERE id % 5 <> 0),
+        |batch AS (SELECT id, dhash FROM bits WHERE id % 5 = 0)
+        |SELECT CAST(b.dhash AS BIGINT) AS dhash,
+        |  CAST(count(*) AS BIGINT) AS n_batch, min(b.id) AS keep_id
+        |FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.dhash = b.dhash)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_topk_ivfpq" ->
       """WITH v AS (SELECT vec_id,
