@@ -900,5 +900,16 @@ class PlanAuditSpec extends SparkSuite {
       !n.contains("BroadcastNestedLoopJoin"),
       s"near-dup pairing degenerated past the banded equi-join:\n$n")
     assert(n.contains("Join"), s"banded candidate join missing:\n$n")
+    // incremental: the history side collapses to distinct signatures
+    // BEFORE the anti-join (signature grain both sides — at 100 TB the
+    // lake side is a signature table, never the image corpus), and the
+    // anti-join is a hash equi-join, not a nested-loop scan
+    val i = plan("mm_dhash_incremental")
+    assert(i.contains("LeftAnti"), s"history anti-join missing:\n$i")
+    assert(!i.contains("CartesianProduct") &&
+      !i.contains("BroadcastNestedLoopJoin"),
+      s"incremental anti-join degenerated to a non-equi pairing:\n$i")
+    assert(i.contains("partial_count"),
+      s"batch survivor groupBy lost map-side combine:\n$i")
   }
 }
