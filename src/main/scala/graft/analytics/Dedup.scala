@@ -695,7 +695,17 @@ object Dedup {
     while (!converged && i < maxIters) {
       // large-star: for each node u (both directions), m = min(u, N(u));
       // every neighbor v > u re-points to m. Output stays canonical
-      // (m <= u < v).
+      // (m <= u < v). No distinct here (round 16): duplicate (m, v)
+      // rows cannot change small-star's min aggregate and the round's
+      // output set is deduped below, so the intermediate dedup exchange
+      // was pure cost — one full exchange per round removed at any
+      // scale; volume stays bounded by |adjL| = 2|E|. (A/B min-of-3:
+      // 1.38 → 1.29 s on the sf0.1 near-dup graph, identical label
+      // checksums; explicit partition pinning and SHUFFLE_HASH hints
+      // were ALSO tried here and measured slower — this loop's state is
+      // a shrinking edge list whose per-round aggregates the planner
+      // already broadcasts well, unlike the Graph loops' cached-frame
+      // joins.)
       val adjL = edges.select(col("lo").as("u"), col("hi").as("v"))
         .union(edges.select(col("hi").as("u"), col("lo").as("v")))
       val minsL = adjL.groupBy(col("u")).agg(min(col("v")).as("mv"))
@@ -703,7 +713,6 @@ object Dedup {
       val ls = adjL.join(minsL, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("m").as("lo"), col("v").as("hi"))
-        .distinct()
       // small-star: for each node u, its SMALLER neighbors (plus u) all
       // re-point to their minimum mv (< u by construction).
       val adjS = ls.select(col("hi").as("u"), col("lo").as("v"))

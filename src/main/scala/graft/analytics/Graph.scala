@@ -64,6 +64,14 @@ object Graph {
     * distinct node appearing in `edges`. */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
                iters: Int = 10, ckptEvery: Int = 5): DataFrame = {
+    // size-adaptive loop partition count (Tuning.loopPartitions): every
+    // cached frame and every loop-state exchange below is pinned to it,
+    // keeping all per-round joins CO-PARTITIONED (round 16: with the
+    // count left at spark.sql.shuffle.partitions the planner instead
+    // re-broadcast the cached edge frame every round — a per-round
+    // BroadcastExchange rebuild measured at ~0.45 s/round at sf0.1, and
+    // at 100 TB the broadcast side would be the EDGE table)
+    val p = Tuning.loopPartitions(edges)
     // persisted: referenced four times below (node union ×2, the outdeg
     // aggregate, the join's edge side) — an expensive upstream edge
     // derivation (the O(n²) exact k-NN build) would otherwise recompute
@@ -71,7 +79,8 @@ object Graph {
     val e0 = Caches.persist(edges.select(src.as("src"), dst.as("dst")))
     val nodes = Caches.persist(
       e0.select(col("src").as("node"))
-        .union(e0.select(col("dst").as("node"))).distinct())
+        .union(e0.select(col("dst").as("node"))).distinct()
+        .repartition(p, col("node")))
     val n = nodes.count()
     require(n >= 2, s"pageRank needs >= 2 nodes, got $n")
     val init = TotalMass / n
@@ -84,18 +93,26 @@ object Graph {
     // moves. At 100 TB this is the bucketed edge table.
     val e = Caches.persist(
       e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
-        Seq("src")).repartition(col("src")))
+        Seq("src")).repartition(p, col("src")))
     var ranks = nodes.withColumn("rank", lit(init))
       .localCheckpoint(false)
     (1 to iters).foreach { i =>
       // `div` (integral division), NOT double `/` + cast: a double
       // quotient within one ulp of an integer boundary rounds UP and
-      // breaks the exact integer contract the oracle replays
-      val inflow = e.join(ranks, e("src") === ranks("node"))
+      // breaks the exact integer contract the oracle replays.
+      // SHUFFLE_HASH on the rank side: the cached edge partition stays
+      // streamed and UNSORTED (SMJ would re-sort it every round; a
+      // broadcast would rebuild and ship it every round); the explicit
+      // repartition(p, node) feeds the inflow aggregate AND the
+      // co-partitioned left join, so each round is exactly ONE exchange
+      // of the small rank-mass rows.
+      val inflow = e.join(ranks.hint("SHUFFLE_HASH"),
+          e("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr("rank div outdeg").as("c"))
+        .repartition(p, col("node"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      ranks = nodes.join(inflow, Seq("node"), "left")
+      ranks = nodes.join(inflow.hint("SHUFFLE_HASH"), Seq("node"), "left")
         .select(col("node"),
           expr(s"${base}L + (85L * coalesce(inflow, 0L)) div 100L")
             .as("rank"))
@@ -121,6 +138,8 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, src: Column, dst: Column,
                            seeds: DataFrame, seedCol: Column,
                            iters: Int = 10, ckptEvery: Int = 5): DataFrame = {
+    // same size-adaptive pinned-partitioning discipline as pageRank
+    val p = Tuning.loopPartitions(edges)
     // persisted for the same four-reference reason as pageRank's e0
     val e0 = Caches.persist(edges.select(src.as("src"), dst.as("dst")))
     val sd = seeds.select(seedCol.as("node")).distinct()
@@ -129,7 +148,8 @@ object Graph {
         .union(e0.select(col("dst").as("node"))).distinct()
         .join(sd.withColumn("is_seed", lit(true)), Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("is_seed"), lit(false)).as("is_seed")))
+          coalesce(col("is_seed"), lit(false)).as("is_seed"))
+        .repartition(p, col("node")))
     val nSeeds = nodes.filter(col("is_seed")).count()
     require(nSeeds >= 1, "personalizedPageRank needs >= 1 seed in the graph")
     val share = TotalMass / nSeeds
@@ -138,17 +158,20 @@ object Graph {
     // per-round join key once, reuse it every round
     val e = Caches.persist(
       e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
-        Seq("src")).repartition(col("src")))
+        Seq("src")).repartition(p, col("src")))
     var ranks = nodes
       .select(col("node"),
         when(col("is_seed"), lit(share)).otherwise(lit(0L)).as("rank"))
       .localCheckpoint(false)
     (1 to iters).foreach { i =>
-      val inflow = e.join(ranks, e("src") === ranks("node"))
+      // one exchange per round — see pageRank's loop comment
+      val inflow = e.join(ranks.hint("SHUFFLE_HASH"),
+          e("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr("rank div outdeg").as("c"))
+        .repartition(p, col("node"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      ranks = nodes.join(inflow, Seq("node"), "left")
+      ranks = nodes.join(inflow.hint("SHUFFLE_HASH"), Seq("node"), "left")
         .select(col("node"),
           (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
             expr("(85L * coalesce(inflow, 0L)) div 100L")).as("rank"))
@@ -187,9 +210,11 @@ object Graph {
   def labelPropagation(edges: DataFrame, src: Column, dst: Column,
                        seeds: DataFrame, idCol: Column, labCol: Column,
                        iters: Int = 5, ckptEvery: Int = 3): DataFrame = {
+    // size-adaptive pinned loop partitioning — see pageRank
+    val p = Tuning.loopPartitions(edges)
     // votes join on dst every round — partition the cached frame on it
     val e = Caches.persist(edges.select(src.as("src"), dst.as("dst"))
-      .repartition(col("dst")))
+      .repartition(p, col("dst")))
     val sd = seeds.select(idCol.as("node"), labCol.cast("long").as("seed_lab"))
       .groupBy(col("node")).agg(min(col("seed_lab")).as("seed_lab"))
     val nodes = Caches.persist(
@@ -197,20 +222,28 @@ object Graph {
         .union(e.select(col("dst").as("node"))).distinct()
         .join(sd, Seq("node"), "left")
         .select(col("node"), col("seed_lab"),
-          col("seed_lab").isNotNull.as("is_seed")))
+          col("seed_lab").isNotNull.as("is_seed"))
+        .repartition(p, col("node")))
     var labs = nodes.select(col("node"), col("seed_lab").as("lab"))
       .localCheckpoint(false)
     (1 to iters).foreach { i =>
-      val votes = e.join(labs, e("dst") === labs("node"))
+      // one exchange per round (repartition(p, vn) — hash(vn) satisfies
+      // the (vn, lab) clustering of the first aggregate AND the (vn)
+      // clustering of the argmin, so both fold exchange-free); the vote
+      // join streams the cached dst-partitioned edge frame unsorted
+      // (SHUFFLE_HASH — SMJ would re-sort it every round, broadcast
+      // would rebuild + ship it every round)
+      val votes = e.join(labs.hint("SHUFFLE_HASH"), e("dst") === labs("node"))
         .filter(col("lab").isNotNull)
         .select(col("src").as("vn"), col("lab"))
+        .repartition(p, col("vn"))
         .groupBy(col("vn"), col("lab")).agg(count(lit(1)).as("c"))
         .groupBy(col("vn"))
         .agg(min(struct((-col("c")).as("nc"), col("lab").as("l"))).as("w"))
         .select(col("vn").as("node"), col("w.l").as("vlab"))
-      labs = nodes.join(labs.select(col("node"), col("lab").as("plab")),
-          Seq("node"))
-        .join(votes, Seq("node"), "left")
+      labs = nodes.join(labs.select(col("node"), col("lab").as("plab"))
+            .hint("SHUFFLE_HASH"), Seq("node"))
+        .join(votes.hint("SHUFFLE_HASH"), Seq("node"), "left")
         .select(col("node"),
           when(col("is_seed"), col("seed_lab"))
             .otherwise(coalesce(col("vlab"), col("plab"))).as("lab"))
@@ -246,14 +279,19 @@ object Graph {
   def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
             rounds: Int = 8, ckptEvery: Int = 3): DataFrame = {
     require(k >= 1 && rounds >= 1)
+    // size-adaptive loop partitioning, derived from the materialized
+    // symmetrized-edge count (the edge input here is usually a derived
+    // plan — intersects/unions — whose optimizer estimate is unusable;
+    // the count is an action on the cache round 1 materializes anyway)
     val e0 = edges.select(src.as("src"), dst.as("dst"))
+    val und0 = Caches.persist(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    val p = Tuning.loopPartitionsForRows(e0.sparkSession, und0.count(), 16)
     // undirected simple graph: mutual k-NN edges collapse to one
     // per-sweep degree count groups by src — partition the cached
     // symmetrized frame on it so sweeps reuse one exchange
-    val und = Caches.persist(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .filter(col("src") =!= col("dst")).distinct()
-        .repartition(col("src")))
+    val und = Caches.persist(und0.repartition(p, col("src")))
     var alive = und.select(col("src").as("node")).distinct()
       .localCheckpoint(false)
     (1 to rounds).foreach { i =>
@@ -295,24 +333,33 @@ object Graph {
     * serial replay. Output: `(node, tri_cnt, deg, cc_micro)`, one row
     * per node of the symmetrized graph. */
   def triangles(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    // size-adaptive pinned partitioning (see pageRank): the symmetrized
+    // frame, degrees and the oriented frame all live at hash(src, p),
+    // so the degree aggregate, the src-side degree attachment and the
+    // wedge self-join (both arms read o at its cached layout) are
+    // exchange-free; only the dst-side attachment pays a regroup.
+    val p = Tuning.loopPartitions(edges)
     val e0 = edges.select(src.as("src"), dst.as("dst"))
     // persisted: the symmetrized frame feeds the degree aggregate and
     // the orientation join; degrees feed two attachments + the readout
     val und = Caches.persist(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .filter(col("src") =!= col("dst")).distinct())
+        .filter(col("src") =!= col("dst")).distinct()
+        .repartition(p, col("src")))
     val deg = Caches.persist(
       und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
     // keep each undirected edge once, oriented small-(deg,id) → large;
     // carry the head's degree so wedge ordering needs no extra join
     val o = Caches.persist(
-      und.join(deg.select(col("node").as("src"), col("deg").as("sdeg")),
-          Seq("src"))
-        .join(deg.select(col("node").as("dst"), col("deg").as("ddeg")),
-          Seq("dst"))
+      und.join(deg.select(col("node").as("src"), col("deg").as("sdeg"))
+          .hint("SHUFFLE_HASH"), Seq("src"))
+        .repartition(p, col("dst"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("ddeg"))
+          .hint("SHUFFLE_HASH"), Seq("dst"))
         .filter(col("sdeg") < col("ddeg") ||
           (col("sdeg") === col("ddeg") && col("src") < col("dst")))
-        .select(col("src"), col("dst"), col("ddeg")))
+        .select(col("src"), col("dst"), col("ddeg"))
+        .repartition(p, col("src")))
     val a = o.select(col("src").as("u"), col("dst").as("v"),
       col("ddeg").as("vdeg"))
     val b = o.select(col("src").as("u"), col("dst").as("w"),
