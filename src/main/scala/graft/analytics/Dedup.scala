@@ -803,10 +803,15 @@ object Dedup {
     // native one-pass gram hashing (graft.functions.WordGramHashes):
     // values identical to conv(substring(md5(gram),1,15),16,10) over
     // TextAnalysis.ngrams, so every oracle replay is unchanged
-    val cols = Seq(id.as("doc_id")) ++ carry.map { case (nm, c) => c.as(nm) } :+
+    // parallelism floor (round 16): the one-pass gram hashing is the
+    // CPU-heavy projection — keep it off a one-split scan
+    val pre = Tuning.boostMapParallelism(docs.select(
+      Seq(id.as("doc_id"), text.as("__t")) ++
+        carry.map { case (nm, c) => c.as(nm) }: _*))
+    val cols = Seq(col("doc_id")) ++ carry.map { case (nm, _) => col(nm) } :+
       posexplode(graft.functions.HashExpressions.wordGramHashes(
-        lower(text), n)).as(Seq("pos", "h"))
-    val grams = docs.select(cols: _*)
+        lower(col("__t")), n)).as(Seq("pos", "h"))
+    val grams = pre.select(cols: _*)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, window - 1)
     val nG = Window.partitionBy(col("doc_id"))
@@ -1077,8 +1082,13 @@ object Dedup {
     * splits. */
   private def substringTables(docs: DataFrame, id: Column, text: Column,
                               k: Int): (DataFrame, DataFrame) = {
-    val toks = docs.select(id.as("doc_id"), split(text, " ").as("rt"),
-      split(lower(text), " ").as("t"))
+    // parallelism floor (round 16): the k-token shingle double-hash
+    // explode below is the substring family's CPU bottleneck (profiled
+    // 3.5 s single-task at sf0.1) and must not fuse into a 1-split scan
+    val toks = Tuning.boostMapParallelism(
+      docs.select(id.as("doc_id"), text.as("__t")))
+      .select(col("doc_id"), split(col("__t"), " ").as("rt"),
+        split(lower(col("__t")), " ").as("t"))
     // both hash lanes are computed INSIDE the transform struct so the
     // pre-explode array holds ~20 bytes per position — carrying the
     // k-token shingle TEXT there instead would transiently amplify

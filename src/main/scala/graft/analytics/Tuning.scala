@@ -53,6 +53,37 @@ object Tuning {
     else ((sz + target - 1) / target).max(1).min(BigInt(1 << 20)).toInt
   }
 
+  /** Parallelism floor for CPU-HEAVY per-row projections (the inverse of
+    * `loopPartitions`): tokenize/shingle-hash/fold expressions evaluate
+    * where they are written — usually fused into the scan stage — and a
+    * small input (one parquet row group) scans as ONE task no matter how
+    * expensive the per-row work is (measured at sf0.1: the
+    * pipeline_tokenizer_prep gram-hash stages ran 3.5 s single-task on a
+    * 32-core session, 31 cores idle). When the input's size estimate says
+    * the scan opens fewer splits than the session's cores
+    * (bytes < defaultParallelism × files.maxPartitionBytes), round-robin
+    * repartition to the core count so the heavy projection lands after
+    * the exchange at full parallelism; the exchanged bytes are by
+    * construction under one scan split per core. At production scale the
+    * condition is false (bytes/128 MB ≫ cores) and this is an identity —
+    * no shuffle is ever added to a large scan. Unknown estimates skip
+    * the boost (identity), the pre-round-16 behavior. */
+  def boostMapParallelism(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+      catch { case _: Throwable => 128L << 20 }
+    val sz =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(-1) }
+    if (sz > 0 && sz < BigInt(Long.MaxValue) / 4 &&
+        sz < BigInt(cores) * maxSplit && cores > 1)
+      df.repartition(cores)
+    else df
+  }
+
   /** Same sizing from a MATERIALIZED row count (for loops whose input is
     * a derived plan — intersects, candidate generators — where the
     * optimizer's estimate degenerates to the unknown sentinel but the
