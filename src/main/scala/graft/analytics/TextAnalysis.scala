@@ -867,10 +867,14 @@ object TextAnalysis {
                merges: Int): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // size-adaptive vocabulary partitioning (round 16) — see
+    // bpeTrainBatchedWithRounds for the rationale and measurements
+    val p = graft.analytics.Tuning.loopPartitions(docs)
     var vocab = docs.select(explode(tokens(lower(text))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .select(split(col("w"), "").as("symbols"), col("f"))
+      .repartition(p)
       .localCheckpoint(false)
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var done = false
@@ -880,7 +884,9 @@ object TextAnalysis {
           slice(col("symbols"), lit(1), nPairs),
           slice(col("symbols"), lit(2), nPairs),
           (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .select(col("p.l").as("l"), col("p.r").as("r"), col("f"))
+        .repartition(p, col("l"), col("r"))
+        .groupBy(col("l"), col("r"))
         .agg(sum(col("f")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r")).limit(1)
         .collect()
@@ -924,10 +930,14 @@ object TextAnalysis {
                      merges: Int): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // size-adaptive vocabulary partitioning (round 16) — see
+    // bpeTrainBatchedWithRounds for the rationale and measurements
+    val p = graft.analytics.Tuning.loopPartitions(docs)
     var vocab = docs.select(explode(tokens(lower(text))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .select(split(col("w"), "").as("symbols"), col("f"))
+      .repartition(p)
       .localCheckpoint(false)
     val out =
       scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
@@ -938,9 +948,12 @@ object TextAnalysis {
           slice(col("symbols"), lit(1), nPairs),
           slice(col("symbols"), lit(2), nPairs),
           (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .select(col("p.l").as("l"), col("p.r").as("r"), col("f"))
+        .repartition(p, col("l"), col("r"))
+        .groupBy(col("l"), col("r"))
         .agg(sum(col("f")).as("n"))
       val syms = vocab.select(col("f"), explode(col("symbols")).as("sym"))
+        .repartition(p, col("sym"))
         .groupBy(col("sym")).agg(sum(col("f")).as("c"))
       val top = pairs
         .join(syms.select(col("sym").as("l"), col("c").as("cl")), Seq("l"))
@@ -1112,10 +1125,19 @@ object TextAnalysis {
       : (org.apache.spark.sql.DataFrame, Int) = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // size-adaptive loop partitioning (round 16, Tuning sizing): the
+    // trainer's per-round frames are VOCABULARY-scale (word types /
+    // pair counts), and leaving them at shuffle.partitions (= cores)
+    // put 3 × cores near-empty checkpoint partitions + aggregate tasks
+    // in every one of the O(vocab/width) rounds. Derived once from the
+    // corpus size estimate; at production scale Heaps-law vocabularies
+    // get bytes-proportional partitions from the same formula.
+    val p = graft.analytics.Tuning.loopPartitions(docs)
     var vocab = docs.select(explode(tokens(lower(text))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .select(split(col("w"), "").as("symbols"), col("f"))
+      .repartition(p)
       .localCheckpoint(false)
     // every symbol string that has ever existed: initial alphabet plus
     // each recorded merge — the collision guard's superset (symbols
@@ -1134,7 +1156,9 @@ object TextAnalysis {
           slice(col("symbols"), lit(1), nPairs),
           slice(col("symbols"), lit(2), nPairs),
           (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .select(col("p.l").as("l"), col("p.r").as("r"), col("f"))
+        .repartition(p, col("l"), col("r"))
+        .groupBy(col("l"), col("r"))
         .agg(sum(col("f")).as("n"))
         .localCheckpoint(false)
       val top = pairCounts.orderBy(col("n").desc, col("l"), col("r"))
@@ -1167,6 +1191,7 @@ object TextAnalysis {
             col("t.c").as("c"))
           .filter(concat_ws(sep, col("b"), col("c")).isin(mids: _*) ||
             concat_ws(sep, col("a"), col("b")).isin(mids: _*))
+          .repartition(p, col("a"), col("b"), col("c"))
           .groupBy(col("a"), col("b"), col("c")).agg(sum(col("f")).as("n"))
           .localCheckpoint(false)
         // Full per-context triple maps for the candidate pairs:
