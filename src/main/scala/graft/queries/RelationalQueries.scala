@@ -1345,7 +1345,14 @@ object RelationalQueries {
           .orderBy(col("user_id"))).cast("long") - 1L)
         .withColumn("n", count(lit(1)).over(w.partitionBy(col("arm")))
           .cast("long")))
-      val draws = ranked.select(col("arm"), col("j"), col("n"))
+      // parallelism floor (round 16): the cached ranked frame inherits
+      // the arm-window's layout — |arms| = 2 partitions at ANY scale —
+      // so the 200x bootstrap explode and its per-draw md5 ran 2-way on
+      // a 32-core session (and would on a 1000-core cluster). Re-spread
+      // before the expansion; the repartition moves only (arm, j, n)
+      // rows, 1/200th of the exploded volume.
+      val draws = graft.analytics.Tuning.boostMapParallelism(
+          ranked.select(col("arm"), col("j"), col("n")))
         .withColumn("b", explode(sequence(lit(1L), lit(nBoot.toLong))))
         .withColumn("pick", pmod(conv(md5(concat_ws("_",
             col("arm").cast("string"), col("b").cast("string"),
