@@ -45,14 +45,20 @@ object Graph {
     * — plan depth stays bounded by the cadence (and the RETURNED frame
     * always reads the last checkpoint: no joins in its plan), while the
     * eager materialization cost drops from `iters` to `iters/ckptEvery`
-    * flushes. The loop-invariant frames (`nodes`, `e`) are ALSO
-    * `localCheckpoint`ed (round 16): a persisted frame keeps its full
-    * logical plan, which every round's query re-analyzes and the cache
-    * manager re-matches — the flat LogicalRDD cut graph_pagerank 0.81×
-    * in isolated A/B with identical rank checksums. Same production
-    * caveat as the clustering loop: swap reliable `checkpoint()` in
-    * where executor loss matters. At 100 TB the edge frame is
-    * pre-bucketed by src and the per-round cost is the inflow
+    * flushes. The loop-invariant frames (`nodes`, `e`) are
+    * persist(localCheckpoint(false).repartition(p, key)) — all three
+    * layers load-bearing (round 16): the checkpoint FLATTENS the cached
+    * subtree (a bare persist keeps the full upstream logical plan,
+    * which every round re-analyzes and the cache manager re-matches —
+    * measured 0.81× on graph_pagerank), the explicit-N repartition pins
+    * the hash layout, and the persist is what PRESERVES it — a
+    * checkpoint alone reports UnknownPartitioning under AQE (the lazy
+    * AdaptiveSparkPlan has no final partitioning when the LogicalRDD is
+    * captured; measured on Spark 4.1 for lazy AND eager), which would
+    * silently re-exchange the edge frame every round at any scale.
+    * Same production caveat as the clustering loop: swap reliable
+    * `checkpoint()` in where executor loss matters. At 100 TB the edge
+    * frame is pre-bucketed by src and the per-round cost is the inflow
     * aggregate; iterations are a constant (10–20), not a
     * data-dependent loop.
     *
@@ -83,10 +89,10 @@ object Graph {
     // derivation (the O(n²) exact k-NN build) would otherwise recompute
     // per reference
     val e0 = Caches.persist(edges.select(src.as("src"), dst.as("dst")))
-    val nodes = e0.select(col("src").as("node"))
+    val nodes = Caches.persist(e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node"))).distinct()
-        .repartition(p, col("node"))
         .localCheckpoint(false)
+        .repartition(p, col("node")))
     val n = nodes.count()
     require(n >= 2, s"pageRank needs >= 2 nodes, got $n")
     val init = TotalMass / n
@@ -97,9 +103,10 @@ object Graph {
     // every round's join reuses the cached exchange: the |edges| side
     // is never re-shuffled inside the loop, only the (small) rank frame
     // moves. At 100 TB this is the bucketed edge table.
-    val e = e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
-        Seq("src")).repartition(p, col("src"))
-      .localCheckpoint(false)
+    val e = Caches.persist(
+      e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src")).localCheckpoint(false)
+        .repartition(p, col("src")))
     var ranks = nodes.withColumn("rank", lit(init))
       .localCheckpoint(false)
     (1 to iters).foreach { i =>
@@ -149,22 +156,23 @@ object Graph {
     // persisted for the same four-reference reason as pageRank's e0
     val e0 = Caches.persist(edges.select(src.as("src"), dst.as("dst")))
     val sd = seeds.select(seedCol.as("node")).distinct()
-    val nodes = e0.select(col("src").as("node"))
+    val nodes = Caches.persist(e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node"))).distinct()
         .join(sd.withColumn("is_seed", lit(true)), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("is_seed"), lit(false)).as("is_seed"))
-        .repartition(p, col("node"))
         .localCheckpoint(false)
+        .repartition(p, col("node")))
     val nSeeds = nodes.filter(col("is_seed")).count()
     require(nSeeds >= 1, "personalizedPageRank needs >= 1 seed in the graph")
     val share = TotalMass / nSeeds
     val base = (15L * share) / 100L
     // same cached-exchange discipline as pageRank: partition on the
     // per-round join key once, reuse it every round
-    val e = e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
-        Seq("src")).repartition(p, col("src"))
-      .localCheckpoint(false)
+    val e = Caches.persist(
+      e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src")).localCheckpoint(false)
+        .repartition(p, col("src")))
     var ranks = nodes
       .select(col("node"),
         when(col("is_seed"), lit(share)).otherwise(lit(0L)).as("rank"))
@@ -219,18 +227,18 @@ object Graph {
     // size-adaptive pinned loop partitioning — see pageRank
     val p = Tuning.loopPartitions(edges)
     // votes join on dst every round — partition the cached frame on it
-    val e = edges.select(src.as("src"), dst.as("dst"))
-      .repartition(p, col("dst"))
+    val e = Caches.persist(edges.select(src.as("src"), dst.as("dst"))
       .localCheckpoint(false)
+      .repartition(p, col("dst")))
     val sd = seeds.select(idCol.as("node"), labCol.cast("long").as("seed_lab"))
       .groupBy(col("node")).agg(min(col("seed_lab")).as("seed_lab"))
-    val nodes = e.select(col("src").as("node"))
+    val nodes = Caches.persist(e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
         .join(sd, Seq("node"), "left")
         .select(col("node"), col("seed_lab"),
           col("seed_lab").isNotNull.as("is_seed"))
-        .repartition(p, col("node"))
         .localCheckpoint(false)
+        .repartition(p, col("node")))
     var labs = nodes.select(col("node"), col("seed_lab").as("lab"))
       .localCheckpoint(false)
     (1 to iters).foreach { i =>
@@ -298,7 +306,7 @@ object Graph {
     // undirected simple graph: mutual k-NN edges collapse to one
     // per-sweep degree count groups by src — partition the cached
     // symmetrized frame on it so sweeps reuse one exchange
-    val und = und0.repartition(p, col("src")).localCheckpoint(false)
+    val und = Caches.persist(und0.repartition(p, col("src")))
     var alive = und.select(col("src").as("node")).distinct()
       .localCheckpoint(false)
     (1 to rounds).foreach { i =>
@@ -349,10 +357,11 @@ object Graph {
     val e0 = edges.select(src.as("src"), dst.as("dst"))
     // persisted: the symmetrized frame feeds the degree aggregate and
     // the orientation join; degrees feed two attachments + the readout
-    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val und = Caches.persist(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst")).distinct()
-        .repartition(p, col("src"))
         .localCheckpoint(false)
+        .repartition(p, col("src")))
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(false)
     // keep each undirected edge once, oriented small-(deg,id) → large;
@@ -365,8 +374,8 @@ object Graph {
         .filter(col("sdeg") < col("ddeg") ||
           (col("sdeg") === col("ddeg") && col("src") < col("dst")))
         .select(col("src"), col("dst"), col("ddeg"))
-        .repartition(p, col("src"))
         .localCheckpoint(false)
+        .repartition(p, col("src"))
     val a = o.select(col("src").as("u"), col("dst").as("v"),
       col("ddeg").as("vdeg"))
     val b = o.select(col("src").as("u"), col("dst").as("w"),
