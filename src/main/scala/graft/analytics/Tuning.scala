@@ -50,7 +50,12 @@ object Tuning {
       try df.queryExecution.optimizedPlan.stats.sizeInBytes
       catch { case _: Throwable => BigInt(-1) }
     if (sz <= 0 || sz >= BigInt(Long.MaxValue) / 4 || target <= 0) fallback
-    else ((sz + target - 1) / target).max(1).min(BigInt(1 << 20)).toInt
+    // floor 2, not 1: repartition(1, key) plans as SinglePartition,
+    // which ERASES the hash-key information — the per-round joins then
+    // cannot prove co-partitioning and re-exchange the pinned frame
+    // (observed in the round-plan dump); at 2 the HashPartitioning
+    // survives and the pinning does its job at every scale
+    else ((sz + target - 1) / target).max(2).min(BigInt(1 << 20)).toInt
   }
 
   /** Parallelism floor for CPU-HEAVY per-row projections (the inverse of
@@ -94,6 +99,6 @@ object Tuning {
     val target = spark.conf.get(LoopBytesConf, (64L << 20).toString).toLong
     if (target <= 0) spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     else ((rows.max(0L) * bytesPerRow + target - 1) / target)
-      .max(1L).min(1L << 20).toInt
+      .max(2L).min(1L << 20).toInt // floor 2 — see loopPartitions
   }
 }
