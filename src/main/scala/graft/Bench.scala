@@ -658,17 +658,31 @@ object Bench {
     }.toSeq
     val line =
       f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"n_queries":${benchedNames.size},"n_registered":$nRegistered,"unbenched":$unbenchedJson,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"queries_r12":${json(r12)},"value_r12":${total(r12)}%.3f,"queries_r13":${json(r13)},"value_r13":${total(r13)}%.3f,"queries_r14":${json(r14)},"value_r14":${total(r14)}%.3f,"queries_r15":${json(r15)},"value_r15":${total(r15)}%.3f,"queries_r16":${json(r16)},"value_r16":${total(r16)}%.3f,"queries_sweep":${jsonMin(sweep)},"value_sweep":${sweep.map(r => minOf(r._2)).filter(_ >= 0).sum}%.3f,"n_sweep":${sweep.size},"sweep_reps":$sweepReps,"sweep_statistic":"min-of-reps","sweep_tiered":${committedMins.nonEmpty},"sweep_retried":${sweepRetried.map("\"" + _ + "\"").mkString("[", ",", "]")},"group_tiered":${committedGroup.nonEmpty},"group_retried":${groupRerun.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},"group_breach_confirmed":${groupBreachConfirmed.map("\"" + _ + "\"").mkString("[", ",", "]")},"window_factor":$windowFactor%.3f,"group_breach_confirmed_adj":${groupBreachConfirmedAdj.map("\"" + _ + "\"").mkString("[", ",", "]")},"sweep_spread":${spreadJson(sweep)},"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"bpe_train_scale1024":$bpeScale1024,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
-    // The driver captures only the TAIL of sbt's output, and this line has
-    // outgrown the capture window (round 10's official artifact lost every
-    // headline median). Persist the complete line as a committed repo file
-    // so the scoreboard survives tail-truncation. Path is CWD-RELATIVE,
-    // not hardcoded: a Bench run inside an A/B worktree used to clobber
-    // the main repo's committed artifact (round 13 lost a reps=3 run to
-    // the A/B harness's last reps=1 execution that way).
+    // The driver captures only the last ~2000 chars of sbt's output, and
+    // the full line above outgrew that window in round 10 — every BENCH_rNN
+    // artifact since has had parsed:null and the driver lost its per-query
+    // round-over-round comparison (round-16 verdict item 2). The full line
+    // is persisted as a committed repo file; STDOUT gets a COMPACT line —
+    // same "metric"/"value"/"unit"/"queries"/"sf" contract, headline
+    // per-query medians, all group totals, failure and window diagnostics,
+    // but no spreads/sweep/group maps — sized well under the capture
+    // window so the driver can parse it again. Path is CWD-RELATIVE, not
+    // hardcoded: a Bench run inside an A/B worktree used to clobber the
+    // main repo's committed artifact (round 13 lost a reps=3 run to the
+    // A/B harness's last reps=1 execution that way).
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // lists in the compact line are CAPPED at 10 names (full lists live in
+    // BENCH_FULL.json) so a catastrophic run can't push the line back past
+    // the capture window and blind the driver exactly when it matters
+    def capped(xs: Seq[String]): String =
+      (xs.take(10).map("\"" + _ + "\"") ++
+        (if (xs.size > 10) Seq("\"+" + (xs.size - 10) + " more\"")
+         else Nil)).mkString("[", ",", "]")
+    val compact =
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"n_queries":${benchedNames.size},"n_registered":$nRegistered,"unbenched":${capped(unbenched)},"queries":${json(results)},"value_r7":${total(r7)}%.3f,"value_r9":${total(r9)}%.3f,"value_r10":${total(r10)}%.3f,"value_r11":${total(r11)}%.3f,"value_r12":${total(r12)}%.3f,"value_r13":${total(r13)}%.3f,"value_r14":${total(r14)}%.3f,"value_r15":${total(r15)}%.3f,"value_r16":${total(r16)}%.3f,"value_sweep":${sweep.map(r => minOf(r._2)).filter(_ >= 0).sum}%.3f,"n_sweep":${sweep.size},"window_factor":$windowFactor%.3f,"group_breach_confirmed_adj":${capped(groupBreachConfirmedAdj)},"full_artifact":"BENCH_FULL.json","failed":${capped(failed.toSeq)},"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")

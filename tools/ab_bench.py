@@ -54,8 +54,20 @@ def bench_json(cwd, sf):
                SPARK_GRAFT_BENCH_REPS="1", SPARK_GRAFT_SKIP_SWEEP="1")
     # Bench exits 1 when any query fails; the -1 sentinels in its JSON
     # still identify exactly which — keep going and pair what we can.
+    import time
+    t0 = time.time()
     r = sh([os.path.join(cwd, "tools", "run.sh"), "graft.Bench"],
            cwd=cwd, check=False, env=env)
+    # The full artifact lives in cwd/BENCH_FULL.json (stdout now carries a
+    # COMPACT line without the per-group query maps this harness pairs on).
+    # mtime guard: only trust a file THIS run wrote, never the committed
+    # copy left behind by a crashed execution.
+    full = os.path.join(cwd, "BENCH_FULL.json")
+    if os.path.exists(full) and os.path.getmtime(full) >= t0:
+        try:
+            return json.load(open(full))
+        except Exception:
+            pass
     for line in reversed(r.stdout.splitlines()):
         if line.startswith('{"metric"'):
             return json.loads(line)
