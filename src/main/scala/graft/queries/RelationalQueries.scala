@@ -25,6 +25,69 @@ object RelationalQueries {
     s.sql(query)
   }
 
+  /** Distributed exact median-of-slopes tail shared by q69/q69b (r16
+    * verdict #1). The previous form computed the per-type cumulative count
+    * with `Window.partitionBy(event_type)` over the near-unique slope
+    * histogram — |event_types| (= 5) tasks at ANY scale, each serially
+    * sorting and scanning its whole histogram (guide §2.5: a partition
+    * count bounded by a 5-value key is a scale ceiling). Replaced by
+    * two-pass exact rank selection:
+    *   1. histogram (event_type, sm) -> c — a parallel aggregate,
+    *      persisted once (it feeds three consumers below);
+    *   2. per-type n/min/max (tiny), then a coarse ≤1025-bucket histogram
+    *      (parallel aggregate over (type, bucket)); its per-type
+    *      cumulative window runs over ≤1025 rows/type — bounded by the
+    *      bucket constant, NOT by data volume;
+    *   3. the two target ranks k1=(n+1) div 2, k2=(n+2) div 2 locate
+    *      their bucket and in-bucket rank offset on that tiny frame;
+    *   4. rank selection WITHIN the target buckets only — the
+    *      within-bucket cumulative partitions by (event_type, ki), each
+    *      holding ~distinct/1024 rows, parallel across types × ranks.
+    * Equivalence: bk = (sm - mn) div width (width ≥ 1, all operands
+    * non-negative) is monotone non-decreasing in sm, so
+    * global cum(sm) = Σ counts of strictly-lower buckets + in-bucket
+    * cum(sm), and "min sm with cum >= k" selects the identical value the
+    * single window selected; slope magnitudes are floors of exact-double
+    * quotients (< 2^53), so mx - mn cannot overflow. The final
+    * (v1 + v2) long add / 2.0 and round(_, 1) are expression-identical
+    * to the previous tail. TheilSenMedianSpec proves equality against
+    * the windowed reference on boundary shapes (odd/even n, duplicates
+    * straddling bucket edges, single-slope types, negative slopes). */
+  private[graft] def theilSenMedian(slopes: DataFrame): DataFrame = {
+    val hist = graft.analytics.Caches.persist(
+      slopes.groupBy(col("event_type"), col("sm"))
+        .agg(count(lit(1)).as("c")))
+    val stats = hist.groupBy(col("event_type"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        min(col("sm")).as("mn"), max(col("sm")).as("mx"))
+    val hb = hist.join(broadcast(stats), Seq("event_type"))
+      .withColumn("bk", expr("(sm - mn) div ((mx - mn) div 1024 + 1L)"))
+    val bcum = hb.groupBy(col("event_type"), col("bk"))
+      .agg(sum(col("c")).cast("long").as("cb"), max(col("n")).as("n"))
+      .withColumn("cum", sum(col("cb")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("bk"))))
+    val targets = bcum
+      .select(col("event_type"), col("bk"), col("cb"), col("cum"),
+        posexplode(array(expr("(n + 1L) div 2L"), expr("(n + 2L) div 2L")))
+          .as(Seq("ki", "k")))
+      .filter(col("cum") >= col("k") && col("cum") - col("cb") < col("k"))
+      .select(col("event_type"), col("bk"), col("ki"), col("k"),
+        (col("cum") - col("cb")).as("cum_before"))
+    val sel = hb.join(broadcast(targets), Seq("event_type", "bk"))
+      .withColumn("wcum", sum(col("c")).over(
+        Window.partitionBy(col("event_type"), col("ki"))
+          .orderBy(col("sm"))))
+      .filter(col("wcum") + col("cum_before") >= col("k"))
+      .groupBy(col("event_type"), col("ki"))
+      .agg(min(col("sm")).as("v"), max(col("n")).as("n"))
+    sel.groupBy(col("event_type"))
+      .agg(max(col("n")).cast("long").as("n_pairs"),
+        round((min(when(col("ki") === 0, col("v"))) +
+          min(when(col("ki") === 1, col("v")))) / 2.0, 1)
+          .as("slope_med_micro"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Hash aggregate with partial (map-side) combine; single shuffle on the
     // two low-cardinality group keys.
@@ -1748,7 +1811,6 @@ object RelationalQueries {
     // negative slopes); median by the grouped histogram-rank
     // discipline, mean-of-two-middles as one rounded double.
     "q69_theil_sen" -> ((s, d) => {
-      val win = org.apache.spark.sql.expressions.Window
       val cells = graft.analytics.Caches.persist(
         T(s, d, "events").select(col("event_type"),
           expr("unix_micros(date_trunc('hour', cast(ts as timestamp)))" +
@@ -1766,19 +1828,7 @@ object RelationalQueries {
           floor(((col("y2") - col("y1")) * lit(1000000L)).cast("double")
             / (col("h2") - col("h1")).cast("double")).cast("long")
             .as("sm"))
-      val hist = slopes.groupBy(col("event_type"), col("sm"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(
-          win.partitionBy(col("event_type")).orderBy(col("sm"))))
-        .withColumn("n", sum(col("c")).over(
-          win.partitionBy(col("event_type"))))
-      hist.groupBy(col("event_type"))
-        .agg(max(col("n")).cast("long").as("n_pairs"),
-          round((
-            min(when(col("cum") >= expr("(n + 1L) div 2L"), col("sm"))) +
-            min(when(col("cum") >= expr("(n + 2L) div 2L"), col("sm"))))
-            / 2.0, 1).as("slope_med_micro"))
-        .orderBy(col("event_type"))
+      theilSenMedian(slopes)
     }),
 
     // BANDED Theil–Sen (r14 verdict #6): q69's exact pair stage is
@@ -1794,7 +1844,6 @@ object RelationalQueries {
     // (lag ≤ L ⇒ bucket delta ∈ {0,1}) — never a range-predicate
     // cross join. q69 stays as the exact all-pairs baseline.
     "q69b_theil_sen_banded" -> ((s, d) => {
-      val win = org.apache.spark.sql.expressions.Window
       val lagL = 168L
       val cells = graft.analytics.Caches.persist(
         T(s, d, "events").select(col("event_type"),
@@ -1816,19 +1865,7 @@ object RelationalQueries {
           floor(((col("y2") - col("y1")) * lit(1000000L)).cast("double")
             / (col("h2") - col("h1")).cast("double")).cast("long")
             .as("sm"))
-      val hist = slopes.groupBy(col("event_type"), col("sm"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(
-          win.partitionBy(col("event_type")).orderBy(col("sm"))))
-        .withColumn("n", sum(col("c")).over(
-          win.partitionBy(col("event_type"))))
-      hist.groupBy(col("event_type"))
-        .agg(max(col("n")).cast("long").as("n_pairs"),
-          round((
-            min(when(col("cum") >= expr("(n + 1L) div 2L"), col("sm"))) +
-            min(when(col("cum") >= expr("(n + 2L) div 2L"), col("sm"))))
-            / 2.0, 1).as("slope_med_micro"))
-        .orderBy(col("event_type"))
+      theilSenMedian(slopes)
     }),
 
     // Last-touch revenue attribution: each purchase's cents credit the
