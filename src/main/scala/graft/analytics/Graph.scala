@@ -76,19 +76,24 @@ object Graph {
     * distinct node appearing in `edges`. */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
                iters: Int = 10, ckptEvery: Int = 5): DataFrame = {
-    // size-adaptive loop partition count (Tuning.loopPartitions): every
-    // cached frame and every loop-state exchange below is pinned to it,
-    // keeping all per-round joins CO-PARTITIONED (round 16: with the
-    // count left at spark.sql.shuffle.partitions the planner instead
-    // re-broadcast the cached edge frame every round — a per-round
-    // BroadcastExchange rebuild measured at ~0.45 s/round at sf0.1, and
-    // at 100 TB the broadcast side would be the EDGE table)
-    val p = Tuning.loopPartitions(edges)
     // persisted: referenced four times below (node union ×2, the outdeg
     // aggregate, the join's edge side) — an expensive upstream edge
     // derivation (the O(n²) exact k-NN build) would otherwise recompute
     // per reference
     val e0 = Caches.persist(edges.select(src.as("src"), dst.as("dst")))
+    // size-adaptive loop partition count: every cached frame and every
+    // loop-state exchange below is pinned to it, keeping all per-round
+    // joins CO-PARTITIONED (round 16: with the count left at
+    // spark.sql.shuffle.partitions the planner instead re-broadcast the
+    // cached edge frame every round — a per-round BroadcastExchange
+    // rebuild measured at ~0.45 s/round at sf0.1, and at 100 TB the
+    // broadcast side would be the EDGE table). Derived from the
+    // MATERIALIZED count of the persisted frame (r16 advice, the kCore
+    // pattern), not the optimizer estimate — the _ivf variants feed
+    // derived kNN-graph plans whose estimates can inflate p toward the
+    // clamp or pin a production frame at the floor; the count is one
+    // cheap action over data round 1 materializes anyway.
+    val p = Tuning.loopPartitionsForRows(edges.sparkSession, e0.count(), 16)
     val nodes = Caches.persist(e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node"))).distinct()
         .localCheckpoint(false)
@@ -151,10 +156,11 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, src: Column, dst: Column,
                            seeds: DataFrame, seedCol: Column,
                            iters: Int = 10, ckptEvery: Int = 5): DataFrame = {
-    // same size-adaptive pinned-partitioning discipline as pageRank
-    val p = Tuning.loopPartitions(edges)
     // persisted for the same four-reference reason as pageRank's e0
     val e0 = Caches.persist(edges.select(src.as("src"), dst.as("dst")))
+    // same size-adaptive pinned-partitioning discipline as pageRank,
+    // derived from the materialized persisted-edge count (r16 advice)
+    val p = Tuning.loopPartitionsForRows(edges.sparkSession, e0.count(), 16)
     val sd = seeds.select(seedCol.as("node")).distinct()
     val nodes = Caches.persist(e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node"))).distinct()
@@ -224,12 +230,15 @@ object Graph {
   def labelPropagation(edges: DataFrame, src: Column, dst: Column,
                        seeds: DataFrame, idCol: Column, labCol: Column,
                        iters: Int = 5, ckptEvery: Int = 3): DataFrame = {
-    // size-adaptive pinned loop partitioning — see pageRank
-    val p = Tuning.loopPartitions(edges)
-    // votes join on dst every round — partition the cached frame on it
-    val e = Caches.persist(edges.select(src.as("src"), dst.as("dst"))
+    // checkpoint the raw edge projection once (for the _ivf variant this
+    // is the derived kNN build), size the pinned loop partitioning from
+    // its MATERIALIZED count (r16 advice — see pageRank), then persist
+    // at the per-round join key's layout
+    val e1 = edges.select(src.as("src"), dst.as("dst"))
       .localCheckpoint(false)
-      .repartition(p, col("dst")))
+    val p = Tuning.loopPartitionsForRows(edges.sparkSession, e1.count(), 16)
+    // votes join on dst every round — partition the cached frame on it
+    val e = Caches.persist(e1.repartition(p, col("dst")))
     val sd = seeds.select(idCol.as("node"), labCol.cast("long").as("seed_lab"))
       .groupBy(col("node")).agg(min(col("seed_lab")).as("seed_lab"))
     val nodes = Caches.persist(e.select(col("src").as("node"))
@@ -353,20 +362,29 @@ object Graph {
     // so the degree aggregate, the src-side degree attachment and the
     // wedge self-join (both arms read o at its cached layout) are
     // exchange-free; only the dst-side attachment pays a regroup.
-    val p = Tuning.loopPartitions(edges)
+    // p comes from the MATERIALIZED symmetrized-edge count (r16 advice,
+    // the kCore pattern) — the _ivf variant's derived-plan estimate is
+    // unusable.
     val e0 = edges.select(src.as("src"), dst.as("dst"))
+    val und0 = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(false)
+    val p = Tuning.loopPartitionsForRows(edges.sparkSession, und0.count(), 16)
     // persisted: the symmetrized frame feeds the degree aggregate and
     // the orientation join; degrees feed two attachments + the readout
-    val und = Caches.persist(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .filter(col("src") =!= col("dst")).distinct()
-        .localCheckpoint(false)
-        .repartition(p, col("src")))
+    val und = Caches.persist(und0.repartition(p, col("src")))
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(false)
     // keep each undirected edge once, oriented small-(deg,id) → large;
     // carry the head's degree so wedge ordering needs no extra join
-    val o = und.join(deg.select(col("node").as("src"), col("deg").as("sdeg"))
+    // persisted (r16 advice): o is referenced three times (both wedge
+    // arms + the closure semi-probe); a bare repartition after the
+    // checkpoint is NOT preserved under AQE without persist (the same
+    // pitfall the pageRank pinning documents), so without it the
+    // exchange-free wedge self-join depended on ReuseExchange
+    // deduplicating three identical exchanges.
+    val o = Caches.persist(
+      und.join(deg.select(col("node").as("src"), col("deg").as("sdeg"))
           .hint("SHUFFLE_HASH"), Seq("src"))
         .repartition(p, col("dst"))
         .join(deg.select(col("node").as("dst"), col("deg").as("ddeg"))
@@ -375,7 +393,7 @@ object Graph {
           (col("sdeg") === col("ddeg") && col("src") < col("dst")))
         .select(col("src"), col("dst"), col("ddeg"))
         .localCheckpoint(false)
-        .repartition(p, col("src"))
+        .repartition(p, col("src")))
     val a = o.select(col("src").as("u"), col("dst").as("v"),
       col("ddeg").as("vdeg"))
     val b = o.select(col("src").as("u"), col("dst").as("w"),

@@ -863,19 +863,38 @@ object TextAnalysis {
     * may cross what a word-final-marker variant would keep apart.
     *
     * Output: `(rank, left, right, n)`, one row per merge in order. */
+
+  /** Shared trainer seed: the word-type vocabulary (symbols, f),
+    * checkpointed once, plus the loop partition count every per-round
+    * vocabulary-scale frame pins to. Size-adaptive partitioning
+    * rationale is round 16's (leaving the per-round frames at
+    * shuffle.partitions = cores put 3×cores near-empty checkpoint +
+    * aggregate tasks into every one of the O(vocab/width) rounds); the
+    * COUNT BASIS is round 17's (r16 advice): the corpus-byte estimate
+    * overshoots vocabulary-scale frames by orders of magnitude at large
+    * corpora — Heaps' law, vocab ~ sqrt(corpus) — so p now comes from
+    * the MATERIALIZED type count (~64 B/row: short symbol array +
+    * count), one cheap action over the checkpoint the trainer needs
+    * anyway. */
+  private def initialVocab(docs: org.apache.spark.sql.DataFrame,
+                           text: Column)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    val v0 = docs.select(explode(tokens(lower(text))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(split(col("w"), "").as("symbols"), col("f"))
+      .localCheckpoint(false)
+    val p = graft.analytics.Tuning.loopPartitionsForRows(
+      docs.sparkSession, v0.count(), 64)
+    (v0.repartition(p).localCheckpoint(false), p)
+  }
+
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, text: Column,
                merges: Int): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // size-adaptive vocabulary partitioning (round 16) — see
-    // bpeTrainBatchedWithRounds for the rationale and measurements
-    val p = graft.analytics.Tuning.loopPartitions(docs)
-    var vocab = docs.select(explode(tokens(lower(text))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .select(split(col("w"), "").as("symbols"), col("f"))
-      .repartition(p)
-      .localCheckpoint(false)
+    val (vocab0, p) = initialVocab(docs, text)
+    var vocab = vocab0
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var done = false
     while (out.length < merges && !done) {
@@ -930,15 +949,8 @@ object TextAnalysis {
                      merges: Int): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // size-adaptive vocabulary partitioning (round 16) — see
-    // bpeTrainBatchedWithRounds for the rationale and measurements
-    val p = graft.analytics.Tuning.loopPartitions(docs)
-    var vocab = docs.select(explode(tokens(lower(text))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .select(split(col("w"), "").as("symbols"), col("f"))
-      .repartition(p)
-      .localCheckpoint(false)
+    val (vocab0, p) = initialVocab(docs, text)
+    var vocab = vocab0
     val out =
       scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
     var done = false
@@ -1125,20 +1137,8 @@ object TextAnalysis {
       : (org.apache.spark.sql.DataFrame, Int) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // size-adaptive loop partitioning (round 16, Tuning sizing): the
-    // trainer's per-round frames are VOCABULARY-scale (word types /
-    // pair counts), and leaving them at shuffle.partitions (= cores)
-    // put 3 × cores near-empty checkpoint partitions + aggregate tasks
-    // in every one of the O(vocab/width) rounds. Derived once from the
-    // corpus size estimate; at production scale Heaps-law vocabularies
-    // get bytes-proportional partitions from the same formula.
-    val p = graft.analytics.Tuning.loopPartitions(docs)
-    var vocab = docs.select(explode(tokens(lower(text))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .select(split(col("w"), "").as("symbols"), col("f"))
-      .repartition(p)
-      .localCheckpoint(false)
+    val (vocab0, p) = initialVocab(docs, text)
+    var vocab = vocab0
     // every symbol string that has ever existed: initial alphabet plus
     // each recorded merge — the collision guard's superset (symbols
     // that later vanish from the vocab stay in, which is conservative)

@@ -49,13 +49,23 @@ object Tuning {
     val sz =
       try df.queryExecution.optimizedPlan.stats.sizeInBytes
       catch { case _: Throwable => BigInt(-1) }
+    // ceiling cores×64 (r16 advice): the estimate is an OPTIMIZER guess —
+    // on derived inputs (join products below the unknown sentinel) it can
+    // inflate by orders of magnitude, and an unclamped p pins a ~1M-task
+    // exchange into EVERY round. cores×64 waves of `target`-sized
+    // partitions (= cores×4 GB of loop state at the 64 MB default) is
+    // the sane band; genuinely larger loop state gets proportionally
+    // larger partitions, which §2.2 prefers anyway.
+    val ceiling = BigInt(df.sparkSession.sparkContext.defaultParallelism)
+      .max(1) * 64
     if (sz <= 0 || sz >= BigInt(Long.MaxValue) / 4 || target <= 0) fallback
     // floor 2, not 1: repartition(1, key) plans as SinglePartition,
     // which ERASES the hash-key information — the per-round joins then
     // cannot prove co-partitioning and re-exchange the pinned frame
     // (observed in the round-plan dump); at 2 the HashPartitioning
     // survives and the pinning does its job at every scale
-    else ((sz + target - 1) / target).max(2).min(BigInt(1 << 20)).toInt
+    else ((sz + target - 1) / target).max(2)
+      .min(ceiling).min(BigInt(1 << 20)).toInt
   }
 
   /** Parallelism floor for CPU-HEAVY per-row projections (the inverse of

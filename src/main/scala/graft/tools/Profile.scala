@@ -49,8 +49,11 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warmup (JIT/codegen) on the smallest SF
-    SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    // warmup (JIT/codegen) on the smallest SF — overridable (r16 advice:
+    // the path was hardcoded)
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      "/root/testdata/sf0.001")
+    SparkEntry.queries("q01_pricing_summary")(spark, warmDir)
       .write.format("noop").mode("overwrite").save()
     args.tail.foreach { name =>
       val col = new Collector
@@ -60,6 +63,16 @@ object Profile {
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       graft.analytics.Caches.clear()
+      // drain the async listener bus BEFORE snapshotting (r16 advice:
+      // late-completing stages were silently missing from the report).
+      // The bus itself is private[spark]; poll until the stage list has
+      // been stable for 200 ms (cap 3 s) — diagnostic-tool latency only.
+      val deadline = System.nanoTime() + 3000000000L
+      var last = -1
+      while (System.nanoTime() < deadline && col.stages.size != last) {
+        last = col.stages.size
+        Thread.sleep(200)
+      }
       spark.sparkContext.removeSparkListener(col)
       println(f"===== $name%s total=$sec%.3f s, ${col.stages.size}%d stages, " +
         f"sum(stage wall)=${col.stages.map(_.wallMs).sum / 1e3}%.3f s =====")
