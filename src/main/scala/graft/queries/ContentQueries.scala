@@ -1583,18 +1583,21 @@ object ContentQueries {
     // compaction folds it physically — that path is spec-pinned in
     // IvfIndexSpec). The oracle refits and assigns the FULL corpus and
     // excludes deleted ids from candidates only — independently
-    // certifying the tombstone semantics. delete_done keeps bench reps
-    // idempotent (deletes are anti-join-idempotent anyway; the marker
-    // just avoids re-appending tombstone rows).
+    // certifying the tombstone semantics. Round 17 (r16 verdict #4,
+    // bench semantics): the old delete_done marker keyed on the data
+    // fingerprint skipped build+delete on every rep/run after the
+    // first, so the recorded min-of-reps timed SERVE ONLY — persisted
+    // state shaping a bench number. The row now builds + tombstones
+    // into a FRESH per-invocation dir, so every rep times the full
+    // build/delete/serve lifecycle (re-baselined; the serving-only
+    // twins with honest fingerprint-keyed reuse exist separately).
     "sim_topk_ivf_deleted" -> ((s, d) => {
       val e = emb(s, d)
-      val dir = ivfIndexDir("graft_ivf_del_idx", d)
-      if (!new java.io.File(s"$dir/delete_done").exists()) {
-        Similarity.buildIvfIndex(e, col("vec_id"), col("embedding"), dir)
-        Similarity.deleteFromIvfIndex(dir,
-          e.filter(col("vec_id") % 7 === 3), col("vec_id"))
-        new java.io.File(s"$dir/delete_done").createNewFile()
-      }
+      val dir = ivfIndexDir("graft_ivf_del_idx", d) + "_run" +
+        java.util.UUID.randomUUID().toString.take(8)
+      Similarity.buildIvfIndex(e, col("vec_id"), col("embedding"), dir)
+      Similarity.deleteFromIvfIndex(dir,
+        e.filter(col("vec_id") % 7 === 3), col("vec_id"))
       Similarity.ivfTopKServe(s, dir,
         e.filter(col("vec_id") % 100 === 0),
         col("vec_id"), col("embedding"), k = 10)
