@@ -515,9 +515,40 @@ object Dedup {
                      text: Column, n: Int = 3, numHashes: Int = 32,
                      bands: Int = 16, threshold: Double = 0.7): DataFrame = {
     val hs = shingleTable(history, id, text, n)
-    val is = shingleTable(incoming, id, text, n)
     val hb = bandedBuckets(hs, numHashes, bands)
       .withColumnRenamed("doc_id", "dup_of")
+    nearDupAgainstPrepped((hs, hb), incoming, id, text, n, numHashes,
+      bands, threshold)
+  }
+
+  /** Wiring-time history prep for the STREAMING near-dup gates: the
+    * frozen history corpus's shingle table and banded buckets, built and
+    * persisted ONCE outside the stream. Without it every micro-batch
+    * re-shingled and re-banded the entire history (r16 verdict #9's
+    * predicted per-microbatch re-derivation — the foreachBatch twin of
+    * the per-round plan rebuild the graph loops had). The frames are
+    * read by every trigger; the caller owns their lifetime
+    * (`Caches.clear()` releases them with everything else). */
+  def nearDupHistoryPrep(history: DataFrame, id: Column, text: Column,
+                         n: Int = 3, numHashes: Int = 32,
+                         bands: Int = 16): (DataFrame, DataFrame) = {
+    val hs = Caches.persist(shingleTable(history, id, text, n))
+    val hb = Caches.persist(bandedBuckets(hs, numHashes, bands)
+      .withColumnRenamed("doc_id", "dup_of"))
+    (hs, hb)
+  }
+
+  /** `nearDupAgainst` with the history side pre-prepped
+    * ([[nearDupHistoryPrep]]) — per call only the incoming batch pays
+    * shingling/banding. Pair semantics identical to `nearDupAgainst`
+    * (which now delegates here). */
+  def nearDupAgainstPrepped(prep: (DataFrame, DataFrame),
+                            incoming: DataFrame, id: Column, text: Column,
+                            n: Int = 3, numHashes: Int = 32,
+                            bands: Int = 16,
+                            threshold: Double = 0.7): DataFrame = {
+    val (hs, hb) = prep
+    val is = shingleTable(incoming, id, text, n)
     val ib = bandedBuckets(is, numHashes, bands)
       .withColumnRenamed("doc_id", "new_id")
     val cand = ib.join(hb.hint("SHUFFLE_HASH"), Seq("band", "bucket"))

@@ -113,11 +113,20 @@ object Gates {
     * candidates, exact verify, anti-join back. Compose it with the other
     * gates in one `startPipeline` stack instead of a dedicated sink. */
   def nearDup(history: DataFrame, idCol: String, textCol: String,
-              threshold: Double = 0.7): Gate = batch => {
-    val dups = graft.analytics.Dedup.nearDupAgainst(history, batch,
-      col(idCol), col(textCol), threshold = threshold)
-      .select(col("new_id").as(idCol)).distinct()
-    batch.join(dups, Seq(idCol), "left_anti")
+              threshold: Double = 0.7): Gate = {
+    // wiring-time history prep (round 17): nearDupAgainst re-shingled
+    // and re-banded the WHOLE history corpus inside every micro-batch —
+    // the foreachBatch twin of the per-round plan-rebuild disease the
+    // graph loops had. Shingle + band once here, persisted; each
+    // trigger pays only its own batch's prep.
+    val prep = graft.analytics.Dedup.nearDupHistoryPrep(history,
+      col(idCol), col(textCol))
+    batch => {
+      val dups = graft.analytics.Dedup.nearDupAgainstPrepped(prep, batch,
+        col(idCol), col(textCol), threshold = threshold)
+        .select(col("new_id").as(idCol)).distinct()
+      batch.join(dups, Seq(idCol), "left_anti")
+    }
   }
 
   /** Exact-dedup gate against FROZEN history artifacts, prepped once
@@ -207,6 +216,17 @@ object Gates {
     // foreachBatch (which would checkpoint-replay the same failure)
     require(maxDist >= 0 && maxDist <= 3,
       "4-band pigeonhole is exact only for maxDist <= 3")
+    // wiring-time history prep (round 17): the banded expansion of the
+    // frozen signature set ran INSIDE the per-batch closure — the
+    // distinct + explode (and, for an unpersisted input, the upstream
+    // history decode feeding it) re-executed every trigger. Built and
+    // persisted once when the stack is wired.
+    val histB = graft.analytics.Caches.persist(
+      historyHashes.select(col("dhash").cast("long").as("h_dhash"))
+        .distinct()
+        .withColumn("bnd", explode(sequence(lit(0), lit(3))))
+        .withColumn("band",
+          expr("(h_dhash >> CAST(bnd * 14 AS INT)) & 16383")))
     batch => {
     val ss = batch.sparkSession
     import ss.implicits._
@@ -222,10 +242,6 @@ object Gates {
       .as[graft.analytics.Multimodal.MediaRecord]
     val sig = graft.analytics.Multimodal.dHash56Lenient(media).toDF()
       .select(col("id"), col("dhash"))
-    val histB = historyHashes.select(col("dhash").cast("long").as("h_dhash"))
-      .distinct()
-      .withColumn("bnd", explode(sequence(lit(0), lit(3))))
-      .withColumn("band", expr("(h_dhash >> CAST(bnd * 14 AS INT)) & 16383"))
     val newB = sig
       .withColumn("bnd", explode(sequence(lit(0), lit(3))))
       .withColumn("band", expr("(dhash >> CAST(bnd * 14 AS INT)) & 16383"))

@@ -738,23 +738,28 @@ object StreamingIngest {
 
   /** Streaming near-dup gate: every micro-batch drops rows whose shingle
     * Jaccard against the static `history` corpus reaches the threshold
-    * (Dedup.nearDupAgainst — banded MinHash candidates + exact verify),
-    * and appends the survivors. The history side's bucket table is
-    * recomputed per batch here; a production deployment precomputes and
-    * refreshes it outside the stream (the operator only needs (doc, band,
-    * bucket) + shingle rows, both incrementally maintainable). */
+    * (banded MinHash candidates + exact verify), and appends the
+    * survivors. The history side's shingle/bucket tables are built and
+    * persisted ONCE at wiring time (round 17: they used to be
+    * recomputed inside every micro-batch — at scale that re-shingled
+    * the whole history lake per trigger); refresh by restarting the
+    * gate when the frozen history advances. */
   def startNearDupGate(frame: DataFrame, history: DataFrame,
                        idCol: String, textCol: String,
                        outDir: String, checkpointDir: String,
                        threshold: Double = 0.7,
                        trigger: Trigger = Trigger.AvailableNow())
-      : StreamingQuery =
+      : StreamingQuery = {
+    val prep = graft.analytics.Dedup.nearDupHistoryPrep(history,
+      org.apache.spark.sql.functions.col(idCol),
+      org.apache.spark.sql.functions.col(textCol))
     startGate(frame, idCol, outDir, checkpointDir, trigger) { batch =>
-      graft.analytics.Dedup.nearDupAgainst(history, batch,
+      graft.analytics.Dedup.nearDupAgainstPrepped(prep, batch,
         org.apache.spark.sql.functions.col(idCol),
         org.apache.spark.sql.functions.col(textCol),
         threshold = threshold)
     }
+  }
 
   /** Streaming EMBEDDING dedup gate: every micro-batch drops vectors whose
     * cosine against the static `history` reaches the threshold
