@@ -280,7 +280,93 @@ object Bench {
       "soak_triangles_1x" -> graphOp(5000L)(e =>
         graft.analytics.Graph.triangles(e, col("src"), col("dst")).count()),
       "soak_triangles_10x" -> graphOp(50000L)(e =>
-        graft.analytics.Graph.triangles(e, col("src"), col("dst")).count()))
+        graft.analytics.Graph.triangles(e, col("src"), col("dst")).count()),
+      // ---- streaming sink families (round 17, r16 verdict #9): one
+      // timed micro-row each, driven through REAL StreamingQuery runs
+      // (file source, AvailableNow, fresh work dirs per invocation —
+      // Kafka in production swaps the source line only). Fixture prep
+      // (writing the source parquet) happens OUTSIDE the timed region;
+      // the timed region is sink wiring + the full streaming run.
+      "soak_stream_ingest" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val work = s"${System.getProperty("java.io.tmpdir")}/graft_strm_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val src = s"$work/src"
+        Tables.load(s, d, "events")
+          .select(pmod(col("user_id"), lit(4)).cast("int")
+            .as("kafka_partition"),
+            col("event_id").cast("long").as("offset"),
+            col("event_type"), col("value"))
+          .write.mode("overwrite").parquet(src)
+        val schema = s.read.parquet(src).schema
+        val t = timedCount {
+          val q = graft.streaming.StreamingIngest.start(
+            s.readStream.schema(schema).parquet(src),
+            graft.ingest.IngestConfig(topic = "soak_stream",
+              flushSize = 2000),
+            graft.ingest.Partitioners.fieldPartition(
+              "event_type" -> col("event_type")),
+            s"$work/out", s"$work/ckpt",
+            col("kafka_partition"), col("offset"),
+            payloadCols = Seq(col("offset"), col("event_type"),
+              col("value")))
+          q.awaitTermination(600000); 0L
+        }
+        graft.analytics.Caches.clear(); t
+      }),
+      "soak_stream_hll" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val work = s"${System.getProperty("java.io.tmpdir")}/graft_strm_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val src = s"$work/src"
+        Tables.load(s, d, "events")
+          .select(col("event_type"), col("user_id"))
+          .write.mode("overwrite").parquet(src)
+        val schema = s.read.parquet(src).schema
+        val t = timedCount {
+          val q = graft.streaming.StreamingIngest.runningDistinct(
+            s.readStream.schema(schema).parquet(src),
+            col("event_type"), col("user_id").cast("string"))
+            .writeStream.outputMode("update").format("noop")
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", s"$work/ckpt").start()
+          q.awaitTermination(600000); 0L
+        }
+        graft.analytics.Caches.clear(); t
+      }),
+      "soak_stream_dhash" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val work = s"${System.getProperty("java.io.tmpdir")}/graft_strm_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val src = s"$work/src"
+        // deterministic synthetic PNG stream (the mm fixture's shape:
+        // ids sized (id%31+1, id%17+1)); history = every 3rd image
+        val media = s.range(0, 500).as[Long].map { id =>
+          graft.analytics.Multimodal.MediaRecord(id, "image/png",
+            graft.analytics.Multimodal.encodePng(id, (id % 31 + 1).toInt,
+              (id % 17 + 1).toInt))
+        }
+        media.toDF().write.mode("overwrite").parquet(src)
+        val hist = graft.analytics.Multimodal.dHash56(
+          media.filter(_.id % 3 == 0)).toDF().select(col("dhash"))
+        val schema = s.read.parquet(src).schema
+        val t = timedCount {
+          val gate = graft.streaming.Gates.imageDedup(hist, "id")
+          val q = s.readStream.schema(schema).parquet(src)
+            .writeStream.outputMode("append")
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", s"$work/ckpt")
+            .foreachBatch {
+              (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                gate(b).write.format("noop").mode("overwrite").save(); ()
+            }.start()
+          q.awaitTermination(600000); 0L
+        }
+        graft.analytics.Caches.clear(); t
+      }))
   }
 
   def main(args: Array[String]): Unit = {
@@ -599,6 +685,18 @@ object Bench {
       val (t1, t10) = (c("soak_triangles_1x"), c("soak_triangles_10x"))
       f"""{"substr_1x":$s1%.3f,"substr_10x":$s10%.3f,"substr_ratio":${s10 / s1}%.2f,"bm25_1x":$b1%.3f,"bm25_10x":$b10%.3f,"bm25_ratio":${b10 / b1}%.2f,"bm25_fixedq_10x":$bfq10%.3f,"bm25_fixedq_ratio":${bfq10 / b1}%.2f,"pagerank_1x":$g1%.3f,"pagerank_10x":$g10%.3f,"pagerank_ratio":${g10 / g1}%.2f,"triangles_1x":$t1%.3f,"triangles_10x":$t10%.3f,"triangles_ratio":${t10 / t1}%.2f}"""
     }
+    // Streaming sink families timed end-to-end (round 17, r16 verdict
+    // #9): rotation ingest, HLL-register running-distinct, dHash image
+    // gate. Each side is a nameable soak component, so ab_replay
+    // adjudicates a streaming alarm with the standard isolated
+    // min-of-reps discipline; committed stats live in this block.
+    val streamingBlock = {
+      def c(n: String): Double = soakComponents(n)(spark, sfDir)
+      val i = c("soak_stream_ingest")
+      val h = c("soak_stream_hll")
+      val g = c("soak_stream_dhash")
+      f"""{"ingest_sec":$i%.3f,"hll_sec":$h%.3f,"dhash_gate_sec":$g%.3f}"""
+    }
     // Failures must be machine-loud, not just a -1.0 sentinel buried in the
     // metrics (round 8's bench read as rc:0 with six dead queries): name
     // them in an explicit "failed" list AND exit non-zero.
@@ -657,7 +755,7 @@ object Bench {
           median(rerun) > c * 1.5 * math.max(1.0, windowFactor)) => k
     }.toSeq
     val line =
-      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"n_queries":${benchedNames.size},"n_registered":$nRegistered,"unbenched":$unbenchedJson,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"queries_r12":${json(r12)},"value_r12":${total(r12)}%.3f,"queries_r13":${json(r13)},"value_r13":${total(r13)}%.3f,"queries_r14":${json(r14)},"value_r14":${total(r14)}%.3f,"queries_r15":${json(r15)},"value_r15":${total(r15)}%.3f,"queries_r16":${json(r16)},"value_r16":${total(r16)}%.3f,"queries_sweep":${jsonMin(sweep)},"value_sweep":${sweep.map(r => minOf(r._2)).filter(_ >= 0).sum}%.3f,"n_sweep":${sweep.size},"sweep_reps":$sweepReps,"sweep_statistic":"min-of-reps","sweep_tiered":${committedMins.nonEmpty},"sweep_retried":${sweepRetried.map("\"" + _ + "\"").mkString("[", ",", "]")},"group_tiered":${committedGroup.nonEmpty},"group_retried":${groupRerun.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},"group_breach_confirmed":${groupBreachConfirmed.map("\"" + _ + "\"").mkString("[", ",", "]")},"window_factor":$windowFactor%.3f,"group_breach_confirmed_adj":${groupBreachConfirmedAdj.map("\"" + _ + "\"").mkString("[", ",", "]")},"sweep_spread":${spreadJson(sweep)},"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"bpe_train_scale1024":$bpeScale1024,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":${total(results)}%.3f,"unit":"sec","reps":$reps,"n_queries":${benchedNames.size},"n_registered":$nRegistered,"unbenched":$unbenchedJson,"queries":${json(results)},"queries_r7":${json(r7)},"value_r7":${total(r7)}%.3f,"queries_r9":${json(r9)},"value_r9":${total(r9)}%.3f,"queries_r10":${json(r10)},"value_r10":${total(r10)}%.3f,"queries_r11":${json(r11)},"value_r11":${total(r11)}%.3f,"queries_r12":${json(r12)},"value_r12":${total(r12)}%.3f,"queries_r13":${json(r13)},"value_r13":${total(r13)}%.3f,"queries_r14":${json(r14)},"value_r14":${total(r14)}%.3f,"queries_r15":${json(r15)},"value_r15":${total(r15)}%.3f,"queries_r16":${json(r16)},"value_r16":${total(r16)}%.3f,"queries_sweep":${jsonMin(sweep)},"value_sweep":${sweep.map(r => minOf(r._2)).filter(_ >= 0).sum}%.3f,"n_sweep":${sweep.size},"sweep_reps":$sweepReps,"sweep_statistic":"min-of-reps","sweep_tiered":${committedMins.nonEmpty},"sweep_retried":${sweepRetried.map("\"" + _ + "\"").mkString("[", ",", "]")},"group_tiered":${committedGroup.nonEmpty},"group_retried":${groupRerun.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},"group_breach_confirmed":${groupBreachConfirmed.map("\"" + _ + "\"").mkString("[", ",", "]")},"window_factor":$windowFactor%.3f,"group_breach_confirmed_adj":${groupBreachConfirmedAdj.map("\"" + _ + "\"").mkString("[", ",", "]")},"sweep_spread":${spreadJson(sweep)},"spread":$spread,"bpe_train":$bpe,"bpe_train_scale":$bpeScale,"bpe_train_scale1024":$bpeScale1024,"blocked_crossover":$crossover,"scale_soak":$scaleSoak,"soak2":$scaleSoak2,"streaming":$streamingBlock,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver captures only the last ~2000 chars of sbt's output, and
     // the full line above outgrew that window in round 10 — every BENCH_rNN
     // artifact since has had parsed:null and the driver lost its per-query
