@@ -78,11 +78,22 @@ object Clustering {
   }
 
   /** The centroid set as one array-of-structs literal (k·dim doubles). */
+  /** The literal model as ONE Literal node (round 17, guide §4): the
+    * former per-element form (`array(struct(lit, lit, array(64 lits)))`
+    * × k) put ~k·(dim+2) expression nodes into every plan that scores
+    * against the model — walked by every analyzer/optimizer pass and
+    * inlined by codegen, which profiling showed as driver time (stage
+    * wall ≪ total) on the whole IVF/PQ family. `typedlit` folds the
+    * same values into a single ArrayType Literal; the generated code
+    * reads the array data instead of materializing per-element
+    * constants. Values are bit-identical. */
+  private final case class CentLit(cluster: Long, cn: Double,
+                                   cv: Seq[Double])
+  private final case class BisectCentLit(parent: Long, child: Long,
+                                         cn: Double, cv: Seq[Double])
   private def centLiteral(cent: Seq[Centroid]): Column =
-    array(cent.map { c =>
-      struct(lit(c.cluster).as("cluster"), lit(c.norm).as("cn"),
-        array(c.components.map(lit): _*).as("cv"))
-    }: _*)
+    typedlit(cent.map(c => CentLit(c.cluster, c.norm,
+      c.components.toIndexedSeq)))
 
   /** Zero-shuffle assignment: per row, score every centroid inside a
     * `transform` over the literal and take the lexicographic `array_max`
@@ -465,10 +476,10 @@ object Clustering {
           .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2),
             r.getDouble(3)))
           .toSeq
-      def centLit: Column = array(cents.map { case (p, c, cv, cn) =>
-        struct(lit(p).as("parent"), lit(c).as("child"), lit(cn).as("cn"),
-          array(cv.map(lit): _*).as("cv"))
-      }: _*)
+      // one Literal node, not 2^level·(dim+3) — see centLiteral (§4)
+      def centLit: Column = typedlit(cents.map { case (p, c, cv, cn) =>
+        BisectCentLit(p, c, cn, cv.toIndexedSeq)
+      })
       def assigned: DataFrame = {
         val mine = filter(centLit, e =>
           e.getField("parent") === col("cluster"))

@@ -179,6 +179,15 @@ object Dedup {
     // epsilon, exact at every (n, t).
     val (tNum, tDen) = thresholdRational(threshold)
     def ceilT(nCol: Column): Column = ceilMulExact(nCol, tNum, tDen)
+    // The §2.5 parallelism floor was TRIED here in round 17 (the shingle
+    // projection materializes single-task — profiled 1.5 s serial on a
+    // 32-core session) and measured SLOWER on the consumers (isolated
+    // A/B: dedup_jaccard_prefix 1.30x, sample_split_leakfree 1.23x,
+    // pipeline_dedup_split 1.09x): the widened cache layout puts
+    // near-empty tasks into every downstream model-scale stage, same as
+    // round 16's shingleTable finding. Reverted — the single-task head
+    // is bounded by one scan split and disappears at production input
+    // sizes anyway.
     val sh = shingleTable(docs, id, text, n)
     val tok = sh.select(col("doc_id"), col("n_sh"),
         explode(col("sh")).as("s"))

@@ -991,7 +991,8 @@ object Similarity {
                  whiten: Boolean = false): Column =
     array(model.components.zipWithIndex.map { case (w, c) =>
       val offset = w.zip(model.mean).map { case (a, b) => a * b }.sum
-      val raw = dot(asDouble(vec), array(w.map(lit).toIndexedSeq: _*)) - offset
+      // one Literal per component row, not dim lit nodes (§4, round 17)
+      val raw = dot(asDouble(vec), typedlit(w.toIndexedSeq)) - offset
       val scaled = if (!whiten) raw else {
         val l = model.eigenvalues(c)
         val floor = 1e-12 * math.max(model.eigenvalues.headOption
@@ -1144,8 +1145,11 @@ object Similarity {
     * below any quantization-error or ranking margin. */
   def rotateVec(vec: Column, rotation: Array[Array[Double]],
                 decimals: Int = 12): Column =
+    // one Literal per rotation row, not dim² lit nodes (§4, round 17):
+    // the former per-element form put ~4096 expression nodes into every
+    // OPQ plan — visible as driver planning/codegen time, not task time
     array(rotation.map(w =>
-      round(dot(asDouble(vec), array(w.map(lit).toIndexedSeq: _*)),
+      round(dot(asDouble(vec), typedlit(w.toIndexedSeq)),
         decimals)).toIndexedSeq: _*)
 
   /** Mean PQ reconstruction error (sum over subspaces of the squared
