@@ -2217,6 +2217,11 @@ object ContentQueries {
     // friendly per-doc join, then a two-key aggregate.
     "pipeline_dedup_split" -> ((s, d) => {
       val base = docs(s, d)
+      // §2.6 overlap (background-materializing the substring side while
+      // the clustering loop's driver actions run) was TRIED in round 17
+      // and measured NEUTRAL (isolated A/B 1.04 — both sides are
+      // CPU-bound on the same cores locally, so overlap ≈ serialize);
+      // reverted to keep the query simple.
       val cleaned = Dedup.substringDedup(base, col("doc_id"), col("text"),
         k = 15).select(col("doc_id"), col("n_kept"))
       // exact prefix-filtered operator — pair-identical to the exhaustive
