@@ -248,7 +248,13 @@ object Graph {
           col("seed_lab").isNotNull.as("is_seed"))
         .localCheckpoint(false)
         .repartition(p, col("node")))
-    var labs = nodes.select(col("node"), col("seed_lab").as("lab"))
+    // loop state CARRIES the frozen seed columns (round 17, §2.4): the
+    // previous form re-joined `nodes` into the state every round just to
+    // re-attach is_seed/seed_lab — a per-round hash build + probe over
+    // ALL nodes (and one more at the readout) for two small columns that
+    // never change. Values and update order are identical.
+    var labs = nodes.select(col("node"), col("seed_lab"), col("is_seed"),
+        col("seed_lab").as("lab"))
       .localCheckpoint(false)
     (1 to iters).foreach { i =>
       // one exchange per round (repartition(p, vn) — hash(vn) satisfies
@@ -256,8 +262,11 @@ object Graph {
       // clustering of the argmin, so both fold exchange-free); the vote
       // join streams the cached dst-partitioned edge frame unsorted
       // (SHUFFLE_HASH — SMJ would re-sort it every round, broadcast
-      // would rebuild + ship it every round)
-      val votes = e.join(labs.hint("SHUFFLE_HASH"), e("dst") === labs("node"))
+      // would rebuild + ship it every round). Project the state to
+      // (node, lab) before the edge join — the frozen seed columns must
+      // not ride the vote fan-out (§2.3).
+      val lv = labs.select(col("node"), col("lab"))
+      val votes = e.join(lv.hint("SHUFFLE_HASH"), e("dst") === lv("node"))
         .filter(col("lab").isNotNull)
         .select(col("src").as("vn"), col("lab"))
         .repartition(p, col("vn"))
@@ -265,17 +274,17 @@ object Graph {
         .groupBy(col("vn"))
         .agg(min(struct((-col("c")).as("nc"), col("lab").as("l"))).as("w"))
         .select(col("vn").as("node"), col("w.l").as("vlab"))
-      labs = nodes.join(labs.select(col("node"), col("lab").as("plab"))
-            .hint("SHUFFLE_HASH"), Seq("node"))
+      labs = labs
+        .select(col("node"), col("seed_lab"), col("is_seed"),
+          col("lab").as("plab"))
         .join(votes.hint("SHUFFLE_HASH"), Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("seed_lab"), col("is_seed"),
           when(col("is_seed"), col("seed_lab"))
             .otherwise(coalesce(col("vlab"), col("plab"))).as("lab"))
       if (i % ckptEvery == 0 || i == iters)
         labs = labs.localCheckpoint(false)
     }
-    labs.join(nodes, Seq("node"))
-      .select(col("node"), col("lab").as("label"), col("is_seed"))
+    labs.select(col("node"), col("lab").as("label"), col("is_seed"))
   }
 
   /** k-core decomposition by synchronous peeling (Seidman, Social
